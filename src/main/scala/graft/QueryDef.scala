@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** One declared operator from SURVEY.md §2.2: a Spark implementation plus
@@ -16,10 +17,37 @@ final case class QueryDef(
 object QueryDef {
   /** Determinism contract (SURVEY.md §2.2): double aggregation order is not
     * associative, so every SUM/AVG over doubles goes through DECIMAL(38,6)
-    * on both the Spark and DuckDB side.
+    * on both the Spark and DuckDB side. The corpus doubles carry ≤2 decimal
+    * digits, so the double→decimal(…,6) conversion is exact and never hits a
+    * rounding half-boundary (where Spark HALF_UP and a hypothetical
+    * banker's-rounding engine could disagree; DuckDB also rounds half away
+    * from zero — verified empirically).
     */
   val Dec38: DecimalType = DecimalType(38, 6)
+  /** Narrow decimal for *inputs* to decimal arithmetic: (18,6) × (19,6)
+    * multiplies stay ≤ 38 digits on both Spark and DuckDB, so products like
+    * `price * (1 - discount)` are computed exactly in decimal on both sides.
+    */
+  val Dec18: DecimalType = DecimalType(18, 6)
   def dec(c: Column): Column = c.cast(Dec38)
+  def dec18(c: Column): Column = c.cast(Dec18)
+
+  /** Average with a deterministic cross-engine contract: Spark's AVG over
+    * DECIMAL(38,6) is exact (returns DECIMAL(38,10)); DuckDB's returns
+    * DOUBLE. Both are rounded to DECIMAL(38,6) at the end; they agree unless
+    * the true mean sits within double-error of a 5e-7 boundary (measure-zero
+    * for this corpus). Oracle twin: CAST(AVG(CAST(x AS DECIMAL(38,6))) AS
+    * DECIMAL(38,6)).
+    */
+  def decAvg(c: Column): Column = avg(dec(c)).cast(Dec38)
+
+  /** Integer-input average: both engines sum exactly (long / hugeint), cast
+    * to double, divide by the count — the same two IEEE operands on both
+    * sides, hence bit-identical before the final decimal rounding.
+    * Oracle twin: CAST(CAST(SUM(x) AS DOUBLE) / COUNT(x) AS DECIMAL(38,6)).
+    */
+  def intAvg(c: Column): Column =
+    (sum(c).cast("double") / count(c).cast("double")).cast(Dec38)
 }
 
 trait QueryModule {

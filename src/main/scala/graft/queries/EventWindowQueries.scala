@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch equivalents of the streaming surface (SURVEY.md §2.2
+  * q_stream_*): tumbling / sliding / session windows and keyed dedup.
+  * The same transformations run unchanged on a stream (see
+  * graft.streaming.StreamOps, which the ScalaTests drive through
+  * MemoryStream + watermarks); here they run on the events table so the
+  * DuckDB oracle can check the window arithmetic exactly.
+  *
+  * Spark's `window()` buckets are Unix-epoch-aligned, exactly like DuckDB's
+  * `time_bucket` — verified, both put 05:45:11 in the 05:00 hour bucket.
+  */
+object EventWindowQueries extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_stream_tumbling",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+          .select(
+            col("window.start").as("w_start"), col("window.end").as("w_end"),
+            col("event_type"), col("cnt"), col("sum_v"))
+          .orderBy("w_start", "event_type"),
+      Some("""SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+             |COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v
+             |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type, value
+             |      FROM events) sub
+             |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin)),
+
+    QueryDef(
+      "q_stream_sliding",
+      // 1h windows sliding every 30min: each event lands in exactly two
+      // windows, starting at bucket30(ts) and bucket30(ts)-30min — the
+      // oracle materializes both memberships with a UNION ALL.
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+          .select(
+            col("window.start").as("w_start"), col("window.end").as("w_end"),
+            col("cnt"), col("sum_v"))
+          .orderBy("w_start"),
+      Some("""SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+             |COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v
+             |FROM (
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS w_start, value FROM events
+             |) sub GROUP BY w_start ORDER BY w_start""".stripMargin)),
+
+    QueryDef(
+      "q_stream_session",
+      // Per-user session windows with a 30-minute gap. Spark semantics: a
+      // new session starts when ts >= previous ts + gap; session end is
+      // last event ts + gap. Oracle reproduces it with gaps-and-islands
+      // (lag + running sum of session breaks).
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+          .select(
+            col("user_id"), col("session_window.start").as("s_start"),
+            col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
+          .orderBy("user_id", "s_start"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value, event_id,
+             |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |            >= INTERVAL 30 MINUTE THEN 1
+             |       WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+             |       ELSE 0 END AS brk
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts, value,
+             |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             |COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
+    QueryDef(
+      "q_stream_dedup_watermark",
+      // Batch twin of streaming dropDuplicates-with-watermark: keep the
+      // earliest event per (user_id, event_type), ties broken by event_id —
+      // deterministic, unlike raw dropDuplicates. The streaming twin
+      // (StreamOps.dedupWithWatermark) is exercised by ScalaTest.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+             |  SELECT user_id, event_type, event_id, ts,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+             |  FROM events) sub
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+  )
+}

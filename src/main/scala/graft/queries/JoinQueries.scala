@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** All nine join shapes of the delegated query surface (SURVEY.md §2.2).
+  *
+  * Scale notes (100 TB posture):
+  *  - fact ⋈ fact (lineitem ⋈ orders) is a shuffle join on the join key —
+  *    correct at any scale; AQE picks the physical strategy.
+  *  - dimension joins broadcast explicitly (`broadcast(nation)`): no shuffle
+  *    of the big side at all.
+  *  - the range join bounds its probe side (a small broadcast) so the
+  *    nested-loop is O(|corpus| × |probe|), never fact × fact.
+  *  - the as-of join is the union+window rewrite: ONE shuffle by key, a
+  *    per-key sort, no per-row subquery — the standard scalable formulation.
+  */
+object JoinQueries extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_join_inner",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+          .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice, l_quantity
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "q_join_broadcast",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "c_name", "n_name", "r_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, n_name, r_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_left",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .select("c_custkey", "o_orderkey", "o_totalprice")
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first),
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "q_join_full",
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .join(t(s, dir, "supplier"), col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select("c_custkey", "s_suppkey", "c_nationkey", "s_nationkey")
+          .orderBy(col("c_custkey").asc_nulls_first, col("s_suppkey").asc_nulls_first),
+      Some("""SELECT c_custkey, s_suppkey, c_nationkey, s_nationkey
+             |FROM (SELECT * FROM customer WHERE c_custkey < 200) c
+             |FULL JOIN supplier s ON c_nationkey = s_nationkey
+             |ORDER BY c_custkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "q_join_semi",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_anti",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_cross",
+      (s, dir) =>
+        t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+          .select("r_regionkey", "n_nationkey", "r_name", "n_name")
+          .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_range",
+      // Non-equi band join. The probe side (supplier) is small and
+      // broadcast, so this is BroadcastNestedLoopJoin over the stream side —
+      // O(|customer| × |supplier|) with no shuffle. At 100 TB the band
+      // predicate would be bucketized (join on floor(acctbal/50) ± 1, then
+      // re-filter) to turn it into an equi shuffle join.
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            broadcast(t(s, dir, "supplier")),
+            col("c_acctbal") >= col("s_acctbal") - 50 && col("c_acctbal") < col("s_acctbal"))
+          .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+          .orderBy("s_suppkey", "c_custkey"),
+      Some("""SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+             |FROM customer JOIN supplier
+             |ON c_acctbal >= s_acctbal - 50 AND c_acctbal < s_acctbal
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_asof",
+      // As-of join: for each event, the latest order of the same customer
+      // with o_orderdate <= ts (DuckDB `ASOF JOIN` `<=`-latest-wins
+      // semantics, SURVEY.md §7.3). Implemented as the scalable union+window
+      // rewrite: tag both sides, one shuffle on the key, per-key sort by
+      // (time, tag), then last non-null order key in the unbounded-preceding
+      // frame. Orders are first deduped per (custkey, orderdate) — max
+      // orderkey wins — so ties are deterministic on both engines.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("okey"))
+        val od = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+          .agg(max("o_orderkey").as("okey"))
+          .select(col("k"), col("t"), lit(0).as("tag"),
+            lit(null).cast("long").as("event_id"), col("okey"))
+        val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.unionByName(od)
+          .withColumn("o_orderkey", last("okey", ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+             |FROM events e ASOF LEFT JOIN
+             |(SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+             | FROM orders GROUP BY o_custkey, o_orderdate) o
+             |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.QueryDef._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity / dedup / sketch operators for the LLM-data-pipeline surface.
+  *
+  * Scale design (100 TB):
+  *  - q_sim_cosine_topk: probe-set pattern — a bounded probe batch is
+  *    broadcast against the full corpus, so cost is O(|corpus| × |probes|),
+  *    linear in corpus size, never corpus².
+  *  - q_sim_ann_lsh: random-hyperplane signatures bucket the corpus
+  *    (one shuffle on the 16-bit signature), exact rerank only within
+  *    buckets — the scale path when the probe set is itself huge.
+  *  - q_dedup_minhash: MinHash-LSH banding; candidates come from an
+  *    equi-join on (band, bandHash) — never an all-pairs comparison; exact
+  *    Jaccard verification only on candidates.
+  *  - q_dedup_simhash: 32-bit SimHash, banded into 4×8-bit buckets,
+  *    Hamming-distance verify via bit_count(xor) on candidates only.
+  *  - q_approx_distinct: HyperLogLog++ partial+final merge (built-in
+  *    approx_count_distinct); the oracle-compared column is the exact twin.
+  * All hashing is xxhash64 (fixed seed 42 inside Spark) — deterministic
+  * across runs and partitionings.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Sequential left-fold sum over a double array — same operation order as
+    * DuckDB's list iteration, so IEEE results are bit-identical.
+    */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dotD(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Cosine similarity mirroring DuckDB list_cosine_similarity:
+    * dot / (sqrt(normA) * sqrt(normB)).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** 3-word shingles of a document; short docs fall back to the whole text
+    * as a single shingle.
+    */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array(text))
+  }
+
+  private val NumPerm = 32 // MinHash permutations
+  private val Bands = 8    // LSH bands (rows per band = 4)
+
+  /** (doc_id, band, bandHash) LSH bucket keys for every document. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .distinct()
+    // K independent min-hashes: min over xxhash64(permIndex, shingle).
+    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")) :+ lit(b): _*).as(s"b$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_sim_cosine_topk",
+      // Exact top-5 cosine neighbors for a bounded probe set (vec_id < 500)
+      // against the full corpus. Probe side broadcast; corpus side streams.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 500)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val scored = corpus.join(broadcast(probes), col("qid") =!= col("cid"))
+          .withColumn("score_d", cosine(col("qe"), col("ce")))
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        scored
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("cid"), col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""SELECT qid, cid, CAST(score_d AS DECIMAL(18,6)) AS score, rn FROM (
+             |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+             |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score_d,
+             |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+             |             b.vec_id) AS rn
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < 500 AND b.vec_id != a.vec_id) sub
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    QueryDef(
+      "q_sim_ann_lsh",
+      // ANN scale path: 12 random-hyperplane sign bits -> signature buckets
+      // (one shuffle), exact cosine + top-k only within each bucket.
+      // No oracle (approximate by construction); ScalaTest checks recall
+      // against the exact path on a fixed slice.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val dim = 64
+        val rnd = new scala.util.Random(42)
+        val planes = Seq.fill(12)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+        def sig(e: Column): Column =
+          planes.zipWithIndex.map { case (p, i) =>
+            val planeLit = array(p.map(lit): _*)
+            when(dotD(e, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        val withSig = emb.select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sig"))
+        val a = withSig.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
+        val b = withSig.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+          .withColumn("score_d", cosine(col("qe"), col("ce")))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("cid"), col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    QueryDef(
+      "q_dedup_minhash",
+      // MinHash-LSH near-duplicate detection over 3-word shingles.
+      // Candidates from band-bucket equi-join; exact Jaccard on candidates
+      // only; pairs with J >= 0.5 are reported. No oracle (property-tested).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bands = minhashBands(docs)
+        val cands = bands.as("x")
+          .join(bands.as("y"), Seq("band", "bandHash"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle")).distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+              .cast(Dec38))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    QueryDef(
+      "q_dedup_simhash",
+      // 32-bit SimHash over word tokens; 4×8-bit bands bucket candidates;
+      // Hamming distance <= 3 via bit_count(xor). No oracle.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("h", xxhash64(col("w")))
+        val bitSums = (0 until 32).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+        }
+        val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+              .reduce(_ + _).as("sig"))
+        val banded = sig.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), b * 8).bitwiseAND(0xFF)): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
+        banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          .distinct()
+          .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    QueryDef(
+      "q_approx_distinct",
+      // HLL sketch + exact twin. The approx column is computed (exercising
+      // the HyperLogLogPlusPlus partial/final path) but dropped before the
+      // compare; the oracle checks the exact column.
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("uniq_users"),
+            approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+            count(lit(1)).as("cnt"))
+          .drop("approx_users")
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}

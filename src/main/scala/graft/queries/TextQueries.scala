@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.QueryDef._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface: per-language
+  * stats, token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting, exact dedup. All built-ins (split/length/md5/agg) — no
+  * UDFs, so the whole pipeline stays inside whole-stage codegen and
+  * map-side partial aggregation. At 100 TB these are embarrassingly
+  * parallel scans + one shuffle per groupBy.
+  */
+object TextQueries extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_text_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            intAvg(col("n_chars")).as("avg_chars"),
+            intAvg(col("n_tokens")).as("avg_tokens"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS DECIMAL(38,6)) AS avg_chars,
+             |CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(n_tokens) AS DECIMAL(38,6)) AS avg_tokens
+             |FROM (SELECT lang, n_chars,
+             |      CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+             |      FROM documents) sub
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "q_tokens_count",
+      // Token counting two ways: whitespace split and a BPE-ish regex over
+      // word/number/punctuation classes (SURVEY round-2 extension).
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            size(split(col("text"), "[a-z]+|[0-9]+|[^a-z0-9 ]"))
+              .minus(1).cast("long").as("re_pieces"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) - 1 AS BIGINT) AS re_pieces
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_text_quality",
+      // Quality scoring: length, mean token length, stopword ratio,
+      // non-alpha ratio — the standard pretraining-filter features.
+      (s, dir) => {
+        val toks = size(split(col("text"), " ")).cast("long")
+        val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+        val stop = size(split(concat(lit(" "), col("text"), lit(" ")), " (the|a|of|and|in) "))
+          .minus(1).cast("long")
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            toks.as("n_tokens"),
+            (alpha.cast("double") / length(col("text")).cast("double"))
+              .cast(Dec38).as("alpha_ratio"),
+            (stop.cast("double") / toks.cast("double")).cast(Dec38).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, LENGTH(text) AS n_chars_m,
+             |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             |     / CAST(LENGTH(text) AS DOUBLE) AS DECIMAL(38,6)) AS alpha_ratio,
+             |CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of|and|in) ')) - 1 AS DOUBLE)
+             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) AS stop_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_text_langid",
+      // Language-ID heuristic: score = stopword-hit ratio; the corpus text
+      // is synthetic so the interesting part is the operator shape
+      // (deterministic per-doc score + argmax-style CASE), not linguistic
+      // accuracy.
+      (s, dir) => {
+        val toks = size(split(col("text"), " ")).cast("long")
+        val en = size(split(concat(lit(" "), col("text"), lit(" ")), " (the|a|of) "))
+          .minus(1).cast("long")
+        val ratio = (en.cast("double") / toks.cast("double")).cast(Dec38)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), ratio.as("en_score"),
+            when(ratio > 0.05, "en").otherwise("other").as("guess"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of) ')) - 1 AS DOUBLE)
+             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) AS en_score,
+             |CASE WHEN CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of) ')) - 1 AS DOUBLE)
+             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) > 0.05
+             |     THEN 'en' ELSE 'other' END AS guess
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_doc_fingerprint",
+      // Content fingerprinting via md5 (identical across engines) — the
+      // join-key form of exact dedup used to cluster identical docs.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"),
+            substring(md5(col("text")), 1, 8).as("fp8"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, MD5(text) AS fp, SUBSTRING(MD5(text), 1, 8) AS fp8
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_exact",
+      // Exact dedup at scale = hash-groupBy on the content key: one shuffle,
+      // map-side combine. Keeps the smallest doc_id per distinct text.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies", "fp")
+          .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MD5(text) AS fp
+             |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin)),
+
+    QueryDef(
+      "q_multimodal_meta",
+      // Multimodal plumbing: treat content as an opaque binary column with
+      // typed metadata (SURVEY round-2 extension; the container has no
+      // image/audio codecs, so decode itself is stubbed in
+      // graft.functions.Multimodal — here the compared surface is the real
+      // Spark-side schema/partitioning plumbing: binary payload, byte
+      // length, hex prefix).
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            octet_length(encode(col("text"), "UTF-8")).cast("long").as("nbytes"),
+            hex(substring(encode(col("text"), "UTF-8"), 1, 8)).as("prefix_hex"))
+          .select("doc_id", "nbytes", "prefix_hex")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS nbytes,
+             |HEX(ENCODE(SUBSTRING(text, 1, 8))) AS prefix_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

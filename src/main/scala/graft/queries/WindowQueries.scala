@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface: ranking, running frames, lead/lag, analytic
+  * distribution functions, top-k per group. Every window orders by a unique
+  * key suffix so frames (and therefore results) are deterministic on both
+  * engines. One shuffle per distinct partitioning — all queries here reuse a
+  * single partitionBy, so exactly one exchange each.
+  */
+object WindowQueries extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_win_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef(
+      "q_win_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(dec(col("o_totalprice"))).over(w).as("run_sum"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_win_leadlag",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(
+            col("event_id"), col("user_id"), col("value"),
+            lag("value", 1).over(w).as("prev_v"),
+            lead("value", 1).over(w).as("next_v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |LAG(value, 1) OVER w AS prev_v, LEAD(value, 1) OVER w AS next_v
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "q_win_analytic",
+      // ntile / percent_rank / cume_dist. The distribution functions divide
+      // small exact integers (rank, partition size ~10), so the double
+      // quotient is bit-identical across engines; DECIMAL(18,6) cast keeps
+      // the compared value away from representation noise.
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).cast("long").as("nt"),
+            percent_rank().over(w).cast("decimal(18,6)").as("pr"),
+            cume_dist().over(w).cast("decimal(18,6)").as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |NTILE(4) OVER w AS nt,
+             |CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS pr,
+             |CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_topk_pergroup",
+      // Top-3 orders per customer: window + filter. At scale this is one
+      // shuffle by custkey; no driver-side collect, no global sort.
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) sub
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+  )
+}
