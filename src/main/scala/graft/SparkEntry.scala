@@ -18,13 +18,20 @@ object SparkEntry {
 
   private val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)
 
-  /** Flagship on /root/testdata/sf0.001: the TPC-H-Q1-shaped aggregate
-    * (the reference's "query pushed through the loader", SURVEY.md §7.2
-    * step 1); driver smoke-checks rows>0.
+  /** Flagship on /root/testdata/sf0.001 (SURVEY.md §7.2 step 1): the
+    * TPC-H-Q1-shaped aggregate — the reference's "query pushed through the
+    * loader" — written to a Delta table (scan → shuffle agg → hand-rolled
+    * _delta_log commit, reference P1→P2→P10) and read back through the
+    * Delta log reader. Driver smoke-checks rows>0.
     */
-  def entry(spark: SparkSession): DataFrame =
-    q.AggQueries.q1(
+  def entry(spark: SparkSession): DataFrame = {
+    val result = q.AggQueries.q1(
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    val table = java.nio.file.Files.createTempDirectory("graft-entry-delta").toString
+    sinks.DeltaSink.write(result, table, overwrite = true)
+    sinks.DeltaSink.read(spark, table)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -112,13 +112,17 @@ object CoreQueries extends QueryModule {
 
     QueryDef(
       "q_set_except",
+      // Positive-balance customers minus big spenders — both sides filtered
+      // so the difference is non-empty on the test corpus.
       (s, dir) =>
-        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
-          .orderBy("nationkey"),
-      Some("""SELECT c_nationkey AS nationkey FROM customer
+        t(s, dir, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("key"))
+          .except(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey").as("key")))
+          .orderBy("key"),
+      Some("""SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0
              |EXCEPT
-             |SELECT s_nationkey FROM supplier
-             |ORDER BY nationkey""".stripMargin)),
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+             |ORDER BY key""".stripMargin)),
   )
 }

@@ -79,13 +79,18 @@ object JoinQueries extends QueryModule {
 
     QueryDef(
       "q_join_anti",
+      // NOT EXISTS over a filtered right side: every customer has *some*
+      // order in this corpus, so the filter keeps the result non-trivial.
       (s, dir) =>
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(
+            t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name", "c_acctbal")
           .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
     QueryDef(

@@ -162,22 +162,24 @@ object SimilarityQueries extends QueryModule {
 
     QueryDef(
       "q_dedup_simhash",
-      // 32-bit SimHash over word tokens; 4×8-bit bands bucket candidates;
-      // Hamming distance <= 3 via bit_count(xor). No oracle.
+      // 64-bit set-based SimHash over distinct word tokens; 4×16-bit bands
+      // bucket candidates; Hamming distance <= 3 via bit_count(xor).
+      // No oracle.
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
           .withColumn("h", xxhash64(col("w")))
-        val bitSums = (0 until 32).map { b =>
+        val bitSums = (0 until 64).map { b =>
           sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
         }
         val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"),
-            (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
               .reduce(_ + _).as("sig"))
         val banded = sig.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
-            shiftright(col("sig"), b * 8).bitwiseAND(0xFF)): _*)))
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
         banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
           .filter(col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,260 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Hand-rolled Iceberg-style table sink + reader (reference P12/P13/P14/P15).
+  *
+  * iceberg-spark-runtime is absent from /opt/spark/jars (SURVEY.md §7.1), so
+  * — like the reference, which hand-rolls the whole Iceberg V2 commit in
+  * Rust (/root/reference/src/iceberg_destination.rs:152-377) — this writes
+  * the metadata layout directly:
+  *
+  *  - `metadata/version-hint.text` holds the current version; a new table
+  *    commits v0 (iceberg_destination.rs:174-199, 346-374; layout asserted
+  *    by tests/basic_integration.rs:97-108);
+  *  - CreateExclusive on an existing table errors: "Table exists. Pass the
+  *    overwrite flag" (:177-180); overwrite+append together error (:163-167);
+  *  - append/overwrite first load v{hint}.metadata.json and run the
+  *    POSITIONAL schema gate (SchemaGate, :200-234);
+  *  - a snapshot with sequence number = last+1 references a manifest list;
+  *    append carries the previous snapshot's manifests forward (:302-312),
+  *    create/overwrite reference only the new manifest (:304);
+  *  - the new metadata is committed with an IF-NOT-EXISTS put
+  *    (`write_exclusive`, :349-367) — CREATE_NEW here; a concurrent commit
+  *    surfaces as [[OptimisticConcurrencyException]], retried whole-write ≤3
+  *    times by [[writeWithRetry]] (reference OPTIMISTIC_CONCURRENCY_RETRIES,
+  *    src/lib.rs:82,168-196);
+  *  - version-hint.text is updated last (:370-374).
+  *
+  * Divergence, documented per SURVEY.md §7.3: manifests and manifest lists
+  * are JSON, not Avro (no Avro writer on the offline classpath); the
+  * metadata JSON carries the full Spark schema under
+  * `properties."graft.spark-schema"` alongside the Iceberg-shaped field
+  * list, and the reader uses that.
+  */
+object IcebergSink {
+  private val mapper = new ObjectMapper()
+  val OccRetries = 3
+
+  final class OptimisticConcurrencyException(v: Long)
+    extends RuntimeException(s"optimistic concurrency conflict committing v$v.metadata.json")
+
+  sealed trait WriteMode
+  case object CreateExclusive extends WriteMode
+  case object Overwrite extends WriteMode
+  case object Append extends WriteMode
+
+  /** (overwrite, append) flag resolution, reference WriteMode match
+    * (iceberg_destination.rs:159-168).
+    */
+  def resolveMode(overwrite: Boolean, append: Boolean): WriteMode = (overwrite, append) match {
+    case (false, false) => CreateExclusive
+    case (true, false)  => Overwrite
+    case (false, true)  => Append
+    case (true, true) =>
+      throw new IllegalArgumentException("Cannot use overwrite flag with append flag")
+  }
+
+  private def metaDir(table: String) = Paths.get(table, "metadata")
+  private def hintFile(table: String) = metaDir(table).resolve("version-hint.text")
+  private def metaFile(table: String, v: Long) = metaDir(table).resolve(s"v$v.metadata.json")
+
+  /** Spark type → Iceberg primitive type string (reference maps the same
+    * closed set via arrow_schema_to_schema, iceberg_destination.rs:66-85;
+    * byte/short collapse to int as in Arrow→Iceberg).
+    */
+  private[sinks] def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case _: TimestampNTZType => "timestamp"
+    case _: TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => other.catalogString // nested types: Spark catalog form
+  }
+
+  def write(df: DataFrame, table: String, mode: WriteMode): Unit = {
+    val hint = readHint(table)
+    if (hint.isDefined && mode == CreateExclusive)
+      throw new IllegalStateException(
+        "Table exists. Pass the overwrite flag to overwrite data")
+
+    val previous = hint.map(v => mapper.readTree(Files.readString(metaFile(table, v))))
+    previous.foreach { prev =>
+      val existingSchema = DataType.fromJson(
+        prev.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+      SchemaGate.enforce(df.schema, existingSchema)
+    }
+
+    // Data files: Spark parquet write into a per-commit staging directory.
+    val stage = s"data/stage-${java.util.UUID.randomUUID()}"
+    df.write
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+      .parquet(s"$table/$stage")
+    new File(s"$table/$stage/_SUCCESS").delete()
+    val dataFiles = Option(new File(s"$table/$stage").listFiles()).get
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val lastSeq = previous.map(_.get("last-sequence-number").asLong()).getOrElse(0L)
+    val seq = lastSeq + 1
+
+    Files.createDirectories(metaDir(table))
+
+    // Manifest (JSON in place of Avro — see scaladoc).
+    val manifest = mapper.createObjectNode()
+    manifest.put("schema-id", 0).put("content", "data").put("snapshot-id", snapshotId)
+    val entries = manifest.putArray("entries")
+    dataFiles.foreach { f =>
+      val e = entries.addObject()
+      e.put("status", "ADDED").put("snapshot-id", snapshotId)
+      val d = e.putObject("data-file")
+      d.put("file-path", s"$stage/${f.getName}")
+        .put("file-format", "PARQUET")
+        .put("record-count", -1L) // not used by the reader; stats live in parquet footers
+        .put("file-size-in-bytes", f.length())
+    }
+    val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(manifestPath, manifest.toString)
+
+    // Manifest list: append carries forward the previous snapshot's
+    // manifests; create/overwrite start fresh.
+    val carried: Seq[String] = (mode, previous) match {
+      case (Append, Some(prev)) =>
+        currentManifestList(table, prev).map(readManifestPaths(table, _)).getOrElse(Nil)
+      case _ => Nil
+    }
+    val manifestList = mapper.createObjectNode()
+    val manifests = manifestList.putArray("manifests")
+    (carried :+ s"metadata/${manifestPath.getFileName}").foreach { p =>
+      manifests.addObject().put("manifest-path", p).put("added-snapshot-id", snapshotId)
+    }
+    val listPath = metaDir(table).resolve(s"manifest-list-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(listPath, manifestList.toString)
+
+    // New table metadata = previous + new snapshot + main branch ref.
+    val newVersion = hint.map(_ + 1).getOrElse(0L)
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+      .put("table-uuid",
+        previous.map(_.get("table-uuid").asText())
+          .getOrElse(java.util.UUID.randomUUID().toString))
+      .put("location", table)
+      .put("last-sequence-number", seq)
+      .put("last-updated-ms", System.currentTimeMillis())
+      .put("last-column-id", df.schema.fields.length)
+    val schemas = meta.putArray("schemas")
+    val schemaNode = schemas.addObject()
+    schemaNode.put("type", "struct").put("schema-id", 0)
+    val fields = schemaNode.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      fields.addObject()
+        .put("id", i + 1)
+        .put("name", f.name)
+        .put("required", !f.nullable)
+        .put("type", icebergType(f.dataType))
+    }
+    meta.put("current-schema-id", 0)
+    meta.putArray("partition-specs").addObject().put("spec-id", 0).putArray("fields")
+    meta.put("default-spec-id", 0)
+    meta.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
+    meta.put("default-sort-order-id", 0)
+    meta.putObject("properties").put("graft.spark-schema", df.schema.json)
+    val snapshots = meta.putArray("snapshots")
+    previous.foreach { prev =>
+      prev.get("snapshots").elements().asScala.foreach(s =>
+        snapshots.add(s.deepCopy[ObjectNode]()))
+    }
+    snapshots.addObject()
+      .put("snapshot-id", snapshotId)
+      .put("sequence-number", seq)
+      .put("timestamp-ms", System.currentTimeMillis())
+      .put("manifest-list", s"metadata/${listPath.getFileName}")
+      .put("schema-id", 0)
+      .putObject("summary").put("operation", "append")
+    meta.put("current-snapshot-id", snapshotId)
+    meta.putObject("refs").putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+
+    // write_exclusive: IF-NOT-EXISTS put of the next metadata version.
+    try
+      Files.write(metaFile(table, newVersion),
+        meta.toString.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException => throw new OptimisticConcurrencyException(newVersion)
+    }
+    Files.writeString(hintFile(table), newVersion.toString)
+  }
+
+  /** Whole-write OCC retry loop (reference src/lib.rs:168-196, ≤3 retries).
+    * Each attempt re-reads the version hint and re-plans the commit.
+    */
+  def writeWithRetry(df: DataFrame, table: String, mode: WriteMode,
+      retries: Int = OccRetries): Unit = {
+    var attempt = 0
+    while (true) {
+      try { write(df, table, mode); return }
+      catch {
+        case e: OptimisticConcurrencyException =>
+          attempt += 1
+          if (attempt > retries) throw e
+      }
+    }
+  }
+
+  /** Reads the table at its current version: hint → metadata → current
+    * snapshot → manifest list → manifests → data files.
+    */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table (no version-hint.text): $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val files = currentManifestList(table, meta).toSeq
+      .flatMap(readManifestPaths(table, _))
+      .flatMap(mp => dataFilesOf(table, mp))
+    spark.read.schema(schema).parquet(files: _*)
+  }
+
+  private def currentManifestList(table: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
+    val current = meta.get("current-snapshot-id").asLong()
+    meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == current)
+      .map(_.get("manifest-list").asText())
+  }
+
+  private def readManifestPaths(table: String, listRelPath: String): Seq[String] = {
+    val node = mapper.readTree(Files.readString(Paths.get(table, listRelPath)))
+    node.get("manifests").elements().asScala.map(_.get("manifest-path").asText()).toSeq
+  }
+
+  private def dataFilesOf(table: String, manifestRelPath: String): Seq[String] = {
+    val node = mapper.readTree(Files.readString(Paths.get(table, manifestRelPath)))
+    node.get("entries").elements().asScala
+      .map(e => new File(table, e.get("data-file").get("file-path").asText()).getAbsolutePath)
+      .toSeq
+  }
+
+  private def readHint(table: String): Option[Long] = {
+    val f = hintFile(table)
+    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+  }
+}

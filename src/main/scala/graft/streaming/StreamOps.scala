@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.QueryDef._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming twins of the q_stream_* batch queries
+  * (SURVEY.md §2.2). Each takes an events-shaped DataFrame — batch OR
+  * streaming (e.g. from MemoryStream) — and returns the transformed frame;
+  * Spark plans the stateful physical operators (stateful agg, session
+  * state merge, dedup state store) when the input is a stream.
+  *
+  * Watermarks bound state at scale: with `withWatermark("ts", 1 hour)`,
+  * window/session state older than the watermark is evicted, and
+  * dropDuplicates keeps only in-watermark keys — mandatory for unbounded
+  * topics at 100 TB/day.
+  */
+object StreamOps {
+
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_v"))
+
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("cnt"), col("sum_v"))
+
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
+
+  /** Streaming dedup on event_id bounded by a watermark — late duplicates
+    * beyond the watermark are dropped from state (reference has no streaming
+    * surface; this is the [ext] q_stream_dedup_watermark twin).
+    */
+  def dedupWithWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}

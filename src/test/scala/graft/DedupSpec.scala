@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks for the no-oracle [ext] operators: MinHash-LSH
+  * finds planted near-duplicates and not unrelated docs; SimHash Hamming
+  * bound holds; ANN-LSH returns a subset of exact top-k candidates;
+  * multimodal feature plumbing is deterministic end-to-end.
+  */
+class DedupSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val nearDup = base.replace("lazy", "sleepy") // one token differs
+    val unrelated1 = "completely different content about spark query engines and shuffles " * 5
+    val unrelated2 = "yet another text talking about lakehouse table formats and commits " * 5
+    Seq((0L, base), (1L, nearDup), (2L, unrelated1), (3L, unrelated2))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash-LSH: planted near-dup pair found, unrelated pairs absent") {
+    val fn = SparkEntry.queries("q_dedup_minhash")
+    // run the pipeline on a temp parquet dir shaped like the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docsDf.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = fn(spark, dir).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 >= 2L)) // unrelated docs never paired
+  }
+
+  test("simhash: duplicate content found at Hamming 0, unrelated not paired") {
+    val fn = SparkEntry.queries("q_dedup_simhash")
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    val s = spark
+    import s.implicits._
+    // doc 1 is a token-set duplicate of doc 0 (same distinct tokens,
+    // reordered) → identical 64-bit signature, Hamming 0. Docs 2/3 unrelated.
+    val base = "the quick brown fox jumps over a lazy dog and runs far away"
+    val dup = "runs far away and the quick brown fox jumps over a lazy dog"
+    val unrelated1 = "completely different content about spark query engines and shuffles"
+    val unrelated2 = "yet another text talking about lakehouse table formats and commits"
+    Seq((0L, base), (1L, dup), (2L, unrelated1), (3L, unrelated2)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = fn(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getLong(2) == 0L)
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("ann-lsh results are a subset of exact cosine candidates with equal scores") {
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, "/root/testdata/sf0.001")
+      .select("qid", "cid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, "/root/testdata/sf0.001")
+      .select("qid", "cid", "score").collect()
+    assert(ann.nonEmpty)
+    // every ANN hit that the exact top-5 also contains must carry the same score
+    val overlapping = ann.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDecimal(2))
+    }
+  }
+
+  test("multimodal feature extraction: deterministic per-partition batch plumbing") {
+    val payloads = Multimodal.asBinaryPayload(docsDf)
+    assert(payloads.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(payloads)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    // deterministic across runs and repartitionings
+    val again = Multimodal.extractFeatures(payloads.repartition(3)).orderBy("doc_id").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // n_bytes matches the payload length
+    assert(rows(0).getLong(1) == docsDf.orderBy("doc_id").collect()(0).getString(1).length)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.{DeltaSink, IcebergSink}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sink e2e tests porting the reference's layout assertions:
+  * Delta two-commit create shape (tests/basic_integration.rs:48-58) and
+  * Iceberg version-hint/metadata layout, re-create refusal, schema gate,
+  * append sequence (tests/basic_integration.rs:67-218).
+  */
+class SinkSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def tmp(): String = Files.createTempDirectory("graft-sink").toString
+
+  private def sampleDf = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "v")
+  }
+
+  test("Delta create writes the exact two-commit log layout") {
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val logs = new File(table, "_delta_log").listFiles().map(_.getName).sorted
+    // the reference asserts exactly …0.json and …1.json (basic_integration.rs:48-58)
+    assert(logs.toSeq == Seq("00000000000000000000.json", "00000000000000000001.json"))
+    val v0 = Files.readString(Paths.get(table, "_delta_log", logs(0)))
+    assert(v0.contains(""""minReaderVersion":1""") && v0.contains(""""minWriterVersion":1"""))
+    assert(v0.contains("metaData"))
+    val v1 = Files.readString(Paths.get(table, "_delta_log", logs(1)))
+    assert(v1.contains(""""add""""))
+    assert(v1.contains("numRecords"))
+    val parquets = new File(table).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquets.nonEmpty)
+  }
+
+  test("Delta refuses non-empty target without overwrite, overwrites with it") {
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    assert(!DeltaSink.write(sampleDf.limit(1), table)) // refused, untouched
+    assert(DeltaSink.read(spark, table).count() == 3)
+    assert(DeltaSink.write(sampleDf.limit(1), table, overwrite = true))
+    assert(DeltaSink.read(spark, table).count() == 1)
+  }
+
+  test("Delta read-back equals the written frame") {
+    val table = tmp()
+    DeltaSink.write(sampleDf, table)
+    val back = DeltaSink.read(spark, table)
+    // nullable-by-default contract (SURVEY.md §1.2): names and types match,
+    // every column surfaces as nullable
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      sampleDf.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.schema.fields.forall(_.nullable))
+    assert(back.orderBy("id").collect().toSeq == sampleDf.orderBy("id").collect().toSeq)
+  }
+
+  test("Iceberg create writes v0.metadata.json + version-hint.text") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    // layout per tests/basic_integration.rs:97-108
+    assert(Files.exists(Paths.get(table, "metadata", "v0.metadata.json")))
+    assert(Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim == "0")
+    assert(IcebergSink.read(spark, table).count() == 3)
+  }
+
+  test("Iceberg create on existing table errors without overwrite") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    val e = intercept[IllegalStateException] {
+      IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    }
+    assert(e.getMessage.contains("Table exists"))
+  }
+
+  test("Iceberg append bumps version/sequence and keeps previous data") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    IcebergSink.write(sampleDf.withColumn("v", col("v") * 2), table, IcebergSink.Append)
+    assert(Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim == "1")
+    assert(Files.exists(Paths.get(table, "metadata", "v1.metadata.json")))
+    assert(IcebergSink.read(spark, table).count() == 6)
+    val meta = new String(Files.readAllBytes(Paths.get(table, "metadata", "v1.metadata.json")))
+    assert(meta.contains(""""last-sequence-number":2"""))
+  }
+
+  test("Iceberg overwrite replaces visible data") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    IcebergSink.write(sampleDf.limit(1), table, IcebergSink.Overwrite)
+    assert(IcebergSink.read(spark, table).count() == 1)
+  }
+
+  test("Iceberg append with incompatible schema is rejected by the gate") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    val bad = sampleDf.withColumn("v", col("v").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergSink.write(bad, table, IcebergSink.Append)
+    }
+    assert(e.getMessage.contains("incompatible"))
+    // positionally-renamed columns are fine (reference renamed-positive case)
+    IcebergSink.write(
+      sampleDf.toDF("id2", "name2", "v2"), table, IcebergSink.Append)
+  }
+
+  test("Iceberg OCC conflict raises after bounded retries") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    // Simulate a concurrent committed writer the hint doesn't know about:
+    // v1 exists, hint still says 0 → every retry re-reads hint 0, tries to
+    // commit v1, hits the IF-NOT-EXISTS conflict (lib.rs:168-196 shape).
+    Files.writeString(Paths.get(table, "metadata", "v1.metadata.json"), "{}")
+    intercept[IcebergSink.OptimisticConcurrencyException] {
+      IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.Append)
+    }
+  }
+
+  test("write-mode resolution matches the reference flag matrix") {
+    assert(IcebergSink.resolveMode(overwrite = false, append = false) == IcebergSink.CreateExclusive)
+    assert(IcebergSink.resolveMode(overwrite = true, append = false) == IcebergSink.Overwrite)
+    assert(IcebergSink.resolveMode(overwrite = false, append = true) == IcebergSink.Append)
+    intercept[IllegalArgumentException] {
+      IcebergSink.resolveMode(overwrite = true, append = true)
+    }
+  }
+
+  test("entry() flagship: Q1 through Delta and back") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("sum_disc_price"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured-Streaming behavior of the q_stream_* twins via MemoryStream:
+  * watermark-driven session closure and keyed dedup with late duplicates
+  * (SURVEY.md §5.2.5 — no oracle exists for stateful semantics, so the
+  * scenarios are constructed with explicit event-time skew).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private def ts(minutes: Long) = new Timestamp(minutes * 60000L)
+
+  test("session windows: gap splits sessions; watermark emits closed ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(input.toDF(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at t=0,10 (one session) and t=50 (a new session:
+      // 50-10=40min >= 30min gap)
+      input.addData(
+        Ev(1, ts(0), 1, "c", 1.0), Ev(2, ts(10), 1, "c", 2.0), Ev(3, ts(50), 1, "c", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past everything → both sessions close
+      input.addData(Ev(99, ts(600), 2, "c", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("user_id", "s_start", "s_end", "cnt").where("user_id = 1")
+        .orderBy("s_start").collect()
+      assert(out.length == 2)
+      assert(out(0).getTimestamp(1) == ts(0) && out(0).getTimestamp(2) == ts(40)) // last+gap
+      assert(out(0).getLong(3) == 2)
+      assert(out(1).getTimestamp(1) == ts(50) && out(1).getLong(3) == 1)
+    } finally q.stop()
+  }
+
+  test("dedup with watermark drops in-watermark duplicate event_ids") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.dedupWithWatermark(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(0), 1, "c", 1.0), Ev(2, ts(1), 1, "c", 2.0))
+      q.processAllAvailable()
+      // same event_ids again (duplicates within the watermark) + one new
+      input.addData(Ev(1, ts(2), 1, "c", 1.0), Ev(3, ts(3), 1, "c", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("tumbling counts run in streaming mode and match batch totals") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(5), 1, "a", 1.0), Ev(2, ts(20), 1, "a", 2.0), Ev(3, ts(70), 1, "a", 4.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts(600), 1, "z", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").where("event_type = 'a'")
+        .select("w_start", "cnt").orderBy("w_start").collect()
+      assert(rows.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq ==
+        Seq((ts(0), 2L), (ts(60), 1L)))
+    } finally q.stop()
+  }
+}
