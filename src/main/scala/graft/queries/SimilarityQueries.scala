@@ -27,45 +27,73 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  /** Sequential left-fold sum over a double array — same operation order as
-    * DuckDB's list iteration, so IEEE results are bit-identical.
+  /** Codegen'd sequential dot product (graft.functions.DotProduct) — same
+    * ascending-index accumulation order as DuckDB's list iteration, so IEEE
+    * results are bit-identical to the interpreted fold it replaced.
     */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   private def dotD(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    graft.functions.VectorExpressions.dot(a, b)
 
   /** Cosine similarity mirroring DuckDB list_cosine_similarity:
     * dot / (sqrt(normA) * sqrt(normB)).
     */
   def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
-
-  /** 3-word shingles of a document; short docs fall back to the whole text
-    * as a single shingle.
-    */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array(text))
-  }
+    graft.functions.VectorExpressions.cosine(a, b)
 
   private val NumPerm = 32 // MinHash permutations
-  private val Bands = 8    // LSH bands (rows per band = 4)
+  private val Rows = 2     // minhashes per band
+  private val Bands = NumPerm / Rows // 16 LSH bands
+  // b=16, r=2 ⇒ LSH threshold (1/b)^(1/r) = 0.25: a J=0.5 pair is caught
+  // with P = 1-(1-0.25)^16 ≈ 99%, vs only ~72% under b=8, r=4. The extra
+  // false candidates this admits are discarded by the exact-Jaccard
+  // verification stage, which is the standard recall/cost tradeoff.
+
+  /** (doc_id, 3-gram-shingle-hash) pairs, deduped on the 64-bit hash.
+    *
+    * Two perf-critical choices:
+    *  - Work on hashes, never shingle strings: each token is xxhash64'd
+    *    once, a shingle hash is xxhash64 of three token hashes, and all
+    *    downstream joins/shuffles move longs (collision probability over a
+    *    corpus is negligible; longs shuffle ~10× lighter than strings).
+    *  - Each derivation lives in its OWN projection. Higher-order lambdas
+    *    are interpreted, and a lambda body that references an outer
+    *    expression (e.g. `element_at(split(text), i)`) re-evaluates that
+    *    expression per element — O(tokens²) re-splitting. The projection
+    *    boundaries pin `toks`/`th` as materialized row columns (Catalyst's
+    *    CollapseProject keeps multi-referenced non-cheap expressions
+    *    separate), so each is computed exactly once per row.
+    *
+    * Short docs (<3 tokens) fall back to one whole-text hash.
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("text"),
+        transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        when(size(col("th")) >= 3,
+          transform(sequence(lit(0), size(col("th")) - 3),
+            i => xxhash64(
+              element_at(col("th"), i + 1),
+              element_at(col("th"), i + 2),
+              element_at(col("th"), i + 3))))
+          .otherwise(array(xxhash64(col("text")))).as("ghs"))
+      // explode_outer, NOT explode: for plain explode the optimizer infers a
+      // `size(ghs) > 0 AND isnotnull(ghs)` filter and pushes it below the
+      // projections, inlining the whole (interpreted, non-codegen) lambda
+      // chain twice per row — a ~10× slowdown observed at sf0.1. The arrays
+      // here are never null/empty (when/otherwise emits ≥1 element), so
+      // outer semantics are identical.
+      .select(col("doc_id"), explode_outer(col("ghs")).as("h"))
+      .distinct()
 
   /** (doc_id, band, bandHash) LSH bucket keys for every document. */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .distinct()
-    // K independent min-hashes: min over xxhash64(permIndex, shingle).
-    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val sh = shingleHashes(docs)
+    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bandCols = (0 until Bands).map { b =>
-      xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")) :+ lit(b): _*).as(s"b$b")
+      xxhash64((b * Rows until b * Rows + Rows).map(i => col(s"m$i")) :+ lit(b): _*).as(s"b$b")
     }
     sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)))
@@ -79,11 +107,15 @@ object SimilarityQueries extends QueryModule {
       // against the full corpus. Probe side broadcast; corpus side streams.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        // Norms are hoisted out of the join: one dot per vector per side,
+        // then a single dot + two multiplies per pair instead of three dots.
         val probes = emb.filter(col("vec_id") < 500)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            graft.functions.VectorExpressions.l2norm(col("embedding")).as("qn"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("cn"))
         val scored = corpus.join(broadcast(probes), col("qid") =!= col("cid"))
-          .withColumn("score_d", cosine(col("qe"), col("ce")))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
         val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
         scored
           .withColumn("rn", row_number().over(w).cast("long"))
@@ -116,12 +148,16 @@ object SimilarityQueries extends QueryModule {
             val planeLit = array(p.map(lit): _*)
             when(dotD(e, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
           }.reduce(_ + _)
-        val withSig = emb.select(col("vec_id"), col("embedding"), sig(col("embedding")).as("sig"))
-        val a = withSig.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
-        val b = withSig.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
+        val withSig = emb.select(col("vec_id"), col("embedding"),
+          sig(col("embedding")).as("sig"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
+        val a = withSig.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("sig"), col("nrm").as("qn"))
+        val b = withSig.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("sig"), col("nrm").as("cn"))
         val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
         a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
-          .withColumn("score_d", cosine(col("qe"), col("ce")))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
           .select(col("qid"), col("cid"), col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
@@ -142,11 +178,11 @@ object SimilarityQueries extends QueryModule {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle")).distinct()
+        val sh = shingleHashes(docs)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = cands
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+          .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
         inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
