@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sinks.{DeltaSink, IcebergSink}
+
+/** The engine's user-facing pipeline API — the Spark-native analogue of the
+  * reference CLI's four subcommands (/root/reference/src/lib.rs:18-80):
+  *
+  *  - `pg-to-delta`/`pg-to-iceberg` ran an arbitrary SQL query on Postgres
+  *    and loaded the stream into a table. Here the query runs INSIDE the
+  *    engine (`sql`): the corpus parquet tables are registered as views and
+  *    Catalyst plans the query — same contract, no external database.
+  *  - `parquet-to-delta`/`parquet-to-iceberg` loaded a single parquet file
+  *    verbatim ([[parquetToDelta]] / [[parquetToIceberg]]).
+  *
+  * Iceberg writes go through the OCC retry loop (≤3 attempts,
+  * lib.rs:82,168-196) exactly like the reference.
+  */
+object Engine {
+
+  /** Registers every corpus table under `dir` as a temp view. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { name =>
+      Tables(spark, dir, name).createOrReplaceTempView(name)
+    }
+
+  /** The `-q` contract: run an arbitrary SQL query over the corpus
+    * (reference lib.rs:39-41 — there delegated to Postgres, here planned
+    * natively by Catalyst with pushdown/pruning/AQE).
+    */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(query)
+  }
+
+  /** Query → brand-new Delta table. Returns false if the target is
+    * non-empty and overwrite was not requested (reference refuse-and-return,
+    * delta_destination.rs:421-427).
+    */
+  def sqlToDelta(spark: SparkSession, dir: String, query: String,
+      table: String, overwrite: Boolean = false): Boolean =
+    DeltaSink.write(sql(spark, dir, query), table, overwrite)
+
+  /** Query → Iceberg table with the reference's flag matrix
+    * (overwrite/append resolve per iceberg_destination.rs:32-37) and OCC
+    * commit retry.
+    */
+  def sqlToIceberg(spark: SparkSession, dir: String, query: String,
+      table: String, overwrite: Boolean = false, append: Boolean = false): Unit =
+    IcebergSink.writeWithRetry(sql(spark, dir, query), table,
+      IcebergSink.resolveMode(overwrite, append))
+
+  /** Single parquet file → Delta table (reference lib.rs:86-105). */
+  def parquetToDelta(spark: SparkSession, file: String, table: String,
+      overwrite: Boolean = false): Boolean =
+    DeltaSink.write(spark.read.parquet(file), table, overwrite)
+
+  /** Single parquet file → Iceberg table (reference lib.rs:121-158). */
+  def parquetToIceberg(spark: SparkSession, file: String, table: String,
+      overwrite: Boolean = false, append: Boolean = false): Unit =
+    IcebergSink.writeWithRetry(spark.read.parquet(file), table,
+      IcebergSink.resolveMode(overwrite, append))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline tests mirroring the reference's integration suite
+  * (tests/basic_integration.rs): an arbitrary SQL query — with projection,
+  * arithmetic, cast and alias like :28/:130/:150/:169 — loaded into a
+  * Delta/Iceberg table and read back.
+  */
+class EngineSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(): String = Files.createTempDirectory("graft-engine").toString
+
+  test("sql: projection + arithmetic + cast + alias + order by (the -q contract)") {
+    // mirrors basic_integration.rs:130 (`cint8 + 1 cint8`) and :150
+    // (`cint8::text cint8_casted`) over the corpus schema
+    val df = Engine.sql(spark, dir,
+      """SELECT o_orderkey + 1 AS okey_next,
+        |       CAST(o_orderkey AS STRING) AS okey_str,
+        |       o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows(0).getLong(0) == rows(0).getString(1).toLong + 1)
+  }
+
+  test("sql-to-delta: query result lands as a two-commit Delta table and reads back") {
+    val table = tmp()
+    assert(Engine.sqlToDelta(spark, dir,
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45", table))
+    val back = sinks.DeltaSink.read(spark, table)
+    val direct = Engine.sql(spark, dir,
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45")
+    assert(back.count() == direct.count() && back.count() > 0)
+    // refuse without overwrite, like the reference
+    assert(!Engine.sqlToDelta(spark, dir, "SELECT 1 AS one", table))
+    assert(Engine.sqlToDelta(spark, dir, "SELECT 1 AS one", table, overwrite = true))
+    assert(sinks.DeltaSink.read(spark, table).count() == 1)
+  }
+
+  test("parquet-to-iceberg: create then append doubles the row count") {
+    val table = tmp()
+    val src = s"$dir/region.parquet"
+    Engine.parquetToIceberg(spark, src, table)
+    assert(Files.exists(Paths.get(table, "metadata", "version-hint.text")))
+    val n = sinks.IcebergSink.read(spark, table).count()
+    assert(n == spark.read.parquet(src).count())
+    Engine.parquetToIceberg(spark, src, table, append = true)
+    assert(sinks.IcebergSink.read(spark, table).count() == 2 * n)
+  }
+
+  test("sql-to-iceberg: overwrite replaces visible data") {
+    val table = tmp()
+    Engine.sqlToIceberg(spark, dir, "SELECT n_nationkey, n_name FROM nation", table)
+    Engine.sqlToIceberg(spark, dir,
+      "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5", table,
+      overwrite = true)
+    assert(sinks.IcebergSink.read(spark, table).count() == 5)
+  }
+
+  test("both flags set rejects like the reference flag matrix") {
+    intercept[IllegalArgumentException] {
+      Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),
+        overwrite = true, append = true)
+    }
+  }
+}
