@@ -19,11 +19,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: a tiny end-to-end write so JVM/classloader/codegen
-    // startup cost is not attributed to the alphabetically-first query.
+    // Untimed warmup: a tiny end-to-end parquet-scan + shuffle + write so
+    // JVM/classloader/codegen/reader startup cost is not attributed to the
+    // alphabetically-first query.
     locally {
-      import spark.implicits._
-      Seq(1, 2, 3).toDF("warm").groupBy("warm").count()
+      import org.apache.spark.sql.functions.count
+      Tables(spark, sfDir, "region").groupBy("r_regionkey")
+        .agg(count(org.apache.spark.sql.functions.lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
     var failed = List.empty[String]

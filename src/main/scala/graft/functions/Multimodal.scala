@@ -57,4 +57,56 @@ object Multimodal {
   def asBinaryPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
       lit("application/octet-stream").as("content_type"))
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /** STUB resize: a real implementation would decode the image and
+    * bilinear-resample; this fake nearest-neighbour-samples payload bytes
+    * into a w×h buffer so the executor-side batch plumbing (fixed output
+    * geometry, per-partition iteration, no shuffle) is real and testable.
+    */
+  def resizeStub(df: DataFrame, width: Int, height: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val enc = ExpressionEncoder(resizedSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val out = new Array[Byte](width * height)
+          val n = math.max(1, payload.length)
+          var i = 0
+          while (i < out.length) { out(i) = payload((i.toLong * n / out.length).toInt); i += 1 }
+          Row(r.getLong(0), width, height, out)
+        }
+      }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame sampling: a real implementation would demux a video and
+    * decode every Nth keyframe; this fake slices the payload into
+    * `frameSize`-byte chunks and keeps every `everyN`th — one output row per
+    * sampled frame, the real flatMap-shaped plumbing a demuxer plugs into.
+    */
+  def frameSampleStub(df: DataFrame, frameSize: Int, everyN: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val enc = ExpressionEncoder(frameSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val frames = payload.grouped(frameSize).toSeq
+          frames.indices.collect {
+            case i if i % everyN == 0 => Row(r.getLong(0), i, frames(i))
+          }
+        }
+      }(enc)
+  }
 }

@@ -130,6 +130,22 @@ object TextQueries extends QueryModule {
              |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin)),
 
     QueryDef(
+      "q_multimodal_features",
+      // Full multimodal plumbing through the engine: binary payload →
+      // per-partition batch decode (stubbed codec, real schema/iteration/
+      // encoder plumbing — graft.functions.Multimodal) → typed feature rows.
+      // No oracle: mapPartitions is not SQL-expressible; DedupSpec pins
+      // determinism across repartitionings.
+      (s, dir) => {
+        val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
+        graft.functions.Multimodal.extractFeatures(payloads)
+          .select(col("doc_id"), col("n_bytes"), col("format"),
+            element_at(col("features"), 1).cast("decimal(18,4)").as("f0"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    QueryDef(
       "q_multimodal_meta",
       // Multimodal plumbing: treat content as an opaque binary column with
       // typed metadata (SURVEY round-2 extension; the container has no

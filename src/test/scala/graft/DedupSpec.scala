@@ -114,4 +114,30 @@ class DedupSpec extends AnyFunSuite {
     // n_bytes matches the payload length
     assert(rows(0).getLong(1) == docsDf.orderBy("doc_id").collect()(0).getString(1).length)
   }
+
+  test("multimodal resize stub: fixed output geometry, deterministic") {
+    val payloads = Multimodal.asBinaryPayload(docsDf)
+    val resized = Multimodal.resizeStub(payloads, 8, 4).orderBy("doc_id").collect()
+    assert(resized.length == 4)
+    resized.foreach { r =>
+      assert(r.getInt(1) == 8 && r.getInt(2) == 4)
+      assert(r.getAs[Array[Byte]](3).length == 32)
+    }
+    val again = Multimodal.resizeStub(payloads.repartition(3), 8, 4)
+      .orderBy("doc_id").collect()
+    assert(resized.map(_.getAs[Array[Byte]](3).toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]](3).toSeq).toSeq)
+  }
+
+  test("multimodal frame-sample stub: every-Nth chunk, one row per frame") {
+    val payloads = Multimodal.asBinaryPayload(docsDf)
+    val frames = Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)
+    val byDoc = frames.collect().groupBy(_.getLong(0))
+    val lens = docsDf.collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    byDoc.foreach { case (id, rs) =>
+      val nFrames = (lens(id) + 99) / 100
+      assert(rs.length == (nFrames + 1) / 2) // indices 0, 2, 4, ...
+      assert(rs.forall(_.getInt(1) % 2 == 0))
+    }
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must be independent of physical partitioning — the property that
+  * makes the engine's answers stable from local[4] to a 1000-executor
+  * cluster. Each representative query is run under different shuffle
+  * partition counts and compared row-for-row (every query ends in a total
+  * order per the determinism contract, SURVEY.md §2.2).
+  */
+class DeterminismSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val representative = Seq(
+    "q_agg_group",      // shuffle agg with decimal sums
+    "q_win_rank",       // window functions over partitions
+    "q_join_inner",     // shuffle join
+    "q_join_asof",      // union+window as-of rewrite
+    "q_sim_cosine_topk",// float scoring + top-k
+    "q_dedup_minhash")  // multi-stage hash pipeline
+
+  for (name <- representative)
+    test(s"$name is invariant under shuffle-partition count") {
+      val fn = SparkEntry.queries(name)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = fn(spark, dir).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        val b = fn(spark, dir).collect().map(_.toString).toSeq
+        assert(a.nonEmpty)
+        assert(a == b)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+}
