@@ -19,11 +19,15 @@ import graft.sinks.{DeltaSink, IcebergSink}
   */
 object Engine {
 
-  /** Registers every corpus table under `dir` as a temp view. */
-  def registerTables(spark: SparkSession, dir: String): Unit =
+  /** Registers every corpus table under `dir` as a temp view, plus graft's
+    * native SQL functions (`graft_dot`).
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
     Tables.all.foreach { name =>
       Tables(spark, dir, name).createOrReplaceTempView(name)
     }
+  }
 
   /** The `-q` contract: run an arbitrary SQL query over the corpus
     * (reference lib.rs:39-41 — there delegated to Postgres, here planned

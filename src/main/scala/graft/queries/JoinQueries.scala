@@ -123,6 +123,32 @@ object JoinQueries extends QueryModule {
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     QueryDef(
+      "q_join_skew_salted",
+      // Skew-resilient shuffle join: the fact side carries a deterministic
+      // salt in [0, 8), the dim side is replicated across all salts, and the
+      // join key becomes (key, salt) — so a hot key's rows spread over 8
+      // reducers instead of melting one. The result is IDENTICAL to the
+      // plain join (the oracle IS the plain join); only the shuffle shape
+      // changes. At 100 TB this is the manual fallback where AQE skew-join
+      // splitting can't reach (skewed aggregations, pre-AQE stages); a
+      // production variant salts only keys above a frequency threshold
+      // instead of replicating the whole dim side.
+      (s, dir) => {
+        val salts = 8
+        val fact = t(s, dir, "lineitem")
+          .withColumn("fsalt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        val dim = t(s, dir, "orders")
+          .withColumn("dsalt", explode(array((0 until salts).map(lit): _*)))
+        fact.join(dim,
+            col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+          .select("l_orderkey", "l_linenumber", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q_join_asof",
       // As-of join: for each event, the latest order of the same customer
       // with o_orderdate <= ts (DuckDB `ASOF JOIN` `<=`-latest-wins

@@ -61,6 +61,15 @@ class EngineSpec extends AnyFunSuite {
     assert(sinks.IcebergSink.read(spark, table).count() == 5)
   }
 
+  test("graft_dot is callable from the SQL surface") {
+    val df = Engine.sql(spark, dir,
+      """SELECT vec_id, CAST(graft_dot(embedding, embedding) AS DECIMAL(18,4)) AS nrm2
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getDecimal(1).doubleValue > 0.0))
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),
