@@ -206,13 +206,25 @@ object SimilarityQueries extends QueryModule {
         val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .distinct()
           .withColumn("h", xxhash64(col("w")))
-        val bitSums = (0 until 64).map { b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+        // Packed bit-counting: lane k of packed agg j holds the SET-bit
+        // count of signature bit j*4+k in bits [16k, 16k+16) — counts are
+        // non-negative so lanes cannot borrow into each other, and 16 agg
+        // expressions replace 64 (4× less per-row agg work + far smaller
+        // codegen). Bit b is set iff 2*c_b > n ⟺ sum(±1) > 0 — identical
+        // to the unpacked ±1 formulation.
+        val packedSums = (0 until 16).map { j =>
+          sum((0 until 4).map { k =>
+            shiftleft(shiftright(col("h"), j * 4 + k).bitwiseAND(1), 16 * k)
+          }.reduce(_ + _)).as(s"p$j")
         }
-        val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val sig = tok.groupBy("doc_id")
+          .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n")): _*)
           .select(col("doc_id"),
-            (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-              .reduce(_ + _).as("sig"))
+            (0 until 64).map { b =>
+              val (j, k) = (b / 4, b % 4)
+              val cb = shiftright(col(s"p$j"), 16 * k).bitwiseAND(0xFFFF)
+              when(cb * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+            }.reduce(_ + _).as("sig"))
         val banded = sig.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*)))
