@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   *    broadcast against the full corpus, so cost is O(|corpus| × |probes|),
   *    linear in corpus size, never corpus².
   *  - q_sim_ann_lsh: random-hyperplane signatures bucket the corpus
-  *    (one shuffle on the 16-bit signature), exact rerank only within
+  *    (one shuffle on the 12-bit signature), exact rerank only within
   *    buckets — the scale path when the probe set is itself huge.
-  *  - q_dedup_minhash: MinHash-LSH banding; candidates come from an
-  *    equi-join on (band, bandHash) — never an all-pairs comparison; exact
-  *    Jaccard verification only on candidates.
-  *  - q_dedup_simhash: 32-bit SimHash, banded into 4×8-bit buckets,
-  *    Hamming-distance verify via bit_count(xor) on candidates only.
+  *  - q_sim_ann_ivf: IVF-style coarse quantizer — nearest-centroid cell
+  *    assignment (broadcast), exact search restricted to the probe's cell.
+  *  - q_dedup_minhash: MinHash-LSH banding (b=16, r=2) over 64-bit hash
+  *    3-gram shingles; candidates come from an equi-join on
+  *    (band, bandHash) — never all-pairs; exact Jaccard verify on
+  *    candidates only.
+  *  - q_dedup_simhash: 64-bit set-based SimHash (packed-lane bit counting),
+  *    4×16-bit band buckets, Hamming ≤ 3 verify via bit_count(xor) on
+  *    candidates only.
+  *  - q_dedup_ngram: exact 3-gram Jaccard through an inverted-index join.
+  *  - q_dedup_embed: embedding-cosine near-dup over a bounded id range
+  *    (the oracle-checkable twin of the LSH/IVF bucketed paths).
   *  - q_approx_distinct: HyperLogLog++ partial+final merge (built-in
   *    approx_count_distinct); the oracle-compared column is the exact twin.
   * All hashing is xxhash64 (fixed seed 42 inside Spark) — deterministic

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.QueryDef._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured-Streaming twins of the q_stream_* batch queries
   * (SURVEY.md §2.2). Each takes an events-shaped DataFrame — batch OR
@@ -50,4 +51,20 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Streaming aggregates → Delta: each micro-batch's complete aggregate
+    * state overwrites the Delta table through the hand-rolled sink — the
+    * streaming analogue of the reference's query→Delta pipeline (its Delta
+    * sink is create/overwrite-only, delta_destination.rs:414-432, so
+    * complete-mode overwrite is the parity-preserving semantic; an
+    * append-commit sink would be the Iceberg path). Returns the started
+    * query; callers own its lifecycle.
+    */
+  def aggregatesToDelta(aggregated: DataFrame, table: String): StreamingQuery =
+    aggregated.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sinks.DeltaSink.write(batch, table, overwrite = true): Unit
+      }
+      .start()
 }

@@ -61,6 +61,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming aggregates land in a Delta table via complete-mode overwrite") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val table = java.nio.file.Files.createTempDirectory("graft-stream-delta").toString
+    // no watermark: complete mode keeps all windows live so the Delta
+    // snapshot always holds the full aggregate state
+    val agg = input.toDF()
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .count()
+      .select($"window.start".as("w_start"), $"event_type", $"count")
+    val q = StreamOps.aggregatesToDelta(agg, table)
+    try {
+      input.addData(Ev(1, ts(5), 1, "a", 1.0), Ev(2, ts(20), 1, "a", 2.0))
+      q.processAllAvailable()
+      assert(sinks.DeltaSink.read(spark, table).where("event_type = 'a'")
+        .collect().map(_.getLong(2)).toSeq == Seq(2L))
+      input.addData(Ev(3, ts(30), 1, "a", 3.0), Ev(4, ts(70), 1, "b", 4.0))
+      q.processAllAvailable()
+      val back = sinks.DeltaSink.read(spark, table).orderBy("event_type")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(back == Seq(("a", 3L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("tumbling counts run in streaming mode and match batch totals") {
     val spark = TestSpark.spark
     import spark.implicits._
