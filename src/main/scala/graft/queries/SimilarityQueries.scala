@@ -152,7 +152,7 @@ object SimilarityQueries extends QueryModule {
         val planes = Seq.fill(12)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
         def sig(e: Column): Column =
           planes.zipWithIndex.map { case (p, i) =>
-            val planeLit = array(p.map(lit): _*)
+            val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
             when(dotD(e, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
           }.reduce(_ + _)
         val withSig = emb.select(col("vec_id"), col("embedding"),
