@@ -10,6 +10,7 @@ object SparkEntry {
     q.JoinQueries,
     q.AggQueries,
     q.WindowQueries,
+    q.ExtendedRelQueries,
     q.ScalarQueries,
     q.EventWindowQueries,
     q.TextQueries,

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-ring relational surface: value-range window frames, pivot/unpivot
+  * reshaping, exact percentiles, ordered string aggregation, correlated
+  * subqueries. All built-ins / Catalyst-planned SQL — no UDFs. Scale notes:
+  * pivot with an explicit value list is a single partial+final aggregate
+  * (no extra pass to discover values); unpivot is a Generate (no shuffle);
+  * percentile is a sort-based aggregate per group; the correlated subquery
+  * decorrelates to an aggregate + left join under Catalyst.
+  */
+object ExtendedRelQueries extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_win_rangeframe",
+      // Value-based RANGE frame: for each order, the decimal sum of
+      // totalprice over orders of the same customer within the preceding
+      // 30 days (inclusive) by order date.
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0)
+        t(s, dir, "orders")
+          .withColumn("sum_30d", sum(dec(col("o_totalprice"))).over(w))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "sum_30d")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+             |SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             |  PARTITION BY o_custkey
+             |  ORDER BY epoch(o_orderdate)
+             |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS sum_30d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_pivot",
+      // PIVOT with an explicit value list — one aggregate pass; the oracle
+      // is the equivalent conditional aggregation (dialect-portable).
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+             |SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+             |SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q_unpivot",
+      // UNPIVOT/melt: wide→long without a shuffle (Generate, not join).
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double").as("c_nationkey_d"))
+          .unpivot(
+            Array(col("c_custkey")),
+            Array(col("c_acctbal"), col("c_nationkey_d")),
+            "measure", "val")
+          .orderBy("c_custkey", "measure"),
+      Some("""SELECT c_custkey, 'c_acctbal' AS measure, c_acctbal AS val FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'c_nationkey_d', CAST(c_nationkey AS DOUBLE) FROM customer
+             |ORDER BY c_custkey, measure""".stripMargin)),
+
+    QueryDef(
+      "q_percentile",
+      // Exact percentiles (sort-based aggregate, linear interpolation) —
+      // same definition as DuckDB quantile_cont/median.
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").cast(Dec38).as("p50"),
+            expr("percentile(o_totalprice, 0.9)").cast(Dec38).as("p90"),
+            max(col("o_totalprice")).as("mx"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)) AS p50,
+             |CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)) AS p90,
+             |MAX(o_totalprice) AS mx
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q_string_agg",
+      // Ordered string aggregation: collect, sort, join — deterministic by
+      // construction (collect_list order is partition-dependent, the sort
+      // restores a total order before concatenation).
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    QueryDef(
+      "q_subquery_correlated",
+      // Correlated scalar subquery — Catalyst decorrelates it into an
+      // aggregate + left outer join (no per-row re-execution).
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT MAX(o_totalprice) FROM orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS max_order
+                |FROM customer c ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT MAX(o_totalprice) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS max_order
+             |FROM customer c ORDER BY c_custkey""".stripMargin)),
+  )
+}
