@@ -130,6 +130,55 @@ object TextQueries extends QueryModule {
              |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin)),
 
     QueryDef(
+      "q_sample_hash",
+      // Deterministic hash-based sampling (~12.5% here): the data-mixing
+      // primitive for training-corpus composition. Unlike sample()/sampleBy
+      // (partitioning-dependent RNG), an md5-prefix threshold is a pure
+      // function of the row key — stable across engines, partitionings and
+      // reruns, and trivially stratifiable by keying on (source, doc_id).
+      // Fixed-width lowercase hex compares lexicographically = numerically.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "2000")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_corpus_prepare",
+      // The end-to-end training-data preparation composite: exact dedup
+      // (keep smallest doc_id per md5), quality filter (length + alpha
+      // ratio), then per-doc token counts — the filter→dedup→tokenize
+      // chain every pretraining pipeline runs. One shuffle (the dedup
+      // groupBy); the rest is embarrassingly parallel scan work.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keep = docs
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        docs.join(keep, "doc_id")
+          .filter(length(col("text")) >= 100)
+          .filter(
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+              / length(col("text")).cast("double") > 0.5)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH keep AS (
+             |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text))
+             |SELECT d.doc_id, d.lang,
+             |       CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+             |FROM documents d JOIN keep USING (doc_id)
+             |WHERE LENGTH(d.text) >= 100
+             |  AND CAST(LENGTH(REGEXP_REPLACE(d.text, '[^a-z]', '', 'g')) AS DOUBLE)
+             |      / CAST(LENGTH(d.text) AS DOUBLE) > 0.5
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef(
       "q_multimodal_features",
       // Full multimodal plumbing through the engine: binary payload →
       // per-partition batch decode (stubbed codec, real schema/iteration/
