@@ -130,6 +130,35 @@ object TextQueries extends QueryModule {
              |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin)),
 
     QueryDef(
+      "q_tfidf",
+      // TF-IDF: per-(doc, term) frequency × ln(N/df). Three aggregates
+      // (tf, df, corpus count) joined on term; the 1-row corpus count is
+      // broadcast — no driver-side collect. At 100 TB the df table is the
+      // only global structure and it's a plain shuffled agg.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dft = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        tf.join(dft, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6)
+              .cast(Dec38))
+          .select("doc_id", "term", "tfidf")
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, term,
+             |  CAST(ROUND(tf * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(38,6)) AS tfidf
+             |FROM tf JOIN df USING (term), n
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    QueryDef(
       "q_sample_hash",
       // Deterministic hash-based sampling (~12.5% here): the data-mixing
       // primitive for training-corpus composition. Unlike sample()/sampleBy
