@@ -96,6 +96,9 @@ object WindowQueries extends QueryModule {
       "q_topk_pergroup",
       // Top-3 orders per customer: window + filter. At scale this is one
       // shuffle by custkey; no driver-side collect, no global sort.
+      // The aggregate formulation (q_topk_agg) halves the shuffle further:
+      // partial top-k per map task means ≤ k rows per group per partition
+      // cross the wire instead of every row.
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -104,6 +107,30 @@ object WindowQueries extends QueryModule {
             col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             row_number().over(w).cast("long").as("rn"))
           .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) sub
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef(
+      "q_topk_agg",
+      // Same top-3-per-customer, via the custom typed Aggregator
+      // (graft.functions.TopKAggregate): partial top-k per map task, so the
+      // shuffle carries at most k rows per group per partition — the
+      // scale-preferred formulation. Same total order (price desc, key asc)
+      // as the window twin, so the window query IS the oracle.
+      (s, dir) => {
+        val topk = graft.functions.TopKAggregate.topk(3)
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(
+            col("o_custkey"), col("col.key").as("o_orderkey"),
+            col("col.price").as("o_totalprice"), (col("pos") + 1).cast("long").as("rn"))
           .orderBy("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -68,6 +68,15 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin")) // AQE may broadcast at sf0.001
   }
 
+  test("q_topk_agg: partial top-k aggregation before the shuffle") {
+    val p = plan("q_topk_agg")
+    // the typed Aggregator must run as partial+final ObjectHashAggregate —
+    // map-side top-k trimming is what bounds the shuffle to k rows/group
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+    assert(p.contains("partial_topkaggregate") || p.contains("partial_"))
+    assert(!p.contains("Window")) // no full-sort window in this formulation
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = Tables(spark, dir, "embeddings")
