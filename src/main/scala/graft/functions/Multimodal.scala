@@ -77,9 +77,15 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](1)
           val out = new Array[Byte](width * height)
-          val n = math.max(1, payload.length)
-          var i = 0
-          while (i < out.length) { out(i) = payload((i.toLong * n / out.length).toInt); i += 1 }
+          // empty payload → all-zero buffer (a real decoder would error or
+          // emit a blank frame; zeros keep the stub total)
+          if (payload.nonEmpty) {
+            var i = 0
+            while (i < out.length) {
+              out(i) = payload((i.toLong * payload.length / out.length).toInt)
+              i += 1
+            }
+          }
           Row(r.getLong(0), width, height, out)
         }
       }(enc)

@@ -129,6 +129,14 @@ class DedupSpec extends AnyFunSuite {
       again.map(_.getAs[Array[Byte]](3).toSeq).toSeq)
   }
 
+  test("multimodal resize stub: empty payload yields an all-zero buffer, no crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq((9L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val r = Multimodal.resizeStub(empty, 4, 4).collect()
+    assert(r.length == 1 && r(0).getAs[Array[Byte]](3).forall(_ == 0))
+  }
+
   test("multimodal frame-sample stub: every-Nth chunk, one row per frame") {
     val payloads = Multimodal.asBinaryPayload(docsDf)
     val frames = Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)
