@@ -180,5 +180,77 @@ object JoinQueries extends QueryModule {
              | FROM orders GROUP BY o_custkey, o_orderdate) o
              |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
              |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "q_join_asof_strict",
+      // Strictly-before as-of: latest order with o_orderdate < ts (an order
+      // at exactly ts must NOT match). Same union+window rewrite; the only
+      // change is the per-key sort order at equal timestamps — events (tag
+      // 0) sort BEFORE orders (tag 1), so an event's unbounded-preceding
+      // frame excludes same-instant orders.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("user_id").as("k"), col("ts").as("t"), lit(0).as("tag"),
+          col("event_id"), lit(null).cast("long").as("okey"))
+        val od = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+          .agg(max("o_orderkey").as("okey"))
+          .select(col("k"), col("t"), lit(1).as("tag"),
+            lit(null).cast("long").as("event_id"), col("okey"))
+        val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.unionByName(od)
+          .withColumn("o_orderkey", last("okey", ignoreNulls = true).over(w))
+          .filter(col("tag") === 0)
+          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+             |FROM events e ASOF LEFT JOIN
+             |(SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+             | FROM orders GROUP BY o_custkey, o_orderdate) o
+             |ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "q_table_diff",
+      // CDC-style snapshot reconciliation: full outer join two versions of
+      // a table on the key, classify insert/delete/update/unchanged — the
+      // diff primitive behind lakehouse change feeds and backfill audits.
+      // "New" snapshot simulated as: high-balance rows dropped (deletes),
+      // balances bumped for low keys (updates).
+      (s, dir) => {
+        val old = t(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_old"))
+        val neu = t(s, dir, "customer")
+          .filter(col("c_acctbal") <= 9000)
+          .select(col("c_custkey").as("key"),
+            when(col("c_custkey") < 100, col("c_acctbal") + 10)
+              .otherwise(col("c_acctbal")).as("bal_new"))
+        old.join(neu, Seq("key"), "full_outer")
+          .withColumn("change",
+            when(col("bal_old").isNull, "insert")
+              .when(col("bal_new").isNull, "delete")
+              .when(col("bal_old") =!= col("bal_new"), "update")
+              .otherwise("unchanged"))
+          .filter(col("change") =!= "unchanged")
+          .select("key", "bal_old", "bal_new", "change")
+          .orderBy("key")
+      },
+      Some("""WITH old AS (SELECT c_custkey AS key, c_acctbal AS bal_old FROM customer),
+             |neu AS (SELECT c_custkey AS key,
+             |        CASE WHEN c_custkey < 100 THEN c_acctbal + 10 ELSE c_acctbal END AS bal_new
+             |        FROM customer WHERE c_acctbal <= 9000)
+             |SELECT key, bal_old, bal_new,
+             |  CASE WHEN bal_old IS NULL THEN 'insert'
+             |       WHEN bal_new IS NULL THEN 'delete'
+             |       WHEN bal_old != bal_new THEN 'update'
+             |       ELSE 'unchanged' END AS change
+             |FROM old FULL JOIN neu USING (key)
+             |WHERE (CASE WHEN bal_old IS NULL THEN 'insert'
+             |       WHEN bal_new IS NULL THEN 'delete'
+             |       WHEN bal_old != bal_new THEN 'update'
+             |       ELSE 'unchanged' END) != 'unchanged'
+             |ORDER BY key""".stripMargin)),
   )
 }
