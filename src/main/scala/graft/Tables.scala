@@ -14,16 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Catalog-style plan cache: `spark.read.parquet` lists files and infers
+  // the footer schema on every call; reusing the (immutable) DataFrame per
+  // (session, dir, table) does that once — the same planning work a real
+  // metastore amortizes. Keyed by session too, so test sessions and driver
+  // sessions never share plans.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name (expected one of ${all.mkString(", ")})")
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and rebase to microseconds.
-      // Integer `div` (not `/`): 2024 epoch-nanos ≈ 1.7e18 overflows double's
-      // 53-bit mantissa, so a double division would corrupt timestamps.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((System.identityHashCode(spark).toString, dir, name), { _ =>
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        // reader rejects; read it as raw nanos and rebase to microseconds.
+        // Integer `div` (not `/`): 2024 epoch-nanos ≈ 1.7e18 overflows
+        // double's 53-bit mantissa, so a double division would corrupt
+        // timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
   }
 }
