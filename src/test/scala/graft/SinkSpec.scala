@@ -120,6 +120,29 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("Iceberg OCC: three concurrent appenders all commit through retries") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    // 3 writers race on the IF-NOT-EXISTS metadata put; each loses at most
+    // 2 races, under the 3-retry bound (lib.rs:82), so ALL must succeed.
+    val writers = (1 to 3).map { i =>
+      Future {
+        val s = spark
+        import s.implicits._
+        IcebergSink.writeWithRetry(
+          Seq((100L + i, s"w$i", i.toDouble)).toDF("id", "name", "v"),
+          table, IcebergSink.Append)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(IcebergSink.read(spark, table).count() == 3 + 3)
+    val hint = Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim.toInt
+    assert(hint == 3) // v0 create + three append commits
+  }
+
   test("write-mode resolution matches the reference flag matrix") {
     assert(IcebergSink.resolveMode(overwrite = false, append = false) == IcebergSink.CreateExclusive)
     assert(IcebergSink.resolveMode(overwrite = true, append = false) == IcebergSink.Overwrite)
