@@ -32,7 +32,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Data files are written by Spark's parquet writer with snappy compression
   * and maxRecordsPerFile = 2,097,152 (reference P7/P8 constants,
-  * delta_destination.rs:43,439). Log commits are atomic via CREATE_NEW —
+  * delta_destination.rs:43,439). Divergence: the reference also pins
+  * 122,880-ROW parquet row groups; parquet-java sizes row groups in BYTES
+  * (parquet.block.size), so the row-count knob has no direct equivalent —
+  * the write path keeps the writer default. Log commits are atomic via
+  * CREATE_NEW —
   * the single-writer equivalent of the reference's conditional-put
   * (delta_destination.rs:377-389 downgrades copy_if_not_exists the same way).
   */
@@ -50,7 +54,8 @@ object DeltaSink {
     * if the target was non-empty and overwrite was not requested (the
     * reference's refuse-and-return, delta_destination.rs:421-427).
     */
-  def write(df: DataFrame, table: String, overwrite: Boolean = false): Boolean = {
+  def write(df: DataFrame, table: String, overwrite: Boolean = false,
+      maxRecordsPerFile: Long = MaxRecordsPerFile): Boolean = {
     val dir = new File(table)
     val existing = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
     if (existing.nonEmpty) {
@@ -63,7 +68,7 @@ object DeltaSink {
     df.write
       .mode("overwrite")
       .option("compression", "snappy")
-      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(table)
     // Spark leaves a _SUCCESS marker; the Delta log is the commit record.
     new File(dir, "_SUCCESS").delete()

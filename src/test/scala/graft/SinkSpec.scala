@@ -59,6 +59,25 @@ class SinkSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq == sampleDf.orderBy("id").collect().toSeq)
   }
 
+  test("Delta file splitting mirrors the reference's batch-split shape") {
+    // the reference proves 25,001 rows split 10000/10000/5001 at
+    // batch_size=10000 (tests/basic_integration.rs:220-241); same semantic
+    // here: 2,500 rows at maxRecordsPerFile=1000 → files of 1000/1000/500
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val df = (1 to 2500).map(i => (i.toLong, s"r$i")).toDF("id", "name").coalesce(1)
+    assert(DeltaSink.write(df, table, maxRecordsPerFile = 1000))
+    val counts = Files.readAllLines(Paths.get(table, "_delta_log",
+        "00000000000000000001.json"))
+      .toArray.map(_.toString)
+      .filter(_.contains("numRecords"))
+      .map(l => "\\\\\"numRecords\\\\\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+      .sorted
+    assert(counts.toSeq == Seq(500L, 1000L, 1000L))
+    assert(DeltaSink.read(spark, table).count() == 2500)
+  }
+
   test("Iceberg create writes v0.metadata.json + version-hint.text") {
     val table = tmp()
     IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
