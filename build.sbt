@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout instead of through sbt's
+// logger — the logger prefixes every line with "[info] ", which corrupts
+// the one-line JSON contract Bench/Verify print for the driver
+// (BENCH_r01/r02 "parsed": null came from that prefix).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

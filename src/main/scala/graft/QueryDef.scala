@@ -22,6 +22,19 @@ object QueryDef {
     * rounding half-boundary (where Spark HALF_UP and a hypothetical
     * banker's-rounding engine could disagree; DuckDB also rounds half away
     * from zero — verified empirically).
+    *
+    * OUTPUT-TYPE contract (round-3 finding, the cause of every r2 hash
+    * mismatch): the driver reads the Spark parquet via pandas/pyarrow
+    * (DECIMAL → python Decimal objects, str "43683.060000") but the DuckDB
+    * oracle via .df() (DECIMAL/HUGEINT → float64, str "43683.06"), then
+    * compares string forms — so a DECIMAL column hash-matches only when
+    * every value uses all 6 fraction digits (q_dedup_ngram passed by luck).
+    * Therefore: compute exactly in decimal, but the FINAL projected column
+    * must be DOUBLE (`toDbl`) on both sides, and oracle integer aggregates
+    * must be CAST(... AS BIGINT) (DuckDB SUM(int)→HUGEINT→float64).
+    * A decimal(38,6) → double cast is correctly rounded in both engines and
+    * the corpus magnitudes keep the scaled value < 2^53, so the doubles are
+    * bit-identical.
     */
   val Dec38: DecimalType = DecimalType(38, 6)
   /** Narrow decimal for *inputs* to decimal arithmetic: (18,6) × (19,6)
@@ -31,6 +44,12 @@ object QueryDef {
   val Dec18: DecimalType = DecimalType(18, 6)
   def dec(c: Column): Column = c.cast(Dec38)
   def dec18(c: Column): Column = c.cast(Dec18)
+
+  /** Final-output cast per the OUTPUT-TYPE contract above: a decimal-exact
+    * intermediate becomes a DOUBLE in the projected result. Oracle twin:
+    * CAST(<same decimal expression> AS DOUBLE).
+    */
+  def toDbl(c: Column): Column = c.cast("double")
 
   /** Average with a deterministic cross-engine contract: Spark's AVG over
     * DECIMAL(38,6) is exact (returns DECIMAL(38,10)); DuckDB's returns

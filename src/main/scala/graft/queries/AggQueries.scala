@@ -15,11 +15,11 @@ object AggQueries extends QueryModule {
   def q1(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum((dec18(col("l_extendedprice")) * (lit(1) - dec18(col("l_discount"))))
-          .cast(Dec38)).as("sum_disc_price"),
-        decAvg(col("l_quantity")).as("avg_qty"),
+        toDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+        toDbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        toDbl(sum((dec18(col("l_extendedprice")) * (lit(1) - dec18(col("l_discount"))))
+          .cast(Dec38))).as("sum_disc_price"),
+        toDbl(decAvg(col("l_quantity"))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -28,10 +28,10 @@ object AggQueries extends QueryModule {
       "q_agg_group",
       (s, dir) => q1(t(s, dir, "lineitem")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-             |SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-             |SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))) AS sum_disc_price,
-             |CAST(AVG(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS avg_qty,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+             |CAST(CAST(AVG(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
              |COUNT(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -41,11 +41,12 @@ object AggQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "orders")
           .groupBy("o_custkey")
-          .agg(count(lit(1)).as("order_cnt"), sum(dec(col("o_totalprice"))).as("sum_price"))
+          .agg(count(lit(1)).as("order_cnt"),
+            toDbl(sum(dec(col("o_totalprice")))).as("sum_price"))
           .filter(col("order_cnt") > 12)
           .orderBy("o_custkey"),
       Some("""SELECT o_custkey, COUNT(*) AS order_cnt,
-             |SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
              |ORDER BY o_custkey""".stripMargin)),
 
@@ -65,13 +66,13 @@ object AggQueries extends QueryModule {
         t(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
+            toDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
             count(lit(1)).as("cnt"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
              |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
@@ -82,13 +83,13 @@ object AggQueries extends QueryModule {
         t(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
+            toDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
             count(lit(1)).as("cnt"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
-             |SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
              |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
@@ -101,7 +102,7 @@ object AggQueries extends QueryModule {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-            |SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS cnt,
+            |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
             |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
             |FROM lineitem
             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -110,7 +111,7 @@ object AggQueries extends QueryModule {
           .withColumn("g_ls", col("g_ls").cast("long"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
              |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

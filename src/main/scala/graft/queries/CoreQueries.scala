@@ -22,12 +22,12 @@ object CoreQueries extends QueryModule {
         t(s, dir, "lineitem")
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            (dec18(col("l_extendedprice")) * (lit(1) - dec18(col("l_discount"))))
-              .cast(Dec38).as("revenue"))
+            toDbl((dec18(col("l_extendedprice")) * (lit(1) - dec18(col("l_discount"))))
+              .cast(Dec38)).as("revenue"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
-             |CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+             |CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
@@ -55,12 +55,12 @@ object CoreQueries extends QueryModule {
             col("l_orderkey"), col("l_linenumber"),
             (col("l_orderkey") + 1).as("okey_plus"),
             col("l_quantity").cast("string").as("qty_str"),
-            col("l_extendedprice").cast("decimal(18,2)").as("price_dec"))
+            toDbl(col("l_extendedprice").cast("decimal(18,2)")).as("price_dec"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_orderkey + 1 AS okey_plus,
              |CAST(l_quantity AS VARCHAR) AS qty_str,
-             |CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+             |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(

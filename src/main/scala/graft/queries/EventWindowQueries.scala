@@ -23,13 +23,13 @@ object EventWindowQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+          .agg(count(lit(1)).as("cnt"), toDbl(sum(dec(col("value")))).as("sum_v"))
           .select(
             col("window.start").as("w_start"), col("window.end").as("w_end"),
             col("event_type"), col("cnt"), col("sum_v"))
           .orderBy("w_start", "event_type"),
       Some("""SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
-             |COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v
+             |COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
              |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type, value
              |      FROM events) sub
              |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin)),
@@ -42,13 +42,13 @@ object EventWindowQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-          .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+          .agg(count(lit(1)).as("cnt"), toDbl(sum(dec(col("value")))).as("sum_v"))
           .select(
             col("window.start").as("w_start"), col("window.end").as("w_end"),
             col("cnt"), col("sum_v"))
           .orderBy("w_start"),
       Some("""SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
-             |COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v
+             |COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
              |FROM (
              |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
              |  UNION ALL
@@ -64,7 +64,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_v"))
+          .agg(count(lit(1)).as("cnt"), toDbl(sum(dec(col("value")))).as("sum_v"))
           .select(
             col("user_id"), col("session_window.start").as("s_start"),
             col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
@@ -82,7 +82,7 @@ object EventWindowQueries extends QueryModule {
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
              |  FROM marked)
              |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
-             |COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v
+             |COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, s_start""".stripMargin)),
 

@@ -26,15 +26,15 @@ object ExtendedRelQueries extends QueryModule {
           .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
           .rangeBetween(-30L * 86400, 0)
         t(s, dir, "orders")
-          .withColumn("sum_30d", sum(dec(col("o_totalprice"))).over(w))
+          .withColumn("sum_30d", toDbl(sum(dec(col("o_totalprice"))).over(w)))
           .select("o_orderkey", "o_custkey", "o_orderdate", "sum_30d")
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderdate,
-             |SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
              |  PARTITION BY o_custkey
              |  ORDER BY epoch(o_orderdate)
-             |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS sum_30d
+             |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
@@ -48,10 +48,13 @@ object ExtendedRelQueries extends QueryModule {
           .agg(count(lit(1)))
           .na.fill(0L)
           .orderBy("o_orderpriority"),
+      // DuckDB SUM(int) returns HUGEINT (→ float64 in the driver's pandas
+      // conversion, vs Spark's int64) — CAST ... AS BIGINT keeps the dtypes
+      // aligned. See QueryDef OUTPUT-TYPE contract.
       Some("""SELECT o_orderpriority,
-             |SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-             |SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-             |SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+             |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+             |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     QueryDef(
@@ -79,13 +82,13 @@ object ExtendedRelQueries extends QueryModule {
         t(s, dir, "orders")
           .groupBy("o_orderpriority")
           .agg(
-            expr("percentile(o_totalprice, 0.5)").cast(Dec38).as("p50"),
-            expr("percentile(o_totalprice, 0.9)").cast(Dec38).as("p90"),
+            toDbl(expr("percentile(o_totalprice, 0.5)").cast(Dec38)).as("p50"),
+            toDbl(expr("percentile(o_totalprice, 0.9)").cast(Dec38)).as("p90"),
             max(col("o_totalprice")).as("mx"))
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
-             |CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)) AS p50,
-             |CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)) AS p90,
+             |CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS p50,
+             |CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)) AS DOUBLE) AS p90,
              |MAX(o_totalprice) AS mx
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 

@@ -65,21 +65,21 @@ object ScalarQueries extends QueryModule {
           .select(
             col("p_partkey"),
             abs(col("p_size") - 25).as("abs_sz"),
-            dec(col("p_retailprice")).as("rp_dec"),
+            toDbl(dec(col("p_retailprice"))).as("rp_dec"),
             floor(col("p_retailprice")).cast("long").as("fl"),
             ceil(col("p_retailprice")).cast("long").as("ce"),
             pmod(col("p_partkey"), lit(7)).as("md"),
             pow(col("p_size"), 2).as("pw"),
             sqrt(col("p_size")).as("sq"),
-            round(dec(col("p_retailprice")) * 3, 1).cast(Dec38).as("rd"))
+            toDbl(round(dec(col("p_retailprice")) * 3, 1).cast(Dec38)).as("rd"))
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey, ABS(p_size - 25) AS abs_sz,
-             |CAST(p_retailprice AS DECIMAL(38,6)) AS rp_dec,
+             |CAST(CAST(p_retailprice AS DECIMAL(38,6)) AS DOUBLE) AS rp_dec,
              |CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
              |CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
              |((p_partkey % 7) + 7) % 7 AS md,
              |POWER(p_size, 2) AS pw, SQRT(p_size) AS sq,
-             |CAST(ROUND(CAST(p_retailprice AS DECIMAL(38,6)) * 3, 1) AS DECIMAL(38,6)) AS rd
+             |CAST(CAST(ROUND(CAST(p_retailprice AS DECIMAL(38,6)) * 3, 1) AS DECIMAL(38,6)) AS DOUBLE) AS rd
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
     QueryDef(

@@ -127,10 +127,10 @@ object SimilarityQueries extends QueryModule {
         scored
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
-          .select(col("qid"), col("cid"), col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
+          .select(col("qid"), col("cid"), toDbl(col("score_d").cast("decimal(18,6)")).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
-      Some("""SELECT qid, cid, CAST(score_d AS DECIMAL(18,6)) AS score, rn FROM (
+      Some("""SELECT qid, cid, CAST(CAST(score_d AS DECIMAL(18,6)) AS DOUBLE) AS score, rn FROM (
              |  SELECT a.vec_id AS qid, b.vec_id AS cid,
              |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score_d,
              |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -167,7 +167,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
-          .select(col("qid"), col("cid"), col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
+          .select(col("qid"), col("cid"), toDbl(col("score_d").cast("decimal(18,6)")).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
       None),
@@ -195,8 +195,8 @@ object SimilarityQueries extends QueryModule {
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .withColumn("jaccard",
-            (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-              .cast(Dec38))
+            toDbl((col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+              .cast(Dec38)))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -280,8 +280,8 @@ object SimilarityQueries extends QueryModule {
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .withColumn("jaccard",
-            (col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double"))
-              .cast(Dec38))
+            toDbl((col("ix").cast("double") / (col("na") + col("nb") - col("ix")).cast("double"))
+              .cast(Dec38)))
           .filter(col("jaccard") >= 0.05)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -296,7 +296,7 @@ object SimilarityQueries extends QueryModule {
              |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
              |          GROUP BY 1, 2)
              |SELECT doc_a, doc_b,
-             |  CAST(CAST(ix AS DOUBLE) / CAST(sa.n + sb.n - ix AS DOUBLE) AS DECIMAL(38,6)) AS jaccard
+             |  CAST(CAST(CAST(ix AS DOUBLE) / CAST(sa.n + sb.n - ix AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
              |FROM inter
              |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE CAST(CAST(ix AS DOUBLE) / CAST(sa.n + sb.n - ix AS DOUBLE) AS DECIMAL(38,6)) >= 0.05
@@ -317,10 +317,10 @@ object SimilarityQueries extends QueryModule {
         a.join(broadcast(b), col("id_a") < col("id_b"))
           .withColumn("cos_d", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
           .filter(col("cos_d") >= 0.35)
-          .select(col("id_a"), col("id_b"), col("cos_d").cast(Dec38).as("cos_sim"))
+          .select(col("id_a"), col("id_b"), toDbl(col("cos_d").cast(Dec38)).as("cos_sim"))
           .orderBy("id_a", "id_b")
       },
-      Some("""SELECT id_a, id_b, CAST(c AS DECIMAL(38,6)) AS cos_sim FROM (
+      Some("""SELECT id_a, id_b, CAST(CAST(c AS DECIMAL(38,6)) AS DOUBLE) AS cos_sim FROM (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -360,7 +360,7 @@ object SimilarityQueries extends QueryModule {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("qid"), col("cid"),
-            col("score_d").cast("decimal(18,6)").as("score"), col("rn"))
+            toDbl(col("score_d").cast("decimal(18,6)")).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
       None),

@@ -24,13 +24,13 @@ object TextQueries extends QueryModule {
           .agg(
             count(lit(1)).as("n_docs"),
             sum("n_chars").cast("long").as("sum_chars"),
-            intAvg(col("n_chars")).as("avg_chars"),
-            intAvg(col("n_tokens")).as("avg_tokens"))
+            toDbl(intAvg(col("n_chars"))).as("avg_chars"),
+            toDbl(intAvg(col("n_tokens"))).as("avg_tokens"))
           .orderBy("lang"),
       Some("""SELECT lang, COUNT(*) AS n_docs,
              |CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-             |CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS DECIMAL(38,6)) AS avg_chars,
-             |CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(n_tokens) AS DECIMAL(38,6)) AS avg_tokens
+             |CAST(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS DECIMAL(38,6)) AS DOUBLE) AS avg_chars,
+             |CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(n_tokens) AS DECIMAL(38,6)) AS DOUBLE) AS avg_tokens
              |FROM (SELECT lang, n_chars,
              |      CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
              |      FROM documents) sub
@@ -67,17 +67,17 @@ object TextQueries extends QueryModule {
             col("doc_id"),
             length(col("text")).cast("long").as("n_chars_m"),
             toks.as("n_tokens"),
-            (alpha.cast("double") / length(col("text")).cast("double"))
-              .cast(Dec38).as("alpha_ratio"),
-            (stop.cast("double") / toks.cast("double")).cast(Dec38).as("stop_ratio"))
+            toDbl((alpha.cast("double") / length(col("text")).cast("double"))
+              .cast(Dec38)).as("alpha_ratio"),
+            toDbl((stop.cast("double") / toks.cast("double")).cast(Dec38)).as("stop_ratio"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, LENGTH(text) AS n_chars_m,
              |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-             |CAST(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
-             |     / CAST(LENGTH(text) AS DOUBLE) AS DECIMAL(38,6)) AS alpha_ratio,
-             |CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of|and|in) ')) - 1 AS DOUBLE)
-             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) AS stop_ratio
+             |CAST(CAST(CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             |     / CAST(LENGTH(text) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS alpha_ratio,
+             |CAST(CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of|and|in) ')) - 1 AS DOUBLE)
+             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS stop_ratio
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
@@ -92,13 +92,13 @@ object TextQueries extends QueryModule {
           .minus(1).cast("long")
         val ratio = (en.cast("double") / toks.cast("double")).cast(Dec38)
         t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), ratio.as("en_score"),
+          .select(col("doc_id"), col("lang"), toDbl(ratio).as("en_score"),
             when(ratio > 0.05, "en").otherwise("other").as("guess"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang,
-             |CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of) ')) - 1 AS DOUBLE)
-             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) AS en_score,
+             |CAST(CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of) ')) - 1 AS DOUBLE)
+             |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS en_score,
              |CASE WHEN CAST(CAST(LEN(REGEXP_SPLIT_TO_ARRAY(' ' || text || ' ', ' (the|a|of) ')) - 1 AS DOUBLE)
              |     / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS DECIMAL(38,6)) > 0.05
              |     THEN 'en' ELSE 'other' END AS guess
@@ -143,8 +143,8 @@ object TextQueries extends QueryModule {
         val n = docs.agg(count(lit(1)).as("n"))
         tf.join(dft, "term").crossJoin(broadcast(n))
           .withColumn("tfidf",
-            round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6)
-              .cast(Dec38))
+            toDbl(round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 6)
+              .cast(Dec38)))
           .select("doc_id", "term", "tfidf")
           .orderBy("doc_id", "term")
       },
@@ -154,7 +154,7 @@ object TextQueries extends QueryModule {
              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
              |n AS (SELECT count(*) AS n FROM documents)
              |SELECT doc_id, term,
-             |  CAST(ROUND(tf * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(38,6)) AS tfidf
+             |  CAST(CAST(ROUND(tf * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(38,6)) AS DOUBLE) AS tfidf
              |FROM tf JOIN df USING (term), n
              |ORDER BY doc_id, term""".stripMargin)),
 
@@ -218,7 +218,7 @@ object TextQueries extends QueryModule {
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
         graft.functions.Multimodal.extractFeatures(payloads)
           .select(col("doc_id"), col("n_bytes"), col("format"),
-            element_at(col("features"), 1).cast("decimal(18,4)").as("f0"))
+            toDbl(element_at(col("features"), 1).cast("decimal(18,4)")).as("f0"))
           .orderBy("doc_id")
       },
       None),

@@ -42,13 +42,13 @@ object WindowQueries extends QueryModule {
         t(s, dir, "orders")
           .select(
             col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-            sum(dec(col("o_totalprice"))).over(w).as("run_sum"))
+            toDbl(sum(dec(col("o_totalprice"))).over(w)).as("run_sum"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-             |SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
              |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     QueryDef(
@@ -80,14 +80,14 @@ object WindowQueries extends QueryModule {
           .select(
             col("o_custkey"), col("o_orderkey"),
             ntile(4).over(w).cast("long").as("nt"),
-            percent_rank().over(w).cast("decimal(18,6)").as("pr"),
-            cume_dist().over(w).cast("decimal(18,6)").as("cd"))
+            toDbl(percent_rank().over(w).cast("decimal(18,6)")).as("pr"),
+            toDbl(cume_dist().over(w).cast("decimal(18,6)")).as("cd"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
              |NTILE(4) OVER w AS nt,
-             |CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS pr,
-             |CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS cd
+             |CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS pr,
+             |CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cd
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),

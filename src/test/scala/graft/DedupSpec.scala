@@ -61,7 +61,7 @@ class DedupSpec extends AnyFunSuite {
   test("ann-lsh results are a subset of exact cosine candidates with equal scores") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, "/root/testdata/sf0.001")
       .select("qid", "cid", "score").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, "/root/testdata/sf0.001")
       .select("qid", "cid", "score").collect()
     assert(ann.nonEmpty)
@@ -69,21 +69,21 @@ class DedupSpec extends AnyFunSuite {
     val overlapping = ann.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
     assert(overlapping.nonEmpty)
     overlapping.foreach { r =>
-      assert(exact((r.getLong(0), r.getLong(1))) == r.getDecimal(2))
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2))
     }
   }
 
   test("ann-ivf results are a subset of exact cosine candidates with equal scores") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, "/root/testdata/sf0.001")
       .select("qid", "cid", "score").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, "/root/testdata/sf0.001")
       .select("qid", "cid", "score").collect()
     assert(ivf.nonEmpty)
     val overlapping = ivf.filter(r => exact.contains((r.getLong(0), r.getLong(1))))
     assert(overlapping.nonEmpty)
     overlapping.foreach { r =>
-      assert(exact((r.getLong(0), r.getLong(1))) == r.getDecimal(2))
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2))
     }
   }
 
@@ -97,8 +97,8 @@ class DedupSpec extends AnyFunSuite {
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
     // the planted pair differs by one token out of ~13 distinct shingles
-    val j = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDecimal(2)
-    assert(j.doubleValue > 0.4 && j.doubleValue < 1.0)
+    val j = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getDouble(2)
+    assert(j > 0.4 && j < 1.0)
   }
 
   test("multimodal feature extraction: deterministic per-partition batch plumbing") {

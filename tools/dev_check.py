@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
 """Dev-only mirror of the driver's t2 correctness gate (NOT part of the
-shipped library — the Scala engine never imports this). Runs each
-oracle_sql.json query in DuckDB over the sf parquet tables and compares to
-the Verify.scala parquet dumps: row count, column names (sorted), values.
+shipped library — the Scala engine never imports this). Faithful to the
+driver's observed behavior (r2 forensics): the Spark parquet is read via
+pandas/pyarrow, the oracle via duckdb .df(), and VALUES ARE COMPARED AS
+STRINGS — so a DECIMAL column on the Spark side (python Decimal,
+str "43683.060000") mismatches the oracle's float64 ("43683.06") even when
+numerically equal, and a DuckDB HUGEINT aggregate (float64 "1000.0")
+mismatches Spark's int64 ("1000"). Queries must emit DOUBLE/BIGINT/VARCHAR/
+TIMESTAMP/BOOLEAN only; see graft.QueryDef's OUTPUT-TYPE contract.
 
 Usage: dev_check.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, glob, math
+import sys, glob
+import json
 import duckdb
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
@@ -19,11 +26,6 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    return v
-
 fails = []
 for name in sorted(oracle):
     if only and name not in only:
@@ -32,34 +34,38 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output"); fails.append(name); continue
     try:
-        mine = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        mcols = sorted(mine.columns)
-        mrows = con.sql(f"SELECT {', '.join(mcols)} FROM '{outdir}/{name}/*.parquet'").fetchall()
-        ref = con.sql(oracle[name])
-        rcols = sorted(ref.columns)
-        # preserve oracle row order, project sorted columns
-        rrows = con.sql(f"SELECT {', '.join(rcols)} FROM ({oracle[name]}) oq").fetchall()
+        mine = pd.read_parquet(f"{outdir}/{name}")
+        ref = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"FAIL {name}: error {e}"); fails.append(name); continue
+    mcols, rcols = sorted(mine.columns), sorted(ref.columns)
     if mcols != rcols:
         print(f"FAIL {name}: cols mine={mcols} oracle={rcols}"); fails.append(name); continue
-    if len(mrows) != len(rrows):
-        print(f"FAIL {name}: rows mine={len(mrows)} oracle={len(rrows)}"); fails.append(name); continue
+    if len(mine) != len(ref):
+        print(f"FAIL {name}: rows mine={len(mine)} oracle={len(ref)}"); fails.append(name); continue
+    mine, ref = mine[mcols], ref[rcols]
     bad = None
-    for i, (a, b) in enumerate(zip(mrows, rrows)):
-        if tuple(map(norm, a)) != tuple(map(norm, b)):
-            bad = (i, a, b); break
+    for c in mcols:
+        a = mine[c].astype(str).values
+        b = ref[c].astype(str).values
+        neq = a != b
+        if neq.any():
+            i = int(neq.argmax())
+            bad = (c, i, a[i], b[i],
+                   type(mine[c].iloc[i]).__name__, type(ref[c].iloc[i]).__name__)
+            break
     if bad:
-        print(f"FAIL {name}: first diff at row {bad[0]}:\n  mine:   {bad[1]}\n  oracle: {bad[2]}")
+        c, i, av, bv, at, bt = bad
+        print(f"FAIL {name}: col {c} row {i}: mine={av!r} ({at}) oracle={bv!r} ({bt})")
         fails.append(name); continue
-    print(f"ok   {name} ({len(mrows)} rows)")
+    print(f"ok   {name} ({len(mine)} rows)")
 
 # queries with no oracle: row-count-only report
 for d in sorted(glob.glob(f"{outdir}/q_*")):
     name = d.split("/")[-1]
     if name not in oracle and (not only or name in only):
         try:
-            n = con.sql(f"SELECT COUNT(*) FROM '{d}/*.parquet'").fetchone()[0]
+            n = len(pd.read_parquet(d))
             print(f"ok   {name} [no-oracle] ({n} rows)")
         except Exception as e:
             print(f"FAIL {name} [no-oracle]: {e}"); fails.append(name)
