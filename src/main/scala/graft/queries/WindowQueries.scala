@@ -42,7 +42,7 @@ object WindowQueries extends QueryModule {
         t(s, dir, "orders")
           .select(
             col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-            toDbl(sum(dec(col("o_totalprice"))).over(w)).as("run_sum"))
+            (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0).as("run_sum"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
