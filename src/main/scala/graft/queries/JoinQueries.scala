@@ -139,7 +139,11 @@ object JoinQueries extends QueryModule {
           .withColumn("fsalt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
         val dim = t(s, dir, "orders")
           .withColumn("dsalt", explode(array((0 until salts).map(lit): _*)))
-        fact.join(dim,
+        // shuffle_hash, not sort-merge: salting already bounds every
+        // reducer's partition, so hash-building the (replicated) dim side
+        // skips both sides' sort passes — the pairing that makes manual
+        // salting cheap at scale.
+        fact.join(dim.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
           .select("l_orderkey", "l_linenumber", "o_totalprice")
           .orderBy("l_orderkey", "l_linenumber")

@@ -85,14 +85,17 @@ object SimilarityQueries extends QueryModule {
               element_at(col("th"), i + 2),
               element_at(col("th"), i + 3))))
           .otherwise(array(xxhash64(col("text")))).as("ghs"))
+      // Per-doc dedup happens INSIDE the row (array_distinct) — identical
+      // semantics to a global DISTINCT on (doc_id, h) but with zero
+      // shuffle; at 100 TB this keeps shingling embarrassingly parallel.
+      //
       // explode_outer, NOT explode: for plain explode the optimizer infers a
       // `size(ghs) > 0 AND isnotnull(ghs)` filter and pushes it below the
       // projections, inlining the whole (interpreted, non-codegen) lambda
       // chain twice per row — a ~10× slowdown observed at sf0.1. The arrays
       // here are never null/empty (when/otherwise emits ≥1 element), so
       // outer semantics are identical.
-      .select(col("doc_id"), explode_outer(col("ghs")).as("h"))
-      .distinct()
+      .select(col("doc_id"), explode_outer(array_distinct(col("ghs"))).as("h"))
 
   /** (doc_id, band, bandHash) LSH bucket keys for every document. */
   def minhashBands(docs: DataFrame): DataFrame = {
@@ -185,7 +188,15 @@ object SimilarityQueries extends QueryModule {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
+        // Exact-Jaccard verify only touches docs that appear in a candidate
+        // pair: broadcast the candidate doc-id set and semi-join the shingle
+        // stream down to it BEFORE the heavy (doc, h) equi-joins. At corpus
+        // scale the candidate set is a tiny fraction of the corpus, so the
+        // verify stage's shuffles carry candidate shingles only.
+        val candDocs = cands.select(col("doc_a").as("doc_id"))
+          .union(cands.select(col("doc_b").as("doc_id"))).distinct()
         val sh = shingleHashes(docs)
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = cands
           .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
@@ -210,8 +221,11 @@ object SimilarityQueries extends QueryModule {
       // No oracle.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .distinct()
+        // array_distinct inside the row = per-doc distinct tokens with zero
+        // shuffle (a global DISTINCT on (doc_id, w) would shuffle every
+        // token); the signature groupBy below is then the only exchange.
+        val tok = docs
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
           .withColumn("h", xxhash64(col("w")))
         // Packed bit-counting: lane k of packed agg j holds the SET-bit
         // count of signature bit j*4+k in bits [16k, 16k+16) — counts are
@@ -268,8 +282,8 @@ object SimilarityQueries extends QueryModule {
                 element_at(col("toks"), i + 1),
                 element_at(col("toks"), i + 2),
                 element_at(col("toks"), i + 3))).as("gs"))
-          .select(col("doc_id"), explode_outer(col("gs")).as("g"))
-          .distinct()
+          // per-doc distinct inside the row — no global DISTINCT shuffle
+          .select(col("doc_id"), explode_outer(array_distinct(col("gs"))).as("g"))
         val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = grams.as("a")
           .join(grams.as("b"),
