@@ -80,15 +80,6 @@ object QueryDef {
   def fxAvg(c: Column, digits: Int = 2): Column =
     fxSum(c, digits) / count(lit(1)).cast("double")
 
-  /** Average with a deterministic cross-engine contract: Spark's AVG over
-    * DECIMAL(38,6) is exact (returns DECIMAL(38,10)); DuckDB's returns
-    * DOUBLE. Both are rounded to DECIMAL(38,6) at the end; they agree unless
-    * the true mean sits within double-error of a 5e-7 boundary (measure-zero
-    * for this corpus). Oracle twin: CAST(AVG(CAST(x AS DECIMAL(38,6))) AS
-    * DECIMAL(38,6)).
-    */
-  def decAvg(c: Column): Column = avg(dec(c)).cast(Dec38)
-
   /** Integer-input average: both engines sum exactly (long / hugeint), cast
     * to double, divide by the count — the same two IEEE operands on both
     * sides, hence bit-identical before the final decimal rounding.
