@@ -87,6 +87,40 @@ object EventWindowQueries extends QueryModule {
              |ORDER BY user_id, s_start""".stripMargin)),
 
     QueryDef(
+      "q_session_capped",
+      // Custom stateful sessionization (graft.streaming.StatefulSessions):
+      // a session closes on the 30-minute gap OR at 10 events, whichever
+      // first — semantics session_window cannot express, implemented with
+      // flatMapGroups (batch) / flatMapGroupsWithState (streaming twin,
+      // ScalaTest-driven). Oracle: gaps-and-islands + row_number()/10
+      // sub-splitting reproduces the fold exactly.
+      (s, dir) =>
+        graft.streaming.StatefulSessions.sessionizeBatch(t(s, dir, "events"))
+          .orderBy("user_id", "s_start"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value, event_id,
+             |  CASE WHEN LAG(ts) OVER w IS NULL
+             |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+             |       ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |isl AS (
+             |  SELECT user_id, ts, value, event_id,
+             |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM marked),
+             |sub AS (
+             |  SELECT user_id, ts, value, island,
+             |  CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, island
+             |                                 ORDER BY ts, event_id) - 1) / 10.0) AS BIGINT) AS ss
+             |  FROM isl)
+             |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             |COUNT(*) AS cnt,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v,
+             |COUNT(*) = 10 AS capped
+             |FROM sub GROUP BY user_id, island, ss
+             |ORDER BY user_id, s_start""".stripMargin)),
+
+    QueryDef(
       "q_stream_dedup_watermark",
       // Batch twin of streaming dropDuplicates-with-watermark: keep the
       // earliest event per (user_id, event_type), ties broken by event_id —

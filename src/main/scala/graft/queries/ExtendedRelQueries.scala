@@ -93,6 +93,27 @@ object ExtendedRelQueries extends QueryModule {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     QueryDef(
+      "q_percentile_approx",
+      // Sketch twin of q_percentile (the approx_distinct pattern): the
+      // approximate percentile (GK/KLL-style mergeable sketch — the only
+      // formulation that scales, since exact percentile buffers every group
+      // value) is computed and exercised, then dropped before the compare;
+      // the oracle checks the exact columns alongside.
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+            toDbl(expr("percentile(o_totalprice, 0.5)").cast(Dec38)).as("p50"),
+            count(lit(1)).as("cnt"))
+          .drop("ap50")
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS p50,
+             |COUNT(*) AS cnt
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
       "q_string_agg",
       // Ordered string aggregation: collect, sort, join — deterministic by
       // construction (collect_list order is partition-dependent, the sort

@@ -31,6 +31,28 @@ object JoinQueries extends QueryModule {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
+      "q_join_bucketed",
+      // Co-located join over bucketed tables: both sides laid out
+      // bucketBy(8, orderkey).sortBy(orderkey) once (graft.sources
+      // .BucketedTables), after which THIS join plans with no Exchange and
+      // no Sort on either side — each task merges bucket i of both tables
+      // locally. Result-identical to q_join_inner (whose SQL is the
+      // oracle); PlanSpec pins the exchange-free shape.
+      (s, dir) => {
+        val (li, od) = graft.sources.BucketedTables.ensure(s, dir)
+        // hint("merge"): at corpus scale neither fact side broadcasts, so
+        // SMJ-over-buckets is the real plan; without the hint the tiny test
+        // corpus auto-broadcasts and the planner disables bucketed reading.
+        s.table(li).hint("merge")
+          .join(s.table(od), col("l_orderkey") === col("o_orderkey"), "inner")
+          .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice, l_quantity
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q_join_broadcast",
       (s, dir) =>
         t(s, dir, "customer")

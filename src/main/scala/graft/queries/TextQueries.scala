@@ -224,6 +224,54 @@ object TextQueries extends QueryModule {
       None),
 
     QueryDef(
+      "q_multimodal_resize",
+      // Resize plumbing through the declared surface: binary payload →
+      // fixed-geometry buffer per doc (stub resample; real per-partition
+      // executor iteration — graft.functions.Multimodal.resizeStub). The
+      // compared projection hexes a buffer prefix so output stays textual.
+      // No oracle: mapPartitions is not SQL-expressible; DedupSpec pins
+      // geometry + determinism across repartitionings.
+      (s, dir) => {
+        val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
+        graft.functions.Multimodal.resizeStub(payloads, 8, 4)
+          .select(col("doc_id"), col("width"), col("height"),
+            hex(substring(col("pixels"), 1, 8)).as("px_prefix"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    QueryDef(
+      "q_multimodal_frames",
+      // Frame-sampling plumbing: payload → every-2nd 100-byte "frame", one
+      // row per sampled frame (the flatMap shape a video demuxer plugs
+      // into). No oracle; DedupSpec pins the chunk arithmetic.
+      (s, dir) => {
+        val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
+        graft.functions.Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)
+          .select(col("doc_id"), col("frame_idx"),
+            length(col("frame")).cast("long").as("n_bytes"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      None),
+
+    QueryDef(
+      "q_sample_stratified",
+      // Stratified deterministic sampling: per-language rates (en 25%,
+      // others 6.25%) via the same md5-prefix threshold as q_sample_hash —
+      // the corpus-mixing primitive with per-source weights, stable across
+      // engines and partitionings (unlike sampleBy's RNG).
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
+            when(col("lang") === "en", lit("4000")).otherwise(lit("1000")))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             |      CASE WHEN lang = 'en' THEN '4000' ELSE '1000' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q_multimodal_meta",
       // Multimodal plumbing: treat content as an opaque binary column with
       // typed metadata (SURVEY round-2 extension; the container has no

@@ -26,6 +26,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_join_bucketed: co-located join — no exchange feeds the join") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    // both scans read bucket-aligned
+    assert("Bucketed: true".r.findAllIn(p).size == 2, s"bucketed scans missing:\n$p")
+    // exactly ONE Exchange in the whole plan: the final ORDER BY's range
+    // partitioning — nothing shuffles into the join itself
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"join must consume bucket-aligned scans without shuffling:\n$p")
+  }
+
   test("q_scan_filter: predicates reach the parquet scan") {
     val p = plan("q_scan_filter")
     assert(p.contains("PushedFilters: ["))

@@ -105,4 +105,54 @@ class StreamingSpec extends AnyFunSuite {
         Seq((ts(0), 2L), (ts(60), 1L)))
     } finally q.stop()
   }
+
+  test("capped sessions (batch): a session splits at 10 events even with no gap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // user 1: 25 events 1 minute apart (never a 30-min gap) → 10/10/5
+    val evs = (0 until 25).map(i => Ev(i.toLong, ts(i.toLong), 1L, "c", 1.0))
+    val out = graft.streaming.StatefulSessions.sessionizeBatch(evs.toDF())
+      .orderBy("s_start").collect()
+    assert(out.map(r => (r.getLong(3), r.getBoolean(5))).toSeq ==
+      Seq((10L, true), (10L, true), (5L, false)))
+    // sub-sessions chain: each starts at the event after the previous close
+    assert(out.map(_.getTimestamp(1)).toSeq == Seq(ts(0), ts(10), ts(20)))
+    assert(out.map(_.getDouble(4)).toSeq == Seq(10.0, 10.0, 5.0))
+  }
+
+  test("capped sessions (streaming): incremental output equals the batch fold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = graft.streaming.StatefulSessions.sessionizeStream(input.toDF())
+      .writeStream.format("memory").queryName("capped").outputMode(OutputMode.Append).start()
+    // offset past epoch 0: the first micro-batch's inherited watermark is 0,
+    // and events AT the watermark are treated as late and dropped
+    def tso(m: Long) = ts(m + 1440)
+    // user 1: 12 rapid events split across micro-batches (cap fires across
+    // the batch boundary); user 2: two gap-separated sessions
+    val batch1 = (0 until 7).map(i => Ev(i.toLong, tso(i.toLong), 1L, "c", 1.0)) ++
+      Seq(Ev(100, tso(0), 2L, "c", 2.0))
+    val batch2 = (7 until 12).map(i => Ev(i.toLong, tso(i.toLong), 1L, "c", 1.0)) ++
+      Seq(Ev(101, tso(45), 2L, "c", 3.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(Ev(999, tso(600), 9L, "c", 0.0)) // watermark past everything
+      q.processAllAvailable()
+      input.addData(Ev(1000, tso(700), 9L, "c", 0.0)) // timeout flush pass
+      q.processAllAvailable()
+      val streamed = spark.table("capped").where("user_id < 9")
+        .select("user_id", "s_start", "s_end", "cnt", "sum_v", "capped")
+        .orderBy("user_id", "s_start").collect().map(_.toString).toSeq
+      val batch = graft.streaming.StatefulSessions.sessionizeBatch(
+          (batch1 ++ batch2).toDF())
+        .select("user_id", "s_start", "s_end", "cnt", "sum_v", "capped")
+        .orderBy("user_id", "s_start").collect().map(_.toString).toSeq
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
 }
