@@ -65,4 +65,32 @@ object Engine {
       overwrite: Boolean = false, append: Boolean = false): Unit =
     IcebergSink.writeWithRetry(spark.read.parquet(file), table,
       IcebergSink.resolveMode(overwrite, append))
+
+  /** CSV file(s) → Delta table — a source format the reference lacks but a
+    * loader's users expect; header + schema inference mirror the reference's
+    * discover-schema-then-stream contract (pg_arrow_source.rs:220-236).
+    * Pass `schema` to pin types instead of inferring (the production path:
+    * inference costs an extra pass and can flip types between loads).
+    */
+  def csvToDelta(spark: SparkSession, file: String, table: String,
+      overwrite: Boolean = false, schema: Option[String] = None): Boolean = {
+    val r = spark.read.option("header", "true")
+    val df = schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(file)
+    DeltaSink.write(df, table, overwrite)
+  }
+
+  /** JSON-lines file(s) → Delta table. */
+  def jsonToDelta(spark: SparkSession, file: String, table: String,
+      overwrite: Boolean = false, schema: Option[String] = None): Boolean = {
+    val r = spark.read
+    val df = schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).json(file)
+    DeltaSink.write(df, table, overwrite)
+  }
+
+  /** Appends the result of a query to an existing Delta table (one new log
+    * version, OCC retry) — see [[sinks.DeltaSink.append]].
+    */
+  def sqlAppendToDelta(spark: SparkSession, dir: String, query: String,
+      table: String): Long =
+    DeltaSink.append(sql(spark, dir, query), table)
 }

@@ -99,15 +99,78 @@ object DeltaSink {
     true
   }
 
-  /** Reads a Delta table by replaying the `_delta_log`: accumulates add
-    * actions (minus removes) across versions in order, then scans the live
-    * files with the metaData schema.
+  /** Appends `df` to an existing Delta table as ONE new log version, with
+    * optimistic-concurrency commit retry — the natural completion of the
+    * reference's create/overwrite-only Delta sink (its Iceberg sink already
+    * appends with OCC, iceberg_destination.rs:326-341 + lib.rs:168-196; the
+    * same protocol applies here: write data files, then claim version N+1
+    * with an atomic CREATE_NEW, re-reading table state on collision).
+    * Append never conflicts on content (no removes), so a collision only
+    * needs a version bump. The positional schema gate (P14) guards the
+    * append exactly as on the Iceberg path. Returns the committed version.
+    *
+    * Each transaction stages its data files in a private temp directory and
+    * moves them into the table under a txn-unique name — concurrent appenders
+    * never share Hadoop's `_temporary` staging dir and can never claim each
+    * other's files, the same unique-file-name discipline real Delta writers
+    * use.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val logs = Option(logDir(table).toFile.listFiles())
+  def append(df: DataFrame, table: String, retries: Int = 3): Long = {
+    val dir = new File(table)
+    require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
+    SchemaGate.enforce(df.schema, read(df.sparkSession, table).schema)
+    val staging = Files.createTempDirectory("graft-delta-txn").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val adds = try {
+      df.write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", MaxRecordsPerFile)
+        .parquet(staging.getPath)
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      Option(staging.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex.map { case (src, i) =>
+          val f = new File(dir, f"part-$i%05d-$txn.snappy.parquet")
+          Files.move(src.toPath, f.toPath)
+          s"""{"add":{"path":${esc(f.getName)},"partitionValues":{},"size":${f.length()},""" +
+            s""""modificationTime":${f.lastModified()},"dataChange":true,"stats":"{\\"numRecords\\":${numRecords(f, conf)}}"}}"""
+        }
+    } finally deleteRecursively(staging)
+    var attempt = 0
+    while (true) {
+      val next = latestVersion(table) + 1
+      try {
+        commitAtomic(versionFile(table, next), adds)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < retries =>
+          attempt += 1 // another writer claimed this version; re-read and retry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Latest committed log version of a Delta table. */
+  def latestVersion(table: String): Long =
+    logFiles(table).lastOption
+      .map(_.getName.stripSuffix(".json").toLong)
+      .getOrElse(-1L)
+
+  private def logFiles(table: String): Seq[File] =
+    Option(logDir(table).toFile.listFiles())
       .map(_.toSeq).getOrElse(Nil)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getName)
+
+  /** Reads a Delta table by replaying the `_delta_log`: accumulates add
+    * actions (minus removes) across versions in order, then scans the live
+    * files with the metaData schema. `asOfVersion` stops the replay at that
+    * commit — snapshot time travel over the same log.
+    */
+  def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None): DataFrame = {
+    val logs = logFiles(table)
+      .filter(f => asOfVersion.forall(v => f.getName.stripSuffix(".json").toLong <= v))
     require(logs.nonEmpty, s"not a Delta table (no _delta_log): $table")
     var schema: Option[StructType] = None
     val live = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -70,6 +70,34 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.forall(_.getDecimal(1).doubleValue > 0.0))
   }
 
+  test("csv and json files load into Delta tables with inferred schemas") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name,v\n1,a,1.5\n2,b,2.5\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id":3,"name":"c","v":3.5}""" + "\n" + """{"id":4,"name":"d","v":4.5}""" + "\n")
+    val csvTable = java.nio.file.Files.createTempDirectory("graft-csv-delta").toString
+    val jsonTable = java.nio.file.Files.createTempDirectory("graft-json-delta").toString
+    assert(Engine.csvToDelta(spark, s"$dir/in.csv", csvTable, overwrite = true))
+    assert(Engine.jsonToDelta(spark, s"$dir/in.json", jsonTable, overwrite = true))
+    val csvBack = graft.sinks.DeltaSink.read(spark, csvTable)
+    assert(csvBack.schema("id").dataType.typeName == "integer") // inferred
+    assert(csvBack.count() == 2)
+    assert(graft.sinks.DeltaSink.read(spark, jsonTable).count() == 2)
+  }
+
+  test("sql-append-to-delta adds a version on top of an existing table") {
+    val spark = TestSpark.spark
+    val table = java.nio.file.Files.createTempDirectory("graft-app-delta").toString
+    val dir = "/root/testdata/sf0.001"
+    assert(Engine.sqlToDelta(spark, dir, "SELECT r_regionkey, r_name FROM region", table))
+    val v = Engine.sqlAppendToDelta(spark, dir,
+      "SELECT n_nationkey AS r_regionkey, n_name AS r_name FROM nation", table)
+    assert(v == 2L)
+    assert(graft.sinks.DeltaSink.read(spark, table).count() == 30) // 5 + 25
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),

@@ -171,6 +171,50 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("Delta append commits one new version; time travel reads old snapshots") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    assert(DeltaSink.latestVersion(table) == 1L)
+    val v2 = DeltaSink.append(Seq((4L, "d", 4.5)).toDF("id", "name", "v"), table)
+    assert(v2 == 2L)
+    val v3 = DeltaSink.append(Seq((5L, "e", 5.5)).toDF("id", "name", "v"), table)
+    assert(v3 == 3L)
+    assert(DeltaSink.read(spark, table).count() == 5)
+    // snapshot isolation: version 1 = the original 3 rows; version 2 = 4 rows
+    assert(DeltaSink.read(spark, table, asOfVersion = Some(1L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaSink.read(spark, table, asOfVersion = Some(2L)).count() == 4)
+  }
+
+  test("Delta append enforces the positional schema gate") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val bad = Seq((9L, "x")).toDF("id", "name") // wrong field count
+    val e = intercept[IllegalArgumentException] {
+      DeltaSink.append(bad, table)
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
+  test("Delta OCC: three concurrent appenders all commit distinct versions") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val versions = Await.result(Future.sequence((10 to 12).map { i =>
+      Future(DeltaSink.append(Seq((i.toLong, s"u$i", i.toDouble)).toDF("id", "name", "v"), table))
+    }), 2.minutes)
+    assert(versions.toSet.size == 3 && versions.forall(_ >= 2))
+    assert(DeltaSink.read(spark, table).count() == 6)
+  }
+
   test("entry() flagship: Q1 through Delta and back") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
