@@ -55,58 +55,60 @@ object SimilarityQueries extends QueryModule {
   // false candidates this admits are discarded by the exact-Jaccard
   // verification stage, which is the standard recall/cost tradeoff.
 
-  /** (doc_id, 3-gram-shingle-hash) pairs, deduped on the 64-bit hash.
+  /** Per-document 3-gram shingle hash ARRAY — one native codegen'd
+    * projection (graft.functions.{TokenHashes, ShingleHashes}): tokens are
+    * xxhash64'd once, a shingle hash chains three token hashes, and all
+    * downstream joins/shuffles move longs (collision probability over a
+    * corpus is negligible; longs shuffle ~10× lighter than strings).
+    * Short docs (<3 tokens → ShingleHashes yields null) fall back to one
+    * whole-text hash. Values are bit-identical to the interpreted
+    * `transform`-lambda pipeline this replaces (same XXH64 kernel, seed,
+    * chaining), but run inside whole-stage codegen.
+    */
+  private def shingleArrays(docs: DataFrame): DataFrame = {
+    import graft.functions.HashExpressions
+    docs
+      .select(col("doc_id"), col("text"),
+        HashExpressions.tokenHashes(split(col("text"), " ")).as("th"))
+      .select(col("doc_id"),
+        coalesce(HashExpressions.shingleHashes(col("th"), 3),
+          array(xxhash64(col("text")))).as("ghs"))
+  }
+
+  /** (doc_id, 3-gram-shingle-hash) pairs, deduped on the 64-bit hash —
+    * the exploded form the exact-Jaccard verify stage joins on.
     *
-    * Two perf-critical choices:
-    *  - Work on hashes, never shingle strings: each token is xxhash64'd
-    *    once, a shingle hash is xxhash64 of three token hashes, and all
-    *    downstream joins/shuffles move longs (collision probability over a
-    *    corpus is negligible; longs shuffle ~10× lighter than strings).
-    *  - Each derivation lives in its OWN projection. Higher-order lambdas
-    *    are interpreted, and a lambda body that references an outer
-    *    expression (e.g. `element_at(split(text), i)`) re-evaluates that
-    *    expression per element — O(tokens²) re-splitting. The projection
-    *    boundaries pin `toks`/`th` as materialized row columns (Catalyst's
-    *    CollapseProject keeps multi-referenced non-cheap expressions
-    *    separate), so each is computed exactly once per row.
+    * Per-doc dedup happens INSIDE the row (array_distinct) — identical
+    * semantics to a global DISTINCT on (doc_id, h) but with zero shuffle;
+    * at 100 TB this keeps shingling embarrassingly parallel.
     *
-    * Short docs (<3 tokens) fall back to one whole-text hash.
+    * explode_outer, NOT explode: for plain explode the optimizer infers a
+    * `size(ghs) > 0 AND isnotnull(ghs)` filter and pushes it below the
+    * projections, re-running the shingle pipeline twice per row. The
+    * arrays here are never null/empty (coalesce fallback emits ≥1
+    * element), so outer semantics are identical.
     */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("text"),
-        transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"),
-        when(size(col("th")) >= 3,
-          transform(sequence(lit(0), size(col("th")) - 3),
-            i => xxhash64(
-              element_at(col("th"), i + 1),
-              element_at(col("th"), i + 2),
-              element_at(col("th"), i + 3))))
-          .otherwise(array(xxhash64(col("text")))).as("ghs"))
-      // Per-doc dedup happens INSIDE the row (array_distinct) — identical
-      // semantics to a global DISTINCT on (doc_id, h) but with zero
-      // shuffle; at 100 TB this keeps shingling embarrassingly parallel.
-      //
-      // explode_outer, NOT explode: for plain explode the optimizer infers a
-      // `size(ghs) > 0 AND isnotnull(ghs)` filter and pushes it below the
-      // projections, inlining the whole (interpreted, non-codegen) lambda
-      // chain twice per row — a ~10× slowdown observed at sf0.1. The arrays
-      // here are never null/empty (when/otherwise emits ≥1 element), so
-      // outer semantics are identical.
+    shingleArrays(docs)
       .select(col("doc_id"), explode_outer(array_distinct(col("ghs"))).as("h"))
 
-  /** (doc_id, band, bandHash) LSH bucket keys for every document. */
+  /** (doc_id, band, bandHash) LSH bucket keys for every document.
+    *
+    * The whole signature is ONE map-side projection
+    * (graft.functions.MinHashBandHashes: 32 permutation minima → 16 band
+    * keys in a single pass over the shingle array) — no explode, no
+    * groupBy, no shuffle. The previous formulation shuffled every
+    * (doc_id, shingle) pair into a 32-`min`-aggregate just to build
+    * signatures; at 100 TB that shuffle is the difference between a
+    * signature stage that scales with document bytes and one that scales
+    * with token count × network. Band values are bit-identical (min is
+    * duplicate-invariant, same XXH64 chaining).
+    */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = shingleHashes(docs)
-    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until Bands).map { b =>
-      xxhash64((b * Rows until b * Rows + Rows).map(i => col(s"m$i")) :+ lit(b): _*).as(s"b$b")
-    }
-    sigs.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)))
+    import graft.functions.HashExpressions
+    shingleArrays(docs)
+      .select(col("doc_id"),
+        posexplode(HashExpressions.minhashBandHashes(col("ghs"), NumPerm, Rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
   }
 
@@ -221,31 +223,18 @@ object SimilarityQueries extends QueryModule {
       // No oracle.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // array_distinct inside the row = per-doc distinct tokens with zero
-        // shuffle (a global DISTINCT on (doc_id, w) would shuffle every
-        // token); the signature groupBy below is then the only exchange.
-        val tok = docs
-          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-          .withColumn("h", xxhash64(col("w")))
-        // Packed bit-counting: lane k of packed agg j holds the SET-bit
-        // count of signature bit j*4+k in bits [16k, 16k+16) — counts are
-        // non-negative so lanes cannot borrow into each other, and 16 agg
-        // expressions replace 64 (4× less per-row agg work + far smaller
-        // codegen). Bit b is set iff 2*c_b > n ⟺ sum(±1) > 0 — identical
-        // to the unpacked ±1 formulation.
-        val packedSums = (0 until 16).map { j =>
-          sum((0 until 4).map { k =>
-            shiftleft(shiftright(col("h"), j * 4 + k).bitwiseAND(1), 16 * k)
-          }.reduce(_ + _)).as(s"p$j")
-        }
-        val sig = tok.groupBy("doc_id")
-          .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n")): _*)
-          .select(col("doc_id"),
-            (0 until 64).map { b =>
-              val (j, k) = (b / 4, b % 4)
-              val cb = shiftright(col(s"p$j"), 16 * k).bitwiseAND(0xFFFF)
-              when(cb * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-            }.reduce(_ + _).as("sig"))
+        // The whole 64-bit signature is ONE map-side codegen'd projection
+        // (graft.functions.SimHashSig: majority vote per bit over the
+        // per-doc DISTINCT token hashes, deduped inside the row). The
+        // previous formulation exploded every token and shuffled
+        // (doc_id, h) into a 16-packed-lane aggregate just to count bits;
+        // now signatures cost zero shuffle and the band self-join below is
+        // the pipeline's only exchange — at 100 TB the signature stage
+        // stays embarrassingly parallel.
+        val sig = docs.select(col("doc_id"),
+          graft.functions.HashExpressions.simhashSig(
+            array_distinct(graft.functions.HashExpressions.tokenHashes(
+              split(col("text"), " ")))).as("sig"))
         val banded = sig.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*)))
