@@ -40,11 +40,28 @@ object Engine {
 
   /** Query → brand-new Delta table. Returns false if the target is
     * non-empty and overwrite was not requested (reference refuse-and-return,
-    * delta_destination.rs:421-427).
+    * delta_destination.rs:421-427). `partitionBy` lays the table out in
+    * Hive-style partition dirs recorded in the Delta log — the layout lever
+    * that makes 100 TB scans prunable.
     */
   def sqlToDelta(spark: SparkSession, dir: String, query: String,
-      table: String, overwrite: Boolean = false): Boolean =
-    DeltaSink.write(sql(spark, dir, query), table, overwrite)
+      table: String, overwrite: Boolean = false,
+      partitionBy: Seq[String] = Nil): Boolean =
+    DeltaSink.write(sql(spark, dir, query), table, overwrite,
+      partitionBy = partitionBy)
+
+  /** OPTIMIZE: bin-packs a Delta table's live files (per partition) and
+    * commits the rewrite as a `dataChange=false` version — see
+    * [[sinks.DeltaSink.compact]]. Returns (filesBefore, filesAfter).
+    */
+  def compactDelta(spark: SparkSession, table: String): (Int, Int) =
+    DeltaSink.compact(spark, table)
+
+  /** Writes a parquet checkpoint of the Delta log so readers replay
+    * O(commits-since-checkpoint) — see [[sinks.DeltaSink.checkpoint]].
+    */
+  def checkpointDelta(spark: SparkSession, table: String): Long =
+    DeltaSink.checkpoint(spark, table)
 
   /** Query → Iceberg table with the reference's flag matrix
     * (overwrite/append resolve per iceberg_destination.rs:32-37) and OCC

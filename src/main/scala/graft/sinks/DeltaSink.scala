@@ -11,8 +11,9 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.types._
 
 /** Hand-rolled Delta Lake sink + reader (reference P10).
   *
@@ -30,32 +31,71 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    (:460-470) — the exact two-commit create/append shape asserted by the
   *    reference's integration test (tests/basic_integration.rs:48-58).
   *
+  * Beyond the reference's create/overwrite (it never appends to Delta and
+  * has no maintenance verbs), the sink completes the protocol the way a
+  * long-lived 100 TB table needs:
+  *
+  *  - [[append]]: one new log version per transaction with OCC retry;
+  *  - partitioned layout: `partitionBy` writes Hive-style `col=value/` dirs,
+  *    records `partitionColumns` in metaData and per-file `partitionValues`
+  *    in every add action — the reader hands Spark the partition dirs so
+  *    Catalyst partition-prunes scans on those columns for free;
+  *  - [[checkpoint]]: parquet snapshot of the log state + `_last_checkpoint`
+  *    pointer, so readers replay O(commits-since-checkpoint) JSON files
+  *    instead of the whole history (a daily-append table is unreadable at
+  *    version 10k otherwise). Auto-taken every [[CheckpointInterval]]
+  *    appends, mirroring delta-spark's default cadence;
+  *  - [[compact]]: bin-packs live files into `maxRecordsPerFile`-sized ones
+  *    per partition and commits remove+add with `dataChange=false` — the
+  *    OPTIMIZE verb; small-file pileup is the first thing that kills scan
+  *    throughput under frequent appends.
+  *
   * Data files are written by Spark's parquet writer with snappy compression
   * and maxRecordsPerFile = 2,097,152 (reference P7/P8 constants,
   * delta_destination.rs:43,439). Divergence: the reference also pins
   * 122,880-ROW parquet row groups; parquet-java sizes row groups in BYTES
   * (parquet.block.size), so the row-count knob has no direct equivalent —
   * the write path keeps the writer default. Log commits are atomic via
-  * CREATE_NEW —
-  * the single-writer equivalent of the reference's conditional-put
-  * (delta_destination.rs:377-389 downgrades copy_if_not_exists the same way).
+  * CREATE_NEW — the single-writer equivalent of the reference's
+  * conditional-put (delta_destination.rs:377-389 downgrades
+  * copy_if_not_exists the same way).
   */
 object DeltaSink {
   private val mapper = new ObjectMapper()
   val MaxRecordsPerFile = 2097152L
 
+  /** Appends auto-checkpoint at every multiple of this version number —
+    * delta-spark's default `delta.checkpointInterval` is likewise 10.
+    */
+  val CheckpointInterval = 10
+
   private def logDir(table: String) = Paths.get(table, "_delta_log")
   private def versionFile(table: String, v: Long) =
     logDir(table).resolve(f"$v%020d.json")
+  private def checkpointFile(table: String, v: Long) =
+    logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+  private def lastCheckpointFile(table: String) =
+    logDir(table).resolve("_last_checkpoint")
 
   private def esc(s: String): String = mapper.writeValueAsString(s)
+
+  /** One live data file in the replayed table state. */
+  private case class AddEntry(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, stats: String)
+
+  /** Replayed snapshot of the `_delta_log` at `asOfVersion` (or latest). */
+  private case class State(version: Long, schema: StructType,
+      partitionColumns: Seq[String], live: Seq[AddEntry])
 
   /** Writes `df` as a brand-new Delta table. Returns true if written; false
     * if the target was non-empty and overwrite was not requested (the
     * reference's refuse-and-return, delta_destination.rs:421-427).
+    * `partitionBy` lays the table out in Hive-style partition directories
+    * recorded in the log (see object doc).
     */
   def write(df: DataFrame, table: String, overwrite: Boolean = false,
-      maxRecordsPerFile: Long = MaxRecordsPerFile): Boolean = {
+      maxRecordsPerFile: Long = MaxRecordsPerFile,
+      partitionBy: Seq[String] = Nil): Boolean = {
     val dir = new File(table)
     val existing = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
     if (existing.nonEmpty) {
@@ -65,18 +105,16 @@ object DeltaSink {
     // mode=overwrite only placates Spark's path-exists check: the
     // refuse-unless-overwrite decision was already taken above, and the
     // target has been emptied by then.
-    df.write
+    val writer = df.write
       .mode("overwrite")
       .option("compression", "snappy")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(table)
     // Spark leaves a _SUCCESS marker; the Delta log is the commit record.
     new File(dir, "_SUCCESS").delete()
 
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val parts = Option(dir.listFiles()).get
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
     Files.createDirectories(logDir(table))
 
     val now = System.currentTimeMillis()
@@ -84,18 +122,11 @@ object DeltaSink {
     // §1.2; pg_arrow_source.rs:233 sets nullable=true unconditionally), and
     // Spark file scans surface nullable columns anyway.
     val schemaString = StructType(df.schema.fields.map(_.copy(nullable = true))).json
-    val commit0 = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""",
-      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${esc(schemaString)},"partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+    val commit0 = Seq(protocolJson, metaDataJson(schemaString, partitionBy, now))
     commitAtomic(versionFile(table, 0), commit0)
 
-    val adds = parts.map { f =>
-      val records = numRecords(f, conf)
-      s"""{"add":{"path":${esc(f.getName)},"partitionValues":{},"size":${f.length()},""" +
-        s""""modificationTime":${f.lastModified()},"dataChange":true,"stats":"{\\"numRecords\\":$records}"}}"""
-    }
-    commitAtomic(versionFile(table, 1), adds.toSeq)
+    val adds = dataFiles(dir).map(f => addJson(toAddEntry(dir, f, conf)))
+    commitAtomic(versionFile(table, 1), adds)
     true
   }
 
@@ -107,7 +138,8 @@ object DeltaSink {
     * with an atomic CREATE_NEW, re-reading table state on collision).
     * Append never conflicts on content (no removes), so a collision only
     * needs a version bump. The positional schema gate (P14) guards the
-    * append exactly as on the Iceberg path. Returns the committed version.
+    * append exactly as on the Iceberg path. Respects the table's declared
+    * partition layout. Returns the committed version.
     *
     * Each transaction stages its data files in a private temp directory and
     * moves them into the table under a txn-unique name — concurrent appenders
@@ -118,30 +150,36 @@ object DeltaSink {
   def append(df: DataFrame, table: String, retries: Int = 3): Long = {
     val dir = new File(table)
     require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
-    SchemaGate.enforce(df.schema, read(df.sparkSession, table).schema)
+    val state = replay(df.sparkSession, table, None)
+    SchemaGate.enforce(df.schema, state.schema)
     val staging = Files.createTempDirectory("graft-delta-txn").toFile
     val txn = java.util.UUID.randomUUID().toString
     val adds = try {
-      df.write
+      val writer = df.write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
-        .parquet(staging.getPath)
+      (if (state.partitionColumns.nonEmpty)
+         writer.partitionBy(state.partitionColumns: _*)
+       else writer).parquet(staging.getPath)
       val conf = df.sparkSession.sessionState.newHadoopConf()
-      Option(staging.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName).zipWithIndex.map { case (src, i) =>
-          val f = new File(dir, f"part-$i%05d-$txn.snappy.parquet")
-          Files.move(src.toPath, f.toPath)
-          s"""{"add":{"path":${esc(f.getName)},"partitionValues":{},"size":${f.length()},""" +
-            s""""modificationTime":${f.lastModified()},"dataChange":true,"stats":"{\\"numRecords\\":${numRecords(f, conf)}}"}}"""
-        }
+      dataFiles(staging).zipWithIndex.map { case (src, i) =>
+        // preserve the partition subpath; txn-unique base name
+        val rel = staging.toPath.relativize(src.toPath)
+        val target = new File(dir,
+          Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+            f"part-$i%05d-$txn.snappy.parquet")
+        target.getParentFile.mkdirs()
+        Files.move(src.toPath, target.toPath)
+        addJson(toAddEntry(dir, target, conf))
+      }
     } finally deleteRecursively(staging)
     var attempt = 0
     while (true) {
       val next = latestVersion(table) + 1
       try {
         commitAtomic(versionFile(table, next), adds)
+        if (next % CheckpointInterval == 0) checkpoint(df.sparkSession, table)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < retries =>
@@ -150,6 +188,109 @@ object DeltaSink {
     }
     -1 // unreachable
   }
+
+  /** Bin-packs the table's live files into `maxRecordsPerFile`-sized files
+    * (per partition, preserving the declared layout) and commits the rewrite
+    * as remove+add actions with `dataChange=false` — the OPTIMIZE verb.
+    * Readers at any version still resolve: old files stay on disk, only the
+    * log stops referencing them (vacuum = physical deletion is the caller's
+    * retention decision). Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, table: String,
+      maxRecordsPerFile: Long = MaxRecordsPerFile): (Int, Int) = {
+    val dir = new File(table)
+    val state = replay(spark, table, None)
+    val before = state.live.size
+    val current = readState(spark, table, state)
+    val staging = Files.createTempDirectory("graft-delta-compact").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = try {
+      val writer = current.write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (state.partitionColumns.nonEmpty)
+         writer.partitionBy(state.partitionColumns: _*)
+       else writer).parquet(staging.getPath)
+      dataFiles(staging).zipWithIndex.map { case (src, i) =>
+        val rel = staging.toPath.relativize(src.toPath)
+        val target = new File(dir,
+          Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+            f"part-$i%05d-$txn.c000.snappy.parquet")
+        target.getParentFile.mkdirs()
+        Files.move(src.toPath, target.toPath)
+        toAddEntry(dir, target, conf)
+      }
+    } finally deleteRecursively(staging)
+    val now = System.currentTimeMillis()
+    val removes = state.live.map(a =>
+      s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+    val lines = removes ++ adds.map(a => addJson(a, dataChange = false))
+    var committed = false
+    var attempt = 0
+    while (!committed) {
+      val next = latestVersion(table) + 1
+      try {
+        commitAtomic(versionFile(table, next), lines)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    (before, adds.size)
+  }
+
+  /** Writes a parquet checkpoint of the current log state plus the
+    * `_last_checkpoint` pointer. Readers then start from the checkpoint and
+    * replay only newer JSON commits — O(delta) instead of O(history).
+    * Older JSON commits are retained so `asOfVersion` time travel before the
+    * checkpoint still works.
+    */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val state = replay(spark, table, None)
+    val rows: Seq[Row] =
+      Row(Row(1, 1), null, null) +:
+      Row(null,
+        Row(java.util.UUID.randomUUID().toString, Row("parquet"),
+          StructType(state.schema.fields.map(_.copy(nullable = true))).json,
+          state.partitionColumns, System.currentTimeMillis()),
+        null) +:
+      state.live.map(a => Row(null, null,
+        Row(a.path, a.partitionValues, a.size, a.modificationTime, true, a.stats)))
+    val df = spark.createDataFrame(rows.asJava, CheckpointSchema).coalesce(1)
+    val staging = Files.createTempDirectory("graft-delta-ckpt").toFile
+    try {
+      df.write.mode("overwrite").option("compression", "snappy")
+        .parquet(staging.getPath)
+      val part = dataFiles(staging).head
+      Files.move(part.toPath, checkpointFile(table, state.version),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(staging)
+    val ptr = s"""{"version":${state.version},"size":${rows.size}}"""
+    Files.write(lastCheckpointFile(table),
+      (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+    state.version
+  }
+
+  private val CheckpointSchema = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType))))))
 
   /** Latest committed log version of a Delta table. */
   def latestVersion(table: String): Long =
@@ -163,28 +304,146 @@ object DeltaSink {
       .filter(_.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getName)
 
-  /** Reads a Delta table by replaying the `_delta_log`: accumulates add
-    * actions (minus removes) across versions in order, then scans the live
-    * files with the metaData schema. `asOfVersion` stops the replay at that
-    * commit — snapshot time travel over the same log.
+  /** Reads a Delta table by replaying the `_delta_log`: from the newest
+    * parquet checkpoint at or below the target version (if any), then the
+    * JSON commits after it — add actions accumulate, removes retract.
+    * `asOfVersion` stops the replay at that commit — snapshot time travel
+    * over the same log.
     */
-  def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None): DataFrame = {
-    val logs = logFiles(table)
-      .filter(f => asOfVersion.forall(v => f.getName.stripSuffix(".json").toLong <= v))
-    require(logs.nonEmpty, s"not a Delta table (no _delta_log): $table")
+  def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None): DataFrame =
+    readState(spark, table, replay(spark, table, asOfVersion))
+
+  private def readState(spark: SparkSession, table: String, state: State): DataFrame = {
+    val paths = state.live.map(a => new File(table, a.path).getAbsolutePath)
+    if (paths.isEmpty) {
+      spark.createDataFrame(new java.util.ArrayList[Row](), state.schema)
+    } else if (state.partitionColumns.isEmpty) {
+      spark.read.schema(state.schema).parquet(paths: _*)
+    } else {
+      // Hive-style dirs + basePath: Spark's partition discovery restores the
+      // partition columns (typed per the declared schema) and Catalyst
+      // partition-prunes on them; select() pins the declared column order.
+      spark.read.schema(state.schema).option("basePath", table)
+        .parquet(paths: _*)
+        .select(state.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
+    val ckptV: Option[Long] = {
+      val f = lastCheckpointFile(table)
+      if (Files.exists(f)) {
+        val v = mapper.readTree(Files.readString(f)).get("version").asLong()
+        if (asOfVersion.forall(_ >= v)) Some(v) else None
+      } else None
+    }
     var schema: Option[StructType] = None
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var partCols: Seq[String] = Nil
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
+    var version = -1L
+
+    ckptV.foreach { v =>
+      val ck = spark.read.parquet(checkpointFile(table, v).toString).collect()
+      ck.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("metaData"))) {
+          val m = r.getStruct(r.fieldIndex("metaData"))
+          schema = Some(DataType.fromJson(m.getAs[String]("schemaString"))
+            .asInstanceOf[StructType])
+          partCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
+        }
+        if (!r.isNullAt(r.fieldIndex("add"))) {
+          val a = r.getStruct(r.fieldIndex("add"))
+          live += a.getAs[String]("path") -> AddEntry(
+            a.getAs[String]("path"),
+            Option(a.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
+            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+            a.getAs[String]("stats"))
+        }
+      }
+      version = v
+    }
+
+    val logs = logFiles(table)
+      .filter { f =>
+        val v = f.getName.stripSuffix(".json").toLong
+        asOfVersion.forall(v <= _) && ckptV.forall(v > _)
+      }
+    require(logs.nonEmpty || ckptV.isDefined,
+      s"not a Delta table (no _delta_log): $table")
     for (log <- logs; line <- Files.readAllLines(log.toPath).asScala if line.nonEmpty) {
       val node = mapper.readTree(line)
-      if (node.has("metaData"))
-        schema = Some(DataType.fromJson(node.get("metaData").get("schemaString").asText())
+      if (node.has("metaData")) {
+        val m = node.get("metaData")
+        schema = Some(DataType.fromJson(m.get("schemaString").asText())
           .asInstanceOf[StructType])
-      if (node.has("add")) live += node.get("add").get("path").asText()
+        partCols =
+          if (m.has("partitionColumns"))
+            m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          else Nil
+      }
+      if (node.has("add")) {
+        val a = node.get("add")
+        val pv =
+          if (a.has("partitionValues"))
+            a.get("partitionValues").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty[String, String]
+        live += a.get("path").asText() -> AddEntry(a.get("path").asText(), pv,
+          a.get("size").asLong(), a.get("modificationTime").asLong(),
+          if (a.has("stats")) a.get("stats").asText() else null)
+      }
       if (node.has("remove")) live -= node.get("remove").get("path").asText()
     }
+    logs.lastOption.foreach(f => version = f.getName.stripSuffix(".json").toLong)
     require(schema.isDefined, s"Delta log has no metaData action: $table")
-    val paths = live.toSeq.map(p => new File(table, p).getAbsolutePath)
-    spark.read.schema(schema.get).parquet(paths: _*)
+    State(version, schema.get, partCols, live.values.toSeq)
+  }
+
+  private def protocolJson: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""
+
+  private def metaDataJson(schemaString: String, partitionBy: Seq[String],
+      now: Long): String =
+    s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${esc(schemaString)},""" +
+      s""""partitionColumns":${partitionBy.map(esc).mkString("[", ",", "]")},""" +
+      s""""configuration":{},"createdTime":$now}}"""
+
+  private def addJson(a: AddEntry, dataChange: Boolean = true): String = {
+    val pv = a.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${esc(k)}:${if (v == null) "null" else esc(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"add":{"path":${esc(a.path)},"partitionValues":$pv,"size":${a.size},""" +
+      s""""modificationTime":${a.modificationTime},"dataChange":$dataChange,""" +
+      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}}}"""
+  }
+
+  /** All parquet data files under `dir`, partition subdirs included,
+    * deterministic order.
+    */
+  private def dataFiles(dir: File): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory && f.getName != "_delta_log")
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+      else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(dir).sortBy(_.getPath)
+  }
+
+  private def toAddEntry(tableDir: File, f: File, conf: Configuration): AddEntry = {
+    val rel = tableDir.toPath.relativize(f.toPath).toString
+    // partition values from the Hive-style dir segments (col=value), Hive
+    // escaping undone; the marker dir name means a null partition value
+    val pv = rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+        Some(seg.substring(0, i) ->
+          (if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else v))
+      }
+    }.toMap
+    AddEntry(rel, pv, f.length(), f.lastModified(), s"""{"numRecords":${numRecords(f, conf)}}""")
   }
 
   private def commitAtomic(target: java.nio.file.Path, lines: Seq[String]): Unit = {

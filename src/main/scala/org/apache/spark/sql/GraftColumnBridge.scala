@@ -11,6 +11,34 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+
+  /** The engine's native SQL function surface: (name, arity, builder).
+    * Consumed by both registration paths — [[registerFunctions]] for an
+    * already-built session and [[graft.GraftExtensions]] for
+    * `spark.sql.extensions` injection at session build time.
+    */
+  val functionTable: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", 2, e => graft.functions.DotProduct(e(0), e(1))),
+    ("graft_token_hashes", 1, e => graft.functions.TokenHashes(e(0))),
+    ("graft_shingle_hashes", 2, e =>
+      graft.functions.ShingleHashes(e(0), intLit(e(1), "shingle width"))),
+    ("graft_minhash_bands", 3, e =>
+      graft.functions.MinHashBandHashes(
+        e(0), intLit(e(1), "numPerm"), intLit(e(2), "rows"))),
+    ("graft_simhash", 1, e => graft.functions.SimHashSig(e(0))))
+
+  /** Arity-checked builder for one [[functionTable]] row. */
+  def builderFor(name: String, arity: Int,
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == arity, s"$name takes exactly $arity arguments")
+      build(exprs)
+    }
+
   /** Registers graft's native expressions in the session's function
     * registry so the SQL surface can call them (`graft_dot(a, b)`,
     * `graft_token_hashes(arr)`, `graft_shingle_hashes(arr, n)`,
@@ -19,29 +47,9 @@ object GraftColumnBridge {
   def registerFunctions(spark: SparkSession): Unit = {
     val registry =
       spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-
-    def register(name: String, arity: Int)(
-        build: Seq[Expression] => Expression): Unit =
+    functionTable.foreach { case (name, arity, build) =>
       registry.createOrReplaceTempFunction(
-        name,
-        exprs => {
-          require(exprs.length == arity, s"$name takes exactly $arity arguments")
-          build(exprs)
-        },
-        "built-in")
-
-    def intLit(e: Expression, what: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+        name, builderFor(name, arity, build), "built-in")
     }
-
-    register("graft_dot", 2)(e => graft.functions.DotProduct(e(0), e(1)))
-    register("graft_token_hashes", 1)(e => graft.functions.TokenHashes(e(0)))
-    register("graft_shingle_hashes", 2)(e =>
-      graft.functions.ShingleHashes(e(0), intLit(e(1), "shingle width")))
-    register("graft_minhash_bands", 3)(e =>
-      graft.functions.MinHashBandHashes(
-        e(0), intLit(e(1), "numPerm"), intLit(e(2), "rows")))
-    register("graft_simhash", 1)(e => graft.functions.SimHashSig(e(0)))
   }
 }

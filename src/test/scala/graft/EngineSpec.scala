@@ -104,4 +104,17 @@ class EngineSpec extends AnyFunSuite {
         overwrite = true, append = true)
     }
   }
+
+  test("GraftExtensions injects SQL functions at session build, not via temp registration") {
+    // newSession() shares the extensions applied at build time but NOT temp
+    // functions registered on the parent — so resolving graft functions here
+    // proves the spark.sql.extensions path works on its own.
+    val fresh = spark.newSession()
+    val out = fresh.sql(
+      "SELECT graft_simhash(graft_token_hashes(array('a','b','a'))) AS sig, " +
+        "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot").head()
+    assert(!out.isNullAt(0))
+    assert(out.getDouble(1) == 11.0)
+  }
 }

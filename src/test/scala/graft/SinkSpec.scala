@@ -220,4 +220,112 @@ class SinkSpec extends AnyFunSuite {
     assert(df.count() > 0)
     assert(df.columns.contains("sum_disc_price"))
   }
+
+  test("Delta partitioned write: layout, partitionValues, typed read-back") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val df = Seq((1L, "en", 1.5), (2L, "en", 2.5), (3L, "de", 3.5), (4L, null, 9.0))
+      .toDF("id", "lang", "v")
+    assert(DeltaSink.write(df, table, partitionBy = Seq("lang")))
+    // Hive-style partition dirs on disk
+    val dirs = new File(table).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.contains("lang=en") && dirs.contains("lang=de"))
+    // metaData declares the partition column; adds carry partitionValues
+    val v0 = Files.readString(Paths.get(table, "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains(""""partitionColumns":["lang"]"""))
+    val v1 = Files.readString(Paths.get(table, "_delta_log", "00000000000000000001.json"))
+    assert(v1.contains(""""lang":"en"""") && v1.contains(""""lang":"de""""))
+    // read-back restores partition column with declared type and order
+    val back = DeltaSink.read(spark, table)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "lang", "v"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, null)))
+  }
+
+  test("Delta partitioned read prunes partitions at planning time") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de", i * 1.0))
+      .toDF("id", "lang", "v")
+    assert(DeltaSink.write(df, table, partitionBy = Seq("lang")))
+    val q = DeltaSink.read(spark, table).filter(col("lang") === "en")
+    assert(q.count() == 50)
+    // the filter lands in the scan's PartitionFilters, not a post-scan Filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
+  }
+
+  test("Delta partitioned append respects the table layout") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      Seq((1L, "en", 1.0)).toDF("id", "lang", "v"), table, partitionBy = Seq("lang")))
+    DeltaSink.append(Seq((2L, "fr", 2.0)).toDF("id", "lang", "v"), table)
+    assert(new File(table, "lang=fr").isDirectory)
+    val back = DeltaSink.read(spark, table)
+    assert(back.count() == 2)
+    assert(back.filter(col("lang") === "fr").select("id").head().getLong(0) == 2L)
+  }
+
+  test("Delta checkpoint: reader starts from the parquet snapshot, time travel intact") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    (4 to 8).foreach { i =>
+      DeltaSink.append(Seq((i.toLong, s"r$i", i * 1.0)).toDF("id", "name", "v"), table)
+    }
+    val v = DeltaSink.checkpoint(spark, table)
+    assert(v == DeltaSink.latestVersion(table))
+    assert(Files.exists(Paths.get(table, "_delta_log", f"$v%020d.checkpoint.parquet")))
+    assert(Files.readString(Paths.get(table, "_delta_log", "_last_checkpoint"))
+      .contains(s""""version":$v"""))
+    // post-checkpoint read = full state; appends after checkpoint replay on top
+    assert(DeltaSink.read(spark, table).count() == 8)
+    DeltaSink.append(Seq((99L, "z", 0.0)).toDF("id", "name", "v"), table)
+    assert(DeltaSink.read(spark, table).count() == 9)
+    // time travel to a pre-checkpoint version still replays the JSON log
+    assert(DeltaSink.read(spark, table, asOfVersion = Some(2L)).count() == 4)
+  }
+
+  test("Delta auto-checkpoint fires at the CheckpointInterval append") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table)) // versions 0, 1
+    (1 to (DeltaSink.CheckpointInterval - 1)).foreach { i =>
+      DeltaSink.append(Seq((100L + i, s"a$i", 0.1)).toDF("id", "name", "v"), table)
+    } // last append commits version CheckpointInterval
+    assert(Files.exists(Paths.get(table, "_delta_log", "_last_checkpoint")))
+  }
+
+  test("Delta compact bin-packs small files; data and history unchanged") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    (4 to 9).foreach { i =>
+      DeltaSink.append(Seq((i.toLong, s"r$i", i * 1.0)).toDF("id", "name", "v"), table)
+    }
+    val beforeIds = DeltaSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (before, after) = DeltaSink.compact(spark, table)
+    assert(before > after && after >= 1)
+    // same rows, fewer live files; one new log version with dataChange=false
+    val afterIds = DeltaSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterIds == beforeIds)
+    val lastLog = Files.readString(Paths.get(table, "_delta_log",
+      f"${DeltaSink.latestVersion(table)}%020d.json"))
+    assert(lastLog.contains(""""remove"""") && lastLog.contains(""""dataChange":false"""))
+    // pre-compaction snapshots still readable (old files remain until vacuum)
+    assert(DeltaSink.read(spark, table, asOfVersion = Some(2L)).count() == 4)
+  }
 }
