@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule}
 import graft.QueryDef._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,16 +77,42 @@ object ExtendedRelQueries extends QueryModule {
 
     QueryDef(
       "q_percentile",
-      // Exact percentiles (sort-based aggregate, linear interpolation) —
-      // same definition as DuckDB quantile_cont/median.
-      (s, dir) =>
-        t(s, dir, "orders")
-          .groupBy("o_orderpriority")
+      // Exact percentiles by DISTRIBUTED SORT, not by buffering: Spark's
+      // `percentile` aggregate holds every group value in a boxed
+      // OpenHashMap per group — the formulation SURVEY.md §2.2 calls
+      // impossible at scale. Here one window sort ranks values per group,
+      // each quantile reads exactly its two interpolation neighbors
+      // (idx = floor/ceil((n-1)p)), and the follow-up groupBy reuses the
+      // window's partitioning (no second exchange). Same linear
+      // interpolation as DuckDB quantile_cont / Spark percentile:
+      // lo + (hi - lo) * frac.
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("v")
+        val cw = Window.partitionBy("o_orderpriority")
+        val ranked = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_totalprice").cast("double").as("v"))
+          .withColumn("idx", (row_number().over(w) - lit(1)).cast("double"))
+          .withColumn("cnt", count(lit(1)).over(cw).cast("double"))
+        def pos(p: Double) = (col("cnt") - 1) * lit(p)
+        def vAt(c: Column) = max(when(col("idx") === c, col("v")))
+        def interp(lo: Column, hi: Column, p: Double, n: Column) = {
+          val position = (n - 1) * lit(p)
+          lo + (hi - lo) * (position - floor(position))
+        }
+        ranked.groupBy("o_orderpriority")
           .agg(
-            toDbl(expr("percentile(o_totalprice, 0.5)").cast(Dec38)).as("p50"),
-            toDbl(expr("percentile(o_totalprice, 0.9)").cast(Dec38)).as("p90"),
-            max(col("o_totalprice")).as("mx"))
-          .orderBy("o_orderpriority"),
+            vAt(floor(pos(0.5))).as("lo50"), vAt(ceil(pos(0.5))).as("hi50"),
+            vAt(floor(pos(0.9))).as("lo90"), vAt(ceil(pos(0.9))).as("hi90"),
+            max(col("o_totalprice")).as("mx"), count(lit(1)).as("n"))
+          .select(col("o_orderpriority"),
+            toDbl(interp(col("lo50"), col("hi50"), 0.5, col("n").cast("double"))
+              .cast(Dec38)).as("p50"),
+            toDbl(interp(col("lo90"), col("hi90"), 0.9, col("n").cast("double"))
+              .cast(Dec38)).as("p90"),
+            col("mx"))
+          .orderBy("o_orderpriority")
+      },
       Some("""SELECT o_orderpriority,
              |CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS p50,
              |CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)) AS DOUBLE) AS p90,

@@ -139,7 +139,19 @@ object TextQueries extends QueryModule {
         val docs = t(s, dir, "documents")
         val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dft = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        // df derives from tf, not from the raw token stream: tf rows are
+        // distinct (doc, term) by construction, so df(term) is a plain
+        // count over the ALREADY-AGGREGATED table — no second explode, no
+        // two-phase countDistinct over every token in the corpus. At 100 TB
+        // the raw token stream is the biggest intermediate in the whole
+        // pipeline; aggregating it once and reusing that is the only shape
+        // that holds up. The count is phrased over the `tf` column (always
+        // ≥ 1, so sum of the predicate ≡ count) to keep this subtree
+        // byte-identical to the join's tf side — otherwise column pruning
+        // rewrites it to a bare distinct and ReusedExchange cannot share
+        // the explode + (doc, term) shuffle between the two branches.
+        val dft = tf.groupBy("term")
+          .agg(sum((col("tf") >= 1).cast("long")).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
         tf.join(dft, "term").crossJoin(broadcast(n))
           .withColumn("tfidf",
