@@ -83,9 +83,13 @@ object DeltaSink {
   private case class AddEntry(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, stats: String)
 
-  /** Replayed snapshot of the `_delta_log` at `asOfVersion` (or latest). */
+  /** Replayed snapshot of the `_delta_log` at `asOfVersion` (or latest).
+    * `txns` is the streaming-writer watermark map: appId → highest
+    * committed transaction version (Delta's `txn` action).
+    */
   private case class State(version: Long, schema: StructType,
-      partitionColumns: Seq[String], live: Seq[AddEntry])
+      partitionColumns: Seq[String], live: Seq[AddEntry],
+      txns: Map[String, Long])
 
   /** Writes `df` as a brand-new Delta table. Returns true if written; false
     * if the target was non-empty and overwrite was not requested (the
@@ -147,10 +151,30 @@ object DeltaSink {
     * other's files, the same unique-file-name discipline real Delta writers
     * use.
     */
-  def append(df: DataFrame, table: String, retries: Int = 3): Long = {
+  def append(df: DataFrame, table: String, retries: Int = 3): Long =
+    append(df, table, retries, None)
+
+  /** Exactly-once append for streaming writers: the commit carries a
+    * `txn` action recording (appId, txnVersion), and a batch whose
+    * txnVersion is ≤ the table's recorded watermark for that appId is
+    * SKIPPED — so a foreachBatch sink that dies between "committed to
+    * Delta" and "checkpointed by Spark" simply replays the batch into a
+    * no-op instead of double-writing it. This is Delta's streaming-sink
+    * idempotence protocol. Returns the committed version, or -1 if the
+    * batch was already in the table.
+    */
+  def appendExactlyOnce(df: DataFrame, table: String, appId: String,
+      txnVersion: Long): Long =
+    append(df, table, 3, Some((appId, txnVersion)))
+
+  private def append(df: DataFrame, table: String, retries: Int,
+      txn0: Option[(String, Long)]): Long = {
     val dir = new File(table)
     require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
     val state = replay(df.sparkSession, table, None)
+    txn0.foreach { case (appId, v) =>
+      if (state.txns.get(appId).exists(_ >= v)) return -1L
+    }
     SchemaGate.enforce(df.schema, state.schema)
     val staging = Files.createTempDirectory("graft-delta-txn").toFile
     val txn = java.util.UUID.randomUUID().toString
@@ -174,16 +198,26 @@ object DeltaSink {
         addJson(toAddEntry(dir, target, conf))
       }
     } finally deleteRecursively(staging)
+    val txnLine = txn0.map { case (appId, v) =>
+      s"""{"txn":{"appId":${esc(appId)},"version":$v}}"""
+    }
     var attempt = 0
     while (true) {
       val next = latestVersion(table) + 1
       try {
-        commitAtomic(versionFile(table, next), adds)
+        commitAtomic(versionFile(table, next), txnLine.toSeq ++ adds)
         if (next % CheckpointInterval == 0) checkpoint(df.sparkSession, table)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < retries =>
           attempt += 1 // another writer claimed this version; re-read and retry
+          txn0.foreach { case (appId, v) =>
+            // the colliding writer may have been a replay of THIS batch
+            // (two speculative executions of one foreachBatch): re-check
+            // the txn watermark before re-claiming a version
+            if (replay(df.sparkSession, table, None).txns.get(appId)
+                  .exists(_ >= v)) return -1L
+          }
       }
     }
     -1 // unreachable
@@ -205,8 +239,17 @@ object DeltaSink {
     val staging = Files.createTempDirectory("graft-delta-compact").toFile
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
+    // Bin-pack target: total row count comes from the log's own numRecords
+    // stats (no data scan), then coalesce to ceil(rows / maxRecordsPerFile)
+    // write tasks — maxRecordsPerFile still caps each file, so the result
+    // is the minimal file count at the declared file size.
+    val totalRows = state.live.map { a =>
+      Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+        .getOrElse(0L)
+    }.sum
+    val nFiles = math.max(1, ((totalRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
     val adds = try {
-      val writer = current.write
+      val writer = current.coalesce(nFiles).write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -251,14 +294,18 @@ object DeltaSink {
   def checkpoint(spark: SparkSession, table: String): Long = {
     val state = replay(spark, table, None)
     val rows: Seq[Row] =
-      Row(Row(1, 1), null, null) +:
+      (Row(Row(1, 1), null, null, null) +:
       Row(null,
         Row(java.util.UUID.randomUUID().toString, Row("parquet"),
           StructType(state.schema.fields.map(_.copy(nullable = true))).json,
           state.partitionColumns, System.currentTimeMillis()),
-        null) +:
+        null, null) +:
       state.live.map(a => Row(null, null,
-        Row(a.path, a.partitionValues, a.size, a.modificationTime, true, a.stats)))
+        Row(a.path, a.partitionValues, a.size, a.modificationTime, true, a.stats),
+        null))) ++
+      state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v))
+      }
     val df = spark.createDataFrame(rows.asJava, CheckpointSchema).coalesce(1)
     val staging = Files.createTempDirectory("graft-delta-ckpt").toFile
     try {
@@ -290,7 +337,42 @@ object DeltaSink {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType))))))
+      StructField("stats", StringType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
+
+  /** Highest committed streaming-transaction version for `appId`, or -1 —
+    * the watermark [[appendExactlyOnce]] consults.
+    */
+  def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long =
+    replay(spark, table, None).txns.getOrElse(appId, -1L)
+
+  /** Physically deletes data files no longer referenced by the LATEST
+    * snapshot whose on-disk mtime is older than `retentionMs` — the VACUUM
+    * verb that reclaims space after [[compact]]/overwriting appends. Like
+    * real Delta vacuum this also sweeps orphans (files from crashed
+    * writers that never committed). Time travel to versions that
+    * referenced a deleted file stops working — that's the retention
+    * tradeoff the caller chooses. Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, table: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val dir = new File(table)
+    val liveNow = replay(spark, table, None).live.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val dead = dataFiles(dir).filter { f =>
+      val rel = dir.toPath.relativize(f.toPath).toString
+      !liveNow.contains(rel) && f.lastModified() < cutoff
+    }
+    dead.foreach(_.delete())
+    // drop partition dirs emptied by the sweep
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != "_delta_log" &&
+        Option(d.listFiles()).forall(_.isEmpty))
+      .foreach(_.delete())
+    dead.size
+  }
 
   /** Latest committed log version of a Delta table. */
   def latestVersion(table: String): Long =
@@ -325,7 +407,8 @@ object DeltaSink {
       // partition-prunes on them; select() pins the declared column order.
       spark.read.schema(state.schema).option("basePath", table)
         .parquet(paths: _*)
-        .select(state.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .select(state.schema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
     }
   }
 
@@ -340,6 +423,7 @@ object DeltaSink {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     var version = -1L
 
     ckptV.foreach { v =>
@@ -358,6 +442,10 @@ object DeltaSink {
             Option(a.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
             a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
             a.getAs[String]("stats"))
+        }
+        if (r.schema.fieldNames.contains("txn") && !r.isNullAt(r.fieldIndex("txn"))) {
+          val t = r.getStruct(r.fieldIndex("txn"))
+          txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
         }
       }
       version = v
@@ -393,10 +481,16 @@ object DeltaSink {
           if (a.has("stats")) a.get("stats").asText() else null)
       }
       if (node.has("remove")) live -= node.get("remove").get("path").asText()
+      if (node.has("txn")) {
+        val t = node.get("txn")
+        val app = t.get("appId").asText()
+        val v = t.get("version").asLong()
+        if (txns.get(app).forall(_ < v)) txns += app -> v
+      }
     }
     logs.lastOption.foreach(f => version = f.getName.stripSuffix(".json").toLong)
     require(schema.isDefined, s"Delta log has no metaData action: $table")
-    State(version, schema.get, partCols, live.values.toSeq)
+    State(version, schema.get, partCols, live.values.toSeq, txns.toMap)
   }
 
   private def protocolJson: String =

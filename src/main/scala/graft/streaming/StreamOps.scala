@@ -67,4 +67,26 @@ object StreamOps {
         graft.sinks.DeltaSink.write(batch, table, overwrite = true): Unit
       }
       .start()
+
+  /** Exactly-once streaming ingest: every micro-batch appends to the Delta
+    * table as ONE OCC-committed log version carrying a `txn` action
+    * (appId, batchId). If the query restarts and Spark replays a batch the
+    * table already committed (crash between Delta commit and Spark
+    * checkpoint — the classic at-least-once gap of foreachBatch), the
+    * replay hits the txn watermark and becomes a no-op: end-to-end
+    * exactly-once without any coordination beyond the table's own log.
+    * This is the streaming analogue of the reference's pg→Delta load
+    * (lib.rs:106-120): an unbounded source continuously loaded into a
+    * lakehouse table. The target table must already exist (create it with
+    * [[graft.sinks.DeltaSink.write]] — possibly empty — so the schema and
+    * partition layout are declared before the stream starts).
+    */
+  def streamToDelta(stream: DataFrame, table: String,
+      appId: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sinks.DeltaSink.appendExactlyOnce(batch, table, appId, batchId): Unit
+      }
+      .start()
 }

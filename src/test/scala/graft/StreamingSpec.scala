@@ -155,4 +155,73 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
     } finally q.stop()
   }
+
+  test("exactly-once streaming ingest: appends commit with txn actions, replays no-op") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-stream-delta").toString
+    // declare the table (schema) before the stream starts
+    assert(graft.sinks.DeltaSink.write(
+      Seq.empty[(Long, String)].toDF("event_id", "event_type"), table))
+    val input = MemoryStream[Ev]
+    val q = StreamOps.streamToDelta(
+      input.toDF().select($"event_id", $"event_type"), table, appId = "ingest-test")
+    try {
+      input.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "b", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(2), 2, "c", 1.0))
+      q.processAllAvailable()
+      val got = graft.sinks.DeltaSink.read(spark, table)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+      // the commits carry txn actions; the watermark is the last batch id
+      val wm = graft.sinks.DeltaSink.lastTxnVersion(spark, table, "ingest-test")
+      assert(wm >= 1L)
+      // a crash-replay of an already-committed batch must be a no-op
+      val replayed = graft.sinks.DeltaSink.appendExactlyOnce(
+        Seq((1L, "a")).toDF("event_id", "event_type"), table, "ingest-test", wm)
+      assert(replayed == -1L)
+      assert(graft.sinks.DeltaSink.read(spark, table).count() == 3)
+      // but the next batch id goes through
+      val v = graft.sinks.DeltaSink.appendExactlyOnce(
+        Seq((4L, "d")).toDF("event_id", "event_type"), table, "ingest-test", wm + 1)
+      assert(v > 0)
+      assert(graft.sinks.DeltaSink.read(spark, table).count() == 4)
+    } finally q.stop()
+  }
+
+  test("txn watermark survives a checkpoint") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-txn-ckpt").toString
+    assert(graft.sinks.DeltaSink.write(Seq((0L, "seed")).toDF("id", "s"), table))
+    graft.sinks.DeltaSink.appendExactlyOnce(
+      Seq((1L, "x")).toDF("id", "s"), table, "app-a", 7L)
+    graft.sinks.DeltaSink.checkpoint(spark, table)
+    assert(graft.sinks.DeltaSink.lastTxnVersion(spark, table, "app-a") == 7L)
+    // replay of batch 7 after the checkpoint still no-ops
+    assert(graft.sinks.DeltaSink.appendExactlyOnce(
+      Seq((1L, "x")).toDF("id", "s"), table, "app-a", 7L) == -1L)
+  }
+
+  test("vacuum deletes compacted-away files past retention, keeps live ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    assert(graft.sinks.DeltaSink.write(Seq((1L, "a")).toDF("id", "s"), table))
+    (2 to 4).foreach { i =>
+      graft.sinks.DeltaSink.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), table)
+    }
+    val (before, after) = graft.sinks.DeltaSink.compact(spark, table)
+    assert(before == 4 && after == 1)
+    // retention 0: every tombstoned file is reclaimable immediately
+    val deleted = graft.sinks.DeltaSink.vacuum(spark, table, retentionMs = 0L)
+    assert(deleted == 4)
+    // current snapshot unaffected
+    assert(graft.sinks.DeltaSink.read(spark, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // nothing left to reclaim on a second pass
+    assert(graft.sinks.DeltaSink.vacuum(spark, table, retentionMs = 0L) == 0)
+  }
 }
