@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's reusable operator library — the generic forms of the
+  * operators the declared query inventory (SURVEY.md §2.2) exercises on
+  * the test corpus. Each is a plain DataFrame→DataFrame combinator that
+  * builds the exact plan shape the corresponding `q_*` query pins in
+  * PlanSpec, so library users get the scale-audited formulation, not a
+  * naive one:
+  *
+  *  - [[asofJoin]] — union+window rewrite (one shuffle per key, per-key
+  *    sort), never a per-row subquery or range cross-join;
+  *  - [[topKPerGroup]] — window row_number + filter (WindowGroupLimit
+  *    bounds the shuffle since Spark 3.5);
+  *  - [[saltedEquiJoin]] — manual skew fallback: fact-side salt,
+  *    dim replicated per salt, shuffle_hash (salting bounds reducer
+  *    partitions, so hash-build skips both sort passes);
+  *  - [[tableDiff]] — CDC snapshot reconciliation via full-outer join with
+  *    presence markers (row absence ≠ null value);
+  *  - [[sampleByHash]] / [[sampleStratified]] — deterministic md5-prefix
+  *    sampling, stable across engines, partitionings and reruns (seeded
+  *    RNG sampling is not).
+  *
+  * The matching `q_*` queries delegate here, so every operator stays under
+  * the driver's DuckDB-oracle correctness gate.
+  */
+object Ops {
+
+  /** As-of join: for each left row, the LATEST right row of the same key
+    * with `rightTime <= leftTime` (`strict`: `<`). DuckDB `ASOF JOIN`
+    * semantics (SURVEY.md §7.3).
+    *
+    * Scalable union+window rewrite: both sides union into one keyed
+    * stream, ONE shuffle by key, a per-key sort by (time, side-tag), and
+    * `last(payload, ignoreNulls)` over the unbounded-preceding frame picks
+    * each left row's answer. The side-tag breaks time ties: non-strict
+    * sorts right rows first (same-instant right row matches), strict sorts
+    * left rows first (it doesn't).
+    *
+    * Right rows should be unique per (key, time) — pre-aggregate ties
+    * (e.g. `groupBy(key, time).agg(max(...))`) for deterministic output.
+    * Returns all left columns plus `valueCols` from the matched right row
+    * (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String], strict: Boolean = false): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lTag = if (strict) 0 else 1
+    val payloadType = right.select(valueCols.map(col): _*).schema
+    val leftType = left.schema
+    val lp = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(lTag).as("__tag"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(payloadType).as("__p"))
+    val rp = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(1 - lTag).as("__tag"),
+      lit(null).cast(leftType).as("__l"),
+      struct(valueCols.map(col): _*).as("__p"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lp.unionByName(rp)
+      .withColumn("__last", last("__p", ignoreNulls = true).over(w))
+      .filter(col("__tag") === lTag)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** Top-`k` rows per group by `order`, with the rank appended as `rnName`
+    * (long). One shuffle by the group columns; WindowGroupLimit keeps at
+    * most k rows per group per map task ahead of the exchange. Include a
+    * unique tiebreak in `order` for deterministic output.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+      order: Seq[Column], k: Int, rnName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rnName, row_number().over(w).cast("long"))
+      .filter(col(rnName) <= k)
+  }
+
+  /** Skew-resilient equi-join: the fact side carries a deterministic salt
+    * in [0, `salts`) hashed from `saltOn`, the dim side replicates one row
+    * per salt, and the join key becomes (key, salt) — a hot key's rows
+    * spread over `salts` reducers instead of melting one. Result-identical
+    * to the plain join; only the shuffle shape changes. The manual
+    * fallback for skew AQE can't reach (SURVEY.md §4.4.8); a production
+    * variant salts only keys above a frequency threshold.
+    */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame,
+      joinCond: Column, saltOn: Seq[Column], salts: Int = 8): DataFrame =
+    fact.withColumn("__fsalt", pmod(xxhash64(saltOn: _*), lit(salts)))
+      .join(
+        dim.withColumn("__dsalt", explode(array((0 until salts).map(lit): _*)))
+          .hint("shuffle_hash"),
+        joinCond && col("__fsalt") === col("__dsalt"))
+      .drop("__fsalt", "__dsalt")
+
+  /** CDC snapshot diff: full-outer join `old` and `neu` on `keys`, value
+    * columns suffixed `_old`/`_new`, classified insert / delete / update
+    * (unchanged rows dropped). Presence is tracked with marker columns,
+    * not value nullness, so a legitimately-null value never misclassifies
+    * as an insert/delete. Both inputs must share the same schema.
+    */
+  def tableDiff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    require(old.columns.toSeq == neu.columns.toSeq,
+      s"tableDiff inputs must share a schema: ${old.columns.toSeq} vs ${neu.columns.toSeq}")
+    val valueCols = old.columns.toSeq.filterNot(keys.contains)
+    val o = old.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"${c}_old")) :+ lit(1).as("__o"): _*)
+    val n = neu.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"${c}_new")) :+ lit(1).as("__n"): _*)
+    val changed = valueCols
+      .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__o").isNull, "insert")
+          .when(col("__n").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(keys.map(col) ++
+        valueCols.flatMap(c => Seq(col(s"${c}_old"), col(s"${c}_new"))) :+
+        col("change"): _*)
+  }
+
+  /** Deterministic sample: keeps rows whose md5(key) hex prefix sorts
+    * below `hexThreshold` (e.g. "2000" ≈ 12.5%). A pure function of the
+    * key — stable across engines, partitionings and reruns, unlike
+    * seeded-RNG `sample()`; stratify by keying on (source, id).
+    */
+  def sampleByHash(df: DataFrame, key: Column, hexThreshold: String): DataFrame =
+    df.filter(
+      substring(md5(key.cast("string")), 1, hexThreshold.length) < hexThreshold)
+
+  /** Stratified deterministic sample: per-stratum hex thresholds (4-digit,
+    * e.g. "4000" = 25%) with a default for unlisted strata — weighted
+    * corpus mixing with [[sampleByHash]]'s stability.
+    */
+  def sampleStratified(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, String], default: String): DataFrame = {
+    val threshold = rates.foldLeft(when(lit(false), lit(default))) {
+      case (acc, (value, hex)) => acc.when(stratum === value, lit(hex))
+    }.otherwise(lit(default))
+    df.filter(substring(md5(key.cast("string")), 1, 4) < threshold)
+  }
+}

@@ -155,21 +155,13 @@ object JoinQueries extends QueryModule {
       // splitting can't reach (skewed aggregations, pre-AQE stages); a
       // production variant salts only keys above a frequency threshold
       // instead of replicating the whole dim side.
-      (s, dir) => {
-        val salts = 8
-        val fact = t(s, dir, "lineitem")
-          .withColumn("fsalt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
-        val dim = t(s, dir, "orders")
-          .withColumn("dsalt", explode(array((0 until salts).map(lit): _*)))
-        // shuffle_hash, not sort-merge: salting already bounds every
-        // reducer's partition, so hash-building the (replicated) dim side
-        // skips both sides' sort passes — the pairing that makes manual
-        // salting cheap at scale.
-        fact.join(dim.hint("shuffle_hash"),
-            col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+      (s, dir) =>
+        graft.operators.Ops.saltedEquiJoin(
+            t(s, dir, "lineitem"), t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"),
+            saltOn = Seq(col("l_orderkey"), col("l_linenumber")))
           .select("l_orderkey", "l_linenumber", "o_totalprice")
-          .orderBy("l_orderkey", "l_linenumber")
-      },
+          .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber, o_totalprice
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
@@ -184,20 +176,14 @@ object JoinQueries extends QueryModule {
       // frame. Orders are first deduped per (custkey, orderdate) — max
       // orderkey wins — so ties are deterministic on both engines.
       (s, dir) => {
-        val ev = t(s, dir, "events").select(
-          col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
-          col("event_id"), lit(null).cast("long").as("okey"))
+        val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
         val od = t(s, dir, "orders")
-          .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
-          .agg(max("o_orderkey").as("okey"))
-          .select(col("k"), col("t"), lit(0).as("tag"),
-            lit(null).cast("long").as("event_id"), col("okey"))
-        val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.unionByName(od)
-          .withColumn("o_orderkey", last("okey", ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
-          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"), col("o_orderkey"))
+          .groupBy("o_custkey", "o_orderdate")
+          .agg(max("o_orderkey").as("o_orderkey"))
+        graft.operators.Ops.asofJoin(ev, od,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey"))
           .orderBy("event_id")
       },
       Some("""SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
@@ -215,20 +201,14 @@ object JoinQueries extends QueryModule {
       // 0) sort BEFORE orders (tag 1), so an event's unbounded-preceding
       // frame excludes same-instant orders.
       (s, dir) => {
-        val ev = t(s, dir, "events").select(
-          col("user_id").as("k"), col("ts").as("t"), lit(0).as("tag"),
-          col("event_id"), lit(null).cast("long").as("okey"))
+        val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
         val od = t(s, dir, "orders")
-          .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
-          .agg(max("o_orderkey").as("okey"))
-          .select(col("k"), col("t"), lit(1).as("tag"),
-            lit(null).cast("long").as("event_id"), col("okey"))
-        val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.unionByName(od)
-          .withColumn("o_orderkey", last("okey", ignoreNulls = true).over(w))
-          .filter(col("tag") === 0)
-          .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"), col("o_orderkey"))
+          .groupBy("o_custkey", "o_orderdate")
+          .agg(max("o_orderkey").as("o_orderkey"))
+        graft.operators.Ops.asofJoin(ev, od,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey"), strict = true)
           .orderBy("event_id")
       },
       Some("""SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
@@ -247,20 +227,13 @@ object JoinQueries extends QueryModule {
       // balances bumped for low keys (updates).
       (s, dir) => {
         val old = t(s, dir, "customer")
-          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_old"))
+          .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
         val neu = t(s, dir, "customer")
           .filter(col("c_acctbal") <= 9000)
           .select(col("c_custkey").as("key"),
             when(col("c_custkey") < 100, col("c_acctbal") + 10)
-              .otherwise(col("c_acctbal")).as("bal_new"))
-        old.join(neu, Seq("key"), "full_outer")
-          .withColumn("change",
-            when(col("bal_old").isNull, "insert")
-              .when(col("bal_new").isNull, "delete")
-              .when(col("bal_old") =!= col("bal_new"), "update")
-              .otherwise("unchanged"))
-          .filter(col("change") =!= "unchanged")
-          .select("key", "bal_old", "bal_new", "change")
+              .otherwise(col("c_acctbal")).as("bal"))
+        graft.operators.Ops.tableDiff(old, neu, keys = Seq("key"))
           .orderBy("key")
       },
       Some("""WITH old AS (SELECT c_custkey AS key, c_acctbal AS bal_old FROM customer),

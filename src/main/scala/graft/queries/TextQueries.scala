@@ -179,8 +179,8 @@ object TextQueries extends QueryModule {
       // reruns, and trivially stratifiable by keying on (source, doc_id).
       // Fixed-width lowercase hex compares lexicographically = numerically.
       (s, dir) =>
-        t(s, dir, "documents")
-          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "2000")
+        graft.operators.Ops.sampleByHash(
+            t(s, dir, "documents"), col("doc_id"), hexThreshold = "2000")
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars FROM documents
@@ -273,9 +273,9 @@ object TextQueries extends QueryModule {
       // the corpus-mixing primitive with per-source weights, stable across
       // engines and partitionings (unlike sampleBy's RNG).
       (s, dir) =>
-        t(s, dir, "documents")
-          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
-            when(col("lang") === "en", lit("4000")).otherwise(lit("1000")))
+        graft.operators.Ops.sampleStratified(
+            t(s, dir, "documents"), col("doc_id"), col("lang"),
+            rates = Map("en" -> "4000"), default = "1000")
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars FROM documents

@@ -99,16 +99,12 @@ object WindowQueries extends QueryModule {
       // The aggregate formulation (q_topk_agg) halves the shuffle further:
       // partial top-k per map task means ≤ k rows per group per partition
       // cross the wire instead of every row.
-      (s, dir) => {
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        t(s, dir, "orders")
-          .select(
-            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-            row_number().over(w).cast("long").as("rn"))
-          .filter(col("rn") <= 3)
-          .orderBy("o_custkey", "rn")
-      },
+      (s, dir) =>
+        graft.operators.Ops.topKPerGroup(
+            t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+            partitionCols = Seq("o_custkey"),
+            order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+          .orderBy("o_custkey", "rn"),
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
