@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Ops
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic-path edge cases for the operator library — the corpus queries
+  * exercise the happy paths under the DuckDB oracle; these pin the
+  * semantics the corpus doesn't reach.
+  */
+class OpsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("asofJoin: no preceding right row yields nulls; ties resolve by strictness") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "rX"))
+      .toDF("k", "t", "v")
+    val loose = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .orderBy("ev").collect()
+    // e1 at t=10 matches the same-instant r10; e2 takes the latest (r15);
+    // e3's key has no right rows at all -> null
+    assert(loose.map(r => (r.getString(2), Option(r.getString(3)))).toSeq ==
+      Seq(("e1", Some("r10")), ("e2", Some("r15")), ("e3", None)))
+    val strict = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("v"), strict = true)
+      .orderBy("ev").collect()
+    // strict: e1 must NOT see the same-instant r10
+    assert(strict.map(r => (r.getString(2), Option(r.getString(3)))).toSeq ==
+      Seq(("e1", None), ("e2", Some("r15")), ("e3", None)))
+  }
+
+  test("asofJoin carries multiple value columns from the same matched row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 20L, "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "a", 100L), (1L, 15L, "b", 200L))
+      .toDF("k", "t", "v1", "v2")
+    val out = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("v1", "v2")).head()
+    // both values come from the SAME row (t=15), never mixed across rows
+    assert(out.getString(3) == "b" && out.getLong(4) == 200L)
+  }
+
+  test("tableDiff: null values do not misclassify as insert/delete") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Some("x")), (2L, None: Option[String]), (3L, Some("z")))
+      .toDF("key", "v")
+    val neu = Seq((1L, None: Option[String]), (2L, None: Option[String]), (4L, Some("w")))
+      .toDF("key", "v")
+    val out = Ops.tableDiff(old, neu, Seq("key")).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    // key 1: x -> null is an UPDATE (row still present); key 2: null -> null
+    // unchanged (dropped); key 3 deleted; key 4 inserted
+    assert(out == Seq((1L, "update"), (3L, "delete"), (4L, "insert")))
+  }
+
+  test("sampleByHash is deterministic and partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val a = Ops.sampleByHash(df, col("id"), "2000").collect().map(_.getLong(0)).sorted
+    val b = Ops.sampleByHash(df.repartition(7), col("id"), "2000")
+      .collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // ~12.5% of 1000, generous bounds
+    assert(a.length > 60 && a.length < 200)
+  }
+
+  test("saltedEquiJoin equals the plain join") {
+    val s = spark
+    import s.implicits._
+    val fact = (1 to 500).map(i => (i.toLong % 3, i.toLong)).toDF("fk", "row")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("dk", "label")
+    val salted = Ops.saltedEquiJoin(fact, dim, col("fk") === col("dk"),
+        saltOn = Seq(col("row")))
+      .select("row", "label").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("row", "label").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
