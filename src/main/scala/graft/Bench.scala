@@ -42,6 +42,12 @@ object Bench {
       .filter { case (n, _) => subset.isEmpty || subset.contains(n) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        // Collect the previous query's garbage (dropped broadcasts, shuffle
+        // buffers) OUTSIDE the timed window: without this, whichever query
+        // happens to trigger the full GC pays for its predecessors —
+        // observed as an 8× bimodal swing on q_json_funcs in full-suite
+        // runs while the query alone was stable.
+        System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -143,11 +143,13 @@ object ScalarQueries extends QueryModule {
     QueryDef(
       "q_json_funcs",
       (s, dir) =>
+        // two projections so the JSON parse happens ONCE per row (jki
+        // derives from the materialized jk attribute) — a second
+        // get_json_object would re-tokenize the whole props string
         t(s, dir, "events")
-          .select(
-            col("event_id"),
-            get_json_object(col("props"), "$.k").as("jk"),
-            get_json_object(col("props"), "$.k").cast("int").as("jki"))
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").as("jk"))
+          .select(col("event_id"), col("jk"), col("jk").cast("int").as("jki"))
           .orderBy("event_id"),
       Some("""SELECT event_id,
              |json_extract_string(props, '$.k') AS jk,
