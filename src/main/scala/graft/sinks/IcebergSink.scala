@@ -218,20 +218,96 @@ object IcebergSink {
     }
   }
 
-  /** Reads the table at its current version: hint → metadata → current
-    * snapshot → manifest list → manifests → data files.
+  /** Reads the table at its current version (hint → metadata → current
+    * snapshot → manifest list → manifests → data files), or — snapshot
+    * time travel — at `asOfSnapshotId`: every snapshot in the metadata
+    * keeps its own manifest list, so reading an older one is just
+    * resolving that list instead of the current ref.
     */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val hint = readHint(table).getOrElse(
-      throw new IllegalArgumentException(s"not an Iceberg table (no version-hint.text): $table"))
-    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+  def read(spark: SparkSession, table: String,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = currentMeta(table)
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
-    val files = currentManifestList(table, meta).toSeq
-      .flatMap(readManifestPaths(table, _))
+    val snapId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val list = manifestListOf(table, meta, snapId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapId in $table " +
+        "(expired or never committed)"))
+    val files = Seq(list).flatMap(readManifestPaths(table, _))
       .flatMap(mp => dataFilesOf(table, mp))
-    spark.read.schema(schema).parquet(files: _*)
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(files: _*)
   }
+
+  /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the
+    * current metadata retains, oldest first — the discovery surface for
+    * [[read]]'s time travel and [[expireSnapshots]]' retention choice.
+    */
+  def snapshots(table: String): Seq[(Long, Long, Long)] = {
+    val meta = currentMeta(table)
+    meta.get("snapshots").elements().asScala.map { s =>
+      (s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
+        s.get("timestamp-ms").asLong())
+    }.toSeq.sortBy(_._2)
+  }
+
+  /** Retention: keeps the `keepLast` most recent snapshots (always
+    * including the current one), commits a new metadata version without
+    * the expired ones (IF-NOT-EXISTS put, same OCC protocol as writes),
+    * and physically deletes manifests and data files referenced ONLY by
+    * expired snapshots. Time travel to an expired snapshot then fails by
+    * construction — that's the retention contract. Returns the number of
+    * data files deleted.
+    */
+  def expireSnapshots(table: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val all = meta.get("snapshots").elements().asScala.map(_.deepCopy[ObjectNode]()).toSeq
+      .sortBy(_.get("sequence-number").asLong())
+    if (all.size <= keepLast) return 0
+    val (expired, kept) = all.splitAt(all.size - keepLast)
+
+    def filesOf(snaps: Seq[ObjectNode]): (Set[String], Set[String]) = {
+      val lists = snaps.map(_.get("manifest-list").asText())
+      val manifests = lists.flatMap(readManifestPaths(table, _)).toSet
+      val data = manifests.flatMap(mp => dataFilesOf(table, mp))
+      (manifests ++ lists, data)
+    }
+    val (keptMeta, keptData) = filesOf(kept)
+    val (expMeta, expData) = filesOf(expired)
+
+    // rewrite metadata without the expired snapshots
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val arr = newMeta.putArray("snapshots")
+    kept.foreach(arr.add)
+    val newVersion = hint + 1
+    try
+      Files.write(metaFile(table, newVersion),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException => throw new OptimisticConcurrencyException(newVersion)
+    }
+    Files.writeString(hintFile(table), newVersion.toString)
+
+    (expMeta -- keptMeta).foreach(p => Files.deleteIfExists(Paths.get(table, p)))
+    val deadData = expData -- keptData
+    deadData.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deadData.size
+  }
+
+  private def currentMeta(table: String): com.fasterxml.jackson.databind.JsonNode = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table (no version-hint.text): $table"))
+    mapper.readTree(Files.readString(metaFile(table, hint)))
+  }
+
+  private def manifestListOf(table: String,
+      meta: com.fasterxml.jackson.databind.JsonNode, snapshotId: Long): Option[String] =
+    meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .map(_.get("manifest-list").asText())
 
   private def currentManifestList(table: String,
       meta: com.fasterxml.jackson.databind.JsonNode): Option[String] = {

@@ -306,6 +306,42 @@ class SinkSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(table, "_delta_log", "_last_checkpoint")))
   }
 
+  test("Iceberg snapshot time travel reads older manifest lists") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    IcebergSink.writeWithRetry(Seq((4L, "d", 4.5)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    val snaps = IcebergSink.snapshots(table)
+    assert(snaps.length == 2 && snaps.map(_._2) == Seq(1L, 2L))
+    // current = 4 rows; time travel to the first snapshot = 3
+    assert(IcebergSink.read(spark, table).count() == 4)
+    assert(IcebergSink.read(spark, table, Some(snaps.head._1)).count() == 3)
+  }
+
+  test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    IcebergSink.writeWithRetry(Seq((4L, "d", 4.5)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    // overwrite: snapshot 3 references ONLY its own files, so expiring
+    // 1-2 must delete their data files
+    IcebergSink.writeWithRetry(Seq((9L, "z", 9.9)).toDF("id", "name", "v"),
+      table, IcebergSink.Overwrite)
+    val old = IcebergSink.snapshots(table)
+    val deleted = IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(deleted >= 2) // create's files + append's files
+    assert(IcebergSink.snapshots(table).length == 1)
+    assert(IcebergSink.read(spark, table).count() == 1)
+    // expired snapshot is gone for time travel
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, Some(old.head._1))
+    }
+  }
+
   test("Delta compact bin-packs small files; data and history unchanged") {
     val s = spark
     import s.implicits._
