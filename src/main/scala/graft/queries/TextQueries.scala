@@ -54,6 +54,37 @@ object TextQueries extends QueryModule {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q_chunk_overlap",
+      // Document chunking: overlapping token windows (size 64, stride 32) —
+      // the operator that feeds a tokenizer/packer at 100 TB. Pure
+      // map-side: split once, explode the stride positions, slice the
+      // materialized token array per chunk — no shuffle until the final
+      // presentation sort, and the token array is computed once per row
+      // (its own projection, so the explode's generator child stays cheap).
+      // Short docs yield exactly one (possibly sub-size) chunk.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              greatest(size(col("toks")) - 1, lit(0)), lit(32))).as("pos"))
+          .filter(col("pos") === 0 || col("pos") + 32 < size(col("toks")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            array_join(slice(col("toks"), col("pos") + 1, lit(64)), " ").as("chunk"),
+            least(size(col("toks")) - col("pos"), lit(64)).cast("long").as("n_tokens"))
+          .orderBy("doc_id", "pos"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pos AS (
+             |  SELECT doc_id, t, UNNEST(range(0, GREATEST(LEN(t), 1), 32)) AS pos
+             |  FROM toks)
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             |  array_to_string(t[pos + 1 : pos + 64], ' ') AS chunk,
+             |  CAST(LEAST(LEN(t) - pos, 64) AS BIGINT) AS n_tokens
+             |FROM pos WHERE pos = 0 OR pos + 32 < LEN(t)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    QueryDef(
       "q_text_quality",
       // Quality scoring: length, mean token length, stopword ratio,
       // non-alpha ratio — the standard pretraining-filter features.

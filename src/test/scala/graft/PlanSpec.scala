@@ -88,6 +88,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window")) // no full-sort window in this formulation
   }
 
+  test("Ops.asofJoin plans one keyed shuffle + window, never a join operator") {
+    import org.apache.spark.sql.functions._
+    val left = Tables(spark, dir, "events").select("event_id", "user_id", "ts")
+    val right = Tables(spark, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate").agg(max("o_orderkey").as("o_orderkey"))
+    val p = planOf(graft.operators.Ops.asofJoin(left, right,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey")))
+    // the union+window rewrite must not degrade to a range/theta join:
+    // no join operator at all, one Window over the per-key sort, and the
+    // only exchanges are the union's key partitioning + the agg's
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"))
+    assert(p.contains("Union"))
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = Tables(spark, dir, "embeddings")
