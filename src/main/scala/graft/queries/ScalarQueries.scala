@@ -24,7 +24,9 @@ object ScalarQueries extends QueryModule {
             substring(col("p_name"), 1, 8).as("name8"),
             length(col("p_name")).cast("long").as("name_len"),
             concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
-            regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_u"),
+            // translate, not regexp_replace: single-char literal
+            // substitution needs no regex machinery per row
+            translate(col("p_type"), " ", "_").as("type_u"),
             lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
             trim(col("p_name")).as("name_trim"))
           .orderBy("p_partkey"),

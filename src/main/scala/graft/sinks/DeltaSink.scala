@@ -395,6 +395,40 @@ object DeltaSink {
   def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None): DataFrame =
     readState(spark, table, replay(spark, table, asOfVersion))
 
+  /** Change feed: the rows ADDED in versions (`sinceVersion`, latest] —
+    * what an incremental consumer processes after its last checkpoint.
+    * Only `dataChange=true` adds count: compaction rewrites the same rows
+    * into new files with `dataChange=false`, and a feed that re-emitted
+    * them would double-process every OPTIMIZE. Conversely, a file
+    * tombstoned by a later compaction still belongs to the feed — it stays
+    * on disk until [[vacuum]], which is why feeds must be consumed within
+    * the vacuum retention window (the same contract as Delta CDF).
+    * Returns rows in the table's declared schema.
+    */
+  def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long): DataFrame = {
+    val state = replay(spark, table, None)
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
+    for {
+      log <- logFiles(table)
+      if log.getName.stripSuffix(".json").toLong > sinceVersion
+      line <- Files.readAllLines(log.toPath).asScala if line.nonEmpty
+      node = mapper.readTree(line) if node.has("add")
+    } {
+      val a = node.get("add")
+      if (!a.has("dataChange") || a.get("dataChange").asBoolean(true)) {
+        val pv =
+          if (a.has("partitionValues"))
+            a.get("partitionValues").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty[String, String]
+        added += a.get("path").asText() -> AddEntry(a.get("path").asText(), pv,
+          a.get("size").asLong(), a.get("modificationTime").asLong(),
+          if (a.has("stats")) a.get("stats").asText() else null)
+      }
+    }
+    readState(spark, table, state.copy(live = added.values.toSeq))
+  }
+
   private def readState(spark: SparkSession, table: String, state: State): DataFrame = {
     val paths = state.live.map(a => new File(table, a.path).getAbsolutePath)
     if (paths.isEmpty) {

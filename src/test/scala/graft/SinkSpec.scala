@@ -342,6 +342,29 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("Delta change feed: adds since a version, compaction rewrites excluded") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table)) // versions 0,1: ids 1-3
+    val v2 = DeltaSink.append(Seq((4L, "d", 4.5)).toDF("id", "name", "v"), table)
+    DeltaSink.append(Seq((5L, "e", 5.5)).toDF("id", "name", "v"), table)
+    // consumer checkpointed at v2: sees only the v3 append
+    val feed = DeltaSink.readChangesSince(spark, table, v2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(feed == Seq(5L))
+    // compaction must NOT re-emit rows into the feed...
+    DeltaSink.compact(spark, table)
+    val afterCompact = DeltaSink.readChangesSince(spark, table, v2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterCompact == Seq(5L))
+    // ...and an append-then-compact window still yields the appended rows
+    // even though compaction tombstoned their original files
+    val all = DeltaSink.readChangesSince(spark, table, 1L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(4L, 5L))
+  }
+
   test("Delta compact bin-packs small files; data and history unchanged") {
     val s = spark
     import s.implicits._
