@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Command-line driver mirroring the reference CLI's subcommand surface
+  * (/root/reference/src/lib.rs:18-80 — P16 in SURVEY.md §2.1), adapted to
+  * the Spark-native engine: the reference ran `-q` on Postgres and loaded
+  * the stream; here the query runs inside the engine over the corpus
+  * tables (no Postgres driver on the offline classpath — SURVEY.md §7.1).
+  *
+  * Usage:
+  * {{{
+  *   query-to-delta    <dataDir> <sql> <table> [--overwrite] [--partition-by c1,c2]
+  *   query-to-iceberg  <dataDir> <sql> <table> [--overwrite | --append]
+  *   parquet-to-delta  <file>    <table> [--overwrite]
+  *   parquet-to-iceberg <file>   <table> [--overwrite | --append]
+  *   append-to-delta   <dataDir> <sql> <table>
+  *   compact-delta     <table>
+  *   vacuum-delta      <table> [retentionMs]
+  * }}}
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "missing subcommand")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.drop(1).filterNot(_.startsWith("--"))
+      .filterNot(a => args.sliding(2).exists(w =>
+        w.length == 2 && w(0) == "--partition-by" && w(1) == a))
+    val overwrite = flags.contains("--overwrite")
+    val append = flags.contains("--append")
+    val partitionBy = args.sliding(2).collectFirst {
+      case Array("--partition-by", cols) => cols.split(',').toSeq
+    }.getOrElse(Nil)
+
+    args(0) match {
+      case "query-to-delta" =>
+        val ok = Engine.sqlToDelta(spark, pos(0), pos(1), pos(2), overwrite, partitionBy)
+        if (!ok) { // reference refuse-and-exit, delta_destination.rs:421-427
+          System.err.println("Table exists. Pass --overwrite to overwrite data")
+          sys.exit(1)
+        }
+      case "query-to-iceberg" =>
+        Engine.sqlToIceberg(spark, pos(0), pos(1), pos(2), overwrite, append)
+      case "parquet-to-delta" =>
+        if (!Engine.parquetToDelta(spark, pos(0), pos(1), overwrite)) {
+          System.err.println("Table exists. Pass --overwrite to overwrite data")
+          sys.exit(1)
+        }
+      case "parquet-to-iceberg" =>
+        Engine.parquetToIceberg(spark, pos(0), pos(1), overwrite, append)
+      case "append-to-delta" =>
+        val v = Engine.sqlAppendToDelta(spark, pos(0), pos(1), pos(2))
+        println(s"committed version $v")
+      case "compact-delta" =>
+        val (before, after) = Engine.compactDelta(spark, pos(0))
+        println(s"compacted $before files into $after")
+      case "vacuum-delta" =>
+        val retention = pos.lift(1).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
+        val n = sinks.DeltaSink.vacuum(spark, pos(0), retention)
+        println(s"deleted $n files")
+      case other =>
+        System.err.println(s"unknown subcommand: $other")
+        sys.exit(2)
+    }
+  }
+}
