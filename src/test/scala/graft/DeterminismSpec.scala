@@ -18,7 +18,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_join_inner",     // shuffle join
     "q_join_asof",      // union+window as-of rewrite
     "q_sim_cosine_topk",// float scoring + top-k
-    "q_dedup_minhash")  // multi-stage hash pipeline
+    "q_dedup_minhash",  // multi-stage hash pipeline
+    "q_chunk_overlap",  // stride explode + slice (map-side chunking)
+    "q_percentile")     // sort-based quantile interpolation
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
