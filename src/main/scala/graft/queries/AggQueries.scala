@@ -68,15 +68,25 @@ object AggQueries extends QueryModule {
 
     QueryDef(
       "q_agg_rollup",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .rollup("l_returnflag", "l_linestatus")
+      // Two-level rollup: pre-aggregate to the finest group, then roll up
+      // over the ~|groups| base rows. Catalyst's Expand otherwise clones
+      // EVERY fact row once per grouping set (3x for rollup, 4x for cube)
+      // before aggregating; re-aggregable aggregates (long-cents sums,
+      // count -> sum of counts) make the subtotals exact either way, and
+      // genuine NULL group keys stay distinct from subtotal NULLs via the
+      // grouping() flags — identical output, Expand on 6 rows not 600k.
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("c0"))
+        base.rollup("l_returnflag", "l_linestatus")
           .agg(
-            fxSum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("cnt"),
+            (sum(col("sq")).cast("double") / 100.0).as("sum_qty"),
+            sum(col("c0")).as("cnt"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
              |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
@@ -85,15 +95,19 @@ object AggQueries extends QueryModule {
 
     QueryDef(
       "q_agg_cube",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .cube("l_returnflag", "l_linestatus")
+      // Same two-level shape as q_agg_rollup (see comment there).
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(cents(col("l_quantity"))).as("sq"), count(lit(1)).as("c0"))
+        base.cube("l_returnflag", "l_linestatus")
           .agg(
-            fxSum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("cnt"),
+            (sum(col("sq")).cast("double") / 100.0).as("sum_qty"),
+            sum(col("c0")).as("cnt"),
             grouping(col("l_returnflag")).cast("long").as("g_rf"),
             grouping(col("l_linestatus")).cast("long").as("g_ls"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt,
              |GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
