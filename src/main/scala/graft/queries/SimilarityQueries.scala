@@ -75,23 +75,6 @@ object SimilarityQueries extends QueryModule {
           array(xxhash64(col("text")))).as("ghs"))
   }
 
-  /** (doc_id, 3-gram-shingle-hash) pairs, deduped on the 64-bit hash —
-    * the exploded form the exact-Jaccard verify stage joins on.
-    *
-    * Per-doc dedup happens INSIDE the row (array_distinct) — identical
-    * semantics to a global DISTINCT on (doc_id, h) but with zero shuffle;
-    * at 100 TB this keeps shingling embarrassingly parallel.
-    *
-    * explode_outer, NOT explode: for plain explode the optimizer infers a
-    * `size(ghs) > 0 AND isnotnull(ghs)` filter and pushes it below the
-    * projections, re-running the shingle pipeline twice per row. The
-    * arrays here are never null/empty (coalesce fallback emits ≥1
-    * element), so outer semantics are identical.
-    */
-  private def shingleHashes(docs: DataFrame): DataFrame =
-    shingleArrays(docs)
-      .select(col("doc_id"), explode_outer(array_distinct(col("ghs"))).as("h"))
-
   /** (doc_id, band, bandHash) LSH bucket keys for every document.
     *
     * The whole signature is ONE map-side projection
@@ -203,9 +186,24 @@ object SimilarityQueries extends QueryModule {
         // verify stage's shuffles carry candidate shingles only.
         val candDocs = cands.select(col("doc_a").as("doc_id"))
           .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-        val sh = shingleHashes(docs)
-          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // Semi-join BEFORE hashing: the verify stage recomputes shingle
+        // hashes only for docs that appear in a candidate pair (a tiny
+        // fraction of the corpus at scale), and the per-doc set size is a
+        // map-side projection off the array — no groupBy over exploded
+        // (doc, h) pairs.
+        val candArrays = shingleArrays(
+          docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+        // per-doc dedup INSIDE the row (array_distinct) — same semantics as
+        // a global DISTINCT on (doc_id, h), zero shuffle. explode_outer,
+        // not explode: plain explode makes the optimizer infer a
+        // size(ghs) > 0 filter and push it below the projections,
+        // re-running the shingle pipeline per row; the arrays are never
+        // null/empty by construction, so outer semantics are identical.
+        val sh = candArrays
+          .select(col("doc_id"), explode_outer(array_distinct(col("ghs"))).as("h"))
+        val sizes = candArrays
+          .select(col("doc_id"),
+            size(array_distinct(col("ghs"))).cast("long").as("n"))
         val inter = cands
           .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
@@ -267,7 +265,7 @@ object SimilarityQueries extends QueryModule {
       // shared-gram frequency, with hot grams handled by a frequency cap
       // upstream (stopword-gram removal).
       (s, dir) => {
-        val grams = t(s, dir, "documents")
+        val gramArrays = t(s, dir, "documents")
           .filter(col("doc_id") < 200)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 3)
@@ -277,9 +275,13 @@ object SimilarityQueries extends QueryModule {
                 element_at(col("toks"), i + 1),
                 element_at(col("toks"), i + 2),
                 element_at(col("toks"), i + 3))).as("gs"))
-          // per-doc distinct inside the row — no global DISTINCT shuffle
+        // per-doc distinct inside the row — no global DISTINCT shuffle
+        val grams = gramArrays
           .select(col("doc_id"), explode_outer(array_distinct(col("gs"))).as("g"))
-        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // set size is a map-side projection off the gram array — no groupBy
+        // over the exploded rows
+        val sizes = gramArrays
+          .select(col("doc_id"), size(array_distinct(col("gs"))).cast("long").as("n"))
         val inter = grams.as("a")
           .join(grams.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
