@@ -229,27 +229,64 @@ object DeltaSink {
     * Readers at any version still resolve: old files stay on disk, only the
     * log stops referencing them (vacuum = physical deletion is the caller's
     * retention decision). Returns (filesBefore, filesAfter).
+    *
+    * `zorderBy` additionally CLUSTERS the rewrite on a Z-order curve over
+    * the given numeric columns (OPTIMIZE ZORDER): each column is scaled to
+    * 8-bit buckets between its min and max (one broadcast agg row — no
+    * driver collect), the bucket bits are interleaved into a z-value, and
+    * the rewrite range-partitions + sorts on it. Rows close in the
+    * multi-column space land in the same parquet files, so min/max
+    * file-skipping prunes scans filtered on ANY prefix of those columns —
+    * the layout lever for multi-dimensional predicates at 100 TB.
     */
   def compact(spark: SparkSession, table: String,
-      maxRecordsPerFile: Long = MaxRecordsPerFile): (Int, Int) = {
+      maxRecordsPerFile: Long = MaxRecordsPerFile,
+      zorderBy: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.spark.sql.functions._
     val dir = new File(table)
     val state = replay(spark, table, None)
     val before = state.live.size
-    val current = readState(spark, table, state)
-    val staging = Files.createTempDirectory("graft-delta-compact").toFile
-    val txn = java.util.UUID.randomUUID().toString
-    val conf = spark.sessionState.newHadoopConf()
     // Bin-pack target: total row count comes from the log's own numRecords
-    // stats (no data scan), then coalesce to ceil(rows / maxRecordsPerFile)
-    // write tasks — maxRecordsPerFile still caps each file, so the result
-    // is the minimal file count at the declared file size.
+    // stats (no data scan); maxRecordsPerFile still caps each file, so the
+    // result is the minimal file count at the declared file size.
     val totalRows = state.live.map { a =>
       Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
         .getOrElse(0L)
     }.sum
     val nFiles = math.max(1, ((totalRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
+    val current0 = readState(spark, table, state)
+    val current =
+      if (zorderBy.isEmpty) current0
+      else {
+        val bits = 8
+        val aggs = zorderBy.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).as(s"__min$i"), max(col(c)).as(s"__max$i"))
+        }
+        val minmax = current0.agg(aggs.head, aggs.tail: _*)
+        val z = zorderBy.indices.map { i =>
+          val b = width_bucket(col(zorderBy(i)).cast("double"),
+            col(s"__min$i").cast("double"),
+            // +1e-9 keeps max strictly inside the last bucket
+            col(s"__max$i").cast("double") + lit(1e-9), lit(1 << bits)) - 1
+          (0 until bits).map { k =>
+            shiftleft(shiftright(b, k).bitwiseAND(1), k * zorderBy.length + i)
+          }.reduce((a, c) => a.bitwiseOR(c))
+        }.reduce((a, c) => a.bitwiseOR(c))
+        // range-partition straight to the target file count: each write
+        // task gets one contiguous z-range (coalesce would concatenate
+        // sorted runs and break the clustering)
+        current0.crossJoin(broadcast(minmax))
+          .withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .select(current0.columns.toIndexedSeq.map(col): _*)
+      }
+    val staging = Files.createTempDirectory("graft-delta-compact").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val writer = current.coalesce(nFiles).write
+      val packed = if (zorderBy.isEmpty) current.coalesce(nFiles) else current
+      val writer = packed.write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", maxRecordsPerFile)

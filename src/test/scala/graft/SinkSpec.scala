@@ -365,6 +365,42 @@ class SinkSpec extends AnyFunSuite {
     assert(all == Seq(4L, 5L))
   }
 
+  test("Delta z-order compact clusters files into narrow, non-overlapping ranges") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // shuffled ids so the initial layout has full-range files
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((1 to 4000).toList).map(i => (i.toLong, i % 100, s"r$i"))
+      .toDF("id", "bucket", "s").repartition(4)
+    assert(DeltaSink.write(df, table))
+    // rewrite 4 full-range files into 4 z-ordered (here: range-ordered) ones
+    val (before, after) = DeltaSink.compact(spark, table,
+      maxRecordsPerFile = 1000, zorderBy = Seq("id"))
+    // range-partition sampling is approximate, so a task can roll an extra
+    // file at the maxRecordsPerFile cap — the clustering properties below
+    // are the contract, not the exact count
+    assert(before == 4 && after >= 4 && after <= 8)
+    // every file now covers a narrow id range instead of the full 4000
+    val ranges = new File(table).listFiles()
+      .filter(f => f.getName.contains(".c000.") && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val ids = spark.read.parquet(f.getPath).select("id").collect().map(_.getLong(0))
+        (ids.min, ids.max)
+      }.sortBy(_._1)
+    assert(ranges.length == after)
+    ranges.foreach { case (lo, hi) => assert(hi - lo < 2000, s"file range [$lo,$hi] too wide") }
+    // ranges are non-overlapping (clustered), and the data survived intact
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+    assert(DeltaSink.read(spark, table).count() == 4000)
+    // two-column z-order also runs and preserves the data
+    val t2 = tmp()
+    assert(DeltaSink.write(df, t2))
+    DeltaSink.compact(spark, t2, maxRecordsPerFile = 1000, zorderBy = Seq("id", "bucket"))
+    assert(DeltaSink.read(spark, t2).select(sum("id")).head().getLong(0) ==
+      4000L * 4001 / 2)
+  }
+
   test("Delta compact bin-packs small files; data and history unchanged") {
     val s = spark
     import s.implicits._
