@@ -68,6 +68,27 @@ object StreamOps {
       }
       .start()
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key whose timestamp lies in
+    * [leftTs - `lookback`, leftTs] — the enrichment shape (clicks joined
+    * to recent impressions). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can size and EVICT the
+    * join state: without the time bound, stream-stream join state grows
+    * forever. Column names must be disambiguated by the caller (the two
+    * sides keep their own).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lookback: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** Exactly-once streaming ingest: every micro-batch appends to the Delta
     * table as ONE OCC-committed log version carrying a `txn` action
     * (appId, batchId). If the query restarts and Spark replays a batch the

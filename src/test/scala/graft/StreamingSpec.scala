@@ -205,6 +205,37 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "x")).toDF("id", "s"), table, "app-a", 7L) == -1L)
   }
 
+  test("stream-stream interval join pairs events within the lookback, evicts beyond it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id")),
+      imps.toDF().select($"user_id".as("i_user"), $"ts".as("i_ts"), $"event_id".as("imp_id")),
+      "c_user", "i_user", "c_ts", "i_ts", lookback = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // all event times sit inside the 1-hour watermark delay (so no batch
+      // ordering can make a row late) and ABOVE the initial watermark
+      // (epoch 0 — stateful operators drop rows with event time <= the
+      // watermark, and the very first watermark is 0); matches are then
+      // decided purely by the 30-minute lookback condition
+      val t0 = 1000L
+      imps.addData(Ev(100, ts(t0), 1, "imp", 0), Ev(101, ts(t0 + 25), 1, "imp", 0))
+      clicks.addData(Ev(200, ts(t0 + 20), 1, "click", 0), Ev(201, ts(t0 + 55), 1, "click", 0))
+      q.processAllAvailable()
+      val out = spark.table("ivjoin").select("click_id", "imp_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.contains((200L, 100L))) // imp 20 min before the click
+      assert(!out.contains((200L, 101L))) // that imp is after this click
+      assert(out.contains((201L, 101L))) // imp 30 min before the click
+      assert(!out.contains((201L, 100L))) // beyond the 30-minute lookback
+    } finally q.stop()
+  }
+
   test("vacuum deletes compacted-away files past retention, keeps live ones") {
     val spark = TestSpark.spark
     import spark.implicits._
