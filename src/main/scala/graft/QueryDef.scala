@@ -37,13 +37,7 @@ object QueryDef {
     * bit-identical.
     */
   val Dec38: DecimalType = DecimalType(38, 6)
-  /** Narrow decimal for *inputs* to decimal arithmetic: (18,6) × (19,6)
-    * multiplies stay ≤ 38 digits on both Spark and DuckDB, so products like
-    * `price * (1 - discount)` are computed exactly in decimal on both sides.
-    */
-  val Dec18: DecimalType = DecimalType(18, 6)
   def dec(c: Column): Column = c.cast(Dec38)
-  def dec18(c: Column): Column = c.cast(Dec18)
 
   /** Final-output cast per the OUTPUT-TYPE contract above: a decimal-exact
     * intermediate becomes a DOUBLE in the projected result. Oracle twin:
