@@ -102,6 +102,40 @@ class HashExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: TokenHashes/ShingleHashes match the lambda chain on random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val tokGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const(""),
+      Gen.const(null: String)))
+    val prop = Prop.forAll(Gen.listOfN(8, tokGen)) { rows =>
+      val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+      val out = df.select(
+        col("id"),
+        HashExpressions.tokenHashes(col("toks")).as("nat"),
+        transform(col("toks"), t => xxhash64(t)).as("lam"))
+        .select(col("id"),
+          HashExpressions.shingleHashes(col("nat"), 3).as("natSh"),
+          when(size(col("lam")) >= 3,
+            transform(sequence(lit(0), size(col("lam")) - 3),
+              i => xxhash64(
+                element_at(col("lam"), i + 1),
+                element_at(col("lam"), i + 2),
+                element_at(col("lam"), i + 3)))).as("lamSh"),
+          col("nat"), col("lam"))
+        .collect()
+      out.forall { r =>
+        r.getSeq[Long](3) == r.getSeq[Long](4) &&
+          (if (r.isNullAt(2)) r.isNullAt(1)
+           else r.getSeq[Long](1) == r.getSeq[Long](2))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SQL surface: graft_token_hashes / graft_simhash registered and callable") {
     val s = spark
     org.apache.spark.sql.GraftColumnBridge.registerFunctions(s)
