@@ -352,9 +352,14 @@ object DeltaSink {
       Files.move(part.toPath, checkpointFile(table, state.version),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally deleteRecursively(staging)
+    // write-then-rename: a concurrent reader must never see a partial
+    // _last_checkpoint (it would fail the JSON parse and abort the read)
     val ptr = s"""{"version":${state.version},"size":${rows.size}}"""
-    Files.write(lastCheckpointFile(table),
-      (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+    val tmp = logDir(table).resolve(s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, lastCheckpointFile(table),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     state.version
   }
 
