@@ -195,28 +195,33 @@ object DeltaSink {
             f"part-$i%05d-$txn.snappy.parquet")
         target.getParentFile.mkdirs()
         Files.move(src.toPath, target.toPath)
-        addJson(toAddEntry(dir, target, conf))
+        toAddEntry(dir, target, conf)
       }
     } finally deleteRecursively(staging)
     val txnLine = txn0.map { case (appId, v) =>
       s"""{"txn":{"appId":${esc(appId)},"version":$v}}"""
     }
+    // any abort path removes the already-moved data files — they are not in
+    // the log, so leaving them would only waste space until vacuum
+    def abort(): Unit = adds.foreach(a => new File(dir, a.path).delete())
     var attempt = 0
     while (true) {
       val next = latestVersion(table) + 1
       try {
-        commitAtomic(versionFile(table, next), txnLine.toSeq ++ adds)
+        commitAtomic(versionFile(table, next),
+          txnLine.toSeq ++ adds.map(a => addJson(a)))
         if (next % CheckpointInterval == 0) checkpoint(df.sparkSession, table)
         return next
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException if attempt < retries =>
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempt >= retries) { abort(); throw e }
           attempt += 1 // another writer claimed this version; re-read and retry
           txn0.foreach { case (appId, v) =>
             // the colliding writer may have been a replay of THIS batch
             // (two speculative executions of one foreachBatch): re-check
             // the txn watermark before re-claiming a version
             if (replay(df.sparkSession, table, None).txns.get(appId)
-                  .exists(_ >= v)) return -1L
+                  .exists(_ >= v)) { abort(); return -1L }
           }
       }
     }

@@ -197,7 +197,14 @@ object IcebergSink {
       Files.write(metaFile(table, newVersion),
         meta.toString.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
     catch {
-      case _: FileAlreadyExistsException => throw new OptimisticConcurrencyException(newVersion)
+      case _: FileAlreadyExistsException =>
+        // the losing attempt's staged artifacts are unreferenced by any
+        // committed metadata — reclaim them before the retry re-stages
+        dataFiles.foreach(_.delete())
+        new File(s"$table/$stage").delete()
+        Files.deleteIfExists(manifestPath)
+        Files.deleteIfExists(listPath)
+        throw new OptimisticConcurrencyException(newVersion)
     }
     Files.writeString(hintFile(table), newVersion.toString)
   }
