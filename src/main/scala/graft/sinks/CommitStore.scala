@@ -1,0 +1,117 @@
+package graft.sinks
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+
+/** The atomic commit primitive both table sinks build their optimistic
+  * concurrency on: put-if-absent of a fully-formed metadata object at a
+  * version-numbered key. Whoever creates the key owns that version; a loser
+  * sees [[FileAlreadyExistsException]], re-reads table state and retries at
+  * the next version.
+  *
+  * This is the same primitive the reference negotiates with its object
+  * store: `copy_if_not_exists` / conditional put for the Delta commit
+  * (/root/reference/src/delta_destination.rs:377-402) and `write_exclusive`
+  * for the Iceberg metadata version (iceberg_destination.rs:349-367). The
+  * store-specific spellings:
+  *
+  *  - local/HDFS-like FS: `CREATE_NEW` open ([[CommitStore.Local]] — the
+  *    only impl runnable in this offline container);
+  *  - S3: `PutObject` with `If-None-Match: *` (natively supported since
+  *    2024; earlier S3 needed a DynamoDB lock table — that variant is out
+  *    of scope);
+  *  - GCS: upload with `x-goog-if-generation-match: 0`;
+  *  - Azure ADLS: create with `If-None-Match: *`.
+  *
+  * Everything else the sinks write (data files, manifests, checkpoints) is
+  * staged under unique names where plain puts are safe; ONLY the
+  * version-claiming put needs the conditional semantics, which is why the
+  * interface is this narrow.
+  */
+trait CommitStore {
+
+  /** Atomically creates `target` with `bytes` iff no object exists there.
+    *
+    * @throws FileAlreadyExistsException if `target` already exists — the
+    *         OCC conflict signal the sinks' retry loops catch.
+    */
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Unit
+}
+
+object CommitStore {
+
+  /** Local-filesystem store: `CREATE_NEW` is the put-if-absent (POSIX
+    * O_EXCL — atomic on local FS and NFSv3+).
+    */
+  object Local extends CommitStore {
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Unit =
+      Files.write(target, bytes, StandardOpenOption.CREATE_NEW)
+  }
+
+  /** In-memory store with an optional pre-put hook, for OCC protocol tests:
+    * the hook runs before each put attempt and may itself commit (a
+    * simulated concurrent writer landing in the validate→commit window) or
+    * throw. Keys are the string form of the path.
+    */
+  final class InMemory(hook: (Path, Int) => Unit = (_, _) => ()) extends CommitStore {
+    private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+    private val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Unit = {
+      hook(target, attempts.getAndIncrement())
+      if (objects.putIfAbsent(target.toString, bytes) != null)
+        throw new FileAlreadyExistsException(target.toString)
+    }
+
+    def get(target: Path): Option[Array[Byte]] = Option(objects.get(target.toString))
+    def keys: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      objects.keySet().asScala.toSet
+    }
+    /** Direct insert bypassing the hook — the "concurrent writer". */
+    def forcePut(target: Path, bytes: Array[Byte]): Boolean =
+      objects.putIfAbsent(target.toString, bytes) == null
+  }
+
+  /** Local-FS store whose pre-put hook lets a test interleave a competing
+    * writer between a sink's state validation and its commit attempt — the
+    * exact window the OCC loops must re-validate across. `hook(target,
+    * attemptIndex)` runs before each delegated put.
+    */
+  final class HookedLocal(hook: (Path, Int) => Unit) extends CommitStore {
+    private val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Unit = {
+      hook(target, attempts.getAndIncrement())
+      Local.putIfAbsent(target, bytes)
+    }
+  }
+
+  /** Maps the ambient object-store credential environment to the Hadoop/S3A
+    * configuration Spark's S3 committers consume — the documented equivalent
+    * of the reference's env pickup (`delta_destination.rs:232-251` reads
+    * AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY / AWS_SESSION_TOKEN /
+    * AWS_ENDPOINT / AWS_REGION / AWS_ALLOW_HTTP into its object-store
+    * client). Pure translation, no IO: callers apply the result with
+    * `spark.conf.set` / `--conf spark.hadoop.*`. hadoop-aws is not on this
+    * container's classpath, so this mapping is the contract, not a live
+    * path — which is also why it stays a plain function.
+    */
+  def s3ConfFromEnv(env: Map[String, String]): Map[String, String] = {
+    val direct = Seq(
+      "AWS_ACCESS_KEY_ID" -> "fs.s3a.access.key",
+      "AWS_SECRET_ACCESS_KEY" -> "fs.s3a.secret.key",
+      "AWS_SESSION_TOKEN" -> "fs.s3a.session.token",
+      "AWS_REGION" -> "fs.s3a.endpoint.region",
+      "AWS_DEFAULT_REGION" -> "fs.s3a.endpoint.region",
+      "AWS_ENDPOINT" -> "fs.s3a.endpoint",
+      "AWS_ENDPOINT_URL" -> "fs.s3a.endpoint")
+    val mapped = direct.flatMap { case (e, k) => env.get(e).map(k -> _) }.toMap
+    // AWS_ALLOW_HTTP=true (MinIO-style endpoints) → plain-HTTP connections
+    val ssl = env.get("AWS_ALLOW_HTTP").filter(_.equalsIgnoreCase("true"))
+      .map(_ => "fs.s3a.connection.ssl.enabled" -> "false")
+    // path-style access is what non-AWS endpoints (MinIO) need
+    val pathStyle = env.get("AWS_ENDPOINT").orElse(env.get("AWS_ENDPOINT_URL"))
+      .map(_ => "fs.s3a.path.style.access" -> "true")
+    mapped ++ ssl ++ pathStyle
+  }
+}

@@ -99,7 +99,8 @@ object DeltaSink {
     */
   def write(df: DataFrame, table: String, overwrite: Boolean = false,
       maxRecordsPerFile: Long = MaxRecordsPerFile,
-      partitionBy: Seq[String] = Nil): Boolean = {
+      partitionBy: Seq[String] = Nil,
+      store: CommitStore = CommitStore.Local): Boolean = {
     val dir = new File(table)
     val existing = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
     if (existing.nonEmpty) {
@@ -127,10 +128,10 @@ object DeltaSink {
     // Spark file scans surface nullable columns anyway.
     val schemaString = StructType(df.schema.fields.map(_.copy(nullable = true))).json
     val commit0 = Seq(protocolJson, metaDataJson(schemaString, partitionBy, now))
-    commitAtomic(versionFile(table, 0), commit0)
+    commitAtomic(store, versionFile(table, 0), commit0)
 
     val adds = dataFiles(dir).map(f => addJson(toAddEntry(dir, f, conf)))
-    commitAtomic(versionFile(table, 1), adds)
+    commitAtomic(store, versionFile(table, 1), adds)
     true
   }
 
@@ -151,8 +152,9 @@ object DeltaSink {
     * other's files, the same unique-file-name discipline real Delta writers
     * use.
     */
-  def append(df: DataFrame, table: String, retries: Int = 3): Long =
-    append(df, table, retries, None)
+  def append(df: DataFrame, table: String, retries: Int = 3,
+      store: CommitStore = CommitStore.Local): Long =
+    append(df, table, retries, None, store)
 
   /** Exactly-once append for streaming writers: the commit carries a
     * `txn` action recording (appId, txnVersion), and a batch whose
@@ -164,11 +166,11 @@ object DeltaSink {
     * batch was already in the table.
     */
   def appendExactlyOnce(df: DataFrame, table: String, appId: String,
-      txnVersion: Long): Long =
-    append(df, table, 3, Some((appId, txnVersion)))
+      txnVersion: Long, store: CommitStore = CommitStore.Local): Long =
+    append(df, table, 3, Some((appId, txnVersion)), store)
 
   private def append(df: DataFrame, table: String, retries: Int,
-      txn0: Option[(String, Long)]): Long = {
+      txn0: Option[(String, Long)], store: CommitStore): Long = {
     val dir = new File(table)
     require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
     val state = replay(df.sparkSession, table, None)
@@ -205,24 +207,39 @@ object DeltaSink {
     // the log, so leaving them would only waste space until vacuum
     def abort(): Unit = adds.foreach(a => new File(dir, a.path).delete())
     var attempt = 0
+    // Version through which the txn watermark has been validated. A replay
+    // of THIS batch (two speculative executions of one foreachBatch) can
+    // commit at any version number without ever colliding with us, so the
+    // watermark must be re-checked against every version that appeared
+    // since the last check — before EVERY commit attempt, not only after a
+    // collision. CREATE_NEW succeeding at `next` then proves no commit
+    // (and so no competing replay) landed between the check and ours:
+    // writers only ever claim latestVersion+1, so an intervening commit
+    // would have claimed `next` first.
+    var checkedThrough = state.version
     while (true) {
-      val next = latestVersion(table) + 1
+      val latest = latestVersion(table)
+      txn0.foreach { case (appId, v) =>
+        if (latest > checkedThrough) {
+          val st = replay(df.sparkSession, table, None)
+          checkedThrough = st.version
+          if (st.txns.get(appId).exists(_ >= v)) { abort(); return -1L }
+        }
+      }
+      val next = latest + 1
       try {
-        commitAtomic(versionFile(table, next),
+        commitAtomic(store, versionFile(table, next),
           txnLine.toSeq ++ adds.map(a => addJson(a)))
-        if (next % CheckpointInterval == 0) checkpoint(df.sparkSession, table)
+        // The append is committed at this point: an auto-checkpoint failure
+        // (IO error) must not surface as an append failure — the caller
+        // would retry and double-write the batch. Best-effort only.
+        if (next % CheckpointInterval == 0)
+          scala.util.Try(checkpoint(df.sparkSession, table))
         return next
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (attempt >= retries) { abort(); throw e }
           attempt += 1 // another writer claimed this version; re-read and retry
-          txn0.foreach { case (appId, v) =>
-            // the colliding writer may have been a replay of THIS batch
-            // (two speculative executions of one foreachBatch): re-check
-            // the txn watermark before re-claiming a version
-            if (replay(df.sparkSession, table, None).txns.get(appId)
-                  .exists(_ >= v)) { abort(); return -1L }
-          }
       }
     }
     -1 // unreachable
@@ -246,7 +263,8 @@ object DeltaSink {
     */
   def compact(spark: SparkSession, table: String,
       maxRecordsPerFile: Long = MaxRecordsPerFile,
-      zorderBy: Seq[String] = Nil): (Int, Int) = {
+      zorderBy: Seq[String] = Nil,
+      store: CommitStore = CommitStore.Local): (Int, Int) = {
     import org.apache.spark.sql.functions._
     val dir = new File(table)
     val state = replay(spark, table, None)
@@ -323,28 +341,43 @@ object DeltaSink {
     val removes = state.live.map(a =>
       s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
     val lines = removes ++ adds.map(a => addJson(a, dataChange = false))
+    val inputPaths = state.live.map(_.path).toSet
     var attempt = 0
+    var validatedThrough = state.version
     while (true) {
-      val next = latestVersion(table) + 1
+      // The rewrite stays valid only while every file it read is STILL
+      // live — a concurrent append only adds files (compatible; ours
+      // remove nothing of theirs), but a concurrent compaction already
+      // removed our inputs, and committing on top of it would leave BOTH
+      // rewrites live and duplicate every row. That competing compaction
+      // may have committed at an intermediate version while our Spark
+      // rewrite was staging, i.e. WITHOUT ever colliding with our claim —
+      // so the liveness check must run before EVERY commit attempt, not
+      // only in the collision catch. A successful CREATE_NEW at `next`
+      // then guarantees all versions < next were visible at validation
+      // time (writers only claim latestVersion+1), closing the window.
+      val latest = latestVersion(table)
+      if (latest > validatedThrough) {
+        val liveNow = replay(spark, table, None).live.map(_.path).toSet
+        validatedThrough = latest
+        if (!inputPaths.subsetOf(liveNow)) {
+          adds.foreach(a => new File(dir, a.path).delete())
+          throw new IllegalStateException(
+            s"concurrent compaction of $table; compaction aborted")
+        }
+      }
+      val next = latest + 1
       try {
-        commitAtomic(versionFile(table, next), lines)
+        commitAtomic(store, versionFile(table, next), lines)
         return (before, adds.size)
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          // A writer beat us to this version. The rewrite stays valid as
-          // long as every file it read is STILL live — a concurrent append
-          // only adds files (compatible; ours remove nothing of theirs),
-          // but a concurrent compaction already removed our inputs, and
-          // blindly committing on top of it would leave BOTH rewrites live
-          // and duplicate every row. On that conflict, drop our staged
-          // files and surface the abort.
-          val liveNow = replay(spark, table, None).live.map(_.path).toSet
-          if (!state.live.map(_.path).toSet.subsetOf(liveNow) || attempt >= 3) {
+          if (attempt >= 3) {
             adds.foreach(a => new File(dir, a.path).delete())
             throw new IllegalStateException(
-              s"concurrent compaction of $table; compaction aborted", e)
+              s"concurrent writers on $table; compaction aborted", e)
           }
-          attempt += 1 // inputs intact (e.g. concurrent append) — retry
+          attempt += 1 // re-validate against the new version and retry
       }
     }
     (before, adds.size) // unreachable
@@ -644,10 +677,9 @@ object DeltaSink {
     AddEntry(rel, pv, f.length(), f.lastModified(), s"""{"numRecords":${numRecords(f, conf)}}""")
   }
 
-  private def commitAtomic(target: java.nio.file.Path, lines: Seq[String]): Unit = {
-    val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
-    Files.write(target, bytes, StandardOpenOption.CREATE_NEW)
-  }
+  private def commitAtomic(store: CommitStore, target: java.nio.file.Path,
+      lines: Seq[String]): Unit =
+    store.putIfAbsent(target, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
 
   private def numRecords(f: File, conf: Configuration): Long = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.toURI), conf))

@@ -87,7 +87,8 @@ object IcebergSink {
     case other => other.catalogString // nested types: Spark catalog form
   }
 
-  def write(df: DataFrame, table: String, mode: WriteMode): Unit = {
+  def write(df: DataFrame, table: String, mode: WriteMode,
+      store: CommitStore = CommitStore.Local): Unit = {
     val hint = readHint(table)
     if (hint.isDefined && mode == CreateExclusive)
       throw new IllegalStateException(
@@ -192,10 +193,12 @@ object IcebergSink {
     meta.putObject("refs").putObject("main")
       .put("snapshot-id", snapshotId).put("type", "branch")
 
-    // write_exclusive: IF-NOT-EXISTS put of the next metadata version.
+    // write_exclusive: IF-NOT-EXISTS put of the next metadata version
+    // (reference iceberg_destination.rs:349-367), via the pluggable
+    // put-if-absent commit primitive.
     try
-      Files.write(metaFile(table, newVersion),
-        meta.toString.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+      store.putIfAbsent(metaFile(table, newVersion),
+        meta.toString.getBytes(StandardCharsets.UTF_8))
     catch {
       case _: FileAlreadyExistsException =>
         // the losing attempt's staged artifacts are unreferenced by any
@@ -213,10 +216,10 @@ object IcebergSink {
     * Each attempt re-reads the version hint and re-plans the commit.
     */
   def writeWithRetry(df: DataFrame, table: String, mode: WriteMode,
-      retries: Int = OccRetries): Unit = {
+      retries: Int = OccRetries, store: CommitStore = CommitStore.Local): Unit = {
     var attempt = 0
     while (true) {
-      try { write(df, table, mode); return }
+      try { write(df, table, mode, store); return }
       catch {
         case e: OptimisticConcurrencyException =>
           attempt += 1
@@ -266,7 +269,8 @@ object IcebergSink {
     * construction — that's the retention contract. Returns the number of
     * data files deleted.
     */
-  def expireSnapshots(table: String, keepLast: Int = 2): Int = {
+  def expireSnapshots(table: String, keepLast: Int = 2,
+      store: CommitStore = CommitStore.Local): Int = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
@@ -291,8 +295,8 @@ object IcebergSink {
     kept.foreach(arr.add)
     val newVersion = hint + 1
     try
-      Files.write(metaFile(table, newVersion),
-        newMeta.toString.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+      store.putIfAbsent(metaFile(table, newVersion),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8))
     catch {
       case _: FileAlreadyExistsException => throw new OptimisticConcurrencyException(newVersion)
     }

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import graft.sinks.{CommitStore, DeltaSink, IcebergSink}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The put-if-absent commit primitive (reference
+  * delta_destination.rs:377-402 conditional put,
+  * iceberg_destination.rs:349-367 write_exclusive) and the OCC windows it
+  * must close: the same protocol assertions run against the local-FS store
+  * and the in-memory store, and the injected-conflict tests interleave a
+  * competing writer between a sink's state validation and its commit
+  * attempt — the window a version-number collision alone does not cover.
+  */
+class CommitStoreSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def tmp(): String = Files.createTempDirectory("graft-store").toString
+
+  private def sampleDf = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "v")
+  }
+
+  // ---- putIfAbsent contract, both impls ----
+
+  private def contractTests(name: String, mk: () => (CommitStore, java.nio.file.Path)): Unit = {
+    test(s"$name: first put wins, second conflicts, winner's bytes survive") {
+      val (store, target) = mk()
+      store.putIfAbsent(target, "winner".getBytes)
+      intercept[FileAlreadyExistsException] {
+        store.putIfAbsent(target, "loser".getBytes)
+      }
+      val bytes = store match {
+        case m: CommitStore.InMemory => m.get(target).get
+        case _ => Files.readAllBytes(target)
+      }
+      assert(new String(bytes) == "winner")
+    }
+  }
+
+  contractTests("local store", () =>
+    (CommitStore.Local, Paths.get(tmp(), "00000000000000000007.json")))
+  contractTests("in-memory store", () =>
+    (new CommitStore.InMemory(), Paths.get("/t/00000000000000000007.json")))
+
+  test("in-memory hook can inject a conflicting writer before the put") {
+    val target = Paths.get("/t/c.json")
+    var storeRef: CommitStore.InMemory = null
+    storeRef = new CommitStore.InMemory(hook = (p, attempt) =>
+      if (attempt == 0) storeRef.forcePut(p, "sniper".getBytes))
+    intercept[FileAlreadyExistsException] {
+      storeRef.putIfAbsent(target, "ours".getBytes)
+    }
+    assert(new String(storeRef.get(target).get) == "sniper")
+  }
+
+  // ---- env → S3A conf mapping (reference delta_destination.rs:232-251) ----
+
+  test("s3ConfFromEnv maps the reference's credential env to S3A confs") {
+    val conf = CommitStore.s3ConfFromEnv(Map(
+      "AWS_ACCESS_KEY_ID" -> "ak",
+      "AWS_SECRET_ACCESS_KEY" -> "sk",
+      "AWS_SESSION_TOKEN" -> "tok",
+      "AWS_REGION" -> "us-east-1",
+      "AWS_ENDPOINT" -> "http://minio:9000",
+      "AWS_ALLOW_HTTP" -> "true",
+      "UNRELATED" -> "x"))
+    assert(conf("fs.s3a.access.key") == "ak")
+    assert(conf("fs.s3a.secret.key") == "sk")
+    assert(conf("fs.s3a.session.token") == "tok")
+    assert(conf("fs.s3a.endpoint.region") == "us-east-1")
+    assert(conf("fs.s3a.endpoint") == "http://minio:9000")
+    assert(conf("fs.s3a.connection.ssl.enabled") == "false")
+    assert(conf("fs.s3a.path.style.access") == "true")
+    assert(!conf.values.exists(_ == "x"))
+    assert(CommitStore.s3ConfFromEnv(Map.empty).isEmpty)
+  }
+
+  // ---- injected conflicts: the validate→commit window ----
+
+  test("Delta compact aborts when a competing compaction lands mid-commit") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    DeltaSink.append(Seq((4L, "d", 4.5)).toDF("id", "name", "v"), table)
+    // The competing compaction commits (through the plain store) inside
+    // our compaction's first commit attempt — i.e. after our state read
+    // and liveness view, exactly the window the pre-attempt validation
+    // must close. Our rewrite's inputs are then tombstoned; committing
+    // anyway would leave both rewrites live and duplicate every row.
+    val hooked = new CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0) DeltaSink.compact(spark, table))
+    intercept[IllegalStateException] {
+      DeltaSink.compact(spark, table, store = hooked)
+    }
+    val back = DeltaSink.read(spark, table)
+    assert(back.count() == 4) // no duplication
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5), (4L, "d", 4.5)))
+    assert(DeltaSink.latestVersion(table) == 3) // create(0,1), append(2), compact(3)
+  }
+
+  test("Delta exactly-once append skips when a replay of the same batch lands mid-commit") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val batch = Seq((10L, "x", 10.0), (11L, "y", 11.0)).toDF("id", "name", "v")
+    // A speculative second execution of the SAME foreachBatch commits the
+    // batch (same appId/txnVersion) while our attempt is in flight. The
+    // watermark re-check before claiming the next version must turn our
+    // commit into a no-op — without it the batch lands twice.
+    val hooked = new CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0)
+        DeltaSink.appendExactlyOnce(batch, table, appId = "job-7", txnVersion = 1L))
+    val v = DeltaSink.appendExactlyOnce(batch, table, appId = "job-7",
+      txnVersion = 1L, store = hooked)
+    assert(v == -1L) // recognized as already-committed
+    val back = DeltaSink.read(spark, table)
+    assert(back.count() == 5) // 3 original + batch ONCE
+    assert(back.filter(col("id") >= 10).count() == 2)
+    assert(DeltaSink.lastTxnVersion(spark, table, "job-7") == 1L)
+  }
+
+  test("Delta append retries through an injected competing append; both batches land") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val hooked = new CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0)
+        DeltaSink.append(Seq((20L, "p", 20.0)).toDF("id", "name", "v"), table))
+    val v = DeltaSink.append(Seq((21L, "q", 21.0)).toDF("id", "name", "v"),
+      table, store = hooked)
+    assert(v == 3L) // competitor took 2; we retried into 3
+    assert(DeltaSink.read(spark, table).count() == 5)
+  }
+
+  test("Iceberg writeWithRetry commits through the pluggable store") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val hooked = new CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0)
+        IcebergSink.write(Seq((30L, "r", 30.0)).toDF("id", "name", "v"),
+          table, IcebergSink.CreateExclusive))
+    // our create loses the race to the hook's create → OCC surfaces
+    intercept[IcebergSink.OptimisticConcurrencyException] {
+      IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive, store = hooked)
+    }
+    assert(IcebergSink.read(spark, table).count() == 1)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
