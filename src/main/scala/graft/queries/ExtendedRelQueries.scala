@@ -87,29 +87,37 @@ object ExtendedRelQueries extends QueryModule {
       // interpolation as DuckDB quantile_cont / Spark percentile:
       // lo + (hi - lo) * frac.
       (s, dir) => {
+        // All three window expressions share one (partition, order) spec so
+        // Spark plans a SINGLE WindowExec over a single exchange+sort; the
+        // unbounded-frame count/max piggyback on the row_number sort
+        // instead of a second Window operator. The quantile-neighbor filter
+        // then cuts the aggregate's input from every row to ≤4 rows per
+        // group before any further work.
         val w = Window.partitionBy("o_orderpriority").orderBy("v")
-        val cw = Window.partitionBy("o_orderpriority")
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val ranked = t(s, dir, "orders")
           .select(col("o_orderpriority"), col("o_totalprice"),
             col("o_totalprice").cast("double").as("v"))
           .withColumn("idx", (row_number().over(w) - lit(1)).cast("double"))
-          .withColumn("cnt", count(lit(1)).over(cw).cast("double"))
+          .withColumn("cnt", count(lit(1)).over(wAll).cast("double"))
+          .withColumn("mxg", max(col("o_totalprice")).over(wAll))
         def pos(p: Double) = (col("cnt") - 1) * lit(p)
         def vAt(c: Column) = max(when(col("idx") === c, col("v")))
         def interp(lo: Column, hi: Column, p: Double, n: Column) = {
           val position = (n - 1) * lit(p)
           lo + (hi - lo) * (position - floor(position))
         }
-        ranked.groupBy("o_orderpriority")
+        ranked
+          .filter(col("idx") === floor(pos(0.5)) || col("idx") === ceil(pos(0.5)) ||
+            col("idx") === floor(pos(0.9)) || col("idx") === ceil(pos(0.9)))
+          .groupBy("o_orderpriority")
           .agg(
             vAt(floor(pos(0.5))).as("lo50"), vAt(ceil(pos(0.5))).as("hi50"),
             vAt(floor(pos(0.9))).as("lo90"), vAt(ceil(pos(0.9))).as("hi90"),
-            max(col("o_totalprice")).as("mx"), count(lit(1)).as("n"))
+            max(col("mxg")).as("mx"), max(col("cnt")).as("n"))
           .select(col("o_orderpriority"),
-            toDbl(interp(col("lo50"), col("hi50"), 0.5, col("n").cast("double"))
-              .cast(Dec38)).as("p50"),
-            toDbl(interp(col("lo90"), col("hi90"), 0.9, col("n").cast("double"))
-              .cast(Dec38)).as("p90"),
+            toDbl(interp(col("lo50"), col("hi50"), 0.5, col("n")).cast(Dec38)).as("p50"),
+            toDbl(interp(col("lo90"), col("hi90"), 0.9, col("n")).cast(Dec38)).as("p90"),
             col("mx"))
           .orderBy("o_orderpriority")
       },

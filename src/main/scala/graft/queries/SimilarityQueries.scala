@@ -107,8 +107,17 @@ object SimilarityQueries extends QueryModule {
         val probes = emb.filter(col("vec_id") < 500)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             graft.functions.VectorExpressions.l2norm(col("embedding")).as("qn"))
-        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        val corpus0 = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
           graft.functions.VectorExpressions.l2norm(col("embedding")).as("cn"))
+        // Probe scoring is compute-bound (one 64-dim dot per probe per
+        // corpus row), so its parallelism is the scan's partition count —
+        // and a small corpus can arrive as a single row-group, serializing
+        // the whole join on one core. Fan out to every core when the scan
+        // is under-partitioned; metadata-only check, and a no-op at real
+        // scale where the corpus already spans many splits.
+        val par = s.sparkContext.defaultParallelism
+        val corpus = if (corpus0.rdd.getNumPartitions < par)
+          corpus0.repartition(par) else corpus0
         // Slim BEFORE the window shuffle: score every pair map-side, then
         // move only (qid, cid, score) — never the embedding arrays. At sf0.1
         // this cuts the exchange from 2.5M × 64-float rows to 2.5M × 24
