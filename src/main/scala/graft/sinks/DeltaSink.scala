@@ -390,38 +390,54 @@ object DeltaSink {
     * checkpoint still works.
     */
   def checkpoint(spark: SparkSession, table: String): Long = {
-    val state = replay(spark, table, None)
-    val rows: Seq[Row] =
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val (meta, live) = resolve(spark, table, None)
+    // Metadata plane (protocol, metaData, txn watermarks): a handful of
+    // rows, built on the driver. Data plane (the add list): stays a
+    // DataFrame END-TO-END — resolved distributedly by [[resolve]] and
+    // written straight back out, so a table with millions of live files
+    // checkpoints without the add list ever materializing on the driver.
+    val metaRows: Seq[Row] =
       (Row(Row(1, 1), null, null, null) +:
       Row(null,
         Row(java.util.UUID.randomUUID().toString, Row("parquet"),
-          StructType(state.schema.fields.map(_.copy(nullable = true))).json,
-          state.partitionColumns, System.currentTimeMillis()),
+          StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
+          meta.partitionColumns, System.currentTimeMillis()),
         null, null) +:
-      state.live.map(a => Row(null, null,
-        Row(a.path, a.partitionValues, a.size, a.modificationTime, true, a.stats),
-        null))) ++
-      state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+      meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v))
-      }
-    val df = spark.createDataFrame(rows.asJava, CheckpointSchema).coalesce(1)
+      })
+    def nullAs(field: String) =
+      lit(null).cast(CheckpointSchema(field).dataType).as(field)
+    val df = spark.createDataFrame(metaRows.asJava, CheckpointSchema)
+      .unionByName(live.select(
+        nullAs("protocol"), nullAs("metaData"),
+        struct(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), lit(true).as("dataChange"),
+          col("stats")).as("add"),
+        nullAs("txn")))
     val staging = Files.createTempDirectory("graft-delta-ckpt").toFile
+    val target = checkpointFile(table, meta.version)
     try {
+      // Multi-part checkpoint: the PARQUET DIRECTORY is the checkpoint
+      // (readers just spark.read.parquet it, same as the single-file form
+      // older tables carry) — one writer task per live-set partition, no
+      // driver bottleneck, no single giant file at scale.
       df.write.mode("overwrite").option("compression", "snappy")
         .parquet(staging.getPath)
-      val part = dataFiles(staging).head
-      Files.move(part.toPath, checkpointFile(table, state.version),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new File(staging, "_SUCCESS").delete()
+      deleteRecursively(target.toFile) // re-checkpoint at same version
+      Files.move(staging.toPath, target)
     } finally deleteRecursively(staging)
     // write-then-rename: a concurrent reader must never see a partial
     // _last_checkpoint (it would fail the JSON parse and abort the read)
-    val ptr = s"""{"version":${state.version},"size":${rows.size}}"""
+    val ptr = s"""{"version":${meta.version}}"""
     val tmp = logDir(table).resolve(s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, (ptr + "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, lastCheckpointFile(table),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    state.version
+    meta.version
   }
 
   private val CheckpointSchema = StructType(Seq(
@@ -509,34 +525,21 @@ object DeltaSink {
     * Returns rows in the table's declared schema.
     */
   def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
     val state = replay(spark, table, None)
-    val added = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
-    for {
-      log <- logFiles(table)
-      if log.getName.stripSuffix(".json").toLong > sinceVersion
-      line <- Files.readAllLines(log.toPath).asScala if line.nonEmpty
-      node = mapper.readTree(line) if node.has("add")
-      a = node.get("add")
-      if !a.has("dataChange") || a.get("dataChange").asBoolean(true)
-    } {
-      val e = parseAdd(a)
-      added += e.path -> e
-    }
-    readState(spark, table, state.copy(live = added.values.toSeq))
-  }
-
-  /** One add-action JSON node → [[AddEntry]] (shared by snapshot replay
-    * and the change feed so the two can never parse differently).
-    */
-  private def parseAdd(a: com.fasterxml.jackson.databind.JsonNode): AddEntry = {
-    val pv =
-      if (a.has("partitionValues"))
-        a.get("partitionValues").properties().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
-      else Map.empty[String, String]
-    AddEntry(a.get("path").asText(), pv,
-      a.get("size").asLong(), a.get("modificationTime").asLong(),
-      if (a.has("stats")) a.get("stats").asText() else null)
+    val files = logFiles(table)
+      .filter(_.getName.stripSuffix(".json").toLong > sinceVersion)
+    if (files.isEmpty) return readState(spark, table, state.copy(live = Nil))
+    val feed = actionsDF(spark, files)
+      .where(col("add").isNotNull &&
+        (col("add.dataChange").isNull || col("add.dataChange")))
+      .groupBy(col("add.path").as("path"))
+      .agg(max_by(struct(col("add.partitionValues").as("partitionValues"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.stats").as("stats")), col("version")).as("w"))
+      .select(col("path"), col("w.*"))
+    readState(spark, table, state.copy(live = collectAdds(feed)))
   }
 
   private def readState(spark: SparkSession, table: String, state: State): DataFrame = {
@@ -556,7 +559,48 @@ object DeltaSink {
     }
   }
 
-  private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
+  /** Driver-held metadata plane of a snapshot: version, schema, layout,
+    * txn watermarks — a handful of values regardless of table size.
+    */
+  private case class MetaState(version: Long, schema: StructType,
+      partitionColumns: Seq[String], txns: Map[String, Long])
+
+  /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
+    * from the log tail. PERMISSIVE json read turns a protocol line into
+    * all-null columns — filtered out downstream, never an error.
+    */
+  private val JsonActionSchema = StructType(Seq(
+    StructField("metaData", StructType(Seq(
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))),
+    StructField("add", CheckpointSchema("add").dataType),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("dataChange", BooleanType)))),
+    StructField("txn", CheckpointSchema("txn").dataType)))
+
+  /** The given commit files as a DataFrame of actions tagged with their
+    * commit version — log replay as a Spark job instead of a driver loop.
+    */
+  private def actionsDF(spark: SparkSession, files: Seq[File]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    spark.read.schema(JsonActionSchema).json(files.map(_.getPath): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+  }
+
+  /** Resolves a snapshot: the tiny metadata plane on the driver, the live
+    * add-set as a DataFrame computed DISTRIBUTEDLY — checkpoint adds union
+    * the JSON tail's add/remove actions, last action per path wins
+    * (`max_by` commit version). The driver never parses or holds the add
+    * list; at millions of live files a driver-side replay is the classic
+    * OOM that delta-spark's Snapshot machinery avoids the same way.
+    * Returned live columns: path, partitionValues, size, modificationTime,
+    * stats.
+    */
+  private def resolve(spark: SparkSession, table: String,
+      asOfVersion: Option[Long]): (MetaState, DataFrame) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max_by, struct}
     val ckptV: Option[Long] = {
       val f = lastCheckpointFile(table)
       if (Files.exists(f)) {
@@ -564,70 +608,113 @@ object DeltaSink {
         if (asOfVersion.forall(_ >= v)) Some(v) else None
       } else None
     }
+    val tail = logFiles(table).filter { f =>
+      val v = f.getName.stripSuffix(".json").toLong
+      asOfVersion.forall(v <= _) && ckptV.forall(v > _)
+    }
+    require(tail.nonEmpty || ckptV.isDefined,
+      s"not a Delta table (no _delta_log): $table")
+
+    val ckptDF = ckptV.map(v =>
+      spark.read.schema(CheckpointSchema)
+        .parquet(checkpointFile(table, v).toString))
+    val tailDF = if (tail.isEmpty) None else Some(actionsDF(spark, tail))
+
+    // Metadata plane: metaData/txn rows are a bounded handful — collect
+    // them through Spark filters (the driver still never touches adds).
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    var version = -1L
-
-    ckptV.foreach { v =>
-      val ck = spark.read.parquet(checkpointFile(table, v).toString).collect()
-      ck.foreach { r =>
-        if (!r.isNullAt(r.fieldIndex("metaData"))) {
-          val m = r.getStruct(r.fieldIndex("metaData"))
-          schema = Some(DataType.fromJson(m.getAs[String]("schemaString"))
-            .asInstanceOf[StructType])
-          partCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
-        }
-        if (!r.isNullAt(r.fieldIndex("add"))) {
-          val a = r.getStruct(r.fieldIndex("add"))
-          live += a.getAs[String]("path") -> AddEntry(
-            a.getAs[String]("path"),
-            Option(a.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
-            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-            a.getAs[String]("stats"))
-        }
-        if (r.schema.fieldNames.contains("txn") && !r.isNullAt(r.fieldIndex("txn"))) {
-          val t = r.getStruct(r.fieldIndex("txn"))
-          txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
-        }
-      }
-      version = v
+    def applyMeta(schemaString: String, pc: Seq[String]): Unit = {
+      schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
+      partCols = pc
     }
-
-    val logs = logFiles(table)
-      .filter { f =>
-        val v = f.getName.stripSuffix(".json").toLong
-        asOfVersion.forall(v <= _) && ckptV.forall(v > _)
-      }
-    require(logs.nonEmpty || ckptV.isDefined,
-      s"not a Delta table (no _delta_log): $table")
-    for (log <- logs; line <- Files.readAllLines(log.toPath).asScala if line.nonEmpty) {
-      val node = mapper.readTree(line)
-      if (node.has("metaData")) {
-        val m = node.get("metaData")
-        schema = Some(DataType.fromJson(m.get("schemaString").asText())
-          .asInstanceOf[StructType])
-        partCols =
-          if (m.has("partitionColumns"))
-            m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
-          else Nil
-      }
-      if (node.has("add")) {
-        val e = parseAdd(node.get("add"))
-        live += e.path -> e
-      }
-      if (node.has("remove")) live -= node.get("remove").get("path").asText()
-      if (node.has("txn")) {
-        val t = node.get("txn")
-        val app = t.get("appId").asText()
-        val v = t.get("version").asLong()
-        if (txns.get(app).forall(_ < v)) txns += app -> v
-      }
+    ckptDF.foreach {
+      _.where(col("metaData").isNotNull || col("txn").isNotNull)
+        .select("metaData", "txn").collect().foreach { r =>
+          if (!r.isNullAt(0)) {
+            val m = r.getStruct(0)
+            applyMeta(m.getAs[String]("schemaString"),
+              m.getSeq[String](m.fieldIndex("partitionColumns")))
+          }
+          if (!r.isNullAt(1)) {
+            val t = r.getStruct(1)
+            txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
+          }
+        }
     }
-    logs.lastOption.foreach(f => version = f.getName.stripSuffix(".json").toLong)
+    tailDF.foreach {
+      _.where(col("metaData").isNotNull || col("txn").isNotNull)
+        .select("metaData", "txn", "version").orderBy("version")
+        .collect().foreach { r =>
+          if (!r.isNullAt(0)) {
+            val m = r.getStruct(0)
+            applyMeta(m.getAs[String]("schemaString"),
+              Option(m.getSeq[String](m.fieldIndex("partitionColumns")))
+                .getOrElse(Nil))
+          }
+          if (!r.isNullAt(1)) {
+            val t = r.getStruct(1)
+            val app = t.getAs[String]("appId")
+            val v = t.getAs[Long]("version")
+            if (txns.get(app).forall(_ < v)) txns += app -> v
+          }
+        }
+    }
     require(schema.isDefined, s"Delta log has no metaData action: $table")
-    State(version, schema.get, partCols, live.values.toSeq, txns.toMap)
+    val version = tail.lastOption.map(_.getName.stripSuffix(".json").toLong)
+      .orElse(ckptV).get
+
+    // Data plane: adds resolve distributedly, last action per path wins.
+    val ckptAdds = ckptDF.map(
+      _.where(col("add").isNotNull).select(
+        col("add.path").as("path"),
+        col("add.partitionValues").as("partitionValues"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.stats").as("stats"),
+        lit(ckptV.get).as("version"),
+        lit(true).as("isAdd")))
+    val tailActs = tailDF.map(
+      _.where(col("add").isNotNull || col("remove").isNotNull).select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.partitionValues").as("partitionValues"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.stats").as("stats"),
+        col("version"),
+        col("add").isNotNull.as("isAdd")))
+    val all = (ckptAdds.toSeq ++ tailActs.toSeq).reduce(_.unionByName(_))
+    val live = all
+      .groupBy("path")
+      .agg(max_by(struct(col("partitionValues"), col("size"),
+        col("modificationTime"), col("stats"), col("isAdd")),
+        col("version")).as("w"))
+      .where(col("w.isAdd"))
+      .select(col("path"), col("w.partitionValues").as("partitionValues"),
+        col("w.size").as("size"),
+        col("w.modificationTime").as("modificationTime"),
+        col("w.stats").as("stats"))
+    (MetaState(version, schema.get, partCols, txns.toMap), live)
+  }
+
+  /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
+    * scan-construction step (Spark's file scan wants its file list on the
+    * driver, the same collect delta-spark's file index does). Everything
+    * upstream of this stays distributed.
+    */
+  private def collectAdds(live: DataFrame): Seq[AddEntry] =
+    live.collect().toSeq.map { r =>
+      AddEntry(r.getAs[String]("path"),
+        Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
+        r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
+        r.getAs[String]("stats"))
+    }
+
+  private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
+    val (meta, live) = resolve(spark, table, asOfVersion)
+    State(meta.version, meta.schema, meta.partitionColumns,
+      collectAdds(live), meta.txns)
   }
 
   private def protocolJson: String =

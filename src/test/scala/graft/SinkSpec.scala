@@ -454,4 +454,36 @@ class SinkSpec extends AnyFunSuite {
     // pre-compaction snapshots still readable (old files remain until vacuum)
     assert(DeltaSink.read(spark, table, asOfVersion = Some(2L)).count() == 4)
   }
+
+  test("10k-add synthetic log checkpoints through Spark, not a driver replay") {
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val realAdds = Files.readString(Paths.get(table, "_delta_log",
+      "00000000000000000001.json")).linesIterator.count(_.contains(""""add""""))
+    // Hand-written commits: v2 adds 10k files, v3 removes half of them —
+    // the shape (one huge compaction-scale commit) whose driver-side JSON
+    // replay is the classic metadata-plane OOM at 100 TB. The add list
+    // must flow log → resolution → checkpoint entirely through Spark.
+    def addLine(i: Int) =
+      s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":10,""" +
+        s""""modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":1}"}}"""
+    def removeLine(i: Int) =
+      s"""{"remove":{"path":"f$i.parquet","deletionTimestamp":2,"dataChange":true}}"""
+    Files.write(Paths.get(table, "_delta_log", "00000000000000000002.json"),
+      ((0 until 10000).map(addLine).mkString("\n") + "\n").getBytes)
+    Files.write(Paths.get(table, "_delta_log", "00000000000000000003.json"),
+      ((0 until 5000).map(removeLine).mkString("\n") + "\n").getBytes)
+    assert(DeltaSink.checkpoint(spark, table) == 3L)
+    // checkpoint carries exactly the surviving adds (multi-part parquet dir)
+    val ck = spark.read.parquet(
+      Paths.get(table, "_delta_log", "00000000000000000003.checkpoint.parquet").toString)
+    assert(ck.where(col("add").isNotNull).count() == realAdds + 5000)
+    assert(ck.where(col("metaData").isNotNull).count() == 1)
+    assert(Files.readString(Paths.get(table, "_delta_log", "_last_checkpoint"))
+      .contains(""""version":3"""))
+    // a fresh append replays from the checkpoint and commits v4
+    val s = spark
+    import s.implicits._
+    assert(DeltaSink.append(Seq((9L, "z", 9.9)).toDF("id", "name", "v"), table) == 4L)
+  }
 }
