@@ -36,6 +36,15 @@ object VectorExpressions {
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** All L random-hyperplane LSH bucket keys of a vector in one pass —
+    * see [[HyperplaneSignatures]]. `planes` is the flattened
+    * (L·r) × dim matrix, row-major.
+    */
+  def hyperplaneSigs(e: Column, planes: Array[Double], numTables: Int,
+      bitsPerTable: Int): Column =
+    GraftColumnBridge.column(HyperplaneSignatures(
+      GraftColumnBridge.expression(e), planes, numTables, bitsPerTable))
 }
 
 /** `sum_{i} (double) a(i) * (double) b(i)` over two arrays, accumulated in
@@ -109,4 +118,106 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** The L bucket keys of OR-amplified random-hyperplane LSH, computed in
+  * ONE tight loop over a constant plane matrix: key t has bit j set iff
+  * `planes[t·r+j] · e > 0`. Composing this from per-plane `DotProduct`s
+  * against array literals generates L·r inlined loops plus L·r·dim literal
+  * expressions — a codegen blob that blows past JIT inlining budgets and
+  * costs seconds to compile; here the matrix lives in a single referenced
+  * `double[]` and the generated code is three nested loops. Null if the
+  * input is null, its length differs from the plane dimension, or any
+  * element is null (mirrors [[DotProduct]]).
+  */
+case class HyperplaneSignatures(child: Expression, planes: Array[Double],
+    numTables: Int, bitsPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dim = planes.length / (numTables * bitsPerTable)
+  require(planes.length == numTables * bitsPerTable * dim)
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_sigs"
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val f = isFloat
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var key = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        var dot = 0.0
+        val off = (t * bitsPerTable + j) * dim
+        var d = 0
+        while (d < dim) {
+          if (arr.isNullAt(d)) return null
+          dot += planes(off + d) * (if (f) arr.getFloat(d).toDouble else arr.getDouble(d))
+          d += 1
+        }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val getter = (arr: String, i: String) =>
+      if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, e => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key")
+      val off = ctx.freshName("off")
+      s"""
+         |if ($e.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$numTables];
+         |  outer: for (int $t = 0; $t < $numTables; $t++) {
+         |    long $key = 0L;
+         |    for (int $j = 0; $j < $bitsPerTable; $j++) {
+         |      double $dot = 0.0;
+         |      int $off = ($t * $bitsPerTable + $j) * $dim;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        if ($e.isNullAt($d)) { ${ev.isNull} = true; break outer; }
+         |        $dot += $planesRef[$off + $d] * ${getter(e, d)};
+         |      }
+         |      if ($dot > 0) $key |= (1L << $j);
+         |    }
+         |    $out[$t] = $key;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
 }

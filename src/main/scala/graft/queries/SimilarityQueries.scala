@@ -144,29 +144,52 @@ object SimilarityQueries extends QueryModule {
 
     QueryDef(
       "q_sim_ann_lsh",
-      // ANN scale path: 12 random-hyperplane sign bits -> signature buckets
-      // (one shuffle), exact cosine + top-k only within each bucket.
-      // No oracle (approximate by construction); ScalaTest checks recall
-      // against the exact path on a fixed slice.
+      // ANN scale path, OR-amplified: L independent r-bit random-hyperplane
+      // tables (the same band shape as the MinHash pipeline). One AND-only
+      // signature misses any near neighbor that flips a single bit —
+      // P(candidate) = p^bits with p = 1 − θ/π; OR'ing L tables lifts it
+      // to 1 − (1 − p^r)^L — at L=8, r=12 that is ≥0.93 for cosine ≥0.95
+      // (the near-duplicate band ANN retrieval exists for) vs 0.28 for the
+      // single 12-bit table this replaces. r stays at 12 so buckets keep
+      // n/4096 expected occupancy — the OR fan-out multiplies candidates
+      // by L, not by bucket degeneration. Bucket keys are slim (vec_id,
+      // table, bits) rows — embeddings never ride the explode; the exact
+      // rerank fetches them back by key. All joins are equi-joins; no
+      // all-pairs anywhere. No oracle (approximate by construction);
+      // DedupSpec measures recall on planted near-duplicates.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val dim = 64
+        val L = 8; val r = 12
         val rnd = new scala.util.Random(42)
-        val planes = Seq.fill(12)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-        def sig(e: Column): Column =
-          planes.zipWithIndex.map { case (p, i) =>
-            val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
-            when(dotD(e, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
-          }.reduce(_ + _)
-        val withSig = emb.select(col("vec_id"), col("embedding"),
-          sig(col("embedding")).as("sig"),
+        val planes = Array.fill(L * r * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+        // Signature computation is compute-bound (L·r = 96 hyperplane dots
+        // per vector) — fan out an under-partitioned scan before it, as in
+        // q_sim_cosine_topk; no-op when the corpus spans many splits. The
+        // whole signature is ONE codegen'd expression over a constant
+        // plane matrix (graft.functions.HyperplaneSignatures): composing
+        // it from 96 per-plane DotProducts against array literals was a
+        // codegen blob that cost more to compile than to run.
+        val par = s.sparkContext.defaultParallelism
+        val embP = if (emb.rdd.getNumPartitions < par) emb.repartition(par) else emb
+        val banded = embP
+          .select(col("vec_id"), posexplode(
+            graft.functions.VectorExpressions.hyperplaneSigs(
+              col("embedding"), planes, L, r)))
+          .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bits")
+        // union-of-tables candidate set: same-bucket pairs in ANY table
+        val cands = banded.as("x").join(banded.as("y"), Seq("tbl", "bits"))
+          .filter(col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("qid"), col("y.vec_id").as("cid"))
+          .distinct()
+        val withN = embP.select(col("vec_id"), col("embedding"),
           graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
-        val a = withSig.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("sig"), col("nrm").as("qn"))
-        val b = withSig.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          col("sig"), col("nrm").as("cn"))
         val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
-        a.join(b, Seq("sig")).filter(col("qid") =!= col("cid"))
+        cands
+          .join(withN.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn")), "qid")
+          .join(withN.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn")), "cid")
           .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)

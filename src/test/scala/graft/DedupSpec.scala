@@ -73,6 +73,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ann-lsh OR-amplification: recall >= 0.9 on planted near-duplicates") {
+    // The sf0.001 corpus is uniform-random (top-5 cosine ≈ 0.3), where NO
+    // sublinear LSH reaches high recall — the regime LSH serves is
+    // near-duplicate retrieval (cosine ≥ ~0.95). Plant exactly that: 60
+    // noisy copies (ε=0.25 ⇒ cosine ≈ 0.97) among 150 random vectors; the
+    // L OR'd tables must surface ≥90% of the planted pairs, where a
+    // single r-bit AND table has only p^r ≈ 0.3 per-pair probability.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def gauss() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 150).map(i => (i.toLong, gauss()))
+    val dups = (0 until 60).map { i =>
+      val (srcId, src) = base(i)
+      val noisy = src.map(x => x + 0.25f * rnd.nextGaussian().toFloat)
+      (1000L + srcId, noisy)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    (base ++ dups).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, dir)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 60).count(i => ann.contains((i.toLong, 1000L + i)))
+    val recall = found.toDouble / 60
+    info(f"planted-pair recall: $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
   test("ann-ivf results are a subset of exact cosine candidates with equal scores") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, "/root/testdata/sf0.001")
       .select("qid", "cid", "score").collect()
