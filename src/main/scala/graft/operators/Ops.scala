@@ -51,23 +51,42 @@ object Ops {
       valueCols: Seq[String], strict: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     val lTag = if (strict) 0 else 1
+    // collision-free internal names (a user column named __k must never be
+    // overwritten or made ambiguous — same discipline as compact's z-order)
+    val u = java.util.UUID.randomUUID().toString.take(8)
+    val (kN, tN, tagN, lN, pN, lastN) =
+      (s"__graft_k_$u", s"__graft_t_$u", s"__graft_tag_$u",
+        s"__graft_l_$u", s"__graft_p_$u", s"__graft_last_$u")
     val payloadType = right.select(valueCols.map(col): _*).schema
     val leftType = left.schema
-    val lp = left.select(
-      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(lTag).as("__tag"),
-      struct(lCols.map(col): _*).as("__l"),
-      lit(null).cast(payloadType).as("__p"))
-    val rp = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(1 - lTag).as("__tag"),
-      lit(null).cast(leftType).as("__l"),
-      struct(valueCols.map(col): _*).as("__p"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
+    // NULL never matches (equality-join / DuckDB ASOF semantics): left
+    // rows with a null key or time are routed AROUND the window with a
+    // null payload instead of pairing with null-key right rows; right
+    // rows with a null key or time can match nothing and are dropped.
+    val lNull = left
+      .filter(col(leftKey).isNull || col(leftTime).isNull)
+      .select(lCols.map(col) ++
+        payloadType.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val lp = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .select(
+        col(leftKey).as(kN), col(leftTime).as(tN), lit(lTag).as(tagN),
+        struct(lCols.map(col): _*).as(lN),
+        lit(null).cast(payloadType).as(pN))
+    val rp = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as(kN), col(rightTime).as(tN), lit(1 - lTag).as(tagN),
+        lit(null).cast(leftType).as(lN),
+        struct(valueCols.map(col): _*).as(pN))
+    val w = Window.partitionBy(kN).orderBy(col(tN), col(tagN))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lp.unionByName(rp)
-      .withColumn("__last", last("__p", ignoreNulls = true).over(w))
-      .filter(col("__tag") === lTag)
-      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
-        valueCols.map(c => col(s"__last.$c").as(c)): _*)
+      .withColumn(lastN, last(pN, ignoreNulls = true).over(w))
+      .filter(col(tagN) === lTag)
+      .select(lCols.map(c => col(s"$lN.$c").as(c)) ++
+        valueCols.map(c => col(s"$lastN.$c").as(c)): _*)
+      .unionByName(lNull)
   }
 
   /** Top-`k` rows per group by `order`, with the rank appended as `rnName`
@@ -91,13 +110,18 @@ object Ops {
     * variant salts only keys above a frequency threshold.
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame,
-      joinCond: Column, saltOn: Seq[Column], salts: Int = 8): DataFrame =
-    fact.withColumn("__fsalt", pmod(xxhash64(saltOn: _*), lit(salts)))
+      joinCond: Column, saltOn: Seq[Column], salts: Int = 8): DataFrame = {
+    // per-call unique salt names: withColumn on a fixed "__fsalt" would
+    // silently REPLACE a user column of that name
+    val u = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, ds) = (s"__graft_fsalt_$u", s"__graft_dsalt_$u")
+    fact.withColumn(fs, pmod(xxhash64(saltOn: _*), lit(salts)))
       .join(
-        dim.withColumn("__dsalt", explode(array((0 until salts).map(lit): _*)))
+        dim.withColumn(ds, explode(array((0 until salts).map(lit): _*)))
           .hint("shuffle_hash"),
-        joinCond && col("__fsalt") === col("__dsalt"))
-      .drop("__fsalt", "__dsalt")
+        joinCond && col(fs) === col(ds))
+      .drop(fs, ds)
+  }
 
   /** CDC snapshot diff: full-outer join `old` and `neu` on `keys`, value
     * columns suffixed `_old`/`_new`, classified insert / delete / update
@@ -109,17 +133,25 @@ object Ops {
     require(old.columns.toSeq == neu.columns.toSeq,
       s"tableDiff inputs must share a schema: ${old.columns.toSeq} vs ${neu.columns.toSeq}")
     val valueCols = old.columns.toSeq.filterNot(keys.contains)
+    // the _old/_new suffixes are the output contract — what can collide is
+    // an INPUT column that already carries them (e.g. value columns "v"
+    // and "v_old"): refuse loudly rather than emit two identical names
+    val outNames = keys ++ valueCols.flatMap(c => Seq(s"${c}_old", s"${c}_new"))
+    require(outNames.distinct == outNames,
+      s"tableDiff suffixed output names collide: ${outNames.diff(outNames.distinct).distinct}")
+    val u = java.util.UUID.randomUUID().toString.take(8)
+    val (oM, nM) = (s"__graft_o_$u", s"__graft_n_$u")
     val o = old.select(keys.map(col) ++
-      valueCols.map(c => col(c).as(s"${c}_old")) :+ lit(1).as("__o"): _*)
+      valueCols.map(c => col(c).as(s"${c}_old")) :+ lit(1).as(oM): _*)
     val n = neu.select(keys.map(col) ++
-      valueCols.map(c => col(c).as(s"${c}_new")) :+ lit(1).as("__n"): _*)
+      valueCols.map(c => col(c).as(s"${c}_new")) :+ lit(1).as(nM): _*)
     val changed = valueCols
       .map(c => !(col(s"${c}_old") <=> col(s"${c}_new")))
       .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, keys, "full_outer")
       .withColumn("change",
-        when(col("__o").isNull, "insert")
-          .when(col("__n").isNull, "delete")
+        when(col(oM).isNull, "insert")
+          .when(col(nM).isNull, "delete")
           .when(changed, "update")
           .otherwise("unchanged"))
       .filter(col("change") =!= "unchanged")

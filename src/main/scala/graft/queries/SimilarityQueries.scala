@@ -222,9 +222,13 @@ object SimilarityQueries extends QueryModule {
         // hashes only for docs that appear in a candidate pair (a tiny
         // fraction of the corpus at scale), and the per-doc set size is a
         // map-side projection off the array — no groupBy over exploded
-        // (doc, h) pairs.
+        // (doc, h) pairs. No broadcast hint on purpose: candDocs sits
+        // behind a shuffle, so AQE sizes it at runtime — small candidate
+        // sets broadcast, and a high-duplication corpus (candidates ≈
+        // corpus) falls back to a shuffled semi-join instead of melting
+        // the driver with an oversized broadcast.
         val candArrays = shingleArrays(
-          docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+          docs.join(candDocs, Seq("doc_id"), "left_semi"))
         // per-doc dedup INSIDE the row (array_distinct) — same semantics as
         // a global DISTINCT on (doc_id, h), zero shuffle. explode_outer,
         // not explode: plain explode makes the optimizer infer a

@@ -36,6 +36,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 >= 2L)) // unrelated docs never paired
   }
 
+  test("minhash verify: high-duplication corpus, broadcast and shuffled branches agree") {
+    val s = spark
+    import s.implicits._
+    // Candidates ≈ corpus: every doc is a near-copy, the regime where the
+    // old unconditional broadcast(candDocs) would ship the whole corpus's
+    // ids to every executor. The semi-join is now AQE-gated; forcing the
+    // broadcast threshold to -1 pins the shuffled branch, and both
+    // branches must produce identical pairs.
+    val base = "the same long sentence repeated across every document in this corpus " * 4
+    val docs = (0 until 30).map(i => (i.toLong, base + s"tail${i % 3}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupcorpus").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val fn = SparkEntry.queries("q_dedup_minhash")
+    def pairs() = fn(spark, dir).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = pairs()
+    assert(viaBroadcast.size > 100) // near-complete pairing of 30 near-copies
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(pairs() == viaBroadcast)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("simhash: duplicate content found at Hamming 0, unrelated not paired") {
     val fn = SparkEntry.queries("q_dedup_simhash")
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString

@@ -80,4 +80,52 @@ class OpsSpec extends AnyFunSuite {
       .select("row", "label").collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("asofJoin: NULL keys and times never match, rows survive with null payload") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Option(1L), Option(10L), "ok"),
+      (Option.empty[Long], Option(10L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nulltime"))
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (Option(1L), Option(5L), "r5"),
+      (Option.empty[Long], Option(1L), "rNullK"), // must match nothing
+      (Option(1L), Option.empty[Long], "rNullT")) // must match nothing
+      .toDF("k", "t", "v")
+    val out = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .orderBy("ev").collect()
+    assert(out.map(r => (r.getString(2), Option(r.getString(3)))).toSeq ==
+      Seq(("nullkey", None), ("nulltime", None), ("ok", Some("r5"))))
+  }
+
+  test("internal columns never collide with user columns of the old fixed names") {
+    val s = spark
+    import s.implicits._
+    // a fact column literally named __fsalt used to be silently replaced
+    val fact = (1 to 50).map(i => (i.toLong % 3, i.toLong, s"u$i")).toDF("fk", "row", "__fsalt")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("dk", "label")
+    val out = Ops.saltedEquiJoin(fact, dim, col("fk") === col("dk"), Seq(col("row")))
+    assert(out.columns.count(_ == "__fsalt") == 1)
+    assert(out.select("__fsalt").collect().map(_.getString(0)).forall(_.startsWith("u")))
+    // asofJoin with user columns named like its old internals
+    val left = Seq((1L, 10L, "x")).toDF("__k", "__t", "__l")
+    val right = Seq((1L, 5L, "y")).toDF("k", "t", "__p")
+    val asof = Ops.asofJoin(left, right, "__k", "k", "__t", "t", Seq("__p"))
+    assert(asof.columns.toSeq == Seq("__k", "__t", "__l", "__p"))
+    assert(asof.collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq((1L, "x", "y")))
+  }
+
+  test("tableDiff refuses inputs whose suffixed names would collide") {
+    val s = spark
+    import s.implicits._
+    // key literally named "v_old" collides with value column v's suffixed
+    // output name
+    val a = Seq((1L, "x")).toDF("v_old", "v")
+    intercept[IllegalArgumentException] {
+      Ops.tableDiff(a, a, Seq("v_old"))
+    }
+  }
 }
