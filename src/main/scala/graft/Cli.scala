@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
   *   append-to-delta   <dataDir> <sql> <table>
   *   compact-delta     <table>
   *   vacuum-delta      <table> [retentionMs]
+  *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
   * }}}
+  *
+  * `pgcopy-to-delta` is the reference's flagship pg→lakehouse verb fed
+  * from recorded COPY BINARY streams (one Spark partition per stream);
+  * colSpec is comma-separated `name:pgtype[:typmod]`, e.g.
+  * `id:int8,price:numeric:524295`.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -78,6 +84,20 @@ object Cli {
         val retention = pos.lift(1).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
         val n = sinks.DeltaSink.vacuum(spark, pos(0), retention)
         println(s"deleted $n files")
+      case "pgcopy-to-delta" =>
+        val cols = pos(0).split(',').toSeq.map { spec =>
+          spec.split(':') match {
+            case Array(n, t) => (n, t, -1)
+            case Array(n, t, m) => (n, t, m.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"bad column spec '$spec' (want name:pgtype[:typmod])")
+          }
+        }
+        val df = sources.PgCopyBinarySource(pos.drop(2).toSeq, cols).load(spark)
+        if (!sinks.DeltaSink.write(df, pos(1), overwrite)) {
+          System.err.println("Table exists. Pass --overwrite to overwrite data")
+          sys.exit(1)
+        }
       case other =>
         System.err.println(s"unknown subcommand: $other")
         sys.exit(2)

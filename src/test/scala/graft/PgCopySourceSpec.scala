@@ -1,0 +1,197 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.DeltaSink
+import graft.sources.{CopyBinary, PgCopyBinarySource}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end recorded-wire Postgres path: the reference's own fixture
+  * (tests/postgres-init-scripts/init-pg-data.sql — 25,001 rows: one
+  * all-NULL row, 25k generated rows, hand-set numeric edge values) is
+  * encoded into genuine COPY BINARY wire bytes, decoded by the source,
+  * and asserted cell-by-cell exactly as the reference's integration test
+  * does (tests/basic_integration.rs:246-427), then round-tripped through
+  * the Delta sink — the reference's flagship pg→lakehouse pipeline.
+  */
+class PgCopySourceSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  /** NUMERIC(8,3) typmod: ((precision << 16) | scale) + VARHDRSZ. */
+  private val Numeric8x3 = ((8 << 16) | 3) + 4
+
+  private val cols = Seq(
+    ("id", "int8", -1), ("cbool", "bool", -1), ("cchar", "char", -1),
+    ("cint2", "int2", -1), ("cint4", "int4", -1), ("cint8", "int8", -1),
+    ("cfloat4", "float4", -1), ("cfloat8", "float8", -1),
+    ("ctimestamp", "timestamp", -1), ("ctimestamptz", "timestamptz", -1),
+    ("cdate", "date", -1), ("cnumeric", "numeric", Numeric8x3),
+    ("ctext", "text", -1), ("cbytea", "bytea", -1))
+
+  // ---- COPY BINARY wire encoders (test fixture generator) ----
+
+  private def be16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private def be32(v: Int) = ByteBuffer.allocate(4).putInt(v).array()
+  private def be64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+  private def bef4(v: Float) = ByteBuffer.allocate(4).putFloat(v).array()
+  private def bef8(v: Double) = ByteBuffer.allocate(8).putDouble(v).array()
+
+  /** PG wire numeric: base-10000 digit groups aligned to the decimal
+    * point, sign/weight/dscale header (numeric.c send format).
+    */
+  private def pgNumeric(v: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(v.scale, 0)
+    val sign = if (v.signum < 0) 0x4000 else 0x0000
+    val a = v.abs
+    val intStr = a.toBigInteger.toString
+    val fracRaw = a.subtract(new java.math.BigDecimal(a.toBigInteger))
+      .movePointRight(dscale).toBigIntegerExact.toString
+    val fracStr = ("0" * (dscale - fracRaw.length)) + fracRaw
+    val intPad = ("0" * ((4 - intStr.length % 4) % 4)) + intStr
+    val fracPad = fracStr + ("0" * ((4 - fracStr.length % 4) % 4))
+    val digits = (intPad + fracPad).grouped(4).map(_.toInt).toSeq
+    val weight = intPad.length / 4 - 1
+    val out = new ByteArrayOutputStream()
+    out.write(be16(digits.length)); out.write(be16(weight))
+    out.write(be16(sign)); out.write(be16(dscale))
+    digits.foreach(d => out.write(be16(d)))
+    out.toByteArray
+  }
+
+  /** Encodes tuples into one complete COPY BINARY stream. */
+  private def stream(tuples: Seq[Seq[Option[Array[Byte]]]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    dos.write(CopyBinary.Signature)
+    dos.writeInt(0) // flags
+    dos.writeInt(0) // header extension length
+    tuples.foreach { fields =>
+      dos.writeShort(fields.length)
+      fields.foreach {
+        case None => dos.writeInt(-1)
+        case Some(b) => dos.writeInt(b.length); dos.write(b)
+      }
+    }
+    dos.writeShort(-1) // trailer
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Days 1970-01-01 → 2024-01-01 (basic_integration.rs:327) and the PG
+    * J2000 offsets the wire values are relative to.
+    */
+  private val ElapsedDays = 19723L
+  private val PgEpochDays = 10957L
+
+  private def fixtureTuples: Seq[Seq[Option[Array[Byte]]]] = {
+    val numericOverrides: Map[Int, java.math.BigDecimal] =
+      Seq(1 -> "0.000", 2 -> "0.001", 3 -> "-0.002", 4 -> "3.000",
+        5 -> "-4.000", 6 -> "50.001", 7 -> "99999.999", 8 -> "-99999.999")
+        .map { case (s, d) => s -> new java.math.BigDecimal(d) }.toMap
+    val nullRow: Seq[Option[Array[Byte]]] =
+      Some(be64(1L)) +: Seq.fill(cols.length - 1)(Option.empty[Array[Byte]])
+    val rows = (1 to 25000).map { s =>
+      val pgMicros = ((ElapsedDays - PgEpochDays) * 86400L + s) * 1000000L
+      val numeric = numericOverrides.getOrElse(s,
+        java.math.BigDecimal.valueOf(s.toLong, 3))
+      Seq(
+        Some(be64(s + 1L)),                       // id (BIGSERIAL, null row took 1)
+        Some(Array[Byte](if (s % 2 == 1) 1 else 0)), // cbool
+        Some(Array[Byte]((s % 256 - 128).toByte)),   // cchar
+        Some(be16(s)),                            // cint2
+        Some(be32(s)),                            // cint4
+        Some(be64(s.toLong)),                     // cint8
+        Some(bef4(s + 0.5f)),                     // cfloat4
+        Some(bef8(s + 0.5)),                      // cfloat8
+        Some(be64(pgMicros)),                     // ctimestamp
+        Some(be64(pgMicros)),                     // ctimestamptz
+        Some(be32((ElapsedDays - PgEpochDays + s).toInt)), // cdate
+        Some(pgNumeric(numeric)),                 // cnumeric
+        Some(s.toString.getBytes("UTF-8")),       // ctext
+        Some(be32(s)))                            // cbytea = int4send(s)
+    }
+    nullRow +: rows
+  }
+
+  private def checkCells(df: org.apache.spark.sql.DataFrame): Unit = {
+    assert(df.count() == 25001)
+    // the reference's rb1 head assertions (basic_integration.rs:246-427)
+    val head = df.orderBy("id").limit(9)
+      .select(col("id"), col("cbool"), col("cchar"), col("cint2"),
+        col("cint4"), col("cint8"), col("cfloat4"), col("cfloat8"),
+        col("ctimestamp").cast("string").as("ts"),
+        unix_micros(col("ctimestamptz")).as("tz_us"),
+        col("cdate").cast("string").as("d"),
+        col("cnumeric"), col("ctext"), col("cbytea"))
+      .collect()
+    val r0 = head(0) // the DEFAULT VALUES row: id only, everything else NULL
+    assert(r0.getLong(0) == 1L)
+    (1 until r0.length).foreach(i => assert(r0.isNullAt(i), s"field $i not null"))
+    val r1 = head(1) // s = 1
+    assert(r1.getLong(0) == 2L)
+    assert(r1.getBoolean(1))
+    assert(r1.getByte(2) == -127)
+    assert(r1.getShort(3) == 1 && r1.getInt(4) == 1 && r1.getLong(5) == 1L)
+    assert(r1.getFloat(6) == 1.5f && r1.getDouble(7) == 1.5)
+    assert(r1.getString(8) == "2024-01-01 00:00:01")
+    assert(r1.getLong(9) == (ElapsedDays * 86400L + 1) * 1000000L)
+    assert(r1.getString(10) == "2024-01-02")
+    assert(r1.getString(12) == "1")
+    assert(r1.getAs[Array[Byte]](13).toSeq == Seq[Byte](0, 0, 0, 1))
+    val r2 = head(2) // s = 2
+    assert(!r2.getBoolean(1) && r2.getByte(2) == -126 && r2.getString(12) == "2")
+    // the numeric edge cells: unscaled values at DECIMAL(8,3)
+    assert(df.schema("cnumeric").dataType == DecimalType(8, 3))
+    val numerics = head.drop(1).map(_.getDecimal(11).unscaledValue().longValue())
+    assert(numerics.toSeq == Seq(0L, 1L, -2L, 3000L, -4000L, 50001L, 99999999L, -99999999L))
+  }
+
+  test("25,001-row recorded COPY BINARY fixture decodes to the contract cells") {
+    val tuples = fixtureTuples
+    val dir = Files.createTempDirectory("graft-pgwire")
+    // two recorded streams = two Spark partitions (the partition-parallel
+    // ranged-COPY shape); the split point is arbitrary
+    val (t1, t2) = tuples.splitAt(12500)
+    Files.write(dir.resolve("part-0.pgcopy"), stream(t1))
+    Files.write(dir.resolve("part-1.pgcopy"), stream(t2))
+    val src = PgCopyBinarySource(
+      Seq(dir.resolve("part-0.pgcopy").toString, dir.resolve("part-1.pgcopy").toString),
+      cols)
+    assert(src.schema == StructType(cols.map { case (n, t, m) =>
+      StructField(n, graft.sources.PgTypeMapping.sparkTypeFor(t, m), nullable = true)
+    }))
+    val df = src.load(spark)
+    assert(df.rdd.getNumPartitions == 2)
+    checkCells(df)
+  }
+
+  test("recorded wire fixture round-trips through the Delta sink (pg→lakehouse)") {
+    val dir = Files.createTempDirectory("graft-pgwire2")
+    Files.write(dir.resolve("all.pgcopy"), stream(fixtureTuples))
+    val df = PgCopyBinarySource(Seq(dir.resolve("all.pgcopy").toString), cols).load(spark)
+    val table = Files.createTempDirectory("graft-pgdelta").toString
+    assert(DeltaSink.write(df, table))
+    checkCells(DeltaSink.read(spark, table))
+  }
+
+  test("malformed streams are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      CopyBinary.decode("NOTPGCOPY".getBytes ++ Array.fill(20)(0.toByte), cols).toList
+    }
+    // tuple field-count mismatch
+    val bad = {
+      val bos = new ByteArrayOutputStream(); val dos = new DataOutputStream(bos)
+      dos.write(CopyBinary.Signature); dos.writeInt(0); dos.writeInt(0)
+      dos.writeShort(2) // claims 2 fields against a 14-column schema
+      dos.writeInt(-1); dos.writeInt(-1); dos.writeShort(-1); dos.flush()
+      bos.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      CopyBinary.decode(bad, cols).toList
+    }
+  }
+}
