@@ -709,7 +709,7 @@ object DeltaSink {
         Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
         r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
         r.getAs[String]("stats"))
-    }
+    }.sortBy(_.path) // deterministic scan order regardless of agg partitioning
 
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
     val (meta, live) = resolve(spark, table, asOfVersion)

@@ -35,11 +35,13 @@ import org.apache.spark.sql.types._
   *    src/lib.rs:82,168-196);
   *  - version-hint.text is updated last (:370-374).
   *
-  * Divergence, documented per SURVEY.md §7.3: manifests and manifest lists
-  * are JSON, not Avro (no Avro writer on the offline classpath); the
-  * metadata JSON carries the full Spark schema under
-  * `properties."graft.spark-schema"` alongside the Iceberg-shaped field
-  * list, and the reader uses that.
+  * Manifests and manifest lists are genuine Avro OCF per the V2 table
+  * spec ([[IcebergAvro]] — avro-1.12 ships in Spark's jar dir), matching
+  * the reference's ManifestWriter/ManifestListWriter output
+  * (iceberg_destination.rs:271-324); the table metadata file is JSON, as
+  * the spec itself requires. The metadata JSON additionally carries the
+  * full Spark schema under `properties."graft.spark-schema"` alongside
+  * the Iceberg-shaped field list, and the reader uses that.
   */
 object IcebergSink {
   private val mapper = new ObjectMapper()
@@ -118,36 +120,39 @@ object IcebergSink {
 
     Files.createDirectories(metaDir(table))
 
-    // Manifest (JSON in place of Avro — see scaladoc).
-    val manifest = mapper.createObjectNode()
-    manifest.put("schema-id", 0).put("content", "data").put("snapshot-id", snapshotId)
-    val entries = manifest.putArray("entries")
-    dataFiles.foreach { f =>
-      val e = entries.addObject()
-      e.put("status", "ADDED").put("snapshot-id", snapshotId)
-      val d = e.putObject("data-file")
-      d.put("file-path", s"$stage/${f.getName}")
-        .put("file-format", "PARQUET")
-        .put("record-count", -1L) // not used by the reader; stats live in parquet footers
-        .put("file-size-in-bytes", f.length())
+    // Iceberg-shaped field list: shared between the metadata JSON and the
+    // manifest's key metadata.
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("type", "struct").put("schema-id", 0)
+    val fields = schemaNode.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      fields.addObject()
+        .put("id", i + 1)
+        .put("name", f.name)
+        .put("required", !f.nullable)
+        .put("type", icebergType(f.dataType))
     }
-    val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.json")
-    Files.writeString(manifestPath, manifest.toString)
 
-    // Manifest list: append carries forward the previous snapshot's
-    // manifests; create/overwrite start fresh.
-    val carried: Seq[String] = (mode, previous) match {
+    // Avro manifest (V2 manifest_entry records, real per-file row counts).
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val infos = dataFiles.toSeq.map(f =>
+      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), numRecords(f, conf)))
+    val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.avro")
+    val manifestLen = IcebergAvro.writeManifest(manifestPath.toFile, infos,
+      snapshotId, schemaNode.toString, """{"spec-id":0,"fields":[]}""")
+
+    // Manifest list: append carries the previous snapshot's manifest_file
+    // rows forward verbatim; create/overwrite start fresh.
+    val carried = (mode, previous) match {
       case (Append, Some(prev)) =>
-        currentManifestList(table, prev).map(readManifestPaths(table, _)).getOrElse(Nil)
+        currentManifestList(table, prev)
+          .map(p => IcebergAvro.readManifestList(new File(abs(table, p)))).getOrElse(Nil)
       case _ => Nil
     }
-    val manifestList = mapper.createObjectNode()
-    val manifests = manifestList.putArray("manifests")
-    (carried :+ s"metadata/${manifestPath.getFileName}").foreach { p =>
-      manifests.addObject().put("manifest-path", p).put("added-snapshot-id", snapshotId)
-    }
-    val listPath = metaDir(table).resolve(s"manifest-list-${java.util.UUID.randomUUID()}.json")
-    Files.writeString(listPath, manifestList.toString)
+    val newRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
+      manifestLen, seq, snapshotId, infos.size, infos.map(_.recordCount).sum)
+    val listPath = metaDir(table).resolve(s"manifest-list-${java.util.UUID.randomUUID()}.avro")
+    IcebergAvro.writeManifestList(listPath.toFile, carried :+ newRow, snapshotId, seq)
 
     // New table metadata = previous + new snapshot + main branch ref.
     val newVersion = hint.map(_ + 1).getOrElse(0L)
@@ -160,17 +165,7 @@ object IcebergSink {
       .put("last-sequence-number", seq)
       .put("last-updated-ms", System.currentTimeMillis())
       .put("last-column-id", df.schema.fields.length)
-    val schemas = meta.putArray("schemas")
-    val schemaNode = schemas.addObject()
-    schemaNode.put("type", "struct").put("schema-id", 0)
-    val fields = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
-      fields.addObject()
-        .put("id", i + 1)
-        .put("name", f.name)
-        .put("required", !f.nullable)
-        .put("type", icebergType(f.dataType))
-    }
+    meta.putArray("schemas").add(schemaNode)
     meta.put("current-schema-id", 0)
     meta.putArray("partition-specs").addObject().put("spec-id", 0).putArray("fields")
     meta.put("default-spec-id", 0)
@@ -281,10 +276,10 @@ object IcebergSink {
     val (expired, kept) = all.splitAt(all.size - keepLast)
 
     def filesOf(snaps: Seq[ObjectNode]): (Set[String], Set[String]) = {
-      val lists = snaps.map(_.get("manifest-list").asText())
+      val lists = snaps.map(s => abs(table, s.get("manifest-list").asText()))
       val manifests = lists.flatMap(readManifestPaths(table, _)).toSet
       val data = manifests.flatMap(mp => dataFilesOf(table, mp))
-      (manifests ++ lists, data)
+      (manifests ++ lists.toSet, data)
     }
     val (keptMeta, keptData) = filesOf(kept)
     val (expMeta, expData) = filesOf(expired)
@@ -302,7 +297,7 @@ object IcebergSink {
     }
     Files.writeString(hintFile(table), newVersion.toString)
 
-    (expMeta -- keptMeta).foreach(p => Files.deleteIfExists(Paths.get(table, p)))
+    (expMeta -- keptMeta).foreach(p => Files.deleteIfExists(Paths.get(p)))
     val deadData = expData -- keptData
     deadData.foreach(p => Files.deleteIfExists(Paths.get(p)))
     deadData.size
@@ -328,16 +323,26 @@ object IcebergSink {
       .map(_.get("manifest-list").asText())
   }
 
-  private def readManifestPaths(table: String, listRelPath: String): Seq[String] = {
-    val node = mapper.readTree(Files.readString(Paths.get(table, listRelPath)))
-    node.get("manifests").elements().asScala.map(_.get("manifest-path").asText()).toSeq
-  }
+  /** Paths inside Avro records are absolute (the spec stores full
+    * locations, as the reference's target_url-based paths do); the
+    * metadata JSON's manifest-list pointers stay table-relative so a
+    * relocated table still resolves its own current state.
+    */
+  private def abs(table: String, p: String): String =
+    if (p.startsWith("/")) p else new File(table, p).getAbsolutePath
 
-  private def dataFilesOf(table: String, manifestRelPath: String): Seq[String] = {
-    val node = mapper.readTree(Files.readString(Paths.get(table, manifestRelPath)))
-    node.get("entries").elements().asScala
-      .map(e => new File(table, e.get("data-file").get("file-path").asText()).getAbsolutePath)
-      .toSeq
+  private def readManifestPaths(table: String, listPath: String): Seq[String] =
+    IcebergAvro.readManifestList(new File(abs(table, listPath)))
+      .map(_.get("manifest_path").toString)
+
+  private def dataFilesOf(table: String, manifestPath: String): Seq[String] =
+    IcebergAvro.readManifestDataFiles(new File(abs(table, manifestPath))).map(_._1)
+
+  private def numRecords(f: File, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toURI), conf))
+    try reader.getRecordCount finally reader.close()
   }
 
   private def readHint(table: String): Option[Long] = {

@@ -96,6 +96,37 @@ class SinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Table exists"))
   }
 
+  test("Iceberg manifests are genuine V2 Avro with real row counts") {
+    val table = tmp()
+    IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
+    val metaDir = new File(table, "metadata")
+    val listFile = metaDir.listFiles().find(_.getName.startsWith("manifest-list-")).get
+    val manifestFile = metaDir.listFiles()
+      .find(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list-")).get
+    assert(listFile.getName.endsWith(".avro") && manifestFile.getName.endsWith(".avro"))
+    // manifest list: one manifest_file row with accurate length/counts
+    val rows = graft.sinks.IcebergAvro.readManifestList(listFile)
+    assert(rows.size == 1)
+    val row = rows.head
+    assert(row.get("manifest_path").toString == manifestFile.getAbsolutePath)
+    assert(row.get("manifest_length").asInstanceOf[Long] == manifestFile.length())
+    assert(row.get("added_rows_count").asInstanceOf[Long] == 3L)
+    assert(row.get("sequence_number").asInstanceOf[Long] == 1L)
+    // manifest: ADDED entries with real parquet row counts, required V2
+    // key metadata present and readable by a stock Avro reader
+    val files = graft.sinks.IcebergAvro.readManifestDataFiles(manifestFile)
+    assert(files.map(_._2).sum == 3L)
+    files.foreach { case (p, _) => assert(new File(p).isFile) }
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      manifestFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(r.getMetaString("format-version") == "2")
+      assert(r.getMetaString("content") == "data")
+      assert(r.getMetaString("partition-spec-id") == "0")
+      assert(r.getMetaString("schema").contains(""""name":"id""""))
+    } finally r.close()
+  }
+
   test("Iceberg append bumps version/sequence and keeps previous data") {
     val table = tmp()
     IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
@@ -390,8 +421,14 @@ class SinkSpec extends AnyFunSuite {
       }.sortBy(_._1)
     assert(ranges.length == after)
     ranges.foreach { case (lo, hi) => assert(hi - lo < 2000, s"file range [$lo,$hi] too wide") }
-    // ranges are non-overlapping (clustered), and the data survived intact
-    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+    // ranges are non-overlapping up to one 8-bit z-bucket (4000/256 = 16
+    // ids): rows sharing a bucket value are unordered within it, so
+    // adjacent files may interleave inside a single bucket but never
+    // beyond it — that is the clustering contract the scan pruning uses
+    val bucketWidth = 4000 / 256 + 1
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo + bucketWidth, s"files overlap beyond a z-bucket: $hi vs $lo")
+    }
     assert(DeltaSink.read(spark, table).count() == 4000)
     // two-column z-order also runs and preserves the data
     val t2 = tmp()
