@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   * {{{
-  *   query-to-delta    <dataDir> <sql> <table> [--overwrite] [--partition-by c1,c2]
+  *   query-to-delta    <dataDir> <sql> <table> [--overwrite] [--partition-by c1,c2] [--max-records-per-file N]
   *   query-to-iceberg  <dataDir> <sql> <table> [--overwrite | --append]
   *   parquet-to-delta  <file>    <table> [--overwrite]
   *   parquet-to-iceberg <file>   <table> [--overwrite | --append]
@@ -41,6 +41,9 @@ object Cli {
     var overwrite = false
     var append = false
     var partitionBy: Seq[String] = Nil
+    // The reference's --batch-size throughput knob (src/lib.rs:43-50)
+    // translated to the Spark sink's lever: rows per output parquet file.
+    var maxRecordsPerFile = sinks.DeltaSink.MaxRecordsPerFile
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 1
     while (i < args.length) {
@@ -51,6 +54,10 @@ object Cli {
           require(i + 1 < args.length, "--partition-by requires a column list")
           partitionBy = args(i + 1).split(',').toSeq
           i += 1
+        case "--max-records-per-file" =>
+          require(i + 1 < args.length, "--max-records-per-file requires a count")
+          maxRecordsPerFile = args(i + 1).toLong
+          i += 1
         case flag if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $flag")
         case p => pos += p
@@ -60,7 +67,8 @@ object Cli {
 
     args(0) match {
       case "query-to-delta" =>
-        val ok = Engine.sqlToDelta(spark, pos(0), pos(1), pos(2), overwrite, partitionBy)
+        val ok = Engine.sqlToDelta(spark, pos(0), pos(1), pos(2), overwrite,
+          partitionBy, maxRecordsPerFile)
         if (!ok) { // reference refuse-and-exit, delta_destination.rs:421-427
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)
@@ -68,7 +76,7 @@ object Cli {
       case "query-to-iceberg" =>
         Engine.sqlToIceberg(spark, pos(0), pos(1), pos(2), overwrite, append)
       case "parquet-to-delta" =>
-        if (!Engine.parquetToDelta(spark, pos(0), pos(1), overwrite)) {
+        if (!Engine.parquetToDelta(spark, pos(0), pos(1), overwrite, maxRecordsPerFile)) {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)
         }

@@ -46,9 +46,10 @@ object Engine {
     */
   def sqlToDelta(spark: SparkSession, dir: String, query: String,
       table: String, overwrite: Boolean = false,
-      partitionBy: Seq[String] = Nil): Boolean =
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = DeltaSink.MaxRecordsPerFile): Boolean =
     DeltaSink.write(sql(spark, dir, query), table, overwrite,
-      partitionBy = partitionBy)
+      maxRecordsPerFile = maxRecordsPerFile, partitionBy = partitionBy)
 
   /** OPTIMIZE: bin-packs a Delta table's live files (per partition) and
     * commits the rewrite as a `dataChange=false` version — see
@@ -74,8 +75,10 @@ object Engine {
 
   /** Single parquet file → Delta table (reference lib.rs:86-105). */
   def parquetToDelta(spark: SparkSession, file: String, table: String,
-      overwrite: Boolean = false): Boolean =
-    DeltaSink.write(spark.read.parquet(file), table, overwrite)
+      overwrite: Boolean = false,
+      maxRecordsPerFile: Long = DeltaSink.MaxRecordsPerFile): Boolean =
+    DeltaSink.write(spark.read.parquet(file), table, overwrite,
+      maxRecordsPerFile = maxRecordsPerFile)
 
   /** Single parquet file → Iceberg table (reference lib.rs:121-158). */
   def parquetToIceberg(spark: SparkSession, file: String, table: String,

@@ -379,11 +379,15 @@ object SimilarityQueries extends QueryModule {
       // IVF-style ANN: a deterministic coarse quantizer (the 16 lowest-id
       // vectors stand in for trained centroids), every vector assigned to
       // its nearest centroid cell (argmax cosine over a broadcast of 16),
-      // then exact top-3 search restricted to the probe's cell. One shuffle
-      // on cell id; candidate cost is |cell| not |corpus|. No oracle
-      // (approximate by construction); DedupSpec checks subset-of-exact.
+      // then exact top-3 search over the probe's nprobe=2 NEAREST cells —
+      // the standard recall lever over own-cell-only search: a probe near
+      // a cell boundary finds neighbors quantized into the adjacent cell.
+      // One shuffle on cell id; candidate cost is nprobe·|cell|, not
+      // |corpus|. No oracle (approximate by construction); DedupSpec
+      // checks subset-of-exact.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        val nprobe = 2
         val vecs = emb.select(col("vec_id"), col("embedding"),
           graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
         val cents = vecs.filter(col("vec_id") < 16)
@@ -391,14 +395,16 @@ object SimilarityQueries extends QueryModule {
             col("nrm").as("cnorm"))
         val wAssign = Window.partitionBy("vec_id")
           .orderBy(col("cs").desc, col("cent_id").asc)
-        val assigned = vecs.join(broadcast(cents))
+        val ranked = vecs.join(broadcast(cents))
           .withColumn("cs", dotD(col("embedding"), col("cent")) / (col("nrm") * col("cnorm")))
           .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
+        // every vector lives in exactly its argmax cell...
+        val assigned = ranked.filter(col("arn") === 1)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-        val probes = assigned.filter(col("vec_id") < 100)
+        // ...but each probe SEARCHES its nprobe nearest cells
+        val probes = ranked.filter(col("vec_id") < 100 && col("arn") <= nprobe)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"), col("cell"))
+            col("nrm").as("qn"), col("cent_id").as("cell"))
         val cands = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nrm").as("cn"), col("cell"))
         val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)

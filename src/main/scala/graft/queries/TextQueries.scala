@@ -334,5 +334,66 @@ object TextQueries extends QueryModule {
       Some("""SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS nbytes,
              |HEX(ENCODE(SUBSTRING(text, 1, 8))) AS prefix_hex
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_text_pii_scrub",
+      // PII redaction pass (the C4/RefinedWeb-style cleanup step): emails
+      // and phone-shaped digit runs become typed placeholder tokens.
+      // Pure map-side regexp work in whole-stage codegen — zero shuffle at
+      // any corpus size. The redaction count is recomputed from the SOURCE
+      // text so every row carries its own audit signal. Regexes stay in
+      // the character-class subset Java regex and RE2 (DuckDB) agree on.
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("clean_text"),
+            (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
+              size(regexp_extract_all(col("text"), lit(phone), lit(0))))
+              .cast("long").as("n_redactions"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |               '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean_text,
+             |CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |   + LEN(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_redactions
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_text_repetition",
+      // Gopher-style repetition signals: distinct-token ratio and the
+      // share of the single most-frequent token — the filter that drops
+      // degenerate/boilerplate documents before pretraining. One exploded
+      // (doc, token) exchange with map-side partial counts; the per-doc
+      // rollup reuses the same partitioning.
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        freq.groupBy("doc_id")
+          .agg(sum("c").cast("long").as("n_tokens"),
+            count(lit(1)).as("n_unique"),
+            max("c").as("max_c"))
+          .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+            toDbl((col("n_unique").cast("double") / col("n_tokens"))
+              .cast(Dec38)).as("uniq_ratio"),
+            toDbl((col("max_c").cast("double") / col("n_tokens"))
+              .cast(Dec38)).as("top_share"))
+          .withColumn("keep", col("uniq_ratio") >= 0.05 && col("top_share") <= 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |COUNT(*) AS n_unique,
+             |CAST(CAST(CAST(COUNT(*) AS DOUBLE) / SUM(c) AS DECIMAL(38,6)) AS DOUBLE) AS uniq_ratio,
+             |CAST(CAST(CAST(MAX(c) AS DOUBLE) / SUM(c) AS DECIMAL(38,6)) AS DOUBLE) AS top_share,
+             |(CAST(CAST(CAST(COUNT(*) AS DOUBLE) / SUM(c) AS DECIMAL(38,6)) AS DOUBLE) >= 0.05
+             |  AND CAST(CAST(CAST(MAX(c) AS DOUBLE) / SUM(c) AS DECIMAL(38,6)) AS DOUBLE) <= 0.2) AS keep
+             |FROM (SELECT doc_id, tok, COUNT(*) AS c FROM
+             |  (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) u
+             |  GROUP BY doc_id, tok) f
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

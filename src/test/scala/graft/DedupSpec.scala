@@ -62,6 +62,31 @@ class DedupSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("pii scrub redacts planted emails/phones; repetition flags degenerate docs") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (0L, "contact me at jane.doe+x@example.co.uk or call 555-867-5309 today"),
+      (1L, "no personal info in this one just words"),
+      (2L, "spam " * 200 + "end")) // degenerate: one token dominates
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val scrub = SparkEntry.queries("q_text_pii_scrub")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(scrub(0).getString(1) == "contact me at <EMAIL> or call <PHONE> today")
+    assert(scrub(0).getLong(2) == 2L)
+    assert(scrub(1).getString(1) == "no personal info in this one just words")
+    assert(scrub(1).getLong(2) == 0L)
+    val rep = SparkEntry.queries("q_text_repetition")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(rep(0).getBoolean(5) && rep(1).getBoolean(5)) // normal docs keep
+    assert(!rep(2).getBoolean(5)) // 200× "spam" fails top-share
+    assert(rep(2).getDouble(4) > 0.9) // top_share ≈ 200/202
+  }
+
   test("simhash: duplicate content found at Hamming 0, unrelated not paired") {
     val fn = SparkEntry.queries("q_dedup_simhash")
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
