@@ -71,6 +71,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_sim_ann_lsh: OR'd band tables stay equi-join-only, signature fused") {
+    val p = plan("q_sim_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // all 96 hyperplane dots run as ONE expression, not 96 inlined loops
+    assert(p.contains("graft_hyperplane_sigs"))
+  }
+
   test("q_join_inner: fact-to-fact join shuffles both sides on the join key") {
     val p = plan("q_join_inner")
     // either SMJ or shuffled hash join is acceptable; a broadcast of the
