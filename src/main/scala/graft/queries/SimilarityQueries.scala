@@ -75,6 +75,17 @@ object SimilarityQueries extends QueryModule {
           array(xxhash64(col("text")))).as("ghs"))
   }
 
+  /** Fans an under-partitioned SCAN out to every core before
+    * compute-bound per-row work (signatures, shingle hashing) — a
+    * single-row-group file otherwise serializes the stage on one task.
+    * No-op when the input already spans enough splits (the at-scale case);
+    * apply to raw scans only — joined/shuffled inputs are already spread.
+    */
+  private def fanOutScan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** (doc_id, band, bandHash) LSH bucket keys for every document.
     *
     * The whole signature is ONE map-side projection
@@ -204,7 +215,7 @@ object SimilarityQueries extends QueryModule {
       // Candidates from band-bucket equi-join; exact Jaccard on candidates
       // only; pairs with J >= 0.5 are reported. No oracle (property-tested).
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = fanOutScan(t(s, dir, "documents"))
         val bands = minhashBands(docs)
         val cands = bands.as("x")
           .join(bands.as("y"), Seq("band", "bandHash"))
