@@ -102,7 +102,8 @@ object Cli {
           }
         }
         val df = sources.PgCopyBinarySource(pos.drop(2).toSeq, cols).load(spark)
-        if (!sinks.DeltaSink.write(df, pos(1), overwrite)) {
+        if (!sinks.DeltaSink.write(df, pos(1), overwrite,
+            maxRecordsPerFile = maxRecordsPerFile)) {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)
         }

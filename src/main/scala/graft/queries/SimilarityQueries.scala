@@ -121,14 +121,9 @@ object SimilarityQueries extends QueryModule {
         val corpus0 = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
           graft.functions.VectorExpressions.l2norm(col("embedding")).as("cn"))
         // Probe scoring is compute-bound (one 64-dim dot per probe per
-        // corpus row), so its parallelism is the scan's partition count —
-        // and a small corpus can arrive as a single row-group, serializing
-        // the whole join on one core. Fan out to every core when the scan
-        // is under-partitioned; metadata-only check, and a no-op at real
-        // scale where the corpus already spans many splits.
-        val par = s.sparkContext.defaultParallelism
-        val corpus = if (corpus0.rdd.getNumPartitions < par)
-          corpus0.repartition(par) else corpus0
+        // corpus row): fan an under-partitioned scan out to every core
+        // (no-op at real scale where the corpus spans many splits).
+        val corpus = fanOutScan(corpus0)
         // Slim BEFORE the window shuffle: score every pair map-side, then
         // move only (qid, cid, score) — never the embedding arrays. At sf0.1
         // this cuts the exchange from 2.5M × 64-float rows to 2.5M × 24
@@ -175,14 +170,12 @@ object SimilarityQueries extends QueryModule {
         val rnd = new scala.util.Random(42)
         val planes = Array.fill(L * r * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
         // Signature computation is compute-bound (L·r = 96 hyperplane dots
-        // per vector) — fan out an under-partitioned scan before it, as in
-        // q_sim_cosine_topk; no-op when the corpus spans many splits. The
+        // per vector) — fan out an under-partitioned scan before it. The
         // whole signature is ONE codegen'd expression over a constant
         // plane matrix (graft.functions.HyperplaneSignatures): composing
         // it from 96 per-plane DotProducts against array literals was a
         // codegen blob that cost more to compile than to run.
-        val par = s.sparkContext.defaultParallelism
-        val embP = if (emb.rdd.getNumPartitions < par) emb.repartition(par) else emb
+        val embP = fanOutScan(emb)
         val banded = embP
           .select(col("vec_id"), posexplode(
             graft.functions.VectorExpressions.hyperplaneSigs(

@@ -97,12 +97,16 @@ object CommitStore {
     * path — which is also why it stays a plain function.
     */
   def s3ConfFromEnv(env: Map[String, String]): Map[String, String] = {
+    // ordering = precedence (later wins in toMap): the specific/override
+    // variables (AWS_REGION, AWS_ENDPOINT_URL) beat their ambient
+    // fallbacks (AWS_DEFAULT_REGION, AWS_ENDPOINT), matching AWS SDK
+    // resolution order
     val direct = Seq(
       "AWS_ACCESS_KEY_ID" -> "fs.s3a.access.key",
       "AWS_SECRET_ACCESS_KEY" -> "fs.s3a.secret.key",
       "AWS_SESSION_TOKEN" -> "fs.s3a.session.token",
-      "AWS_REGION" -> "fs.s3a.endpoint.region",
       "AWS_DEFAULT_REGION" -> "fs.s3a.endpoint.region",
+      "AWS_REGION" -> "fs.s3a.endpoint.region",
       "AWS_ENDPOINT" -> "fs.s3a.endpoint",
       "AWS_ENDPOINT_URL" -> "fs.s3a.endpoint")
     val mapped = direct.flatMap { case (e, k) => env.get(e).map(k -> _) }.toMap

@@ -416,7 +416,11 @@ object DeltaSink {
           col("modificationTime"), lit(true).as("dataChange"),
           col("stats")).as("add"),
         nullAs("txn")))
-    val staging = Files.createTempDirectory("graft-delta-ckpt").toFile
+    // Stage INSIDE _delta_log: the final step is then a same-filesystem
+    // directory rename — Files.move of a non-empty directory cannot
+    // copy-fallback across mounts, and a cross-FS failure after deleting
+    // the previous checkpoint would leave _last_checkpoint dangling.
+    val staging = Files.createTempDirectory(logDir(table), "ckpt-staging-").toFile
     val target = checkpointFile(table, meta.version)
     try {
       // Multi-part checkpoint: the PARQUET DIRECTORY is the checkpoint
@@ -584,7 +588,12 @@ object DeltaSink {
     */
   private def actionsDF(spark: SparkSession, files: Seq[File]): DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
-    spark.read.schema(JsonActionSchema).json(files.map(_.getPath): _*)
+    // FAILFAST: a truncated/garbled commit line must abort the replay (the
+    // driver-side parser's old behavior) — PERMISSIVE would turn it into
+    // an all-null row that the action filters silently drop, and the adds
+    // it carried would vanish from every reader without an error.
+    spark.read.schema(JsonActionSchema).option("mode", "FAILFAST")
+      .json(files.map(_.getPath): _*)
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
   }
@@ -768,7 +777,8 @@ object DeltaSink {
       lines: Seq[String]): Unit =
     store.putIfAbsent(target, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
 
-  private def numRecords(f: File, conf: Configuration): Long = {
+  /** Parquet footer record count (shared by both sinks' stats). */
+  private[sinks] def numRecords(f: File, conf: Configuration): Long = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.toURI), conf))
     try reader.getRecordCount finally reader.close()
   }

@@ -136,7 +136,7 @@ object IcebergSink {
     // Avro manifest (V2 manifest_entry records, real per-file row counts).
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val infos = dataFiles.toSeq.map(f =>
-      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), numRecords(f, conf)))
+      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), DeltaSink.numRecords(f, conf)))
     val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.avro")
     val manifestLen = IcebergAvro.writeManifest(manifestPath.toFile, infos,
       snapshotId, schemaNode.toString, """{"spec-id":0,"fields":[]}""")
@@ -146,7 +146,8 @@ object IcebergSink {
     val carried = (mode, previous) match {
       case (Append, Some(prev)) =>
         currentManifestList(table, prev)
-          .map(p => IcebergAvro.readManifestList(new File(abs(table, p)))).getOrElse(Nil)
+          .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
+          .getOrElse(Nil)
       case _ => Nil
     }
     val newRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
@@ -331,19 +332,20 @@ object IcebergSink {
   private def abs(table: String, p: String): String =
     if (p.startsWith("/")) p else new File(table, p).getAbsolutePath
 
+  private def requireAvro(p: String): String = {
+    // pre-Avro tables wrote manifest-list-*.json; surface a diagnosable
+    // error instead of DataFileReader's raw "Not an Avro data file"
+    require(!p.endsWith(".json"),
+      s"legacy JSON manifest '$p': this table predates Avro manifests — rewrite it with overwrite")
+    p
+  }
+
   private def readManifestPaths(table: String, listPath: String): Seq[String] =
-    IcebergAvro.readManifestList(new File(abs(table, listPath)))
+    IcebergAvro.readManifestList(new File(requireAvro(abs(table, listPath))))
       .map(_.get("manifest_path").toString)
 
   private def dataFilesOf(table: String, manifestPath: String): Seq[String] =
     IcebergAvro.readManifestDataFiles(new File(abs(table, manifestPath))).map(_._1)
-
-  private def numRecords(f: File, conf: org.apache.hadoop.conf.Configuration): Long = {
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toURI), conf))
-    try reader.getRecordCount finally reader.close()
-  }
 
   private def readHint(table: String): Option[Long] = {
     val f = hintFile(table)

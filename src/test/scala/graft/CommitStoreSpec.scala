@@ -76,6 +76,12 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(conf("fs.s3a.path.style.access") == "true")
     assert(!conf.values.exists(_ == "x"))
     assert(CommitStore.s3ConfFromEnv(Map.empty).isEmpty)
+    // SDK resolution order: the override variables beat the ambient ones
+    val both = CommitStore.s3ConfFromEnv(Map(
+      "AWS_DEFAULT_REGION" -> "ambient", "AWS_REGION" -> "override",
+      "AWS_ENDPOINT" -> "http://old", "AWS_ENDPOINT_URL" -> "http://new"))
+    assert(both("fs.s3a.endpoint.region") == "override")
+    assert(both("fs.s3a.endpoint") == "http://new")
   }
 
   // ---- injected conflicts: the validate→commit window ----
