@@ -497,6 +497,10 @@ object DeltaSink {
     dead.size
   }
 
+  /** Declared schema of a Delta table (no data scan). */
+  def tableSchema(spark: SparkSession, table: String): StructType =
+    resolve(spark, table, None)._1.schema
+
   /** Latest committed log version of a Delta table. */
   def latestVersion(table: String): Long =
     logFiles(table).lastOption
@@ -528,11 +532,23 @@ object DeltaSink {
     * the vacuum retention window (the same contract as Delta CDF).
     * Returns rows in the table's declared schema.
     */
-  def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long): DataFrame = {
+  def readChangesSince(spark: SparkSession, table: String, sinceVersion: Long): DataFrame =
+    readChangesBetween(spark, table, sinceVersion, Long.MaxValue)
+
+  /** [[readChangesSince]] with an inclusive upper version bound — the form
+    * a streaming consumer needs: the rows of versions (since, until] and
+    * nothing newer, so a commit racing the offset read can't leak into the
+    * batch and duplicate on the next one.
+    */
+  def readChangesBetween(spark: SparkSession, table: String, sinceVersion: Long,
+      untilVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, max_by, struct}
     val state = replay(spark, table, None)
     val files = logFiles(table)
-      .filter(_.getName.stripSuffix(".json").toLong > sinceVersion)
+      .filter { f =>
+        val v = f.getName.stripSuffix(".json").toLong
+        v > sinceVersion && v <= untilVersion
+      }
     if (files.isEmpty) return readState(spark, table, state.copy(live = Nil))
     val feed = actionsDF(spark, files)
       .where(col("add").isNotNull &&

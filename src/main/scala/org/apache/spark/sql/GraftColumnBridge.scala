@@ -11,6 +11,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-tags a batch DataFrame as a STREAMING one — what a v1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). Same bridge FileStreamSource uses internally
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`).
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case _ => throw new IllegalArgumentException(s"$what must be an int literal")

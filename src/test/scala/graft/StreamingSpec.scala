@@ -255,4 +255,85 @@ class StreamingSpec extends AnyFunSuite {
     // nothing left to reclaim on a second pass
     assert(graft.sinks.DeltaSink.vacuum(spark, table, retentionMs = 0L) == 0)
   }
+
+  test("delta tail source: incremental versions delivered once, compaction not re-emitted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sinks.DeltaSink
+    val table = java.nio.file.Files.createTempDirectory("graft-tail").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tail-ckpt").toString
+    assert(DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table))
+
+    // foreachBatch sink: the memory sink refuses checkpoint recovery, and
+    // restarting from the SAME checkpoint is exactly what's under test
+    def drain(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream
+        .format("graft-delta-tail")
+        .option("path", table)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    assert(drain() == Seq(1L, 2L))
+
+    // two appends + an OPTIMIZE: the next run must deliver ONLY the new
+    // rows — the compaction rewrite (dataChange=false) re-adds every row
+    // under new file names and a feed that re-emitted them would
+    // double-process each OPTIMIZE
+    DeltaSink.append(Seq((3L, "c")).toDF("id", "s"), table)
+    DeltaSink.append(Seq((4L, "d")).toDF("id", "s"), table)
+    DeltaSink.compact(spark, table)
+    assert(drain() == Seq(3L, 4L))
+
+    // nothing new → empty incremental run
+    assert(drain().isEmpty)
+  }
+
+  test("delta-to-delta incremental pipeline is exactly-once end to end") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sinks.DeltaSink
+    val src = java.nio.file.Files.createTempDirectory("graft-e2e-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-e2e-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-ckpt").toString
+    assert(DeltaSink.write(Seq((1L, "a")).toDF("id", "s"), src))
+    assert(DeltaSink.write(Seq.empty[(Long, String)].toDF("id", "s"), dst))
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft-delta-tail").option("path", src).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          DeltaSink.appendExactlyOnce(batch, dst, appId = "e2e-pipe", txnVersion = id)
+          () // discard the version; foreachBatch wants Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    run()
+    DeltaSink.append(Seq((2L, "b")).toDF("id", "s"), src)
+    run()
+    // a replay of the last batch (simulating a crash after the Delta
+    // commit but before Spark checkpointed) must no-op via the txn
+    // watermark
+    val replay = DeltaSink.readChangesBetween(spark, src,
+      DeltaSink.latestVersion(src) - 1, DeltaSink.latestVersion(src))
+    assert(DeltaSink.appendExactlyOnce(replay, dst, "e2e-pipe", 1L) == -1L)
+    assert(DeltaSink.read(spark, dst).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+  }
 }
