@@ -522,6 +522,51 @@ object DeltaSink {
   def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None): DataFrame =
     readState(spark, table, replay(spark, table, asOfVersion))
 
+  /** Stats-based FILE SKIPPING read: only files whose recorded
+    * [min, max] range for `column` overlaps [lo, hi] enter the scan —
+    * the read-side payoff of the per-file stats every add action records
+    * and of OPTIMIZE ZORDER's clustering (tight per-file ranges ⇒ most
+    * files skipped). At 100 TB this is the difference between opening
+    * every file and opening the few that can match.
+    *
+    * The pruning predicate runs DISTRIBUTEDLY over the live-set DataFrame
+    * (stats parsed with `from_json`, the same last-wins resolution as any
+    * read). Files without recorded stats for the column are always kept —
+    * absent stats can never wrongly prune. Supported domains: numerics
+    * (compared as double), strings (verbatim), dates (ISO text). The
+    * result is a files-level superset of the matching rows: apply the
+    * exact row filter on top, which Spark then also pushes into the
+    * surviving files' row groups.
+    */
+  def readRange(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String, asOfVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json, lit}
+    val (meta, live) = resolve(spark, table, asOfVersion)
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", MapType(StringType, StringType)),
+      StructField("maxValues", MapType(StringType, StringType))))
+    val dt = meta.schema(column).dataType
+    val parsed = live
+      .withColumn("__st", from_json(col("stats"), statsSchema))
+      .withColumn("__mn", col("__st.minValues")(column))
+      .withColumn("__mx", col("__st.maxValues")(column))
+    val overlaps = dt match {
+      case _: NumericType =>
+        col("__mx").cast("double") >= lit(lo).cast("double") &&
+          col("__mn").cast("double") <= lit(hi).cast("double")
+      case StringType | DateType =>
+        col("__mx") >= lit(lo) && col("__mn") <= lit(hi)
+      case _ => lit(true) // domain without a recorded ordering: no pruning
+    }
+    val pruned = parsed
+      .filter(col("__mn").isNull || col("__mx").isNull || overlaps)
+      .select("path", "partitionValues", "size", "modificationTime", "stats")
+    readState(spark, table,
+      State(meta.version, meta.schema, meta.partitionColumns,
+        collectAdds(pruned), meta.txns))
+  }
+
   /** Change feed: the rows ADDED in versions (`sinceVersion`, latest] —
     * what an incremental consumer processes after its last checkpoint.
     * Only `dataChange=true` adds count: compaction rewrites the same rows
@@ -786,8 +831,91 @@ object DeltaSink {
           (if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else v))
       }
     }.toMap
-    AddEntry(rel, pv, f.length(), f.lastModified(), s"""{"numRecords":${numRecords(f, conf)}}""")
+    val (rows, mins, maxs) = fileStats(f, conf)
+    val st = mapper.createObjectNode()
+    st.put("numRecords", rows)
+    val mnNode = st.putObject("minValues")
+    mins.toSeq.sortBy(_._1).foreach { case (k, v) => mnNode.put(k, v) }
+    val mxNode = st.putObject("maxValues")
+    maxs.toSeq.sortBy(_._1).foreach { case (k, v) => mxNode.put(k, v) }
+    AddEntry(rel, pv, f.length(), f.lastModified(), st.toString)
   }
+
+  /** Row count + per-column min/max from the parquet footer (no data
+    * read — the same footer open that was already counting rows). The
+    * min/max maps hold STRING encodings ordered consistently with the
+    * column's own ordering — numerics as decimal text (compared after a
+    * double cast), strings verbatim, DATE as ISO (lexicographic ==
+    * chronological). Columns whose domain doesn't stringify
+    * order-faithfully (timestamps' variable ISO precision, booleans,
+    * nested fields) are skipped — absent stats mean "never pruned",
+    * not "wrongly pruned". This is the log-level data-skipping surface
+    * [[readRange]] consumes and OPTIMIZE ZORDER exists to sharpen.
+    */
+  private def fileStats(f: File, conf: Configuration)
+      : (Long, Map[String, String], Map[String, String]) = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.toURI), conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // merge per-row-group statistics in the column's NATIVE ordering
+      // (parquet's own merge), then stringify once at the end — string
+      // min/max over numeric encodings would order "9" above "10"
+      val merged = scala.collection.mutable.Map
+        .empty[String, org.apache.parquet.column.statistics.Statistics[_]]
+      val skip = scala.collection.mutable.Set.empty[String]
+      val prims = scala.collection.mutable.Map
+        .empty[String, org.apache.parquet.schema.PrimitiveType]
+      for (block <- blocks; c <- block.getColumns.asScala) {
+        val pathParts = c.getPath.toArray
+        if (pathParts.length == 1) { // top-level leaf columns only
+          val name = pathParts(0)
+          val stats = c.getStatistics
+          if (stats == null || stats.isEmpty || !stats.hasNonNullValue) skip += name
+          else {
+            prims += name -> c.getPrimitiveType
+            merged.get(name) match {
+              case Some(acc) => mergeStats(acc, stats)
+              case None => merged += name -> stats.copy()
+            }
+          }
+        }
+      }
+      skip.foreach(merged -= _)
+      val mins = scala.collection.mutable.Map.empty[String, String]
+      val maxs = scala.collection.mutable.Map.empty[String, String]
+      merged.foreach { case (name, stats) =>
+        val prim = prims(name)
+        val logical = prim.getLogicalTypeAnnotation
+        def encode(v: Any): Option[String] = prim.getPrimitiveTypeName match {
+          case INT32 if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+            Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Integer].longValue()).toString)
+          case INT32 | INT64 | FLOAT | DOUBLE
+            if !logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+              !logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+            Some(v.toString)
+          case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          case _ => None
+        }
+        (encode(stats.genericGetMin), encode(stats.genericGetMax)) match {
+          case (Some(mn), Some(mx)) => mins += name -> mn; maxs += name -> mx
+          case _ => ()
+        }
+      }
+      (rows, mins.toMap, maxs.toMap)
+    } finally reader.close()
+  }
+
+  /** Erasure bridge for parquet's self-comparable Statistics generic. */
+  private def mergeStats[T <: Comparable[T]](
+      acc: org.apache.parquet.column.statistics.Statistics[_],
+      s: org.apache.parquet.column.statistics.Statistics[_]): Unit =
+    acc.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]]
+      .mergeStatistics(s.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]])
 
   private def commitAtomic(store: CommitStore, target: java.nio.file.Path,
       lines: Seq[String]): Unit =

@@ -492,6 +492,41 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, table, asOfVersion = Some(2L)).count() == 4)
   }
 
+  test("readRange skips files outside the requested range after z-order") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val rnd = new scala.util.Random(11)
+    val df = rnd.shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"name-$i", java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("id", "nm", "d").repartition(4)
+    assert(DeltaSink.write(df, table))
+    // cluster on id so per-file id ranges are tight and skippable
+    DeltaSink.compact(spark, table, maxRecordsPerFile = 1000, zorderBy = Seq("id"))
+    val total = DeltaSink.read(spark, table).inputFiles.length
+    val prunedDf = DeltaSink.readRange(spark, table, "id", "100", "200")
+    assert(prunedDf.inputFiles.length < total,
+      s"no files skipped: ${prunedDf.inputFiles.length} of $total")
+    // files-level superset + exact row filter == plain filtered read
+    val exact = DeltaSink.read(spark, table)
+      .filter(col("id").between(100, 200)).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaPruned = prunedDf.filter(col("id").between(100, 200)).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaPruned == exact && exact.size == 101)
+    // string-domain pruning is also recorded and never loses rows
+    val byName = DeltaSink.readRange(spark, table, "nm", "name-1", "name-2")
+      .filter(col("nm") >= "name-1" && col("nm") <= "name-2")
+    assert(byName.count() ==
+      DeltaSink.read(spark, table)
+        .filter(col("nm") >= "name-1" && col("nm") <= "name-2").count())
+    // a column of an unsupported stats domain prunes nothing, loses nothing
+    assert(DeltaSink.readRange(spark, table, "d", "2024-01-01", "2024-01-05")
+      .filter(col("d") <= java.sql.Date.valueOf("2024-01-05")).count() ==
+      DeltaSink.read(spark, table)
+        .filter(col("d") <= java.sql.Date.valueOf("2024-01-05")).count())
+  }
+
   test("10k-add synthetic log checkpoints through Spark, not a driver replay") {
     val table = tmp()
     assert(DeltaSink.write(sampleDf, table))
