@@ -208,7 +208,7 @@ object SimilarityQueries extends QueryModule {
       // Candidates from band-bucket equi-join; exact Jaccard on candidates
       // only; pairs with J >= 0.5 are reported. No oracle (property-tested).
       (s, dir) => {
-        val docs = fanOutScan(t(s, dir, "documents"))
+        val docs = t(s, dir, "documents")
         val bands = minhashBands(docs)
         val cands = bands.as("x")
           .join(bands.as("y"), Seq("band", "bandHash"))
