@@ -106,6 +106,22 @@ object SimilarityQueries extends QueryModule {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
   }
 
+  /** Near-duplicate pair graph shared by q_dedup_embed and
+    * q_dedup_cluster: exact cosine >= 0.35 over the bounded vec_id < 300
+    * range (id_a < id_b, one row per unordered pair).
+    */
+  private def embedNearDupPairs(emb0: DataFrame): DataFrame = {
+    val emb = emb0.filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      graft.functions.VectorExpressions.l2norm(col("embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      graft.functions.VectorExpressions.l2norm(col("embedding")).as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_d", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_d") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("cos_d"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sim_cosine_topk",
@@ -359,18 +375,10 @@ object SimilarityQueries extends QueryModule {
       // id range so the exact quadratic stays oracle-checkable; the
       // corpus-scale path for the same semantic is q_sim_ann_lsh /
       // q_sim_ann_ivf bucketing (candidates from shared buckets only).
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          graft.functions.VectorExpressions.l2norm(col("embedding")).as("na"))
-        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nb"))
-        a.join(broadcast(b), col("id_a") < col("id_b"))
-          .withColumn("cos_d", dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .filter(col("cos_d") >= 0.35)
+      (s, dir) =>
+        embedNearDupPairs(t(s, dir, "embeddings"))
           .select(col("id_a"), col("id_b"), toDbl(col("cos_d").cast(Dec38)).as("cos_sim"))
-          .orderBy("id_a", "id_b")
-      },
+          .orderBy("id_a", "id_b"),
       Some("""SELECT id_a, id_b, CAST(CAST(c AS DECIMAL(38,6)) AS DOUBLE) AS cos_sim FROM (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
@@ -438,5 +446,84 @@ object SimilarityQueries extends QueryModule {
           .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_cluster",
+      // Duplicate CLUSTERS, not just pairs: connected components over the
+      // near-dup pair graph (same edges as q_dedup_embed), every vertex
+      // labeled with the minimum id reachable from it — the canonical
+      // representative a dedup pass keeps (is_rep = id == cluster_id).
+      // Pairs alone under-delete: {A~B, B~C} must collapse to ONE kept doc
+      // even though A~C never scored as a pair.
+      //
+      // Distributed CC by min-label propagation with pointer doubling —
+      // the standard Spark shape (two keyed equi-join shuffles per round,
+      // slim (v, label) rows, no all-pairs anywhere). Each round first
+      // takes the min label over graph neighbors (1 hop), then jumps every
+      // vertex to its label's label (chain halving), so the reachable-min
+      // horizon at least doubles per round: R rounds cover any component
+      // of diameter < 2^R. R=8 is exact for every graph on the bounded
+      // 300-vertex edge set (diameter <= 299 < 2^8 + …) and at corpus
+      // scale R stays O(log diameter) — near-dup components are shallow,
+      // so 8 rounds is conservative there too. Labels are materialized
+      // per round (localCheckpoint — the GraphX/GraphFrames superstep
+      // pattern): without it the self-referencing round plan doubles in
+      // size every iteration and analysis cost grows 2^R.
+      (s, dir) => {
+        val pairs = embedNearDupPairs(t(s, dir, "embeddings"))
+        // symmetrize in ONE pass over the pair join (explode, not a union
+        // of two selects — a union re-evaluates the quadratic pair plan)
+        val edges = pairs
+          .select(explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("dst")),
+            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .localCheckpoint(true)
+        var labels = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("m"))
+          .select(col("v"), least(col("v"), col("m")).as("p"))
+          .localCheckpoint(true)
+        // Early exit at the fixpoint: a round that changes no label means
+        // the hop step is stable, so labels are equal across every edge —
+        // constant per component — and label values never leave the
+        // component, so the constant IS the component min. Real near-dup
+        // graphs converge in 2–3 rounds; the 8-round cap is the worst-case
+        // guarantee, not the typical cost.
+        var converged = false
+        var round = 0
+        while (!converged && round < 8) {
+          round += 1
+          val nbrMin = edges.join(labels.select(col("v").as("dst"), col("p")), "dst")
+            .groupBy(col("src").as("v")).agg(min(col("p")).as("np"))
+          // least() skips NULLs, so isolated-from-this-round vertices keep p
+          val hopped = labels.join(nbrMin, Seq("v"), "left")
+            .select(col("v"), col("p").as("p0"), least(col("p"), col("np")).as("p"))
+            .localCheckpoint(true)
+          val doubled = hopped.as("x")
+            .join(hopped.select(col("v").as("pv"), col("p").as("pp")).as("y"),
+              col("x.p") === col("y.pv"), "left")
+            .select(col("x.v").as("v"), col("x.p0").as("p0"),
+              coalesce(col("y.pp"), col("x.p")).as("p"))
+            .localCheckpoint(true)
+          converged = doubled.filter(col("p") =!= col("p0")).isEmpty
+          labels = doubled.select(col("v"), col("p"))
+        }
+        labels.select(col("v").cast("long").as("id"),
+            col("p").cast("long").as("cluster_id"),
+            (col("v") === col("p")).as("is_rep"))
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE a.vec_id < 300 AND b.vec_id < 300
+             |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35),
+             |edges AS (SELECT id_a AS v, id_b AS u FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |walk(v, lbl) AS (
+             |  SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM edges) t
+             |  UNION
+             |  SELECT e.v, w.lbl FROM edges e JOIN walk w ON w.v = e.u)
+             |SELECT CAST(v AS BIGINT) AS id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+             |       v = MIN(lbl) AS is_rep
+             |FROM walk GROUP BY v ORDER BY id""".stripMargin)),
   )
 }

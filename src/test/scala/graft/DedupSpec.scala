@@ -167,6 +167,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-cluster: 20-hop transitive chain collapses to one representative") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def twoHot(i: Int, j: Int): Array[Float] = {
+      val a = Array.fill(dim)(0f); a(i) = 1f; a(j) = 1f; a
+    }
+    // Path graph v_i = e_i + e_(i+1): cos(v_i, v_(i+1)) = 0.5 (edge),
+    // cos = 0 for any non-adjacent pair — so the ONLY way all 20 vertices
+    // reach cluster 0 is multi-round label propagation across 19 hops,
+    // which exercises the pointer-doubling horizon (needs >= 5 of the 8
+    // rounds), not just a one-hop neighbor min.
+    val path = (0 until 20).map(i => (i.toLong, twoHot(i, i + 1)))
+    val clique = Seq((40L, twoHot(40, 41)), (41L, twoHot(40, 41)))
+    val isolated = Seq((100L, { val a = Array.fill(dim)(0f); a(60) = 1f; a }))
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-cc").toString
+    (path ++ clique ++ isolated).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_cluster")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    (0 until 20).foreach(i => assert(byId(i.toLong)._2 == 0L, s"vertex $i"))
+    assert(out.count(t => t._3 && t._2 == 0L) == 1) // exactly one rep kept
+    assert(byId(40L)._2 == 40L && byId(41L)._2 == 40L && !byId(41L)._3)
+    assert(!byId.contains(100L)) // isolated vertex has no dup edges
+  }
+
   test("ngram-jaccard dedup finds the planted near-duplicate pair") {
     val fn = SparkEntry.queries("q_dedup_ngram")
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
