@@ -77,14 +77,16 @@ object ExtendedRelQueries extends QueryModule {
 
     QueryDef(
       "q_percentile",
-      // Exact percentiles by DISTRIBUTED SORT, not by buffering: Spark's
-      // `percentile` aggregate holds every group value in a boxed
-      // OpenHashMap per group — the formulation SURVEY.md §2.2 calls
-      // impossible at scale. Here one window sort ranks values per group,
-      // each quantile reads exactly its two interpolation neighbors
-      // (idx = floor/ceil((n-1)p)), and the follow-up groupBy reuses the
-      // window's partitioning (no second exchange). Same linear
-      // interpolation as DuckDB quantile_cont / Spark percentile:
+      // Exact percentiles by DISTRIBUTED SORT: one window sort ranks
+      // values per group, each quantile reads exactly its two
+      // interpolation neighbors (idx = floor/ceil((n-1)p)), and the
+      // follow-up groupBy reuses the window's partitioning (no second
+      // exchange). The minimal-stage formulation — fastest whenever every
+      // group fits a single task's sort budget (4 stages; 1.35 s at sf0.1
+      // vs 3.3 s for the histogram path below, which pays ~8 sequential
+      // stages of fixed overhead at this scale). When a group outgrows
+      // one task, q_percentile_hist is the same answer with every stage
+      // parallel. Same linear interpolation as DuckDB quantile_cont:
       // lo + (hi - lo) * frac.
       (s, dir) => {
         // All three window expressions share one (partition, order) spec so
@@ -116,6 +118,92 @@ object ExtendedRelQueries extends QueryModule {
             vAt(floor(pos(0.9))).as("lo90"), vAt(ceil(pos(0.9))).as("hi90"),
             max(col("mxg")).as("mx"), max(col("cnt")).as("n"))
           .select(col("o_orderpriority"),
+            toDbl(interp(col("lo50"), col("hi50"), 0.5, col("n")).cast(Dec38)).as("p50"),
+            toDbl(interp(col("lo90"), col("hi90"), 0.9, col("n")).cast(Dec38)).as("p90"),
+            col("mx"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)) AS DOUBLE) AS p50,
+             |CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)) AS DOUBLE) AS p90,
+             |MAX(o_totalprice) AS mx
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q_percentile_hist",
+      // Exact percentiles by BUCKETED TWO-PASS — the huge-group scale
+      // path. q_percentile's window sort is one PARTITION per group; with
+      // 5 priorities that is a 5-task sort of the whole table (at 100 TB:
+      // a billion-row sort on one executor). Spark's `percentile`
+      // aggregate instead buffers every group value in a boxed
+      // OpenHashMap — the same wall, hit at aggregation-merge time. Here:
+      //   1. log-scale value histogram per group — bucketing is map-side
+      //      (monotone in v, needs no min/max prepass), the (g,sgn,bkt)
+      //      count agg is the only full-data shuffle and combines map-side;
+      //   2. a tiny cumulative-count window over the histogram locates the
+      //      bucket holding each of the ≤4 target ranks (floor/ceil((n-1)p));
+      //   3. only rows in those buckets (~n/1024 per needed bucket) are
+      //      fetched and locally ranked — global rank = cum-below + local.
+      // Every stage is parallel across the cluster regardless of group
+      // count, and nothing ever materializes a whole group. Same linear
+      // interpolation as DuckDB quantile_cont: lo + (hi - lo) * frac.
+      (s, dir) => {
+        // ~1024 histogram cells per e-fold of value; bucketing is a pure
+        // map-side expression (sign class + log-scale cell — monotone in v
+        // for ALL reals, no data-dependent min/max prepass, no broadcast
+        // into the big scan). Cell occupancy is ~n/1024 for smooth
+        // distributions, so the rank-targeted fetch below touches ~0.1%
+        // of rows; a point-mass distribution only makes the fetch larger,
+        // never wrong.
+        val C = 1024.0
+        def bucketed(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("sgn", signum(col("v")).cast("int"))
+          .withColumn("bkt",
+            when(col("v") > 0, floor(log(col("v")) * C))
+              .when(col("v") < 0, -floor(log(-col("v")) * C))
+              .otherwise(lit(0L)).cast("long"))
+        val orders = bucketed(
+          t(s, dir, "orders")
+            .select(col("o_orderpriority").as("g"),
+              col("o_totalprice").cast("double").as("v")))
+        // the ONLY full-data shuffle: map-side-combined (g, sgn, bkt) counts
+        val hist = orders.groupBy("g", "sgn", "bkt")
+          .agg(count(lit(1)).as("c"), max("v").as("bmx"))
+        val wH = Window.partitionBy("g").orderBy("sgn", "bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wG = Window.partitionBy("g")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val cum = hist
+          .withColumn("below", coalesce(sum("c").over(wH), lit(0L)))
+          .withColumn("n", sum("c").over(wG))
+          .withColumn("mx", max("bmx").over(wG))
+        // locate the bucket holding each of the 4 per-group target ranks
+        def hits(r: Column) = r >= col("below") && r < col("below") + col("c")
+        def tpos(p: Double) = (col("n") - 1).cast("double") * lit(p)
+        val needed = cum
+          .filter(hits(floor(tpos(0.5))) || hits(ceil(tpos(0.5))) ||
+            hits(floor(tpos(0.9))) || hits(ceil(tpos(0.9))))
+          .select("g", "sgn", "bkt", "below", "n", "mx")
+        // fetch only the needed buckets; rank locally inside each
+        val wL = Window.partitionBy("g", "sgn", "bkt").orderBy("v")
+        val ranked = orders.join(broadcast(needed), Seq("g", "sgn", "bkt"))
+          .withColumn("idx", (col("below") + row_number().over(wL) - 1).cast("double"))
+          .withColumn("cnt", col("n").cast("double"))
+        def pos(p: Double) = (col("cnt") - 1) * lit(p)
+        def vAt(c: Column) = max(when(col("idx") === c, col("v")))
+        def interp(lo: Column, hi: Column, p: Double, n: Column) = {
+          val position = (n - 1) * lit(p)
+          lo + (hi - lo) * (position - floor(position))
+        }
+        ranked
+          .filter(col("idx") === floor(pos(0.5)) || col("idx") === ceil(pos(0.5)) ||
+            col("idx") === floor(pos(0.9)) || col("idx") === ceil(pos(0.9)))
+          .groupBy("g")
+          .agg(
+            vAt(floor(pos(0.5))).as("lo50"), vAt(ceil(pos(0.5))).as("hi50"),
+            vAt(floor(pos(0.9))).as("lo90"), vAt(ceil(pos(0.9))).as("hi90"),
+            max(col("mx")).as("mx"), max(col("cnt")).as("n"))
+          .select(col("g").as("o_orderpriority"),
             toDbl(interp(col("lo50"), col("hi50"), 0.5, col("n")).cast(Dec38)).as("p50"),
             toDbl(interp(col("lo90"), col("hi90"), 0.9, col("n")).cast(Dec38)).as("p90"),
             col("mx"))

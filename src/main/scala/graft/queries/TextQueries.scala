@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule}
 import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface: per-language
@@ -395,5 +396,69 @@ object TextQueries extends QueryModule {
              |  (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) u
              |  GROUP BY doc_id, tok) f
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_corpus_shuffle",
+      // Deterministic global shuffle + shard assignment for training-data
+      // ordering: shuffle_key = md5(doc_id) decorrelates neighbors (docs
+      // adjacent in the source are scattered across the epoch), shard is
+      // the key's first hex nibble (16 shards here; a longer prefix at
+      // real scale). A pure function of doc_id — identical across engines,
+      // partitionings and reruns, unlike seeded-RNG shuffles. At 100 TB
+      // the ORDER BY is a range-partitioned sort on a uniform key (every
+      // partition gets an equal slice — no skew by construction) and the
+      // shard column is what a writer partitions output files by.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("shuffle_key"))
+          .withColumn("shard",
+            (expr("instr('0123456789abcdef', substring(shuffle_key, 1, 1))") - 1)
+              .cast("long"))
+          .orderBy("shuffle_key", "doc_id"),
+      Some("""SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             |CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard
+             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_pack_sequences",
+      // Training-sequence packing: documents are concatenated in shuffle
+      // order into a per-shard token stream and cut into fixed 2048-token
+      // windows (GPT-style pretraining packing — docs straddle window
+      // boundaries). Each doc's placement is (shard, start_off) from a
+      // running token sum, then seq_index = start_off / 2048 and
+      // seq_off = start_off % 2048 locate it inside its window. The
+      // running sum is windowed WITHIN each hash shard — 16 independent
+      // cumsums here, thousands at real scale — never a single global
+      // partition, which is what makes packing distributable at 100 TB.
+      (s, dir) => {
+        val seqLen = 2048L
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("sk"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("shard",
+            (expr("instr('0123456789abcdef', substring(sk, 1, 1))") - 1).cast("long"))
+        val w = Window.partitionBy("shard").orderBy("sk", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+            floor(col("start_off") / seqLen).as("seq_index"),
+            (col("start_off") % seqLen).as("seq_off"))
+          .orderBy("shard", "start_off", "doc_id")
+      },
+      Some("""SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+             |CAST(start_off // 2048 AS BIGINT) AS seq_index, CAST(start_off % 2048 AS BIGINT) AS seq_off
+             |FROM (
+             |  SELECT doc_id, shard, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY sk, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+             |  FROM (
+             |    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk,
+             |      CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard
+             |    FROM documents) b) p
+             |ORDER BY shard, start_off, doc_id""".stripMargin)),
   )
 }

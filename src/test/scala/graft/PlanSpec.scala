@@ -110,6 +110,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"))
   }
 
+  test("q_pack_sequences: cumsum windows are per-shard, never one global partition") {
+    val p = plan("q_pack_sequences")
+    // a Window whose partition spec were empty would funnel the whole
+    // corpus through one task — the classic packing-cumsum mistake
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(shard#"),
+      s"window must partition by shard:\n$p")
+    assert(!p.contains("windowspecdefinition(sk#"),
+      s"global (shard-less) window detected:\n$p")
+  }
+
+  test("q_percentile_hist: histogram agg combines map-side; fetch join is broadcast") {
+    val p = plan("q_percentile_hist")
+    assert(p.contains("partial_count"), s"histogram must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"needed-bucket fetch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = Tables(spark, dir, "embeddings")
