@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   append-to-delta   <dataDir> <sql> <table>
   *   compact-delta     <table>
   *   vacuum-delta      <table> [retentionMs]
+  *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
   *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
   * }}}
   *
@@ -44,6 +45,7 @@ object Cli {
     // The reference's --batch-size throughput knob (src/lib.rs:43-50)
     // translated to the Spark sink's lever: rows per output parquet file.
     var maxRecordsPerFile = sinks.DeltaSink.MaxRecordsPerFile
+    var deleteCol: Option[String] = None
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 1
     while (i < args.length) {
@@ -53,6 +55,10 @@ object Cli {
         case "--partition-by" =>
           require(i + 1 < args.length, "--partition-by requires a column list")
           partitionBy = args(i + 1).split(',').toSeq
+          i += 1
+        case "--delete-col" =>
+          require(i + 1 < args.length, "--delete-col requires a column name")
+          deleteCol = Some(args(i + 1))
           i += 1
         case "--max-records-per-file" =>
           require(i + 1 < args.length, "--max-records-per-file requires a count")
@@ -92,6 +98,12 @@ object Cli {
         val retention = pos.lift(1).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
         val n = sinks.DeltaSink.vacuum(spark, pos(0), retention)
         println(s"deleted $n files")
+      case "merge-delta" =>
+        // merge-delta <sourceParquet> <table> <k1,k2> [--delete-col c]
+        val src = spark.read.parquet(pos(0))
+        val (rw, sk, ad) = sinks.DeltaSink.merge(spark, pos(1), src,
+          pos(2).split(',').toSeq, deleteCol)
+        println(s"rewrote $rw files, skipped $sk, added $ad")
       case "pgcopy-to-delta" =>
         val cols = pos(0).split(',').toSeq.map { spec =>
           spec.split(':') match {

@@ -383,6 +383,118 @@ object DeltaSink {
     (before, adds.size) // unreachable
   }
 
+  /** MERGE INTO: keyed upsert / delete against the current snapshot —
+    * a read-modify-write of ONLY the files that can contain a source key.
+    *
+    *  - A matched table row is replaced by its source row; a source row
+    *    with no match is inserted; a source row whose `deleteCol` is true
+    *    deletes its match (and inserts nothing).
+    *  - File selection is two-stage: the per-file [min,max] stats every
+    *    add records prune by the source's key range (metadata only, no
+    *    data read), then ONE semi-join scan of the surviving candidates
+    *    finds the files that truly contain a source key. Every other file
+    *    is carried over verbatim — at 100 TB a merge touching one key
+    *    rewrites one file, not the table.
+    *  - Source keys must be unique on `keys` (validated; duplicate source
+    *    rows would make the rewrite nondeterministic). NULL keys never
+    *    match, mirroring SQL MERGE equality.
+    *  - Concurrency: strict OCC. ANY commit landing between this merge's
+    *    snapshot and its version claim aborts it — unlike [[compact]], a
+    *    concurrent append cannot be waved through, because it may add rows
+    *    for a merged key that this rewrite never saw (the re-run sees
+    *    them). The conflict surfaces as IllegalStateException; the caller
+    *    re-runs the merge.
+    *
+    * The reference's loader writes whole tables (overwrite/append,
+    * delta_destination.rs:414-470); MERGE is the keyed refinement of that
+    * contract.
+    *
+    * @return (filesRewritten, filesSkipped, filesAdded)
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], deleteCol: Option[String] = None,
+      store: CommitStore = CommitStore.Local): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val dir = new File(table)
+    val (meta, live0) = resolve(spark, table, None)
+    val liveAdds = collectAdds(live0)
+    val state = State(meta.version, meta.schema, meta.partitionColumns,
+      liveAdds, meta.txns)
+    val tableCols = state.schema.fieldNames.toSeq
+    // delete-marked source rows remove their match and insert nothing
+    val writes = deleteCol
+      .map(c => source.filter(!coalesce(col(c), lit(false))).drop(c))
+      .getOrElse(source)
+      .select(tableCols.map(col): _*)
+    val srcKeys = source.select(keys.map(col): _*)
+    require(srcKeys.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).isEmpty,
+      s"merge source must be unique on (${keys.mkString(", ")})")
+    val k0 = keys.head
+    val bounds = source.agg(min(col(k0)).cast("string").as("lo"),
+      max(col(k0)).cast("string").as("hi")).collect()(0)
+    if (bounds.isNullAt(0)) return (0, state.live.size, 0) // empty source
+    // stage 1: stats range pruning on the first key (no data read)
+    val candAdds = collectAdds(
+      statsPruned(meta, live0, k0, bounds.getString(0), bounds.getString(1)))
+    // stage 2: semi-join the candidates' rows against the source keys —
+    // only files with a TRUE match are rewritten
+    val touched: Seq[AddEntry] =
+      if (candAdds.isEmpty) Nil
+      else {
+        val fileCol = s"__graft_mf_${java.util.UUID.randomUUID().toString.take(8)}"
+        val hitFiles = readState(spark, table, state.copy(live = candAdds))
+          .withColumn(fileCol, input_file_name())
+          .join(srcKeys, keys, "left_semi")
+          .select(fileCol).distinct().collect()
+          .map(_.getString(0))
+          .map { u =>
+            val p = try new java.io.File(new java.net.URI(u)).toPath
+                    catch { case _: Exception => Paths.get(u) }
+            dir.toPath.toAbsolutePath.relativize(p.toAbsolutePath).toString
+          }.toSet
+        candAdds.filter(a => hitFiles.contains(a.path))
+      }
+    // stage 3: rewrite touched files (matched rows swapped out) + inserts
+    val kept = readState(spark, table, state.copy(live = touched))
+      .join(srcKeys, keys, "left_anti")
+    val newData = kept.unionByName(writes)
+    val staging = Files.createTempDirectory("graft-delta-merge").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = try {
+      val writer = newData.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", MaxRecordsPerFile)
+      (if (state.partitionColumns.nonEmpty)
+         writer.partitionBy(state.partitionColumns: _*)
+       else writer).parquet(staging.getPath)
+      dataFiles(staging).zipWithIndex.map { case (src, i) =>
+        val rel = staging.toPath.relativize(src.toPath)
+        val target = new File(dir,
+          Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+            f"part-$i%05d-$txn.c000.snappy.parquet")
+        target.getParentFile.mkdirs()
+        Files.move(src.toPath, target.toPath)
+        toAddEntry(dir, target, conf)
+      }
+    } finally deleteRecursively(staging)
+    val now = System.currentTimeMillis()
+    val removes = touched.map(a =>
+      s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val lines = removes ++ adds.map(a => addJson(a))
+    if (lines.isEmpty) return (0, state.live.size, 0) // nothing to change
+    try commitAtomic(store, versionFile(table, state.version + 1), lines)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        adds.foreach(a => new File(dir, a.path).delete())
+        throw new IllegalStateException(
+          s"concurrent commit on $table during merge; re-run the merge", e)
+    }
+    (touched.size, state.live.size - touched.size, adds.size)
+  }
+
   /** Writes a parquet checkpoint of the current log state plus the
     * `_last_checkpoint` pointer. Readers then start from the checkpoint and
     * replay only newer JSON commits — O(delta) instead of O(history).
@@ -540,8 +652,19 @@ object DeltaSink {
     */
   def readRange(spark: SparkSession, table: String, column: String,
       lo: String, hi: String, asOfVersion: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, from_json, lit}
     val (meta, live) = resolve(spark, table, asOfVersion)
+    readState(spark, table,
+      State(meta.version, meta.schema, meta.partitionColumns,
+        collectAdds(statsPruned(meta, live, column, lo, hi)), meta.txns))
+  }
+
+  /** The adds of `live` whose recorded [min, max] for `column` overlaps
+    * [lo, hi] — plus any file without stats for it (absent stats can never
+    * wrongly prune). Runs distributedly over the live-set DataFrame.
+    */
+  private def statsPruned(meta: MetaState, live: DataFrame, column: String,
+      lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json, lit}
     val statsSchema = StructType(Seq(
       StructField("numRecords", LongType),
       StructField("minValues", MapType(StringType, StringType)),
@@ -559,12 +682,9 @@ object DeltaSink {
         col("__mx") >= lit(lo) && col("__mn") <= lit(hi)
       case _ => lit(true) // domain without a recorded ordering: no pruning
     }
-    val pruned = parsed
+    parsed
       .filter(col("__mn").isNull || col("__mx").isNull || overlaps)
       .select("path", "partitionValues", "size", "modificationTime", "stats")
-    readState(spark, table,
-      State(meta.version, meta.schema, meta.partitionColumns,
-        collectAdds(pruned), meta.txns))
   }
 
   /** Change feed: the rows ADDED in versions (`sinceVersion`, latest] —

@@ -527,6 +527,95 @@ class SinkSpec extends AnyFunSuite {
         .filter(col("d") <= java.sql.Date.valueOf("2024-01-05")).count())
   }
 
+  test("Delta merge: upsert updates matched, inserts unmatched, skips untouched files") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // two single-file batches with disjoint id ranges → stats-skippable
+    assert(DeltaSink.write(
+      (1 to 100).map(i => (i.toLong, s"n$i", 0.0)).toDF("id", "name", "v").coalesce(1), table))
+    DeltaSink.append(
+      (101 to 200).map(i => (i.toLong, s"n$i", 0.0)).toDF("id", "name", "v").coalesce(1), table)
+    val vBefore = DeltaSink.latestVersion(table)
+    val source = Seq((150L, "updated", 9.9), (999L, "inserted", 1.1)).toDF("id", "name", "v")
+    val (rewritten, skipped, added) = DeltaSink.merge(spark, table, source, Seq("id"))
+    // the low-range file never matched a source key: stats-pruned, not rewritten
+    assert(rewritten == 1 && skipped == 1 && added >= 1, s"($rewritten, $skipped, $added)")
+    assert(DeltaSink.latestVersion(table) == vBefore + 1) // ONE merge commit
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 201)
+    val r150 = out.filter(col("id") === 150).collect()
+    assert(r150.length == 1 && r150(0).getString(1) == "updated" && r150(0).getDouble(2) == 9.9)
+    assert(out.filter(col("id") === 999).count() == 1)
+    assert(out.filter(col("id") === 50).collect()(0).getString(1) == "n50") // untouched
+  }
+
+  test("Delta merge: delete-marked source rows remove their match") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val source = Seq(
+      (1L, "one", 1.0, false),  // update
+      (2L, "x", 0.0, true),     // delete (payload ignored)
+      (4L, "four", 4.0, false)) // insert
+      .toDF("id", "name", "v", "del")
+    DeltaSink.merge(spark, table, source, Seq("id"), deleteCol = Some("del"))
+    val rows = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    assert(rows(0).getString(1) == "one" && rows(2).getString(1) == "four")
+  }
+
+  test("Delta merge rejects duplicate source keys") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "name", "v")
+    val e = intercept[IllegalArgumentException](
+      DeltaSink.merge(spark, table, dup, Seq("id")))
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("Delta merge aborts when a commit lands in the snapshot-to-claim window") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    // the "concurrent writer": an append that commits between merge's
+    // snapshot and its version claim — exactly the window strict OCC guards
+    val racing = new graft.sinks.CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0)
+        DeltaSink.append(Seq((9L, "raced", 0.0)).toDF("id", "name", "v"), table))
+    val source = Seq((1L, "updated", 5.0)).toDF("id", "name", "v")
+    val e = intercept[IllegalStateException](
+      DeltaSink.merge(spark, table, source, Seq("id"), store = racing))
+    assert(e.getMessage.contains("re-run the merge"))
+    // table holds the racer's append and NO merge changes
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 4)
+    assert(out.filter(col("name") === "updated").count() == 0)
+    // the re-run (default store) then succeeds on the newer snapshot
+    val (rw, _, _) = DeltaSink.merge(spark, table, source, Seq("id"))
+    assert(rw >= 1)
+    assert(DeltaSink.read(spark, table).filter(col("name") === "updated").count() == 1)
+  }
+
+  test("Delta merge on a partitioned table keeps the layout") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "name", "v")
+    assert(DeltaSink.write(df, table, partitionBy = Seq("name")))
+    val source = Seq((2L, "b", 9.0), (4L, "c", 4.0)).toDF("id", "name", "v")
+    DeltaSink.merge(spark, table, source, Seq("id"))
+    val out = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(1).getDouble(2) == 9.0)
+    // new partition dir materialized hive-style
+    assert(new File(table, "name=c").exists())
+  }
+
   test("10k-add synthetic log checkpoints through Spark, not a driver replay") {
     val table = tmp()
     assert(DeltaSink.write(sampleDf, table))
