@@ -140,5 +140,34 @@ object EventWindowQueries extends QueryModule {
              |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
              |  FROM events) sub
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
+      "q_stream_enrich",
+      // Stream-static enrichment: every event picks up its user's market
+      // segment from a BROADCAST dimension, then a tumbling window
+      // aggregates per segment. The identical transformation runs on a
+      // stream (StreamOps.enrich — stream-static joins are stateless and
+      // the dimension re-broadcasts per micro-batch), which is what makes
+      // the pattern viable against an unbounded topic: no dimension state
+      // store, no shuffle of the event stream for the join. Left join:
+      // events with no dimension row keep a NULL segment instead of
+      // silently dropping (the classic enrichment bug).
+      (s, dir) => {
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+        t(s, dir, "events")
+          .join(broadcast(dim), Seq("user_id"), "left")
+          .groupBy(window(col("ts"), "1 hour"), col("segment"))
+          .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
+          .select(col("window.start").as("w_start"), col("segment"),
+            col("cnt"), col("sum_v"))
+          .orderBy("w_start", "segment")
+      },
+      Some("""SELECT w_start, segment, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+             |FROM (SELECT time_bucket(INTERVAL '1 hour', e.ts) AS w_start,
+             |             c.c_mktsegment AS segment, e.value
+             |      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey) sub
+             |GROUP BY w_start, segment ORDER BY w_start, segment""".stripMargin)),
   )
 }

@@ -43,6 +43,15 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
 
+  /** Stream-static enrichment join: the static dimension broadcasts and is
+    * re-resolved every micro-batch (Spark's stream-static join contract —
+    * dimension updates become visible without restarting the stream). The
+    * join is STATELESS: no state store, no watermark on the static side —
+    * which is what keeps it viable against an unbounded stream at scale.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming dedup on event_id bounded by a watermark — late duplicates
     * beyond the watermark are dropped from state (reference has no streaming
     * surface; this is the [ext] q_stream_dedup_watermark twin).

@@ -106,6 +106,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per micro-batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "IRON")).toDF("user_id", "segment")
+    val input = MemoryStream[Ev]
+    val q = StreamOps.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(5), 1, "a", 1.0), Ev(2, ts(6), 2, "b", 2.0),
+        Ev(3, ts(7), 99, "c", 3.0)) // no dimension row → NULL segment kept
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "segment").orderBy("event_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "GOLD"), (2L, "IRON"), (3L, null)))
+    } finally q.stop()
+  }
+
   test("capped sessions (batch): a session splits at 10 events even with no gap") {
     val spark = TestSpark.spark
     import spark.implicits._
