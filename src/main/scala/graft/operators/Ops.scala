@@ -180,4 +180,64 @@ object Ops {
     }.otherwise(lit(default))
     df.filter(substring(md5(key.cast("string")), 1, 4) < threshold)
   }
+
+  /** Distributed connected components over an undirected edge list:
+    * labels every vertex with the MINIMUM vertex id reachable from it —
+    * the canonical-representative primitive a dedup pass needs to turn
+    * candidate PAIRS into clusters ({A~B, B~C} must keep ONE doc even
+    * though A~C never scored as a pair).
+    *
+    * Min-label propagation with pointer doubling: each round takes the
+    * min label over graph neighbors (one hop), then jumps every vertex to
+    * its label's label (chain halving), so the covered horizon at least
+    * doubles per round — `maxRounds` rounds are exact for any component
+    * of diameter < 2^maxRounds, and the loop exits EARLY at the label
+    * fixpoint (an unchanged round ⇒ labels constant per component ⇒ the
+    * component min; real near-dup graphs converge in 2–4 rounds). Rounds
+    * are two keyed equi-join shuffles over slim (v, label) rows — never
+    * all-pairs, never one giant partition — and each round's labels are
+    * materialized (`localCheckpoint`, the GraphX superstep pattern):
+    * without it the self-referencing round plan doubles in size every
+    * iteration.
+    *
+    * `edges` must have two columns (src, dst) of one orderable type;
+    * each undirected edge should appear once in either direction.
+    * Returns (id, cluster_id, is_rep) sorted by id; vertices with no
+    * edges are absent (no dup edge ⇒ nothing to cluster).
+    */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 8): DataFrame = {
+    val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
+    // symmetrize in ONE pass over the (possibly expensive) edge plan
+    val edges = edges0
+      .select(explode(array(
+        struct(srcC.as("src"), dstC.as("dst")),
+        struct(dstC.as("src"), srcC.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    var labels = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("m"))
+      .select(col("v"), least(col("v"), col("m")).as("p"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val nbrMin = edges.join(labels.select(col("v").as("dst"), col("p")), "dst")
+        .groupBy(col("src").as("v")).agg(min(col("p")).as("np"))
+      // least() skips NULLs, so vertices untouched this round keep p
+      val hopped = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("p").as("p0"), least(col("p"), col("np")).as("p"))
+        .localCheckpoint(true)
+      val doubled = hopped.as("x")
+        .join(hopped.select(col("v").as("pv"), col("p").as("pp")).as("y"),
+          col("x.p") === col("y.pv"), "left")
+        .select(col("x.v").as("v"), col("x.p0").as("p0"),
+          coalesce(col("y.pp"), col("x.p")).as("p"))
+        .localCheckpoint(true)
+      converged = doubled.filter(col("p") =!= col("p0")).isEmpty
+      labels = doubled.select(col("v"), col("p"))
+    }
+    labels.select(col("v").as("id"), col("p").as("cluster_id"),
+        (col("v") === col("p")).as("is_rep"))
+      .orderBy("id")
+  }
 }

@@ -471,45 +471,10 @@ object SimilarityQueries extends QueryModule {
       // size every iteration and analysis cost grows 2^R.
       (s, dir) => {
         val pairs = embedNearDupPairs(t(s, dir, "embeddings"))
-        // symmetrize in ONE pass over the pair join (explode, not a union
-        // of two selects — a union re-evaluates the quadratic pair plan)
-        val edges = pairs
-          .select(explode(array(
-            struct(col("id_a").as("src"), col("id_b").as("dst")),
-            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .localCheckpoint(true)
-        var labels = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("m"))
-          .select(col("v"), least(col("v"), col("m")).as("p"))
-          .localCheckpoint(true)
-        // Early exit at the fixpoint: a round that changes no label means
-        // the hop step is stable, so labels are equal across every edge —
-        // constant per component — and label values never leave the
-        // component, so the constant IS the component min. Real near-dup
-        // graphs converge in 2–3 rounds; the 8-round cap is the worst-case
-        // guarantee, not the typical cost.
-        var converged = false
-        var round = 0
-        while (!converged && round < 8) {
-          round += 1
-          val nbrMin = edges.join(labels.select(col("v").as("dst"), col("p")), "dst")
-            .groupBy(col("src").as("v")).agg(min(col("p")).as("np"))
-          // least() skips NULLs, so isolated-from-this-round vertices keep p
-          val hopped = labels.join(nbrMin, Seq("v"), "left")
-            .select(col("v"), col("p").as("p0"), least(col("p"), col("np")).as("p"))
-            .localCheckpoint(true)
-          val doubled = hopped.as("x")
-            .join(hopped.select(col("v").as("pv"), col("p").as("pp")).as("y"),
-              col("x.p") === col("y.pv"), "left")
-            .select(col("x.v").as("v"), col("x.p0").as("p0"),
-              coalesce(col("y.pp"), col("x.p")).as("p"))
-            .localCheckpoint(true)
-          converged = doubled.filter(col("p") =!= col("p0")).isEmpty
-          labels = doubled.select(col("v"), col("p"))
-        }
-        labels.select(col("v").cast("long").as("id"),
-            col("p").cast("long").as("cluster_id"),
-            (col("v") === col("p")).as("is_rep"))
+        graft.operators.Ops
+          .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+          .select(col("id").cast("long").as("id"),
+            col("cluster_id").cast("long").as("cluster_id"), col("is_rep"))
           .orderBy("id")
       },
       Some("""WITH RECURSIVE pairs AS (

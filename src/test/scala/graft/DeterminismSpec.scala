@@ -20,7 +20,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_sim_cosine_topk",// float scoring + top-k
     "q_dedup_minhash",  // multi-stage hash pipeline
     "q_chunk_overlap",  // stride explode + slice (map-side chunking)
-    "q_percentile")     // sort-based quantile interpolation
+    "q_percentile",     // sort-based quantile interpolation
+    "q_percentile_hist",// histogram two-pass quantiles (bucket arithmetic)
+    "q_corpus_shuffle", // hash shuffle key + shard assignment
+    "q_pack_sequences", // per-shard cumsum offsets
+    "q_dedup_cluster")  // iterative CC with per-round materialization
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

@@ -128,4 +128,24 @@ class OpsSpec extends AnyFunSuite {
       Ops.tableDiff(a, a, Seq("v_old"))
     }
   }
+
+  test("connectedComponents: chains collapse to the min id, components stay separate") {
+    val s = spark
+    import s.implicits._
+    // one 6-vertex path (diameter 5), one triangle, one pair — arbitrary
+    // column names, edges in mixed direction order
+    val edges = Seq(
+      (1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L), // path 0-1-2-3-4-5
+      (10L, 11L), (11L, 12L), (12L, 10L),               // triangle
+      (20L, 21L))                                       // pair
+      .toDF("a", "b")
+    val out = Ops.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    (0L to 5L).foreach(v => assert(byId(v)._2 == 0L, s"vertex $v"))
+    (10L to 12L).foreach(v => assert(byId(v)._2 == 10L, s"vertex $v"))
+    assert(byId(20L)._2 == 20L && byId(21L)._2 == 20L)
+    assert(out.count(_._3) == 3) // exactly one representative per component
+    assert(out.length == 11)
+  }
 }
