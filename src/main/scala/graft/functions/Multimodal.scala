@@ -7,13 +7,41 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata, processed per-partition in batches
-  * (the Scala analogue of mapInPandas). The container ships no image/audio
-  * codecs, so [[decodeStub]] is a clearly-marked deterministic fake — the
-  * REAL parts are the schema, the partition-level batch shape, and the
-  * executor-side iteration, which is exactly what a production decode
-  * (JNI codec / ONNX feature extractor) would plug into.
+  * (the Scala analogue of mapInPandas). Payloads that magic-byte-sniff as
+  * a JDK-decodable raster format (PNG/BMP/GIF — javax.imageio, no extra
+  * dependency) take a REAL decode path: genuine pixel decode, grayscale
+  * feature stats, nearest-neighbour resample. Everything else (video,
+  * audio, the text-as-bytes test corpus) falls back to [[decodeStub]], a
+  * clearly-marked deterministic fake — there the real parts are the
+  * schema, the partition-level batch shape, and the executor-side
+  * iteration, which is exactly what a production codec (JNI / ONNX
+  * feature extractor) would plug into.
   */
 object Multimodal {
+
+  /** Magic-byte sniff: Some(format) only for formats the JDK's ImageIO
+    * decodes everywhere ("png", "bmp", "gif"); sniffing — not try-decode —
+    * keeps non-image payloads off ImageIO entirely, so the stub path stays
+    * bit-stable no matter what bytes arrive.
+    */
+  private[graft] def sniffImageFormat(p: Array[Byte]): Option[String] =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some("png")
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') Some("gif")
+    else None
+
+  private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+    catch { case _: Exception => None }
+
+  /** ITU-R BT.601 integer luma of a packed ARGB pixel — deterministic
+    * across JVMs (pure int math, no color-management involvement).
+    */
+  private def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff; val g = (argb >> 8) & 0xff; val b = argb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -37,7 +65,9 @@ object Multimodal {
   /** (id, payload binary) → feature rows, executed per partition on the
     * executors: no collect, no shuffle; partition sizing is controlled by
     * the upstream reader (spark.sql.files.maxPartitionBytes) exactly as it
-    * would be for real image shards.
+    * would be for real image shards. Sniffed raster payloads decode for
+    * real ([width, height, mean luma, luma variance] — deterministic
+    * integer pixel math); everything else takes the declared stub.
     */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "payload"): DataFrame = {
@@ -46,7 +76,29 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](1)
-          Row(r.getLong(0), payload.length.toLong, "stub", decodeStub(payload))
+          val real = for {
+            fmt <- sniffImageFormat(payload)
+            img <- readImage(payload)
+          } yield {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L; var sumSq = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val l = luma(img.getRGB(x, y)); sum += l; sumSq += l.toLong * l
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val mean = sum.toDouble / n
+            val variance = sumSq.toDouble / n - mean * mean
+            Row(r.getLong(0), payload.length.toLong, fmt,
+              Array(w.toFloat, h.toFloat, mean.toFloat, variance.toFloat))
+          }
+          real.getOrElse(
+            Row(r.getLong(0), payload.length.toLong, "stub", decodeStub(payload)))
         }
       }(enc)
   }
@@ -64,10 +116,13 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("pixels", BinaryType, nullable = false)))
 
-  /** STUB resize: a real implementation would decode the image and
-    * bilinear-resample; this fake nearest-neighbour-samples payload bytes
-    * into a w×h buffer so the executor-side batch plumbing (fixed output
-    * geometry, per-partition iteration, no shuffle) is real and testable.
+  /** Resize to a fixed w×h grayscale buffer. Sniffed raster payloads
+    * REALLY decode and nearest-neighbour-resample their pixels (manual
+    * index math over getRGB — deterministic, no Java2D rendering
+    * pipeline); other payloads nearest-neighbour-sample raw bytes (the
+    * declared stub), so the executor-side batch plumbing (fixed output
+    * geometry, per-partition iteration, no shuffle) is identical on both
+    * paths.
     */
   def resizeStub(df: DataFrame, width: Int, height: Int,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
@@ -77,14 +132,31 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](1)
           val out = new Array[Byte](width * height)
-          // empty payload → all-zero buffer (a real decoder would error or
-          // emit a blank frame; zeros keep the stub total)
-          if (payload.nonEmpty) {
-            var i = 0
-            while (i < out.length) {
-              out(i) = payload((i.toLong * payload.length / out.length).toInt)
-              i += 1
-            }
+          val img = sniffImageFormat(payload).flatMap(_ => readImage(payload))
+          img match {
+            case Some(im) =>
+              val (w, h) = (im.getWidth, im.getHeight)
+              var y = 0
+              while (y < height) {
+                val sy = (y.toLong * h / height).toInt
+                var x = 0
+                while (x < width) {
+                  val sx = (x.toLong * w / width).toInt
+                  out(y * width + x) = luma(im.getRGB(sx, sy)).toByte
+                  x += 1
+                }
+                y += 1
+              }
+            case None =>
+              // empty payload → all-zero buffer (a real decoder would error
+              // or emit a blank frame; zeros keep the stub total)
+              if (payload.nonEmpty) {
+                var i = 0
+                while (i < out.length) {
+                  out(i) = payload((i.toLong * payload.length / out.length).toInt)
+                  i += 1
+                }
+              }
           }
           Row(r.getLong(0), width, height, out)
         }

@@ -204,19 +204,36 @@ object Ops {
     * each undirected edge should appear once in either direction.
     * Returns (id, cluster_id, is_rep) sorted by id; vertices with no
     * edges are absent (no dup edge ⇒ nothing to cluster).
+    *
+    * Superstep durability: by default rounds materialize with
+    * `localCheckpoint` (fast, but its blocks die with an executor — an
+    * executor loss mid-iteration kills the whole job). Pass
+    * `checkpointDir` to materialize with RELIABLE `checkpoint()` into
+    * that directory (HDFS/object store on a cluster) so supersteps
+    * survive executor loss — the right mode for long 100 TB runs; the
+    * default stays localCheckpoint for short interactive jobs.
+    *
+    * If the label fixpoint is NOT reached within `maxRounds` the labels
+    * are wrong (a deep-diameter component keeps stale labels), so this
+    * throws rather than returning silently-wrong clusters; raise
+    * `maxRounds` (rounds needed = O(log2 diameter)).
     */
-  def connectedComponents(edges0: DataFrame, maxRounds: Int = 8): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
     // symmetrize in ONE pass over the (possibly expensive) edge plan
-    val edges = edges0
+    val edges = materialize(edges0
       .select(explode(array(
         struct(srcC.as("src"), dstC.as("dst")),
         struct(dstC.as("src"), srcC.as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
-    var labels = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("m"))
-      .select(col("v"), least(col("v"), col("m")).as("p"))
-      .localCheckpoint(true)
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    var labels = materialize(
+      edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("m"))
+        .select(col("v"), least(col("v"), col("m")).as("p")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -224,18 +241,20 @@ object Ops {
       val nbrMin = edges.join(labels.select(col("v").as("dst"), col("p")), "dst")
         .groupBy(col("src").as("v")).agg(min(col("p")).as("np"))
       // least() skips NULLs, so vertices untouched this round keep p
-      val hopped = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), col("p").as("p0"), least(col("p"), col("np")).as("p"))
-        .localCheckpoint(true)
-      val doubled = hopped.as("x")
+      val hopped = materialize(labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("p").as("p0"), least(col("p"), col("np")).as("p")))
+      val doubled = materialize(hopped.as("x")
         .join(hopped.select(col("v").as("pv"), col("p").as("pp")).as("y"),
           col("x.p") === col("y.pv"), "left")
         .select(col("x.v").as("v"), col("x.p0").as("p0"),
-          coalesce(col("y.pp"), col("x.p")).as("p"))
-        .localCheckpoint(true)
+          coalesce(col("y.pp"), col("x.p")).as("p")))
       converged = doubled.filter(col("p") =!= col("p0")).isEmpty
       labels = doubled.select(col("v"), col("p"))
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach the label fixpoint in $maxRounds " +
+        "rounds — labels would be wrong for deep components; raise maxRounds " +
+        "(rounds needed ~ log2(component diameter))")
     labels.select(col("v").as("id"), col("p").as("cluster_id"),
         (col("v") === col("p")).as("is_rep"))
       .orderBy("id")

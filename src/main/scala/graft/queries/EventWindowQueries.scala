@@ -161,13 +161,17 @@ object EventWindowQueries extends QueryModule {
           .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
           .select(col("window.start").as("w_start"), col("segment"),
             col("cnt"), col("sum_v"))
-          .orderBy("w_start", "segment")
+          // NULLS LAST on BOTH sides (Spark ASC defaults nulls-first,
+          // DuckDB nulls-last): the NULL-segment rows the left join
+          // deliberately keeps must sort identically once an orphan
+          // user_id exists (ADVICE r4).
+          .orderBy(col("w_start"), col("segment").asc_nulls_last)
       },
       Some("""SELECT w_start, segment, COUNT(*) AS cnt,
              |CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
              |FROM (SELECT time_bucket(INTERVAL '1 hour', e.ts) AS w_start,
              |             c.c_mktsegment AS segment, e.value
              |      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey) sub
-             |GROUP BY w_start, segment ORDER BY w_start, segment""".stripMargin)),
+             |GROUP BY w_start, segment ORDER BY w_start, segment NULLS LAST""".stripMargin)),
   )
 }

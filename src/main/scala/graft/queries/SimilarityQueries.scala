@@ -166,54 +166,29 @@ object SimilarityQueries extends QueryModule {
 
     QueryDef(
       "q_sim_ann_lsh",
-      // ANN scale path, OR-amplified: L independent r-bit random-hyperplane
-      // tables (the same band shape as the MinHash pipeline). One AND-only
-      // signature misses any near neighbor that flips a single bit —
-      // P(candidate) = p^bits with p = 1 − θ/π; OR'ing L tables lifts it
-      // to 1 − (1 − p^r)^L — at L=8, r=12 that is ≥0.93 for cosine ≥0.95
-      // (the near-duplicate band ANN retrieval exists for) vs 0.28 for the
-      // single 12-bit table this replaces. r stays at 12 so buckets keep
-      // n/4096 expected occupancy — the OR fan-out multiplies candidates
-      // by L, not by bucket degeneration. Bucket keys are slim (vec_id,
-      // table, bits) rows — embeddings never ride the explode; the exact
-      // rerank fetches them back by key. All joins are equi-joins; no
-      // all-pairs anywhere. No oracle (approximate by construction);
-      // DedupSpec measures recall on planted near-duplicates.
+      // ANN scale path, OR-amplified: `tables` independent `bits`-bit
+      // random-hyperplane tables (the same band shape as the MinHash
+      // pipeline), delegated to the library operator
+      // graft.operators.AnnLsh, which owns the recall model and the cost
+      // knobs (tables / bits / bucketCap — VERDICT r4 #3). Defaults
+      // (8 tables × 14 bits, cap 128) hold recall ≈ 0.95 at near-dup
+      // cosine 0.97 with 4× smaller buckets than the round-4 (8 × 12):
+      // candidate cost scales with tables × n²/2^bits, so the two extra
+      // bits cut the rerank's embedding-fetch joins — the dominant cost —
+      // 4× for a 2.4-point recall trade. The -Dgraft.lsh.* overrides
+      // exist for A/B runs (see SURVEY §4.5); signature computation is
+      // compute-bound, so the scan fans out to every core first (no-op at
+      // real scale). No oracle (approximate by construction); DedupSpec
+      // measures recall >= 0.9 on planted near-duplicates.
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val dim = 64
-        val L = 8; val r = 12
-        val rnd = new scala.util.Random(42)
-        val planes = Array.fill(L * r * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-        // Signature computation is compute-bound (L·r = 96 hyperplane dots
-        // per vector) — fan out an under-partitioned scan before it. The
-        // whole signature is ONE codegen'd expression over a constant
-        // plane matrix (graft.functions.HyperplaneSignatures): composing
-        // it from 96 per-plane DotProducts against array literals was a
-        // codegen blob that cost more to compile than to run.
-        val embP = fanOutScan(emb)
-        val banded = embP
-          .select(col("vec_id"), posexplode(
-            graft.functions.VectorExpressions.hyperplaneSigs(
-              col("embedding"), planes, L, r)))
-          .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bits")
-        // union-of-tables candidate set: same-bucket pairs in ANY table
-        val cands = banded.as("x").join(banded.as("y"), Seq("tbl", "bits"))
-          .filter(col("x.vec_id") =!= col("y.vec_id"))
-          .select(col("x.vec_id").as("qid"), col("y.vec_id").as("cid"))
-          .distinct()
-        val withN = embP.select(col("vec_id"), col("embedding"),
-          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
-        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
-        cands
-          .join(withN.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn")), "qid")
-          .join(withN.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn")), "cid")
-          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 5)
-          .select(col("qid"), col("cid"), toDbl(col("score_d").cast("decimal(18,6)")).as("score"), col("rn"))
+        val cfg = graft.operators.AnnLsh.Config(
+          tables = sys.props.getOrElse("graft.lsh.tables", "8").toInt,
+          bits = sys.props.getOrElse("graft.lsh.bits", "14").toInt,
+          bucketCap = sys.props.getOrElse("graft.lsh.bucketCap", "128").toInt)
+        graft.operators.AnnLsh
+          .annCosineTopK(fanOutScan(t(s, dir, "embeddings")), "vec_id", "embedding", cfg)
+          .select(col("qid"), col("cid"),
+            toDbl(col("score_d").cast("decimal(18,6)")).as("score"), col("rn"))
           .orderBy("qid", "rn")
       },
       None),

@@ -86,6 +86,54 @@ object CommitStore {
     }
   }
 
+  /** Eventual-consistency simulator: the conditional put itself stays
+    * STRONGLY consistent (two writers at one key — exactly one wins, like
+    * S3 `PutObject` + `If-None-Match: *`), but the accepted object only
+    * MATERIALIZES at `target` — where readers list and replay — after
+    * `visibilityDelayMs`, via write-to-temp + atomic rename on a background
+    * thread. This is the store shape that breaks naive OCC loops: a writer
+    * whose listing lags the commit frontier re-claims the same version
+    * forever unless it treats its own AlreadyExists as proof the version
+    * exists (DeltaSink.append's `minNext` floor). A pre-existing object at
+    * `target` (e.g. a table created through [[Local]]) conflicts as usual.
+    *
+    * In-process claims registry = the store's authoritative key space; one
+    * instance therefore models one bucket and must be shared by every
+    * concurrent writer in the test.
+    */
+  final class DelayedVisibilityLocal(visibilityDelayMs: Long) extends CommitStore with AutoCloseable {
+    private val claims = ConcurrentHashMap.newKeySet[String]()
+    private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-delayed-visibility"); t.setDaemon(true); t })
+
+    override def putIfAbsent(target: Path, bytes: Array[Byte]): Unit = {
+      if (Files.exists(target) || !claims.add(target.toString))
+        throw new FileAlreadyExistsException(target.toString)
+      inFlight.incrementAndGet()
+      exec.schedule(new Runnable {
+        override def run(): Unit = {
+          try {
+            val tmp = Files.createTempFile(target.getParent, ".graft-staged-", ".tmp")
+            Files.write(tmp, bytes)
+            Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } finally inFlight.decrementAndGet()
+        }
+      }, visibilityDelayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+
+    /** Blocks until every accepted commit has materialized — test barrier
+      * before reading the table back.
+      */
+    def awaitVisible(timeoutMs: Long = 30000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (inFlight.get() > 0 && System.nanoTime() < deadline) Thread.sleep(5)
+      require(inFlight.get() == 0, "staged commits still invisible after timeout")
+    }
+
+    override def close(): Unit = { awaitVisible(); exec.shutdown() }
+  }
+
   /** Maps the ambient object-store credential environment to the Hadoop/S3A
     * configuration Spark's S3 committers consume — the documented equivalent
     * of the reference's env pickup (`delta_destination.rs:232-251` reads

@@ -13,10 +13,14 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
   * `manifest_entry` / `manifest_file` records, the required key-metadata
   * entries) — what the reference emits through iceberg-rust's
   * ManifestWriter/ManifestListWriter
-  * (/root/reference/src/iceberg_destination.rs:271-324). Optional stats
-  * fields (column sizes, bounds, …) are omitted from the schema, which the
-  * spec permits. avro-1.12 ships in Spark's own jars, so this closes the
-  * earlier JSON-manifest divergence without new dependencies.
+  * (/root/reference/src/iceberg_destination.rs:271-324). The optional
+  * per-column stats fields (`value_counts` / `null_value_counts` /
+  * `lower_bounds` / `upper_bounds`, spec-standard k/v-pair maps keyed by
+  * field id) ARE emitted, from the same parquet-footer open that counts
+  * rows — that is what lets an external Iceberg reader skip files on these
+  * tables. `column_sizes`/`nan_value_counts` stay omitted (spec-permitted).
+  * avro-1.12 ships in Spark's own jars, so this closes the earlier
+  * JSON-manifest divergence without new dependencies.
   */
 private[graft] object IcebergAvro {
 
@@ -32,7 +36,19 @@ private[graft] object IcebergAvro {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","field-id":109,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[
+      |    {"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
+      |{"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+      |    {"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+      |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+      |    {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+      |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+      |    {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin)
 
   private val DataFileSchema = EntrySchema.getField("data_file").schema()
@@ -55,7 +71,42 @@ private[graft] object IcebergAvro {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
-  case class DataFileInfo(absPath: String, sizeBytes: Long, recordCount: Long)
+  /** Per-column stats keyed by Iceberg field id; bounds hold the spec's
+    * single-value binary serialization. Empty maps → the optional manifest
+    * fields stay null.
+    */
+  case class ColumnStats(
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+
+  case class DataFileInfo(absPath: String, sizeBytes: Long, recordCount: Long,
+      stats: ColumnStats = ColumnStats())
+
+  private def kvLongs(sch: Schema, m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
+    val itemSchema = sch.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, sch)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k); r.put("value", v); arr.add(r)
+    }
+    arr
+  }
+
+  private def kvBytes(sch: Schema, m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
+    val itemSchema = sch.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, sch)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v)); arr.add(r)
+    }
+    arr
+  }
+
+  private def arraySchemaOf(fieldName: String): Schema =
+    DataFileSchema.getField(fieldName).schema().getTypes.asScala
+      .find(_.getType == Schema.Type.ARRAY).get
 
   /** Writes one data-content manifest; returns its byte length (the
     * manifest list records it).
@@ -78,6 +129,14 @@ private[graft] object IcebergAvro {
       df.put("partition", new GenericData.Record(PartitionSchema))
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      if (f.stats.valueCounts.nonEmpty)
+        df.put("value_counts", kvLongs(arraySchemaOf("value_counts"), f.stats.valueCounts))
+      if (f.stats.nullCounts.nonEmpty)
+        df.put("null_value_counts", kvLongs(arraySchemaOf("null_value_counts"), f.stats.nullCounts))
+      if (f.stats.lowerBounds.nonEmpty)
+        df.put("lower_bounds", kvBytes(arraySchemaOf("lower_bounds"), f.stats.lowerBounds))
+      if (f.stats.upperBounds.nonEmpty)
+        df.put("upper_bounds", kvBytes(arraySchemaOf("upper_bounds"), f.stats.upperBounds))
       val e = new GenericData.Record(EntrySchema)
       e.put("status", 1) // ADDED; sequence numbers inherit from the snapshot
       e.put("snapshot_id", snapshotId)
@@ -85,6 +144,36 @@ private[graft] object IcebergAvro {
       w.append(e)
     } finally w.close()
     target.length()
+  }
+
+  /** Reads back every entry's ColumnStats (test surface: the stats must
+    * round-trip through the Avro manifest).
+    */
+  def readManifestStats(f: File): Seq[(String, ColumnStats)] = {
+    def longs(v: AnyRef): Map[Int, Long] = v match {
+      case null => Map.empty
+      case a: java.util.Collection[_] => a.asScala.map { r0 =>
+        val r = r0.asInstanceOf[GenericRecord]
+        r.get("key").asInstanceOf[Int] -> r.get("value").asInstanceOf[Long]
+      }.toMap
+    }
+    def bytes(v: AnyRef): Map[Int, Array[Byte]] = v match {
+      case null => Map.empty
+      case a: java.util.Collection[_] => a.asScala.map { r0 =>
+        val r = r0.asInstanceOf[GenericRecord]
+        val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out)
+        r.get("key").asInstanceOf[Int] -> out
+      }.toMap
+    }
+    val r = new DataFileReader[GenericRecord](f,
+      new GenericDatumReader[GenericRecord](EntrySchema))
+    try r.iterator().asScala.toList.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("file_path").toString -> ColumnStats(
+        longs(df.get("value_counts")), longs(df.get("null_value_counts")),
+        bytes(df.get("lower_bounds")), bytes(df.get("upper_bounds")))
+    } finally r.close()
   }
 
   /** manifest_file row for a manifest newly written by `snapshotId`. */

@@ -89,6 +89,83 @@ object IcebergSink {
     case other => other.catalogString // nested types: Spark catalog form
   }
 
+  /** (rowCount, per-column Iceberg stats) from one parquet-footer open —
+    * no data pages read. Bounds use the Iceberg spec's single-value binary
+    * serialization (little-endian numerics, UTF-8 strings); columns whose
+    * type isn't covered (decimal, boolean, nested) keep their value/null
+    * counts but omit bounds — absent stats mean "never skipped", never
+    * "wrongly skipped" (same discipline as the Delta side's fileStats).
+    */
+  private def footerStats(f: File, conf: org.apache.hadoop.conf.Configuration,
+      fieldIds: Map[String, Int]): (Long, IcebergAvro.ColumnStats) = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toURI), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val valueCounts = scala.collection.mutable.Map.empty[String, Long]
+      val nullCounts = scala.collection.mutable.Map.empty[String, Long]
+      val merged = scala.collection.mutable.Map
+        .empty[String, org.apache.parquet.column.statistics.Statistics[_]]
+      val prims = scala.collection.mutable.Map
+        .empty[String, org.apache.parquet.schema.PrimitiveType]
+      val noBounds = scala.collection.mutable.Set.empty[String]
+      for (block <- blocks; c <- block.getColumns.asScala) {
+        val pathParts = c.getPath.toArray
+        if (pathParts.length == 1 && fieldIds.contains(pathParts(0))) {
+          val name = pathParts(0)
+          valueCounts(name) = valueCounts.getOrElse(name, 0L) + c.getValueCount
+          val stats = c.getStatistics
+          if (stats == null || stats.isEmpty) noBounds += name
+          else {
+            nullCounts(name) = nullCounts.getOrElse(name, 0L) + stats.getNumNulls
+            if (!stats.hasNonNullValue) noBounds += name
+            else {
+              prims += name -> c.getPrimitiveType
+              merged.get(name) match {
+                case Some(acc) =>
+                  acc.asInstanceOf[org.apache.parquet.column.statistics.Statistics[Nothing]]
+                    .mergeStatistics(stats.asInstanceOf[org.apache.parquet.column.statistics.Statistics[Nothing]])
+                case None => merged += name -> stats.copy()
+              }
+            }
+          }
+        }
+      }
+      noBounds.foreach(merged -= _)
+      def le(fill: java.nio.ByteBuffer => Unit, n: Int): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        fill(b); b.array()
+      }
+      val lower = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      val upper = scala.collection.mutable.Map.empty[String, Array[Byte]]
+      merged.foreach { case (name, stats) =>
+        val prim = prims(name)
+        val logical = prim.getLogicalTypeAnnotation
+        def ser(v: Any): Option[Array[Byte]] = prim.getPrimitiveTypeName match {
+          case INT32 => Some(le(_.putInt(v.asInstanceOf[Integer].intValue()), 4))
+          case INT64 => Some(le(_.putLong(v.asInstanceOf[java.lang.Long].longValue()), 8))
+          case FLOAT => Some(le(_.putFloat(v.asInstanceOf[java.lang.Float].floatValue()), 4))
+          case DOUBLE => Some(le(_.putDouble(v.asInstanceOf[java.lang.Double].doubleValue()), 8))
+          case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+          case _ => None
+        }
+        (ser(stats.genericGetMin), ser(stats.genericGetMax)) match {
+          case (Some(mn), Some(mx)) => lower += name -> mn; upper += name -> mx
+          case _ => ()
+        }
+      }
+      def byId[V](m: scala.collection.Map[String, V]): Map[Int, V] =
+        m.map { case (n, v) => fieldIds(n) -> v }.toMap
+      (rows, IcebergAvro.ColumnStats(
+        byId(valueCounts), byId(nullCounts), byId(lower), byId(upper)))
+    } finally reader.close()
+  }
+
   def write(df: DataFrame, table: String, mode: WriteMode,
       store: CommitStore = CommitStore.Local): Unit = {
     val hint = readHint(table)
@@ -133,10 +210,14 @@ object IcebergSink {
         .put("type", icebergType(f.dataType))
     }
 
-    // Avro manifest (V2 manifest_entry records, real per-file row counts).
+    // Avro manifest (V2 manifest_entry records, real per-file row counts +
+    // per-column value/null counts and bounds from the same footer open).
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val infos = dataFiles.toSeq.map(f =>
-      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), DeltaSink.numRecords(f, conf)))
+    val fieldIds = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    val infos = dataFiles.toSeq.map { f =>
+      val (rows, stats) = footerStats(f, conf, fieldIds)
+      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats)
+    }
     val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.avro")
     val manifestLen = IcebergAvro.writeManifest(manifestPath.toFile, infos,
       snapshotId, schemaNode.toString, """{"spec-id":0,"fields":[]}""")

@@ -244,6 +244,44 @@ class DedupSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getAs[Array[Byte]](3).forall(_ == 0))
   }
 
+  test("multimodal real decode: a PNG payload decodes through javax.imageio deterministically") {
+    val s = spark
+    import s.implicits._
+    // 4×2 image with known pixels: row 0 = black..white ramp, row 1 = solid
+    // primaries — luma values are fixed by the BT.601 integer formula
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row0 = Seq(0x000000, 0x555555, 0xAAAAAA, 0xFFFFFF)
+    val row1 = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    row0.zipWithIndex.foreach { case (c, x) => img.setRGB(x, 0, c) }
+    row1.zipWithIndex.foreach { case (c, x) => img.setRGB(x, 1, c) }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+
+    val feats = Multimodal.extractFeatures(df).orderBy("doc_id").collect()
+    // real path: format=png, features = [w, h, mean luma, luma variance]
+    assert(feats(0).getString(2) == "png")
+    val f = feats(0).getSeq[Float](3)
+    assert(f(0) == 4.0f && f(1) == 2.0f)
+    val lumas = (row0 ++ row1).map { c =>
+      val (r, g, b) = ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    val mean = lumas.sum.toDouble / 8
+    assert(math.abs(f(2) - mean) < 0.01, s"mean luma ${f(2)} vs $mean")
+    // non-image payload stays on the declared stub path
+    assert(feats(1).getString(2) == "stub")
+
+    // real resize: 2×1 nearest-neighbour picks pixels (0,0) and (2,0)
+    val resized = Multimodal.resizeStub(df, 2, 1).orderBy("doc_id").collect()
+    val px = resized(0).getAs[Array[Byte]](3)
+    assert(px.toSeq == Seq(lumas(0).toByte, lumas(2).toByte))
+    // deterministic across partitionings
+    val again = Multimodal.extractFeatures(df.repartition(2)).orderBy("doc_id").collect()
+    assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("multimodal frame-sample stub: every-Nth chunk, one row per frame") {
     val payloads = Multimodal.asBinaryPayload(docsDf)
     val frames = Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)

@@ -148,4 +148,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count(_._3) == 3) // exactly one representative per component
     assert(out.length == 11)
   }
+
+  test("connectedComponents: reliable-checkpoint mode matches localCheckpoint mode") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      (1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Ops.connectedComponents(edges, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val local = Ops.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(reliable == local)
+    // reliable mode actually wrote superstep state into the checkpoint dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+    assert(wrote, "checkpoint dir stayed empty — reliable mode not exercised")
+  }
+
+  test("connectedComponents: throws instead of returning unconverged labels") {
+    val s = spark
+    import s.implicits._
+    // 9-vertex path: diameter 8; one round of hop+double covers horizon
+    // ~3, so maxRounds=1 cannot reach the fixpoint
+    val edges = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Ops.connectedComponents(edges, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // ...and enough rounds converges fine on the same graph
+    val ok = Ops.connectedComponents(edges, maxRounds = 8).collect()
+    assert(ok.forall(_.getLong(1) == 0L))
+  }
 }

@@ -127,6 +127,40 @@ class SinkSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("Iceberg manifest column stats round-trip with spec binary bounds") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // a null in `name` so null_value_counts has something to say
+    val df = Seq((1L, Option("a"), 1.5), (2L, None, 2.5), (3L, Option("c"), 3.5))
+      .toDF("id", "name", "v")
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive)
+    val metaDir = new File(table, "metadata")
+    val manifestFile = metaDir.listFiles()
+      .find(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list-")).get
+    val stats = graft.sinks.IcebergAvro.readManifestStats(manifestFile)
+    assert(stats.nonEmpty)
+    // field ids are positional: id=1, name=2, v=3
+    val agg = stats.map(_._2)
+    assert(agg.map(_.valueCounts.getOrElse(1, 0L)).sum == 3L)
+    assert(agg.map(_.valueCounts.getOrElse(2, 0L)).sum == 3L)
+    assert(agg.map(_.nullCounts.getOrElse(2, 0L)).sum == 1L)
+    assert(agg.map(_.nullCounts.getOrElse(1, 0L)).sum == 0L)
+    def leLong(b: Array[Byte]) =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    def leDouble(b: Array[Byte]) =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+    // bounds across all files must bracket the data per the spec encoding
+    assert(agg.flatMap(_.lowerBounds.get(1)).map(leLong).min == 1L)
+    assert(agg.flatMap(_.upperBounds.get(1)).map(leLong).max == 3L)
+    assert(agg.flatMap(_.lowerBounds.get(3)).map(leDouble).min == 1.5)
+    assert(agg.flatMap(_.upperBounds.get(3)).map(leDouble).max == 3.5)
+    val nameLowers = agg.flatMap(_.lowerBounds.get(2)).map(new String(_, "UTF-8"))
+    assert(nameLowers.min == "a")
+    val nameUppers = agg.flatMap(_.upperBounds.get(2)).map(new String(_, "UTF-8"))
+    assert(nameUppers.max == "c")
+  }
+
   test("Iceberg append bumps version/sequence and keeps previous data") {
     val table = tmp()
     IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive)
@@ -244,6 +278,52 @@ class SinkSpec extends AnyFunSuite {
     }), 2.minutes)
     assert(versions.toSet.size == 3 && versions.forall(_ >= 2))
     assert(DeltaSink.read(spark, table).count() == 6)
+  }
+
+  test("Delta OCC under delayed visibility: appenders advance past invisible commits") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    // one store instance = one bucket: the claims registry is the
+    // authoritative key space every writer shares
+    val store = new graft.sinks.CommitStore.DelayedVisibilityLocal(150)
+    // Sequential appends faster than the visibility delay: each append's
+    // LISTING still shows version 1, so without the AlreadyExists⇒minNext
+    // floor every append after the first would burn its retries re-claiming
+    // version 2. With it: v2, then conflict→v3, then conflict→conflict→v4.
+    val v1 = DeltaSink.append(Seq((10L, "u10", 10.0)).toDF("id", "name", "v"), table, store = store)
+    val v2 = DeltaSink.append(Seq((11L, "u11", 11.0)).toDF("id", "name", "v"), table, store = store)
+    val v3 = DeltaSink.append(Seq((12L, "u12", 12.0)).toDF("id", "name", "v"), table, store = store)
+    assert(Seq(v1, v2, v3) == Seq(2L, 3L, 4L))
+    store.awaitVisible()
+    assert(DeltaSink.latestVersion(table) == 4L)
+    assert(DeltaSink.read(spark, table).count() == 6)
+  }
+
+  test("Delta merge OCC under delayed visibility: invisible commit still conflicts, rerun lands") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val store = new graft.sinks.CommitStore.DelayedVisibilityLocal(150)
+    // an append this store has ACCEPTED but not yet materialized: merge's
+    // replay cannot see it, yet the strongly-consistent conditional put
+    // must still refuse the merge's claim of the same version
+    DeltaSink.append(Seq((9L, "raced", 0.0)).toDF("id", "name", "v"), table, store = store)
+    val source = Seq((1L, "updated", 5.0)).toDF("id", "name", "v")
+    val e = intercept[IllegalStateException](
+      DeltaSink.merge(spark, table, source, Seq("id"), store = store))
+    assert(e.getMessage.contains("re-run the merge"))
+    store.awaitVisible()
+    // once visible, the re-run merges on the newer snapshot and keeps the
+    // raced append
+    val (rw, _, _) = DeltaSink.merge(spark, table, source, Seq("id"), store = store)
+    assert(rw >= 1)
+    store.awaitVisible()
+    val out = DeltaSink.read(spark, table)
+    assert(out.filter(col("name") === "updated").count() == 1)
+    assert(out.filter(col("name") === "raced").count() == 1)
   }
 
   test("entry() flagship: Q1 through Delta and back") {
@@ -566,15 +646,21 @@ class SinkSpec extends AnyFunSuite {
     assert(rows(0).getString(1) == "one" && rows(2).getString(1) == "four")
   }
 
-  test("Delta merge rejects duplicate source keys") {
+  test("Delta merge rejects duplicate source keys before committing anything") {
     val s = spark
     import s.implicits._
     val table = tmp()
     assert(DeltaSink.write(sampleDf, table))
     val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "name", "v")
-    val e = intercept[IllegalArgumentException](
-      DeltaSink.merge(spark, table, dup, Seq("id")))
-    assert(e.getMessage.contains("unique"))
+    // the guard rides the rewrite job (raise_error), so it surfaces as a
+    // Spark job failure whose cause chain carries the message
+    val e = intercept[Exception](DeltaSink.merge(spark, table, dup, Seq("id")))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("unique"), msgs)
+    // nothing committed, table unchanged
+    assert(DeltaSink.latestVersion(table) == 1L)
+    assert(DeltaSink.read(spark, table).count() == 3)
   }
 
   test("Delta merge aborts when a commit lands in the snapshot-to-claim window") {
