@@ -38,6 +38,17 @@ object Bench {
     * now says (≈5) and what the rerun gate acts on.
     */
   val CanaryRefSec = 0.35
+  /** Host marker the [[CanaryRefSec]] calibration belongs to. On any OTHER
+    * machine the ratio against 0.35 is meaningless and the rerun gate could
+    * fire spuriously, silently doubling suite runtime (ADVICE r5) — so the
+    * gate opens only when the current host matches this marker (or the
+    * caller recalibrates via SPARK_GRAFT_CANARY_REF, which both sets the
+    * reference and marks the run calibrated). The index itself is still
+    * printed everywhere: within one session it remains a valid RELATIVE
+    * signal.
+    */
+  val CalibratedHost = "vm"
+  val CalibratedCpus = 32
   /** Samples per canary checkpoint; median kept (see [[CanaryRefSec]]). */
   val CanaryRunsPerCheckpoint = 3
   /** Queries between canary checkpoints — dense enough that a regime flip

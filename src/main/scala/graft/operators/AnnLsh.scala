@@ -61,6 +61,16 @@ object AnnLsh {
   def annCosineTopK(emb: DataFrame, idCol: String, vecCol: String,
       cfg: Config = Config()): DataFrame = {
     import graft.functions.VectorExpressions
+    // Fail fast on a dim mismatch: HyperplaneSignatures returns null for a
+    // vector whose length differs from the plane width, which would silently
+    // drop every row instead of erroring (ADVICE r5). One cheap limit(1)
+    // probe on the driver beats an empty "result" downstream.
+    emb.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      if (!r.isNullAt(0) && r.getInt(0) != cfg.dim)
+        throw new IllegalArgumentException(
+          s"AnnLsh: embedding column '$vecCol' has ${r.getInt(0)} components " +
+            s"but Config.dim=${cfg.dim}; pass Config(dim = ${r.getInt(0)})")
+    }
     val pl = planes(cfg)
     val banded0 = emb
       .select(col(idCol).as("vec_id"), posexplode(

@@ -220,7 +220,18 @@ object Ops {
     */
   def connectedComponents(edges0: DataFrame, maxRounds: Int = 8,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    // setCheckpointDir mutates GLOBAL SparkContext state; save and restore
+    // the previous dir so this call doesn't silently redirect other
+    // checkpoint() users in the session (ADVICE r5).
+    val sc = edges0.sparkSession.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try connectedComponentsImpl(edges0, maxRounds, checkpointDir)
+    finally if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def connectedComponentsImpl(edges0: DataFrame, maxRounds: Int,
+      checkpointDir: Option[String]): DataFrame = {
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)

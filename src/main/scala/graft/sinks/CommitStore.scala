@@ -104,6 +104,11 @@ object CommitStore {
   final class DelayedVisibilityLocal(visibilityDelayMs: Long) extends CommitStore with AutoCloseable {
     private val claims = ConcurrentHashMap.newKeySet[String]()
     private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    // First background materialization failure, rethrown from awaitVisible/
+    // close: without this an accepted commit could stay permanently invisible
+    // with no signal and replay would silently see a truncated version chain
+    // (ADVICE r5).
+    private val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-delayed-visibility"); t.setDaemon(true); t })
 
@@ -117,17 +122,22 @@ object CommitStore {
             val tmp = Files.createTempFile(target.getParent, ".graft-staged-", ".tmp")
             Files.write(tmp, bytes)
             Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } catch {
+            case t: Throwable => firstFailure.compareAndSet(null, t); throw t
           } finally inFlight.decrementAndGet()
         }
       }, visibilityDelayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     }
 
     /** Blocks until every accepted commit has materialized — test barrier
-      * before reading the table back.
+      * before reading the table back. Rethrows the first background
+      * materialization failure, if any.
       */
     def awaitVisible(timeoutMs: Long = 30000): Unit = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (inFlight.get() > 0 && System.nanoTime() < deadline) Thread.sleep(5)
+      Option(firstFailure.get()).foreach(t =>
+        throw new IllegalStateException("staged commit failed to materialize", t))
       require(inFlight.get() == 0, "staged commits still invisible after timeout")
     }
 

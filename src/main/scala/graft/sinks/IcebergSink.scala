@@ -113,15 +113,24 @@ object IcebergSink {
       val prims = scala.collection.mutable.Map
         .empty[String, org.apache.parquet.schema.PrimitiveType]
       val noBounds = scala.collection.mutable.Set.empty[String]
+      // A null count must aggregate over EVERY row group or not exist at all:
+      // value_counts spans all blocks, so a column where any block lacks
+      // num-nulls (stats absent, or parquet's isNumNullsSet false — getNumNulls
+      // then returns -1) would emit an understated/corrupted count and let an
+      // external reader wrongly skip the file on an IS NULL predicate
+      // (ADVICE r5). Such columns drop out of nullCounts entirely.
+      val noNullCount = scala.collection.mutable.Set.empty[String]
       for (block <- blocks; c <- block.getColumns.asScala) {
         val pathParts = c.getPath.toArray
         if (pathParts.length == 1 && fieldIds.contains(pathParts(0))) {
           val name = pathParts(0)
           valueCounts(name) = valueCounts.getOrElse(name, 0L) + c.getValueCount
           val stats = c.getStatistics
-          if (stats == null || stats.isEmpty) noBounds += name
+          if (stats == null || stats.isEmpty) { noBounds += name; noNullCount += name }
           else {
-            nullCounts(name) = nullCounts.getOrElse(name, 0L) + stats.getNumNulls
+            if (stats.isNumNullsSet)
+              nullCounts(name) = nullCounts.getOrElse(name, 0L) + stats.getNumNulls
+            else noNullCount += name
             if (!stats.hasNonNullValue) noBounds += name
             else {
               prims += name -> c.getPrimitiveType
@@ -136,6 +145,7 @@ object IcebergSink {
         }
       }
       noBounds.foreach(merged -= _)
+      noNullCount.foreach(nullCounts -= _)
       def le(fill: java.nio.ByteBuffer => Unit, n: Int): Array[Byte] = {
         val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         fill(b); b.array()
