@@ -26,14 +26,25 @@ object Tables {
     require(all.contains(name), s"unknown table: $name (expected one of ${all.mkString(", ")})")
     cache.computeIfAbsent((System.identityHashCode(spark).toString, dir, name), { _ =>
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        // reader rejects; read it as raw nanos and rebase to microseconds.
-        // Integer `div` (not `/`): 2024 epoch-nanos ≈ 1.7e18 overflows
-        // double's 53-bit mantissa, so a double division would corrupt
-        // timestamps.
+        // events.ts has shipped in two physical layouts across testdata
+        // generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+        // reader rejects, so it is read as raw nanos (legacy conf) and
+        // rebased with integer `div` (2024 epoch-nanos ≈ 1.7e18 overflows
+        // double's 53-bit mantissa; a double division would corrupt
+        // timestamps) — and TIMESTAMP(MICROS, isAdjustedToUTC=false),
+        // which Spark reads as TIMESTAMP_NTZ. Dispatch on the footer
+        // schema and normalize both to session-zone TIMESTAMP (the session
+        // is pinned UTC, so the NTZ wall-clock maps to the same instant
+        // the oracle sees).
+        import org.apache.spark.sql.functions.{col, expr}
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw // already session-zone TIMESTAMP
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
   }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic Lloyd's k-means over an embedding column — the clustering
+  * primitive behind corpus diversity balancing, semantic sharding, and
+  * cluster-based dedup/selection in training-data pipelines.
+  *
+  * Scale posture (100 TB):
+  *  - Assignment is a pure map-side projection: the k centroids are closed
+  *    over as array LITERALS, so each row computes k codegen'd dot products
+  *    ([[graft.functions.VectorExpressions.dot]]) against in-register
+  *    constants — no crossJoin row blowup, no shuffle, no UDF.
+  *  - The update step aggregates per-(cluster, dimension) partial sums:
+  *    one shuffle of k·dim groups with map-side combine, so network cost is
+  *    O(partitions · k · dim), independent of corpus size. Only the k·dim
+  *    summed coordinates ever reach the driver (the centroid update is
+  *    inherently a tiny driver-side reduction; ~5 KB at k=10, dim=64).
+  *  - Nearest-centroid uses the standard argmax of (v·c − |c|²/2), which
+  *    equals argmin Euclidean distance without materializing |v|².
+  *
+  * Determinism contract: init is the k lowest-`idCol` vectors (no RNG);
+  * per-cluster coordinate sums run in DECIMAL(38,12) — order-independent,
+  * unlike double addition — so centroids, and therefore assignments, are
+  * bit-identical across partitionings and reruns. Ties in the argmax take
+  * the lowest cluster index (array_position finds the first maximum).
+  */
+object KMeans {
+
+  /** `(idCol, cluster)` after `iters` Lloyd iterations with k clusters.
+    * `vecCol` must be array<float|double>; all vectors the same length.
+    * An emptied cluster keeps its previous centroid (standard fallback,
+    * deterministic).
+    */
+  def assign(em: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val SumDec = DecimalType(38, 12)
+
+    var cents: Array[Array[Double]] =
+      em.orderBy(idCol).limit(k).select(vecCol).collect()
+        .map(_.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+    require(cents.length == k, s"need at least $k rows to seed $k centroids")
+
+    def cluster(vec: Column): Column = {
+      val scores = array(cents.map { c =>
+        graft.functions.VectorExpressions.dot(vec, typedLit(c)) -
+          lit(c.map(x => x * x).sum / 2.0)
+      }.toIndexedSeq: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = em
+        .select(cluster(col(vecCol)).as("cluster"), posexplode(col(vecCol)))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast(SumDec)).as("s"), count(lit(1)).as("c"))
+        .collect() // k·dim rows — the centroid table itself, never data
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j).fold(old) { rows =>
+          val next = old.clone()
+          rows.foreach { r =>
+            next(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3)
+          }
+          next
+        }
+      }
+    }
+    em.select(col(idCol), cluster(col(vecCol)).as("cluster"))
+  }
+}

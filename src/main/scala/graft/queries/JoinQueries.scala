@@ -251,5 +251,41 @@ object JoinQueries extends QueryModule {
              |       WHEN bal_old != bal_new THEN 'update'
              |       ELSE 'unchanged' END) != 'unchanged'
              |ORDER BY key""".stripMargin)),
+
+    QueryDef(
+      "q_join_bloom",
+      // Bloom-pre-filtered semi-join (functions/BloomFilterExpressions):
+      // the dimension side (selective orders subset) builds a distributed
+      // bloom filter; the fact scan drops non-matching rows INSIDE the
+      // scan's codegen span, before any exchange, and the broadcast
+      // semi-join that follows removes the ~1% false positives. Exactly
+      // the semi-join's rows, at ~selectivity of its network cost — the
+      // standard 100 TB shape for "join a petabyte fact to a filtered
+      // dimension". (Spark's own runtime row-group filtering does this
+      // only for shuffle-join scans it can rewrite; doing it explicitly
+      // pins the plan.)
+      (s, dir) => {
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+          .select("o_orderkey")
+        // Overestimated item count only widens the bitset (~1.2 MB at 1M
+        // keys / 1% fpp) — never causes false negatives.
+        val bf = dim.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+        t(s, dir, "lineitem")
+          .filter(graft.functions.BloomFilterExpressions
+            .mightContainLong(col("l_orderkey"), bf))
+          .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |FROM lineitem WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1997-06-01')
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
   )
 }

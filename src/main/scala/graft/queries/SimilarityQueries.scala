@@ -465,5 +465,24 @@ object SimilarityQueries extends QueryModule {
              |SELECT CAST(v AS BIGINT) AS id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
              |       v = MIN(lbl) AS is_rep
              |FROM walk GROUP BY v ORDER BY id""".stripMargin)),
+
+    QueryDef(
+      "q_cluster_kmeans",
+      // Deterministic Lloyd's k-means (operators/KMeans) over the embedding
+      // corpus: k=10 (the corpus's label cardinality), 4 iterations, seeds
+      // = the 10 lowest-id vectors. Assignment is a map-side projection of
+      // k codegen'd dot products against literal centroids; the update is
+      // one k·dim-group aggregation with map-side combine — per-iteration
+      // network cost is O(partitions·k·dim), so the loop scales to any
+      // corpus size. No oracle (iterative FP clustering is not
+      // SQL-expressible); KMeansSpec pins determinism across
+      // partitionings, monotone WCSS improvement per Lloyd iteration,
+      // exact convergence on separated toy blobs, and the empty-cluster
+      // fallback.
+      (s, dir) =>
+        graft.operators.KMeans
+          .assign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10, iters = 4)
+          .orderBy("vec_id"),
+      None),
   )
 }

@@ -460,5 +460,110 @@ object TextQueries extends QueryModule {
              |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard
              |    FROM documents) b) p
              |ORDER BY shard, start_off, doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_bm25",
+      // BM25 (k1=1.2, b=0.75) relevance scores per (doc, term) — the
+      // retrieval-scoring upgrade of q_tfidf and the ranking primitive for
+      // corpus search / RAG-style selection. Same scale shape as tfidf:
+      // ONE explode→(doc,term) aggregation whose exchange is shared by the
+      // df branch (the biggest intermediate at 100 TB is aggregated once),
+      // doc lengths are a map-side projection, and the 1-row corpus stats
+      // frame is broadcast. The ln/ratio formula is mirrored token-for-token
+      // in the oracle (every op correctly rounded on identical integer
+      // inputs ⇒ bit-identical doubles), then rounded per the OUTPUT-TYPE
+      // contract.
+      (s, dir) => {
+        // Explicit doc_id-not-null at the source: the dl join infers
+        // IsNotNull(doc_id) on the tf branch only, which would make the
+        // shared explode+agg subtrees canonically DIFFERENT and defeat
+        // AQE exchange reuse (the df branch would re-run the corpus
+        // explode). A no-op filter (doc_id is never null) restores
+        // byte-identical subtrees. PlanSpec pins the runtime reuse.
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // df off the already-aggregated tf table (see q_tfidf: phrased over
+        // `tf` so ReusedExchange shares the explode+shuffle with the join).
+        val dft = tf.groupBy("term").agg(sum((col("tf") >= 1).cast("long")).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("totdl"))
+        val tfD = col("tf").cast("double")
+        val dfD = col("df").cast("double")
+        val nD = col("n").cast("double")
+        tf.join(dft, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("totdl").cast("double") / nD)
+          .withColumn("idf", log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0))
+          .withColumn("bm25", toDbl(
+            round(col("idf") * (tfD * (lit(1.2) + 1.0)) /
+              (tfD + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 6)
+              .cast(Dec38)))
+          .select("doc_id", "term", "bm25")
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+             |toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n, SUM(dl) AS totdl FROM dl)
+             |SELECT doc_id, term,
+             |  CAST(CAST(ROUND(
+             |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+             |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(totdl AS DOUBLE) / CAST(n AS DOUBLE)))),
+             |    6) AS DECIMAL(38,6)) AS DOUBLE) AS bm25
+             |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+             |ORDER BY doc_id, term""".stripMargin)),
+
+    QueryDef(
+      "q_decontaminate",
+      // Train/eval decontamination: flag held-out (eval) documents sharing
+      // any word 3-gram with the training split — the standard benchmark-
+      // contamination check a training pipeline runs before every release.
+      // Split is a pure function of doc_id (md5-prefix < '1000' ≈ 6.25%
+      // eval), so it is stable across engines/partitionings; candidates
+      // come from an inverted-index equi-join on the gram (shuffle on gram,
+      // never eval×train all-pairs). At 100 TB the same plan runs on hashed
+      // 13-grams (HashExpressions.shingleHashes — longs, not strings) with
+      // a hot-gram frequency cap; literal 3-gram strings here keep the
+      // oracle engine-portable.
+      (s, dir) => {
+        val gramArrays = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))).as("gs"))
+        // per-doc distinct inside the row — no global DISTINCT shuffle
+        val grams = gramArrays.select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 4).as("sk"),
+          explode_outer(array_distinct(col("gs"))).as("g"))
+        val evalG = grams.filter(col("sk") < "1000")
+          .select(col("doc_id").as("eval_id"), col("g"))
+        val trainG = grams.filter(col("sk") >= "1000")
+          .select(col("doc_id").as("train_id"), col("g"))
+        evalG.join(trainG, "g")
+          .groupBy("eval_id")
+          .agg(countDistinct(col("g")).as("n_shared_grams"),
+            countDistinct(col("train_id")).as("n_train_docs"))
+          .orderBy("eval_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+             |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |tagged AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sk, g FROM grams)
+             |SELECT e.doc_id AS eval_id, CAST(count(DISTINCT e.g) AS BIGINT) AS n_shared_grams,
+             |  CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+             |FROM tagged e JOIN tagged tr ON e.g = tr.g
+             |WHERE e.sk < '1000' AND tr.sk >= '1000'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

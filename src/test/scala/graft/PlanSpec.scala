@@ -140,4 +140,39 @@ class PlanSpec extends AnyFunSuite {
     val r = df.limit(1).collect()(0).getDouble(0)
     assert(r > 0.0)
   }
+
+  test("q_join_bloom: bloom probe filters the fact scan, semi-join broadcasts") {
+    val p = plan("q_join_bloom")
+    // the probe must sit in the scan-side Filter (pre-exchange), inside codegen
+    assert(p.contains("graft_bloom_might_contain"), s"bloom probe missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"false-positive cleanup must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table must never shuffle into the join:\n$p")
+  }
+
+  test("q_decontaminate: candidates from a gram equi-join, never all-pairs") {
+    val p = plan("q_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay an equi-join on grams:\n$p")
+  }
+
+  test("q_bm25: df branch reuses the tf exchange at runtime; stats broadcast") {
+    val df = SparkEntry.queries("q_bm25")(spark, dir)
+    df.collect() // run THIS queryExecution so AQE finalizes its plan
+    // static explain duplicates the explode+agg subtree under both join
+    // inputs; AQE's executed plan must collapse them into one stage
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("StageReuse"),
+      s"df must reuse the tf explode+agg exchange at runtime:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row stats frame must broadcast:\n$p")
+  }
+
+  test("q_cluster_kmeans: assignment is a map-side projection (no join, no explode)") {
+    val p = plan("q_cluster_kmeans")
+    assert(p.contains("graft_dot"), s"assignment must use codegen'd dots:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Generate"), s"final assignment must not explode:\n$p")
+  }
 }
