@@ -123,6 +123,37 @@ object Ops {
       .drop(fs, ds)
   }
 
+  /** Scalable band/interval join by binning — the 100 TB shape of a range
+    * join. Each build row's interval [lo, hi] explodes to the fixed-width
+    * bins it overlaps (≤ ceil(span/binWidth)+1 rows — a small constant
+    * when binWidth ≈ the band width), each probe row maps to exactly ONE
+    * bin, and the join becomes a plain equi shuffle join on the bin id
+    * followed by an exact re-filter. No broadcast requirement, no
+    * nested-loop: cost is |probe| + |build|·bins_per_row shuffled once,
+    * vs BroadcastNestedLoop's |probe|·|build| compares (which also needs
+    * one side to fit in memory — at 100 TB neither does).
+    */
+  def rangeBinJoin(probe: DataFrame, build: DataFrame, probeVal: Column,
+      lo: Column, hi: Column, binWidth: Double, exact: Column): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val u = java.util.UUID.randomUUID().toString.take(8)
+    val bin = s"__graft_bin_$u"
+    val w = lit(binWidth)
+    // [lo, hi] is the inclusive COVERAGE interval (any probe value that can
+    // satisfy `exact` must fall inside it); `exact` is the precise band
+    // predicate re-applied after the equi-join, so open/closed endpoints
+    // are the caller's choice.
+    val b = build
+      .withColumn(bin, explode(sequence(
+        floor(lo / w).cast("long"), floor(hi / w).cast("long"))))
+    probe.withColumn(bin, floor(probeVal / w).cast("long"))
+      .join(b, bin)
+      // each build row appears once per DISTINCT bin and a probe row
+      // carries one bin, so the equi-join admits no duplicates
+      .where(exact)
+      .drop(bin)
+  }
+
   /** CDC snapshot diff: full-outer join `old` and `neu` on `keys`, value
     * columns suffixed `_old`/`_new`, classified insert / delete / update
     * (unchanged rows dropped). Presence is tracked with marker columns,

@@ -173,5 +173,31 @@ object EventWindowQueries extends QueryModule {
              |             c.c_mktsegment AS segment, e.value
              |      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey) sub
              |GROUP BY w_start, segment ORDER BY w_start, segment NULLS LAST""".stripMargin)),
+
+    QueryDef(
+      "q_stream_join",
+      // Stream-stream interval join (StreamOps.attributionJoin): clicks
+      // pair with same-user purchases inside a 2-hour attribution window.
+      // The streaming twin is Spark's watermarked stream-stream inner join
+      // — per-user state bounded by watermark + window, the only shape
+      // that survives an unbounded topic (StreamingSpec runs it on two
+      // MemoryStreams); this batch declaration is what the oracle checks.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.streaming.StreamOps.attributionJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"),
+            window = "2 hours")
+          .select("user_id", "click_id", "buy_id", "click_ts", "buy_ts", "value")
+          .orderBy("user_id", "click_id", "buy_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+             |          FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, click_id, buy_id, click_ts, buy_ts, value
+             |FROM c JOIN p USING (user_id)
+             |WHERE buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 2 HOUR
+             |ORDER BY user_id, click_id, buy_id""".stripMargin)),
   )
 }

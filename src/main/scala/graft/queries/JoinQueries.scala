@@ -145,6 +145,30 @@ object JoinQueries extends QueryModule {
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     QueryDef(
+      "q_join_range_binned",
+      // The SAME band join as q_join_range, executed the way it must run
+      // at 100 TB: bin both sides by the band width and equi-shuffle-join
+      // on the bin id (supplier explodes to the ≤2 bins its band overlaps,
+      // customer maps to exactly one), then re-filter the exact predicate.
+      // No broadcast requirement, no nested loop — |fact| shuffles once.
+      // q_join_range's oracle IS this oracle: result-identical by
+      // construction (Ops.rangeBinJoin).
+      (s, dir) =>
+        graft.operators.Ops.rangeBinJoin(
+            t(s, dir, "customer"), t(s, dir, "supplier"),
+            probeVal = col("c_acctbal"),
+            lo = col("s_acctbal") - 50, hi = col("s_acctbal"),
+            binWidth = 50.0,
+            exact = col("c_acctbal") >= col("s_acctbal") - 50 &&
+              col("c_acctbal") < col("s_acctbal"))
+          .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+          .orderBy("s_suppkey", "c_custkey"),
+      Some("""SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+             |FROM customer JOIN supplier
+             |ON c_acctbal >= s_acctbal - 50 AND c_acctbal < s_acctbal
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
+    QueryDef(
       "q_join_skew_salted",
       // Skew-resilient shuffle join: the fact side carries a deterministic
       // salt in [0, 8), the dim side is replicated across all salts, and the

@@ -59,6 +59,14 @@ import org.apache.spark.sql.types._
   * CREATE_NEW — the single-writer equivalent of the reference's
   * conditional-put (delta_destination.rs:377-389 downgrades
   * copy_if_not_exists the same way).
+  *
+  * PROTOCOL BOUNDARY: this sink speaks Delta protocol v1 exactly — the
+  * same pin as the reference (delta_destination.rs:446-458). Features
+  * gated behind higher reader/writer versions (deletion vectors, column
+  * mapping, generated columns, CDF table feature flags) are deliberately
+  * out of scope: tables written here declare minReader/minWriter = 1 and
+  * never emit actions a v1 reader can't replay, so any ecosystem Delta
+  * reader can consume them.
   */
 object DeltaSink {
   private val mapper = new ObjectMapper()

@@ -52,6 +52,35 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (click→conversion attribution): each left
+    * event pairs with right events of the SAME user whose timestamp falls
+    * in [left.ts, left.ts + window] — the forward-window twin of
+    * [[intervalJoin]] (which looks BACK from the left event), with the
+    * events-table column contract baked in so it declares as q_stream_join. Both sides carry watermarks and the
+    * join condition time-bounds the right side relative to the left, which
+    * is exactly what Spark's stream-stream inner join needs to evict
+    * matched state: per-key state is bounded by watermark + window, never
+    * the whole topic. The same code runs in batch (watermark is a no-op)
+    * — q_stream_join's DuckDB oracle checks that path.
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+      window: String = "2 hours", watermark: String = "1 hour"): DataFrame = {
+    // UUID'd internal key: a fixed name would collide with (and silently
+    // replace) a user column
+    val u = java.util.UUID.randomUUID().toString.take(8)
+    val rUser = s"__graft_ruser_$u"
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as(rUser), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"), col("value"))
+    l.join(r, col("user_id") === col(rUser) &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .drop(rUser)
+  }
+
   /** Streaming dedup on event_id bounded by a watermark — late duplicates
     * beyond the watermark are dropped from state (reference has no streaming
     * surface; this is the [ext] q_stream_dedup_watermark twin).

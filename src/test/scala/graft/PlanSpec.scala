@@ -169,6 +169,14 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row stats frame must broadcast:\n$p")
   }
 
+  test("q_join_range_binned: band join runs as an equi join, never a nested loop") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must not plan a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi join on the bin id:\n$p")
+  }
+
   test("q_cluster_kmeans: assignment is a map-side projection (no join, no explode)") {
     val p = plan("q_cluster_kmeans")
     assert(p.contains("graft_dot"), s"assignment must use codegen'd dots:\n$p")

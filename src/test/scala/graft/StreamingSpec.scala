@@ -355,4 +355,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, dst).select("id").collect().map(_.getLong(0))
       .sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("stream-stream attribution join pairs in-window purchases only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = StreamOps.attributionJoin(clicks.toDF(), buys.toDF(),
+        window = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(1, ts(10), 1, "click", 0.0), Ev(2, ts(10), 2, "click", 0.0))
+      buys.addData(
+        Ev(10, ts(20), 1, "purchase", 5.0),  // in window for click 1
+        Ev(11, ts(50), 1, "purchase", 7.0),  // outside 30-min window
+        Ev(12, ts(5), 2, "purchase", 9.0))   // BEFORE the click → no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("user_id", "click_id", "buy_id").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("attribution join batch shape equals a plain interval self-join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, ts(0), 1, "click", 0.0), Ev(2, ts(25), 1, "purchase", 3.0),
+      Ev(3, ts(90), 1, "purchase", 4.0), Ev(4, ts(10), 2, "click", 0.0))
+    val df = evs.toDF()
+    val out = StreamOps.attributionJoin(
+        df.where("event_type = 'click'"), df.where("event_type = 'purchase'"),
+        window = "30 minutes")
+      .select("click_id", "buy_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
 }
