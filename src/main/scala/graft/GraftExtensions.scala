@@ -18,11 +18,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * table so the surfaces cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftColumnBridge.functionTable.foreach { case (name, arity, build) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         GraftColumnBridge.builderFor(name, arity, build)))
     }
+    // Optimizer rule: naive band joins plan as a binned equi join instead
+    // of a nested loop (see graft.plans.BandJoinToBinEquiJoin; kill switch
+    // spark.graft.bandJoinRewrite=false).
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinToBinEquiJoin)
+  }
 }

@@ -169,6 +169,26 @@ object JoinQueries extends QueryModule {
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     QueryDef(
+      "q_join_range_auto",
+      // The SAME band join as q_join_range written NAIVELY — no hint, no
+      // manual binning. The graft.plans.BandJoinToBinEquiJoin optimizer
+      // rule (installed via GraftExtensions in every engine session)
+      // detects the band condition and plans the binned equi join of
+      // q_join_range_binned automatically; BandJoinRuleSpec + PlanSpec pin
+      // the rewrite, this oracle pins the results.
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "supplier"),
+            col("c_acctbal") >= col("s_acctbal") - 50 &&
+              col("c_acctbal") < col("s_acctbal"))
+          .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+          .orderBy("s_suppkey", "c_custkey"),
+      Some("""SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+             |FROM customer JOIN supplier
+             |ON c_acctbal >= s_acctbal - 50 AND c_acctbal < s_acctbal
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
+    QueryDef(
       "q_join_skew_salted",
       // Skew-resilient shuffle join: the fact side carries a deterministic
       // salt in [0, 8), the dim side is replicated across all salts, and the

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automatic band-join rewrite (plans/BandJoinToBinEquiJoin, injected
+  * by GraftExtensions — active in this session): fires on naive band
+  * joins, defers to explicit hints and real equi keys, and never changes
+  * results.
+  */
+class BandJoinRuleSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def bandJoin(c: DataFrame, s: DataFrame): DataFrame =
+    c.join(s, col("c_acctbal") >= col("s_acctbal") - 50 &&
+        col("c_acctbal") < col("s_acctbal"))
+      .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+  test("a naive band join plans as an equi join on bins, not a nested loop") {
+    val out = bandJoin(Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"))
+    val p = physical(out)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join should have been binned:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi join:\n$p")
+  }
+
+  test("rewrite preserves results exactly (vs the rule disabled)") {
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val rewritten = bandJoin(c, s).orderBy("s_suppkey", "c_custkey").collect()
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    try {
+      val plain = bandJoin(c, s).orderBy("s_suppkey", "c_custkey").collect()
+      assert(rewritten.toSeq == plain.toSeq)
+      assert(rewritten.nonEmpty)
+    } finally spark.conf.unset("spark.graft.bandJoinRewrite")
+  }
+
+  test("negative values bin correctly (floor, not truncate-toward-zero)") {
+    val sess = spark
+    import sess.implicits._
+    val a = Seq(-120.0, -75.0, -50.0, -0.5, 0.0, 49.9).toDF("x")
+    val b = Seq(-100.0, -50.0, 0.0, 50.0).toDF("y")
+    val got = a.join(b, col("x") >= col("y") - 50 && col("x") < col("y"))
+      .orderBy("x", "y").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val want = (for {
+      x <- Seq(-120.0, -75.0, -50.0, -0.5, 0.0, 49.9)
+      y <- Seq(-100.0, -50.0, 0.0, 50.0)
+      if x >= y - 50 && x < y
+    } yield (x, y)).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("an explicit broadcast hint wins — the rule defers to the user") {
+    val p = physical(bandJoin(Tables(spark, dir, "customer"),
+      broadcast(Tables(spark, dir, "supplier"))))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"hint must be honored:\n$p")
+  }
+
+  test("a join with a real equi key is left to the hash-join planner") {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val p = physical(li.join(o, col("l_orderkey") === col("o_orderkey") &&
+      col("l_quantity") < col("o_totalprice")))
+    assert(!p.contains("__graft_bin"), s"equi join must not be binned:\n$p")
+  }
+
+  test("the kill switch disables the rewrite") {
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    try {
+      val p = physical(bandJoin(Tables(spark, dir, "customer"),
+        Tables(spark, dir, "supplier")))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+    } finally spark.conf.unset("spark.graft.bandJoinRewrite")
+  }
+}

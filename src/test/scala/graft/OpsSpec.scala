@@ -182,4 +182,28 @@ class OpsSpec extends AnyFunSuite {
     val ok = Ops.connectedComponents(edges, maxRounds = 8).collect()
     assert(ok.forall(_.getLong(1) == 0L))
   }
+
+  test("rangeBinJoin equals the nested-loop band join on random data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // values spread across negative/positive bins, incl. exact bin edges
+    val probe = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 400 - 200))
+      .toDF("pid", "v")
+    val build = (0 until 80).map(i => (i.toLong, rnd.nextDouble() * 400 - 200))
+      .toDF("bid", "c")
+    for (w <- Seq(10.0, 33.3)) {
+      val exact = col("v") >= col("c") - w && col("v") < col("c") + w
+      val got = Ops.rangeBinJoin(probe, build, probeVal = col("v"),
+          lo = col("c") - w, hi = col("c") + w, binWidth = w, exact = exact)
+        .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      spark.conf.set("spark.graft.bandJoinRewrite", "false") // plain BNLJ twin
+      val want = try probe.crossJoin(build).where(exact)
+        .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      finally spark.conf.unset("spark.graft.bandJoinRewrite")
+      assert(got.toSeq == want.toSeq, s"width $w")
+      assert(want.nonEmpty)
+    }
+  }
 }

@@ -177,6 +177,13 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), s"expected an equi join on the bin id:\n$p")
   }
 
+  test("q_join_range_auto: the optimizer rule bins the naive band join") {
+    val p = plan("q_join_range_auto")
+    assert(p.contains("__graft_bin"), s"BandJoinToBinEquiJoin did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"naive band join must not plan a nested loop:\n$p")
+  }
+
   test("q_cluster_kmeans: assignment is a map-side projection (no join, no explode)") {
     val p = plan("q_cluster_kmeans")
     assert(p.contains("graft_dot"), s"assignment must use codegen'd dots:\n$p")
