@@ -142,16 +142,43 @@ object Bench {
     // contention index ("ci"), with times at centisecond precision, so the
     // whole line stays < 1.9 KB and survives the tail window intact.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    def compactLine(dp: Int): String = {
+    // Hard budget for the compact line: the driver's window is ~2000 chars
+    // of FINAL output and sbt appends a ~76-char "[success] Total time"
+    // trailer after the program exits, so the opening brace survives only
+    // if the whole line stays under ~1880.
+    val CompactBudget = 1880
+    def compactLine(dp: Int, keep: Int): String = {
       def fmtT(v: Double): String =
         if (v >= 10) f"$v%.1f" else { if (dp == 2) f"$v%.2f" else f"$v%.1f" }
-      val qs = result.ok.map { case (k, v) => "\"" + k + "\":" + fmtT(v) }
+      // slowest-first when truncating: the slow tail is what round-over-
+      // round grading needs; sub-second queries are the ones safely elided
+      val entries =
+        if (keep >= result.ok.size) result.ok
+        else result.ok.sortBy(-_._2).take(keep).sortBy(_._1)
+      val omitted =
+        if (keep >= result.ok.size) ""
+        else s""","queries_omitted":${result.ok.size - keep}"""
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmtT(v) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":${result.total}%.1f,"unit":"sec","queries":$qs,"ci":${result.contentionIndex}%.2f,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":${result.total}%.1f,"unit":"sec","queries":$qs$omitted,"ci":${result.contentionIndex}%.2f,"sf":"$sfName"}"""
     }
-    // Self-sizing: drop to decisecond precision if the map ever outgrows
-    // the window (full precision is always in the detail line + file).
-    val compact = { val c = compactLine(2); if (c.length <= 1900) c else compactLine(1) }
+    // Self-sizing tiers: centisecond precision → decisecond → drop the
+    // fastest entries (disclosed via "queries_omitted"). Full precision for
+    // every query is always in the detail line + bench_out.json.
+    val compact = Iterator(
+        () => compactLine(2, Int.MaxValue),
+        () => compactLine(1, Int.MaxValue))
+      .map(_.apply()).find(_.length <= CompactBudget)
+      .getOrElse {
+        var keep = result.ok.size - 1
+        var line = compactLine(1, keep)
+        while (line.length > CompactBudget && keep > 1) {
+          // shrink proportionally to the overshoot, at least one entry
+          keep -= math.max(1, (line.length - CompactBudget) / 20)
+          line = compactLine(1, keep)
+        }
+        line
+      }
     println(compact)
     spark.stop()
   }

@@ -51,7 +51,10 @@ object BandJoinToBinEquiJoin extends Rule[LogicalPlan] with PredicateHelper {
       offset: Double, isLower: Boolean)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.graft.bandJoinRewrite", "true").toBoolean) return plan
+    // lenient parse: a "0"/"off"/"no" spelling must disable the rule, not
+    // throw from inside the optimizer and fail every query in the session
+    val flag = conf.getConfString("spark.graft.bandJoinRewrite", "true").trim.toLowerCase
+    if (Set("false", "0", "off", "no").contains(flag)) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if hint == JoinHint.NONE && j.resolved =>
@@ -70,7 +73,7 @@ object BandJoinToBinEquiJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (hasCrossEquality) return None
 
-    val bounds = conjuncts.flatMap(asBound)
+    val bounds = conjuncts.flatMap(asBounds)
     // find a (lower, upper) pair on the same probe attr with the same base
     val pair = (for {
       lo <- bounds if lo.isLower
@@ -102,28 +105,31 @@ object BandJoinToBinEquiJoin extends Rule[LogicalPlan] with PredicateHelper {
       (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet) &&
         a.references.nonEmpty && b.references.nonEmpty)
 
-  /** cmp → Bound, handling both operand orders. Doubles only (see object
-    * doc); `base + offset` decomposition covers base ± literal and bare
-    * base.
+  /** cmp → every Bound reading of it. Both operand orders are covered by
+    * emitting BOTH interpretations when both sides qualify (`x >= y` is a
+    * lower bound on x AND an upper bound on y — the pair search decides
+    * which reading completes a band). Doubles only (see object doc);
+    * `base + offset` decomposition covers base ± literal and bare base.
     */
-  private def asBound(e: Expression): Option[Bound] = {
+  private def asBounds(e: Expression): Seq[Bound] = {
     def decomp(x: Expression): Option[(Expression, Double)] = x match {
       case Add(b, Literal(k, DoubleType), _) => Some((b, k.asInstanceOf[Double]))
       case Add(Literal(k, DoubleType), b, _) => Some((b, k.asInstanceOf[Double]))
       case Subtract(b, Literal(k, DoubleType), _) => Some((b, -k.asInstanceOf[Double]))
       case b => Some((b, 0.0))
     }
-    def mk(p: Expression, b: Expression, isLower: Boolean): Option[Bound] = p match {
+    def mk(p: Expression, b: Expression, isLower: Boolean): Seq[Bound] = p match {
       case attr: AttributeReference if attr.dataType == DoubleType && b.dataType == DoubleType =>
-        decomp(b).map { case (base, k) => Bound(attr, base, k, isLower) }
-      case _ => None
+        decomp(b).map { case (base, k) => Bound(attr, base, k, isLower) }.toSeq
+      case _ => Nil
     }
     e match {
-      case GreaterThanOrEqual(p, b) => mk(p, b, isLower = true)
-      case GreaterThan(p, b) => mk(p, b, isLower = true)
-      case LessThanOrEqual(p, b) => mk(p, b, isLower = false)
-      case LessThan(p, b) => mk(p, b, isLower = false)
-      case _ => None
+      // a cmp b: read as a bound on the left attr AND (mirrored) on the right
+      case GreaterThanOrEqual(p, b) => mk(p, b, isLower = true) ++ mk(b, p, isLower = false)
+      case GreaterThan(p, b) => mk(p, b, isLower = true) ++ mk(b, p, isLower = false)
+      case LessThanOrEqual(p, b) => mk(p, b, isLower = false) ++ mk(b, p, isLower = true)
+      case LessThan(p, b) => mk(p, b, isLower = false) ++ mk(b, p, isLower = true)
+      case _ => Nil
     }
   }
 

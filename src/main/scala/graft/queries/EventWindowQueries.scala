@@ -199,5 +199,46 @@ object EventWindowQueries extends QueryModule {
              |FROM c JOIN p USING (user_id)
              |WHERE buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 2 HOUR
              |ORDER BY user_id, click_id, buy_id""".stripMargin)),
+
+    QueryDef(
+      "q_resample_gapfill",
+      // Time-series resampling with gap fill: every (1-hour bucket ×
+      // event_type) cell over the corpus's full time range, zero-filled
+      // where no events landed — the densification step dashboards and
+      // downstream ML both assume. The GRID side is tiny by construction
+      // (range/granularity × |types|, here 720×5) and broadcast; the only
+      // data-sized work is the per-cell aggregate, one shuffle with
+      // map-side combine. At 100 TB the shape is unchanged — the grid
+      // grows with time and cardinality, never with event volume.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bounds = ev.agg(
+          date_trunc("hour", min("ts")).as("t0"),
+          date_trunc("hour", max("ts")).as("t1"))
+        val grid = bounds.select(
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+        val types = ev.select("event_type").distinct()
+        val agg = ev
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("c"), sum(dec(col("value"))).as("s"))
+        grid.crossJoin(types)
+          .join(agg, Seq("bucket", "event_type"), "left")
+          .select(col("bucket"), col("event_type"),
+            coalesce(col("c"), lit(0L)).as("cnt"),
+            toDbl(coalesce(col("s"), lit(0).cast(Dec38))).as("sum_v"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+             |                 date_trunc('hour', max(ts)) AS t1 FROM events),
+             |grid AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM b),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |agg AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+             |               count(*) AS c, SUM(CAST(value AS DECIMAL(38,6))) AS s
+             |        FROM events GROUP BY 1, 2)
+             |SELECT g.bucket, t.event_type, CAST(COALESCE(c, 0) AS BIGINT) AS cnt,
+             |       CAST(COALESCE(s, 0) AS DOUBLE) AS sum_v
+             |FROM grid g CROSS JOIN types t
+             |LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = t.event_type
+             |ORDER BY g.bucket, t.event_type""".stripMargin)),
   )
 }

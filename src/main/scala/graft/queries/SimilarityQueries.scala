@@ -484,5 +484,48 @@ object SimilarityQueries extends QueryModule {
           .assign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10, iters = 4)
           .orderBy("vec_id"),
       None),
+
+    QueryDef(
+      "q_embed_quantize",
+      // Symmetric int8-style embedding quantization: per-vector absmax
+      // scale, q_i = floor(x/absmax·127 + 0.5) — the storage transform
+      // that shrinks a 100 TB float32 embedding table 4× before ANN
+      // serving. Pure map-side per-row arithmetic (no shuffle except the
+      // final sort). floor(x+0.5) instead of round(): both engines
+      // evaluate the identical IEEE expression, sidestepping any
+      // half-even vs half-up divergence; the oracle-compared columns are
+      // the quantized vector's sum/min/max (the full int8 array is the
+      // same numbers, kept off the compare to avoid engine array-to-
+      // string formatting differences).
+      (s, dir) => {
+        val emD = transform(col("embedding"), x => x.cast("double"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), emD.as("e"))
+          .select(col("vec_id"),
+            array_max(transform(col("e"), x => abs(x))).as("amax"), col("e"))
+          .select(col("vec_id"), col("amax"),
+            when(col("amax") === 0.0, array())
+              .otherwise(transform(col("e"),
+                x => floor(x / col("amax") * 127.0 + 0.5).cast("long"))).as("q"))
+          .select(col("vec_id"), col("amax"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            coalesce(array_min(col("q")), lit(0L)).as("q_min"),
+            coalesce(array_max(col("q")), lit(0L)).as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax,
+             |    CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+             |         THEN []
+             |         ELSE list_transform(CAST(embedding AS DOUBLE[]),
+             |           x -> CAST(floor(x / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) * 127.0 + 0.5) AS BIGINT))
+             |    END AS qv
+             |  FROM embeddings)
+             |SELECT vec_id, amax,
+             |  CAST(COALESCE(list_sum(qv), 0) AS BIGINT) AS q_sum,
+             |  CAST(COALESCE(list_min(qv), 0) AS BIGINT) AS q_min,
+             |  CAST(COALESCE(list_max(qv), 0) AS BIGINT) AS q_max
+             |FROM q ORDER BY vec_id""".stripMargin)),
   )
 }

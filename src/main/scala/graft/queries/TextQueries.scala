@@ -565,5 +565,45 @@ object TextQueries extends QueryModule {
              |FROM tagged e JOIN tagged tr ON e.g = tr.g
              |WHERE e.sk < '1000' AND tr.sk >= '1000'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_mix_epochs",
+      // Epoch-weighted corpus mixing: each source gets a repetition factor
+      // (src0-4: 2.5 epochs, src5-9: 1, rest: 0.25) and every document
+      // emits one row PER epoch copy — the up/down-sampling primitive
+      // behind pretraining data mixes ("see wiki 3×, crawl 0.25×").
+      // Fractional epochs are a deterministic md5-prefix lottery (the
+      // q_sample_hash primitive), so the materialized mix is stable across
+      // engines, partitionings and reruns — re-running the pipeline
+      // reproduces the same corpus byte-for-byte. Pure map-side
+      // explode(sequence(0, n-1)); no shuffle except the final sort.
+      (s, dir) => {
+        val sid = substring(col("source"), 4, 10).cast("int")
+        val whole = when(sid < 5, 2).when(sid < 10, 1).otherwise(0)
+        val fracT = when(sid < 5, "8000").when(sid < 10, "0000").otherwise("4000")
+        val hk = substring(md5(col("doc_id").cast("string")), 1, 4)
+        val n = whole + when(hk < fracT, 1).otherwise(0)
+        // guard n=0: Spark's sequence(0, -1) DESCENDS ([0,-1]) instead of
+        // being empty like generate_series — dropped docs must emit nothing
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(when(n >= 1, sequence(lit(0), n - 1))
+              .otherwise(array().cast("array<int>"))).as("epoch"))
+          .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    (CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 2
+             |          WHEN CAST(substring(source, 4) AS INT) < 10 THEN 1
+             |          ELSE 0 END)
+             |    + (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             |          (CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN '8000'
+             |                WHEN CAST(substring(source, 4) AS INT) < 10 THEN '0000'
+             |                ELSE '4000' END)
+             |        THEN 1 ELSE 0 END) AS n
+             |  FROM documents)
+             |SELECT doc_id, source, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+             |FROM base ORDER BY doc_id, epoch""".stripMargin)),
   )
 }

@@ -71,6 +71,33 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(!p.contains("__graft_bin"), s"equi join must not be binned:\n$p")
   }
 
+  test("a band written with flipped operand order is rewritten too") {
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    // same band as bandJoin but each comparison has the attr on the right
+    val flipped = c.join(s,
+        col("s_acctbal") - 50 <= col("c_acctbal") &&
+          col("s_acctbal") > col("c_acctbal"))
+      .select("s_suppkey", "c_custkey")
+    val p = physical(flipped)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"flipped band join should have been binned:\n$p")
+    // and results match the straight spelling
+    val straight = bandJoin(c, s).select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey").collect()
+    assert(flipped.orderBy("s_suppkey", "c_custkey").collect().toSeq == straight.toSeq)
+  }
+
+  test("a non-boolean kill-switch spelling disables gracefully, never throws") {
+    spark.conf.set("spark.graft.bandJoinRewrite", "0")
+    try {
+      val out = bandJoin(Tables(spark, dir, "customer"),
+        Tables(spark, dir, "supplier"))
+      assert(physical(out).contains("BroadcastNestedLoopJoin"))
+      assert(out.count() > 0) // planning and execution both survive
+    } finally spark.conf.unset("spark.graft.bandJoinRewrite")
+  }
+
   test("the kill switch disables the rewrite") {
     spark.conf.set("spark.graft.bandJoinRewrite", "false")
     try {
