@@ -51,10 +51,19 @@ object BandJoinToBinEquiJoin extends Rule[LogicalPlan] with PredicateHelper {
       offset: Double, isLower: Boolean)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // lenient parse: a "0"/"off"/"no" spelling must disable the rule, not
-    // throw from inside the optimizer and fail every query in the session
+    // lenient parse — throwing from inside the optimizer would fail every
+    // query in the session. Only known-truthy spellings enable; anything
+    // unrecognized ("disabled", "n", a typo) disables WITH a warning, so a
+    // user reaching for the kill switch always gets the rule off.
     val flag = conf.getConfString("spark.graft.bandJoinRewrite", "true").trim.toLowerCase
-    if (Set("false", "0", "off", "no").contains(flag)) return plan
+    val enabled = flag match {
+      case "true" | "1" | "on" | "yes" => true
+      case "false" | "0" | "off" | "no" => false
+      case other =>
+        logWarning(s"unrecognized spark.graft.bandJoinRewrite value '$other' — disabling the rewrite")
+        false
+    }
+    if (!enabled) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if hint == JoinHint.NONE && j.resolved =>

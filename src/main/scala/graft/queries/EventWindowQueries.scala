@@ -220,12 +220,12 @@ object EventWindowQueries extends QueryModule {
         val types = ev.select("event_type").distinct()
         val agg = ev
           .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-          .agg(count(lit(1)).as("c"), sum(dec(col("value"))).as("s"))
+          .agg(count(lit(1)).as("c"), fxSum(col("value")).as("s"))
         grid.crossJoin(types)
           .join(agg, Seq("bucket", "event_type"), "left")
           .select(col("bucket"), col("event_type"),
             coalesce(col("c"), lit(0L)).as("cnt"),
-            toDbl(coalesce(col("s"), lit(0).cast(Dec38))).as("sum_v"))
+            coalesce(col("s"), lit(0.0)).as("sum_v"))
           .orderBy("bucket", "event_type")
       },
       Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,

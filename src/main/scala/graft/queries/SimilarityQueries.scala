@@ -508,7 +508,7 @@ object SimilarityQueries extends QueryModule {
               .otherwise(transform(col("e"),
                 x => floor(x / col("amax") * 127.0 + 0.5).cast("long"))).as("q"))
           .select(col("vec_id"), col("amax"),
-            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            coalesce(aggregate(col("q"), lit(0L), (acc, x) => acc + x), lit(0L)).as("q_sum"),
             coalesce(array_min(col("q")), lit(0L)).as("q_min"),
             coalesce(array_max(col("q")), lit(0L)).as("q_max"))
           .orderBy("vec_id")
