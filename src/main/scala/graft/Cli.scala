@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   query-to-iceberg  <dataDir> <sql> <table> [--overwrite | --append]
   *   parquet-to-delta  <file>    <table> [--overwrite]
   *   parquet-to-iceberg <file>   <table> [--overwrite | --append]
-  *   append-to-delta   <dataDir> <sql> <table>
+  *   append-to-delta   <dataDir> <sql> <table> [--merge-schema]
   *   compact-delta     <table>
   *   vacuum-delta      <table> [retentionMs]
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
@@ -46,12 +46,14 @@ object Cli {
     // translated to the Spark sink's lever: rows per output parquet file.
     var maxRecordsPerFile = sinks.DeltaSink.MaxRecordsPerFile
     var deleteCol: Option[String] = None
+    var mergeSchema = false
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 1
     while (i < args.length) {
       args(i) match {
         case "--overwrite" => overwrite = true
         case "--append" => append = true
+        case "--merge-schema" => mergeSchema = true
         case "--partition-by" =>
           require(i + 1 < args.length, "--partition-by requires a column list")
           partitionBy = args(i + 1).split(',').toSeq
@@ -89,7 +91,7 @@ object Cli {
       case "parquet-to-iceberg" =>
         Engine.parquetToIceberg(spark, pos(0), pos(1), overwrite, append)
       case "append-to-delta" =>
-        val v = Engine.sqlAppendToDelta(spark, pos(0), pos(1), pos(2))
+        val v = Engine.sqlAppendToDelta(spark, pos(0), pos(1), pos(2), mergeSchema)
         println(s"committed version $v")
       case "compact-delta" =>
         val (before, after) = Engine.compactDelta(spark, pos(0))

@@ -111,6 +111,6 @@ object Engine {
     * version, OCC retry) — see [[sinks.DeltaSink.append]].
     */
   def sqlAppendToDelta(spark: SparkSession, dir: String, query: String,
-      table: String): Long =
-    DeltaSink.append(sql(spark, dir, query), table)
+      table: String, mergeSchema: Boolean = false): Long =
+    DeltaSink.append(sql(spark, dir, query), table, mergeSchema = mergeSchema)
 }

@@ -36,6 +36,12 @@ import org.apache.spark.sql.types._
   * long-lived 100 TB table needs:
   *
   *  - [[append]]: one new log version per transaction with OCC retry;
+  *    `mergeSchema=true` additionally evolves the table by APPENDING new
+  *    nullable columns (common prefix matched by name+type; the updated
+  *    metaData action commits atomically with the adds, table id
+  *    preserved) — delta-spark's append-time schema evolution. Concurrent
+  *    evolutions are last-writer-wins on the schema, like delta-spark
+  *    without a catalog lock;
   *  - partitioned layout: `partitionBy` writes Hive-style `col=value/` dirs,
   *    records `partitionColumns` in metaData and per-file `partitionValues`
   *    in every add action — the reader hands Spark the partition dirs so
@@ -95,7 +101,7 @@ object DeltaSink {
     * `txns` is the streaming-writer watermark map: appId → highest
     * committed transaction version (Delta's `txn` action).
     */
-  private case class State(version: Long, schema: StructType,
+  private case class State(version: Long, metaId: String, schema: StructType,
       partitionColumns: Seq[String], live: Seq[AddEntry],
       txns: Map[String, Long])
 
@@ -135,7 +141,8 @@ object DeltaSink {
     // §1.2; pg_arrow_source.rs:233 sets nullable=true unconditionally), and
     // Spark file scans surface nullable columns anyway.
     val schemaString = StructType(df.schema.fields.map(_.copy(nullable = true))).json
-    val commit0 = Seq(protocolJson, metaDataJson(schemaString, partitionBy, now))
+    val commit0 = Seq(protocolJson,
+      metaDataJson(java.util.UUID.randomUUID().toString, schemaString, partitionBy, now))
     commitAtomic(store, versionFile(table, 0), commit0)
 
     val adds = dataFiles(dir).map(f => addJson(toAddEntry(dir, f, conf)))
@@ -161,8 +168,9 @@ object DeltaSink {
     * use.
     */
   def append(df: DataFrame, table: String, retries: Int = 3,
-      store: CommitStore = CommitStore.Local): Long =
-    append(df, table, retries, None, store)
+      store: CommitStore = CommitStore.Local,
+      mergeSchema: Boolean = false): Long =
+    append(df, table, retries, None, store, mergeSchema)
 
   /** Exactly-once append for streaming writers: the commit carries a
     * `txn` action recording (appId, txnVersion), and a batch whose
@@ -175,17 +183,47 @@ object DeltaSink {
     */
   def appendExactlyOnce(df: DataFrame, table: String, appId: String,
       txnVersion: Long, store: CommitStore = CommitStore.Local): Long =
-    append(df, table, 3, Some((appId, txnVersion)), store)
+    append(df, table, 3, Some((appId, txnVersion)), store, mergeSchema = false)
 
   private def append(df: DataFrame, table: String, retries: Int,
-      txn0: Option[(String, Long)], store: CommitStore): Long = {
+      txn0: Option[(String, Long)], store: CommitStore,
+      mergeSchema: Boolean): Long = {
     val dir = new File(table)
     require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
     val state = replay(df.sparkSession, table, None)
     txn0.foreach { case (appId, v) =>
       if (state.txns.get(appId).exists(_ >= v)) return -1L
     }
-    SchemaGate.enforce(df.schema, state.schema)
+    // Schema evolution (mergeSchema=true, delta-spark's append option):
+    // new columns may be APPENDED — the common prefix must match by name
+    // and type (stricter than the positional P14 gate: evolved metadata is
+    // read by name, so a silent positional rename would orphan data), and
+    // a narrower frame may omit trailing nullable columns (its files just
+    // lack them; the declared-schema read fills nulls). When the table
+    // schema widens, the SAME commit carries an updated metaData action —
+    // atomic with the adds, table id preserved.
+    val evolvedSchema: Option[StructType] =
+      if (!mergeSchema) { SchemaGate.enforce(df.schema, state.schema); None }
+      else {
+        val n = math.min(df.schema.length, state.schema.length)
+        val mismatches = state.schema.fields.take(n).zip(df.schema.fields.take(n))
+          .zipWithIndex.collect {
+            case ((old, nw), i) if old.name != nw.name || old.dataType != nw.dataType =>
+              s"field $i: table has ${old.name}: ${old.dataType.sql}, " +
+                s"incoming has ${nw.name}: ${nw.dataType.sql}"
+          }
+        require(mismatches.isEmpty,
+          "mergeSchema only appends new columns; common prefix must match: " +
+            mismatches.mkString("; "))
+        if (df.schema.length > state.schema.length)
+          Some(StructType(state.schema.fields ++
+            df.schema.fields.drop(n).map(_.copy(nullable = true))))
+        else {
+          require(state.schema.fields.drop(n).forall(_.nullable),
+            "incoming data omits non-nullable trailing columns")
+          None
+        }
+      }
     val staging = Files.createTempDirectory("graft-delta-txn").toFile
     val txn = java.util.UUID.randomUUID().toString
     val adds = try {
@@ -243,8 +281,13 @@ object DeltaSink {
       }
       val next = math.max(latest + 1, minNext)
       try {
+        // evolved metaData (if any) rides in the SAME commit as the adds:
+        // either both land or neither — a reader never sees files whose
+        // columns the declared schema doesn't know about
+        val metaLine = evolvedSchema.map(sch => metaDataJson(state.metaId,
+          sch.json, state.partitionColumns, System.currentTimeMillis()))
         commitAtomic(store, versionFile(table, next),
-          txnLine.toSeq ++ adds.map(a => addJson(a)))
+          metaLine.toSeq ++ txnLine.toSeq ++ adds.map(a => addJson(a)))
         // The append is committed at this point: an auto-checkpoint failure
         // (IO error) must not surface as an append failure — the caller
         // would retry and double-write the batch. Best-effort only.
@@ -437,7 +480,7 @@ object DeltaSink {
     val dir = new File(table)
     val (meta, live0) = resolve(spark, table, None)
     val liveAdds = collectAdds(live0)
-    val state = State(meta.version, meta.schema, meta.partitionColumns,
+    val state = State(meta.version, meta.id, meta.schema, meta.partitionColumns,
       liveAdds, meta.txns)
     val tableCols = state.schema.fieldNames.toSeq
     // Delete-marked source rows remove their match and insert nothing.
@@ -546,7 +589,7 @@ object DeltaSink {
     val metaRows: Seq[Row] =
       (Row(Row(1, 1), null, null, null) +:
       Row(null,
-        Row(java.util.UUID.randomUUID().toString, Row("parquet"),
+        Row(Option(meta.id).getOrElse(java.util.UUID.randomUUID().toString), Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
           meta.partitionColumns, System.currentTimeMillis()),
         null, null) +:
@@ -688,7 +731,7 @@ object DeltaSink {
       lo: String, hi: String, asOfVersion: Option[Long] = None): DataFrame = {
     val (meta, live) = resolve(spark, table, asOfVersion)
     readState(spark, table,
-      State(meta.version, meta.schema, meta.partitionColumns,
+      State(meta.version, meta.id, meta.schema, meta.partitionColumns,
         collectAdds(statsPruned(meta, live, column, lo, hi)), meta.txns))
   }
 
@@ -781,7 +824,7 @@ object DeltaSink {
   /** Driver-held metadata plane of a snapshot: version, schema, layout,
     * txn watermarks — a handful of values regardless of table size.
     */
-  private case class MetaState(version: Long, schema: StructType,
+  private case class MetaState(version: Long, id: String, schema: StructType,
       partitionColumns: Seq[String], txns: Map[String, Long])
 
   /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
@@ -790,6 +833,7 @@ object DeltaSink {
     */
   private val JsonActionSchema = StructType(Seq(
     StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType))))),
     StructField("add", CheckpointSchema("add").dataType),
@@ -848,17 +892,19 @@ object DeltaSink {
     // them through Spark filters (the driver still never touches adds).
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var tableId: String = null
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    def applyMeta(schemaString: String, pc: Seq[String]): Unit = {
+    def applyMeta(id: String, schemaString: String, pc: Seq[String]): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pc
+      if (id != null) tableId = id
     }
     ckptDF.foreach {
       _.where(col("metaData").isNotNull || col("txn").isNotNull)
         .select("metaData", "txn").collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
-            applyMeta(m.getAs[String]("schemaString"),
+            applyMeta(m.getAs[String]("id"), m.getAs[String]("schemaString"),
               m.getSeq[String](m.fieldIndex("partitionColumns")))
           }
           if (!r.isNullAt(1)) {
@@ -873,7 +919,7 @@ object DeltaSink {
         .collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
-            applyMeta(m.getAs[String]("schemaString"),
+            applyMeta(m.getAs[String]("id"), m.getAs[String]("schemaString"),
               Option(m.getSeq[String](m.fieldIndex("partitionColumns")))
                 .getOrElse(Nil))
           }
@@ -919,7 +965,7 @@ object DeltaSink {
         col("w.size").as("size"),
         col("w.modificationTime").as("modificationTime"),
         col("w.stats").as("stats"))
-    (MetaState(version, schema.get, partCols, txns.toMap), live)
+    (MetaState(version, tableId, schema.get, partCols, txns.toMap), live)
   }
 
   /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
@@ -937,16 +983,16 @@ object DeltaSink {
 
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
     val (meta, live) = resolve(spark, table, asOfVersion)
-    State(meta.version, meta.schema, meta.partitionColumns,
+    State(meta.version, meta.id, meta.schema, meta.partitionColumns,
       collectAdds(live), meta.txns)
   }
 
   private def protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""
 
-  private def metaDataJson(schemaString: String, partitionBy: Seq[String],
-      now: Long): String =
-    s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},""" +
+  private def metaDataJson(id: String, schemaString: String,
+      partitionBy: Seq[String], now: Long): String =
+    s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${esc(schemaString)},""" +
       s""""partitionColumns":${partitionBy.map(esc).mkString("[", ",", "]")},""" +
       s""""configuration":{},"createdTime":$now}}"""

@@ -3,6 +3,8 @@ package graft
 import java.io.File
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.sinks.{DeltaSink, IcebergSink}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -732,5 +734,63 @@ class SinkSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     assert(DeltaSink.append(Seq((9L, "z", 9.9)).toDF("id", "name", "v"), table) == 4L)
+  }
+
+  test("Delta mergeSchema append widens the table; old rows read NULL for new columns") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    // plain append of a wider frame is refused by the gate…
+    val wider = Seq((4L, "d", 4.5, "en")).toDF("id", "name", "v", "lang")
+    intercept[IllegalArgumentException] { DeltaSink.append(wider, table) }
+    // …and accepted with mergeSchema, committing metaData + adds atomically
+    val v = DeltaSink.append(wider, table, mergeSchema = true)
+    val back = DeltaSink.read(spark, table)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v", "lang"))
+    val byId = back.collect().map(r => r.getLong(0) -> r.getAs[String]("lang")).toMap
+    assert(byId(4L) == "en")
+    assert(Seq(1L, 2L, 3L).forall(byId(_) == null)) // pre-evolution files fill NULL
+    // time travel BEFORE the evolution still shows the narrow schema
+    val before = DeltaSink.read(spark, table, Some(v - 1))
+    assert(before.schema.fieldNames.toSeq == Seq("id", "name", "v"))
+    // a narrower frame omitting the (nullable) new tail column still appends
+    assert(DeltaSink.append(Seq((5L, "e", 5.5)).toDF("id", "name", "v"), table,
+      mergeSchema = true) == v + 1)
+    val all = DeltaSink.read(spark, table)
+    assert(all.count() == 5 && all.schema.fieldNames.length == 4)
+    // prefix type changes are still rejected even with mergeSchema
+    intercept[IllegalArgumentException] {
+      DeltaSink.append(Seq(("x", "d", 4.5)).toDF("id", "name", "v"), table,
+        mergeSchema = true)
+    }
+  }
+
+  test("Delta table id survives evolution and checkpoints") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    def metaIds(): Seq[String] = {
+      val logs = new File(table, "_delta_log").listFiles()
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      logs.flatMap { f =>
+        Files.readAllLines(f.toPath).asScala.collect {
+          case l if l.contains("\"metaData\"") =>
+            l.split("\"id\":\"")(1).takeWhile(_ != '"')
+        }
+      }.toSeq
+    }
+    val idAtCreate = metaIds().head
+    DeltaSink.append(Seq((4L, "d", 4.5, 7L)).toDF("id", "name", "v", "extra"),
+      table, mergeSchema = true)
+    assert(metaIds().distinct == Seq(idAtCreate),
+      "schema evolution must preserve the table id")
+    DeltaSink.checkpoint(spark, table)
+    val ckptMeta = spark.read
+      .parquet(new File(table, "_delta_log").listFiles()
+        .filter(_.getName.endsWith(".checkpoint.parquet")).head.getPath)
+      .where(col("metaData").isNotNull).select("metaData.id").head().getString(0)
+    assert(ckptMeta == idAtCreate, "checkpoint must carry the table id, not mint one")
   }
 }
