@@ -38,10 +38,11 @@ import org.apache.spark.sql.types._
   *  - [[append]]: one new log version per transaction with OCC retry;
   *    `mergeSchema=true` additionally evolves the table by APPENDING new
   *    nullable columns (common prefix matched by name+type; the updated
-  *    metaData action commits atomically with the adds, table id
-  *    preserved) — delta-spark's append-time schema evolution. Concurrent
-  *    evolutions are last-writer-wins on the schema, like delta-spark
-  *    without a catalog lock;
+  *    metaData action commits atomically with the adds; table id and
+  *    createdTime preserved) — delta-spark's append-time schema
+  *    evolution. A concurrent schema change aborts the evolving append
+  *    with ConcurrentModificationException (delta-spark's
+  *    MetadataChangedException contract) instead of clobbering it;
   *  - partitioned layout: `partitionBy` writes Hive-style `col=value/` dirs,
   *    records `partitionColumns` in metaData and per-file `partitionValues`
   *    in every add action — the reader hands Spark the partition dirs so
@@ -101,7 +102,8 @@ object DeltaSink {
     * `txns` is the streaming-writer watermark map: appId → highest
     * committed transaction version (Delta's `txn` action).
     */
-  private case class State(version: Long, metaId: String, schema: StructType,
+  private case class State(version: Long, metaId: String,
+      createdTime: Long, schema: StructType,
       partitionColumns: Seq[String], live: Seq[AddEntry],
       txns: Map[String, Long])
 
@@ -202,28 +204,42 @@ object DeltaSink {
     // lack them; the declared-schema read fills nulls). When the table
     // schema widens, the SAME commit carries an updated metaData action —
     // atomic with the adds, table id preserved.
+    def evolveAgainst(existing: StructType): Option[StructType] = {
+      val n = math.min(df.schema.length, existing.length)
+      val mismatches = existing.fields.take(n).zip(df.schema.fields.take(n))
+        .zipWithIndex.collect {
+          case ((old, nw), i) if old.name != nw.name || old.dataType != nw.dataType =>
+            s"field $i: table has ${old.name}: ${old.dataType.sql}, " +
+              s"incoming has ${nw.name}: ${nw.dataType.sql}"
+          case ((old, nw), i) if !old.nullable && nw.nullable =>
+            // same direction rule as the P14 gate: never put possibly-null
+            // data into a column the table declares required
+            s"field $i (${old.name}) is required in the table but nullable in the incoming data"
+        }
+      require(mismatches.isEmpty,
+        "mergeSchema only appends new columns; common prefix must match: " +
+          mismatches.mkString("; "))
+      if (df.schema.length > existing.length) {
+        // appended names must be fresh under Spark's default
+        // case-insensitive resolution — a duplicate would commit a schema
+        // spark.read.schema() rejects, bricking every subsequent read
+        val taken = existing.fields.map(_.name.toLowerCase).toSet
+        val fresh = df.schema.fields.drop(n).map(_.name)
+        val dupes = fresh.filter(f => taken.contains(f.toLowerCase)) ++
+          fresh.groupBy(_.toLowerCase).collect { case (_, vs) if vs.length > 1 => vs.head }
+        require(dupes.isEmpty,
+          s"mergeSchema appended columns collide (case-insensitive): ${dupes.mkString(", ")}")
+        Some(StructType(existing.fields ++
+          df.schema.fields.drop(n).map(_.copy(nullable = true))))
+      } else {
+        require(existing.fields.drop(n).forall(_.nullable),
+          "incoming data omits non-nullable trailing columns")
+        None
+      }
+    }
     val evolvedSchema: Option[StructType] =
       if (!mergeSchema) { SchemaGate.enforce(df.schema, state.schema); None }
-      else {
-        val n = math.min(df.schema.length, state.schema.length)
-        val mismatches = state.schema.fields.take(n).zip(df.schema.fields.take(n))
-          .zipWithIndex.collect {
-            case ((old, nw), i) if old.name != nw.name || old.dataType != nw.dataType =>
-              s"field $i: table has ${old.name}: ${old.dataType.sql}, " +
-                s"incoming has ${nw.name}: ${nw.dataType.sql}"
-          }
-        require(mismatches.isEmpty,
-          "mergeSchema only appends new columns; common prefix must match: " +
-            mismatches.mkString("; "))
-        if (df.schema.length > state.schema.length)
-          Some(StructType(state.schema.fields ++
-            df.schema.fields.drop(n).map(_.copy(nullable = true))))
-        else {
-          require(state.schema.fields.drop(n).forall(_.nullable),
-            "incoming data omits non-nullable trailing columns")
-          None
-        }
-      }
+      else evolveAgainst(state.schema)
     val staging = Files.createTempDirectory("graft-delta-txn").toFile
     val txn = java.util.UUID.randomUUID().toString
     val adds = try {
@@ -280,12 +296,30 @@ object DeltaSink {
         }
       }
       val next = math.max(latest + 1, minNext)
+      // a schema-evolving commit must not clobber a concurrent evolution:
+      // if ANY commit landed after our snapshot, re-replay and require the
+      // schema we evolved from to be unchanged (delta-spark aborts with
+      // MetadataChangedException on concurrent metadata change — same
+      // contract here; the caller re-runs the append against fresh state)
+      if (evolvedSchema.isDefined && latest > state.version) {
+        val st = replay(df.sparkSession, table, None)
+        if (st.schema != state.schema) {
+          abort()
+          throw new java.util.ConcurrentModificationException(
+            "table schema changed concurrently during a mergeSchema append; re-run the append")
+        }
+      }
       try {
         // evolved metaData (if any) rides in the SAME commit as the adds:
         // either both land or neither — a reader never sees files whose
-        // columns the declared schema doesn't know about
+        // columns the declared schema doesn't know about. createdTime is
+        // the TABLE's creation time — preserved like the id.
         val metaLine = evolvedSchema.map(sch => metaDataJson(state.metaId,
-          sch.json, state.partitionColumns, System.currentTimeMillis()))
+          sch.json, state.partitionColumns,
+          // external logs may omit createdTime (replays as 0) — don't
+          // propagate a zero birth-time into the evolved action
+          if (state.createdTime != 0L) state.createdTime
+          else System.currentTimeMillis()))
         commitAtomic(store, versionFile(table, next),
           metaLine.toSeq ++ txnLine.toSeq ++ adds.map(a => addJson(a)))
         // The append is committed at this point: an auto-checkpoint failure
@@ -480,7 +514,7 @@ object DeltaSink {
     val dir = new File(table)
     val (meta, live0) = resolve(spark, table, None)
     val liveAdds = collectAdds(live0)
-    val state = State(meta.version, meta.id, meta.schema, meta.partitionColumns,
+    val state = State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
       liveAdds, meta.txns)
     val tableCols = state.schema.fieldNames.toSeq
     // Delete-marked source rows remove their match and insert nothing.
@@ -591,7 +625,8 @@ object DeltaSink {
       Row(null,
         Row(Option(meta.id).getOrElse(java.util.UUID.randomUUID().toString), Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
-          meta.partitionColumns, System.currentTimeMillis()),
+          meta.partitionColumns,
+          if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis()),
         null, null) +:
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v))
@@ -731,7 +766,7 @@ object DeltaSink {
       lo: String, hi: String, asOfVersion: Option[Long] = None): DataFrame = {
     val (meta, live) = resolve(spark, table, asOfVersion)
     readState(spark, table,
-      State(meta.version, meta.id, meta.schema, meta.partitionColumns,
+      State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
         collectAdds(statsPruned(meta, live, column, lo, hi)), meta.txns))
   }
 
@@ -824,8 +859,8 @@ object DeltaSink {
   /** Driver-held metadata plane of a snapshot: version, schema, layout,
     * txn watermarks — a handful of values regardless of table size.
     */
-  private case class MetaState(version: Long, id: String, schema: StructType,
-      partitionColumns: Seq[String], txns: Map[String, Long])
+  private case class MetaState(version: Long, id: String, createdTime: Long,
+      schema: StructType, partitionColumns: Seq[String], txns: Map[String, Long])
 
   /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
     * from the log tail. PERMISSIVE json read turns a protocol line into
@@ -834,6 +869,7 @@ object DeltaSink {
   private val JsonActionSchema = StructType(Seq(
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
+      StructField("createdTime", LongType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType))))),
     StructField("add", CheckpointSchema("add").dataType),
@@ -893,18 +929,24 @@ object DeltaSink {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var tableId: String = null
+    var createdTime = 0L
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    def applyMeta(id: String, schemaString: String, pc: Seq[String]): Unit = {
+    def applyMeta(id: String, created: java.lang.Long, schemaString: String,
+        pc: Seq[String]): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pc
       if (id != null) tableId = id
+      // first metaData's createdTime is the table birth; later metaData
+      // actions (schema evolution) repeat it — keep the first non-zero
+      if (createdTime == 0L && created != null) createdTime = created.longValue()
     }
     ckptDF.foreach {
       _.where(col("metaData").isNotNull || col("txn").isNotNull)
         .select("metaData", "txn").collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
-            applyMeta(m.getAs[String]("id"), m.getAs[String]("schemaString"),
+            applyMeta(m.getAs[String]("id"), m.getAs[java.lang.Long]("createdTime"),
+              m.getAs[String]("schemaString"),
               m.getSeq[String](m.fieldIndex("partitionColumns")))
           }
           if (!r.isNullAt(1)) {
@@ -919,7 +961,8 @@ object DeltaSink {
         .collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
-            applyMeta(m.getAs[String]("id"), m.getAs[String]("schemaString"),
+            applyMeta(m.getAs[String]("id"), m.getAs[java.lang.Long]("createdTime"),
+              m.getAs[String]("schemaString"),
               Option(m.getSeq[String](m.fieldIndex("partitionColumns")))
                 .getOrElse(Nil))
           }
@@ -965,7 +1008,7 @@ object DeltaSink {
         col("w.size").as("size"),
         col("w.modificationTime").as("modificationTime"),
         col("w.stats").as("stats"))
-    (MetaState(version, tableId, schema.get, partCols, txns.toMap), live)
+    (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap), live)
   }
 
   /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
@@ -983,7 +1026,7 @@ object DeltaSink {
 
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
     val (meta, live) = resolve(spark, table, asOfVersion)
-    State(meta.version, meta.id, meta.schema, meta.partitionColumns,
+    State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
       collectAdds(live), meta.txns)
   }
 

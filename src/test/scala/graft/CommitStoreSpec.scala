@@ -145,6 +145,46 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, table).count() == 5)
   }
 
+  test("a mergeSchema append aborts when a competing evolution lands in its window") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    // the competitor evolves the schema (adds `lang`) inside our
+    // validate→commit window; our evolution (adds `extra`) must ABORT, not
+    // silently erase `lang` from the declared schema
+    val hooked = new CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0)
+        DeltaSink.append(Seq((20L, "p", 20.0, "en")).toDF("id", "name", "v", "lang"),
+          table, mergeSchema = true))
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaSink.append(Seq((21L, "q", 21.0, 7L)).toDF("id", "name", "v", "extra"),
+        table, store = hooked, mergeSchema = true)
+    }
+    // the competitor's column survives; re-running against fresh state works
+    assert(DeltaSink.read(spark, table).schema.fieldNames.contains("lang"))
+    DeltaSink.append(
+      Seq((21L, "q", 21.0, null.asInstanceOf[String], 7L))
+        .toDF("id", "name", "v", "lang", "extra"),
+      table, mergeSchema = true)
+    val sch = DeltaSink.read(spark, table).schema.fieldNames.toSeq
+    assert(sch == Seq("id", "name", "v", "lang", "extra"))
+  }
+
+  test("mergeSchema rejects appended columns that collide case-insensitively") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table))
+    val e = intercept[IllegalArgumentException] {
+      DeltaSink.append(Seq((4L, "d", 4.5, "X")).toDF("id", "name", "v", "Name"),
+        table, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("collide"))
+    // table untouched and still readable
+    assert(DeltaSink.read(spark, table).count() == 3)
+  }
+
   test("Iceberg writeWithRetry commits through the pluggable store") {
     val s = spark
     import s.implicits._
