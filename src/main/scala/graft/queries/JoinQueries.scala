@@ -189,6 +189,65 @@ object JoinQueries extends QueryModule {
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     QueryDef(
+      "q_join_range_auto_date",
+      // The most common band join in practice is TEMPORAL: "orders placed
+      // within 3 days before the shipment", written naively on DATE
+      // columns. BandJoinToBinEquiJoin (r8: widened beyond DoubleType)
+      // detects the date band — offsets via date_sub, units via unix_date
+      // — and plans the binned equi join automatically; without the rule
+      // this exact query is a BroadcastNestedLoopJoin. Output days are
+      // cast back to timestamp (midnight UTC on both engines) per the
+      // determinism contract.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_day"))
+        val od = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"))
+        od.join(li,
+            col("order_day") >= date_sub(col("ship_day"), 3) &&
+              col("order_day") <= col("ship_day"))
+          .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+            col("order_day").cast("timestamp").as("order_day"),
+            col("ship_day").cast("timestamp").as("ship_day"))
+          .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o_orderkey, l_orderkey, l_linenumber,
+             |CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_day,
+             |CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_day
+             |FROM orders JOIN lineitem
+             |ON CAST(o_orderdate AS DATE) >= CAST(l_shipdate AS DATE) - 3
+             |AND CAST(o_orderdate AS DATE) <= CAST(l_shipdate AS DATE)
+             |WHERE o_orderpriority = '1-URGENT' AND l_quantity > 49
+             |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "q_join_range_auto_ts",
+      // The same temporal band on raw TIMESTAMP columns with INTERVAL
+      // arithmetic — the `o_orderdate BETWEEN l_shipdate - 90d AND
+      // l_shipdate` shape SURVEY §2.2 motivates q_join_range with. The
+      // rule reads the constant day-time interval offset, bins
+      // unix_micros by the 3-day width, and the naive spelling plans as
+      // one shuffle equi join.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+          .select("l_orderkey", "l_linenumber", "l_shipdate")
+        val od = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderdate")
+        od.join(li,
+            col("o_orderdate") >= col("l_shipdate") - expr("INTERVAL 3 DAYS") &&
+              col("o_orderdate") < col("l_shipdate"))
+          .select("o_orderkey", "l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+          .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o_orderkey, l_orderkey, l_linenumber, o_orderdate, l_shipdate
+             |FROM orders JOIN lineitem
+             |ON o_orderdate >= l_shipdate - INTERVAL 3 DAY
+             |AND o_orderdate < l_shipdate
+             |WHERE o_orderpriority = '1-URGENT' AND l_quantity > 49
+             |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q_join_skew_salted",
       // Skew-resilient shuffle join: the fact side carries a deterministic
       // salt in [0, 8), the dim side is replicated across all salts, and the

@@ -88,6 +88,84 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(flipped.orderBy("s_suppkey", "c_custkey").collect().toSeq == straight.toSeq)
   }
 
+  test("a TIMESTAMP band with an interval offset is binned (r8 widening)") {
+    val od = Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 49).select("l_orderkey", "l_shipdate")
+    def tsBand(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("o_orderdate") >= col("l_shipdate") - expr("INTERVAL 3 DAYS") &&
+          col("o_orderdate") < col("l_shipdate"))
+        .select("o_orderkey", "l_orderkey")
+    val p = physical(tsBand(od, li))
+    assert(p.contains("__graft_bin"), s"timestamp band should have been binned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val rewritten = tsBand(od, li).orderBy("o_orderkey", "l_orderkey").collect()
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    try {
+      val plain = tsBand(od, li).orderBy("o_orderkey", "l_orderkey").collect()
+      assert(rewritten.toSeq == plain.toSeq)
+      assert(rewritten.nonEmpty)
+    } finally spark.conf.unset("spark.graft.bandJoinRewrite")
+  }
+
+  test("a DATE band via date_sub is binned (r8 widening)") {
+    val od = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"))
+    val li = Tables(spark, dir, "lineitem").filter(col("l_quantity") > 49)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+    def dateBand(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("order_day") >= date_sub(col("ship_day"), 3) &&
+          col("order_day") <= col("ship_day"))
+        .select("o_orderkey", "l_orderkey")
+    val p = physical(dateBand(od, li))
+    assert(p.contains("__graft_bin"), s"date band should have been binned:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val rewritten = dateBand(od, li).orderBy("o_orderkey", "l_orderkey").collect()
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    try {
+      val plain = dateBand(od, li).orderBy("o_orderkey", "l_orderkey").collect()
+      assert(rewritten.toSeq == plain.toSeq)
+      assert(rewritten.nonEmpty)
+    } finally spark.conf.unset("spark.graft.bandJoinRewrite")
+  }
+
+  test("an INTEGER band is binned (r8 widening)") {
+    val sess = spark
+    import sess.implicits._
+    val a = (0L to 2000L).toDF("x")
+    val b = Seq(100L, 250L, 999L, 1500L).toDF("y")
+    def intBand(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("x") >= col("y") - 7 && col("x") < col("y"))
+    val p = physical(intBand(a, b))
+    assert(p.contains("__graft_bin"), s"integer band should have been binned:\n$p")
+    val got = intBand(a, b).orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      x <- 0L to 2000L; y <- Seq(100L, 250L, 999L, 1500L)
+      if x >= y - 7 && x < y
+    } yield (x, y)).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("with several qualifying pairs the NARROWEST band sizes the bin (ADVICE r7)") {
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    // two lower bounds: the wide (-5000) pair must not shadow the tight (-50)
+    val df = c.join(s,
+        col("c_acctbal") >= col("s_acctbal") - 5000 &&
+          col("c_acctbal") >= col("s_acctbal") - 50 &&
+          col("c_acctbal") < col("s_acctbal"))
+      .select("s_suppkey", "c_custkey")
+    val p = physical(df)
+    assert(p.contains("__graft_bin"), p)
+    assert(p.contains("/ 50.0"), s"bin width must come from the narrowest pair:\n$p")
+    assert(!p.contains("/ 5000.0"), s"bin width must come from the narrowest pair:\n$p")
+    // and the result still honors ALL conjuncts (the re-filter keeps them)
+    val straight = bandJoin(c, s).select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey").collect()
+    assert(df.orderBy("s_suppkey", "c_custkey").collect().toSeq == straight.toSeq)
+  }
+
   test("a non-boolean kill-switch spelling disables gracefully, never throws") {
     spark.conf.set("spark.graft.bandJoinRewrite", "0")
     try {

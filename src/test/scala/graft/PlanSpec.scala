@@ -184,6 +184,21 @@ class PlanSpec extends AnyFunSuite {
       s"naive band join must not plan a nested loop:\n$p")
   }
 
+  test("q_join_range_auto_date / _ts: temporal bands bin too — never a nested loop") {
+    // asserted on BOTH the rule-fired marker AND the absence of
+    // BNLJ/Cartesian (VERDICT r7 #8): if a future Spark upgrade reorders
+    // optimizer batches and silently un-fires the rule, the absence check
+    // still fails loudly here rather than surfacing as a 100 TB incident.
+    for (q <- Seq("q_join_range_auto", "q_join_range_auto_date", "q_join_range_auto_ts")) {
+      val p = plan(q)
+      assert(p.contains("__graft_bin"), s"$q: BandJoinToBinEquiJoin did not fire:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: band join must not plan a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), s"$q: expected an equi join on the bin id:\n$p")
+    }
+  }
+
   test("q_cluster_kmeans: assignment is a map-side projection (no join, no explode)") {
     val p = plan("q_cluster_kmeans")
     assert(p.contains("graft_dot"), s"assignment must use codegen'd dots:\n$p")
