@@ -64,6 +64,12 @@ object Bench {
   val ContentionGate = 2.0
 
   def main(args: Array[String]): Unit = {
+    // Every JSON line below is built with the f-interpolator, which formats
+    // through the JVM DEFAULT locale — on a comma-decimal locale the emitted
+    // JSON would be invalid and the driver parse would fail again (ADVICE
+    // r7). This main owns the process, so pinning the default locale is the
+    // one-line fix that covers every emission site at once.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional args = subset of query names (dev iteration; driver passes none).

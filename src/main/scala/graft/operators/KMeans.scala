@@ -34,10 +34,17 @@ object KMeans {
     * An emptied cluster keeps its previous centroid (standard fallback,
     * deterministic).
     */
-  def assign(em: DataFrame, idCol: String, vecCol: String, k: Int,
+  def assign(em0: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val SumDec = DecimalType(38, 12)
+    // Null/empty/null-element vectors are EXCLUDED up front (ADVICE r7):
+    // unguarded, a null seed element threw MatchError and a null/empty
+    // vector nulled every score, so array_position returned 0 and the row
+    // silently landed in cluster -1. Rows without a usable vector have no
+    // defined cluster; callers wanting them keep-left-join the result.
+    val em = em0.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      forall(col(vecCol), _.isNotNull))
 
     var cents: Array[Array[Double]] =
       em.orderBy(idCol).limit(k).select(vecCol).collect()

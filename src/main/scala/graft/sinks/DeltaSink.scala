@@ -975,6 +975,14 @@ object DeltaSink {
         }
     }
     require(schema.isDefined, s"Delta log has no metaData action: $table")
+    // An external log whose metaData carries no id (allowed by the spec's
+    // readers, written by some engines) would otherwise thread `null`
+    // downstream — an evolving append would literally record the string
+    // "null" and every checkpoint would mint a different random id
+    // (ADVICE r7). Mint ONCE here: the first action that re-writes
+    // metaData (evolution or checkpoint) then persists this id into the
+    // log and it stays stable for the table's remaining lifetime.
+    if (tableId == null) tableId = java.util.UUID.randomUUID().toString
     val version = tail.lastOption.map(_.getName.stripSuffix(".json").toLong)
       .orElse(ckptV).get
 

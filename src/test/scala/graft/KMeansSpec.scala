@@ -63,6 +63,26 @@ class KMeansSpec extends AnyFunSuite {
     assert(seedOnly(0) == 0 && seedOnly(1) == 1)
   }
 
+  test("null / empty / null-element vectors are excluded, not crashed on (ADVICE r7)") {
+    val s = spark
+    import s.implicits._
+    val em = Seq(
+      (0L, Array(0.1f, 0.0f)), (1L, Array(10.0f, 10.1f)),
+      (2L, null.asInstanceOf[Array[Float]]),      // null vector
+      (3L, Array.empty[Float]),                   // empty vector
+      (4L, Array(0.2f, 0.1f)), (5L, Array(10.0f, 9.9f)))
+      .toDF("vec_id", "embedding")
+      // a null ELEMENT can't be built from Array[Float]; inject via SQL
+      .union(Seq((6L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), expr("array(embedding[0], CAST(NULL AS FLOAT))").as("embedding")))
+    val out = KMeans.assign(em, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // only the 4 clean rows are clustered; none land in a fake cluster -1
+    assert(out.keySet == Set(0L, 1L, 4L, 5L))
+    assert(out.values.forall(c => c == 0 || c == 1))
+    assert(out(0L) == out(4L) && out(1L) == out(5L) && out(0L) != out(1L))
+  }
+
   test("an emptied cluster keeps its previous centroid instead of crashing") {
     val s = spark
     import s.implicits._

@@ -793,4 +793,33 @@ class SinkSpec extends AnyFunSuite {
       .where(col("metaData").isNotNull).select("metaData.id").head().getString(0)
     assert(ckptMeta == idAtCreate, "checkpoint must carry the table id, not mint one")
   }
+
+  test("an external log whose metaData lacks an id gets ONE minted id, not \"null\" (ADVICE r7)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // hand-write an external-engine log: protocol + metaData WITHOUT an id
+    val logDir = new File(table, "_delta_log"); logDir.mkdirs()
+    val schemaJson = Seq((1L, "a")).toDF("id", "name").schema.json
+      .replace("\"", "\\\"")
+    Files.write(new File(logDir, "00000000000000000000.json").toPath,
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}
+          |{"metaData":{"format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}
+          |""".stripMargin).getBytes("UTF-8"))
+    // an evolving append must not record the literal string "null" as id
+    DeltaSink.append(Seq((1L, "a", 9L)).toDF("id", "name", "extra"),
+      table, mergeSchema = true)
+    val written = new File(logDir, "00000000000000000001.json")
+    val metaLine = Files.readAllLines(written.toPath).asScala
+      .find(_.contains("\"metaData\"")).get
+    val id = metaLine.split("\"id\":\"")(1).takeWhile(_ != '"')
+    assert(id != "null" && java.util.UUID.fromString(id) != null)
+    // and a checkpoint reuses the id the evolution persisted — no drift
+    DeltaSink.checkpoint(spark, table)
+    val ckptId = spark.read
+      .parquet(new File(logDir.getPath).listFiles()
+        .filter(_.getName.endsWith(".checkpoint.parquet")).head.getPath)
+      .where(col("metaData").isNotNull).select("metaData.id").head().getString(0)
+    assert(ckptId == id, "checkpoint must reuse the minted id, not mint another")
+  }
 }
