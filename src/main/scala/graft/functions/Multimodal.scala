@@ -20,15 +20,20 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** Magic-byte sniff: Some(format) only for formats the JDK's ImageIO
-    * decodes everywhere ("png", "bmp", "gif"); sniffing — not try-decode —
-    * keeps non-image payloads off ImageIO entirely, so the stub path stays
-    * bit-stable no matter what bytes arrive.
+    * decodes everywhere ("png", "bmp", "gif", and since r8 "jpeg" — the
+    * JDK bundles a JPEG plugin on every platform, and DedupSpec pins its
+    * decoded feature values so IDCT determinism is a tested fact, not an
+    * assumption); sniffing — not try-decode — keeps non-image payloads
+    * off ImageIO entirely, so the stub path stays bit-stable no matter
+    * what bytes arrive.
     */
   private[graft] def sniffImageFormat(p: Array[Byte]): Option[String] =
     if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
       Some("png")
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
     else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') Some("gif")
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff) Some("jpeg")
     else None
 
   private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
