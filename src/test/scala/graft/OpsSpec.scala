@@ -168,6 +168,38 @@ class OpsSpec extends AnyFunSuite {
     assert(wrote, "checkpoint dir stayed empty — reliable mode not exercised")
   }
 
+  test("connectedComponents: reliable checkpoints survive loss of every cached block (r8)") {
+    val s = spark
+    import s.implicits._
+    val edges = ((0L until 6L).map(i => (i, i + 1)) ++ Seq((40L, 41L))).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt2").toString
+    val out = Ops.connectedComponents(edges, checkpointDir = Some(dir))
+    // Simulate the 100 TB failure mode the reliable path exists for: every
+    // executor-cached block is gone (executor loss). localCheckpoint data
+    // lives ONLY in those blocks; reliable checkpoint() re-reads its files,
+    // so collecting after a full unpersist must still produce the labels.
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L to 6L).forall(v => got.contains((v, 0L))))
+    assert(got.contains((40L, 40L)) && got.contains((41L, 40L)))
+  }
+
+  test("q_dedup_cluster threads spark.graft.ccCheckpointDir through to reliable mode (r8)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-conf").toString
+    val plain = SparkEntry.queries("q_dedup_cluster")(s, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    s.conf.set("spark.graft.ccCheckpointDir", dir)
+    try {
+      val reliable = SparkEntry.queries("q_dedup_cluster")(s, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq
+      assert(reliable == plain)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "conf did not reach Ops.connectedComponents")
+    } finally s.conf.unset("spark.graft.ccCheckpointDir")
+  }
+
   test("connectedComponents: throws instead of returning unconverged labels") {
     val s = spark
     import s.implicits._
