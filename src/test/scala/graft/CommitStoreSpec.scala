@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{FileAlreadyExistsException, Files, Paths}
 
-import graft.sinks.{CommitStore, DeltaSink, IcebergSink}
+import graft.sinks.{CommitStore, DeltaSink, HttpObjectStore, IcebergSink}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The put-if-absent commit primitive (reference
@@ -44,6 +44,105 @@ class CommitStoreSpec extends AnyFunSuite {
     (CommitStore.Local, Paths.get(tmp(), "00000000000000000007.json")))
   contractTests("in-memory store", () =>
     (new CommitStore.InMemory(), Paths.get("/t/00000000000000000007.json")))
+  contractTests("http store", () => {
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    (new HttpObjectStore.Client(server.endpoint, root),
+      root.resolve("00000000000000000007.json"))
+  })
+
+  // ---- the S3-shaped HTTP store: real TCP, real races (VERDICT r7 #4) ----
+
+  test("http store: N racing writers at one key — exactly one wins server-side") {
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val target = root.resolve("_delta_log").resolve("00000000000000000001.json")
+      Files.createDirectories(target.getParent)
+      val n = 8
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val results = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            val client = new HttpObjectStore.Client(server.endpoint, root)
+            gate.await()
+            try { client.putIfAbsent(target, s"writer-$i".getBytes); true }
+            catch { case _: FileAlreadyExistsException => false }
+          }
+        })
+      }
+      gate.countDown()
+      val wins = results.map(_.get()).count(identity)
+      pool.shutdown()
+      assert(wins == 1, s"conditional put must have exactly one winner, got $wins")
+      val body = new String(Files.readAllBytes(target))
+      assert(body.startsWith("writer-"), s"winner's bytes must survive intact: $body")
+    } finally server.close()
+  }
+
+  test("two concurrent Delta appends through the HTTP store both land at distinct versions") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val table = root.toString
+    assert(DeltaSink.write(sampleDf, table))
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val vs = Seq(
+        Seq((100L, "m", 1.0), (101L, "n", 2.0)),
+        Seq((200L, "p", 3.0))).map { batch =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            val client = new HttpObjectStore.Client(server.endpoint, root)
+            gate.await()
+            DeltaSink.append(batch.toDF("id", "name", "v"), table, store = client)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = vs.map(_.get())
+      pool.shutdown()
+      // one writer claimed v2, the loser re-read state over HTTP and took v3
+      assert(versions.toSet == Set(2L, 3L), s"got $versions")
+      val back = DeltaSink.read(spark, table)
+      assert(back.count() == 6) // 3 original + both batches, no loss, no dup
+      assert(back.filter(col("id") >= 100).count() == 3)
+    } finally server.close()
+  }
+
+  test("multipart upload: bounded concurrency, ETag-verified completion, parts reclaimed") {
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val target = root.resolve("data").resolve("part-00000.parquet")
+      val payload = Array.tabulate[Byte](64 * 1024 + 17)(i => (i * 31).toByte)
+      client.putMultipart(target, payload, partSize = 8 * 1024, maxConcurrency = 4)
+      assert(java.util.Arrays.equals(Files.readAllBytes(target), payload))
+      assert(server.stagedUploads.isEmpty, "completed upload must reclaim its parts")
+    } finally server.close()
+  }
+
+  test("multipart upload aborts on a failed part: staged parts reclaimed, object never appears") {
+    val root = Paths.get(tmp())
+    // the server 500s part 3 — the reference's abort-on-error window
+    // (delta_destination.rs:120-229): no partial object, no leaked parts
+    val server = new HttpObjectStore.Server(root, partFailure = (_, n) => n == 3)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val target = root.resolve("data").resolve("part-00001.parquet")
+      val payload = Array.fill[Byte](40 * 1024)(7)
+      val e = intercept[java.io.IOException] {
+        client.putMultipart(target, payload, partSize = 8 * 1024, maxConcurrency = 2)
+      }
+      assert(e.getMessage.contains("aborted"))
+      assert(!Files.exists(target), "aborted upload must never materialize the object")
+      assert(server.stagedUploads.isEmpty, "abort must reclaim staged parts")
+    } finally server.close()
+  }
 
   test("in-memory hook can inject a conflicting writer before the put") {
     val target = Paths.get("/t/c.json")
