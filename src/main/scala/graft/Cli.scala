@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   vacuum-delta      <table> [retentionMs]
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
   *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
+  *   pg-to-delta       <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite]
   * }}}
   *
   * `pgcopy-to-delta` is the reference's flagship pg→lakehouse verb fed
@@ -27,6 +28,17 @@ import org.apache.spark.sql.SparkSession
   * `id:int8,price:numeric:524295`.
   */
 object Cli {
+  /** Comma-separated `name:pgtype[:typmod]` → PgTypeMapping column triples. */
+  private[graft] def parseColSpec(spec: String): Seq[(String, String, Int)] =
+    spec.split(',').toSeq.map { s =>
+      s.split(':') match {
+        case Array(n, t) => (n, t, -1)
+        case Array(n, t, m) => (n, t, m.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"bad column spec '$s' (want name:pgtype[:typmod])")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "missing subcommand")
     val spark = SparkSession.builder()
@@ -107,16 +119,26 @@ object Cli {
           pos(2).split(',').toSeq, deleteCol)
         println(s"rewrote $rw files, skipped $sk, added $ad")
       case "pgcopy-to-delta" =>
-        val cols = pos(0).split(',').toSeq.map { spec =>
-          spec.split(':') match {
-            case Array(n, t) => (n, t, -1)
-            case Array(n, t, m) => (n, t, m.toInt)
-            case _ => throw new IllegalArgumentException(
-              s"bad column spec '$spec' (want name:pgtype[:typmod])")
-          }
-        }
-        val df = sources.PgCopyBinarySource(pos.drop(2).toSeq, cols).load(spark)
+        val df = sources.PgCopyBinarySource
+          .fromFiles(pos.drop(2).toSeq, parseColSpec(pos(0))).load(spark)
         if (!sinks.DeltaSink.write(df, pos(1), overwrite,
+            maxRecordsPerFile = maxRecordsPerFile)) {
+          System.err.println("Table exists. Pass --overwrite to overwrite data")
+          sys.exit(1)
+        }
+      case "pg-to-delta" =>
+        // pg-to-delta <host:port> <database> <user> <colSpec> <sql> <table>
+        // — the reference's flagship live verb (lib.rs:18-41): run <sql> on
+        // Postgres over a real socket (PGPASSWORD picked up from the
+        // environment, pg_arrow_source.rs:206-209) and load the COPY
+        // BINARY stream into a Delta table.
+        val hp = pos(0).split(':')
+        require(hp.length == 2, "want host:port")
+        val transport = sources.PgSocketTransport(hp(0), hp(1).toInt,
+          user = pos(2), database = pos(1), query = pos(4))
+        val df = sources.PgCopyBinarySource(Seq(transport), parseColSpec(pos(3)))
+          .load(spark)
+        if (!sinks.DeltaSink.write(df, pos(5), overwrite,
             maxRecordsPerFile = maxRecordsPerFile)) {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)

@@ -106,26 +106,151 @@ object CopyBinary {
   }
 }
 
-/** [[Source]] over recorded/ranged COPY BINARY streams: one stream per
-  * file, one Spark partition per stream, each executor decoding its own
-  * stream — the shape a partition-parallel `COPY (SELECT … WHERE id
-  * BETWEEN lo AND hi) TO STDOUT (FORMAT BINARY)` export produces at scale.
-  * The container ships no Postgres driver (SURVEY.md §7.1), so streams
-  * arrive as bytes (recorded files here, object-store objects in
-  * production) rather than from a live socket; the wire decode is
-  * identical either way.
+/** Transport seam (r8, VERDICT r7 #5): WHERE one COPY BINARY stream's
+  * bytes come from, separated from HOW they decode ([[CopyBinary]]). Runs
+  * ON THE EXECUTORS — one transport per Spark partition — so it must be
+  * Serializable and hold only connection/addressing state, never bytes.
   */
-final case class PgCopyBinarySource(paths: Seq[String],
+trait CopyTransport extends Serializable {
+  /** The complete raw COPY BINARY stream (signature → trailer). */
+  def copyOut(): Array[Byte]
+}
+
+/** Recorded-stream transport: the offline path (SURVEY §7.1 — no PG driver
+  * in the container; streams arrive as files / object-store objects).
+  */
+final case class FileTransport(path: String) extends CopyTransport {
+  override def copyOut(): Array[Byte] = Files.readAllBytes(Paths.get(path))
+}
+
+/** LIVE-socket transport: a from-scratch Postgres v3 wire client covering
+  * exactly the slice the reference's source negotiates
+  * (/root/reference/src/pg_arrow_source.rs:201-273): startup, trust or
+  * cleartext-password auth with `PGPASSWORD` pickup from the environment
+  * (`:206-209`), one `COPY (<query>) TO STDOUT (FORMAT BINARY)` statement,
+  * CopyData accumulation, and fail-fast surfacing of an ErrorResponse —
+  * including one arriving MID-STREAM, the spawned-connection failure mode
+  * the reference handles at `:211-218` (partial data is discarded, the
+  * server's message becomes the exception). No TLS and no MD5/SCRAM in
+  * this offline build; a production deployment would front the same seam
+  * with a full driver.
+  *
+  * `password` defaults to the ambient `PGPASSWORD` at CONSTRUCTION time
+  * (driver side), so executors never depend on their own environment.
+  */
+final case class PgSocketTransport(host: String, port: Int, user: String,
+    database: String, query: String,
+    password: Option[String] = sys.env.get("PGPASSWORD"),
+    connectTimeoutMs: Int = 10000) extends CopyTransport {
+
+  override def copyOut(): Array[Byte] = {
+    val sock = new java.net.Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+
+      // StartupMessage: int32 total length, int32 protocol 3.0, k\0v\0…\0
+      val params = s"user\u0000$user\u0000database\u0000$database\u0000\u0000"
+        .getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length)
+      out.writeInt(196608)
+      out.write(params)
+      out.flush()
+
+      val copied = new java.io.ByteArrayOutputStream()
+      var sentQuery = false
+      while (true) {
+        val tag = in.readByte().toChar
+        val len = in.readInt() - 4
+        tag match {
+          case 'R' => // authentication request
+            val code = in.readInt()
+            code match {
+              case 0 => in.skipNBytes(len.toLong - 4) // AuthenticationOk
+              case 3 => // cleartext password — the PGPASSWORD contract
+                val pw = password.getOrElse(throw new java.io.IOException(
+                  s"server requests a password for user '$user' and PGPASSWORD is not set"))
+                val pb = (pw + "\u0000").getBytes(StandardCharsets.UTF_8)
+                out.writeByte('p'); out.writeInt(4 + pb.length); out.write(pb)
+                out.flush()
+              case other => throw new java.io.IOException(
+                s"unsupported authentication method $other (this transport speaks trust/cleartext only)")
+            }
+          case 'Z' => // ReadyForQuery
+            in.skipNBytes(len.toLong)
+            if (!sentQuery) {
+              val sql = s"COPY ($query) TO STDOUT (FORMAT BINARY)\u0000"
+                .getBytes(StandardCharsets.UTF_8)
+              out.writeByte('Q'); out.writeInt(4 + sql.length); out.write(sql)
+              out.flush()
+              sentQuery = true
+            } else { // the post-COPY ready: stream complete
+              out.writeByte('X'); out.writeInt(4); out.flush() // Terminate
+              return copied.toByteArray
+            }
+          case 'd' => // CopyData — the payload
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            copied.write(b)
+          case 'E' => // ErrorResponse — possibly mid-stream; fail fast
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            throw new java.io.IOException(
+              s"Postgres error${if (copied.size > 0) " mid-stream" else ""}: ${errorMessage(b)}")
+          case 'H' | 'c' | 'C' | 'S' | 'K' | 'N' =>
+            // CopyOutResponse / CopyDone / CommandComplete / ParameterStatus
+            // / BackendKeyData / NoticeResponse — framing we don't need
+            in.skipNBytes(len.toLong)
+          case other => throw new java.io.IOException(
+            s"unexpected message '$other' from server")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally sock.close()
+  }
+
+  /** ErrorResponse body → its 'M' (message) field. */
+  private def errorMessage(b: Array[Byte]): String = {
+    var i = 0
+    var msg = "unknown error"
+    while (i < b.length && b(i) != 0) {
+      val typ = b(i).toChar
+      val end = b.indexOf(0.toByte, i + 1)
+      val v = new String(b, i + 1, end - i - 1, StandardCharsets.UTF_8)
+      if (typ == 'M') msg = v
+      i = end + 1
+    }
+    msg
+  }
+}
+
+/** [[Source]] over COPY BINARY streams: one transport per stream, one
+  * Spark partition per transport, each executor pulling and decoding its
+  * own stream — the shape a partition-parallel `COPY (SELECT … WHERE id
+  * BETWEEN lo AND hi) TO STDOUT (FORMAT BINARY)` export produces at
+  * scale. Transports are recorded files ([[FileTransport]]) or live
+  * sockets ([[PgSocketTransport]]); the wire decode is identical.
+  */
+final case class PgCopyBinarySource(transports: Seq[CopyTransport],
     cols: Seq[(String, String, Int)]) extends Source {
 
   override val schema: StructType = PgTypeMapping.toSchema(cols)
 
   override def load(spark: SparkSession): DataFrame = {
-    require(paths.nonEmpty, "no COPY BINARY streams to load")
+    require(transports.nonEmpty, "no COPY BINARY streams to load")
     val colsB = cols
     val rows = spark.sparkContext
-      .parallelize(paths, paths.size)
-      .flatMap(p => CopyBinary.decode(Files.readAllBytes(Paths.get(p)), colsB))
+      .parallelize(transports, transports.size)
+      .flatMap(t => CopyBinary.decode(t.copyOut(), colsB))
     spark.createDataFrame(rows, schema)
   }
+}
+
+object PgCopyBinarySource {
+  /** Recorded-file convenience (the pre-r8 constructor shape). */
+  def fromFiles(paths: Seq[String], cols: Seq[(String, String, Int)]): PgCopyBinarySource =
+    PgCopyBinarySource(paths.map(FileTransport(_): CopyTransport), cols)
 }

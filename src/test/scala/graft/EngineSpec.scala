@@ -98,6 +98,34 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.sinks.DeltaSink.read(spark, table).count() == 30) // 5 + 25
   }
 
+  test("pg-to-delta: the live verb streams COPY BINARY over TCP into a Delta table (r8)") {
+    val s = spark
+    import s.implicits._
+    // tiny 2-column stream: (id int8, name text), 3 rows
+    def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(graft.sources.CopyBinary.Signature)
+    dos.writeInt(0); dos.writeInt(0)
+    Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma").foreach { case (id, name) =>
+      dos.writeShort(2)
+      dos.writeInt(8); dos.write(be64(id))
+      val nb = name.getBytes("UTF-8"); dos.writeInt(nb.length); dos.write(nb)
+    }
+    dos.writeShort(-1); dos.flush()
+    val wrapped = "COPY (SELECT id, name FROM src) TO STDOUT (FORMAT BINARY)"
+    val server = new FakePgServer("loader", "appdb", None,
+      sql => if (sql == wrapped) Some(bos.toByteArray) else None)
+    try {
+      val table = tmp()
+      Cli.main(Array("pg-to-delta", s"127.0.0.1:${server.port}", "appdb", "loader",
+        "id:int8,name:text", "SELECT id, name FROM src", table, "--overwrite"))
+      val back = sinks.DeltaSink.read(spark, table)
+      assert(back.as[(Long, String)].collect().toSet ==
+        Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    } finally server.close()
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),

@@ -158,7 +158,7 @@ class PgCopySourceSpec extends AnyFunSuite {
     val (t1, t2) = tuples.splitAt(12500)
     Files.write(dir.resolve("part-0.pgcopy"), stream(t1))
     Files.write(dir.resolve("part-1.pgcopy"), stream(t2))
-    val src = PgCopyBinarySource(
+    val src = PgCopyBinarySource.fromFiles(
       Seq(dir.resolve("part-0.pgcopy").toString, dir.resolve("part-1.pgcopy").toString),
       cols)
     assert(src.schema == StructType(cols.map { case (n, t, m) =>
@@ -172,10 +172,60 @@ class PgCopySourceSpec extends AnyFunSuite {
   test("recorded wire fixture round-trips through the Delta sink (pg→lakehouse)") {
     val dir = Files.createTempDirectory("graft-pgwire2")
     Files.write(dir.resolve("all.pgcopy"), stream(fixtureTuples))
-    val df = PgCopyBinarySource(Seq(dir.resolve("all.pgcopy").toString), cols).load(spark)
+    val df = PgCopyBinarySource.fromFiles(Seq(dir.resolve("all.pgcopy").toString), cols).load(spark)
     val table = Files.createTempDirectory("graft-pgdelta").toString
     assert(DeltaSink.write(df, table))
     checkCells(DeltaSink.read(spark, table))
+  }
+
+  test("live socket transport: startup + PGPASSWORD auth + COPY over TCP decodes the contract cells (r8)") {
+    val payload = stream(fixtureTuples)
+    val wrapped = "COPY (SELECT * FROM t) TO STDOUT (FORMAT BINARY)"
+    val server = new FakePgServer("loader", "testdb", Some("sekret"),
+      sql => if (sql == wrapped) Some(payload) else None)
+    try {
+      val transport = graft.sources.PgSocketTransport("127.0.0.1", server.port,
+        user = "loader", database = "testdb", query = "SELECT * FROM t",
+        password = Some("sekret"))
+      val df = PgCopyBinarySource(Seq(transport), cols).load(spark)
+      checkCells(df)
+      // the handshake really carried the startup params + cleartext password
+      assert(server.lastStartupParams.get("user").contains("loader"))
+      assert(server.lastStartupParams.get("database").contains("testdb"))
+      assert(server.sawPassword.contains("sekret"))
+    } finally server.close()
+  }
+
+  test("socket transport: missing PGPASSWORD and wrong password both fail loudly (r8)") {
+    val server = new FakePgServer("loader", "testdb", Some("sekret"),
+      _ => Some(stream(fixtureTuples.take(2))))
+    try {
+      // no password available at all → the reference's env-pickup contract
+      val e1 = intercept[java.io.IOException] {
+        graft.sources.PgSocketTransport("127.0.0.1", server.port,
+          "loader", "testdb", "SELECT 1", password = None).copyOut()
+      }
+      assert(e1.getMessage.contains("PGPASSWORD"))
+      // wrong password → the server's 28P01 message surfaces verbatim
+      val e2 = intercept[java.io.IOException] {
+        graft.sources.PgSocketTransport("127.0.0.1", server.port,
+          "loader", "testdb", "SELECT 1", password = Some("nope")).copyOut()
+      }
+      assert(e2.getMessage.contains("password authentication failed"))
+    } finally server.close()
+  }
+
+  test("socket transport: an ErrorResponse mid-stream aborts with the server's message (r8)") {
+    val server = new FakePgServer("loader", "testdb", None,
+      _ => Some(stream(fixtureTuples)), chunkSize = 1024, errorAfterChunks = Some(2))
+    try {
+      val e = intercept[java.io.IOException] {
+        graft.sources.PgSocketTransport("127.0.0.1", server.port,
+          "loader", "testdb", "SELECT * FROM t", password = None).copyOut()
+      }
+      assert(e.getMessage.contains("mid-stream"))
+      assert(e.getMessage.contains("injected mid-stream failure"))
+    } finally server.close()
   }
 
   test("malformed streams are rejected loudly") {
