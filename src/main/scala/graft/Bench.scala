@@ -136,10 +136,31 @@ object Bench {
     val canaryList = result.canaries.map(c => f"$c%.2f").mkString("[", ",", "]")
     val line = f"""{"metric":"total","value":${result.total},"unit":"sec","queries":${fmtQs(result)},"errors":$errs,"reruns":$rr,"contention_index":${result.contentionIndex}%.3f,"canary_ref_sec":$CanaryRefSec,"canary_checkpoints":$canaryList$discarded,"sf":"$sfDir"}"""
     println(line)
+    // ---- cross-round regression ledger (VERDICT r7 #7): bench_history
+    // .jsonl accumulates one entry per full-suite run; each new run is
+    // compared per-query against the BEST recorded fast-regime (ci ≤ 1.3)
+    // time, so a real regression shows up as a mechanical deltas_vs_best
+    // block instead of a by-hand cross-round read.
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val fullSuite = subset.isEmpty && reps == 1
+    val deltasJson =
+      if (fullSuite) benchHistory(sfTag, result)
+      else ""
+    // sf-scaling section (VERDICT r7 #2): a separate scaling run (tools/
+    // scale_check.sh) writes sf_scaling.json; embed it so the round's
+    // bench artifact carries the super-linearity audit alongside the times.
+    val scalingPath = java.nio.file.Paths.get("sf_scaling.json")
+    val scalingJson =
+      if (java.nio.file.Files.exists(scalingPath))
+        "," + "\"sf_scaling\":" + new String(
+          java.nio.file.Files.readAllBytes(scalingPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else ""
     // The driver captures stdout through a tty tail that has truncated the
     // per-query map in past rounds; the file copy keeps rounds comparable.
+    val fileLine = line.stripSuffix("}") + deltasJson + scalingJson + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // LAST stdout line, compact: the driver records only the final ~2000
     // chars of output and json-parses from that window. The detail line
     // above is ~3 KB, so its opening brace was front-truncated in every
@@ -187,6 +208,53 @@ object Bench {
       }
     println(compact)
     spark.stop()
+  }
+
+  /** Reads bench_history.jsonl, computes this run's per-query deltas vs
+    * the best recorded fast-regime time at the same SF, appends this run,
+    * and returns a `,"deltas_vs_best":…` JSON fragment (empty when no
+    * comparable history exists yet). History entries with ci > 1.3 never
+    * serve as the reference — a contended best would understate
+    * regressions measured in a healthy window.
+    */
+  private def benchHistory(sfTag: String, result: SuiteRun): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val path = java.nio.file.Paths.get("bench_history.jsonl")
+    val best: Map[String, Double] =
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(path).asScala.toSeq
+          .filter(_.trim.nonEmpty)
+          .flatMap { l =>
+            try Some(mapper.readTree(l)) catch { case _: Exception => None }
+          }
+          .filter(n => n.path("sf").asText() == sfTag && n.path("ci").asDouble(9) <= 1.3)
+          .flatMap { n =>
+            n.path("queries").properties().asScala.toSeq
+              .map(e => e.getKey -> e.getValue.asDouble())
+          }
+          .groupMapReduce(_._1)(_._2)(math.min)
+      }
+    val deltas = result.ok.flatMap { case (q, t) =>
+      best.get(q).map(b => (q, t / b))
+    }.sortBy(-_._2).take(5)
+    if (deltas.nonEmpty)
+      System.err.println("[bench] top deltas vs best fast-regime run: " +
+        deltas.map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
+    // append THIS run (after the compare, so a run never compares to itself)
+    val entry = {
+      val qs = result.ok.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      f"""{"ts":${System.currentTimeMillis()},"sf":"$sfTag","ci":${result.contentionIndex}%.3f,"total":${result.total}%.3f,"queries":$qs}"""
+    }
+    java.nio.file.Files.write(path,
+      (entry + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    if (deltas.isEmpty) ""
+    else "," + "\"deltas_vs_best\":" + deltas
+      .map { case (q, r) => "\"" + q + "\":" + f"$r%.3f" }
+      .mkString("{", ",", "}")
   }
 
   final case class SuiteRun(
