@@ -126,6 +126,41 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("a Delta table materialized ENTIRELY through the HTTP store reads back (P9+P10 over TCP)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("tbl")
+      // produce a real parquet data file locally (the executor's temp file,
+      // reference delta_destination.rs:49-65), then ship it via multipart
+      val staging = Files.createTempDirectory("graft-http-stage")
+      val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "v")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val bytes = Files.readAllBytes(part)
+      val dataKey = table.resolve("part-00000-http.parquet")
+      client.putMultipart(dataKey, bytes, partSize = 16 * 1024, maxConcurrency = 2)
+      // commit protocol+metaData (v0) and the add (v1) via conditional puts
+      val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val logDir = table.resolve("_delta_log")
+      client.putIfAbsent(logDir.resolve("00000000000000000000.json"),
+        (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}
+            |{"metaData":{"id":"http-e2e","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}
+            |""".stripMargin).getBytes("UTF-8"))
+      client.putIfAbsent(logDir.resolve("00000000000000000001.json"),
+        (s"""{"add":{"path":"part-00000-http.parquet","partitionValues":{},"size":${bytes.length},"modificationTime":1,"dataChange":true,"stats":null}}
+            |""".stripMargin).getBytes("UTF-8"))
+      // the table exists only because HTTP accepted it; the reader replays it
+      val back = DeltaSink.read(spark, table.toString)
+      assert(back.as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+      assert(server.stagedUploads.isEmpty)
+    } finally server.close()
+  }
+
   test("multipart upload aborts on a failed part: staged parts reclaimed, object never appears") {
     val root = Paths.get(tmp())
     // the server 500s part 3 — the reference's abort-on-error window
