@@ -151,11 +151,19 @@ object Bench {
     // bench artifact carries the super-linearity audit alongside the times.
     val scalingPath = java.nio.file.Paths.get("sf_scaling.json")
     val scalingJson =
-      if (java.nio.file.Files.exists(scalingPath))
-        "," + "\"sf_scaling\":" + new String(
-          java.nio.file.Files.readAllBytes(scalingPath),
+      if (java.nio.file.Files.exists(scalingPath)) {
+        val raw = new String(java.nio.file.Files.readAllBytes(scalingPath),
           java.nio.charset.StandardCharsets.UTF_8).trim
-      else ""
+        // validate before embedding: a truncated/garbage audit file must
+        // not turn bench_out.json itself into unparseable JSON
+        try {
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+          "," + "\"sf_scaling\":" + raw
+        } catch { case _: Exception =>
+          System.err.println("[bench] sf_scaling.json is not valid JSON — skipping embed")
+          ""
+        }
+      } else ""
     // The driver captures stdout through a tty tail that has truncated the
     // per-query map in past rounds; the file copy keeps rounds comparable.
     val fileLine = line.stripSuffix("}") + deltasJson + scalingJson + "}"
@@ -229,7 +237,13 @@ object Bench {
           .flatMap { l =>
             try Some(mapper.readTree(l)) catch { case _: Exception => None }
           }
-          .filter(n => n.path("sf").asText() == sfTag && n.path("ci").asDouble(9) <= 1.3)
+          // the ci <= 1.3 fast-regime gate is meaningful only where the
+          // canary is calibrated (sf0.1 — CanaryRefSec's corpus); at any
+          // other SF the canary scans a different-sized lineitem and ci
+          // is systematically off, so filtering there would silently
+          // exclude EVERY entry and leave deltas_vs_best permanently inert
+          .filter(n => n.path("sf").asText() == sfTag &&
+            (sfTag != "sf0.1" || n.path("ci").asDouble(9) <= 1.3))
           .flatMap { n =>
             n.path("queries").properties().asScala.toSeq
               .map(e => e.getKey -> e.getValue.asDouble())

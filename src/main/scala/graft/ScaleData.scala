@@ -50,7 +50,11 @@ object ScaleData {
     require(args.length == 3, "usage: ScaleData <fromDir> <outDir> <copies>")
     val Array(fromDir, outDir, copiesS) = args
     val copies = copiesS.toInt
-    require(copies >= 1)
+    // upper bound = the alphabet-rotation period: copy 26's text would be
+    // verbatim copy 0 again, reintroducing the cross-copy dup blowup the
+    // rotation exists to prevent
+    require(copies >= 1 && copies <= 26,
+      s"copies must be in [1, 26] (text rotation period); got $copies")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -139,11 +139,20 @@ object HttpObjectStore {
               .contains("*")
             Files.createDirectories(target.getParent)
             if (conditional) {
-              // CREATE_NEW is the server-side arbiter: atomic winner-take-
-              // all under concurrent handler threads, 412 for losers —
-              // exactly S3's If-None-Match:* contract
-              try { Files.write(target, bytes, StandardOpenOption.CREATE_NEW); respond(ex, 200) }
+              // Atomic claim AND atomic visibility: stage the bytes fully,
+              // then HARD-LINK into place — link(2) both fails if the
+              // target exists (the winner-take-all arbiter, → 412) and
+              // appears atomically with its complete content, so a
+              // concurrent reader can never observe a half-written commit
+              // (S3's If-None-Match:* makes the same all-or-nothing
+              // promise). Neither CREATE_NEW+write (visible empty file
+              // between create and write) nor ATOMIC_MOVE (POSIX rename
+              // silently REPLACES an existing target) gives both halves.
+              val tmp = Files.createTempFile(target.getParent, ".cput-", ".tmp")
+              Files.write(tmp, bytes)
+              try { Files.createLink(target, tmp); respond(ex, 200) }
               catch { case _: FileAlreadyExistsException => respond(ex, 412) }
+              finally Files.deleteIfExists(tmp)
             } else {
               val tmp = Files.createTempFile(target.getParent, ".put-", ".tmp")
               Files.write(tmp, bytes)
@@ -164,11 +173,19 @@ object HttpObjectStore {
     })
 
     private def dropUpload(id: String): Unit = {
-      uploads.remove(id)
+      uploads.remove(id) // new part PUTs for this id now 404
       val d = partDir(id)
-      if (Files.isDirectory(d)) {
-        Files.list(d).iterator().asScala.foreach(Files.deleteIfExists)
-        Files.deleteIfExists(d)
+      // a part PUT that passed the uploads check before the removal may
+      // still be writing — list+delete again until the dir goes away
+      var attempts = 0
+      while (Files.isDirectory(d) && attempts < 5) {
+        attempts += 1
+        try {
+          Files.list(d).iterator().asScala.foreach(Files.deleteIfExists)
+          Files.deleteIfExists(d)
+        } catch {
+          case _: java.nio.file.DirectoryNotEmptyException => Thread.sleep(10)
+        }
       }
     }
 

@@ -141,11 +141,15 @@ final case class FileTransport(path: String) extends CopyTransport {
 final case class PgSocketTransport(host: String, port: Int, user: String,
     database: String, query: String,
     password: Option[String] = sys.env.get("PGPASSWORD"),
-    connectTimeoutMs: Int = 10000) extends CopyTransport {
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends CopyTransport {
 
   override def copyOut(): Array[Byte] = {
     val sock = new java.net.Socket()
     sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+    // fail fast on a half-dead server (accepted TCP, then silence mid-
+    // handshake or mid-COPY) instead of blocking an executor forever
+    sock.setSoTimeout(readTimeoutMs)
     try {
       val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(sock.getInputStream))
@@ -212,13 +216,17 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
     } finally sock.close()
   }
 
-  /** ErrorResponse body → its 'M' (message) field. */
+  /** ErrorResponse body → its 'M' (message) field. Tolerates a truncated
+    * body (missing final NUL): the partial field is still surfaced rather
+    * than throwing a StringIndexOutOfBounds over the real failure.
+    */
   private def errorMessage(b: Array[Byte]): String = {
     var i = 0
     var msg = "unknown error"
     while (i < b.length && b(i) != 0) {
       val typ = b(i).toChar
-      val end = b.indexOf(0.toByte, i + 1)
+      val end0 = b.indexOf(0.toByte, i + 1)
+      val end = if (end0 < 0) b.length else end0
       val v = new String(b, i + 1, end - i - 1, StandardCharsets.UTF_8)
       if (typ == 'M') msg = v
       i = end + 1
