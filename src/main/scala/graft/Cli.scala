@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
   *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
   *   pg-to-delta       <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite]
+  *   pg-to-iceberg     <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite | --append]
   * }}}
   *
   * `pgcopy-to-delta` is the reference's flagship pg→lakehouse verb fed
@@ -126,19 +127,22 @@ object Cli {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)
         }
-      case "pg-to-delta" =>
-        // pg-to-delta <host:port> <database> <user> <colSpec> <sql> <table>
-        // — the reference's flagship live verb (lib.rs:18-41): run <sql> on
-        // Postgres over a real socket (PGPASSWORD picked up from the
-        // environment, pg_arrow_source.rs:206-209) and load the COPY
-        // BINARY stream into a Delta table.
+      case "pg-to-delta" | "pg-to-iceberg" =>
+        // pg-to-{delta,iceberg} <host:port> <database> <user> <colSpec>
+        // <sql> <table> — the reference's live verbs (lib.rs:18-41): run
+        // <sql> on Postgres over a real socket (PGPASSWORD picked up from
+        // the environment, pg_arrow_source.rs:206-209) and load the COPY
+        // BINARY stream into a lakehouse table.
         val hp = pos(0).split(':')
         require(hp.length == 2, "want host:port")
         val transport = sources.PgSocketTransport(hp(0), hp(1).toInt,
           user = pos(2), database = pos(1), query = pos(4))
         val df = sources.PgCopyBinarySource(Seq(transport), parseColSpec(pos(3)))
           .load(spark)
-        if (!sinks.DeltaSink.write(df, pos(5), overwrite,
+        if (args(0) == "pg-to-iceberg")
+          sinks.IcebergSink.writeWithRetry(df, pos(5),
+            sinks.IcebergSink.resolveMode(overwrite, append))
+        else if (!sinks.DeltaSink.write(df, pos(5), overwrite,
             maxRecordsPerFile = maxRecordsPerFile)) {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)

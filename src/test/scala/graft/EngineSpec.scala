@@ -126,6 +126,33 @@ class EngineSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("pg-to-iceberg: the live verb lands the COPY stream as an Iceberg V2 table, append doubles (r8)") {
+    val s = spark
+    import s.implicits._
+    def be64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.write(graft.sources.CopyBinary.Signature)
+    dos.writeInt(0); dos.writeInt(0)
+    Seq(10L, 20L).foreach { id =>
+      dos.writeShort(1); dos.writeInt(8); dos.write(be64(id))
+    }
+    dos.writeShort(-1); dos.flush()
+    val wrapped = "COPY (SELECT id FROM src) TO STDOUT (FORMAT BINARY)"
+    val server = new FakePgServer("loader", "appdb", None,
+      sql => if (sql == wrapped) Some(bos.toByteArray) else None)
+    try {
+      val table = tmp()
+      val cliArgs = Array("pg-to-iceberg", s"127.0.0.1:${server.port}", "appdb",
+        "loader", "id:int8", "SELECT id FROM src", table)
+      Cli.main(cliArgs)
+      assert(Files.exists(Paths.get(table, "metadata", "version-hint.text")))
+      assert(sinks.IcebergSink.read(spark, table).as[Long].collect().toSet == Set(10L, 20L))
+      Cli.main(cliArgs :+ "--append")
+      assert(sinks.IcebergSink.read(spark, table).count() == 4)
+    } finally server.close()
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),
