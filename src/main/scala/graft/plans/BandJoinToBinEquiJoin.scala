@@ -106,11 +106,21 @@ object BandJoinToBinEquiJoin extends Rule[LogicalPlan] with PredicateHelper {
     val bounds = conjuncts.flatMap(asBounds)
     // candidate (lower, upper) pairs on the same probe expr with the same
     // base, NARROWEST first (ADVICE r7: a wide pair must not shadow a
-    // tight one — bin pruning scales with 1/width)
+    // tight one — bin pruning scales with 1/width). Pairing compares
+    // MODULO exact numeric widening casts: type promotion routinely puts
+    // the two conjuncts of one band in different domains (`x >= y - 0.25`
+    // promotes DECIMAL x,y to DOUBLE while `x < y` stays DECIMAL), so the
+    // probe appears as both `cast(x as double)` and `x`. Stripping is
+    // sound because pairing is all it affects — each bound still BINS its
+    // own original expression in its own domain, where its own monotone
+    // units map preserves the superset bracket, and the stripped chains
+    // are value-exact so both probe spellings bin to the same value.
+    def strip(e: Expression): Expression = stripExactWidenings(e)
     val pairs = (for {
       lo <- bounds if lo.isLower
       hi <- bounds if !hi.isLower
-      if lo.probe.semanticEquals(hi.probe) && lo.base.semanticEquals(hi.base)
+      if strip(lo.probe).semanticEquals(strip(hi.probe)) &&
+        strip(lo.base).semanticEquals(strip(hi.base))
       if hi.offsetUnits - lo.offsetUnits > 0 &&
         java.lang.Double.isFinite(hi.offsetUnits - lo.offsetUnits)
     } yield (lo, hi)).sortBy { case (lo, hi) => hi.offsetUnits - lo.offsetUnits }
@@ -238,6 +248,35 @@ object BandJoinToBinEquiJoin extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(p, b) => mk(p, b, isLower = false) ++ mk(b, p, isLower = true)
       case _ => Nil
     }
+  }
+
+  /** Strips casts that are value-exact numeric widenings (or that `units`
+    * would apply anyway), so two spellings of one band column produced by
+    * type promotion compare equal during pair search.
+    */
+  @annotation.tailrec
+  private def stripExactWidenings(e: Expression): Expression = e match {
+    case c: Cast if isExactWidening(c.child.dataType, c.dataType) =>
+      stripExactWidenings(c.child)
+    case other => other
+  }
+
+  private def isExactWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    // numeric → double: units() itself funnels every numeric through a
+    // cast to double, so both spellings bin to the identical value even
+    // where the cast rounds (long/decimal beyond 2^53 — same rounding)
+    case (_: NumericType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+    case (ByteType, t: DecimalType) => t.precision - t.scale >= 3
+    case (ShortType, t: DecimalType) => t.precision - t.scale >= 5
+    case (IntegerType, t: DecimalType) => t.precision - t.scale >= 10
+    case (LongType, t: DecimalType) => t.precision - t.scale >= 19
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
   }
 
   /** Canonical-units projection of a band-typed expression: a monotone,

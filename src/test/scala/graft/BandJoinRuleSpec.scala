@@ -147,6 +147,42 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("a DECIMAL band is binned despite analyzer precision-promotion casts (r8)") {
+    val sess = spark
+    import sess.implicits._
+    val a = (0 to 500).map(i => BigDecimal(i) / 100).toDF("x")
+      .select(col("x").cast("decimal(12,2)").as("x"))
+    val b = Seq(BigDecimal("1.00"), BigDecimal("2.50"), BigDecimal("4.99"))
+      .toDF("y").select(col("y").cast("decimal(12,2)").as("y"))
+    def decBand(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("x") >= col("y") - 0.25 && col("x") < col("y"))
+    val p = physical(decBand(a, b))
+    assert(p.contains("__graft_bin"), s"decimal band should have been binned:\n$p")
+    val got = decBand(a, b).orderBy("x", "y").collect()
+      .map(r => (r.getDecimal(0).toString, r.getDecimal(1).toString))
+    val want = (for {
+      x <- (0 to 500).map(i => BigDecimal(i) / 100)
+      y <- Seq(BigDecimal("1.00"), BigDecimal("2.50"), BigDecimal("4.99"))
+      if x >= y - 0.25 && x < y
+    } yield (x.setScale(2).toString, y.setScale(2).toString)).sorted
+    assert(got.map(t => (t._1, t._2)).toSeq == want)
+  }
+
+  test("a FLOAT band is binned (r8)") {
+    val sess = spark
+    import sess.implicits._
+    val a = (0 to 1000).map(_.toFloat / 10).toDF("x")
+    val b = Seq(10.0f, 45.5f, 99.9f).toDF("y")
+    def fBand(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("x") >= col("y") - 2.5f && col("x") < col("y"))
+    val p = physical(fBand(a, b))
+    assert(p.contains("__graft_bin"), s"float band should have been binned:\n$p")
+    val got = fBand(a, b).count()
+    spark.conf.set("spark.graft.bandJoinRewrite", "false")
+    try assert(fBand(a, b).count() == got && got > 0)
+    finally spark.conf.unset("spark.graft.bandJoinRewrite")
+  }
+
   test("with several qualifying pairs the NARROWEST band sizes the bin (ADVICE r7)") {
     val c = Tables(spark, dir, "customer")
     val s = Tables(spark, dir, "supplier")
