@@ -270,6 +270,27 @@ object JoinQueries extends QueryModule {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
+      "q_join_skew_adaptive",
+      // The production variant of q_join_skew_salted (r8): a slim
+      // (key, count) census finds the keys that are ACTUALLY hot, and only
+      // those pay the salts-x dim replication — blanket replication
+      // multiplies the whole dim side by the salt count whether or not any
+      // key is skewed. Threshold 4 exercises both paths on this corpus
+      // (orderkeys have 1-7 lineitems). Result identical to the plain
+      // join, which IS the oracle.
+      (s, dir) =>
+        graft.operators.Ops.saltedEquiJoinAdaptive(
+            t(s, dir, "lineitem"), t(s, dir, "orders"),
+            col("l_orderkey"), col("o_orderkey"),
+            saltOn = Seq(col("l_orderkey"), col("l_linenumber")),
+            hotThreshold = 4)
+          .select("l_orderkey", "l_linenumber", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q_join_asof",
       // As-of join: for each event, the latest order of the same customer
       // with o_orderdate <= ts (DuckDB `ASOF JOIN` `<=`-latest-wins

@@ -129,6 +129,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedEquiJoinAdaptive equals the plain join on skewed data, at every threshold (r8)") {
+    val s = spark
+    import s.implicits._
+    // one melting key (5000 rows), many singletons
+    val fact = ((1 to 5000).map(i => (999L, i)) ++ (1 to 200).map(i => (i.toLong, i)))
+      .toDF("k", "payload")
+    val dim = ((1L to 200L) :+ 999L).map(k => (k, s"dim-$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "name").orderBy("k", "payload").collect()
+    for (threshold <- Seq(1L, 100L, 1000000L)) { // all-hot, just-the-hot-key, none-hot
+      val salted = Ops.saltedEquiJoinAdaptive(fact, dim, col("k"), col("dk"),
+          saltOn = Seq(col("k"), col("payload")), hotThreshold = threshold)
+        .select("k", "payload", "name").orderBy("k", "payload").collect()
+      assert(salted.toSeq == plain.toSeq, s"threshold=$threshold")
+    }
+    assert(plain.length == 5200)
+  }
+
   test("connectedComponents: chains collapse to the min id, components stay separate") {
     val s = spark
     import s.implicits._

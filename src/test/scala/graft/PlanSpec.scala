@@ -199,6 +199,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_skew_adaptive: hot-set joins broadcast, main join is a shuffled hash join") {
+    val p = plan("q_join_skew_adaptive")
+    // the census flag reaches both sides as broadcasts — the fact table
+    // must never shuffle just to learn whether its key is hot
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"hot-set must broadcast to both sides:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"main join must be shuffle_hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_cluster_kmeans: assignment is a map-side projection (no join, no explode)") {
     val p = plan("q_cluster_kmeans")
     assert(p.contains("graft_dot"), s"assignment must use codegen'd dots:\n$p")
