@@ -15,6 +15,7 @@ object SparkEntry {
     q.EventWindowQueries,
     q.TextQueries,
     q.SimilarityQueries,
+    q.AnalyticsQueries,
   )
 
   private val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

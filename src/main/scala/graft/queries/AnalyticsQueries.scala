@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/behavioral analytics operators layered on the events + orders
+  * tables — the query shapes a warehouse user of the reference's delegated
+  * SQL surface (SURVEY.md §2.2) runs daily: funnels, cohort retention,
+  * moment statistics (stddev/corr computed exactly via fixed-point sums),
+  * histograms, z-score outlier flagging — plus three training-data-prep
+  * additions (corpus n-gram counts, frequency-ranked vocabulary build,
+  * length-bucketed batch assignment).
+  *
+  * Float determinism: every statistic here is derived from EXACT integer
+  * sums (QueryDef.cents fixed-point longs: n, Σx, Σx², Σxy), converted to
+  * double once, then pushed through the IDENTICAL arithmetic expression on
+  * both the Spark and DuckDB side — two engines executing the same IEEE-754
+  * operations on the same inputs produce the same bits. Final guarded via
+  * the Dec38→DOUBLE cast chain (QueryDef OUTPUT-TYPE contract).
+  */
+object AnalyticsQueries extends QueryModule {
+
+  /** Exact moment sums per group: n, Σx, Σy, Σx², Σy², Σxy over 2-digit
+    * fixed-point longs. One map-side-combined shuffle; everything
+    * downstream is arithmetic on a group-count-sized frame.
+    */
+  private def momentAggs(xCol: String, yCol: String) = Seq(
+    count(lit(1)).as("n"),
+    sum(cents(col(xCol))).as("sx"),
+    sum(cents(col(yCol))).as("sy"),
+    sum(cents(col(xCol)) * cents(col(xCol))).as("sxx"),
+    sum(cents(col(yCol)) * cents(col(yCol))).as("syy"),
+    sum(cents(col(xCol)) * cents(col(yCol))).as("sxy"))
+
+  private val nd = col("n").cast("double")
+  private def d(c: String) = col(c).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_funnel",
+      // 3-step ordered funnel view → click → purchase: a user reaches step
+      // k+1 with the first step-(k+1) event AT OR AFTER their step-k entry
+      // time. Each stage is a per-user min-aggregate joined to the next
+      // event type — shuffles only (user, ts) pairs on user_id, never the
+      // event payload, and the per-user frontier is one row per user per
+      // stage. At 100 TB this is 3 slim keyed shuffles; no window over the
+      // whole event stream.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val v2 = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts")
+          .join(v1, "user_id")
+          .filter(col("ts") >= col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val v3 = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts")
+          .join(v2, "user_id")
+          .filter(col("ts") >= col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v1.agg(count(lit(1)).as("step1_users"))
+          .crossJoin(v2.agg(count(lit(1)).as("step2_users")))
+          .crossJoin(v3.agg(count(lit(1)).as("step3_users")))
+      },
+      Some("""WITH v1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |v2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |       JOIN v1 ON e.user_id = v1.user_id AND e.ts >= v1.t1
+             |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |v3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |       JOIN v2 ON e.user_id = v2.user_id AND e.ts >= v2.t2
+             |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT (SELECT COUNT(*) FROM v1) AS step1_users,
+             |       (SELECT COUNT(*) FROM v2) AS step2_users,
+             |       (SELECT COUNT(*) FROM v3) AS step3_users""".stripMargin)),
+
+    QueryDef(
+      "q_retention_cohort",
+      // Cohort retention triangle: cohort = ISO week (Monday-truncated) of
+      // each user's first event; a user is active in week-offset k when
+      // they have any event in day-window [7k, 7k+7) after their first
+      // event's date. Two keyed aggregations (per-user first_ts, then
+      // per-(cohort, offset) distinct users) — the user dimension, not the
+      // event dimension, bounds the second shuffle.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+        ev.select("user_id", "ts")
+          .join(first, "user_id")
+          .select(
+            col("user_id"),
+            date_trunc("week", col("first_ts")).as("cohort_week"),
+            floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / lit(7.0))
+              .cast("long").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH first AS (SELECT user_id, MIN(ts) AS first_ts
+             |               FROM events GROUP BY user_id)
+             |SELECT date_trunc('week', f.first_ts) AS cohort_week,
+             |  CAST(FLOOR(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+             |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+             |FROM events e JOIN first f ON e.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q_stats_moments",
+      // Variance / stddev / covariance / correlation per returnflag — NOT
+      // via the built-in stddev/corr aggregates (whose double summation
+      // order is partitioning-dependent) but from exact fixed-point moment
+      // sums: Σx, Σx², Σxy accumulate as primitive longs (whole-stage
+      // codegen, map-side combine, order-independent), and the closed-form
+      // moment formulas run once per group on doubles. AnalyticsSpec pins
+      // the results against Spark's own var_samp/stddev_samp/corr to 1e-6.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(momentAggs("l_quantity", "l_discount").head,
+            momentAggs("l_quantity", "l_discount").tail: _*)
+          .select(
+            col("l_returnflag"), col("n"),
+            toDbl(((nd * d("sxx") - d("sx") * d("sx")) / (nd * (nd - lit(1.0))) / lit(10000.0)).cast(Dec38))
+              .as("var_qty"),
+            toDbl((sqrt((nd * d("sxx") - d("sx") * d("sx")) / (nd * (nd - lit(1.0)))) / lit(100.0)).cast(Dec38))
+              .as("std_qty"),
+            toDbl(((nd * d("sxy") - d("sx") * d("sy")) / (nd * (nd - lit(1.0))) / lit(10000.0)).cast(Dec38))
+              .as("covar_qd"),
+            toDbl(((nd * d("sxy") - d("sx") * d("sy")) /
+              (sqrt(nd * d("sxx") - d("sx") * d("sx")) * sqrt(nd * d("syy") - d("sy") * d("sy")))).cast(Dec38))
+              .as("corr_qd"))
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag,
+             |  COUNT(*) AS n,
+             |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sx,
+             |  SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sy,
+             |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
+             |  SUM(CAST(ROUND(l_discount*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS syy,
+             |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT) * CAST(ROUND(l_discount*100) AS BIGINT)) AS sxy
+             |FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |  CAST(CAST((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) / 10000.0 AS DECIMAL(38,6)) AS DOUBLE) AS var_qty,
+             |  CAST(CAST(SQRT((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) / 100.0 AS DECIMAL(38,6)) AS DOUBLE) AS std_qty,
+             |  CAST(CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) / 10000.0 AS DECIMAL(38,6)) AS DOUBLE) AS covar_qd,
+             |  CAST(CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    / (SQRT(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |       * SQRT(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS DECIMAL(38,6)) AS DOUBLE) AS corr_qd
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_histogram",
+      // Fixed-width value histogram of order totals (bin = floor(x/5e4)):
+      // the profiling primitive behind every column-stats pass. One
+      // map-side-combined shuffle on the bin id; the result frame is
+      // bin-count sized regardless of input scale.
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bin"),
+            col("o_totalprice"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("cnt"), fxSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("bin"),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+             |COUNT(*) AS cnt,
+             |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_anomaly_zscore",
+      // Per-event-type z-score outlier flagging (|z| > 2): group moments
+      // from exact fixed-point sums (one combined shuffle over 5 groups),
+      // the 5-row (mu, sigma) frame broadcast back onto the stream, the
+      // score itself a map-side expression. The shape that scans 100 TB
+      // once and shuffles almost nothing.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val stats = ev.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("sx"),
+            sum(cents(col("value")) * cents(col("value"))).as("sxx"))
+          .select(
+            col("event_type"),
+            (d("sx") / nd / lit(100.0)).as("mu"),
+            (sqrt((nd * d("sxx") - d("sx") * d("sx")) / (nd * (nd - lit(1.0)))) / lit(100.0)).as("sigma"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", toDbl(((col("value") - col("mu")) / col("sigma")).cast(Dec38)))
+          .filter(abs(col("z")) > lit(2.0))
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_type, COUNT(*) AS n,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sx,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT) * CAST(ROUND(value*100) AS BIGINT)) AS sxx
+             |FROM events GROUP BY event_type),
+             |m AS (SELECT event_type,
+             |  CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS mu,
+             |  SQRT((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |       /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))/100.0 AS sigma FROM s),
+             |z AS (SELECT e.event_id, e.event_type, e.value,
+             |  CAST(CAST((e.value - m.mu)/m.sigma AS DECIMAL(38,6)) AS DOUBLE) AS z
+             |FROM events e JOIN m USING (event_type))
+             |SELECT event_id, event_type, value, z FROM z
+             |WHERE ABS(z) > 2.0 ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "q_ngram_topk",
+      // Corpus-wide word-bigram counts, global top-100 — the classic
+      // "count n-grams over the crawl" job. Grams are a map-side
+      // transform/explode off the token array (no per-gram shuffle until
+      // the count agg, which map-side-combines); the global top-k is
+      // TakeOrdered over per-partition top-100s, never a full sort.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        toks
+          .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ",
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("gram"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+             |              WHERE len(string_split(text, ' ')) >= 2),
+             |idx AS (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+             |grams AS (SELECT t[i] || ' ' || t[i+1] AS gram FROM idx)
+             |SELECT gram, COUNT(*) AS cnt FROM grams
+             |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q_vocab_build",
+      // Frequency-ranked vocabulary (the BPE-prep / embedding-table
+      // primitive): token counts (one combined shuffle) → top-500 by
+      // (count desc, token) → contiguous vocab ids. The window runs AFTER
+      // the limit, so it sorts 500 rows in one partition by construction —
+      // the unbounded-corpus work is all in the counting agg + TakeOrdered.
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("token"))
+          .limit(500)
+        counts
+          .withColumn("vocab_id",
+            row_number().over(Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
+          .orderBy("vocab_id")
+      },
+      Some("""WITH c AS (SELECT token, COUNT(*) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY token)
+             |SELECT token, cnt,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+             |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin)),
+
+    QueryDef(
+      "q_length_bucket",
+      // Length-bucketed batch assignment (the padding-minimizing batching
+      // prep for training): docs bucket by token count (64-token-wide
+      // buckets), sort long-first inside each bucket, cut into batches of
+      // 16. Per-bucket windows are the sf-scale declaration; at 100 TB the
+      // same cumulative trick shards by md5 prefix WITHIN each bucket
+      // first (exactly like q_pack_sequences) so no single window sorts a
+      // whole bucket.
+      (s, dir) => {
+        val w = Window.partitionBy("bucket").orderBy(desc("n_tokens"), asc("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("bucket", floor(col("n_tokens") / lit(64.0)).cast("long"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .withColumn("batch_in_bucket", floor((col("pos") - 1) / lit(16.0)).cast("long"))
+          .select("doc_id", "n_tokens", "bucket", "pos", "batch_in_bucket")
+          .orderBy("bucket", "pos")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_tokens,
+             |  CAST(FLOOR(n_tokens / 64.0) AS BIGINT) AS bucket FROM d),
+             |p AS (SELECT doc_id, n_tokens, bucket,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS pos
+             |  FROM b)
+             |SELECT doc_id, n_tokens, bucket, pos,
+             |  CAST(FLOOR((pos - 1) / 16.0) AS BIGINT) AS batch_in_bucket
+             |FROM p ORDER BY bucket, pos""".stripMargin)),
+  )
+}

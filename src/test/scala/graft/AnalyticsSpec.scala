@@ -1,0 +1,115 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the analytics module (queries/AnalyticsQueries)
+  * that the DuckDB hash-compare can't express: funnel monotonicity, the
+  * fixed-point moment formulas agreeing with Spark's own double
+  * aggregates, batching geometry, and the broadcast shape of the z-score
+  * join.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    AnalyticsQueries.defs.find(_.name == name).get.fn(spark, dir)
+
+  test("funnel steps are monotone non-increasing and step1 is populated") {
+    val r = run("q_funnel").collect().head
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 > 0)
+    assert(s1 >= s2 && s2 >= s3)
+  }
+
+  test("retention offset-0 covers every user exactly once across cohorts") {
+    val total = run("q_retention_cohort")
+      .filter(col("week_offset") === 0)
+      .agg(sum("active_users")).collect().head.getLong(0)
+    val users = Tables(spark, dir, "events")
+      .select(countDistinct("user_id")).collect().head.getLong(0)
+    assert(total == users,
+      "every user is active in their own first week, in exactly one cohort")
+  }
+
+  test("fixed-point moment formulas match Spark's built-in double aggregates") {
+    val got = run("q_stats_moments").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val want = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        var_samp("l_quantity").as("v"),
+        stddev_samp("l_quantity").as("s"),
+        covar_samp("l_quantity", "l_discount").as("c"),
+        corr("l_quantity", "l_discount").as("r"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for (k <- got.keySet) {
+      val (gv, gs, gc, gr) = got(k)
+      val (wv, ws, wc, wr) = want(k)
+      assert(math.abs(gv - wv) < 1e-6, s"var $k: $gv vs $wv")
+      assert(math.abs(gs - ws) < 1e-6, s"std $k: $gs vs $ws")
+      assert(math.abs(gc - wc) < 1e-6, s"covar $k: $gc vs $wc")
+      assert(math.abs(gr - wr) < 1e-4, s"corr $k: $gr vs $wr")
+    }
+  }
+
+  test("histogram partitions the table: counts sum to the row count") {
+    val h = run("q_histogram")
+    val total = h.agg(sum("cnt")).collect().head.getLong(0)
+    assert(total == Tables(spark, dir, "orders").count())
+    assert(h.filter(col("bin") < 0).count() == 0)
+  }
+
+  test("z-score query flags only |z| > 2 and joins via broadcast") {
+    val z = run("q_anomaly_zscore")
+    assert(z.filter(abs(col("z")) <= 2.0).count() == 0)
+    // outliers are the tail, not the bulk
+    val flagged = z.count().toDouble
+    val all = Tables(spark, dir, "events").count().toDouble
+    assert(flagged / all < 0.2, s"flagged $flagged of $all")
+    val plan = z.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats join should broadcast:\n$plan")
+  }
+
+  test("vocab ids are contiguous from 1 with non-increasing counts") {
+    val v = run("q_vocab_build").collect()
+    assert(v.nonEmpty)
+    val ids = v.map(_.getLong(2))
+    assert(ids.toSeq == (1L to v.length).toSeq)
+    val counts = v.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ngram top-k counts are non-increasing and positive") {
+    val g = run("q_ngram_topk").collect()
+    assert(g.nonEmpty && g.length <= 100)
+    val counts = g.map(_.getLong(1))
+    assert(counts.forall(_ > 0))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("length buckets bound token counts and batches hold at most 16 docs") {
+    val b = run("q_length_bucket")
+    val offside = b.filter(
+      col("n_tokens") < col("bucket") * 64 || col("n_tokens") >= (col("bucket") + 1) * 64)
+    assert(offside.count() == 0)
+    val oversize = b.groupBy("bucket", "batch_in_bucket")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 16)
+    assert(oversize.count() == 0)
+    // long-first order inside each bucket
+    val rows = b.select("bucket", "pos", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((_, grp) <- rows) {
+      val byPos = grp.sortBy(_._2).map(_._3)
+      assert(byPos.zip(byPos.tail).forall { case (a, c) => a >= c })
+    }
+  }
+}
