@@ -296,5 +296,197 @@ object AnalyticsQueries extends QueryModule {
              |SELECT doc_id, n_tokens, bucket, pos,
              |  CAST(FLOOR((pos - 1) / 16.0) AS BIGINT) AS batch_in_bucket
              |FROM p ORDER BY bucket, pos""".stripMargin)),
+
+    QueryDef(
+      "q_markov_transitions",
+      // Event-type transition matrix: per user, each event pairs with its
+      // next event (lead over the per-user time order), counted per
+      // (from, to) with row-normalized transition probability. One
+      // user-keyed shuffle + per-user sort for the lead; the matrix frame
+      // is |types|² regardless of stream size.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"),
+            lead("event_type", 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prob",
+            toDbl((col("cnt").cast("double") /
+              sum("cnt").over(Window.partitionBy("from_type")).cast("double")).cast(Dec38)))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH p AS (SELECT event_type AS from_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM p
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, cnt,
+             |  CAST(CAST(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS prob
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    QueryDef(
+      "q_rfm",
+      // RFM customer segmentation: recency (days since last order, vs the
+      // corpus max date), frequency (order count), monetary (exact total),
+      // each quartile-scored with NTILE(4) under a deterministic
+      // (metric, custkey) order. The global NTILE windows are
+      // customer-DIMENSION-sized (not fact-sized); at true scale the
+      // quartile cut-points come from approx_percentile and the scores
+      // from a broadcast range lookup instead of a total sort.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val maxd = o.agg(max("o_orderdate").as("max_d"))
+        val per = o.groupBy("o_custkey")
+          .agg(max("o_orderdate").as("last_d"),
+            count(lit(1)).as("frequency"),
+            fxSum(col("o_totalprice")).as("monetary"))
+          .crossJoin(broadcast(maxd))
+          .withColumn("recency_days",
+            datediff(to_date(col("max_d")), to_date(col("last_d"))).cast("long"))
+        per
+          .withColumn("r_score", ntile(4)
+            .over(Window.orderBy(col("recency_days").asc, col("o_custkey").asc)).cast("long"))
+          .withColumn("f_score", ntile(4)
+            .over(Window.orderBy(col("frequency").desc, col("o_custkey").asc)).cast("long"))
+          .withColumn("m_score", ntile(4)
+            .over(Window.orderBy(col("monetary").desc, col("o_custkey").asc)).cast("long"))
+          .select(col("o_custkey"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            col("r_score"), col("f_score"), col("m_score"),
+            concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+             |  MAX(o_orderdate) AS last_d,
+             |  COUNT(*) AS frequency,
+             |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS monetary
+             |FROM orders GROUP BY o_custkey),
+             |r AS (SELECT o_custkey, frequency, monetary,
+             |  CAST(date_diff('day', CAST(last_d AS DATE),
+             |    CAST((SELECT MAX(o_orderdate) FROM orders) AS DATE)) AS BIGINT) AS recency_days
+             |FROM per),
+             |sc AS (SELECT *,
+             |  CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT) AS r_score,
+             |  CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
+             |  CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
+             |FROM r)
+             |SELECT o_custkey, recency_days, frequency, monetary,
+             |  r_score, f_score, m_score,
+             |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+             |FROM sc ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_sample_fixed_k",
+      // Exactly-k-per-group deterministic sampling: the k docs with the
+      // smallest md5(doc_id) per language — the reservoir-sample
+      // equivalent that is stable across engines, partitionings and
+      // reruns (seeded RNG reservoirs are none of those). Per-group
+      // window over the hash order; the hash makes the pick uniform
+      // regardless of how doc_ids cluster.
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("pick", row_number().over(w).cast("long"))
+          .filter(col("pick") <= 10)
+          .select("lang", "pick", "doc_id", "n_chars")
+          .orderBy("lang", "pick")
+      },
+      Some("""WITH h AS (SELECT lang, doc_id, n_chars,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick
+             |FROM documents)
+             |SELECT lang, pick, doc_id, n_chars FROM h
+             |WHERE pick <= 10 ORDER BY lang, pick""".stripMargin)),
+
+    QueryDef(
+      "q_cooccur_pmi",
+      // Token co-occurrence with pointwise mutual information — the
+      // collocation/word2vec-prep statistic. Candidate pairs come from a
+      // per-document self-join over DISTINCT tokens (inverted by doc_id,
+      // never corpus × corpus); counts are exact longs, PMI one identical
+      // IEEE formula on both sides. At 100 TB the quadratic-per-doc term
+      // is bounded by a top-V vocabulary filter upstream of the join.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val tokCounts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val pairs = toks.as("a")
+          .join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        val n = docs.agg(count(lit(1)).as("n"))
+        pairs
+          .join(broadcast(tokCounts.select(col("tok").as("tok_a"), col("c").as("ca"))), "tok_a")
+          .join(broadcast(tokCounts.select(col("tok").as("tok_b"), col("c").as("cb"))), "tok_b")
+          .crossJoin(broadcast(n))
+          .withColumn("pmi",
+            toDbl(log((col("cab").cast("double") * col("n").cast("double")) /
+              (col("ca").cast("double") * col("cb").cast("double"))).cast(Dec38)))
+          .select("tok_a", "tok_b", "cab", "pmi")
+          .orderBy("tok_a", "tok_b")
+      },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |              FROM documents),
+             |tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+             |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cab
+             |          FROM toks a JOIN toks b
+             |            ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |          GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             |n AS (SELECT COUNT(*) AS n FROM documents)
+             |SELECT tok_a, tok_b, cab,
+             |  CAST(CAST(LN((CAST(cab AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+             |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+             |FROM pairs
+             |JOIN tc ca ON ca.tok = pairs.tok_a
+             |JOIN tc cb ON cb.tok = pairs.tok_b, n
+             |ORDER BY tok_a, tok_b""".stripMargin)),
+
+    QueryDef(
+      "q_join_interval_overlap",
+      // Interval-overlap self-join, binned: 30-minute activity intervals
+      // per event, pairs of same-type overlapping intervals counted once.
+      // Each interval explodes to its ≤2 overlapping 1800 s bins, pairs
+      // come from a (type, bin) EQUI join, the exact overlap predicate
+      // re-filters, and `bin = max(start bins)` dedups pairs that share
+      // two bins — the binned-band-join recipe (plans/BandJoinToBinEquiJoin)
+      // generalized to two-sided interval conditions. Never a nested loop.
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"), col("event_type"),
+            col("ts").cast("long").as("s"))
+          .withColumn("e", col("s") + 1800)
+        val binned = iv.withColumn("bin",
+          explode(sequence(floor(col("s") / lit(1800.0)).cast("long"),
+            floor(col("e") / lit(1800.0)).cast("long"))))
+        binned.as("a")
+          .join(binned.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.bin") === col("b.bin") &&
+              col("a.event_id") < col("b.event_id") &&
+              col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+              col("a.bin") === greatest(
+                floor(col("a.s") / lit(1800.0)).cast("long"),
+                floor(col("b.s") / lit(1800.0)).cast("long")))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (SELECT event_id, event_type,
+             |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             |  CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS e
+             |FROM events WHERE event_id < 2000)
+             |SELECT a.event_type, COUNT(*) AS n_pairs
+             |FROM iv a JOIN iv b
+             |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+             | AND a.s < b.e AND b.s < a.e
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -95,6 +95,68 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("markov transition probabilities row-normalize to 1") {
+    val m = run("q_markov_transitions")
+    val sums = m.groupBy("from_type").agg(sum("prob").as("p")).collect()
+    assert(sums.nonEmpty)
+    for (r <- sums) assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"${r.getString(0)} sums to ${r.getDouble(1)}")
+    // transitions per user = events - 1, so the matrix total is n - users
+    val total = m.agg(sum("cnt")).collect().head.getLong(0)
+    val ev = Tables(spark, dir, "events")
+    val users = ev.select(countDistinct("user_id")).collect().head.getLong(0)
+    assert(total == ev.count() - users)
+  }
+
+  test("rfm quartile scores are 1..4 with balanced bucket sizes") {
+    val r = run("q_rfm")
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = r.groupBy(c).agg(count(lit(1)).as("n")).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$c buckets: ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c sizes: $sizes")
+    }
+    val badSeg = r.filter(
+      col("segment") =!= concat(col("r_score"), col("f_score"), col("m_score")))
+    assert(badSeg.count() == 0)
+  }
+
+  test("fixed-k sample takes at most k rows per group with contiguous picks") {
+    val sm = run("q_sample_fixed_k").collect()
+    val byLang = sm.groupBy(_.getString(0))
+    for ((_, grp) <- byLang) {
+      assert(grp.length <= 10)
+      assert(grp.map(_.getLong(1)).sorted.toSeq == (1L to grp.length).toSeq)
+    }
+  }
+
+  test("pmi is bounded by ln(N/min_support) and supports are >= 5") {
+    val p = run("q_cooccur_pmi")
+    val nDocs = Tables(spark, dir, "documents").count()
+    val bound = math.log(nDocs / 5.0) + 1e-9
+    assert(p.filter(col("cab") < 5).count() == 0)
+    assert(p.filter(col("pmi") > bound).count() == 0)
+  }
+
+  test("binned interval-overlap join matches the brute-force pair count") {
+    val got = run("q_join_interval_overlap").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val iv = Tables(spark, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("ts").cast("long").as("s"))
+      .withColumn("e", col("s") + 1800)
+    val brute = iv.as("a").join(iv.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .groupBy(col("a.event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+    // and the declared query reaches those pairs through an equi join
+    val plan = run("q_join_interval_overlap").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("length buckets bound token counts and batches hold at most 16 docs") {
     val b = run("q_length_bucket")
     val offside = b.filter(
