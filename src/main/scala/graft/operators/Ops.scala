@@ -347,4 +347,63 @@ object Ops {
         (col("v") === col("p")).as("is_rep"))
       .orderBy("id")
   }
+
+  /** Distributed PageRank in deterministic fixed-point arithmetic.
+    *
+    * Scores are LONGs scaled by 10^6 (total mass ≈ 1e6). Each iteration:
+    *
+    *   share(u→v)  = floor(score(u) / outdeg(u))          (per-edge, long)
+    *   incoming(v) = Σ share(u→v)                         (exact long sum)
+    *   score'(v)   = floor(0.15·1e6/N) + floor(0.85·incoming)
+    *
+    * Long sums are order-independent, so the result is invariant under
+    * partitioning and engine — a DuckDB oracle running the SAME unrolled
+    * arithmetic reproduces it bit-for-bit, which doubles as the floating-
+    * point-free determinism contract (SURVEY.md §2.2). The floor() steps
+    * leak ≤1 unit of mass per node per iteration (≤ N·iters of 1e6 total),
+    * bounded and one-directional — never oscillation.
+    *
+    * Scale posture: per-iteration work is one (src-keyed) equi join +
+    * one (dst-keyed) map-side-combined sum + one left join back onto the
+    * node frame — all slim (long, long) rows, exactly the CC superstep
+    * shape that already holds at 100 TB. Per-iteration materialization
+    * keeps the plan constant-size across iterations.
+    *
+    * `edges` = directed (src, dst), first two columns. Nodes = src ∪ dst.
+    * Dangling nodes (outdeg 0) contribute nothing — their mass exits the
+    * system, the standard simplification.
+    */
+  def pageRank(edges0: DataFrame, iterations: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
+    val edgesRaw = edges0.select(srcC.as("src"), dstC.as("dst")).distinct()
+    val outdeg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = materialize(edgesRaw.join(outdeg, "src"))
+    val nodes0 = edgesRaw.select(col("src").as("node"))
+      .union(edgesRaw.select(col("dst").as("node"))).distinct()
+    val nodes = materialize(
+      nodes0.crossJoin(broadcast(nodes0.agg(count(lit(1)).as("n")))))
+    var pr = nodes
+      .select(col("node"), col("n"),
+        floor(lit(1000000.0) / col("n")).cast("long").as("score"))
+    for (_ <- 1 to iterations) {
+      val incoming = pr
+        .join(edges, pr("node") === edges("src"))
+        .select(col("dst").as("node"),
+          floor(col("score").cast("double") / col("outdeg")).cast("long").as("share"))
+        .groupBy("node").agg(sum("share").as("incoming"))
+      pr = materialize(nodes.join(incoming, Seq("node"), "left")
+        // 150000.0 = 0.15·1e6 pre-folded as an exactly-representable
+        // double, so the oracle can write the same literal without
+        // decimal-vs-double promotion ambiguity
+        .select(col("node"), col("n"),
+          (floor(lit(150000.0) / col("n")).cast("long") +
+            floor(lit(0.85) * coalesce(col("incoming"), lit(0L)).cast("double")).cast("long"))
+            .as("score")))
+    }
+    pr.select(col("node"), col("score").as("score_scaled"))
+  }
 }

@@ -488,5 +488,81 @@ object AnalyticsQueries extends QueryModule {
              |  ON a.event_type = b.event_type AND a.event_id < b.event_id
              | AND a.s < b.e AND b.s < a.e
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_graph_pagerank",
+      // Distributed PageRank (5 iterations, d=0.85) over the shared-3-gram
+      // document graph — link-analysis centrality in deterministic
+      // fixed-point arithmetic (Ops.pageRank: long scores scaled 1e6,
+      // exact order-independent sums, floors mirrored token-for-token in
+      // the oracle's unrolled CTE chain). Per-iteration work is the CC
+      // superstep shape: slim keyed equi joins + one combined sum; the
+      // doc_id bound keeps the DuckDB oracle cheap, the plan is
+      // corpus-size-free.
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))).as("g"))
+        val edges = grams.as("a")
+          .join(grams.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        graft.operators.Ops.pageRank(edges, iterations = 5)
+          .select(col("node").as("doc_id"), col("score_scaled"),
+            (col("score_scaled").cast("double") / lit(1000000.0)).as("pr"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+             |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |edges0 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             |           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id),
+             |od AS (SELECT src, COUNT(*) AS outdeg FROM edges0 GROUP BY src),
+             |e AS (SELECT edges0.src, edges0.dst, od.outdeg FROM edges0 JOIN od USING (src)),
+             |nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst AS node FROM edges0),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |pr0 AS (SELECT node, CAST(FLOOR(CAST(1000000.0 AS DOUBLE) / nn.n) AS BIGINT) AS score FROM nodes, nn),
+             |pr1 AS (SELECT nd.node,
+             |  CAST(FLOOR(CAST(150000.0 AS DOUBLE) / nn.n) AS BIGINT)
+             |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.incoming, 0) AS DOUBLE)) AS BIGINT) AS score
+             |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(CAST(FLOOR(CAST(p.score AS DOUBLE) / e.outdeg) AS BIGINT)) AS incoming
+             |    FROM pr0 p JOIN e ON p.node = e.src GROUP BY e.dst) c ON nd.node = c.node),
+             |pr2 AS (SELECT nd.node,
+             |  CAST(FLOOR(CAST(150000.0 AS DOUBLE) / nn.n) AS BIGINT)
+             |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.incoming, 0) AS DOUBLE)) AS BIGINT) AS score
+             |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(CAST(FLOOR(CAST(p.score AS DOUBLE) / e.outdeg) AS BIGINT)) AS incoming
+             |    FROM pr1 p JOIN e ON p.node = e.src GROUP BY e.dst) c ON nd.node = c.node),
+             |pr3 AS (SELECT nd.node,
+             |  CAST(FLOOR(CAST(150000.0 AS DOUBLE) / nn.n) AS BIGINT)
+             |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.incoming, 0) AS DOUBLE)) AS BIGINT) AS score
+             |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(CAST(FLOOR(CAST(p.score AS DOUBLE) / e.outdeg) AS BIGINT)) AS incoming
+             |    FROM pr2 p JOIN e ON p.node = e.src GROUP BY e.dst) c ON nd.node = c.node),
+             |pr4 AS (SELECT nd.node,
+             |  CAST(FLOOR(CAST(150000.0 AS DOUBLE) / nn.n) AS BIGINT)
+             |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.incoming, 0) AS DOUBLE)) AS BIGINT) AS score
+             |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(CAST(FLOOR(CAST(p.score AS DOUBLE) / e.outdeg) AS BIGINT)) AS incoming
+             |    FROM pr3 p JOIN e ON p.node = e.src GROUP BY e.dst) c ON nd.node = c.node),
+             |pr5 AS (SELECT nd.node,
+             |  CAST(FLOOR(CAST(150000.0 AS DOUBLE) / nn.n) AS BIGINT)
+             |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.incoming, 0) AS DOUBLE)) AS BIGINT) AS score
+             |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+             |    SELECT e.dst AS node, SUM(CAST(FLOOR(CAST(p.score AS DOUBLE) / e.outdeg) AS BIGINT)) AS incoming
+             |    FROM pr4 p JOIN e ON p.node = e.src GROUP BY e.dst) c ON nd.node = c.node)
+             |SELECT node AS doc_id, score AS score_scaled,
+             |  CAST(score AS DOUBLE) / 1000000.0 AS pr
+             |FROM pr5 ORDER BY doc_id""".stripMargin)),
   )
 }

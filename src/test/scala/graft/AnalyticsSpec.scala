@@ -157,6 +157,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("pagerank matches an in-memory reference of the same fixed-point arithmetic") {
+    val sess = spark
+    import sess.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 4L), (5L, 1L))
+      .toDF("src", "dst")
+    val got = operators.Ops.pageRank(edges, iterations = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // same arithmetic, sequentially
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 4L), (5L, 1L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size
+    var pr = nodes.map(_ -> math.floor(1000000.0 / n).toLong).toMap
+    for (_ <- 1 to 5) {
+      val incoming = es.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        math.floor(pr(u).toDouble / out(u)).toLong
+      }.sum).toMap
+      pr = nodes.map(v => v -> (math.floor(150000.0 / n).toLong +
+        math.floor(0.85 * incoming.getOrElse(v, 0L).toDouble).toLong)).toMap
+    }
+    assert(got == pr)
+    // mass stays ≈ 1e6 (floors only leak downward, dangling node 5 leaks its mass)
+    val mass = got.values.sum
+    assert(mass <= 1000000L && mass > 600000L, s"mass $mass")
+    // the most-linked-to node outranks the dangling node
+    assert(got(1L) > got(5L))
+  }
+
+  test("pagerank is invariant under input partitioning") {
+    val sess = spark
+    import sess.implicits._
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 2L), (2L, 4L))
+    val a = operators.Ops.pageRank(es.toDF("src", "dst").repartition(7), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = operators.Ops.pageRank(es.toDF("src", "dst").coalesce(1), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("length buckets bound token counts and batches hold at most 16 docs") {
     val b = run("q_length_bucket")
     val offside = b.filter(
