@@ -215,4 +215,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
     assert(!p.contains("Generate"), s"final assignment must not explode:\n$p")
   }
+
+  test("q_ngram_topk: global top-k is TakeOrdered, never a full sort") {
+    val p = plan("q_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("q_join_interval_overlap: overlap pairs come from an equi join, not a nested loop") {
+    val p = plan("q_join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap must bin to an equi join:\n$p")
+  }
+
+  test("q_stats_moments: moment sums aggregate partial+final over primitive longs") {
+    val p = plan("q_stats_moments")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert(!p.contains("cast(l_quantity"), "sums must run on pre-scaled longs")
+  }
+
+  test("q_funnel: stage joins never degenerate to nested loops") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"), s"funnel stages must equi-join:\n$p")
+  }
 }
