@@ -564,5 +564,35 @@ object AnalyticsQueries extends QueryModule {
              |SELECT node AS doc_id, score AS score_scaled,
              |  CAST(score AS DOUBLE) / 1000000.0 AS pr
              |FROM pr5 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_heavy_hitters",
+      // Heavy hitters two ways: exact top-20 token counts (the oracle) AND
+      // a mergeable Count-Min Sketch (functions/CountMinSketch — partial
+      // aggregation with a constant-size shuffle, the unbounded-cardinality
+      // scale path). The sketch is load-bearing in the compare through
+      // `no_undercount`: CMS guarantees estimate ≥ exact DETERMINISTICALLY
+      // (collisions only add), so the oracle pins it as literal TRUE — a
+      // broken sketch flips the column and fails the hash. The probabilistic
+      // overcount bound is asserted in CountMinSketchSpec, not here.
+      (s, dir) => {
+        import graft.functions.CountMinSketch
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val cms = toks
+          .select(CountMinSketch.bucketsFor(col("tok")).as("bk"))
+          .agg(CountMinSketch.sketch(col("bk")).as("cms"))
+        toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("tok"))
+          .limit(20)
+          .crossJoin(broadcast(cms))
+          .withColumn("est", CountMinSketch.estimateCol(col("cms"), col("tok")))
+          .select(col("tok"), col("cnt"),
+            (col("est") >= col("cnt")).as("no_undercount"))
+          .orderBy(desc("cnt"), asc("tok"))
+      },
+      Some("""SELECT tok, COUNT(*) AS cnt, TRUE AS no_undercount
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
   )
 }
