@@ -95,14 +95,14 @@ object Cli {
           sys.exit(1)
         }
       case "query-to-iceberg" =>
-        Engine.sqlToIceberg(spark, pos(0), pos(1), pos(2), overwrite, append)
+        Engine.sqlToIceberg(spark, pos(0), pos(1), pos(2), overwrite, append, partitionBy)
       case "parquet-to-delta" =>
         if (!Engine.parquetToDelta(spark, pos(0), pos(1), overwrite, maxRecordsPerFile)) {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)
         }
       case "parquet-to-iceberg" =>
-        Engine.parquetToIceberg(spark, pos(0), pos(1), overwrite, append)
+        Engine.parquetToIceberg(spark, pos(0), pos(1), overwrite, append, partitionBy)
       case "append-to-delta" =>
         val v = Engine.sqlAppendToDelta(spark, pos(0), pos(1), pos(2), mergeSchema)
         println(s"committed version $v")

@@ -69,9 +69,10 @@ object Engine {
     * commit retry.
     */
   def sqlToIceberg(spark: SparkSession, dir: String, query: String,
-      table: String, overwrite: Boolean = false, append: Boolean = false): Unit =
+      table: String, overwrite: Boolean = false, append: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit =
     IcebergSink.writeWithRetry(sql(spark, dir, query), table,
-      IcebergSink.resolveMode(overwrite, append))
+      IcebergSink.resolveMode(overwrite, append), partitionBy = partitionBy)
 
   /** Single parquet file → Delta table (reference lib.rs:86-105). */
   def parquetToDelta(spark: SparkSession, file: String, table: String,
@@ -82,9 +83,10 @@ object Engine {
 
   /** Single parquet file → Iceberg table (reference lib.rs:121-158). */
   def parquetToIceberg(spark: SparkSession, file: String, table: String,
-      overwrite: Boolean = false, append: Boolean = false): Unit =
+      overwrite: Boolean = false, append: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit =
     IcebergSink.writeWithRetry(spark.read.parquet(file), table,
-      IcebergSink.resolveMode(overwrite, append))
+      IcebergSink.resolveMode(overwrite, append), partitionBy = partitionBy)
 
   /** CSV file(s) → Delta table — a source format the reference lacks but a
     * loader's users expect; header + schema inference mirror the reference's

@@ -24,8 +24,39 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
   */
 private[graft] object IcebergAvro {
 
-  val EntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+  /** One identity-partition field of the manifest's partition struct
+    * (r102): `avroType` is the plain Avro primitive ("string" / "int" /
+    * "long" / "boolean"), `logicalType` the optional Iceberg annotation
+    * ("date" for DateType partitions), `fieldId` the spec's partition
+    * field id (1000+). All fields are written optional (union with null):
+    * a Hive `__HIVE_DEFAULT_PARTITION__` directory is a NULL partition
+    * value.
+    */
+  case class PartitionField(name: String, avroType: String, fieldId: Int,
+      logicalType: Option[String] = None)
+
+  /** Builds the manifest_entry schema with the given partition struct —
+    * the static [[EntrySchema]] is the unpartitioned (empty-struct) case.
+    * Splices the partition fields into the raw JSON template (NOT into a
+    * parsed schema's toString, whose property ordering Avro normalizes).
+    */
+  def entrySchemaFor(pf: Seq[PartitionField]): Schema =
+    if (pf.isEmpty) EntrySchema
+    else {
+      val fieldsJson = pf.map { f =>
+        val t = f.logicalType match {
+          case Some(lt) => s"""{"type":"${f.avroType}","logicalType":"$lt"}"""
+          case None => "\"" + f.avroType + "\""
+        }
+        s"""{"name":"${f.name}","type":["null",$t],"default":null,"field-id":${f.fieldId}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(EntryJson.replace(PartitionHole, fieldsJson))
+    }
+
+  private val PartitionHole = "/*PARTITION-FIELDS*/"
+
+  private val EntryJson: String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -34,7 +65,7 @@ private[graft] object IcebergAvro {
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[/*PARTITION-FIELDS*/]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
       |{"name":"value_counts","field-id":109,"default":null,"type":["null",
@@ -49,10 +80,12 @@ private[graft] object IcebergAvro {
       |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
       |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
       |    {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
-      |]}}]}""".stripMargin)
+      |]}}]}""".stripMargin
+
+  val EntrySchema: Schema =
+    new Schema.Parser().parse(EntryJson.replace(PartitionHole, ""))
 
   private val DataFileSchema = EntrySchema.getField("data_file").schema()
-  private val PartitionSchema = DataFileSchema.getField("partition").schema()
 
   val ManifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -81,8 +114,12 @@ private[graft] object IcebergAvro {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
+  /** `partitionValues` align positionally with the spec's partition
+    * fields: String / java.lang.Integer / java.lang.Long /
+    * java.lang.Boolean, or null for a Hive default (null) partition.
+    */
   case class DataFileInfo(absPath: String, sizeBytes: Long, recordCount: Long,
-      stats: ColumnStats = ColumnStats())
+      stats: ColumnStats = ColumnStats(), partitionValues: Seq[Any] = Nil)
 
   private def kvLongs(sch: Schema, m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
     val itemSchema = sch.getElementType
@@ -112,21 +149,29 @@ private[graft] object IcebergAvro {
     * manifest list records it).
     */
   def writeManifest(target: File, files: Seq[DataFileInfo], snapshotId: Long,
-      icebergSchemaJson: String, partitionSpecJson: String): Long = {
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](EntrySchema))
+      icebergSchemaJson: String, partitionSpecJson: String,
+      partitionFields: Seq[PartitionField] = Nil): Long = {
+    val entrySchema = entrySchemaFor(partitionFields)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partitionSchema = dataFileSchema.getField("partition").schema()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("schema", icebergSchemaJson)
     w.setMeta("schema-id", "0")
     w.setMeta("partition-spec", partitionSpecJson)
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "2")
     w.setMeta("content", "data")
-    w.create(EntrySchema, target)
+    w.create(entrySchema, target)
     try files.foreach { f =>
-      val df = new GenericData.Record(DataFileSchema)
+      val df = new GenericData.Record(dataFileSchema)
       df.put("content", 0) // DATA
       df.put("file_path", f.absPath)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(PartitionSchema))
+      val part = new GenericData.Record(partitionSchema)
+      partitionFields.zip(f.partitionValues).foreach { case (pf, v) =>
+        part.put(pf.name, v)
+      }
+      df.put("partition", part)
       df.put("record_count", f.recordCount)
       df.put("file_size_in_bytes", f.sizeBytes)
       if (f.stats.valueCounts.nonEmpty)
@@ -137,13 +182,34 @@ private[graft] object IcebergAvro {
         df.put("lower_bounds", kvBytes(arraySchemaOf("lower_bounds"), f.stats.lowerBounds))
       if (f.stats.upperBounds.nonEmpty)
         df.put("upper_bounds", kvBytes(arraySchemaOf("upper_bounds"), f.stats.upperBounds))
-      val e = new GenericData.Record(EntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED; sequence numbers inherit from the snapshot
       e.put("snapshot_id", snapshotId)
       e.put("data_file", df)
       w.append(e)
     } finally w.close()
     target.length()
+  }
+
+  /** Reads back each entry's (file_path, partition values by field name) —
+    * the read path's source of partition truth (Iceberg readers take
+    * partition values from the manifest, never from file paths). Reads
+    * with the file's own writer schema, so any partition struct shape
+    * round-trips.
+    */
+  def readManifestPartitions(f: File): Seq[(String, Map[String, Any])] = {
+    val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val values = part.getSchema.getFields.asScala.map { pf =>
+        pf.name() -> (part.get(pf.name()) match {
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case other => other
+        })
+      }.toMap
+      df.get("file_path").toString -> values
+    } finally r.close()
   }
 
   /** Reads back every entry's ColumnStats (test surface: the stats must

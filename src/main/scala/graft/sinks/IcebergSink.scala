@@ -176,8 +176,58 @@ object IcebergSink {
     } finally reader.close()
   }
 
+  /** Spark → Iceberg identity-partition plumbing: supported partition
+    * column types, their Iceberg/Avro manifest representation, and the
+    * Hive-style directory-name codec Spark's partitioned parquet writer
+    * produces. Values live in the MANIFEST (partition struct per data
+    * file) — the read path never parses paths.
+    */
+  private def partitionFieldsOf(schema: StructType, cols: Seq[String])
+      : Seq[IcebergAvro.PartitionField] =
+    cols.zipWithIndex.map { case (c, i) =>
+      val f = schema.fields.lift(schema.fieldIndex(c)).get
+      val (avro, logical) = f.dataType match {
+        case org.apache.spark.sql.types.StringType => ("string", None)
+        case org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.ByteType => ("int", None)
+        case org.apache.spark.sql.types.LongType => ("long", None)
+        case org.apache.spark.sql.types.BooleanType => ("boolean", None)
+        case org.apache.spark.sql.types.DateType => ("int", Some("date"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg identity-partition type for column $c: $other " +
+            "(supported: string, int/short/byte, long, boolean, date)")
+      }
+      IcebergAvro.PartitionField(c, avro, 1000 + i, logical)
+    }
+
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Decodes one `col=value` path segment into the manifest's typed value
+    * (Avro-friendly boxed types; date → epoch days int).
+    */
+  private def partitionValueOf(segment: String, dt: DataType): Any = {
+    val raw = segment.substring(segment.indexOf('=') + 1)
+    if (raw == HiveNullPartition) null
+    else {
+      val s = java.net.URLDecoder.decode(raw, "UTF-8")
+      dt match {
+        case org.apache.spark.sql.types.StringType => s
+        case org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.ByteType => Int.box(s.toInt)
+        case org.apache.spark.sql.types.LongType => Long.box(s.toLong)
+        case org.apache.spark.sql.types.BooleanType => Boolean.box(s.toBoolean)
+        case org.apache.spark.sql.types.DateType =>
+          Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
+    }
+  }
+
   def write(df: DataFrame, table: String, mode: WriteMode,
-      store: CommitStore = CommitStore.Local): Unit = {
+      store: CommitStore = CommitStore.Local,
+      partitionBy: Seq[String] = Nil): Unit = {
     val hint = readHint(table)
     if (hint.isDefined && mode == CreateExclusive)
       throw new IllegalStateException(
@@ -189,17 +239,53 @@ object IcebergSink {
         prev.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
       SchemaGate.enforce(df.schema, existingSchema)
     }
+    // Partition-spec continuity: an append/overwrite onto an existing table
+    // adopts its spec when none is requested, and refuses a CONFLICTING
+    // spec — silently committing files of a different layout would corrupt
+    // partition pruning for every reader.
+    val previousSpecCols: Seq[String] = previous.toSeq.flatMap { prev =>
+      prev.get("partition-specs").elements().asScala
+        .find(s => s.get("spec-id").asInt() == prev.get("default-spec-id").asInt())
+        .toSeq.flatMap(_.get("fields").elements().asScala.map(_.get("name").asText()))
+    }
+    val effectivePartitionBy =
+      if (partitionBy.isEmpty && mode == Append) previousSpecCols
+      else partitionBy
+    if (mode == Append && previous.nonEmpty && effectivePartitionBy != previousSpecCols)
+      throw new IllegalStateException(
+        s"partition spec mismatch: table is partitioned by $previousSpecCols, " +
+          s"append requested $effectivePartitionBy")
+    val partFields = partitionFieldsOf(df.schema, effectivePartitionBy)
 
-    // Data files: Spark parquet write into a per-commit staging directory.
+    // Data files: Spark parquet write into a per-commit staging directory
+    // (Hive-layout subdirectories when partitioned).
     val stage = s"data/stage-${java.util.UUID.randomUUID()}"
-    df.write
+    val writer = df.write
       .option("compression", "snappy")
       .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
-      .parquet(s"$table/$stage")
+    (if (effectivePartitionBy.nonEmpty) writer.partitionBy(effectivePartitionBy: _*)
+     else writer).parquet(s"$table/$stage")
     new File(s"$table/$stage/_SUCCESS").delete()
-    val dataFiles = Option(new File(s"$table/$stage").listFiles()).get
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    val stageRoot = new File(s"$table/$stage")
+    def walk(dir: File): Seq[File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) Seq(f)
+        else Nil
+      }
+    val dataFiles = walk(stageRoot).sortBy(_.getAbsolutePath)
+    // per-file partition values from the staging layout (write side only —
+    // readers use the manifest)
+    val partValuesOf: File => Seq[Any] =
+      if (effectivePartitionBy.isEmpty) _ => Nil
+      else { f =>
+        val rel = stageRoot.toPath.relativize(f.toPath)
+        val segments = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        effectivePartitionBy.zip(segments).map { case (c, seg) =>
+          require(seg.startsWith(c + "="), s"unexpected partition segment $seg for $c")
+          partitionValueOf(seg, df.schema(c).dataType)
+        }
+      }
 
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val lastSeq = previous.map(_.get("last-sequence-number").asLong()).getOrElse(0L)
@@ -226,11 +312,18 @@ object IcebergSink {
     val fieldIds = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
     val infos = dataFiles.toSeq.map { f =>
       val (rows, stats) = footerStats(f, conf, fieldIds)
-      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats)
+      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats,
+        partValuesOf(f))
     }
+    // identity partition spec (Iceberg spec §partitioning): field-ids from
+    // 1000, source-id = the schema field id of the partition column
+    val specFieldsJson = partFields.map { pf =>
+      s"""{"name":"${pf.name}","transform":"identity","source-id":${fieldIds(pf.name)},"field-id":${pf.fieldId}}"""
+    }.mkString(",")
+    val specJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
     val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.avro")
     val manifestLen = IcebergAvro.writeManifest(manifestPath.toFile, infos,
-      snapshotId, schemaNode.toString, """{"spec-id":0,"fields":[]}""")
+      snapshotId, schemaNode.toString, specJson, partFields)
 
     // Manifest list: append carries the previous snapshot's manifest_file
     // rows forward verbatim; create/overwrite start fresh.
@@ -259,8 +352,18 @@ object IcebergSink {
       .put("last-column-id", df.schema.fields.length)
     meta.putArray("schemas").add(schemaNode)
     meta.put("current-schema-id", 0)
-    meta.putArray("partition-specs").addObject().put("spec-id", 0).putArray("fields")
+    val specNode = meta.putArray("partition-specs").addObject()
+    specNode.put("spec-id", 0)
+    val specFields = specNode.putArray("fields")
+    partFields.foreach { pf =>
+      specFields.addObject()
+        .put("name", pf.name)
+        .put("transform", "identity")
+        .put("source-id", fieldIds(pf.name))
+        .put("field-id", pf.fieldId)
+    }
     meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + partFields.size)
     meta.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
     meta.put("default-sort-order-id", 0)
     meta.putObject("properties").put("graft.spark-schema", df.schema.json)
@@ -303,10 +406,11 @@ object IcebergSink {
     * Each attempt re-reads the version hint and re-plans the commit.
     */
   def writeWithRetry(df: DataFrame, table: String, mode: WriteMode,
-      retries: Int = OccRetries, store: CommitStore = CommitStore.Local): Unit = {
+      retries: Int = OccRetries, store: CommitStore = CommitStore.Local,
+      partitionBy: Seq[String] = Nil): Unit = {
     var attempt = 0
     while (true) {
-      try { write(df, table, mode, store); return }
+      try { write(df, table, mode, store, partitionBy); return }
       catch {
         case e: OptimisticConcurrencyException =>
           attempt += 1
@@ -330,10 +434,44 @@ object IcebergSink {
     val list = manifestListOf(table, meta, snapId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapId in $table " +
         "(expired or never committed)"))
-    val files = Seq(list).flatMap(readManifestPaths(table, _))
-      .flatMap(mp => dataFilesOf(table, mp))
-    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val specCols: Seq[String] = meta.get("partition-specs").elements().asScala
+      .find(s => s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
+      .toSeq.flatMap(_.get("fields").elements().asScala.map(_.get("name").asText()))
+    val manifests = Seq(list).flatMap(readManifestPaths(table, _))
+    if (specCols.isEmpty) {
+      val files = manifests.flatMap(mp => dataFilesOf(table, mp))
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    } else {
+      // Partitioned read, the Iceberg way: partition values come from the
+      // MANIFEST (never path parsing), re-attached as literal columns per
+      // partition group. Data files store only the non-partition columns.
+      import org.apache.spark.sql.functions.{col, lit}
+      val fileSchema = StructType(schema.fields.filterNot(f => specCols.contains(f.name)))
+      val entries: Seq[(String, Map[String, Any])] = manifests.flatMap { mp =>
+        IcebergAvro.readManifestPartitions(
+          new File(requireAvro(abs(table, mp))))
+      }
+      if (entries.isEmpty)
+        return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val groups = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+      val parts = groups.map { case (pvals, files) =>
+        val base = spark.read.schema(fileSchema).parquet(files: _*)
+        specCols.foldLeft(base) { (acc, c) =>
+          val dt = schema(c).dataType
+          val v = pvals.getOrElse(c, null)
+          val litCol = (v, dt) match {
+            case (null, _) => lit(null).cast(dt)
+            case (days: Int, org.apache.spark.sql.types.DateType) =>
+              lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong)))
+            case (other, _) => lit(other).cast(dt)
+          }
+          acc.withColumn(c, litCol)
+        }.select(schema.fieldNames.map(col): _*)
+      }
+      parts.reduce(_.unionAll(_))
+    }
   }
 
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the

@@ -822,4 +822,80 @@ class SinkSpec extends AnyFunSuite {
       .where(col("metaData").isNotNull).select("metaData.id").head().getString(0)
     assert(ckptId == id, "checkpoint must reuse the minted id, not mint another")
   }
+
+  test("Iceberg identity-partitioned create: layout, spec, manifest values, read-back") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 30.0), (4L, "fr", 40.0))
+      .toDF("id", "lang", "v")
+    val table = tmp()
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+      partitionBy = Seq("lang"))
+    // Hive-layout staging directories per partition value
+    val dataDirs = new File(table, "data").listFiles().filter(_.isDirectory)
+    val partDirs = dataDirs.flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName)
+    assert(partDirs.toSet == Set("lang=en", "lang=de", "lang=fr"))
+    // metadata carries the identity spec with 1000+ field ids
+    val meta = Files.readString(Paths.get(table, "metadata", "v0.metadata.json"))
+    assert(meta.contains("\"transform\":\"identity\""))
+    assert(meta.contains("\"field-id\":1000"))
+    assert(meta.contains("\"last-partition-id\":1000"))
+    // manifest entries carry per-file partition values (the reader's truth)
+    val manifestFile = new File(table, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list"))
+      .head
+    val parts = graft.sinks.IcebergAvro.readManifestPartitions(manifestFile)
+    assert(parts.map(_._2("lang").asInstanceOf[String]).toSet == Set("en", "de", "fr"))
+    // read-back reconstructs the partition column from the manifest
+    val back = IcebergSink.read(spark, table)
+    assert(back.columns.toSeq == Seq("id", "lang", "v"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 30.0), (4L, "fr", 40.0)))
+  }
+
+  test("Iceberg partitioned append adopts the spec and refuses a conflicting one") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "en", 1.0), (2L, "de", 2.0)).toDF("id", "lang", "v")
+    val table = tmp()
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    // append with no explicit partitioning adopts lang
+    IcebergSink.write(Seq((3L, "en", 3.0)).toDF("id", "lang", "v"), table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 3)
+    assert(IcebergSink.read(spark, table).filter(col("lang") === "en").count() == 2)
+    // a conflicting spec is refused
+    val e = intercept[IllegalStateException] {
+      IcebergSink.write(Seq((4L, "fr", 4.0)).toDF("id", "lang", "v"), table,
+        IcebergSink.Append, partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition spec mismatch"))
+  }
+
+  test("Iceberg partitioning round-trips null and date partition values") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, Option("en"), java.sql.Date.valueOf("2024-01-01")),
+      (2L, Option.empty[String], java.sql.Date.valueOf("2024-02-15")))
+      .toDF("id", "lang", "d")
+    val table = tmp()
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+      partitionBy = Seq("lang", "d"))
+    val back = IcebergSink.read(spark, table).orderBy("id").collect()
+    assert(back(0).getString(1) == "en" &&
+      back(0).getDate(2) == java.sql.Date.valueOf("2024-01-01"))
+    assert(back(1).isNullAt(1) &&
+      back(1).getDate(2) == java.sql.Date.valueOf("2024-02-15"))
+  }
+
+  test("Iceberg rejects unsupported partition column types with a clear error") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, 1.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      IcebergSink.write(df, tmp(), IcebergSink.CreateExclusive, partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("unsupported Iceberg identity-partition type"))
+  }
 }
