@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata, processed per-partition in batches
   * (the Scala analogue of mapInPandas). Payloads that magic-byte-sniff as
-  * a JDK-decodable raster format (PNG/BMP/GIF — javax.imageio, no extra
-  * dependency) take a REAL decode path: genuine pixel decode, grayscale
-  * feature stats, nearest-neighbour resample. Everything else (video,
+  * a JDK-decodable raster format (PNG/BMP/GIF/JPEG — javax.imageio, no
+  * extra dependency) take a REAL decode path: genuine pixel decode,
+  * grayscale feature stats, nearest-neighbour resample. RIFF/WAVE PCM
+  * audio (r8) also decodes for real — a hand-rolled chunk walk +
+  * little-endian sample read ([[decodeWav]], pure JVM integer math) with
+  * exact mean/variance features. Everything else (video, compressed
   * audio, the text-as-bytes test corpus) falls back to [[decodeStub]], a
   * clearly-marked deterministic fake — there the real parts are the
   * schema, the partition-level batch shape, and the executor-side
@@ -39,6 +42,61 @@ object Multimodal {
   private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
     catch { case _: Exception => None }
+
+  /** RIFF/WAVE magic sniff (the audio analogue of [[sniffImageFormat]]). */
+  private[graft] def sniffWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private[graft] case class WavPcm(sampleRate: Int, bitsPerSample: Int,
+      channels: Int, samples: Array[Int])
+
+  /** REAL WAV decode — hand-rolled RIFF chunk walk + PCM sample read (pure
+    * JVM integer math, no library): `fmt ` must declare PCM (audioFormat
+    * 1) at 8 or 16 bits; `data` holds little-endian samples (8-bit
+    * unsigned re-centred to signed, 16-bit signed). Malformed or
+    * compressed payloads → None (callers fall back to the stub), so a
+    * truncated file can never crash an executor.
+    */
+  private[graft] def decodeWav(p: Array[Byte]): Option[WavPcm] = {
+    if (!sniffWav(p)) return None
+    def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    try {
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[(Int, Int)] = None     // (offset, length)
+      while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val size = le32(off + 4)
+        if (size < 0 || off + 8 + size > p.length) return None
+        id match {
+          case "fmt " =>
+            if (size < 16 || le16(off + 8) != 1) return None // PCM only
+            fmt = Some((le16(off + 10), le32(off + 12), le16(off + 22)))
+          case "data" => data = Some((off + 8, size))
+          case _ => ()
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
+        require(channels >= 1 && (bits == 8 || bits == 16), "unsupported PCM shape")
+        val bytesPer = bits / 8
+        val n = dLen / bytesPer
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) =
+            if (bits == 8) (p(dOff + i) & 0xff) - 128
+            else le16(dOff + i * 2).toShort.toInt
+          i += 1
+        }
+        WavPcm(rate, bits, channels, samples)
+      }
+    } catch { case _: Exception => None }
+  }
 
   /** ITU-R BT.601 integer luma of a packed ARGB pixel — deterministic
     * across JVMs (pure int math, no color-management involvement).
@@ -102,7 +160,19 @@ object Multimodal {
             Row(r.getLong(0), payload.length.toLong, fmt,
               Array(w.toFloat, h.toFloat, mean.toFloat, variance.toFloat))
           }
-          real.getOrElse(
+          val realAudio = if (real.isEmpty) decodeWav(payload).map { w =>
+            // [n_samples, sample_rate, mean, variance] — exact long sums
+            // over decoded PCM, deterministic across JVMs
+            var sum = 0L; var sumSq = 0L
+            w.samples.foreach { s => sum += s; sumSq += s.toLong * s }
+            val n = math.max(1L, w.samples.length.toLong)
+            val mean = sum.toDouble / n
+            val variance = sumSq.toDouble / n - mean * mean
+            Row(r.getLong(0), payload.length.toLong, "wav",
+              Array(w.samples.length.toFloat, w.sampleRate.toFloat,
+                mean.toFloat, variance.toFloat))
+          } else None
+          real.orElse(realAudio).getOrElse(
             Row(r.getLong(0), payload.length.toLong, "stub", decodeStub(payload)))
         }
       }(enc)

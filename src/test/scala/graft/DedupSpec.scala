@@ -318,6 +318,43 @@ class DedupSpec extends AnyFunSuite {
     assert(resized(0).getAs[Array[Byte]](3).length == 8)
   }
 
+  test("multimodal real decode: RIFF/WAVE PCM audio decodes with exact stats (r8)") {
+    val s = spark
+    import s.implicits._
+    // hand-assembled 16-bit PCM WAV (so the test exercises the chunk walk,
+    // not a library encoder): 4 known samples at 8000 Hz
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(1000, -1000, 32767, -32768)
+    val data = samples.flatMap(le16).toArray
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(4 + 8 + fmt.length + 8 + data.length) ++
+      "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+
+    val df = Seq((1L, wav), (2L, "RIFFxxxx not a wave".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df).orderBy("doc_id").collect()
+    assert(feats(0).getString(2) == "wav")
+    val f = feats(0).getSeq[Float](3)
+    assert(f(0) == 4.0f && f(1) == 8000.0f)
+    val mean = samples.sum.toDouble / 4
+    val variance = samples.map(v => v.toLong * v).sum.toDouble / 4 - mean * mean
+    assert(f(2) == mean.toFloat, s"mean ${f(2)} vs $mean")
+    assert(f(3) == variance.toFloat, s"variance ${f(3)} vs $variance")
+    // malformed RIFF falls back to the declared stub, never crashes
+    assert(feats(1).getString(2) == "stub")
+    // truncated data chunk (declared size > bytes present) → stub too
+    val truncated = wav.dropRight(2) ++ Array[Byte]()
+    val t = Multimodal.extractFeatures(Seq((3L, truncated)).toDF("doc_id", "payload")).collect()
+    assert(t(0).getString(2) == "stub")
+    // bit-identical across partitionings
+    val again = Multimodal.extractFeatures(df.repartition(2)).orderBy("doc_id").collect()
+    assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("multimodal frame-sample stub: every-Nth chunk, one row per frame") {
     val payloads = Multimodal.asBinaryPayload(docsDf)
     val frames = Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)
