@@ -16,6 +16,7 @@ object SparkEntry {
     q.TextQueries,
     q.SimilarityQueries,
     q.AnalyticsQueries,
+    q.TpchQueries,
   )
 
   private val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

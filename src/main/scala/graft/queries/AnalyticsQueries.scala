@@ -79,6 +79,46 @@ object AnalyticsQueries extends QueryModule {
              |       (SELECT COUNT(*) FROM v3) AS step3_users""".stripMargin)),
 
     QueryDef(
+      "q_funnel_window",
+      // Time-CONSTRAINED funnel (the ClickHouse windowFunnel semantic):
+      // each next step must land within 48 hours of the previous step's
+      // entry, not just after it. Same slim per-user staged aggregation as
+      // q_funnel — the window bound is one extra pushed predicate, not a
+      // different plan shape.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val win = expr("INTERVAL 48 HOURS")
+        val v1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val v2 = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts")
+          .join(v1, "user_id")
+          .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + win)
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val v3 = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts")
+          .join(v2, "user_id")
+          .filter(col("ts") >= col("t2") && col("ts") <= col("t2") + win)
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v1.agg(count(lit(1)).as("step1_users"))
+          .crossJoin(v2.agg(count(lit(1)).as("step2_users")))
+          .crossJoin(v3.agg(count(lit(1)).as("step3_users")))
+      },
+      Some("""WITH v1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |v2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |       JOIN v1 ON e.user_id = v1.user_id
+             |        AND e.ts >= v1.t1 AND e.ts <= v1.t1 + INTERVAL 48 HOUR
+             |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |v3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |       JOIN v2 ON e.user_id = v2.user_id
+             |        AND e.ts >= v2.t2 AND e.ts <= v2.t2 + INTERVAL 48 HOUR
+             |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT (SELECT COUNT(*) FROM v1) AS step1_users,
+             |       (SELECT COUNT(*) FROM v2) AS step2_users,
+             |       (SELECT COUNT(*) FROM v3) AS step3_users""".stripMargin)),
+
+    QueryDef(
       "q_retention_cohort",
       // Cohort retention triangle: cohort = ISO week (Monday-truncated) of
       // each user's first event; a user is active in week-offset k when

@@ -25,6 +25,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(s1 >= s2 && s2 >= s3)
   }
 
+  test("time-constrained funnel never exceeds the unconstrained funnel") {
+    val free = run("q_funnel").collect().head
+    val win = run("q_funnel_window").collect().head
+    assert(win.getLong(0) == free.getLong(0)) // step 1 has no constraint
+    assert(win.getLong(1) <= free.getLong(1))
+    assert(win.getLong(2) <= free.getLong(2))
+  }
+
   test("retention offset-0 covers every user exactly once across cohorts") {
     val total = run("q_retention_cohort")
       .filter(col("week_offset") === 0)

@@ -238,4 +238,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_funnel")
     assert(!p.contains("CartesianProduct"), s"funnel stages must equi-join:\n$p")
   }
+
+  test("q_tpch_q5: dimension sides broadcast and date predicates reach the scan") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date filter must push into the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_tpch_q3: top-10 via TakeOrdered, never a global sort") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(p.contains("c_mktsegment"), "segment filter must prune before the join")
+  }
 }
