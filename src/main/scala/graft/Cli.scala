@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   compact-delta     <table>
   *   vacuum-delta      <table> [retentionMs]
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
+  *   expire-iceberg    <table> [keepLast]
   *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
   *   pg-to-delta       <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite]
   *   pg-to-iceberg     <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite | --append]
@@ -113,6 +114,10 @@ object Cli {
         val retention = pos.lift(1).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
         val n = sinks.DeltaSink.vacuum(spark, pos(0), retention)
         println(s"deleted $n files")
+      case "expire-iceberg" =>
+        val keep = pos.lift(1).map(_.toInt).getOrElse(2)
+        val n = sinks.IcebergSink.expireSnapshots(pos(0), keep)
+        println(s"expired snapshots, deleted $n data files")
       case "merge-delta" =>
         // merge-delta <sourceParquet> <table> <k1,k2> [--delete-col c]
         val src = spark.read.parquet(pos(0))

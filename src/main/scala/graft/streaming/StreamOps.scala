@@ -81,6 +81,33 @@ object StreamOps {
       .drop(rUser)
   }
 
+  /** Watermark-bounded stream-stream LEFT OUTER attribution: clicks pair
+    * with same-user purchases inside the forward window like
+    * [[attributionJoin]], but UNMATCHED clicks are also emitted (null
+    * purchase columns) — once the watermark establishes no matching
+    * purchase can still arrive. This is the semantics Spark's outer
+    * stream-stream join exists for: the null row CANNOT be emitted
+    * eagerly (a match may still come), so emission happens on state
+    * eviction, delayed by the watermark — StreamingSpec drives the timing
+    * with two MemoryStreams.
+    */
+  def attributionJoinLeftOuter(left: DataFrame, right: DataFrame,
+      window: String = "2 hours", watermark: String = "1 hour"): DataFrame = {
+    val u = java.util.UUID.randomUUID().toString.take(8)
+    val rUser = s"__graft_ruser_$u"
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as(rUser), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"), col("value"))
+    l.join(r, col("user_id") === col(rUser) &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .drop(rUser)
+  }
+
   /** Streaming dedup on event_id bounded by a watermark — late duplicates
     * beyond the watermark are dropped from state (reference has no streaming
     * surface; this is the [ext] q_stream_dedup_watermark twin).

@@ -52,6 +52,17 @@ class EngineSpec extends AnyFunSuite {
     assert(sinks.IcebergSink.read(spark, table).count() == 2 * n)
   }
 
+  test("sql-to-iceberg with partition-by lands a partitioned table that reads back") {
+    val table = tmp()
+    Engine.sqlToIceberg(spark, dir,
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation", table,
+      partitionBy = Seq("n_regionkey"))
+    val back = sinks.IcebergSink.read(spark, table)
+    assert(back.count() == 25)
+    assert(back.columns.contains("n_regionkey"))
+    assert(back.groupBy("n_regionkey").count().count() == 5)
+  }
+
   test("sql-to-iceberg: overwrite replaces visible data") {
     val table = tmp()
     Engine.sqlToIceberg(spark, dir, "SELECT n_nationkey, n_name FROM nation", table)

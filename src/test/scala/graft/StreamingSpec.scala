@@ -380,6 +380,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unmatched clicks only after the watermark") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = StreamOps.attributionJoinLeftOuter(clicks.toDF(), buys.toDF(),
+        window = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(1, ts(10), 1, "click", 0.0), Ev(2, ts(10), 2, "click", 0.0))
+      buys.addData(Ev(10, ts(20), 1, "purchase", 5.0)) // match for click 1 only
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer").collect()
+      // the unmatched click CANNOT appear yet — a purchase may still arrive
+      assert(early.length == 1)
+      // advance event time on BOTH inputs so the global watermark passes
+      // click_ts + window + watermark, evicting click 2's state
+      clicks.addData(Ev(3, ts(300), 3, "click", 0.0))
+      buys.addData(Ev(11, ts(300), 99, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("user_id", "click_id", "buy_id").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+      assert(rows.toSeq.contains((1L, 1L, 10L)), s"matched pair: ${rows.toSeq}")
+      assert(rows.toSeq.contains((2L, 2L, -1L)),
+        s"unmatched click must emit with nulls after eviction: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("attribution join batch shape equals a plain interval self-join") {
     val spark = TestSpark.spark
     import spark.implicits._
