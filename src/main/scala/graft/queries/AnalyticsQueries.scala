@@ -37,6 +37,38 @@ object AnalyticsQueries extends QueryModule {
   private val nd = col("n").cast("double")
   private def d(c: String) = col(c).cast("double")
 
+  /** Undirected unique edges (src < dst) of the shared-3-gram document
+    * graph over the bounded doc set — the same graph q_graph_pagerank
+    * walks (there symmetrized), reused by the triangle/degree queries.
+    */
+  private def gramEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val grams = t(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("g"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+  }
+
+  /** The oracle twin of [[gramEdges]] as reusable CTE text. */
+  private val GramEdgesSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 3),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+      |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -634,5 +666,88 @@ object AnalyticsQueries extends QueryModule {
       Some("""SELECT tok, COUNT(*) AS cnt, TRUE AS no_undercount
              |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
              |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q_graph_triangles",
+      // Distributed triangle count over the shared-gram graph — the
+      // clustering-coefficient / community-density primitive. The classic
+      // ordered-wedge formulation: with edges kept src < dst, a wedge
+      // (a<b, b<c) closes iff edge (a, c) exists — every triangle counted
+      // EXACTLY once, and both steps are plain equi joins (wedge join on
+      // the middle vertex, closure semi-join on the (a, c) pair).
+      (s, dir) => {
+        val e = gramEdges(s, dir)
+        val wedges = e.as("e1")
+          .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+          .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+        wedges
+          .join(e.as("e3"),
+            col("a") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""WITH $GramEdgesSql
+             |SELECT COUNT(*) AS n_triangles
+             |FROM edges e1
+             |JOIN edges e2 ON e1.dst = e2.src
+             |JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin)),
+
+    QueryDef(
+      "q_graph_degree",
+      // Degree distribution of the same graph: degree per node (counting
+      // both endpoints of the undirected edge set), then node counts per
+      // degree — the graph-shape profile that decides whether the
+      // pair-generation stages above are safe (a power-law hub would
+      // dominate wedge counts).
+      (s, dir) => {
+        val e = gramEdges(s, dir)
+        e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH $GramEdgesSql,
+             |deg AS (SELECT node, COUNT(*) AS degree FROM (
+             |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+             |  GROUP BY node)
+             |SELECT degree, COUNT(*) AS n_nodes FROM deg
+             |GROUP BY degree ORDER BY degree""".stripMargin)),
+
+    QueryDef(
+      "q_sessionize_islands",
+      // Gaps-and-islands sessionization in PORTABLE SQL (the cross-engine
+      // twin of Spark's session_window): a session starts where the gap
+      // from the previous event exceeds 30 min; the running sum of start
+      // flags numbers the sessions. One user-keyed shuffle + per-user sort
+      // (both windows share the same spec → one sort), aggregates on top.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("ts").cast("long").as("tsec"))
+          .withColumn("new_session",
+            when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+              lag("tsec", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("t_start"), max("ts").as("t_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+             |         - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+             |       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |       THEN 1 ELSE 0 END AS new_session
+             |FROM events),
+             |numbered AS (SELECT user_id, ts,
+             |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |FROM flagged)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+             |FROM numbered GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
   )
 }

