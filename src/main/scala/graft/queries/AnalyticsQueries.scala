@@ -668,6 +668,56 @@ object AnalyticsQueries extends QueryModule {
              |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
 
     QueryDef(
+      "q_ab_ttest",
+      // Welch's two-sample t statistic between the 'signup' and 'error'
+      // event-value populations — the A/B-experimentation primitive, from
+      // the same exact fixed-point moment sums as q_stats_moments: two
+      // single-row group aggregates (map-side combined), one cross join,
+      // one identical-IEEE closed form on both engines. At 100 TB this
+      // reads the stream once and shuffles 2 rows.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def grp(tpe: String, suffix: String) = ev
+          .filter(col("event_type") === tpe)
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("sx"),
+            sum(cents(col("value")) * cents(col("value"))).as("sxx"))
+          .select(
+            col("n").as(s"n_$suffix"),
+            (d("sx") / nd / lit(100.0)).as(s"mean_$suffix"),
+            ((nd * d("sxx") - d("sx") * d("sx")) / (nd * (nd - lit(1.0))) / lit(10000.0))
+              .as(s"var_$suffix"))
+        grp("signup", "a").crossJoin(grp("error", "b"))
+          .select(
+            col("n_a"), col("n_b"),
+            toDbl((col("mean_a") - col("mean_b")).cast(Dec38)).as("mean_diff"),
+            toDbl(((col("mean_a") - col("mean_b")) /
+              sqrt(col("var_a") / col("n_a").cast("double") +
+                col("var_b") / col("n_b").cast("double"))).cast(Dec38)).as("t_stat"))
+      },
+      Some("""WITH a AS (SELECT COUNT(*) AS n,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sx,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT) * CAST(ROUND(value*100) AS BIGINT)) AS sxx
+             |  FROM events WHERE event_type = 'signup'),
+             |b AS (SELECT COUNT(*) AS n,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS sx,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT) * CAST(ROUND(value*100) AS BIGINT)) AS sxx
+             |  FROM events WHERE event_type = 'error'),
+             |sa AS (SELECT n AS n_a,
+             |  CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS mean_a,
+             |  (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))/10000.0 AS var_a FROM a),
+             |sb AS (SELECT n AS n_b,
+             |  CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS mean_b,
+             |  (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))/10000.0 AS var_b FROM b)
+             |SELECT n_a, n_b,
+             |  CAST(CAST(mean_a - mean_b AS DECIMAL(38,6)) AS DOUBLE) AS mean_diff,
+             |  CAST(CAST((mean_a - mean_b) /
+             |    SQRT(var_a/CAST(n_a AS DOUBLE) + var_b/CAST(n_b AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS t_stat
+             |FROM sa, sb""".stripMargin)),
+
+    QueryDef(
       "q_graph_triangles",
       // Distributed triangle count over the shared-gram graph — the
       // clustering-coefficient / community-density primitive. The classic

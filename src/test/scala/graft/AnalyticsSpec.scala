@@ -206,6 +206,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("welch t statistic is finite and consistent with the group means") {
+    val r = run("q_ab_ttest").collect().head
+    val (na, nb, diff, t) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(na > 1 && nb > 1)
+    assert(!t.isNaN && !t.isInfinite)
+    // t carries the sign of the mean difference
+    assert(math.signum(t) == math.signum(diff) || diff == 0.0)
+    // cross-check against Spark's own double aggregates (1e-4: different
+    // summation path, same statistic)
+    val stats = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("signup", "error"))
+      .groupBy("event_type")
+      .agg(avg("value").as("m"), var_samp("value").as("v"), count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2), x.getLong(3)))).toMap
+    val (ma, va, ca) = stats("signup"); val (mb, vb, cb) = stats("error")
+    val want = (ma - mb) / math.sqrt(va / ca + vb / cb)
+    assert(math.abs(t - want) < 1e-4, s"t $t vs $want")
+  }
+
   test("triangle count matches a brute-force check and wedges bound it") {
     val sess = spark
     import sess.implicits._
