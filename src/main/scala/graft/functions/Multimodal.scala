@@ -71,7 +71,11 @@ object Multimodal {
       while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
         val id = new String(p, off, 4, "US-ASCII")
         val size = le32(off + 4)
-        if (size < 0 || off + 8 + size > p.length) return None
+        // bound check in LONG arithmetic: a crafted size near Int.MaxValue
+        // would wrap `off + 8 + size` negative and pass an int comparison,
+        // then die allocating a multi-GB sample array (OutOfMemoryError is
+        // not an Exception — the catch below wouldn't save the task)
+        if (size < 0 || off.toLong + 8L + size.toLong > p.length.toLong) return None
         id match {
           case "fmt " =>
             if (size < 16 || le16(off + 8) != 1) return None // PCM only

@@ -572,20 +572,12 @@ object AnalyticsQueries extends QueryModule {
       // doc_id bound keeps the DuckDB oracle cheap, the plan is
       // corpus-size-free.
       (s, dir) => {
-        val grams = t(s, dir, "documents")
-          .filter(col("doc_id") < 200)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"),
-            explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ",
-                element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2),
-                element_at(col("toks"), i + 3))))).as("g"))
-        val edges = grams.as("a")
-          .join(grams.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        // the SAME undirected graph as q_graph_triangles/q_graph_degree
+        // (shared gramEdges helper), symmetrized to the directed arcs
+        // pageRank walks
+        val und = gramEdges(s, dir)
+        val edges = und.union(
+          und.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.Ops.pageRank(edges, iterations = 5)
           .select(col("node").as("doc_id"), col("score_scaled"),
             (col("score_scaled").cast("double") / lit(1000000.0)).as("pr"))
@@ -771,12 +763,16 @@ object AnalyticsQueries extends QueryModule {
       // (both windows share the same spec → one sort), aggregates on top.
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // full-precision timestamps and a STRICT `>` gap, matching Spark's
+        // session_window semantics exactly (windows that touch MERGE: an
+        // event landing exactly gap after its predecessor extends the
+        // session — verified empirically, AnalyticsSpec pins the boundary)
         t(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("ts"),
-            col("ts").cast("long").as("tsec"))
+          .select(col("user_id"), col("event_id"), col("ts"))
           .withColumn("new_session",
-            when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
-              lag("tsec", 1).over(w).isNull, 1L).otherwise(0L))
+            when(lag("ts", 1).over(w).isNull ||
+              col("ts") > lag("ts", 1).over(w) + expr("INTERVAL 30 MINUTES"),
+              1L).otherwise(0L))
           .withColumn("session_id", sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "session_id")
@@ -785,10 +781,8 @@ object AnalyticsQueries extends QueryModule {
           .orderBy("user_id", "session_id")
       },
       Some("""WITH flagged AS (SELECT user_id, event_id, ts,
-             |  CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
-             |         - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
-             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-             |       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |       OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
              |       THEN 1 ELSE 0 END AS new_session
              |FROM events),
              |numbered AS (SELECT user_id, ts,

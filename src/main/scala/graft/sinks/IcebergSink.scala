@@ -210,7 +210,21 @@ object IcebergSink {
     val raw = segment.substring(segment.indexOf('=') + 1)
     if (raw == HiveNullPartition) null
     else {
-      val s = java.net.URLDecoder.decode(raw, "UTF-8")
+      // Hive-style unescape: ONLY %xx sequences. URLDecoder would also
+      // turn a literal '+' into a space, but Spark's escapePathName does
+      // not escape '+' — decoding it would silently corrupt the value.
+      val s = {
+        val sb = new java.lang.StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '%' && i + 2 < raw.length) {
+            sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
       dt match {
         case org.apache.spark.sql.types.StringType => s
         case org.apache.spark.sql.types.IntegerType
@@ -248,8 +262,13 @@ object IcebergSink {
         .find(s => s.get("spec-id").asInt() == prev.get("default-spec-id").asInt())
         .toSeq.flatMap(_.get("fields").elements().asScala.map(_.get("name").asText()))
     }
+    // No-request adoption applies to Append AND Overwrite (a routine
+    // --overwrite must not silently de-partition the table); an EXPLICIT
+    // different spec is a re-layout, legal only under Overwrite (which
+    // rewrites the visible data), never under Append (whose old files
+    // would stop matching the spec).
     val effectivePartitionBy =
-      if (partitionBy.isEmpty && mode == Append) previousSpecCols
+      if (partitionBy.isEmpty && previous.nonEmpty) previousSpecCols
       else partitionBy
     if (mode == Append && previous.nonEmpty && effectivePartitionBy != previousSpecCols)
       throw new IllegalStateException(
@@ -394,7 +413,13 @@ object IcebergSink {
         // the losing attempt's staged artifacts are unreferenced by any
         // committed metadata — reclaim them before the retry re-stages
         dataFiles.foreach(_.delete())
-        new File(s"$table/$stage").delete()
+        // bottom-up: a partitioned stage holds Hive-layout subdirectories
+        // that must go before the stage dir itself can
+        def deleteTree(f: File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+          f.delete()
+        }
+        deleteTree(new File(s"$table/$stage"))
         Files.deleteIfExists(manifestPath)
         Files.deleteIfExists(listPath)
         throw new OptimisticConcurrencyException(newVersion)
@@ -434,44 +459,38 @@ object IcebergSink {
     val list = manifestListOf(table, meta, snapId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapId in $table " +
         "(expired or never committed)"))
-    val specCols: Seq[String] = meta.get("partition-specs").elements().asScala
-      .find(s => s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
-      .toSeq.flatMap(_.get("fields").elements().asScala.map(_.get("name").asText()))
+    // Partition truth comes from each manifest's OWN partition struct
+    // (its Avro writer schema), NOT from the current metadata's default
+    // spec: snapshots written under an older spec must time-travel with
+    // the columns they were written with — resolving the current spec
+    // here would read old files with the wrong column split after an
+    // overwrite changes the layout.
     val manifests = Seq(list).flatMap(readManifestPaths(table, _))
-    if (specCols.isEmpty) {
-      val files = manifests.flatMap(mp => dataFilesOf(table, mp))
-      if (files.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(files: _*)
-    } else {
-      // Partitioned read, the Iceberg way: partition values come from the
-      // MANIFEST (never path parsing), re-attached as literal columns per
-      // partition group. Data files store only the non-partition columns.
-      import org.apache.spark.sql.functions.{col, lit}
-      val fileSchema = StructType(schema.fields.filterNot(f => specCols.contains(f.name)))
-      val entries: Seq[(String, Map[String, Any])] = manifests.flatMap { mp =>
-        IcebergAvro.readManifestPartitions(
-          new File(requireAvro(abs(table, mp))))
-      }
-      if (entries.isEmpty)
-        return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      val groups = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-      val parts = groups.map { case (pvals, files) =>
-        val base = spark.read.schema(fileSchema).parquet(files: _*)
-        specCols.foldLeft(base) { (acc, c) =>
-          val dt = schema(c).dataType
-          val v = pvals.getOrElse(c, null)
-          val litCol = (v, dt) match {
-            case (null, _) => lit(null).cast(dt)
-            case (days: Int, org.apache.spark.sql.types.DateType) =>
-              lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong)))
-            case (other, _) => lit(other).cast(dt)
-          }
-          acc.withColumn(c, litCol)
-        }.select(schema.fieldNames.map(col): _*)
-      }
-      parts.reduce(_.unionAll(_))
+    val entries: Seq[(String, Map[String, Any])] = manifests.flatMap { mp =>
+      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
     }
+    if (entries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    import org.apache.spark.sql.functions.{col, lit}
+    // one group per (partition-column-set, values): mixed-spec snapshots
+    // (e.g. retained history across a re-layout) read correctly side by side
+    val groups = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
+    val parts = groups.map { case (pvals, files) =>
+      val specCols = schema.fieldNames.filter(pvals.contains).toSeq
+      val fileSchema = StructType(schema.fields.filterNot(f => specCols.contains(f.name)))
+      val base = spark.read.schema(fileSchema).parquet(files: _*)
+      specCols.foldLeft(base) { (acc, c) =>
+        val dt = schema(c).dataType
+        val litCol = (pvals(c), dt) match {
+          case (null, _) => lit(null).cast(dt)
+          case (days: Int, org.apache.spark.sql.types.DateType) =>
+            lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong)))
+          case (other, _) => lit(other).cast(dt)
+        }
+        acc.withColumn(c, litCol)
+      }.select(schema.fieldNames.map(col): _*)
+    }
+    parts.reduce(_.unionAll(_))
   }
 
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the

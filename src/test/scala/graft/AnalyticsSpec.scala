@@ -250,6 +250,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(total % 2 == 0 && total > 0)
   }
 
+  test("islands split exactly at the gap boundary, like session_window") {
+    val sess = spark
+    import sess.implicits._
+    // gaps: 29:59.999 (same session), exactly 30:00 (still the SAME
+    // session — touching windows merge), 30:00.001 (new session)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val df = Seq(
+      (1L, 1L, t0),
+      (1L, 2L, plus(30 * 60 * 1000 - 1)),   // +29:59.999 → same
+      (1L, 3L, plus(2L * 30 * 60 * 1000 - 1)), // +30:00.000 after ev2 → NEW
+      (1L, 4L, plus(3L * 30 * 60 * 1000)))     // +30:00.001 after ev3 → NEW
+      .toDF("user_id", "event_id", "ts")
+    val viaWindow = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val islands = df
+      .withColumn("new_session",
+        when(lag("ts", 1).over(w).isNull ||
+          col("ts") > lag("ts", 1).over(w) + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .agg(sum("new_session")).collect().head.getLong(0)
+    assert(islands == viaWindow, s"islands $islands vs session_window $viaWindow")
+    assert(islands == 2L)
+  }
+
   test("islands sessionization agrees with Spark's session_window") {
     val islands = run("q_sessionize_islands")
     val nIslands = islands.count()

@@ -52,6 +52,28 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("driver-side estimate() agrees with the estimateCol expression") {
+    val sess = spark
+    import sess.implicits._
+    val keys = (1 to 3000).map(i => s"key${i % 41}")
+    val df = keys.toDF("k")
+    val cmsArr = df.select(CountMinSketch.bucketsFor(col("k")).as("bk"))
+      .agg(CountMinSketch.sketch(col("bk")).as("cms"))
+      .collect().head.getSeq[Long](0).toArray
+    val viaExpr = df.distinct()
+      .crossJoin(broadcast(df.select(CountMinSketch.bucketsFor(col("k")).as("bk"))
+        .agg(CountMinSketch.sketch(col("bk")).as("cms"))))
+      .withColumn("est", CountMinSketch.estimateCol(col("cms"), col("k")))
+      .select("k", "est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the driver twin consumes the SAME Spark-computed bucket indices
+    val buckets = df.distinct()
+      .select(col("k"), CountMinSketch.bucketsFor(col("k")).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    for ((k, bk) <- buckets)
+      assert(CountMinSketch.estimate(cmsArr, bk) == viaExpr(k), s"mismatch for $k")
+  }
+
   test("null keys are skipped, not counted or crashing") {
     val sess = spark
     import sess.implicits._
