@@ -898,4 +898,49 @@ class SinkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unsupported Iceberg identity-partition type"))
   }
+
+  test("Iceberg partition values with '+' and '%' round-trip exactly") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "a+b", 1.0), (2L, "c%2Fd", 2.0), (3L, "sp ace", 3.0))
+      .toDF("id", "tag", "v")
+    val table = tmp()
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive, partitionBy = Seq("tag"))
+    val back = IcebergSink.read(spark, table).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("a+b", "c%2Fd", "sp ace"))
+  }
+
+  test("Iceberg time travel reads a pre-re-layout snapshot with ITS OWN partition columns") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    IcebergSink.write(Seq((1L, "en", 1.0), (2L, "de", 2.0)).toDF("id", "lang", "v"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    val snap1 = IcebergSink.snapshots(table).head._1
+    // explicit re-layout on overwrite: now partitioned by id
+    IcebergSink.write(Seq((3L, "fr", 3.0)).toDF("id", "lang", "v"),
+      table, IcebergSink.Overwrite, partitionBy = Seq("id"))
+    // current read sees the new layout
+    assert(IcebergSink.read(spark, table).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // time travel to the old snapshot reconstructs lang from ITS manifests,
+    // not from the current (id) spec
+    val old = IcebergSink.read(spark, table, asOfSnapshotId = Some(snap1))
+      .orderBy("id").collect()
+    assert(old.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "de")))
+  }
+
+  test("Iceberg overwrite without an explicit spec keeps the table partitioned") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    IcebergSink.write(Seq((1L, "en", 1.0)).toDF("id", "lang", "v"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    IcebergSink.write(Seq((2L, "de", 2.0)).toDF("id", "lang", "v"),
+      table, IcebergSink.Overwrite) // no partitionBy → adopt, don't de-partition
+    val meta = Files.readString(Paths.get(table, "metadata", "v1.metadata.json"))
+    assert(meta.contains("\"transform\":\"identity\"") && meta.contains("\"name\":\"lang\""))
+    val back = IcebergSink.read(spark, table).collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("de"))
+  }
 }
