@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   vacuum-delta      <table> [retentionMs]
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
   *   expire-iceberg    <table> [keepLast]
+  *   compact-iceberg   <table>
   *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
   *   pg-to-delta       <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite]
   *   pg-to-iceberg     <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite | --append]
@@ -114,6 +115,9 @@ object Cli {
         val retention = pos.lift(1).map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
         val n = sinks.DeltaSink.vacuum(spark, pos(0), retention)
         println(s"deleted $n files")
+      case "compact-iceberg" =>
+        val (b, a) = sinks.IcebergSink.compact(spark, pos(0))
+        println(s"compacted $b files into $a")
       case "expire-iceberg" =>
         val keep = pos.lift(1).map(_.toInt).getOrElse(2)
         val n = sinks.IcebergSink.expireSnapshots(pos(0), keep)

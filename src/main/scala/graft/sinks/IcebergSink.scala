@@ -469,11 +469,18 @@ object IcebergSink {
     val entries: Seq[(String, Map[String, Any])] = manifests.flatMap { mp =>
       IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
     }
+    readEntries(spark, schema, entries)
+  }
+
+  /** (file, manifest partition values) → DataFrame: one group per
+    * (partition-column-set, values), so mixed-spec snapshots (retained
+    * history across a re-layout) read correctly side by side.
+    */
+  private def readEntries(spark: SparkSession, schema: StructType,
+      entries: Seq[(String, Map[String, Any])]): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     import org.apache.spark.sql.functions.{col, lit}
-    // one group per (partition-column-set, values): mixed-spec snapshots
-    // (e.g. retained history across a re-layout) read correctly side by side
     val groups = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
     val parts = groups.map { case (pvals, files) =>
       val specCols = schema.fieldNames.filter(pvals.contains).toSeq
@@ -491,6 +498,95 @@ object IcebergSink {
       }.select(schema.fieldNames.map(col): _*)
     }
     parts.reduce(_.unionAll(_))
+  }
+
+  /** Manifest-stats file pruning for a numeric range predicate — the
+    * Iceberg twin of DeltaSink.readRange: a file is scanned only when its
+    * manifest [lower, upper] bounds for `column` intersect [lo, hi].
+    * Bounds missing or of an undecodable type keep the file (pruning is
+    * an optimization, never a correctness filter); the exact predicate is
+    * re-applied after the scan. Returns the pruned frame; see
+    * [[planRangeFiles]] for the file-count evidence the tests pin.
+    */
+  def readRange(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    val (schema, kept, _) = planRangeFiles(spark, table, column, lo, hi)
+    import org.apache.spark.sql.functions.col
+    readEntries(spark, schema, kept)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** The pruning plan behind [[readRange]]: (schema, kept entries, total
+    * file count).
+    */
+  def planRangeFiles(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): (StructType, Seq[(String, Map[String, Any])], Int) = {
+    val meta = currentMeta(table)
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val fieldId = schema.fieldNames.indexOf(column) + 1
+    require(fieldId > 0, s"no such column: $column")
+    val dt = schema(column).dataType
+    def dec(b: Array[Byte]): Option[Double] = {
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      dt match {
+        case org.apache.spark.sql.types.IntegerType if b.length == 4 => Some(bb.getInt.toDouble)
+        case org.apache.spark.sql.types.LongType if b.length == 8 => Some(bb.getLong.toDouble)
+        case org.apache.spark.sql.types.FloatType if b.length == 4 => Some(bb.getFloat.toDouble)
+        case org.apache.spark.sql.types.DoubleType if b.length == 8 => Some(bb.getDouble)
+        case _ => None
+      }
+    }
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val list = manifestListOf(table, meta, snapId).get
+    val manifests = Seq(list).flatMap(readManifestPaths(table, _))
+    val entries = manifests.flatMap { mp =>
+      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
+    }
+    val statsByPath: Map[String, IcebergAvro.ColumnStats] = manifests.flatMap { mp =>
+      IcebergAvro.readManifestStats(new File(requireAvro(abs(table, mp))))
+    }.toMap
+    val kept = entries.filter { case (path, _) =>
+      statsByPath.get(path).flatMap { st =>
+        for {
+          l <- st.lowerBounds.get(fieldId).flatMap(dec)
+          u <- st.upperBounds.get(fieldId).flatMap(dec)
+        } yield u >= lo && l <= hi
+      }.getOrElse(true) // no decodable bounds → must scan
+    }
+    (schema, kept, entries.size)
+  }
+
+  /** Bin-packing compaction, the Delta-compact twin: rewrites the CURRENT
+    * visible rows as one Overwrite snapshot sized to ~128 MB outputs
+    * (history retained — [[expireSnapshots]] reclaims the small files
+    * later). Adopts the table's partition spec. Returns (files before,
+    * files after).
+    */
+  def compact(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): (Int, Int) = {
+    def fileCount(): Int = {
+      val meta = currentMeta(table)
+      val list = manifestListOf(table, meta, meta.get("current-snapshot-id").asLong()).get
+      Seq(list).flatMap(readManifestPaths(table, _))
+        .flatMap(mp => dataFilesOf(table, mp)).size
+    }
+    val before = fileCount()
+    val meta = currentMeta(table)
+    val list = manifestListOf(table, meta, meta.get("current-snapshot-id").asLong()).get
+    val totalBytes = Seq(list).flatMap(readManifestPaths(table, _))
+      .flatMap(mp => dataFilesOf(table, mp))
+      .map(p => new File(p).length()).sum
+    val target = math.max(1, math.ceil(totalBytes / 134217728.0).toInt)
+    // re-assert the TABLE's schema (read() surfaces everything nullable;
+    // the rows come from the table itself, so its required-ness holds by
+    // construction) — otherwise the schema gate would reject the rewrite
+    // and an all-nullable schema would drift into the metadata
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val df = spark.createDataFrame(read(spark, table).rdd, schema)
+    writeWithRetry(df.coalesce(target), table, Overwrite, store = store)
+    (before, fileCount())
   }
 
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the

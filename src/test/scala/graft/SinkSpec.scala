@@ -943,4 +943,52 @@ class SinkSpec extends AnyFunSuite {
     val back = IcebergSink.read(spark, table).collect()
     assert(back.map(_.getString(1)).toSeq == Seq("de"))
   }
+
+  test("Iceberg compact bin-packs small files; data and history unchanged") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    IcebergSink.write(Seq((1L, 1.0)).toDF("id", "v"), table, IcebergSink.CreateExclusive)
+    IcebergSink.write(Seq((2L, 2.0)).toDF("id", "v"), table, IcebergSink.Append)
+    IcebergSink.write(Seq((3L, 3.0)).toDF("id", "v"), table, IcebergSink.Append)
+    val preSnaps = IcebergSink.snapshots(table).size
+    val (before, after) = IcebergSink.compact(spark, table)
+    assert(before >= 3 && after < before, s"$before -> $after")
+    assert(IcebergSink.read(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // compaction is one more snapshot; the old ones stay time-travelable
+    assert(IcebergSink.snapshots(table).size == preSnaps + 1)
+  }
+
+  test("Iceberg readRange prunes files via manifest bounds and keeps results exact") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    IcebergSink.write((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    IcebergSink.write((1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      table, IcebergSink.Append)
+    val (_, kept, total) = IcebergSink.planRangeFiles(spark, table, "id", 1000.0, 1050.0)
+    assert(total >= 2 && kept.size < total,
+      s"bounds must prune the low-range file: kept ${kept.size} of $total")
+    val rows = IcebergSink.readRange(spark, table, "id", 1000.0, 1050.0)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(rows.toSeq == (1000L to 1050L).toSeq)
+  }
+
+  test("Iceberg compact preserves the partition layout") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    IcebergSink.write(Seq((1L, "en", 1.0), (2L, "de", 2.0)).toDF("id", "lang", "v"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    IcebergSink.write(Seq((3L, "en", 3.0)).toDF("id", "lang", "v"),
+      table, IcebergSink.Append)
+    IcebergSink.compact(spark, table)
+    val meta = Files.readString(Paths.get(table, "metadata", "v2.metadata.json"))
+    assert(meta.contains("\"name\":\"lang\""), "spec must survive compaction")
+    assert(IcebergSink.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "de"), (3L, "en")))
+  }
 }
