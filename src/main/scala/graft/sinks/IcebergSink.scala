@@ -564,7 +564,9 @@ object IcebergSink {
     * files after).
     */
   def compact(spark: SparkSession, table: String,
-      store: CommitStore = CommitStore.Local): (Int, Int) = {
+      store: CommitStore = CommitStore.Local,
+      zorderBy: Seq[String] = Nil,
+      targetFiles: Option[Int] = None): (Int, Int) = {
     def fileCount(): Int = {
       val meta = currentMeta(table)
       val list = manifestListOf(table, meta, meta.get("current-snapshot-id").asLong()).get
@@ -577,7 +579,8 @@ object IcebergSink {
     val totalBytes = Seq(list).flatMap(readManifestPaths(table, _))
       .flatMap(mp => dataFilesOf(table, mp))
       .map(p => new File(p).length()).sum
-    val target = math.max(1, math.ceil(totalBytes / 134217728.0).toInt)
+    val target = targetFiles.getOrElse(
+      math.max(1, math.ceil(totalBytes / 134217728.0).toInt))
     // re-assert the TABLE's schema (read() surfaces everything nullable;
     // the rows come from the table itself, so its required-ness holds by
     // construction) — otherwise the schema gate would reject the rewrite
@@ -585,7 +588,10 @@ object IcebergSink {
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
     val df = spark.createDataFrame(read(spark, table).rdd, schema)
-    writeWithRetry(df.coalesce(target), table, Overwrite, store = store)
+    val packed =
+      if (zorderBy.isEmpty) df.coalesce(target)
+      else ZOrder.cluster(df, zorderBy, target) // OPTIMIZE ZORDER, shared with DeltaSink
+    writeWithRetry(packed, table, Overwrite, store = store)
     (before, fileCount())
   }
 

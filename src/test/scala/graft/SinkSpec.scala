@@ -991,4 +991,29 @@ class SinkSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "en"), (2L, "de"), (3L, "en")))
   }
+
+  test("Iceberg z-order compact clusters files into narrow, prunable ranges") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    // interleaved writes: ids round-robin across files so every file
+    // initially spans the whole id range (no pruning possible)
+    IcebergSink.write((1L to 400L by 2).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1),
+      table, IcebergSink.CreateExclusive)
+    IcebergSink.write((2L to 400L by 2).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1),
+      table, IcebergSink.Append)
+    val (_, keptBefore, totalBefore) =
+      IcebergSink.planRangeFiles(spark, table, "id", 1.0, 50.0)
+    assert(keptBefore.size == totalBefore, "interleaved layout cannot prune")
+    val (b, a) = IcebergSink.compact(spark, table,
+      zorderBy = Seq("id"), targetFiles = Some(4))
+    assert(a >= 4, s"$b -> $a")
+    val (_, keptAfter, totalAfter) =
+      IcebergSink.planRangeFiles(spark, table, "id", 1.0, 50.0)
+    assert(keptAfter.size < totalAfter,
+      s"z-order must make the range prunable: ${keptAfter.size} of $totalAfter")
+    val rows = IcebergSink.readRange(spark, table, "id", 1.0, 50.0)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(rows.toSeq == (1L to 50L).toSeq)
+  }
 }
