@@ -711,6 +711,36 @@ object AnalyticsQueries extends QueryModule {
              |FROM sa, sb""".stripMargin)),
 
     QueryDef(
+      "q_rollup_time",
+      // Multi-granularity time rollup in ONE pass: (day, hour) rollup via
+      // GROUPING SETS — hourly cells, daily subtotals, and the grand total
+      // come out of a single Expand over one combined-aggregated exchange
+      // instead of three scans. grouping_id() labels the grain.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(
+            date_trunc("day", col("ts")).as("day"),
+            date_trunc("hour", col("ts")).as("hr"),
+            col("value"))
+        ev.createOrReplaceTempView("graft_rollup_time_ev")
+        s.sql("""SELECT day, hr,
+                |  CAST(grouping_id(day, hr) AS BIGINT) AS grain,
+                |  COUNT(*) AS cnt,
+                |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+                |FROM graft_rollup_time_ev
+                |GROUP BY GROUPING SETS ((day, hr), (day), ())
+                |ORDER BY grain, day, hr""".stripMargin)
+      },
+      Some("""SELECT day, hr,
+             |  CAST(grouping(day) * 2 + grouping(hr) AS BIGINT) AS grain,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+             |FROM (SELECT date_trunc('day', ts) AS day,
+             |             date_trunc('hour', ts) AS hr, value FROM events)
+             |GROUP BY GROUPING SETS ((day, hr), (day), ())
+             |ORDER BY grain, day NULLS LAST, hr NULLS LAST""".stripMargin)),
+
+    QueryDef(
       "q_seasonal_profile",
       // Hour-of-day seasonality profile + deseasonalized residuals: per
       // (event_type, hour) mean from exact fixed-point sums (one combined

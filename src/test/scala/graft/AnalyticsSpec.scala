@@ -225,6 +225,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(t - want) < 1e-4, s"t $t vs $want")
   }
 
+  test("time rollup: hourly cells sum to daily subtotals and the grand total") {
+    val r = run("q_rollup_time").collect()
+    val hourly = r.filter(_.getLong(2) == 0)
+    val daily = r.filter(_.getLong(2) == 1)
+    val grand = r.filter(_.getLong(2) == 3)
+    assert(grand.length == 1)
+    assert(hourly.map(_.getLong(3)).sum == grand.head.getLong(3))
+    assert(daily.map(_.getLong(3)).sum == grand.head.getLong(3))
+    // per-day: hours under that day sum to the day's subtotal
+    val byDay = hourly.groupBy(_.getTimestamp(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    for (d <- daily)
+      assert(byDay(d.getTimestamp(0)) == d.getLong(3), s"day ${d.getTimestamp(0)}")
+  }
+
   test("mad outliers: medians match Spark's exact percentile and flags are one-sided") {
     val med = Tables(spark, dir, "events")
       .groupBy("event_type")
