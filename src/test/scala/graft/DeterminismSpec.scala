@@ -24,7 +24,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q_percentile_hist",// histogram two-pass quantiles (bucket arithmetic)
     "q_corpus_shuffle", // hash shuffle key + shard assignment
     "q_pack_sequences", // per-shard cumsum offsets
-    "q_dedup_cluster")  // iterative CC with per-round materialization
+    "q_dedup_cluster",  // iterative CC with per-round materialization
+    "q_stats_moments",  // fixed-point moment sums → double formulas
+    "q_graph_pagerank", // iterated fixed-point joins
+    "q_heavy_hitters",  // CMS merge across partitions feeds a compared bool
+    "q_mad_outliers",   // two-pass windowed medians + threshold filter
+    "q_rfm",            // global NTILE windows with tiebreaks
+    "q_sessionize_islands") // lag + running-sum session numbering
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
