@@ -908,5 +908,155 @@ object AnalyticsQueries extends QueryModule {
              |  COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
              |FROM numbered GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
+
+    QueryDef(
+      "q_trend_ols",
+      // Per-nation OLS trend of order value over time (the "is this segment
+      // growing?" primitive): slope/intercept of o_totalprice regressed on
+      // days-since-1995-01-01, from EXACT integer moment sums (x = day
+      // index, y = price cents; n, Σx, Σy, Σxy, Σx² accumulate as
+      // primitive longs — map-side combine, order-independent) with the
+      // closed-form normal equations run once per nation on doubles. Same
+      // determinism strategy as q_stats_moments: identical long sums →
+      // identical IEEE arithmetic on both engines. One keyed shuffle over
+      // slim (nation, x, y) rows; dims broadcast.
+      (s, dir) => {
+        val x = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+        val y = cents(col("o_totalprice"))
+        val joined = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+        val mm = joined.groupBy("n_name").agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        val slopeC = (nd * d("sxy") - d("sx") * d("sy")) /
+          (nd * d("sxx") - d("sx") * d("sx"))
+        mm.select(
+            col("n_name"), col("n"),
+            toDbl((slopeC / lit(100.0)).cast(Dec38)).as("slope_per_day"),
+            toDbl((((d("sy") - slopeC * d("sx")) / nd) / lit(100.0)).cast(Dec38))
+              .as("intercept"))
+          .orderBy("n_name")
+      },
+      Some("""WITH m AS (SELECT n_name,
+             |  COUNT(*) AS n,
+             |  SUM(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS sx,
+             |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sy,
+             |  SUM(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             |      * CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sxy,
+             |  SUM(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             |      * CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS sxx
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name)
+             |SELECT n_name, CAST(n AS BIGINT) AS n,
+             |  CAST(CAST((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |    / 100.0 AS DECIMAL(38,6)) AS DOUBLE) AS slope_per_day,
+             |  CAST(CAST(((CAST(sy AS DOUBLE)
+             |    - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS DECIMAL(38,6)) AS DOUBLE) AS intercept
+             |FROM m ORDER BY n_name""".stripMargin)),
+
+    QueryDef(
+      "q_scd2_build",
+      // Slowly-changing-dimension type-2 history build from an event log:
+      // per user, consecutive runs of the same event_type collapse to one
+      // validity interval [valid_from, valid_to), valid_to = next run's
+      // start (NULL = current state). Two same-spec windows (lag to detect
+      // run starts, lead over run starts for interval close) → ONE
+      // user-keyed shuffle + per-user sort; the lead runs on the already
+      // run-start-filtered frame. The CDC-to-dimension primitive behind
+      // warehouse history tables.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val starts = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_state", lag("event_type", 1).over(w))
+          .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+          .select(col("user_id"), col("event_id").as("anchor_id"),
+            col("ts").as("valid_from"), col("event_type").as("state"))
+        val w2 = Window.partitionBy("user_id").orderBy("valid_from", "anchor_id")
+        starts
+          .withColumn("valid_to", lead("valid_from", 1).over(w2))
+          .select(col("user_id"), col("anchor_id"), col("state"),
+            col("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from", "anchor_id")
+      },
+      Some("""WITH ordered AS (SELECT user_id, event_id, ts, event_type,
+             |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+             |FROM events),
+             |starts AS (SELECT user_id, event_id AS anchor_id, ts AS valid_from,
+             |  event_type AS state
+             |FROM ordered WHERE prev_state IS NULL OR prev_state <> event_type)
+             |SELECT user_id, anchor_id, state, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, anchor_id) AS valid_to,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, anchor_id) IS NULL AS is_current
+             |FROM starts ORDER BY user_id, valid_from, anchor_id""".stripMargin)),
+
+    QueryDef(
+      "q_changepoint_cusum",
+      // CUSUM changepoint detection per event_type: daily value totals
+      // (exact cents longs), then the cumulative sum of deviations from the
+      // series mean — computed SCALED-EXACT as n·prefix_k − k·total (all
+      // longs; windowed long sums are associative, so partitioning cannot
+      // perturb them — the double division happens once at the end) — and
+      // the day maximizing |CUSUM| flagged as the level-shift point. The
+      // series dimension (types × days) bounds every window, so the sort
+      // after the daily rollup is tiny at any corpus scale; the event-scale
+      // work is one map-side-combined date rollup.
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("x"))
+        val wAll = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wPre = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+        val scored = daily
+          .withColumn("k", row_number().over(wOrd).cast("long"))
+          .withColumn("prefix", sum("x").over(wPre))
+          .withColumn("n_days", count(lit(1)).over(wAll))
+          .withColumn("total", sum("x").over(wAll))
+          .withColumn("cusum_scaled",
+            col("n_days") * col("prefix") - col("k") * col("total"))
+        val pick = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum_scaled")).desc, col("day").asc)
+        scored
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(
+            col("event_type"), col("day").cast("timestamp").as("change_day"),
+            col("n_days"),
+            toDbl((col("cusum_scaled").cast("double") /
+              (col("n_days").cast("double") * lit(100.0))).cast(Dec38))
+              .as("cusum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS x
+             |FROM events GROUP BY 1, 2),
+             |scored AS (SELECT event_type, day,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+             |  SUM(x) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             |  SUM(x) OVER (PARTITION BY event_type) AS total
+             |FROM daily),
+             |flagged AS (SELECT event_type, day, n_days,
+             |  n_days*prefix - k*total AS cusum_scaled,
+             |  ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY ABS(n_days*prefix - k*total) DESC, day) AS rn
+             |FROM scored)
+             |SELECT event_type, CAST(day AS TIMESTAMP) AS change_day, n_days,
+             |  CAST(CAST(CAST(cusum_scaled AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0)
+             |    AS DECIMAL(38,6)) AS DOUBLE) AS cusum
+             |FROM flagged WHERE rn = 1 ORDER BY event_type""".stripMargin)),
   )
 }

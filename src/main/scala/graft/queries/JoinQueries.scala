@@ -411,5 +411,69 @@ object JoinQueries extends QueryModule {
              |  SELECT o_orderkey FROM orders
              |  WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1997-06-01')
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_join_asof_nearest",
+      // Nearest-in-time join (either direction): for each error event, the
+      // closest purchase of the same user — ties at equal distance prefer
+      // the EARLIER (backward) purchase. Composed from TWO passes of the
+      // scalable union+window as-of rewrite: backward = latest purchase
+      // ≤ ts; forward = the same rewrite on NEGATED epoch-micros (latest
+      // −t ⇔ earliest ≥ ts); then a map-side pick of the smaller distance.
+      // Still one shuffle + per-key sort per pass, no per-row subquery —
+      // the lateral-join spelling the oracle uses is O(probe × candidates)
+      // and exists only as the semantic spec. Purchases are deduped per
+      // (user, µs-instant) with max event_id so ties are deterministic.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val pu = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+        val back = graft.operators.Ops.asofJoin(
+          ev,
+          pu.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("p_event_id").as("b_event_id"), col("ts").as("b_ts")),
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "ts", rightTime = "p_ts",
+          valueCols = Seq("b_event_id", "b_ts"))
+        val both = graft.operators.Ops.asofJoin(
+          back.withColumn("neg_ts", -unix_micros(col("ts"))),
+          pu.select(col("user_id").as("p_user"),
+            (-unix_micros(col("ts"))).as("neg_p"),
+            col("p_event_id").as("f_event_id"), col("ts").as("f_ts")),
+          leftKey = "user_id", rightKey = "p_user",
+          leftTime = "neg_ts", rightTime = "neg_p",
+          valueCols = Seq("f_event_id", "f_ts"))
+        val bd = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+        val fd = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+        val useBack = col("b_ts").isNotNull &&
+          (col("f_ts").isNull || bd <= fd)
+        both.select(
+            col("event_id"), col("user_id"), col("ts"),
+            when(useBack, col("b_event_id")).otherwise(col("f_event_id"))
+              .as("near_event_id"),
+            when(useBack, col("b_ts")).otherwise(col("f_ts")).as("near_ts"),
+            when(useBack, bd).otherwise(fd).as("delta_us"))
+          .orderBy("event_id")
+      },
+      // CAST(ts AS TIMESTAMP) truncates DuckDB's nanosecond read to the
+      // microseconds Spark's parquet reader keeps — distances must be
+      // computed on the same precision or sub-µs components flip ranks.
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             |  MAX(event_id) AS p_event_id
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id, CAST(ts AS TIMESTAMP))
+             |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+             |  l.near_event_id, l.near_ts, l.delta_us
+             |FROM events e LEFT JOIN LATERAL (
+             |  SELECT p.p_event_id AS near_event_id, p.p_ts AS near_ts,
+             |    ABS(date_diff('microsecond', CAST(e.ts AS TIMESTAMP), p.p_ts)) AS delta_us
+             |  FROM p WHERE p.user_id = e.user_id
+             |  ORDER BY ABS(date_diff('microsecond', CAST(e.ts AS TIMESTAMP), p.p_ts)), p.p_ts
+             |  LIMIT 1) l ON TRUE
+             |WHERE e.event_type = 'error'
+             |ORDER BY e.event_id""".stripMargin)),
   )
 }

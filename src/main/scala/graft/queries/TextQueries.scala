@@ -605,5 +605,73 @@ object TextQueries extends QueryModule {
              |  FROM documents)
              |SELECT doc_id, source, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
              |FROM base ORDER BY doc_id, epoch""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_keep_best",
+      // Quality-ranked canonical selection (dedup's second half): docs
+      // group by a whitespace-normalized content fingerprint and the BEST
+      // copy survives — longest first (n_chars desc), smallest doc_id as
+      // the tiebreak — unlike q_dedup_exact's min-id-per-exact-text. One
+      // shuffle on the fingerprint; WindowGroupLimit caps per-group rows
+      // ahead of the exchange, so a pathological million-copy group costs
+      // its map tasks one row each, not a reducer melt.
+      (s, dir) => {
+        val fp = md5(regexp_replace(trim(col("text")), "\\s+", " "))
+        val w = Window.partitionBy("fp").orderBy(desc("n_chars"), asc("doc_id"))
+        val wAll = Window.partitionBy("fp")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "documents")
+          .withColumn("fp", fp)
+          .withColumn("group_size", count(lit(1)).over(wAll))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("n_chars"), col("source"),
+            col("group_size"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ranked AS (SELECT doc_id, n_chars, source,
+             |  MD5(regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS fp,
+             |  COUNT(*) OVER (PARTITION BY MD5(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS group_size,
+             |  ROW_NUMBER() OVER (PARTITION BY MD5(regexp_replace(TRIM(text), '\s+', ' ', 'g'))
+             |    ORDER BY n_chars DESC, doc_id) AS rn
+             |FROM documents)
+             |SELECT doc_id, n_chars, source, CAST(group_size AS BIGINT) AS group_size, fp
+             |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_text_diversity",
+      // Lexical-diversity scores per doc — type-token ratio and the
+      // Gini–Simpson index 1 − Σcᵢ²/N² — chosen over entropy precisely
+      // because both are EXACT-integer-derived (counts, Σc²) with one
+      // final IEEE division, so the DuckDB hash-compare holds bit-for-bit
+      // where a log2-based score would ride on libm. Two keyed aggs
+      // ((doc, token) then doc), both map-side combined; the repetition /
+      // boilerplate filter signal for corpus curation.
+      (s, dir) => {
+        val tc = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("sum_c2"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            toDbl((col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+              .cast(Dec38)).as("ttr"),
+            toDbl((lit(1.0) - col("sum_c2").cast("double") /
+              (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+              .cast(Dec38)).as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY doc_id, tok),
+             |agg AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             |  SUM(c*c) AS sum_c2 FROM tc GROUP BY doc_id)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct,
+             |  CAST(CAST(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS ttr,
+             |  CAST(CAST(1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS simpson
+             |FROM agg ORDER BY doc_id""".stripMargin)),
   )
 }

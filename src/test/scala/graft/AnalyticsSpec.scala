@@ -351,4 +351,141 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(byPos.zip(byPos.tail).forall { case (a, c) => a >= c })
     }
   }
+
+  test("OLS trend matches Spark's covar_pop/var_pop slope to 1e-6") {
+    val got = run("q_trend_ols").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val x = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("double")
+    val want = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "nation").select("n_nationkey", "n_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg((covar_pop(x, col("o_totalprice")) / var_pop(x)).as("slope"),
+        avg("o_totalprice").as("ybar"), avg(x).as("xbar"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2) - r.getDouble(1) * r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((n, (s, i)) <- got) {
+      assert(math.abs(s - want(n)._1) < 1e-6, s"slope mismatch for $n")
+      assert(math.abs(i - want(n)._2) < 1e-4, s"intercept mismatch for $n")
+    }
+  }
+
+  test("SCD2 intervals are contiguous, non-overlapping, one current per user") {
+    val rows = run("q_scd2_build")
+      .select("user_id", "state", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(rows.nonEmpty)
+    for ((_, perUser) <- rows.groupBy(_._1)) {
+      val ordered = perUser.sortBy(_._3.getTime)
+      // exactly one open interval, and it is the last
+      assert(ordered.count(_._4.isEmpty) == 1)
+      assert(ordered.last._4.isEmpty)
+      // each interval closes exactly where the next opens; states change
+      for (Array(a, b) <- ordered.sliding(2).map(_.toArray)) {
+        assert(a._4.contains(b._3), "valid_to must equal the next valid_from")
+        assert(a._2 != b._2, "consecutive runs must differ in state")
+      }
+    }
+    // row-level reconciliation: every event's type equals its covering
+    // interval's state (the definition of the history table)
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val byUser = rows.groupBy(_._1)
+    for ((u, ts, tpe) <- ev.take(500)) {
+      val covering = byUser(u).filter(iv =>
+        !iv._3.after(ts) && iv._4.forall(_.after(ts)))
+      assert(covering.map(_._2).distinct.toSeq == Seq(tpe))
+    }
+  }
+
+  test("CUSUM matches a driver-side brute force per event type") {
+    val got = run("q_changepoint_cusum").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3))).toList
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value") * 100 + lit(0.5)).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    for ((tpe, day, cusum) <- got) {
+      val series = daily.filter(_._1 == tpe).sortBy(_._2.getTime)
+      val total = series.map(_._3).sum
+      val n = series.length.toLong
+      val scaled = series.zipWithIndex.map { case ((_, d, _), i) =>
+        val prefix = series.take(i + 1).map(_._3).sum
+        (d, n * prefix - (i + 1) * total)
+      }
+      val best = scaled.maxBy(s => (math.abs(s._2), -s._1.getTime))
+      assert(day.getTime == best._1.getTime, s"wrong change day for $tpe")
+      assert(math.abs(cusum - best._2.toDouble / (n * 100.0)) < 1e-6)
+    }
+  }
+
+  test("nearest join picks the true minimum-distance purchase, backward on ties") {
+    val rows = SparkEntry.queries("q_join_asof_nearest")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        Option(r.get(4)).map(_ => r.getTimestamp(4))))
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.nonEmpty)
+    for ((_, user, ts, near) <- rows.take(500)) {
+      purchases.get(user) match {
+        case None => assert(near.isEmpty)
+        case Some(ps) =>
+          val bestDist = ps.map(p => math.abs(p.getTime - ts.getTime)).min
+          val nearTs = near.get
+          assert(math.abs(nearTs.getTime - ts.getTime) == bestDist)
+          // ties at equal distance resolve to the earlier (backward) side
+          val winners = ps.filter(p => math.abs(p.getTime - ts.getTime) == bestDist)
+          assert(nearTs.getTime == winners.map(_.getTime).min)
+      }
+    }
+  }
+
+  private def runText(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("keep-best survivors carry the max n_chars of their group") {
+    val fpOf = md5(regexp_replace(trim(col("text")), "\\s+", " "))
+    val groups = Tables(spark, dir, "documents")
+      .groupBy(fpOf.as("fp"))
+      .agg(max("n_chars").as("best"), count(lit(1)).as("sz"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = runText("q_dedup_keep_best")
+      .select("fp", "n_chars", "group_size").collect()
+    assert(out.length == groups.size, "exactly one survivor per group")
+    for (r <- out) {
+      val (best, sz) = groups(r.getString(0))
+      assert(r.getLong(1) == best)
+      assert(r.getLong(2) == sz)
+    }
+  }
+
+  test("diversity scores are bounded and match a brute-force doc") {
+    val out = runText("q_text_diversity").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, k, ttr, simpson) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(k <= n && ttr > 0 && ttr <= 1.0)
+      assert(simpson >= 0 && simpson < 1.0)
+      assert(math.abs(ttr - k.toDouble / n) < 1e-6)
+    }
+    // brute-force one doc
+    val doc = Tables(spark, dir, "documents").filter(col("doc_id") === 1)
+      .select("text").collect().head.getString(0)
+    val counts = doc.split(" ", -1).groupBy(identity).map(_._2.length.toLong)
+    val n = counts.sum.toDouble
+    val want = 1.0 - counts.map(c => c.toDouble * c).sum / (n * n)
+    val got = out.find(_.getLong(0) == 1L).get.getDouble(4)
+    assert(math.abs(got - want) < 1e-6)
+  }
 }

@@ -30,7 +30,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q_heavy_hitters",  // CMS merge across partitions feeds a compared bool
     "q_mad_outliers",   // two-pass windowed medians + threshold filter
     "q_rfm",            // global NTILE windows with tiebreaks
-    "q_sessionize_islands") // lag + running-sum session numbering
+    "q_sessionize_islands", // lag + running-sum session numbering
+    "q_trend_ols",      // fixed-point normal equations → double formulas
+    "q_scd2_build",     // lag run-starts + lead interval close
+    "q_changepoint_cusum", // windowed scaled-exact prefix sums + argmax
+    "q_join_asof_nearest", // two as-of passes + distance pick
+    "q_dedup_keep_best",   // fingerprint window ranking
+    "q_text_diversity")    // two keyed aggs → exact-integer divisions
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

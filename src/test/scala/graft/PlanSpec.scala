@@ -252,4 +252,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
     assert(p.contains("c_mktsegment"), "segment filter must prune before the join")
   }
+
+  test("q_trend_ols: dims broadcast, moment sums combine map-side") {
+    val p = plan("q_trend_ols")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"normal-equation sums must pre-aggregate map-side:\n$p")
+  }
+
+  test("q_scd2_build: lag and lead share one user-keyed sort — one shuffle") {
+    val p = plan("q_scd2_build")
+    // one Exchange into the window stack, one for the final ORDER BY
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2,
+      s"run-start lag and interval-close lead must reuse one shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_changepoint_cusum: event-scale work is one combined rollup; argmax is group-limited") {
+    val p = plan("q_changepoint_cusum")
+    assert(p.contains("partial_sum"), s"daily rollup must combine map-side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-type argmax pick must bound rows before the rank filter:\n$p")
+  }
+
+  test("q_join_asof_nearest: two as-of passes, keyed shuffles only — no per-row subquery shapes") {
+    val p = plan("q_join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest join must stay a union+window rewrite:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 2,
+      s"expected one window pass per direction:\n$p")
+  }
+
+  test("q_dedup_keep_best: survivor rank is group-limited ahead of the filter") {
+    val p = plan("q_dedup_keep_best")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 filter must push a per-group limit below the window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_diversity: both aggregations combine map-side") {
+    val p = plan("q_text_diversity")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"token and doc aggs must pre-aggregate:\n$p")
+  }
 }
