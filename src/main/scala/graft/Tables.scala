@@ -36,16 +36,40 @@ object Tables {
         // schema and normalize both to session-zone TIMESTAMP (the session
         // is pinned UTC, so the NTZ wall-clock maps to the same instant
         // the oracle sees).
-        import org.apache.spark.sql.functions.{col, expr}
-        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.schema("ts").dataType match {
-          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-          case _ => raw // already session-zone TIMESTAMP
-        }
+        normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
+
+  /** The ts-normalization transform shared by batch and streaming reads of
+    * the events table (see the layout note above): raw-nanos LongType and
+    * TIMESTAMP_NTZ both become session-zone TIMESTAMP.
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already session-zone TIMESTAMP
+    }
+  }
+
+  /** The events table as an UNBOUNDED file-source stream (schema pinned
+    * from the footer, same ts normalization as the batch path) — the input
+    * for the e2e streaming declarations (q_stream_upsert) and any
+    * readStream-based test that wants the real corpus instead of a
+    * MemoryStream.
+    */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val footer = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source accepts only directories or globs (it
+    // monitors for file arrivals); the corpus is one file per table, so
+    // glob it, anchored at the corpus dir for partition discovery
+    normalizeEventsTs(
+      spark.readStream.schema(footer).option("basePath", dir)
+        .parquet(s"$dir/events*.parquet"))
   }
 }

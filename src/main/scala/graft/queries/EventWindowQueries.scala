@@ -201,6 +201,54 @@ object EventWindowQueries extends QueryModule {
              |ORDER BY user_id, click_id, buy_id""".stripMargin)),
 
     QueryDef(
+      "q_stream_upsert",
+      // END-TO-END STREAMING declaration (unlike the batch twins above,
+      // this one really streams): the events parquet is read as a
+      // file-source stream (Trigger.AvailableNow), each micro-batch
+      // CDC-upserts its latest row per user into a Delta table
+      // (StreamOps.upsertLatestToDelta — newer-wins merge, idempotent on
+      // at-least-once replay), and the materialized latest-state table is
+      // read back through the Delta log. The oracle is the batch
+      // definition of the same state: last event per user by (µs-ts,
+      // event_id). StreamingSpec drives the multi-batch + replay
+      // semantics through MemoryStream; this declaration proves the
+      // file-source → foreachBatch → merge → log-read loop end-to-end.
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val cols = Seq("user_id", "event_id", "ts", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-stream-upsert").toString
+        // seed the target with the stream's schema (empty)
+        graft.sinks.DeltaSink.write(
+          t(s, dir, "events").select(cols.map(col): _*).limit(0),
+          table, overwrite = true)
+        val stream = graft.Tables.streamEvents(s, dir).select(cols.map(col): _*)
+        val q = stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              graft.streaming.StreamOps.upsertBatch(
+                batch, table, keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+          }
+          .start()
+        q.awaitTermination()
+        graft.sinks.DeltaSink.read(s, table)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("ts").as("last_ts"), col("event_type").as("state"),
+            col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ranked AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts_us,
+             |  event_type, value,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             |FROM events)
+             |SELECT user_id, event_id AS last_event_id, ts_us AS last_ts,
+             |  event_type AS state, value AS last_value
+             |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
       "q_resample_gapfill",
       // Time-series resampling with gap fill: every (1-hour bucket ×
       // event_type) cell over the corpus's full time range, zero-filled

@@ -265,5 +265,76 @@ object ExtendedRelQueries extends QueryModule {
              |  (SELECT MAX(o_totalprice) FROM orders o
              |   WHERE o.o_custkey = c.c_custkey) AS max_order
              |FROM customer c ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_winsorize",
+      // Winsorized robust aggregation: per-priority p05/p95 cutpoints
+      // (the q_percentile single-window recipe — quantile_cont-identical
+      // interpolation), values outside clamp to the cutpoint, and the
+      // winsorized mean is assembled from EXACT components so the
+      // cross-engine hash holds: (S_mid/100 + n_lo·p05 + n_hi·p95)/n,
+      // where S_mid (cents of strictly-inside values), n_lo, n_hi, n are
+      // all primitive-long aggregates and the formula is one fixed IEEE
+      // op sequence mirrored token-for-token in the oracle — never a sum
+      // of arbitrary doubles, whose addition order partitioning would
+      // perturb. Cutpoint frame is group-count-sized → broadcast back.
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("v")
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val ranked = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice").cast("double").as("v"))
+          .withColumn("idx", (row_number().over(w) - lit(1)).cast("double"))
+          .withColumn("cnt", count(lit(1)).over(wAll).cast("double"))
+        def pos(p: Double) = (col("cnt") - 1) * lit(p)
+        def vAt(c: Column) = max(when(col("idx") === c, col("v")))
+        def interp(lo: Column, hi: Column, p: Double, n: Column) = {
+          val position = (n - 1) * lit(p)
+          lo + (hi - lo) * (position - floor(position))
+        }
+        val cuts = ranked
+          .filter(col("idx") === floor(pos(0.05)) || col("idx") === ceil(pos(0.05)) ||
+            col("idx") === floor(pos(0.95)) || col("idx") === ceil(pos(0.95)))
+          .groupBy("o_orderpriority")
+          .agg(vAt(floor(pos(0.05))).as("lo05"), vAt(ceil(pos(0.05))).as("hi05"),
+            vAt(floor(pos(0.95))).as("lo95"), vAt(ceil(pos(0.95))).as("hi95"),
+            max(col("cnt")).as("nq"))
+          .select(col("o_orderpriority").as("cut_prio"),
+            interp(col("lo05"), col("hi05"), 0.05, col("nq")).as("p05"),
+            interp(col("lo95"), col("hi95"), 0.95, col("nq")).as("p95"))
+        t(s, dir, "orders")
+          .join(broadcast(cuts), col("o_orderpriority") === col("cut_prio"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("o_totalprice") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+            sum(when(col("o_totalprice") >= col("p05") && col("o_totalprice") <= col("p95"),
+              cents(col("o_totalprice"))).otherwise(0L)).as("s_mid"),
+            max(col("p05")).as("p05"), max(col("p95")).as("p95"))
+          .select(col("o_orderpriority"), col("n"), col("n_lo"), col("n_hi"),
+            toDbl(col("p05").cast(Dec38)).as("p05"),
+            toDbl(col("p95").cast(Dec38)).as("p95"),
+            toDbl((((col("s_mid").cast("double") / lit(100.0)) +
+              col("n_lo").cast("double") * col("p05") +
+              col("n_hi").cast("double") * col("p95")) / col("n").cast("double"))
+              .cast(Dec38)).as("winsor_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH cut AS (SELECT o_orderpriority AS cut_prio,
+             |  quantile_cont(o_totalprice, 0.05) AS p05,
+             |  quantile_cont(o_totalprice, 0.95) AS p95
+             |FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             |  CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |  CAST(CAST(p05 AS DECIMAL(38,6)) AS DOUBLE) AS p05,
+             |  CAST(CAST(p95 AS DECIMAL(38,6)) AS DOUBLE) AS p95,
+             |  CAST(CAST(((CAST(SUM(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95
+             |      THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0)
+             |    + CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS DOUBLE) * p05
+             |    + CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS DOUBLE) * p95)
+             |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS winsor_mean
+             |FROM orders JOIN cut ON o_orderpriority = cut_prio
+             |GROUP BY o_orderpriority, p05, p95 ORDER BY o_orderpriority""".stripMargin)),
   )
 }

@@ -469,6 +469,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorized mean matches a driver-side brute force") {
+    val out = runText("q_winsorize").collect()
+    assert(out.nonEmpty)
+    val byPrio = Tables(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    for (r <- out) {
+      val (prio, n, nLo, nHi, p05, p95, wm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val vs = byPrio(prio).map(_._2).sorted
+      assert(n == vs.length)
+      // quantile_cont interpolation brute force
+      def q(p: Double): Double = {
+        val pos = (vs.length - 1) * p
+        val (lo, hi) = (vs(pos.toInt), vs(math.ceil(pos).toInt))
+        lo + (hi - lo) * (pos - math.floor(pos))
+      }
+      assert(math.abs(p05 - q(0.05)) < 1e-6)
+      assert(math.abs(p95 - q(0.95)) < 1e-6)
+      assert(nLo == vs.count(_ < q(0.05)) && nHi == vs.count(_ > q(0.95)))
+      val want = vs.map(v => math.max(q(0.05), math.min(q(0.95), v))).sum / n
+      assert(math.abs(wm - want) < 1e-4)
+      assert(wm >= p05 && wm <= p95)
+    }
+  }
+
   test("diversity scores are bounded and match a brute-force doc") {
     val out = runText("q_text_diversity").collect()
     assert(out.nonEmpty)

@@ -36,7 +36,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_changepoint_cusum", // windowed scaled-exact prefix sums + argmax
     "q_join_asof_nearest", // two as-of passes + distance pick
     "q_dedup_keep_best",   // fingerprint window ranking
-    "q_text_diversity")    // two keyed aggs → exact-integer divisions
+    "q_text_diversity",    // two keyed aggs → exact-integer divisions
+    "q_winsorize")         // interpolated cutpoints + exact-component mean
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

@@ -291,6 +291,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_winsorize: cutpoint frame broadcasts back — no shuffle join, no cartesian") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"cuts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_diversity: both aggregations combine map-side") {
     val p = plan("q_text_diversity")
     assert(p.contains("partial_sum") && p.contains("partial_count"),
