@@ -241,7 +241,8 @@ object IcebergSink {
 
   def write(df: DataFrame, table: String, mode: WriteMode,
       store: CommitStore = CommitStore.Local,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      summaryProps: Map[String, String] = Map.empty): Unit = {
     val hint = readHint(table)
     if (hint.isDefined && mode == CreateExclusive)
       throw new IllegalStateException(
@@ -391,13 +392,18 @@ object IcebergSink {
       prev.get("snapshots").elements().asScala.foreach(s =>
         snapshots.add(s.deepCopy[ObjectNode]()))
     }
-    snapshots.addObject()
+    val summary = snapshots.addObject()
       .put("snapshot-id", snapshotId)
       .put("sequence-number", seq)
       .put("timestamp-ms", System.currentTimeMillis())
       .put("manifest-list", s"metadata/${listPath.getFileName}")
       .put("schema-id", 0)
-      .putObject("summary").put("operation", "append")
+      .putObject("summary")
+    summary.put("operation", "append")
+    // caller-stamped summary properties (e.g. the streaming txn watermark
+    // graft.txn-app-id / graft.txn-batch-id — Iceberg's standard place for
+    // engine bookkeeping is the snapshot summary map)
+    summaryProps.foreach { case (k, v) => summary.put(k, v) }
     meta.put("current-snapshot-id", snapshotId)
     meta.putObject("refs").putObject("main")
       .put("snapshot-id", snapshotId).put("type", "branch")
@@ -432,16 +438,50 @@ object IcebergSink {
     */
   def writeWithRetry(df: DataFrame, table: String, mode: WriteMode,
       retries: Int = OccRetries, store: CommitStore = CommitStore.Local,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      summaryProps: Map[String, String] = Map.empty): Unit = {
     var attempt = 0
     while (true) {
-      try { write(df, table, mode, store, partitionBy); return }
+      try { write(df, table, mode, store, partitionBy, summaryProps); return }
       catch {
         case e: OptimisticConcurrencyException =>
           attempt += 1
           if (attempt > retries) throw e
       }
     }
+  }
+
+  private val TxnAppKey = "graft.txn-app-id"
+  private val TxnBatchKey = "graft.txn-batch-id"
+
+  /** Highest batch id committed for `appId`, from the snapshot summaries
+    * (−1 if none). The Iceberg twin of DeltaSink.lastTxnVersion — the
+    * summary map is the format's standard home for engine bookkeeping, and
+    * it survives expireSnapshots as long as any stamped snapshot does.
+    */
+  def lastTxnBatch(table: String, appId: String): Long = {
+    if (readHint(table).isEmpty) return -1L
+    val meta = currentMeta(table)
+    meta.get("snapshots").elements().asScala.flatMap { s =>
+      Option(s.get("summary")).filter(su =>
+        su.has(TxnAppKey) && su.get(TxnAppKey).asText() == appId)
+        .map(_.get(TxnBatchKey).asText().toLong)
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** Exactly-once streaming append: commits the batch as one snapshot
+    * stamped with (appId, batchId) in its summary; a replay of an
+    * already-committed batch id (crash between Iceberg commit and the
+    * stream's own checkpoint — foreachBatch's at-least-once gap) no-ops.
+    * Returns the committed snapshot's sequence number, or −1 on replay.
+    * The table must already exist (create via [[write]]).
+    */
+  def appendExactlyOnce(df: DataFrame, table: String, appId: String,
+      batchId: Long, store: CommitStore = CommitStore.Local): Long = {
+    if (batchId <= lastTxnBatch(table, appId)) return -1L
+    writeWithRetry(df, table, Append, store = store,
+      summaryProps = Map(TxnAppKey -> appId, TxnBatchKey -> batchId.toString))
+    snapshots(table).last._2
   }
 
   /** Reads the table at its current version (hint → metadata → current

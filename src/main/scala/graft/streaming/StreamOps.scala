@@ -177,6 +177,21 @@ object StreamOps {
       }
       .start()
 
+  /** Exactly-once streaming ingest into ICEBERG — the other sink format's
+    * twin of [[streamToDelta]]: each micro-batch commits as one snapshot
+    * stamped with (appId, batchId) in its summary, and replays of
+    * already-committed batch ids no-op against the summary watermark
+    * (IcebergSink.appendExactlyOnce). The target table must already exist.
+    */
+  def streamToIceberg(stream: DataFrame, table: String,
+      appId: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sinks.IcebergSink.appendExactlyOnce(batch, table, appId, batchId): Unit
+      }
+      .start()
+
   /** One micro-batch of CDC upsert (the body of [[upsertLatestToDelta]],
     * exposed so tests can drive replay semantics directly): the batch
     * reduces to its latest row per key under `orderCols` (lexicographic,

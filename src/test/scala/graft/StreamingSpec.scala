@@ -449,6 +449,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("exactly-once Iceberg ingest: snapshots carry the txn summary, replays no-op") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-stream-iceberg").toString
+    graft.sinks.IcebergSink.write(
+      Seq((0L, "seed")).toDF("event_id", "event_type"),
+      table, graft.sinks.IcebergSink.CreateExclusive)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.streamToIceberg(
+      input.toDF().select($"event_id", $"event_type"), table, appId = "ice-ingest")
+    try {
+      input.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "b", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(2), 2, "c", 1.0))
+      q.processAllAvailable()
+      val got = graft.sinks.IcebergSink.read(spark, table)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(0L, 1L, 2L, 3L))
+      val wm = graft.sinks.IcebergSink.lastTxnBatch(table, "ice-ingest")
+      assert(wm >= 1L)
+      // crash-replay of an already-committed batch must be a no-op
+      val replayed = graft.sinks.IcebergSink.appendExactlyOnce(
+        Seq((1L, "a")).toDF("event_id", "event_type"), table, "ice-ingest", wm)
+      assert(replayed == -1L)
+      assert(graft.sinks.IcebergSink.read(spark, table).count() == 4)
+      // a different app's watermark is independent
+      assert(graft.sinks.IcebergSink.lastTxnBatch(table, "other-app") == -1L)
+      // the next batch id commits
+      val seq2 = graft.sinks.IcebergSink.appendExactlyOnce(
+        Seq((4L, "d")).toDF("event_id", "event_type"), table, "ice-ingest", wm + 1)
+      assert(seq2 > 0)
+      assert(graft.sinks.IcebergSink.read(spark, table).count() == 5)
+    } finally q.stop()
+  }
+
   test("CDC upsert stream: newer wins across batches, replay is a no-op") {
     val spark = TestSpark.spark
     import spark.implicits._
