@@ -1058,5 +1058,47 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(CAST(CAST(cusum_scaled AS DOUBLE) / (CAST(n_days AS DOUBLE) * 100.0)
              |    AS DECIMAL(38,6)) AS DOUBLE) AS cusum
              |FROM flagged WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_rolling_actives",
+      // DAU / WAU / stickiness per day — the rolling-distinct problem
+      // solved WITHOUT a band join: each (day, user) pair contributes to
+      // report days [day, day+6] via a map-side 7-row explode, so the
+      // rolling-7-day distinct is one plain keyed distinct-agg (DAU rides
+      // along as the i=0 contributions). The naive spelling — a
+      // day-grid-to-activity range join — plans as a nested loop and
+      // rescans the activity set per day; this shape scans once, shuffles
+      // (report_day, user) pairs, and never joins. Stickiness dau/wau is
+      // an exact-integer division (bit-identical cross-engine).
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val maxDay = du.agg(max("day").as("mxd"))
+        du.select(col("day"), col("user_id"), explode(sequence(lit(0), lit(6))).as("i"))
+          .select(date_add(col("day"), col("i")).as("report_day"),
+            col("user_id"), col("i"))
+          .crossJoin(broadcast(maxDay))
+          .filter(col("report_day") <= col("mxd"))
+          .groupBy("report_day")
+          .agg(
+            countDistinct(when(col("i") === 0, col("user_id"))).as("dau"),
+            countDistinct(col("user_id")).as("wau"))
+          .select(col("report_day").cast("timestamp").as("report_day"),
+            col("dau"), col("wau"),
+            toDbl((col("dau").cast("double") / col("wau").cast("double"))
+              .cast(Dec38)).as("stickiness"))
+          .orderBy("report_day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |mx AS (SELECT MAX(day) AS mxd FROM du),
+             |contrib AS (SELECT day + CAST(i AS INTEGER) AS report_day, user_id, i
+             |  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) t)
+             |SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+             |  CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT) AS dau,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+             |  CAST(CAST(CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) AS DOUBLE)
+             |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS stickiness
+             |FROM contrib, mx WHERE report_day <= mxd
+             |GROUP BY report_day ORDER BY report_day""".stripMargin)),
   )
 }

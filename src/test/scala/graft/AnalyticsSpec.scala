@@ -450,6 +450,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling actives: wau >= dau, and wau equals a brute-force 7-day union") {
+    val rows = run("q_rolling_actives").collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val activity = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    for ((day, dau, wau) <- rows) {
+      assert(wau >= dau)
+      val want = activity.filter { case (d, _) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(7)) }.map(_._2).distinct.length
+      assert(wau == want, s"wau mismatch on $day")
+      val wantDau = activity.count(_._1 == day)
+      assert(dau == wantDau, s"dau mismatch on $day")
+    }
+  }
+
   private def runText(name: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 

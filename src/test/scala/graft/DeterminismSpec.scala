@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_join_asof_nearest", // two as-of passes + distance pick
     "q_dedup_keep_best",   // fingerprint window ranking
     "q_text_diversity",    // two keyed aggs → exact-integer divisions
-    "q_winsorize")         // interpolated cutpoints + exact-component mean
+    "q_winsorize",         // interpolated cutpoints + exact-component mean
+    "q_rolling_actives")   // explode-based rolling distinct + exact ratio
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

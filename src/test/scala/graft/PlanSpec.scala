@@ -297,6 +297,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_rolling_actives: rolling distinct via explode — no range join") {
+    val p = plan("q_rolling_actives")
+    // the only nested-loop shape allowed is the 1-row max-day broadcast
+    // attach (same as the funnel's count attach); the 7-day membership
+    // itself must come from the map-side explode, never a day×activity
+    // range join — so no SortMergeJoin / CartesianProduct anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the 7-day window must come from the map-side explode, not a range join:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"expected the contribution explode:\n$p")
+  }
+
   test("q_text_diversity: both aggregations combine map-side") {
     val p = plan("q_text_diversity")
     assert(p.contains("partial_sum") && p.contains("partial_count"),
