@@ -1100,5 +1100,51 @@ object AnalyticsQueries extends QueryModule {
              |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS stickiness
              |FROM contrib, mx WHERE report_day <= mxd
              |GROUP BY report_day ORDER BY report_day""".stripMargin)),
+
+    QueryDef(
+      "q_cohort_ltv",
+      // Cohort lifetime-value curve: customers cohort by the YEAR of their
+      // first order; each cohort's revenue accumulates over months-since-
+      // first-order (exact cents sums; the running sum is a window over
+      // the cohort×offset frame — tiny by construction at any corpus
+      // scale, like the retention triangle). Two keyed aggregations on
+      // customer-dimension-sized data + one small-frame window; the
+      // orders-scale work is one map-side-combined rollup.
+      (s, dir) => {
+        val first = t(s, dir, "orders")
+          .groupBy("o_custkey").agg(min("o_orderdate").as("first_dt"))
+        val cells = t(s, dir, "orders")
+          .join(first, "o_custkey")
+          .select(year(col("first_dt")).as("cohort_year"),
+            (months_between(date_trunc("month", col("o_orderdate")),
+              date_trunc("month", col("first_dt")))).cast("long").as("month_offset"),
+            cents(col("o_totalprice")).as("rev_c"))
+          .groupBy("cohort_year", "month_offset")
+          .agg(sum("rev_c").as("rev_c"), count(lit(1)).as("n_orders"))
+        val w = Window.partitionBy("cohort_year").orderBy("month_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_c", sum("rev_c").over(w))
+          .select(col("cohort_year").cast("long").as("cohort_year"),
+            col("month_offset"), col("n_orders"),
+            toDbl((col("rev_c").cast("double") / lit(100.0)).cast(Dec38)).as("revenue"),
+            toDbl((col("cum_c").cast("double") / lit(100.0)).cast(Dec38)).as("cum_revenue"))
+          .orderBy("cohort_year", "month_offset")
+      },
+      Some("""WITH first AS (SELECT o_custkey, MIN(o_orderdate) AS first_dt
+             |  FROM orders GROUP BY o_custkey),
+             |cells AS (SELECT CAST(EXTRACT(YEAR FROM f.first_dt) AS BIGINT) AS cohort_year,
+             |  CAST(DATEDIFF('month', date_trunc('month', f.first_dt),
+             |    date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_offset,
+             |  SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS rev_c,
+             |  COUNT(*) AS n_orders
+             |FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+             |GROUP BY 1, 2)
+             |SELECT cohort_year, month_offset, n_orders,
+             |  CAST(CAST(CAST(rev_c AS DOUBLE) / 100.0 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+             |  CAST(CAST(CAST(SUM(rev_c) OVER (PARTITION BY cohort_year ORDER BY month_offset
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             |    AS DECIMAL(38,6)) AS DOUBLE) AS cum_revenue
+             |FROM cells ORDER BY cohort_year, month_offset""".stripMargin)),
   )
 }

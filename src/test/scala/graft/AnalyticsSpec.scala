@@ -468,6 +468,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort LTV: cumulative revenue is monotone and closes at the cohort total") {
+    val rows = run("q_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    for ((_, perCohort) <- rows.groupBy(_._1)) {
+      val ordered = perCohort.sortBy(_._2)
+      // cum is monotone non-decreasing and each step adds that cell's revenue
+      for (Array(a, b) <- ordered.sliding(2).map(_.toArray)) {
+        assert(b._4 >= a._4)
+        assert(math.abs(b._4 - (a._4 + b._3)) < 1e-4)
+      }
+      assert(math.abs(ordered.last._4 - ordered.map(_._3).sum) < 1e-3)
+    }
+    // grand total reconciles with the orders table
+    val total = rows.groupBy(_._1).map(_._2.maxBy(_._2)._4).sum
+    val want = Tables(spark, dir, "orders")
+      .agg(sum((col("o_totalprice") * 100 + lit(0.5)).cast("long")))
+      .collect().head.getLong(0) / 100.0
+    assert(math.abs(total - want) < 1e-2)
+  }
+
   private def runText(name: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
