@@ -945,10 +945,15 @@ object DeltaSink {
     // readers, written by some engines) would otherwise thread `null`
     // downstream — an evolving append would literally record the string
     // "null" and every checkpoint would mint a different random id
-    // (ADVICE r7). Mint ONCE here: the first action that re-writes
-    // metaData (evolution or checkpoint) then persists this id into the
-    // log and it stays stable for the table's remaining lifetime.
-    if (tableId == null) tableId = java.util.UUID.randomUUID().toString
+    // (ADVICE r7). Derive DETERMINISTICALLY from the table location so
+    // every replay — including two concurrent ones that each re-write
+    // metaData (checkpoint vs evolving append) before either persists —
+    // agrees on the same id; the first persisted metaData then fixes it
+    // for the table's remaining lifetime.
+    if (tableId == null)
+      tableId = java.util.UUID.nameUUIDFromBytes(
+        logDir(table).toAbsolutePath.normalize.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     val version = tail.lastOption.map(_.getName.stripSuffix(".json").toLong)
       .orElse(ckptV).get
 

@@ -814,6 +814,12 @@ class SinkSpec extends AnyFunSuite {
       .find(_.contains("\"metaData\"")).get
     val id = metaLine.split("\"id\":\"")(1).takeWhile(_ != '"')
     assert(id != "null" && java.util.UUID.fromString(id) != null)
+    // the mint is DETERMINISTIC (location-derived): two concurrent replays
+    // that each re-write metaData before either persists still agree
+    val expected = java.util.UUID.nameUUIDFromBytes(
+      logDir.toPath.toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    assert(id == expected, "minted id must be derived from the table location")
     // and a checkpoint reuses the id the evolution persisted — no drift
     DeltaSink.checkpoint(spark, table)
     val ckptId = spark.read
