@@ -136,5 +136,33 @@ object AggQueries extends QueryModule {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "q_agg_mode",
+      // Deterministic MODE per group: each customer's most frequent order
+      // priority, ties broken by the larger priority string. Two shuffles,
+      // both map-side combined: (custkey, priority) counts, then a per-key
+      // max over (cnt, priority) structs — lexicographic struct max IS the
+      // argmax, so no window/sort is ever needed and the second agg's input
+      // is already count-collapsed (≤ |priorities| rows per customer).
+      // The scale shape of "most common value per key" (mode of language
+      // per domain, top label per user, ...) without a per-group sort.
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy("o_custkey", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("o_custkey")
+          .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("m"))
+          .select(col("o_custkey"),
+            col("m.o_orderpriority").as("mode_priority"),
+            col("m.cnt").as("cnt"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH c AS (SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+             |          FROM orders GROUP BY 1, 2),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |        ORDER BY cnt DESC, o_orderpriority DESC) AS rn FROM c)
+             |SELECT o_custkey, o_orderpriority AS mode_priority, cnt
+             |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
   )
 }

@@ -38,6 +38,24 @@ object AnalyticsQueries extends QueryModule {
   private val nd = col("n").cast("double")
   private def d(c: String) = col(c).cast("double")
 
+  /** SCD2 state history from the event log (shared by q_scd2_build and
+    * q_scd2_pit): per user, consecutive runs of the same event_type
+    * collapse to one validity interval [valid_from, valid_to), valid_to =
+    * next run's start (NULL = current). Two same-spec windows → ONE
+    * user-keyed shuffle + per-user sort.
+    */
+  private def scd2States(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val starts = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_state", lag("event_type", 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .select(col("user_id"), col("event_id").as("anchor_id"),
+        col("ts").as("valid_from"), col("event_type").as("state"))
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from", "anchor_id")
+    starts.withColumn("valid_to", lead("valid_from", 1).over(w2))
+  }
+
   /** Undirected unique edges (src < dst) of the shared-3-gram document
     * graph over the bounded doc set — the same graph q_graph_pagerank
     * walks (there symmetrized), reused by the triangle/degree queries.
@@ -973,16 +991,7 @@ object AnalyticsQueries extends QueryModule {
       // run-start-filtered frame. The CDC-to-dimension primitive behind
       // warehouse history tables.
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val starts = t(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-          .withColumn("prev_state", lag("event_type", 1).over(w))
-          .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
-          .select(col("user_id"), col("event_id").as("anchor_id"),
-            col("ts").as("valid_from"), col("event_type").as("state"))
-        val w2 = Window.partitionBy("user_id").orderBy("valid_from", "anchor_id")
-        starts
-          .withColumn("valid_to", lead("valid_from", 1).over(w2))
+        scd2States(s, dir)
           .select(col("user_id"), col("anchor_id"), col("state"),
             col("valid_from"), col("valid_to"),
             col("valid_to").isNull.as("is_current"))
@@ -1146,5 +1155,46 @@ object AnalyticsQueries extends QueryModule {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
              |    AS DECIMAL(38,6)) AS DOUBLE) AS cum_revenue
              |FROM cells ORDER BY cohort_year, month_offset""".stripMargin)),
+
+    QueryDef(
+      "q_scd2_pit",
+      // Point-in-time dimension lookup: each order joined to the customer's
+      // SCD2 state (q_scd2_build history) valid AT o_orderdate — the
+      // warehouse "dimension as of the fact's timestamp" join. Written as
+      // interval containment (valid_from <= t < valid_to) it's a band
+      // join; because SCD2 intervals PARTITION time per key, it is exactly
+      // an as-of join against the state-change rows, so the scalable
+      // union+window rewrite (Ops.asofJoin: one key shuffle, per-key sort,
+      // zero nested loop) applies. Empty intervals (two runs starting at
+      // the same timestamp — the earlier gets valid_to = valid_from) match
+      // nothing under containment and are filtered before the as-of so
+      // (key, time) stays unique. The oracle is the containment join
+      // itself: as-of ≡ interval containment, checked row-for-row.
+      (s, dir) => {
+        val changes = scd2States(s, dir)
+          .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+          .select("user_id", "valid_from", "state")
+        val od = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        graft.operators.Ops.asofJoin(od, changes,
+            leftKey = "o_custkey", rightKey = "user_id",
+            leftTime = "o_orderdate", rightTime = "valid_from",
+            valueCols = Seq("state"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH ordered AS (SELECT user_id, event_id, ts, event_type,
+             |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+             |FROM events),
+             |starts AS (SELECT user_id, event_id AS anchor_id, ts AS valid_from,
+             |  event_type AS state
+             |FROM ordered WHERE prev_state IS NULL OR prev_state <> event_type),
+             |scd AS (SELECT user_id, state, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, anchor_id) AS valid_to
+             |FROM starts)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, s.state
+             |FROM orders o LEFT JOIN scd s
+             |  ON o.o_custkey = s.user_id AND s.valid_from <= o.o_orderdate
+             | AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+             |ORDER BY o.o_orderkey""".stripMargin)),
   )
 }

@@ -288,5 +288,44 @@ object EventWindowQueries extends QueryModule {
              |FROM grid g CROSS JOIN types t
              |LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = t.event_type
              |ORDER BY g.bucket, t.event_type""".stripMargin)),
+
+    QueryDef(
+      "q_incremental_mv",
+      // Incremental materialized-view maintenance from the Delta change
+      // feed: an aggregate table (count + exact sum per event_type) is
+      // built from an initial snapshot, a second batch is appended, and the
+      // view is brought current by aggregating ONLY the changed rows
+      // (DeltaSink.readChangesSince) and additively merging the partials —
+      // never re-scanning the base table. count/sum are self-mergeable;
+      // the merge input is two view-sized frames, so refresh cost scales
+      // with the DELTA, not the table — the whole point at 100 TB, where
+      // the base is petabytes and a batch is gigabytes. The oracle is the
+      // full recompute over all events: incremental ≡ from-scratch.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-imv").toString
+        graft.sinks.DeltaSink.write(
+          ev.filter(col("event_id") % 2 === 0), table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        // view state after the initial build: exact mergeable partials
+        // (count, cents-long sum) — the stored MV schema
+        val base = graft.sinks.DeltaSink.read(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sv"))
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        // refresh: aggregate the feed rows of versions (v0, latest] only
+        val delta = graft.sinks.DeltaSink.readChangesSince(s, table, v0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sv"))
+        base.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum(col("n")).as("n_events"),
+            (sum(col("sv")).cast("double") / 100.0).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -673,5 +673,46 @@ object TextQueries extends QueryModule {
              |  CAST(CAST(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS ttr,
              |  CAST(CAST(1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS simpson
              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_lm_score",
+      // Unigram language-model scoring — the KenLM-style quality-filter
+      // proxy: avg per-token log-probability under the corpus's own
+      // unigram model, avg_lp = (Σ_occ ln c_tok)/n − ln T. The corpus pass
+      // is one (tok) count agg; scoring joins tokens to counts on the tok
+      // key — left to the cost-based planner, never FORCE-broadcast (an
+      // open-vocabulary 100 TB crawl's count table can exceed executor
+      // memory; a small vocabulary may still auto-broadcast) — and
+      // reduces per doc. Determinism: Σ ln would be an order-dependent
+      // double sum, so each ln is rounded to DECIMAL(38,6) FIRST and the
+      // sum runs exact/order-independent in decimal; the closing formula
+      // is the same IEEE expression on both engines. At scale, pre-collapse
+      // (doc, tok) pairs and weight by the pair count to shrink the join.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = toks.agg(count(lit(1)).as("t"))
+        toks.join(tc, "tok")
+          .groupBy("doc_id")
+          .agg(sum(dec(log(col("c").cast("double")))).as("slc"),
+            count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            toDbl(((col("slc").cast("double")
+              - col("n").cast("double") * log(col("t").cast("double")))
+              / col("n").cast("double")).cast(Dec38)).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |              FROM documents),
+             |tc AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+             |tot AS (SELECT COUNT(*) AS t FROM toks)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(CAST((CAST(SUM(CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE)
+             |    - CAST(COUNT(*) AS DOUBLE) * LN(CAST(t AS DOUBLE)))
+             |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS avg_logprob
+             |FROM toks JOIN tc USING (tok), tot
+             |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -38,7 +38,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_dedup_keep_best",   // fingerprint window ranking
     "q_text_diversity",    // two keyed aggs → exact-integer divisions
     "q_winsorize",         // interpolated cutpoints + exact-component mean
-    "q_rolling_actives")   // explode-based rolling distinct + exact ratio
+    "q_rolling_actives",   // explode-based rolling distinct + exact ratio
+    "q_agg_mode",          // lexicographic struct-max argmax
+    "q_scd2_pit",          // as-of against SCD2 change rows
+    "q_incremental_mv",    // change-feed partials additively merged
+    "q_lm_score")          // decimal-rounded ln sums → IEEE formula
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

@@ -314,4 +314,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") && p.contains("partial_count"),
       s"token and doc aggs must pre-aggregate:\n$p")
   }
+
+  test("q_agg_mode: struct-max argmax — two combined aggs, no window, no sort-per-group") {
+    val p = plan("q_agg_mode")
+    assert(!p.contains("Window"), s"mode must not rank via a window:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_max"),
+      s"both aggregation levels must combine map-side:\n$p")
+  }
+
+  test("q_scd2_pit: point-in-time lookup stays an as-of rewrite — no interval join shapes") {
+    val p = plan("q_scd2_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"containment must compile to union+window, never a join operator:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).nonEmpty, s"expected the as-of window:\n$p")
+  }
+
+  test("q_lm_score: vocabulary join left to the planner, ln sums combine map-side") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), s"decimal ln sums must pre-aggregate:\n$p")
+  }
 }
