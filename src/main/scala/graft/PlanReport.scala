@@ -54,7 +54,9 @@ object PlanReport {
     "q_text_diversity" -> "two map-side-combined keyed aggs, exact-integer divisions",
     "q_agg_mode" -> "struct-max argmax: two combined aggs, no window, no per-group sort",
     "q_scd2_pit" -> "interval containment compiled to the union+window as-of — no join operator",
-    "q_lm_score" -> "vocabulary join cost-based; decimal-rounded ln sums combine map-side")
+    "q_lm_score" -> "vocabulary join cost-based; decimal-rounded ln sums combine map-side",
+    "q_percentile_weighted" -> "weighted median: tie-collapsed cumsum, broadcast totals, integer crossing test",
+    "q_concurrency_peak" -> "sweep line: pre-aggregated boundary deltas, per-type cumsum, no self-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

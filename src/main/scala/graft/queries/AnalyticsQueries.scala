@@ -1196,5 +1196,52 @@ object AnalyticsQueries extends QueryModule {
              |  ON o.o_custkey = s.user_id AND s.valid_from <= o.o_orderdate
              | AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
              |ORDER BY o.o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_concurrency_peak",
+      // Peak concurrency per event type — the sweep-line classic (max
+      // simultaneous sessions / connections / jobs): each event opens a
+      // 30-minute half-open interval [ts, ts+30m); +1/-1 boundary deltas
+      // are PRE-AGGREGATED per (type, instant, phase) so the running sum
+      // ranks over unique keys (fully deterministic), with ends (phase 0)
+      // ordered before starts (phase 1) at the same instant per half-open
+      // semantics. One type-keyed windowed cumsum over the collapsed
+      // boundary frame — interval count × 2 rows, not data × data — then
+      // a full-partition max picks the peak and the earliest instant it
+      // is reached. Never a self-join: the naive "count overlapping
+      // others" formulation is quadratic; the sweep line is O(n log n)
+      // per type and partition-parallel across types.
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .select(col("event_type"), col("ts").as("st"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+        val pts = iv.select(col("event_type"), col("st").as("t"),
+            lit(1L).as("ph"), lit(1L).as("d"))
+          .unionByName(iv.select(col("event_type"), col("en").as("t"),
+            lit(0L).as("ph"), lit(-1L).as("d")))
+        val g = pts.groupBy("event_type", "t", "ph").agg(sum(col("d")).as("d"))
+        val wCum = Window.partitionBy("event_type").orderBy("t", "ph")
+        val wAll = Window.partitionBy("event_type")
+          .orderBy("t", "ph")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        g.withColumn("cur", sum(col("d")).over(wCum))
+          .withColumn("peak", max(col("cur")).over(wAll))
+          .filter(col("cur") === col("peak"))
+          .groupBy("event_type")
+          .agg(max(col("peak")).as("peak"), min(col("t")).as("peak_at"))
+          .orderBy("event_type")
+      },
+      Some("""WITH iv AS (SELECT event_type, ts AS st,
+             |  ts + INTERVAL 30 MINUTE AS en FROM events),
+             |pts AS (SELECT event_type, st AS t, 1 AS ph, 1 AS d FROM iv
+             |  UNION ALL SELECT event_type, en AS t, 0 AS ph, -1 AS d FROM iv),
+             |g AS (SELECT event_type, t, ph, SUM(d) AS d FROM pts GROUP BY 1, 2, 3),
+             |c AS (SELECT *,
+             |  SUM(d) OVER (PARTITION BY event_type ORDER BY t, ph) AS cur FROM g),
+             |p AS (SELECT *,
+             |  MAX(cur) OVER (PARTITION BY event_type) AS peak FROM c)
+             |SELECT event_type, CAST(MAX(peak) AS BIGINT) AS peak,
+             |  MIN(t) AS peak_at
+             |FROM p WHERE cur = peak GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -327,5 +327,44 @@ object EventWindowQueries extends QueryModule {
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_time_travel",
+      // Snapshot isolation / time travel through the Delta log: the same
+      // aggregate read at version 0 (the initial half) and at latest (both
+      // halves) out of ONE table — the audit/backfill primitive ("what did
+      // the table say when the model trained?"). The as-of read replays
+      // the log only to the pinned version; file-level pruning and scan
+      // parallelism are identical to a current-version read, so a
+      // petabyte-table historical query costs the same as a current one.
+      // Oracle recomputes both snapshots from the raw events by the same
+      // even/odd batch split, so the pinned replay is hash-checked.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-tt").toString
+        graft.sinks.DeltaSink.write(
+          ev.filter(col("event_id") % 2 === 0), table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        def snap(df: org.apache.spark.sql.DataFrame, label: String) = df
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .withColumn("snapshot", lit(label))
+        snap(graft.sinks.DeltaSink.read(s, table, Some(v0)), "v0")
+          .unionByName(snap(graft.sinks.DeltaSink.read(s, table), "latest"))
+          .select("snapshot", "event_type", "n_events", "total_value")
+          .orderBy("snapshot", "event_type")
+      },
+      Some("""SELECT 'latest' AS snapshot, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT 'v0' AS snapshot, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+             |ORDER BY snapshot, event_type""".stripMargin)),
   )
 }

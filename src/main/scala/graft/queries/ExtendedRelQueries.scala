@@ -336,5 +336,44 @@ object ExtendedRelQueries extends QueryModule {
              |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS winsor_mean
              |FROM orders JOIN cut ON o_orderpriority = cut_prio
              |GROUP BY o_orderpriority, p05, p95 ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q_percentile_weighted",
+      // Exact WEIGHTED median per group (importance-weighted quantiles —
+      // the sampling-weights / record-weights form of q_percentile):
+      // lower weighted median = smallest value v with cumW(v) >= W/2,
+      // weights = exact cents longs of l_quantity. Values pre-collapse to
+      // (group, value, Σw) — tie weights merge BEFORE the cumsum, so the
+      // running sum is over unique values and fully deterministic — then
+      // one per-group windowed cumsum (partition-parallel sort over the
+      // collapsed frame, not the raw rows) and a broadcast of the
+      // group-total frame picks the crossing value. All comparisons are
+      // integer (2·cumW >= W): no float thresholds anywhere.
+      (s, dir) => {
+        val g = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(sum(cents(col("l_quantity"))).as("w"))
+        val cum = g.withColumn("cw",
+          sum(col("w")).over(Window.partitionBy("l_returnflag")
+            .orderBy("l_extendedprice")))
+        val tot = g.groupBy("l_returnflag").agg(sum(col("w")).as("tw"))
+        cum.join(broadcast(tot), "l_returnflag")
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("l_returnflag")
+          .agg(min(col("l_extendedprice")).as("wmedian"),
+            (max(col("tw")).cast("double") / 100.0).as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag, l_extendedprice,
+             |  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS w
+             |FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT *, SUM(w) OVER (PARTITION BY l_returnflag
+             |  ORDER BY l_extendedprice) AS cw FROM g),
+             |t AS (SELECT l_returnflag, SUM(w) AS tw FROM g GROUP BY 1)
+             |SELECT c.l_returnflag, MIN(l_extendedprice) AS wmedian,
+             |  CAST(CAST(MAX(tw) AS DOUBLE) / 100.0 AS DOUBLE) AS total_weight
+             |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+             |WHERE 2 * cw >= tw
+             |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin)),
   )
 }

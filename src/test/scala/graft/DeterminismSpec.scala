@@ -42,7 +42,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_agg_mode",          // lexicographic struct-max argmax
     "q_scd2_pit",          // as-of against SCD2 change rows
     "q_incremental_mv",    // change-feed partials additively merged
-    "q_lm_score")          // decimal-rounded ln sums → IEEE formula
+    "q_lm_score",          // decimal-rounded ln sums → IEEE formula
+    "q_percentile_weighted", // collapsed-tie cumsum + integer crossing test
+    "q_concurrency_peak",  // sweep-line cumsum over pre-aggregated deltas
+    "q_time_travel")       // pinned-version Delta replay
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

@@ -336,4 +336,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), s"decimal ln sums must pre-aggregate:\n$p")
   }
+
+  test("q_percentile_weighted: tie-collapse combines map-side; totals broadcast back") {
+    val p = plan("q_percentile_weighted")
+    assert(p.contains("partial_sum"), s"(group, value) weight collapse must pre-aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"group totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_concurrency_peak: sweep line — no self-join, deltas pre-aggregated") {
+    val p = plan("q_concurrency_peak")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"peak concurrency must never plan an interval self-join:\n$p")
+    assert(p.contains("partial_sum"), s"boundary deltas must pre-aggregate:\n$p")
+  }
 }
