@@ -1243,5 +1243,81 @@ object AnalyticsQueries extends QueryModule {
              |SELECT event_type, CAST(MAX(peak) AS BIGINT) AS peak,
              |  MIN(t) AS peak_at
              |FROM p WHERE cur = peak GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_quality_audit",
+      // Rule-based data-quality audit — the pipeline gate that runs before
+      // a table is published: per-rule violation counts for NOT NULL,
+      // value-range, referential integrity (FK orphans), and key
+      // uniqueness. The corpus is clean, so a dirty snapshot is simulated
+      // deterministically (the q_table_diff precedent): nulled dates,
+      // negated prices, orphaned custkeys, duplicated keys at fixed key
+      // residues — both engines derive the identical frame. Cost shape:
+      // the scalar rules share ONE scan pass (a single multi-conditional
+      // aggregate); orphans are a broadcast anti-join against the
+      // dimension; uniqueness is one combined keyed count. The report is
+      // rules × 1 rows regardless of data volume.
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val dirty = base.select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 103 === 0, col("o_custkey") + 100000)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate")).as("o_orderdate"),
+          when(col("o_orderkey") % 101 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .unionByName(base.filter(col("o_orderkey") % 500 === 0))
+        val scalars = dirty.agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_orderdate").isNull, 1)).as("v_null"),
+          count(when(col("o_totalprice") <= 0, 1)).as("v_pos"))
+        val orphans = dirty
+          .join(broadcast(t(s, dir, "customer").select("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk"))
+        val dups = dirty.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("v_uniq"))
+        scalars.crossJoin(orphans).crossJoin(dups)
+          .select(explode(array(
+            struct(lit("fk:o_custkey->customer").as("rule"),
+              col("v_fk").as("violations"), col("n").as("n_checked")),
+            struct(lit("not_null:o_orderdate").as("rule"),
+              col("v_null").as("violations"), col("n").as("n_checked")),
+            struct(lit("positive:o_totalprice").as("rule"),
+              col("v_pos").as("violations"), col("n").as("n_checked")),
+            struct(lit("unique:o_orderkey").as("rule"),
+              col("v_uniq").as("violations"), col("n").as("n_checked")))).as("r"))
+          .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
+            col("r.n_checked").as("n_checked"))
+          .orderBy("rule")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 103 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+             |    CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+             |  FROM orders WHERE o_orderkey % 500 = 0),
+             |s AS (SELECT COUNT(*) AS n,
+             |  COUNT(*) FILTER (o_orderdate IS NULL) AS v_null,
+             |  COUNT(*) FILTER (o_totalprice <= 0) AS v_pos FROM dirty),
+             |fk AS (SELECT COUNT(*) AS v_fk FROM dirty d WHERE NOT EXISTS
+             |  (SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)),
+             |u AS (SELECT COUNT(*) AS v_uniq FROM
+             |  (SELECT o_orderkey FROM dirty GROUP BY 1 HAVING COUNT(*) > 1)),
+             |rep AS (
+             |  SELECT 'fk:o_custkey->customer' AS rule,
+             |    CAST(v_fk AS BIGINT) AS violations, CAST(n AS BIGINT) AS n_checked FROM fk, s
+             |  UNION ALL SELECT 'not_null:o_orderdate',
+             |    CAST(v_null AS BIGINT), CAST(n AS BIGINT) FROM s
+             |  UNION ALL SELECT 'positive:o_totalprice',
+             |    CAST(v_pos AS BIGINT), CAST(n AS BIGINT) FROM s
+             |  UNION ALL SELECT 'unique:o_orderkey',
+             |    CAST(v_uniq AS BIGINT), CAST(n AS BIGINT) FROM u, s)
+             |SELECT rule, violations, n_checked FROM rep ORDER BY rule""".stripMargin)),
   )
 }

@@ -45,7 +45,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_lm_score",          // decimal-rounded ln sums → IEEE formula
     "q_percentile_weighted", // collapsed-tie cumsum + integer crossing test
     "q_concurrency_peak",  // sweep-line cumsum over pre-aggregated deltas
-    "q_time_travel")       // pinned-version Delta replay
+    "q_time_travel",       // pinned-version Delta replay
+    "q_quality_audit")     // multi-rule counts + anti-join orphans
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

@@ -344,6 +344,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_quality_audit: orphan check is a broadcast anti-join; scalar rules share one scan agg") {
+    val p = plan("q_quality_audit")
+    assert(p.contains("BroadcastHashJoin"), s"FK orphans must broadcast the dimension keys:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no rule may shuffle-join the fact:\n$p")
+    assert(p.contains("partial_count"), s"scalar rules must combine map-side:\n$p")
+  }
+
   test("q_concurrency_peak: sweep line — no self-join, deltas pre-aggregated") {
     val p = plan("q_concurrency_peak")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
