@@ -366,5 +366,39 @@ object EventWindowQueries extends QueryModule {
              |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
              |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
              |ORDER BY snapshot, event_type""".stripMargin)),
+
+    QueryDef(
+      "q_iceberg_roundtrip",
+      // The Iceberg commit protocol through the CORRECTNESS gate (its Delta
+      // twin is q_incremental_mv/q_time_travel): an identity-partitioned
+      // Iceberg V2 table is created from one half of the events, the other
+      // half appended (second snapshot, manifests merged into a new
+      // manifest list), and the table read back via the hand-rolled
+      // manifest reader — partition values reconstructed from each
+      // manifest's OWN partition struct, not the file paths. The oracle is
+      // the same aggregate over the raw events: create + append + manifest
+      // read lose nothing. Per-partition file layout means the read-back
+      // scan prunes by event_type exactly like a Hive layout would at
+      // 100 TB.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-iceberg-rt").toString + "/tbl"
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 0), table,
+          graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 1), table,
+          graft.sinks.IcebergSink.Append,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -475,5 +475,37 @@ object JoinQueries extends QueryModule {
              |  LIMIT 1) l ON TRUE
              |WHERE e.event_type = 'error'
              |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "q_join_nullsafe",
+      // NULL-safe equality join (<=>): reconcile two snapshots of a
+      // nullable attribute where NULL must match NULL — the semantics SQL
+      // equality silently drops (NULL = NULL is NULL, so changed-to-NULL
+      // and NULL-to-NULL rows vanish from an inner join). Snapshot B is
+      // derived deterministically (the q_table_diff precedent): segment
+      // rewritten for custkey % 7 = 0, BUILDING nulled on both sides.
+      // The point at scale: EqualNullSafe is a legal EQUI-join key, so
+      // Catalyst still plans a hash join (broadcast here) — never the
+      // nested loop a naive `coalesce(a, sentinel) = coalesce(b,
+      // sentinel)` workaround or an OR-of-conditions would risk.
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_a"))
+        val b = t(s, dir, "customer").select(col("c_custkey").as("bk"),
+          nullif(when(col("c_custkey") % 7 === 0, lit("AUTOMOBILE"))
+            .otherwise(col("c_mktsegment")), lit("BUILDING")).as("seg_b"))
+        a.join(b, col("c_custkey") === col("bk") && col("seg_a") <=> col("seg_b"))
+          .select(col("c_custkey"), col("seg_a"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_a
+             |          FROM customer),
+             |b AS (SELECT c_custkey AS bk,
+             |  NULLIF(CASE WHEN c_custkey % 7 = 0 THEN 'AUTOMOBILE'
+             |         ELSE c_mktsegment END, 'BUILDING') AS seg_b
+             |FROM customer)
+             |SELECT c_custkey, seg_a
+             |FROM a JOIN b ON c_custkey = bk AND seg_a IS NOT DISTINCT FROM seg_b
+             |ORDER BY c_custkey""".stripMargin)),
   )
 }

@@ -116,5 +116,42 @@ object TpchQueries extends QueryModule {
              |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
              |GROUP BY c_custkey, c_name, c_acctbal, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q18",
+      // Large-volume customers (Q18 shape): orders whose total quantity
+      // exceeds 300, with customer and order detail, top 100 by
+      // (totalprice desc, orderdate, orderkey). The HAVING subquery is ONE
+      // lineitem aggregate whose result drives a semi-join — Catalyst
+      // plans the IN-subquery as LeftSemi, so the big side is filtered to
+      // the qualifying handful BEFORE the customer/orders joins; the
+      // detail quantity agg then reuses the same (orderkey) grouping key.
+      // Top-k is TakeOrdered, never a global sort.
+      (s, dir) => {
+        val qualifying = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(cents(col("l_quantity"))).as("qc"))
+          .filter(col("qc") > 300 * 100)
+          .select(col("l_orderkey").as("qk"))
+        t(s, dir, "lineitem")
+          .join(qualifying, col("l_orderkey") === col("qk"), "left_semi")
+          .groupBy("l_orderkey")
+          .agg(fxSum(col("l_quantity")).as("sum_qty"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+             |FROM customer, orders, lineitem
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000)
+             |AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
   )
 }

@@ -46,7 +46,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_percentile_weighted", // collapsed-tie cumsum + integer crossing test
     "q_concurrency_peak",  // sweep-line cumsum over pre-aggregated deltas
     "q_time_travel",       // pinned-version Delta replay
-    "q_quality_audit")     // multi-rule counts + anti-join orphans
+    "q_quality_audit",     // multi-rule counts + anti-join orphans
+    "q_tpch_q18",          // having semi-join + reused grouping + top-k
+    "q_join_nullsafe",     // EqualNullSafe as a hash-join key
+    "q_iceberg_roundtrip") // create + append + manifest read-back
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

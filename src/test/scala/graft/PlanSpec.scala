@@ -344,6 +344,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_tpch_q18: HAVING subquery plans as a semi-join; top-100 is TakeOrdered") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("LeftSemi"), s"the qualifying-orders filter must be a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must never global-sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_join_nullsafe: <=> stays an equi hash join, never a nested loop") {
+    val p = plan("q_join_nullsafe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"null-safe equality must be a hash-joinable key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_quality_audit: orphan check is a broadcast anti-join; scalar rules share one scan agg") {
     val p = plan("q_quality_audit")
     assert(p.contains("BroadcastHashJoin"), s"FK orphans must broadcast the dimension keys:\n$p")
