@@ -1319,5 +1319,76 @@ object AnalyticsQueries extends QueryModule {
              |  UNION ALL SELECT 'unique:o_orderkey',
              |    CAST(v_uniq AS BIGINT), CAST(n AS BIGINT) FROM u, s)
              |SELECT rule, violations, n_checked FROM rep ORDER BY rule""".stripMargin)),
+
+    QueryDef(
+      "q_cumulative_distinct",
+      // Cumulative distinct users by day — growth accounting ("total users
+      // ever" curve). COUNT(DISTINCT) OVER a running frame is unsupported
+      // AND quadratic; the linear rewrite: each user contributes once at
+      // their FIRST day (one user-keyed min-agg), days aggregate first
+      // sightings (second combined agg), and the running sum runs over the
+      // DAY-cardinality frame — bounded by the calendar, not the data, so
+      // the single-partition window is fine at any scale (the
+      // q_changepoint_cusum series-frame precedent).
+      (s, dir) => {
+        val firstDay = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(date_trunc("day", min("ts")).as("day"))
+        val daily = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        daily
+          .withColumn("cum_users",
+            sum(col("new_users")).over(
+              Window.orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day")
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS day
+             |          FROM events GROUP BY user_id),
+             |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+             |      FROM f GROUP BY day)
+             |SELECT day, new_users,
+             |  CAST(SUM(new_users) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM d ORDER BY day""".stripMargin)),
+
+    QueryDef(
+      "q_sequence_pattern",
+      // Ordered sequence-pattern matching (funnel regex / MATCH_RECOGNIZE
+      // lite): per user, events collapse to a chronological symbol string
+      // (v/c/p/s/e), and the pattern "view, then click, then purchase,
+      // CONSECUTIVELY" counts as non-overlapping regex matches. One
+      // user-keyed shuffle builds the string (array_sort over (ts,
+      // event_id, symbol) structs makes collect_list's order irrelevant);
+      // the regex is map-side. Per-user strings are bounded by user
+      // activity — at 100 TB, sessionize first (q_sessionize_islands) so
+      // the string is per-session, not per-lifetime.
+      (s, dir) => {
+        val sym = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e")
+        val seqs = t(s, dir, "events")
+          .select(col("user_id"), struct(col("ts"), col("event_id"), sym.as("ch")).as("x"))
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(col("x"))), x => x("ch")), "")
+            .as("journey"))
+        seqs
+          .select(col("user_id"), length(col("journey")).as("n_events"),
+            size(regexp_extract_all(col("journey"), lit("vcp"), lit(0)))
+              .cast("long").as("n_conversions"))
+          .filter(col("n_conversions") > 0)
+          .orderBy("user_id")
+      },
+      Some("""WITH s AS (SELECT user_id,
+             |  string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END, ''
+             |    ORDER BY ts, event_id) AS journey
+             |FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(LENGTH(journey) AS BIGINT) AS n_events,
+             |  CAST(LEN(regexp_extract_all(journey, 'vcp')) AS BIGINT) AS n_conversions
+             |FROM s WHERE LEN(regexp_extract_all(journey, 'vcp')) > 0
+             |ORDER BY user_id""".stripMargin)),
   )
 }

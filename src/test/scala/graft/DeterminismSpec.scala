@@ -49,7 +49,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_quality_audit",     // multi-rule counts + anti-join orphans
     "q_tpch_q18",          // having semi-join + reused grouping + top-k
     "q_join_nullsafe",     // EqualNullSafe as a hash-join key
-    "q_iceberg_roundtrip") // create + append + manifest read-back
+    "q_iceberg_roundtrip", // create + append + manifest read-back
+    "q_cumulative_distinct", // first-sighting rewrite of running distinct
+    "q_sequence_pattern")  // array_sort-canonicalized journey strings
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {

@@ -358,6 +358,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_cumulative_distinct: running distinct rewritten to first-sighting sums — no distinct window") {
+    val p = plan("q_cumulative_distinct")
+    assert(!p.contains("Join"), s"the rewrite needs no join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"first-day and daily aggs must combine map-side:\n$p")
+  }
+
+  test("q_sequence_pattern: one user-keyed shuffle builds journeys; regex is map-side") {
+    val p = plan("q_sequence_pattern")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"journey build must be one keyed shuffle (+ the final order):\n$p")
+  }
+
   test("q_quality_audit: orphan check is a broadcast anti-join; scalar rules share one scan agg") {
     val p = plan("q_quality_audit")
     assert(p.contains("BroadcastHashJoin"), s"FK orphans must broadcast the dimension keys:\n$p")
