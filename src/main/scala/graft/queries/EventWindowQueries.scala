@@ -400,5 +400,79 @@ object EventWindowQueries extends QueryModule {
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_delta_merge",
+      // Keyed MERGE (CDC apply) through the correctness gate: a CDC batch
+      // derived deterministically from the corpus — updates (key % 11,
+      // value + 1000), deletes (key % 13, delete-marked), inserts (key %
+      // 17 re-keyed into fresh id space) — merges into the event-level
+      // Delta table; the merged table is read back and aggregated. The
+      // oracle recomputes the final state relationally, so matched-rewrite
+      // / delete / insert semantics and untouched-file carry-over are all
+      // hash-checked, not just ScalaTested. At scale a merge touching one
+      // key rewrites one file, not the table (DeltaSink.merge contract).
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-merge").toString
+        graft.sinks.DeltaSink.write(base, table, overwrite = true)
+        val updates = base
+          .filter(col("event_id") % 11 === 0 && col("event_id") % 13 =!= 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("_del", lit(false))
+        val deletes = base.filter(col("event_id") % 13 === 0)
+          .withColumn("_del", lit(true))
+        val inserts = base.filter(col("event_id") % 17 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("_del", lit(false))
+        graft.sinks.DeltaSink.merge(s, table,
+          updates.unionByName(deletes).unionByName(inserts),
+          keys = Seq("event_id"), deleteCol = Some("_del"))
+        graft.sinks.DeltaSink.read(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH final AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END AS value
+             |  FROM events WHERE event_id % 13 <> 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, event_type, value
+             |  FROM events WHERE event_id % 17 = 0)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_delta_zorder_read",
+      // OPTIMIZE ZORDER + stats-based file skipping through the gate: the
+      // event table is compacted into small z-ordered files (tight
+      // per-file [min, max] on `value`), then a range slice reads ONLY the
+      // overlapping files (DeltaSink.readRange) with the exact row filter
+      // on top. The oracle is the plain WHERE over the raw events — if
+      // pruning ever dropped a file it shouldn't, the hash breaks. At
+      // 100 TB this is the open-few-files-instead-of-all read path the
+      // per-add stats exist for.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-zorder").toString
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        graft.sinks.DeltaSink.compact(s, table,
+          maxRecordsPerFile = 2000, zorderBy = Seq("value"))
+        graft.sinks.DeltaSink.readRange(s, table, "value", "100.0", "200.0")
+          .filter(col("value") >= 100.0 && col("value") <= 200.0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events WHERE value >= 100.0 AND value <= 200.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

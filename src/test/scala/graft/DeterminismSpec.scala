@@ -51,7 +51,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_join_nullsafe",     // EqualNullSafe as a hash-join key
     "q_iceberg_roundtrip", // create + append + manifest read-back
     "q_cumulative_distinct", // first-sighting rewrite of running distinct
-    "q_sequence_pattern")  // array_sort-canonicalized journey strings
+    "q_sequence_pattern",  // array_sort-canonicalized journey strings
+    "q_delta_merge",       // keyed CDC merge + log read-back
+    "q_delta_zorder_read") // compaction + stats-pruned range read
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
