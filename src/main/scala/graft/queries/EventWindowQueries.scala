@@ -474,5 +474,62 @@ object EventWindowQueries extends QueryModule {
              |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
              |FROM events WHERE value >= 100.0 AND value <= 200.0
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_schema_evolution",
+      // Append-time schema evolution through the gate: the table is
+      // created without `user_id`, a second batch appends WITH it
+      // (mergeSchema — the evolved metaData rides the same commit as the
+      // adds), and the read-back null-fills the old files' missing column.
+      // The oracle mirrors the column rule relationally: user_id is NULL
+      // exactly for the pre-evolution half. Aggregating by nullability
+      // checks both the evolved read schema and which files predate it.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value", "user_id")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-evolve").toString
+        graft.sinks.DeltaSink.write(
+          ev.filter(col("event_id") % 2 === 0).drop("user_id"),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.append(
+          ev.filter(col("event_id") % 2 === 1), table, mergeSchema = true)
+        graft.sinks.DeltaSink.read(s, table)
+          .groupBy(col("event_type"), col("user_id").isNull.as("pre_evolution"))
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .orderBy("event_type", "pre_evolution")
+      },
+      Some("""SELECT event_type, (event_id % 2 = 0) AS pre_evolution,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, pre_evolution""".stripMargin)),
+
+    QueryDef(
+      "q_delta_partition_read",
+      // Hive-layout partitioned Delta write + partition-PRUNED read
+      // through the gate: the table lays out one directory per
+      // event_type, and the read's partition filter eliminates the other
+      // directories at PLANNING time (file list pruned from the log's
+      // partitionValues — no data file of a pruned partition is opened).
+      // Oracle = plain WHERE over the raw events: pruning must be exactly
+      // the filter, never more. The 100 TB read path for any
+      // partition-aligned predicate.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-part").toString
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true,
+          partitionBy = Seq("event_type"))
+        graft.sinks.DeltaSink.read(s, table)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events WHERE event_type IN ('click', 'purchase')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -53,7 +53,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_cumulative_distinct", // first-sighting rewrite of running distinct
     "q_sequence_pattern",  // array_sort-canonicalized journey strings
     "q_delta_merge",       // keyed CDC merge + log read-back
-    "q_delta_zorder_read") // compaction + stats-pruned range read
+    "q_delta_zorder_read", // compaction + stats-pruned range read
+    "q_schema_evolution",  // mergeSchema append + null-filled read
+    "q_delta_partition_read") // partition-pruned log-driven scan
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
