@@ -423,6 +423,42 @@ object SimilarityQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_hll_sketch",
+      // Distinct counting as DATA (functions/HllSketch, the engine's third
+      // reusable Aggregator): unlike approx_count_distinct, the HLL
+      // registers are a first-class column — store per-day/per-source
+      // sketches, MERGE later, estimate any rollup without re-touching the
+      // raw data. The declared check: per event_type, the exact distinct
+      // (oracle-compared), `estimate_ok` (sketch estimate within 20% —
+      // σ≈3.3% at 1024 registers), and `merge_exact`: sketches built on
+      // the even/odd event halves, merged by elementwise register max,
+      // equal the whole-input sketch BIT-FOR-BIT (register updates are
+      // max — associative, commutative, idempotent — so pre-aggregated
+      // partials roll up exactly; both booleans oracle-compared as TRUE).
+      (s, dir) => {
+        import graft.functions.HllSketch
+        val slots = HllSketch.slotsFor(col("user_id"))
+        val base = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            HllSketch.sketch(slots).as("sk"),
+            HllSketch.sketch(when(col("event_id") % 2 === 0, slots)).as("sk_even"),
+            HllSketch.sketch(when(col("event_id") % 2 === 1, slots)).as("sk_odd"))
+        base.select(
+            col("event_type"), col("n_exact"),
+            (abs(HllSketch.estimateCol(col("sk")) - col("n_exact"))
+              .cast("double") / col("n_exact").cast("double") < 0.2)
+              .as("estimate_ok"),
+            (HllSketch.mergeCol(col("sk_even"), col("sk_odd")) === col("sk"))
+              .as("merge_exact"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             |TRUE AS estimate_ok, TRUE AS merge_exact
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_dedup_cluster",
       // Duplicate CLUSTERS, not just pairs: connected components over the
       // near-dup pair graph (same edges as q_dedup_embed), every vertex

@@ -55,7 +55,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_delta_merge",       // keyed CDC merge + log read-back
     "q_delta_zorder_read", // compaction + stats-pruned range read
     "q_schema_evolution",  // mergeSchema append + null-filled read
-    "q_delta_partition_read") // partition-pruned log-driven scan
+    "q_delta_partition_read", // partition-pruned log-driven scan
+    "q_hll_sketch")        // register max-merge partial aggregation
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
