@@ -216,6 +216,7 @@ object Bench {
       }
     println(compact)
     spark.stop()
+    TempTables.cleanupNow()
   }
 
   /** Reads bench_history.jsonl, computes this run's per-query deltas vs

@@ -83,6 +83,40 @@ object QueryDef {
     (sum(c).cast("double") / count(c).cast("double")).cast(Dec38)
 }
 
+/** Scratch tables for the declared lakehouse queries (write → commit →
+  * read-back shapes): one temp dir per invocation, all recursively deleted
+  * at JVM exit — Verify/bench/spec runs re-invoke these queries many times
+  * and must not accumulate table copies under /tmp.
+  */
+object TempTables {
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  sys.addShutdownHook(cleanupNow())
+
+  def create(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    created.add(dir)
+    dir.toString
+  }
+
+  /** Recursively delete every table created so far. `Files.walk` is fully
+    * materialized (sorted) BEFORE any delete — streaming a directory while
+    * deleting its entries can skip children and leave the parent behind.
+    * Also called explicitly at the end of the Verify/Bench mains, so
+    * cleanup doesn't depend on shutdown-hook behavior under a harness.
+    */
+  def cleanupNow(): Unit = {
+    var root = created.poll()
+    while (root != null) {
+      scala.util.Try {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      root = created.poll()
+    }
+  }
+}
+
 trait QueryModule {
   def defs: Seq[QueryDef]
 

@@ -1262,7 +1262,10 @@ object AnalyticsQueries extends QueryModule {
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         val dirty = base.select(
           col("o_orderkey"),
-          when(col("o_orderkey") % 103 === 0, col("o_custkey") + 100000)
+          // orphan simulation: negate-and-shift — customer keys are
+          // non-negative at every scale factor, so -(key+1) can never
+          // land on a real customer, unlike any additive offset
+          when(col("o_orderkey") % 103 === 0, -col("o_custkey") - 1)
             .otherwise(col("o_custkey")).as("o_custkey"),
           when(col("o_orderkey") % 97 === 0, lit(null).cast("timestamp"))
             .otherwise(col("o_orderdate")).as("o_orderdate"),
@@ -1295,7 +1298,7 @@ object AnalyticsQueries extends QueryModule {
       },
       Some("""WITH dirty AS (
              |  SELECT o_orderkey,
-             |    CASE WHEN o_orderkey % 103 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey,
+             |    CASE WHEN o_orderkey % 103 = 0 THEN -o_custkey - 1 ELSE o_custkey END AS o_custkey,
              |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
              |    CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
              |  FROM orders

@@ -216,8 +216,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val cols = Seq("user_id", "event_id", "ts", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-stream-upsert").toString
+        val table = graft.TempTables.create("graft-stream-upsert")
         // seed the target with the stream's schema (empty)
         graft.sinks.DeltaSink.write(
           t(s, dir, "events").select(cols.map(col): _*).limit(0),
@@ -303,8 +302,7 @@ object EventWindowQueries extends QueryModule {
       // full recompute over all events: incremental ≡ from-scratch.
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-imv").toString
+        val table = graft.TempTables.create("graft-imv")
         graft.sinks.DeltaSink.write(
           ev.filter(col("event_id") % 2 === 0), table, overwrite = true)
         val v0 = graft.sinks.DeltaSink.latestVersion(table)
@@ -341,8 +339,7 @@ object EventWindowQueries extends QueryModule {
       // even/odd batch split, so the pinned replay is hash-checked.
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-tt").toString
+        val table = graft.TempTables.create("graft-tt")
         graft.sinks.DeltaSink.write(
           ev.filter(col("event_id") % 2 === 0), table, overwrite = true)
         val v0 = graft.sinks.DeltaSink.latestVersion(table)
@@ -382,8 +379,7 @@ object EventWindowQueries extends QueryModule {
       // 100 TB.
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-iceberg-rt").toString + "/tbl"
+        val table = graft.TempTables.create("graft-iceberg-rt") + "/tbl"
         graft.sinks.IcebergSink.write(
           ev.filter(col("event_id") % 2 === 0), table,
           graft.sinks.IcebergSink.CreateExclusive,
@@ -406,7 +402,9 @@ object EventWindowQueries extends QueryModule {
       // Keyed MERGE (CDC apply) through the correctness gate: a CDC batch
       // derived deterministically from the corpus — updates (key % 11,
       // value + 1000), deletes (key % 13, delete-marked), inserts (key %
-      // 17 re-keyed into fresh id space) — merges into the event-level
+      // 17 re-keyed to -(id+1): corpus ids are non-negative at EVERY
+      // scale factor, so the negated space can never collide with a real
+      // key, unlike any additive offset) — merges into the event-level
       // Delta table; the merged table is read back and aggregated. The
       // oracle recomputes the final state relationally, so matched-rewrite
       // / delete / insert semantics and untouched-file carry-over are all
@@ -415,8 +413,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) => {
         val base = t(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-merge").toString
+        val table = graft.TempTables.create("graft-merge")
         graft.sinks.DeltaSink.write(base, table, overwrite = true)
         val updates = base
           .filter(col("event_id") % 11 === 0 && col("event_id") % 13 =!= 0)
@@ -425,7 +422,7 @@ object EventWindowQueries extends QueryModule {
         val deletes = base.filter(col("event_id") % 13 === 0)
           .withColumn("_del", lit(true))
         val inserts = base.filter(col("event_id") % 17 === 0)
-          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("event_id", -col("event_id") - 1)
           .withColumn("_del", lit(false))
         graft.sinks.DeltaSink.merge(s, table,
           updates.unionByName(deletes).unionByName(inserts),
@@ -440,7 +437,7 @@ object EventWindowQueries extends QueryModule {
              |    CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END AS value
              |  FROM events WHERE event_id % 13 <> 0
              |  UNION ALL
-             |  SELECT event_id + 10000000, event_type, value
+             |  SELECT -event_id - 1, event_type, value
              |  FROM events WHERE event_id % 17 = 0)
              |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
@@ -459,8 +456,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select("event_id", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-zorder").toString
+        val table = graft.TempTables.create("graft-zorder")
         graft.sinks.DeltaSink.write(ev, table, overwrite = true)
         graft.sinks.DeltaSink.compact(s, table,
           maxRecordsPerFile = 2000, zorderBy = Seq("value"))
@@ -487,8 +483,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select("event_id", "event_type", "value", "user_id")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-evolve").toString
+        val table = graft.TempTables.create("graft-evolve")
         graft.sinks.DeltaSink.write(
           ev.filter(col("event_id") % 2 === 0).drop("user_id"),
           table, overwrite = true)
@@ -517,8 +512,7 @@ object EventWindowQueries extends QueryModule {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select("event_id", "event_type", "value")
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-part").toString
+        val table = graft.TempTables.create("graft-part")
         graft.sinks.DeltaSink.write(ev, table, overwrite = true,
           partitionBy = Seq("event_type"))
         graft.sinks.DeltaSink.read(s, table)

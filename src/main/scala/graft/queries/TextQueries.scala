@@ -692,7 +692,9 @@ object TextQueries extends QueryModule {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        val tot = toks.agg(count(lit(1)).as("t"))
+        // corpus total from the vocabulary frame — NOT a third
+        // tokenize+explode pass over the documents (review r8 finding)
+        val tot = tc.agg(sum(col("c")).as("t"))
         toks.join(tc, "tok")
           .groupBy("doc_id")
           .agg(sum(dec(log(col("c").cast("double")))).as("slc"),
