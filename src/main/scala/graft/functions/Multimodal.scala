@@ -242,6 +242,126 @@ object Multimodal {
       }(enc)
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** 64-bit perceptual difference hash (dHash) of an image payload —
+    * the standard near-duplicate-image fingerprint: decode, area-average
+    * the luma plane onto a 9×8 grid, set bit (y*8+x) when cell (x,y) is
+    * brighter than its right neighbour. Small edits (re-encode, crop a
+    * border, tweak a few pixels) flip only a few bits, so near-duplicate
+    * pairs sit within a small Hamming radius and the SimHash banding
+    * machinery (4×16-bit bands → equi-join) finds them without an
+    * all-pairs comparison. Pure integer math over exact pixel-block sums
+    * (no Java2D rescale, no float accumulation) — deterministic across
+    * JVMs, which DedupSpec pins.
+    *
+    * Payloads that don't sniff+decode as a raster fall back to a 64-bit
+    * SimHash over byte 4-gram shingles ([[byteSimHash64]]) — still a real
+    * similarity-preserving content fingerprint (near-identical byte
+    * streams land at small Hamming distance; identical payloads at 0), it
+    * just isn't *perceptual*: format="stub" labels rows where no codec
+    * ran, so a caller can route undecodable media to a real JNI/codec
+    * stage instead.
+    */
+  private[graft] def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val (gw, gh) = (9, 8)
+    val cells = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      // exact integer cell bounds: pixel rows [y0,y1), cols [x0,x1)
+      val y0 = (gy.toLong * h / gh).toInt
+      val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / gh).toInt)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = (gx.toLong * w / gw).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / gw).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { sum += luma(im.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        val n = math.max(1L,
+          (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0))
+        cells(gy * gw + gx) = sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val gy2 = i / 8; val gx2 = i % 8
+      if (cells(gy2 * gw + gx2) > cells(gy2 * gw + gx2 + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** 64-bit SimHash over byte 4-gram shingles — the non-raster fallback
+    * fingerprint: per-shingle 64-bit mix (splitmix64 finalizer over the
+    * packed 4 bytes + position-free), majority vote per bit. Pure integer
+    * math, deterministic across JVMs.
+    */
+  private[graft] def byteSimHash64(p: Array[Byte]): Long = {
+    if (p.length < 4) {
+      // degenerate payloads: mix whatever bytes exist so "" ≠ "a"
+      var a = 0x9e3779b97f4a7c15L
+      p.foreach(b => a = mix64(a ^ (b & 0xffL)))
+      return a
+    }
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i + 4 <= p.length) {
+      val sh = ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+      val h = mix64(sh)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) bits |= (1L << b); b += 1 }
+    bits
+  }
+
+  /** splitmix64 finalizer (public-domain constant schedule). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** (id, payload) → (id, format, 64-bit dHash), per-partition on the
+    * executors: zero shuffle — the banding/join that turns hashes into
+    * duplicate pairs is the caller's (q_image_phash's) only exchange.
+    */
+  def perceptualHash(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = ExpressionEncoder(phashSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val real = for {
+            fmt <- sniffImageFormat(payload)
+            img <- readImage(payload)
+          } yield Row(r.getLong(0), fmt, dHash64(img))
+          real.getOrElse(Row(r.getLong(0), "stub", byteSimHash64(payload)))
+        }
+      }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -572,5 +572,41 @@ object SimilarityQueries extends QueryModule {
              |  CAST(COALESCE(list_min(qv), 0) AS BIGINT) AS q_min,
              |  CAST(COALESCE(list_max(qv), 0) AS BIGINT) AS q_max
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    QueryDef(
+      "q_image_phash",
+      // Perceptual-hash near-duplicate image detection — the image-side
+      // analogue of q_dedup_simhash: per-payload 64-bit dHash
+      // (graft.functions.Multimodal.perceptualHash — real decode+downsample
+      // for sniffed rasters, labeled stub otherwise), then the SAME
+      // 4×16-bit band → equi-join → bit_count(xor) verify machinery.
+      // Hashing is map-side/zero-shuffle; the band self-join is the only
+      // exchange, so at 100 TB candidate cost is Σ bucket², never corpus²
+      // (identical scale posture to the SimHash path, which PlanSpec pins
+      // as never-cartesian). Undecodable payloads fall back to a byte-
+      // shingle SimHash (similarity-preserving, just not perceptual), so
+      // the text-bytes corpus yields its near-dup pairs; DedupSpec drives
+      // the REAL path with planted near-identical PNGs. No oracle: image
+      // decode is not SQL-expressible.
+      (s, dir) => {
+        val payloads = graft.functions.Multimodal.asBinaryPayload(
+          t(s, dir, "documents"))
+        val sig = graft.functions.Multimodal.perceptualHash(payloads)
+        val banded = sig.select(col("doc_id"), col("phash"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("phash"), b * 16).bitwiseAND(0xFFFF)): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
+        banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.phash").as("ha"), col("y.phash").as("hb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+          .filter(col("hamming") <= 6)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
   )
 }

@@ -716,5 +716,58 @@ object TextQueries extends QueryModule {
              |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS avg_logprob
              |FROM toks JOIN tc USING (tok), tot
              |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_lines",
+      // Sub-document (line/paragraph-level) exact dedup — the
+      // RefinedWeb/Gopher corpus cleanup that removes boilerplate spans
+      // repeated verbatim across many documents while keeping the rest of
+      // each document intact. "Lines" here are fixed 10-word chunks (the
+      // corpus carries no newlines); a chunk appearing >2 times
+      // corpus-wide is dropped, and each document is reassembled from its
+      // surviving chunks in order.
+      //
+      // Scale (100 TB): chunking is MAP-SIDE (sequence+slice inside the
+      // row — no token explode); the plan shuffles (a) chunk rows once to
+      // count frequencies (map-side partial combine on the hash-grouped
+      // chunk text) and (b) once more on doc_id to reassemble. The
+      // frequency join streams chunk rows against the counted side with
+      // AQE free to broadcast it when the distinct-chunk set is small;
+      // reassembly order is explicit (array_sort on chunk_idx), never
+      // partition-order-dependent.
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(w)/10.0) as int) - 1),
+              |          i -> array_join(slice(w, i*10+1, 10), ' '))""".stripMargin)))
+          .withColumnRenamed("pos", "chunk_idx")
+          .withColumnRenamed("col", "chunk_text")
+        val counted = chunks.groupBy("chunk_text").agg(count(lit(1)).as("cnt"))
+        chunks.join(counted, "chunk_text")
+          .groupBy("doc_id")
+          .agg(
+            array_join(expr(
+              "transform(array_sort(collect_list(CASE WHEN cnt <= 2 THEN " +
+                "struct(chunk_idx, chunk_text) END)), x -> x.chunk_text)"),
+              " ").as("cleaned_text"),
+            count(when(col("cnt") <= 2, 1)).as("n_kept"),
+            count(when(col("cnt") > 2, 1)).as("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, i AS chunk_idx,
+             |         array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk_text
+             |  FROM toks, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+             |counted AS (SELECT chunk_text, COUNT(*) AS cnt FROM chunks GROUP BY 1)
+             |SELECT doc_id,
+             |  COALESCE(string_agg(CASE WHEN cnt <= 2 THEN chunk_text END, ' '
+             |                      ORDER BY chunk_idx), '') AS cleaned_text,
+             |  CAST(COUNT(*) FILTER (WHERE cnt <= 2) AS BIGINT) AS n_kept,
+             |  CAST(COUNT(*) FILTER (WHERE cnt > 2) AS BIGINT) AS n_dropped
+             |FROM chunks JOIN counted USING (chunk_text)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -355,6 +355,56 @@ class DedupSpec extends AnyFunSuite {
     assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("perceptual dHash: near-identical PNGs land within the band+Hamming radius (r8)") {
+    val s = spark
+    import s.implicits._
+    // 64×64 two-axis gradient — every 8×8 dHash cell has a distinct mean,
+    // so all 64 comparison bits are decisively set (no near-tie cells a
+    // small edit could cascade through)
+    def gradient(perturb: Boolean, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        var v = (x * 3 + y) & 0xff
+        if (invert) v = 255 - v
+        if (perturb && x < 4 && y < 4) v = math.min(255, v + 9) // tiny local edit
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", buf))
+      buf.toByteArray
+    }
+    val base = gradient(perturb = false, invert = false)
+    val near = gradient(perturb = true, invert = false)
+    val far = gradient(perturb = false, invert = true)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "payload")
+    val rows = Multimodal.perceptualHash(df).orderBy("doc_id").collect()
+    assert(rows.forall(_.getString(1) == "png"))
+    val Seq(hBase, hNear, hFar) = rows.map(_.getLong(2)).toSeq
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the planted near-dup is inside the query's Hamming <= 6 verify radius…
+    assert(hamming(hBase, hNear) <= 6,
+      s"near-dup hamming ${hamming(hBase, hNear)}")
+    // …and shares at least one 16-bit band, so the equi-join candidate
+    // stage (the only exchange in q_image_phash) actually surfaces it
+    def bands(h: Long) = (0 until 4).map(b => (b, (h >>> (b * 16)) & 0xFFFF))
+    assert(bands(hBase).intersect(bands(hNear)).nonEmpty, "no shared band")
+    // the inverted image is far outside the radius
+    assert(hamming(hBase, hFar) > 20,
+      s"far pair hamming ${hamming(hBase, hFar)}")
+    // identical payloads collide at Hamming 0 even on the stub path
+    val stubTwin = Seq((7L, "same bytes".getBytes("UTF-8")),
+      (8L, "same bytes".getBytes("UTF-8")),
+      (9L, "other bytes".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val st = Multimodal.perceptualHash(stubTwin).orderBy("doc_id").collect()
+    assert(st.forall(_.getString(1) == "stub"))
+    assert(st(0).getLong(2) == st(1).getLong(2))
+    assert(st(0).getLong(2) != st(2).getLong(2))
+    // bit-identical across partitionings / reruns
+    val again = Multimodal.perceptualHash(df.repartition(2)).orderBy("doc_id").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("multimodal frame-sample stub: every-Nth chunk, one row per frame") {
     val payloads = Multimodal.asBinaryPayload(docsDf)
     val frames = Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)

@@ -71,6 +71,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_image_phash: band candidates stay an equi join, never all-pairs") {
+    val p = plan("q_image_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_lines: chunking is map-side; frequency+reassembly are keyed shuffles") {
+    val p = plan("q_dedup_lines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // chunks come from sequence+slice inside the row — the only Generate is
+    // the chunk posexplode (one node per join side, each printed twice by
+    // the formatted explain: tree + detail section); a per-token explode
+    // would add further Generate nodes
+    assert(p.split("Generate").length - 1 <= 4, p)
+  }
+
   test("q_sim_ann_lsh: OR'd band tables stay equi-join-only, signature fused") {
     val p = plan("q_sim_ann_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
