@@ -153,5 +153,210 @@ object TpchQueries extends QueryModule {
              |AND c_custkey = o_custkey AND o_orderkey = l_orderkey
              |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q4",
+      // Order-priority checking (Q4 shape, adapted: the corpus has no
+      // commit/receipt dates, so "late" = a lineitem shipped after the
+      // order date). The EXISTS is a LEFT SEMI hash join on orderkey with
+      // the date comparison as its residual condition — the lineitem side
+      // never aggregates or expands, and the orders date filter pushes
+      // into the scan.
+      (s, dir) => {
+        val q = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        q.join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q6",
+      // Forecasting-revenue change (Q6): the pure scan-aggregate — every
+      // predicate (shipdate year, discount band, quantity cap) reaches the
+      // parquet scan as a pushed filter and the whole query is one
+      // map-side partial + single final agg, zero joins. revenue =
+      // extendedprice·discount carries ≤4 fractional digits → fxSum.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(fxSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(ROUND((l_extendedprice*l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q7",
+      // Volume shipping (Q7 shape): bilateral trade — revenue between two
+      // nations by ship year, where the supplier sits in one nation and
+      // the customer in the other. Both nation-keyed dimension chains
+      // (supplier→nation, customer→nation) broadcast; the fact chain
+      // shuffles once on orderkey; the nation-pair disjunction is a
+      // residual filter on broadcast-joined columns.
+      (s, dir) => {
+        val supNat = broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        val custNat = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(supNat, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(custNat, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(fxSum(revenue, 4).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+             |FROM (
+             |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |    CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             |    l_extendedprice, l_discount
+             |  FROM lineitem, orders, customer, supplier,
+             |       nation sn, nation cn
+             |  WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+             |    AND o_custkey = c_custkey
+             |    AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'
+             |    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             |      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')))
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q13",
+      // Customer order-count distribution (Q13): LEFT OUTER join so
+      // zero-order customers survive into the c_count=0 bucket, then a
+      // second aggregation over the first — the double-agg shape. First
+      // agg shuffles on custkey (COUNT of the nullable o_orderkey side),
+      // second on the tiny c_count domain.
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count")),
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q14",
+      // Promotion effect (Q14): share of one ship-month's revenue from
+      // PROMO parts. Part (the dimension) broadcasts into the filtered
+      // fact scan; both the conditional and total revenue sums run in ONE
+      // aggregate over scaled longs, and the final percentage is a single
+      // long→double division mirrored token-for-token in the oracle.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", cents(revenue, 4)).otherwise(0L)).as("pr"),
+            sum(cents(revenue, 4)).as("tr"))
+          .select((col("pr").cast("double") * 100.0 / col("tr").cast("double"))
+            .as("promo_revenue_pct")),
+      Some("""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |    THEN CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)
+             |    ELSE 0 END) AS DOUBLE) * 100.0
+             |  / CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS DOUBLE)
+             |  AS promo_revenue_pct
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+             |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q17",
+      // Small-quantity-order revenue (Q17 shape): lineitems of one brand's
+      // parts whose quantity is below 20% of that part's average quantity.
+      // The correlated scalar subquery becomes a per-part aggregate joined
+      // back — both sides pre-filter to the brand's parts (broadcast), so
+      // the per-part avg never computes corpus-wide. The threshold double
+      // is built from exact long sums with an identical token order in
+      // both engines.
+      (s, dir) => {
+        val brandParts = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey"))
+        val items = t(s, dir, "lineitem")
+          .join(brandParts, col("l_partkey") === col("p_partkey"))
+        val perPart = items.groupBy(col("p_partkey").as("ap_partkey"))
+          .agg(((sum(cents(col("l_quantity"))).cast("double") / 100.0)
+            / count(lit(1)).cast("double") * 0.2).as("qty_threshold"))
+        items.join(broadcast(perPart), col("p_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg((fxSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH brand_items AS (
+             |  SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem, part
+             |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#23'),
+             |per_part AS (
+             |  SELECT l_partkey AS ap_partkey,
+             |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0
+             |      / CAST(COUNT(*) AS DOUBLE) * 0.2 AS qty_threshold
+             |  FROM brand_items GROUP BY 1)
+             |SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+             |  / 7.0 AS avg_yearly
+             |FROM brand_items JOIN per_part ON l_partkey = ap_partkey
+             |WHERE l_quantity < qty_threshold""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q19",
+      // Discounted-revenue disjunction (Q19 shape): three OR'd
+      // brand/size/quantity blocks over the part join. The join itself
+      // stays a single broadcast EQUI join on partkey — the disjunction is
+      // a residual filter, never a nested-loop condition — and Catalyst
+      // extracts the common `l_quantity <= 50` conjunct into the scan.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+              col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+            (col("p_brand") === "Brand#19" && col("p_size").between(1, 20) &&
+              col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+              col("l_quantity") >= 20 && col("l_quantity") <= 50))
+          .agg(fxSum(revenue, 4).as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey AND (
+             |   (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+             |    AND l_quantity >= 1 AND l_quantity <= 11)
+             |OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 20
+             |    AND l_quantity >= 10 AND l_quantity <= 20)
+             |OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+             |    AND l_quantity >= 20 AND l_quantity <= 50))""".stripMargin)),
   )
 }

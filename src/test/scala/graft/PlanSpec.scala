@@ -268,6 +268,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("c_mktsegment"), "segment filter must prune before the join")
   }
 
+  test("q_tpch_q4: EXISTS runs as a hash semi join with the date residual") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"order-date filter must push into the orders scan:\n$p")
+  }
+
+  test("q_tpch_q6: pure scan-agg — predicates pushed, no join, partial agg") {
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"ship-date filter must push into the scan:\n$p")
+    assert(p.contains("partial_sum"), s"revenue sum must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q19: disjunctive predicate stays a residual on an equi join") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast-equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the OR blocks must never turn the join into a nested loop:\n$p")
+  }
+
   test("q_trend_ols: dims broadcast, moment sums combine map-side") {
     val p = plan("q_trend_ols")
     assert(p.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$p")
