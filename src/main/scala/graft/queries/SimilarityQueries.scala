@@ -406,6 +406,78 @@ object SimilarityQueries extends QueryModule {
       None),
 
     QueryDef(
+      "q_sim_ann_ivfpq",
+      // IVF-PQ: the billion-scale ANN serving pipeline end-to-end —
+      // coarse cells bound the search (as in q_sim_ann_ivf) and product
+      // quantization (operators/ProductQuantizer) shrinks the CANDIDATE
+      // side to M=8 code bytes, so the cell join shuffles (cid, cell,
+      // codes) rows 32× lighter than float32 vectors; the probe ranks
+      // candidates by ADC cosine computed from its own vector + candidate
+      // codes (literal codebook lookups, fully codegen'd, map-side), and
+      // only the top-10 ADC survivors are ever joined back to their true
+      // vectors for the exact top-3 rerank. Coarse centroids AND PQ
+      // codebooks are the 16 lowest-id vectors (deterministic stand-ins
+      // for trained centroids, as in q_sim_ann_ivf; production trains
+      // both with operators/KMeans on a sample) — k·D doubles of driver
+      // metadata, closed over as literals so cell assignment, encoding
+      // and ADC all run as map-side projections with no shuffle. No
+      // oracle (approximate by construction); PqSpec pins lossless-
+      // encoding exactness, rerank-equals-exact, and determinism.
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val M = 8
+        val nprobe = 2
+        val emb = t(s, dir, "embeddings")
+        val seeds = emb.orderBy("vec_id").limit(16).select("embedding")
+          .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        val books = ProductQuantizer.codebooksFromSeeds(seeds, M)
+        // coarse scores vs literal centroids: map-side argmax, no join
+        val coarseScores = array(seeds.map { c =>
+          val cn = math.sqrt(c.map(x => x * x).sum)
+          dotD(col("embedding"), typedLit(c)) / (col("nrm") * lit(cn))
+        }.toIndexedSeq: _*)
+        // top-nprobe cells via array_sort on (-score, idx) structs
+        val cellsRanked = expr(
+          s"""transform(
+             |  slice(array_sort(transform(cs,
+             |    (x, i) -> named_struct('s', -x, 'i', i))), 1, $nprobe),
+             |  p -> p.i)""".stripMargin)
+        val vecs = emb
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
+          .withColumn("cs", coarseScores)
+          .withColumn("cells", cellsRanked)
+        // candidates: home cell + CODES ONLY — no float vectors shuffle
+        val cands = vecs.select(col("vec_id").as("cid"),
+          element_at(col("cells"), 1).as("cell"),
+          ProductQuantizer.encode(col("embedding"), books).as("codes"))
+        // probes: explode their nprobe nearest cells, keep the query vector
+        val probes = vecs.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"), explode(col("cells")).as("cell"))
+        val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
+        val shortlist = probes.join(cands, Seq("cell"))
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("adc",
+            ProductQuantizer.adcCosine(col("qe"), col("qn"), col("codes"), books))
+          .withColumn("arn", row_number().over(wAdc))
+          .filter(col("arn") <= 10)
+          .select("qid", "qe", "qn", "cid")
+        // exact rerank of the ADC top-10 only
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        shortlist
+          .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn")), Seq("cid"))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("cid"),
+            toDbl(col("score_d").cast("decimal(18,6)")).as("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    QueryDef(
       "q_approx_distinct",
       // HLL sketch + exact twin. The approx column is computed (exercising
       // the HyperLogLogPlusPlus partial/final path) but dropped before the

@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Generate").length - 1 <= 4, p)
   }
 
+  test("q_sim_ann_ivfpq: cell join is equi-only; codes, not vectors, shuffle") {
+    val p = plan("q_sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate side of the cell join must project codes (the 32×
+    // shuffle shrink is the operator's point)
+    assert(p.contains("codes"), s"PQ codes column missing from the plan:\n$p")
+  }
+
   test("q_sim_ann_lsh: OR'd band tables stay equi-join-only, signature fused") {
     val p = plan("q_sim_ann_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
