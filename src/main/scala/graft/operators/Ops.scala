@@ -406,4 +406,39 @@ object Ops {
     }
     pr.select(col("node"), col("score").as("score_scaled"))
   }
+
+  /** Multi-source breadth-first shortest hop distance — the reachability /
+    * proximity primitive (lineage blast radius, link-graph crawl frontier,
+    * contamination spread): from a seed set, `maxHops` supersteps of
+    * min-distance propagation, returning (node, dist) for every node whose
+    * true distance is ≤ maxHops.
+    *
+    * Scale posture: identical to [[connectedComponents]] — each superstep
+    * shuffles only slim (node, dist) rows keyed by the join key plus one
+    * min-agg with map-side combine; the frontier never materializes paths
+    * (no path explosion, unlike a recursive-CTE UNION ALL), and per-step
+    * materialization keeps the plan constant-size. Edges are directed as
+    * given; pass a symmetrized frame for undirected graphs.
+    */
+  def bfs(edges0: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
+    val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
+    val edges = materialize(
+      edges0.select(srcC.as("src"), dstC.as("dst")).distinct())
+    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val expanded = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = materialize(
+        dist.select("node", "dist").union(expanded)
+          .groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist.select("node", "dist")
+  }
 }

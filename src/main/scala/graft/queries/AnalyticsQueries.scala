@@ -888,6 +888,44 @@ object AnalyticsQueries extends QueryModule {
              |GROUP BY degree ORDER BY degree""".stripMargin)),
 
     QueryDef(
+      "q_graph_bfs",
+      // Multi-source BFS (Ops.bfs): shortest hop distance from the seed
+      // docs (doc_id < 5) over the same undirected shared-3-gram graph, 3
+      // supersteps — reachability/proximity without path explosion: each
+      // superstep shuffles slim (node, dist) rows + one map-side-combined
+      // min agg, never materializing paths (the oracle's unrolled
+      // frontier-min CTE chain mirrors the iteration exactly, which a
+      // recursive UNION ALL could not do safely on a dense graph).
+      (s, dir) => {
+        val und = gramEdges(s, dir)
+        val edges = und.union(
+          und.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = t(s, dir, "documents")
+          .filter(col("doc_id") < 5).select(col("doc_id").as("node"))
+        graft.operators.Ops.bfs(edges, seeds, maxHops = 3)
+          .select(col("node").as("doc_id"), col("dist"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $GramEdgesSql,
+             |e AS (SELECT src, dst FROM edges
+             |      UNION SELECT dst AS src, src AS dst FROM edges),
+             |d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+             |       FROM documents WHERE doc_id < 5),
+             |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+             |  SELECT node, dist FROM d0
+             |  UNION ALL SELECT e.dst, d0.dist + 1 FROM d0 JOIN e ON e.src = d0.node)
+             |  GROUP BY node),
+             |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+             |  SELECT node, dist FROM d1
+             |  UNION ALL SELECT e.dst, d1.dist + 1 FROM d1 JOIN e ON e.src = d1.node)
+             |  GROUP BY node),
+             |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+             |  SELECT node, dist FROM d2
+             |  UNION ALL SELECT e.dst, d2.dist + 1 FROM d2 JOIN e ON e.src = d2.node)
+             |  GROUP BY node)
+             |SELECT node AS doc_id, dist FROM d3 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q_sessionize_islands",
       // Gaps-and-islands sessionization in PORTABLE SQL (the cross-engine
       // twin of Spark's session_window): a session starts where the gap

@@ -233,6 +233,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.forall(_.getLong(1) == 0L))
   }
 
+  test("bfs: multi-source min-hop distances; unreachable nodes absent (r8)") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4-5, triangle 10-11-12 (disconnected), isolated seed 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val und = edges.union(edges.select(col("dst"), col("src")))
+    val seeds = Seq(1L, 10L, 20L).toDF("node")
+    val got = Ops.bfs(und, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L, 12L -> 1L, 20L -> 0L))
+    // node 5 is 4 hops out — not reached within maxHops=3
+    assert(!got.contains(5L))
+    // a seed inside another seed's reach keeps dist 0 and shortens others
+    val got2 = Ops.bfs(und, Seq(1L, 3L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+    // partitioning-invariant
+    val again = Ops.bfs(und.repartition(5), seeds.repartition(3), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("rangeBinJoin equals the nested-loop band join on random data") {
     val spark = TestSpark.spark
     import spark.implicits._
