@@ -124,5 +124,44 @@ object CoreQueries extends QueryModule {
              |EXCEPT
              |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
              |ORDER BY key""".stripMargin)),
+
+    QueryDef(
+      "q_set_except_all",
+      // MULTISET difference (EXCEPT ALL): per-customer order rows minus one
+      // copy per high-value order — duplicates survive by count, the
+      // semantics bag-reconciliation (billing diffs, replay audits)
+      // actually needs. Spark's exceptAll plans as a single hash aggregate
+      // over counts, not a join per duplicate.
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_custkey").as("key"))
+          .exceptAll(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey").as("key")))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .orderBy("key"),
+      Some("""SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT o_custkey AS key FROM orders
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+             |GROUP BY key ORDER BY key""".stripMargin)),
+
+    QueryDef(
+      "q_set_intersect_all",
+      // MULTISET intersection (INTERSECT ALL): order rows per customer
+      // common to two overlapping date ranges, multiplicity = the smaller
+      // per-key count on either side.
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey").as("key"))
+          .intersectAll(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+            .select(col("o_custkey").as("key")))
+          .groupBy("key").agg(count(lit(1)).as("n"))
+          .orderBy("key"),
+      Some("""SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT o_custkey AS key FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+             |  INTERSECT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+             |GROUP BY key ORDER BY key""".stripMargin)),
   )
 }

@@ -531,6 +531,45 @@ object SimilarityQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_quantile_sketch",
+      // Quantiles as DATA (functions/DdSketch, the fourth reusable
+      // Aggregator): a DDSketch-style relative-error (α=2%) sketch is a
+      // first-class array<long> column — store per-day/per-slice sketches,
+      // MERGE by elementwise sum, answer any quantile over any rollup
+      // without re-touching raw data (p99-latency-per-arbitrary-slice).
+      // The declared check mirrors q_hll_sketch: per event_type the exact
+      // count (oracle-compared), p50/p95 sketch estimates within 2α of the
+      // engine's exact percentile, and merge_exact — sketches of the
+      // even/odd event halves merged by elementwise sum equal the
+      // whole-input sketch BIT-FOR-BIT (integer sums commute), the
+      // pre-aggregate-once-roll-up-forever guarantee.
+      (s, dir) => {
+        import graft.functions.DdSketch
+        val slot = DdSketch.slotFor(col("value"))
+        val base = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("cnt"),
+            expr("percentile(value, 0.5)").as("ex50"),
+            expr("percentile(value, 0.95)").as("ex95"),
+            DdSketch.sketch(slot).as("sk"),
+            DdSketch.sketch(when(col("event_id") % 2 === 0, slot)).as("sk_even"),
+            DdSketch.sketch(when(col("event_id") % 2 === 1, slot)).as("sk_odd"))
+        base.select(
+            col("event_type"), col("cnt"),
+            (abs(DdSketch.quantileCol(col("sk"), 0.5) - col("ex50"))
+              / abs(col("ex50")) <= 2 * DdSketch.Alpha).as("p50_ok"),
+            (abs(DdSketch.quantileCol(col("sk"), 0.95) - col("ex95"))
+              / abs(col("ex95")) <= 2 * DdSketch.Alpha).as("p95_ok"),
+            (DdSketch.mergeCol(col("sk_even"), col("sk_odd")) === col("sk"))
+              .as("merge_exact"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS merge_exact
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_dedup_cluster",
       // Duplicate CLUSTERS, not just pairs: connected components over the
       // near-dup pair graph (same edges as q_dedup_embed), every vertex

@@ -68,6 +68,33 @@ object WindowQueries extends QueryModule {
              |ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "q_win_ignore_nulls",
+      // IGNORE NULLS analytics — last-observation-carried-forward (LOCF),
+      // the sensor/CDC gap-repair primitive: a sparse reading (2 of every
+      // 3 events nulled deterministically) is filled from the most recent
+      // non-null value in the same user's timeline. One user-keyed
+      // shuffle + per-user sort; the running frame never re-scans (Spark
+      // evaluates last(ignoreNulls) incrementally).
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_id") % 3 === 0, col("value")).as("v"))
+          .select(col("event_id"), col("user_id"), col("v"),
+            last("v", ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("v_filled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, v,
+             |  LAST_VALUE(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_id % 3 = 0 THEN value END AS v FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "q_win_analytic",
       // ntile / percent_rank / cume_dist. The distribution functions divide
       // small exact integers (rank, partition size ~10), so the double
