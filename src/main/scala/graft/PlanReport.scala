@@ -56,7 +56,15 @@ object PlanReport {
     "q_scd2_pit" -> "interval containment compiled to the union+window as-of — no join operator",
     "q_lm_score" -> "vocabulary join cost-based; decimal-rounded ln sums combine map-side",
     "q_percentile_weighted" -> "weighted median: tie-collapsed cumsum, broadcast totals, integer crossing test",
-    "q_concurrency_peak" -> "sweep line: pre-aggregated boundary deltas, per-type cumsum, no self-join")
+    "q_concurrency_peak" -> "sweep line: pre-aggregated boundary deltas, per-type cumsum, no self-join",
+    "q_dedup_lines" -> "map-side sequence+slice chunking; frequency + reassembly are the only shuffles",
+    "q_image_phash" -> "per-partition decode, band equi-join candidates — never all-pairs",
+    "q_sim_ann_ivfpq" -> "PQ codes (not vectors) shuffle through the cell join; ADC is map-side literal lookups",
+    "q_graph_bfs" -> "min-propagation supersteps: slim (node,dist) shuffles, paths never materialize",
+    "q_quantile_sketch" -> "constant-size bucket arrays as partial aggregates; quantile walk per group",
+    "q_tpch_q4" -> "EXISTS as a hash semi join with the date residual",
+    "q_tpch_q6" -> "the pure scan-agg: all predicates pushed, join-free, partial sums",
+    "q_tpch_q19" -> "OR'd brand/size/qty blocks stay a residual on one equi join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
