@@ -47,6 +47,39 @@ object SimilarityQueries extends QueryModule {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine(a, b)
 
+  /** Shared IVF-PQ frame: deterministic coarse centroids + PQ codebooks
+    * (the 16 lowest-id vectors, as in q_sim_ann_ivf) and every vector with
+    * its L2 norm and its nprobe=2 nearest coarse cells — all map-side
+    * literal projections (coarse argmax has no join; cell ranking is one
+    * array_sort on (-score, idx) structs). Backs q_sim_ann_ivfpq and the
+    * index-roundtrip query.
+    */
+  private def pqIndexed(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    import graft.operators.ProductQuantizer
+    val M = 8
+    val nprobe = 2
+    val emb = t(s, dir, "embeddings")
+    val seeds = emb.orderBy("vec_id").limit(16).select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val books = ProductQuantizer.codebooksFromSeeds(seeds, M)
+    val coarseScores = array(seeds.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      dotD(col("embedding"), typedLit(c)) / (col("nrm") * lit(cn))
+    }.toIndexedSeq: _*)
+    val cellsRanked = expr(
+      s"""transform(
+         |  slice(array_sort(transform(cs,
+         |    (x, i) -> named_struct('s', -x, 'i', i))), 1, $nprobe),
+         |  p -> p.i)""".stripMargin)
+    val vecs = emb
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
+      .withColumn("cs", coarseScores)
+      .withColumn("cells", cellsRanked)
+    (books, vecs)
+  }
+
   private val NumPerm = 32 // MinHash permutations
   private val Rows = 2     // minhashes per band
   private val Bands = NumPerm / Rows // 16 LSH bands
@@ -425,28 +458,7 @@ object SimilarityQueries extends QueryModule {
       // encoding exactness, rerank-equals-exact, and determinism.
       (s, dir) => {
         import graft.operators.ProductQuantizer
-        val M = 8
-        val nprobe = 2
-        val emb = t(s, dir, "embeddings")
-        val seeds = emb.orderBy("vec_id").limit(16).select("embedding")
-          .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-        val books = ProductQuantizer.codebooksFromSeeds(seeds, M)
-        // coarse scores vs literal centroids: map-side argmax, no join
-        val coarseScores = array(seeds.map { c =>
-          val cn = math.sqrt(c.map(x => x * x).sum)
-          dotD(col("embedding"), typedLit(c)) / (col("nrm") * lit(cn))
-        }.toIndexedSeq: _*)
-        // top-nprobe cells via array_sort on (-score, idx) structs
-        val cellsRanked = expr(
-          s"""transform(
-             |  slice(array_sort(transform(cs,
-             |    (x, i) -> named_struct('s', -x, 'i', i))), 1, $nprobe),
-             |  p -> p.i)""".stripMargin)
-        val vecs = emb
-          .select(col("vec_id"), col("embedding"),
-            graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
-          .withColumn("cs", coarseScores)
-          .withColumn("cells", cellsRanked)
+        val (books, vecs) = pqIndexed(s, dir)
         // candidates: home cell + CODES ONLY — no float vectors shuffle
         val cands = vecs.select(col("vec_id").as("cid"),
           element_at(col("cells"), 1).as("cell"),
@@ -529,6 +541,55 @@ object SimilarityQueries extends QueryModule {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
              |TRUE AS estimate_ok, TRUE AS merge_exact
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_ann_index_roundtrip",
+      // The ANN index as a LAKEHOUSE TABLE: the IVF-PQ index frame
+      // (cid, cell, codes) is committed to a Delta table through the
+      // hand-rolled _delta_log, read back via the Delta log reader, and
+      // probes are served FROM THE TABLE (cell equi-join + ADC top-5 —
+      // pure index serving, no float vectors read). The declared check:
+      // the table-served results equal the direct (in-memory) serving
+      // results EXACTLY, row for row — index persistence is lossless —
+      // plus the probe count for the oracle. This is the production
+      // shape: build/refresh the index in one job, serve from the table
+      // forever; cells make the table partition-prunable and codes keep
+      // it D·4/M-fold smaller than the vectors it indexes.
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val (books, vecs) = pqIndexed(s, dir)
+        val index = vecs.select(col("vec_id").as("cid"),
+          element_at(col("cells"), 1).as("cell"),
+          ProductQuantizer.encode(col("embedding"), books).as("codes"))
+        val table = graft.TempTables.create("graft-ann-index")
+        graft.sinks.DeltaSink.write(index, table, overwrite = true)
+        val fromTable = graft.sinks.DeltaSink.read(s, table)
+        val probes = vecs.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"), explode(col("cells")).as("cell"))
+        def serve(cands: DataFrame): DataFrame = {
+          val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
+          probes.join(cands, Seq("cell"))
+            .filter(col("qid") =!= col("cid"))
+            .withColumn("adc",
+              ProductQuantizer.adcCosine(col("qe"), col("qn"), col("codes"), books))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .select("qid", "rn", "cid")
+        }
+        val direct = serve(index)
+        val served = serve(fromTable)
+        val mismatches = direct.as("d")
+          .join(served.as("t"), Seq("qid", "rn"), "full_outer")
+          .filter(not(col("d.cid") <=> col("t.cid")))
+          .count()
+        direct.agg(
+            countDistinct(col("qid")).as("n_probes"),
+            lit(mismatches == 0L).as("index_matches_direct"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             |TRUE AS index_matches_direct
+             |FROM embeddings WHERE vec_id < 50""".stripMargin)),
 
     QueryDef(
       "q_quantile_sketch",
