@@ -435,6 +435,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dd-sketch aggregates across micro-batches: streaming p95 stays in bound (r8)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.DdSketch
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[Ev]
+    val q = input.toDF()
+      .select(DdSketch.slotFor(col("value")).as("s"))
+      .agg(DdSketch.sketch(col("s")).as("sk"))
+      .select(DdSketch.quantileCol(col("sk"), 0.95).as("p95"),
+        org.apache.spark.sql.functions.aggregate(
+          col("sk"), org.apache.spark.sql.functions.lit(0L), (a, c) => a + c).as("n"))
+      .writeStream.format("memory").queryName("dd_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // two micro-batches of latency-like values 1..100
+      input.addData((1 to 60).map(i => Ev(i, ts(i), 1, "m", i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((61 to 100).map(i => Ev(i, ts(i), 1, "m", i.toDouble)): _*)
+      q.processAllAvailable()
+      val row = spark.table("dd_stream").collect().head
+      assert(row.getLong(1) == 100L, "all rows across batches must accumulate")
+      val p95 = row.getDouble(0)
+      assert(math.abs(p95 - 95.0) / 95.0 <= DdSketch.Alpha + 1e-9,
+        s"streaming p95=$p95 outside the alpha bound")
+    } finally q.stop()
+  }
+
   test("attribution join batch shape equals a plain interval self-join") {
     val spark = TestSpark.spark
     import spark.implicits._
