@@ -74,15 +74,23 @@ object DdSketch {
   private val orderedValues: Array[Double] = orderedSlots.map(valueOfSlot)
 
   /** Quantile estimate from a sketch column: reorder the counts into
-    * value-ascending order, then one `aggregate` walk finds the bucket
-    * containing rank ⌈q·total⌉ and reports its representative. Cost is
-    * O(Size) per GROUP (not per input row). Null/empty sketch → null.
+    * value-ascending order (three slices — O(1) expression nodes, not one
+    * node per bucket), then one `aggregate` walk finds the bucket
+    * containing rank ⌊q·(total−1)⌋+1 (the canonical DDSketch rank: the
+    * same order statistic `percentile`/`quantile_cont` anchor their
+    * interpolation on, so estimates track exact-percentile checks instead
+    * of drifting a whole order statistic at sparse tails) and reports its
+    * representative. Cost is O(Size) per GROUP (not per input row).
+    * Null/empty sketch → null.
     */
   def quantileCol(sk: Column, q: Double): Column = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    val ordered = array(orderedSlots.map(s => element_at(sk, s + 1)).toIndexedSeq: _*)
+    // negatives (|x| descending) ++ zero ++ positives (ascending); slot s
+    // lives at array index s+1 for element_at but slice() is 1-based too
+    val ordered = concat(
+      reverse(slice(sk, NP + 2, NP)), slice(sk, 1, 1), slice(sk, 2, NP))
     val total = aggregate(ordered, lit(0L), (a, c) => a + c)
-    val target = greatest(lit(1L), ceil(lit(q) * total).cast("long"))
+    val target = floor(lit(q) * (total - 1).cast("double")).cast("long") + 1L
     val entries = zip_with(ordered, typedLit(orderedValues),
       (c, v) => struct(c.as("c"), v.as("v")))
     val walk = aggregate(entries,

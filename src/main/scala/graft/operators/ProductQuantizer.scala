@@ -51,7 +51,13 @@ object ProductQuantizer {
 
   /** Map-side PQ encoding: `vec` (array<float|double>, length M·sub) →
     * array<int> of M code ids, each the argmin-L2 codebook entry of its
-    * subspace (ties → lowest code id, matching [[KMeans]]).
+    * subspace (ties → lowest code id, matching [[KMeans]]). A NaN/null
+    * component makes every subspace score NaN, where `array_position`
+    * finds no maximum and returns 0; the `greatest(1, …)` clamp routes
+    * such rows deterministically to code 0 instead of letting the -1
+    * escape into `element_at(book, 0)` downstream (a runtime error that
+    * would fail the whole job on one malformed embedding — review r8
+    * finding).
     */
   def encode(vec: Column, books: Array[Array[Array[Double]]]): Column = {
     val sub = books.head.head.length
@@ -60,7 +66,7 @@ object ProductQuantizer {
       val scores = array(book.map { c =>
         dot(s, typedLit(c)) - lit(c.map(x => x * x).sum / 2.0)
       }.toIndexedSeq: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
+      (greatest(lit(1L), array_position(scores, array_max(scores))) - 1).cast("int")
     }.toIndexedSeq: _*)
   }
 

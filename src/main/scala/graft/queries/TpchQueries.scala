@@ -223,8 +223,8 @@ object TpchQueries extends QueryModule {
           .join(supNat, col("l_suppkey") === col("s_suppkey"))
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(custNat, col("o_custkey") === col("c_custkey"))
-          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_18") ||
+            (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_12"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(fxSum(revenue, 4).as("revenue"))
@@ -243,8 +243,8 @@ object TpchQueries extends QueryModule {
              |    AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
              |    AND l_shipdate >= TIMESTAMP '1996-01-01'
              |    AND l_shipdate < TIMESTAMP '1998-01-01'
-             |    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-             |      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')))
+             |    AND ((sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_18')
+             |      OR (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_12')))
              |GROUP BY supp_nation, cust_nation, l_year
              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 

@@ -37,7 +37,8 @@ class DdSketchSpec extends AnyFunSuite {
     val sk = sketchOf(xs.map(_.toDouble), 7)
     for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.95, 0.99)) {
       val est = quantileOf(sk, q)
-      val exact = sorted(math.max(0, math.ceil(q * xs.size).toInt - 1))
+      // rank floor(q*(n-1))+1 — the same order statistic quantileCol targets
+      val exact = sorted(math.floor(q * (xs.size - 1)).toInt)
       assert(math.abs(est - exact) / exact <= DdSketch.Alpha + 1e-9,
         s"q=$q est=$est exact=$exact relerr=${math.abs(est - exact) / exact}")
     }

@@ -76,6 +76,23 @@ class PqSpec extends AnyFunSuite {
     assert(codes == Seq(0, 1))
   }
 
+  test("PQ encode: a NaN component clamps to code 0 instead of crashing ADC") {
+    val s = spark
+    import s.implicits._
+    val seeds = Array(Array(1.0, 2.0, 3.0, 4.0), Array(5.0, 6.0, 7.0, 8.0))
+    val books = ProductQuantizer.codebooksFromSeeds(seeds, 2)
+    val df = Seq((1L, Seq(Float.NaN, 1f, 2f, 3f)), (2L, Seq(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val enc = df.select(col("vec_id"),
+      ProductQuantizer.encode(col("embedding"), books).as("codes"))
+    val rows = enc.orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Int](1).forall(c => c >= 0 && c < 2), "codes in range")
+    // ADC over the clamped codes evaluates without error
+    val adc = enc.select(ProductQuantizer.adcDot(
+      typedLit(Array(1f, 1f, 1f, 1f)), col("codes"), books).as("a")).collect()
+    assert(adc.length == 2 && !adc(1).isNullAt(0))
+  }
+
   test("q_sim_ann_ivfpq: reranked scores equal exact cosine; deterministic") {
     val dir = "/root/testdata/sf0.001"
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, dir)
