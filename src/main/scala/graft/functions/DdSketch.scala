@@ -51,55 +51,48 @@ object DdSketch {
     // 1-element array so a NULL value stays a skippable NULL through the
     // udaf boundary (a primitive int input would decode NULL as 0 — the
     // zero bucket); same shape as HllSketch.slotsFor
-    when(x.isNull, lit(null).cast("array<int>"))
-      .when(x === 0.0, array(lit(0)))
-      .when(x > 0.0, array(idxOf(x) - lit(IdxMin) + lit(1)))
-      .otherwise(array(idxOf(-x) - lit(IdxMin) + lit(NP + 1)))
+    val slot = when(x === 0.0, lit(0L))
+      .when(x > 0.0, (idxOf(x) - lit(IdxMin) + lit(1)).cast("long"))
+      .otherwise((idxOf(-x) - lit(IdxMin) + lit(NP + 1)).cast("long"))
+    when(x.isNull, lit(null).cast("array<long>")).otherwise(array(slot))
   }
 
-  /** Representative value of a slot (driver-side twin of the literal
-    * table used by [[quantileCol]]).
+  /** Weighted insert — [slot, count]: the PRE-AGGREGATED path. The udaf's
+    * per-row cost is dominated by the ~20 KiB buffer's encoder round-trip
+    * (true of every ScalaAggregator), so at scale the sketch should never
+    * see raw rows: hash-aggregate (group, slot) counts first (codegen'd,
+    * map-side-combining) and feed the sketch one weighted row per DISTINCT
+    * slot — ≤ store-size rows per group regardless of input size (the r8
+    * bench fix: 11 s → sub-second on 100k rows at sf0.1).
+    */
+  def weightedSlotFor(x: Column, weight: Column): Column =
+    when(x.isNull, lit(null).cast("array<long>"))
+      .otherwise(concat(slotFor(x), array(weight.cast("long"))))
+
+  /** Representative value of a slot (driver-side twin of [[quantileCol]]'s
+    * ordinal arithmetic; same java.lang.Math.pow, so bit-identical).
     */
   private[graft] def valueOfSlot(slot: Int): Double =
     if (slot == 0) 0.0
     else if (slot <= NP) 2.0 * math.pow(Gamma, IdxMin + slot - 1) / (Gamma + 1.0)
     else -2.0 * math.pow(Gamma, IdxMin + slot - NP - 1) / (Gamma + 1.0)
 
-  /** Slots in ascending VALUE order: all negatives (|x| descending), the
-    * zero bucket, all positives (ascending).
-    */
-  private val orderedSlots: Array[Int] =
-    ((2 * NP) to (NP + 1) by -1).toArray ++ Array(0) ++ (1 to NP).toArray
-
-  private val orderedValues: Array[Double] = orderedSlots.map(valueOfSlot)
-
-  /** Quantile estimate from a sketch column: reorder the counts into
-    * value-ascending order (three slices — O(1) expression nodes, not one
-    * node per bucket), then one `aggregate` walk finds the bucket
-    * containing rank ⌊q·(total−1)⌋+1 (the canonical DDSketch rank: the
-    * same order statistic `percentile`/`quantile_cont` anchor their
-    * interpolation on, so estimates track exact-percentile checks instead
-    * of drifting a whole order statistic at sparse tails) and reports its
-    * representative. Cost is O(Size) per GROUP (not per input row).
+  /** Quantile estimate from a sketch column, as a NATIVE expression
+    * ([[DdQuantileExpr]]): one O(Size) walk per GROUP row in plain JVM
+    * code. Two higher-order-function formulations died here first: a
+    * Size-element value-table literal cost ~2 s of PLANNING per call, and
+    * an `aggregate` lambda whose rank target was an embedded sub-aggregate
+    * re-evaluated that aggregate at EVERY step — O(Size²) interpreted
+    * lambda work ≈ 0.8 s per output row (r8 bench findings). The walk
+    * targets rank ⌊q·(total−1)⌋+1, the canonical DDSketch rank and the
+    * order statistic `percentile`/`quantile_cont` anchor interpolation on,
+    * so estimates track exact-percentile checks even at sparse tails.
     * Null/empty sketch → null.
     */
   def quantileCol(sk: Column, q: Double): Column = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    // negatives (|x| descending) ++ zero ++ positives (ascending); slot s
-    // lives at array index s+1 for element_at but slice() is 1-based too
-    val ordered = concat(
-      reverse(slice(sk, NP + 2, NP)), slice(sk, 1, 1), slice(sk, 2, NP))
-    val total = aggregate(ordered, lit(0L), (a, c) => a + c)
-    val target = floor(lit(q) * (total - 1).cast("double")).cast("long") + 1L
-    val entries = zip_with(ordered, typedLit(orderedValues),
-      (c, v) => struct(c.as("c"), v.as("v")))
-    val walk = aggregate(entries,
-      struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
-      (acc, e) => struct(
-        (acc("cum") + e("c")).as("cum"),
-        coalesce(acc("ans"),
-          when(acc("cum") + e("c") >= target, e("v"))).as("ans")))
-    when(total === 0, lit(null).cast("double")).otherwise(walk("ans"))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DdQuantileExpr(org.apache.spark.sql.GraftColumnBridge.expression(sk), q))
   }
 
   /** Union of two sketches: elementwise sum — exact and order-free. */
@@ -107,16 +100,81 @@ object DdSketch {
     zip_with(a, b, (x, y) => x + y)
 
   def sketch: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udaf(new DdSketchAgg, ExpressionEncoder[Array[Int]]())
+    udaf(new DdSketchAgg, ExpressionEncoder[Array[Long]]())
 }
 
-class DdSketchAgg extends Aggregator[Array[Int], Array[Long], Array[Long]] {
+/** The quantile walk over a sketch's bucket array (see
+  * [[DdSketch.quantileCol]]): slots visited in value-ascending order —
+  * negatives by |x| descending (slots 2·NP…NP+1), the zero bucket, then
+  * positives ascending (1…NP) — until the running count reaches rank
+  * ⌊q·(total−1)⌋+1; the answer is that bucket's representative via the
+  * same java.lang.Math.pow arithmetic as [[DdSketch.valueOfSlot]].
+  * Eval-only (CodegenFallback): it runs once per GROUP row, never per
+  * input row, so codegen would buy nothing.
+  */
+case class DdQuantileExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, q: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dd_quantile"
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): DdQuantileExpr =
+    copy(child = c)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> (a DdSketch store), got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != DdSketch.Size) return null
+    val np = DdSketch.NP
+    var total = 0L
+    var i = 0
+    while (i < DdSketch.Size) { total += arr.getLong(i); i += 1 }
+    if (total == 0L) return null
+    val target = math.floor(q * (total - 1)).toLong + 1L
+    var cum = 0L
+    // negatives: |x| descending = slot descending
+    var s = 2 * np
+    while (s >= np + 1) {
+      cum += arr.getLong(s)
+      if (cum >= target) return DdSketch.valueOfSlot(s)
+      s -= 1
+    }
+    cum += arr.getLong(0)
+    if (cum >= target) return 0.0
+    s = 1
+    while (s <= np) {
+      cum += arr.getLong(s)
+      if (cum >= target) return DdSketch.valueOfSlot(s)
+      s += 1
+    }
+    null // unreachable: cum == total >= target by the end
+  }
+}
+
+class DdSketchAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   def zero: Array[Long] = new Array[Long](DdSketch.Size)
 
-  def reduce(b: Array[Long], slot: Array[Int]): Array[Long] = {
-    // null guard: a null value yields a null slot array upstream; skip
-    if (slot != null && slot.length == 1 && slot(0) >= 0 && slot(0) < b.length)
-      b(slot(0)) += 1L
+  def reduce(b: Array[Long], slot: Array[Long]): Array[Long] = {
+    // null guard: a null value yields a null slot array upstream; skip.
+    // [slot] adds 1; [slot, w] adds w (the pre-aggregated path).
+    if (slot != null && slot.length >= 1) {
+      val s = slot(0).toInt
+      if (s >= 0 && s < b.length)
+        b(s) += (if (slot.length >= 2) slot(1) else 1L)
+    }
     b
   }
 

@@ -606,16 +606,28 @@ object SimilarityQueries extends QueryModule {
       // pre-aggregate-once-roll-up-forever guarantee.
       (s, dir) => {
         import graft.functions.DdSketch
-        val slot = DdSketch.slotFor(col("value"))
-        val base = t(s, dir, "events")
-          .groupBy("event_type")
-          .agg(
-            count(lit(1)).as("cnt"),
+        // PRE-AGGREGATED sketch build (the scale path — see
+        // DdSketch.weightedSlotFor): the codegen'd hash aggregate collapses
+        // 100k raw rows to ≤ store-size (group, slot) rows before the
+        // object aggregator's ~20 KiB-buffer udaf ever runs, so its
+        // encoder round-trip cost is per-DISTINCT-slot, not per-row
+        val ev = t(s, dir, "events")
+        val slotted = ev.groupBy(col("event_type"),
+            DdSketch.slotFor(col("value"))(0).as("slot"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("event_id") % 2 === 0, 1)).as("n_even"),
+            count(when(col("event_id") % 2 === 1, 1)).as("n_odd"))
+        def wsk(w: Column) = graft.functions.DdSketch.sketch(
+          when(col("slot").isNull, lit(null).cast("array<long>"))
+            .otherwise(array(col("slot"), w)))
+        val sketches = slotted.groupBy("event_type")
+          .agg(wsk(col("n")).as("sk"),
+            wsk(col("n_even")).as("sk_even"), wsk(col("n_odd")).as("sk_odd"))
+        val exacts = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
             expr("percentile(value, 0.5)").as("ex50"),
-            expr("percentile(value, 0.95)").as("ex95"),
-            DdSketch.sketch(slot).as("sk"),
-            DdSketch.sketch(when(col("event_id") % 2 === 0, slot)).as("sk_even"),
-            DdSketch.sketch(when(col("event_id") % 2 === 1, slot)).as("sk_odd"))
+            expr("percentile(value, 0.95)").as("ex95"))
+        val base = exacts.join(sketches, Seq("event_type"))
         base.select(
             col("event_type"), col("cnt"),
             (abs(DdSketch.quantileCol(col("sk"), 0.5) - col("ex50"))
