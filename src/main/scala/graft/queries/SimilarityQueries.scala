@@ -762,30 +762,29 @@ object SimilarityQueries extends QueryModule {
       // Perceptual-hash near-duplicate image detection — the image-side
       // analogue of q_dedup_simhash: per-payload 64-bit dHash
       // (graft.functions.Multimodal.perceptualHash — real decode+downsample
-      // for sniffed rasters, labeled stub otherwise), then band equi-join →
-      // bit_count(xor) verify. SEVEN bands (one 10-bit + six 9-bit), not
-      // simhash's four: the pigeonhole guarantee "some band untouched"
-      // must cover this query's Hamming ≤ 6 verify radius, and b bands
-      // only guarantee radius b−1 (4 bands silently dropped radius-4..6
-      // pairs whose differing bits straddled all four — review r8
-      // finding). Hashing is map-side/zero-shuffle; the band self-join is
-      // the only exchange, so at 100 TB candidate cost is Σ bucket²,
-      // never corpus² (PlanSpec pins never-cartesian). Undecodable
-      // payloads fall back to a byte-shingle SimHash (similarity-
-      // preserving, just not perceptual), so the text-bytes corpus yields
-      // its near-dup pairs; DedupSpec drives the REAL path with planted
-      // near-identical PNGs. No oracle: image decode is not
-      // SQL-expressible.
+      // for sniffed rasters, labeled stub otherwise), then the SAME
+      // 4×16-bit band → equi-join → bit_count(xor) verify machinery at the
+      // SAME Hamming ≤ 3 radius, where the 4-band pigeonhole guarantee is
+      // exact: ≤3 differing bits always leave one band untouched. (The
+      // r8 review first widened the radius to 6 under 7 narrow bands for
+      // the same guarantee — but 9-bit band values collide corpus-wide,
+      // so Σ bucket² grew quadratically and the 5× scaling audit flagged
+      // it 7.9× super-linear; real dHash near-dups from small edits sit
+      // at Hamming 0–2, so radius 3 over sparse 16-bit buckets is both
+      // the recall-guaranteed and the scale-correct shape.) Hashing is
+      // map-side/zero-shuffle; the band self-join is the only exchange
+      // (PlanSpec pins never-cartesian). Undecodable payloads fall back
+      // to a byte-shingle SimHash (similarity-preserving, just not
+      // perceptual), so the text-bytes corpus yields its near-dup pairs;
+      // DedupSpec drives the REAL path with planted near-identical PNGs.
+      // No oracle: image decode is not SQL-expressible.
       (s, dir) => {
         val payloads = graft.functions.Multimodal.asBinaryPayload(
           t(s, dir, "documents"))
         val sig = graft.functions.Multimodal.perceptualHash(payloads)
-        // (offset, width) covering all 64 bits: 10 + 6×9
-        val bands = Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
         val banded = sig.select(col("doc_id"), col("phash"),
-          posexplode(array(bands.map { case (off, w) =>
-            shiftright(col("phash"), off).bitwiseAND((1 << w) - 1)
-          }: _*)))
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("phash"), b * 16).bitwiseAND(0xFFFF)): _*)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
         banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
           .filter(col("x.doc_id") < col("y.doc_id"))
@@ -794,7 +793,7 @@ object SimilarityQueries extends QueryModule {
           .distinct()
           .withColumn("hamming",
             bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-          .filter(col("hamming") <= 6)
+          .filter(col("hamming") <= 3)
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },

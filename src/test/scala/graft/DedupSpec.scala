@@ -382,16 +382,14 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1) == "png"))
     val Seq(hBase, hNear, hFar) = rows.map(_.getLong(2)).toSeq
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    // the planted near-dup is inside the query's Hamming <= 6 verify radius…
-    assert(hamming(hBase, hNear) <= 6,
+    // the planted near-dup (one grid cell brightened) is inside the
+    // query's Hamming <= 3 verify radius…
+    assert(hamming(hBase, hNear) <= 3,
       s"near-dup hamming ${hamming(hBase, hNear)}")
-    // …and shares at least one of the query's SEVEN bands (guaranteed by
-    // pigeonhole at radius ≤ 6), so the equi-join candidate stage (the
+    // …and shares at least one 16-bit band (guaranteed by pigeonhole at
+    // radius <= 3 over 4 bands), so the equi-join candidate stage (the
     // only exchange in q_image_phash) surfaces it
-    val layout = Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
-    def bands(h: Long) = layout.zipWithIndex.map { case ((off, w), b) =>
-      (b, (h >>> off) & ((1L << w) - 1))
-    }
+    def bands(h: Long) = (0 until 4).map(b => (b, (h >>> (b * 16)) & 0xFFFF))
     assert(bands(hBase).intersect(bands(hNear)).nonEmpty, "no shared band")
     // the inverted image is far outside the radius
     assert(hamming(hBase, hFar) > 20,
