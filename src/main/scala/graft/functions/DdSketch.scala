@@ -101,6 +101,33 @@ object DdSketch {
 
   def sketch: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new DdSketchAgg, ExpressionEncoder[Array[Long]]())
+
+  /** Aggregate MERGE of many sketch COLUMNS (elementwise sum) — the
+    * roll-up-forever half of the contract: per-slice sketches stored as
+    * data merge into any coarser slice without re-touching raw rows.
+    * Input rows here are sketches (one per fine-grained group), so the
+    * per-row buffer cost note (SURVEY note 27) is inherently respected.
+    */
+  def mergeAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new DdMergeAgg, ExpressionEncoder[Array[Long]]())
+}
+
+/** Merges already-built sketch arrays by elementwise sum. */
+class DdMergeAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  def zero: Array[Long] = new Array[Long](DdSketch.Size)
+  def reduce(b: Array[Long], sk: Array[Long]): Array[Long] = merge(b, sk)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b != null && b.length == a.length) {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+    }
+    a
+  }
+  def finish(b: Array[Long]): Array[Long] = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 }
 
 /** The quantile walk over a sketch's bucket array (see

@@ -643,6 +643,48 @@ object SimilarityQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_quantile_rollup",
+      // The roll-up-forever half of the sketch contract as a DECLARED
+      // query: per-(event_type, day) sketches — the form a production
+      // pipeline would PERSIST — merge by elementwise sum
+      // (DdSketch.mergeAgg) into per-type sketches, and the rolled-up
+      // quantile answers match a sketch built directly on the raw rows
+      // BIT-FOR-BIT (`rollup_exact`), so storing daily sketches loses
+      // nothing: any date-range/any-slice p95 is one cheap merge away,
+      // never a re-scan of raw data. Also oracle-checks n_days and the
+      // rolled p95 against the exact percentile (within 2α).
+      (s, dir) => {
+        import graft.functions.DdSketch
+        val ev = t(s, dir, "events")
+        val slotted = ev.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"),
+            DdSketch.slotFor(col("value"))(0).as("slot"))
+          .agg(count(lit(1)).as("n"))
+        def wsk = graft.functions.DdSketch.sketch(
+          when(col("slot").isNull, lit(null).cast("array<long>"))
+            .otherwise(array(col("slot"), col("n"))))
+        val daily = slotted.groupBy("event_type", "day").agg(wsk.as("sk_day"))
+        val rolled = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), DdSketch.mergeAgg(col("sk_day")).as("sk"))
+        val whole = ev.groupBy(col("event_type"),
+            DdSketch.slotFor(col("value"))(0).as("slot"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("event_type").agg(wsk.as("sk_whole"))
+        val exact = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.95)").as("ex95"))
+        rolled.join(whole, Seq("event_type")).join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_days"),
+            (col("sk") === col("sk_whole")).as("rollup_exact"),
+            (abs(DdSketch.quantileCol(col("sk"), 0.95) - col("ex95"))
+              / abs(col("ex95")) <= 2 * DdSketch.Alpha).as("p95_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |TRUE AS rollup_exact, TRUE AS p95_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_dedup_cluster",
       // Duplicate CLUSTERS, not just pairs: connected components over the
       // near-dup pair graph (same edges as q_dedup_embed), every vertex

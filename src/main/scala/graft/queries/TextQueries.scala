@@ -718,6 +718,65 @@ object TextQueries extends QueryModule {
              |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q_mix_temperature",
+      // Temperature-flattened source resampling — the multilingual-corpus
+      // mixing rule (sample source s with p ∝ n_s^α, α=0.5): head sources
+      // downsample, tail sources upsample (with repetition), total stays
+      // ≈ corpus size. Deterministic throughout: per-source targets are
+      // floor(T·n^α / Σn^α) with the Σ computed in DECIMAL (order-free)
+      // and the pow/floor mirrored token-for-token; selection is the
+      // md5-prefix lottery ordered (epoch, md5, doc_id), so full epochs
+      // precede repeats and the kept set is engine/partitioning/
+      // rerun-stable. One broadcast of the ~|sources| target table, one
+      // per-source window sort — at 100 TB the same targets drive the
+      // hash-threshold (sort-free) variant, trading exact counts for
+      // shuffle-free selection.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+        val tot = stats.agg(
+          sum(col("n")).cast("double").as("t"),
+          toDbl(sum(pow(col("n").cast("double"), 0.5).cast(dec12)).cast(dec12))
+            .as("wsum"))
+        val tgt = stats.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n"),
+            floor(col("t") * pow(col("n").cast("double"), 0.5) / col("wsum"))
+              .cast("long").as("tgt"))
+        val expanded = docs.select("doc_id", "lang")
+          .join(broadcast(tgt), "lang")
+          .withColumn("reps",
+            greatest(ceil(col("tgt").cast("double") / col("n").cast("double"))
+              .cast("int"), lit(1)))
+          .withColumn("epoch", explode(sequence(lit(0), col("reps") - 1)))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("epoch"), md5(col("doc_id").cast("string")), col("doc_id"))
+        expanded.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= col("tgt"))
+          .select(col("doc_id"), col("lang"),
+            col("epoch").cast("long").as("epoch"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH stats AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t,
+             |  CAST(CAST(SUM(CAST(pow(CAST(n AS DOUBLE), 0.5) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE) AS wsum
+             |  FROM stats),
+             |tgt AS (SELECT lang, n,
+             |  CAST(FLOOR(t * pow(CAST(n AS DOUBLE), 0.5) / wsum) AS BIGINT) AS tgt
+             |  FROM stats, tot),
+             |expanded AS (
+             |  SELECT d.doc_id, d.lang, u.e AS epoch, tgt.tgt
+             |  FROM documents d JOIN tgt ON d.lang = tgt.lang,
+             |  UNNEST(range(GREATEST(CAST(CEIL(CAST(tgt.tgt AS DOUBLE) / tgt.n) AS BIGINT), 1))) AS u(e)),
+             |ranked AS (
+             |  SELECT doc_id, lang, epoch, tgt,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY epoch, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM expanded)
+             |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch, CAST(rn AS BIGINT) AS rn
+             |FROM ranked WHERE rn <= tgt ORDER BY lang, rn""".stripMargin)),
+
+    QueryDef(
       "q_dedup_lines",
       // Sub-document (line/paragraph-level) exact dedup — the
       // RefinedWeb/Gopher corpus cleanup that removes boilerplate spans
