@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
   *   expire-iceberg    <table> [keepLast]
   *   compact-iceberg   <table>
+  *   csv-to-delta      <file.csv> <table> [--overwrite]
+  *   json-to-delta     <file.jsonl> <table> [--overwrite]
+  *   export-jsonl      <dataDir> <sql> <outDir>
   *   pgcopy-to-delta   <colSpec> <table> <stream.pgcopy>... [--overwrite]
   *   pg-to-delta       <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite]
   *   pg-to-iceberg     <host:port> <database> <user> <colSpec> <sql> <table> [--overwrite | --append]
@@ -136,6 +139,24 @@ object Cli {
           System.err.println("Table exists. Pass --overwrite to overwrite data")
           sys.exit(1)
         }
+      case "csv-to-delta" =>
+        // csv-to-delta <file.csv> <table> [--overwrite] — header + inferred
+        // schema (Engine.csvToDelta documents the pin-a-schema production path)
+        if (!Engine.csvToDelta(spark, pos(0), pos(1), overwrite)) {
+          System.err.println("Table exists. Pass --overwrite to overwrite data")
+          sys.exit(1)
+        }
+      case "json-to-delta" =>
+        if (!Engine.jsonToDelta(spark, pos(0), pos(1), overwrite)) {
+          System.err.println("Table exists. Pass --overwrite to overwrite data")
+          sys.exit(1)
+        }
+      case "export-jsonl" =>
+        // export-jsonl <dataDir> <sql> <outDir> — query → JSON-lines shards,
+        // the hand-off format training loaders consume; sharding follows the
+        // query's partitioning, so a repartition in <sql> controls shard count
+        val n = Engine.exportJsonl(spark, pos(0), pos(1), pos(2))
+        println(s"wrote $n rows")
       case "pg-to-delta" | "pg-to-iceberg" =>
         // pg-to-{delta,iceberg} <host:port> <database> <user> <colSpec>
         // <sql> <table> — the reference's live verbs (lib.rs:18-41): run

@@ -109,6 +109,18 @@ object Engine {
     DeltaSink.write(df, table, overwrite)
   }
 
+  /** Query → JSON-lines shards under `out` (gzip-free, one shard per task)
+    * — the hand-off format training data loaders consume. Returns the row
+    * count (one extra pass; acceptable for an export verb, and the count
+    * doubles as the ingest-side manifest check).
+    */
+  def exportJsonl(spark: SparkSession, dir: String, query: String,
+      out: String): Long = {
+    val df = sql(spark, dir, query)
+    df.write.mode("overwrite").json(out)
+    spark.read.json(out).count()
+  }
+
   /** Appends the result of a query to an existing Delta table (one new log
     * version, OCC retry) — see [[sinks.DeltaSink.append]].
     */

@@ -220,6 +220,35 @@ object TextQueries extends QueryModule {
              |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q_sample_weighted",
+      // Importance-weighted deterministic sampling: keep probability
+      // p_i = 0.5 · n_chars/max(n_chars) — the quality-score-proportional
+      // selection a pretraining pipeline runs after scoring (longer/
+      // higher-quality docs kept more often), WITHOUT RNG: each row's
+      // md5-prefix u_i (8 hex digits) is compared against a per-row
+      // threshold hex string derived from p_i by identical IEEE
+      // floor/multiply on both engines. Map-side except the 1-row max
+      // broadcast; stable across engines/partitionings/reruns like every
+      // sampler here.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val maxc = docs.agg(max(col("n_chars")).cast("double").as("maxc"))
+        docs.crossJoin(broadcast(maxc))
+          .withColumn("thresh", lower(lpad(hex(
+            floor(lit(0.5) * col("n_chars").cast("double") / col("maxc")
+              * 4294967296.0).cast("long")), 8, "0")))
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thresh"))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT CAST(MAX(n_chars) AS DOUBLE) AS maxc FROM documents)
+             |SELECT doc_id, lang, n_chars FROM documents, m
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |  lower(lpad(hex(CAST(FLOOR(0.5 * CAST(n_chars AS DOUBLE) / maxc
+             |    * 4294967296.0) AS BIGINT)), 8, '0'))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q_corpus_prepare",
       // The end-to-end training-data preparation composite: exact dedup
       // (keep smallest doc_id per md5), quality filter (length + alpha

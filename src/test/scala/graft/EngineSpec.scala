@@ -96,6 +96,25 @@ class EngineSpec extends AnyFunSuite {
     assert(csvBack.schema("id").dataType.typeName == "integer") // inferred
     assert(csvBack.count() == 2)
     assert(graft.sinks.DeltaSink.read(spark, jsonTable).count() == 2)
+
+    // the same paths through the CLI verbs
+    val cliCsvTable = java.nio.file.Files.createTempDirectory("graft-csv-cli").toString
+    Cli.main(Array("csv-to-delta", s"$dir/in.csv", cliCsvTable, "--overwrite"))
+    assert(graft.sinks.DeltaSink.read(spark, cliCsvTable).count() == 2)
+  }
+
+  test("export-jsonl: query results land as JSON-lines shards (r8)") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val n = Engine.exportJsonl(spark, "/root/testdata/sf0.001",
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 20", out)
+    assert(n == 20)
+    val back = spark.read.json(out)
+    assert(back.count() == 20)
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars"))
+    // shards are plain .json part files a non-Spark loader can stream
+    val parts = new java.io.File(out).listFiles().filter(_.getName.endsWith(".json"))
+    assert(parts.nonEmpty)
   }
 
   test("sql-append-to-delta adds a version on top of an existing table") {
