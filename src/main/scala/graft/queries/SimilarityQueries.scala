@@ -439,6 +439,90 @@ object SimilarityQueries extends QueryModule {
       None),
 
     QueryDef(
+      "q_dedup_incremental",
+      // INCREMENTAL dedup — the shape every production ingest actually
+      // runs: a new batch (doc_id ≥ 400) checked against the EXISTING
+      // corpus (doc_id < 400), never corpus-vs-corpus. Exact layer:
+      // fingerprint left-semi flag against the existing md5 set. Fuzzy
+      // layer: 3-gram inverted-index join restricted to incoming×existing
+      // (gram-keyed shuffle, no all-pairs, same posture as q_dedup_ngram),
+      // exact Jaccard ≥ 0.05 → earliest matching existing doc. At 100 TB
+      // the existing side's fingerprints/grams are a PERSISTED index table
+      // (built once, appended per batch) and the batch side is small —
+      // cost scales with the batch, not the corpus.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def gramArr(df: DataFrame) = df
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3)))).as("gs"))
+        val incoming = docs.filter(col("doc_id") >= 400)
+        val existing = docs.filter(col("doc_id") < 400)
+        val exFp = existing.select(md5(col("text")).as("fp")).distinct()
+        val exactFlag = incoming
+          .join(exFp, md5(col("text")) === col("fp"), "left_outer")
+          .select(col("doc_id"), col("fp").isNotNull.as("is_exact_dup"))
+        val gi = gramArr(incoming)
+        val ge = gramArr(existing)
+        val giE = gi.select(col("doc_id").as("inc_id"), explode(col("gs")).as("g"))
+        val geE = ge.select(col("doc_id").as("ex_id"), explode(col("gs")).as("g"))
+        val inter = giE.join(geE, "g")
+          .groupBy("inc_id", "ex_id").agg(count(lit(1)).as("ix"))
+        val near = inter
+          .join(gi.select(col("doc_id").as("inc_id"),
+            size(col("gs")).cast("long").as("ni")), "inc_id")
+          .join(ge.select(col("doc_id").as("ex_id"),
+            size(col("gs")).cast("long").as("ne")), "ex_id")
+          .withColumn("jaccard",
+            (col("ix").cast("double") / (col("ni") + col("ne") - col("ix")).cast("double"))
+              .cast(Dec38))
+          .filter(col("jaccard") >= 0.05)
+          .groupBy("inc_id")
+          .agg(min(col("ex_id")).as("near_dup_of"),
+            toDbl(max(col("jaccard"))).as("best_jaccard"))
+        exactFlag
+          .join(near, col("doc_id") === col("inc_id"), "left_outer")
+          .select(col("doc_id"), col("is_exact_dup"),
+            col("near_dup_of"), col("best_jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH incoming AS (SELECT * FROM documents WHERE doc_id >= 400),
+             |existing AS (SELECT * FROM documents WHERE doc_id < 400),
+             |exfp AS (SELECT DISTINCT md5(text) AS fp FROM existing),
+             |exact AS (
+             |  SELECT i.doc_id, fp IS NOT NULL AS is_exact_dup
+             |  FROM incoming i LEFT JOIN exfp ON md5(i.text) = fp),
+             |gi AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM incoming)
+             |  WHERE len(t) >= 3),
+             |ge AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM existing)
+             |  WHERE len(t) >= 3),
+             |grams_i AS (SELECT DISTINCT doc_id AS inc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM gi),
+             |grams_e AS (SELECT DISTINCT doc_id AS ex_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM ge),
+             |sz_i AS (SELECT inc_id, COUNT(*) AS ni FROM grams_i GROUP BY 1),
+             |sz_e AS (SELECT ex_id, COUNT(*) AS ne FROM grams_e GROUP BY 1),
+             |inter AS (SELECT inc_id, ex_id, COUNT(*) AS ix
+             |          FROM grams_i JOIN grams_e USING (g) GROUP BY 1, 2),
+             |near AS (
+             |  SELECT inc_id, MIN(ex_id) AS near_dup_of,
+             |    CAST(MAX(j) AS DOUBLE) AS best_jaccard
+             |  FROM (SELECT inc_id, ex_id,
+             |          CAST(CAST(ix AS DOUBLE) / CAST(ni + ne - ix AS DOUBLE) AS DECIMAL(38,6)) AS j
+             |        FROM inter JOIN sz_i USING (inc_id) JOIN sz_e USING (ex_id))
+             |  WHERE j >= 0.05 GROUP BY inc_id)
+             |SELECT e.doc_id, e.is_exact_dup, n.near_dup_of, n.best_jaccard
+             |FROM exact e LEFT JOIN near n ON e.doc_id = n.inc_id
+             |ORDER BY e.doc_id""".stripMargin)),
+
+    QueryDef(
       "q_sim_ann_ivfpq",
       // IVF-PQ: the billion-scale ANN serving pipeline end-to-end —
       // coarse cells bound the search (as in q_sim_ann_ivf) and product
