@@ -77,6 +77,42 @@ object DdSketch {
     else if (slot <= NP) 2.0 * math.pow(Gamma, IdxMin + slot - 1) / (Gamma + 1.0)
     else -2.0 * math.pow(Gamma, IdxMin + slot - NP - 1) / (Gamma + 1.0)
 
+  /** Driver-side twin of [[slotFor]] (same ceil/log/clamp math) — lets
+    * property tests exercise the aggregator + walk without a Spark job.
+    */
+  private[graft] def slotOf(x: Double): Int = {
+    def idx(a: Double) =
+      math.max(IdxMin, math.min(IdxMax, math.ceil(math.log(a) / LnGamma).toInt))
+    if (x == 0.0) 0
+    else if (x > 0.0) idx(x) - IdxMin + 1
+    else idx(-x) - IdxMin + NP + 1
+  }
+
+  /** Driver-side twin of [[DdQuantileExpr]]'s walk (identical traversal
+    * and rank convention).
+    */
+  private[graft] def quantileOfStore(store: Array[Long], q: Double): Option[Double] = {
+    val total = store.sum
+    if (total == 0L) return None
+    val target = math.floor(q * (total - 1)).toLong + 1L
+    var cum = 0L
+    var s = 2 * NP
+    while (s >= NP + 1) {
+      cum += store(s)
+      if (cum >= target) return Some(valueOfSlot(s))
+      s -= 1
+    }
+    cum += store(0)
+    if (cum >= target) return Some(0.0)
+    s = 1
+    while (s <= NP) {
+      cum += store(s)
+      if (cum >= target) return Some(valueOfSlot(s))
+      s += 1
+    }
+    None
+  }
+
   /** Quantile estimate from a sketch column, as a NATIVE expression
     * ([[DdQuantileExpr]]): one O(Size) walk per GROUP row in plain JVM
     * code. Two higher-order-function formulations died here first: a

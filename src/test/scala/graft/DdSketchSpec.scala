@@ -37,6 +37,9 @@ class DdSketchSpec extends AnyFunSuite {
     val sk = sketchOf(xs.map(_.toDouble), 7)
     for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.95, 0.99)) {
       val est = quantileOf(sk, q)
+      // the driver twin (used by the PROPERTY test) matches the native
+      // expression bit-for-bit
+      assert(DdSketch.quantileOfStore(sk, q).contains(est))
       // rank floor(q*(n-1))+1 — the same order statistic quantileCol targets
       val exact = sorted(math.floor(q * (xs.size - 1)).toInt)
       assert(math.abs(est - exact) / exact <= DdSketch.Alpha + 1e-9,
@@ -64,6 +67,30 @@ class DdSketchSpec extends AnyFunSuite {
     val odds = sketchOf(xs.zipWithIndex.collect { case (x, i) if i % 2 == 1 => x }, 4)
     val merged = evens.zip(odds).map { case (a, b) => a + b }
     assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("PROPERTY: any in-range sample's quantiles respect the alpha bound (driver twins)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // driver-side twins (slotOf/quantileOfStore mirror the Column/native
+    // paths bit-for-bit) let scalacheck run hundreds of samples jobs-free
+    val genXs = for {
+      n <- Gen.choose(1, 400)
+      xs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(1e-6, 1e9),                         // positive, 15 decades
+        Gen.choose(-1e9, -1e-6),                       // negative
+        Gen.const(0.0)))
+    } yield xs
+    val prop = Prop.forAll(genXs, Gen.choose(0.0, 1.0)) { (xs, q) =>
+      val store = new Array[Long](DdSketch.Size)
+      xs.foreach(x => store(DdSketch.slotOf(x)) += 1)
+      val est = DdSketch.quantileOfStore(store, q).get
+      val sorted = xs.sorted
+      val exact = sorted(math.floor(q * (xs.size - 1)).toInt)
+      if (exact == 0.0) est == 0.0
+      else math.abs(est - exact) / math.abs(exact) <= DdSketch.Alpha + 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("store is partition invariant; nulls are skipped; clamping holds extremes") {
