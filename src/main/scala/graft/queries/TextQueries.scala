@@ -747,6 +747,91 @@ object TextQueries extends QueryModule {
              |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q_corpus_refresh",
+      // The INTEGRATED ingest pipeline as one declared query — what a
+      // production corpus refresh actually runs, end to end THROUGH THE
+      // LAKEHOUSE WRITE PATH: the existing corpus (doc_id < 400) is
+      // committed to a Delta table; the incoming batch (doc_id ≥ 400) is
+      // exact-deduped (md5 anti-join vs the existing fingerprint set),
+      // near-deduped (incoming×existing gram Jaccard ≥ 0.05 anti-join —
+      // the q_dedup_incremental machinery as a FILTER), quality-filtered
+      // (≥ 20 tokens), and APPENDED as a second Delta version; the
+      // refreshed table is read back through the Delta log reader and
+      // summarized per language. The oracle recomputes the final state
+      // relationally, so dedup semantics, the filter, the append commit
+      // and the log read all sit under one hash check.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 400)
+        val existing = docs.filter(col("doc_id") < 400)
+        def grams(df: org.apache.spark.sql.DataFrame, idAs: String) = df
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id").as(idAs),
+            explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))).as("g"),
+            size(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))).cast("long").as("n"))
+        val gi = grams(incoming, "inc_id")
+        val ge = grams(existing, "ex_id")
+        val nearIds = gi.join(ge.withColumnRenamed("n", "ne"), "g")
+          .groupBy("inc_id", "ex_id", "n", "ne").agg(count(lit(1)).as("ix"))
+          .filter((col("ix").cast("double")
+            / (col("n") + col("ne") - col("ix")).cast("double")).cast(Dec38) >= 0.05)
+          .select(col("inc_id").as("doc_id")).distinct()
+        val exFp = existing.select(md5(col("text")).as("fp")).distinct()
+        val kept = incoming
+          .filter(size(split(col("text"), " ")) >= 20)
+          .join(exFp, md5(col("text")) === col("fp"), "left_anti")
+          .join(nearIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "n_chars", "text", "source")
+        val table = graft.TempTables.create("graft-refresh")
+        graft.sinks.DeltaSink.write(
+          existing.select("doc_id", "lang", "n_chars", "text", "source"),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.append(kept, table)
+        graft.sinks.DeltaSink.read(s, table)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH incoming AS (SELECT * FROM documents WHERE doc_id >= 400),
+             |existing AS (SELECT * FROM documents WHERE doc_id < 400),
+             |gi AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM incoming)
+             |  WHERE len(t) >= 3),
+             |ge AS (
+             |  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM existing)
+             |  WHERE len(t) >= 3),
+             |grams_i AS (SELECT DISTINCT doc_id AS inc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM gi),
+             |grams_e AS (SELECT DISTINCT doc_id AS ex_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM ge),
+             |sz_i AS (SELECT inc_id, COUNT(*) AS n FROM grams_i GROUP BY 1),
+             |sz_e AS (SELECT ex_id, COUNT(*) AS ne FROM grams_e GROUP BY 1),
+             |near AS (
+             |  SELECT DISTINCT inc_id AS doc_id
+             |  FROM (SELECT inc_id, ex_id, COUNT(*) AS ix
+             |        FROM grams_i JOIN grams_e USING (g) GROUP BY 1, 2) x
+             |  JOIN sz_i USING (inc_id) JOIN sz_e USING (ex_id)
+             |  WHERE CAST(CAST(ix AS DOUBLE) / CAST(n + ne - ix AS DOUBLE) AS DECIMAL(38,6)) >= 0.05),
+             |kept AS (
+             |  SELECT i.* FROM incoming i
+             |  WHERE len(string_split(i.text, ' ')) >= 20
+             |    AND md5(i.text) NOT IN (SELECT md5(text) FROM existing)
+             |    AND i.doc_id NOT IN (SELECT doc_id FROM near)),
+             |refreshed AS (SELECT * FROM existing UNION ALL SELECT * FROM kept)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM refreshed GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "q_mix_temperature",
       // Temperature-flattened source resampling — the multilingual-corpus
       // mixing rule (sample source s with p ∝ n_s^α, α=0.5): head sources
