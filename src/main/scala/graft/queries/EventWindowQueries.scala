@@ -398,6 +398,36 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_hidden_day",
+      // Iceberg HIDDEN partitioning (day transform) through the
+      // correctness gate: events commit to a `day(ts)`-partitioned
+      // Iceberg table — the table schema has no derived column, data
+      // files keep ts, the transform lives only in the spec + manifest
+      // partition structs — and a one-week range is served via
+      // readDays, which prunes whole files by manifest day ordinal
+      // before the exact timestamp predicate re-applies. The oracle is
+      // the same aggregate over raw events: partitioned commit, manifest
+      // values, pruning, and the re-filter lose nothing.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-day") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive, partitionBy = Seq("day(ts)"))
+        val from = java.time.LocalDate.of(2024, 1, 8)
+        val until = java.time.LocalDate.of(2024, 1, 15)
+        val (df, _, _) = graft.sinks.IcebergSink.readDays(s, table, "ts", from, until)
+        df.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       "q_delta_merge",
       // Keyed MERGE (CDC apply) through the correctness gate: a CDC batch
       // derived deterministically from the corpus — updates (key % 11,

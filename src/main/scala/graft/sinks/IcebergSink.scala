@@ -176,29 +176,69 @@ object IcebergSink {
     } finally reader.close()
   }
 
-  /** Spark → Iceberg identity-partition plumbing: supported partition
-    * column types, their Iceberg/Avro manifest representation, and the
-    * Hive-style directory-name codec Spark's partitioned parquet writer
-    * produces. Values live in the MANIFEST (partition struct per data
-    * file) — the read path never parses paths.
+  /** One entry of a partition spec, as requested via `partitionBy`:
+    * `"col"` (identity) or `"day(col)"` (Iceberg HIDDEN partitioning — the
+    * table partitions on a TRANSFORM of a source column; readers query the
+    * source column and never see the derived value, which exists only in
+    * the directory layout and each file's manifest partition struct).
     */
-  private def partitionFieldsOf(schema: StructType, cols: Seq[String])
+  private[sinks] case class PartSpec(raw: String, source: String, transform: String) {
+    /** Staging/manifest column name; for identity it IS the source column
+      * (removed from data files by Spark's partitioned writer), for `day`
+      * a derived name absent from the table schema (so data files keep
+      * the source column — hidden-partition semantics).
+      */
+    def derivedName: String =
+      if (transform == "identity") source else s"${source}_$transform"
+  }
+
+  private[sinks] def parsePartSpec(s: String): PartSpec =
+    if (s.startsWith("day(") && s.endsWith(")"))
+      PartSpec(s, s.substring(4, s.length - 1), "day")
+    else PartSpec(s, s, "identity")
+
+  /** Reverse of [[parsePartSpec]] from a metadata spec field. */
+  private def rawOfSpecField(name: String, transform: String): String =
+    transform match {
+      case "identity" => name
+      case "day" => s"day(${name.stripSuffix("_day")})"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform in table metadata: $other")
+    }
+
+  /** Spark → Iceberg partition plumbing: supported partition column types,
+    * their Iceberg/Avro manifest representation, and the Hive-style
+    * directory-name codec Spark's partitioned parquet writer produces.
+    * Values live in the MANIFEST (partition struct per data file) — the
+    * read path never parses paths. A `day` transform always yields an int
+    * date ordinal (Iceberg spec §partition-transforms).
+    */
+  private def partitionFieldsOf(schema: StructType, specs: Seq[PartSpec])
       : Seq[IcebergAvro.PartitionField] =
-    cols.zipWithIndex.map { case (c, i) =>
-      val f = schema.fields.lift(schema.fieldIndex(c)).get
-      val (avro, logical) = f.dataType match {
-        case org.apache.spark.sql.types.StringType => ("string", None)
-        case org.apache.spark.sql.types.IntegerType
-           | org.apache.spark.sql.types.ShortType
-           | org.apache.spark.sql.types.ByteType => ("int", None)
-        case org.apache.spark.sql.types.LongType => ("long", None)
-        case org.apache.spark.sql.types.BooleanType => ("boolean", None)
-        case org.apache.spark.sql.types.DateType => ("int", Some("date"))
-        case other => throw new IllegalArgumentException(
-          s"unsupported Iceberg identity-partition type for column $c: $other " +
-            "(supported: string, int/short/byte, long, boolean, date)")
+    specs.zipWithIndex.map { case (ps, i) =>
+      val f = schema.fields.lift(schema.fieldIndex(ps.source)).get
+      val (avro, logical) = ps.transform match {
+        case "day" =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType
+               | org.apache.spark.sql.types.DateType => ("int", Some("date"))
+            case other => throw new IllegalArgumentException(
+              s"day() partition transform needs timestamp/date, got $other for ${ps.source}")
+          }
+        case _ => f.dataType match {
+          case org.apache.spark.sql.types.StringType => ("string", None)
+          case org.apache.spark.sql.types.IntegerType
+             | org.apache.spark.sql.types.ShortType
+             | org.apache.spark.sql.types.ByteType => ("int", None)
+          case org.apache.spark.sql.types.LongType => ("long", None)
+          case org.apache.spark.sql.types.BooleanType => ("boolean", None)
+          case org.apache.spark.sql.types.DateType => ("int", Some("date"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported Iceberg identity-partition type for column ${ps.source}: $other " +
+              "(supported: string, int/short/byte, long, boolean, date)")
+        }
       }
-      IcebergAvro.PartitionField(c, avro, 1000 + i, logical)
+      IcebergAvro.PartitionField(ps.derivedName, avro, 1000 + i, logical)
     }
 
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -261,7 +301,9 @@ object IcebergSink {
     val previousSpecCols: Seq[String] = previous.toSeq.flatMap { prev =>
       prev.get("partition-specs").elements().asScala
         .find(s => s.get("spec-id").asInt() == prev.get("default-spec-id").asInt())
-        .toSeq.flatMap(_.get("fields").elements().asScala.map(_.get("name").asText()))
+        .toSeq.flatMap(_.get("fields").elements().asScala.map(f =>
+          rawOfSpecField(f.get("name").asText(),
+            Option(f.get("transform")).map(_.asText()).getOrElse("identity"))))
     }
     // No-request adoption applies to Append AND Overwrite (a routine
     // --overwrite must not silently de-partition the table); an EXPLICIT
@@ -275,15 +317,24 @@ object IcebergSink {
       throw new IllegalStateException(
         s"partition spec mismatch: table is partitioned by $previousSpecCols, " +
           s"append requested $effectivePartitionBy")
-    val partFields = partitionFieldsOf(df.schema, effectivePartitionBy)
+    val partSpecs = effectivePartitionBy.map(parsePartSpec)
+    val partFields = partitionFieldsOf(df.schema, partSpecs)
 
     // Data files: Spark parquet write into a per-commit staging directory
-    // (Hive-layout subdirectories when partitioned).
+    // (Hive-layout subdirectories when partitioned). Transform partitions
+    // stage through a DERIVED column (day(ts) → ts_day); Spark drops the
+    // partition column from the files, so identity sources leave the data
+    // files while transform sources (hidden partitioning) stay in them.
+    val stageDf = partSpecs.filter(_.transform == "day").foldLeft(df) { (d, ps) =>
+      d.withColumn(ps.derivedName,
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col(ps.source)))
+    }
     val stage = s"data/stage-${java.util.UUID.randomUUID()}"
-    val writer = df.write
+    val writer = stageDf.write
       .option("compression", "snappy")
       .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
-    (if (effectivePartitionBy.nonEmpty) writer.partitionBy(effectivePartitionBy: _*)
+    (if (partSpecs.nonEmpty) writer.partitionBy(partSpecs.map(_.derivedName): _*)
      else writer).parquet(s"$table/$stage")
     new File(s"$table/$stage/_SUCCESS").delete()
     val stageRoot = new File(s"$table/$stage")
@@ -297,13 +348,19 @@ object IcebergSink {
     // per-file partition values from the staging layout (write side only —
     // readers use the manifest)
     val partValuesOf: File => Seq[Any] =
-      if (effectivePartitionBy.isEmpty) _ => Nil
+      if (partSpecs.isEmpty) _ => Nil
       else { f =>
         val rel = stageRoot.toPath.relativize(f.toPath)
         val segments = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-        effectivePartitionBy.zip(segments).map { case (c, seg) =>
-          require(seg.startsWith(c + "="), s"unexpected partition segment $seg for $c")
-          partitionValueOf(seg, df.schema(c).dataType)
+        partSpecs.zip(segments).map { case (ps, seg) =>
+          require(seg.startsWith(ps.derivedName + "="),
+            s"unexpected partition segment $seg for ${ps.derivedName}")
+          // a day-transform segment is always an ISO date dir regardless of
+          // the SOURCE type (the derived column is DateType by construction)
+          val dt =
+            if (ps.transform == "day") org.apache.spark.sql.types.DateType
+            else df.schema(ps.source).dataType
+          partitionValueOf(seg, dt)
         }
       }
 
@@ -335,10 +392,11 @@ object IcebergSink {
       IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats,
         partValuesOf(f))
     }
-    // identity partition spec (Iceberg spec §partitioning): field-ids from
-    // 1000, source-id = the schema field id of the partition column
-    val specFieldsJson = partFields.map { pf =>
-      s"""{"name":"${pf.name}","transform":"identity","source-id":${fieldIds(pf.name)},"field-id":${pf.fieldId}}"""
+    // partition spec (Iceberg spec §partitioning): field-ids from 1000,
+    // source-id = the schema field id of the SOURCE column (for a hidden
+    // day() transform that is the timestamp column, not the derived name)
+    val specFieldsJson = partFields.zip(partSpecs).map { case (pf, ps) =>
+      s"""{"name":"${pf.name}","transform":"${ps.transform}","source-id":${fieldIds(ps.source)},"field-id":${pf.fieldId}}"""
     }.mkString(",")
     val specJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
     val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.avro")
@@ -375,11 +433,11 @@ object IcebergSink {
     val specNode = meta.putArray("partition-specs").addObject()
     specNode.put("spec-id", 0)
     val specFields = specNode.putArray("fields")
-    partFields.foreach { pf =>
+    partFields.zip(partSpecs).foreach { case (pf, ps) =>
       specFields.addObject()
         .put("name", pf.name)
-        .put("transform", "identity")
-        .put("source-id", fieldIds(pf.name))
+        .put("transform", ps.transform)
+        .put("source-id", fieldIds(ps.source))
         .put("field-id", pf.fieldId)
     }
     meta.put("default-spec-id", 0)
@@ -510,6 +568,41 @@ object IcebergSink {
       IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
     }
     readEntries(spark, schema, entries)
+  }
+
+  /** Day-partition-pruned read over a hidden `day(tsCol)` table: only data
+    * files whose manifest day ordinal falls in [fromDay, untilDay) are
+    * scanned (files without the partition value are kept — pruning is an
+    * optimization, never a correctness filter), then the exact timestamp
+    * predicate re-applies. This is what hidden partitioning buys: the
+    * reader filters on the SOURCE column and never names the transform.
+    * Returns (frame, scanned-file-count, total-file-count) so tests can
+    * pin that pruning actually happened.
+    */
+  def readDays(spark: SparkSession, table: String, tsCol: String,
+      fromDay: java.time.LocalDate, untilDay: java.time.LocalDate)
+      : (DataFrame, Int, Int) = {
+    val meta = currentMeta(table)
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val list = manifestListOf(table, meta, snapId).get
+    val entries = Seq(list).flatMap(readManifestPaths(table, _)).flatMap { mp =>
+      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
+    }
+    val key = s"${tsCol}_day"
+    val (lo, hi) = (fromDay.toEpochDay, untilDay.toEpochDay)
+    val kept = entries.filter { case (_, pvals) =>
+      pvals.get(key) match {
+        case Some(d: Int) => d >= lo && d < hi
+        case _ => true
+      }
+    }
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val df = readEntries(spark, schema, kept)
+      .filter(to_date(col(tsCol)) >= lit(java.sql.Date.valueOf(fromDay)) &&
+        to_date(col(tsCol)) < lit(java.sql.Date.valueOf(untilDay)))
+    (df, kept.size, entries.size)
   }
 
   /** (file, manifest partition values) → DataFrame: one group per

@@ -860,6 +860,60 @@ class SinkSpec extends AnyFunSuite {
       Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 30.0), (4L, "fr", 40.0)))
   }
 
+  test("Iceberg hidden day(ts) partitioning: layout, spec, pruned reads, append continuity (r8)") {
+    val s2 = spark
+    import s2.implicits._
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    val df = Seq(
+      (1L, ts(1, 9), 10.0), (2L, ts(1, 17), 20.0),
+      (3L, ts(2, 8), 30.0), (4L, ts(3, 12), 40.0))
+      .toDF("id", "ts", "v")
+    val table = tmp()
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+      partitionBy = Seq("day(ts)"))
+    // staging layout is the derived day directory, one per distinct day
+    val dataDirs = new File(table, "data").listFiles().filter(_.isDirectory)
+    val partDirs = dataDirs.flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName)
+    assert(partDirs.toSet ==
+      Set("ts_day=2024-03-01", "ts_day=2024-03-02", "ts_day=2024-03-03"))
+    // the spec records the TRANSFORM against the ts source column
+    val meta = Files.readString(Paths.get(table, "metadata", "v0.metadata.json"))
+    assert(meta.contains("\"transform\":\"day\""))
+    assert(meta.contains("\"name\":\"ts_day\""))
+    // manifest partition values are day ordinals (epoch days)
+    val manifestFile = new File(table, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list"))
+      .head
+    val parts = graft.sinks.IcebergAvro.readManifestPartitions(manifestFile)
+    assert(parts.map(_._2("ts_day").asInstanceOf[Int]).toSet ==
+      Set(1, 2, 3).map(d => java.time.LocalDate.of(2024, 3, d).toEpochDay.toInt))
+    // HIDDEN: the table schema has no ts_day, and data files keep ts —
+    // read-back returns exactly the written frame
+    val back = IcebergSink.read(spark, table)
+    assert(back.columns.toSeq == Seq("id", "ts", "v"))
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // day-pruned read: only day-1 files scanned, exact rows returned
+    val (pruned, scanned, total) = IcebergSink.readDays(spark, table, "ts",
+      java.time.LocalDate.of(2024, 3, 1), java.time.LocalDate.of(2024, 3, 2))
+    // day-2 and day-3 files are skipped without being opened
+    assert(scanned <= total - 2, s"expected pruning, scanned $scanned of $total")
+    assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // append with no explicit partitioning adopts day(ts); a second day-1
+    // row lands in the existing day's partition value
+    IcebergSink.write(Seq((5L, ts(1, 23), 50.0)).toDF("id", "ts", "v"),
+      table, IcebergSink.Append)
+    val (pruned2, _, total2) = IcebergSink.readDays(spark, table, "ts",
+      java.time.LocalDate.of(2024, 3, 1), java.time.LocalDate.of(2024, 3, 2))
+    assert(total2 > total)
+    assert(pruned2.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+    // a conflicting explicit spec is still refused on append
+    val e = intercept[IllegalStateException] {
+      IcebergSink.write(Seq((6L, ts(2, 1), 6.0)).toDF("id", "ts", "v"),
+        table, IcebergSink.Append, partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition spec mismatch"))
+  }
+
   test("Iceberg partitioned append adopts the spec and refuses a conflicting one") {
     val s2 = spark
     import s2.implicits._
