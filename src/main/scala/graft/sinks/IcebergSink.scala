@@ -184,24 +184,37 @@ object IcebergSink {
     */
   private[sinks] case class PartSpec(raw: String, source: String, transform: String) {
     /** Staging/manifest column name; for identity it IS the source column
-      * (removed from data files by Spark's partitioned writer), for `day`
-      * a derived name absent from the table schema (so data files keep
-      * the source column — hidden-partition semantics).
+      * (removed from data files by Spark's partitioned writer), for a
+      * transform (`day`, `bucket[N]`) a derived name absent from the
+      * table schema (so data files keep the source column —
+      * hidden-partition semantics).
       */
-    def derivedName: String =
-      if (transform == "identity") source else s"${source}_$transform"
+    def derivedName: String = transform match {
+      case "identity" => source
+      case "day" => s"${source}_day"
+      case b if b.startsWith("bucket[") => s"${source}_bucket"
+      case other => throw new IllegalArgumentException(s"unsupported transform $other")
+    }
+    def bucketN: Int =
+      transform.stripPrefix("bucket[").stripSuffix("]").toInt
   }
 
-  private[sinks] def parsePartSpec(s: String): PartSpec =
-    if (s.startsWith("day(") && s.endsWith(")"))
-      PartSpec(s, s.substring(4, s.length - 1), "day")
-    else PartSpec(s, s, "identity")
+  private val BucketRe = "bucket\\((\\d+),([^)]+)\\)".r
+
+  private[sinks] def parsePartSpec(s: String): PartSpec = s match {
+    case d if d.startsWith("day(") && d.endsWith(")") =>
+      PartSpec(s, d.substring(4, d.length - 1), "day")
+    case BucketRe(n, col) => PartSpec(s, col, s"bucket[$n]")
+    case ident => PartSpec(s, ident, "identity")
+  }
 
   /** Reverse of [[parsePartSpec]] from a metadata spec field. */
   private def rawOfSpecField(name: String, transform: String): String =
     transform match {
       case "identity" => name
       case "day" => s"day(${name.stripSuffix("_day")})"
+      case b if b.startsWith("bucket[") =>
+        s"bucket(${b.stripPrefix("bucket[").stripSuffix("]")},${name.stripSuffix("_bucket")})"
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform in table metadata: $other")
     }
@@ -225,6 +238,10 @@ object IcebergSink {
             case other => throw new IllegalArgumentException(
               s"day() partition transform needs timestamp/date, got $other for ${ps.source}")
           }
+        case b if b.startsWith("bucket[") =>
+          // bucket id is a plain int whatever the source type (which
+          // IcebergBucketExpr type-checks at write time)
+          ("int", None)
         case _ => f.dataType match {
           case org.apache.spark.sql.types.StringType => ("string", None)
           case org.apache.spark.sql.types.IntegerType
@@ -325,10 +342,12 @@ object IcebergSink {
     // stage through a DERIVED column (day(ts) → ts_day); Spark drops the
     // partition column from the files, so identity sources leave the data
     // files while transform sources (hidden partitioning) stay in them.
-    val stageDf = partSpecs.filter(_.transform == "day").foldLeft(df) { (d, ps) =>
-      d.withColumn(ps.derivedName,
-        org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col(ps.source)))
+    val stageDf = partSpecs.filterNot(_.transform == "identity").foldLeft(df) { (d, ps) =>
+      val src = org.apache.spark.sql.functions.col(ps.source)
+      val derived =
+        if (ps.transform == "day") org.apache.spark.sql.functions.to_date(src)
+        else IcebergTransforms.bucketExpr(src, ps.bucketN) // spec murmur3 bucket
+      d.withColumn(ps.derivedName, derived)
     }
     val stage = s"data/stage-${java.util.UUID.randomUUID()}"
     val writer = stageDf.write
@@ -355,11 +374,13 @@ object IcebergSink {
         partSpecs.zip(segments).map { case (ps, seg) =>
           require(seg.startsWith(ps.derivedName + "="),
             s"unexpected partition segment $seg for ${ps.derivedName}")
-          // a day-transform segment is always an ISO date dir regardless of
-          // the SOURCE type (the derived column is DateType by construction)
-          val dt =
-            if (ps.transform == "day") org.apache.spark.sql.types.DateType
-            else df.schema(ps.source).dataType
+          // a transform segment's dir codec follows the DERIVED column type
+          // (day → ISO date dir, bucket → int dir), not the source's
+          val dt = ps.transform match {
+            case "day" => org.apache.spark.sql.types.DateType
+            case b if b.startsWith("bucket[") => org.apache.spark.sql.types.IntegerType
+            case _ => df.schema(ps.source).dataType
+          }
           partitionValueOf(seg, dt)
         }
       }
