@@ -191,7 +191,7 @@ object IcebergSink {
       */
     def derivedName: String = transform match {
       case "identity" => source
-      case "day" => s"${source}_day"
+      case "day" | "month" | "year" => s"${source}_$transform"
       case b if b.startsWith("bucket[") => s"${source}_bucket"
       case other => throw new IllegalArgumentException(s"unsupported transform $other")
     }
@@ -201,9 +201,10 @@ object IcebergSink {
 
   private val BucketRe = "bucket\\((\\d+),([^)]+)\\)".r
 
+  private val TemporalRe = "(day|month|year)\\(([^)]+)\\)".r
+
   private[sinks] def parsePartSpec(s: String): PartSpec = s match {
-    case d if d.startsWith("day(") && d.endsWith(")") =>
-      PartSpec(s, d.substring(4, d.length - 1), "day")
+    case TemporalRe(tf, col) => PartSpec(s, col, tf)
     case BucketRe(n, col) => PartSpec(s, col, s"bucket[$n]")
     case ident => PartSpec(s, ident, "identity")
   }
@@ -212,7 +213,8 @@ object IcebergSink {
   private def rawOfSpecField(name: String, transform: String): String =
     transform match {
       case "identity" => name
-      case "day" => s"day(${name.stripSuffix("_day")})"
+      case "day" | "month" | "year" =>
+        s"$transform(${name.stripSuffix(s"_$transform")})"
       case b if b.startsWith("bucket[") =>
         s"bucket(${b.stripPrefix("bucket[").stripSuffix("]")},${name.stripSuffix("_bucket")})"
       case other => throw new IllegalArgumentException(
@@ -231,12 +233,15 @@ object IcebergSink {
     specs.zipWithIndex.map { case (ps, i) =>
       val f = schema.fields.lift(schema.fieldIndex(ps.source)).get
       val (avro, logical) = ps.transform match {
-        case "day" =>
+        case tf @ ("day" | "month" | "year") =>
           f.dataType match {
             case org.apache.spark.sql.types.TimestampType
-               | org.apache.spark.sql.types.DateType => ("int", Some("date"))
+               | org.apache.spark.sql.types.DateType =>
+              // Iceberg result types: day → date ordinal (logical date),
+              // month/year → plain int ordinals since 1970
+              if (tf == "day") ("int", Some("date")) else ("int", None)
             case other => throw new IllegalArgumentException(
-              s"day() partition transform needs timestamp/date, got $other for ${ps.source}")
+              s"$tf() partition transform needs timestamp/date, got $other for ${ps.source}")
           }
         case b if b.startsWith("bucket[") =>
           // bucket id is a plain int whatever the source type (which
@@ -343,10 +348,13 @@ object IcebergSink {
     // partition column from the files, so identity sources leave the data
     // files while transform sources (hidden partitioning) stay in them.
     val stageDf = partSpecs.filterNot(_.transform == "identity").foldLeft(df) { (d, ps) =>
-      val src = org.apache.spark.sql.functions.col(ps.source)
-      val derived =
-        if (ps.transform == "day") org.apache.spark.sql.functions.to_date(src)
-        else IcebergTransforms.bucketExpr(src, ps.bucketN) // spec murmur3 bucket
+      import org.apache.spark.sql.functions.{col => c, to_date, trunc}
+      val derived = ps.transform match {
+        case "day" => to_date(c(ps.source))
+        case "month" => trunc(to_date(c(ps.source)), "month")
+        case "year" => trunc(to_date(c(ps.source)), "year")
+        case _ => IcebergTransforms.bucketExpr(c(ps.source), ps.bucketN) // spec murmur3
+      }
       d.withColumn(ps.derivedName, derived)
     }
     val stage = s"data/stage-${java.util.UUID.randomUUID()}"
@@ -375,13 +383,29 @@ object IcebergSink {
           require(seg.startsWith(ps.derivedName + "="),
             s"unexpected partition segment $seg for ${ps.derivedName}")
           // a transform segment's dir codec follows the DERIVED column type
-          // (day → ISO date dir, bucket → int dir), not the source's
-          val dt = ps.transform match {
-            case "day" => org.apache.spark.sql.types.DateType
-            case b if b.startsWith("bucket[") => org.apache.spark.sql.types.IntegerType
-            case _ => df.schema(ps.source).dataType
+          // (temporal → ISO date dir, bucket → int dir), not the source's;
+          // month/year then re-map the parsed epoch-day to their Iceberg
+          // ordinal (months/years since 1970)
+          ps.transform match {
+            case "day" =>
+              partitionValueOf(seg, org.apache.spark.sql.types.DateType)
+            case "month" =>
+              Option(partitionValueOf(seg, org.apache.spark.sql.types.DateType))
+                .map { d =>
+                  val ld = java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong)
+                  Int.box((ld.getYear - 1970) * 12 + (ld.getMonthValue - 1))
+                }.orNull
+            case "year" =>
+              Option(partitionValueOf(seg, org.apache.spark.sql.types.DateType))
+                .map { d =>
+                  Int.box(java.time.LocalDate.ofEpochDay(
+                    d.asInstanceOf[Int].toLong).getYear - 1970)
+                }.orNull
+            case b if b.startsWith("bucket[") =>
+              partitionValueOf(seg, org.apache.spark.sql.types.IntegerType)
+            case _ =>
+              partitionValueOf(seg, df.schema(ps.source).dataType)
           }
-          partitionValueOf(seg, dt)
         }
       }
 

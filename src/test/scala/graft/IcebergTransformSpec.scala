@@ -41,6 +41,34 @@ class IcebergTransformSpec extends AnyFunSuite {
     assert(sRows(0).getInt(0) == IcebergTransforms.bucketOfHash(1210000089, 7))
   }
 
+  test("month(ts) hidden partitioning: ordinals, layout, read-back (r8)") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int, d: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-$d%02d 10:00:00")
+    val df = Seq((1L, ts(1, 5)), (2L, ts(1, 20)), (3L, ts(2, 1)), (4L, ts(12, 31)))
+      .toDF("id", "ts")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-iceberg-month").toString + "/tbl"
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+      partitionBy = Seq("month(ts)"))
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(table, "metadata", "v0.metadata.json"))
+    assert(meta.contains("\"transform\":\"month\""))
+    val manifestFile = new File(table, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list"))
+      .head
+    val parts = graft.sinks.IcebergAvro.readManifestPartitions(manifestFile)
+    // Iceberg month ordinal = months since 1970-01: 2024-01 → 648
+    assert(parts.map(_._2("ts_month").asInstanceOf[Int]).toSet ==
+      Set(648, 649, 659))
+    val back = IcebergSink.read(spark, table)
+    assert(back.columns.toSeq == Seq("id", "ts"))
+    assert(back.count() == 4)
+    // append adopts month(ts)
+    IcebergSink.write(Seq((5L, ts(1, 9))).toDF("id", "ts"), table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 5)
+  }
+
   test("bucket(4,id)-partitioned Iceberg table: layout, spec, manifests, append (r8)") {
     val s = spark
     import s.implicits._
