@@ -191,21 +191,27 @@ object IcebergSink {
       */
     def derivedName: String = transform match {
       case "identity" => source
-      case "day" | "month" | "year" => s"${source}_$transform"
+      case "day" | "month" | "year" | "hour" => s"${source}_$transform"
       case b if b.startsWith("bucket[") => s"${source}_bucket"
+      case t if t.startsWith("truncate[") => s"${source}_trunc"
       case other => throw new IllegalArgumentException(s"unsupported transform $other")
     }
     def bucketN: Int =
       transform.stripPrefix("bucket[").stripSuffix("]").toInt
+    def truncW: Int =
+      transform.stripPrefix("truncate[").stripSuffix("]").toInt
   }
 
   private val BucketRe = "bucket\\((\\d+),([^)]+)\\)".r
 
-  private val TemporalRe = "(day|month|year)\\(([^)]+)\\)".r
+  private val TruncateRe = "truncate\\((\\d+),([^)]+)\\)".r
+
+  private val TemporalRe = "(day|month|year|hour)\\(([^)]+)\\)".r
 
   private[sinks] def parsePartSpec(s: String): PartSpec = s match {
     case TemporalRe(tf, col) => PartSpec(s, col, tf)
     case BucketRe(n, col) => PartSpec(s, col, s"bucket[$n]")
+    case TruncateRe(w, col) => PartSpec(s, col, s"truncate[$w]")
     case ident => PartSpec(s, ident, "identity")
   }
 
@@ -213,10 +219,12 @@ object IcebergSink {
   private def rawOfSpecField(name: String, transform: String): String =
     transform match {
       case "identity" => name
-      case "day" | "month" | "year" =>
+      case "day" | "month" | "year" | "hour" =>
         s"$transform(${name.stripSuffix(s"_$transform")})"
       case b if b.startsWith("bucket[") =>
         s"bucket(${b.stripPrefix("bucket[").stripSuffix("]")},${name.stripSuffix("_bucket")})"
+      case t if t.startsWith("truncate[") =>
+        s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")},${name.stripSuffix("_trunc")})"
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform in table metadata: $other")
     }
@@ -233,20 +241,32 @@ object IcebergSink {
     specs.zipWithIndex.map { case (ps, i) =>
       val f = schema.fields.lift(schema.fieldIndex(ps.source)).get
       val (avro, logical) = ps.transform match {
-        case tf @ ("day" | "month" | "year") =>
+        case tf @ ("day" | "month" | "year" | "hour") =>
           f.dataType match {
-            case org.apache.spark.sql.types.TimestampType
-               | org.apache.spark.sql.types.DateType =>
+            case org.apache.spark.sql.types.TimestampType =>
               // Iceberg result types: day → date ordinal (logical date),
-              // month/year → plain int ordinals since 1970
+              // month/year/hour → plain int ordinals since 1970
+              if (tf == "day") ("int", Some("date")) else ("int", None)
+            case org.apache.spark.sql.types.DateType if tf != "hour" =>
               if (tf == "day") ("int", Some("date")) else ("int", None)
             case other => throw new IllegalArgumentException(
-              s"$tf() partition transform needs timestamp/date, got $other for ${ps.source}")
+              s"$tf() partition transform needs timestamp${if (tf == "hour") "" else "/date"}, " +
+                s"got $other for ${ps.source}")
           }
         case b if b.startsWith("bucket[") =>
           // bucket id is a plain int whatever the source type (which
           // IcebergBucketExpr type-checks at write time)
           ("int", None)
+        case t if t.startsWith("truncate[") =>
+          f.dataType match {
+            case org.apache.spark.sql.types.StringType => ("string", None)
+            case org.apache.spark.sql.types.IntegerType
+               | org.apache.spark.sql.types.ShortType
+               | org.apache.spark.sql.types.ByteType => ("int", None)
+            case org.apache.spark.sql.types.LongType => ("long", None)
+            case other => throw new IllegalArgumentException(
+              s"truncate() partition transform needs string/int/long, got $other for ${ps.source}")
+          }
         case _ => f.dataType match {
           case org.apache.spark.sql.types.StringType => ("string", None)
           case org.apache.spark.sql.types.IntegerType
@@ -348,11 +368,26 @@ object IcebergSink {
     // partition column from the files, so identity sources leave the data
     // files while transform sources (hidden partitioning) stay in them.
     val stageDf = partSpecs.filterNot(_.transform == "identity").foldLeft(df) { (d, ps) =>
-      import org.apache.spark.sql.functions.{col => c, to_date, trunc}
+      import org.apache.spark.sql.functions.{col => c, floor, lit, substring, to_date, trunc}
       val derived = ps.transform match {
         case "day" => to_date(c(ps.source))
         case "month" => trunc(to_date(c(ps.source)), "month")
         case "year" => trunc(to_date(c(ps.source)), "year")
+        case "hour" =>
+          // hours since epoch; floor (not int-div) so pre-1970 stamps
+          // land in the right bucket too
+          floor(c(ps.source).cast("double") / 3600.0).cast("int")
+        case t if t.startsWith("truncate[") =>
+          df.schema(ps.source).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              substring(c(ps.source), 1, ps.truncW)
+            case _ =>
+              // Iceberg truncate for integers: v - (((v % W) + W) % W)
+              // (true floor mod, negatives truncate DOWN)
+              (c(ps.source) -
+                (((c(ps.source) % ps.truncW) + ps.truncW) % ps.truncW))
+                .cast(df.schema(ps.source).dataType)
+          }
         case _ => IcebergTransforms.bucketExpr(c(ps.source), ps.bucketN) // spec murmur3
       }
       d.withColumn(ps.derivedName, derived)
@@ -401,8 +436,12 @@ object IcebergSink {
                   Int.box(java.time.LocalDate.ofEpochDay(
                     d.asInstanceOf[Int].toLong).getYear - 1970)
                 }.orNull
+            case "hour" =>
+              partitionValueOf(seg, org.apache.spark.sql.types.IntegerType)
             case b if b.startsWith("bucket[") =>
               partitionValueOf(seg, org.apache.spark.sql.types.IntegerType)
+            case t if t.startsWith("truncate[") =>
+              partitionValueOf(seg, df.schema(ps.source).dataType)
             case _ =>
               partitionValueOf(seg, df.schema(ps.source).dataType)
           }

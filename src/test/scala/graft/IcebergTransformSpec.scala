@@ -69,6 +69,39 @@ class IcebergTransformSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 5)
   }
 
+  test("hour(ts) and truncate(10,id) hidden partitioning round-trip (r8)") {
+    val s = spark
+    import s.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val dfH = Seq((1L, ts(0, 10)), (2L, ts(0, 50)), (3L, ts(5, 0))).toDF("id", "ts")
+    val tH = java.nio.file.Files.createTempDirectory("graft-ib-hour").toString + "/t"
+    IcebergSink.write(dfH, tH, IcebergSink.CreateExclusive, partitionBy = Seq("hour(ts)"))
+    val mH = new File(tH, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list")).head
+    val hours = graft.sinks.IcebergAvro.readManifestPartitions(mH)
+      .map(_._2("ts_hour").asInstanceOf[Int]).toSet
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+    assert(hours == Set(base.toInt, base.toInt + 5))
+    assert(IcebergSink.read(spark, tH).count() == 3)
+
+    val dfT = Seq((1L, "alpha"), (17L, "alphabetical"), (23L, "beta")).toDF("id", "name")
+    val tT = java.nio.file.Files.createTempDirectory("graft-ib-trunc").toString + "/t"
+    IcebergSink.write(dfT, tT, IcebergSink.CreateExclusive,
+      partitionBy = Seq("truncate(10,id)", "truncate(4,name)"))
+    val mT = new File(tT, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-") && !f.getName.startsWith("manifest-list")).head
+    val pvals = graft.sinks.IcebergAvro.readManifestPartitions(mT).map(_._2)
+    // long truncation floors to the bucket base; strings cut to 4 chars
+    assert(pvals.map(p => (p("id_trunc"), p("name_trunc"))).toSet ==
+      Set((0L, "alph"), (10L, "alph"), (20L, "beta")))
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tT, "metadata", "v0.metadata.json"))
+    assert(meta.contains("\"transform\":\"truncate[10]\""))
+    assert(IcebergSink.read(spark, tT).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 17L, 23L))
+  }
+
   test("bucket(4,id)-partitioned Iceberg table: layout, spec, manifests, append (r8)") {
     val s = spark
     import s.implicits._
