@@ -34,6 +34,25 @@ import org.apache.spark.sql.SparkSession
   * `id:int8,price:numeric:524295`.
   */
 object Cli {
+  /** Splits a `--partition-by` list on TOP-LEVEL commas only, so transform
+    * specs keep their argument commas: "bucket(4,id),day(ts)" →
+    * ["bucket(4,id)", "day(ts)"] (a plain split(',') would shear every
+    * transform spec in half and misparse it as identity columns).
+    */
+  private[graft] def splitSpecs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
   /** Comma-separated `name:pgtype[:typmod]` → PgTypeMapping column triples. */
   private[graft] def parseColSpec(spec: String): Seq[(String, String, Int)] =
     spec.split(',').toSeq.map { s =>
@@ -74,7 +93,7 @@ object Cli {
         case "--merge-schema" => mergeSchema = true
         case "--partition-by" =>
           require(i + 1 < args.length, "--partition-by requires a column list")
-          partitionBy = args(i + 1).split(',').toSeq
+          partitionBy = splitSpecs(args(i + 1))
           i += 1
         case "--delete-col" =>
           require(i + 1 < args.length, "--delete-col requires a column name")

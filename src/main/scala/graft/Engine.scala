@@ -118,7 +118,10 @@ object Engine {
       out: String): Long = {
     val df = sql(spark, dir, query)
     df.write.mode("overwrite").json(out)
-    spark.read.json(out).count()
+    // count the WRITTEN rows with the query's own schema: re-inferring
+    // would fail on an empty (but valid) export and cost an extra
+    // schema-inference pass
+    spark.read.schema(df.schema).json(out).count()
   }
 
   /** Appends the result of a query to an existing Delta table (one new log

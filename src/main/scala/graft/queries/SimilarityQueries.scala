@@ -702,8 +702,7 @@ object SimilarityQueries extends QueryModule {
             count(when(col("event_id") % 2 === 0, 1)).as("n_even"),
             count(when(col("event_id") % 2 === 1, 1)).as("n_odd"))
         def wsk(w: Column) = graft.functions.DdSketch.sketch(
-          when(col("slot").isNull, lit(null).cast("array<long>"))
-            .otherwise(array(col("slot"), w)))
+          DdSketch.weightedSlot(col("slot"), w))
         val sketches = slotted.groupBy("event_type")
           .agg(wsk(col("n")).as("sk"),
             wsk(col("n_even")).as("sk_even"), wsk(col("n_odd")).as("sk_odd"))
@@ -745,8 +744,7 @@ object SimilarityQueries extends QueryModule {
             DdSketch.slotFor(col("value"))(0).as("slot"))
           .agg(count(lit(1)).as("n"))
         def wsk = graft.functions.DdSketch.sketch(
-          when(col("slot").isNull, lit(null).cast("array<long>"))
-            .otherwise(array(col("slot"), col("n"))))
+          DdSketch.weightedSlot(col("slot"), col("n")))
         val daily = slotted.groupBy("event_type", "day").agg(wsk.as("sk_day"))
         val rolled = daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"), DdSketch.mergeAgg(col("sk_day")).as("sk"))

@@ -764,20 +764,20 @@ object TextQueries extends QueryModule {
         val docs = t(s, dir, "documents")
         val incoming = docs.filter(col("doc_id") >= 400)
         val existing = docs.filter(col("doc_id") < 400)
+        // gram array materialized ONCE per row in its own projection, then
+        // exploded and sized off the attribute — never the O(tokens)
+        // expression twice per row (same shape as q_dedup_incremental)
         def grams(df: org.apache.spark.sql.DataFrame, idAs: String) = df
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 3)
-          .select(col("doc_id").as(idAs),
-            explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
               i => concat_ws(" ",
                 element_at(col("toks"), i + 1),
                 element_at(col("toks"), i + 2),
-                element_at(col("toks"), i + 3))))).as("g"),
-            size(array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ",
-                element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2),
-                element_at(col("toks"), i + 3))))).cast("long").as("n"))
+                element_at(col("toks"), i + 3)))).as("gs"))
+          .select(col("doc_id").as(idAs), explode(col("gs")).as("g"),
+            size(col("gs")).cast("long").as("n"))
         val gi = grams(incoming, "inc_id")
         val ge = grams(existing, "ex_id")
         val nearIds = gi.join(ge.withColumnRenamed("n", "ne"), "g")

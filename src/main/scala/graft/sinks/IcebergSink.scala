@@ -209,9 +209,23 @@ object IcebergSink {
   private val TemporalRe = "(day|month|year|hour)\\(([^)]+)\\)".r
 
   private[sinks] def parsePartSpec(s: String): PartSpec = s match {
-    case TemporalRe(tf, col) => PartSpec(s, col, tf)
-    case BucketRe(n, col) => PartSpec(s, col, s"bucket[$n]")
-    case TruncateRe(w, col) => PartSpec(s, col, s"truncate[$w]")
+    case TemporalRe(tf, col) => PartSpec(s, col.trim, tf)
+    case BucketRe(n, col) =>
+      require(n.toInt > 0, s"bucket count must be positive in $s")
+      PartSpec(s, col.trim, s"bucket[$n]")
+    case TruncateRe(w, col) =>
+      // truncate(0, c) would make `c % 0` NULL in Spark and silently send
+      // every row to the null partition — reject it here
+      require(w.toInt > 0, s"truncate width must be positive in $s")
+      PartSpec(s, col.trim, s"truncate[$w]")
+    case other if other.contains("(") =>
+      // a paren that matched no transform is a typo (DAY(ts), days(ts),
+      // bucket(4, id) with a space once split wrongly…) — failing fast
+      // beats silently identity-partitioning on a column named "DAY(ts)"
+      throw new IllegalArgumentException(
+        s"unrecognized partition transform: $other " +
+          "(supported: col, day(col), month(col), year(col), hour(col), " +
+          "bucket(N,col), truncate(W,col))")
     case ident => PartSpec(s, ident, "identity")
   }
 
@@ -367,12 +381,36 @@ object IcebergSink {
     // stage through a DERIVED column (day(ts) → ts_day); Spark drops the
     // partition column from the files, so identity sources leave the data
     // files while transform sources (hidden partitioning) stay in them.
+    partSpecs.filterNot(_.transform == "identity").foreach { ps =>
+      // withColumn would silently OVERWRITE (and the partitioned writer
+      // then drop) a real data column that collides with the derived name
+      require(!df.columns.contains(ps.derivedName),
+        s"partition transform ${ps.raw} derives column ${ps.derivedName}, " +
+          "which already exists in the data — rename one of them")
+    }
     val stageDf = partSpecs.filterNot(_.transform == "identity").foldLeft(df) { (d, ps) =>
-      import org.apache.spark.sql.functions.{col => c, floor, lit, substring, to_date, trunc}
+      import org.apache.spark.sql.functions.{col => c, expr, floor, substring, trunc}
+      // Temporal ordinals are UTC BY SPEC (Iceberg §partition-transforms) —
+      // derive every one of them from epoch arithmetic, never the
+      // session-timezone to_date, so the same instant lands on the same
+      // day/month/year/hour for us AND for an external Iceberg reader
+      // whatever spark.sql.session.timeZone says.
+      def utcDate =
+        expr(s"date_add(DATE'1970-01-01', " +
+          s"cast(floor(cast(`${ps.source}` as double) / 86400.0) as int))")
       val derived = ps.transform match {
-        case "day" => to_date(c(ps.source))
-        case "month" => trunc(to_date(c(ps.source)), "month")
-        case "year" => trunc(to_date(c(ps.source)), "year")
+        case "day" =>
+          if (df.schema(ps.source).dataType == org.apache.spark.sql.types.DateType)
+            c(ps.source)
+          else utcDate
+        case "month" =>
+          if (df.schema(ps.source).dataType == org.apache.spark.sql.types.DateType)
+            trunc(c(ps.source), "month")
+          else trunc(utcDate, "month")
+        case "year" =>
+          if (df.schema(ps.source).dataType == org.apache.spark.sql.types.DateType)
+            trunc(c(ps.source), "year")
+          else trunc(utcDate, "year")
         case "hour" =>
           // hours since epoch; floor (not int-div) so pre-1970 stamps
           // land in the right bucket too
@@ -634,6 +672,21 @@ object IcebergSink {
     */
   def read(spark: SparkSession, table: String,
       asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val (schema, entries) = snapshotEntries(table, asOfSnapshotId)
+    readEntries(spark, schema, entries)
+  }
+
+  /** Shared snapshot resolution for [[read]]/[[readDays]]: (table schema,
+    * (file, manifest partition values) entries) of the requested — or
+    * current — snapshot. Partition truth comes from each manifest's OWN
+    * partition struct (its Avro writer schema), NOT from the current
+    * metadata's default spec: snapshots written under an older spec must
+    * time-travel with the columns they were written with — resolving the
+    * current spec here would read old files with the wrong column split
+    * after an overwrite changes the layout.
+    */
+  private def snapshotEntries(table: String, asOfSnapshotId: Option[Long])
+      : (StructType, Seq[(String, Map[String, Any])]) = {
     val meta = currentMeta(table)
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
@@ -641,17 +694,11 @@ object IcebergSink {
     val list = manifestListOf(table, meta, snapId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapId in $table " +
         "(expired or never committed)"))
-    // Partition truth comes from each manifest's OWN partition struct
-    // (its Avro writer schema), NOT from the current metadata's default
-    // spec: snapshots written under an older spec must time-travel with
-    // the columns they were written with — resolving the current spec
-    // here would read old files with the wrong column split after an
-    // overwrite changes the layout.
     val manifests = Seq(list).flatMap(readManifestPaths(table, _))
     val entries: Seq[(String, Map[String, Any])] = manifests.flatMap { mp =>
       IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
     }
-    readEntries(spark, schema, entries)
+    (schema, entries)
   }
 
   /** Day-partition-pruned read over a hidden `day(tsCol)` table: only data
@@ -666,14 +713,7 @@ object IcebergSink {
   def readDays(spark: SparkSession, table: String, tsCol: String,
       fromDay: java.time.LocalDate, untilDay: java.time.LocalDate)
       : (DataFrame, Int, Int) = {
-    val meta = currentMeta(table)
-    val schema = DataType.fromJson(
-      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
-    val snapId = meta.get("current-snapshot-id").asLong()
-    val list = manifestListOf(table, meta, snapId).get
-    val entries = Seq(list).flatMap(readManifestPaths(table, _)).flatMap { mp =>
-      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
-    }
+    val (schema, entries) = snapshotEntries(table, asOfSnapshotId = None)
     val key = s"${tsCol}_day"
     val (lo, hi) = (fromDay.toEpochDay, untilDay.toEpochDay)
     val kept = entries.filter { case (_, pvals) =>
@@ -682,10 +722,13 @@ object IcebergSink {
         case _ => true
       }
     }
-    import org.apache.spark.sql.functions.{col, lit, to_date}
+    // exact re-filter on the SAME UTC day arithmetic as the write-side
+    // transform (session-TZ to_date would disagree with the manifest
+    // ordinals on non-UTC sessions)
+    import org.apache.spark.sql.functions.{col, floor}
+    val utcDay = floor(col(tsCol).cast("double") / 86400.0)
     val df = readEntries(spark, schema, kept)
-      .filter(to_date(col(tsCol)) >= lit(java.sql.Date.valueOf(fromDay)) &&
-        to_date(col(tsCol)) < lit(java.sql.Date.valueOf(untilDay)))
+      .filter(utcDay >= lo && utcDay < hi)
     (df, kept.size, entries.size)
   }
 

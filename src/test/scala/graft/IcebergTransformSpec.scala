@@ -29,6 +29,39 @@ class IcebergTransformSpec extends AnyFunSuite {
     assert(IcebergTransforms.hashLong(34) == IcebergTransforms.hashLong(34L))
   }
 
+  test("spec parsing: CLI top-level split, typo rejection, zero-width rejection (r8)") {
+    // --partition-by keeps transform-argument commas intact
+    assert(Cli.splitSpecs("bucket(4,id),day(ts),lang") ==
+      Seq("bucket(4,id)", "day(ts)", "lang"))
+    assert(Cli.splitSpecs("truncate(10, name )") == Seq("truncate(10, name )"))
+    // a paren that matches no transform fails fast instead of silently
+    // identity-partitioning on a column named "DAY(ts)"
+    val table = java.nio.file.Files.createTempDirectory("graft-ib-bad").toString + "/t"
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+        partitionBy = Seq("DAY(id)"))
+    }
+    assert(e1.getMessage.contains("unrecognized partition transform"))
+    // truncate(0,...) would null every partition value — rejected
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+        partitionBy = Seq("truncate(0,id)"))
+    }
+    assert(e2.getMessage.contains("truncate width"))
+    // a derived-name collision with a real data column is refused, not
+    // silently overwritten
+    val dfClash = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Date.valueOf("2024-01-01"))).toDF("id", "ts", "ts_day")
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergSink.write(dfClash, table, IcebergSink.CreateExclusive,
+        partitionBy = Seq("day(ts)"))
+    }
+    assert(e3.getMessage.contains("already exists"))
+  }
+
   test("bucketExpr evaluates the spec hash per row and respects nulls") {
     val s = spark
     import s.implicits._
