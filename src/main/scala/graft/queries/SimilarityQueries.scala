@@ -441,7 +441,8 @@ object SimilarityQueries extends QueryModule {
     QueryDef(
       "q_dedup_incremental",
       // INCREMENTAL dedup — the shape every production ingest actually
-      // runs: a new batch (doc_id ≥ 400) checked against the EXISTING
+      // runs: a BOUNDED new batch (doc_id ∈ [400, 500) — an ingest batch stays
+      // fixed-size while the corpus grows) checked against the EXISTING
       // corpus (doc_id < 400), never corpus-vs-corpus. Exact layer:
       // fingerprint left-semi flag against the existing md5 set. Fuzzy
       // layer: 3-gram inverted-index join restricted to incoming×existing
@@ -461,7 +462,7 @@ object SimilarityQueries extends QueryModule {
                 element_at(col("toks"), i + 1),
                 element_at(col("toks"), i + 2),
                 element_at(col("toks"), i + 3)))).as("gs"))
-        val incoming = docs.filter(col("doc_id") >= 400)
+        val incoming = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
         val existing = docs.filter(col("doc_id") < 400)
         val exFp = existing.select(md5(col("text")).as("fp")).distinct()
         val exactFlag = incoming
@@ -469,8 +470,11 @@ object SimilarityQueries extends QueryModule {
           .select(col("doc_id"), col("fp").isNotNull.as("is_exact_dup"))
         val gi = gramArr(incoming)
         val ge = gramArr(existing)
-        val giE = gi.select(col("doc_id").as("inc_id"), explode(col("gs")).as("g"))
-        val geE = ge.select(col("doc_id").as("ex_id"), explode(col("gs")).as("g"))
+        // explode_outer, NOT explode: InferFiltersFromGenerate would push a
+        // size(gs)>0 filter whose inlined gram lambda re-evaluates per
+        // scanned row (SURVEY note 2; measured 8x on this query)
+        val giE = gi.select(col("doc_id").as("inc_id"), explode_outer(col("gs")).as("g"))
+        val geE = ge.select(col("doc_id").as("ex_id"), explode_outer(col("gs")).as("g"))
         val inter = giE.join(geE, "g")
           .groupBy("inc_id", "ex_id").agg(count(lit(1)).as("ix"))
         val near = inter
@@ -491,7 +495,7 @@ object SimilarityQueries extends QueryModule {
             col("near_dup_of"), col("best_jaccard"))
           .orderBy("doc_id")
       },
-      Some("""WITH incoming AS (SELECT * FROM documents WHERE doc_id >= 400),
+      Some("""WITH incoming AS (SELECT * FROM documents WHERE doc_id >= 400 AND doc_id < 500),
              |existing AS (SELECT * FROM documents WHERE doc_id < 400),
              |exfp AS (SELECT DISTINCT md5(text) AS fp FROM existing),
              |exact AS (

@@ -751,7 +751,7 @@ object TextQueries extends QueryModule {
       // The INTEGRATED ingest pipeline as one declared query — what a
       // production corpus refresh actually runs, end to end THROUGH THE
       // LAKEHOUSE WRITE PATH: the existing corpus (doc_id < 400) is
-      // committed to a Delta table; the incoming batch (doc_id ≥ 400) is
+      // committed to a Delta table; the bounded incoming batch (doc_id ∈ [400, 500)) is
       // exact-deduped (md5 anti-join vs the existing fingerprint set),
       // near-deduped (incoming×existing gram Jaccard ≥ 0.05 anti-join —
       // the q_dedup_incremental machinery as a FILTER), quality-filtered
@@ -762,7 +762,7 @@ object TextQueries extends QueryModule {
       // and the log read all sit under one hash check.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val incoming = docs.filter(col("doc_id") >= 400)
+        val incoming = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500)
         val existing = docs.filter(col("doc_id") < 400)
         // gram array materialized ONCE per row in its own projection, then
         // exploded and sized off the attribute — never the O(tokens)
@@ -776,7 +776,9 @@ object TextQueries extends QueryModule {
                 element_at(col("toks"), i + 1),
                 element_at(col("toks"), i + 2),
                 element_at(col("toks"), i + 3)))).as("gs"))
-          .select(col("doc_id").as(idAs), explode(col("gs")).as("g"),
+          // explode_outer: see SURVEY note 2 (inferred size(gs)>0 filter
+          // re-inlines the gram lambda per scanned row otherwise)
+          .select(col("doc_id").as(idAs), explode_outer(col("gs")).as("g"),
             size(col("gs")).cast("long").as("n"))
         val gi = grams(incoming, "inc_id")
         val ge = grams(existing, "ex_id")
@@ -801,7 +803,7 @@ object TextQueries extends QueryModule {
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
           .orderBy("lang")
       },
-      Some("""WITH incoming AS (SELECT * FROM documents WHERE doc_id >= 400),
+      Some("""WITH incoming AS (SELECT * FROM documents WHERE doc_id >= 400 AND doc_id < 500),
              |existing AS (SELECT * FROM documents WHERE doc_id < 400),
              |gi AS (
              |  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
