@@ -358,5 +358,120 @@ object TpchQueries extends QueryModule {
              |    AND l_quantity >= 10 AND l_quantity <= 20)
              |OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
              |    AND l_quantity >= 20 AND l_quantity <= 50))""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q8",
+      // National market share (Q8 shape): NATION_12 suppliers' share of
+      // ECONOMY-part revenue sold to ASIA customers, by order year. Both
+      // the numerator condition and the total run in ONE aggregate over
+      // scaled longs (no second pass); part/supplier/nation/region all
+      // broadcast; the share is a single long→double division mirrored
+      // token-for-token.
+      (s, dir) => {
+        val asiaCust = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")
+            .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val supNat = broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation").select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation"))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"))
+          .join(supNat, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_12", cents(revenue, 4))
+              .otherwise(0L)).as("nr"),
+            sum(cents(revenue, 4)).as("tr"))
+          .select(col("o_year"),
+            (col("nr").cast("double") / col("tr").cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_12'
+             |      THEN CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)
+             |      ELSE 0 END) AS DOUBLE)
+             |  / CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS DOUBLE)
+             |  AS mkt_share
+             |FROM lineitem, part, orders, customer, supplier,
+             |     nation n1, nation n2, region
+             |WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+             |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q12",
+      // Shipping-mode priority split (Q12 shape, adapted: l_returnflag
+      // stands in for the absent l_shipmode, and "late" = shipped after
+      // the order date): per flag, how many high-priority vs low-priority
+      // orders shipped late in one year. One join, one combined
+      // conditional aggregate.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("low_line_count"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS BIGINT)
+             |    AS high_line_count,
+             |  CAST(COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS BIGINT)
+             |    AS low_line_count
+             |FROM lineitem, orders
+             |WHERE l_orderkey = o_orderkey
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_shipdate > o_orderdate
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q22",
+      // Global sales opportunity (Q22 shape, adapted: every corpus
+      // customer has SOME order, so "lapsed" = no order since 2000): per
+      // nation, above-average-balance customers with no recent orders —
+      // the scalar subquery broadcasts as one row, the NOT EXISTS plans
+      // as a LEFT ANTI hash join (customer is never re-scanned per row).
+      (s, dir) => {
+        val avgBal = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+          .agg(fxSum(col("c_acctbal")).as("s"), count(lit(1)).as("n"))
+          .select((col("s") / col("n").cast("double")).as("avg_bal"))
+        t(s, dir, "customer")
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), fxSum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+             |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+             |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS totacctbal
+             |FROM customer, a
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
   )
 }
