@@ -442,6 +442,39 @@ object TpchQueries extends QueryModule {
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      "q_tpch_q15",
+      // Top supplier (Q15 shape): the revenue "view" is one supplier
+      // aggregate over a ship quarter; the max-revenue scalar broadcasts
+      // back and the equality runs on the EXACT scaled-long revenue (not
+      // the derived double), so ties and the max compare bit-exactly in
+      // both engines.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(cents(revenue, 4)).as("rc"))
+        val mx = rev.agg(max(col("rc")).as("mrc"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("rc") === col("mrc"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("rc").cast("double") / 10000.0).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS rc
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(rc AS DOUBLE) / 10000.0 AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE rc = (SELECT MAX(rc) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef(
       "q_tpch_q22",
       // Global sales opportunity (Q22 shape, adapted: every corpus
       // customer has SOME order, so "lapsed" = no order since 2000): per
