@@ -299,6 +299,21 @@ class PlanSpec extends AnyFunSuite {
       s"the OR blocks must never turn the join into a nested loop:\n$p")
   }
 
+  test("q_tpch_q8: 7-table chain stays broadcast equi joins, share in one agg") {
+    val p = plan("q_tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), s"conditional+total must combine map-side:\n$p")
+  }
+
+  test("q_tpch_q22: NOT EXISTS plans as a LEFT ANTI hash join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), // the 1-row scalar may BNLJ-broadcast
+      p)
+  }
+
   test("q_trend_ols: dims broadcast, moment sums combine map-side") {
     val p = plan("q_trend_ols")
     assert(p.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$p")
