@@ -475,6 +475,49 @@ object TpchQueries extends QueryModule {
              |ORDER BY s_suppkey""".stripMargin)),
 
     QueryDef(
+      "q_tpch_q21",
+      // Suppliers who kept orders waiting (Q21 shape, adapted: "late" =
+      // shipped after the order date). The reference formulation is a
+      // double-correlated EXISTS/NOT-EXISTS; the scalable rewrite is ONE
+      // per-order aggregate: distinct suppliers, distinct LATE suppliers,
+      // and (exactly when there is one) the late supplier's id — an order
+      // counts against supplier s iff it is multi-supplier, s is late,
+      // and s is the ONLY late one. One orderkey-keyed shuffle replaces
+      // two correlated re-scans of lineitem; top-20 is TakeOrdered.
+      (s, dir) => {
+        val perOrder = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late_supp",
+            when(col("l_shipdate") > col("o_orderdate"), col("l_suppkey")))
+          .groupBy("l_orderkey")
+          .agg(
+            countDistinct(col("l_suppkey")).as("ns"),
+            countDistinct(col("late_supp")).as("nl"),
+            min(col("late_supp")).as("the_late_supp"))
+          .filter(col("ns") > 1 && col("nl") === 1)
+        perOrder.groupBy(col("the_late_supp").as("s_key"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, dir, "supplier")), col("s_key") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+          .limit(20)
+      },
+      Some("""WITH per_order AS (
+             |  SELECT l_orderkey,
+             |    COUNT(DISTINCT l_suppkey) AS ns,
+             |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+             |                        THEN l_suppkey END) AS nl,
+             |    MIN(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END)
+             |      AS the_late_supp
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY l_orderkey)
+             |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM per_order JOIN supplier ON the_late_supp = s_suppkey
+             |WHERE ns > 1 AND nl = 1
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    QueryDef(
       "q_tpch_q22",
       // Global sales opportunity (Q22 shape, adapted: every corpus
       // customer has SOME order, so "lapsed" = no order since 2000): per
