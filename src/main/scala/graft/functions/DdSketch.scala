@@ -154,7 +154,11 @@ class DdMergeAgg extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   def zero: Array[Long] = new Array[Long](DdSketch.Size)
   def reduce(b: Array[Long], sk: Array[Long]): Array[Long] = merge(b, sk)
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (b != null && b.length == a.length) {
+    if (b != null) {
+      // A truncated/corrupted sketch column must fail loudly: silently
+      // skipping it would yield an incomplete rollup that LOOKS valid.
+      require(b.length == a.length,
+        s"malformed DdSketch: expected ${a.length} slots, got ${b.length}")
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
     }

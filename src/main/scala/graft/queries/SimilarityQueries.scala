@@ -671,8 +671,12 @@ object SimilarityQueries extends QueryModule {
           .join(served.as("t"), Seq("qid", "rn"), "full_outer")
           .filter(not(col("d.cid") <=> col("t.cid")))
           .count()
-        direct.agg(
-            countDistinct(col("qid")).as("n_probes"),
+        // n_probes counts the PROBE SET (structurally = the oracle's
+        // vec_id<50 count), not the join survivors — a probe whose nprobe
+        // cells hold no other vector drops out of `direct` and would make
+        // the count dataset-dependent
+        vecs.filter(col("vec_id") < 50).agg(
+            countDistinct(col("vec_id")).as("n_probes"),
             lit(mismatches == 0L).as("index_matches_direct"))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
@@ -717,10 +721,15 @@ object SimilarityQueries extends QueryModule {
         val base = exacts.join(sketches, Seq("event_type"))
         base.select(
             col("event_type"), col("cnt"),
+            // denominator guarded: an exact percentile of 0 would make the
+            // relative-error boolean NULL (0/0) and fail the oracle hash
+            // even when the sketch is exactly right
             (abs(DdSketch.quantileCol(col("sk"), 0.5) - col("ex50"))
-              / abs(col("ex50")) <= 2 * DdSketch.Alpha).as("p50_ok"),
+              / greatest(abs(col("ex50")), lit(1e-12)) <= 2 * DdSketch.Alpha)
+              .as("p50_ok"),
             (abs(DdSketch.quantileCol(col("sk"), 0.95) - col("ex95"))
-              / abs(col("ex95")) <= 2 * DdSketch.Alpha).as("p95_ok"),
+              / greatest(abs(col("ex95")), lit(1e-12)) <= 2 * DdSketch.Alpha)
+              .as("p95_ok"),
             (DdSketch.mergeCol(col("sk_even"), col("sk_odd")) === col("sk"))
               .as("merge_exact"))
           .orderBy("event_type")
@@ -762,7 +771,8 @@ object SimilarityQueries extends QueryModule {
           .select(col("event_type"), col("n_days"),
             (col("sk") === col("sk_whole")).as("rollup_exact"),
             (abs(DdSketch.quantileCol(col("sk"), 0.95) - col("ex95"))
-              / abs(col("ex95")) <= 2 * DdSketch.Alpha).as("p95_ok"))
+              / greatest(abs(col("ex95")), lit(1e-12)) <= 2 * DdSketch.Alpha)
+              .as("p95_ok"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,

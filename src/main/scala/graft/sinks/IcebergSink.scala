@@ -369,7 +369,14 @@ object IcebergSink {
     val effectivePartitionBy =
       if (partitionBy.isEmpty && previous.nonEmpty) previousSpecCols
       else partitionBy
-    if (mode == Append && previous.nonEmpty && effectivePartitionBy != previousSpecCols)
+    // Compare PARSED (source, transform) pairs, not raw strings: the stored
+    // spec is reconstructed canonically ("bucket(4,id)") while the user's
+    // request keeps its formatting ("bucket(4, id)") — a cosmetic variant
+    // of the identical spec must not be rejected as a mismatch.
+    def specKey(cols: Seq[String]): Seq[(String, String)] =
+      cols.map(parsePartSpec).map(p => (p.source, p.transform))
+    if (mode == Append && previous.nonEmpty &&
+        specKey(effectivePartitionBy) != specKey(previousSpecCols))
       throw new IllegalStateException(
         s"partition spec mismatch: table is partitioned by $previousSpecCols, " +
           s"append requested $effectivePartitionBy")
@@ -724,9 +731,15 @@ object IcebergSink {
     }
     // exact re-filter on the SAME UTC day arithmetic as the write-side
     // transform (session-TZ to_date would disagree with the manifest
-    // ordinals on non-UTC sessions)
-    import org.apache.spark.sql.functions.{col, floor}
-    val utcDay = floor(col(tsCol).cast("double") / 86400.0)
+    // ordinals on non-UTC sessions). A DateType source has no double cast
+    // in Spark — its ordinal IS the epoch day (datediff from 1970-01-01),
+    // matching the write side's identity use of the date column.
+    import org.apache.spark.sql.functions.{col, datediff, floor, lit}
+    val utcDay = schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(tsCol), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+      case _ => floor(col(tsCol).cast("double") / 86400.0)
+    }
     val df = readEntries(spark, schema, kept)
       .filter(utcDay >= lo && utcDay < hi)
     (df, kept.size, entries.size)

@@ -179,5 +179,31 @@ class IcebergTransformSpec extends AnyFunSuite {
         table, IcebergSink.Append, partitionBy = Seq("bucket(8,id)"))
     }
     assert(e.getMessage.contains("partition spec mismatch"))
+    // a COSMETIC variant of the identical spec ("bucket(4, id)" with a
+    // space) is the same parsed (source, transform) pair — accepted (r9)
+    IcebergSink.write(Seq((42L, "row42", 2.0)).toDF("id", "name", "v"),
+      table, IcebergSink.Append, partitionBy = Seq("bucket(4, id)"))
+    assert(IcebergSink.read(spark, table).count() == 42)
+  }
+
+  test("readDays on a day(datecol)-partitioned DATE-typed table prunes and filters (r9)") {
+    val s = spark
+    import s.implicits._
+    // day() on DateType: the write path uses the date column itself as the
+    // derived partition; readDays must re-filter via epochDay (datediff),
+    // not an (invalid-for-DateType) double cast
+    val df = (0 until 20).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i / 2)))
+    }.toDF("id", "d")
+    val table = java.nio.file.Files.createTempDirectory("graft-iceberg-datep").toString + "/tbl"
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive,
+      partitionBy = Seq("day(d)"))
+    val (pruned, scanned, total) = IcebergSink.readDays(spark, table, "d",
+      java.time.LocalDate.of(2024, 3, 3), java.time.LocalDate.of(2024, 3, 6))
+    assert(pruned.count() == 6, "3 days x 2 rows")
+    assert(scanned < total, s"pruning must skip files ($scanned of $total scanned)")
+    val days = pruned.select("d").collect().map(_.getDate(0).toLocalDate).distinct.sorted
+    assert(days.head == java.time.LocalDate.of(2024, 3, 3))
+    assert(days.last == java.time.LocalDate.of(2024, 3, 5))
   }
 }
