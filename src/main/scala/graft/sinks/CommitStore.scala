@@ -38,6 +38,29 @@ trait CommitStore {
   def putIfAbsent(target: Path, bytes: Array[Byte]): Unit
 }
 
+/** A [[CommitStore]] that ALSO transports data objects — the full
+  * object-store surface the reference's pipeline drives
+  * (/root/reference/src/delta_destination.rs:70-477 is one flow: multipart
+  * data-file uploads + a conditional-put log commit). When a sink is given
+  * an [[ObjectStore]], its staged parquet files are PUBLISHED through
+  * [[putObject]] (an [[HttpObjectStore.Client]] multiparts them over TCP)
+  * instead of a local rename, so every byte of the table — data and log —
+  * travels the store protocol.
+  */
+trait ObjectStore extends CommitStore {
+
+  /** Publishes a fully-staged data object at `target`. Data files carry
+    * txn-unique names, so plain-put overwrite semantics are safe (only the
+    * version-claiming log put needs [[putIfAbsent]]).
+    */
+  def putObject(target: Path, bytes: Array[Byte]): Unit
+
+  /** Removes the object at `target` — the abort/vacuum reclaim. Absent
+    * objects are a no-op (aborts may race their own failed uploads).
+    */
+  def deleteObject(target: Path): Unit
+}
+
 object CommitStore {
 
   /** Local-filesystem store: `CREATE_NEW` is the put-if-absent (POSIX

@@ -123,19 +123,36 @@ object DeltaSink {
       if (!overwrite) return false
       existing.foreach(deleteRecursively)
     }
-    // mode=overwrite only placates Spark's path-exists check: the
-    // refuse-unless-overwrite decision was already taken above, and the
-    // target has been emptied by then.
-    val writer = df.write
-      .mode("overwrite")
-      .option("compression", "snappy")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(table)
-    // Spark leaves a _SUCCESS marker; the Delta log is the commit record.
-    new File(dir, "_SUCCESS").delete()
-
     val conf = df.sparkSession.sessionState.newHadoopConf()
+    def sparkWrite(target: String): Unit = {
+      // mode=overwrite only placates Spark's path-exists check: the
+      // refuse-unless-overwrite decision was already taken above, and the
+      // target has been emptied by then.
+      val writer = df.write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(target)
+      // Spark leaves a _SUCCESS marker; the Delta log is the commit record.
+      new File(target, "_SUCCESS").delete()
+    }
+    // Data-file placement: a plain store writes parquet straight into the
+    // table; an ObjectStore stages locally and PUBLISHES each file through
+    // the store's multipart upload — the reference's single pipeline
+    // (delta_destination.rs:70-229: upload data files, then conditionally
+    // put the commit), end to end over the store protocol.
+    val adds: Seq[AddEntry] = store match {
+      case _: ObjectStore =>
+        val staging = Files.createTempDirectory("graft-delta-write").toFile
+        try {
+          sparkWrite(staging.getPath)
+          publishAll(store, dir, staging, conf, (rel, _) => rel.toString)
+        } finally deleteRecursively(staging)
+      case _ =>
+        sparkWrite(table)
+        dataFiles(dir).map(f => toAddEntry(dir, f, conf))
+    }
     Files.createDirectories(logDir(table))
 
     val now = System.currentTimeMillis()
@@ -146,9 +163,7 @@ object DeltaSink {
     val commit0 = Seq(protocolJson,
       metaDataJson(java.util.UUID.randomUUID().toString, schemaString, partitionBy, now))
     commitAtomic(store, versionFile(table, 0), commit0)
-
-    val adds = dataFiles(dir).map(f => addJson(toAddEntry(dir, f, conf)))
-    commitAtomic(store, versionFile(table, 1), adds)
+    commitAtomic(store, versionFile(table, 1), adds.map(a => addJson(a)))
     true
   }
 
@@ -251,23 +266,17 @@ object DeltaSink {
          writer.partitionBy(state.partitionColumns: _*)
        else writer).parquet(staging.getPath)
       val conf = df.sparkSession.sessionState.newHadoopConf()
-      dataFiles(staging).zipWithIndex.map { case (src, i) =>
-        // preserve the partition subpath; txn-unique base name
-        val rel = staging.toPath.relativize(src.toPath)
-        val target = new File(dir,
-          Option(rel.getParent).map(_.toString + "/").getOrElse("") +
-            f"part-$i%05d-$txn.snappy.parquet")
-        target.getParentFile.mkdirs()
-        Files.move(src.toPath, target.toPath)
-        toAddEntry(dir, target, conf)
-      }
+      // preserve the partition subpath; txn-unique base names
+      publishAll(store, dir, staging, conf, (rel, i) =>
+        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+          f"part-$i%05d-$txn.snappy.parquet")
     } finally deleteRecursively(staging)
     val txnLine = txn0.map { case (appId, v) =>
       s"""{"txn":{"appId":${esc(appId)},"version":$v}}"""
     }
-    // any abort path removes the already-moved data files — they are not in
-    // the log, so leaving them would only waste space until vacuum
-    def abort(): Unit = adds.foreach(a => new File(dir, a.path).delete())
+    // any abort path removes the already-published data files — they are
+    // not in the log, so leaving them would only waste space until vacuum
+    def abort(): Unit = adds.foreach(a => deleteData(store, dir, a.path))
     var attempt = 0
     // Version through which the txn watermark has been validated. A replay
     // of THIS batch (two speculative executions of one foreachBatch) can
@@ -386,15 +395,9 @@ object DeltaSink {
       (if (state.partitionColumns.nonEmpty)
          writer.partitionBy(state.partitionColumns: _*)
        else writer).parquet(staging.getPath)
-      dataFiles(staging).zipWithIndex.map { case (src, i) =>
-        val rel = staging.toPath.relativize(src.toPath)
-        val target = new File(dir,
-          Option(rel.getParent).map(_.toString + "/").getOrElse("") +
-            f"part-$i%05d-$txn.c000.snappy.parquet")
-        target.getParentFile.mkdirs()
-        Files.move(src.toPath, target.toPath)
-        toAddEntry(dir, target, conf)
-      }
+      publishAll(store, dir, staging, conf, (rel, i) =>
+        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+          f"part-$i%05d-$txn.c000.snappy.parquet")
     } finally deleteRecursively(staging)
     val now = System.currentTimeMillis()
     val removes = state.live.map(a =>
@@ -420,7 +423,7 @@ object DeltaSink {
         val liveNow = replay(spark, table, None).live.map(_.path).toSet
         validatedThrough = latest
         if (!inputPaths.subsetOf(liveNow)) {
-          adds.foreach(a => new File(dir, a.path).delete())
+          adds.foreach(a => deleteData(store, dir, a.path))
           throw new IllegalStateException(
             s"concurrent compaction of $table; compaction aborted")
         }
@@ -432,7 +435,7 @@ object DeltaSink {
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (attempt >= 3) {
-            adds.foreach(a => new File(dir, a.path).delete())
+            adds.foreach(a => deleteData(store, dir, a.path))
             throw new IllegalStateException(
               s"concurrent writers on $table; compaction aborted", e)
           }
@@ -547,15 +550,9 @@ object DeltaSink {
       (if (state.partitionColumns.nonEmpty)
          writer.partitionBy(state.partitionColumns: _*)
        else writer).parquet(staging.getPath)
-      dataFiles(staging).zipWithIndex.map { case (src, i) =>
-        val rel = staging.toPath.relativize(src.toPath)
-        val target = new File(dir,
-          Option(rel.getParent).map(_.toString + "/").getOrElse("") +
-            f"part-$i%05d-$txn.c000.snappy.parquet")
-        target.getParentFile.mkdirs()
-        Files.move(src.toPath, target.toPath)
-        toAddEntry(dir, target, conf)
-      }
+      publishAll(store, dir, staging, conf, (rel, i) =>
+        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+          f"part-$i%05d-$txn.c000.snappy.parquet")
     } finally deleteRecursively(staging)
     val now = System.currentTimeMillis()
     val removes = touched.map(a =>
@@ -565,7 +562,7 @@ object DeltaSink {
     try commitAtomic(store, versionFile(table, state.version + 1), lines)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        adds.foreach(a => new File(dir, a.path).delete())
+        adds.foreach(a => deleteData(store, dir, a.path))
         throw new IllegalStateException(
           s"concurrent commit on $table during merge; re-run the merge", e)
     }
@@ -1040,8 +1037,65 @@ object DeltaSink {
     walk(dir).sortBy(_.getPath)
   }
 
-  private def toAddEntry(tableDir: File, f: File, conf: Configuration): AddEntry = {
-    val rel = tableDir.toPath.relativize(f.toPath).toString
+  /** Publishes one staged data file into the table at `rel` and returns its
+    * log entry. Plain stores rename into place (same-FS atomic move); an
+    * [[ObjectStore]] multipart-UPLOADS the staged bytes so the data file
+    * reaches the table over the store protocol, never a local write —
+    * stats come from the staged copy (identical bytes). Buffering one
+    * file is bounded by maxRecordsPerFile; a production S3A path would
+    * stream parts instead.
+    */
+  private def publishFile(store: CommitStore, tableDir: File, src: File,
+      rel: String, conf: Configuration): AddEntry = store match {
+    case os: ObjectStore =>
+      val entry = toAddEntryAt(rel, src, conf)
+      os.putObject(new File(tableDir, rel).toPath, Files.readAllBytes(src.toPath))
+      entry
+    case _ =>
+      val target = new File(tableDir, rel)
+      target.getParentFile.mkdirs()
+      Files.move(src.toPath, target.toPath)
+      toAddEntry(tableDir, target, conf)
+  }
+
+  /** Publishes every staged file under `staging` into the table with
+    * `relOf(rel, i)`-named targets. A publication failure (a part upload
+    * 500ing, the store unreachable) RECLAIMS the files already published
+    * in this batch before rethrowing — the reference's whole-write abort
+    * (delta_destination.rs:120-229): an uncommitted transaction leaves
+    * zero bytes behind.
+    */
+  private def publishAll(store: CommitStore, tableDir: File, staging: File,
+      conf: Configuration, relOf: (java.nio.file.Path, Int) => String): Seq[AddEntry] = {
+    val published = scala.collection.mutable.ArrayBuffer[AddEntry]()
+    try {
+      dataFiles(staging).zipWithIndex.foreach { case (src, i) =>
+        val rel = staging.toPath.relativize(src.toPath)
+        published += publishFile(store, tableDir, src, relOf(rel, i), conf)
+      }
+      published.toSeq
+    } catch { case e: Throwable =>
+      published.foreach(a =>
+        scala.util.Try(deleteData(store, tableDir, a.path)))
+      throw e
+    }
+  }
+
+  /** Abort-path reclaim of a published-but-uncommitted data file. */
+  private def deleteData(store: CommitStore, tableDir: File, rel: String): Unit =
+    store match {
+      case os: ObjectStore => os.deleteObject(new File(tableDir, rel).toPath)
+      case _ => new File(tableDir, rel).delete(): Unit
+    }
+
+  private def toAddEntry(tableDir: File, f: File, conf: Configuration): AddEntry =
+    toAddEntryAt(tableDir.toPath.relativize(f.toPath).toString, f, conf)
+
+  /** Log entry for a data file whose TABLE path is `rel` but whose bytes
+    * are read from `f` (which may be a staged copy outside the table).
+    */
+  private def toAddEntryAt(rel0: String, f: File, conf: Configuration): AddEntry = {
+    val rel = rel0
     // partition values from the Hive-style dir segments (col=value), Hive
     // escaping undone; the marker dir name means a null partition value
     val pv = rel.split('/').dropRight(1).flatMap { seg =>

@@ -51,6 +51,13 @@ object HttpObjectStore {
 
     private val uploads = new ConcurrentHashMap[String, String]() // uploadId → key
     private val pool = Executors.newFixedThreadPool(8)
+
+    // Protocol-traffic counters: tests assert a sink's every byte actually
+    // travelled the store (N data files → N multipart completions, M log
+    // commits → M conditional puts), not a local-FS shortcut.
+    val multipartCompletions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conditionalPuts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val objectDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
     private val server = com.sun.net.httpserver.HttpServer
       .create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -123,6 +130,7 @@ object HttpObjectStore {
                 Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
                   StandardCopyOption.REPLACE_EXISTING)
                 dropUpload(id)
+                multipartCompletions.incrementAndGet()
                 respond(ex, 200)
               }
             }
@@ -130,6 +138,12 @@ object HttpObjectStore {
           // abort multipart: staged parts reclaimed, key untouched
           case ("DELETE", Some(id), _) =>
             if (uploads.get(id) == key) dropUpload(id)
+            respond(ex, 204)
+
+          // plain object delete (idempotent, like S3 DeleteObject)
+          case ("DELETE", None, _) =>
+            Files.deleteIfExists(target)
+            objectDeletes.incrementAndGet()
             respond(ex, 204)
 
           // conditional / plain put of a whole object
@@ -150,6 +164,7 @@ object HttpObjectStore {
               // silently REPLACES an existing target) gives both halves.
               val tmp = Files.createTempFile(target.getParent, ".cput-", ".tmp")
               Files.write(tmp, bytes)
+              conditionalPuts.incrementAndGet()
               try { Files.createLink(target, tmp); respond(ex, 200) }
               catch { case _: FileAlreadyExistsException => respond(ex, 412) }
               finally Files.deleteIfExists(tmp)
@@ -212,9 +227,25 @@ object HttpObjectStore {
     * rides the network path unchanged. `root` mirrors the server's root so
     * absolute target paths translate to bucket keys.
     */
-  final class Client(endpoint: URI, root: Path) extends CommitStore {
+  final class Client(endpoint: URI, root: Path) extends ObjectStore {
     private val http = HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+    /** Data-file publication rides the bounded multipart uploader (the
+      * reference's data path, delta_destination.rs:120-229): S3-realistic
+      * part sizing (≥5 MiB parts there; 4 MiB here keeps multi-part
+      * coverage on test-sized files) with ≤2 parts in flight, abort and
+      * server-side reclamation on any part failure.
+      */
+    override def putObject(target: Path, bytes: Array[Byte]): Unit =
+      putMultipart(target, bytes, partSize = 4 * 1024 * 1024, maxConcurrency = 2)
+
+    override def deleteObject(target: Path): Unit = {
+      val resp = http.send(HttpRequest.newBuilder(keyUri(target)).DELETE().build(),
+        HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() != 204 && resp.statusCode() != 200)
+        throw new IOException(s"delete of $target failed: HTTP ${resp.statusCode()}")
+    }
 
     private def keyUri(target: Path): URI = {
       val key = root.relativize(target.toAbsolutePath.normalize()).toString
