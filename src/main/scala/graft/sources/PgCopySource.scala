@@ -124,16 +124,25 @@ final case class FileTransport(path: String) extends CopyTransport {
 }
 
 /** LIVE-socket transport: a from-scratch Postgres v3 wire client covering
-  * exactly the slice the reference's source negotiates
-  * (/root/reference/src/pg_arrow_source.rs:201-273): startup, trust or
-  * cleartext-password auth with `PGPASSWORD` pickup from the environment
-  * (`:206-209`), one `COPY (<query>) TO STDOUT (FORMAT BINARY)` statement,
-  * CopyData accumulation, and fail-fast surfacing of an ErrorResponse —
-  * including one arriving MID-STREAM, the spawned-connection failure mode
-  * the reference handles at `:211-218` (partial data is discarded, the
-  * server's message becomes the exception). No TLS and no MD5/SCRAM in
-  * this offline build; a production deployment would front the same seam
-  * with a full driver.
+  * the slice the reference's source negotiates
+  * (/root/reference/src/pg_arrow_source.rs:201-273): TLS via the
+  * SSLRequest preamble (the reference fronts tokio-postgres with a
+  * native-tls connector, `:211-213` — sslmode-`prefer` semantics: use TLS
+  * when the server offers it, plaintext otherwise), startup,
+  * trust / cleartext / MD5 / SCRAM-SHA-256 auth with `PGPASSWORD` pickup
+  * from the environment (`:206-209`), one `COPY (<query>) TO STDOUT
+  * (FORMAT BINARY)` statement, CopyData accumulation, and fail-fast
+  * surfacing of an ErrorResponse — including one arriving MID-STREAM, the
+  * spawned-connection failure mode the reference handles at `:211-218`
+  * (partial data is discarded, the server's message becomes the
+  * exception).
+  *
+  * `sslMode` follows libpq: `disable` never negotiates, `prefer`
+  * (default, matching the reference's tokio-postgres default) negotiates
+  * and falls back to plaintext on a server 'N', `require` fails instead.
+  * Like libpq's `require`, the chain is validated (against `trustStore`
+  * when given, the JDK default anchors otherwise) but the hostname is
+  * not — `verify-full` would add endpoint identification.
   *
   * `password` defaults to the ambient `PGPASSWORD` at CONSTRUCTION time
   * (driver side), so executors never depend on their own environment.
@@ -142,14 +151,20 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
     database: String, query: String,
     password: Option[String] = sys.env.get("PGPASSWORD"),
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 60000) extends CopyTransport {
+    readTimeoutMs: Int = 60000,
+    sslMode: String = sys.env.getOrElse("PGSSLMODE", "prefer"),
+    trustStore: Option[(String, String)] = None) extends CopyTransport {
+
+  require(Set("disable", "prefer", "require").contains(sslMode),
+    s"unsupported sslMode '$sslMode' (disable | prefer | require)")
 
   override def copyOut(): Array[Byte] = {
-    val sock = new java.net.Socket()
-    sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+    val plain = new java.net.Socket()
+    plain.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
     // fail fast on a half-dead server (accepted TCP, then silence mid-
     // handshake or mid-COPY) instead of blocking an executor forever
-    sock.setSoTimeout(readTimeoutMs)
+    plain.setSoTimeout(readTimeoutMs)
+    val sock = if (sslMode == "disable") plain else negotiateTls(plain)
     try {
       val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(sock.getInputStream))
@@ -172,16 +187,35 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
         tag match {
           case 'R' => // authentication request
             val code = in.readInt()
+            def pwOrFail = password.getOrElse(throw new java.io.IOException(
+              s"server requests a password for user '$user' and PGPASSWORD is not set"))
+            def sendPassword(pw: String): Unit = {
+              val pb = (pw + "\u0000").getBytes(StandardCharsets.UTF_8)
+              out.writeByte('p'); out.writeInt(4 + pb.length); out.write(pb)
+              out.flush()
+            }
             code match {
               case 0 => in.skipNBytes(len.toLong - 4) // AuthenticationOk
               case 3 => // cleartext password — the PGPASSWORD contract
-                val pw = password.getOrElse(throw new java.io.IOException(
-                  s"server requests a password for user '$user' and PGPASSWORD is not set"))
-                val pb = (pw + "\u0000").getBytes(StandardCharsets.UTF_8)
-                out.writeByte('p'); out.writeInt(4 + pb.length); out.write(pb)
-                out.flush()
+                sendPassword(pwOrFail)
+              case 5 => // MD5: "md5" + hex(md5(hex(md5(password+user)) + salt))
+                val salt = new Array[Byte](4)
+                in.readFully(salt)
+                val inner = md5hex((pwOrFail + user).getBytes(StandardCharsets.UTF_8))
+                sendPassword("md5" + md5hex(
+                  inner.getBytes(StandardCharsets.UTF_8) ++ salt))
+              case 10 => // AuthenticationSASL: NUL-separated mechanism list
+                val mb = new Array[Byte](len - 4)
+                in.readFully(mb)
+                val mechanisms = new String(mb, StandardCharsets.UTF_8)
+                  .split('\u0000').filter(_.nonEmpty).toSeq
+                if (!mechanisms.contains("SCRAM-SHA-256"))
+                  throw new java.io.IOException("server offers none of our SASL " +
+                    s"mechanisms (offered: ${mechanisms.mkString(", ")})")
+                scramSha256(in, out, pwOrFail)
               case other => throw new java.io.IOException(
-                s"unsupported authentication method $other (this transport speaks trust/cleartext only)")
+                s"unsupported authentication method $other " +
+                  "(this transport speaks trust/cleartext/md5/scram-sha-256)")
             }
           case 'Z' => // ReadyForQuery
             in.skipNBytes(len.toLong)
@@ -214,6 +248,145 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
       }
       throw new IllegalStateException("unreachable")
     } finally sock.close()
+  }
+
+  /** SSLRequest preamble (PG docs §55.2.10): int32(8), int32(80877103);
+    * the server answers one raw byte — 'S' (TLS follows; wrap and
+    * handshake) or 'N' (no TLS here). `require` treats 'N' as fatal,
+    * `prefer` falls back to plaintext on the SAME connection, exactly
+    * libpq's ladder.
+    */
+  private def negotiateTls(plain: java.net.Socket): java.net.Socket = {
+    try {
+      val out = new java.io.DataOutputStream(plain.getOutputStream)
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      val answer = plain.getInputStream.read()
+      answer match {
+        case 'S' =>
+          val ssl = sslContext.getSocketFactory
+            .createSocket(plain, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(true)
+          ssl.startHandshake() // cert chain validated against the trust anchors
+          ssl
+        case 'N' =>
+          if (sslMode == "require")
+            throw new java.io.IOException(
+              s"sslMode=require but server $host:$port does not support TLS")
+          plain
+        case other => throw new java.io.IOException(
+          s"unexpected SSLRequest answer ${other.toChar} from $host:$port")
+      }
+    } catch { case e: Throwable => plain.close(); throw e }
+  }
+
+  /** Trust for the TLS handshake: the given PKCS#12 truststore, or the JDK
+    * default anchors — never trust-all (the reference's native-tls builder
+    * likewise validates by default, pg_arrow_source.rs:211).
+    */
+  private def sslContext: javax.net.ssl.SSLContext = trustStore match {
+    case None => javax.net.ssl.SSLContext.getDefault
+    case Some((path, pass)) =>
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val is = Files.newInputStream(Paths.get(path))
+      try ks.load(is, pass.toCharArray) finally is.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      ctx
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private def hmacSha256(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(msg)
+  }
+
+  /** SCRAM-SHA-256 client conversation (RFC 5802/7677 over the PG SASL
+    * framing): runs after AuthenticationSASL offered the mechanism,
+    * consuming the SASLContinue/SASLFinal messages itself and returning
+    * with AuthenticationOk still unread for the main loop. gs2 header is
+    * `n,,` (no channel binding — channel-binding-capable servers still
+    * accept `n` clients over TLS; SCRAM-SHA-256-PLUS is out of scope).
+    * The server SIGNATURE IS VERIFIED — mutual authentication, not just
+    * password proof.
+    */
+  private def scramSha256(in: java.io.DataInputStream,
+      out: java.io.DataOutputStream, pw: String): Unit = {
+    val b64 = java.util.Base64.getEncoder
+    val rnd = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(rnd)
+    val nonce = b64.encodeToString(rnd)
+    // PG ignores n= (the startup message names the user); keep it empty
+    val clientFirstBare = s"n=,r=$nonce"
+    val mech = "SCRAM-SHA-256\u0000".getBytes(StandardCharsets.UTF_8)
+    val initial = ("n,," + clientFirstBare).getBytes(StandardCharsets.UTF_8)
+    out.writeByte('p')
+    out.writeInt(4 + mech.length + 4 + initial.length)
+    out.write(mech); out.writeInt(initial.length); out.write(initial)
+    out.flush()
+
+    def readSasl(expectCode: Int): String = {
+      val tag = in.readByte().toChar
+      val mlen = in.readInt() - 4
+      tag match {
+        case 'R' =>
+          val code = in.readInt()
+          if (code != expectCode) throw new java.io.IOException(
+            s"expected SASL code $expectCode, got $code")
+          val b = new Array[Byte](mlen - 4)
+          in.readFully(b)
+          new String(b, StandardCharsets.UTF_8)
+        case 'E' =>
+          val b = new Array[Byte](mlen)
+          in.readFully(b)
+          throw new java.io.IOException(s"Postgres error: ${errorMessage(b)}")
+        case other => throw new java.io.IOException(
+          s"unexpected message '$other' during SASL auth")
+      }
+    }
+
+    val serverFirst = readSasl(11) // AuthenticationSASLContinue
+    val attrs = serverFirst.split(',').map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val serverNonce = attrs.getOrElse("r", throw new java.io.IOException(
+      "server-first-message missing r="))
+    if (!serverNonce.startsWith(nonce))
+      throw new java.io.IOException("server nonce does not extend ours (MITM?)")
+    val salt = java.util.Base64.getDecoder.decode(attrs("s"))
+    val iterations = attrs("i").toInt
+
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      pw.toCharArray, salt, iterations, 256)
+    val salted = javax.crypto.SecretKeyFactory
+      .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+    val clientKey = hmacSha256(salted, "Client Key".getBytes(StandardCharsets.UTF_8))
+    val storedKey = java.security.MessageDigest.getInstance("SHA-256").digest(clientKey)
+    val withoutProof = s"c=biws,r=$serverNonce" // biws = b64("n,,")
+    val authMessage = (clientFirstBare + "," + serverFirst + "," + withoutProof)
+      .getBytes(StandardCharsets.UTF_8)
+    val clientSig = hmacSha256(storedKey, authMessage)
+    val proof = clientKey.zip(clientSig).map { case (a, c) => (a ^ c).toByte }
+    val finalMsg = (withoutProof + ",p=" + b64.encodeToString(proof))
+      .getBytes(StandardCharsets.UTF_8)
+    out.writeByte('p'); out.writeInt(4 + finalMsg.length); out.write(finalMsg)
+    out.flush()
+
+    val serverFinal = readSasl(12) // AuthenticationSASLFinal: v=<signature>
+    val vAttr = serverFinal.split(',').map(_.split("=", 2))
+      .collectFirst { case Array("v", v) => v }
+      .getOrElse(throw new java.io.IOException("server-final-message missing v="))
+    val serverKey = hmacSha256(salted, "Server Key".getBytes(StandardCharsets.UTF_8))
+    val expected = b64.encodeToString(hmacSha256(serverKey, authMessage))
+    if (vAttr != expected)
+      throw new java.io.IOException(
+        "server signature verification failed — the server does not know the password")
   }
 
   /** ErrorResponse body → its 'M' (message) field. Tolerates a truncated

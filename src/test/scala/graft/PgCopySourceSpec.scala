@@ -228,6 +228,94 @@ class PgCopySourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("socket transport: SCRAM-SHA-256 auth — proof verified server-side, mutual signature (r9)") {
+    val payload = stream(fixtureTuples.take(3))
+    val server = new FakePgServer("loader", "testdb", Some("sekret"),
+      _ => Some(payload), authMode = "scram")
+    try {
+      val bytes = graft.sources.PgSocketTransport("127.0.0.1", server.port,
+        "loader", "testdb", "SELECT * FROM t",
+        password = Some("sekret")).copyOut()
+      assert(bytes.sameElements(payload))
+      assert(server.sawScram, "server must have VERIFIED a client proof")
+      // wrong password → the proof fails verification, 28P01 surfaces
+      val e = intercept[java.io.IOException] {
+        graft.sources.PgSocketTransport("127.0.0.1", server.port,
+          "loader", "testdb", "SELECT 1", password = Some("wrong")).copyOut()
+      }
+      assert(e.getMessage.contains("password authentication failed"))
+    } finally server.close()
+  }
+
+  test("socket transport: MD5 auth — salted double-hash accepted, wrong password refused (r9)") {
+    val payload = stream(fixtureTuples.take(2))
+    val server = new FakePgServer("loader", "testdb", Some("sekret"),
+      _ => Some(payload), authMode = "md5")
+    try {
+      val bytes = graft.sources.PgSocketTransport("127.0.0.1", server.port,
+        "loader", "testdb", "SELECT * FROM t",
+        password = Some("sekret")).copyOut()
+      assert(bytes.sameElements(payload))
+      assert(server.sawPassword.exists(_.startsWith("md5")),
+        "client must send the md5-prefixed double hash, never the password")
+      val e = intercept[java.io.IOException] {
+        graft.sources.PgSocketTransport("127.0.0.1", server.port,
+          "loader", "testdb", "SELECT 1", password = Some("wrong")).copyOut()
+      }
+      assert(e.getMessage.contains("password authentication failed"))
+    } finally server.close()
+  }
+
+  test("socket transport: TLS handshake via SSLRequest, then SCRAM over the encrypted channel (r9)") {
+    val (ctx, trustPath, trustPass) = FakePgServer.selfSignedTls()
+    val payload = stream(fixtureTuples)
+    val wrapped = "COPY (SELECT * FROM t) TO STDOUT (FORMAT BINARY)"
+    val server = new FakePgServer("loader", "testdb", Some("sekret"),
+      sql => if (sql == wrapped) Some(payload) else None,
+      authMode = "scram", tlsContext = Some(ctx))
+    try {
+      val transport = graft.sources.PgSocketTransport("127.0.0.1", server.port,
+        "loader", "testdb", "SELECT * FROM t", password = Some("sekret"),
+        sslMode = "require", trustStore = Some((trustPath, trustPass)))
+      val df = PgCopyBinarySource(Seq(transport), cols).load(spark)
+      checkCells(df)
+      assert(server.sawTls, "the conversation must have run over TLS")
+      assert(server.sawScram)
+    } finally server.close()
+  }
+
+  test("socket transport: sslMode ladder — require fails on 'N', prefer falls back (r9)") {
+    val payload = stream(fixtureTuples.take(2))
+    // no tlsContext: the server answers 'N' to SSLRequest
+    val server = new FakePgServer("loader", "testdb", None, _ => Some(payload))
+    try {
+      val e = intercept[java.io.IOException] {
+        graft.sources.PgSocketTransport("127.0.0.1", server.port,
+          "loader", "testdb", "SELECT 1", password = None,
+          sslMode = "require").copyOut()
+      }
+      assert(e.getMessage.contains("does not support TLS"))
+      // prefer: same server, same connection style — plaintext fallback works
+      val bytes = graft.sources.PgSocketTransport("127.0.0.1", server.port,
+        "loader", "testdb", "SELECT * FROM t", password = None,
+        sslMode = "prefer").copyOut()
+      assert(bytes.sameElements(payload))
+      assert(!server.sawTls)
+      // an untrusted server cert fails the handshake under require (no
+      // trust-all escape hatch): default JDK anchors reject self-signed
+      val (ctx2, _, _) = FakePgServer.selfSignedTls()
+      val tlsServer = new FakePgServer("loader", "testdb", None,
+        _ => Some(payload), tlsContext = Some(ctx2))
+      try {
+        intercept[java.io.IOException] { // SSLHandshakeException is an IOException
+          graft.sources.PgSocketTransport("127.0.0.1", tlsServer.port,
+            "loader", "testdb", "SELECT 1", password = None,
+            sslMode = "require", trustStore = None).copyOut()
+        }
+      } finally tlsServer.close()
+    } finally server.close()
+  }
+
   test("malformed streams are rejected loudly") {
     intercept[IllegalArgumentException] {
       CopyBinary.decode("NOTPGCOPY".getBytes ++ Array.fill(20)(0.toByte), cols).toList
