@@ -21,6 +21,56 @@ object TpchQueries extends QueryModule {
 
   private val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Deterministic `partsupp` DERIVED from part × supplier-count (r9): the
+    * driver corpus ships no partsupp table, so the five TPC-H shapes that
+    * need one (Q2/Q9/Q11/Q16/Q20 — the reference's own TODO, lib.rs:203)
+    * derive it with the spec's supplier-assignment formula (TPC-H §4.2.3,
+    * adapted to this corpus's 0-based keys): part p gets 4 suppliers at
+    * stride sc/4 + p/sc, provably collision-free here because p/sc < sc/4
+    * at every corpus SF. availqty/supplycost are deterministic integer
+    * formulas (1..9999 and 1.00..1000.00, matching the spec's ranges) so
+    * the DuckDB oracle reproduces the table bit-for-bit from the same
+    * arithmetic — mirrored token-for-token in [[PartsuppSql]].
+    *
+    * Scale posture: derived MAP-SIDE from the part scan (the supplier
+    * count broadcasts as one row; the ×4 explode is a literal array) —
+    * zero shuffle, so "partsupp" costs no more than reading part even at
+    * 100 TB.
+    */
+  private def partsupp(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val supCnt = t(s, dir, "supplier").agg(count(lit(1)).as("sc"))
+    t(s, dir, "part").select("p_partkey")
+      .crossJoin(broadcast(supCnt))
+      .select(col("p_partkey"), col("sc"),
+        explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("i"))
+      .withColumn("ps_suppkey",
+        (col("p_partkey") + col("i") * (expr("sc div 4") + expr("p_partkey div sc")))
+          % col("sc"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("p_partkey") * 47 + col("ps_suppkey") * 31 + col("i") * 13) % 9999 + 1)
+          .as("ps_availqty"),
+        (((col("p_partkey") * 13 + col("ps_suppkey") * 7 + col("i")) % 99900 + 100)
+          .cast("double") / 100.0).as("ps_supplycost"))
+  }
+
+  /** DuckDB twin of [[partsupp]] — prefix every partsupp oracle with this. */
+  private val PartsuppSql =
+    """WITH ps0 AS (
+      |  SELECT p_partkey, i,
+      |    (p_partkey + i * (sc // 4 + p_partkey // sc)) % sc AS ps_suppkey
+      |  FROM part,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) AS sc FROM supplier),
+      |    (SELECT UNNEST([0,1,2,3]) AS i)
+      |),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey, ps_suppkey,
+      |    (p_partkey * 47 + ps_suppkey * 31 + i * 13) % 9999 + 1 AS ps_availqty,
+      |    CAST((p_partkey * 13 + ps_suppkey * 7 + i) % 99900 + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM ps0
+      |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -549,5 +599,227 @@ object TpchQueries extends QueryModule {
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
              |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q2",
+      // Minimum-cost supplier (Q2 shape, adapted: this corpus has no
+      // p_mfgr/s_address/s_phone/s_comment, so the projection carries
+      // p_brand instead and drops the free-text columns). The classic
+      // correlated MIN-cost subquery is rewritten as a per-part aggregate
+      // JOINED back — never a per-row re-scan: candidates build once
+      // (partsupp ⋈ region-qualified suppliers ⋈ size/type-filtered
+      // parts, dimensions broadcast), the per-part min is a second
+      // broadcast (bounded by the filtered part count), and the equality
+      // join keeps exactly the min-cost rows. PlanSpec pins the absence
+      // of any nested-loop join.
+      (s, dir) => {
+        val eurSupp = broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        val qualParts = broadcast(t(s, dir, "part")
+          .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+          .select("p_partkey", "p_brand"))
+        val cand = partsupp(s, dir)
+          .join(eurSupp, col("ps_suppkey") === col("s_suppkey"))
+          .join(qualParts, col("ps_partkey") === col("p_partkey"))
+        val minCost = cand.groupBy(col("ps_partkey").as("mp_partkey"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        cand.join(broadcast(minCost),
+            col("ps_partkey") === col("mp_partkey") &&
+              col("ps_supplycost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"))
+          .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+          .limit(100)
+      },
+      Some(PartsuppSql +
+        """,
+          |eur AS (
+          |  SELECT s_suppkey, s_name, s_acctbal, n_name
+          |  FROM supplier, nation, region
+          |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |    AND r_name = 'EUROPE'),
+          |cand AS (
+          |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name,
+          |         p_partkey, p_brand
+          |  FROM partsupp, eur, part
+          |  WHERE ps_suppkey = s_suppkey AND ps_partkey = p_partkey
+          |    AND p_size <= 15 AND p_type = 'ECONOMY'),
+          |mc AS (SELECT ps_partkey AS mp_partkey, MIN(ps_supplycost) AS min_cost
+          |       FROM cand GROUP BY 1)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+          |FROM cand JOIN mc
+          |  ON ps_partkey = mp_partkey AND ps_supplycost = min_cost
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q9",
+      // Product-type profit (Q9 shape; filter literal adapted to the
+      // corpus's p_name vocabulary). The 6-table chain: the name-filtered
+      // part list broadcasts into the lineitem scan FIRST (the selective
+      // cut), partsupp joins on the composite (partkey, suppkey) —
+      // derived map-side, so the only real shuffles are the fact-side
+      // composite-key exchange and the final (nation, year) aggregate.
+      // Profit sums run as exact scaled longs (≤4 fractional digits).
+      (s, dir) => {
+        val parts = broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%bolt%")).select("p_partkey"))
+        val sup = broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name")))
+        t(s, dir, "lineitem")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .join(partsupp(s, dir),
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(fxSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("ps_supplycost") * col("l_quantity"), 4).as("sum_profit"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      Some(PartsuppSql +
+        """
+          |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_profit
+          |FROM lineitem, part, partsupp, supplier, nation, orders
+          |WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+          |  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |  AND l_orderkey = o_orderkey
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q11",
+      // Important-stock identification (Q11 shape): one nation's partsupp
+      // value per part, kept when above 1% of that nation's total. The
+      // scalar total broadcasts as one row (never a per-group re-scan);
+      // values sum as exact scaled longs (supplycost·availqty carries ≤2
+      // fractional digits) and the threshold compare runs on the SAME two
+      // IEEE doubles in both engines.
+      (s, dir) => {
+        val natSupp = broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val withVal = partsupp(s, dir)
+          .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+          .select(col("ps_partkey"),
+            cents(col("ps_supplycost") * col("ps_availqty")).as("v"))
+        val total = withVal.agg(sum(col("v")).as("tv"))
+        withVal.groupBy("ps_partkey").agg(sum(col("v")).as("pv"))
+          .crossJoin(broadcast(total))
+          .filter(col("pv").cast("double") > col("tv").cast("double") * 0.003)
+          .select(col("ps_partkey"), (col("pv").cast("double") / 100.0).as("value"))
+          .orderBy(desc("value"), asc("ps_partkey"))
+      },
+      Some(PartsuppSql +
+        """,
+          |natsupp AS (
+          |  SELECT s_suppkey FROM supplier, nation
+          |  WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'),
+          |pv AS (
+          |  SELECT ps_partkey,
+          |    SUM(CAST(ROUND(ps_supplycost*ps_availqty*100) AS BIGINT)) AS pv
+          |  FROM partsupp, natsupp WHERE ps_suppkey = s_suppkey GROUP BY 1),
+          |tot AS (SELECT SUM(pv) AS tv FROM pv)
+          |SELECT ps_partkey, CAST(pv AS DOUBLE)/100.0 AS value
+          |FROM pv, tot
+          |WHERE CAST(pv AS DOUBLE) > CAST(tv AS DOUBLE) * 0.003
+          |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q16",
+      // Parts/supplier relationship (Q16 shape, adapted: no s_comment in
+      // this corpus, so the "Customer Complaints" supplier exclusion
+      // becomes a deterministic s_acctbal < 100 predicate — same
+      // anti-join shape). Both dimension sides broadcast; the
+      // COUNT(DISTINCT ps_suppkey) groups by the part attributes.
+      (s, dir) => {
+        val excluded = broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 100)
+          .select(col("s_suppkey").as("x_suppkey")))
+        val parts = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        partsupp(s, dir)
+          .join(excluded, col("ps_suppkey") === col("x_suppkey"), "left_anti")
+          .join(parts, col("ps_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      },
+      Some(PartsuppSql +
+        """
+          |SELECT p_brand, p_type, p_size,
+          |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM partsupp, part
+          |WHERE ps_partkey = p_partkey
+          |  AND p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          |  AND ps_suppkey NOT IN (
+          |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    QueryDef(
+      "q_tpch_q20",
+      // Potential part promotion (Q20 shape; name prefix adapted to the
+      // corpus): suppliers in one nation holding MORE than half a year's
+      // shipments of red parts. The correlated availqty > 0.5·SUM(...)
+      // subquery becomes a per-(part, supplier) shipment aggregate joined
+      // to partsupp (inner join ≡ the classic NULL-comparison semantics:
+      // a supplier with no shipments in the window never qualifies), then
+      // a LEFT SEMI into the nation's suppliers — no per-row re-scan
+      // anywhere. Quantity sums are exact scaled longs.
+      (s, dir) => {
+        val redParts = broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("red%")).select("p_partkey"))
+        val shipped = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(redParts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("q_partkey"), col("l_suppkey").as("q_suppkey"))
+          .agg((sum(cents(col("l_quantity"))).cast("double") / 100.0).as("qty"))
+        val excess = partsupp(s, dir)
+          .join(redParts.select(col("p_partkey").as("rp_partkey")),
+            col("ps_partkey") === col("rp_partkey"))
+          .join(shipped,
+            col("ps_partkey") === col("q_partkey") &&
+              col("ps_suppkey") === col("q_suppkey"))
+          .filter(col("ps_availqty").cast("double") > col("qty") * 0.5)
+          .select("ps_suppkey").distinct()
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select("s_name")
+          .orderBy("s_name")
+      },
+      Some(PartsuppSql +
+        """,
+          |red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+          |shipped AS (
+          |  SELECT l_partkey AS q_partkey, l_suppkey AS q_suppkey,
+          |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS qty
+          |  FROM lineitem JOIN red ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  GROUP BY 1, 2),
+          |excess AS (
+          |  SELECT DISTINCT ps_suppkey FROM partsupp
+          |  JOIN red ON ps_partkey = p_partkey
+          |  JOIN shipped ON ps_partkey = q_partkey AND ps_suppkey = q_suppkey
+          |  WHERE CAST(ps_availqty AS DOUBLE) > qty * 0.5)
+          |SELECT s_name FROM supplier, nation, excess
+          |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
+          |  AND s_suppkey = ps_suppkey
+          |ORDER BY s_name""".stripMargin)),
   )
 }

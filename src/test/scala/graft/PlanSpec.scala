@@ -446,4 +446,37 @@ class PlanSpec extends AnyFunSuite {
       s"peak concurrency must never plan an interval self-join:\n$p")
     assert(p.contains("partial_sum"), s"boundary deltas must pre-aggregate:\n$p")
   }
+  test("q_tpch_q2: min-cost subquery plans as agg+join, partsupp derives map-side (r9)") {
+    val p = plan("q_tpch_q2")
+    // the correlated MIN rewrite must never degenerate into a per-row loop
+    assert(!p.contains("CartesianProduct"), p)
+    // every join is an equi hash join (dimensions + min-cost both broadcast)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the derived partsupp costs one part scan + a generate, no extra shuffle
+    assert(p.contains("Generate"))
+  }
+
+  test("q_tpch_q9: composite-key fact join stays equi; profit agg is partial+final (r9)") {
+    val p = plan("q_tpch_q9")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row supplier-count scalar broadcast
+    // inside the derived partsupp (a Cross build with no condition) — any
+    // CONDITIONED nested loop would mean a fact join degenerated
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") &&
+        Seq("Inner", "Left", "Right", "Full", "Semi", "Anti", "Cross").exists(l.contains))
+      .forall(_.contains("Cross")), p)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_tpch_q20: excess-stock chain is aggregate+semi-join, never correlated re-scan (r9)") {
+    val p = plan("q_tpch_q20")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") &&
+        Seq("Inner", "Left", "Right", "Full", "Semi", "Anti", "Cross").exists(l.contains))
+      .forall(_.contains("Cross")), p)
+    assert(p.contains("LeftSemi") || p.contains("LeftAnti"), p)
+  }
 }
