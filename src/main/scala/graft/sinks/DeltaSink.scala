@@ -475,6 +475,13 @@ object DeltaSink {
     *
     * @return (filesRewritten, filesSkipped, filesAdded)
     */
+  /** Observability/test seam: how many live files survived the last
+    * merge's stage-1 stats pruning (before the semi-join refinement) —
+    * the number SinkSpec pins to prove composite-key bounds actually
+    * narrow the candidate set.
+    */
+  @volatile private[graft] var lastMergeCandidates: Int = -1
+
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
       store: CommitStore = CommitStore.Local): (Int, Int, Int) = {
@@ -508,13 +515,19 @@ object DeltaSink {
         .otherwise(lit(true)))
       .drop(dupN)
     val srcKeys = source.select(keys.map(col): _*)
-    val k0 = keys.head
-    val bounds = source.agg(min(col(k0)).cast("string").as("lo"),
-      max(col(k0)).cast("string").as("hi")).collect()(0)
+    // one aggregate computes [min, max] for EVERY key column; a composite
+    // key then prunes on the intersection of all ranges (r9)
+    val boundAggs = keys.flatMap(k => Seq(
+      min(col(k)).cast("string").as(s"lo_$k"),
+      max(col(k)).cast("string").as(s"hi_$k")))
+    val bounds = source.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
     if (bounds.isNullAt(0)) return (0, state.live.size, 0) // empty source
-    // stage 1: stats range pruning on the first key (no data read)
-    val candAdds = collectAdds(
-      statsPruned(meta, live0, k0, bounds.getString(0), bounds.getString(1)))
+    // stage 1: stats range pruning on all key columns (no data read)
+    val keyBounds = keys.zipWithIndex.map { case (k, i) =>
+      (k, bounds.getString(2 * i), bounds.getString(2 * i + 1))
+    }
+    val candAdds = collectAdds(statsPruned(meta, live0, keyBounds))
+    lastMergeCandidates = candAdds.size
     // stage 2: semi-join the candidates' rows against the source keys —
     // only files with a TRUE match are rewritten
     val touched: Seq[AddEntry] =
@@ -738,27 +751,38 @@ object DeltaSink {
     * wrongly prune). Runs distributedly over the live-set DataFrame.
     */
   private def statsPruned(meta: MetaState, live: DataFrame, column: String,
-      lo: String, hi: String): DataFrame = {
+      lo: String, hi: String): DataFrame =
+    statsPruned(meta, live, Seq((column, lo, hi)))
+
+  /** Multi-column variant: a file survives only when EVERY column's
+    * recorded range overlaps its bound (bounds AND together — the r8
+    * advice fix: a composite-key merge pruning only on `keys.head` scans
+    * every file overlapping the first key's range even when a second key
+    * rules it out). One stats parse serves all columns.
+    */
+  private def statsPruned(meta: MetaState, live: DataFrame,
+      bounds: Seq[(String, String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, from_json, lit}
     val statsSchema = StructType(Seq(
       StructField("numRecords", LongType),
       StructField("minValues", MapType(StringType, StringType)),
       StructField("maxValues", MapType(StringType, StringType))))
-    val dt = meta.schema(column).dataType
-    val parsed = live
-      .withColumn("__st", from_json(col("stats"), statsSchema))
-      .withColumn("__mn", col("__st.minValues")(column))
-      .withColumn("__mx", col("__st.maxValues")(column))
-    val overlaps = dt match {
-      case _: NumericType =>
-        col("__mx").cast("double") >= lit(lo).cast("double") &&
-          col("__mn").cast("double") <= lit(hi).cast("double")
-      case StringType | DateType =>
-        col("__mx") >= lit(lo) && col("__mn") <= lit(hi)
-      case _ => lit(true) // domain without a recorded ordering: no pruning
-    }
-    parsed
-      .filter(col("__mn").isNull || col("__mx").isNull || overlaps)
+    val parsed = live.withColumn("__st", from_json(col("stats"), statsSchema))
+    val keep = bounds.map { case (column, lo, hi) =>
+      val dt = meta.schema(column).dataType
+      val mn = col("__st.minValues")(column)
+      val mx = col("__st.maxValues")(column)
+      val overlaps = dt match {
+        case _: NumericType =>
+          mx.cast("double") >= lit(lo).cast("double") &&
+            mn.cast("double") <= lit(hi).cast("double")
+        case StringType | DateType =>
+          mx >= lit(lo) && mn <= lit(hi)
+        case _ => lit(true) // domain without a recorded ordering: no pruning
+      }
+      mn.isNull || mx.isNull || overlaps
+    }.reduce(_ && _)
+    parsed.filter(keep)
       .select("path", "partitionValues", "size", "modificationTime", "stats")
   }
 

@@ -632,6 +632,33 @@ class SinkSpec extends AnyFunSuite {
     assert(out.filter(col("id") === 50).collect()(0).getString(1) == "n50") // untouched
   }
 
+  test("Delta merge: composite-key stats pruning ANDs every key's bounds (r9)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // four single-file batches: k1 spans [0, 96] in EVERY file (first-key
+    // pruning alone keeps all four), k2 is constant per file — the second
+    // key's bounds are what separate them
+    assert(DeltaSink.write(
+      (0 until 25).map(i => (i.toLong * 4, 0L, s"a$i")).toDF("k1", "k2", "v").coalesce(1), table))
+    (1 to 3).foreach { b =>
+      DeltaSink.append(
+        (0 until 25).map(i => (i.toLong * 4, b.toLong, s"b$b-$i")).toDF("k1", "k2", "v").coalesce(1),
+        table)
+    }
+    val source = Seq((12L, 2L, "upd"), (16L, 2L, "upd2")).toDF("k1", "k2", "v")
+    val (rewritten, skipped, _) = DeltaSink.merge(spark, table, source, Seq("k1", "k2"))
+    // stage-1 candidates: ONLY the k2=2 file — with first-key-only pruning
+    // this was 4 (every file overlaps k1 ∈ [12, 16])
+    assert(DeltaSink.lastMergeCandidates == 1,
+      s"expected 1 stats-pruning candidate, got ${DeltaSink.lastMergeCandidates}")
+    assert(rewritten == 1 && skipped == 3, s"($rewritten, $skipped)")
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 100)
+    assert(out.filter(col("k1") === 12 && col("k2") === 2).collect()(0).getString(2) == "upd")
+    assert(out.filter(col("k1") === 12 && col("k2") === 1).collect()(0).getString(2) == "b1-3")
+  }
+
   test("Delta merge: delete-marked source rows remove their match") {
     val s = spark
     import s.implicits._
