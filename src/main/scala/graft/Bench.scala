@@ -229,7 +229,9 @@ object Bench {
   private def benchHistory(sfTag: String, result: SuiteRun): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val path = java.nio.file.Paths.get("bench_history.jsonl")
-    val best: Map[String, Double] =
+    // per-query best fast-regime time, WITH the ci of the run that set it —
+    // the denominator of the regime normalization below
+    val best: Map[String, (Double, Double)] =
       if (!java.nio.file.Files.exists(path)) Map.empty
       else {
         import scala.jdk.CollectionConverters._
@@ -246,20 +248,35 @@ object Bench {
           .filter(n => n.path("sf").asText() == sfTag &&
             (sfTag != "sf0.1" || n.path("ci").asDouble(9) <= 1.3))
           .flatMap { n =>
+            val ci = n.path("ci").asDouble(1.0)
             n.path("queries").properties().asScala.toSeq
-              .map(e => e.getKey -> e.getValue.asDouble())
+              .map(e => e.getKey -> (e.getValue.asDouble(), ci))
           }
-          .groupMapReduce(_._1)(_._2)(math.min)
+          .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 <= b._1) a else b)
       }
+    // Regime normalization (VERDICT r8 #4): a ci-0.77 run is systematically
+    // ~0.77/0.54 slower than a ci-0.54 best across the whole suite, so raw
+    // ratios cry wolf on every small query. Divide this run's time by the
+    // ci ratio before flagging. The factor only FORGIVES contention (≥ 1,
+    // never penalizes a faster-than-best regime) and is capped at 3× so a
+    // pathological canary can't absolve a real regression. sf0.1 only —
+    // elsewhere ci is uncalibrated and the factor stays 1.
+    def normFactor(bestCi: Double): Double =
+      if (sfTag != "sf0.1" || bestCi <= 0 || result.contentionIndex <= 0) 1.0
+      else math.min(3.0, math.max(1.0, result.contentionIndex / bestCi))
     // noise floor: sub-second queries jitter 2-3× run-to-run on this host
     // (regime bursts), so a pure ratio ranking surfaces jitter as the
     // headline; requiring ≥0.25 s of absolute regression keeps the block
-    // about time that actually moved
+    // about time that actually moved. Only normalized >1.5× movers are
+    // flagged — the block is a regression alarm, not a leaderboard.
     val deltas = result.ok.flatMap { case (q, t) =>
-      best.get(q).collect { case b if t - b >= 0.25 => (q, t / b) }
+      best.get(q).collect { case (b, bCi)
+        if t - b >= 0.25 && (t / normFactor(bCi)) / b > 1.5 =>
+          (q, (t / normFactor(bCi)) / b)
+      }
     }.sortBy(-_._2).take(5)
     if (deltas.nonEmpty)
-      System.err.println("[bench] top deltas vs best fast-regime run: " +
+      System.err.println("[bench] normalized >1.5x regressions vs best fast-regime run: " +
         deltas.map { case (q, r) => f"$q ${r}%.2fx" }.mkString(", "))
     // append THIS run (after the compare, so a run never compares to itself)
     val entry = {
