@@ -57,18 +57,41 @@ object EventWindowQueries extends QueryModule {
 
     QueryDef(
       "q_stream_session",
-      // Per-user session windows with a 30-minute gap. Spark semantics: a
-      // new session starts when ts >= previous ts + gap; session end is
-      // last event ts + gap. Oracle reproduces it with gaps-and-islands
-      // (lag + running sum of session breaks).
-      (s, dir) =>
-        t(s, dir, "events")
+      // Per-user session windows with a 30-minute gap — END-TO-END
+      // STREAMING (r9, like q_stream_upsert): the events parquet is read
+      // as a file-source stream (Trigger.AvailableNow), the session
+      // aggregation runs in the streaming engine, and each micro-batch's
+      // COMPLETE session table lands in a Delta table read back through
+      // the log. Complete mode is the bounded-replay choice so the
+      // result covers every session, matching the batch oracle exactly
+      // (append mode would hold back the sessions still open at the final
+      // watermark); the unbounded-production twin — append mode +
+      // watermark, emitting sessions as they close — is
+      // StreamingSpec-driven through MemoryStream. Spark semantics: a new
+      // session starts when ts >= previous ts + gap; session end is last
+      // event ts + gap. Oracle reproduces it with gaps-and-islands (lag +
+      // running sum of session breaks).
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val table = graft.TempTables.create("graft-stream-session")
+        val sessions = graft.Tables.streamEvents(s, dir)
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
           .select(
             col("user_id"), col("session_window.start").as("s_start"),
             col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
-          .orderBy("user_id", "s_start"),
+        val q = sessions.writeStream
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              graft.sinks.DeltaSink.write(batch, table, overwrite = true): Unit
+          }
+          .start()
+        q.awaitTermination()
+        graft.sinks.DeltaSink.read(s, table)
+          .orderBy("user_id", "s_start")
+      },
       Some("""WITH marked AS (
              |  SELECT user_id, ts, value, event_id,
              |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
