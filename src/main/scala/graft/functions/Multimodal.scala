@@ -362,6 +362,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** OR-amplified LSH band keys over 64-bit perceptual hashes (SURVEY
+    * note 28): wider-than-Hamming-3 recall routes to MORE TABLES, never
+    * narrower bands — band values must stay 16-bit so buckets stay sparse
+    * (Σ bucket² sub-quadratic; 9-bit bands were measured 7.9× super-linear
+    * in the r8 scaling audit).
+    *
+    *  - table 0: the 4 contiguous 16-bit bands (pigeonhole-exact at
+    *    Hamming ≤ 3: ≤3 differing bits always leave one band untouched);
+    *  - table 1: the 4 BYTE-PAIR bands (bytes b and b+4 packed into 16
+    *    bits) — orthogonal to the contiguous split, so bit patterns that
+    *    touch every contiguous band (e.g. one flipped bit per 16-bit
+    *    lane, the pattern small geometric shifts produce in dHashes)
+    *    usually leave a byte-pair band clean. OR-ing both tables
+    *    amplifies recall toward Hamming ≤ 6 probabilistically; the
+    *    verify filter stays exact either way.
+    *
+    * Band ids are disjoint across tables (0..3, 4..7), so ONE equi-join
+    * on (band, bandBits) serves the union — per-table bucket occupancy is
+    * unchanged and candidate volume is ≤ 2× the single-table count.
+    * Returns (doc_id, phash, band, bandBits).
+    */
+  def phashBands(sig: DataFrame, nTables: Int): DataFrame = {
+    require(nTables >= 1 && nTables <= 2, s"1 or 2 phash tables, got $nTables")
+    val h = col("phash")
+    val contiguous = (0 until 4).map(b =>
+      shiftrightunsigned(h, b * 16).bitwiseAND(lit(0xFFFFL)))
+    val bytePairs = (0 until 4).map(b =>
+      shiftrightunsigned(h, b * 8).bitwiseAND(lit(0xFFL))
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(h, (b + 4) * 8).bitwiseAND(lit(0xFFL)), 8)))
+    val all = if (nTables == 1) contiguous else contiguous ++ bytePairs
+    sig.select(col("doc_id"), col("phash"), posexplode(array(all: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -916,14 +916,21 @@ object SimilarityQueries extends QueryModule {
       // perceptual), so the text-bytes corpus yields its near-dup pairs;
       // DedupSpec drives the REAL path with planted near-identical PNGs.
       // No oracle: image decode is not SQL-expressible.
+      // (r9) OR-amplification behind a conf: spark.graft.phash.tables=2
+      // adds a second, byte-pair-banded table of the SAME hash
+      // (Multimodal.phashBands) and widens the verify radius to 6 — more
+      // tables, never narrower bands, so per-bucket occupancy (the scale
+      // axis) is unchanged and candidates stay ≤ 2× the single-table
+      // volume. Default remains the single table at the exact radius 3.
       (s, dir) => {
+        val nTables = s.conf.getOption("spark.graft.phash.tables")
+          .map(_.toInt).getOrElse(1)
+        val radius = s.conf.getOption("spark.graft.phash.radius")
+          .map(_.toInt).getOrElse(if (nTables >= 2) 6 else 3)
         val payloads = graft.functions.Multimodal.asBinaryPayload(
           t(s, dir, "documents"))
         val sig = graft.functions.Multimodal.perceptualHash(payloads)
-        val banded = sig.select(col("doc_id"), col("phash"),
-          posexplode(array((0 until 4).map(b =>
-            shiftright(col("phash"), b * 16).bitwiseAND(0xFFFF)): _*)))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
+        val banded = graft.functions.Multimodal.phashBands(sig, nTables)
         banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -931,7 +938,7 @@ object SimilarityQueries extends QueryModule {
           .distinct()
           .withColumn("hamming",
             bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-          .filter(col("hamming") <= 3)
+          .filter(col("hamming") <= radius)
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
       },

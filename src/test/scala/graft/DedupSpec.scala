@@ -418,4 +418,65 @@ class DedupSpec extends AnyFunSuite {
       assert(rs.forall(_.getInt(1) % 2 == 0))
     }
   }
+  test("phash OR-amplification: 2 tables recover contiguous-adversarial Hamming-6 pairs (r9)") {
+    val s = spark
+    import s.implicits._
+    // adversarial to the contiguous banding: 6 differing bits placed so
+    // EVERY 16-bit contiguous band is touched (positions 0,16,32,48,1,17)
+    // -> the single-table join can never bucket them together
+    val h1 = 0x0123456789ABCDEFL
+    val dirty = Seq(0, 16, 32, 48, 1, 17).map(1L << _).reduce(_ | _)
+    val h2 = h1 ^ dirty
+    assert(java.lang.Long.bitCount(h1 ^ h2) == 6)
+    val sig = Seq((1L, "png", h1), (2L, "png", h2)).toDF("doc_id", "kind", "phash")
+    def candidates(nTables: Int): Long =
+      Multimodal.phashBands(sig, nTables).as("x")
+        .join(Multimodal.phashBands(sig, nTables).as("y"), Seq("band", "bandBits"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    assert(candidates(1) == 0, "contiguous-only banding must miss the adversarial pair")
+    // the byte-pair table pairs bytes (b, b+4): the dirty bits live in
+    // bytes 0, 2, 4, 6, so bands (1,5) and (3,7) are untouched -> caught
+    assert(candidates(2) == 1, "byte-pair table must bucket the pair")
+  }
+
+  test("phash OR-amplification: occupancy stays sparse - candidates linear in corpus size (r9)") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random 64-bit hashes (splitmix64): uniform over
+    // the 16-bit band space, the regime SURVEY note 28's math assumes
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val n = 4000
+    val sig = (1 to n).map(i => (i.toLong, "png", splitmix(i.toLong)))
+      .toDF("doc_id", "kind", "phash")
+    val banded = Multimodal.phashBands(sig, 2)
+    // expected collisions per band ~ n^2 / 2^16 (~244 at n=4000); 8 bands
+    // -> ~2k candidate pairs, i.e. O(n) with a small constant - NOT n^2/2
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    assert(cands < 2L * n, s"candidates $cands should stay linear-ish in n=$n")
+    // and the band-value space really is 16-bit on both tables
+    val maxBits = banded.agg(max(col("bandBits"))).collect()(0).getLong(0)
+    assert(maxBits <= 0xFFFFL)
+  }
+
+  test("q_image_phash under spark.graft.phash.tables=2 returns a superset at radius 6 (r9)") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("q_image_phash")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    s.conf.set("spark.graft.phash.tables", "2")
+    try {
+      val amp = SparkEntry.queries("q_image_phash")(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(base.subsetOf(amp),
+        s"amplified run must keep every radius-3 pair (missing: ${base.diff(amp).take(3)})")
+    } finally s.conf.unset("spark.graft.phash.tables")
+  }
 }
