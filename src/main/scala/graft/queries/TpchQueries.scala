@@ -601,6 +601,50 @@ object TpchQueries extends QueryModule {
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     QueryDef(
+      "q_tpch_q1",
+      // THE pricing summary report — the canonical scan-heavy aggregate
+      // (and the reference's own smoke-test query shape,
+      // tests/basic_integration.rs:28). All 8 aggregates in ONE pass:
+      // sums/averages over money and quantity run as exact scaled longs
+      // (≤2-digit inputs; the charge product carries ≤6 digits), counts
+      // stay longs, averages divide two exact values by the SAME IEEE
+      // operands in both engines. Map-side partial aggregation collapses
+      // the fact table to 6 groups before the one tiny shuffle.
+      (s, dir) => {
+        val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val charge = disc * (lit(1) + col("l_tax"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            fxSum(col("l_quantity")).as("sum_qty"),
+            fxSum(col("l_extendedprice")).as("sum_base_price"),
+            fxSum(disc, 4).as("sum_disc_price"),
+            fxSum(charge, 6).as("sum_charge"),
+            (sum(cents(col("l_quantity"))).cast("double") / 100.0
+              / count(lit(1)).cast("double")).as("avg_qty"),
+            (sum(cents(col("l_extendedprice"))).cast("double") / 100.0
+              / count(lit(1)).cast("double")).as("avg_price"),
+            (sum(cents(col("l_discount"))).cast("double") / 100.0
+              / count(lit(1)).cast("double")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+             |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+             |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount)*(1+l_tax))*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+             |  CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+             |  CAST(COUNT(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef(
       "q_tpch_q2",
       // Minimum-cost supplier (Q2 shape, adapted: this corpus has no
       // p_mfgr/s_address/s_phone/s_comment, so the projection carries
