@@ -181,7 +181,10 @@ object Cli {
         // <sql> <table> — the reference's live verbs (lib.rs:18-41): run
         // <sql> on Postgres over a real socket (PGPASSWORD picked up from
         // the environment, pg_arrow_source.rs:206-209) and load the COPY
-        // BINARY stream into a lakehouse table.
+        // BINARY stream into a lakehouse table. TLS follows the libpq env
+        // contract: PGSSLMODE = disable | prefer (default) | require —
+        // the transport negotiates the SSLRequest preamble and speaks
+        // trust/cleartext/md5/scram-sha-256 auth (r9).
         val hp = pos(0).split(':')
         require(hp.length == 2, "want host:port")
         val transport = sources.PgSocketTransport(hp(0), hp(1).toInt,

@@ -438,13 +438,25 @@ object IcebergSink {
       d.withColumn(ps.derivedName, derived)
     }
     val stage = s"data/stage-${java.util.UUID.randomUUID()}"
+    // An ObjectStore write never touches the table via the local FS: Spark
+    // stages in a private temp dir and every artifact — data files,
+    // manifests, manifest list, version hint — travels the store protocol
+    // (multipart put), with the metadata JSON claiming the version via the
+    // conditional put below. Mirrors the reference's single pipeline
+    // (iceberg_destination.rs:152-377 over an object store).
+    val objStore: Option[ObjectStore] =
+      store match { case os: ObjectStore => Some(os); case _ => None }
+    val stagePath = objStore
+      // resolve("out"): Spark's writer wants a not-yet-existing target
+      .map(_ => Files.createTempDirectory("graft-ib-stage").resolve("out").toString)
+      .getOrElse(s"$table/$stage")
     val writer = stageDf.write
       .option("compression", "snappy")
       .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
     (if (partSpecs.nonEmpty) writer.partitionBy(partSpecs.map(_.derivedName): _*)
-     else writer).parquet(s"$table/$stage")
-    new File(s"$table/$stage/_SUCCESS").delete()
-    val stageRoot = new File(s"$table/$stage")
+     else writer).parquet(stagePath)
+    new File(s"$stagePath/_SUCCESS").delete()
+    val stageRoot = new File(stagePath)
     def walk(dir: File): Seq[File] =
       Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
         if (f.isDirectory) walk(f)
@@ -516,10 +528,32 @@ object IcebergSink {
     // per-column value/null counts and bounds from the same footer open).
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val fieldIds = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    // manifests always reference the file's TABLE path; on the store path
+    // that differs from the local staging path the stats are read from
+    def tablePathOf(f: File): String = objStore match {
+      case Some(_) =>
+        new File(s"$table/$stage",
+          stageRoot.toPath.relativize(f.toPath).toString).getAbsolutePath
+      case None => f.getAbsolutePath
+    }
     val infos = dataFiles.toSeq.map { f =>
       val (rows, stats) = footerStats(f, conf, fieldIds)
-      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats,
+      IcebergAvro.DataFileInfo(tablePathOf(f), f.length(), rows, stats,
         partValuesOf(f))
+    }
+    // publish staged data files through the store (multipart, whole-write
+    // abort on failure: uploaded files are reclaimed before rethrow)
+    objStore.foreach { os =>
+      val published = scala.collection.mutable.ArrayBuffer[String]()
+      try dataFiles.foreach { f =>
+        val target = tablePathOf(f)
+        os.putObject(java.nio.file.Paths.get(target), Files.readAllBytes(f.toPath))
+        published += target
+      } catch { case e: Throwable =>
+        published.foreach(p =>
+          scala.util.Try(os.deleteObject(java.nio.file.Paths.get(p))))
+        throw e
+      }
     }
     // partition spec (Iceberg spec §partitioning): field-ids from 1000,
     // source-id = the schema field id of the SOURCE column (for a hidden
@@ -528,9 +562,26 @@ object IcebergSink {
       s"""{"name":"${pf.name}","transform":"${ps.transform}","source-id":${fieldIds(ps.source)},"field-id":${pf.fieldId}}"""
     }.mkString(",")
     val specJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
-    val manifestPath = metaDir(table).resolve(s"manifest-${java.util.UUID.randomUUID()}.avro")
-    val manifestLen = IcebergAvro.writeManifest(manifestPath.toFile, infos,
-      snapshotId, schemaNode.toString, specJson, partFields)
+    // Avro artifacts: written to a local temp file, then either already in
+    // place (local store: the temp IS the metadata path) or uploaded
+    // through the store protocol
+    def writeAvro(name: String)(write: File => Long): (java.nio.file.Path, Long) = {
+      val target = metaDir(table).resolve(name)
+      objStore match {
+        case Some(os) =>
+          val tmp = Files.createTempFile("graft-ib-avro", ".avro")
+          try {
+            val len = write(tmp.toFile)
+            os.putObject(target, Files.readAllBytes(tmp))
+            (target, len)
+          } finally Files.deleteIfExists(tmp)
+        case None => (target, write(target.toFile))
+      }
+    }
+    val (manifestPath, manifestLen) =
+      writeAvro(s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, infos,
+          snapshotId, schemaNode.toString, specJson, partFields))
 
     // Manifest list: append carries the previous snapshot's manifest_file
     // rows forward verbatim; create/overwrite start fresh.
@@ -543,8 +594,10 @@ object IcebergSink {
     }
     val newRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
       manifestLen, seq, snapshotId, infos.size, infos.map(_.recordCount).sum)
-    val listPath = metaDir(table).resolve(s"manifest-list-${java.util.UUID.randomUUID()}.avro")
-    IcebergAvro.writeManifestList(listPath.toFile, carried :+ newRow, snapshotId, seq)
+    val (listPath, _) =
+      writeAvro(s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
+        IcebergAvro.writeManifestList(f, carried :+ newRow, snapshotId, seq); 0L
+      }
 
     // New table metadata = previous + new snapshot + main branch ref.
     val newVersion = hint.map(_ + 1).getOrElse(0L)
@@ -598,6 +651,12 @@ object IcebergSink {
     // write_exclusive: IF-NOT-EXISTS put of the next metadata version
     // (reference iceberg_destination.rs:349-367), via the pluggable
     // put-if-absent commit primitive.
+    // bottom-up: a partitioned stage holds Hive-layout subdirectories
+    // that must go before the stage dir itself can
+    def deleteTree(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(): Unit
+    }
     try
       store.putIfAbsent(metaFile(table, newVersion),
         meta.toString.getBytes(StandardCharsets.UTF_8))
@@ -605,19 +664,28 @@ object IcebergSink {
       case _: FileAlreadyExistsException =>
         // the losing attempt's staged artifacts are unreferenced by any
         // committed metadata — reclaim them before the retry re-stages
-        dataFiles.foreach(_.delete())
-        // bottom-up: a partitioned stage holds Hive-layout subdirectories
-        // that must go before the stage dir itself can
-        def deleteTree(f: File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
-          f.delete()
+        objStore match {
+          case Some(os) =>
+            infos.foreach(i =>
+              scala.util.Try(os.deleteObject(java.nio.file.Paths.get(i.absPath))))
+            scala.util.Try(os.deleteObject(manifestPath))
+            scala.util.Try(os.deleteObject(listPath))
+          case None =>
+            dataFiles.foreach(_.delete())
+            Files.deleteIfExists(manifestPath)
+            Files.deleteIfExists(listPath)
         }
-        deleteTree(new File(s"$table/$stage"))
-        Files.deleteIfExists(manifestPath)
-        Files.deleteIfExists(listPath)
+        deleteTree(stageRoot)
         throw new OptimisticConcurrencyException(newVersion)
     }
-    Files.writeString(hintFile(table), newVersion.toString)
+    objStore match {
+      case Some(os) =>
+        os.putObject(hintFile(table),
+          newVersion.toString.getBytes(StandardCharsets.UTF_8))
+        deleteTree(stageRoot) // staged copies are published; reclaim locally
+      case None =>
+        Files.writeString(hintFile(table), newVersion.toString): Unit
+    }
   }
 
   /** Whole-write OCC retry loop (reference src/lib.rs:168-196, ≤3 retries).

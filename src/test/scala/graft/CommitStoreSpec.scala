@@ -443,5 +443,32 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 1)
   }
 
+  test("an Iceberg table materialized entirely through the HTTP store: create + append + read-back (r9)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("ib").toString
+      IcebergSink.write(sampleDf, table, IcebergSink.CreateExclusive, store = client)
+      // every artifact travelled the store: N data files + manifest +
+      // manifest list + version hint all multiparted; the metadata JSON
+      // claimed v0 via exactly one conditional put
+      val mpCreate = server.multipartCompletions.get()
+      assert(mpCreate >= 4, s"data+manifest+list+hint must multipart, saw $mpCreate")
+      assert(server.conditionalPuts.get() == 1)
+      assert(IcebergSink.read(spark, table).count() == 3)
+      IcebergSink.write(Seq((9L, "z", 9.9)).toDF("id", "name", "v"),
+        table, IcebergSink.Append, store = client)
+      assert(server.multipartCompletions.get() > mpCreate)
+      assert(server.conditionalPuts.get() == 2)
+      val back = IcebergSink.read(spark, table)
+      assert(back.count() == 4)
+      assert(back.filter(col("id") === 9L).count() == 1)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
