@@ -943,5 +943,105 @@ object SimilarityQueries extends QueryModule {
           .orderBy("doc_a", "doc_b")
       },
       None),
+
+    QueryDef(
+      "q_knn_classify",
+      // k-NN label prediction (r9) — the classifier eval a labeled
+      // embedding corpus supports out of the box: for each probe, the 10
+      // nearest corpus vectors by exact cosine vote on its label (ties →
+      // smaller label, mirrored via lexicographic struct-max vs the
+      // oracle's window). Same scale shape as q_sim_cosine_topk: probes
+      // broadcast, scoring map-side through the codegen'd DotProduct,
+      // only the (qid, cid, score, label) scoreboard ever shuffles; the
+      // vote is two tiny grouped aggregates on top. At 100 TB the probe
+      // set is the bounded side by construction and the corpus streams.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 300)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            graft.functions.VectorExpressions.l2norm(col("embedding")).as("qn"),
+            col("label").cast("long").as("true_label"))
+        val corpus = fanOutScan(emb.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("cn"),
+          col("label").cast("long").as("clabel")))
+        val scored = corpus.join(broadcast(probes), col("qid") =!= col("cid"))
+          .select(col("qid"), col("true_label"), col("cid"), col("clabel"),
+            (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("score_d"))
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .groupBy("qid", "true_label", "clabel")
+          .agg(count(lit(1)).as("votes"))
+          .groupBy("qid", "true_label")
+          // lexicographic struct max = most votes, then SMALLEST label
+          .agg(max(struct(col("votes"), (-col("clabel")).as("neg"),
+            col("clabel"), col("votes").as("v2"))).as("m"))
+          .select(col("qid"), col("m.clabel").as("predicted"),
+            col("m.v2").as("votes"), col("true_label"),
+            (col("m.clabel") === col("true_label")).as("correct"))
+          .orderBy("qid")
+      },
+      Some("""WITH scored AS (
+             |  SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS true_label,
+             |    b.vec_id AS cid, CAST(b.label AS BIGINT) AS clabel,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score_d
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id < 300 AND b.vec_id != a.vec_id),
+             |topk AS (
+             |  SELECT qid, true_label, clabel FROM (
+             |    SELECT qid, true_label, clabel,
+             |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_d DESC, cid) AS rn
+             |    FROM scored) sub WHERE rn <= 10),
+             |votes AS (
+             |  SELECT qid, true_label, clabel, CAST(COUNT(*) AS BIGINT) AS votes
+             |  FROM topk GROUP BY 1, 2, 3),
+             |win AS (
+             |  SELECT qid, clabel AS predicted, votes, true_label,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY votes DESC, clabel ASC) AS rk
+             |  FROM votes)
+             |SELECT qid, predicted, votes, true_label,
+             |  predicted = true_label AS correct
+             |FROM win WHERE rk = 1 ORDER BY qid""".stripMargin)),
+
+    QueryDef(
+      "q_label_centroid",
+      // Per-label centroid of the embedding corpus (r9) — the vector
+      // aggregate behind IVF seeding, class prototypes and drift checks.
+      // posexplode flattens the STORED array (safe re SURVEY note 2: no
+      // computed generator child), then one (label, dim) hash aggregate
+      // with map-side combine. Float determinism via TRUNCATED fixed
+      // point at 2^30: each element widens to double bit-exactly, scales
+      // by 1073741824.0 (same IEEE multiply both engines) and TRUNCATES
+      // toward zero (Spark double→long cast ≡ DuckDB trunc()) — unlike a
+      // half-rounding mirror there is NO boundary case at all, and the
+      // 2^-30 per-element quantization is far below float32 noise. The
+      // centroid is one long→double division of the SAME two operands on
+      // both sides. Output is (label, dim) rows — |labels|·64 rows
+      // regardless of corpus size.
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("col").cast("double") * 1073741824.0).cast("long")).as("sfx"))
+          .select(col("label"), col("dim"), col("n"),
+            (col("sfx").cast("double") / 1073741824.0).as("sum_x"),
+            (col("sfx").cast("double") / 1073741824.0 / col("n").cast("double"))
+              .as("centroid"))
+          .orderBy("label", "dim"),
+      Some("""WITH flat AS (
+             |  SELECT CAST(label AS BIGINT) AS label,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 1073741824.0) AS BIGINT) AS xfx
+             |  FROM embeddings),
+             |agg AS (
+             |  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(xfx) AS sfx
+             |  FROM flat GROUP BY 1, 2)
+             |SELECT label, dim, n,
+             |  CAST(sfx AS DOUBLE) / 1073741824.0 AS sum_x,
+             |  CAST(sfx AS DOUBLE) / 1073741824.0 / CAST(n AS DOUBLE) AS centroid
+             |FROM agg ORDER BY label, dim""".stripMargin)),
   )
 }

@@ -944,5 +944,45 @@ object TextQueries extends QueryModule {
              |  CAST(COUNT(*) FILTER (WHERE cnt > 2) AS BIGINT) AS n_dropped
              |FROM chunks JOIN counted USING (chunk_text)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_train_split",
+      // Deterministic train/val/test assignment (r9) — the split every
+      // training pipeline makes FIRST, done the only way that survives
+      // reruns, engine swaps and repartitioning: an md5-prefix lottery on
+      // the doc key (the q_sample_hash idiom, salted so this split is
+      // independent of every other lottery in the suite) cut at
+      // 0xe666/0xf333 ≈ 90/5/5. Reports per-(source, split) doc counts
+      // and within-source shares — the audit view that catches a skewed
+      // split before training does. Map-side assignment + one tiny
+      // grouped aggregate; the per-source totals broadcast back.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bucket = substring(
+          md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 4)
+        val assigned = docs.select(col("source"),
+          when(bucket < "e666", "train")
+            .when(bucket < "f333", "val")
+            .otherwise("test").as("split"))
+        val totals = docs.groupBy("source").agg(count(lit(1)).as("total"))
+        assigned.groupBy("source", "split").agg(count(lit(1)).as("docs"))
+          .join(broadcast(totals), Seq("source"))
+          .select(col("source"), col("split"), col("docs"),
+            (col("docs").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("source", "split")
+      },
+      Some("""WITH assigned AS (
+             |  SELECT source,
+             |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) < 'e666' THEN 'train'
+             |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 4) < 'f333' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total
+             |           FROM documents GROUP BY 1)
+             |SELECT a.source, a.split, CAST(COUNT(*) AS BIGINT) AS docs,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+             |FROM assigned a JOIN totals t ON a.source = t.source
+             |GROUP BY a.source, a.split, t.total
+             |ORDER BY a.source, a.split""".stripMargin)),
   )
 }
