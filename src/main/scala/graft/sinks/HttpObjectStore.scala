@@ -58,6 +58,8 @@ object HttpObjectStore {
     val multipartCompletions = new java.util.concurrent.atomic.AtomicInteger(0)
     val conditionalPuts = new java.util.concurrent.atomic.AtomicInteger(0)
     val objectDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val objectGets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listings = new java.util.concurrent.atomic.AtomicInteger(0)
     private val server = com.sun.net.httpserver.HttpServer
       .create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -176,9 +178,26 @@ object HttpObjectStore {
               respond(ex, 200)
             }
 
+          // recursive prefix listing (the ListObjectsV2 analogue): one
+          // "key size" line per object at or under the key
+          case ("GET", None, _) if q.contains("list") =>
+            listings.incrementAndGet()
+            def walkKeys(p: Path): Seq[Path] =
+              if (Files.isRegularFile(p)) Seq(p)
+              else if (Files.isDirectory(p))
+                Files.list(p).iterator().asScala.toSeq
+                  .filterNot(_.getFileName.toString == ".mp-uploads")
+                  .flatMap(walkKeys)
+              else Nil
+            val lines = walkKeys(target).map(p =>
+              s"${root.relativize(p)} ${Files.size(p)}").sorted.mkString("\n")
+            respond(ex, 200, lines.getBytes(StandardCharsets.UTF_8))
+
           case ("GET", None, _) =>
-            if (Files.isRegularFile(target)) respond(ex, 200, Files.readAllBytes(target))
-            else respond(ex, 404)
+            if (Files.isRegularFile(target)) {
+              objectGets.incrementAndGet()
+              respond(ex, 200, Files.readAllBytes(target))
+            } else respond(ex, 404)
 
           case _ => respond(ex, 405)
         }

@@ -470,5 +470,37 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Spark scans parquet THROUGH the store protocol via graftobj:// (r9)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("tbl").toString
+      // materialize a (partitioned) table entirely through the store
+      val df = (1 to 60).map(i => (i.toLong, s"n$i", i % 3)).toDF("id", "name", "g")
+      assert(graft.sinks.DeltaSink.write(df, table, store = client,
+        partitionBy = Seq("g")))
+      // now READ through the wire: register the FS adapter and point Spark
+      // at the bucket endpoint — listings + opens travel HTTP, not the
+      // backing dir
+      s.sparkContext.hadoopConfiguration.set("fs.graftobj.impl",
+        classOf[graft.sinks.ObjectStoreFileSystem].getName)
+      s.sparkContext.hadoopConfiguration.set("fs.graftobj.impl.disable.cache", "true")
+      val gets0 = server.objectGets.get()
+      val lists0 = server.listings.get()
+      val authority = s"${server.endpoint.getHost}:${server.endpoint.getPort}"
+      val back = s.read
+        .option("basePath", s"graftobj://$authority/tbl")
+        .parquet(s"graftobj://$authority/tbl/g=*")
+      assert(back.count() == 60)
+      assert(back.filter(col("g") === 1).count() == 20)
+      assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 60L))
+      assert(server.objectGets.get() > gets0, "parquet opens must travel HTTP GET")
+      assert(server.listings.get() > lists0, "file discovery must use the listing endpoint")
+    } finally server.close()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

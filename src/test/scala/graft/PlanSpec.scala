@@ -479,4 +479,20 @@ class PlanSpec extends AnyFunSuite {
       .forall(_.contains("Cross")), p)
     assert(p.contains("LeftSemi") || p.contains("LeftAnti"), p)
   }
+  test("q_knn_classify: probes broadcast, scoreboard shuffles, votes aggregate (r9)") {
+    val p = plan("q_knn_classify")
+    // the probe side is an explicit broadcast nested-loop (qid =!= cid is
+    // the only condition, like q_sim_cosine_topk) — the CORPUS never
+    // shuffles as pairs and nothing is cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_train_split: assignment is map-side; only tiny aggregates shuffle (r9)") {
+    val p = plan("q_train_split")
+    // per-source totals broadcast back — no sort-merge join anywhere
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
