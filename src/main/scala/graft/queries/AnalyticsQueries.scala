@@ -1431,5 +1431,58 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(LEN(regexp_extract_all(journey, 'vcp')) AS BIGINT) AS n_conversions
              |FROM s WHERE LEN(regexp_extract_all(journey, 'vcp')) > 0
              |ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
+      "q_attribution_lasttouch",
+      // Last-touch attribution (r9): each purchase is credited to the
+      // user's LATEST click at-or-before it, if within a 7-day window —
+      // the marketing-analytics staple. Scalable shape: clicks and
+      // purchases union into ONE user-keyed window ordered by
+      // (ts, kind, event_id) — clicks sort before a same-instant purchase
+      // — and last(click_id) IGNORE NULLS carries the touch forward; one
+      // slim keyed shuffle, no self-join, no per-purchase re-scan. The
+      // 7-day cut applies AFTER attribution (a stale touch attributes to
+      // nothing, not to an older click).
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "click", 0L).otherwise(1L).as("kind"),
+            when(col("event_type") === "click", col("event_id")).as("click_id"),
+            when(col("event_type") === "click", col("ts")).as("click_ts"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fresh = col("attr_ts") >= col("ts") - expr("INTERVAL 7 DAYS")
+        ev.withColumn("attr_click", last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("attr_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            when(fresh, col("attr_click")).as("attributed_click"),
+            when(fresh, col("ts").cast("long") - col("attr_ts").cast("long"))
+              .as("lag_seconds"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH ce AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+             |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (
+             |  SELECT user_id, ts, event_id, kind,
+             |    LAST_VALUE(click_id IGNORE NULLS) OVER win AS attr_click,
+             |    LAST_VALUE(click_ts IGNORE NULLS) OVER win AS attr_ts
+             |  FROM ce
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             |  CASE WHEN attr_ts >= ts - INTERVAL 7 DAY THEN attr_click END
+             |    AS attributed_click,
+             |  CASE WHEN attr_ts >= ts - INTERVAL 7 DAY
+             |    THEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+             |       - CAST(FLOOR(epoch(attr_ts)) AS BIGINT) END AS lag_seconds
+             |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin)),
   )
 }

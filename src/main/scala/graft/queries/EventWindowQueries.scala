@@ -451,6 +451,39 @@ object EventWindowQueries extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_bucket_read",
+      // Iceberg bucket partitioning as a POINT-LOOKUP index (r9): events
+      // commit to a bucket(8, user_id) table (spec murmur3 — an external
+      // Iceberg reader computes the same bucket), and per-user probes are
+      // served via readBucket, which hashes the key to its bucket ordinal
+      // and scans ONLY that bucket's files before the exact key predicate
+      // re-applies. Each probe's `pruned` flag pins that file skipping
+      // actually happened; the oracle recomputes the same per-user
+      // aggregates over raw events — commit, manifest bucket values,
+      // pruning and re-filter lose nothing. The 100 TB story: a keyed
+      // lookup touches 1/N of the table's files, no secondary index.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "ts", "user_id", "value")
+        val table = graft.TempTables.create("graft-iceberg-bucket-q") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("bucket(8,user_id)"))
+        Seq(1L, 7L, 13L).map { u =>
+          val (df, scanned, total) =
+            graft.sinks.IcebergSink.readBucket(s, table, "user_id", u)
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+            .withColumn("pruned", lit(scanned < total))
+        }.reduce(_ unionByName _).orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS total_value,
+             |  TRUE AS pruned
+             |FROM events WHERE user_id IN (1, 7, 13)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
       "q_delta_merge",
       // Keyed MERGE (CDC apply) through the correctness gate: a CDC batch
       // derived deterministically from the corpus — updates (key % 11,

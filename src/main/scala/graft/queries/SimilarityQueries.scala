@@ -945,6 +945,54 @@ object SimilarityQueries extends QueryModule {
       None),
 
     QueryDef(
+      "q_bloom_rollup",
+      // Set membership as DATA (functions/BloomSketch, r9) — the bloom
+      // member of the mergeable-sketch family: one 2^16-bit bloom of
+      // active user_ids PER DAY (built over distinct (day, user) pairs —
+      // note 27's pre-aggregation), OR-merged into a range bloom by
+      // BloomOrAgg. Declared guarantees, all oracle-compared: the probe
+      // census (every active user + an equal set of guaranteed-absent
+      // ids), ZERO false negatives (bloom ∨ daily roll-up must contain
+      // every truly-active user — blooms make one-sided errors only),
+      // false positives within the layout's budget, and merge_exact —
+      // the OR of daily blooms equals the bloom built directly over the
+      // whole range BIT-FOR-BIT (OR over deterministic hashes commutes):
+      // store daily, roll up forever, never re-scan raw events. Probing
+      // is pure column code (xxhash64 + bit_get) inside codegen.
+      (s, dir) => {
+        import graft.functions.BloomSketch
+        val ev = t(s, dir, "events")
+        val dayUsers = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val rolled = dayUsers.groupBy("day")
+          .agg(BloomSketch.sketch(col("user_id")).as("bf_day"))
+          .agg(BloomSketch.orAgg(col("bf_day")).as("bf"), count(lit(1)).as("n_days"))
+        val direct = dayUsers.select("user_id").distinct()
+          .agg(BloomSketch.sketch(col("user_id")).as("bf_direct"))
+        val users = ev.select("user_id").distinct()
+        val probes = users.select(col("user_id"), lit(true).as("active"))
+          .unionByName(users.select((col("user_id") + 10000000L).as("user_id"),
+            lit(false).as("active")))
+        probes.crossJoin(broadcast(rolled)).crossJoin(broadcast(direct))
+          .withColumn("hit", BloomSketch.mightContain(col("bf"), col("user_id")))
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+            max(col("n_days")).as("n_days"),
+            (sum(when(col("active") && !col("hit"), 1L).otherwise(0L)) === 0L)
+              .as("no_false_negatives"),
+            (sum(when(!col("active") && col("hit"), 1L).otherwise(0L))
+              <= greatest(lit(1L),
+                (count(lit(1)).cast("double") * 0.01).cast("long"))).as("fp_ok"),
+            (sum(when(col("bf") === col("bf_direct"), 0L).otherwise(1L)) === 0L)
+              .as("merge_exact"))
+      },
+      Some("""SELECT CAST(2 * COUNT(DISTINCT user_id) AS BIGINT) AS n_probes,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |  TRUE AS no_false_negatives, TRUE AS fp_ok, TRUE AS merge_exact
+             |FROM events""".stripMargin)),
+
+    QueryDef(
       "q_knn_classify",
       // k-NN label prediction (r9) — the classifier eval a labeled
       // embedding corpus supports out of the box: for each probe, the 10

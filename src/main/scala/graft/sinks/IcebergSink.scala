@@ -813,6 +813,42 @@ object IcebergSink {
     (df, kept.size, entries.size)
   }
 
+  /** Bucket-pruned POINT read over a `bucket[N](keyCol)` table (r9): the
+    * probe key hashes through the spec murmur3 to its bucket ordinal, and
+    * only data files whose manifest bucket value matches are scanned
+    * (files without the value are kept — pruning is an optimization,
+    * never a correctness filter), then the exact key predicate
+    * re-applies. This is what bucket partitioning buys a key-value-style
+    * lookup on a 100 TB table: 1/N of the files touched, no layout
+    * knowledge needed by the reader. Returns (frame, scanned, total).
+    */
+  def readBucket(spark: SparkSession, table: String, keyCol: String,
+      value: Long): (DataFrame, Int, Int) = {
+    val (schema, entries) = snapshotEntries(table, asOfSnapshotId = None)
+    val meta = currentMeta(table)
+    val derivedName = s"${keyCol}_bucket"
+    val n = meta.get("partition-specs").elements().asScala
+      .find(s => s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
+      .toSeq.flatMap(_.get("fields").elements().asScala)
+      .collectFirst {
+        case f if f.get("name").asText() == derivedName &&
+            f.get("transform").asText().startsWith("bucket[") =>
+          f.get("transform").asText().stripPrefix("bucket[").stripSuffix("]").toInt
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not bucket-partitioned on $keyCol"))
+    val b = IcebergTransforms.bucketOfHash(IcebergTransforms.hashLong(value), n)
+    val kept = entries.filter { case (_, pvals) =>
+      pvals.get(derivedName) match {
+        case Some(x: Int) => x == b
+        case _ => true
+      }
+    }
+    import org.apache.spark.sql.functions.col
+    val df = readEntries(spark, schema, kept).filter(col(keyCol) === value)
+    (df, kept.size, entries.size)
+  }
+
   /** (file, manifest partition values) → DataFrame: one group per
     * (partition-column-set, values), so mixed-spec snapshots (retained
     * history across a re-layout) read correctly side by side.
