@@ -35,7 +35,7 @@ object BloomSketch {
     * [[mightContain]]'s column chain: Spark's xxhash64(lit(i: Long), col)
     * is hashLong(col, hashLong(i, 42)).
     */
-  private[functions] def bitPositions(v: Long): Array[Int] = {
+  private[graft] def bitPositions(v: Long): Array[Int] = {
     val out = new Array[Int](K)
     var i = 0
     while (i < K) {
