@@ -108,4 +108,35 @@ object BloomSketch {
 
   def orAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new BloomOrAgg, ExpressionEncoder[Array[Long]]())
+
+  /** SCALE-PATH bloom build, no Aggregator anywhere near the raw keys
+    * (SURVEY note 27: a typed-Aggregator udaf pays its 8 KiB buffer's
+    * encoder round-trip PER INPUT ROW — fine for thousands of keys,
+    * wrong for millions): each key explodes to its K (lane, mask) pairs
+    * map-side, a NATIVE codegen'd `bit_or` collapses (group, lane) with
+    * map-side combine, and the only object aggregation is the per-group
+    * array assembly over ≤ [[Lanes]] rows. Bit-identical to [[sketch]]
+    * ([[BloomSketchSpec]] pins it). Returns `groupCols :+ bloom`.
+    */
+  def buildBlooms(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      groupCols: String*): org.apache.spark.sql.DataFrame = {
+    val pairs = (0 until K).map { i =>
+      val pos = xxhash64(lit(i.toLong), col(keyCol)).bitwiseAND(lit(0xFFFFL))
+      struct(shiftrightunsigned(pos, 6).cast("int").as("lane"),
+        call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int")).as("mask"))
+    }
+    val gs = groupCols.map(col)
+    // explode_outer, not explode: the literal-length array is non-empty by
+    // construction and the _outer form keeps InferFiltersFromGenerate from
+    // re-inlining the generator child (SURVEY note 2)
+    df.select(gs :+ explode_outer(array(pairs: _*)).as("lm"): _*)
+      .groupBy(gs :+ col("lm.lane").as("lane"): _*)
+      .agg(expr("bit_or(lm.mask)").as("w"))
+      .groupBy(gs: _*)
+      .agg(map_from_entries(collect_list(struct(col("lane"), col("w")))).as("m"))
+      .select(gs :+
+        transform(sequence(lit(0), lit(Lanes - 1)),
+          l => coalesce(element_at(col("m"), l), lit(0L))).as("bloom"): _*)
+  }
 }

@@ -963,11 +963,13 @@ object SimilarityQueries extends QueryModule {
         import graft.functions.BloomSketch
         val ev = t(s, dir, "events")
         val dayUsers = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        val rolled = dayUsers.groupBy("day")
-          .agg(BloomSketch.sketch(col("user_id")).as("bf_day"))
-          .agg(BloomSketch.orAgg(col("bf_day")).as("bf"), count(lit(1)).as("n_days"))
-        val direct = dayUsers.select("user_id").distinct()
-          .agg(BloomSketch.sketch(col("user_id")).as("bf_direct"))
+        // scale-path build (native bit_or over (day, lane), no per-key
+        // udaf buffer cost); the roll-up's BloomOrAgg sees ≤ n_days rows
+        val rolled = BloomSketch.buildBlooms(dayUsers, "user_id", "day")
+          .agg(BloomSketch.orAgg(col("bloom")).as("bf"), count(lit(1)).as("n_days"))
+        val direct = BloomSketch
+          .buildBlooms(dayUsers.select("user_id").distinct(), "user_id")
+          .select(col("bloom").as("bf_direct"))
         val users = ev.select("user_id").distinct()
         val probes = users.select(col("user_id"), lit(true).as("active"))
           .unionByName(users.select((col("user_id") + 10000000L).as("user_id"),

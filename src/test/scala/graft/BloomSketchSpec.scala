@@ -59,6 +59,18 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(eq, "OR of partial blooms must equal the whole-set bloom exactly")
   }
 
+  test("the native buildBlooms scale path is bit-identical to the udaf build") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(v => (v % 3, v * 1013L)).toDF("g", "v")
+    val viaUdaf = df.groupBy("g").agg(BloomSketch.sketch(col("v")).as("bf"))
+    val viaNative = BloomSketch.buildBlooms(df, "v", "g")
+    val joined = viaUdaf.join(viaNative, Seq("g"))
+      .select((col("bf") === col("bloom")).as("same")).collect()
+    assert(joined.length == 3 && joined.forall(_.getBoolean(0)),
+      "both builds must set identical bits")
+  }
+
   test("a malformed (truncated) bloom fails the roll-up loudly") {
     val agg = new BloomSketch.BloomOrAgg
     val e = intercept[IllegalArgumentException] {
