@@ -229,6 +229,13 @@ object Bench {
   private def benchHistory(sfTag: String, result: SuiteRun): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val path = java.nio.file.Paths.get("bench_history.jsonl")
+    // Queries whose SEMANTICS changed mid-history: bests recorded before
+    // the redefinition timestamp measure a different computation and must
+    // not serve as the regression reference. q_stream_session became an
+    // end-to-end streaming query (file stream → session agg → Delta sink)
+    // on 2026-08-14; its batch-era 0.3 s entries are not comparable.
+    val redefinedAfter: Map[String, Long] = Map(
+      "q_stream_session" -> 1786665600000L) // 2026-08-14T00:00:00Z
     // per-query best fast-regime time, WITH the ci of the run that set it —
     // the denominator of the regime normalization below
     val best: Map[String, (Double, Double)] =
@@ -249,7 +256,9 @@ object Bench {
             (sfTag != "sf0.1" || n.path("ci").asDouble(9) <= 1.3))
           .flatMap { n =>
             val ci = n.path("ci").asDouble(1.0)
+            val ts = n.path("ts").asLong(0L)
             n.path("queries").properties().asScala.toSeq
+              .filter(e => redefinedAfter.get(e.getKey).forall(ts >= _))
               .map(e => e.getKey -> (e.getValue.asDouble(), ci))
           }
           .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 <= b._1) a else b)
