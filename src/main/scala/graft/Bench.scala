@@ -235,7 +235,9 @@ object Bench {
     // end-to-end streaming query (file stream → session agg → Delta sink)
     // on 2026-08-14; its batch-era 0.3 s entries are not comparable.
     val redefinedAfter: Map[String, Long] = Map(
-      "q_stream_session" -> 1786665600000L) // 2026-08-14T00:00:00Z
+      // just before the first streaming-mode entry in bench_history.jsonl
+      // (ts 1786725723159); earlier same-SF entries are batch-mode numbers
+      "q_stream_session" -> 1786725000000L)
     // per-query best fast-regime time, WITH the ci of the run that set it —
     // the denominator of the regime normalization below
     val best: Map[String, (Double, Double)] =
