@@ -335,7 +335,7 @@ object DeltaSink {
         // (IO error) must not surface as an append failure — the caller
         // would retry and double-write the batch. Best-effort only.
         if (next % CheckpointInterval == 0)
-          scala.util.Try(checkpoint(df.sparkSession, table))
+          scala.util.Try(checkpoint(df.sparkSession, table, store))
         return next
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -588,7 +588,10 @@ object DeltaSink {
     * Older JSON commits are retained so `asOfVersion` time travel before the
     * checkpoint still works.
     */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+  def checkpoint(spark: SparkSession, table: String): Long =
+    checkpoint(spark, table, CommitStore.Local)
+
+  def checkpoint(spark: SparkSession, table: String, store: CommitStore): Long = {
     import org.apache.spark.sql.functions.{col, lit, struct}
     val (meta, live) = resolve(spark, table, None)
     // Metadata plane (protocol, metaData, txn watermarks): a handful of
@@ -620,27 +623,57 @@ object DeltaSink {
     // directory rename — Files.move of a non-empty directory cannot
     // copy-fallback across mounts, and a cross-FS failure after deleting
     // the previous checkpoint would leave _last_checkpoint dangling.
-    val staging = Files.createTempDirectory(logDir(table), "ckpt-staging-").toFile
     val target = checkpointFile(table, meta.version)
-    try {
-      // Multi-part checkpoint: the PARQUET DIRECTORY is the checkpoint
-      // (readers just spark.read.parquet it, same as the single-file form
-      // older tables carry) — one writer task per live-set partition, no
-      // driver bottleneck, no single giant file at scale.
-      df.write.mode("overwrite").option("compression", "snappy")
-        .parquet(staging.getPath)
-      new File(staging, "_SUCCESS").delete()
-      deleteRecursively(target.toFile) // re-checkpoint at same version
-      Files.move(staging.toPath, target)
-    } finally deleteRecursively(staging)
-    // write-then-rename: a concurrent reader must never see a partial
-    // _last_checkpoint (it would fail the JSON parse and abort the read)
+    store match {
+      case os: ObjectStore =>
+        // Store path: stage the checkpoint parquet locally, PUBLISH each
+        // part through the store (txn-unique target version dir), then
+        // flip _last_checkpoint with a plain put — the server's
+        // tmp+atomic-move gives the same no-partial-pointer guarantee as
+        // the local write-then-rename below.
+        val staging = Files.createTempDirectory("graft-ckpt-stage").toFile
+        try {
+          df.write.mode("overwrite").option("compression", "snappy")
+            .parquet(staging.getPath)
+          new File(staging, "_SUCCESS").delete()
+          dataFiles(staging).foreach { src =>
+            os.putObject(target.resolve(src.getName),
+              Files.readAllBytes(src.toPath))
+          }
+        } finally deleteRecursively(staging)
+      case _ =>
+        // Stage INSIDE _delta_log: the final step is then a same-filesystem
+        // directory rename — Files.move of a non-empty directory cannot
+        // copy-fallback across mounts, and a cross-FS failure after deleting
+        // the previous checkpoint would leave _last_checkpoint dangling.
+        val staging = Files.createTempDirectory(logDir(table), "ckpt-staging-").toFile
+        try {
+          // Multi-part checkpoint: the PARQUET DIRECTORY is the checkpoint
+          // (readers just spark.read.parquet it, same as the single-file form
+          // older tables carry) — one writer task per live-set partition, no
+          // driver bottleneck, no single giant file at scale.
+          df.write.mode("overwrite").option("compression", "snappy")
+            .parquet(staging.getPath)
+          new File(staging, "_SUCCESS").delete()
+          deleteRecursively(target.toFile) // re-checkpoint at same version
+          Files.move(staging.toPath, target)
+        } finally deleteRecursively(staging)
+    }
     val ptr = s"""{"version":${meta.version}}"""
-    val tmp = logDir(table).resolve(s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, (ptr + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, lastCheckpointFile(table),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    store match {
+      case os: ObjectStore =>
+        os.putObject(lastCheckpointFile(table),
+          (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        // write-then-rename: a concurrent reader must never see a partial
+        // _last_checkpoint (it would fail the JSON parse and abort the read)
+        val tmp = logDir(table).resolve(
+          s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, lastCheckpointFile(table),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
     meta.version
   }
 
@@ -680,7 +713,8 @@ object DeltaSink {
     * tradeoff the caller chooses. Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, table: String,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      store: CommitStore = CommitStore.Local): Int = {
     val dir = new File(table)
     val liveNow = replay(spark, table, None).live.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
@@ -688,7 +722,10 @@ object DeltaSink {
       val rel = dir.toPath.relativize(f.toPath).toString
       !liveNow.contains(rel) && f.lastModified() < cutoff
     }
-    dead.foreach(_.delete())
+    // reclamation travels the store protocol when one is given (a real
+    // bucket has no local unlink); empty-prefix cleanup below is a local
+    // nicety — object stores have no directories to sweep
+    dead.foreach(f => deleteData(store, dir, dir.toPath.relativize(f.toPath).toString))
     // drop partition dirs emptied by the sweep
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_delta_log" &&

@@ -1023,11 +1023,22 @@ object IcebergSink {
     catch {
       case _: FileAlreadyExistsException => throw new OptimisticConcurrencyException(newVersion)
     }
-    Files.writeString(hintFile(table), newVersion.toString)
-
-    (expMeta -- keptMeta).foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // hint update + physical reclamation travel the store protocol when
+    // one is given (a real bucket has no local unlink)
+    store match {
+      case os: ObjectStore =>
+        os.putObject(hintFile(table),
+          newVersion.toString.getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        Files.writeString(hintFile(table), newVersion.toString): Unit
+    }
+    def reclaim(p: String): Unit = store match {
+      case os: ObjectStore => os.deleteObject(Paths.get(p))
+      case _ => Files.deleteIfExists(Paths.get(p)): Unit
+    }
+    (expMeta -- keptMeta).foreach(reclaim)
     val deadData = expData -- keptData
-    deadData.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deadData.foreach(reclaim)
     deadData.size
   }
 

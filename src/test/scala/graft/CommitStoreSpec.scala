@@ -470,6 +470,35 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Delta checkpoint + vacuum travel the store protocol too (r9)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("tbl").toString
+      assert(DeltaSink.write(sampleDf, table, store = client))
+      DeltaSink.append(Seq((7L, "x", 7.0)).toDF("id", "name", "v"), table, store = client)
+      val mpBefore = server.multipartCompletions.get()
+      val v = DeltaSink.checkpoint(spark, table, client)
+      assert(v == 2L)
+      // checkpoint parquet parts AND the _last_checkpoint pointer uploaded
+      assert(server.multipartCompletions.get() > mpBefore,
+        "checkpoint artifacts must multipart through the store")
+      assert(Files.exists(root.resolve("tbl/_delta_log/_last_checkpoint")))
+      // compact (publishes through the store), then vacuum the tombstoned
+      // originals via store DELETEs
+      DeltaSink.compact(spark, table, store = client)
+      val delBefore = server.objectDeletes.get()
+      val reclaimed = DeltaSink.vacuum(spark, table, retentionMs = -1000L, store = client)
+      assert(reclaimed >= 2, s"both pre-compaction files reclaim, got $reclaimed")
+      assert(server.objectDeletes.get() - delBefore >= reclaimed,
+        "vacuum must delete through the store protocol")
+      assert(DeltaSink.read(spark, table).count() == 4)
+    } finally server.close()
+  }
+
   test("Spark scans parquet THROUGH the store protocol via graftobj:// (r9)") {
     val s = spark
     import s.implicits._
