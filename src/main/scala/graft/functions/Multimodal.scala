@@ -402,6 +402,101 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
+  /** All frames of an animated (or single-frame) GIF payload — REAL demux
+    * (r10): the JDK's GIF plugin reads the full image sequence, which makes
+    * GIF the one genuinely multi-frame container this JVM can open without
+    * native codecs, i.e. the honest stand-in for video keyframe
+    * extraction. Non-GIF or malformed payloads → None (callers fall back
+    * to the labeled stub), so arbitrary bytes can never crash an executor.
+    */
+  private[graft] def gifFrames(p: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+    if (!(p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F')) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some((0 until r.getNumImages(true)).map(r.read(_)))
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** `w`×`h` grayscale thumbnail by EXACT integer area-averaging (the
+    * dHash grid math generalized): cell (x,y) is the mean BT.601 luma of
+    * its pixel block — deterministic across JVMs, no Java2D rescale.
+    */
+  private[graft] def lumaThumb(im: java.awt.image.BufferedImage,
+      w: Int, h: Int): Array[Byte] = {
+    val (sw, sh) = (im.getWidth, im.getHeight)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val y0 = (y.toLong * sh / h).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * sh / h).toInt)
+      var x = 0
+      while (x < w) {
+        val x0 = (x.toLong * sw / w).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * sw / w).toInt)
+        var sum = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { sum += luma(im.getRGB(xx, yy)); xx += 1 }
+          yy += 1
+        }
+        out(y * w + x) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  val sampledFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Every-`everyN`th frame per payload — the video keyframe-sampling
+    * operator with a REAL demux path (r10): GIF payloads open through the
+    * JDK's multi-frame GIF reader and each sampled frame is emitted as an
+    * exact-integer 8×8 luma thumbnail (format="gif"); anything else takes
+    * the labeled byte-slicing stub (format="stub", `frameSize`-byte
+    * chunks), so the flatMap/encoder plumbing — one output row per sampled
+    * frame, per-partition execution, no shuffle, no collect — is identical
+    * on both paths and a production demuxer swaps in behind the same
+    * signature.
+    */
+  def frameSample(df: DataFrame, frameSize: Int, everyN: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    val enc = ExpressionEncoder(sampledFrameSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          gifFrames(payload) match {
+            case Some(frames) =>
+              frames.indices.collect {
+                case i if i % everyN == 0 =>
+                  Row(r.getLong(0), i, "gif", lumaThumb(frames(i), 8, 8))
+              }
+            case None =>
+              val chunks = payload.grouped(frameSize).toSeq
+              chunks.indices.collect {
+                case i if i % everyN == 0 => Row(r.getLong(0), i, "stub", chunks(i))
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** STUB frame sampling: a real implementation would demux a video and
     * decode every Nth keyframe; this fake slices the payload into
     * `frameSize`-byte chunks and keeps every `everyN`th — one output row per

@@ -58,34 +58,45 @@ object EventWindowQueries extends QueryModule {
     QueryDef(
       "q_stream_session",
       // Per-user session windows with a 30-minute gap — END-TO-END
-      // STREAMING (r9, like q_stream_upsert): the events parquet is read
-      // as a file-source stream (Trigger.AvailableNow), the session
-      // aggregation runs in the streaming engine, and each micro-batch's
-      // COMPLETE session table lands in a Delta table read back through
-      // the log. Complete mode is the bounded-replay choice so the
-      // result covers every session, matching the batch oracle exactly
-      // (append mode would hold back the sessions still open at the final
-      // watermark); the unbounded-production twin — append mode +
-      // watermark, emitting sessions as they close — is
-      // StreamingSpec-driven through MemoryStream. Spark semantics: a new
-      // session starts when ts >= previous ts + gap; session end is last
-      // event ts + gap. Oracle reproduces it with gaps-and-islands (lag +
-      // running sum of session breaks).
+      // STREAMING (r9, like q_stream_upsert) in APPEND mode (r10): the
+      // events parquet is read as a file-source stream
+      // (Trigger.AvailableNow), the watermarked session aggregation runs
+      // in the streaming engine, and each micro-batch's CLOSED sessions
+      // append exactly-once (txn-watermarked) into a Delta table read
+      // back through the log. Append+watermark is the production mode —
+      // state holds only OPEN sessions and each session is emitted once
+      // when the watermark passes its end, unlike the r9 complete-mode
+      // declaration that rewrote the whole session table every
+      // micro-batch and held every session ever in state (a scale-killer
+      // on an unbounded stream). With a 0-second watermark delay the
+      // final watermark is max(ts), so the declared result is every
+      // session closed by then — sessions still open at end-of-stream
+      // (s_end > max ts) stay in state, and the oracle filters its
+      // gaps-and-islands sessions to the same subset. Spark semantics: a
+      // new session starts when ts >= previous ts + gap; session end is
+      // last event ts + gap.
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val table = graft.TempTables.create("graft-stream-session")
-        val sessions = graft.Tables.streamEvents(s, dir)
+        // seed the target with the output schema (empty) via the batch
+        // twin so the first exactly-once append has a table to land in
+        def sessionAgg(df: org.apache.spark.sql.DataFrame) = df
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("cnt"), fxSum(col("value")).as("sum_v"))
           .select(
             col("user_id"), col("session_window.start").as("s_start"),
             col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
+        graft.sinks.DeltaSink.write(
+          sessionAgg(t(s, dir, "events").limit(0)), table, overwrite = true)
+        val sessions = sessionAgg(
+          graft.Tables.streamEvents(s, dir).withWatermark("ts", "0 seconds"))
         val q = sessions.writeStream
-          .outputMode("complete")
+          .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .foreachBatch {
-            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-              graft.sinks.DeltaSink.write(batch, table, overwrite = true): Unit
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              graft.sinks.DeltaSink.appendExactlyOnce(
+                batch, table, appId = "q-stream-session", txnVersion = id): Unit
           }
           .start()
         q.awaitTermination()
@@ -107,6 +118,7 @@ object EventWindowQueries extends QueryModule {
              |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
              |COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
              |FROM sess GROUP BY user_id, sid
+             |HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
              |ORDER BY user_id, s_start""".stripMargin)),
 
     QueryDef(

@@ -296,22 +296,27 @@ object SimilarityQueries extends QueryModule {
         // per-doc DISTINCT token hashes, deduped inside the row). The
         // previous formulation exploded every token and shuffled
         // (doc_id, h) into a 16-packed-lane aggregate just to count bits;
-        // now signatures cost zero shuffle and the band self-join below is
-        // the pipeline's only exchange — at 100 TB the signature stage
-        // stays embarrassingly parallel.
+        // now signatures cost zero shuffle and the guarded band self-join
+        // below is the pipeline's only exchange key — at 100 TB the
+        // signature stage stays embarrassingly parallel.
         val sig = docs.select(col("doc_id"),
           graft.functions.HashExpressions.simhashSig(
             array_distinct(graft.functions.HashExpressions.tokenHashes(
               split(col("text"), " ")))).as("sig"))
+        // (r10) candidates ride operators/BandJoin.cappedCandidates: the
+        // 2^16-value band space saturates as the corpus grows (the r9
+        // scaling audit's one super-linear flag, 6.9× at 5× data), so
+        // buckets past the occupancy cap are sub-split by a rotated
+        // secondary 16-bit slice of the same signature — linear candidate
+        // growth restored, cold buckets bit-identical to the plain join,
+        // recall effect documented on the operator.
         val banded = sig.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
-        banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-          .distinct()
+        graft.operators.BandJoin.cappedCandidates(banded, "sig",
+            s.conf.getOption("spark.graft.band.cap").map(_.toInt)
+              .getOrElse(graft.operators.BandJoin.DefaultCap))
           .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
           .filter(col("hamming") <= 3)
           .select("doc_a", "doc_b", "hamming")
@@ -437,6 +442,156 @@ object SimilarityQueries extends QueryModule {
           .orderBy("qid", "rn")
       },
       None),
+
+    QueryDef(
+      "q_ann_self_recall",
+      // ORACLE-CHECKABLE LSH gate (r10) — the deterministic slice of the
+      // LSH contract: an IDENTICAL vector produces identical hyperplane
+      // signs in every table, so a mirrored twin of each probe MUST land
+      // in the same bucket and survive the exact-cosine rerank at score
+      // 1.0. The declared boolean asserts every twin is found in its
+      // probe's top-5 — no probabilism involved (unlike near-dup recall,
+      // which stays the ScalaTest-measured property on planted pairs:
+      // this corpus's embeddings are near-random, max top-5 cosine ≈0.5,
+      // precisely the regime hyperplane LSH is NOT meant to serve).
+      // Plumbing-wise this exercises bands → buckets → candidate join →
+      // rerank end-to-end under the oracle. Twins ride the same scan
+      // union-ed with shifted ids — map-side, no extra shuffle shape.
+      (s, dir) => {
+        val offset = 10000000L
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val twins = emb.filter(col("vec_id") < 200)
+          .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+        val cfg = graft.operators.AnnLsh.Config(
+          tables = sys.props.getOrElse("graft.lsh.tables", "8").toInt,
+          bits = sys.props.getOrElse("graft.lsh.bits", "14").toInt,
+          bucketCap = sys.props.getOrElse("graft.lsh.bucketCap", "128").toInt)
+        val ann = graft.operators.AnnLsh.annCosineTopK(
+          fanOutScan(emb.unionByName(twins)), "vec_id", "embedding", cfg)
+        val found = ann.filter(col("qid") >= offset)
+          .groupBy("qid")
+          .agg(max(when(col("cid") === col("qid") - offset, 1L).otherwise(0L))
+            .as("twin_hit"))
+          .agg(count(lit(1)).as("nq"),
+            (sum(lit(1L) - col("twin_hit")) === 0L).as("all_ok"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 200)
+          .agg(count(lit(1)).as("n_probes"))
+          .crossJoin(broadcast(found))
+          .select(col("n_probes"),
+            (col("all_ok") && (col("nq") === col("n_probes"))).as("all_recalled"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS all_recalled
+             |FROM embeddings WHERE vec_id < 200""".stripMargin)),
+
+    QueryDef(
+      "q_ivf_recall",
+      // ORACLE-CHECKABLE IVF gates (r10): (1) the degeneracy identity —
+      // probing ALL 16 cells makes the candidate set the whole corpus, so
+      // IVF top-5 must equal exact top-5 ROW FOR ROW (same dot kernel,
+      // same (score desc, cid) tie-break — bitwise-identical scores, so
+      // the full-outer compare has zero tolerance); (2) the recall lever
+      // measured honestly — nprobe=2 recall@5 vs exact, gated at ≥ 0.25
+      // (measured 0.331 at sf0.01 on this corpus's near-random vectors;
+      // real embedded corpora cluster and sit far higher). Both booleans
+      // aggregate INSIDE the returned single-row frame — no driver
+      // round-trips (the q_ann_index_roundtrip lesson).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val nP = 200
+        val vecs = emb.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
+        val cents = vecs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+            col("nrm").as("cnorm"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cs").desc, col("cent_id").asc)
+        val ranked = vecs.join(broadcast(cents))
+          .withColumn("cs", dotD(col("embedding"), col("cent")) / (col("nrm") * col("cnorm")))
+          .withColumn("arn", row_number().over(wAssign))
+        val assigned = ranked.filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        val cands = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("cell"))
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        def ivfTop5(nprobe: Int) = ranked
+          .filter(col("vec_id") < nP && col("arn") <= nprobe)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("cent_id").as("cell"))
+          .join(cands, Seq("cell")).filter(col("qid") =!= col("cid"))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("qid", "rn", "cid")
+        val probes = vecs.filter(col("vec_id") < nP)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val exact = fanOutScan(vecs.select(col("vec_id").as("cid"),
+            col("embedding").as("ce"), col("nrm").as("cn")))
+          .join(broadcast(probes), col("qid") =!= col("cid"))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select("qid", "rn", "cid")
+        val fullExact = exact.as("e")
+          .join(ivfTop5(16).as("f"), Seq("qid", "rn"), "full_outer")
+          .agg(coalesce(sum(when(not(col("e.cid") <=> col("f.cid")), 1L)
+            .otherwise(0L)), lit(0L)).as("mm"))
+        // recall is SET membership (qid, cid) — not rank-position match:
+        // a neighbor found at rn 4 instead of 3 is still recalled
+        val rec2 = exact.select("qid", "cid")
+          .join(ivfTop5(2).select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        emb.filter(col("vec_id") < nP).agg(count(lit(1)).as("n_probes"))
+          .crossJoin(broadcast(fullExact))
+          .crossJoin(broadcast(rec2))
+          .crossJoin(broadcast(nExact))
+          .select(col("n_probes"),
+            (col("mm") === 0L).as("full_probe_exact"),
+            (col("hits").cast("double") >= col("n_exact").cast("double") * 0.25)
+              .as("nprobe2_recall_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             |TRUE AS full_probe_exact, TRUE AS nprobe2_recall_ok
+             |FROM embeddings WHERE vec_id < 200""".stripMargin)),
+
+    QueryDef(
+      "q_hard_negatives",
+      // Hard-negative mining (r10) — the contrastive-training companion of
+      // q_knn_classify: for each probe, the top-3 highest-cosine corpus
+      // vectors carrying a DIFFERENT label (the "hard" negatives a
+      // contrastive or reranker objective trains against). Fully
+      // oracle-checked — exact cosine is SQL-expressible. Same 100 TB
+      // shape as q_sim_cosine_topk: bounded probe set broadcasts, corpus
+      // streams through the codegen dot kernel, only the slim
+      // (qid, cid, score, label) scoreboard shuffles into the window.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            graft.functions.VectorExpressions.l2norm(col("embedding")).as("qn"),
+            col("label").cast("long").as("qlabel"))
+        val corpus = fanOutScan(emb.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("cn"),
+          col("label").cast("long").as("neg_label")))
+        val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        corpus.join(broadcast(probes), col("qlabel") =!= col("neg_label"))
+          .select(col("qid"), col("cid"), col("neg_label"),
+            (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("score_d"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("rn"), col("cid"), col("neg_label"),
+            toDbl(col("score_d").cast("decimal(18,6)")).as("score"))
+          .orderBy("qid", "rn")
+      },
+      Some("""SELECT qid, rn, cid, neg_label, CAST(CAST(score_d AS DECIMAL(18,6)) AS DOUBLE) AS score FROM (
+             |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+             |    CAST(b.label AS BIGINT) AS neg_label,
+             |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score_d,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+             |               b.vec_id) AS rn
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.vec_id < 200 AND CAST(a.label AS BIGINT) != CAST(b.label AS BIGINT)) sub
+             |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
 
     QueryDef(
       "q_dedup_incremental",
@@ -667,17 +822,22 @@ object SimilarityQueries extends QueryModule {
         }
         val direct = serve(index)
         val served = serve(fromTable)
+        // the full-outer compare aggregates INSIDE the returned frame (no
+        // driver-side .count() round-trip — the eager extra job was the
+        // heaviest single cost of this query): both single-row aggregates
+        // broadcast into one final row
         val mismatches = direct.as("d")
           .join(served.as("t"), Seq("qid", "rn"), "full_outer")
-          .filter(not(col("d.cid") <=> col("t.cid")))
-          .count()
+          .agg(coalesce(sum(when(not(col("d.cid") <=> col("t.cid")), 1L)
+            .otherwise(0L)), lit(0L)).as("mm"))
         // n_probes counts the PROBE SET (structurally = the oracle's
         // vec_id<50 count), not the join survivors — a probe whose nprobe
         // cells hold no other vector drops out of `direct` and would make
         // the count dataset-dependent
-        vecs.filter(col("vec_id") < 50).agg(
-            countDistinct(col("vec_id")).as("n_probes"),
-            lit(mismatches == 0L).as("index_matches_direct"))
+        vecs.filter(col("vec_id") < 50)
+          .agg(countDistinct(col("vec_id")).as("n_probes"))
+          .crossJoin(broadcast(mismatches))
+          .select(col("n_probes"), (col("mm") === 0L).as("index_matches_direct"))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
              |TRUE AS index_matches_direct
@@ -910,8 +1070,9 @@ object SimilarityQueries extends QueryModule {
       // it 7.9× super-linear; real dHash near-dups from small edits sit
       // at Hamming 0–2, so radius 3 over sparse 16-bit buckets is both
       // the recall-guaranteed and the scale-correct shape.) Hashing is
-      // map-side/zero-shuffle; the band self-join is the only exchange
-      // (PlanSpec pins never-cartesian). Undecodable payloads fall back
+      // map-side/zero-shuffle; the band self-join and its occupancy count
+      // are the only exchanges, on the same key (PlanSpec pins
+      // never-cartesian). Undecodable payloads fall back
       // to a byte-shingle SimHash (similarity-preserving, just not
       // perceptual), so the text-bytes corpus yields its near-dup pairs;
       // DedupSpec drives the REAL path with planted near-identical PNGs.
@@ -931,13 +1092,14 @@ object SimilarityQueries extends QueryModule {
           t(s, dir, "documents"))
         val sig = graft.functions.Multimodal.perceptualHash(payloads)
         val banded = graft.functions.Multimodal.phashBands(sig, nTables)
-        banded.as("x").join(banded.as("y"), Seq("band", "bandBits"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.phash").as("ha"), col("y.phash").as("hb"))
-          .distinct()
+        // (r10) same hot-bucket guard as q_dedup_simhash — phash shares
+        // the 2^16-value band family (5.5× in the r9 scaling audit), so
+        // saturated buckets sub-split by a rotated slice of the hash
+        graft.operators.BandJoin.cappedCandidates(banded, "phash",
+            s.conf.getOption("spark.graft.band.cap").map(_.toInt)
+              .getOrElse(graft.operators.BandJoin.DefaultCap))
           .withColumn("hamming",
-            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
           .filter(col("hamming") <= radius)
           .select("doc_a", "doc_b", "hamming")
           .orderBy("doc_a", "doc_b")
@@ -980,6 +1142,18 @@ object SimilarityQueries extends QueryModule {
         val probes = users.select(col("user_id"), lit(true).as("active"))
           .unionByName(users.select((col("user_id") + 10000000L).as("user_id"),
             lit(false).as("active")))
+        // the fp budget comes from the LAYOUT'S OWN formula with the
+        // measured insert count — p = (1-e^(-Kn/m))^K, m=2^16 bits, K=4 —
+        // plus a 6σ binomial tail, not a fixed fraction: a fixed 1% budget
+        // is exceeded by a correctly-behaving bloom once n grows past
+        // ~12k keys (the formula gives ~25% at n=20k), so the gate must
+        // track the layout as the corpus scales
+        val nIns = sum(when(col("active"), 1L).otherwise(0L)).cast("double")
+        val nNeg = sum(when(!col("active"), 1L).otherwise(0L)).cast("double")
+        val pFp = pow(lit(1.0) - exp(lit(-BloomSketch.K.toDouble) * nIns /
+          lit(BloomSketch.Lanes * 64.0)), BloomSketch.K.toDouble)
+        val fpBudget = nNeg * pFp +
+          lit(6.0) * sqrt(nNeg * pFp * (lit(1.0) - pFp)) + lit(1.0)
         probes.crossJoin(broadcast(rolled)).crossJoin(broadcast(direct))
           .withColumn("hit", BloomSketch.mightContain(col("bf"), col("user_id")))
           .agg(
@@ -988,9 +1162,8 @@ object SimilarityQueries extends QueryModule {
             max(col("n_days")).as("n_days"),
             (sum(when(col("active") && !col("hit"), 1L).otherwise(0L)) === 0L)
               .as("no_false_negatives"),
-            (sum(when(!col("active") && col("hit"), 1L).otherwise(0L))
-              <= greatest(lit(1L),
-                (count(lit(1)).cast("double") * 0.01).cast("long"))).as("fp_ok"),
+            (sum(when(!col("active") && col("hit"), 1L).otherwise(0L)).cast("double")
+              <= fpBudget).as("fp_ok"),
             (sum(when(col("bf") === col("bf_direct"), 0L).otherwise(1L)) === 0L)
               .as("merge_exact"))
       },
@@ -1059,6 +1232,48 @@ object SimilarityQueries extends QueryModule {
              |SELECT qid, predicted, votes, true_label,
              |  predicted = true_label AS correct
              |FROM win WHERE rk = 1 ORDER BY qid""".stripMargin)),
+
+    QueryDef(
+      "q_embed_norm_audit",
+      // Embedding-quality audit (r10): per-label L2-norm profile plus
+      // corpus-relative outlier counts — the first screen for broken
+      // encoder batches (zero/exploded norms) before vectors enter an
+      // index. Norms are map-side codegen (sqrt∘DotProduct per row, no
+      // shuffle); the corpus mean is ONE broadcast scalar (never a
+      // per-group re-scan) and rides note 29's truncated 2^30 fixed
+      // point so cross-partition addition order cannot flip a bit. The
+      // outlier thresholds are the same IEEE doubles on both engines, so
+      // the compares are deterministic.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val vecs = emb.select(col("label").cast("long").as("label"),
+          graft.functions.VectorExpressions.l2norm(col("embedding")).as("nrm"))
+        def meanFx = sum((col("nrm") * 1073741824.0).cast("long")).cast("double") /
+          1073741824.0 / count(lit(1)).cast("double")
+        val overall = vecs.agg(meanFx.as("mean_all"))
+        vecs.crossJoin(broadcast(overall))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            meanFx.as("mean_norm"),
+            min("nrm").as("min_norm"), max("nrm").as("max_norm"),
+            sum(when(col("nrm") < col("mean_all") * 0.5, 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("nrm") > col("mean_all") * 1.5, 1L).otherwise(0L)).as("n_high"))
+          .orderBy("label")
+      },
+      Some("""WITH nrms AS (
+             |  SELECT CAST(label AS BIGINT) AS label,
+             |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |  FROM embeddings),
+             |ov AS (
+             |  SELECT CAST(SUM(CAST(trunc(nrm * 1073741824.0) AS BIGINT)) AS DOUBLE)
+             |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mean_all FROM nrms)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST(SUM(CAST(trunc(nrm * 1073741824.0) AS BIGINT)) AS DOUBLE)
+             |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mean_norm,
+             |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+             |  CAST(SUM(CASE WHEN nrm < mean_all * 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(SUM(CASE WHEN nrm > mean_all * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM nrms, ov GROUP BY label ORDER BY label""".stripMargin)),
 
     QueryDef(
       "q_label_centroid",

@@ -162,6 +162,90 @@ object TextQueries extends QueryModule {
              |FROM documents GROUP BY MD5(text) ORDER BY keep_id""".stripMargin)),
 
     QueryDef(
+      "q_dup_rate_by_source",
+      // Per-source duplication audit (r10) — the first corpus-health
+      // number a crawl-mix owner asks for: how much of each source is
+      // exact-duplicate mass? One hash-groupBy on (source, md5(text))
+      // with map-side combine, then a per-source rollup — both keyed
+      // shuffles, no distinct-within-agg at the raw-row level. dup_rate
+      // = 1 - distinct/total as one IEEE division of exact longs,
+      // identical both engines.
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("source"), md5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("copies"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_distinct"),
+            sum("copies").as("n_docs"),
+            sum(when(col("copies") > 1, col("copies")).otherwise(0L))
+              .as("n_duplicated"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            col("n_duplicated"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+              .as("dup_rate"))
+          .orderBy("source"),
+      Some("""WITH fps AS (
+             |  SELECT source, MD5(text) AS fp, COUNT(*) AS copies
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT) AS n_duplicated,
+             |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(copies) AS DOUBLE) AS dup_rate
+             |FROM fps GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
+      "q_lang_mix",
+      // Per-source language composition + Shannon entropy (r10) — the
+      // cross-lingual contamination / mix-balance audit a multilingual
+      // corpus runs before choosing sampling weights. Two keyed aggs
+      // ((source, lang) → source); share is one exact-long IEEE division;
+      // the entropy SUM rides note 29's truncated 2^30 fixed point so the
+      // cross-language addition order can never flip a bit (each
+      // -p·ln(p) term is the same IEEE double on both engines, like
+      // q_cooccur_pmi's log mirror).
+      (s, dir) => {
+        val byLang = t(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n_lang"))
+        val bySource = byLang.groupBy("source")
+          .agg(sum("n_lang").as("n_docs"), count(lit(1)).as("n_langs"))
+        val p = col("n_lang").cast("double") / col("n_docs").cast("double")
+        byLang.join(bySource, "source")
+          .withColumn("term_fx",
+            ((-p * log(p)) * 1073741824.0).cast("long"))
+          .groupBy(col("source"), col("n_docs"), col("n_langs"))
+          .agg(max(struct(col("n_lang"), col("lang"))).as("top"),
+            sum("term_fx").as("h_fx"))
+          .select(col("source"), col("n_docs"), col("n_langs"),
+            col("top.lang").as("top_lang"),
+            (col("top.n_lang").cast("double") / col("n_docs").cast("double"))
+              .as("top_share"),
+            (col("h_fx").cast("double") / 1073741824.0).as("entropy"))
+          .orderBy("source")
+      },
+      Some("""WITH bl AS (
+             |  SELECT source, lang, COUNT(*) AS n_lang
+             |  FROM documents GROUP BY 1, 2),
+             |bs AS (
+             |  SELECT source, CAST(SUM(n_lang) AS BIGINT) AS n_docs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_langs
+             |  FROM bl GROUP BY 1),
+             |terms AS (
+             |  SELECT bl.source, bs.n_docs, bs.n_langs, bl.n_lang,
+             |    CAST(trunc((-(CAST(bl.n_lang AS DOUBLE) / CAST(bs.n_docs AS DOUBLE)) *
+             |      LN(CAST(bl.n_lang AS DOUBLE) / CAST(bs.n_docs AS DOUBLE))) * 1073741824.0) AS BIGINT) AS term_fx
+             |  FROM bl JOIN bs USING (source)),
+             |top AS (
+             |  SELECT source, lang, n_lang,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_lang DESC, lang DESC) AS rk
+             |  FROM bl)
+             |SELECT t.source, t.n_docs, t.n_langs, top.lang AS top_lang,
+             |  CAST(top.n_lang AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS top_share,
+             |  CAST(SUM(t.term_fx) AS DOUBLE) / 1073741824.0 AS entropy
+             |FROM terms t JOIN top ON top.source = t.source AND top.rk = 1
+             |GROUP BY t.source, t.n_docs, t.n_langs, top.lang, top.n_lang
+             |ORDER BY t.source""".stripMargin)),
+
+    QueryDef(
       "q_tfidf",
       // TF-IDF: per-(doc, term) frequency × ln(N/df). Three aggregates
       // (tf, df, corpus count) joined on term; the 1-row corpus count is
@@ -315,13 +399,17 @@ object TextQueries extends QueryModule {
 
     QueryDef(
       "q_multimodal_frames",
-      // Frame-sampling plumbing: payload → every-2nd 100-byte "frame", one
-      // row per sampled frame (the flatMap shape a video demuxer plugs
-      // into). No oracle; DedupSpec pins the chunk arithmetic.
+      // Frame sampling: every-2nd frame per payload, one row per sampled
+      // frame (the flatMap shape of video keyframe extraction). The demux
+      // is REAL for GIF payloads (r10 — the JDK's multi-frame reader +
+      // exact-integer 8×8 luma thumbs; MultimodalSpec pins a planted
+      // 3-frame animation) and the labeled 100-byte-slicing stub for
+      // everything else, this text-bytes corpus included. No oracle;
+      // the specs pin both paths' arithmetic.
       (s, dir) => {
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
-        graft.functions.Multimodal.frameSampleStub(payloads, frameSize = 100, everyN = 2)
-          .select(col("doc_id"), col("frame_idx"),
+        graft.functions.Multimodal.frameSample(payloads, frameSize = 100, everyN = 2)
+          .select(col("doc_id"), col("frame_idx"), col("format"),
             length(col("frame")).cast("long").as("n_bytes"))
           .orderBy("doc_id", "frame_idx")
       },

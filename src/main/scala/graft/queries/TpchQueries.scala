@@ -25,9 +25,13 @@ object TpchQueries extends QueryModule {
     * driver corpus ships no partsupp table, so the five TPC-H shapes that
     * need one (Q2/Q9/Q11/Q16/Q20 — the reference's own TODO, lib.rs:203)
     * derive it with the spec's supplier-assignment formula (TPC-H §4.2.3,
-    * adapted to this corpus's 0-based keys): part p gets 4 suppliers at
-    * stride sc/4 + p/sc, provably collision-free here because p/sc < sc/4
-    * at every corpus SF. availqty/supplycost are deterministic integer
+    * adapted to this corpus's 0-based keys): part p gets 4 suppliers at a
+    * per-part stride derived from sc/4 + p/sc, folded into [1, (sc-1)/3]
+    * so d·stride < sc for every pair distance d ∈ {1,2,3} — the four
+    * suppkeys are collision-free BY CONSTRUCTION for any supplier count
+    * sc ≥ 4 (the raw spec stride can wrap: at sc ≡ 0 (mod 3) a stride of
+    * exactly sc/3 collides i=0 with i=3, so the proof must not rely on
+    * corpus-specific sc values). availqty/supplycost are deterministic integer
     * formulas (1..9999 and 1.00..1000.00, matching the spec's ranges) so
     * the DuckDB oracle reproduces the table bit-for-bit from the same
     * arithmetic — mirrored token-for-token in [[PartsuppSql]].
@@ -44,7 +48,8 @@ object TpchQueries extends QueryModule {
       .select(col("p_partkey"), col("sc"),
         explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("i"))
       .withColumn("ps_suppkey",
-        (col("p_partkey") + col("i") * (expr("sc div 4") + expr("p_partkey div sc")))
+        (col("p_partkey") + col("i") *
+          (expr("(sc div 4 + p_partkey div sc) % ((sc - 1) div 3)") + 1))
           % col("sc"))
       .select(
         col("p_partkey").as("ps_partkey"),
@@ -59,7 +64,7 @@ object TpchQueries extends QueryModule {
   private val PartsuppSql =
     """WITH ps0 AS (
       |  SELECT p_partkey, i,
-      |    (p_partkey + i * (sc // 4 + p_partkey // sc)) % sc AS ps_suppkey
+      |    (p_partkey + i * ((sc // 4 + p_partkey // sc) % ((sc - 1) // 3) + 1)) % sc AS ps_suppkey
       |  FROM part,
       |    (SELECT CAST(COUNT(*) AS BIGINT) AS sc FROM supplier),
       |    (SELECT UNNEST([0,1,2,3]) AS i)
@@ -741,7 +746,8 @@ object TpchQueries extends QueryModule {
     QueryDef(
       "q_tpch_q11",
       // Important-stock identification (Q11 shape): one nation's partsupp
-      // value per part, kept when above 1% of that nation's total. The
+      // value per part, kept when above 0.3% of that nation's total (the
+      // spec's fraction/SF idea scaled so small corpora keep rows). The
       // scalar total broadcasts as one row (never a per-group re-scan);
       // values sum as exact scaled longs (supplycost·availqty carries ≤2
       // fractional digits) and the threshold compare runs on the SAME two

@@ -161,5 +161,35 @@ object WindowQueries extends QueryModule {
              |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) sub
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef(
+      "q_win_ntile",
+      // NTILE quartile assignment + per-quartile profile (r10) — the
+      // equal-frequency binning window (vs q_length_bucket's equal-width
+      // and q_percentile's point quantiles): per event_type, rank events
+      // into 4 equal tiles by (value, event_id) — the unique tiebreak
+      // makes tile membership total-order-deterministic — then profile
+      // each tile. One window shuffle on event_type + one grouped agg on
+      // (event_type, tile); value boundaries stay raw doubles ROUNDED only
+      // at the edge via the cents mirror.
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("tile", ntile(4).over(
+            Window.partitionBy("event_type").orderBy(col("value"), col("event_id")))
+            .cast("long"))
+          .groupBy("event_type", "tile")
+          .agg(count(lit(1)).as("cnt"),
+            min("value").cast("double").as("min_v"),
+            max("value").cast("double").as("max_v"),
+            fxSum(col("value")).as("sum_v"))
+          .orderBy("event_type", "tile"),
+      Some("""SELECT event_type, CAST(tile AS BIGINT) AS tile, COUNT(*) AS cnt,
+             |  MIN(value) AS min_v, MAX(value) AS max_v,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+             |FROM (
+             |  SELECT event_type, value,
+             |    NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+             |  FROM events) sub
+             |GROUP BY event_type, tile ORDER BY event_type, tile""".stripMargin)),
   )
 }

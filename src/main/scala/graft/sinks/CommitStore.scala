@@ -59,6 +59,15 @@ trait ObjectStore extends CommitStore {
     * objects are a no-op (aborts may race their own failed uploads).
     */
   def deleteObject(target: Path): Unit
+
+  /** Keys at or under `prefix` (the ListObjectsV2 analogue), empty when
+    * nothing is there. What a replace-in-place needs: the checkpoint
+    * publisher lists and deletes any stale parts at its target version
+    * before uploading, mirroring the local path's delete-then-rename —
+    * otherwise a failed partial upload or same-version re-checkpoint
+    * leaves orphan part files no vacuum ever reclaims.
+    */
+  def listPrefix(prefix: Path): Seq[Path]
 }
 
 object CommitStore {
@@ -199,4 +208,78 @@ object CommitStore {
       .map(_ => "fs.s3a.path.style.access" -> "true")
     mapped ++ ssl ++ pathStyle
   }
+
+  /** GOOGLE_* environment → the Hadoop GCS-connector configuration, the
+    * `gs://` leg of the reference's per-scheme env pickup
+    * (`delta_destination.rs:244-250` forwards every GOOGLE_* var to its
+    * GCS client). Credential file pointers (either the gcloud-standard
+    * GOOGLE_APPLICATION_CREDENTIALS or the object_store-style
+    * GOOGLE_SERVICE_ACCOUNT[_PATH]) select keyfile auth explicitly so the
+    * connector does not fall through to metadata-server auth on a VM.
+    */
+  def gcsConfFromEnv(env: Map[String, String]): Map[String, String] = {
+    val keyfile = env.get("GOOGLE_APPLICATION_CREDENTIALS")
+      .orElse(env.get("GOOGLE_SERVICE_ACCOUNT"))
+      .orElse(env.get("GOOGLE_SERVICE_ACCOUNT_PATH"))
+      .map("fs.gs.auth.service.account.json.keyfile" -> _)
+    val authType = keyfile.map(_ =>
+      "fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE")
+    val project = env.get("GOOGLE_CLOUD_PROJECT")
+      .orElse(env.get("GOOGLE_PROJECT_ID"))
+      .map("fs.gs.project.id" -> _)
+    (keyfile ++ authType ++ project).toMap
+  }
+
+  /** AZURE_* environment → hadoop-azure (ABFS) configuration, the
+    * `az`/`abfs(s)` leg of the reference's per-scheme env pickup
+    * (`delta_destination.rs:244-250`). Account-scoped keys need the
+    * account name to form their suffix, so without
+    * AZURE_STORAGE_ACCOUNT_NAME only global settings can map. Precedence
+    * mirrors the Azure SDK: an explicit account key beats SAS beats OAuth
+    * client credentials.
+    */
+  def azureConfFromEnv(env: Map[String, String]): Map[String, String] = {
+    val account = env.get("AZURE_STORAGE_ACCOUNT_NAME")
+    def scoped(k: String) = account.map(a => s"$k.$a.dfs.core.windows.net")
+    val key = for {
+      conf <- scoped("fs.azure.account.key")
+      v <- env.get("AZURE_STORAGE_ACCOUNT_KEY")
+    } yield Map(conf -> v,
+      scoped("fs.azure.account.auth.type").get -> "SharedKey")
+    val sas = for {
+      conf <- scoped("fs.azure.sas.fixed.token")
+      v <- env.get("AZURE_STORAGE_SAS_TOKEN").orElse(env.get("AZURE_STORAGE_SAS_KEY"))
+    } yield Map(conf -> v,
+      scoped("fs.azure.account.auth.type").get -> "SAS",
+      scoped("fs.azure.sas.token.provider.type").get ->
+        "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider")
+    val oauth = for {
+      id <- env.get("AZURE_STORAGE_CLIENT_ID")
+      secret <- env.get("AZURE_STORAGE_CLIENT_SECRET")
+      tenant <- env.get("AZURE_STORAGE_TENANT_ID")
+      if account.isDefined
+    } yield Map(
+      scoped("fs.azure.account.auth.type").get -> "OAuth",
+      scoped("fs.azure.account.oauth.provider.type").get ->
+        "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider",
+      scoped("fs.azure.account.oauth2.client.id").get -> id,
+      scoped("fs.azure.account.oauth2.client.secret").get -> secret,
+      scoped("fs.azure.account.oauth2.client.endpoint").get ->
+        s"https://login.microsoftonline.com/$tenant/oauth2/token")
+    key.orElse(sas).orElse(oauth).getOrElse(Map.empty)
+  }
+
+  /** Per-scheme dispatch, the shape of the reference's
+    * `object_store_keys_from_env(url_scheme)`
+    * (`delta_destination.rs:244-250`): s3/s3a → AWS_*, gs → GOOGLE_*,
+    * az/adl/azure/abfs/abfss → AZURE_*, anything else (file, hdfs) maps
+    * nothing.
+    */
+  def confFromEnv(urlScheme: String, env: Map[String, String]): Map[String, String] =
+    urlScheme match {
+      case "s3" | "s3a" => s3ConfFromEnv(env)
+      case "gs" => gcsConfFromEnv(env)
+      case "az" | "adl" | "azure" | "abfs" | "abfss" => azureConfFromEnv(env)
+      case _ => Map.empty
+    }
 }

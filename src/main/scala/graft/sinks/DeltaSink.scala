@@ -626,8 +626,11 @@ object DeltaSink {
     val target = checkpointFile(table, meta.version)
     store match {
       case os: ObjectStore =>
-        // Store path: stage the checkpoint parquet locally, PUBLISH each
-        // part through the store (txn-unique target version dir), then
+        // Store path: stage the checkpoint parquet locally, CLEAR any
+        // stale parts at the target version (a failed partial upload or
+        // same-version re-checkpoint would otherwise strand orphan part
+        // files forever — the store twin of the local path's
+        // delete-then-rename), PUBLISH each part through the store, then
         // flip _last_checkpoint with a plain put — the server's
         // tmp+atomic-move gives the same no-partial-pointer guarantee as
         // the local write-then-rename below.
@@ -636,6 +639,7 @@ object DeltaSink {
           df.write.mode("overwrite").option("compression", "snappy")
             .parquet(staging.getPath)
           new File(staging, "_SUCCESS").delete()
+          os.listPrefix(target).foreach(os.deleteObject)
           dataFiles(staging).foreach { src =>
             os.putObject(target.resolve(src.getName),
               Files.readAllBytes(src.toPath))

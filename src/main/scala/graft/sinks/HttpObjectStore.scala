@@ -266,6 +266,16 @@ object HttpObjectStore {
         throw new IOException(s"delete of $target failed: HTTP ${resp.statusCode()}")
     }
 
+    override def listPrefix(prefix: Path): Seq[Path] = {
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(keyUri(prefix).toString + "?list")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) Nil
+      else resp.body().linesIterator.filter(_.nonEmpty).map { l =>
+        root.resolve(l.substring(0, l.lastIndexOf(' ')))
+      }.toSeq
+    }
+
     private def keyUri(target: Path): URI = {
       val key = root.relativize(target.toAbsolutePath.normalize()).toString
       endpoint.resolve("/o/" + key)

@@ -308,6 +308,41 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
     mac.doFinal(msg)
   }
 
+  /** SASLprep (RFC 4013) of the SCRAM password, as RFC 5802 §2.2 requires
+    * before it feeds Hi(): map non-ASCII spaces to SPACE (C.1.2),
+    * drop the map-to-nothing set (B.1: soft hyphen, ZWSP/ZWNJ/ZWJ,
+    * variation selectors, BOM), normalize NFKC, then reject prohibited
+    * output — control characters (C.2.1/C.2.2) and unassigned code points
+    * — loudly rather than send bytes a spec-compliant server will hash
+    * differently. ASCII passwords pass through byte-identical, so the
+    * FakePgServer fixtures (which store verifiers of the raw password)
+    * are unaffected.
+    */
+  private[sources] def saslPrep(pw: String): String = {
+    val mapped = pw.codePoints().toArray.flatMap { cp =>
+      if (cp == 0x00AD || cp == 0x034F || cp == 0x1806 ||
+          (cp >= 0x180B && cp <= 0x180D) || (cp >= 0x200B && cp <= 0x200D) ||
+          cp == 0x2060 || (cp >= 0xFE00 && cp <= 0xFE0F) || cp == 0xFEFF)
+        Nil // B.1 map-to-nothing
+      else if (cp == 0x00A0 || cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) ||
+          cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F ||
+          cp == 0x3000)
+        Seq(0x20) // C.1.2 non-ASCII space → SPACE
+      else Seq(cp)
+    }
+    val prepped = java.text.Normalizer.normalize(
+      new String(mapped, 0, mapped.length), java.text.Normalizer.Form.NFKC)
+    prepped.codePoints().forEach { cp =>
+      if (cp < 0x20 || cp == 0x7F || (cp >= 0x80 && cp <= 0x9F))
+        throw new java.io.IOException(
+          f"SCRAM password contains a SASLprep-prohibited control character U+$cp%04X")
+      if (cp != 0xFFFD && Character.getType(cp) == Character.UNASSIGNED)
+        throw new java.io.IOException(
+          f"SCRAM password contains an unassigned code point U+$cp%04X (SASLprep prohibits it)")
+    }
+    prepped
+  }
+
   /** SCRAM-SHA-256 client conversation (RFC 5802/7677 over the PG SASL
     * framing): runs after AuthenticationSASL offered the mechanism,
     * consuming the SASLContinue/SASLFinal messages itself and returning
@@ -359,11 +394,23 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
       "server-first-message missing r="))
     if (!serverNonce.startsWith(nonce))
       throw new java.io.IOException("server nonce does not extend ours (MITM?)")
-    val salt = java.util.Base64.getDecoder.decode(attrs("s"))
-    val iterations = attrs("i").toInt
+    // malformed server-first fields get the same descriptive IOException
+    // treatment as a missing r= — never a bare NoSuchElement/NumberFormat
+    val salt = try java.util.Base64.getDecoder.decode(attrs.getOrElse("s",
+      throw new java.io.IOException("server-first-message missing s= (salt)")))
+    catch { case _: IllegalArgumentException => throw new java.io.IOException(
+      "server-first-message s= is not valid base64") }
+    val iterations = attrs.getOrElse("i", throw new java.io.IOException(
+      "server-first-message missing i= (iteration count)"))
+    val iterCount =
+      try iterations.toInt
+      catch { case _: NumberFormatException => throw new java.io.IOException(
+        s"server-first-message i= is not an integer: '$iterations'") }
+    if (iterCount < 1) throw new java.io.IOException(
+      s"server-first-message iteration count must be >= 1, got $iterCount")
 
     val spec = new javax.crypto.spec.PBEKeySpec(
-      pw.toCharArray, salt, iterations, 256)
+      saslPrep(pw).toCharArray, salt, iterCount, 256)
     val salted = javax.crypto.SecretKeyFactory
       .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
     val clientKey = hmacSha256(salted, "Client Key".getBytes(StandardCharsets.UTF_8))

@@ -109,6 +109,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("BandJoin hot-bucket guard: saturated buckets sub-split, exact dups never lost, cold buckets unchanged (r10)") {
+    val s = spark
+    import s.implicits._
+    // 70 docs share band-0 value 0x1111 (over the cap of 64) but differ in
+    // signature slice 1 — the rotated sub-key — so the guard must scatter
+    // them; docs 100/101 carry IDENTICAL signatures (equal in every slice)
+    // and must survive the sub-split.
+    val rows = (0 until 70).map(i => (i.toLong, (i.toLong << 16) | 0x1111L)) ++
+      Seq((100L, (0xABCDL << 16) | 0x1111L), (101L, (0xABCDL << 16) | 0x1111L))
+    val banded = rows.toDF("doc_id", "sig")
+      .select(col("doc_id"), col("sig"), lit(0).as("band"),
+        col("sig").bitwiseAND(0xFFFFL).as("bandBits"))
+    // guard ON (cap 64 < 72 occupants): only the identical pair remains
+    val guarded = graft.operators.BandJoin.cappedCandidates(banded, "sig", cap = 64)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.toSet == Set((100L, 101L)))
+    // guard effectively OFF (cap above occupancy): the full quadratic
+    // candidate set of the unguarded join, 72*71/2 pairs
+    val cold = graft.operators.BandJoin.cappedCandidates(banded, "sig", cap = 100)
+    assert(cold.count() == 72L * 71 / 2)
+  }
+
   test("ann-lsh results are a subset of exact cosine candidates with equal scores") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, "/root/testdata/sf0.001")
       .select("qid", "cid", "score").collect()
@@ -418,6 +440,45 @@ class DedupSpec extends AnyFunSuite {
       assert(rs.forall(_.getInt(1) % 2 == 0))
     }
   }
+  test("multimodal frame-sample REAL path: a planted 3-frame animated GIF demuxes, every-2nd sampled (r10)") {
+    val s = spark
+    import s.implicits._
+    // build a real animated GIF with the JDK's own writer: 3 solid-gray
+    // 16x16 frames at levels 10 / 100 / 200 (gray g has BT.601 luma
+    // exactly g, and solid colors survive GIF palette quantization)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(10, 100, 200).foreach { g =>
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = baos.toByteArray
+    assert(Multimodal.gifFrames(gif).exists(_.length == 3))
+    val df = Seq((7L, gif)).toDF("doc_id", "payload")
+    val frames = Multimodal.frameSample(df, frameSize = 100, everyN = 2)
+      .orderBy("frame_idx").collect()
+    // frames 0 and 2 sampled, both via the REAL gif path, 8x8 thumbs
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(frames.forall(_.getString(2) == "gif"))
+    val thumbs = frames.map(_.getAs[Array[Byte]](3))
+    assert(thumbs.forall(_.length == 64))
+    assert(thumbs(0).forall(b => (b & 0xff) == 10))
+    assert(thumbs(1).forall(b => (b & 0xff) == 200))
+    // non-GIF payloads keep the labeled stub path
+    val stub = Multimodal.frameSample(
+      Seq((1L, Array.fill[Byte](250)(42))).toDF("doc_id", "payload"),
+      frameSize = 100, everyN = 2).collect()
+    assert(stub.forall(_.getString(2) == "stub"))
+    assert(stub.map(_.getInt(1)).sorted.toSeq == Seq(0, 2))
+  }
+
   test("phash OR-amplification: 2 tables recover contiguous-adversarial Hamming-6 pairs (r9)") {
     val s = spark
     import s.implicits._

@@ -210,6 +210,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: a session ending EXACTLY at the watermark is emitted (boundary pin, r10)") {
+    // The q_stream_session oracle filters to sessions with
+    // s_end <= max(ts) (the final watermark at 0s delay) — this pins the
+    // inclusive boundary: Spark evicts/emits a session whose end equals
+    // the advanced watermark, so the SQL mirror must be <=, not <.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(input.toDF(), gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1's session: single event at t=0 → s_end = t=30min exactly;
+      // user 2's event at t=30min drives the final watermark to exactly
+      // 30min (0s delay)
+      input.addData(Ev(1, ts(0), 1, "c", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(30), 2, "c", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_boundary")
+        .select("user_id", "s_end").collect()
+      assert(out.exists(r => r.getLong(0) == 1L && r.getTimestamp(1) == ts(30)),
+        s"session ending at the watermark must be emitted; got ${out.mkString(",")}")
+      // user 2's own session (ends 60min > watermark 30min) stays open
+      assert(!out.exists(_.getLong(0) == 2L))
+    } finally q.stop()
+  }
+
   test("txn watermark survives a checkpoint") {
     val spark = TestSpark.spark
     import spark.implicits._
