@@ -318,7 +318,7 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
     * FakePgServer fixtures (which store verifiers of the raw password)
     * are unaffected.
     */
-  private[sources] def saslPrep(pw: String): String = {
+  private[graft] def saslPrep(pw: String): String = {
     val mapped = pw.codePoints().toArray.flatMap { cp =>
       if (cp == 0x00AD || cp == 0x034F || cp == 0x1806 ||
           (cp >= 0x180B && cp <= 0x180D) || (cp >= 0x200B && cp <= 0x200D) ||

@@ -327,6 +327,106 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(both("fs.s3a.endpoint") == "http://new")
   }
 
+  test("gcsConfFromEnv maps GOOGLE_* env to GCS-connector confs (r10)") {
+    val conf = CommitStore.gcsConfFromEnv(Map(
+      "GOOGLE_APPLICATION_CREDENTIALS" -> "/keys/sa.json",
+      "GOOGLE_CLOUD_PROJECT" -> "proj-1",
+      "UNRELATED" -> "x"))
+    assert(conf("fs.gs.auth.service.account.json.keyfile") == "/keys/sa.json")
+    assert(conf("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+    assert(conf("fs.gs.project.id") == "proj-1")
+    assert(!conf.values.exists(_ == "x"))
+    // object_store-style spelling resolves too, gcloud-standard wins
+    val alt = CommitStore.gcsConfFromEnv(Map(
+      "GOOGLE_SERVICE_ACCOUNT" -> "/alt/sa.json", "GOOGLE_PROJECT_ID" -> "p2"))
+    assert(alt("fs.gs.auth.service.account.json.keyfile") == "/alt/sa.json")
+    assert(alt("fs.gs.project.id") == "p2")
+    val both = CommitStore.gcsConfFromEnv(Map(
+      "GOOGLE_APPLICATION_CREDENTIALS" -> "/std.json",
+      "GOOGLE_SERVICE_ACCOUNT" -> "/alt.json"))
+    assert(both("fs.gs.auth.service.account.json.keyfile") == "/std.json")
+    // no credential env → no auth keys forced (metadata-server default)
+    assert(CommitStore.gcsConfFromEnv(Map.empty).isEmpty)
+  }
+
+  test("azureConfFromEnv maps AZURE_* env to ABFS confs, key > SAS > OAuth (r10)") {
+    val acct = "AZURE_STORAGE_ACCOUNT_NAME" -> "acct1"
+    val key = CommitStore.azureConfFromEnv(Map(acct,
+      "AZURE_STORAGE_ACCOUNT_KEY" -> "k=="))
+    assert(key("fs.azure.account.key.acct1.dfs.core.windows.net") == "k==")
+    assert(key("fs.azure.account.auth.type.acct1.dfs.core.windows.net") == "SharedKey")
+    val sas = CommitStore.azureConfFromEnv(Map(acct,
+      "AZURE_STORAGE_SAS_TOKEN" -> "sv=..."))
+    assert(sas("fs.azure.sas.fixed.token.acct1.dfs.core.windows.net") == "sv=...")
+    assert(sas("fs.azure.account.auth.type.acct1.dfs.core.windows.net") == "SAS")
+    val oauth = CommitStore.azureConfFromEnv(Map(acct,
+      "AZURE_STORAGE_CLIENT_ID" -> "cid",
+      "AZURE_STORAGE_CLIENT_SECRET" -> "cs",
+      "AZURE_STORAGE_TENANT_ID" -> "tid"))
+    assert(oauth("fs.azure.account.auth.type.acct1.dfs.core.windows.net") == "OAuth")
+    assert(oauth("fs.azure.account.oauth2.client.id.acct1.dfs.core.windows.net") == "cid")
+    assert(oauth("fs.azure.account.oauth2.client.endpoint.acct1.dfs.core.windows.net")
+      .contains("/tid/"))
+    // precedence: an explicit account key beats SAS and OAuth when all set
+    val all = CommitStore.azureConfFromEnv(Map(acct,
+      "AZURE_STORAGE_ACCOUNT_KEY" -> "k==",
+      "AZURE_STORAGE_SAS_TOKEN" -> "sv=...",
+      "AZURE_STORAGE_CLIENT_ID" -> "cid",
+      "AZURE_STORAGE_CLIENT_SECRET" -> "cs",
+      "AZURE_STORAGE_TENANT_ID" -> "tid"))
+    assert(all("fs.azure.account.auth.type.acct1.dfs.core.windows.net") == "SharedKey")
+    // account-scoped keys cannot form without the account name
+    assert(CommitStore.azureConfFromEnv(Map(
+      "AZURE_STORAGE_ACCOUNT_KEY" -> "k==")).isEmpty)
+  }
+
+  test("confFromEnv dispatches by URL scheme like the reference's per-scheme pickup (r10)") {
+    val env = Map(
+      "AWS_ACCESS_KEY_ID" -> "ak", "AWS_SECRET_ACCESS_KEY" -> "sk",
+      "GOOGLE_APPLICATION_CREDENTIALS" -> "/sa.json",
+      "AZURE_STORAGE_ACCOUNT_NAME" -> "acct1", "AZURE_STORAGE_ACCOUNT_KEY" -> "k==")
+    assert(CommitStore.confFromEnv("s3", env).contains("fs.s3a.access.key"))
+    assert(CommitStore.confFromEnv("s3a", env).contains("fs.s3a.access.key"))
+    assert(CommitStore.confFromEnv("gs", env)
+      .contains("fs.gs.auth.service.account.json.keyfile"))
+    for (scheme <- Seq("az", "abfs", "abfss", "adl", "azure"))
+      assert(CommitStore.confFromEnv(scheme, env)
+        .contains("fs.azure.account.key.acct1.dfs.core.windows.net"), scheme)
+    // each scheme maps ONLY its own provider's env
+    assert(!CommitStore.confFromEnv("s3", env).keys.exists(_.startsWith("fs.gs")))
+    assert(!CommitStore.confFromEnv("gs", env).keys.exists(_.startsWith("fs.s3a")))
+    assert(CommitStore.confFromEnv("file", env).isEmpty)
+    assert(CommitStore.confFromEnv("hdfs", env).isEmpty)
+  }
+
+  test("store checkpoint clears stale parts at its version before publishing (r10)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("tbl").toString
+      assert(DeltaSink.write(sampleDf, table, store = client))
+      DeltaSink.append(Seq((7L, "x", 7.0)).toDF("id", "name", "v"), table, store = client)
+      // a failed earlier publish stranded a partial part at the version the
+      // next checkpoint will claim — it must be listed and deleted, not
+      // left to shadow-pad the directory forever
+      val ckptDir = Paths.get(table, "_delta_log",
+        "00000000000000000002.checkpoint.parquet")
+      val stale = ckptDir.resolve("part-99999-stale.snappy.parquet")
+      client.putObject(stale, Array[Byte](1, 2, 3))
+      val delBefore = server.objectDeletes.get()
+      assert(DeltaSink.checkpoint(spark, table, client) == 2L)
+      assert(!Files.exists(stale), "stale part must be reclaimed")
+      assert(server.objectDeletes.get() > delBefore,
+        "the reclaim must travel the store protocol")
+      // fresh parts exist and the snapshot reads clean through them
+      assert(Files.list(ckptDir).iterator().hasNext)
+      assert(DeltaSink.read(spark, table).count() == 4)
+    } finally server.close()
+  }
+
   // ---- injected conflicts: the validate→commit window ----
 
   test("Delta compact aborts when a competing compaction lands mid-commit") {

@@ -316,6 +316,26 @@ class PgCopySourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("SCRAM passwords are SASLprep-normalized before Hi() (RFC 5802 §2.2, r10)") {
+    val t = graft.sources.PgSocketTransport("127.0.0.1", 1, "u", "db", "SELECT 1",
+      password = Some("unused"))
+    // ASCII passes through byte-identical (fixture verifiers stay valid)
+    assert(t.saslPrep("s3cret!Pass_99") == "s3cret!Pass_99")
+    // B.1 map-to-nothing: soft hyphen, ZWSP/ZWNJ/ZWJ, word joiner, BOM
+    assert(t.saslPrep("pa­ss​wo‌rd⁠﻿") == "password")
+    // C.1.2 non-ASCII spaces collapse to SPACE before NFKC
+    assert(t.saslPrep("a b c　d") == "a b c d")
+    // NFKC: compatibility forms fold (ligature fi, fullwidth A, ℌ)
+    assert(t.saslPrep("ﬁleＡℌ") == "fileAH")
+    // prohibited output fails loudly instead of hashing divergent bytes
+    val ctl = intercept[java.io.IOException] { t.saslPrep("badpw") }
+    assert(ctl.getMessage.contains("U+0007"))
+    intercept[java.io.IOException] { t.saslPrep("del") }
+    intercept[java.io.IOException] { t.saslPrep("c1") }
+    // unassigned code points (U+0378 has never been assigned) also reject
+    intercept[java.io.IOException] { t.saslPrep("un͸assigned") }
+  }
+
   test("malformed streams are rejected loudly") {
     intercept[IllegalArgumentException] {
       CopyBinary.decode("NOTPGCOPY".getBytes ++ Array.fill(20)(0.toByte), cols).toList
