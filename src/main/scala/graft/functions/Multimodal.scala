@@ -116,6 +116,11 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
+  /** Number of luma-histogram bins appended to raster feature vectors:
+    * 16 bins of width 16 over the 0..255 BT.601 luma range (bin = l >> 4).
+    */
+  val LumaHistBins = 16
+
   /** STUB decode: a real implementation would decompress the payload and
     * run a codec/feature extractor here. This fake derives a deterministic
     * 4-float "feature vector" from payload bytes so the plumbing is
@@ -133,8 +138,11 @@ object Multimodal {
     * executors: no collect, no shuffle; partition sizing is controlled by
     * the upstream reader (spark.sql.files.maxPartitionBytes) exactly as it
     * would be for real image shards. Sniffed raster payloads decode for
-    * real ([width, height, mean luma, luma variance] — deterministic
-    * integer pixel math); everything else takes the declared stub.
+    * real — [width, height, mean luma, luma variance] followed by a
+    * [[LumaHistBins]]-bin NORMALIZED luma histogram (bin l>>4, exact
+    * integer counts over the decoded pixels divided by n) — deterministic
+    * integer pixel math end-to-end; everything else takes the declared
+    * stub.
     */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "payload"): DataFrame = {
@@ -149,11 +157,13 @@ object Multimodal {
           } yield {
             val (w, h) = (img.getWidth, img.getHeight)
             var sum = 0L; var sumSq = 0L
+            val hist = new Array[Long](LumaHistBins)
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
                 val l = luma(img.getRGB(x, y)); sum += l; sumSq += l.toLong * l
+                hist(l >> 4) += 1
                 x += 1
               }
               y += 1
@@ -162,7 +172,8 @@ object Multimodal {
             val mean = sum.toDouble / n
             val variance = sumSq.toDouble / n - mean * mean
             Row(r.getLong(0), payload.length.toLong, fmt,
-              Array(w.toFloat, h.toFloat, mean.toFloat, variance.toFloat))
+              Array(w.toFloat, h.toFloat, mean.toFloat, variance.toFloat) ++
+                hist.map(c => (c.toDouble / n).toFloat))
           }
           val realAudio = if (real.isEmpty) decodeWav(payload).map { w =>
             // [n_samples, sample_rate, mean, variance] — exact long sums
@@ -196,51 +207,50 @@ object Multimodal {
     StructField("pixels", BinaryType, nullable = false)))
 
   /** Resize to a fixed w×h grayscale buffer. Sniffed raster payloads
-    * REALLY decode and nearest-neighbour-resample their pixels (manual
-    * index math over getRGB — deterministic, no Java2D rendering
-    * pipeline); other payloads nearest-neighbour-sample raw bytes (the
-    * declared stub), so the executor-side batch plumbing (fixed output
-    * geometry, per-partition iteration, no shuffle) is identical on both
-    * paths.
+    * REALLY decode and area-average-resample (r10): each output cell is
+    * the exact integer mean BT.601 luma of its source pixel block
+    * ([[lumaThumb]] — the proper downsampling filter, no aliasing, no
+    * Java2D rendering pipeline, deterministic across JVMs). Non-raster
+    * payloads nearest-neighbour-sample raw bytes (the declared stub), so
+    * the executor-side batch plumbing (fixed output geometry,
+    * per-partition iteration, no shuffle) is identical on both paths.
     */
-  def resizeStub(df: DataFrame, width: Int, height: Int,
+  def resize(df: DataFrame, width: Int, height: Int,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
     val enc = ExpressionEncoder(resizedSchema)
     df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](1)
-          val out = new Array[Byte](width * height)
           val img = sniffImageFormat(payload).flatMap(_ => readImage(payload))
-          img match {
-            case Some(im) =>
-              val (w, h) = (im.getWidth, im.getHeight)
-              var y = 0
-              while (y < height) {
-                val sy = (y.toLong * h / height).toInt
-                var x = 0
-                while (x < width) {
-                  val sx = (x.toLong * w / width).toInt
-                  out(y * width + x) = luma(im.getRGB(sx, sy)).toByte
-                  x += 1
-                }
-                y += 1
-              }
+          val out = img match {
+            case Some(im) => lumaThumb(im, width, height)
             case None =>
               // empty payload → all-zero buffer (a real decoder would error
               // or emit a blank frame; zeros keep the stub total)
+              val buf = new Array[Byte](width * height)
               if (payload.nonEmpty) {
                 var i = 0
-                while (i < out.length) {
-                  out(i) = payload((i.toLong * payload.length / out.length).toInt)
+                while (i < buf.length) {
+                  buf(i) = payload((i.toLong * payload.length / buf.length).toInt)
                   i += 1
                 }
               }
+              buf
           }
           Row(r.getLong(0), width, height, out)
         }
       }(enc)
   }
+
+  /** Pre-r10 name for [[resize]] (the raster path has since graduated from
+    * nearest-neighbour to exact area-averaging; the non-raster byte
+    * sampling is still the labeled stub).
+    */
+  @deprecated("use resize", "r10")
+  def resizeStub(df: DataFrame, width: Int, height: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame =
+    resize(df, width, height, idCol, payloadCol)
 
   val phashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

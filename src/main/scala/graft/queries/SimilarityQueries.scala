@@ -5,6 +5,7 @@ import graft.QueryDef._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity / dedup / sketch operators for the LLM-data-pipeline surface.
   *
@@ -551,6 +552,188 @@ object SimilarityQueries extends QueryModule {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
              |TRUE AS full_probe_exact, TRUE AS nprobe2_recall_ok
              |FROM embeddings WHERE vec_id < 200""".stripMargin)),
+
+    QueryDef(
+      "q_minhash_twin_recall",
+      // ORACLE-CHECKABLE MinHash-LSH gate (r10) — the deterministic slice
+      // of the q_dedup_minhash contract: an IDENTICAL document (same text,
+      // shifted id) has the identical shingle set, hence the identical
+      // 32-permutation signature, hence collides in EVERY one of the 16
+      // bands — so each planted twin pair MUST surface as a candidate and
+      // survive the exact-Jaccard verify at exactly 1.0. No probabilism:
+      // near-dup recall below J=1 stays the ScalaTest-measured property;
+      // this gate pins the bands → bucket-join → verify machinery
+      // end-to-end under the driver oracle. Twins ride the same corpus
+      // scan union-ed with shifted ids — map-side, no new shuffle shape;
+      // the verify stage touches only the 100 twin pairs.
+      (s, dir) => {
+        val offset = 10000000L
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val twins = docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + offset).as("doc_id"), col("text"))
+        val bands = minhashBands(docs.unionByName(twins))
+        val twinCands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bandHash") === col("y.bandHash") &&
+              col("y.doc_id") === col("x.doc_id") + offset)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        // exact-Jaccard verify on the twin pairs only: per-pair array
+        // intersection/union over the SAME shingle arrays the real
+        // pipeline hashes — map-side after one slim join
+        val arrs = shingleArrays(docs.filter(col("doc_id") < 100))
+          .select(col("doc_id"), array_distinct(col("ghs")).as("g"))
+        val jac = twinCands.join(arrs.as("ga"), col("doc_a") === col("ga.doc_id"))
+          .join(shingleArrays(twins)
+            .select(col("doc_id"), array_distinct(col("ghs")).as("gt")).as("gb"),
+            col("doc_b") === col("gb.doc_id"))
+          .select(
+            (size(array_intersect(col("g"), col("gt"))).cast("double") /
+              size(array_union(col("g"), col("gt"))).cast("double")).as("j"))
+        val found = jac.agg(count(lit(1)).as("n_found"),
+          coalesce(min(col("j")), lit(0.0)).as("min_j"))
+        docs.filter(col("doc_id") < 100).agg(count(lit(1)).as("n_twins"))
+          .crossJoin(broadcast(found))
+          .select(col("n_twins"),
+            (col("n_found") === col("n_twins")).as("all_collide"),
+            (col("n_found") === col("n_twins") && col("min_j") === 1.0)
+              .as("all_jaccard_one"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+             |TRUE AS all_collide, TRUE AS all_jaccard_one
+             |FROM documents WHERE doc_id < 100""".stripMargin)),
+
+    QueryDef(
+      "q_simhash_twin_recall",
+      // ORACLE-CHECKABLE SimHash gate (r10), and the driver-checked proof
+      // of the BandJoin hot-bucket guard's Hamming-0 invariant: identical
+      // text → identical 64-bit signature → equal in every band AND in
+      // every rotated secondary slice, so a sub-split bucket can NEVER
+      // separate exact duplicates (the operator's documented "exact dups
+      // are never lost" claim, here asserted through the full
+      // cappedCandidates path at the default cap on corpus + twins).
+      (s, dir) => {
+        val offset = 10000000L
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val twins = docs.filter(col("doc_id") < 150)
+          .select((col("doc_id") + offset).as("doc_id"), col("text"))
+        val sig = docs.unionByName(twins).select(col("doc_id"),
+          graft.functions.HashExpressions.simhashSig(
+            array_distinct(graft.functions.HashExpressions.tokenHashes(
+              split(col("text"), " ")))).as("sig"))
+        val banded = sig.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandBits")
+        val twinPairs = graft.operators.BandJoin
+          .cappedCandidates(banded, "sig",
+            s.conf.getOption("spark.graft.band.cap").map(_.toInt)
+              .getOrElse(graft.operators.BandJoin.DefaultCap))
+          .filter(col("doc_b") === col("doc_a") + offset && col("doc_a") < 150)
+        val found = twinPairs.agg(count(lit(1)).as("n_found"),
+          coalesce(max(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+            .cast("long")), lit(-1L)).as("max_ham"))
+        docs.filter(col("doc_id") < 150).agg(count(lit(1)).as("n_twins"))
+          .crossJoin(broadcast(found))
+          .select(col("n_twins"),
+            (col("n_found") === col("n_twins")).as("all_found"),
+            (col("n_found") === col("n_twins") && col("max_ham") === 0L)
+              .as("all_hamming_zero"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+             |TRUE AS all_found, TRUE AS all_hamming_zero
+             |FROM documents WHERE doc_id < 150""".stripMargin)),
+
+    QueryDef(
+      "q_phash_twin_recall",
+      // ORACLE-CHECKABLE perceptual-hash gate (r10) — q_image_phash's
+      // deterministic slice through the SAME guarded band machinery:
+      // byte-identical payloads fingerprint identically (dHash for
+      // decodable rasters, byte-shingle SimHash for this text-bytes
+      // corpus — both content-deterministic), so planted twin payloads
+      // must collide in the banded join and verify at Hamming 0. With
+      // q_simhash_twin_recall this puts both members of the 64-bit
+      // signature family under the driver oracle at the exact-duplicate
+      // point, where the LSH guarantee is absolute.
+      (s, dir) => {
+        val offset = 10000000L
+        val payloads = graft.functions.Multimodal.asBinaryPayload(
+          t(s, dir, "documents"))
+        val twins = payloads.filter(col("doc_id") < 100)
+          .select((col("doc_id") + offset).as("doc_id"),
+            col("payload"), col("content_type"))
+        val sig = graft.functions.Multimodal.perceptualHash(
+          payloads.unionByName(twins))
+        val banded = graft.functions.Multimodal.phashBands(sig, nTables = 1)
+        val twinPairs = graft.operators.BandJoin
+          .cappedCandidates(banded, "phash",
+            s.conf.getOption("spark.graft.band.cap").map(_.toInt)
+              .getOrElse(graft.operators.BandJoin.DefaultCap))
+          .filter(col("doc_b") === col("doc_a") + offset && col("doc_a") < 100)
+        val found = twinPairs.agg(count(lit(1)).as("n_found"),
+          coalesce(max(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+            .cast("long")), lit(-1L)).as("max_ham"))
+        payloads.filter(col("doc_id") < 100).agg(count(lit(1)).as("n_twins"))
+          .crossJoin(broadcast(found))
+          .select(col("n_twins"),
+            (col("n_found") === col("n_twins")).as("all_found"),
+            (col("n_found") === col("n_twins") && col("max_ham") === 0L)
+              .as("all_hamming_zero"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+             |TRUE AS all_found, TRUE AS all_hamming_zero
+             |FROM documents WHERE doc_id < 100""".stripMargin)),
+
+    QueryDef(
+      "q_kmeans_quality",
+      // ORACLE-CHECKABLE k-means gates (r10) — the deterministic contract
+      // of q_cluster_kmeans under the driver oracle: (1) row conservation
+      // (every vector with a usable embedding gets exactly one assignment);
+      // (2) cluster ids live in [0, k); (3) the Lloyd potential is
+      // monotone — WCSS of the 4-iteration assignment against its own
+      // empirical means is ≤ WCSS of the 0-iteration (seed) assignment
+      // against ITS empirical means, the textbook φ(A₄) ≤ φ(A₀) chain.
+      // WCSS runs as Σx²−(Σx)²/n per (cluster, dim) over DECIMAL partial
+      // sums — order-independent, so the booleans are stable across
+      // partitionings; the per-group finish is k·dim rows, never data.
+      (s, dir) => {
+        val k = 10
+        val emb = t(s, dir, "embeddings")
+        val eligible = emb.filter(col("embedding").isNotNull &&
+          size(col("embedding")) > 0 && forall(col("embedding"), _.isNotNull))
+        def wcss(assignments: DataFrame): DataFrame =
+          assignments.join(eligible.select("vec_id", "embedding"), "vec_id")
+            .select(col("cluster"), posexplode(col("embedding")))
+            .groupBy("cluster", "pos")
+            .agg(sum(col("col").cast(DecimalType(38, 12))).as("sx"),
+              sum((col("col") * col("col")).cast(DecimalType(38, 12))).as("sx2"),
+              count(lit(1)).as("n"))
+            .select((col("sx2").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")).as("g"))
+            .agg(coalesce(sum(col("g").cast(Dec38)), lit(0).cast(Dec38)).as("w"))
+        val a4 = graft.operators.KMeans
+          .assign(emb, "vec_id", "embedding", k, iters = 4)
+        val a0 = graft.operators.KMeans
+          .assign(emb, "vec_id", "embedding", k, iters = 0)
+        val stats4 = a4.agg(count(lit(1)).as("n4"),
+          min(col("cluster")).as("cmin"), max(col("cluster")).as("cmax"))
+        eligible.agg(count(lit(1)).as("n_vectors"))
+          .crossJoin(broadcast(stats4))
+          .crossJoin(broadcast(wcss(a4).select(col("w").as("w4"))))
+          .crossJoin(broadcast(wcss(a0).select(col("w").as("w0"))))
+          .select(col("n_vectors"),
+            (col("n4") === col("n_vectors")).as("all_assigned"),
+            (col("cmin") >= 0 && col("cmax") < k).as("clusters_in_range"),
+            (col("w4") <= col("w0")).as("wcss_improved"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             |TRUE AS all_assigned, TRUE AS clusters_in_range,
+             |TRUE AS wcss_improved
+             |FROM embeddings
+             |WHERE embedding IS NOT NULL AND len(embedding) > 0
+             |  AND len(list_filter(embedding, x -> x IS NULL)) = 0""".stripMargin)),
 
     QueryDef(
       "q_hard_negatives",

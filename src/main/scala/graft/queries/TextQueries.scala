@@ -367,10 +367,13 @@ object TextQueries extends QueryModule {
     QueryDef(
       "q_multimodal_features",
       // Full multimodal plumbing through the engine: binary payload →
-      // per-partition batch decode (stubbed codec, real schema/iteration/
-      // encoder plumbing — graft.functions.Multimodal) → typed feature rows.
-      // No oracle: mapPartitions is not SQL-expressible; DedupSpec pins
-      // determinism across repartitionings.
+      // per-partition batch decode → typed feature rows. The codec is REAL
+      // for raster/WAV payloads (pixel decode + mean/variance + 16-bin
+      // luma histogram — graft.functions.Multimodal); this text-bytes
+      // corpus takes the labeled stub, exercising the same schema/
+      // iteration/encoder plumbing. No oracle: mapPartitions is not
+      // SQL-expressible; DedupSpec pins real-decode values and determinism
+      // across repartitionings.
       (s, dir) => {
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
         graft.functions.Multimodal.extractFeatures(payloads)
@@ -383,14 +386,17 @@ object TextQueries extends QueryModule {
     QueryDef(
       "q_multimodal_resize",
       // Resize plumbing through the declared surface: binary payload →
-      // fixed-geometry buffer per doc (stub resample; real per-partition
-      // executor iteration — graft.functions.Multimodal.resizeStub). The
-      // compared projection hexes a buffer prefix so output stays textual.
-      // No oracle: mapPartitions is not SQL-expressible; DedupSpec pins
-      // geometry + determinism across repartitionings.
+      // fixed-geometry buffer per doc (graft.functions.Multimodal.resize —
+      // REAL exact-integer area-average resample for raster payloads,
+      // labeled byte-sampling stub for this text-bytes corpus; identical
+      // per-partition executor iteration on both paths). The compared
+      // projection hexes a buffer prefix so output stays textual. No
+      // oracle: mapPartitions is not SQL-expressible; DedupSpec pins
+      // real-pixel area averages, geometry + determinism across
+      // repartitionings.
       (s, dir) => {
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
-        graft.functions.Multimodal.resizeStub(payloads, 8, 4)
+        graft.functions.Multimodal.resize(payloads, 8, 4)
           .select(col("doc_id"), col("width"), col("height"),
             hex(substring(col("pixels"), 1, 8)).as("px_prefix"))
           .orderBy("doc_id")

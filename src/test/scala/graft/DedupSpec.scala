@@ -244,25 +244,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) == docsDf.orderBy("doc_id").collect()(0).getString(1).length)
   }
 
-  test("multimodal resize stub: fixed output geometry, deterministic") {
+  test("multimodal resize: fixed output geometry, deterministic") {
     val payloads = Multimodal.asBinaryPayload(docsDf)
-    val resized = Multimodal.resizeStub(payloads, 8, 4).orderBy("doc_id").collect()
+    val resized = Multimodal.resize(payloads, 8, 4).orderBy("doc_id").collect()
     assert(resized.length == 4)
     resized.foreach { r =>
       assert(r.getInt(1) == 8 && r.getInt(2) == 4)
       assert(r.getAs[Array[Byte]](3).length == 32)
     }
-    val again = Multimodal.resizeStub(payloads.repartition(3), 8, 4)
+    val again = Multimodal.resize(payloads.repartition(3), 8, 4)
       .orderBy("doc_id").collect()
     assert(resized.map(_.getAs[Array[Byte]](3).toSeq).toSeq ==
       again.map(_.getAs[Array[Byte]](3).toSeq).toSeq)
   }
 
-  test("multimodal resize stub: empty payload yields an all-zero buffer, no crash") {
+  test("multimodal resize: empty payload yields an all-zero buffer, no crash") {
     val s = spark
     import s.implicits._
     val empty = Seq((9L, Array.emptyByteArray)).toDF("doc_id", "payload")
-    val r = Multimodal.resizeStub(empty, 4, 4).collect()
+    val r = Multimodal.resize(empty, 4, 4).collect()
     assert(r.length == 1 && r(0).getAs[Array[Byte]](3).forall(_ == 0))
   }
 
@@ -292,13 +292,26 @@ class DedupSpec extends AnyFunSuite {
     }
     val mean = lumas.sum.toDouble / 8
     assert(math.abs(f(2) - mean) < 0.01, s"mean luma ${f(2)} vs $mean")
+    // r10: the REAL 16-bin luma histogram follows [w,h,mean,var] — exact
+    // normalized counts of bin l>>4 over the 8 decoded pixels
+    assert(f.length == 4 + Multimodal.LumaHistBins)
+    val expectHist = {
+      val h = new Array[Float](Multimodal.LumaHistBins)
+      lumas.foreach(l => h(l >> 4) += 1f / 8)
+      h.toSeq
+    }
+    assert(f.drop(4) == expectHist, s"luma histogram ${f.drop(4)}")
+    assert(math.abs(f.drop(4).sum - 1.0f) < 1e-6)
     // non-image payload stays on the declared stub path
     assert(feats(1).getString(2) == "stub")
 
-    // real resize: 2×1 nearest-neighbour picks pixels (0,0) and (2,0)
-    val resized = Multimodal.resizeStub(df, 2, 1).orderBy("doc_id").collect()
+    // real resize (r10): 2×1 EXACT AREA-AVERAGE — each output cell is the
+    // integer mean luma of its 2×2 source block
+    val resized = Multimodal.resize(df, 2, 1).orderBy("doc_id").collect()
     val px = resized(0).getAs[Array[Byte]](3)
-    assert(px.toSeq == Seq(lumas(0).toByte, lumas(2).toByte))
+    assert(px.toSeq == Seq(
+      ((lumas(0) + lumas(1) + lumas(4) + lumas(5)) / 4).toByte,
+      ((lumas(2) + lumas(3) + lumas(6) + lumas(7)) / 4).toByte))
     // deterministic across partitionings
     val again = Multimodal.extractFeatures(df.repartition(2)).orderBy("doc_id").collect()
     assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
@@ -336,7 +349,7 @@ class DedupSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(df.repartition(2)).collect()
     assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
     // resize takes the real pixel path for JPEG too
-    val resized = Multimodal.resizeStub(df, 4, 2).collect()
+    val resized = Multimodal.resize(df, 4, 2).collect()
     assert(resized(0).getAs[Array[Byte]](3).length == 8)
   }
 
