@@ -1497,5 +1497,63 @@ object SimilarityQueries extends QueryModule {
              |  CAST(sfx AS DOUBLE) / 1073741824.0 AS sum_x,
              |  CAST(sfx AS DOUBLE) / 1073741824.0 / CAST(n AS DOUBLE) AS centroid
              |FROM agg ORDER BY label, dim""".stripMargin)),
+
+    QueryDef(
+      "q_semdedup",
+      // SemDeDup (r10, the Abbas-et-al-2023 shape): k-means-partition the
+      // embedding space (operators/KMeans — deterministic seeds, decimal
+      // sums), materialize cosine >= tau pairs ONLY within a cluster (an
+      // equi-join on the cluster id — the entire point of clustering
+      // first: candidate cost is sum(|cluster|^2), never |corpus|^2, and
+      // k grows with the corpus so cluster size stays bounded), then
+      // connected-components over the within-cluster pair graph and keep
+      // the min-id representative per component. This is the semantic
+      // twin of q_dedup_embed's bounded exact pass and the cluster-aware
+      // upgrade of the LSH/IVF bucket candidates.
+      //
+      // Oracle: kept/removed membership depends on FP k-means cells, so
+      // the declared row is the exact corpus count plus pinned structural
+      // booleans, all computed distributed with no driver action:
+      //  - partition_ok: kept + removed = corpus (the sets partition it);
+      //  - neighbor_ok: every removed vector has an in-cluster cos >= tau
+      //    edge (it joined a component of size >= 2);
+      //  - independent_ok: no cos >= tau in-cluster edge joins two KEPT
+      //    vectors (distinct components share no edge; within a component
+      //    only the rep survives).
+      // DedupSpec drives the non-vacuous path on planted duplicate
+      // vectors; here tau=0.30 prunes the corpus's own near-pairs.
+      (s, dir) => {
+        val tau = 0.30
+        val emb = t(s, dir, "embeddings")
+        val (assigned, pairs) = graft.operators.SemDeDup
+          .clusterPairs(emb, "vec_id", "embedding", k = 8, iters = 3, tau = tau)
+        val comp = graft.operators.Ops.connectedComponents(pairs)
+        val removed = comp.filter(!col("is_rep"))
+          .select(col("id").cast("long").as("vec_id"))
+        val kept = assigned.select("vec_id").join(removed, Seq("vec_id"), "left_anti")
+        val nTotal = assigned.agg(count(lit(1)).as("n_total"))
+        val nKept = kept.agg(count(lit(1)).as("n_kept"))
+        val nRemoved = removed.agg(count(lit(1)).as("n_removed"))
+        val orphaned = removed.join(
+            pairs.select(col("id_a").as("vec_id"))
+              .union(pairs.select(col("id_b").as("vec_id"))).distinct(),
+            Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        val keptEdges = pairs
+          .join(removed.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_anti")
+          .join(removed.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_anti")
+          .agg(count(lit(1)).as("kept_edges"))
+        nTotal.crossJoin(broadcast(nKept)).crossJoin(broadcast(nRemoved))
+          .crossJoin(broadcast(orphaned)).crossJoin(broadcast(keptEdges))
+          .select(col("n_total"),
+            (col("n_kept") + col("n_removed") === col("n_total")).as("partition_ok"),
+            (col("orphans") === 0L).as("neighbor_ok"),
+            (col("kept_edges") === 0L).as("independent_ok"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS partition_ok,
+             |TRUE AS neighbor_ok, TRUE AS independent_ok
+             |FROM embeddings
+             |WHERE embedding IS NOT NULL AND len(embedding) > 0
+             |  AND len(list_filter(embedding, x -> x IS NULL)) = 0""".stripMargin)),
   )
 }

@@ -1078,5 +1078,71 @@ object TextQueries extends QueryModule {
              |FROM assigned a JOIN totals t ON a.source = t.source
              |GROUP BY a.source, a.split, t.total
              |ORDER BY a.source, a.split""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_substring",
+      // Substring-level duplication audit (r10) — the Lee-et-al-style
+      // "repeated spans across documents" signal that doc-level dedup
+      // (q_dedup_exact/minhash) cannot see: boilerplate headers, quoted
+      // passages, licence blocks. Window positions are CONTENT-DEFINED
+      // (winnowing-style): position i is sampled iff the first md5 nibble
+      // of its 8-char seed is '0' (expected density 1/16), so two docs
+      // sharing a run select the IDENTICAL in-run positions regardless of
+      // where the run sits in each doc — a fixed stride would only catch
+      // runs aligned mod stride. A sampled 40-char window whose hash
+      // appears in >= 2 DISTINCT docs marks a cross-document duplicated
+      // span; reports per-doc sampled/dup counts + dup ratio — the
+      // pre-training filter keys on dup_ratio.
+      //
+      // Scale shape: candidate positions explode map-side but the 15/16
+      // rejected ones die in the same codegen stage — only the sampled
+      // slim (doc_id, md5) rows ever shuffle (~chars/16). Then one
+      // groupBy(h) with partial-distinct for the >= 2-docs census, one
+      // semi-join back, two per-doc aggregates — linear in corpus
+      // characters, no all-pairs anywhere. A degenerate hot hash (e.g. a
+      // whitespace window shared by millions of docs) is ONE census group
+      // (map-side combine) and a <= 1-row-match semi-join probe, so hot
+      // spans cost no replication. At 100 TB, swap md5 for xxhash64 to
+      // shrink the shuffled key 4x (kept md5 here because DuckDB mirrors
+      // it token-for-token) and pre-chunk multi-MB docs so the per-row
+      // position array stays bounded.
+      (s, dir) => {
+        val W = 40
+        val wins = t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) >= W)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1),
+              length(col("text")) - (W - 1), lit(1))).as("i"))
+          .filter(substring(md5(col("text").substr(col("i"), lit(8))), 1, 1)
+            === "0")
+          .select(col("doc_id"),
+            md5(col("text").substr(col("i"), lit(W))).as("h"))
+        val dup = wins.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val dupPerDoc = wins.join(dup, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+          .join(dupPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double")
+              / col("n_windows").cast("double")).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, md5(substr(text, CAST(i AS INT), 40)) AS h
+             |  FROM (SELECT doc_id, text,
+             |          UNNEST(range(1, length(text)-39+1, 1)) AS i
+             |        FROM documents WHERE text IS NOT NULL AND length(text) >= 40)
+             |  WHERE substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0'),
+             |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+             |per_doc AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             |    CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS BIGINT) AS n_dup
+             |  FROM w GROUP BY doc_id)
+             |SELECT doc_id, n_windows, n_dup,
+             |  CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE) AS dup_ratio
+             |FROM per_doc ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -553,4 +553,71 @@ class DedupSpec extends AnyFunSuite {
         s"amplified run must keep every radius-3 pair (missing: ${base.diff(amp).take(3)})")
     } finally s.conf.unset("spark.graft.phash.tables")
   }
+
+  test("substring dedup: planted shared span found at ANY alignment; unique docs clean (r10)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // 120-char shared block planted at offsets 0, 13 and 57 — a fixed-stride
+    // scheme would need the offsets to agree mod stride; content-defined
+    // sampling must catch all three.
+    val block = noise(120)
+    val docs = Seq(
+      (0L, block + noise(200)),
+      (1L, noise(13) + block + noise(150)),
+      (2L, noise(57) + block),
+      (3L, noise(400)),
+      (4L, noise(380)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_substring")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(out(id)._2 > 0, s"doc $id shares the planted block but n_dup=0")
+    }
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id)._2 == 0, s"unique doc $id flagged with dup windows")
+    }
+    // determinism across partitionings — the census must not depend on layout
+    val repart = SparkEntry.queries("q_dedup_substring")(s, dir)
+    assert(repart.collect().toSeq == SparkEntry.queries("q_dedup_substring")(s, dir)
+      .repartition(7).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("semdedup: planted near-copies pruned to their min-id anchors, gates hold (r10)") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def oneHot(i: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(dim)(eps); a(i) = 1f; a
+    }
+    // ids 0-7 are orthogonal anchors (and the k=8 k-means seeds); each of
+    // ids 100+ is an eps-perturbed copy of one anchor (cos ~ 1 to it, ~ 0
+    // to every other anchor), so the expected prune keeps exactly the
+    // anchors and id 200 (isolated, its own cell or alone above tau).
+    val anchors = (0 until 8).map(i => (i.toLong, oneHot(i)))
+    val copies = Seq(100L -> 0, 101L -> 0, 102L -> 3, 103L -> 7)
+      .map { case (id, a) => (id, oneHot(a, 0.01f)) }
+    val lone = Seq((200L, { val a = Array.fill(dim)(0f); a(40) = 1f; a(41) = 0.7f; a }))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    (anchors ++ copies ++ lone).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val pruned = graft.operators.SemDeDup
+      .prune(emb, "vec_id", "embedding", k = 8, iters = 2, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(pruned.size == 13)
+    (0 until 8).foreach(i => assert(pruned(i.toLong), s"anchor $i must be kept"))
+    Seq(100L, 101L, 102L, 103L).foreach(id =>
+      assert(!pruned(id), s"near-copy $id must be pruned"))
+    assert(pruned(200L), "isolated vector must be kept")
+    // the declared gates hold on the planted corpus too
+    val gates = SparkEntry.queries("q_semdedup")(s, dir).collect()(0)
+    assert(gates.getLong(0) == 13L)
+    assert(gates.getBoolean(1) && gates.getBoolean(2) && gates.getBoolean(3))
+  }
 }

