@@ -35,7 +35,23 @@ object KMeans {
     * deterministic).
     */
   def assign(em0: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    assignImpl(em0, idCol, vecCol, k, iters, top2 = false)
+
+  /** Like [[assign]] but also emits `cluster2`, the RUNNER-UP (second
+    * nearest) centroid index — the Voronoi-boundary secondary key
+    * [[SemDeDup]] sub-splits mega-clusters by. Same determinism contract;
+    * with a score tie for the max, the tied cluster is skipped for the
+    * runner-up too (masking is by value), and with k = 1 `cluster2 ==
+    * cluster`. Still one map-side projection: both argmaxes read the same
+    * per-row literal-centroid score array.
+    */
+  def assignTop2(em0: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame =
+    assignImpl(em0, idCol, vecCol, k, iters, top2 = true)
+
+  private def assignImpl(em0: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, top2: Boolean): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val SumDec = DecimalType(38, 12)
     // Null/empty/null-element vectors are EXCLUDED up front (ADVICE r7):
@@ -54,13 +70,13 @@ object KMeans {
         }.toArray)
     require(cents.length == k, s"need at least $k rows to seed $k centroids")
 
-    def cluster(vec: Column): Column = {
-      val scores = array(cents.map { c =>
-        graft.functions.VectorExpressions.dot(vec, typedLit(c)) -
-          lit(c.map(x => x * x).sum / 2.0)
-      }.toIndexedSeq: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
+    def scores(vec: Column): Column = array(cents.map { c =>
+      graft.functions.VectorExpressions.dot(vec, typedLit(c)) -
+        lit(c.map(x => x * x).sum / 2.0)
+    }.toIndexedSeq: _*)
+    def argmax(sc: Column): Column =
+      (array_position(sc, array_max(sc)) - 1).cast("int")
+    def cluster(vec: Column): Column = argmax(scores(vec))
 
     for (_ <- 1 to iters) {
       val sums = em
@@ -79,6 +95,16 @@ object KMeans {
         }
       }
     }
-    em.select(col(idCol), cluster(col(vecCol)).as("cluster"))
+    if (!top2) em.select(col(idCol), cluster(col(vecCol)).as("cluster"))
+    else {
+      // mask the best score(s) by VALUE and re-argmax — one shared score
+      // array per row, both argmaxes map-side.
+      val best = array_max(col("scores"))
+      val masked = transform(col("scores"),
+        x => when(x === best, lit(Double.NegativeInfinity)).otherwise(x))
+      em.select(col(idCol), scores(col(vecCol)).as("scores"))
+        .select(col(idCol), argmax(col("scores")).as("cluster"),
+          argmax(masked).as("cluster2"))
+    }
   }
 }

@@ -24,31 +24,62 @@ import graft.functions.VectorExpressions.{dot, l2norm}
   */
 object SemDeDup {
 
+  /** Cell occupancy above which the mega-cluster sub-split kicks in. Pair
+    * cost per un-split cell is occ²/2 cosines, so 2048 bounds the worst
+    * cold cell at ~2M codegen dot products while leaving every healthy
+    * cell (the paper regime keeps |cell| ~ sqrt(n)/1) untouched.
+    */
+  val DefaultClusterCap = 2048
+
   /** Within-cluster candidate pairs: (id_a, id_b) with id_a < id_b, same
     * k-means cell, cosine >= tau. Also returns the per-id cell assignment
     * (id, cluster) so callers can reuse it without a second k-means run.
+    *
+    * Mega-cluster guard (the [[BandJoin.cappedCandidates]] recipe applied
+    * to k-means cells): pair cost is Σ|cell|², which one degenerate cell —
+    * common on near-duplicate-heavy corpora — turns quadratic with no
+    * bound. So the census counts cell occupancy first (k rows, broadcast
+    * back), and cells over `cap` sub-split by the RUNNER-UP centroid index
+    * ([[KMeans.assignTop2]]): a hot cell of size B fans across up to k−1
+    * Voronoi-boundary sub-buckets and its pair count drops from B² toward
+    * Σᵢbᵢ² — and since the paper posture grows k with the corpus, the
+    * fanout grows with it. Recall effect (documented, by design): a ≥ tau
+    * pair inside a HOT cell is lost only if the two vectors' second
+    * nearest centroids differ — near-identical vectors (the high-tau dedup
+    * regime) share a runner-up almost surely, and exact duplicates have
+    * identical score vectors, hence identical runner-ups: NEVER lost.
+    * Cold cells keep subKey = −1, so under-cap corpora are bit-identical
+    * to the unguarded join.
     */
   def clusterPairs(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, tau: Double): (DataFrame, DataFrame) = {
-    val assigned = KMeans.assign(emb, idCol, vecCol, k, iters)
-    val vecs = emb.join(assigned, Seq(idCol))
-      .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("v"),
-        l2norm(col(vecCol)).as("nrm"))
+      k: Int, iters: Int, tau: Double,
+      cap: Int = DefaultClusterCap): (DataFrame, DataFrame) = {
+    require(cap >= 2, s"cluster cap must be >= 2, got $cap")
+    val assigned2 = KMeans.assignTop2(emb, idCol, vecCol, k, iters)
+    val occ = assigned2.groupBy("cluster").agg(count(lit(1)).as("occ"))
+    val withSub = assigned2.join(broadcast(occ), Seq("cluster"))
+      .withColumn("subKey",
+        when(col("occ") > cap, col("cluster2")).otherwise(lit(-1)))
+    val vecs = emb.join(withSub, Seq(idCol))
+      .select(col(idCol).as("id"), col("cluster"), col("subKey"),
+        col(vecCol).as("v"), l2norm(col(vecCol)).as("nrm"))
     val pairs = vecs.as("a").join(vecs.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        col("a.cluster") === col("b.cluster") &&
+          col("a.subKey") === col("b.subKey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
       .select("id_a", "id_b")
-    (assigned, pairs)
+    (assigned2.select(col(idCol), col("cluster")), pairs)
   }
 
   /** `(id, cluster, kept)` — kept = false iff the id sits in a >= tau
     * within-cluster component and is not its min-id representative.
     */
   def prune(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, tau: Double): DataFrame = {
-    val (assigned, pairs) = clusterPairs(emb, idCol, vecCol, k, iters, tau)
+      k: Int, iters: Int, tau: Double,
+      cap: Int = DefaultClusterCap): DataFrame = {
+    val (assigned, pairs) = clusterPairs(emb, idCol, vecCol, k, iters, tau, cap)
     val removed = Ops.connectedComponents(pairs)
       .filter(!col("is_rep"))
       .select(col("id"), lit(false).as("kept"))

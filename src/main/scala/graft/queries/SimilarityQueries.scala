@@ -463,10 +463,18 @@ object SimilarityQueries extends QueryModule {
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
         val twins = emb.filter(col("vec_id") < 200)
           .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+        // bucketCap = 0 (UNCAPPED) is load-bearing for the declared
+        // boolean: the production cap keeps a pseudo-random subset per
+        // (table, bucket), so at a larger corpus a hot bucket could evict
+        // the twin in every table and flip all_recalled — the gate must be
+        // deterministic-sound at ANY scale factor. Uncapped is safe here:
+        // bits=14 keeps expected occupancy ~n/2^14 per table, and the gate
+        // corpus is the embeddings table, not an adversarial constant-
+        // vector feed (the cap's reason to exist).
         val cfg = graft.operators.AnnLsh.Config(
           tables = sys.props.getOrElse("graft.lsh.tables", "8").toInt,
           bits = sys.props.getOrElse("graft.lsh.bits", "14").toInt,
-          bucketCap = sys.props.getOrElse("graft.lsh.bucketCap", "128").toInt)
+          bucketCap = sys.props.getOrElse("graft.lsh.bucketCap", "0").toInt)
         val ann = graft.operators.AnnLsh.annCosineTopK(
           fanOutScan(emb.unionByName(twins)), "vec_id", "embedding", cfg)
         val found = ann.filter(col("qid") >= offset)

@@ -626,12 +626,17 @@ object DeltaSink {
     val target = checkpointFile(table, meta.version)
     store match {
       case os: ObjectStore =>
-        // Store path: stage the checkpoint parquet locally, CLEAR any
-        // stale parts at the target version (a failed partial upload or
-        // same-version re-checkpoint would otherwise strand orphan part
-        // files forever — the store twin of the local path's
-        // delete-then-rename), PUBLISH each part through the store, then
-        // flip _last_checkpoint with a plain put — the server's
+        // Store path: stage the checkpoint parquet locally, UPLOAD the new
+        // parts first (object PUTs replace atomically, so a same-version
+        // re-checkpoint never empties an already-published dir — deleting
+        // first would leave _last_checkpoint referencing a missing
+        // checkpoint if the re-upload died mid-flight, and concurrent
+        // readers would see a partially-emptied dir during the
+        // network-slow window), THEN reclaim only the stale keys not in
+        // the new part set (a failed partial upload or a different
+        // partition count would otherwise strand orphan parts that
+        // shadow-pad snapshot reads forever). Finally flip
+        // _last_checkpoint with a plain put — the server's
         // tmp+atomic-move gives the same no-partial-pointer guarantee as
         // the local write-then-rename below.
         val staging = Files.createTempDirectory("graft-ckpt-stage").toFile
@@ -639,11 +644,12 @@ object DeltaSink {
           df.write.mode("overwrite").option("compression", "snappy")
             .parquet(staging.getPath)
           new File(staging, "_SUCCESS").delete()
-          os.listPrefix(target).foreach(os.deleteObject)
-          dataFiles(staging).foreach { src =>
-            os.putObject(target.resolve(src.getName),
-              Files.readAllBytes(src.toPath))
-          }
+          val fresh = dataFiles(staging).map { src =>
+            val key = target.resolve(src.getName)
+            os.putObject(key, Files.readAllBytes(src.toPath))
+            key
+          }.toSet
+          os.listPrefix(target).filterNot(fresh).foreach(os.deleteObject)
         } finally deleteRecursively(staging)
       case _ =>
         // Stage INSIDE _delta_log: the final step is then a same-filesystem

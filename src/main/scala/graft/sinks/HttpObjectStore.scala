@@ -60,6 +60,12 @@ object HttpObjectStore {
     val objectDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
     val objectGets = new java.util.concurrent.atomic.AtomicInteger(0)
     val listings = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** When set, list requests answer 500 — the injection point for the
+      * "a transient listing error must surface, never read as an empty
+      * prefix" client contract.
+      */
+    @volatile var failListings = false
     private val server = com.sun.net.httpserver.HttpServer
       .create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -182,16 +188,19 @@ object HttpObjectStore {
           // "key size" line per object at or under the key
           case ("GET", None, _) if q.contains("list") =>
             listings.incrementAndGet()
-            def walkKeys(p: Path): Seq[Path] =
-              if (Files.isRegularFile(p)) Seq(p)
-              else if (Files.isDirectory(p))
-                Files.list(p).iterator().asScala.toSeq
-                  .filterNot(_.getFileName.toString == ".mp-uploads")
-                  .flatMap(walkKeys)
-              else Nil
-            val lines = walkKeys(target).map(p =>
-              s"${root.relativize(p)} ${Files.size(p)}").sorted.mkString("\n")
-            respond(ex, 200, lines.getBytes(StandardCharsets.UTF_8))
+            if (failListings) respond(ex, 500)
+            else {
+              def walkKeys(p: Path): Seq[Path] =
+                if (Files.isRegularFile(p)) Seq(p)
+                else if (Files.isDirectory(p))
+                  Files.list(p).iterator().asScala.toSeq
+                    .filterNot(_.getFileName.toString == ".mp-uploads")
+                    .flatMap(walkKeys)
+                else Nil
+              val lines = walkKeys(target).map(p =>
+                s"${root.relativize(p)} ${Files.size(p)}").sorted.mkString("\n")
+              respond(ex, 200, lines.getBytes(StandardCharsets.UTF_8))
+            }
 
           case ("GET", None, _) =>
             if (Files.isRegularFile(target)) {
@@ -270,10 +279,14 @@ object HttpObjectStore {
       val resp = http.send(
         HttpRequest.newBuilder(URI.create(keyUri(prefix).toString + "?list")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200) Nil
-      else resp.body().linesIterator.filter(_.nonEmpty).map { l =>
-        root.resolve(l.substring(0, l.lastIndexOf(' ')))
-      }.toSeq
+      // A missing prefix is HTTP 200 with an empty body, so any non-200 is
+      // a REAL error — swallowing it as "empty listing" would silently skip
+      // the stale-part reclaim DeltaSink.checkpoint depends on and let
+      // orphaned parts shadow-pad the published checkpoint dir.
+      if (resp.statusCode() != 200)
+        throw new IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
+      resp.body().linesIterator.filter(l => l.nonEmpty && l.lastIndexOf(' ') > 0)
+        .map(l => root.resolve(l.substring(0, l.lastIndexOf(' ')))).toSeq
     }
 
     private def keyUri(target: Path): URI = {

@@ -311,12 +311,17 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
   /** SASLprep (RFC 4013) of the SCRAM password, as RFC 5802 §2.2 requires
     * before it feeds Hi(): map non-ASCII spaces to SPACE (C.1.2),
     * drop the map-to-nothing set (B.1: soft hyphen, ZWSP/ZWNJ/ZWJ,
-    * variation selectors, BOM), normalize NFKC, then reject prohibited
-    * output — control characters (C.2.1/C.2.2) and unassigned code points
-    * — loudly rather than send bytes a spec-compliant server will hash
-    * differently. ASCII passwords pass through byte-identical, so the
-    * FakePgServer fixtures (which store verifiers of the raw password)
-    * are unaffected.
+    * variation selectors, BOM), normalize NFKC, then reject the FULL
+    * prohibited-output set loudly rather than send bytes a spec-compliant
+    * server will hash differently or reject: controls (C.2.1/C.2.2),
+    * private use (C.3), non-characters (C.4), surrogates (C.5),
+    * inappropriate-for-plain-text incl. U+FFFD (C.6), ideographic
+    * description characters (C.7), display-property changers (C.8),
+    * tagging characters (C.9), unassigned code points, and the RFC 3454
+    * §6 bidi rules (no LCat mixed into a RandALCat string; a RandALCat
+    * string must start AND end RandALCat). ASCII passwords pass through
+    * byte-identical, so the FakePgServer fixtures (which store verifiers
+    * of the raw password) are unaffected.
     */
   private[graft] def saslPrep(pw: String): String = {
     val mapped = pw.codePoints().toArray.flatMap { cp =>
@@ -332,13 +337,43 @@ final case class PgSocketTransport(host: String, port: Int, user: String,
     }
     val prepped = java.text.Normalizer.normalize(
       new String(mapped, 0, mapped.length), java.text.Normalizer.Form.NFKC)
-    prepped.codePoints().forEach { cp =>
-      if (cp < 0x20 || cp == 0x7F || (cp >= 0x80 && cp <= 0x9F))
+    def prohibit(cp: Int, table: String): Nothing = throw new java.io.IOException(
+      f"SCRAM password contains SASLprep-prohibited output U+$cp%04X ($table)")
+    val cps = prepped.codePoints().toArray
+    cps.foreach { cp =>
+      if (cp < 0x20 || cp == 0x7F) prohibit(cp, "C.2.1 ASCII control")
+      if ((cp >= 0x80 && cp <= 0x9F) || cp == 0x06DD || cp == 0x070F ||
+          cp == 0x180E || cp == 0x2028 || cp == 0x2029 ||
+          (cp >= 0x2060 && cp <= 0x2063) || cp == 0xFEFF ||
+          (cp >= 0x1D173 && cp <= 0x1D17A)) prohibit(cp, "C.2.2 non-ASCII control")
+      if ((cp >= 0xE000 && cp <= 0xF8FF) || (cp >= 0xF0000 && cp <= 0xFFFFD) ||
+          (cp >= 0x100000 && cp <= 0x10FFFD)) prohibit(cp, "C.3 private use")
+      if ((cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE)
+        prohibit(cp, "C.4 non-character")
+      if (cp >= 0xD800 && cp <= 0xDFFF) prohibit(cp, "C.5 surrogate")
+      if (cp >= 0xFFF9 && cp <= 0xFFFD) prohibit(cp, "C.6 inappropriate for plain text")
+      if (cp >= 0x2FF0 && cp <= 0x2FFB) prohibit(cp, "C.7 ideographic description")
+      if (cp == 0x0340 || cp == 0x0341 || cp == 0x200E || cp == 0x200F ||
+          (cp >= 0x202A && cp <= 0x202E) || (cp >= 0x206A && cp <= 0x206F))
+        prohibit(cp, "C.8 change-display-property/deprecated")
+      if (cp == 0xE0001 || (cp >= 0xE0020 && cp <= 0xE007F))
+        prohibit(cp, "C.9 tagging")
+      if (Character.getType(cp) == Character.UNASSIGNED)
+        prohibit(cp, "unassigned code point")
+    }
+    // RFC 3454 §6 bidi: RandALCat = directionality R or AL; LCat = L
+    def dir(cp: Int) = Character.getDirectionality(cp)
+    val randAL = cps.exists(cp => dir(cp) == Character.DIRECTIONALITY_RIGHT_TO_LEFT ||
+      dir(cp) == Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC)
+    if (randAL) {
+      if (cps.exists(cp => dir(cp) == Character.DIRECTIONALITY_LEFT_TO_RIGHT))
         throw new java.io.IOException(
-          f"SCRAM password contains a SASLprep-prohibited control character U+$cp%04X")
-      if (cp != 0xFFFD && Character.getType(cp) == Character.UNASSIGNED)
+          "SCRAM password mixes RandALCat and LCat characters (RFC 3454 §6 rule 2)")
+      def isRAL(cp: Int) = dir(cp) == Character.DIRECTIONALITY_RIGHT_TO_LEFT ||
+        dir(cp) == Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC
+      if (cps.isEmpty || !isRAL(cps.head) || !isRAL(cps.last))
         throw new java.io.IOException(
-          f"SCRAM password contains an unassigned code point U+$cp%04X (SASLprep prohibits it)")
+          "SCRAM password with RandALCat characters must start and end with one (RFC 3454 §6 rule 3)")
     }
     prepped
   }

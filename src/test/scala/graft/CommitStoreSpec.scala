@@ -424,6 +424,29 @@ class CommitStoreSpec extends AnyFunSuite {
       // fresh parts exist and the snapshot reads clean through them
       assert(Files.list(ckptDir).iterator().hasNext)
       assert(DeltaSink.read(spark, table).count() == 4)
+      // a same-version RE-checkpoint uploads first and reclaims after, so
+      // the published dir is never partially emptied and the pointer never
+      // dangles — the dir must stay readable straight through the rewrite
+      assert(DeltaSink.checkpoint(spark, table, client) == 2L)
+      assert(Files.list(ckptDir).iterator().hasNext)
+      assert(DeltaSink.read(spark, table).count() == 4)
+    } finally server.close()
+  }
+
+  test("listPrefix surfaces a transient listing error instead of reading it as empty (r11)") {
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val key = root.resolve("pfx").resolve("a.bin")
+      client.putObject(key, Array[Byte](1, 2, 3))
+      assert(client.listPrefix(root.resolve("pfx")) == Seq(key))
+      // a missing prefix IS an empty 200 listing — that stays empty
+      assert(client.listPrefix(root.resolve("nothing-here")).isEmpty)
+      // ...but a server-side failure must throw, or a checkpoint's stale-
+      // part reclaim would silently skip and shadow-pad the published dir
+      server.failListings = true
+      intercept[java.io.IOException](client.listPrefix(root.resolve("pfx")))
     } finally server.close()
   }
 

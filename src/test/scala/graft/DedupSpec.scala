@@ -620,4 +620,50 @@ class DedupSpec extends AnyFunSuite {
     assert(gates.getLong(0) == 13L)
     assert(gates.getBoolean(1) && gates.getBoolean(2) && gates.getBoolean(3))
   }
+
+  test("semdedup mega-cluster guard: hot cell sub-splits by runner-up centroid, exact dups never lost (r11)") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dim)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    // ids 0-3 are the k=4 seeds (iters=0 keeps them as the centroids).
+    // ids 10..129 all land in cell 0 (dot with e0 dominates) but tilt
+    // toward e1/e2/e3 in rotation, so their runner-up centroid is
+    // 1 + i%3 — a 3-way Voronoi sub-split of the planted mega-cluster.
+    // The unique i-dependent magnitude keeps every vector distinct.
+    val anchors = (0 until 4).map(i => (i.toLong, vec(i -> 1f)))
+    val mega = (0 until 120).map { i =>
+      ((10 + i).toLong, vec(0 -> 1f, (1 + i % 3) -> (0.2f + 0.001f * i)))
+    }
+    // exact duplicates: identical vectors => identical score arrays =>
+    // identical (cluster, runner-up) => the guard can never separate them
+    val twins = Seq(500L, 501L).map(id => (id, vec(0 -> 1f, 1 -> 0.25f, 7 -> 0.1f)))
+    val emb = (anchors ++ mega ++ twins).toDF("vec_id", "embedding")
+
+    // candidate volume (tau = -1 keeps every candidate): the guarded join
+    // must cut the hot cell's pair count by ~the sub-bucket fanout
+    def nPairs(cap: Int): Long = graft.operators.SemDeDup
+      .clusterPairs(emb, "vec_id", "embedding", k = 4, iters = 0,
+        tau = -1.0, cap = cap)._2.count()
+    val unguarded = nPairs(Int.MaxValue)
+    val guarded = nPairs(16)
+    assert(unguarded == 123L * 122L / 2, s"cell 0 should hold 123 members, got $unguarded pairs")
+    assert(guarded < unguarded / 2, s"guard did not sub-split: $guarded vs $unguarded")
+
+    // the exact-duplicate pair survives the guarded path...
+    val dupPair = graft.operators.SemDeDup
+      .clusterPairs(emb, "vec_id", "embedding", k = 4, iters = 0,
+        tau = 0.9, cap = 16)._2
+      .filter(col("id_a") === 500L && col("id_b") === 501L).count()
+    assert(dupPair == 1L, "exact-duplicate pair lost by the sub-split")
+    // ...so pruning can never keep both twins
+    val kept = graft.operators.SemDeDup
+      .prune(emb, "vec_id", "embedding", k = 4, iters = 0, tau = 0.9, cap = 16)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(!(kept(500L) && kept(501L)), "both exact duplicates survived")
+    // cold cells are untouched: the singleton anchor cells stay kept
+    Seq(1L, 2L, 3L).foreach(id => assert(kept(id), s"singleton anchor $id dropped"))
+  }
 }

@@ -334,6 +334,32 @@ class PgCopySourceSpec extends AnyFunSuite {
     intercept[java.io.IOException] { t.saslPrep("c1") }
     // unassigned code points (U+0378 has never been assigned) also reject
     intercept[java.io.IOException] { t.saslPrep("un͸assigned") }
+    // r11: the full RFC 4013 prohibited-output tables C.3-C.9
+    assert(intercept[java.io.IOException] { t.saslPrep("xy") }
+      .getMessage.contains("C.3"))
+    assert(intercept[java.io.IOException] { t.saslPrep("x￾y") }
+      .getMessage.contains("C.4"))
+    assert(intercept[java.io.IOException] { // plane-1 non-character U+1FFFE
+      t.saslPrep("x" + new String(Character.toChars(0x1FFFE)) + "y") }
+      .getMessage.contains("C.4"))
+    assert(intercept[java.io.IOException] { t.saslPrep("x\uD800y") }
+      .getMessage.contains("C.5"))
+    assert(intercept[java.io.IOException] { t.saslPrep("x�y") }
+      .getMessage.contains("C.6"))
+    assert(intercept[java.io.IOException] { t.saslPrep("x⿰y") }
+      .getMessage.contains("C.7"))
+    assert(intercept[java.io.IOException] { t.saslPrep("x\u202Ey") }
+      .getMessage.contains("C.8"))
+    assert(intercept[java.io.IOException] { // tag character U+E0041
+      t.saslPrep("x" + new String(Character.toChars(0xE0041)) + "y") }
+      .getMessage.contains("C.9"))
+    // RFC 3454 §6 bidi: pure RandALCat passes; LCat mixed in rejects
+    assert(t.saslPrep("אב") == "אב")
+    assert(intercept[java.io.IOException] { t.saslPrep("אaב") }
+      .getMessage.contains("rule 2"))
+    // a RandALCat string must END RandALCat too (U+0031 is EN, not RAL)
+    assert(intercept[java.io.IOException] { t.saslPrep("א1") }
+      .getMessage.contains("rule 3"))
   }
 
   test("malformed streams are rejected loudly") {

@@ -509,10 +509,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     // the ONLY nested-loop allowed is the final 1-row gate assembly
     // (crossJoin of single-row aggregates); the pair join itself must key
-    // on the cluster id — assert no nested loop with a data-scale child by
-    // requiring every BroadcastNestedLoopJoin to sit above an Aggregate.
-    val lines = p.linesIterator.toSeq
-    val bnl = lines.filter(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnl.size <= 4, s"unexpected nested-loop count:\n$p")
+    // on the cluster id. Formatted explain prints every operator twice
+    // (tree line + details header), so count UNIQUE nodes via the
+    // numbered details header, which appears exactly once per node.
+    val bnl = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnl <= 4, s"unexpected nested-loop node count $bnl:\n$p")
   }
 }
