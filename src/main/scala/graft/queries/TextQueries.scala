@@ -367,21 +367,54 @@ object TextQueries extends QueryModule {
     QueryDef(
       "q_multimodal_features",
       // Full multimodal plumbing through the engine: binary payload →
-      // per-partition batch decode → typed feature rows. The codec is REAL
-      // for raster/WAV payloads (pixel decode + mean/variance + 16-bin
-      // luma histogram — graft.functions.Multimodal); this text-bytes
-      // corpus takes the labeled stub, exercising the same schema/
-      // iteration/encoder plumbing. No oracle: mapPartitions is not
-      // SQL-expressible; DedupSpec pins real-decode values and determinism
-      // across repartitionings.
+      // per-partition batch decode → typed feature rows, now ORACLE-
+      // CHECKABLE (r11, the twin-gate recipe): three PLANTED decodable
+      // payloads (known-pixel PNG, hand-assembled PCM WAV, the r8 pinned-
+      // IDCT JPEG — graft.functions.MultimodalFixtures) ride the same
+      // scan union-ed at shifted doc_ids, and the declared row pins the
+      // REAL codec outputs as booleans: the PNG/WAV feature vectors must
+      // equal the arrays computed by replicating the decoder's exact
+      // integer/float math, the JPEG mean/variance must equal the pinned
+      // constants, and every corpus doc (text bytes) must take the
+      // labeled stub path. All aggregation happens inside the returned
+      // frame — no driver action; the per-doc feature detail stays
+      // DedupSpec-covered.
       (s, dir) => {
+        import s.implicits._
+        val F = graft.functions.MultimodalFixtures
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
-        graft.functions.Multimodal.extractFeatures(payloads)
-          .select(col("doc_id"), col("n_bytes"), col("format"),
-            toDbl(element_at(col("features"), 1).cast("decimal(18,4)")).as("f0"))
-          .orderBy("doc_id")
+        val off = 10000000L
+        val planted = Seq(
+            (off + 1, F.png4x2), (off + 2, F.wav4), (off + 3, F.jpeg16x8))
+          .toDF("doc_id", "payload")
+          .withColumn("content_type", lit("application/octet-stream"))
+        graft.functions.Multimodal
+          .extractFeatures(payloads.unionByName(planted))
+          .agg(
+            sum(when(col("doc_id") < off, 1L).otherwise(0L)).as("n_docs"),
+            sum(when(col("doc_id") < off && col("format") === "stub", 1L)
+              .otherwise(0L)).as("n_stub"),
+            max(when(col("doc_id") === off + 1,
+              col("format") === "png" &&
+                col("features") === typedLit(F.png4x2Features.toSeq)))
+              .as("png_ok"),
+            max(when(col("doc_id") === off + 2,
+              col("format") === "wav" &&
+                col("features") === typedLit(F.wav4Features.toSeq)))
+              .as("wav_ok"),
+            max(when(col("doc_id") === off + 3,
+              col("format") === "jpeg" &&
+                element_at(col("features"), 1) === lit(16f) &&
+                element_at(col("features"), 2) === lit(8f) &&
+                element_at(col("features"), 3) === lit(F.Jpeg16x8PinnedMean) &&
+                element_at(col("features"), 4) === lit(F.Jpeg16x8PinnedVar)))
+              .as("jpeg_ok"))
+          .select(col("n_docs"), (col("n_stub") === col("n_docs")).as("stub_all"),
+            col("png_ok"), col("wav_ok"), col("jpeg_ok"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS stub_all,
+             |TRUE AS png_ok, TRUE AS wav_ok, TRUE AS jpeg_ok
+             |FROM documents""".stripMargin)),
 
     QueryDef(
       "q_multimodal_resize",
@@ -389,37 +422,72 @@ object TextQueries extends QueryModule {
       // fixed-geometry buffer per doc (graft.functions.Multimodal.resize —
       // REAL exact-integer area-average resample for raster payloads,
       // labeled byte-sampling stub for this text-bytes corpus; identical
-      // per-partition executor iteration on both paths). The compared
-      // projection hexes a buffer prefix so output stays textual. No
-      // oracle: mapPartitions is not SQL-expressible; DedupSpec pins
-      // real-pixel area averages, geometry + determinism across
-      // repartitionings.
+      // per-partition executor iteration on both paths). ORACLE-CHECKABLE
+      // (r11): the known-pixel 4×2 PNG rides the scan at a shifted id and
+      // the declared row pins its 8×4 area-average buffer byte-for-byte
+      // against the expected array (upscale maps each output cell onto
+      // one source pixel), plus the fixed output geometry over the whole
+      // corpus. Per-doc buffer detail stays DedupSpec-covered.
       (s, dir) => {
+        import s.implicits._
+        val F = graft.functions.MultimodalFixtures
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
-        graft.functions.Multimodal.resize(payloads, 8, 4)
-          .select(col("doc_id"), col("width"), col("height"),
-            hex(substring(col("pixels"), 1, 8)).as("px_prefix"))
-          .orderBy("doc_id")
+        val off = 10000000L
+        val planted = Seq((off + 1, F.png4x2)).toDF("doc_id", "payload")
+          .withColumn("content_type", lit("application/octet-stream"))
+        graft.functions.Multimodal.resize(payloads.unionByName(planted), 8, 4)
+          .agg(
+            sum(when(col("doc_id") < off, 1L).otherwise(0L)).as("n_docs"),
+            min(col("width") === 8 && col("height") === 4 &&
+              length(col("pixels")) === 32).as("geometry_ok"),
+            max(when(col("doc_id") === off + 1,
+              col("pixels") === lit(F.png4x2Thumb8x4))).as("png_resize_ok"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS geometry_ok,
+             |TRUE AS png_resize_ok FROM documents""".stripMargin)),
 
     QueryDef(
       "q_multimodal_frames",
       // Frame sampling: every-2nd frame per payload, one row per sampled
       // frame (the flatMap shape of video keyframe extraction). The demux
       // is REAL for GIF payloads (r10 — the JDK's multi-frame reader +
-      // exact-integer 8×8 luma thumbs; MultimodalSpec pins a planted
-      // 3-frame animation) and the labeled 100-byte-slicing stub for
-      // everything else, this text-bytes corpus included. No oracle;
-      // the specs pin both paths' arithmetic.
+      // exact-integer 8×8 luma thumbs) and the labeled 100-byte-slicing
+      // stub for everything else, this text-bytes corpus included.
+      // ORACLE-CHECKABLE (r11): a real 3-frame animated GIF (solid grays,
+      // palette-quantization-proof) rides the scan at a shifted id; the
+      // declared row counts the corpus's stub frames (every-2nd of
+      // ceil(bytes/100) chunks — mirrored arithmetically in DuckDB) and
+      // pins the demux: exactly frames 0 and 2 sampled, both via the real
+      // gif path, thumbs byte-for-byte all-10 / all-200.
       (s, dir) => {
+        import s.implicits._
+        val F = graft.functions.MultimodalFixtures
         val payloads = graft.functions.Multimodal.asBinaryPayload(t(s, dir, "documents"))
-        graft.functions.Multimodal.frameSample(payloads, frameSize = 100, everyN = 2)
-          .select(col("doc_id"), col("frame_idx"), col("format"),
-            length(col("frame")).cast("long").as("n_bytes"))
-          .orderBy("doc_id", "frame_idx")
+        val off = 10000000L
+        val planted = Seq((off + 1, F.gif3)).toDF("doc_id", "payload")
+          .withColumn("content_type", lit("application/octet-stream"))
+        graft.functions.Multimodal
+          .frameSample(payloads.unionByName(planted), frameSize = 100, everyN = 2)
+          .agg(
+            sum(when(col("doc_id") < off, 1L).otherwise(0L)).as("n_frames"),
+            min(when(col("doc_id") < off, col("format") === "stub"))
+              .as("stub_all"),
+            sum(when(col("doc_id") === off + 1, 1L).otherwise(0L)).as("gifn"),
+            max(when(col("doc_id") === off + 1 && col("frame_idx") === 0,
+              col("format") === "gif" &&
+                col("frame") === lit(Array.fill[Byte](64)(F.GifGrays(0).toByte))))
+              .as("g0"),
+            max(when(col("doc_id") === off + 1 && col("frame_idx") === 2,
+              col("format") === "gif" &&
+                col("frame") === lit(Array.fill[Byte](64)(F.GifGrays(2).toByte))))
+              .as("g2"))
+          .select(col("n_frames"), col("stub_all"),
+            (col("gifn") === 2L && col("g0") && col("g2")).as("gif_demux_ok"))
       },
-      None),
+      Some("""SELECT CAST(SUM((CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 100.0)
+             |    AS BIGINT) + 1) // 2) AS BIGINT) AS n_frames,
+             |TRUE AS stub_all, TRUE AS gif_demux_ok
+             |FROM documents""".stripMargin)),
 
     QueryDef(
       "q_sample_stratified",
