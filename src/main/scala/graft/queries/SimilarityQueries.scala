@@ -1043,6 +1043,67 @@ object SimilarityQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_theta_sketch",
+      // Set ALGEBRA as data (functions/ThetaSketch, the sixth mergeable
+      // sketch): KMV theta sketches estimate INTERSECTION cardinality —
+      // the question HLL structurally cannot answer (HLLs union but never
+      // intersect). Per event_type a K=256 KMV sketch over cents(value);
+      // for every type pair: the exact intersection (oracle-compared via
+      // a distinct self-join — the sketch's 100 TB job is replacing
+      // exactly that join), `inter_est_ok` (KMV estimate within 50% — the
+      // estimator samples |A∩B|·θ ≈ 40+ common hashes here, σ ≈ 16%, and
+      // the error SHRINKS with scale as intersections grow), per-side
+      // cardinality booleans at the 6.3%-RSE bound ×4σ, and `merge_exact`:
+      // even/odd-half sketches merged columnar equal the whole-input
+      // sketch BIT-FOR-BIT (k-smallest union is associative, commutative,
+      // idempotent — partials roll up exactly on any partitioning).
+      (s, dir) => {
+        import graft.functions.ThetaSketch
+        val ev = t(s, dir, "events")
+          .select(col("event_type").as("tp"), cents(col("value")).as("v"),
+            col("event_id"))
+        val h = ThetaSketch.hashFor(col("v"))
+        val sks = ev.groupBy("tp").agg(
+          countDistinct(col("v")).as("n_exact"),
+          ThetaSketch.sketch(h).as("sk"),
+          ThetaSketch.sketch(when(col("event_id") % 2 === 0, h)).as("sk_even"),
+          ThetaSketch.sketch(when(col("event_id") % 2 === 1, h)).as("sk_odd"))
+        def estOk(est: Column, exact: Column): Column =
+          abs(est - exact.cast("double")) / exact.cast("double") <
+            lit(4 * 1.0 / math.sqrt(ThetaSketch.K - 2))
+        val d = ev.select(col("tp"), col("v")).distinct()
+        val interExact = d.as("a").join(d.as("b"),
+            col("a.v") === col("b.v") && col("a.tp") < col("b.tp"))
+          .groupBy(col("a.tp").as("ta"), col("b.tp").as("tb"))
+          .agg(count(lit(1)).as("n_inter_exact"))
+        interExact
+          .join(broadcast(sks.as("sa")), col("ta") === col("sa.tp"))
+          .join(broadcast(sks.as("sb")), col("tb") === col("sb.tp"))
+          .select(
+            col("ta"), col("tb"), col("n_inter_exact"),
+            (abs(ThetaSketch.intersectEstimateCol(col("sa.sk"), col("sb.sk"))
+                - col("n_inter_exact").cast("double"))
+              / col("n_inter_exact").cast("double") < 0.5)
+              .as("inter_est_ok"),
+            (estOk(ThetaSketch.estimateCol(col("sa.sk")), col("sa.n_exact")) &&
+              estOk(ThetaSketch.estimateCol(col("sb.sk")), col("sb.n_exact")))
+              .as("card_est_ok"),
+            ((ThetaSketch.mergeCol(col("sa.sk_even"), col("sa.sk_odd"))
+                === col("sa.sk")) &&
+              (ThetaSketch.mergeCol(col("sb.sk_even"), col("sb.sk_odd"))
+                === col("sb.sk"))).as("merge_exact"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH d AS (SELECT DISTINCT event_type tp,
+             |  CAST(ROUND(value*100) AS BIGINT) v FROM events)
+             |SELECT a.tp AS ta, b.tp AS tb,
+             |  CAST(count(*) AS BIGINT) AS n_inter_exact,
+             |  TRUE AS inter_est_ok, TRUE AS card_est_ok,
+             |  TRUE AS merge_exact
+             |FROM d a JOIN d b ON a.v = b.v AND a.tp < b.tp
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       "q_ann_index_roundtrip",
       // The ANN index as a LAKEHOUSE TABLE: the IVF-PQ index frame
       // (cid, cell, codes) is committed to a Delta table through the
