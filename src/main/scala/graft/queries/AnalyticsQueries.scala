@@ -1484,5 +1484,45 @@ object AnalyticsQueries extends QueryModule {
              |    THEN CAST(FLOOR(epoch(ts)) AS BIGINT)
              |       - CAST(FLOOR(epoch(attr_ts)) AS BIGINT) END AS lag_seconds
              |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin)),
+
+    QueryDef(
+      "q_partition_skew",
+      // Pre-shuffle key-skew audit — the diagnostic you run BEFORE keying a
+      // 100 TB join/agg on a column: bucket the key space (16 md5-prefix
+      // buckets — an engine-portable stand-in for the shuffle's hash
+      // partitioner, same uniformity) and census rows + distinct keys per
+      // bucket. `share` exposes hot partitions, `skew_factor` (max/avg
+      // bucket load) is the single number that decides between a plain
+      // shuffle, AQE skew splitting, or explicit salting
+      // (q_join_skew_salted's input). One map-combined slim exchange of
+      // 16 census rows; the window that computes the whole-frame max/avg
+      // runs over 16 rows, not data.
+      (s, dir) => {
+        val wAll = Window.partitionBy(lit(0))
+        val buckets = t(s, dir, "events")
+          .groupBy(substring(md5(col("user_id").cast("string")), 1, 1)
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_keys"))
+        buckets
+          .withColumn("share",
+            col("n_rows").cast("double") /
+              sum(col("n_rows")).over(wAll).cast("double"))
+          .withColumn("skew_factor",
+            max(col("n_rows")).over(wAll).cast("double") *
+              lit(16.0) / sum(col("n_rows")).over(wAll).cast("double"))
+          .select("bucket", "n_rows", "n_keys", "share", "skew_factor")
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+             |  FROM events GROUP BY 1)
+             |SELECT bucket, n_rows, n_keys,
+             |  CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS share,
+             |  CAST(MAX(n_rows) OVER () AS DOUBLE) * 16.0
+             |    / CAST(SUM(n_rows) OVER () AS DOUBLE) AS skew_factor
+             |FROM b ORDER BY bucket""".stripMargin)),
   )
 }

@@ -674,5 +674,50 @@ object EventWindowQueries extends QueryModule {
              |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
              |FROM events WHERE event_type IN ('click', 'purchase')
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_lineage_files",
+      // Row→file PROVENANCE audit through the hidden `_metadata` column:
+      // events are repartitioned on the partition column (the write idiom
+      // that prevents the small-files explosion — one task per partition
+      // value instead of every task writing every partition) and committed
+      // as a partitioned Delta table; the read-back groups by
+      // `_metadata.file_path` — per-FILE row census with zero extra I/O
+      // (the path is scan metadata, not data). Declared gates per
+      // event_type: the direct census (oracle), `files_ok` — the file
+      // count equals ceil(rows / 2,097,152), i.e. exactly what the
+      // size-bounded splitter must produce under the repartitioned layout
+      // (1 file here; the formula, not the constant, is pinned so the
+      // declaration survives any scale) — and `census_match`: summing the
+      // per-file censuses reproduces the source exactly (no row lost or
+      // double-written by the commit). This is the audit a 100 TB
+      // pipeline runs after every backfill: which files carry which
+      // slice, and does the physical layout's census tie out.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-lineage")
+        graft.sinks.DeltaSink.write(ev.repartition(col("event_type")),
+          table, overwrite = true, partitionBy = Seq("event_type"))
+        val perFile = graft.sinks.DeltaSink.read(s, table)
+          .groupBy(col("_metadata.file_path").as("fp"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val perType = perFile.groupBy("event_type")
+          .agg(sum(col("n")).as("n_back"), countDistinct(col("fp")).as("n_files"))
+        val maxRowsPerFile = 2097152L
+        t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))
+          .join(perType, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"),
+            (col("n_files") ===
+              floor((col("n_rows") + maxRowsPerFile - 1L) / maxRowsPerFile)
+                .cast("long"))
+              .as("files_ok"),
+            (col("n_back") <=> col("n_rows")).as("census_match"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS files_ok, TRUE AS census_match
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }
