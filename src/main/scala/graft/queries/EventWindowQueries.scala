@@ -719,5 +719,94 @@ object EventWindowQueries extends QueryModule {
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
              |  TRUE AS files_ok, TRUE AS census_match
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_delta_stats_count",
+      // Metadata-only COUNT(*): per-partition counts answered from the
+      // _delta_log's numRecords stats (DeltaSink.fileStats) without
+      // opening a single data file — at 100 TB the difference between a
+      // KB-scale log read and a full scan for "how many rows per
+      // partition does this table hold". The oracle is the direct census
+      // of the source; `meta_count_match` pins that the log's stats plane
+      // agrees with the data plane exactly (a writer that misrecorded
+      // numRecords would poison OPTIMIZE bin-packing and stats-pruned
+      // merges — this is the audit that catches it).
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-statscount")
+        graft.sinks.DeltaSink.write(ev.repartition(col("event_type")),
+          table, overwrite = true, partitionBy = Seq("event_type"))
+        val meta = graft.sinks.DeltaSink.fileStats(s, table)
+          .groupBy(element_at(col("partitionValues"), "event_type")
+            .as("event_type"))
+          .agg(sum(col("num_records")).as("n_meta"))
+        t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))
+          .join(meta, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"),
+            (col("n_meta") <=> col("n_rows")).as("meta_count_match"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS meta_count_match
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_delta_compact",
+      // The small-files LIFECYCLE under the oracle: five micro-batch
+      // appends (the streaming-ingest pathology) leave the table in a
+      // many-small-files state; OPTIMIZE (DeltaSink.compact) bin-packs the
+      // live set into ceil(rows/2,097,152) files using only the log's
+      // numRecords stats to plan (no pre-scan), committing the rewrite
+      // with dataChange=false so incremental consumers never re-process.
+      // Gates: per-type census after compaction equals the source
+      // (oracle), `pre_compact_match` — time travel to the last
+      // pre-OPTIMIZE version still reproduces the census (compaction
+      // rewrites layout, never data), and `files_ok` — the post-compact
+      // file count equals the bin-packing formula (scale-stable) and at
+      // least as many files were compacted as appends were made.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-compact")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 5 === 0),
+          table, overwrite = true)
+        (1 until 5).foreach { i =>
+          graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 5 === i),
+            table)
+        }
+        val preVersion = graft.sinks.DeltaSink.latestVersion(table)
+        val (nBefore, nAfter) = graft.sinks.DeltaSink.compact(s, table)
+        val maxRowsPerFile = 2097152L
+        val gate = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(count(lit(1)).as("n_files"), sum(col("num_records")).as("n_total"))
+          .select(
+            (col("n_files") === lit(nAfter.toLong) &&
+              col("n_files") ===
+                floor((col("n_total") + maxRowsPerFile - 1L) / maxRowsPerFile)
+                  .cast("long") &&
+              lit(nBefore) >= lit(5)).as("files_ok"))
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))
+        val post = graft.sinks.DeltaSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_post"))
+        val pre = graft.sinks.DeltaSink.read(s, table,
+            asOfVersion = Some(preVersion))
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+        direct
+          .join(post, Seq("event_type"), "full_outer")
+          .join(pre, Seq("event_type"), "full_outer")
+          .crossJoin(broadcast(gate))
+          .select(col("event_type"), col("n_rows"),
+            (col("n_post") <=> col("n_rows")).as("post_compact_match"),
+            (col("n_pre") <=> col("n_rows")).as("pre_compact_match"),
+            col("files_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS post_compact_match, TRUE AS pre_compact_match,
+             |  TRUE AS files_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

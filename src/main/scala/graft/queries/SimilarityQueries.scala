@@ -1374,6 +1374,52 @@ object SimilarityQueries extends QueryModule {
              |FROM q ORDER BY vec_id""".stripMargin)),
 
     QueryDef(
+      "q_embed_project",
+      // Johnson–Lindenstrauss random projection 64→16 dims: a fixed ±1
+      // (Rademacher) matrix, scaled 1/√k, shrinks the embedding table 4×
+      // while preserving pairwise distances in expectation (E‖Pv‖² = ‖v‖²
+      // exactly for ±1 rows) — the cheap pre-filter in front of exact
+      // rerank at 100 TB (project once map-side, search in 16-d, rerank
+      // survivors in 64-d). The matrix is a compile-time xorshift-seeded
+      // literal (no RNG at runtime, no data dependence) so the projection
+      // is bit-stable across runs, partitionings and engines. Gates over
+      // the 200 adjacent-id pairs: every squared-distance ratio
+      // ‖P(a−b)‖²/‖a−b‖² inside [0.05, 4] (χ²₁₆/16 concentration: far
+      // outside any realistic tail) and the MEAN ratio within 15% of 1 —
+      // the unbiasedness that makes the pre-filter honest. Pure map-side
+      // codegen arithmetic; the only exchange is the 1-row gate census.
+      (s, dir) => {
+        val k = 16
+        // xorshift64 literal matrix — deterministic, data-independent
+        var st = 0x9E3779B97F4A7C15L
+        def next(): Long = {
+          st ^= st << 13; st ^= st >>> 7; st ^= st << 17; st
+        }
+        val r = Array.fill(k, 64)(if (next() >= 0) 1.0 else -1.0)
+        val emb = t(s, dir, "embeddings")
+        val pairs = emb.filter(col("vec_id") < 400 && col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+          .join(emb.select((col("vec_id") - 1).as("a_id"),
+            col("embedding").as("b_emb")), "a_id")
+        val withDiff = pairs.withColumn("diff",
+          zip_with(col("a_emb"), col("b_emb"),
+            (x, y) => x.cast("double") - y.cast("double")))
+        val nd = aggregate(col("diff"), lit(0.0), (acc, e) => acc + e * e)
+        val pd = (0 until k).map { j =>
+          val p = dotD(col("diff"), typedLit(r(j).toSeq))
+          p * p
+        }.reduce(_ + _) / lit(k.toDouble)
+        withDiff.select((pd / nd).as("ratio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            (min(col("ratio")) > 0.05 && max(col("ratio")) < 4.0)
+              .as("all_in_band"),
+            (abs(avg(col("ratio")) - 1.0) < 0.15).as("mean_ratio_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |  TRUE AS all_in_band, TRUE AS mean_ratio_ok
+             |FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 0""".stripMargin)),
+
+    QueryDef(
       "q_image_phash",
       // Perceptual-hash near-duplicate image detection — the image-side
       // analogue of q_dedup_simhash: per-payload 64-bit dHash

@@ -793,6 +793,25 @@ object DeltaSink {
         collectAdds(statsPruned(meta, live, column, lo, hi)), meta.txns))
   }
 
+  /** METADATA-ONLY file inventory of a snapshot: one row per live data
+    * file — (path, partitionValues, num_records, size_bytes) — derived
+    * entirely from the `_delta_log` (the numRecords stats every add action
+    * records; reference delta_destination.rs writer stats). No data file
+    * is opened: per-partition/table COUNT(*) and file-layout audits
+    * ("DESCRIBE DETAIL"-shape questions) answer from KBs of log instead
+    * of a 100 TB scan. Runs distributedly over the live-set DataFrame.
+    */
+  def fileStats(spark: SparkSession, table: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val (_, live) = resolve(spark, table, asOfVersion)
+    val statsSchema = StructType(Seq(StructField("numRecords", LongType)))
+    live.select(col("path"), col("partitionValues"),
+      from_json(col("stats"), statsSchema).getField("numRecords")
+        .as("num_records"),
+      col("size").as("size_bytes"))
+  }
+
   /** The adds of `live` whose recorded [min, max] for `column` overlaps
     * [lo, hi] — plus any file without stats for it (absent stats can never
     * wrongly prune). Runs distributedly over the live-set DataFrame.
