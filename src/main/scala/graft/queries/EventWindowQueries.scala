@@ -808,5 +808,78 @@ object EventWindowQueries extends QueryModule {
              |  TRUE AS post_compact_match, TRUE AS pre_compact_match,
              |  TRUE AS files_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_iceberg_stats_count",
+      // The Iceberg twin of q_delta_stats_count: per-partition COUNT(*)
+      // answered from the manifest tree's record_count fields
+      // (IcebergSink.fileStats) without opening a data file — and across
+      // a create + append (two snapshots, manifests merged into a new
+      // manifest list), so the gate also proves the merged metadata tree
+      // double-counts nothing. Oracle: direct census;
+      // `meta_count_match` pins manifest stats ≡ data exactly.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-stats") + "/tbl"
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 0), table,
+          graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 1), table,
+          graft.sinks.IcebergSink.Append,
+          partitionBy = Seq("event_type"))
+        val meta = graft.sinks.IcebergSink.fileStats(s, table)
+          .groupBy(element_at(col("partitionValues"), "event_type")
+            .as("event_type"))
+          .agg(sum(col("num_records")).as("n_meta"))
+        t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))
+          .join(meta, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"),
+            (col("n_meta") <=> col("n_rows")).as("meta_count_match"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS meta_count_match
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_join_dpp",
+      // DYNAMIC partition pruning over the hand-rolled Delta layout: the
+      // fact side is the Hive-partitioned table, the dim side is a
+      // filter whose surviving keys exist only at RUNTIME (types whose
+      // total cents exceed a threshold — not a literal the planner could
+      // fold), and Catalyst injects
+      // `dynamicpruningexpression(event_type IN dynamicpruning#N)` into
+      // the fact scan's PartitionFilters: the broadcast result prunes
+      // fact DIRECTORIES before they are read (PlanSpec pins the
+      // expression). At 100 TB this is the difference between scanning
+      // every partition and scanning the two that can match — for a
+      // predicate no one could have written statically. Oracle: the same
+      // join over raw events.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-dpp")
+        graft.sinks.DeltaSink.write(ev.repartition(col("event_type")),
+          table, overwrite = true, partitionBy = Seq("event_type"))
+        val fact = graft.sinks.DeltaSink.read(s, table)
+        val dim = t(s, dir, "events")
+          .groupBy(col("event_type").as("tp"))
+          .agg(sum(cents(col("value"))).as("tot"))
+          .filter(col("tot") > 10000000L)
+        fact.join(broadcast(dim), col("event_type") === col("tp"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, SUM(CAST(ROUND(value*100) AS BIGINT)) AS tot
+             |  FROM events GROUP BY 1 HAVING tot > 10000000)
+             |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS total_value
+             |FROM events e JOIN d ON e.event_type = d.event_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

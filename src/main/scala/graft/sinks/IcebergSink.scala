@@ -776,6 +776,34 @@ object IcebergSink {
     (schema, entries)
   }
 
+  /** METADATA-ONLY file inventory of a snapshot: one row per live data
+    * file — (path, partitionValues, num_records) — derived entirely from
+    * the manifest list + manifests (the record_count every data_file
+    * entry carries; Iceberg spec §Manifests). No data file is opened:
+    * per-partition COUNT(*) and layout audits answer from the KB-scale
+    * metadata tree, the Iceberg twin of [[DeltaSink.fileStats]].
+    * Partition values come from each manifest's OWN partition struct
+    * (same contract as [[snapshotEntries]]), stringified for a uniform
+    * map<string,string> column.
+    */
+  def fileStats(spark: SparkSession, table: String,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = currentMeta(table)
+    val snapId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val list = manifestListOf(table, meta, snapId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapId in $table"))
+    val rows = Seq(list).flatMap(readManifestPaths(table, _)).flatMap { mp =>
+      val f = new File(requireAvro(abs(table, mp)))
+      val parts = IcebergAvro.readManifestPartitions(f).toMap
+      IcebergAvro.readManifestDataFiles(f).map { case (p, n) =>
+        (p, parts.getOrElse(p, Map.empty[String, Any])
+          .map { case (k, v) => k -> String.valueOf(v) }, n)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("path", "partitionValues", "num_records")
+  }
+
   /** Day-partition-pruned read over a hidden `day(tsCol)` table: only data
     * files whose manifest day ordinal falls in [fromDay, untilDay) are
     * scanned (files without the partition value are kept — pruning is an

@@ -504,6 +504,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_join_dpp: the fact scan carries a dynamic partition-pruning filter (r11)") {
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
   test("q_decontaminate_bloom: corpus side never sort-merge-joins; eval side broadcasts (r11)") {
     val p = plan("q_decontaminate_bloom")
     // the whole point vs q_decontaminate: the train grams must NOT feed a
