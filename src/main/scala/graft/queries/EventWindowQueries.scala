@@ -881,5 +881,124 @@ object EventWindowQueries extends QueryModule {
              |    AS total_value
              |FROM events e JOIN d ON e.event_type = d.event_type
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_vacuum_audit",
+      // The tombstone RECLAMATION half of the small-files lifecycle
+      // (q_delta_compact stops at OPTIMIZE): create + append + compact
+      // leaves the pre-compact files on disk as tombstones (time travel
+      // still needs them), then VACUUM at retention 0 sweeps exactly the
+      // non-live set. Gates: `tombstones_reclaimed` (vacuum removed ≥ 2
+      // files — the create's and the append's), `disk_equals_live` (the
+      // parquet files on disk after vacuum are EXACTLY the log's live
+      // set — nothing leaked, nothing over-deleted; counted against
+      // fileStats), and `census_match` (the data plane is untouched).
+      // The audit a storage bill depends on at 100 TB: tombstones are
+      // paid-for bytes serving no reader once the retention window
+      // passes.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-vacuum")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        graft.sinks.DeltaSink.compact(s, table)
+        def diskParquet(): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory)
+              (if (f.getName == "_delta_log") 0L
+               else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L))
+            else if (f.getName.endsWith(".parquet")) 1L else 0L
+          walk(new java.io.File(table))
+        }
+        val removed = graft.sinks.DeltaSink.vacuum(s, table, retentionMs = 0L)
+        val postDisk = diskParquet()
+        val gate = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(count(lit(1)).as("n_live"))
+          .select(
+            lit(removed >= 2).as("tombstones_reclaimed"),
+            (col("n_live") === postDisk).as("disk_equals_live"))
+        graft.sinks.DeltaSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_back"))
+          .join(t(s, dir, "events").groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows")), Seq("event_type"), "full_outer")
+          .crossJoin(broadcast(gate))
+          .select(col("event_type"), col("n_rows"),
+            col("tombstones_reclaimed"), col("disk_equals_live"),
+            (col("n_back") <=> col("n_rows")).as("census_match"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS tombstones_reclaimed, TRUE AS disk_equals_live,
+             |  TRUE AS census_match
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_stream_sketch",
+      // Streaming distinct-count STATE as a mergeable sketch: each
+      // micro-batch folds its per-type KMV theta sketch
+      // (functions/ThetaSketch) into a KB-scale Delta state table —
+      // unbounded-stream distinct counting whose state NEVER grows with
+      // the stream (K×8 B per key group, vs the unbounded exact-distinct
+      // state Structured Streaming would otherwise hold). KMV union is
+      // associative, commutative and IDEMPOTENT, so the folded state is
+      // bit-identical under ANY micro-batch split — and even under
+      // at-least-once batch replay (re-merging a seen batch is a no-op):
+      // the reprocessing tolerance that makes sketch state operationally
+      // safe. Gates: per type the exact distinct (oracle),
+      // `stream_matches_batch` — the streamed state equals the one-shot
+      // batch sketch BIT-FOR-BIT — and `est_ok` at the 4σ KMV bound.
+      (s, dir) => {
+        import graft.functions.ThetaSketch
+        import org.apache.spark.sql.streaming.Trigger
+        val table = graft.TempTables.create("graft-stream-theta")
+        def sketchOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("event_type")
+          .agg(ThetaSketch.sketch(
+            ThetaSketch.hashFor(cents(col("value")))).as("sk"))
+        graft.sinks.DeltaSink.write(sketchOf(t(s, dir, "events").limit(0)),
+          table, overwrite = true)
+        val q = graft.Tables.streamEvents(s, dir)
+          .select("event_type", "value")
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val bs = sketchOf(batch).withColumnRenamed("sk", "sk_b")
+              val merged = graft.sinks.DeltaSink.read(batch.sparkSession, table)
+                .join(bs, Seq("event_type"), "full_outer")
+                .select(col("event_type"),
+                  coalesce(
+                    ThetaSketch.mergeCol(col("sk"), col("sk_b")),
+                    col("sk_b"), col("sk")).as("sk"))
+                // state is sketch-sized (K×8 B per key group) by
+                // construction, so materializing it before the overwrite is
+                // O(state), never O(stream) — and breaks the lineage onto
+                // the very files the overwrite replaces
+                .localCheckpoint(true)
+              graft.sinks.DeltaSink.write(merged, table, overwrite = true): Unit
+          }
+          .start()
+        q.awaitTermination()
+        val state = graft.sinks.DeltaSink.read(s, table)
+        val batchSk = sketchOf(t(s, dir, "events"))
+          .withColumnRenamed("sk", "sk_batch")
+        t(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct(cents(col("value"))).as("n_exact"))
+          .join(state, Seq("event_type"), "full_outer")
+          .join(batchSk, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_exact"),
+            (col("sk") <=> col("sk_batch")).as("stream_matches_batch"),
+            (abs(ThetaSketch.estimateCol(col("sk")) - col("n_exact").cast("double"))
+              / col("n_exact").cast("double") <
+                lit(4 * 1.0 / math.sqrt(ThetaSketch.K - 2))).as("est_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(DISTINCT CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+             |    AS n_exact,
+             |  TRUE AS stream_matches_batch, TRUE AS est_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }
