@@ -810,6 +810,97 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_cdf",
+      // The BOUNDED change feed (CDF) under the hash oracle, with an
+      // OPTIMIZE inside the consumed window — the semantics every
+      // incremental consumer at 100 TB depends on. Three batches commit
+      // (event_id%3 = 0,1,2) with a compaction between batches 1 and 2;
+      // feed A = readChangesBetween(v0, v1] must be EXACTLY batch 1
+      // (read from files the compaction has already tombstoned — they
+      // survive until vacuum, the CDF retention contract), and feed
+      // B = readChangesSince(v1) spans (v1, latest] ACROSS the
+      // dataChange=false rewrite and must be exactly batch 2 — if the
+      // OPTIMIZE rows leaked into the feed, every count and sum below
+      // would double and the oracle (which recomputes both batches from
+      // the raw events by the %3 split) would catch it. Feed cost scales
+      // with the delta, never the table.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-cdf")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 3 === 0),
+          table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 3 === 1), table)
+        val v1 = graft.sinks.DeltaSink.latestVersion(table)
+        graft.sinks.DeltaSink.compact(s, table) // dataChange=false rewrite
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 3 === 2), table)
+        def agg(df: org.apache.spark.sql.DataFrame, n: String, v: String) = df
+          .groupBy("event_type")
+          .agg(count(lit(1)).as(n), fxSum(col("value")).as(v))
+        agg(graft.sinks.DeltaSink.readChangesBetween(s, table, v0, v1),
+            "b1_rows", "b1_value")
+          .join(agg(graft.sinks.DeltaSink.readChangesSince(s, table, v1),
+            "b2_rows", "b2_value"), Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("b1_rows"), lit(0L)).as("b1_rows"),
+            coalesce(col("b1_value"), lit(0.0)).as("b1_value"),
+            coalesce(col("b2_rows"), lit(0L)).as("b2_rows"),
+            coalesce(col("b2_value"), lit(0.0)).as("b2_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 1) AS BIGINT) AS b1_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 3 = 1), 0) AS DOUBLE) / 100.0 AS b1_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 2) AS BIGINT) AS b2_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 3 = 2), 0) AS DOUBLE) / 100.0 AS b2_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_iceberg_time_travel",
+      // Iceberg SNAPSHOT time travel (the Delta twin is q_time_travel):
+      // every snapshot in the table metadata keeps its own manifest list,
+      // so reading an older one is resolving that list instead of the
+      // current ref — same file-level pruning, same scan parallelism, so
+      // a historical read of a petabyte table costs what a current read
+      // costs. The first snapshot id is discovered through the public
+      // snapshots() surface (not remembered from the write), the way a
+      // catalog browser or audit job would find it; the oracle recomputes
+      // both snapshots from the raw events by the even/odd batch split.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-tt") + "/tbl"
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 0), table,
+          graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 1), table,
+          graft.sinks.IcebergSink.Append,
+          partitionBy = Seq("event_type"))
+        val s0 = graft.sinks.IcebergSink.snapshots(table).head._1
+        def snap(df: org.apache.spark.sql.DataFrame, label: String) = df
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .withColumn("snapshot", lit(label))
+        snap(graft.sinks.IcebergSink.read(s, table, Some(s0)), "s0")
+          .unionByName(snap(graft.sinks.IcebergSink.read(s, table), "latest"))
+          .select("snapshot", "event_type", "n_events", "total_value")
+          .orderBy("snapshot", "event_type")
+      },
+      Some("""SELECT 'latest' AS snapshot, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT 's0' AS snapshot, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+             |ORDER BY snapshot, event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_stats_count",
       // The Iceberg twin of q_delta_stats_count: per-partition COUNT(*)
       // answered from the manifest tree's record_count fields
