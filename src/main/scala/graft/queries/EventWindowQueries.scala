@@ -334,6 +334,61 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_stream_iceberg",
+      // Exactly-once streaming ingest into ICEBERG under the oracle — the
+      // other sink format's twin of q_stream_delta_tail: the even half of
+      // the events bootstraps the table (CreateExclusive — the initial
+      // backfill), the odd half lands in a source Delta table in two
+      // commits and is tailed by a Structured Streaming query whose every
+      // micro-batch commits as ONE snapshot stamped with (appId, batchId)
+      // in its summary (IcebergSink.appendExactlyOnce). After the stream
+      // drains, batch 0 is deliberately REPLAYED with the full corpus —
+      // the crash-between-commit-and-checkpoint case of foreachBatch —
+      // and must no-op against the summary watermark (replay_noop
+      // pinned TRUE; a failed no-op would also double cnt/sum_v against
+      // the oracle's whole-corpus census). State is the checkpoint
+      // offset, O(1); each batch touches only its own files.
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val src = graft.TempTables.create("graft-sice-src")
+        val dst = graft.TempTables.create("graft-sice-dst") + "/tbl"
+        val ckpt = graft.TempTables.create("graft-sice-ckpt")
+        graft.sinks.IcebergSink.write(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), dst,
+          graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.DeltaSink.write(
+          ev.filter(pmod(col("event_id"), lit(4)) === 1), src, overwrite = true)
+        graft.sinks.DeltaSink.append(
+          ev.filter(pmod(col("event_id"), lit(4)) === 3), src)
+        val appId = "q-stream-iceberg"
+        val q = s.readStream.format("graft-delta-tail").option("path", src).load()
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              graft.sinks.IcebergSink.appendExactlyOnce(batch, dst, appId, id): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val replayed = graft.sinks.IcebergSink.appendExactlyOnce(ev, dst, appId, 0L)
+        graft.sinks.IcebergSink.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("replay_noop", lit(replayed == -1L))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v,
+             |TRUE AS replay_noop
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_resample_gapfill",
       // Time-series resampling with gap fill: every (1-hour bucket ×
       // event_type) cell over the corpus's full time range, zero-filled
