@@ -913,6 +913,53 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_incremental",
+      // Iceberg INCREMENTAL APPEND SCAN under the oracle — the manifest-
+      // plane twin of q_delta_cdf: three snapshots commit (event_id%3
+      // split); the feed since s0 must be exactly batches 1+2 and the
+      // feed since s1 exactly batch 2. The delta is planned as a
+      // path-keyed set diff of manifest entries (appends carry prior
+      // manifests forward, so current-minus-pinned is the added file
+      // set) — metadata-scale planning, scan cost proportional to the
+      // appended files, never the table. A file double-counted by the
+      // carried-forward manifests or lost by the diff would shift every
+      // count/sum against the oracle's %3 recompute.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-inc") + "/tbl"
+        def batch(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+        graft.sinks.IcebergSink.write(batch(0), table,
+          graft.sinks.IcebergSink.CreateExclusive, partitionBy = Seq("event_type"))
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.write(batch(1), table,
+          graft.sinks.IcebergSink.Append, partitionBy = Seq("event_type"))
+        val s1 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.write(batch(2), table,
+          graft.sinks.IcebergSink.Append, partitionBy = Seq("event_type"))
+        def agg(df: org.apache.spark.sql.DataFrame, n: String, v: String) = df
+          .groupBy("event_type")
+          .agg(count(lit(1)).as(n), fxSum(col("value")).as(v))
+        agg(graft.sinks.IcebergSink.readAppendedSince(s, table, s0),
+            "since0_rows", "since0_value")
+          .join(agg(graft.sinks.IcebergSink.readAppendedSince(s, table, s1),
+            "since1_rows", "since1_value"), Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("since0_rows"), lit(0L)).as("since0_rows"),
+            coalesce(col("since0_value"), lit(0.0)).as("since0_value"),
+            coalesce(col("since1_rows"), lit(0L)).as("since1_rows"),
+            coalesce(col("since1_value"), lit(0.0)).as("since1_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS BIGINT) AS since0_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 3 <> 0), 0) AS DOUBLE) / 100.0 AS since0_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 2) AS BIGINT) AS since1_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 3 = 2), 0) AS DOUBLE) / 100.0 AS since1_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_time_travel",
       // Iceberg SNAPSHOT time travel (the Delta twin is q_time_travel):
       // every snapshot in the table metadata keeps its own manifest list,

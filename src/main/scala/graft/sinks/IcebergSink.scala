@@ -881,6 +881,26 @@ object IcebergSink {
     * (partition-column-set, values), so mixed-spec snapshots (retained
     * history across a re-layout) read correctly side by side.
     */
+  /** Incremental append scan — the Iceberg twin of
+    * [[DeltaSink.readChangesSince]]: the rows of data files added AFTER
+    * `sinceSnapshotId`, i.e. what an incremental consumer processes after
+    * its last checkpoint. Every snapshot keeps its own manifest list and
+    * appends carry prior manifests forward, so the delta is the CURRENT
+    * snapshot's file set minus the pinned one's (path-keyed set diff over
+    * manifest entries — metadata-scale; no data file is opened to plan).
+    * Cost then scales with the appended files, never the table. The
+    * pinned snapshot must still be retained ([[expireSnapshots]] breaks
+    * time travel to expired ids by construction — same consume-within-
+    * retention contract as the Delta feed and CDF generally).
+    */
+  def readAppendedSince(spark: SparkSession, table: String,
+      sinceSnapshotId: Long): DataFrame = {
+    val (schema, current) = snapshotEntries(table, None)
+    val (_, pinned) = snapshotEntries(table, Some(sinceSnapshotId))
+    val seen = pinned.map(_._1).toSet
+    readEntries(spark, schema, current.filterNot(e => seen.contains(e._1)))
+  }
+
   private def readEntries(spark: SparkSession, schema: StructType,
       entries: Seq[(String, Map[String, Any])]): DataFrame = {
     if (entries.isEmpty)

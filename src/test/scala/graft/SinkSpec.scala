@@ -433,6 +433,27 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table, Some(snaps.head._1)).count() == 3)
   }
 
+  test("Iceberg incremental append scan: current-minus-pinned file diff (r11)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    IcebergSink.writeWithRetry(Seq((4L, "d", 4.5)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    val s1 = IcebergSink.snapshots(table).last._1
+    IcebergSink.writeWithRetry(Seq((5L, "e", 5.5)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    // consumer checkpointed at s0: both appends; at s1: only the last;
+    // at current: empty (nothing new). Appends carry prior manifests
+    // forward, so the diff must NOT re-emit the bootstrap rows.
+    def ids(since: Long) = IcebergSink.readAppendedSince(spark, table, since)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(s0) == Seq(4L, 5L))
+    assert(ids(s1) == Seq(5L))
+    assert(ids(IcebergSink.snapshots(table).last._1).isEmpty)
+  }
+
   test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
     val s = spark
     import s.implicits._
