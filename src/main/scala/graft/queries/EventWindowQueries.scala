@@ -1127,6 +1127,68 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_expire_audit",
+      // The Iceberg RECLAMATION audit — the format twin of q_vacuum_audit:
+      // create (even half) + append (odd half) + OVERWRITE (full corpus,
+      // referencing only its own files) leaves the first two snapshots'
+      // data files on disk purely for time travel; expireSnapshots
+      // (keepLast=1) commits a metadata version without them and deletes
+      // the files referenced ONLY by expired snapshots. Gates:
+      // `files_reclaimed` (≥2 — the create's and the append's),
+      // `disk_equals_live` (the parquet set under data/ after expiry is
+      // EXACTLY the current manifest tree's file set — nothing leaked,
+      // nothing over-deleted), `time_travel_fails` (reading the expired
+      // first snapshot now throws, the retention contract by
+      // construction), `census_match` (the data plane is untouched). The
+      // same storage-bill audit as Delta vacuum, driven through
+      // manifests instead of a log replay.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-expire") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        val s0 = graft.sinks.IcebergSink.snapshots(table).head._1
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          table, graft.sinks.IcebergSink.Append, partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.Overwrite, partitionBy = Seq("event_type"))
+        val reclaimed = graft.sinks.IcebergSink.expireSnapshots(table, keepLast = 1)
+        def diskParquet(): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory)
+              (if (f.getName == "metadata") 0L
+               else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L))
+            else if (f.getName.endsWith(".parquet")) 1L else 0L
+          walk(new java.io.File(table))
+        }
+        val ttFails =
+          try { graft.sinks.IcebergSink.read(s, table, Some(s0)); false }
+          catch { case _: IllegalArgumentException => true }
+        val postDisk = diskParquet()
+        val gate = graft.sinks.IcebergSink.fileStats(s, table)
+          .agg(count(lit(1)).as("n_live"))
+          .select(
+            lit(reclaimed >= 2).as("files_reclaimed"),
+            (col("n_live") === postDisk).as("disk_equals_live"),
+            lit(ttFails).as("time_travel_fails"))
+        graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_back"))
+          .join(t(s, dir, "events").groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows")), Seq("event_type"), "full_outer")
+          .crossJoin(broadcast(gate))
+          .select(col("event_type"), col("n_rows"),
+            col("files_reclaimed"), col("disk_equals_live"),
+            col("time_travel_fails"),
+            (col("n_back") <=> col("n_rows")).as("census_match"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS files_reclaimed, TRUE AS disk_equals_live,
+             |  TRUE AS time_travel_fails, TRUE AS census_match
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_stream_sketch",
       // Streaming distinct-count STATE as a mergeable sketch: each
       // micro-batch folds its per-type KMV theta sketch
