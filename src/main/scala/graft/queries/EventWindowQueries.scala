@@ -865,6 +865,54 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_restore",
+      // RESTORE — the undo verb under the oracle: the full corpus lands in
+      // two commits, a BAD merge deletes every tenth event (rewriting the
+      // files that contained them), and restore() pins the table back to
+      // the pre-merge version as a NEW commit — metadata-only, re-adding
+      // the rewritten-away files and removing the merge's output, cost
+      // proportional to the file-set diff, never the table. Gates:
+      // `restored_match` (post-restore census ≡ the whole corpus — the
+      // oracle), `bad_travels` (time travel FORWARD to the undone version
+      // still works and shows exactly the %10-deleted state: history is
+      // preserved, not rewritten), and `diff_ok` (the restore both
+      // re-added and removed ≥1 file — both directions of the diff
+      // exercised). The operational save when a bad pipeline run lands at
+      // 100 TB: undo in O(metadata), no data rewrite, no backup copy.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-restore")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        val goodV = graft.sinks.DeltaSink.latestVersion(table)
+        // the bad run: delete-marked merge source kills every 10th event
+        graft.sinks.DeltaSink.merge(s, table,
+          ev.filter(col("event_id") % 10 === 0).withColumn("_del", lit(true)),
+          keys = Seq("event_id"), deleteCol = Some("_del"))
+        val badV = graft.sinks.DeltaSink.latestVersion(table)
+        val (readded, removed) = graft.sinks.DeltaSink.restore(s, table, goodV)
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("event_id") % 10 =!= 0, 1)).as("n_keep"))
+        val back = graft.sinks.DeltaSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_back"))
+        val bad = graft.sinks.DeltaSink.read(s, table, asOfVersion = Some(badV))
+          .groupBy("event_type").agg(count(lit(1)).as("n_bad"))
+        direct
+          .join(back, Seq("event_type"), "full_outer")
+          .join(bad, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"),
+            (col("n_back") <=> col("n_rows")).as("restored_match"),
+            (col("n_bad") <=> col("n_keep")).as("bad_travels"),
+            lit(readded >= 1 && removed >= 1).as("diff_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS restored_match, TRUE AS bad_travels, TRUE AS diff_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_cdf",
       // The BOUNDED change feed (CDF) under the hash oracle, with an
       // OPTIMIZE inside the consumed window — the semantics every

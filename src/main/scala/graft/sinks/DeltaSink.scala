@@ -347,6 +347,57 @@ object DeltaSink {
     -1 // unreachable
   }
 
+  /** RESTORE — the undo verb (Delta RESTORE semantics): commits a NEW
+    * version whose live set is exactly `asOfVersion`'s, re-adding the
+    * pinned version's files missing from the current live set and removing
+    * current files the pinned version doesn't reference. Metadata-only: no
+    * data file is read, moved or rewritten — cost scales with the file-set
+    * DIFF, never the table. Actions carry dataChange=true (a restore
+    * changes table contents; incremental consumers must see it). History
+    * is preserved: the undone commits stay replayable, so time travel
+    * FORWARD to them still works until vacuum reclaims their files — and
+    * the re-added files are live again, protected from future vacuum by
+    * construction. Precondition (same as Delta RESTORE): the pinned
+    * version's files must not have been vacuumed yet.
+    * Returns (filesReAdded, filesRemoved); (0, 0) with no commit when the
+    * current state already equals the target.
+    */
+  def restore(spark: SparkSession, table: String, asOfVersion: Long,
+      retries: Int = 3, store: CommitStore = CommitStore.Local): (Int, Int) = {
+    val target = replay(spark, table, Some(asOfVersion))
+    var attempt = 0
+    var minNext = 0L
+    while (attempt <= retries) {
+      // diff against FRESH state every attempt: a concurrent commit
+      // changes the current live set, and a restore computed against a
+      // stale one would resurrect or orphan its files
+      val current = replay(spark, table, None)
+      require(current.schema == target.schema,
+        "restore across a schema change is not supported: restore the data " +
+          "first, then evolve, or vice versa")
+      val targetPaths = target.live.map(_.path).toSet
+      val currentPaths = current.live.map(_.path).toSet
+      val readds = target.live.filterNot(a => currentPaths.contains(a.path))
+      val removes = current.live.filterNot(a => targetPaths.contains(a.path))
+      if (readds.isEmpty && removes.isEmpty) return (0, 0)
+      val now = System.currentTimeMillis()
+      val lines = removes.map(a =>
+        s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""") ++
+        readds.map(a => addJson(a))
+      val next = math.max(latestVersion(table) + 1, minNext)
+      try {
+        commitAtomic(store, versionFile(table, next), lines)
+        return (readds.size, removes.size)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempt >= retries) throw e
+          attempt += 1
+          minNext = next + 1 // another writer claimed it; re-diff and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Bin-packs the table's live files into `maxRecordsPerFile`-sized files
     * (per partition, preserving the declared layout) and commits the rewrite
     * as remove+add actions with `dataChange=false` — the OPTIMIZE verb.

@@ -476,6 +476,32 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("Delta restore: metadata-only undo, history preserved, noop detected (r11)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(sampleDf, table)) // ids 1-3
+    val goodV = DeltaSink.latestVersion(table)
+    DeltaSink.append(Seq((4L, "d", 4.5)).toDF("id", "name", "v"), table)
+    // compact rewrites the layout: restore must re-add the ORIGINAL files
+    DeltaSink.compact(spark, table)
+    val badV = DeltaSink.latestVersion(table)
+    val (readded, removed) = DeltaSink.restore(spark, table, goodV)
+    assert(readded >= 1 && removed >= 1)
+    // current state = the pinned version's rows
+    assert(DeltaSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // history preserved: forward travel to the undone version still works
+    assert(DeltaSink.read(spark, table, asOfVersion = Some(badV)).count() == 4)
+    // restoring to the state the table is already in commits nothing
+    val v = DeltaSink.latestVersion(table)
+    assert(DeltaSink.restore(spark, table, v) == ((0, 0)))
+    assert(DeltaSink.latestVersion(table) == v)
+    // the re-added files are live again: vacuum must NOT reclaim them
+    DeltaSink.vacuum(spark, table, retentionMs = 0L)
+    assert(DeltaSink.read(spark, table).count() == 3)
+  }
+
   test("Delta change feed: adds since a version, compaction rewrites excluded") {
     val s = spark
     import s.implicits._
