@@ -1175,6 +1175,55 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_rollback",
+      // Iceberg ROLLBACK under the oracle — the format twin of
+      // q_delta_restore: the even half bootstraps the table, a BAD append
+      // lands the odd half, rollback() points the current ref back at the
+      // first snapshot (pure metadata, O(1) at any table size), and the
+      // corrected rerun appends the odd half again — carrying forward the
+      // rolled-back-to snapshot's manifests, NOT the undone one's, so the
+      // final census equals the whole corpus (the oracle) only if the
+      // rollback really redirected the ref and the re-append really
+      // continued from it. Gates: `rolled_match` (post-rollback census ≡
+      // the even half), `bad_travels` (the undone snapshot still
+      // time-travels: history preserved, not rewritten). The
+      // undo-then-continue operational flow at 100 TB.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-rb") + "/tbl"
+        def half(i: Int) = ev.filter(pmod(col("event_id"), lit(2)) === i)
+        graft.sinks.IcebergSink.write(half(0), table,
+          graft.sinks.IcebergSink.CreateExclusive, partitionBy = Seq("event_type"))
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.write(half(1), table,
+          graft.sinks.IcebergSink.Append, partitionBy = Seq("event_type"))
+        val s1 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.rollback(table, s0)
+        val rolled = graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_rolled"))
+        val bad = graft.sinks.IcebergSink.read(s, table, Some(s1))
+          .groupBy("event_type").agg(count(lit(1)).as("n_bad"))
+        graft.sinks.IcebergSink.write(half(1), table,
+          graft.sinks.IcebergSink.Append, partitionBy = Seq("event_type"))
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("event_id") % 2 === 0, 1)).as("n_even"))
+        graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_back"))
+          .join(direct, Seq("event_type"), "full_outer")
+          .join(rolled, Seq("event_type"), "full_outer")
+          .join(bad, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_back"), lit(0L)).as("n_rows_final"),
+            (col("n_rolled") <=> col("n_even")).as("rolled_match"),
+            (col("n_bad") <=> col("n_rows")).as("bad_travels"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows_final,
+             |  TRUE AS rolled_match, TRUE AS bad_travels
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_expire_audit",
       // The Iceberg RECLAMATION audit — the format twin of q_vacuum_audit:
       // create (even half) + append (odd half) + OVERWRITE (full corpus,

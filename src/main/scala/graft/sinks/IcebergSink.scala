@@ -1020,6 +1020,51 @@ object IcebergSink {
     (before, fileCount())
   }
 
+  /** ROLLBACK — Iceberg's undo verb (the format twin of
+    * [[DeltaSink.restore]]): commits a new metadata version whose
+    * current-snapshot-id / main branch ref point at `snapshotId`, which
+    * must still be retained. PURE metadata: no manifest or data file is
+    * touched, so cost is O(1) regardless of table size. History is
+    * preserved — every snapshot stays in the metadata, so reading (or
+    * rolling) FORWARD to the undone snapshots still works; only
+    * [[expireSnapshots]] removes them, and its retention now always keeps
+    * the current snapshot even when a rollback made it an old one.
+    * `last-sequence-number` is monotonic and survives the rollback, so
+    * subsequent appends continue with fresh sequence numbers and carry
+    * forward the rolled-back-to snapshot's manifests — the "undo the bad
+    * run, then continue loading" operational flow.
+    */
+  def rollback(table: String, snapshotId: Long,
+      store: CommitStore = CommitStore.Local): Unit = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val known = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSet
+    require(known.contains(snapshotId),
+      s"no snapshot $snapshotId in $table (already expired?)")
+    if (meta.get("current-snapshot-id").asLong() == snapshotId) return
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("current-snapshot-id", snapshotId)
+    newMeta.putObject("refs").putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+    val newVersion = hint + 1
+    try
+      store.putIfAbsent(metaFile(table, newVersion),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new OptimisticConcurrencyException(newVersion)
+    }
+    store match {
+      case os: ObjectStore =>
+        os.putObject(hintFile(table),
+          newVersion.toString.getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        Files.writeString(hintFile(table), newVersion.toString): Unit
+    }
+  }
+
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the
     * current metadata retains, oldest first — the discovery surface for
     * [[read]]'s time travel and [[expireSnapshots]]' retention choice.
@@ -1049,7 +1094,14 @@ object IcebergSink {
     val all = meta.get("snapshots").elements().asScala.map(_.deepCopy[ObjectNode]()).toSeq
       .sortBy(_.get("sequence-number").asLong())
     if (all.size <= keepLast) return 0
-    val (expired, kept) = all.splitAt(all.size - keepLast)
+    // "keep the newest N" must never expire the CURRENT snapshot: after a
+    // rollback the current ref points at an OLD sequence number, and
+    // dropping it would brick every read of the table
+    val curId = meta.get("current-snapshot-id").asLong()
+    val (expired0, kept0) = all.splitAt(all.size - keepLast)
+    val (expCur, expired) = expired0.partition(_.get("snapshot-id").asLong() == curId)
+    val kept = expCur ++ kept0
+    if (expired.isEmpty) return 0
 
     def filesOf(snaps: Seq[ObjectNode]): (Set[String], Set[String]) = {
       val lists = snaps.map(s => abs(table, s.get("manifest-list").asText()))

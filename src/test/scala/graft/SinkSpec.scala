@@ -454,6 +454,36 @@ class SinkSpec extends AnyFunSuite {
     assert(ids(IcebergSink.snapshots(table).last._1).isEmpty)
   }
 
+  test("Iceberg rollback: metadata-only undo, continue-loading, expiry keeps current (r11)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    IcebergSink.writeWithRetry(Seq((4L, "d", 4.5)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    val s1 = IcebergSink.snapshots(table).last._1
+    IcebergSink.rollback(table, s0)
+    // current = the pinned snapshot; the undone one still time-travels
+    assert(IcebergSink.read(spark, table).count() == 3)
+    assert(IcebergSink.read(spark, table, Some(s1)).count() == 4)
+    // rollback to the state the table is in is a no-op (no new version)
+    val hint = IcebergSink.snapshots(table).length
+    IcebergSink.rollback(table, s0)
+    assert(IcebergSink.snapshots(table).length == hint)
+    // continue loading after the undo: the append carries forward s0's
+    // manifests, not the rolled-back s1's
+    IcebergSink.writeWithRetry(Seq((9L, "z", 9.9)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 9L))
+    // retention never expires the current snapshot, even when a rollback
+    // made it an old sequence number
+    IcebergSink.rollback(table, s0)
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(IcebergSink.read(spark, table).count() == 3)
+  }
+
   test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
     val s = spark
     import s.implicits._
