@@ -52,8 +52,13 @@ object MultimodalFixtures {
     val n = Png4x2Lumas.length
     val mean = Png4x2Lumas.sum.toDouble / n
     val variance = Png4x2Lumas.map(l => l.toLong * l).sum.toDouble / n - mean * mean
-    val hist = new Array[Float](Multimodal.LumaHistBins)
-    Png4x2Lumas.foreach(l => hist(l >> 4) += (1.0 / n).toFloat)
+    // mirror the decoder exactly (Multimodal.scala): count per bin into
+    // longs, then emit (count/n).toFloat — NOT accumulated (1/n).toFloat
+    // increments, whose float addition order diverges unless n is a
+    // power of two
+    val counts = new Array[Long](Multimodal.LumaHistBins)
+    Png4x2Lumas.foreach(l => counts(l >> 4) += 1)
+    val hist = counts.map(c => (c.toDouble / n).toFloat)
     Array(4f, 2f, mean.toFloat, variance.toFloat) ++ hist
   }
 

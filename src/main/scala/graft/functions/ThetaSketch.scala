@@ -114,9 +114,12 @@ object ThetaSketch {
   def sketch: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new KmvAgg, ExpressionEncoder[java.lang.Long]())
 
-  /** Hash value → its [0,1) fraction, columnar. */
+  /** Hash value → its [0,1) fraction, columnar — clamped away from 0 so
+    * a K-th smallest hash of exactly Long.MinValue (a ~2^-63 event) can't
+    * make θ = 0 and the estimates divide by zero.
+    */
   private def frac(h: Column): Column =
-    h.cast("double") / lit(TwoTo64) + lit(0.5)
+    greatest(h.cast("double") / lit(TwoTo64) + lit(0.5), lit(1.0 / TwoTo64))
 
   /** θ of a sketch: 1.0 while it holds its whole set, else the K-th
     * smallest hash's fraction.
@@ -145,10 +148,14 @@ object ThetaSketch {
     val thLong = least(
       when(size(a) < K, maxL).otherwise(element_at(a, K)),
       when(size(b) < K, maxL).otherwise(element_at(b, K)))
-    val thF = when(size(a) < K && size(b) < K, lit(1.0))
-      .otherwise(frac(thLong))
+    val thF = frac(thLong)
     val common = size(array_intersect(
       filter(a, e => e < thLong), filter(b, e => e < thLong)))
-    common.cast("double") / thF
+    // Both-under-K → each sketch holds its FULL hash set, so the exact
+    // path is a plain set intersection — no θ filter, which would wrongly
+    // drop a retained hash equal to Long.MaxValue (θ is exclusive).
+    when(size(a) < K && size(b) < K,
+      size(array_intersect(a, b)).cast("double"))
+      .otherwise(common.cast("double") / thF)
   }
 }

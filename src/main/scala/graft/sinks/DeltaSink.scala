@@ -366,7 +366,6 @@ object DeltaSink {
       retries: Int = 3, store: CommitStore = CommitStore.Local): (Int, Int) = {
     val target = replay(spark, table, Some(asOfVersion))
     var attempt = 0
-    var minNext = 0L
     while (attempt <= retries) {
       // diff against FRESH state every attempt: a concurrent commit
       // changes the current live set, and a restore computed against a
@@ -384,15 +383,21 @@ object DeltaSink {
       val lines = removes.map(a =>
         s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""") ++
         readds.map(a => addJson(a))
-      val next = math.max(latestVersion(table) + 1, minNext)
+      // Claim exactly the version AFTER the one the diff was computed
+      // against (writers only claim latestVersion+1): a commit landing
+      // between the replay above and this claim then collides with
+      // FileAlreadyExistsException and triggers the re-diff retry —
+      // re-reading latestVersion here would let that interleaved commit
+      // (e.g. a concurrent compact) be silently built over with a stale
+      // diff, resurrecting files it removed.
+      val next = current.version + 1
       try {
         commitAtomic(store, versionFile(table, next), lines)
         return (readds.size, removes.size)
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (attempt >= retries) throw e
-          attempt += 1
-          minNext = next + 1 // another writer claimed it; re-diff and retry
+          attempt += 1 // another writer claimed it; re-diff and retry
       }
     }
     throw new IllegalStateException("unreachable")

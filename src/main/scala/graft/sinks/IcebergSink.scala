@@ -1046,7 +1046,14 @@ object IcebergSink {
     if (meta.get("current-snapshot-id").asLong() == snapshotId) return
     val newMeta = meta.deepCopy[ObjectNode]()
     newMeta.put("current-snapshot-id", snapshotId)
-    newMeta.putObject("refs").putObject("main")
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    // Iceberg rollback semantics: redirect ONLY the main branch ref —
+    // other branch/tag refs (if any) are untouched
+    val refs =
+      if (newMeta.has("refs") && newMeta.get("refs").isObject)
+        newMeta.get("refs").asInstanceOf[ObjectNode]
+      else newMeta.putObject("refs")
+    refs.putObject("main")
       .put("snapshot-id", snapshotId).put("type", "branch")
     val newVersion = hint + 1
     try

@@ -85,6 +85,28 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(math.abs(big - 3000.0) / 3000.0 < 0.35, s"big intersection est=$big")
   }
 
+  test("boundary hashes: Long.MaxValue survives under-K intersection; Long.MinValue theta stays finite") {
+    val sess = spark
+    import sess.implicits._
+    // Under-K sketches holding Long.MaxValue: the exact path must count it
+    // (the θ filter is exclusive and would wrongly drop it).
+    val a = typedLit(Array(1L, 42L, Long.MaxValue))
+    val b = typedLit(Array(42L, 99L, Long.MaxValue))
+    // A full-K sketch whose K-th smallest hash is Long.MinValue → raw
+    // fraction 0; the clamp must keep θ > 0 and the estimate finite.
+    val degenerate = typedLit(Array.fill(ThetaSketch.K)(Long.MinValue))
+    val row = Seq(1).toDF("x").select(
+        ThetaSketch.intersectEstimateCol(a, b).as("exact"),
+        ThetaSketch.thetaCol(degenerate).as("th"),
+        ThetaSketch.estimateCol(degenerate).as("est"))
+      .collect()(0)
+    assert(row.getDouble(0) == 2.0,
+      s"under-K exact intersection must include Long.MaxValue, got ${row.getDouble(0)}")
+    assert(row.getDouble(1) > 0.0, "theta must be clamped away from 0")
+    assert(!row.getDouble(2).isInfinite && !row.getDouble(2).isNaN,
+      s"estimate must be finite, got ${row.getDouble(2)}")
+  }
+
   test("theta and cardinality estimate columns agree with the driver-side math") {
     val sess = spark
     import sess.implicits._
