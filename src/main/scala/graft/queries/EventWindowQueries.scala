@@ -1175,6 +1175,54 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_delete",
+      // V2 ROW-LEVEL DELETES (merge-on-read) under the oracle — the first
+      // thing a real Iceberg user does after an append. The corpus
+      // bootstraps the table, deleteWhere writes POSITIONAL delete files
+      // (parquet of (file_path, pos), sorted, committed as a content=1
+      // deletes manifest at the next sequence number) for every event_id
+      // divisible by 10, and the census of the merged read must equal the
+      // oracle's `WHERE event_id % 10 <> 0` recompute — the delete cost a
+      // predicate scan plus a write proportional to the MATCHED tenth,
+      // never a table rewrite, and readers apply it as a (file, pos)
+      // anti-join against the position set (broadcast: deletes ≪ data).
+      // Gates: `bad_travels` (the pre-delete snapshot still reads all
+      // rows — snapshot isolation, history intact), `redelete_noop` (the
+      // same predicate re-run matches NOTHING because positions are
+      // evaluated against the merged view — no delete-file growth on
+      // retries, the exactly-once shape an orchestrated pipeline needs).
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-del") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive, partitionBy = Seq("event_type"))
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.deleteWhere(s, table, "event_id % 10 = 0")
+        val again = graft.sinks.IcebergSink.deleteWhere(s, table, "event_id % 10 = 0")
+        val bad = graft.sinks.IcebergSink.read(s, table, Some(s0))
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_all"))
+        graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"), fxSum(col("value")).as("sum_value"))
+          .join(direct, Seq("event_type"), "full_outer")
+          .join(bad, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_kept"), lit(0L)).as("n_rows"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+            (col("n_pre") <=> col("n_all")).as("bad_travels"),
+            lit(again == 0L).as("redelete_noop"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 <> 0) AS BIGINT) AS n_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 <> 0), 0) AS DOUBLE) / 100.0 AS sum_value,
+             |  TRUE AS bad_travels, TRUE AS redelete_noop
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

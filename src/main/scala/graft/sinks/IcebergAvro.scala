@@ -145,12 +145,14 @@ private[graft] object IcebergAvro {
     DataFileSchema.getField(fieldName).schema().getTypes.asScala
       .find(_.getType == Schema.Type.ARRAY).get
 
-  /** Writes one data-content manifest; returns its byte length (the
-    * manifest list records it).
+  /** Writes one manifest; returns its byte length (the manifest list
+    * records it). `content` is the V2 file-content code shared by the
+    * manifest meta and every entry's data_file record: 0 = DATA,
+    * 1 = POSITION_DELETES (spec §Manifests / §Delete Formats).
     */
   def writeManifest(target: File, files: Seq[DataFileInfo], snapshotId: Long,
       icebergSchemaJson: String, partitionSpecJson: String,
-      partitionFields: Seq[PartitionField] = Nil): Long = {
+      partitionFields: Seq[PartitionField] = Nil, content: Int = 0): Long = {
     val entrySchema = entrySchemaFor(partitionFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
@@ -160,11 +162,11 @@ private[graft] object IcebergAvro {
     w.setMeta("partition-spec", partitionSpecJson)
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "2")
-    w.setMeta("content", "data")
+    w.setMeta("content", if (content == 0) "data" else "deletes")
     w.create(entrySchema, target)
     try files.foreach { f =>
       val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 0) // DATA
+      df.put("content", content)
       df.put("file_path", f.absPath)
       df.put("file_format", "PARQUET")
       val part = new GenericData.Record(partitionSchema)
@@ -242,14 +244,17 @@ private[graft] object IcebergAvro {
     } finally r.close()
   }
 
-  /** manifest_file row for a manifest newly written by `snapshotId`. */
+  /** manifest_file row for a manifest newly written by `snapshotId`;
+    * `content` 0 = data manifest, 1 = deletes manifest (field 517).
+    */
   def manifestRow(absPath: String, length: Long, sequenceNumber: Long,
-      snapshotId: Long, addedFiles: Int, addedRows: Long): GenericRecord = {
+      snapshotId: Long, addedFiles: Int, addedRows: Long,
+      content: Int = 0): GenericRecord = {
     val r = new GenericData.Record(ManifestFileSchema)
     r.put("manifest_path", absPath)
     r.put("manifest_length", length)
     r.put("partition_spec_id", 0)
-    r.put("content", 0) // data
+    r.put("content", content)
     r.put("sequence_number", sequenceNumber)
     r.put("min_sequence_number", sequenceNumber)
     r.put("added_snapshot_id", snapshotId)

@@ -747,21 +747,34 @@ object IcebergSink {
     */
   def read(spark: SparkSession, table: String,
       asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val (schema, entries) = snapshotEntries(table, asOfSnapshotId)
-    readEntries(spark, schema, entries)
+    val snap = snapshotEntries(table, asOfSnapshotId)
+    readMerged(spark, snap.schema, snap.data, snap.deletes)
   }
 
-  /** Shared snapshot resolution for [[read]]/[[readDays]]: (table schema,
-    * (file, manifest partition values) entries) of the requested — or
-    * current — snapshot. Partition truth comes from each manifest's OWN
-    * partition struct (its Avro writer schema), NOT from the current
-    * metadata's default spec: snapshots written under an older spec must
-    * time-travel with the columns they were written with — resolving the
-    * current spec here would read old files with the wrong column split
-    * after an overwrite changes the layout.
+  /** One resolved snapshot: data-file entries as (path, manifest partition
+    * values, data sequence number) and positional-delete files as
+    * (path, delete sequence number). Sequence numbers come from each
+    * manifest's manifest_file row — appends carry prior manifests forward
+    * verbatim, so every file keeps the sequence it was committed at, which
+    * is what scopes delete application (a delete never touches data
+    * appended after it).
+    */
+  private[sinks] case class Snapshot(schema: StructType,
+      data: Seq[(String, Map[String, Any], Long)],
+      deletes: Seq[(String, Long)])
+
+  /** Shared snapshot resolution for [[read]]/[[readDays]]/… . Partition
+    * truth comes from each manifest's OWN partition struct (its Avro
+    * writer schema), NOT from the current metadata's default spec:
+    * snapshots written under an older spec must time-travel with the
+    * columns they were written with — resolving the current spec here
+    * would read old files with the wrong column split after an overwrite
+    * changes the layout. Manifests split by their V2 content code: data
+    * manifests feed the scan, deletes manifests (content=1, written by
+    * [[deleteWhere]]) feed the merge-on-read anti-join.
     */
   private def snapshotEntries(table: String, asOfSnapshotId: Option[Long])
-      : (StructType, Seq[(String, Map[String, Any])]) = {
+      : Snapshot = {
     val meta = currentMeta(table)
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
@@ -769,11 +782,16 @@ object IcebergSink {
     val list = manifestListOf(table, meta, snapId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapId in $table " +
         "(expired or never committed)"))
-    val manifests = Seq(list).flatMap(readManifestPaths(table, _))
-    val entries: Seq[(String, Map[String, Any])] = manifests.flatMap { mp =>
-      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
+    val refs = manifestRefs(table, list)
+    val data = refs.filter(_.content == 0).flatMap { r =>
+      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, r.path))))
+        .map { case (p, pvals) => (p, pvals, r.seq) }
     }
-    (schema, entries)
+    val deletes = refs.filter(_.content == 1).flatMap { r =>
+      IcebergAvro.readManifestDataFiles(new File(requireAvro(abs(table, r.path))))
+        .map { case (p, _) => (p, r.seq) }
+    }
+    Snapshot(schema, data, deletes)
   }
 
   /** METADATA-ONLY file inventory of a snapshot: one row per live data
@@ -792,7 +810,7 @@ object IcebergSink {
     val snapId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val list = manifestListOf(table, meta, snapId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapId in $table"))
-    val rows = Seq(list).flatMap(readManifestPaths(table, _)).flatMap { mp =>
+    val rows = manifestRefs(table, list).filter(_.content == 0).map(_.path).flatMap { mp =>
       val f = new File(requireAvro(abs(table, mp)))
       val parts = IcebergAvro.readManifestPartitions(f).toMap
       IcebergAvro.readManifestDataFiles(f).map { case (p, n) =>
@@ -816,10 +834,11 @@ object IcebergSink {
   def readDays(spark: SparkSession, table: String, tsCol: String,
       fromDay: java.time.LocalDate, untilDay: java.time.LocalDate)
       : (DataFrame, Int, Int) = {
-    val (schema, entries) = snapshotEntries(table, asOfSnapshotId = None)
+    val snap = snapshotEntries(table, asOfSnapshotId = None)
+    val (schema, entries) = (snap.schema, snap.data)
     val key = s"${tsCol}_day"
     val (lo, hi) = (fromDay.toEpochDay, untilDay.toEpochDay)
-    val kept = entries.filter { case (_, pvals) =>
+    val kept = entries.filter { case (_, pvals, _) =>
       pvals.get(key) match {
         case Some(d: Int) => d >= lo && d < hi
         case _ => true
@@ -836,7 +855,7 @@ object IcebergSink {
         datediff(col(tsCol), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
       case _ => floor(col(tsCol).cast("double") / 86400.0)
     }
-    val df = readEntries(spark, schema, kept)
+    val df = readMerged(spark, schema, kept, snap.deletes)
       .filter(utcDay >= lo && utcDay < hi)
     (df, kept.size, entries.size)
   }
@@ -852,7 +871,8 @@ object IcebergSink {
     */
   def readBucket(spark: SparkSession, table: String, keyCol: String,
       value: Long): (DataFrame, Int, Int) = {
-    val (schema, entries) = snapshotEntries(table, asOfSnapshotId = None)
+    val snap = snapshotEntries(table, asOfSnapshotId = None)
+    val (schema, entries) = (snap.schema, snap.data)
     val meta = currentMeta(table)
     val derivedName = s"${keyCol}_bucket"
     val n = meta.get("partition-specs").elements().asScala
@@ -866,14 +886,15 @@ object IcebergSink {
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not bucket-partitioned on $keyCol"))
     val b = IcebergTransforms.bucketOfHash(IcebergTransforms.hashLong(value), n)
-    val kept = entries.filter { case (_, pvals) =>
+    val kept = entries.filter { case (_, pvals, _) =>
       pvals.get(derivedName) match {
         case Some(x: Int) => x == b
         case _ => true
       }
     }
     import org.apache.spark.sql.functions.col
-    val df = readEntries(spark, schema, kept).filter(col(keyCol) === value)
+    val df = readMerged(spark, schema, kept, snap.deletes)
+      .filter(col(keyCol) === value)
     (df, kept.size, entries.size)
   }
 
@@ -895,22 +916,44 @@ object IcebergSink {
     */
   def readAppendedSince(spark: SparkSession, table: String,
       sinceSnapshotId: Long): DataFrame = {
-    val (schema, current) = snapshotEntries(table, None)
-    val (_, pinned) = snapshotEntries(table, Some(sinceSnapshotId))
-    val seen = pinned.map(_._1).toSet
-    readEntries(spark, schema, current.filterNot(e => seen.contains(e._1)))
+    val current = snapshotEntries(table, None)
+    val pinned = snapshotEntries(table, Some(sinceSnapshotId))
+    val seen = pinned.data.map(_._1).toSet
+    // current deletes still apply to the appended files (a consumer must
+    // never see a row the table has already deleted); deletes older than
+    // an appended file's sequence are no-ops by the >= scope in readMerged
+    readMerged(spark, current.schema,
+      current.data.filterNot(e => seen.contains(e._1)), current.deletes)
   }
 
   private def readEntries(spark: SparkSession, schema: StructType,
-      entries: Seq[(String, Map[String, Any])]): DataFrame = {
-    if (entries.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      entries: Seq[(String, Map[String, Any])],
+      withLineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val lineageFields =
+      if (!withLineage) Array.empty[org.apache.spark.sql.types.StructField]
+      else Array(
+        org.apache.spark.sql.types.StructField("_gf_uri",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_gf_pos",
+          org.apache.spark.sql.types.LongType))
+    if (entries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(schema.fields ++ lineageFields))
+    val outCols = schema.fieldNames.map(col) ++
+      (if (withLineage) Seq(col("_gf_uri"), col("_gf_pos")) else Nil)
     val groups = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
     val parts = groups.map { case (pvals, files) =>
       val specCols = schema.fieldNames.filter(pvals.contains).toSeq
       val fileSchema = StructType(schema.fields.filterNot(f => specCols.contains(f.name)))
-      val base = spark.read.schema(fileSchema).parquet(files: _*)
+      val base0 = spark.read.schema(fileSchema).parquet(files: _*)
+      // file/row provenance for merge-on-read and deleteWhere: the
+      // parquet reader's _metadata struct carries both at zero extra I/O
+      val base =
+        if (withLineage) base0.select(col("*"),
+          col("_metadata.file_path").as("_gf_uri"),
+          col("_metadata.row_index").as("_gf_pos"))
+        else base0
       specCols.foldLeft(base) { (acc, c) =>
         val dt = schema(c).dataType
         val litCol = (pvals(c), dt) match {
@@ -920,9 +963,71 @@ object IcebergSink {
           case (other, _) => lit(other).cast(dt)
         }
         acc.withColumn(c, litCol)
-      }.select(schema.fieldNames.map(col): _*)
+      }.select(outCols: _*)
     }
     parts.reduce(_.unionAll(_))
+  }
+
+  /** Strips any URI scheme so the parquet reader's `file:///x` provenance
+    * compares equal to the manifest's `/x` (both sides of every
+    * delete-application join normalize through this).
+    */
+  private def normPath(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Merge-on-read: rows of the snapshot's data files minus the (path,
+    * position) pairs its positional-delete files carry, scoped by sequence
+    * number (a delete applies only to data files of sequence ≤ its own —
+    * V2 read contract, so rows appended AFTER a delete are never touched).
+    * Zero overhead when the snapshot has no delete files: the plain scan
+    * is returned untouched, no lineage columns are read and no join is
+    * planned. With deletes, each data row carries its file provenance from
+    * the parquet reader's `_metadata` struct (no extra I/O), its data
+    * sequence arrives via a broadcast of the metadata-scale file→sequence
+    * map, and the delete set — proportional to deleted rows, not table
+    * size — anti-joins it away (AQE broadcasts the small delete side).
+    * `keepLineage` additionally returns `_gf_mpath` (the file's manifest
+    * path) and `_gf_pos` — [[deleteWhere]]'s provenance for writing new
+    * delete files against the CURRENT merged view.
+    */
+  private def readMerged(spark: SparkSession, schema: StructType,
+      dataEntries: Seq[(String, Map[String, Any], Long)],
+      deletes: Seq[(String, Long)],
+      keepLineage: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    if (deletes.isEmpty && !keepLineage)
+      return readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)))
+    val data = readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)),
+      withLineage = true)
+    import spark.implicits._
+    val lookup = dataEntries.map(e => (normPath(e._1), e._1, e._3))
+      .toDF("_gf_key", "_gf_mpath", "_gf_seq")
+    val keyed = data
+      .withColumn("_gf_key",
+        regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(broadcast(lookup), "_gf_key")
+    val merged =
+      if (deletes.isEmpty) keyed
+      else {
+        val delDf = deletes.map { case (p, seq) =>
+          spark.read
+            .schema("file_path STRING, pos BIGINT")
+            .parquet(p)
+            .select(
+              regexp_replace(col("file_path"),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_gfd_key"),
+              col("pos").as("_gfd_pos"),
+              lit(seq).as("_gfd_seq"))
+        }.reduce(_.unionAll(_))
+        keyed.join(delDf,
+          col("_gf_key") === col("_gfd_key") &&
+            col("_gf_pos") === col("_gfd_pos") &&
+            col("_gfd_seq") >= col("_gf_seq"),
+          "left_anti")
+      }
+    val outCols = schema.fieldNames.map(col) ++
+      (if (keepLineage) Seq(col("_gf_mpath"), col("_gf_pos")) else Nil)
+    merged.select(outCols: _*)
   }
 
   /** Manifest-stats file pruning for a numeric range predicate — the
@@ -936,8 +1041,12 @@ object IcebergSink {
   def readRange(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): DataFrame = {
     val (schema, kept, _) = planRangeFiles(spark, table, column, lo, hi)
+    val snap = snapshotEntries(table, None)
+    val seqOf = snap.data.map(e => e._1 -> e._3).toMap
     import org.apache.spark.sql.functions.col
-    readEntries(spark, schema, kept)
+    readMerged(spark, schema,
+      kept.map { case (p, pvals) => (p, pvals, seqOf.getOrElse(p, 0L)) },
+      snap.deletes)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -964,7 +1073,7 @@ object IcebergSink {
     }
     val snapId = meta.get("current-snapshot-id").asLong()
     val list = manifestListOf(table, meta, snapId).get
-    val manifests = Seq(list).flatMap(readManifestPaths(table, _))
+    val manifests = manifestRefs(table, list).filter(_.content == 0).map(_.path)
     val entries = manifests.flatMap { mp =>
       IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
     }
@@ -995,14 +1104,14 @@ object IcebergSink {
     def fileCount(): Int = {
       val meta = currentMeta(table)
       val list = manifestListOf(table, meta, meta.get("current-snapshot-id").asLong()).get
-      Seq(list).flatMap(readManifestPaths(table, _))
-        .flatMap(mp => dataFilesOf(table, mp)).size
+      manifestRefs(table, list).filter(_.content == 0)
+        .flatMap(r => dataFilesOf(table, r.path)).size
     }
     val before = fileCount()
     val meta = currentMeta(table)
     val list = manifestListOf(table, meta, meta.get("current-snapshot-id").asLong()).get
-    val totalBytes = Seq(list).flatMap(readManifestPaths(table, _))
-      .flatMap(mp => dataFilesOf(table, mp))
+    val totalBytes = manifestRefs(table, list).filter(_.content == 0)
+      .flatMap(r => dataFilesOf(table, r.path))
       .map(p => new File(p).length()).sum
     val target = targetFiles.getOrElse(
       math.max(1, math.ceil(totalBytes / 134217728.0).toInt))
@@ -1070,6 +1179,188 @@ object IcebergSink {
       case _ =>
         Files.writeString(hintFile(table), newVersion.toString): Unit
     }
+  }
+
+  /** Avro artifact into the table's metadata dir, through the store
+    * protocol when one is given (shared by [[deleteWhere]]; the write()
+    * path keeps its inline twin).
+    */
+  private def writeAvroArtifact(table: String, store: CommitStore,
+      name: String)(write: File => Long): (java.nio.file.Path, Long) = {
+    val target = metaDir(table).resolve(name)
+    store match {
+      case os: ObjectStore =>
+        val tmp = Files.createTempFile("graft-ib-avro", ".avro")
+        try {
+          val len = write(tmp.toFile)
+          os.putObject(target, Files.readAllBytes(tmp))
+          (target, len)
+        } finally Files.deleteIfExists(tmp)
+      case _ => (target, write(target.toFile))
+    }
+  }
+
+  /** DELETE WHERE — V2 merge-on-read row-level deletes: writes POSITIONAL
+    * delete files (parquet of spec columns `file_path` string /
+    * 2147483546, `pos` long / 2147483545, sorted by both) for every
+    * current row matching `predicate`, commits them under a
+    * deletes-content manifest (content=1) at the next sequence number, and
+    * leaves every data file untouched — the delete costs a predicate scan
+    * plus a write proportional to the MATCHED rows, never a table rewrite.
+    * [[read]] (and every pruned/incremental reader) applies the deletes by
+    * (file, position) anti-join scoped by sequence number, so rows
+    * appended after the delete are never touched and pre-delete snapshots
+    * still time-travel intact. Positions are evaluated against the CURRENT
+    * merged view, so re-running a predicate never re-deletes rows.
+    * Compaction ([[compact]]) naturally materializes deletes — it rewrites
+    * the merged view and starts a fresh manifest list. The delete manifest
+    * carries an empty partition struct (deletes apply by file path, not by
+    * partition — a spec-permitted global scope; partition-scoped delete
+    * pruning is an optimization this writer doesn't take). Returns the
+    * number of rows deleted; no commit happens when the predicate matches
+    * nothing. Concurrency: same IF-NOT-EXISTS version claim as every other
+    * commit — a losing race reclaims its staged files and throws
+    * [[OptimisticConcurrencyException]].
+    */
+  def deleteWhere(spark: SparkSession, table: String, predicate: String,
+      store: CommitStore = CommitStore.Local): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val snap = snapshotEntries(table, None)
+    val matched = readMerged(spark, snap.schema, snap.data, snap.deletes,
+      keepLineage = true).filter(expr(predicate))
+    val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    val dels = matched
+      .select(col("_gf_mpath").as("file_path", fpMeta),
+        col("_gf_pos").as("pos", posMeta))
+      // spec: delete rows sorted by file_path then pos; range partitioning
+      // keeps each output file covering a contiguous slice (AQE coalesces
+      // the mostly-empty shuffle partitions of a small delete)
+      .repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+    val objStore: Option[ObjectStore] =
+      store match { case os: ObjectStore => Some(os); case _ => None }
+    val stage = s"data/delete-${java.util.UUID.randomUUID()}"
+    val stagePath = objStore
+      .map(_ => Files.createTempDirectory("graft-ib-del").resolve("out").toString)
+      .getOrElse(s"$table/$stage")
+    dels.write
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+      .parquet(stagePath)
+    new File(s"$stagePath/_SUCCESS").delete()
+    val stageRoot = new File(stagePath)
+    def deleteTree(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(): Unit
+    }
+    val parts = Option(stageRoot.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getAbsolutePath)
+    val conf = spark.sessionState.newHadoopConf()
+    def tablePathOf(f: File): String = objStore match {
+      case Some(_) => new File(s"$table/$stage", f.getName).getAbsolutePath
+      case None => f.getAbsolutePath
+    }
+    val (kept, empties) = parts.map { f =>
+      val (rows, _) = footerStats(f, conf, Map.empty)
+      (f, IcebergAvro.DataFileInfo(tablePathOf(f), f.length(), rows))
+    }.partition(_._2.recordCount > 0)
+    // zero-row part files would never enter a manifest — reclaim them now
+    // or they'd sit on disk unreferenced forever (expiry only reclaims
+    // manifest-referenced paths)
+    empties.foreach(_._1.delete())
+    val parts2 = kept.map(_._1)
+    val infos = kept.map(_._2)
+    if (infos.isEmpty) { deleteTree(stageRoot); return 0L }
+    val deletedRows = infos.map(_.recordCount).sum
+    // publish staged delete files through the store protocol
+    objStore.foreach { os =>
+      val published = scala.collection.mutable.ArrayBuffer[String]()
+      try parts2.foreach { f =>
+        val target = tablePathOf(f)
+        os.putObject(Paths.get(target), Files.readAllBytes(f.toPath))
+        published += target
+      } catch { case e: Throwable =>
+        published.foreach(p => scala.util.Try(os.deleteObject(Paths.get(p))))
+        deleteTree(stageRoot)
+        throw e
+      }
+    }
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val schemaId = meta.get("current-schema-id").asInt()
+    val schemaJson = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId)
+      .map(_.toString).getOrElse(meta.get("schemas").get(0).toString)
+    val (manifestPath, manifestLen) =
+      writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, infos, snapshotId, schemaJson,
+          """{"spec-id":0,"fields":[]}""", Nil, content = 1))
+    val carried = currentManifestList(table, meta)
+      .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
+      .getOrElse(Nil)
+    val delRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
+      manifestLen, seq, snapshotId, infos.size, deletedRows, content = 1)
+    val (listPath, _) =
+      writeAvroArtifact(table, store, s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
+        IcebergAvro.writeManifestList(f, carried :+ delRow, snapshotId, seq); 0L
+      }
+    val now = System.currentTimeMillis()
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("last-sequence-number", seq).put("last-updated-ms", now)
+    val snapNode = newMeta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    snapNode.put("snapshot-id", snapshotId)
+      .put("sequence-number", seq)
+      .put("timestamp-ms", now)
+      .put("manifest-list", s"metadata/${listPath.getFileName}")
+      .put("schema-id", schemaId)
+    snapNode.putObject("summary")
+      .put("operation", "delete")
+      .put("added-position-delete-files", infos.size.toString)
+      .put("added-position-deletes", deletedRows.toString)
+    newMeta.put("current-snapshot-id", snapshotId)
+    val refsNode =
+      if (newMeta.has("refs") && newMeta.get("refs").isObject)
+        newMeta.get("refs").asInstanceOf[ObjectNode]
+      else newMeta.putObject("refs")
+    refsNode.putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+    val newVersion = hint + 1
+    try
+      store.putIfAbsent(metaFile(table, newVersion),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: FileAlreadyExistsException =>
+        objStore match {
+          case Some(os) =>
+            infos.foreach(i =>
+              scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+            scala.util.Try(os.deleteObject(manifestPath))
+            scala.util.Try(os.deleteObject(listPath))
+          case None =>
+            parts2.foreach(_.delete())
+            Files.deleteIfExists(manifestPath)
+            Files.deleteIfExists(listPath)
+        }
+        deleteTree(stageRoot)
+        throw new OptimisticConcurrencyException(newVersion)
+    }
+    store match {
+      case os: ObjectStore =>
+        os.putObject(hintFile(table),
+          newVersion.toString.getBytes(StandardCharsets.UTF_8))
+        deleteTree(stageRoot)
+      case _ =>
+        Files.writeString(hintFile(table), newVersion.toString): Unit
+    }
+    deletedRows
   }
 
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the
@@ -1188,6 +1479,18 @@ object IcebergSink {
   private def readManifestPaths(table: String, listPath: String): Seq[String] =
     IcebergAvro.readManifestList(new File(requireAvro(abs(table, listPath))))
       .map(_.get("manifest_path").toString)
+
+  /** (path, V2 content code, sequence number) of every manifest_file row
+    * in a manifest list — the read planner's split between data manifests
+    * (content 0) and positional-delete manifests (content 1).
+    */
+  private case class ManifestRef(path: String, content: Int, seq: Long)
+  private def manifestRefs(table: String, listPath: String): Seq[ManifestRef] =
+    IcebergAvro.readManifestList(new File(requireAvro(abs(table, listPath)))).map { r =>
+      ManifestRef(r.get("manifest_path").toString,
+        r.get("content").asInstanceOf[Int],
+        r.get("sequence_number").asInstanceOf[Long])
+    }
 
   private def dataFilesOf(table: String, manifestPath: String): Seq[String] =
     IcebergAvro.readManifestDataFiles(new File(abs(table, manifestPath))).map(_._1)

@@ -484,6 +484,104 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 3)
   }
 
+  test("Iceberg positional delete (V2 merge-on-read): round-trip, snapshot continuity, idempotency") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry((1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"),
+      table, IcebergSink.CreateExclusive)
+    IcebergSink.writeWithRetry((51L to 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      table, IcebergSink.Append)
+    val preDelete = IcebergSink.snapshots(table).last._1
+
+    val n1 = IcebergSink.deleteWhere(spark, table, "id % 10 = 0")
+    assert(n1 == 10L)
+    val ids = IcebergSink.read(spark, table).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 90 && !ids.exists(_ % 10 == 0))
+    // pre-delete snapshot unaffected (the q_iceberg_delete bad_travels gate)
+    assert(IcebergSink.read(spark, table, Some(preDelete)).count() == 100)
+
+    // delete-manifest round-trip: the new list carries a content=1 row and
+    // the delete parquet holds (file_path, pos) sorted, paths = manifest paths
+    val meta = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(table, "metadata",
+        s"v${Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim}.metadata.json")))
+    val listRel = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == meta.get("current-snapshot-id").asLong())
+      .get.get("manifest-list").asText()
+    val rows = graft.sinks.IcebergAvro.readManifestList(new File(table, listRel))
+    assert(rows.count(_.get("content").asInstanceOf[Int] == 1) == 1)
+    assert(rows.count(_.get("content").asInstanceOf[Int] == 0) == 2)
+    val delManifest = rows.find(_.get("content").asInstanceOf[Int] == 1).get
+      .get("manifest_path").toString
+    val delFiles = graft.sinks.IcebergAvro.readManifestDataFiles(new File(delManifest))
+    assert(delFiles.nonEmpty && delFiles.map(_._2).sum == 10L)
+    val delRows = spark.read.parquet(delFiles.map(_._1): _*)
+    assert(delRows.columns.toSeq == Seq("file_path", "pos"))
+    val dataPaths = IcebergSink.fileStats(spark, table)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(delRows.select("file_path").collect().map(_.getString(0))
+      .forall(dataPaths.contains), "delete rows must reference manifest data-file paths")
+
+    // overlapping second delete: only NOT-yet-deleted rows match (id%5=0
+    // minus the already-gone id%10=0), and both delete sets apply
+    val n2 = IcebergSink.deleteWhere(spark, table, "id % 5 = 0")
+    assert(n2 == 10L)
+    assert(IcebergSink.read(spark, table).count() == 80)
+
+    // append after delete: earlier deletes (lower sequence) never touch the
+    // new file's positions, so a re-added id is visible
+    IcebergSink.writeWithRetry(Seq((10L, "again")).toDF("id", "name"),
+      table, IcebergSink.Append)
+    val after = IcebergSink.read(spark, table).select("id").collect().map(_.getLong(0))
+    assert(after.length == 81 && after.count(_ == 10L) == 1)
+
+    // no-match delete: no commit, same snapshot count
+    val snaps = IcebergSink.snapshots(table).length
+    assert(IcebergSink.deleteWhere(spark, table, "id > 1000000") == 0L)
+    assert(IcebergSink.snapshots(table).length == snaps)
+  }
+
+  test("Iceberg positional delete: pruned reads apply deletes; compact materializes; expire reclaims") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      (1L to 100L).map(i => (i, i % 4, s"n$i")).toDF("id", "grp", "name"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("grp"))
+    IcebergSink.deleteWhere(spark, table, "id <= 20")
+    // partition-pruned path still merges the deletes
+    assert(IcebergSink.read(spark, table).filter(col("grp") === 0).count() ==
+      (21L to 100L).count(_ % 4 == 0))
+    // incremental feed after the delete snapshot: nothing appended
+    val delSnap = IcebergSink.snapshots(table).last._1
+    IcebergSink.writeWithRetry(Seq((5L, 1L, "re-add")).toDF("id", "grp", "name"),
+      table, IcebergSink.Append)
+    val feed = IcebergSink.readAppendedSince(spark, table, delSnap)
+    assert(feed.count() == 1 && feed.select("id").head().getLong(0) == 5L)
+    // compact rewrites the MERGED view and drops the delete files from the
+    // new snapshot's manifest list
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).count() == 81)
+    val meta = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(table, "metadata",
+        s"v${Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim}.metadata.json")))
+    val listRel = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == meta.get("current-snapshot-id").asLong())
+      .get.get("manifest-list").asText()
+    assert(graft.sinks.IcebergAvro.readManifestList(new File(table, listRel))
+      .forall(_.get("content").asInstanceOf[Int] == 0))
+    // expiry reclaims the now-unreferenced delete files from disk
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    val dataDir = new File(table, "data")
+    def walk(f: File): Seq[File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c => if (c.isDirectory) walk(c) else Seq(c))
+    assert(!walk(dataDir).exists(f => f.getName.endsWith(".parquet") &&
+        f.getParentFile.getName.startsWith("delete-")),
+      "expired delete files must be reclaimed")
+    assert(IcebergSink.read(spark, table).count() == 81)
+  }
+
   test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
     val s = spark
     import s.implicits._
