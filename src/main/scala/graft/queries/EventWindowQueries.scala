@@ -961,6 +961,61 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_cdf_merge",
+      // CDF ROW-LEVEL CLASSIFICATION of a MERGE — the feed surface a
+      // downstream consumer needs to apply someone else's upsert: the
+      // same deterministic CDC batch as q_delta_merge (updates %11,
+      // deletes %13, inserts %17 re-keyed negative) merges into the
+      // event table, and readCdf over the merge window must decompose the
+      // commit into update_preimage / update_postimage / delete / insert
+      // rows with the right VALUES on each side (pre images carry the old
+      // value, post images the +1000 one). The images are computed and
+      // written AT MERGE TIME as cdc files in the same commit (two
+      // delta-sized joins over the already-planned touched files) — the
+      // feed never re-diffs the rewrite, so its cost scales with the
+      // merge's delta, never the table. The oracle recomputes all four
+      // classes relationally; `one_commit` pins that every change row
+      // carries the single merge commit's version.
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-cdf-merge")
+        graft.sinks.DeltaSink.write(base, table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        val updates = base
+          .filter(col("event_id") % 11 === 0 && col("event_id") % 13 =!= 0)
+          .withColumn("value", col("value") + 1000)
+          .withColumn("_del", lit(false))
+        val deletes = base.filter(col("event_id") % 13 === 0)
+          .withColumn("_del", lit(true))
+        val inserts = base.filter(col("event_id") % 17 === 0)
+          .withColumn("event_id", -col("event_id") - 1)
+          .withColumn("_del", lit(false))
+        graft.sinks.DeltaSink.merge(s, table,
+          updates.unionByName(deletes).unionByName(inserts),
+          keys = Seq("event_id"), deleteCol = Some("_del"))
+        graft.sinks.DeltaSink.readCdf(s, table, v0)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_value"),
+            (countDistinct(col("_commit_version")) === 1).as("one_commit"))
+          .orderBy("change_type")
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'update_preimage' AS change_type, value
+             |  FROM events WHERE event_id % 11 = 0 AND event_id % 13 <> 0
+             |  UNION ALL
+             |  SELECT 'update_postimage', value + 1000
+             |  FROM events WHERE event_id % 11 = 0 AND event_id % 13 <> 0
+             |  UNION ALL
+             |  SELECT 'delete', value FROM events WHERE event_id % 13 = 0
+             |  UNION ALL
+             |  SELECT 'insert', value FROM events WHERE event_id % 17 = 0)
+             |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+             |  TRUE AS one_commit
+             |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_incremental",
       // Iceberg INCREMENTAL APPEND SCAN under the oracle — the manifest-
       // plane twin of q_delta_cdf: three snapshots commit (event_id%3

@@ -540,7 +540,8 @@ object DeltaSink {
 
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
-      store: CommitStore = CommitStore.Local): (Int, Int, Int) = {
+      store: CommitStore = CommitStore.Local,
+      changeDataFeed: Boolean = true): (Int, Int, Int) = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge requires at least one key column")
     val dir = new File(table)
@@ -626,12 +627,53 @@ object DeltaSink {
     val now = System.currentTimeMillis()
     val removes = touched.map(a =>
       s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
-    val lines = removes ++ adds.map(a => addJson(a))
-    if (lines.isEmpty) return (0, state.live.size, 0) // nothing to change
+    if ((removes ++ adds).isEmpty) return (0, state.live.size, 0) // nothing to change
+    // CHANGE DATA FEED: the merge's row-level change images, written as
+    // CDC files in the SAME commit (Delta CDF's design — computing the
+    // images at merge time costs two delta-sized joins over the touched
+    // files the rewrite already planned; reconstructing them later would
+    // cost a full diff of the rewritten files). Classification: a source
+    // row whose key matched a touched row is an update (pre image = the
+    // old row, post image = the new), a delete-marked match is a delete,
+    // an unmatched non-delete source row is an insert. Readers take a
+    // commit's change rows from its cdc actions ([[readCdf]]); the main
+    // table replay ignores them (dataChange=false, unknown action field).
+    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
+      val ct = "_change_type"
+      val touchedRows = readState(spark, table, state.copy(live = touched))
+      val touchedKeys = touchedRows.select(keys.map(col): _*)
+      val updPre = touchedRows
+        .join(writes.select(keys.map(col): _*), keys, "left_semi")
+        .withColumn(ct, lit("update_preimage"))
+      val delPre = deleteCol.map { c =>
+        touchedRows.join(
+          source.filter(coalesce(col(c), lit(false))).select(keys.map(col): _*),
+          keys, "left_semi").withColumn(ct, lit("delete"))
+      }
+      val updPost = writes.join(touchedKeys, keys, "left_semi")
+        .withColumn(ct, lit("update_postimage"))
+      val ins = writes.join(touchedKeys, keys, "left_anti")
+        .withColumn(ct, lit("insert"))
+      val cdcDf = (Seq(updPre) ++ delPre.toSeq ++ Seq(updPost, ins))
+        .reduce(_.unionByName(_))
+      val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
+      try {
+        cdcDf.write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .parquet(cdcStaging.getPath)
+        publishAll(store, dir, cdcStaging, conf,
+          (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
+      } finally deleteRecursively(cdcStaging)
+    }
+    val cdcLines = cdcAdds.map(a =>
+      s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
+        s""""size":${a.size},"dataChange":false}}""")
+    val lines = removes ++ adds.map(a => addJson(a)) ++ cdcLines
     try commitAtomic(store, versionFile(table, state.version + 1), lines)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        adds.foreach(a => deleteData(store, dir, a.path))
+        (adds ++ cdcAdds).foreach(a => deleteData(store, dir, a.path))
         throw new IllegalStateException(
           s"concurrent commit on $table during merge; re-run the merge", e)
     }
@@ -792,12 +834,17 @@ object DeltaSink {
     // bucket has no local unlink); empty-prefix cleanup below is a local
     // nicety — object stores have no directories to sweep
     dead.foreach(f => deleteData(store, dir, dir.toPath.relativize(f.toPath).toString))
+    // CDC files are never referenced by a snapshot — they age out on the
+    // same retention clock (Delta CDF's consume-within-retention contract)
+    val deadCdc = Option(new File(dir, "_change_data").listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") && f.lastModified() < cutoff)
+    deadCdc.foreach(f => deleteData(store, dir, dir.toPath.relativize(f.toPath).toString))
     // drop partition dirs emptied by the sweep
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_delta_log" &&
         Option(d.listFiles()).forall(_.isEmpty))
       .foreach(_.delete())
-    dead.size
+    dead.size + deadCdc.size
   }
 
   /** Declared schema of a Delta table (no data scan). */
@@ -946,6 +993,65 @@ object DeltaSink {
         col("add.stats").as("stats")), col("version")).as("w"))
       .select(col("path"), col("w.*"))
     readState(spark, table, state.copy(live = collectAdds(feed)))
+  }
+
+  /** Change-data feed with row-level classification — the CDF surface a
+    * merge-aware incremental consumer reads. Returns the rows changed in
+    * versions (`sinceVersion`, `untilVersion`] with the standard
+    * `_change_type` column (insert / update_preimage / update_postimage /
+    * delete) plus `_commit_version`. A commit carrying cdc actions (a
+    * MERGE with the feed on) contributes EXACTLY its change files — the
+    * images [[merge]] computed and wrote at merge time, so the feed never
+    * re-diffs the rewrite. Other dataChange commits reconstruct from the
+    * log at file granularity: adds emit their rows as insert, removes as
+    * delete (an append is pure inserts; a restore's re-adds and removes
+    * are genuine inserts/deletes to a consumer); dataChange=false
+    * rewrites (OPTIMIZE) emit nothing, same as [[readChangesBetween]].
+    * Cost scales with the CHANGED files of the range, never the table;
+    * tombstoned and CDC files must still be on disk — the same
+    * consume-within-retention contract as the plain feed and [[vacuum]].
+    */
+  def readCdf(spark: SparkSession, table: String, sinceVersion: Long,
+      untilVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val state = replay(spark, table, None)
+    val ctField = StructField("_change_type", StringType)
+    val outSchema = StructType(state.schema.fields :+ ctField :+
+      StructField("_commit_version", LongType))
+    val versions = logFiles(table)
+      .map(_.getName.stripSuffix(".json").toLong)
+      .filter(v => v > sinceVersion && v <= untilVersion).sorted
+    val frames = versions.flatMap { v =>
+      // one commit's action list = the files THAT commit touched —
+      // metadata-scale, driver-parsed like every other log-plane read
+      val lines = Files.readAllLines(versionFile(table, v)).asScala
+        .map(mapper.readTree).toSeq
+      val cdc = lines.flatMap(n => Option(n.get("cdc"))).map(_.get("path").asText())
+      if (cdc.nonEmpty) {
+        Seq(spark.read
+          .schema(StructType(state.schema.fields :+ ctField))
+          .parquet(cdc.map(p => new File(table, p).getAbsolutePath): _*)
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        def pathsOf(key: String) = lines.flatMap(n => Option(n.get(key)))
+          .filter(n => Option(n.get("dataChange")).forall(_.asBoolean(true)))
+          .map(n => AddEntry(n.get("path").asText(), Map.empty, 0L, 0L, null))
+        val adds = pathsOf("add")
+        val removes = pathsOf("remove")
+        val ins =
+          if (adds.isEmpty) Nil
+          else Seq(readState(spark, table, state.copy(live = adds))
+            .withColumn("_change_type", lit("insert")))
+        val del =
+          if (removes.isEmpty) Nil
+          else Seq(readState(spark, table, state.copy(live = removes))
+            .withColumn("_change_type", lit("delete")))
+        (ins ++ del).map(_.withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    else frames.reduce(_.unionByName(_))
   }
 
   private def readState(spark: SparkSession, table: String, state: State): DataFrame = {

@@ -850,6 +850,49 @@ class SinkSpec extends AnyFunSuite {
     assert(rows(0).getString(1) == "one" && rows(2).getString(1) == "four")
   }
 
+  test("Delta CDF classifies a merge into update pre/post images, deletes, inserts (r12)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      (1 to 10).map(i => (i.toLong, s"n$i", i.toDouble)).toDF("id", "name", "v").coalesce(1),
+      table))
+    val v0 = DeltaSink.latestVersion(table)
+    val source = Seq(
+      (1L, "u1", 11.0, false), (2L, "u2", 12.0, false), // updates
+      (4L, "x", 0.0, true), (5L, "x", 0.0, true),       // deletes
+      (11L, "i11", 21.0, false), (12L, "i12", 22.0, false)) // inserts
+      .toDF("id", "name", "v", "del")
+    DeltaSink.merge(spark, table, source, Seq("id"), deleteCol = Some("del"))
+    val v1 = DeltaSink.latestVersion(table)
+    val feed = DeltaSink.readCdf(spark, table, v0, v1).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[Double]("v"))).toSet
+    assert(feed == Set(
+      ("update_preimage", 1L, 1.0), ("update_preimage", 2L, 2.0),
+      ("update_postimage", 1L, 11.0), ("update_postimage", 2L, 12.0),
+      ("delete", 4L, 4.0), ("delete", 5L, 5.0),
+      ("insert", 11L, 21.0), ("insert", 12L, 22.0)), s"got $feed")
+    // the create commit reconstructs as pure inserts; commit versions tag rows
+    val created = DeltaSink.readCdf(spark, table, -1L, v0)
+    assert(created.count() == 10 &&
+      created.select("_change_type").distinct().head().getString(0) == "insert")
+    assert(created.select("_commit_version").distinct().head().getLong(0) == v0)
+    // OPTIMIZE emits nothing into the feed
+    DeltaSink.compact(spark, table)
+    assert(DeltaSink.readCdf(spark, table, v1).count() == 0)
+    // the plain rows-only feed over the merge window is unchanged semantics:
+    // the rewritten files' surviving rows + inserts (adds of the commit)
+    assert(DeltaSink.readChangesBetween(spark, table, v0, v1).count() ==
+      DeltaSink.read(spark, table).count())
+    // retention-expired CDC files are vacuumed away
+    val swept = DeltaSink.vacuum(spark, table, retentionMs = 0L)
+    assert(swept > 0)
+    assert(!new java.io.File(table, "_change_data").exists() ||
+      new java.io.File(table, "_change_data").listFiles()
+        .forall(!_.getName.endsWith(".parquet")))
+  }
+
   test("Delta merge rejects duplicate source keys before committing anything") {
     val s = spark
     import s.implicits._
