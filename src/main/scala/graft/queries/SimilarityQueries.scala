@@ -990,6 +990,74 @@ object SimilarityQueries extends QueryModule {
       None),
 
     QueryDef(
+      "q_ivfpq_adc_exact",
+      // ORACLE-CHECKABLE IVF-PQ ADC gate (r12 — VERDICT r11 #4, the last
+      // no-oracle operator without a dedicated deterministic twin): a
+      // fixture with quantization error EXACTLY ZERO makes the whole
+      // ADC pipeline deterministic. Codebook entries are small-INTEGER
+      // vectors (every partial sum is an integer < 2^53, so IEEE double
+      // addition is exact and associative — no grouping-order drift
+      // between ADC's per-subspace sums and the exact dot's componentwise
+      // fold), and every vector is the CONCATENATION of its planted
+      // codewords (codes from xxhash64 literals, as q_ivf_recall_clustered
+      // plants cells) — so encode() must return the planted codes
+      // (Cauchy-Schwarz makes the argmin strict for distinct codewords),
+      // ADC dot ≡ exact dot bit-for-bit, the codes-only norm ≡ |v|², and
+      // the ADC cosine ranking is IDENTICAL to the exact ranking at every
+      // rank, not just top-k — `rank_identical` pins row_number equality
+      // across both orderings (same tiebreak). This is the end-to-end ADC
+      // contract q_sim_ann_ivfpq exercises approximately, pinned exactly.
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val m = 4; val sub = 4; val kk = 16
+        val books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+          Array.tabulate(kk)(ki => Array.tabulate(sub)(j =>
+            (if (j == 0) ki * 16 + mi else (ki * (mi + 2) + j * 3) % 7).toDouble)))
+        val prepared = t(s, dir, "embeddings").select("vec_id")
+          .withColumn("codes", expr(
+            s"""transform(sequence(0, ${m - 1}), mi ->
+               |  cast(pmod(xxhash64(vec_id * $m + mi), $kk) as int))""".stripMargin))
+          .withColumn("v", flatten(array((0 until m).map(mi =>
+            element_at(typedLit(books(mi)), element_at(col("codes"), mi + 1) + 1)): _*)))
+          .withColumn("enc_ok",
+            ProductQuantizer.encode(col("v"), books) === col("codes"))
+          .withColumn("norm_ok",
+            ProductQuantizer.adcNorm2(col("codes"), books) === dotD(col("v"), col("v")))
+          .withColumn("nrm", graft.functions.VectorExpressions.l2norm(col("v")))
+        val gates1 = prepared.agg(count(lit(1)).as("n_vecs"),
+          min(col("enc_ok")).as("encode_exact"),
+          min(col("norm_ok")).as("norm_exact"))
+        val cands = prepared.select(col("vec_id").as("cid"), col("v").as("ce"),
+          col("nrm").as("cn"), col("codes"))
+        val probes = prepared.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("qe"), col("nrm").as("qn"))
+        val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
+        val wEx = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+        val pairs = fanOutScan(cands).join(broadcast(probes), col("qid") =!= col("cid"))
+          .withColumn("adc",
+            ProductQuantizer.adcCosine(col("qe"), col("qn"), col("codes"), books))
+          .withColumn("score_d", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("dot_ok",
+            ProductQuantizer.adcDot(col("qe"), col("codes"), books) ===
+              dotD(col("qe"), col("ce")))
+        val gates2 = pairs
+          .withColumn("arn", row_number().over(wAdc))
+          .withColumn("ern", row_number().over(wEx))
+          .agg(countDistinct(col("qid")).as("n_probes"),
+            min(col("dot_ok")).as("adc_dot_exact"),
+            min(col("arn") === col("ern")).as("rank_identical"))
+        gates1.crossJoin(broadcast(gates2))
+          .select(col("n_vecs"), col("n_probes"), col("encode_exact"),
+            col("norm_exact"), col("adc_dot_exact"), col("rank_identical"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 50) AS BIGINT)
+             |    AS n_probes,
+             |  TRUE AS encode_exact, TRUE AS norm_exact,
+             |  TRUE AS adc_dot_exact, TRUE AS rank_identical
+             |FROM embeddings""".stripMargin)),
+
+    QueryDef(
       "q_approx_distinct",
       // HLL sketch + exact twin. The approx column is computed (exercising
       // the HyperLogLogPlusPlus partial/final path) but dropped before the
