@@ -1278,6 +1278,49 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_evolve",
+      // ADD-COLUMN SCHEMA EVOLUTION under the oracle (r12 — VERDICT r11
+      // stretch #7): the even half bootstraps (event_id, event_type,
+      // value); the odd half arrives through the opt-in `evolve` verb
+      // carrying a NEW `src` column (derived deterministically from
+      // event_id). Evolution is pure metadata — the next schema-id is
+      // minted, existing ordinal field ids stay stable, new ids continue
+      // from last-column-id, and NO data file is rewritten at any table
+      // size; old files simply lack the column and every reader surfaces
+      // NULL for it. The census pins exactly that: n_src counts non-null
+      // src and must equal the odd half per type (a leaked non-null on an
+      // old row, or a lost value on a new one, shifts it), while n_rows /
+      // sum_value pin that the data plane is untouched. The positional
+      // SchemaGate stays the reference-faithful default — only the
+      // explicit verb admits new columns.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-evolve") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        val batch = ev.filter(col("event_id") % 2 === 1)
+          .withColumn("src", concat(lit("s"), pmod(col("event_id"), lit(3))))
+        graft.sinks.IcebergSink.evolve(batch, table,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            fxSum(col("value")).as("sum_value"),
+            count(col("src")).as("n_src"),
+            countDistinct(col("src")).as("n_src_values"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_src,
+             |  CAST(COUNT(DISTINCT CASE WHEN event_id % 2 = 1
+             |    THEN 's' || CAST(event_id % 3 AS VARCHAR) END) AS BIGINT)
+             |    AS n_src_values
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

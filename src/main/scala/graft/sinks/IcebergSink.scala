@@ -338,7 +338,8 @@ object IcebergSink {
   def write(df: DataFrame, table: String, mode: WriteMode,
       store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
-      summaryProps: Map[String, String] = Map.empty): Unit = {
+      summaryProps: Map[String, String] = Map.empty,
+      evolveSchema: Boolean = false): Unit = {
     val hint = readHint(table)
     if (hint.isDefined && mode == CreateExclusive)
       throw new IllegalStateException(
@@ -348,7 +349,37 @@ object IcebergSink {
     previous.foreach { prev =>
       val existingSchema = DataType.fromJson(
         prev.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
-      SchemaGate.enforce(df.schema, existingSchema)
+      if (!evolveSchema) SchemaGate.enforce(df.schema, existingSchema)
+      else {
+        // Opt-in ADD-COLUMN evolution (the standard Iceberg add-column
+        // flow): existing columns still pass the positional gate — only
+        // NEW columns appended at the end are admitted. Appending keeps
+        // every existing ordinal field id stable and allocates the new
+        // ids from last-column-id upward, exactly the spec's
+        // id-assignment rule.
+        require(mode == Append, "schema evolution is an append verb — " +
+          "overwrite rewrites the table and may declare any schema")
+        require(df.schema.fields.length >= existingSchema.fields.length,
+          "schema evolution cannot drop columns")
+        SchemaGate.enforce(
+          StructType(df.schema.fields.take(existingSchema.fields.length)),
+          existingSchema)
+      }
+    }
+    // The DECLARED table schema widens an evolving append's added tail to
+    // nullable regardless of the frame's own nullability: old data files
+    // have no value for the new columns, so every reader must surface
+    // NULL for them — storing them required would let a reader prune
+    // IS NOT NULL over rows that are, in fact, null.
+    val declaredSchema: StructType = previous match {
+      case Some(prev) if evolveSchema =>
+        val n = DataType.fromJson(
+          prev.get("properties").get("graft.spark-schema").asText())
+          .asInstanceOf[StructType].fields.length
+        StructType(df.schema.fields.zipWithIndex.map {
+          case (f, i) => if (i >= n) f.copy(nullable = true) else f
+        })
+      case _ => df.schema
     }
     // Partition-spec continuity: an append/overwrite onto an existing table
     // adopts its spec when none is requested, and refuses a CONFLICTING
@@ -512,11 +543,18 @@ object IcebergSink {
     Files.createDirectories(metaDir(table))
 
     // Iceberg-shaped field list: shared between the metadata JSON and the
-    // manifest's key metadata.
+    // manifest's key metadata. An evolving append that actually changed
+    // the schema mints the NEXT schema-id and retains the previous
+    // schemas in the metadata (spec §schemas); every other write keeps
+    // the previous id (or 0 for a fresh/overwritten table).
+    val prevSchemaId = previous.map(_.get("current-schema-id").asInt()).getOrElse(0)
+    val schemaEvolved = evolveSchema && previous.exists(
+      _.get("properties").get("graft.spark-schema").asText() != declaredSchema.json)
+    val schemaId = if (schemaEvolved) prevSchemaId + 1 else prevSchemaId
     val schemaNode = mapper.createObjectNode()
-    schemaNode.put("type", "struct").put("schema-id", 0)
+    schemaNode.put("type", "struct").put("schema-id", schemaId)
     val fields = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+    declaredSchema.fields.zipWithIndex.foreach { case (f, i) =>
       fields.addObject()
         .put("id", i + 1)
         .put("name", f.name)
@@ -609,9 +647,13 @@ object IcebergSink {
       .put("location", table)
       .put("last-sequence-number", seq)
       .put("last-updated-ms", System.currentTimeMillis())
-      .put("last-column-id", df.schema.fields.length)
-    meta.putArray("schemas").add(schemaNode)
-    meta.put("current-schema-id", 0)
+      .put("last-column-id", declaredSchema.fields.length)
+    val schemasArr = meta.putArray("schemas")
+    if (schemaEvolved) previous.foreach(
+      _.get("schemas").elements().asScala.foreach(n =>
+        schemasArr.add(n.deepCopy[ObjectNode]())))
+    schemasArr.add(schemaNode)
+    meta.put("current-schema-id", schemaId)
     val specNode = meta.putArray("partition-specs").addObject()
     specNode.put("spec-id", 0)
     val specFields = specNode.putArray("fields")
@@ -626,7 +668,7 @@ object IcebergSink {
     meta.put("last-partition-id", 999 + partFields.size)
     meta.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
     meta.put("default-sort-order-id", 0)
-    meta.putObject("properties").put("graft.spark-schema", df.schema.json)
+    meta.putObject("properties").put("graft.spark-schema", declaredSchema.json)
     val snapshots = meta.putArray("snapshots")
     previous.foreach { prev =>
       prev.get("snapshots").elements().asScala.foreach(s =>
@@ -637,7 +679,7 @@ object IcebergSink {
       .put("sequence-number", seq)
       .put("timestamp-ms", System.currentTimeMillis())
       .put("manifest-list", s"metadata/${listPath.getFileName}")
-      .put("schema-id", 0)
+      .put("schema-id", schemaId)
       .putObject("summary")
     summary.put("operation", "append")
     // caller-stamped summary properties (e.g. the streaming txn watermark
@@ -694,16 +736,38 @@ object IcebergSink {
   def writeWithRetry(df: DataFrame, table: String, mode: WriteMode,
       retries: Int = OccRetries, store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
-      summaryProps: Map[String, String] = Map.empty): Unit = {
+      summaryProps: Map[String, String] = Map.empty,
+      evolveSchema: Boolean = false): Unit = {
     var attempt = 0
     while (true) {
-      try { write(df, table, mode, store, partitionBy, summaryProps); return }
-      catch {
+      try {
+        write(df, table, mode, store, partitionBy, summaryProps, evolveSchema)
+        return
+      } catch {
         case e: OptimisticConcurrencyException =>
           attempt += 1
           if (attempt > retries) throw e
       }
     }
+  }
+
+  /** ADD-COLUMN schema evolution — the opt-in extension verb ([[write]]'s
+    * positional [[SchemaGate]] stays the reference-faithful default): an
+    * append whose frame may carry NEW nullable columns after the table's
+    * existing ones. The evolved schema mints the next schema-id (previous
+    * schemas retained in the metadata, spec §schemas), existing ordinal
+    * field ids stay stable and new ids continue from last-column-id —
+    * the standard Iceberg add-column flow. Old data files simply lack the
+    * new columns; every reader surfaces NULL for them (the parquet scan
+    * fills missing columns), so evolution is pure metadata — no file is
+    * rewritten at any table size. Reads — including time travel —
+    * surface the CURRENT schema.
+    */
+  def evolve(df: DataFrame, table: String,
+      store: CommitStore = CommitStore.Local,
+      partitionBy: Seq[String] = Nil): Unit = {
+    writeWithRetry(df, table, Append, store = store,
+      partitionBy = partitionBy, evolveSchema = true)
   }
 
   private val TxnAppKey = "graft.txn-app-id"

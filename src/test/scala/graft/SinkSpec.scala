@@ -582,6 +582,59 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 81)
   }
 
+  test("Iceberg add-column schema evolution: round-trip, stable ids, gate stays default (r12)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    // a plain append with an extra column is still REJECTED (the
+    // reference-faithful positional gate is the default)
+    intercept[Exception] {
+      IcebergSink.writeWithRetry(Seq((4L, "d", 4.5, 0.9)).toDF("id", "name", "v", "score"),
+        table, IcebergSink.Append)
+    }
+    // the evolve verb admits appended nullable columns
+    IcebergSink.evolve(Seq((4L, "d", 4.5, 0.9), (5L, "e", 5.5, 0.7))
+      .toDF("id", "name", "v", "score"), table)
+    val back = IcebergSink.read(spark, table).orderBy("id").collect()
+    assert(back.length == 5)
+    assert(back.take(3).forall(_.isNullAt(3)), "old rows must read NULL for the new column")
+    assert(back(3).getDouble(3) == 0.9 && back(4).getDouble(3) == 0.7)
+    // metadata: next schema-id minted, previous schema retained
+    val meta = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(table, "metadata",
+        s"v${Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim}.metadata.json")))
+    assert(meta.get("current-schema-id").asInt() == 1)
+    assert(meta.get("schemas").size() == 2)
+    assert(meta.get("last-column-id").asInt() == 4)
+    // existing ordinal field ids are stable; the new column continues them
+    val evolved = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == 1).get
+    assert(evolved.get("fields").elements().asScala.map(f =>
+      (f.get("id").asInt(), f.get("name").asText())).toSeq ==
+      Seq((1, "id"), (2, "name"), (3, "v"), (4, "score")))
+    // the added column is declared OPTIONAL whatever the frame said: old
+    // files have no value for it, so readers must be allowed to surface NULL
+    assert(!evolved.get("fields").elements().asScala
+      .find(_.get("name").asText() == "score").get.get("required").asBoolean())
+    // a further PLAIN append with the evolved schema passes the gate
+    IcebergSink.writeWithRetry(Seq((6L, "f", 6.5, 0.1)).toDF("id", "name", "v", "score"),
+      table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 6)
+    // the pre-evolution snapshot still time-travels (current schema, NULL tail)
+    assert(IcebergSink.read(spark, table, Some(s0)).count() == 3)
+    // added columns must be nullable; existing columns must not change;
+    // evolution is an append verb
+    intercept[Exception] { // type change of an existing column
+      IcebergSink.evolve(Seq((7, "g", 7.5, 0.2)).toDF("id", "name", "v", "score"), table)
+    }
+    intercept[Exception] { // evolution never rides an overwrite
+      IcebergSink.write(Seq((8L, "h", 8.5, 0.3, 1L)).toDF("id", "name", "v", "score", "x"),
+        table, IcebergSink.Overwrite, evolveSchema = true)
+    }
+  }
+
   test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
     val s = spark
     import s.implicits._
