@@ -1278,6 +1278,57 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_upsert",
+      // KEYED UPSERT via V2 EQUALITY DELETES (r12) — Iceberg's
+      // merge-on-read answer to q_delta_merge's copy-on-write: one atomic
+      // snapshot lands the source rows as new data files PLUS an equality
+      // delete file of the source keys at the same sequence number;
+      // equality deletes apply strictly below their own sequence, so the
+      // old row of every upserted key dies and its replacement survives —
+      // and NO existing file is read or rewritten (cost ∝ the batch, the
+      // shape a CDC stream needs at 100 TB; readers pay a broadcast
+      // anti-join until OPTIMIZE materializes). Two upserts LAYER — the
+      // second one's delete kills the first one's row for overlapping
+      // keys (%22 ⊂ %11) — and the census of the final merged read must
+      // equal the oracle's three-way CASE recompute: a resurrected old
+      // row, a lost replacement, or a mis-scoped delete each shift it.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-upsert") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val up1 = ev.filter(col("event_id") % 11 === 0)
+          .withColumn("value", col("value") + 1000)
+          .unionByName(ev.filter(col("event_id") % 17 === 0)
+            .withColumn("event_id", -col("event_id") - 1))
+        graft.sinks.IcebergSink.upsert(s, table, up1, Seq("event_id"))
+        val up2 = ev.filter(col("event_id") % 22 === 0)
+          .withColumn("value", col("value") + 2000)
+        graft.sinks.IcebergSink.upsert(s, table, up2, Seq("event_id"))
+        graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("event_id")).as("n_keys"),
+            fxSum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH final AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 22 = 0 THEN value + 2000
+             |         WHEN event_id % 11 = 0 THEN value + 1000
+             |         ELSE value END AS value
+             |  FROM events
+             |  UNION ALL
+             |  SELECT -event_id - 1, event_type, value
+             |  FROM events WHERE event_id % 17 = 0)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_value
+             |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_evolve",
       // ADD-COLUMN SCHEMA EVOLUTION under the oracle (r12 — VERDICT r11
       // stretch #7): the even half bootstraps (event_id, event_type,

@@ -79,7 +79,9 @@ private[graft] object IcebergAvro {
       |    {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
       |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
       |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
-      |    {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
+      |    {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
+      |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
+      |  {"type":"array","items":"int","element-id":136}]}
       |]}}]}""".stripMargin
 
   val EntrySchema: Schema =
@@ -152,7 +154,8 @@ private[graft] object IcebergAvro {
     */
   def writeManifest(target: File, files: Seq[DataFileInfo], snapshotId: Long,
       icebergSchemaJson: String, partitionSpecJson: String,
-      partitionFields: Seq[PartitionField] = Nil, content: Int = 0): Long = {
+      partitionFields: Seq[PartitionField] = Nil, content: Int = 0,
+      equalityIds: Seq[Int] = Nil): Long = {
     val entrySchema = entrySchemaFor(partitionFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
@@ -184,6 +187,15 @@ private[graft] object IcebergAvro {
         df.put("lower_bounds", kvBytes(arraySchemaOf("lower_bounds"), f.stats.lowerBounds))
       if (f.stats.upperBounds.nonEmpty)
         df.put("upper_bounds", kvBytes(arraySchemaOf("upper_bounds"), f.stats.upperBounds))
+      if (equalityIds.nonEmpty) {
+        // V2 equality-delete entries carry the schema field ids their
+        // delete rows equate on (spec field 135)
+        val idsSchema = dataFileSchema.getField("equality_ids").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val arr = new GenericData.Array[Integer](equalityIds.size, idsSchema)
+        equalityIds.foreach(i => arr.add(Int.box(i)))
+        df.put("equality_ids", arr)
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED; sequence numbers inherit from the snapshot
       e.put("snapshot_id", snapshotId)
@@ -286,6 +298,27 @@ private[graft] object IcebergAvro {
     val r = new DataFileReader[GenericRecord](f,
       new GenericDatumReader[GenericRecord](ManifestFileSchema))
     try r.iterator().asScala.toList finally r.close()
+  }
+
+  /** Delete-file entries of a deletes manifest: (path, entry content code
+    * — 1 positional / 2 equality —, equality field ids, recordCount).
+    */
+  def readManifestDeleteFiles(f: File): Seq[(String, Int, Seq[Int], Long)] = {
+    val r = new DataFileReader[GenericRecord](f,
+      new GenericDatumReader[GenericRecord](EntrySchema))
+    try r.iterator().asScala.toList
+      .filter(_.get("status").asInstanceOf[Int] != 2)
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val ids = df.get("equality_ids") match {
+          case null => Nil
+          case a: java.util.Collection[_] =>
+            a.asScala.map(_.asInstanceOf[Int]).toSeq
+        }
+        (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
+          ids, df.get("record_count").asInstanceOf[Long])
+      }
+    finally r.close()
   }
 
   /** Data-file (path, recordCount) pairs of live entries (status ≠ 2

@@ -816,16 +816,17 @@ object IcebergSink {
   }
 
   /** One resolved snapshot: data-file entries as (path, manifest partition
-    * values, data sequence number) and positional-delete files as
-    * (path, delete sequence number). Sequence numbers come from each
-    * manifest's manifest_file row — appends carry prior manifests forward
-    * verbatim, so every file keeps the sequence it was committed at, which
-    * is what scopes delete application (a delete never touches data
-    * appended after it).
+    * values, data sequence number) and delete files with their V2 flavor.
+    * Sequence numbers come from each manifest's manifest_file row —
+    * appends carry prior manifests forward verbatim, so every file keeps
+    * the sequence it was committed at, which is what scopes delete
+    * application (a delete never touches data appended after it).
     */
+  private[sinks] case class DeleteRef(path: String, seq: Long,
+      content: Int, equalityIds: Seq[Int])
   private[sinks] case class Snapshot(schema: StructType,
       data: Seq[(String, Map[String, Any], Long)],
-      deletes: Seq[(String, Long)])
+      deletes: Seq[DeleteRef])
 
   /** Shared snapshot resolution for [[read]]/[[readDays]]/… . Partition
     * truth comes from each manifest's OWN partition struct (its Avro
@@ -852,8 +853,8 @@ object IcebergSink {
         .map { case (p, pvals) => (p, pvals, r.seq) }
     }
     val deletes = refs.filter(_.content == 1).flatMap { r =>
-      IcebergAvro.readManifestDataFiles(new File(requireAvro(abs(table, r.path))))
-        .map { case (p, _) => (p, r.seq) }
+      IcebergAvro.readManifestDeleteFiles(new File(requireAvro(abs(table, r.path))))
+        .map { case (p, content, eqIds, _) => DeleteRef(p, r.seq, content, eqIds) }
     }
     Snapshot(schema, data, deletes)
   }
@@ -1039,24 +1040,27 @@ object IcebergSink {
   private def normPath(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
-  /** Merge-on-read: rows of the snapshot's data files minus the (path,
-    * position) pairs its positional-delete files carry, scoped by sequence
-    * number (a delete applies only to data files of sequence ≤ its own —
-    * V2 read contract, so rows appended AFTER a delete are never touched).
-    * Zero overhead when the snapshot has no delete files: the plain scan
-    * is returned untouched, no lineage columns are read and no join is
-    * planned. With deletes, each data row carries its file provenance from
-    * the parquet reader's `_metadata` struct (no extra I/O), its data
-    * sequence arrives via a broadcast of the metadata-scale file→sequence
-    * map, and the delete set — proportional to deleted rows, not table
-    * size — anti-joins it away (AQE broadcasts the small delete side).
-    * `keepLineage` additionally returns `_gf_mpath` (the file's manifest
-    * path) and `_gf_pos` — [[deleteWhere]]'s provenance for writing new
-    * delete files against the CURRENT merged view.
+  /** Merge-on-read: rows of the snapshot's data files minus what its
+    * delete files erase, scoped by sequence number per the V2 read
+    * contract — POSITIONAL deletes (content 1, (path, pos) pairs) apply
+    * to data files of sequence ≤ their own; EQUALITY deletes (content 2,
+    * key-tuple rows + equality_ids) apply STRICTLY below theirs, which is
+    * what lets one [[upsert]] snapshot delete a key's old row and land
+    * its replacement at the same sequence. Zero overhead when the
+    * snapshot has no delete files: the plain scan is returned untouched,
+    * no lineage columns are read and no join is planned. With deletes,
+    * each data row carries its file provenance from the parquet reader's
+    * `_metadata` struct (no extra I/O), its data sequence arrives via a
+    * broadcast of the metadata-scale file→sequence map, and each delete
+    * set — proportional to deleted rows, not table size — anti-joins it
+    * away (AQE broadcasts the small delete side). `keepLineage`
+    * additionally returns `_gf_mpath` (the file's manifest path) and
+    * `_gf_pos` — [[deleteWhere]]'s provenance for writing new delete
+    * files against the CURRENT merged view.
     */
   private def readMerged(spark: SparkSession, schema: StructType,
       dataEntries: Seq[(String, Map[String, Any], Long)],
-      deletes: Seq[(String, Long)],
+      deletes: Seq[DeleteRef],
       keepLineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     if (deletes.isEmpty && !keepLineage)
@@ -1070,24 +1074,41 @@ object IcebergSink {
       .withColumn("_gf_key",
         regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       .join(broadcast(lookup), "_gf_key")
-    val merged =
-      if (deletes.isEmpty) keyed
+    val positional = deletes.filter(_.content == 1)
+    val afterPos =
+      if (positional.isEmpty) keyed
       else {
-        val delDf = deletes.map { case (p, seq) =>
+        val delDf = positional.map { d =>
           spark.read
             .schema("file_path STRING, pos BIGINT")
-            .parquet(p)
+            .parquet(d.path)
             .select(
               regexp_replace(col("file_path"),
                 "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_gfd_key"),
               col("pos").as("_gfd_pos"),
-              lit(seq).as("_gfd_seq"))
+              lit(d.seq).as("_gfd_seq"))
         }.reduce(_.unionAll(_))
         keyed.join(delDf,
           col("_gf_key") === col("_gfd_key") &&
             col("_gf_pos") === col("_gfd_pos") &&
             col("_gfd_seq") >= col("_gf_seq"),
           "left_anti")
+      }
+    // equality deletes, one anti-join per distinct key-column set (null
+    // keys match null — Iceberg equality semantics → null-safe equality)
+    val merged = deletes.filter(_.content == 2).groupBy(_.equalityIds).toSeq
+      .foldLeft(afterPos) { case (acc, (eqIds, ds)) =>
+        require(eqIds.nonEmpty, "equality delete file without equality_ids")
+        val keyNames = eqIds.map(id => schema.fields(id - 1).name)
+        val keySchema = StructType(schema.fields.filter(f => keyNames.contains(f.name)))
+        val delDf = ds.map { d =>
+          spark.read.schema(keySchema).parquet(d.path)
+            .select(keyNames.map(k => col(k).as(s"_gfe_$k")) :+
+              lit(d.seq).as("_gfe_seq"): _*)
+        }.reduce(_.unionAll(_))
+        val cond = keyNames.map(k => acc(k) <=> delDf(s"_gfe_$k"))
+          .reduce(_ && _) && delDf("_gfe_seq") > acc.col("_gf_seq")
+        acc.join(delDf, cond, "left_anti")
       }
     val outCols = schema.fieldNames.map(col) ++
       (if (keepLineage) Seq(col("_gf_mpath"), col("_gf_pos")) else Nil)
@@ -1425,6 +1446,202 @@ object IcebergSink {
         Files.writeString(hintFile(table), newVersion.toString): Unit
     }
     deletedRows
+  }
+
+  /** UPSERT — keyed merge-on-read (the Flink-CDC Iceberg pattern, and the
+    * format twin of [[DeltaSink.merge]] without any file rewrite): ONE
+    * atomic snapshot commits the source rows as new data files TOGETHER
+    * with an EQUALITY delete file of the source keys (content=2 entries
+    * carrying `equality_ids`). Both land at the same sequence number, and
+    * equality deletes apply STRICTLY below their own sequence (V2 read
+    * contract) — so every pre-existing row of an upserted key dies, the
+    * replacement survives, and a reader either sees all of the upsert or
+    * none of it. Cost is a write proportional to the SOURCE batch: no
+    * existing file is read, touched, or rewritten at any table size
+    * (contrast copy-on-write merge, which rewrites every touched file —
+    * readers pay the anti-join until [[compact]] materializes). The
+    * source must be unique on `keys` (duplicate keys in one batch have no
+    * deterministic winner) — enforced inside the write plan itself, the
+    * same zero-extra-pass guard as Delta merge. Upsert batches land
+    * unpartitioned whatever the table's spec (partition pruning simply
+    * keeps them; OPTIMIZE re-layouts them into the spec later). Returns
+    * the number of rows upserted; an empty source commits nothing.
+    */
+  def upsert(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], store: CommitStore = CommitStore.Local): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val tableCols = schema.fieldNames.toSeq
+    keys.foreach(k => require(tableCols.contains(k), s"no such key column: $k"))
+    val eqIds = keys.map(k => schema.fieldNames.indexOf(k) + 1)
+    val dupN = s"__graft_dup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val wDup = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val rows = source.select(tableCols.map(col): _*)
+    SchemaGate.enforce(rows.schema, schema)
+    val guarded = rows
+      .withColumn(dupN, count(lit(1)).over(wDup))
+      .filter(when(col(dupN) > 1, raise_error(
+        lit(s"upsert source must be unique on (${keys.mkString(", ")})")))
+        .otherwise(lit(true)))
+      .drop(dupN)
+    val objStore: Option[ObjectStore] =
+      store match { case os: ObjectStore => Some(os); case _ => None }
+    def stageDir(tag: String): (String, String) = {
+      val rel = s"data/$tag-${java.util.UUID.randomUUID()}"
+      val local = objStore
+        .map(_ => Files.createTempDirectory("graft-ib-up").resolve("out").toString)
+        .getOrElse(s"$table/$rel")
+      (rel, local)
+    }
+    val (dataRel, dataStage) = stageDir("upsert")
+    val (delRel, delStage) = stageDir("upsert-del")
+    def deleteTree(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(): Unit
+    }
+    try {
+      guarded.write
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+        .parquet(dataStage)
+      // equality-delete rows = the source keys (unique by the guard above,
+      // re-read from the staged files so the guarded plan runs ONCE),
+      // stamped with the table's field ids per the spec
+      val keyMeta = keys.zip(eqIds).map { case (k, id) =>
+        k -> new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build()
+      }.toMap
+      spark.read.schema(StructType(schema.fields.filter(f => keys.contains(f.name))))
+        .parquet(dataStage)
+        .select(keys.map(k => col(k).as(k, keyMeta(k))): _*)
+        .coalesce(1)
+        .write.option("compression", "snappy").parquet(delStage)
+    } catch { case e: Throwable =>
+      deleteTree(new File(dataStage)); deleteTree(new File(delStage))
+      throw e
+    }
+    def partsOf(stage: String): Seq[File] = {
+      new File(s"$stage/_SUCCESS").delete()
+      Option(new File(stage).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getAbsolutePath)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def infosOf(stage: String, rel: String): (Seq[File], Seq[IcebergAvro.DataFileInfo]) = {
+      val (kept, empties) = partsOf(stage).map { f =>
+        val (rows, _) = footerStats(f, conf, Map.empty)
+        val target = objStore match {
+          case Some(_) => new File(s"$table/$rel", f.getName).getAbsolutePath
+          case None => f.getAbsolutePath
+        }
+        (f, IcebergAvro.DataFileInfo(target, f.length(), rows))
+      }.partition(_._2.recordCount > 0)
+      empties.foreach(_._1.delete())
+      (kept.map(_._1), kept.map(_._2))
+    }
+    val (dataParts, dataInfos) = infosOf(dataStage, dataRel)
+    val (delParts, delInfos) = infosOf(delStage, delRel)
+    val upserted = dataInfos.map(_.recordCount).sum
+    if (upserted == 0L) {
+      deleteTree(new File(dataStage)); deleteTree(new File(delStage))
+      return 0L
+    }
+    objStore.foreach { os =>
+      val published = scala.collection.mutable.ArrayBuffer[String]()
+      try (dataParts.map((_, dataRel)) ++ delParts.map((_, delRel))).foreach {
+        case (f, rel) =>
+          val target = new File(s"$table/$rel", f.getName).getAbsolutePath
+          os.putObject(Paths.get(target), Files.readAllBytes(f.toPath))
+          published += target
+      } catch { case e: Throwable =>
+        published.foreach(p => scala.util.Try(os.deleteObject(Paths.get(p))))
+        deleteTree(new File(dataStage)); deleteTree(new File(delStage))
+        throw e
+      }
+    }
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val schemaId = meta.get("current-schema-id").asInt()
+    val schemaJson = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId)
+      .map(_.toString).getOrElse(meta.get("schemas").get(0).toString)
+    val emptySpec = """{"spec-id":0,"fields":[]}"""
+    val (dataManifest, dataLen) =
+      writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, dataInfos, snapshotId, schemaJson, emptySpec))
+    val (delManifest, delLen) =
+      writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, delInfos, snapshotId, schemaJson, emptySpec,
+          Nil, content = 2, equalityIds = eqIds))
+    val carried = currentManifestList(table, meta)
+      .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
+      .getOrElse(Nil)
+    val newRows = Seq(
+      IcebergAvro.manifestRow(dataManifest.toFile.getAbsolutePath, dataLen, seq,
+        snapshotId, dataInfos.size, upserted),
+      IcebergAvro.manifestRow(delManifest.toFile.getAbsolutePath, delLen, seq,
+        snapshotId, delInfos.size, delInfos.map(_.recordCount).sum, content = 1))
+    val (listPath, _) =
+      writeAvroArtifact(table, store, s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
+        IcebergAvro.writeManifestList(f, carried ++ newRows, snapshotId, seq); 0L
+      }
+    val now = System.currentTimeMillis()
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("last-sequence-number", seq).put("last-updated-ms", now)
+    val snapNode = newMeta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    snapNode.put("snapshot-id", snapshotId)
+      .put("sequence-number", seq)
+      .put("timestamp-ms", now)
+      .put("manifest-list", s"metadata/${listPath.getFileName}")
+      .put("schema-id", schemaId)
+    snapNode.putObject("summary")
+      .put("operation", "overwrite")
+      .put("added-records", upserted.toString)
+      .put("added-equality-delete-files", delInfos.size.toString)
+    newMeta.put("current-snapshot-id", snapshotId)
+    val refsNode =
+      if (newMeta.has("refs") && newMeta.get("refs").isObject)
+        newMeta.get("refs").asInstanceOf[ObjectNode]
+      else newMeta.putObject("refs")
+    refsNode.putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+    val newVersion = hint + 1
+    try
+      store.putIfAbsent(metaFile(table, newVersion),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: FileAlreadyExistsException =>
+        objStore match {
+          case Some(os) =>
+            (dataInfos ++ delInfos).foreach(i =>
+              scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+            scala.util.Try(os.deleteObject(dataManifest))
+            scala.util.Try(os.deleteObject(delManifest))
+            scala.util.Try(os.deleteObject(listPath))
+          case None =>
+            (dataParts ++ delParts).foreach(_.delete())
+            Files.deleteIfExists(dataManifest)
+            Files.deleteIfExists(delManifest)
+            Files.deleteIfExists(listPath)
+        }
+        deleteTree(new File(dataStage)); deleteTree(new File(delStage))
+        throw new OptimisticConcurrencyException(newVersion)
+    }
+    store match {
+      case os: ObjectStore =>
+        os.putObject(hintFile(table),
+          newVersion.toString.getBytes(StandardCharsets.UTF_8))
+        deleteTree(new File(dataStage)); deleteTree(new File(delStage))
+      case _ =>
+        Files.writeString(hintFile(table), newVersion.toString): Unit
+    }
+    upserted
   }
 
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the

@@ -635,6 +635,57 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("Iceberg upsert (equality deletes): atomic keyed merge-on-read, layering, isolation (r12)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+      table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    // one snapshot: updates to 10/20, insert 101
+    val n1 = IcebergSink.upsert(spark, table,
+      Seq((10L, "u10", 110.0), (20L, "u20", 120.0), (101L, "i101", 1.0))
+        .toDF("id", "name", "v"), Seq("id"))
+    assert(n1 == 3L)
+    assert(IcebergSink.snapshots(table).length == 2, "upsert is ONE atomic snapshot")
+    val out = IcebergSink.read(spark, table)
+    assert(out.count() == 101)
+    assert(out.filter(col("id") === 10).head().getDouble(2) == 110.0)
+    assert(out.filter(col("id") === 20).head().getDouble(2) == 120.0)
+    assert(out.filter(col("id") === 101).head().getString(1) == "i101")
+    assert(out.filter(col("id") === 50).head().getString(1) == "n50") // untouched
+    // pre-upsert snapshot unaffected
+    val pre = IcebergSink.read(spark, table, Some(s0))
+    assert(pre.count() == 100 && pre.filter(col("id") === 10).head().getDouble(2) == 10.0)
+    // successive upserts layer: the strictly-below sequence scope lets the
+    // second upsert's delete kill the FIRST upsert's row while its own
+    // replacement (same sequence) survives
+    IcebergSink.upsert(spark, table,
+      Seq((10L, "uu10", 210.0)).toDF("id", "name", "v"), Seq("id"))
+    val again = IcebergSink.read(spark, table)
+    assert(again.count() == 101)
+    assert(again.filter(col("id") === 10).collect().map(_.getDouble(2)).toSeq == Seq(210.0))
+    // duplicate source keys are rejected inside the write plan
+    intercept[Exception] {
+      IcebergSink.upsert(spark, table,
+        Seq((7L, "a", 1.0), (7L, "b", 2.0)).toDF("id", "name", "v"), Seq("id"))
+    }
+    // empty source commits nothing
+    val snaps = IcebergSink.snapshots(table).length
+    assert(IcebergSink.upsert(spark, table,
+      Seq.empty[(Long, String, Double)].toDF("id", "name", "v"), Seq("id")) == 0L)
+    assert(IcebergSink.snapshots(table).length == snaps)
+    // deletes compose: a positional deleteWhere over the upserted state
+    IcebergSink.deleteWhere(spark, table, "id = 101")
+    assert(IcebergSink.read(spark, table).count() == 100)
+    // compaction materializes everything and drops all delete manifests
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).count() == 100)
+    assert(IcebergSink.read(spark, table).filter(col("id") === 10)
+      .head().getDouble(2) == 210.0)
+  }
+
   test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
     val s = spark
     import s.implicits._
