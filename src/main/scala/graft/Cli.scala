@@ -144,6 +144,33 @@ object Cli {
         val keep = pos.lift(1).map(_.toInt).getOrElse(2)
         val n = sinks.IcebergSink.expireSnapshots(pos(0), keep)
         println(s"expired snapshots, deleted $n data files")
+      case "delete-delta" =>
+        // delete-delta <table> <predicate> — copy-on-write row-level delete
+        val n = sinks.DeltaSink.deleteWhere(spark, pos(0), pos(1))
+        println(s"deleted $n rows")
+      case "delete-iceberg" =>
+        // delete-iceberg <table> <predicate> — positional delete files (MoR)
+        val n = sinks.IcebergSink.deleteWhere(spark, pos(0), pos(1))
+        println(s"deleted $n rows")
+      case "upsert-iceberg" =>
+        // upsert-iceberg <sourceParquet> <table> <k1,k2> — atomic keyed
+        // upsert via equality deletes
+        val src = spark.read.parquet(pos(0))
+        val n = sinks.IcebergSink.upsert(spark, pos(1), src, pos(2).split(',').toSeq)
+        println(s"upserted $n rows")
+      case "evolve-iceberg" =>
+        // evolve-iceberg <sourceParquet> <table> — add-column append
+        sinks.IcebergSink.evolve(spark.read.parquet(pos(0)), pos(1),
+          partitionBy = partitionBy)
+        println("evolved and appended")
+      case "restore-delta" =>
+        // restore-delta <table> <version> — metadata-only undo
+        val (re, rm) = sinks.DeltaSink.restore(spark, pos(0), pos(1).toLong)
+        println(s"restored: re-added $re files, removed $rm")
+      case "rollback-iceberg" =>
+        // rollback-iceberg <table> <snapshotId> — metadata-only undo
+        sinks.IcebergSink.rollback(pos(0), pos(1).toLong)
+        println("rolled back")
       case "merge-delta" =>
         // merge-delta <sourceParquet> <table> <k1,k2> [--delete-col c]
         val src = spark.read.parquet(pos(0))

@@ -961,6 +961,56 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_delete",
+      // Row-level DELETE (copy-on-write) under the oracle — the Delta twin
+      // of q_iceberg_delete: deleteWhere rewrites ONLY the files holding a
+      // matching row (touched set = a predicate scan that shuffles nothing
+      // but matched file paths), drops the matches, and writes the deleted
+      // rows as cdc delete images in the SAME commit. The kept census must
+      // equal the oracle's `event_id % 10 <> 0` recompute, and the CDF
+      // feed over the delete commit must be EXACTLY the deleted tenth
+      // classified `delete` — a row deleted but not fed, or fed but not
+      // deleted, shifts one census and not the other. `bad_travels` pins
+      // pre-delete time travel intact.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-del")
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        graft.sinks.DeltaSink.deleteWhere(s, table, "event_id % 10 = 0")
+        val kept = graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"), fxSum(col("value")).as("v_kept"))
+        val feed = graft.sinks.DeltaSink.readCdf(s, table, v0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_del"), fxSum(col("value")).as("v_del"),
+            min(col("_change_type") === "delete").as("all_del"))
+        val pre = graft.sinks.DeltaSink.read(s, table, Some(v0))
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_all"))
+        kept.join(feed, Seq("event_type"), "full_outer")
+          .join(pre, Seq("event_type"), "full_outer")
+          .join(direct, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_kept"), lit(0L)).as("n_rows"),
+            coalesce(col("v_kept"), lit(0.0)).as("sum_value"),
+            coalesce(col("n_del"), lit(0L)).as("del_rows"),
+            coalesce(col("v_del"), lit(0.0)).as("del_value"),
+            coalesce(col("all_del"), lit(true)).as("all_delete"),
+            (col("n_pre") <=> col("n_all")).as("bad_travels"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 <> 0) AS BIGINT) AS n_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 <> 0), 0) AS DOUBLE) / 100.0 AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS del_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS del_value,
+             |  TRUE AS all_delete, TRUE AS bad_travels
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_cdf_merge",
       // CDF ROW-LEVEL CLASSIFICATION of a MERGE — the feed surface a
       // downstream consumer needs to apply someone else's upsert: the

@@ -680,6 +680,89 @@ object DeltaSink {
     (touched.size, state.live.size - touched.size, adds.size)
   }
 
+  /** DELETE WHERE — row-level delete (Delta DELETE semantics,
+    * copy-on-write): ONE commit rewrites ONLY the files that contain a
+    * matching row, with the matches dropped; every other file is carried
+    * untouched, so cost scales with the files the predicate TOUCHES, never
+    * the table. The touched set comes from a predicate scan that shuffles
+    * nothing but matched file paths (map-side distinct). With the feed on,
+    * the deleted rows are written as cdc delete images in the same commit
+    * — [[readCdf]] then serves the DELETE without re-diffing the rewrite.
+    * Returns the number of rows deleted; no commit when nothing matches.
+    */
+  def deleteWhere(spark: SparkSession, table: String, predicate: String,
+      store: CommitStore = CommitStore.Local,
+      changeDataFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+    val dir = new File(table)
+    val state = replay(spark, table, None)
+    val fileCol = s"__graft_df_${java.util.UUID.randomUUID().toString.take(8)}"
+    // which files hold a match: URI→path suffix match, same contract as merge
+    val hitPaths = readState(spark, table, state)
+      .withColumn(fileCol, input_file_name())
+      .filter(expr(predicate))
+      .select(fileCol).distinct().collect()
+      .map(_.getString(0))
+      .map(u => try new java.net.URI(u).getPath catch { case _: Exception => u })
+      .toSet
+    val touched = state.live.filter(a =>
+      hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
+    if (touched.isEmpty) return 0L
+    val touchedRows = readState(spark, table, state.copy(live = touched))
+    val kept = touchedRows.filter(!expr(predicate))
+    val staging = Files.createTempDirectory("graft-delta-delete").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = try {
+      val writer = kept.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", MaxRecordsPerFile)
+      (if (state.partitionColumns.nonEmpty)
+         writer.partitionBy(state.partitionColumns: _*)
+       else writer).parquet(staging.getPath)
+      publishAll(store, dir, staging, conf, (rel, i) =>
+        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+          f"part-$i%05d-$txn.c000.snappy.parquet")
+    } finally deleteRecursively(staging)
+    // change images: the deleted rows, written as cdc files (same commit)
+    var deletedRows = -1L
+    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
+      val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
+      try {
+        touchedRows.filter(expr(predicate))
+          .withColumn("_change_type", lit("delete"))
+          .write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .parquet(cdcStaging.getPath)
+        publishAll(store, dir, cdcStaging, conf,
+          (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
+      } finally deleteRecursively(cdcStaging)
+    }
+    if (changeDataFeed) {
+      deletedRows = cdcAdds.map(a =>
+        Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+          .getOrElse(0L)).sum
+    } else {
+      deletedRows = touchedRows.filter(expr(predicate)).count()
+    }
+    val now = System.currentTimeMillis()
+    val removes = touched.map(a =>
+      s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val cdcLines = cdcAdds.map(a =>
+      s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
+        s""""size":${a.size},"dataChange":false}}""")
+    val lines = removes ++ adds.map(a => addJson(a)) ++ cdcLines
+    try commitAtomic(store, versionFile(table, state.version + 1), lines)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        (adds ++ cdcAdds).foreach(a => deleteData(store, dir, a.path))
+        throw new IllegalStateException(
+          s"concurrent commit on $table during delete; re-run the delete", e)
+    }
+    deletedRows
+  }
+
   /** Writes a parquet checkpoint of the current log state plus the
     * `_last_checkpoint` pointer. Readers then start from the checkpoint and
     * replay only newer JSON commits — O(delta) instead of O(history).

@@ -997,6 +997,37 @@ class SinkSpec extends AnyFunSuite {
         .forall(!_.getName.endsWith(".parquet")))
   }
 
+  test("Delta deleteWhere: copy-on-write rewrite of touched files only, CDC images, isolation (r12)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // two single-file batches with disjoint id ranges: the low file never
+    // matches the predicate and must NOT be rewritten
+    assert(DeltaSink.write(
+      (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v").coalesce(1), table))
+    DeltaSink.append(
+      (101 to 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v").coalesce(1), table)
+    val v0 = DeltaSink.latestVersion(table)
+    val fileOf = (id: Int) => DeltaSink.read(spark, table)
+      .filter(col("id") === id)
+      .select(org.apache.spark.sql.functions.input_file_name()).head().getString(0)
+    val lowFileBefore = fileOf(50)
+    val n = DeltaSink.deleteWhere(spark, table, "id > 150")
+    assert(n == 50L)
+    assert(DeltaSink.latestVersion(table) == v0 + 1) // ONE commit
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 150 && out.filter(col("id") > 150).count() == 0)
+    assert(fileOf(50) == lowFileBefore, "untouched file must not be rewritten")
+    // CDF: the delete commit feeds exactly the deleted rows as 'delete'
+    val feed = DeltaSink.readCdf(spark, table, v0)
+    assert(feed.count() == 50)
+    assert(feed.select("_change_type").distinct().head().getString(0) == "delete")
+    // pre-delete time travel intact; no-match delete commits nothing
+    assert(DeltaSink.read(spark, table, Some(v0)).count() == 200)
+    assert(DeltaSink.deleteWhere(spark, table, "id > 10000") == 0L)
+    assert(DeltaSink.latestVersion(table) == v0 + 1)
+  }
+
   test("Delta merge rejects duplicate source keys before committing anything") {
     val s = spark
     import s.implicits._
