@@ -148,6 +148,15 @@ object Cli {
         // delete-delta <table> <predicate> — copy-on-write row-level delete
         val n = sinks.DeltaSink.deleteWhere(spark, pos(0), pos(1))
         println(s"deleted $n rows")
+      case "update-delta" =>
+        // update-delta <table> <predicate> <col=expr[,col=expr...]>
+        val sets = pos(2).split(',').map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"want col=expr, got $kv")
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap
+        val n = sinks.DeltaSink.updateWhere(spark, pos(0), pos(1), sets)
+        println(s"updated $n rows")
       case "delete-iceberg" =>
         // delete-iceberg <table> <predicate> — positional delete files (MoR)
         val n = sinks.IcebergSink.deleteWhere(spark, pos(0), pos(1))

@@ -1011,6 +1011,51 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_update",
+      // Row-level UPDATE (copy-on-write) under the oracle — completes the
+      // DML triad with q_delta_delete and q_delta_merge: updateWhere
+      // rewrites only the files holding a matching row, every SET
+      // expression evaluating against the PRE-update row, and the
+      // pre/post images ride the same commit as cdc files. Three
+      // independent recomputes must agree: the table census with the
+      // CASE'd values (a lost or double-applied update shifts it), the
+      // CDF pre-image census (exactly the original matched values), and
+      // the post-image census (exactly the transformed ones).
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-upd")
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        graft.sinks.DeltaSink.updateWhere(s, table, "event_id % 10 = 0",
+          Map("value" -> "value + 1000"))
+        val kept = graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_value"))
+        val feed = graft.sinks.DeltaSink.readCdf(s, table, v0)
+        val pre = feed.filter(col("_change_type") === "update_preimage")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("upd_rows"), fxSum(col("value")).as("pre_value"))
+        val post = feed.filter(col("_change_type") === "update_postimage")
+          .groupBy("event_type").agg(fxSum(col("value")).as("post_value"))
+        kept.join(pre, Seq("event_type"), "full_outer")
+          .join(post, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"), col("sum_value"),
+            coalesce(col("upd_rows"), lit(0L)).as("upd_rows"),
+            coalesce(col("pre_value"), lit(0.0)).as("pre_value"),
+            coalesce(col("post_value"), lit(0.0)).as("post_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND((CASE WHEN event_id % 10 = 0
+             |    THEN value + 1000 ELSE value END) * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS upd_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS pre_value,
+             |  CAST(COALESCE(SUM(CAST(ROUND((value + 1000) * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS post_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_cdf_merge",
       // CDF ROW-LEVEL CLASSIFICATION of a MERGE — the feed surface a
       // downstream consumer needs to apply someone else's upsert: the

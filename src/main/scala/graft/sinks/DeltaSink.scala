@@ -763,6 +763,96 @@ object DeltaSink {
     deletedRows
   }
 
+  /** UPDATE WHERE — row-level update (Delta UPDATE semantics,
+    * copy-on-write): ONE commit rewrites only the files containing a
+    * matching row, with the matches transformed by the `set` expressions
+    * (column → SQL expression over the pre-update row); every other file
+    * is carried untouched, so cost scales with the touched files, never
+    * the table. With the feed on, the pre/post images ride the same
+    * commit as cdc files — [[readCdf]] classifies the UPDATE without
+    * re-diffing. Returns the number of rows updated.
+    */
+  def updateWhere(spark: SparkSession, table: String, predicate: String,
+      set: Map[String, String],
+      store: CommitStore = CommitStore.Local,
+      changeDataFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+    require(set.nonEmpty, "update requires at least one SET column")
+    val dir = new File(table)
+    val state = replay(spark, table, None)
+    set.keys.foreach(c => require(state.schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    val fileCol = s"__graft_uf_${java.util.UUID.randomUUID().toString.take(8)}"
+    val hitPaths = readState(spark, table, state)
+      .withColumn(fileCol, input_file_name())
+      .filter(expr(predicate))
+      .select(fileCol).distinct().collect()
+      .map(_.getString(0))
+      .map(u => try new java.net.URI(u).getPath catch { case _: Exception => u })
+      .toSet
+    val touched = state.live.filter(a =>
+      hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
+    if (touched.isEmpty) return 0L
+    val touchedRows = readState(spark, table, state.copy(live = touched))
+    val matched = touchedRows.filter(expr(predicate))
+    // all SET expressions evaluate against the PRE-update row (SQL UPDATE
+    // semantics): one select, not sequential withColumns
+    val updated = matched.select(state.schema.fieldNames.map(c =>
+      set.get(c).map(e => expr(e).cast(state.schema(c).dataType).as(c))
+        .getOrElse(col(c))).toIndexedSeq: _*)
+    val rewrite = touchedRows.filter(!expr(predicate)).unionByName(updated)
+    val staging = Files.createTempDirectory("graft-delta-update").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = try {
+      val writer = rewrite.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", MaxRecordsPerFile)
+      (if (state.partitionColumns.nonEmpty)
+         writer.partitionBy(state.partitionColumns: _*)
+       else writer).parquet(staging.getPath)
+      publishAll(store, dir, staging, conf, (rel, i) =>
+        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+          f"part-$i%05d-$txn.c000.snappy.parquet")
+    } finally deleteRecursively(staging)
+    var updatedRows = -1L
+    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
+      val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
+      try {
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
+          .write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .parquet(cdcStaging.getPath)
+        publishAll(store, dir, cdcStaging, conf,
+          (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
+      } finally deleteRecursively(cdcStaging)
+    }
+    if (changeDataFeed) {
+      updatedRows = cdcAdds.map(a =>
+        Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+          .getOrElse(0L)).sum / 2 // pre + post image per updated row
+    } else {
+      updatedRows = matched.count()
+    }
+    val now = System.currentTimeMillis()
+    val removes = touched.map(a =>
+      s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val cdcLines = cdcAdds.map(a =>
+      s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
+        s""""size":${a.size},"dataChange":false}}""")
+    val lines = removes ++ adds.map(a => addJson(a)) ++ cdcLines
+    try commitAtomic(store, versionFile(table, state.version + 1), lines)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        (adds ++ cdcAdds).foreach(a => deleteData(store, dir, a.path))
+        throw new IllegalStateException(
+          s"concurrent commit on $table during update; re-run the update", e)
+    }
+    updatedRows
+  }
+
   /** Writes a parquet checkpoint of the current log state plus the
     * `_last_checkpoint` pointer. Readers then start from the checkpoint and
     * replay only newer JSON commits — O(delta) instead of O(history).

@@ -524,6 +524,34 @@ class PlanSpec extends AnyFunSuite {
     assert(bcast >= 2, s"expected bloom + eval-gram broadcasts, got $bcast:\n$p")
   }
 
+  test("Iceberg merge-on-read: no-delete reads plan ZERO joins; delete application broadcasts (r12)") {
+    val sess = spark
+    import sess.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-planspec-mor").toString
+    graft.sinks.IcebergSink.writeWithRetry(
+      (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "v"), table,
+      graft.sinks.IcebergSink.CreateExclusive)
+    // fast path: a snapshot without delete files must read as a plain
+    // scan — no join, no lineage columns, zero merge-on-read overhead
+    val clean = planOf(graft.sinks.IcebergSink.read(spark, table))
+    assert(!clean.contains("Join"), s"no-delete read must plan zero joins:\n$clean")
+    // with deletes: the (file, pos) anti-join must BUILD on the delete
+    // side (deletes ≪ data at any scale) — broadcast hash, never a
+    // sort-merge that shuffles the data side, and never a nested loop
+    graft.sinks.IcebergSink.deleteWhere(spark, table, "id % 10 = 0")
+    val merged = planOf(graft.sinks.IcebergSink.read(spark, table))
+    assert(merged.contains("BroadcastHashJoin") && merged.contains("LeftAnti"),
+      s"delete application must be a broadcast anti-join:\n$merged")
+    assert(!merged.contains("SortMergeJoin") && !merged.contains("CartesianProduct"),
+      s"the data side must never shuffle for delete application:\n$merged")
+    // equality deletes take the same broadcast shape
+    graft.sinks.IcebergSink.upsert(spark, table,
+      Seq((5L, 50.0)).toDF("id", "v"), Seq("id"))
+    val eq = planOf(graft.sinks.IcebergSink.read(spark, table))
+    assert(!eq.contains("SortMergeJoin") && !eq.contains("CartesianProduct"),
+      s"equality-delete application must broadcast too:\n$eq")
+  }
+
   test("q_semdedup: candidate pairs come from the cluster-id equi join, never corpus x corpus (r10)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)

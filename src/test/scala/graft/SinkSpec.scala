@@ -1028,6 +1028,39 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.latestVersion(table) == v0 + 1)
   }
 
+  test("Delta updateWhere: SET against pre-update row, touched files only, CDC pre/post (r12)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      (1 to 100).map(i => (i.toLong, i.toDouble, i.toDouble)).toDF("id", "a", "b").coalesce(1),
+      table))
+    DeltaSink.append(
+      (101 to 200).map(i => (i.toLong, i.toDouble, i.toDouble)).toDF("id", "a", "b").coalesce(1),
+      table)
+    val v0 = DeltaSink.latestVersion(table)
+    // both SETs read the PRE-update row: swapping a and b must not chain
+    val n = DeltaSink.updateWhere(spark, table, "id > 150",
+      Map("a" -> "b + 1", "b" -> "a + 2"))
+    assert(n == 50L)
+    assert(DeltaSink.latestVersion(table) == v0 + 1)
+    val r160 = DeltaSink.read(spark, table).filter(col("id") === 160).head()
+    assert(r160.getDouble(1) == 161.0 && r160.getDouble(2) == 162.0,
+      s"SET must evaluate against pre-update values, got $r160")
+    assert(DeltaSink.read(spark, table).filter(col("id") === 50).head().getDouble(1) == 50.0)
+    // CDF pairs pre and post images
+    val feed = DeltaSink.readCdf(spark, table, v0)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() == 50)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() == 50)
+    assert(feed.filter(col("_change_type") === "update_postimage" && col("id") === 160)
+      .head().getDouble(1) == 161.0)
+    // unknown SET column and no-match predicate
+    intercept[Exception] {
+      DeltaSink.updateWhere(spark, table, "id > 0", Map("nope" -> "1"))
+    }
+    assert(DeltaSink.updateWhere(spark, table, "id > 99999", Map("a" -> "0")) == 0L)
+  }
+
   test("Delta merge rejects duplicate source keys before committing anything") {
     val s = spark
     import s.implicits._
