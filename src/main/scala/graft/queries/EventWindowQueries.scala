@@ -1424,6 +1424,56 @@ object EventWindowQueries extends QueryModule {
              |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_changelog",
+      // The CHANGELOG feed — Iceberg's answer to q_delta_cdf_merge: after
+      // an upsert (updates %11 + re-keyed inserts %17) and a positional
+      // delete (%13, positives only), readChangelog must reconstruct the
+      // row-level history from manifest diffs alone: upsert pre-images
+      // from a key semi-join against the predecessor's merged state, post
+      // image vs insert split on whether the key had a pre-image,
+      // positional delete images from a (file, pos) join against ONLY the
+      // touched files — and the %143 keys (updated THEN deleted) must
+      // surface their UPDATED value in the delete class, proving the
+      // images are taken against the right predecessor snapshot, not the
+      // bootstrap. The oracle recomputes all four classes per event_type.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-changelog") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        val up = ev.filter(col("event_id") % 11 === 0)
+          .withColumn("value", col("value") + 1000)
+          .unionByName(ev.filter(col("event_id") % 17 === 0)
+            .withColumn("event_id", -col("event_id") - 1))
+        graft.sinks.IcebergSink.upsert(s, table, up, Seq("event_id"))
+        graft.sinks.IcebergSink.deleteWhere(s, table,
+          "event_id % 13 = 0 AND event_id > 0")
+        graft.sinks.IcebergSink.readChangelog(s, table, s0)
+          .groupBy(col("event_type"), col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_value"))
+          .orderBy("event_type", "change_type")
+      },
+      Some("""WITH feed AS (
+             |  SELECT event_type, 'insert' AS change_type, value
+             |  FROM events WHERE event_id % 17 = 0
+             |  UNION ALL
+             |  SELECT event_type, 'update_preimage', value
+             |  FROM events WHERE event_id % 11 = 0
+             |  UNION ALL
+             |  SELECT event_type, 'update_postimage', value + 1000
+             |  FROM events WHERE event_id % 11 = 0
+             |  UNION ALL
+             |  SELECT event_type, 'delete',
+             |    CASE WHEN event_id % 11 = 0 THEN value + 1000 ELSE value END
+             |  FROM events WHERE event_id % 13 = 0 AND event_id > 0)
+             |SELECT event_type, change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_value
+             |FROM feed GROUP BY event_type, change_type
+             |ORDER BY event_type, change_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_evolve",
       // ADD-COLUMN SCHEMA EVOLUTION under the oracle (r12 — VERDICT r11
       // stretch #7): the even half bootstraps (event_id, event_type,

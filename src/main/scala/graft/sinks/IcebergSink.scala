@@ -1644,6 +1644,132 @@ object IcebergSink {
     upserted
   }
 
+  /** CHANGELOG scan — the Iceberg twin of [[DeltaSink.readCdf]]: the
+    * row-level changes committed AFTER `sinceSnapshotId`, classified with
+    * the standard `_change_type` column (insert / update_preimage /
+    * update_postimage / delete) plus `_commit_snapshot_id`. Per snapshot,
+    * the change set is reconstructed from the manifest diff vs its
+    * predecessor:
+    *  - appended data files → their rows as `insert`;
+    *  - new POSITIONAL delete files → the erased rows materialized by a
+    *    (file, pos) join against ONLY the files the delete rows reference
+    *    (cost ∝ the touched files, never the table) as `delete`;
+    *  - new EQUALITY delete files (an [[upsert]] snapshot) → the erased
+    *    images come from a key semi-join against the predecessor's merged
+    *    state (cost: one scan of the predecessor per upsert snapshot —
+    *    the honest price of equality-delete changelogs, which is why CDC
+    *    consumers should prefer bounded ranges); the snapshot's own new
+    *    rows then split into `update_postimage` (key had a pre-image) and
+    *    `insert` (it didn't), and the images surface as
+    *    `update_preimage`.
+    * Snapshots in the range must still be retained (same
+    * consume-within-retention contract as every feed here). Scope: the
+    * feed covers append / deleteWhere / upsert snapshots; a full
+    * OVERWRITE (or a rollback interleaving) surfaces only its added rows
+    * — a table rewrite is not a row-level change, re-bootstrap consumers
+    * across those instead.
+    */
+  def readChangelog(spark: SparkSession, table: String,
+      sinceSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    val metaSnaps = snapshots(table) // (id, seq, ts) oldest-first
+    val fromIdx = metaSnaps.indexWhere(_._1 == sinceSnapshotId)
+    require(fromIdx >= 0, s"no snapshot $sinceSnapshotId in $table (expired?)")
+    val schema = snapshotEntries(table, Some(sinceSnapshotId)).schema
+    val ctField = org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType)
+    val outSchema = StructType(schema.fields :+ ctField :+
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType))
+    val ct = "_change_type"
+    val frames = metaSnaps.drop(fromIdx).sliding(2).filter(_.size == 2).flatMap {
+      case Seq((prevId, _, _), (curId, _, _)) =>
+        val prev = snapshotEntries(table, Some(prevId))
+        val cur = snapshotEntries(table, Some(curId))
+        val prevPaths = prev.data.map(_._1).toSet
+        val dataAdded = cur.data.filterNot(e => prevPaths.contains(e._1))
+        val prevDel = prev.deletes.map(_.path).toSet
+        val delAdded = cur.deletes.filterNot(d => prevDel.contains(d.path))
+        val newRows =
+          if (dataAdded.isEmpty) None
+          else Some(readEntries(spark, schema, dataAdded.map(e => (e._1, e._2))))
+        val posImages: Option[DataFrame] = {
+          val pos = delAdded.filter(_.content == 1)
+          if (pos.isEmpty) None
+          else {
+            val delRows = pos.map(d =>
+              spark.read.schema("file_path STRING, pos BIGINT").parquet(d.path))
+              .reduce(_.unionAll(_))
+              .select(regexp_replace(col("file_path"),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_gfd_key"),
+                col("pos").as("_gfd_pos"))
+            // only the files the delete rows reference are read back
+            val touched = delRows.select("_gfd_key").distinct()
+              .collect().map(_.getString(0)).toSet
+            val touchedEntries = prev.data
+              .filter(e => touched.contains(normPath(e._1)))
+              .map(e => (e._1, e._2))
+            Some(readEntries(spark, schema, touchedEntries, withLineage = true)
+              .withColumn("_gf_key", regexp_replace(col("_gf_uri"),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+              .join(broadcast(delRows),
+                col("_gf_key") === col("_gfd_key") &&
+                  col("_gf_pos") === col("_gfd_pos"))
+              .select(schema.fieldNames.map(col): _*))
+          }
+        }
+        val eqGroups = delAdded.filter(_.content == 2).groupBy(_.equalityIds).toSeq
+        val eqImages: Option[(DataFrame, Seq[String])] =
+          if (eqGroups.isEmpty) None
+          else {
+            require(eqGroups.size == 1,
+              "changelog over mixed equality-id delete sets in one snapshot " +
+                "is not supported")
+            val (eqIds, ds) = eqGroups.head
+            val keyNames = eqIds.map(id => schema.fields(id - 1).name)
+            val keySchema = StructType(
+              schema.fields.filter(f => keyNames.contains(f.name)))
+            val keys = ds.map(d => spark.read.schema(keySchema).parquet(d.path))
+              .reduce(_.unionAll(_))
+            val prevState = readMerged(spark, schema, prev.data, prev.deletes)
+            val joined = prevState.join(broadcast(keys.select(
+              keyNames.map(k => col(k).as(s"_gfe_$k")): _*)),
+              keyNames.map(k => prevState(k) <=> col(s"_gfe_$k")).reduce(_ && _),
+              "left_semi")
+            Some((joined, keyNames))
+          }
+        val classified: Seq[DataFrame] = eqImages match {
+          case Some((images, keyNames)) =>
+            // an upsert snapshot: images are pre-images; the new rows split
+            // on whether their key had one
+            val imageKeys = images
+              .select(keyNames.map(k => col(k).as(s"_gfk_$k")): _*).distinct()
+            val newSplit = newRows.toSeq.flatMap { nr =>
+              val cond = keyNames.map(k => nr(k) <=> col(s"_gfk_$k")).reduce(_ && _)
+              Seq(
+                nr.join(broadcast(imageKeys), cond, "left_semi")
+                  .withColumn(ct, lit("update_postimage")),
+                nr.join(broadcast(imageKeys), cond, "left_anti")
+                  .withColumn(ct, lit("insert")))
+            }
+            images.withColumn(ct, lit("update_preimage")) +: newSplit
+          case None =>
+            newRows.map(_.withColumn(ct, lit("insert"))).toSeq ++
+              posImages.map(_.withColumn(ct, lit("delete"))).toSeq
+        }
+        // a positional delete inside an upsert snapshot would classify as
+        // plain deletes too
+        val posExtra = if (eqImages.isDefined)
+          posImages.map(_.withColumn(ct, lit("delete"))).toSeq else Nil
+        (classified ++ posExtra)
+          .map(_.withColumn("_commit_snapshot_id", lit(curId)))
+    }.toSeq
+    if (frames.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        outSchema)
+    else frames.reduce(_.unionByName(_))
+  }
+
   /** (snapshot-id, sequence-number, timestamp-ms) of every snapshot the
     * current metadata retains, oldest first — the discovery surface for
     * [[read]]'s time travel and [[expireSnapshots]]' retention choice.

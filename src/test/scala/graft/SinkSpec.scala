@@ -686,6 +686,33 @@ class SinkSpec extends AnyFunSuite {
       .head().getDouble(2) == 210.0)
   }
 
+  test("Iceberg changelog: classifies appends, positional deletes, and upserts (r12)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      (1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"), table,
+      IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    IcebergSink.writeWithRetry(
+      (21L to 30L).map(i => (i, i.toDouble)).toDF("id", "v"), table, IcebergSink.Append)
+    IcebergSink.upsert(spark, table,
+      Seq((5L, 500.0), (31L, 31.0)).toDF("id", "v"), Seq("id"))
+    IcebergSink.deleteWhere(spark, table, "id = 7")
+    val feed = IcebergSink.readChangelog(spark, table, s0).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getLong(0), r.getDouble(1)))
+    val byType = feed.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byType("insert") == ((21L to 30L).map(i => (i, i.toDouble)).toSet + ((31L, 31.0))),
+      s"inserts wrong: ${byType.get("insert")}")
+    assert(byType("update_preimage") == Set((5L, 5.0)))
+    assert(byType("update_postimage") == Set((5L, 500.0)))
+    assert(byType("delete") == Set((7L, 7.0)))
+    // commit snapshot ids tag each change to its snapshot
+    val snapIds = IcebergSink.readChangelog(spark, table, s0)
+      .select("_commit_snapshot_id").distinct().count()
+    assert(snapIds == 3)
+  }
+
   test("Iceberg expireSnapshots drops old snapshots and reclaims their files") {
     val s = spark
     import s.implicits._
