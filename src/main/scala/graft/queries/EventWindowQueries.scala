@@ -1424,6 +1424,62 @@ object EventWindowQueries extends QueryModule {
              |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_stream_iceberg_upsert",
+      // Exactly-once streaming CDC UPSERT into Iceberg (r12) — the
+      // merge-on-read twin of q_stream_iceberg's append-only ingest: the
+      // full corpus bootstraps the table; a Delta source lands two
+      // commits of keyed UPDATES (%10=0 → +1000, %10=5 → +2000) that a
+      // tailing stream applies per micro-batch as ONE atomic
+      // equality-delete upsert snapshot stamped with (appId, batchId) —
+      // no existing file rewritten per batch, the Flink-CDC shape. After
+      // the drain, batch 0 deliberately REPLAYS with poisoned values
+      // (+9999) and must no-op against the summary watermark
+      // (replay_noop; a failed no-op shifts sum_v too). The census pins
+      // newer-wins: every %10 key carries its updated value exactly once.
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val src = graft.TempTables.create("graft-siceu-src")
+        val dst = graft.TempTables.create("graft-siceu-dst") + "/tbl"
+        val ckpt = graft.TempTables.create("graft-siceu-ckpt")
+        graft.sinks.IcebergSink.write(ev, dst,
+          graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.DeltaSink.write(
+          ev.filter(pmod(col("event_id"), lit(10)) === 0)
+            .withColumn("value", col("value") + 1000), src, overwrite = true)
+        graft.sinks.DeltaSink.append(
+          ev.filter(pmod(col("event_id"), lit(10)) === 5)
+            .withColumn("value", col("value") + 2000), src)
+        val appId = "q-stream-iceberg-upsert"
+        val q = graft.streaming.StreamOps.streamUpsertToIceberg(
+          s.readStream.format("graft-delta-tail").option("path", src).load(),
+          dst, appId, keys = Seq("event_id"), orderCols = Seq("value"),
+          checkpoint = Some(ckpt))
+        // drain the tail source's committed versions, then stop once idle
+        q.processAllAvailable()
+        q.stop()
+        val replayed = graft.sinks.IcebergSink.upsertExactlyOnce(
+          ev.filter(pmod(col("event_id"), lit(10)) === 0)
+            .withColumn("value", col("value") + 9999),
+          dst, appId, 0L, Seq("event_id"))
+        graft.sinks.IcebergSink.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("replay_noop", lit(replayed == -1L))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND((CASE
+             |  WHEN event_id % 10 = 0 THEN value + 1000
+             |  WHEN event_id % 10 = 5 THEN value + 2000
+             |  ELSE value END) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v,
+             |TRUE AS replay_noop
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_changelog",
       // The CHANGELOG feed — Iceberg's answer to q_delta_cdf_merge: after
       // an upsert (updates %11 + re-keyed inserts %17) and a positional

@@ -803,6 +803,21 @@ object IcebergSink {
     snapshots(table).last._2
   }
 
+  /** Exactly-once streaming UPSERT: one atomic [[upsert]] snapshot per
+    * micro-batch, stamped with (appId, batchId) in its summary; a replay
+    * of an already-committed batch id no-ops — the CDC-ingestion twin of
+    * [[appendExactlyOnce]]. Returns the committed snapshot's sequence
+    * number, or −1 on replay.
+    */
+  def upsertExactlyOnce(df: DataFrame, table: String, appId: String,
+      batchId: Long, keys: Seq[String],
+      store: CommitStore = CommitStore.Local): Long = {
+    if (batchId <= lastTxnBatch(table, appId)) return -1L
+    upsert(df.sparkSession, table, df, keys, store,
+      summaryProps = Map(TxnAppKey -> appId, TxnBatchKey -> batchId.toString))
+    snapshots(table).last._2
+  }
+
   /** Reads the table at its current version (hint → metadata → current
     * snapshot → manifest list → manifests → data files), or — snapshot
     * time travel — at `asOfSnapshotId`: every snapshot in the metadata
@@ -1468,7 +1483,8 @@ object IcebergSink {
     * the number of rows upserted; an empty source commits nothing.
     */
   def upsert(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], store: CommitStore = CommitStore.Local): Long = {
+      keys: Seq[String], store: CommitStore = CommitStore.Local,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
     require(keys.nonEmpty, "upsert requires at least one key column")
     val hint = readHint(table).getOrElse(
@@ -1600,10 +1616,11 @@ object IcebergSink {
       .put("timestamp-ms", now)
       .put("manifest-list", s"metadata/${listPath.getFileName}")
       .put("schema-id", schemaId)
-    snapNode.putObject("summary")
-      .put("operation", "overwrite")
+    val upSummary = snapNode.putObject("summary")
+    upSummary.put("operation", "overwrite")
       .put("added-records", upserted.toString)
       .put("added-equality-delete-files", delInfos.size.toString)
+    summaryProps.foreach { case (k, v) => upSummary.put(k, v) }
     newMeta.put("current-snapshot-id", snapshotId)
     val refsNode =
       if (newMeta.has("refs") && newMeta.get("refs").isObject)

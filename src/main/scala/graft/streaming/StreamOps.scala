@@ -192,6 +192,35 @@ object StreamOps {
       }
       .start()
 
+  /** Exactly-once streaming CDC UPSERT into Iceberg: each micro-batch
+    * first reduces to its latest row per key under `orderCols`
+    * (lexicographic, latest wins — include a unique tiebreak), then
+    * applies as ONE atomic equality-delete upsert snapshot stamped with
+    * (appId, batchId); a replayed batch id no-ops. No existing file is
+    * rewritten per batch — the merge-on-read CDC-ingestion shape
+    * ([[graft.sinks.IcebergSink.upsert]]); run OPTIMIZE on a cadence to
+    * fold the accumulated delete files back into plain data files.
+    */
+  def streamUpsertToIceberg(stream: DataFrame, table: String, appId: String,
+      keys: Seq[String], orderCols: Seq[String],
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val u = java.util.UUID.randomUUID().toString.take(8)
+        val rnN = s"__rn_$u"
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        val latest = batch
+          .withColumn(rnN, row_number().over(w))
+          .filter(col(rnN) === 1).drop(rnN)
+        graft.sinks.IcebergSink.upsertExactlyOnce(
+          latest, table, appId, batchId, keys): Unit
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
   /** One micro-batch of CDC upsert (the body of [[upsertLatestToDelta]],
     * exposed so tests can drive replay semantics directly): the batch
     * reduces to its latest row per key under `orderCols` (lexicographic,

@@ -210,6 +210,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamUpsertToIceberg: latest-per-key per batch, one atomic snapshot each, exactly-once (r12)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-stream-ice-up").toString
+    graft.sinks.IcebergSink.writeWithRetry(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("event_id", "event_type", "value"),
+      table, graft.sinks.IcebergSink.CreateExclusive)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.streamUpsertToIceberg(
+      input.toDF().select($"event_id", $"event_type", $"value", $"ts"),
+      table, appId = "cdc-test", keys = Seq("event_id"), orderCols = Seq("ts"))
+    try {
+      // two versions of key 1 in ONE batch: the later ts must win;
+      // key 3 is a genuine insert
+      input.addData(Ev(1, ts(0), 1, "a", 10.0), Ev(1, ts(5), 1, "a", 11.0),
+        Ev(3, ts(1), 1, "c", 3.0))
+      q.processAllAvailable()
+      val snaps1 = graft.sinks.IcebergSink.snapshots(table).length
+      assert(snaps1 == 2, "one micro-batch = ONE atomic upsert snapshot")
+      val afterB1 = graft.sinks.IcebergSink.read(spark, table)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(afterB1 == Map(1L -> 11.0, 2L -> 2.0, 3L -> 3.0), s"got $afterB1")
+      // second batch layers on the first
+      input.addData(Ev(2, ts(6), 1, "b", 22.0))
+      q.processAllAvailable()
+      val afterB2 = graft.sinks.IcebergSink.read(spark, table)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(afterB2 == Map(1L -> 11.0, 2L -> 22.0, 3L -> 3.0), s"got $afterB2")
+      // crash-replay of an already-committed batch id no-ops
+      val wm = graft.sinks.IcebergSink.lastTxnBatch(table, "cdc-test")
+      assert(wm >= 1L)
+      val replayed = graft.sinks.IcebergSink.upsertExactlyOnce(
+        Seq((1L, "a", 999.0)).toDF("event_id", "event_type", "value"),
+        table, "cdc-test", wm, Seq("event_id"))
+      assert(replayed == -1L)
+      assert(graft.sinks.IcebergSink.read(spark, table)
+        .filter($"event_id" === 1L).head().getDouble(2) == 11.0)
+    } finally q.stop()
+  }
+
   test("session windows: a session ending EXACTLY at the watermark is emitted (boundary pin, r10)") {
     // The q_stream_session oracle filters to sessions with
     // s_end <= max(ts) (the final watermark at 0s delay) — this pins the
