@@ -64,7 +64,11 @@ object PlanReport {
     "q_quantile_sketch" -> "constant-size bucket arrays as partial aggregates; quantile walk per group",
     "q_tpch_q4" -> "EXISTS as a hash semi join with the date residual",
     "q_tpch_q6" -> "the pure scan-agg: all predicates pushed, join-free, partial sums",
-    "q_tpch_q19" -> "OR'd brand/size/qty blocks stay a residual on one equi join")
+    "q_tpch_q19" -> "OR'd brand/size/qty blocks stay a residual on one equi join",
+    "q_iceberg_delete" -> "merge-on-read census: delete application is a broadcast anti-join, data side never shuffles",
+    "q_delta_delete" -> "post-delete read is a plain pruned scan; the CDF feed reads cdc files, never re-diffs",
+    "q_iceberg_upsert" -> "upserted state: equality deletes broadcast per key-set, new files scan in place",
+    "q_delta_cdf_merge" -> "the merge feed is a cdc-file scan + census — no join back to the table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
