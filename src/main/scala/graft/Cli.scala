@@ -149,8 +149,9 @@ object Cli {
         val n = sinks.DeltaSink.deleteWhere(spark, pos(0), pos(1))
         println(s"deleted $n rows")
       case "update-delta" =>
-        // update-delta <table> <predicate> <col=expr[,col=expr...]>
-        val sets = pos(2).split(',').map { kv =>
+        // update-delta <table> <predicate> <col=expr[,col=expr...]> —
+        // splitSpecs keeps commas inside function calls (coalesce(v,0))
+        val sets = splitSpecs(pos(2)).map { kv =>
           val i = kv.indexOf('=')
           require(i > 0, s"want col=expr, got $kv")
           kv.take(i).trim -> kv.drop(i + 1).trim

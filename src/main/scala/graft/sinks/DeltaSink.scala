@@ -645,10 +645,16 @@ object DeltaSink {
       val updPre = touchedRows
         .join(writes.select(keys.map(col): _*), keys, "left_semi")
         .withColumn(ct, lit("update_preimage"))
+      // a key that is BOTH delete-marked and updated in one source resolves
+      // as a replace (merge contract) — its images are update_pre/postimage,
+      // so the delete class must exclude keys the writes side carries, or
+      // the old row would be double-classified (delete + update_preimage)
       val delPre = deleteCol.map { c =>
-        touchedRows.join(
-          source.filter(coalesce(col(c), lit(false))).select(keys.map(col): _*),
-          keys, "left_semi").withColumn(ct, lit("delete"))
+        val delOnlyKeys = source.filter(coalesce(col(c), lit(false)))
+          .select(keys.map(col): _*)
+          .join(writes.select(keys.map(col): _*), keys, "left_anti")
+        touchedRows.join(delOnlyKeys, keys, "left_semi")
+          .withColumn(ct, lit("delete"))
       }
       val updPost = writes.join(touchedKeys, keys, "left_semi")
         .withColumn(ct, lit("update_postimage"))
@@ -693,7 +699,7 @@ object DeltaSink {
   def deleteWhere(spark: SparkSession, table: String, predicate: String,
       store: CommitStore = CommitStore.Local,
       changeDataFeed: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     val dir = new File(table)
     val state = replay(spark, table, None)
     val fileCol = s"__graft_df_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -709,7 +715,10 @@ object DeltaSink {
       hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
     if (touched.isEmpty) return 0L
     val touchedRows = readState(spark, table, state.copy(live = touched))
-    val kept = touchedRows.filter(!expr(predicate))
+    // SQL DELETE semantics: only rows where the predicate is TRUE are
+    // deleted — a NULL predicate result KEEPS the row (a bare !pred filter
+    // would silently drop NULL-result rows from the rewrite, uncounted)
+    val kept = touchedRows.filter(!coalesce(expr(predicate), lit(false)))
     val staging = Files.createTempDirectory("graft-delta-delete").toFile
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
@@ -776,7 +785,7 @@ object DeltaSink {
       set: Map[String, String],
       store: CommitStore = CommitStore.Local,
       changeDataFeed: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     require(set.nonEmpty, "update requires at least one SET column")
     val dir = new File(table)
     val state = replay(spark, table, None)
@@ -800,7 +809,10 @@ object DeltaSink {
     val updated = matched.select(state.schema.fieldNames.map(c =>
       set.get(c).map(e => expr(e).cast(state.schema(c).dataType).as(c))
         .getOrElse(col(c))).toIndexedSeq: _*)
-    val rewrite = touchedRows.filter(!expr(predicate)).unionByName(updated)
+    // SQL UPDATE semantics: rows where the predicate is NULL are carried
+    // UNCHANGED — a bare !pred filter would silently erase them
+    val rewrite = touchedRows.filter(!coalesce(expr(predicate), lit(false)))
+      .unionByName(updated)
     val staging = Files.createTempDirectory("graft-delta-update").toFile
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()

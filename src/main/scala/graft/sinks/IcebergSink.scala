@@ -648,10 +648,16 @@ object IcebergSink {
       .put("last-sequence-number", seq)
       .put("last-updated-ms", System.currentTimeMillis())
       .put("last-column-id", declaredSchema.fields.length)
+    // EVERY write over an existing table carries the previous schemas
+    // forward (minus the one this write re-emits): retained snapshots
+    // keep referencing their original schema-ids, and dropping a schema
+    // from the array would dangle those references for any reader that
+    // resolves a snapshot's schema by id (spec §schemas)
     val schemasArr = meta.putArray("schemas")
-    if (schemaEvolved) previous.foreach(
-      _.get("schemas").elements().asScala.foreach(n =>
-        schemasArr.add(n.deepCopy[ObjectNode]())))
+    previous.foreach(
+      _.get("schemas").elements().asScala
+        .filter(_.get("schema-id").asInt() != schemaId)
+        .foreach(n => schemasArr.add(n.deepCopy[ObjectNode]())))
     schemasArr.add(schemaNode)
     meta.put("current-schema-id", schemaId)
     val specNode = meta.putArray("partition-specs").addObject()
@@ -841,7 +847,8 @@ object IcebergSink {
       content: Int, equalityIds: Seq[Int])
   private[sinks] case class Snapshot(schema: StructType,
       data: Seq[(String, Map[String, Any], Long)],
-      deletes: Seq[DeleteRef])
+      deletes: Seq[DeleteRef],
+      dataManifests: Seq[ManifestRef])
 
   /** Shared snapshot resolution for [[read]]/[[readDays]]/… . Partition
     * truth comes from each manifest's OWN partition struct (its Avro
@@ -871,7 +878,7 @@ object IcebergSink {
       IcebergAvro.readManifestDeleteFiles(new File(requireAvro(abs(table, r.path))))
         .map { case (p, content, eqIds, _) => DeleteRef(p, r.seq, content, eqIds) }
     }
-    Snapshot(schema, data, deletes)
+    Snapshot(schema, data, deletes, refs.filter(_.content == 0))
   }
 
   /** METADATA-ONLY file inventory of a snapshot: one row per live data
@@ -1140,13 +1147,9 @@ object IcebergSink {
     */
   def readRange(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): DataFrame = {
-    val (schema, kept, _) = planRangeFiles(spark, table, column, lo, hi)
-    val snap = snapshotEntries(table, None)
-    val seqOf = snap.data.map(e => e._1 -> e._3).toMap
+    val (snap, kept, _) = planRange(table, column, lo, hi)
     import org.apache.spark.sql.functions.col
-    readMerged(spark, schema,
-      kept.map { case (p, pvals) => (p, pvals, seqOf.getOrElse(p, 0L)) },
-      snap.deletes)
+    readMerged(spark, snap.schema, kept, snap.deletes)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -1155,9 +1158,21 @@ object IcebergSink {
     */
   def planRangeFiles(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): (StructType, Seq[(String, Map[String, Any])], Int) = {
-    val meta = currentMeta(table)
-    val schema = DataType.fromJson(
-      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val (snap, kept, total) = planRange(table, column, lo, hi)
+    (snap.schema, kept.map(e => (e._1, e._2)), total)
+  }
+
+  /** ONE snapshot resolution serves both the pruning plan and the merged
+    * read: resolving twice (as a plan + read pair would naively do) both
+    * doubles the metadata I/O and opens a race where the kept set and the
+    * file→sequence map come from different snapshots — a file missing
+    * from the second read would default its sequence and mis-scope every
+    * equality delete against it.
+    */
+  private def planRange(table: String, column: String, lo: Double, hi: Double)
+      : (Snapshot, Seq[(String, Map[String, Any], Long)], Int) = {
+    val snap = snapshotEntries(table, None)
+    val schema = snap.schema
     val fieldId = schema.fieldNames.indexOf(column) + 1
     require(fieldId > 0, s"no such column: $column")
     val dt = schema(column).dataType
@@ -1171,16 +1186,11 @@ object IcebergSink {
         case _ => None
       }
     }
-    val snapId = meta.get("current-snapshot-id").asLong()
-    val list = manifestListOf(table, meta, snapId).get
-    val manifests = manifestRefs(table, list).filter(_.content == 0).map(_.path)
-    val entries = manifests.flatMap { mp =>
-      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, mp))))
-    }
-    val statsByPath: Map[String, IcebergAvro.ColumnStats] = manifests.flatMap { mp =>
-      IcebergAvro.readManifestStats(new File(requireAvro(abs(table, mp))))
-    }.toMap
-    val kept = entries.filter { case (path, _) =>
+    val statsByPath: Map[String, IcebergAvro.ColumnStats] =
+      snap.dataManifests.flatMap { r =>
+        IcebergAvro.readManifestStats(new File(requireAvro(abs(table, r.path))))
+      }.toMap
+    val kept = snap.data.filter { case (path, _, _) =>
       statsByPath.get(path).flatMap { st =>
         for {
           l <- st.lowerBounds.get(fieldId).flatMap(dec)
@@ -1188,7 +1198,7 @@ object IcebergSink {
         } yield u >= lo && l <= hi
       }.getOrElse(true) // no decodable bounds → must scan
     }
-    (schema, kept, entries.size)
+    (snap, kept, snap.data.size)
   }
 
   /** Bin-packing compaction, the Delta-compact twin: rewrites the CURRENT
@@ -1699,10 +1709,15 @@ object IcebergSink {
       org.apache.spark.sql.types.StructField("_commit_snapshot_id",
         org.apache.spark.sql.types.LongType))
     val ct = "_change_type"
-    val frames = metaSnaps.drop(fromIdx).sliding(2).filter(_.size == 2).flatMap {
-      case Seq((prevId, _, _), (curId, _, _)) =>
-        val prev = snapshotEntries(table, Some(prevId))
+    // each snapshot resolves ONCE: pair i's `cur` is carried forward as
+    // pair i+1's `prev` (a sliding-pair re-resolution would double the
+    // metadata I/O — every resolution reads the manifest list + manifests)
+    var prevCarried = snapshotEntries(table, Some(sinceSnapshotId))
+    val frames = metaSnaps.drop(fromIdx + 1).flatMap {
+      case (curId, _, _) =>
+        val prev = prevCarried
         val cur = snapshotEntries(table, Some(curId))
+        prevCarried = cur
         val prevPaths = prev.data.map(_._1).toSet
         val dataAdded = cur.data.filterNot(e => prevPaths.contains(e._1))
         val prevDel = prev.deletes.map(_.path).toSet
@@ -1908,7 +1923,7 @@ object IcebergSink {
     * in a manifest list — the read planner's split between data manifests
     * (content 0) and positional-delete manifests (content 1).
     */
-  private case class ManifestRef(path: String, content: Int, seq: Long)
+  private[sinks] case class ManifestRef(path: String, content: Int, seq: Long)
   private def manifestRefs(table: String, listPath: String): Seq[ManifestRef] =
     IcebergAvro.readManifestList(new File(requireAvro(abs(table, listPath)))).map { r =>
       ManifestRef(r.get("manifest_path").toString,

@@ -1088,6 +1088,62 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.updateWhere(spark, table, "id > 99999", Map("a" -> "0")) == 0L)
   }
 
+  test("Delta delete/update WHERE: NULL predicate results keep the row (SQL semantics, r12 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      Seq((1L, Some(20.0)), (2L, None), (3L, Some(5.0)))
+        .toDF("id", "v").coalesce(1), table))
+    // v > 10 is NULL for id=2: the row must SURVIVE the delete untouched
+    assert(DeltaSink.deleteWhere(spark, table, "v > 10") == 1L)
+    val afterDel = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(afterDel.map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      s"NULL-predicate row must survive: ${afterDel.mkString(",")}")
+    assert(afterDel(0).isNullAt(1))
+    // same for update: NULL-predicate rows carried unchanged
+    assert(DeltaSink.updateWhere(spark, table, "v < 10", Map("v" -> "v + 1")) == 1L)
+    val afterUpd = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(afterUpd.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(afterUpd(0).isNullAt(1) && afterUpd(1).getDouble(1) == 6.0)
+  }
+
+  test("Delta merge CDC: a delete-marked key that is also updated classifies as update only (r12 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").coalesce(1), table))
+    val v0 = DeltaSink.latestVersion(table)
+    // key 1 is BOTH delete-marked and updated: merge resolves as replace,
+    // so the feed must carry update images, never a delete for it
+    DeltaSink.merge(spark, table,
+      Seq((1L, 0.0, true), (1L, 11.0, false), (2L, 0.0, true))
+        .toDF("id", "v", "del"), Seq("id"), deleteCol = Some("del"))
+    val feed = DeltaSink.readCdf(spark, table, v0).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getLong(0), r.getDouble(1)))
+    assert(feed.toSet == Set(
+      ("update_preimage", 1L, 1.0), ("update_postimage", 1L, 11.0),
+      ("delete", 2L, 2.0)), s"got ${feed.mkString(",")}")
+  }
+
+  test("Iceberg: a plain append after evolution keeps every referenced schema (r12 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    IcebergSink.evolve(Seq((4L, "d", 4.5, 0.9)).toDF("id", "name", "v", "score"), table)
+    IcebergSink.writeWithRetry(Seq((5L, "e", 5.5, 0.5)).toDF("id", "name", "v", "score"),
+      table, IcebergSink.Append)
+    val meta = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(table, "metadata",
+        s"v${Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim}.metadata.json")))
+    val ids = meta.get("schemas").elements().asScala.map(_.get("schema-id").asInt()).toSeq
+    assert(ids.sorted == Seq(0, 1),
+      s"the bootstrap snapshot still references schema-id 0; schemas must keep it, got $ids")
+    assert(IcebergSink.read(spark, table).count() == 5)
+  }
+
   test("Delta merge rejects duplicate source keys before committing anything") {
     val s = spark
     import s.implicits._
