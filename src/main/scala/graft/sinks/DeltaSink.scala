@@ -699,10 +699,34 @@ object DeltaSink {
   def deleteWhere(spark: SparkSession, table: String, predicate: String,
       store: CommitStore = CommitStore.Local,
       changeDataFeed: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.lit
+    rewriteTouched(spark, table, predicate, "delete",
+      replacementOf = (_, _) => None,
+      imagesOf = (matched, _) => matched.withColumn("_change_type", lit("delete")),
+      imageRowsPerMatch = 1, store, changeDataFeed)
+  }
+
+  /** Shared copy-on-write machinery behind [[deleteWhere]]/[[updateWhere]]:
+    * finds the files holding a TRUE match of `predicate` (a scan that
+    * shuffles nothing but matched file paths), rewrites exactly those
+    * files as kept-rows ∪ `replacementOf(matched)` — rows where the
+    * predicate is NULL are carried UNCHANGED (SQL semantics; a bare !pred
+    * filter would silently erase them) — stages `imagesOf` as cdc files
+    * when the feed is on, and commits removes + adds + cdc atomically.
+    * Returns the matched-row count (free from the cdc footers when the
+    * feed is on — `imageRowsPerMatch` divides pre+post pairs back to
+    * rows — else one count job).
+    */
+  private def rewriteTouched(spark: SparkSession, table: String,
+      predicate: String, opName: String,
+      replacementOf: (DataFrame, StructType) => Option[DataFrame],
+      imagesOf: (DataFrame, Option[DataFrame]) => DataFrame,
+      imageRowsPerMatch: Int,
+      store: CommitStore, changeDataFeed: Boolean): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit}
     val dir = new File(table)
     val state = replay(spark, table, None)
-    val fileCol = s"__graft_df_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fileCol = s"__graft_rf_${java.util.UUID.randomUUID().toString.take(8)}"
     // which files hold a match: URI→path suffix match, same contract as merge
     val hitPaths = readState(spark, table, state)
       .withColumn(fileCol, input_file_name())
@@ -715,15 +739,15 @@ object DeltaSink {
       hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
     if (touched.isEmpty) return 0L
     val touchedRows = readState(spark, table, state.copy(live = touched))
-    // SQL DELETE semantics: only rows where the predicate is TRUE are
-    // deleted — a NULL predicate result KEEPS the row (a bare !pred filter
-    // would silently drop NULL-result rows from the rewrite, uncounted)
-    val kept = touchedRows.filter(!coalesce(expr(predicate), lit(false)))
-    val staging = Files.createTempDirectory("graft-delta-delete").toFile
+    val matched = touchedRows.filter(expr(predicate))
+    val replacement = replacementOf(matched, state.schema)
+    val keptRows = touchedRows.filter(!coalesce(expr(predicate), lit(false)))
+    val rewrite = replacement.map(keptRows.unionByName(_)).getOrElse(keptRows)
+    val staging = Files.createTempDirectory(s"graft-delta-$opName").toFile
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val writer = kept.write.mode("overwrite")
+      val writer = rewrite.write.mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
       (if (state.partitionColumns.nonEmpty)
@@ -733,13 +757,10 @@ object DeltaSink {
         Option(rel.getParent).map(_.toString + "/").getOrElse("") +
           f"part-$i%05d-$txn.c000.snappy.parquet")
     } finally deleteRecursively(staging)
-    // change images: the deleted rows, written as cdc files (same commit)
-    var deletedRows = -1L
     val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
       val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
       try {
-        touchedRows.filter(expr(predicate))
-          .withColumn("_change_type", lit("delete"))
+        imagesOf(matched, replacement)
           .write.mode("overwrite")
           .option("compression", "snappy")
           .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -748,13 +769,12 @@ object DeltaSink {
           (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
       } finally deleteRecursively(cdcStaging)
     }
-    if (changeDataFeed) {
-      deletedRows = cdcAdds.map(a =>
-        Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
-          .getOrElse(0L)).sum
-    } else {
-      deletedRows = touchedRows.filter(expr(predicate)).count()
-    }
+    val matchedRows =
+      if (changeDataFeed)
+        cdcAdds.map(a =>
+          Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+            .getOrElse(0L)).sum / imageRowsPerMatch
+      else matched.count()
     val now = System.currentTimeMillis()
     val removes = touched.map(a =>
       s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
@@ -767,9 +787,9 @@ object DeltaSink {
       case e: java.nio.file.FileAlreadyExistsException =>
         (adds ++ cdcAdds).foreach(a => deleteData(store, dir, a.path))
         throw new IllegalStateException(
-          s"concurrent commit on $table during delete; re-run the delete", e)
+          s"concurrent commit on $table during $opName; re-run the $opName", e)
     }
-    deletedRows
+    matchedRows
   }
 
   /** UPDATE WHERE — row-level update (Delta UPDATE semantics,
@@ -785,84 +805,23 @@ object DeltaSink {
       set: Map[String, String],
       store: CommitStore = CommitStore.Local,
       changeDataFeed: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     require(set.nonEmpty, "update requires at least one SET column")
-    val dir = new File(table)
-    val state = replay(spark, table, None)
-    set.keys.foreach(c => require(state.schema.fieldNames.contains(c),
-      s"no such column: $c"))
-    val fileCol = s"__graft_uf_${java.util.UUID.randomUUID().toString.take(8)}"
-    val hitPaths = readState(spark, table, state)
-      .withColumn(fileCol, input_file_name())
-      .filter(expr(predicate))
-      .select(fileCol).distinct().collect()
-      .map(_.getString(0))
-      .map(u => try new java.net.URI(u).getPath catch { case _: Exception => u })
-      .toSet
-    val touched = state.live.filter(a =>
-      hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
-    if (touched.isEmpty) return 0L
-    val touchedRows = readState(spark, table, state.copy(live = touched))
-    val matched = touchedRows.filter(expr(predicate))
-    // all SET expressions evaluate against the PRE-update row (SQL UPDATE
-    // semantics): one select, not sequential withColumns
-    val updated = matched.select(state.schema.fieldNames.map(c =>
-      set.get(c).map(e => expr(e).cast(state.schema(c).dataType).as(c))
-        .getOrElse(col(c))).toIndexedSeq: _*)
-    // SQL UPDATE semantics: rows where the predicate is NULL are carried
-    // UNCHANGED — a bare !pred filter would silently erase them
-    val rewrite = touchedRows.filter(!coalesce(expr(predicate), lit(false)))
-      .unionByName(updated)
-    val staging = Files.createTempDirectory("graft-delta-update").toFile
-    val txn = java.util.UUID.randomUUID().toString
-    val conf = spark.sessionState.newHadoopConf()
-    val adds = try {
-      val writer = rewrite.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("maxRecordsPerFile", MaxRecordsPerFile)
-      (if (state.partitionColumns.nonEmpty)
-         writer.partitionBy(state.partitionColumns: _*)
-       else writer).parquet(staging.getPath)
-      publishAll(store, dir, staging, conf, (rel, i) =>
-        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
-          f"part-$i%05d-$txn.c000.snappy.parquet")
-    } finally deleteRecursively(staging)
-    var updatedRows = -1L
-    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
-      val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
-      try {
+    rewriteTouched(spark, table, predicate, "update",
+      replacementOf = (matched, schema) => {
+        set.keys.foreach(c => require(schema.fieldNames.contains(c),
+          s"no such column: $c"))
+        // all SET expressions evaluate against the PRE-update row (SQL
+        // UPDATE semantics): one select, not sequential withColumns
+        Some(matched.select(schema.fieldNames.map(c =>
+          set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
+            .getOrElse(col(c))).toIndexedSeq: _*))
+      },
+      imagesOf = (matched, replacement) =>
         matched.withColumn("_change_type", lit("update_preimage"))
-          .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
-          .write.mode("overwrite")
-          .option("compression", "snappy")
-          .option("maxRecordsPerFile", MaxRecordsPerFile)
-          .parquet(cdcStaging.getPath)
-        publishAll(store, dir, cdcStaging, conf,
-          (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
-      } finally deleteRecursively(cdcStaging)
-    }
-    if (changeDataFeed) {
-      updatedRows = cdcAdds.map(a =>
-        Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
-          .getOrElse(0L)).sum / 2 // pre + post image per updated row
-    } else {
-      updatedRows = matched.count()
-    }
-    val now = System.currentTimeMillis()
-    val removes = touched.map(a =>
-      s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
-    val cdcLines = cdcAdds.map(a =>
-      s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
-        s""""size":${a.size},"dataChange":false}}""")
-    val lines = removes ++ adds.map(a => addJson(a)) ++ cdcLines
-    try commitAtomic(store, versionFile(table, state.version + 1), lines)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        (adds ++ cdcAdds).foreach(a => deleteData(store, dir, a.path))
-        throw new IllegalStateException(
-          s"concurrent commit on $table during update; re-run the update", e)
-    }
-    updatedRows
+          .unionByName(replacement.get
+            .withColumn("_change_type", lit("update_postimage"))),
+      imageRowsPerMatch = 2, store, changeDataFeed)
   }
 
   /** Writes a parquet checkpoint of the current log state plus the
