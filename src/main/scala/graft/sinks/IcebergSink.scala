@@ -1310,6 +1310,83 @@ object IcebergSink {
     }
   }
 
+  /** Shared snapshot-commit tail for the merge-on-read verbs
+    * ([[deleteWhere]]/[[upsert]]): writes the manifest list (previous
+    * snapshot's rows carried verbatim ++ `newManifestRows`), deep-copies
+    * the previous metadata with the new snapshot appended, claims version
+    * `hint`+1 via IF-NOT-EXISTS, and updates the hint. A losing race
+    * deletes the list, runs the caller's `reclaimOnConflict` (its staged
+    * data/manifest artifacts), and throws
+    * [[OptimisticConcurrencyException]].
+    */
+  private def commitSnapshot(table: String, store: CommitStore,
+      meta: com.fasterxml.jackson.databind.JsonNode, hint: Long,
+      snapshotId: Long, seq: Long, schemaId: Int,
+      newManifestRows: Seq[org.apache.avro.generic.GenericRecord],
+      operation: String, summaryProps: Map[String, String],
+      reclaimOnConflict: () => Unit): Unit = {
+    val carried = currentManifestList(table, meta)
+      .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
+      .getOrElse(Nil)
+    val (listPath, _) =
+      writeAvroArtifact(table, store,
+        s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
+        IcebergAvro.writeManifestList(f, carried ++ newManifestRows,
+          snapshotId, seq); 0L
+      }
+    val now = System.currentTimeMillis()
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("last-sequence-number", seq).put("last-updated-ms", now)
+    val snapNode = newMeta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    snapNode.put("snapshot-id", snapshotId)
+      .put("sequence-number", seq)
+      .put("timestamp-ms", now)
+      .put("manifest-list", s"metadata/${listPath.getFileName}")
+      .put("schema-id", schemaId)
+    val sum = snapNode.putObject("summary")
+    sum.put("operation", operation)
+    summaryProps.foreach { case (k, v) => sum.put(k, v) }
+    newMeta.put("current-snapshot-id", snapshotId)
+    val refsNode =
+      if (newMeta.has("refs") && newMeta.get("refs").isObject)
+        newMeta.get("refs").asInstanceOf[ObjectNode]
+      else newMeta.putObject("refs")
+    refsNode.putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+    val newVersion = hint + 1
+    try
+      store.putIfAbsent(metaFile(table, newVersion),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: FileAlreadyExistsException =>
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(listPath)): Unit
+          case _ => Files.deleteIfExists(listPath): Unit
+        }
+        reclaimOnConflict()
+        throw new OptimisticConcurrencyException(newVersion)
+    }
+    store match {
+      case os: ObjectStore =>
+        os.putObject(hintFile(table),
+          newVersion.toString.getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        Files.writeString(hintFile(table), newVersion.toString): Unit
+    }
+  }
+
+  /** The current schema's JSON node (by current-schema-id) — the key
+    * metadata every new manifest carries.
+    */
+  private def currentSchemaJson(
+      meta: com.fasterxml.jackson.databind.JsonNode): (Int, String) = {
+    val schemaId = meta.get("current-schema-id").asInt()
+    (schemaId, meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId)
+      .map(_.toString).getOrElse(meta.get("schemas").get(0).toString))
+  }
+
   /** DELETE WHERE — V2 merge-on-read row-level deletes: writes POSITIONAL
     * delete files (parquet of spec columns `file_path` string /
     * 2147483546, `pos` long / 2147483545, sorted by both) for every
@@ -1404,72 +1481,30 @@ object IcebergSink {
     }
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val seq = meta.get("last-sequence-number").asLong() + 1
-    val schemaId = meta.get("current-schema-id").asInt()
-    val schemaJson = meta.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == schemaId)
-      .map(_.toString).getOrElse(meta.get("schemas").get(0).toString)
+    val (schemaId, schemaJson) = currentSchemaJson(meta)
     val (manifestPath, manifestLen) =
       writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
         IcebergAvro.writeManifest(f, infos, snapshotId, schemaJson,
           """{"spec-id":0,"fields":[]}""", Nil, content = 1))
-    val carried = currentManifestList(table, meta)
-      .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
-      .getOrElse(Nil)
     val delRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
       manifestLen, seq, snapshotId, infos.size, deletedRows, content = 1)
-    val (listPath, _) =
-      writeAvroArtifact(table, store, s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
-        IcebergAvro.writeManifestList(f, carried :+ delRow, snapshotId, seq); 0L
-      }
-    val now = System.currentTimeMillis()
-    val newMeta = meta.deepCopy[ObjectNode]()
-    newMeta.put("last-sequence-number", seq).put("last-updated-ms", now)
-    val snapNode = newMeta.get("snapshots")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
-    snapNode.put("snapshot-id", snapshotId)
-      .put("sequence-number", seq)
-      .put("timestamp-ms", now)
-      .put("manifest-list", s"metadata/${listPath.getFileName}")
-      .put("schema-id", schemaId)
-    snapNode.putObject("summary")
-      .put("operation", "delete")
-      .put("added-position-delete-files", infos.size.toString)
-      .put("added-position-deletes", deletedRows.toString)
-    newMeta.put("current-snapshot-id", snapshotId)
-    val refsNode =
-      if (newMeta.has("refs") && newMeta.get("refs").isObject)
-        newMeta.get("refs").asInstanceOf[ObjectNode]
-      else newMeta.putObject("refs")
-    refsNode.putObject("main")
-      .put("snapshot-id", snapshotId).put("type", "branch")
-    val newVersion = hint + 1
-    try
-      store.putIfAbsent(metaFile(table, newVersion),
-        newMeta.toString.getBytes(StandardCharsets.UTF_8))
-    catch {
-      case _: FileAlreadyExistsException =>
+    commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
+      Seq(delRow), "delete",
+      Map("added-position-delete-files" -> infos.size.toString,
+        "added-position-deletes" -> deletedRows.toString),
+      reclaimOnConflict = () => {
         objStore match {
           case Some(os) =>
             infos.foreach(i =>
               scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
-            scala.util.Try(os.deleteObject(manifestPath))
-            scala.util.Try(os.deleteObject(listPath))
+            scala.util.Try(os.deleteObject(manifestPath)): Unit
           case None =>
             parts2.foreach(_.delete())
-            Files.deleteIfExists(manifestPath)
-            Files.deleteIfExists(listPath)
+            Files.deleteIfExists(manifestPath): Unit
         }
         deleteTree(stageRoot)
-        throw new OptimisticConcurrencyException(newVersion)
-    }
-    store match {
-      case os: ObjectStore =>
-        os.putObject(hintFile(table),
-          newVersion.toString.getBytes(StandardCharsets.UTF_8))
-        deleteTree(stageRoot)
-      case _ =>
-        Files.writeString(hintFile(table), newVersion.toString): Unit
-    }
+      })
+    objStore.foreach(_ => deleteTree(stageRoot))
     deletedRows
   }
 
@@ -1592,10 +1627,7 @@ object IcebergSink {
     }
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val seq = meta.get("last-sequence-number").asLong() + 1
-    val schemaId = meta.get("current-schema-id").asInt()
-    val schemaJson = meta.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == schemaId)
-      .map(_.toString).getOrElse(meta.get("schemas").get(0).toString)
+    val (schemaId, schemaJson) = currentSchemaJson(meta)
     val emptySpec = """{"spec-id":0,"fields":[]}"""
     val (dataManifest, dataLen) =
       writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
@@ -1604,69 +1636,31 @@ object IcebergSink {
       writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
         IcebergAvro.writeManifest(f, delInfos, snapshotId, schemaJson, emptySpec,
           Nil, content = 2, equalityIds = eqIds))
-    val carried = currentManifestList(table, meta)
-      .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
-      .getOrElse(Nil)
     val newRows = Seq(
       IcebergAvro.manifestRow(dataManifest.toFile.getAbsolutePath, dataLen, seq,
         snapshotId, dataInfos.size, upserted),
       IcebergAvro.manifestRow(delManifest.toFile.getAbsolutePath, delLen, seq,
         snapshotId, delInfos.size, delInfos.map(_.recordCount).sum, content = 1))
-    val (listPath, _) =
-      writeAvroArtifact(table, store, s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
-        IcebergAvro.writeManifestList(f, carried ++ newRows, snapshotId, seq); 0L
-      }
-    val now = System.currentTimeMillis()
-    val newMeta = meta.deepCopy[ObjectNode]()
-    newMeta.put("last-sequence-number", seq).put("last-updated-ms", now)
-    val snapNode = newMeta.get("snapshots")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
-    snapNode.put("snapshot-id", snapshotId)
-      .put("sequence-number", seq)
-      .put("timestamp-ms", now)
-      .put("manifest-list", s"metadata/${listPath.getFileName}")
-      .put("schema-id", schemaId)
-    val upSummary = snapNode.putObject("summary")
-    upSummary.put("operation", "overwrite")
-      .put("added-records", upserted.toString)
-      .put("added-equality-delete-files", delInfos.size.toString)
-    summaryProps.foreach { case (k, v) => upSummary.put(k, v) }
-    newMeta.put("current-snapshot-id", snapshotId)
-    val refsNode =
-      if (newMeta.has("refs") && newMeta.get("refs").isObject)
-        newMeta.get("refs").asInstanceOf[ObjectNode]
-      else newMeta.putObject("refs")
-    refsNode.putObject("main")
-      .put("snapshot-id", snapshotId).put("type", "branch")
-    val newVersion = hint + 1
-    try
-      store.putIfAbsent(metaFile(table, newVersion),
-        newMeta.toString.getBytes(StandardCharsets.UTF_8))
-    catch {
-      case _: FileAlreadyExistsException =>
+    commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
+      newRows, "overwrite",
+      Map("added-records" -> upserted.toString,
+        "added-equality-delete-files" -> delInfos.size.toString) ++ summaryProps,
+      reclaimOnConflict = () => {
         objStore match {
           case Some(os) =>
             (dataInfos ++ delInfos).foreach(i =>
               scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
             scala.util.Try(os.deleteObject(dataManifest))
-            scala.util.Try(os.deleteObject(delManifest))
-            scala.util.Try(os.deleteObject(listPath))
+            scala.util.Try(os.deleteObject(delManifest)): Unit
           case None =>
             (dataParts ++ delParts).foreach(_.delete())
             Files.deleteIfExists(dataManifest)
-            Files.deleteIfExists(delManifest)
-            Files.deleteIfExists(listPath)
+            Files.deleteIfExists(delManifest): Unit
         }
         deleteTree(new File(dataStage)); deleteTree(new File(delStage))
-        throw new OptimisticConcurrencyException(newVersion)
-    }
-    store match {
-      case os: ObjectStore =>
-        os.putObject(hintFile(table),
-          newVersion.toString.getBytes(StandardCharsets.UTF_8))
-        deleteTree(new File(dataStage)); deleteTree(new File(delStage))
-      case _ =>
-        Files.writeString(hintFile(table), newVersion.toString): Unit
+      })
+    objStore.foreach { _ =>
+      deleteTree(new File(dataStage)); deleteTree(new File(delStage))
     }
     upserted
   }
