@@ -593,6 +593,38 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Iceberg deleteWhere + upsert travel the store protocol end-to-end (r12)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("ib-mor").toString
+      IcebergSink.write(
+        (1L to 30L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+        table, IcebergSink.CreateExclusive, store = client)
+      val putsAfterCreate = server.conditionalPuts.get()
+      // positional delete: delete parquet + manifest + list all travel the
+      // store; the metadata version claims via ONE conditional put
+      val n = IcebergSink.deleteWhere(spark, table, "id % 3 = 0", store = client)
+      assert(n == 10L)
+      assert(server.conditionalPuts.get() == putsAfterCreate + 1)
+      assert(IcebergSink.read(spark, table).count() == 20)
+      // equality-delete upsert: data + delete files + two manifests + list
+      val up = IcebergSink.upsert(spark, table,
+        Seq((1L, "u1", 100.0), (31L, "i31", 31.0)).toDF("id", "name", "v"),
+        Seq("id"), store = client)
+      assert(up == 2L)
+      assert(server.conditionalPuts.get() == putsAfterCreate + 2)
+      val back = IcebergSink.read(spark, table)
+      assert(back.count() == 21)
+      assert(back.filter(col("id") === 1L).head().getDouble(2) == 100.0)
+      assert(back.filter(col("id") === 31L).count() == 1)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   test("Delta checkpoint + vacuum travel the store protocol too (r9)") {
     val s = spark
     import s.implicits._
