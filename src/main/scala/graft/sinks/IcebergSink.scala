@@ -335,7 +335,7 @@ object IcebergSink {
     }
   }
 
-  def write(df: DataFrame, table: String, mode: WriteMode,
+  def write(df0: DataFrame, table: String, mode: WriteMode,
       store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
       summaryProps: Map[String, String] = Map.empty,
@@ -346,6 +346,26 @@ object IcebergSink {
         "Table exists. Pass the overwrite flag to overwrite data")
 
     val previous = hint.map(v => mapper.readTree(Files.readString(metaFile(table, v))))
+    // Existing columns keep the STORED schema's names: the positional gate
+    // never compares names, so a gate-passing append may arrive with
+    // divergent column names — writing its data files under those names
+    // would leave a table whose files resolve by DIFFERENT names than the
+    // declared schema (the parquet reader matches by name → silent NULLs).
+    // Appends therefore align to the stored names positionally; an
+    // overwrite re-declares the schema and keeps the frame's own names.
+    val storedSchema: Option[StructType] = previous.map { prev =>
+      DataType.fromJson(
+        prev.get("properties").get("graft.spark-schema").asText())
+        .asInstanceOf[StructType]
+    }
+    val df: DataFrame = storedSchema match {
+      case Some(st) if mode == Append &&
+          df0.columns.length >= st.fieldNames.length =>
+        val names = st.fieldNames ++ df0.columns.drop(st.fieldNames.length)
+        if (df0.columns.sameElements(names)) df0
+        else df0.toDF(names.toIndexedSeq: _*)
+      case _ => df0
+    }
     previous.foreach { prev =>
       val existingSchema = DataType.fromJson(
         prev.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
@@ -366,19 +386,22 @@ object IcebergSink {
           existingSchema)
       }
     }
-    // The DECLARED table schema widens an evolving append's added tail to
-    // nullable regardless of the frame's own nullability: old data files
-    // have no value for the new columns, so every reader must surface
-    // NULL for them — storing them required would let a reader prune
-    // IS NOT NULL over rows that are, in fact, null.
-    val declaredSchema: StructType = previous match {
-      case Some(prev) if evolveSchema =>
-        val n = DataType.fromJson(
-          prev.get("properties").get("graft.spark-schema").asText())
-          .asInstanceOf[StructType].fields.length
-        StructType(df.schema.fields.zipWithIndex.map {
-          case (f, i) => if (i >= n) f.copy(nullable = true) else f
-        })
+    // The DECLARED table schema: a non-evolve append reuses the STORED
+    // schema VERBATIM (the gate passed positionally, and re-declaring
+    // from the frame would tighten nullable columns back to required —
+    // toDF-literal frames are non-nullable — re-introducing the
+    // IS-NOT-NULL mis-pruning hazard over old files, and would mutate
+    // this schema-id's content in place against the spec's
+    // schemas-are-immutable-per-id rule). An evolving append keeps the
+    // stored prefix verbatim and widens the added tail to nullable
+    // regardless of the frame's own nullability: old data files have no
+    // value for the new columns, so every reader must surface NULL for
+    // them. Only an overwrite re-declares from the frame.
+    val declaredSchema: StructType = storedSchema match {
+      case Some(st) if evolveSchema =>
+        StructType(st.fields ++
+          df.schema.fields.drop(st.fields.length).map(_.copy(nullable = true)))
+      case Some(st) if mode == Append => st
       case _ => df.schema
     }
     // Partition-spec continuity: an append/overwrite onto an existing table
@@ -543,14 +566,16 @@ object IcebergSink {
     Files.createDirectories(metaDir(table))
 
     // Iceberg-shaped field list: shared between the metadata JSON and the
-    // manifest's key metadata. An evolving append that actually changed
-    // the schema mints the NEXT schema-id and retains the previous
-    // schemas in the metadata (spec §schemas); every other write keeps
-    // the previous id (or 0 for a fresh/overwritten table).
+    // manifest's key metadata. ANY write whose declared schema differs
+    // from the stored one (an evolving append, or an overwrite
+    // re-declaring nullability/names) mints the NEXT schema-id and
+    // retains the previous schemas in the metadata (spec §schemas) —
+    // schema-ids are immutable-per-id, never edited in place. A
+    // non-evolve append reuses the stored schema verbatim, so it keeps
+    // the previous id by construction (or 0 for a fresh table).
     val prevSchemaId = previous.map(_.get("current-schema-id").asInt()).getOrElse(0)
-    val schemaEvolved = evolveSchema && previous.exists(
-      _.get("properties").get("graft.spark-schema").asText() != declaredSchema.json)
-    val schemaId = if (schemaEvolved) prevSchemaId + 1 else prevSchemaId
+    val schemaChanged = storedSchema.exists(_.json != declaredSchema.json)
+    val schemaId = if (schemaChanged) prevSchemaId + 1 else prevSchemaId
     val schemaNode = mapper.createObjectNode()
     schemaNode.put("type", "struct").put("schema-id", schemaId)
     val fields = schemaNode.putArray("fields")
@@ -819,9 +844,14 @@ object IcebergSink {
       batchId: Long, keys: Seq[String],
       store: CommitStore = CommitStore.Local): Long = {
     if (batchId <= lastTxnBatch(table, appId)) return -1L
-    upsert(df.sparkSession, table, df, keys, store,
+    val upserted = upsert(df.sparkSession, table, df, keys, store,
       summaryProps = Map(TxnAppKey -> appId, TxnBatchKey -> batchId.toString))
-    snapshots(table).last._2
+    // An empty (or all-empty-part) source commits NOTHING — upsert()
+    // returns 0 without a snapshot, so the (appId, batchId) watermark did
+    // not advance. Return 0 (sequence numbers start at 1) rather than the
+    // PREVIOUS snapshot's sequence, so a caller can't mistake a no-op for
+    // a commit.
+    if (upserted == 0L) 0L else snapshots(table).last._2
   }
 
   /** Reads the table at its current version (hint → metadata → current
@@ -1084,18 +1114,37 @@ object IcebergSink {
       dataEntries: Seq[(String, Map[String, Any], Long)],
       deletes: Seq[DeleteRef],
       keepLineage: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+      lit, raise_error, regexp_replace}
     if (deletes.isEmpty && !keepLineage)
       return readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)))
     val data = readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)),
       withLineage = true)
     import spark.implicits._
-    val lookup = dataEntries.map(e => (normPath(e._1), e._1, e._3))
-      .toDF("_gf_key", "_gf_mpath", "_gf_seq")
+    // The reader's `_metadata.file_path` is a Hadoop-rendered URI, which
+    // percent-encodes characters such as a space or '%' in the table
+    // path, while manifest paths store the raw File path — so the lookup
+    // carries BOTH renderings of each path (deduped when identical), and
+    // the join is a LEFT join guarded by a plan-riding raise_error: a
+    // normalization mismatch must fail loudly, never silently DROP data
+    // rows from a merged read.
+    val lookup = dataEntries.flatMap { e =>
+      val raw = normPath(e._1)
+      val enc = normPath(new java.io.File(e._1).toURI.toString)
+      Seq(raw, enc).distinct.map(k => (k, e._1, e._3))
+    }.toDF("_gf_key", "_gf_mpath", "_gf_seq")
     val keyed = data
       .withColumn("_gf_key",
         regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
-      .join(broadcast(lookup), "_gf_key")
+      .join(broadcast(lookup), Seq("_gf_key"), "left")
+      .withColumn("_gf_seq", coalesce(col("_gf_seq"),
+        raise_error(concat(
+          lit("merge-on-read: data row from unmapped file "), col("_gf_uri")))))
+      // canonical key for delete application: the manifest's RAW path
+      // (what deleteWhere writes into positional delete files), so the
+      // (file, pos) anti-join never compares an encoded URI to a raw path
+      .withColumn("_gf_dkey",
+        regexp_replace(col("_gf_mpath"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
     val positional = deletes.filter(_.content == 1)
     val afterPos =
       if (positional.isEmpty) keyed
@@ -1111,7 +1160,7 @@ object IcebergSink {
               lit(d.seq).as("_gfd_seq"))
         }.reduce(_.unionAll(_))
         keyed.join(delDf,
-          col("_gf_key") === col("_gfd_key") &&
+          col("_gf_dkey") === col("_gfd_key") &&
             col("_gf_pos") === col("_gfd_pos") &&
             col("_gfd_seq") >= col("_gf_seq"),
           "left_anti")
@@ -1577,34 +1626,24 @@ object IcebergSink {
         k -> new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", id.toLong).build()
       }.toMap
+      // written with the same per-file discipline as data files (NOT
+      // coalesce(1)): a CDC micro-batch still lands one small file, while
+      // a giant backfill upsert fans its key rows across tasks instead of
+      // funneling every key through one. The read side union-reads all
+      // delete files of a snapshot, so file count is free.
       spark.read.schema(StructType(schema.fields.filter(f => keys.contains(f.name))))
         .parquet(dataStage)
         .select(keys.map(k => col(k).as(k, keyMeta(k))): _*)
-        .coalesce(1)
-        .write.option("compression", "snappy").parquet(delStage)
+        .write.option("compression", "snappy")
+        .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+        .parquet(delStage)
     } catch { case e: Throwable =>
       deleteTree(new File(dataStage)); deleteTree(new File(delStage))
       throw e
     }
-    def partsOf(stage: String): Seq[File] = {
-      new File(s"$stage/_SUCCESS").delete()
-      Option(new File(stage).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getAbsolutePath)
-    }
     val conf = spark.sessionState.newHadoopConf()
-    def infosOf(stage: String, rel: String): (Seq[File], Seq[IcebergAvro.DataFileInfo]) = {
-      val (kept, empties) = partsOf(stage).map { f =>
-        val (rows, _) = footerStats(f, conf, Map.empty)
-        val target = objStore match {
-          case Some(_) => new File(s"$table/$rel", f.getName).getAbsolutePath
-          case None => f.getAbsolutePath
-        }
-        (f, IcebergAvro.DataFileInfo(target, f.length(), rows))
-      }.partition(_._2.recordCount > 0)
-      empties.foreach(_._1.delete())
-      (kept.map(_._1), kept.map(_._2))
-    }
+    def infosOf(stage: String, rel: String): (Seq[File], Seq[IcebergAvro.DataFileInfo]) =
+      stagedInfos(stage, rel, table, objStore, conf)
     val (dataParts, dataInfos) = infosOf(dataStage, dataRel)
     val (delParts, delInfos) = infosOf(delStage, delRel)
     val upserted = dataInfos.map(_.recordCount).sum
@@ -1663,6 +1702,144 @@ object IcebergSink {
       deleteTree(new File(dataStage)); deleteTree(new File(delStage))
     }
     upserted
+  }
+
+  /** Spark's staged part files under `stage` (dropping _SUCCESS and
+    * zero-row parts, which are deleted immediately), with their
+    * DataFileInfo targeting the table path (store writes publish under
+    * `table/rel`; local writes keep the staged path). Shared by
+    * [[upsert]] and [[deleteKeys]].
+    */
+  private def stagedInfos(stage: String, rel: String, table: String,
+      objStore: Option[ObjectStore],
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Seq[File], Seq[IcebergAvro.DataFileInfo]) = {
+    new File(s"$stage/_SUCCESS").delete()
+    val parts = Option(new File(stage).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getAbsolutePath)
+    val (kept, empties) = parts.map { f =>
+      val (rows, _) = footerStats(f, conf, Map.empty)
+      val target = objStore match {
+        case Some(_) => new File(s"$table/$rel", f.getName).getAbsolutePath
+        case None => f.getAbsolutePath
+      }
+      (f, IcebergAvro.DataFileInfo(target, f.length(), rows))
+    }.partition(_._2.recordCount > 0)
+    empties.foreach(_._1.delete())
+    (kept.map(_._1), kept.map(_._2))
+  }
+
+  /** Equality-delete-ONLY snapshot — the CDC DELETE verb (the Flink-CDC
+    * shape [[upsert]]'s doc describes, minus the replacement rows):
+    * erases every row whose key tuple appears in `keys`, without reading
+    * or rewriting ANY data file (merge-on-read; cost ∝ the key batch,
+    * never the table). One atomic snapshot. Returns the number of
+    * distinct key rows committed (0 = empty source, nothing committed).
+    * [[readChangelog]] classifies the erased rows as `delete` (their
+    * keys have no replacement row in the snapshot).
+    */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+      keyCols: Seq[String], store: CommitStore = CommitStore.Local): Long =
+    deleteKeyGroups(spark, table, Seq((keys, keyCols)), store)
+
+  /** Multi-group form of [[deleteKeys]]: one snapshot carrying one
+    * equality-delete file PER key-column set — the mixed-equality-id
+    * snapshot an external CDC writer with evolving keys produces, which
+    * the read and changelog paths classify per group.
+    */
+  private[graft] def deleteKeyGroups(spark: SparkSession, table: String,
+      groups: Seq[(DataFrame, Seq[String])],
+      store: CommitStore = CommitStore.Local): Long = {
+    import org.apache.spark.sql.functions.col
+    require(groups.nonEmpty, "deleteKeys requires at least one key group")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
+    val objStore: Option[ObjectStore] =
+      store match { case os: ObjectStore => Some(os); case _ => None }
+    def deleteTree(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(): Unit
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    // stage one parquet key file set per group, stamped with the table's
+    // field ids per the spec (readers resolve equality_ids against them)
+    val staged = groups.map { case (keys, keyCols) =>
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"no such key column: $k"))
+      val eqIds = keyCols.map(k => schema.fieldNames.indexOf(k) + 1)
+      val keyMeta = keyCols.zip(eqIds).map { case (k, id) =>
+        k -> new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build()
+      }.toMap
+      val rel = s"data/delete-keys-${java.util.UUID.randomUUID()}"
+      val stage = objStore
+        .map(_ => Files.createTempDirectory("graft-ib-dk").resolve("out").toString)
+        .getOrElse(s"$table/$rel")
+      keys.select(keyCols.map(k => col(k).cast(schema(k).dataType)
+          .as(k, keyMeta(k))): _*)
+        .distinct()
+        .write.option("compression", "snappy")
+        .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+        .parquet(stage)
+      val (parts, infos) = stagedInfos(stage, rel, table, objStore, conf)
+      (eqIds, rel, stage, parts, infos)
+    }
+    val total = staged.flatMap(_._5).map(_.recordCount).sum
+    if (total == 0L) {
+      staged.foreach(s => deleteTree(new File(s._3)))
+      return 0L
+    }
+    // publish staged files through the store (whole-write abort on failure)
+    objStore.foreach { os =>
+      val published = scala.collection.mutable.ArrayBuffer[String]()
+      try staged.foreach { case (_, rel, _, parts, _) =>
+        parts.foreach { f =>
+          val target = new File(s"$table/$rel", f.getName).getAbsolutePath
+          os.putObject(Paths.get(target), Files.readAllBytes(f.toPath))
+          published += target
+        }
+      } catch { case e: Throwable =>
+        published.foreach(p => scala.util.Try(os.deleteObject(Paths.get(p))))
+        staged.foreach(s => deleteTree(new File(s._3)))
+        throw e
+      }
+    }
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val (schemaId, schemaJson) = currentSchemaJson(meta)
+    val emptySpec = """{"spec-id":0,"fields":[]}"""
+    val manifests = staged.filter(_._5.nonEmpty).map {
+      case (eqIds, _, _, _, infos) =>
+        val (path, len) = writeAvroArtifact(table, store,
+          s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+          IcebergAvro.writeManifest(f, infos, snapshotId, schemaJson, emptySpec,
+            Nil, content = 2, equalityIds = eqIds))
+        (path, IcebergAvro.manifestRow(path.toFile.getAbsolutePath, len, seq,
+          snapshotId, infos.size, infos.map(_.recordCount).sum, content = 1))
+    }
+    commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
+      manifests.map(_._2), "delete",
+      Map("deleted-key-rows" -> total.toString,
+        "added-equality-delete-files" ->
+          staged.map(_._5.size).sum.toString),
+      reclaimOnConflict = () => {
+        objStore match {
+          case Some(os) =>
+            staged.flatMap(_._5).foreach(i =>
+              scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+            manifests.foreach(m => scala.util.Try(os.deleteObject(m._1))): Unit
+          case None =>
+            staged.flatMap(_._4).foreach(_.delete())
+            manifests.foreach(m => Files.deleteIfExists(m._1)): Unit
+        }
+        staged.foreach(s => deleteTree(new File(s._3)))
+      })
+    objStore.foreach(_ => staged.foreach(s => deleteTree(new File(s._3))))
+    total
   }
 
   /** CHANGELOG scan — the Iceberg twin of [[DeltaSink.readCdf]]: the
@@ -1744,48 +1921,81 @@ object IcebergSink {
               .select(schema.fieldNames.map(col): _*))
           }
         }
-        val eqGroups = delAdded.filter(_.content == 2).groupBy(_.equalityIds).toSeq
-        val eqImages: Option[(DataFrame, Seq[String])] =
-          if (eqGroups.isEmpty) None
-          else {
-            require(eqGroups.size == 1,
-              "changelog over mixed equality-id delete sets in one snapshot " +
-                "is not supported")
-            val (eqIds, ds) = eqGroups.head
+        // Equality deletes classify PER GROUP of distinct equality-id
+        // sets: a Flink-CDC-shaped writer with evolving keys can land two
+        // delete files with DIFFERENT key sets in one snapshot. Pre-images
+        // split off the previous state by first-match-wins over the groups
+        // (deterministic order), so a row erased by two groups — say an
+        // (id) delete and an (id, src) delete hitting the same row —
+        // images exactly ONCE; the same split classifies new rows.
+        val eqGroups = delAdded.filter(_.content == 2).groupBy(_.equalityIds)
+          .toSeq.sortBy(_._1.mkString(","))
+        val eqInfo: Seq[(DataFrame, Seq[String])] = eqGroups.map {
+          case (eqIds, ds) =>
             val keyNames = eqIds.map(id => schema.fields(id - 1).name)
             val keySchema = StructType(
               schema.fields.filter(f => keyNames.contains(f.name)))
-            val keys = ds.map(d => spark.read.schema(keySchema).parquet(d.path))
+            val keysDf = ds.map(d => spark.read.schema(keySchema).parquet(d.path))
               .reduce(_.unionAll(_))
+            (keysDf, keyNames)
+        }
+        val classified: Seq[DataFrame] =
+          if (eqInfo.nonEmpty) {
             val prevState = readMerged(spark, schema, prev.data, prev.deletes)
-            val joined = prevState.join(broadcast(keys.select(
-              keyNames.map(k => col(k).as(s"_gfe_$k")): _*)),
-              keyNames.map(k => prevState(k) <=> col(s"_gfe_$k")).reduce(_ && _),
-              "left_semi")
-            Some((joined, keyNames))
-          }
-        val classified: Seq[DataFrame] = eqImages match {
-          case Some((images, keyNames)) =>
-            // an upsert snapshot: images are pre-images; the new rows split
-            // on whether their key had one
-            val imageKeys = images
-              .select(keyNames.map(k => col(k).as(s"_gfk_$k")): _*).distinct()
-            val newSplit = newRows.toSeq.flatMap { nr =>
-              val cond = keyNames.map(k => nr(k) <=> col(s"_gfk_$k")).reduce(_ && _)
-              Seq(
-                nr.join(broadcast(imageKeys), cond, "left_semi")
-                  .withColumn(ct, lit("update_postimage")),
-                nr.join(broadcast(imageKeys), cond, "left_anti")
-                  .withColumn(ct, lit("insert")))
+            var rem = prevState
+            val images = eqInfo.map { case (keysDf, keyNames) =>
+              val keyed = broadcast(keysDf.select(
+                keyNames.map(k => col(k).as(s"_gfe_$k")): _*))
+              val cond = keyNames.map(k => rem(k) <=> col(s"_gfe_$k"))
+                .reduce(_ && _)
+              val matched = rem.join(keyed, cond, "left_semi")
+              rem = rem.join(keyed, cond, "left_anti")
+              matched
             }
-            images.withColumn(ct, lit("update_preimage")) +: newSplit
-          case None =>
+            // new rows: update_postimage when their key-tuple had a
+            // pre-image under ANY group's key set (first match wins),
+            // insert otherwise
+            val newSplit = newRows.toSeq.flatMap { nr =>
+              var leftover = nr
+              val posts = eqInfo.zip(images).map { case ((_, keyNames), img) =>
+                val imageKeys = img.select(
+                  keyNames.map(k => col(k).as(s"_gfk_$k")): _*).distinct()
+                val cond = keyNames.map(k => leftover(k) <=> col(s"_gfk_$k"))
+                  .reduce(_ && _)
+                val matched = leftover.join(broadcast(imageKeys), cond, "left_semi")
+                leftover = leftover.join(broadcast(imageKeys), cond, "left_anti")
+                matched
+              }
+              posts.map(_.withColumn(ct, lit("update_postimage"))) :+
+                leftover.withColumn(ct, lit("insert"))
+            }
+            // an erased row whose key has a replacement in THIS snapshot
+            // is an update pre-image; one without (a delete-only equality
+            // snapshot, e.g. [[deleteKeys]]) is a plain delete
+            val imageFrames = eqInfo.zip(images).flatMap {
+              case ((_, keyNames), img) =>
+                newRows match {
+                  case Some(nr) =>
+                    val nk = broadcast(nr.select(
+                      keyNames.map(k => col(k).as(s"_gfn_$k")): _*).distinct())
+                    val cond = keyNames.map(k => img(k) <=> col(s"_gfn_$k"))
+                      .reduce(_ && _)
+                    Seq(
+                      img.join(nk, cond, "left_semi")
+                        .withColumn(ct, lit("update_preimage")),
+                      img.join(nk, cond, "left_anti")
+                        .withColumn(ct, lit("delete")))
+                  case None => Seq(img.withColumn(ct, lit("delete")))
+                }
+            }
+            imageFrames ++ newSplit
+          } else {
             newRows.map(_.withColumn(ct, lit("insert"))).toSeq ++
               posImages.map(_.withColumn(ct, lit("delete"))).toSeq
-        }
+          }
         // a positional delete inside an upsert snapshot would classify as
         // plain deletes too
-        val posExtra = if (eqImages.isDefined)
+        val posExtra = if (eqInfo.nonEmpty)
           posImages.map(_.withColumn(ct, lit("delete"))).toSeq else Nil
         (classified ++ posExtra)
           .map(_.withColumn("_commit_snapshot_id", lit(curId)))

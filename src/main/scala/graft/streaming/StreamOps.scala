@@ -204,6 +204,17 @@ object StreamOps {
   def streamUpsertToIceberg(stream: DataFrame, table: String, appId: String,
       keys: Seq[String], orderCols: Seq[String],
       checkpoint: Option[String] = None): StreamingQuery = {
+    // Fail at WIRING time, not inside micro-batch N: an empty orderCols
+    // yields an unordered row_number() window (AnalysisException every
+    // batch), and a non-total order produces duplicate 'latest' rows that
+    // then abort the batch in upsert's dup-key guard with a confusing
+    // error. The caller must make the per-key order total — include a
+    // unique tiebreak column (e.g. an event id) as the last entry.
+    require(orderCols.nonEmpty,
+      "streamUpsertToIceberg requires at least one order column " +
+        "(lexicographic, latest wins; include a unique tiebreak so the " +
+        "per-key order is total)")
+    require(keys.nonEmpty, "streamUpsertToIceberg requires key columns")
     val writer = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

@@ -1572,4 +1572,168 @@ class SinkSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(0))
     assert(rows.toSeq == (1L to 50L).toSeq)
   }
+
+  test("Iceberg upsert into a PARTITIONED table: pruned reads see the merged state (r13)") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00")
+    val table = tmp()
+    IcebergSink.write(
+      Seq((1L, ts(1), 10.0), (2L, ts(1), 20.0), (3L, ts(2), 30.0))
+        .toDF("id", "ts", "v"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("day(ts)"))
+    // update id=3 (day 2) and insert id=4 on day 2; the upsert's files land
+    // UNPARTITIONED — the documented contract is that partition-pruned
+    // readers KEEP files without partition values and the exact re-filter
+    // settles membership
+    IcebergSink.upsert(spark, table,
+      Seq((3L, ts(2), 300.0), (4L, ts(2), 40.0)).toDF("id", "ts", "v"), Seq("id"))
+    val d2 = java.time.LocalDate.of(2024, 3, 2)
+    val (day2, _, _) = IcebergSink.readDays(spark, table, "ts", d2, d2.plusDays(1))
+    assert(day2.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((3L, 300.0), (4L, 40.0)),
+      "a day-pruned read must apply the upsert's equality deletes")
+    val d1 = java.time.LocalDate.of(2024, 3, 1)
+    val (day1, _, _) = IcebergSink.readDays(spark, table, "ts", d1, d1.plusDays(1))
+    assert(day1.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "day-1 rows are untouched and day-2 rows must not leak in")
+    assert(IcebergSink.read(spark, table).count() == 4)
+    // bucket-partitioned point read through an upsert
+    val tableB = tmp()
+    IcebergSink.write((1L to 40L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      tableB, IcebergSink.CreateExclusive, partitionBy = Seq("bucket(4, id)"))
+    IcebergSink.upsert(spark, tableB,
+      Seq((7L, 700.0)).toDF("id", "v"), Seq("id"))
+    val (probe, _, _) = IcebergSink.readBucket(spark, tableB, "id", 7L)
+    assert(probe.collect().map(_.getDouble(1)).toSeq == Seq(700.0),
+      "a bucket-pruned point read must surface the upserted row, not the stale one")
+  }
+
+  test("Iceberg deleteKeys: equality-delete-only CDC snapshot (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      (1L to 10L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+      table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    val n = IcebergSink.deleteKeys(spark, table,
+      Seq(Tuple1(3L), Tuple1(7L)).toDF("id"), Seq("id"))
+    assert(n == 2L)
+    assert(IcebergSink.snapshots(table).length == 2, "deleteKeys is ONE atomic snapshot")
+    // no data file was read or rewritten: the original data files are intact
+    assert(IcebergSink.read(spark, table).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L, 10L))
+    assert(IcebergSink.read(spark, table, Some(s0)).count() == 10, "snapshot isolation")
+    // empty source commits nothing and returns 0
+    val snaps = IcebergSink.snapshots(table).length
+    assert(IcebergSink.deleteKeys(spark, table,
+      Seq.empty[Tuple1[Long]].toDF("id"), Seq("id")) == 0L)
+    assert(IcebergSink.snapshots(table).length == snaps)
+    // deleting keys that no longer exist is a read-level no-op
+    IcebergSink.deleteKeys(spark, table, Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    assert(IcebergSink.read(spark, table).count() == 8)
+    // the changelog classifies erased rows as DELETE (no replacement row)
+    val feed = IcebergSink.readChangelog(spark, table, s0)
+      .filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(feed == Set(3L, 7L), s"got $feed")
+  }
+
+  test("Iceberg mixed equality-id delete sets in ONE snapshot: per-group reads + changelog (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+        .toDF("id", "name", "v"),
+      table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    // one snapshot, TWO equality-id groups: (id) deletes id=1; (name)
+    // deletes name="a" (the SAME row — must image once) and name="d"
+    val n = IcebergSink.deleteKeyGroups(spark, table, Seq(
+      (Seq(Tuple1(1L)).toDF("id"), Seq("id")),
+      (Seq(Tuple1("a"), Tuple1("d")).toDF("name"), Seq("name"))))
+    assert(n == 3L)
+    assert(IcebergSink.snapshots(table).length == 2)
+    assert(IcebergSink.read(spark, table).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L))
+    val feed = IcebergSink.readChangelog(spark, table, s0).collect()
+    assert(feed.forall(_.getString(3) == "delete"))
+    assert(feed.map(_.getLong(0)).toSet == Set(1L, 4L),
+      "a row erased by two groups must image exactly once; got " +
+        feed.map(r => (r.getLong(0), r.getString(3))).mkString(","))
+    assert(feed.length == 2)
+  }
+
+  test("Iceberg plain append preserves the stored schema verbatim (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(sampleDf, table, IcebergSink.CreateExclusive)
+    IcebergSink.evolve(Seq((4L, "d", 4.5, 0.9)).toDF("id", "name", "v", "score"), table)
+    // a plain append whose frame declares the evolved tail NON-nullable
+    // (toDF literals are non-nullable) must NOT flip schemas[1].score back
+    // to required, and must NOT mutate schema-id 1's content in place
+    IcebergSink.writeWithRetry(
+      Seq((5L, "e", 5.5, 0.5)).toDF("id", "name", "v", "score"),
+      table, IcebergSink.Append)
+    def meta() = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(table, "metadata",
+        s"v${Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim}.metadata.json")))
+    val m1 = meta()
+    assert(m1.get("current-schema-id").asInt() == 1, "plain append keeps the schema-id")
+    val sc1 = m1.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == 1).get
+    assert(!sc1.get("fields").elements().asScala
+      .find(_.get("name").asText() == "score").get.get("required").asBoolean(),
+      "append must not tighten the evolved tail back to required")
+    assert(!org.apache.spark.sql.types.DataType.fromJson(
+      m1.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("score").nullable == false,
+      "graft.spark-schema must keep the stored nullability")
+    // a gate-passing append under DIFFERENT column names keeps the stored
+    // names — and its data files are written under them, so they read back
+    IcebergSink.writeWithRetry(
+      Seq((6L, "f", 6.5, 0.7)).toDF("pk", "label", "value", "extra"),
+      table, IcebergSink.Append)
+    val m2 = meta()
+    assert(m2.get("current-schema-id").asInt() == 1)
+    assert(org.apache.spark.sql.types.DataType.fromJson(
+      m2.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("id", "name", "v", "score"))
+    val back = IcebergSink.read(spark, table).orderBy("id").collect()
+    assert(back.length == 6)
+    assert(back.last.getLong(0) == 6L && back.last.getString(1) == "f" &&
+      back.last.getDouble(3) == 0.7,
+      "renamed-frame rows must read back under the stored names, never as NULLs")
+    // an OVERWRITE re-declaring the schema mints the NEXT schema-id
+    // rather than mutating the current one in place
+    IcebergSink.write(Seq((9L, "z", 9.9, 0.1)).toDF("id", "name", "v", "score"),
+      table, IcebergSink.Overwrite)
+    val m3 = meta()
+    assert(m3.get("current-schema-id").asInt() == 2,
+      s"overwrite with a tightened schema must mint a new id, got ${m3.get("current-schema-id")}")
+    assert(m3.get("schemas").size() == 3, "previous schemas stay retained")
+  }
+
+  test("Iceberg upsertExactlyOnce: an empty batch is a visible no-op, not a commit (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      Seq((1L, 1.0)).toDF("id", "v"), table, IcebergSink.CreateExclusive)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(IcebergSink.upsertExactlyOnce(empty, table, "app", 1L, Seq("id")) == 0L,
+      "an empty batch must not report the PREVIOUS snapshot's sequence")
+    // the watermark did not advance: the same batchId re-applies with data
+    val seq = IcebergSink.upsertExactlyOnce(
+      Seq((2L, 2.0)).toDF("id", "v"), table, "app", 1L, Seq("id"))
+    assert(seq == 2L, s"retry of a no-op batch must commit, got $seq")
+    assert(IcebergSink.read(spark, table).count() == 2)
+    // a genuinely applied batch replays as -1
+    assert(IcebergSink.upsertExactlyOnce(
+      Seq((2L, 2.0)).toDF("id", "v"), table, "app", 1L, Seq("id")) == -1L)
+  }
 }

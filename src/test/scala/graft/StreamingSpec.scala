@@ -210,6 +210,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamUpsertToIceberg rejects empty orderCols at wiring time (r13 advice)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.streamUpsertToIceberg(
+        input.toDF(), "/nonexistent", appId = "x",
+        keys = Seq("event_id"), orderCols = Nil)
+    }
+    assert(e.getMessage.contains("order column"))
+  }
+
   test("streamUpsertToIceberg: latest-per-key per batch, one atomic snapshot each, exactly-once (r12)") {
     val spark = TestSpark.spark
     import spark.implicits._
