@@ -173,6 +173,18 @@ object Cli {
         sinks.IcebergSink.evolve(spark.read.parquet(pos(0)), pos(1),
           partitionBy = partitionBy)
         println("evolved and appended")
+      case "drop-column-iceberg" =>
+        // drop-column-iceberg <table> <column> — metadata-only evolution
+        sinks.IcebergSink.evolveDrop(pos(0), pos(1))
+        println(s"dropped ${pos(1)}")
+      case "rename-column-iceberg" =>
+        // rename-column-iceberg <table> <from> <to> — metadata-only
+        sinks.IcebergSink.evolveRename(pos(0), pos(1), pos(2))
+        println(s"renamed ${pos(1)} to ${pos(2)}")
+      case "widen-column-iceberg" =>
+        // widen-column-iceberg <table> <column> — int→long / float→double
+        sinks.IcebergSink.evolveWiden(pos(0), pos(1))
+        println(s"widened ${pos(1)}")
       case "restore-delta" =>
         // restore-delta <table> <version> — metadata-only undo
         val (re, rm) = sinks.DeltaSink.restore(spark, pos(0), pos(1).toLong)

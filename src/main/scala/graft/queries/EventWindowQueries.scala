@@ -1573,6 +1573,60 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_evolve2",
+      // FULL SCHEMA-EVOLUTION SURFACE under the oracle (r13 — VERDICT r12
+      // item 3): rename, type-widen, and drop, all METADATA-ONLY (no data
+      // file read or rewritten at any table size — the same O(1) posture
+      // at 100 TB). The even half bootstraps (…, qty INT, score FLOAT,
+      // note STRING); qty renames to quantity (field id kept); the odd
+      // half appends under the new name; quantity widens int→long and
+      // score float→double (spec-safe promotions, old narrow values cast
+      // up on read); note drops (id retired, never reused). The census
+      // only matches the oracle if field-id resolution works end to end:
+      // half the rows live in files written under the OLD name and NARROW
+      // types — a name-based read would surface them as NULLs and shift
+      // every sum. schema_evolved pins the final column set.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+          pmod(col("event_id"), lit(1000)).cast("int").as("qty"),
+          col("value").cast("float").as("score"),
+          concat(lit("n"), pmod(col("event_id"), lit(7))).as("note"))
+        val table = graft.TempTables.create("graft-iceberg-evolve2") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.evolveRename(table, "qty", "quantity")
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 1)
+            .withColumnRenamed("qty", "quantity"),
+          table, graft.sinks.IcebergSink.Append,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.evolveWiden(table, "quantity")
+        graft.sinks.IcebergSink.evolveWiden(table, "score")
+        graft.sinks.IcebergSink.evolveDrop(table, "note")
+        val out = graft.sinks.IcebergSink.read(s, table)
+        val evolvedOk = out.columns.toSeq ==
+          Seq("event_id", "event_type", "quantity", "score") &&
+          out.schema("quantity").dataType ==
+            org.apache.spark.sql.types.LongType &&
+          out.schema("score").dataType ==
+            org.apache.spark.sql.types.DoubleType
+        out.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("quantity")).as("sum_quantity"),
+            fxSum(col("score")).as("sum_score"))
+          .select(col("event_type"), col("n_rows"), col("sum_quantity"),
+            col("sum_score"), lit(evolvedOk).as("schema_evolved"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(event_id % 1000) AS BIGINT) AS sum_quantity,
+             |  CAST(SUM(CAST(ROUND(CAST(CAST(value AS REAL) AS DOUBLE) * 100)
+             |    AS BIGINT)) AS DOUBLE) / 100.0 AS sum_score,
+             |  TRUE AS schema_evolved
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

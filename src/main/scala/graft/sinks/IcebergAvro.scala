@@ -321,6 +321,17 @@ private[graft] object IcebergAvro {
     finally r.close()
   }
 
+  /** The Iceberg schema JSON this manifest was written under (the
+    * spec-mandated "schema" key metadata every [[writeManifest]] call
+    * stamps) — the read side's truth for resolving each data file's
+    * columns BY FIELD ID after a rename/drop/widen evolution.
+    */
+  def readManifestSchema(f: File): Option[String] = {
+    val r = new DataFileReader[GenericRecord](f,
+      new GenericDatumReader[GenericRecord]())
+    try Option(r.getMetaString("schema")) finally r.close()
+  }
+
   /** Data-file (path, recordCount) pairs of live entries (status ≠ 2
     * DELETED) in a manifest.
     */

@@ -89,6 +89,57 @@ object IcebergSink {
     case other => other.catalogString // nested types: Spark catalog form
   }
 
+  /** One field of an Iceberg schema as the read/write paths need it: the
+    * STABLE field id (survives renames; retired by drops; never
+    * positional after an evolution), the name, and the Spark type the
+    * Iceberg type string maps back to.
+    */
+  private[sinks] case class IField(id: Int, name: String, dt: DataType)
+
+  /** Inverse of [[icebergType]] (lossy for int-family/timestamp flavors —
+    * callers that need the EXACT Spark type take it from the stored Spark
+    * schema; this type is the file-level truth for widen-aware reads).
+    */
+  private[sinks] def sparkTypeOfIceberg(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
+    case d if d.startsWith("decimal(") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+        .split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other =>
+      DataType.fromDDL(s"c $other").asInstanceOf[StructType].fields.head.dataType
+  }
+
+  /** Parses an Iceberg schema JSON node's field list. */
+  private def ifieldsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[IField] =
+    node.get("fields").elements().asScala.map { f =>
+      IField(f.get("id").asInt(), f.get("name").asText(),
+        sparkTypeOfIceberg(f.get("type").asText()))
+    }.toSeq
+
+  /** The CURRENT schema's fields (stable ids) from a table's metadata —
+    * positionally aligned with `graft.spark-schema` by construction
+    * (every writer mints them together). Falls back to ordinal ids when
+    * the node can't be resolved (pre-evolution tables are ordinal anyway).
+    */
+  private def curFieldsOf(meta: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType): Seq[IField] =
+    scala.util.Try(ifieldsOf(mapper.readTree(currentSchemaJson(meta)._2)))
+      .toOption
+      .filter(fs => fs.map(_.name) == schema.fieldNames.toSeq)
+      .getOrElse(schema.fields.zipWithIndex.map { case (f, i) =>
+        IField(i + 1, f.name, f.dataType)
+      }.toSeq)
+
   /** (rowCount, per-column Iceberg stats) from one parquet-footer open —
     * no data pages read. Bounds use the Iceberg spec's single-value binary
     * serialization (little-endian numerics, UTF-8 strings); columns whose
@@ -576,12 +627,42 @@ object IcebergSink {
     val prevSchemaId = previous.map(_.get("current-schema-id").asInt()).getOrElse(0)
     val schemaChanged = storedSchema.exists(_.json != declaredSchema.json)
     val schemaId = if (schemaChanged) prevSchemaId + 1 else prevSchemaId
+    // Field ids are STABLE, never positional, once the table has evolved:
+    //  - unchanged schema → the stored Iceberg schema node is reused
+    //    VERBATIM (ids untouched, content never re-minted under its id);
+    //  - evolving append → stored fields verbatim + the added tail minted
+    //    from last-column-id upward (spec id-assignment rule);
+    //  - overwrite re-declaring the schema → ids assigned by NAME
+    //    continuity (a field keeps its stored id; genuinely new names
+    //    continue from last-column-id) so pre-overwrite snapshots keep
+    //    resolving their files by id;
+    //  - fresh table → ordinal 1..n.
+    val storedFieldsNode: Option[Seq[(Int, String)]] = previous.map { prev =>
+      ifieldsOf(mapper.readTree(currentSchemaJson(prev)._2)).map(f => (f.id, f.name))
+    }
+    val prevLastColumnId = previous
+      .map(p => Option(p.get("last-column-id")).map(_.asInt())
+        .getOrElse(storedFieldsNode.get.map(_._1).max))
+      .getOrElse(0)
+    val declaredIds: Seq[Int] = (storedFieldsNode, schemaChanged) match {
+      case (Some(st), false) => st.map(_._1)
+      case (Some(st), true) if evolveSchema =>
+        var next = prevLastColumnId
+        st.map(_._1) ++ declaredSchema.fields.drop(st.length).map { _ =>
+          next += 1; next
+        }
+      case (Some(st), true) =>
+        val byName = st.toMap.map(_.swap) // name -> id (names unique)
+        var next = prevLastColumnId
+        declaredSchema.fields.map(f => byName.getOrElse(f.name, { next += 1; next })).toSeq
+      case _ => declaredSchema.fields.indices.map(_ + 1)
+    }
     val schemaNode = mapper.createObjectNode()
     schemaNode.put("type", "struct").put("schema-id", schemaId)
     val fields = schemaNode.putArray("fields")
-    declaredSchema.fields.zipWithIndex.foreach { case (f, i) =>
+    declaredSchema.fields.zip(declaredIds).foreach { case (f, id) =>
       fields.addObject()
-        .put("id", i + 1)
+        .put("id", id)
         .put("name", f.name)
         .put("required", !f.nullable)
         .put("type", icebergType(f.dataType))
@@ -590,7 +671,7 @@ object IcebergSink {
     // Avro manifest (V2 manifest_entry records, real per-file row counts +
     // per-column value/null counts and bounds from the same footer open).
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val fieldIds = df.schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    val fieldIds = declaredSchema.fieldNames.zip(declaredIds).toMap
     // manifests always reference the file's TABLE path; on the store path
     // that differs from the local staging path the stats are read from
     def tablePathOf(f: File): String = objStore match {
@@ -672,7 +753,8 @@ object IcebergSink {
       .put("location", table)
       .put("last-sequence-number", seq)
       .put("last-updated-ms", System.currentTimeMillis())
-      .put("last-column-id", declaredSchema.fields.length)
+      .put("last-column-id", math.max(prevLastColumnId,
+        if (declaredIds.isEmpty) 0 else declaredIds.max))
     // EVERY write over an existing table carries the previous schemas
     // forward (minus the one this write re-emits): retained snapshots
     // keep referencing their original schema-ids, and dropping a schema
@@ -801,6 +883,134 @@ object IcebergSink {
       partitionBy = partitionBy, evolveSchema = true)
   }
 
+  /** DROP-column evolution — METADATA-ONLY (Iceberg spec: data files are
+    * untouched; the field id is retired, never reused, and readers stop
+    * selecting it by id). Refused for partition-spec sources (the spec's
+    * derived names and continuity checks are name-keyed) and for columns
+    * live equality-delete files key on (their predicate could no longer
+    * apply — compact first).
+    */
+  def evolveDrop(table: String, column: String,
+      store: CommitStore = CommitStore.Local): Unit =
+    commitEvolvedSchema(table, store) { (meta, pairs) =>
+      val idx = pairs.indexWhere(_._2.name == column)
+      require(idx >= 0, s"no such column: $column")
+      require(pairs.length > 1, "cannot drop the last column")
+      val id = pairs(idx)._1.get("id").asInt()
+      require(!partitionSourceIds(meta).contains(id),
+        s"cannot drop partition source column $column")
+      val liveEq = snapshotEntries(table, None).deletes
+        .filter(_.content == 2).flatMap(_.equalityIds).toSet
+      require(!liveEq.contains(id),
+        s"cannot drop $column: live equality-delete files key on it — compact first")
+      pairs.patch(idx, Nil, 1)
+    }
+
+  /** RENAME-column evolution — METADATA-ONLY: the field keeps its id (and
+    * its data files their written name — reads resolve by id), only the
+    * declared name changes.
+    */
+  def evolveRename(table: String, from: String, to: String,
+      store: CommitStore = CommitStore.Local): Unit =
+    commitEvolvedSchema(table, store) { (meta, pairs) =>
+      val idx = pairs.indexWhere(_._2.name == from)
+      require(idx >= 0, s"no such column: $from")
+      require(!pairs.exists(_._2.name == to), s"column $to already exists")
+      val (n, sf) = pairs(idx)
+      require(!partitionSourceIds(meta).contains(n.get("id").asInt()),
+        s"cannot rename partition source column $from")
+      n.put("name", to)
+      pairs.updated(idx, (n, sf.copy(name = to)))
+    }
+
+  /** TYPE-WIDEN evolution — METADATA-ONLY, int→long or float→double only
+    * (the spec's safe promotions: every stored value embeds losslessly;
+    * readers cast old files' narrow values up after the id-resolved read).
+    */
+  def evolveWiden(table: String, column: String,
+      store: CommitStore = CommitStore.Local): Unit =
+    commitEvolvedSchema(table, store) { (meta, pairs) =>
+      val idx = pairs.indexWhere(_._2.name == column)
+      require(idx >= 0, s"no such column: $column")
+      val (n, sf) = pairs(idx)
+      require(!partitionSourceIds(meta).contains(n.get("id").asInt()),
+        s"cannot widen partition source column $column")
+      val (newIce, newDt) = sf.dataType match {
+        case IntegerType => ("long", LongType)
+        case FloatType => ("double", DoubleType)
+        case other => throw new IllegalArgumentException(
+          s"only int→long and float→double widen; $column is ${other.simpleString}")
+      }
+      n.put("type", newIce)
+      pairs.updated(idx, (n, sf.copy(dataType = newDt)))
+    }
+
+  private def partitionSourceIds(
+      meta: com.fasterxml.jackson.databind.JsonNode): Set[Int] =
+    meta.get("partition-specs").elements().asScala
+      .flatMap(_.get("fields").elements().asScala)
+      .map(_.get("source-id").asInt()).toSet
+
+  /** Shared metadata-only evolution commit: `op` transforms the parallel
+    * (iceberg field node, spark field) pairs — ids are carried by the
+    * nodes and NEVER reassigned here. Mints the next schema-id, retains
+    * every previous schema (spec §schemas: immutable per id), rewrites
+    * `graft.spark-schema` in step, and claims version hint+1 under the
+    * same OCC protocol as writes. No snapshot is added — there is no data
+    * change to snapshot; last-column-id is untouched (drop retires ids).
+    */
+  private def commitEvolvedSchema(table: String, store: CommitStore)(
+      op: (com.fasterxml.jackson.databind.JsonNode,
+           Seq[(com.fasterxml.jackson.databind.node.ObjectNode, StructField)])
+        => Seq[(com.fasterxml.jackson.databind.node.ObjectNode, StructField)])
+      : Unit = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val sparkSchema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+    val (curId, curJson) = currentSchemaJson(meta)
+    val curNode = mapper.readTree(curJson)
+    val pairs = curNode.get("fields").elements().asScala.toSeq
+      .map(_.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+      .zip(sparkSchema.fields.toSeq)
+    require(pairs.map(_._1.get("name").asText()) == pairs.map(_._2.name),
+      "corrupt metadata: iceberg schema and spark schema disagree")
+    val evolved = op(meta, pairs)
+    val newId = curId + 1
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("type", "struct").put("schema-id", newId)
+    val fieldsArr = schemaNode.putArray("fields")
+    evolved.foreach { case (n, _) => fieldsArr.add(n): Unit }
+    val newSpark = StructType(evolved.map(_._2))
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("current-schema-id", newId)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    val keptSchemas = newMeta.get("schemas").elements().asScala
+      .filter(_.get("schema-id").asInt() != newId)
+      .map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]()).toSeq
+    val rebuilt = newMeta.putArray("schemas")
+    keptSchemas.foreach(rebuilt.add)
+    rebuilt.add(schemaNode)
+    newMeta.get("properties").asInstanceOf[ObjectNode]
+      .put("graft.spark-schema", newSpark.json)
+    try
+      store.putIfAbsent(metaFile(table, hint + 1),
+        newMeta.toString.getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new OptimisticConcurrencyException(hint + 1)
+    }
+    store match {
+      case os: ObjectStore =>
+        os.putObject(hintFile(table),
+          (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        Files.writeString(hintFile(table), (hint + 1).toString): Unit
+    }
+  }
+
   private val TxnAppKey = "graft.txn-app-id"
   private val TxnBatchKey = "graft.txn-batch-id"
 
@@ -863,7 +1073,8 @@ object IcebergSink {
   def read(spark: SparkSession, table: String,
       asOfSnapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshotEntries(table, asOfSnapshotId)
-    readMerged(spark, snap.schema, snap.data, snap.deletes)
+    readMerged(spark, snap.schema, snap.data, snap.deletes,
+      curFields = snap.curFields, fileFields = snap.fileFields)
   }
 
   /** One resolved snapshot: data-file entries as (path, manifest partition
@@ -874,11 +1085,14 @@ object IcebergSink {
     * application (a delete never touches data appended after it).
     */
   private[sinks] case class DeleteRef(path: String, seq: Long,
-      content: Int, equalityIds: Seq[Int])
+      content: Int, equalityIds: Seq[Int],
+      wf: Option[Seq[IField]] = None)
   private[sinks] case class Snapshot(schema: StructType,
       data: Seq[(String, Map[String, Any], Long)],
       deletes: Seq[DeleteRef],
-      dataManifests: Seq[ManifestRef])
+      dataManifests: Seq[ManifestRef],
+      curFields: Seq[IField],
+      fileFields: Map[String, Seq[IField]])
 
   /** Shared snapshot resolution for [[read]]/[[readDays]]/… . Partition
     * truth comes from each manifest's OWN partition struct (its Avro
@@ -900,15 +1114,30 @@ object IcebergSink {
       throw new IllegalArgumentException(s"no snapshot $snapId in $table " +
         "(expired or never committed)"))
     val refs = manifestRefs(table, list)
-    val data = refs.filter(_.content == 0).flatMap { r =>
-      IcebergAvro.readManifestPartitions(new File(requireAvro(abs(table, r.path))))
-        .map { case (p, pvals) => (p, pvals, r.seq) }
+    // per data file, the schema the MANIFEST was written under (its
+    // "schema" key metadata) — the id-resolution truth that lets a read
+    // project files written before a rename/drop/widen into the current
+    // schema; one manifest open serves all its files
+    val dataWithFields = refs.filter(_.content == 0).flatMap { r =>
+      val mf = new File(requireAvro(abs(table, r.path)))
+      val wf = IcebergAvro.readManifestSchema(mf)
+        .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
+      IcebergAvro.readManifestPartitions(mf)
+        .map { case (p, pvals) => ((p, pvals, r.seq), wf) }
     }
+    val data = dataWithFields.map(_._1)
+    val fileFields = dataWithFields.collect {
+      case ((p, _, _), Some(wf)) => p -> wf
+    }.toMap
     val deletes = refs.filter(_.content == 1).flatMap { r =>
-      IcebergAvro.readManifestDeleteFiles(new File(requireAvro(abs(table, r.path))))
-        .map { case (p, content, eqIds, _) => DeleteRef(p, r.seq, content, eqIds) }
+      val mf = new File(requireAvro(abs(table, r.path)))
+      val wf = IcebergAvro.readManifestSchema(mf)
+        .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
+      IcebergAvro.readManifestDeleteFiles(mf)
+        .map { case (p, content, eqIds, _) => DeleteRef(p, r.seq, content, eqIds, wf) }
     }
-    Snapshot(schema, data, deletes, refs.filter(_.content == 0))
+    Snapshot(schema, data, deletes, refs.filter(_.content == 0),
+      curFieldsOf(meta, schema), fileFields)
   }
 
   /** METADATA-ONLY file inventory of a snapshot: one row per live data
@@ -972,7 +1201,8 @@ object IcebergSink {
         datediff(col(tsCol), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
       case _ => floor(col(tsCol).cast("double") / 86400.0)
     }
-    val df = readMerged(spark, schema, kept, snap.deletes)
+    val df = readMerged(spark, schema, kept, snap.deletes,
+        curFields = snap.curFields, fileFields = snap.fileFields)
       .filter(utcDay >= lo && utcDay < hi)
     (df, kept.size, entries.size)
   }
@@ -1010,7 +1240,8 @@ object IcebergSink {
       }
     }
     import org.apache.spark.sql.functions.col
-    val df = readMerged(spark, schema, kept, snap.deletes)
+    val df = readMerged(spark, schema, kept, snap.deletes,
+        curFields = snap.curFields, fileFields = snap.fileFields)
       .filter(col(keyCol) === value)
     (df, kept.size, entries.size)
   }
@@ -1040,12 +1271,15 @@ object IcebergSink {
     // never see a row the table has already deleted); deletes older than
     // an appended file's sequence are no-ops by the >= scope in readMerged
     readMerged(spark, current.schema,
-      current.data.filterNot(e => seen.contains(e._1)), current.deletes)
+      current.data.filterNot(e => seen.contains(e._1)), current.deletes,
+      curFields = current.curFields, fileFields = current.fileFields)
   }
 
   private def readEntries(spark: SparkSession, schema: StructType,
       entries: Seq[(String, Map[String, Any])],
-      withLineage: Boolean = false): DataFrame = {
+      withLineage: Boolean = false,
+      curFields: Seq[IField] = Nil,
+      fileFields: Map[String, Seq[IField]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val lineageFields =
       if (!withLineage) Array.empty[org.apache.spark.sql.types.StructField]
@@ -1059,18 +1293,57 @@ object IcebergSink {
         StructType(schema.fields ++ lineageFields))
     val outCols = schema.fieldNames.map(col) ++
       (if (withLineage) Seq(col("_gf_uri"), col("_gf_pos")) else Nil)
-    val groups = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq
-    val parts = groups.map { case (pvals, files) =>
+    val lineageCols = Seq(col("_metadata.file_path").as("_gf_uri"),
+      col("_metadata.row_index").as("_gf_pos"))
+    // files group by (partition values, WRITING schema) — both determine
+    // the group's read plan: files written before a rename/drop/widen
+    // resolve their columns BY FIELD ID against the current schema
+    val idProjected = curFields.length == schema.fields.length
+    val groups = entries
+      .groupBy(e => (e._2, if (idProjected) fileFields.get(e._1) else None))
+      .view.mapValues(_.map(_._1)).toSeq
+    val parts = groups.map { case ((pvals, wfOpt), files) =>
       val specCols = schema.fieldNames.filter(pvals.contains).toSeq
-      val fileSchema = StructType(schema.fields.filterNot(f => specCols.contains(f.name)))
-      val base0 = spark.read.schema(fileSchema).parquet(files: _*)
-      // file/row provenance for merge-on-read and deleteWhere: the
-      // parquet reader's _metadata struct carries both at zero extra I/O
-      val base =
-        if (withLineage) base0.select(col("*"),
-          col("_metadata.file_path").as("_gf_uri"),
-          col("_metadata.row_index").as("_gf_pos"))
-        else base0
+      val base = wfOpt match {
+        case Some(wf) =>
+          // FIELD-ID projection (Iceberg §schema-evolution read rule):
+          // each current column reads from the file column carrying ITS
+          // id — under the WRITTEN name (rename) and the written type
+          // when the current one is a widening (int→long, float→double;
+          // cast after read) — and NULL-fills ids the file predates;
+          // file columns whose id was dropped are simply never selected.
+          val wById = wf.map(f => f.id -> f).toMap
+          val plan = schema.fields.zip(curFields).map { case (sf, cf) =>
+            (sf, if (specCols.contains(sf.name)) None else wById.get(cf.id))
+          }
+          val fileSchema = StructType(plan.collect { case (sf, Some(w)) =>
+            val readDt = (w.dt, sf.dataType) match {
+              case (IntegerType, LongType) => IntegerType
+              case (FloatType, DoubleType) => FloatType
+              case _ => sf.dataType
+            }
+            org.apache.spark.sql.types.StructField(w.name, readDt, nullable = true)
+          })
+          val base0 = spark.read.schema(fileSchema).parquet(files: _*)
+          val dataCols = plan.flatMap {
+            case (sf, Some(w)) =>
+              val c0 = col(w.name)
+              val c1 = if (fileSchema(w.name).dataType == sf.dataType) c0
+                       else c0.cast(sf.dataType)
+              Some(c1.as(sf.name))
+            case (sf, None) if specCols.contains(sf.name) => None // pvals below
+            case (sf, None) => Some(lit(null).cast(sf.dataType).as(sf.name))
+          }
+          base0.select(dataCols ++ (if (withLineage) lineageCols else Nil): _*)
+        case None =>
+          // name-based read (manifests predating schema key metadata)
+          val fileSchema =
+            StructType(schema.fields.filterNot(f => specCols.contains(f.name)))
+          val base0 = spark.read.schema(fileSchema).parquet(files: _*)
+          // file/row provenance for merge-on-read and deleteWhere: the
+          // parquet reader's _metadata struct carries both at zero extra I/O
+          if (withLineage) base0.select(col("*") +: lineageCols: _*) else base0
+      }
       specCols.foldLeft(base) { (acc, c) =>
         val dt = schema(c).dataType
         val litCol = (pvals(c), dt) match {
@@ -1110,16 +1383,50 @@ object IcebergSink {
     * `_gf_pos` — [[deleteWhere]]'s provenance for writing new delete
     * files against the CURRENT merged view.
     */
+  /** One equality-delete file's key rows projected into the CURRENT
+    * schema's names and types: columns resolve by field id through the
+    * schema the file's manifest was written under (written name + written
+    * type, cast up when the current type is a widening), so deletes keep
+    * applying across renames and widens.
+    */
+  private def readEqDeleteFile(spark: SparkSession, schema: StructType,
+      d: DeleteRef, curNameOf: Int => String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = d.equalityIds.map { id =>
+      val curName = curNameOf(id)
+      val curDt = schema(curName).dataType
+      d.wf.flatMap(_.find(_.id == id)) match {
+        case Some(w) =>
+          val readDt = (w.dt, curDt) match {
+            case (IntegerType, LongType) => IntegerType
+            case (FloatType, DoubleType) => FloatType
+            case _ => curDt
+          }
+          (w.name, readDt, curName, curDt)
+        case None => (curName, curDt, curName, curDt)
+      }
+    }
+    val fileSchema = StructType(cols.map { case (wn, rd, _, _) =>
+      org.apache.spark.sql.types.StructField(wn, rd, nullable = true) })
+    spark.read.schema(fileSchema).parquet(d.path)
+      .select(cols.map { case (wn, rd, cn, cd) =>
+        (if (rd == cd) col(wn) else col(wn).cast(cd)).as(cn)
+      }: _*)
+  }
+
   private def readMerged(spark: SparkSession, schema: StructType,
       dataEntries: Seq[(String, Map[String, Any], Long)],
       deletes: Seq[DeleteRef],
-      keepLineage: Boolean = false): DataFrame = {
+      keepLineage: Boolean = false,
+      curFields: Seq[IField] = Nil,
+      fileFields: Map[String, Seq[IField]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
       lit, raise_error, regexp_replace}
     if (deletes.isEmpty && !keepLineage)
-      return readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)))
+      return readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)),
+        curFields = curFields, fileFields = fileFields)
     val data = readEntries(spark, schema, dataEntries.map(e => (e._1, e._2)),
-      withLineage = true)
+      withLineage = true, curFields = curFields, fileFields = fileFields)
     import spark.implicits._
     // The reader's `_metadata.file_path` is a Hadoop-rendered URI, which
     // percent-encodes characters such as a space or '%' in the table
@@ -1166,17 +1473,22 @@ object IcebergSink {
           "left_anti")
       }
     // equality deletes, one anti-join per distinct key-column set (null
-    // keys match null — Iceberg equality semantics → null-safe equality)
+    // keys match null — Iceberg equality semantics → null-safe equality).
+    // Key columns resolve BY FIELD ID on both sides: the data side via the
+    // current schema, each delete FILE via the schema its manifest was
+    // written under (a rename between the delete and the read must not
+    // break — or worse, null out — the key comparison).
+    def curNameOf(id: Int): String =
+      curFields.find(_.id == id).map(_.name)
+        .getOrElse(schema.fields(id - 1).name)
     val merged = deletes.filter(_.content == 2).groupBy(_.equalityIds).toSeq
       .foldLeft(afterPos) { case (acc, (eqIds, ds)) =>
         require(eqIds.nonEmpty, "equality delete file without equality_ids")
-        val keyNames = eqIds.map(id => schema.fields(id - 1).name)
-        val keySchema = StructType(schema.fields.filter(f => keyNames.contains(f.name)))
-        val delDf = ds.map { d =>
-          spark.read.schema(keySchema).parquet(d.path)
+        val keyNames = eqIds.map(curNameOf)
+        val delDf = ds.map(d => readEqDeleteFile(spark, schema, d, curNameOf)
             .select(keyNames.map(k => col(k).as(s"_gfe_$k")) :+
-              lit(d.seq).as("_gfe_seq"): _*)
-        }.reduce(_.unionAll(_))
+              lit(d.seq).as("_gfe_seq"): _*))
+          .reduce(_.unionAll(_))
         val cond = keyNames.map(k => acc(k) <=> delDf(s"_gfe_$k"))
           .reduce(_ && _) && delDf("_gfe_seq") > acc.col("_gf_seq")
         acc.join(delDf, cond, "left_anti")
@@ -1198,7 +1510,8 @@ object IcebergSink {
       lo: Double, hi: Double): DataFrame = {
     val (snap, kept, _) = planRange(table, column, lo, hi)
     import org.apache.spark.sql.functions.col
-    readMerged(spark, snap.schema, kept, snap.deletes)
+    readMerged(spark, snap.schema, kept, snap.deletes,
+        curFields = snap.curFields, fileFields = snap.fileFields)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -1222,16 +1535,20 @@ object IcebergSink {
       : (Snapshot, Seq[(String, Map[String, Any], Long)], Int) = {
     val snap = snapshotEntries(table, None)
     val schema = snap.schema
-    val fieldId = schema.fieldNames.indexOf(column) + 1
-    require(fieldId > 0, s"no such column: $column")
+    val fieldId = snap.curFields.find(_.name == column).map(_.id)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $column"))
     val dt = schema(column).dataType
     def dec(b: Array[Byte]): Option[Double] = {
       val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       dt match {
         case org.apache.spark.sql.types.IntegerType if b.length == 4 => Some(bb.getInt.toDouble)
         case org.apache.spark.sql.types.LongType if b.length == 8 => Some(bb.getLong.toDouble)
+        // files written BEFORE an int→long widen carry 4-byte int bounds
+        case org.apache.spark.sql.types.LongType if b.length == 4 => Some(bb.getInt.toDouble)
         case org.apache.spark.sql.types.FloatType if b.length == 4 => Some(bb.getFloat.toDouble)
         case org.apache.spark.sql.types.DoubleType if b.length == 8 => Some(bb.getDouble)
+        // files written BEFORE a float→double widen carry 4-byte float bounds
+        case org.apache.spark.sql.types.DoubleType if b.length == 4 => Some(bb.getFloat.toDouble)
         case _ => None
       }
     }
@@ -1466,7 +1783,8 @@ object IcebergSink {
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
     val snap = snapshotEntries(table, None)
     val matched = readMerged(spark, snap.schema, snap.data, snap.deletes,
-      keepLineage = true).filter(expr(predicate))
+      keepLineage = true, curFields = snap.curFields,
+      fileFields = snap.fileFields).filter(expr(predicate))
     val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("parquet.field.id", 2147483546L).build()
     val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1588,7 +1906,8 @@ object IcebergSink {
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
     val tableCols = schema.fieldNames.toSeq
     keys.foreach(k => require(tableCols.contains(k), s"no such key column: $k"))
-    val eqIds = keys.map(k => schema.fieldNames.indexOf(k) + 1)
+    val curF = curFieldsOf(meta, schema)
+    val eqIds = keys.map(k => curF.find(_.name == k).get.id)
     val dupN = s"__graft_dup_${java.util.UUID.randomUUID().toString.take(8)}"
     val wDup = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     val rows = source.select(tableCols.map(col): _*)
@@ -1770,7 +2089,8 @@ object IcebergSink {
     val staged = groups.map { case (keys, keyCols) =>
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"no such key column: $k"))
-      val eqIds = keyCols.map(k => schema.fieldNames.indexOf(k) + 1)
+      val eqIds = keyCols.map(k => curFieldsOf(meta, schema)
+        .find(_.name == k).get.id)
       val keyMeta = keyCols.zip(eqIds).map { case (k, id) =>
         k -> new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", id.toLong).build()
@@ -1895,7 +2215,8 @@ object IcebergSink {
         val delAdded = cur.deletes.filterNot(d => prevDel.contains(d.path))
         val newRows =
           if (dataAdded.isEmpty) None
-          else Some(readEntries(spark, schema, dataAdded.map(e => (e._1, e._2))))
+          else Some(readEntries(spark, schema, dataAdded.map(e => (e._1, e._2)),
+            curFields = cur.curFields, fileFields = cur.fileFields))
         val posImages: Option[DataFrame] = {
           val pos = delAdded.filter(_.content == 1)
           if (pos.isEmpty) None
@@ -1912,7 +2233,8 @@ object IcebergSink {
             val touchedEntries = prev.data
               .filter(e => touched.contains(normPath(e._1)))
               .map(e => (e._1, e._2))
-            Some(readEntries(spark, schema, touchedEntries, withLineage = true)
+            Some(readEntries(spark, schema, touchedEntries, withLineage = true,
+                curFields = prev.curFields, fileFields = prev.fileFields)
               .withColumn("_gf_key", regexp_replace(col("_gf_uri"),
                 "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
               .join(broadcast(delRows),
@@ -1930,18 +2252,20 @@ object IcebergSink {
         // images exactly ONCE; the same split classifies new rows.
         val eqGroups = delAdded.filter(_.content == 2).groupBy(_.equalityIds)
           .toSeq.sortBy(_._1.mkString(","))
+        def curNameOf(id: Int): String =
+          cur.curFields.find(_.id == id).map(_.name)
+            .getOrElse(schema.fields(id - 1).name)
         val eqInfo: Seq[(DataFrame, Seq[String])] = eqGroups.map {
           case (eqIds, ds) =>
-            val keyNames = eqIds.map(id => schema.fields(id - 1).name)
-            val keySchema = StructType(
-              schema.fields.filter(f => keyNames.contains(f.name)))
-            val keysDf = ds.map(d => spark.read.schema(keySchema).parquet(d.path))
+            val keyNames = eqIds.map(curNameOf)
+            val keysDf = ds.map(d => readEqDeleteFile(spark, schema, d, curNameOf))
               .reduce(_.unionAll(_))
             (keysDf, keyNames)
         }
         val classified: Seq[DataFrame] =
           if (eqInfo.nonEmpty) {
-            val prevState = readMerged(spark, schema, prev.data, prev.deletes)
+            val prevState = readMerged(spark, schema, prev.data, prev.deletes,
+              curFields = prev.curFields, fileFields = prev.fileFields)
             var rem = prevState
             val images = eqInfo.map { case (keysDf, keyNames) =>
               val keyed = broadcast(keysDf.select(

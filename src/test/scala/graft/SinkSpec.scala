@@ -1718,6 +1718,112 @@ class SinkSpec extends AnyFunSuite {
     assert(m3.get("schemas").size() == 3, "previous schemas stay retained")
   }
 
+  test("Iceberg evolve2: rename/widen/drop are metadata-only and id-resolved (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      Seq((1L, "a", 1, 1.5f), (2L, "b", 2, 2.5f))
+        .toDF("id", "name", "qty", "score"),
+      table, IcebergSink.CreateExclusive)
+    val dataFilesBefore = new File(table, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    // RENAME: old files keep the written name; reads resolve by field id
+    IcebergSink.evolveRename(table, "qty", "quantity")
+    val r1 = IcebergSink.read(spark, table)
+    assert(r1.columns.toSeq == Seq("id", "name", "quantity", "score"))
+    assert(r1.orderBy("id").collect().map(_.getInt(2)).toSeq == Seq(1, 2),
+      "pre-rename files must surface their values under the NEW name, not NULLs")
+    // append under the new name, then WIDEN int→long
+    IcebergSink.writeWithRetry(
+      Seq((3L, "c", 3, 3.5f)).toDF("id", "name", "quantity", "score"),
+      table, IcebergSink.Append)
+    IcebergSink.evolveWiden(table, "quantity")
+    val r2 = IcebergSink.read(spark, table)
+    assert(r2.schema("quantity").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(r2.orderBy("id").collect().map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L),
+      "pre-widen int values must cast up")
+    // append a value beyond int range, widen score too, then DROP name
+    IcebergSink.writeWithRetry(
+      Seq((4L, "d", 400000000000L, 4.5f)).toDF("id", "name", "quantity", "score"),
+      table, IcebergSink.Append)
+    IcebergSink.evolveWiden(table, "score")
+    IcebergSink.evolveDrop(table, "name")
+    val r3 = IcebergSink.read(spark, table)
+    assert(r3.columns.toSeq == Seq("id", "quantity", "score"))
+    assert(r3.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1L, 1.5), (2L, 2L, 2.5), (3L, 3L, 3.5), (4L, 400000000000L, 4.5)))
+    // all three verbs were METADATA-ONLY: no data file touched
+    val dataFilesAfter = new File(table, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(dataFilesBefore.subsetOf(dataFilesAfter), "evolution must not rewrite data files")
+    // metadata: ids minted sequentially, previous schemas retained, field
+    // ids STABLE (name's id 2 retired, never reused)
+    val meta = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(Paths.get(table, "metadata",
+        s"v${Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim}.metadata.json")))
+    assert(meta.get("current-schema-id").asInt() == 4)
+    assert(meta.get("schemas").size() == 5)
+    val cur = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == 4).get
+    assert(cur.get("fields").elements().asScala.map(f =>
+      (f.get("id").asInt(), f.get("name").asText(), f.get("type").asText())).toSeq ==
+      Seq((1, "id", "long"), (3, "quantity", "long"), (4, "score", "double")))
+    assert(meta.get("last-column-id").asInt() == 4, "drop retires ids, never shrinks the counter")
+    // stats pruning still works across the widen (old 4-byte int bounds)
+    assert(IcebergSink.readRange(spark, table, "quantity", 2.0, 3.0)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // appends now follow the evolved 3-column shape; upsert keys by the
+    // renamed column's id
+    IcebergSink.upsert(spark, table,
+      Seq((4L, 440000000000L, 44.0)).toDF("id", "quantity", "score"), Seq("id"))
+    assert(IcebergSink.read(spark, table).filter(col("id") === 4L)
+      .head().getLong(1) == 440000000000L)
+    // guards
+    intercept[Exception](IcebergSink.evolveWiden(table, "id")) // long already
+    intercept[Exception](IcebergSink.evolveRename(table, "score", "quantity"))
+    intercept[Exception](IcebergSink.evolveDrop(table, "nope"))
+    // partition sources refuse all three
+    val pt = tmp()
+    IcebergSink.write(Seq((1L, "en", 1.0)).toDF("id", "lang", "v"), pt,
+      IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    intercept[Exception](IcebergSink.evolveRename(pt, "lang", "language"))
+    intercept[Exception](IcebergSink.evolveDrop(pt, "lang"))
+    // a column live equality deletes key on refuses drop
+    val et = tmp()
+    IcebergSink.write(Seq((1L, "x", 1.0)).toDF("id", "k", "v"), et,
+      IcebergSink.CreateExclusive)
+    IcebergSink.deleteKeys(spark, et, Seq(Tuple1("x")).toDF("k"), Seq("k"))
+    intercept[Exception](IcebergSink.evolveDrop(et, "k"))
+  }
+
+  test("Iceberg evolve2: equality deletes keep applying across a rename (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      (1L to 6L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    // upsert (equality deletes keyed on id), THEN rename the key column:
+    // the delete files carry the old written name — reads must resolve
+    // them by field id or the upsert would silently un-apply
+    IcebergSink.upsert(spark, table,
+      Seq((3L, 300.0)).toDF("id", "v"), Seq("id"))
+    IcebergSink.evolveRename(table, "id", "pk")
+    val out = IcebergSink.read(spark, table).orderBy("pk").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 6L).toSeq)
+    assert(out(2).getDouble(1) == 300.0,
+      "the pre-rename equality delete must still erase the old row")
+    // and the changelog still classifies it under the NEW name
+    val s0 = IcebergSink.snapshots(table).head._1
+    val feed = IcebergSink.readChangelog(spark, table, s0)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .head().getDouble(1) == 300.0)
+  }
+
   test("Iceberg upsertExactlyOnce: an empty batch is a visible no-op, not a commit (r13 advice)") {
     val s = spark
     import s.implicits._
