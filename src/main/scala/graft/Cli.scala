@@ -173,6 +173,11 @@ object Cli {
         sinks.IcebergSink.evolve(spark.read.parquet(pos(0)), pos(1),
           partitionBy = partitionBy)
         println("evolved and appended")
+      case "delete-dv-delta" =>
+        // delete-dv-delta <table> <predicate> — merge-on-read delete via
+        // deletion vectors (bumps protocol to reader v3/writer v7)
+        val n = sinks.DeltaSink.deleteWhereDV(spark, pos(0), pos(1))
+        println(s"deleted $n rows (deletion vectors)")
       case "drop-column-iceberg" =>
         // drop-column-iceberg <table> <column> — metadata-only evolution
         sinks.IcebergSink.evolveDrop(pos(0), pos(1))

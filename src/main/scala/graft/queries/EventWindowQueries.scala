@@ -1011,6 +1011,71 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_delete_dv",
+      // Row-level DELETE via DELETION VECTORS under the oracle (r13 —
+      // VERDICT r12 item 2): the merge-on-read twin of q_delta_delete.
+      // deleteWhereDV commits each touched file's add again with a
+      // roaring-bitmap sidecar of the matched row indexes — NO data file
+      // is read back or rewritten (the `no_rewrite` gate pins the live
+      // parquet set byte-identical across the delete: name+mtime+size),
+      // which is the whole point at 100 TB: a point delete costs KBs.
+      // First use bumps the protocol to reader v3 / writer v7 in the same
+      // commit (`protocol_bumped`); matches evaluate against the MERGED
+      // view so `redelete_noop` holds; pre-delete time travel intact
+      // (`bad_travels`); the CDF feed carries exactly the deleted tenth.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-dvdel")
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        def liveFiles() = new java.io.File(table).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet
+        val before = liveFiles()
+        graft.sinks.DeltaSink.deleteWhereDV(s, table, "event_id % 10 = 0")
+        val noRewrite = liveFiles() == before
+        val redeleteNoop =
+          graft.sinks.DeltaSink.deleteWhereDV(s, table, "event_id % 10 = 0") == 0L
+        val protocolBumped = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(table, "_delta_log", f"${v0 + 1}%020d.json"))
+          .contains("\"minReaderVersion\":3")
+        val kept = graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"), fxSum(col("value")).as("v_kept"))
+        val feed = graft.sinks.DeltaSink.readCdf(s, table, v0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_del"), fxSum(col("value")).as("v_del"),
+            min(col("_change_type") === "delete").as("all_del"))
+        val pre = graft.sinks.DeltaSink.read(s, table, Some(v0))
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_all"))
+        kept.join(feed, Seq("event_type"), "full_outer")
+          .join(pre, Seq("event_type"), "full_outer")
+          .join(direct, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_kept"), lit(0L)).as("n_rows"),
+            coalesce(col("v_kept"), lit(0.0)).as("sum_value"),
+            coalesce(col("n_del"), lit(0L)).as("del_rows"),
+            coalesce(col("v_del"), lit(0.0)).as("del_value"),
+            coalesce(col("all_del"), lit(true)).as("all_delete"),
+            lit(noRewrite).as("no_rewrite"),
+            lit(redeleteNoop).as("redelete_noop"),
+            lit(protocolBumped).as("protocol_bumped"),
+            (col("n_pre") <=> col("n_all")).as("bad_travels"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 <> 0) AS BIGINT) AS n_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 <> 0), 0) AS DOUBLE) / 100.0 AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS del_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS del_value,
+             |  TRUE AS all_delete, TRUE AS no_rewrite, TRUE AS redelete_noop,
+             |  TRUE AS protocol_bumped, TRUE AS bad_travels
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_update",
       // Row-level UPDATE (copy-on-write) under the oracle — completes the
       // DML triad with q_delta_delete and q_delta_merge: updateWhere

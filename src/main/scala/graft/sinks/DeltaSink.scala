@@ -94,9 +94,18 @@ object DeltaSink {
 
   private def esc(s: String): String = mapper.writeValueAsString(s)
 
+  /** A deletion-vector descriptor on an add action (reader v3 / writer
+    * v7): `path` is the table-relative sidecar holding the roaring bitmap
+    * of deleted row indexes; `cardinality` lets metadata-only consumers
+    * (fileStats) subtract without opening anything.
+    */
+  private[sinks] case class DvInfo(path: String, sizeInBytes: Long,
+      cardinality: Long)
+
   /** One live data file in the replayed table state. */
   private case class AddEntry(path: String, partitionValues: Map[String, String],
-      size: Long, modificationTime: Long, stats: String)
+      size: Long, modificationTime: Long, stats: String,
+      dv: Option[DvInfo] = None)
 
   /** Replayed snapshot of the `_delta_log` at `asOfVersion` (or latest).
     * `txns` is the streaming-writer watermark map: appId → highest
@@ -375,8 +384,13 @@ object DeltaSink {
         "restore across a schema change is not supported: restore the data " +
           "first, then evolve, or vice versa")
       val targetPaths = target.live.map(_.path).toSet
-      val currentPaths = current.live.map(_.path).toSet
-      val readds = target.live.filterNot(a => currentPaths.contains(a.path))
+      val currentByPath = current.live.map(a => a.path -> a.dv).toMap
+      // a path live in BOTH states but under a DIFFERENT deletion-vector
+      // (a DV delete landed after the restore point) must be re-added
+      // with the target's descriptor — the path diff alone would leave
+      // the later delete silently in force
+      val readds = target.live.filter(a =>
+        !currentByPath.get(a.path).contains(a.dv))
       val removes = current.live.filterNot(a => targetPaths.contains(a.path))
       if (readds.isEmpty && removes.isEmpty) return (0, 0)
       val now = System.currentTimeMillis()
@@ -824,6 +838,126 @@ object DeltaSink {
       imageRowsPerMatch = 2, store, changeDataFeed)
   }
 
+  /** DELETE WHERE via DELETION VECTORS — merge-on-read, the opt-in
+    * protocol extension (reader v3 / writer v7; the reference pins v1,
+    * delta_destination.rs:446-458, so like `evolve` this is an explicit
+    * verb, never a default). Where [[deleteWhere]] rewrites every touched
+    * file, this commits each touched file's add action again carrying a
+    * deletion-vector sidecar — a roaring bitmap of the matched row
+    * indexes — so NO data file is read back or rewritten: a 1-row delete
+    * in a 2-GB file costs KBs at any table size. The first DV use bumps
+    * the table protocol in the SAME commit; re-deletes OR-merge into one
+    * descriptor per file; CDC images ride the commit as cdc files when
+    * the feed is on (default — readCdf then classifies without
+    * reconstruction). Matches evaluate against the MERGED view, so
+    * already-deleted rows can never re-match (re-delete is a no-op).
+    * Returns the number of rows deleted.
+    */
+  def deleteWhereDV(spark: SparkSession, table: String, predicate: String,
+      store: CommitStore = CommitStore.Local,
+      changeDataFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit,
+      regexp_replace}
+    import spark.implicits._
+    val dir = new File(table)
+    val (meta, liveDf) = resolve(spark, table, None)
+    val state = State(meta.version, meta.id, meta.createdTime, meta.schema,
+      meta.partitionColumns, collectAdds(liveDf), meta.txns)
+    // (file → new deleted positions) against the MERGED view; the rel
+    // path arrives via a broadcast dual-key lookup (raw + URI-encoded),
+    // never by parsing the reader's URI
+    val lookup = state.live.flatMap { a =>
+      val abs = new File(table, a.path).getAbsolutePath
+      val enc = new File(abs).toURI.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+      Seq(abs, enc).distinct.map(k => (k, a.path))
+    }.toDF("_gf_key", "_gf_rel")
+    val matched = readStateMerged(spark, table, state, keepLineage = true)
+      .filter(expr(predicate))
+      .withColumn("_gf_key",
+        regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(broadcast(lookup), Seq("_gf_key"))
+    // distributed bitmap build: one tight group per touched file; only
+    // (rel, serialized bitmap) ever reaches the driver — roaring bytes,
+    // not positions
+    val perFile: Seq[(String, Array[Byte])] = matched
+      .select(col("_gf_rel"), col("_gf_pos"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (rel, it) =>
+        (rel, graft.functions.DeletionVector.serialize(
+          graft.functions.DeletionVector.bitmapOf(it.map(_._2))))
+      }.collect().toSeq.sortBy(_._1)
+    if (perFile.isEmpty) return 0L
+    val deletedNow = perFile.map(p =>
+      graft.functions.DeletionVector.deserialize(p._2).getLongCardinality).sum
+    // CDC images (cost ∝ matched rows, same as the CoW path)
+    val conf = spark.sessionState.newHadoopConf()
+    val txn = java.util.UUID.randomUUID().toString.take(8)
+    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
+      val cdcStaging = Files.createTempDirectory("graft-delta-dv-cdc").toFile
+      try {
+        matched.select(state.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
+          .write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", MaxRecordsPerFile)
+          .parquet(cdcStaging.getPath)
+        publishAll(store, dir, cdcStaging,
+          conf, (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
+      } finally deleteRecursively(cdcStaging)
+    }
+    // merge with any existing DV per file, publish the sidecars, and
+    // re-add each touched file (same path, new descriptor — last add per
+    // path wins in replay; the data file itself is untouched)
+    val now = System.currentTimeMillis()
+    val published = scala.collection.mutable.ArrayBuffer[String]()
+    val newAdds = try perFile.zipWithIndex.map { case ((rel, fresh), i) =>
+      val add = state.live.find(_.path == rel).getOrElse(
+        throw new IllegalStateException(s"matched file not live: $rel"))
+      val bytes = add.dv match {
+        case Some(old) => graft.functions.DeletionVector.merge(
+          Files.readAllBytes(new File(table, old.path).toPath), fresh)
+        case None => fresh
+      }
+      val card = graft.functions.DeletionVector.deserialize(bytes)
+        .getLongCardinality
+      val dvRel = s"deletion_vectors/dv-$txn-$i.bin"
+      val target = new File(dir, dvRel)
+      store match {
+        case os: ObjectStore => os.putObject(target.toPath, bytes)
+        case _ =>
+          target.getParentFile.mkdirs()
+          Files.write(target.toPath, bytes): Unit
+      }
+      published += dvRel
+      add.copy(modificationTime = now,
+        dv = Some(DvInfo(dvRel, bytes.length.toLong, card)))
+    } catch { case e: Throwable =>
+      (published ++ cdcAdds.map(_.path)).foreach(p =>
+        scala.util.Try(deleteData(store, dir, p)))
+      throw e
+    }
+    val bump =
+      if (meta.minReader >= 3 && meta.minWriter >= 7) Nil
+      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""")
+    val cdcLines = cdcAdds.map(a =>
+      s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
+        s""""size":${a.size},"dataChange":false}}""")
+    val lines = bump ++ newAdds.map(a => addJson(a)) ++ cdcLines
+    try commitAtomic(store, versionFile(table, state.version + 1), lines)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        (published ++ cdcAdds.map(_.path)).foreach(p =>
+          scala.util.Try(deleteData(store, dir, p)))
+        throw new IllegalStateException(
+          s"concurrent commit on $table during deleteWhereDV; re-run", e)
+    }
+    deletedNow
+  }
+
   /** Writes a parquet checkpoint of the current log state plus the
     * `_last_checkpoint` pointer. Readers then start from the checkpoint and
     * replay only newer JSON commits — O(delta) instead of O(history).
@@ -842,7 +976,7 @@ object DeltaSink {
     // written straight back out, so a table with millions of live files
     // checkpoints without the add list ever materializing on the driver.
     val metaRows: Seq[Row] =
-      (Row(Row(1, 1), null, null, null) +:
+      (Row(Row(meta.minReader, meta.minWriter), null, null, null) +:
       Row(null,
         Row(Option(meta.id).getOrElse(java.util.UUID.randomUUID().toString), Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
@@ -859,7 +993,7 @@ object DeltaSink {
         nullAs("protocol"), nullAs("metaData"),
         struct(col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), lit(true).as("dataChange"),
-          col("stats")).as("add"),
+          col("stats"), col("deletionVector")).as("add"),
         nullAs("txn")))
     // Stage INSIDE _delta_log: the final step is then a same-filesystem
     // directory rename — Files.move of a non-empty directory cannot
@@ -945,7 +1079,12 @@ object DeltaSink {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("cardinality", LongType))))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
@@ -968,7 +1107,8 @@ object DeltaSink {
       retentionMs: Long = 7L * 24 * 3600 * 1000,
       store: CommitStore = CommitStore.Local): Int = {
     val dir = new File(table)
-    val liveNow = replay(spark, table, None).live.map(_.path).toSet
+    val liveAdds = replay(spark, table, None).live
+    val liveNow = liveAdds.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val dead = dataFiles(dir).filter { f =>
       val rel = dir.toPath.relativize(f.toPath).toString
@@ -983,12 +1123,23 @@ object DeltaSink {
     val deadCdc = Option(new File(dir, "_change_data").listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") && f.lastModified() < cutoff)
     deadCdc.foreach(f => deleteData(store, dir, dir.toPath.relativize(f.toPath).toString))
+    // deletion-vector sidecars: superseded descriptors (a re-delete
+    // OR-merged them away, or a rewrite/compact dropped the DV) reclaim
+    // on the same clock; live-referenced ones never do
+    val liveDvs = liveAdds.flatMap(_.dv.map(_.path)).toSet
+    val deadDv = Option(new File(dir, "deletion_vectors").listFiles()).toSeq.flatten
+      .filter { f =>
+        val rel = dir.toPath.relativize(f.toPath).toString
+        f.getName.endsWith(".bin") && !liveDvs.contains(rel) &&
+          f.lastModified() < cutoff
+      }
+    deadDv.foreach(f => deleteData(store, dir, dir.toPath.relativize(f.toPath).toString))
     // drop partition dirs emptied by the sweep
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_delta_log" &&
         Option(d.listFiles()).forall(_.isEmpty))
       .foreach(_.delete())
-    dead.size + deadCdc.size
+    dead.size + deadCdc.size + deadDv.size
   }
 
   /** Declared schema of a Delta table (no data scan). */
@@ -1053,8 +1204,14 @@ object DeltaSink {
     import org.apache.spark.sql.functions.{col, from_json}
     val (_, live) = resolve(spark, table, asOfVersion)
     val statsSchema = StructType(Seq(StructField("numRecords", LongType)))
+    // a DV'd file's stats count the PHYSICAL rows; the descriptor's
+    // cardinality subtracts the deleted ones without opening anything —
+    // exactly what the cardinality field exists for
     live.select(col("path"), col("partitionValues"),
-      from_json(col("stats"), statsSchema).getField("numRecords")
+      (from_json(col("stats"), statsSchema).getField("numRecords") -
+        org.apache.spark.sql.functions.coalesce(
+          col("deletionVector.cardinality"),
+          org.apache.spark.sql.functions.lit(0L)))
         .as("num_records"),
       col("size").as("size_bytes"))
   }
@@ -1096,7 +1253,8 @@ object DeltaSink {
       mn.isNull || mx.isNull || overlaps
     }.reduce(_ && _)
     parsed.filter(keep)
-      .select("path", "partitionValues", "size", "modificationTime", "stats")
+      .select("path", "partitionValues", "size", "modificationTime", "stats",
+        "deletionVector")
   }
 
   /** Change feed: the rows ADDED in versions (`sinceVersion`, latest] —
@@ -1134,7 +1292,8 @@ object DeltaSink {
       .agg(max_by(struct(col("add.partitionValues").as("partitionValues"),
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
-        col("add.stats").as("stats")), col("version")).as("w"))
+        col("add.stats").as("stats"),
+        col("add.deletionVector").as("deletionVector")), col("version")).as("w"))
       .select(col("path"), col("w.*"))
     readState(spark, table, state.copy(live = collectAdds(feed)))
   }
@@ -1179,7 +1338,14 @@ object DeltaSink {
       } else {
         def pathsOf(key: String) = lines.flatMap(n => Option(n.get(key)))
           .filter(n => Option(n.get("dataChange")).forall(_.asBoolean(true)))
-          .map(n => AddEntry(n.get("path").asText(), Map.empty, 0L, 0L, null))
+          .map { n =>
+            // honor a DV on the reconstructed add: its insert images are
+            // the SURVIVORS, never the deleted rows
+            val dv = Option(n.get("deletionVector")).map(d =>
+              DvInfo(d.get("pathOrInlineDv").asText(),
+                d.get("sizeInBytes").asLong(), d.get("cardinality").asLong()))
+            AddEntry(n.get("path").asText(), Map.empty, 0L, 0L, null, dv)
+          }
         val adds = pathsOf("add")
         val removes = pathsOf("remove")
         val ins =
@@ -1198,20 +1364,72 @@ object DeltaSink {
     else frames.reduce(_.unionByName(_))
   }
 
-  private def readState(spark: SparkSession, table: String, state: State): DataFrame = {
+  private def readState(spark: SparkSession, table: String, state: State): DataFrame =
+    readStateMerged(spark, table, state, keepLineage = false)
+
+  /** The MERGED view of a snapshot: the live files' rows minus what their
+    * deletion vectors erase. Zero overhead when no live add carries a DV
+    * (the plain scan is returned untouched — no lineage columns read, no
+    * filter planted). With DVs, every row's (file, row_index) — free from
+    * the parquet reader's `_metadata` struct — probes ONE native
+    * expression holding ALL of the snapshot's bitmaps (KBs–MBs riding the
+    * plan as a literal; roaring compresses runs): never a join, never a
+    * shuffle, cost O(1) per row. `keepLineage` keeps `_gf_uri`/`_gf_pos`
+    * for [[deleteWhereDV]]'s provenance.
+    */
+  private def readStateMerged(spark: SparkSession, table: String,
+      state: State, keepLineage: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val dvAdds = state.live.filter(_.dv.isDefined)
+    if (dvAdds.isEmpty && !keepLineage)
+      return readStateFiles(spark, table, state, withLineage = false)
+    val base = readStateFiles(spark, table, state, withLineage = true)
+    val merged =
+      if (dvAdds.isEmpty) base
+      else {
+        // dual-key map (raw absolute path + URI-encoded rendering), same
+        // discipline as the Iceberg side: `_metadata.file_path` may
+        // percent-encode characters the add path stores raw
+        val dvMap = dvAdds.flatMap { a =>
+          val abs = new File(table, a.path).getAbsolutePath
+          val bytes = Files.readAllBytes(new File(table, a.dv.get.path).toPath)
+          val enc = new File(abs).toURI.toString
+            .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+          Seq(abs, enc).distinct.map(_ -> bytes)
+        }.toMap
+        val packed = graft.functions.DeletionVector.packMap(dvMap)
+        base.filter(!graft.functions.DeletionVector.dvDeleted(packed,
+          regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+          col("_gf_pos")))
+      }
+    if (keepLineage) merged
+    else merged.select(state.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  private def readStateFiles(spark: SparkSession, table: String, state: State,
+      withLineage: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lineageCols = Seq(col("_metadata.file_path").as("_gf_uri"),
+      col("_metadata.row_index").as("_gf_pos"))
     val paths = state.live.map(a => new File(table, a.path).getAbsolutePath)
     if (paths.isEmpty) {
-      spark.createDataFrame(new java.util.ArrayList[Row](), state.schema)
+      val lineageFields =
+        if (!withLineage) Array.empty[StructField]
+        else Array(StructField("_gf_uri", StringType),
+          StructField("_gf_pos", LongType))
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(state.schema.fields ++ lineageFields))
     } else if (state.partitionColumns.isEmpty) {
-      spark.read.schema(state.schema).parquet(paths: _*)
+      val base = spark.read.schema(state.schema).parquet(paths: _*)
+      if (withLineage) base.select(col("*") +: lineageCols: _*) else base
     } else {
       // Hive-style dirs + basePath: Spark's partition discovery restores the
       // partition columns (typed per the declared schema) and Catalyst
       // partition-prunes on them; select() pins the declared column order.
       spark.read.schema(state.schema).option("basePath", table)
         .parquet(paths: _*)
-        .select(state.schema.fieldNames.toIndexedSeq
-          .map(org.apache.spark.sql.functions.col): _*)
+        .select(state.schema.fieldNames.toIndexedSeq.map(col) ++
+          (if (withLineage) lineageCols else Nil): _*)
     }
   }
 
@@ -1219,13 +1437,15 @@ object DeltaSink {
     * txn watermarks — a handful of values regardless of table size.
     */
   private case class MetaState(version: Long, id: String, createdTime: Long,
-      schema: StructType, partitionColumns: Seq[String], txns: Map[String, Long])
+      schema: StructType, partitionColumns: Seq[String], txns: Map[String, Long],
+      minReader: Int = 1, minWriter: Int = 1)
 
   /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
     * from the log tail. PERMISSIVE json read turns a protocol line into
     * all-null columns — filtered out downstream, never an error.
     */
   private val JsonActionSchema = StructType(Seq(
+    StructField("protocol", CheckpointSchema("protocol").dataType),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("createdTime", LongType),
@@ -1358,6 +1578,7 @@ object DeltaSink {
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
+        col("add.deletionVector").as("deletionVector"),
         lit(ckptV.get).as("version"),
         lit(true).as("isAdd")))
     val tailActs = tailDF.map(
@@ -1367,20 +1588,39 @@ object DeltaSink {
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
+        col("add.deletionVector").as("deletionVector"),
         col("version"),
         col("add").isNotNull.as("isAdd")))
     val all = (ckptAdds.toSeq ++ tailActs.toSeq).reduce(_.unionByName(_))
     val live = all
       .groupBy("path")
       .agg(max_by(struct(col("partitionValues"), col("size"),
-        col("modificationTime"), col("stats"), col("isAdd")),
+        col("modificationTime"), col("stats"), col("deletionVector"),
+        col("isAdd")),
         col("version")).as("w"))
       .where(col("w.isAdd"))
       .select(col("path"), col("w.partitionValues").as("partitionValues"),
         col("w.size").as("size"),
         col("w.modificationTime").as("modificationTime"),
-        col("w.stats").as("stats"))
-    (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap), live)
+        col("w.stats").as("stats"),
+        col("w.deletionVector").as("deletionVector"))
+    // PROTOCOL GATE: refuse tables demanding reader capabilities beyond
+    // this engine's (v3 + deletionVectors). Silently mis-reading a table
+    // whose protocol promises semantics we don't implement is the one
+    // unforgivable failure mode of a log-replicated format.
+    val protoRows =
+      (ckptDF.toSeq ++ tailDF.toSeq).map(
+        _.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            col("protocol.minWriterVersion"))
+          .collect().toSeq).flatten
+    val minReader = protoRows.map(_.getInt(0)).foldLeft(1)(math.max)
+    val minWriter = protoRows.map(_.getInt(1)).foldLeft(1)(math.max)
+    require(minReader <= 3,
+      s"unsupported Delta protocol: table requires reader version $minReader, " +
+        "this engine supports up to 3 (deletion vectors)")
+    (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
+      minReader, minWriter), live)
   }
 
   /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
@@ -1390,10 +1630,13 @@ object DeltaSink {
     */
   private def collectAdds(live: DataFrame): Seq[AddEntry] =
     live.collect().toSeq.map { r =>
+      val dv = Option(r.getAs[Row]("deletionVector")).map(d =>
+        DvInfo(d.getAs[String]("pathOrInlineDv"),
+          d.getAs[Long]("sizeInBytes"), d.getAs[Long]("cardinality")))
       AddEntry(r.getAs[String]("path"),
         Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
         r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
-        r.getAs[String]("stats"))
+        r.getAs[String]("stats"), dv)
     }.sortBy(_.path) // deterministic scan order regardless of agg partitioning
 
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
@@ -1416,9 +1659,13 @@ object DeltaSink {
     val pv = a.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${esc(k)}:${if (v == null) "null" else esc(v)}" }
       .mkString("{", ",", "}")
+    val dv = a.dv.map(d =>
+      s""","deletionVector":{"storageType":"p","pathOrInlineDv":${esc(d.path)},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+      .getOrElse("")
     s"""{"add":{"path":${esc(a.path)},"partitionValues":$pv,"size":${a.size},""" +
       s""""modificationTime":${a.modificationTime},"dataChange":$dataChange,""" +
-      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}}}"""
+      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}$dv}}"""
   }
 
   /** All parquet data files under `dir`, partition subdirs included,

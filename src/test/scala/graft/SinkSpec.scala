@@ -1718,6 +1718,90 @@ class SinkSpec extends AnyFunSuite {
     assert(m3.get("schemas").size() == 3, "previous schemas stay retained")
   }
 
+  test("Delta deletion vectors: merge-on-read delete, no rewrite, protocol bump (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((1L to 100L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "v"), table))
+    val filesBefore = new File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val v0 = DeltaSink.latestVersion(table)
+    // DV delete: rows gone, data files byte-identical
+    val n = DeltaSink.deleteWhereDV(spark, table, "id % 10 = 0")
+    assert(n == 10L)
+    val filesAfter = new File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    assert(filesBefore == filesAfter, "a DV delete must not touch any data file")
+    assert(new File(table, "deletion_vectors").listFiles().exists(_.getName.endsWith(".bin")))
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 90)
+    assert(out.filter(col("id") % 10 === 0).count() == 0)
+    // protocol bumped IN the delete's commit
+    val commit = Files.readString(Paths.get(table, "_delta_log",
+      f"${v0 + 1}%020d.json"))
+    assert(commit.contains("\"minReaderVersion\":3") &&
+      commit.contains("\"minWriterVersion\":7") &&
+      commit.contains("deletionVectors"))
+    // pre-delete version still reads all rows
+    assert(DeltaSink.read(spark, table, Some(v0)).count() == 100)
+    // re-delete is a no-op: matches evaluate against the merged view
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 10 = 0") == 0L)
+    // a second DV delete on the same files OR-merges into ONE descriptor
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 7 = 0") == 13L)
+    val out2 = DeltaSink.read(spark, table)
+    assert(out2.count() == 77)
+    assert(out2.filter(col("id") % 7 === 0 || col("id") % 10 === 0).count() == 0)
+    // CDF classifies the DV delete without reconstruction
+    val cdf = DeltaSink.readCdf(spark, table, v0)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 23)
+    // metadata-only count subtracts DV cardinality
+    assert(DeltaSink.fileStats(spark, table)
+      .agg(sum(col("num_records"))).head().getLong(0) == 77L)
+  }
+
+  test("Delta deletion vectors: checkpoint/vacuum/restore/CoW interplay + protocol gate (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v"), table))
+    val v0 = DeltaSink.latestVersion(table)
+    DeltaSink.deleteWhereDV(spark, table, "id <= 5")
+    // a checkpoint must carry the DV descriptor AND the bumped protocol
+    DeltaSink.checkpoint(spark, table)
+    assert(DeltaSink.read(spark, table).count() == 45,
+      "checkpointed state must keep applying the deletion vector")
+    // copy-on-write UPDATE over a DV'd file: reads the merged view,
+    // rewrites survivors, and the rewritten file carries NO DV
+    DeltaSink.updateWhere(spark, table, "id = 10", Map("v" -> "v + 1000"))
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 45)
+    assert(out.filter(col("id") === 10).head().getDouble(1) == 1010.0)
+    assert(out.filter(col("id") <= 5).count() == 0,
+      "the rewrite must not resurrect DV-deleted rows")
+    // restore to the pre-DV version re-adds the no-DV descriptors
+    // (BEFORE any vacuum — vacuum legitimately forecloses restore past it)
+    DeltaSink.restore(spark, table, v0)
+    assert(DeltaSink.read(spark, table).count() == 50)
+    // vacuum sweeps superseded DV sidecars (the update above dropped one)
+    // but never a live-referenced one
+    DeltaSink.deleteWhereDV(spark, table, "id = 11")
+    val swept = DeltaSink.vacuum(spark, table, retentionMs = 0L)
+    assert(swept >= 1)
+    assert(DeltaSink.read(spark, table).count() == 49,
+      "vacuum must keep live DV sidecars")
+    // protocol gate: a table demanding reader v5 refuses to read
+    val alien = tmp()
+    assert(DeltaSink.write(Seq((1L, 1.0)).toDF("id", "v"), alien))
+    val vNext = DeltaSink.latestVersion(alien) + 1
+    Files.writeString(Paths.get(alien, "_delta_log", f"$vNext%020d.json"),
+      """{"protocol":{"minReaderVersion":5,"minWriterVersion":9}}""" + "\n")
+    val e = intercept[Exception](DeltaSink.read(spark, alien).count())
+    assert(e.getMessage.contains("unsupported Delta protocol"), e.getMessage)
+  }
+
   test("Iceberg evolve2: rename/widen/drop are metadata-only and id-resolved (r13)") {
     val s = spark
     import s.implicits._
