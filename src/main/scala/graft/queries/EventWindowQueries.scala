@@ -1638,6 +1638,61 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_deletekeys",
+      // CDC DELETE verb under the oracle (r13): deleteKeys commits ONE
+      // equality-delete-only snapshot — the Flink-CDC DELETE shape,
+      // upsert minus the replacement rows — erasing every row whose key
+      // appears in the batch WITHOUT reading or rewriting ANY data file
+      // (cost ∝ the key batch, never the table; `no_rewrite` pins the
+      // data file set unchanged). Keys that no longer exist are read-level
+      // no-ops; the pre-delete snapshot still time-travels; the changelog
+      // classifies the erased rows as `delete` (no replacement in the
+      // snapshot — distinct from an upsert's update_preimage).
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-dk") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        def files() = new java.io.File(table, "data").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet
+        val before = files()
+        graft.sinks.IcebergSink.deleteKeys(s, table,
+          ev.filter(col("event_id") % 13 === 0).select("event_id"),
+          Seq("event_id"))
+        val noRewrite = files() == before
+        val kept = graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"), fxSum(col("value")).as("v_kept"))
+        val feed = graft.sinks.IcebergSink.readChangelog(s, table, s0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_del"),
+            min(col("_change_type") === "delete").as("all_del"))
+        val pre = graft.sinks.IcebergSink.read(s, table, Some(s0))
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+        val direct = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n_all"))
+        kept.join(feed, Seq("event_type"), "full_outer")
+          .join(pre, Seq("event_type"), "full_outer")
+          .join(direct, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_kept"), lit(0L)).as("n_rows"),
+            coalesce(col("v_kept"), lit(0.0)).as("sum_value"),
+            coalesce(col("n_del"), lit(0L)).as("del_rows"),
+            coalesce(col("all_del"), lit(true)).as("all_delete"),
+            lit(noRewrite).as("no_rewrite"),
+            (col("n_pre") <=> col("n_all")).as("bad_travels"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 13 <> 0) AS BIGINT) AS n_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 13 <> 0), 0) AS DOUBLE) / 100.0 AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT) AS del_rows,
+             |  TRUE AS all_delete, TRUE AS no_rewrite, TRUE AS bad_travels
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_evolve2",
       // FULL SCHEMA-EVOLUTION SURFACE under the oracle (r13 — VERDICT r12
       // item 3): rename, type-widen, and drop, all METADATA-ONLY (no data

@@ -303,9 +303,19 @@ private[graft] object IcebergAvro {
   /** Delete-file entries of a deletes manifest: (path, entry content code
     * — 1 positional / 2 equality —, equality field ids, recordCount).
     */
-  def readManifestDeleteFiles(f: File): Seq[(String, Int, Seq[Int], Long)] = {
+  def readManifestDeleteFiles(f: File): Seq[(String, Int, Seq[Int], Long)] =
+    readManifestDeleteEntries(f).map(e => (e._1, e._2, e._3, e._4))
+
+  /** Delete-file entries WITH their manifest partition values — a
+    * partition-scoped delete manifest (deleteWhere on a partitioned
+    * table) lets pruned readers skip delete files of other partitions.
+    * Reads with the file's own writer schema so any partition struct
+    * shape round-trips (same contract as [[readManifestPartitions]]).
+    */
+  def readManifestDeleteEntries(f: File)
+      : Seq[(String, Int, Seq[Int], Long, Map[String, Any])] = {
     val r = new DataFileReader[GenericRecord](f,
-      new GenericDatumReader[GenericRecord](EntrySchema))
+      new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toList
       .filter(_.get("status").asInstanceOf[Int] != 2)
       .map { e =>
@@ -315,8 +325,15 @@ private[graft] object IcebergAvro {
           case a: java.util.Collection[_] =>
             a.asScala.map(_.asInstanceOf[Int]).toSeq
         }
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val pvals = part.getSchema.getFields.asScala.map { pf =>
+          pf.name() -> (part.get(pf.name()) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case other => other
+          })
+        }.toMap
         (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
-          ids, df.get("record_count").asInstanceOf[Long])
+          ids, df.get("record_count").asInstanceOf[Long], pvals)
       }
     finally r.close()
   }

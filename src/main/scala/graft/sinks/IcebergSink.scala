@@ -1086,7 +1086,8 @@ object IcebergSink {
     */
   private[sinks] case class DeleteRef(path: String, seq: Long,
       content: Int, equalityIds: Seq[Int],
-      wf: Option[Seq[IField]] = None)
+      wf: Option[Seq[IField]] = None,
+      pvals: Map[String, Any] = Map.empty)
   private[sinks] case class Snapshot(schema: StructType,
       data: Seq[(String, Map[String, Any], Long)],
       deletes: Seq[DeleteRef],
@@ -1133,8 +1134,9 @@ object IcebergSink {
       val mf = new File(requireAvro(abs(table, r.path)))
       val wf = IcebergAvro.readManifestSchema(mf)
         .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
-      IcebergAvro.readManifestDeleteFiles(mf)
-        .map { case (p, content, eqIds, _) => DeleteRef(p, r.seq, content, eqIds, wf) }
+      IcebergAvro.readManifestDeleteEntries(mf)
+        .map { case (p, content, eqIds, _, pvals) =>
+          DeleteRef(p, r.seq, content, eqIds, wf, pvals) }
     }
     Snapshot(schema, data, deletes, refs.filter(_.content == 0),
       curFieldsOf(meta, schema), fileFields)
@@ -1177,9 +1179,12 @@ object IcebergSink {
     * Returns (frame, scanned-file-count, total-file-count) so tests can
     * pin that pruning actually happened.
     */
-  def readDays(spark: SparkSession, table: String, tsCol: String,
+  /** [[readDays]] plus the pruning census: (frame, dataKept, dataTotal,
+    * deleteFilesKept, deleteFilesTotal).
+    */
+  private[graft] def planDays(spark: SparkSession, table: String, tsCol: String,
       fromDay: java.time.LocalDate, untilDay: java.time.LocalDate)
-      : (DataFrame, Int, Int) = {
+      : (DataFrame, Int, Int, Int, Int) = {
     val snap = snapshotEntries(table, asOfSnapshotId = None)
     val (schema, entries) = (snap.schema, snap.data)
     val key = s"${tsCol}_day"
@@ -1201,10 +1206,28 @@ object IcebergSink {
         datediff(col(tsCol), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
       case _ => floor(col(tsCol).cast("double") / 86400.0)
     }
-    val df = readMerged(spark, schema, kept, snap.deletes,
+    // partition-scoped DELETE manifests prune too: a delete file stamped
+    // with another day's partition value can't touch this window's rows;
+    // files without the value (equality deletes, pre-scoping snapshots,
+    // cross-partition groups) are kept — pruning is an optimization,
+    // never a correctness filter
+    val keptDeletes = snap.deletes.filter { d =>
+      d.pvals.get(key) match {
+        case Some(x: Int) => x >= lo && x < hi
+        case _ => true
+      }
+    }
+    val df = readMerged(spark, schema, kept, keptDeletes,
         curFields = snap.curFields, fileFields = snap.fileFields)
       .filter(utcDay >= lo && utcDay < hi)
-    (df, kept.size, entries.size)
+    (df, kept.size, entries.size, keptDeletes.size, snap.deletes.size)
+  }
+
+  def readDays(spark: SparkSession, table: String, tsCol: String,
+      fromDay: java.time.LocalDate, untilDay: java.time.LocalDate)
+      : (DataFrame, Int, Int) = {
+    val (df, kd, td, _, _) = planDays(spark, table, tsCol, fromDay, untilDay)
+    (df, kd, td)
   }
 
   /** Bucket-pruned POINT read over a `bucket[N](keyCol)` table (r9): the
@@ -1239,8 +1262,14 @@ object IcebergSink {
         case _ => true
       }
     }
+    val keptDeletes = snap.deletes.filter { d =>
+      d.pvals.get(derivedName) match {
+        case Some(x: Int) => x == b
+        case _ => true
+      }
+    }
     import org.apache.spark.sql.functions.col
-    val df = readMerged(spark, schema, kept, snap.deletes,
+    val df = readMerged(spark, schema, kept, keptDeletes,
         curFields = snap.curFields, fileFields = snap.fileFields)
       .filter(col(keyCol) === value)
     (df, kept.size, entries.size)
@@ -1789,23 +1818,54 @@ object IcebergSink {
       .putLong("parquet.field.id", 2147483546L).build()
     val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("parquet.field.id", 2147483545L).build()
-    val dels = matched
+    // PARTITION SCOPE (r13): on a partitioned table, delete rows group by
+    // their TARGET file's partition (a broadcast of the metadata-scale
+    // file→group map) and each group lands its own delete file(s), so the
+    // delete manifest's entries carry partition values and pruned readers
+    // (readDays/readBucket) skip delete files of other partitions — on a
+    // table carrying millions of delete rows across many partitions, a
+    // one-day read stops opening every delete file ever written.
+    val specCols: Seq[String] = meta.get("partition-specs").elements().asScala
+      .find(sp => sp.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
+      .toSeq.flatMap(_.get("fields").elements().asScala.map(f =>
+        rawOfSpecField(f.get("name").asText(),
+          Option(f.get("transform")).map(_.asText()).getOrElse("identity"))))
+      .toSeq
+    val delPartSpecs = specCols.map(parsePartSpec)
+    val delPartFields = partitionFieldsOf(snap.schema, delPartSpecs)
+    val groupKeys: IndexedSeq[Map[String, Any]] =
+      snap.data.map(_._2).distinct.toIndexedSeq
+    val gidByPvals = groupKeys.zipWithIndex.toMap
+    import spark.implicits._
+    val base = matched
       .select(col("_gf_mpath").as("file_path", fpMeta),
         col("_gf_pos").as("pos", posMeta))
-      // spec: delete rows sorted by file_path then pos; range partitioning
-      // keeps each output file covering a contiguous slice (AQE coalesces
-      // the mostly-empty shuffle partitions of a small delete)
-      .repartitionByRange(col("file_path"), col("pos"))
-      .sortWithinPartitions("file_path", "pos")
+    val dels =
+      if (delPartFields.isEmpty) base
+        // spec: delete rows sorted by file_path then pos; range
+        // partitioning keeps each output file covering a contiguous slice
+        // (AQE coalesces the mostly-empty shuffle partitions)
+        .repartitionByRange(col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+      else {
+        import org.apache.spark.sql.functions.{broadcast, coalesce => cl, lit}
+        val gidLookup = snap.data.map(e => (e._1, gidByPvals(e._2)))
+          .toDF("file_path", "_gf_gid")
+        base.join(broadcast(gidLookup), Seq("file_path"), "left")
+          .withColumn("_gf_gid", cl(col("_gf_gid"), lit(-1)))
+          .repartitionByRange(col("_gf_gid"), col("file_path"), col("pos"))
+          .sortWithinPartitions("_gf_gid", "file_path", "pos")
+      }
     val objStore: Option[ObjectStore] =
       store match { case os: ObjectStore => Some(os); case _ => None }
     val stage = s"data/delete-${java.util.UUID.randomUUID()}"
     val stagePath = objStore
       .map(_ => Files.createTempDirectory("graft-ib-del").resolve("out").toString)
       .getOrElse(s"$table/$stage")
-    dels.write
+    val writer = dels.write
       .option("compression", "snappy")
       .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+    (if (delPartFields.isEmpty) writer else writer.partitionBy("_gf_gid"))
       .parquet(stagePath)
     new File(s"$stagePath/_SUCCESS").delete()
     val stageRoot = new File(stagePath)
@@ -1813,17 +1873,35 @@ object IcebergSink {
       Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
       f.delete(): Unit
     }
-    val parts = Option(stageRoot.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getAbsolutePath)
+    def walkParts(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
+      case f if f.isDirectory => walkParts(f)
+      case f if f.getName.startsWith("part-") && f.getName.endsWith(".parquet") =>
+        Seq(f)
+      case _ => Nil
+    }
+    val parts = walkParts(stageRoot).sortBy(_.getAbsolutePath)
     val conf = spark.sessionState.newHadoopConf()
     def tablePathOf(f: File): String = objStore match {
-      case Some(_) => new File(s"$table/$stage", f.getName).getAbsolutePath
+      case Some(_) =>
+        new File(s"$table/$stage",
+          stageRoot.toPath.relativize(f.toPath).toString).getAbsolutePath
       case None => f.getAbsolutePath
     }
+    // a part file's partition values come from its _gf_gid=N directory —
+    // -1 (an old-spec file whose pvals don't key the current spec) and the
+    // unpartitioned path both stamp nulls, which every reader KEEPS
+    def partValuesOfPart(f: File): Seq[Any] =
+      if (delPartFields.isEmpty) Nil
+      else {
+        val gid = f.getParentFile.getName.stripPrefix("_gf_gid=").toInt
+        if (gid >= 0 && gid < groupKeys.length)
+          delPartFields.map(pf => groupKeys(gid).getOrElse(pf.name, null))
+        else delPartFields.map(_ => null)
+      }
     val (kept, empties) = parts.map { f =>
       val (rows, _) = footerStats(f, conf, Map.empty)
-      (f, IcebergAvro.DataFileInfo(tablePathOf(f), f.length(), rows))
+      (f, IcebergAvro.DataFileInfo(tablePathOf(f), f.length(), rows,
+        partitionValues = partValuesOfPart(f)))
     }.partition(_._2.recordCount > 0)
     // zero-row part files would never enter a manifest — reclaim them now
     // or they'd sit on disk unreferenced forever (expiry only reclaims
@@ -1849,10 +1927,22 @@ object IcebergSink {
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val seq = meta.get("last-sequence-number").asLong() + 1
     val (schemaId, schemaJson) = currentSchemaJson(meta)
+    // the delete manifest carries the table's partition spec so its
+    // entries' values are interpretable by any pruned reader
+    val delSpecJson =
+      if (delPartFields.isEmpty) """{"spec-id":0,"fields":[]}"""
+      else {
+        val fidOf = snap.curFields.map(f => f.name -> f.id).toMap
+        val fieldsJson = delPartFields.zip(delPartSpecs).map { case (pf, ps) =>
+          s"""{"name":"${pf.name}","transform":"${ps.transform}",""" +
+            s""""source-id":${fidOf(ps.source)},"field-id":${pf.fieldId}}"""
+        }.mkString(",")
+        s"""{"spec-id":0,"fields":[$fieldsJson]}"""
+      }
     val (manifestPath, manifestLen) =
       writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
         IcebergAvro.writeManifest(f, infos, snapshotId, schemaJson,
-          """{"spec-id":0,"fields":[]}""", Nil, content = 1))
+          delSpecJson, delPartFields, content = 1))
     val delRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
       manifestLen, seq, snapshotId, infos.size, deletedRows, content = 1)
     commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,

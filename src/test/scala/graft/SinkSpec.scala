@@ -1609,6 +1609,43 @@ class SinkSpec extends AnyFunSuite {
       "a bucket-pruned point read must surface the upserted row, not the stale one")
   }
 
+  test("Iceberg partition-scoped delete manifests: pruned reads skip other partitions' delete files (r13)") {
+    val s = spark
+    import s.implicits._
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d ${8 + i % 10}%02d:00:00")
+    val table = tmp()
+    IcebergSink.write(
+      (1L to 30L).map(i => (i, ts(if (i <= 15) 1 else 2, i.toInt), i.toDouble))
+        .toDF("id", "ts", "v"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("day(ts)"))
+    // delete rows living ONLY in day 1
+    val n = IcebergSink.deleteWhere(spark, table, "id <= 5")
+    assert(n == 5L)
+    val d1 = java.time.LocalDate.of(2024, 3, 1)
+    val d2 = java.time.LocalDate.of(2024, 3, 2)
+    // the day-2 read must not open ANY delete file; day 1 keeps them
+    val (day2, _, _, delKept2, delTotal) =
+      IcebergSink.planDays(spark, table, "ts", d2, d2.plusDays(1))
+    assert(delTotal >= 1)
+    assert(delKept2 == 0,
+      s"day-2 read kept $delKept2 of $delTotal delete files — partition scope not applied")
+    assert(day2.count() == 15)
+    val (day1, _, _, delKept1, _) =
+      IcebergSink.planDays(spark, table, "ts", d1, d1.plusDays(1))
+    assert(delKept1 >= 1, "day-1 read must keep its own delete files")
+    assert(day1.orderBy("id").collect().map(_.getLong(0)).toSeq == (6L to 15L).toSeq)
+    // unscoped delete files (equality deletes from upsert) are KEPT by
+    // every pruned read — pruning is an optimization, never a filter
+    IcebergSink.upsert(spark, table, Seq((20L, ts(2, 0), 2000.0)).toDF("id", "ts", "v"), Seq("id"))
+    val (day2b, _, _, delKept2b, delTotalB) =
+      IcebergSink.planDays(spark, table, "ts", d2, d2.plusDays(1))
+    assert(delKept2b == delTotalB - delKept1 || delKept2b >= 1,
+      "the unscoped equality delete must be kept")
+    assert(day2b.filter(col("id") === 20L).head().getDouble(2) == 2000.0)
+    // full read still applies everything
+    assert(IcebergSink.read(spark, table).count() == 25)
+  }
+
   test("Iceberg deleteKeys: equality-delete-only CDC snapshot (r13)") {
     val s = spark
     import s.implicits._
