@@ -552,6 +552,28 @@ class PlanSpec extends AnyFunSuite {
       s"equality-delete application must broadcast too:\n$eq")
   }
 
+  test("Delta deletion vectors: clean reads plan zero DV overhead; DV application is one filter, never a join (r13)") {
+    val sess = spark
+    import sess.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-planspec-dv").toString
+    graft.sinks.DeltaSink.write(
+      (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "v"), table)
+    // fast path: no live DV → plain scan, no probe expression, no
+    // lineage columns
+    val clean = planOf(graft.sinks.DeltaSink.read(spark, table))
+    assert(!clean.contains("graft_dv_deleted") && !clean.contains("Join"),
+      s"a DV-free read must plan zero DV overhead:\n$clean")
+    // with a DV: application is ONE filter expression riding the scan —
+    // all bitmaps travel as a plan literal, deserialized once per
+    // executor — NEVER a join or a shuffle of the data side
+    graft.sinks.DeltaSink.deleteWhereDV(spark, table, "id % 10 = 0")
+    val dv = planOf(graft.sinks.DeltaSink.read(spark, table))
+    assert(dv.contains("graft_dv_deleted"),
+      s"the DV probe must ride the scan as a filter:\n$dv")
+    assert(!dv.contains("Join") && !dv.contains("Exchange"),
+      s"DV application must never join or shuffle:\n$dv")
+  }
+
   test("q_semdedup: candidate pairs come from the cluster-id equi join, never corpus x corpus (r10)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
