@@ -114,7 +114,7 @@ object DeltaSink {
   private case class State(version: Long, metaId: String,
       createdTime: Long, schema: StructType,
       partitionColumns: Seq[String], live: Seq[AddEntry],
-      txns: Map[String, Long])
+      txns: Map[String, Long], minWriter: Int = 1)
 
   /** Writes `df` as a brand-new Delta table. Returns true if written; false
     * if the target was non-empty and overwrite was not requested (the
@@ -217,6 +217,7 @@ object DeltaSink {
     val dir = new File(table)
     require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
     val state = replay(df.sparkSession, table, None)
+    requireWritable(state.minWriter, table)
     txn0.foreach { case (appId, v) =>
       if (state.txns.get(appId).exists(_ >= v)) return -1L
     }
@@ -380,6 +381,7 @@ object DeltaSink {
       // changes the current live set, and a restore computed against a
       // stale one would resurrect or orphan its files
       val current = replay(spark, table, None)
+      requireWritable(current.minWriter, table)
       require(current.schema == target.schema,
         "restore across a schema change is not supported: restore the data " +
           "first, then evolve, or vice versa")
@@ -440,6 +442,7 @@ object DeltaSink {
     import org.apache.spark.sql.functions._
     val dir = new File(table)
     val state = replay(spark, table, None)
+    requireWritable(state.minWriter, table)
     val before = state.live.size
     // Bin-pack target: total row count comes from the log's own numRecords
     // stats (no data scan); maxRecordsPerFile still caps each file, so the
@@ -560,6 +563,7 @@ object DeltaSink {
     require(keys.nonEmpty, "merge requires at least one key column")
     val dir = new File(table)
     val (meta, live0) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
     val liveAdds = collectAdds(live0)
     val state = State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
       liveAdds, meta.txns)
@@ -740,6 +744,7 @@ object DeltaSink {
     import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit}
     val dir = new File(table)
     val state = replay(spark, table, None)
+    requireWritable(state.minWriter, table)
     val fileCol = s"__graft_rf_${java.util.UUID.randomUUID().toString.take(8)}"
     // which files hold a match: URI→path suffix match, same contract as merge
     val hitPaths = readState(spark, table, state)
@@ -861,6 +866,7 @@ object DeltaSink {
     import spark.implicits._
     val dir = new File(table)
     val (meta, liveDf) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
     val state = State(meta.version, meta.id, meta.createdTime, meta.schema,
       meta.partitionColumns, collectAdds(liveDf), meta.txns)
     // (file → new deleted positions) against the MERGED view; the rel
@@ -872,11 +878,22 @@ object DeltaSink {
         .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
       Seq(abs, enc).distinct.map(k => (k, a.path))
     }.toDF("_gf_key", "_gf_rel")
+    // LEFT join + plan-riding raise_error (the same discipline as the
+    // Iceberg merge-on-read lookup): a normalization mismatch must fail
+    // loudly — an inner join would silently leave matched rows ALIVE
+    import org.apache.spark.sql.functions.{coalesce => cl, concat, raise_error}
     val matched = readStateMerged(spark, table, state, keepLineage = true)
       .filter(expr(predicate))
       .withColumn("_gf_key",
         regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
-      .join(broadcast(lookup), Seq("_gf_key"))
+      .join(broadcast(lookup), Seq("_gf_key"), "left")
+      .withColumn("_gf_rel", cl(col("_gf_rel"),
+        raise_error(concat(lit("deleteWhereDV: matched row from unmapped file "),
+          col("_gf_uri")))))
+      // the matched scan feeds BOTH the bitmap build and the CDC images —
+      // persist so the table is scanned once, not twice
+      .persist()
+    try {
     // distributed bitmap build: one tight group per touched file; only
     // (rel, serialized bitmap) ever reaches the driver — roaring bytes,
     // not positions
@@ -956,6 +973,7 @@ object DeltaSink {
           s"concurrent commit on $table during deleteWhereDV; re-run", e)
     }
     deletedNow
+    } finally matched.unpersist(): Unit
   }
 
   /** Writes a parquet checkpoint of the current log state plus the
@@ -1347,7 +1365,19 @@ object DeltaSink {
             AddEntry(n.get("path").asText(), Map.empty, 0L, 0L, null, dv)
           }
         val adds = pathsOf("add")
-        val removes = pathsOf("remove")
+        // a removed file may have carried a deletion vector AT THE TIME of
+        // the remove (restore undoing a DV delete, CoW over a DV'd file
+        // with the feed off): its delete images are that DV's SURVIVORS,
+        // not the full physical file — the descriptor lives in the
+        // predecessor state, never in the remove action itself
+        val removes0 = pathsOf("remove")
+        val removes =
+          if (removes0.isEmpty || v == 0) removes0
+          else {
+            val prevDv = replay(spark, table, Some(v - 1)).live
+              .map(a => a.path -> a.dv).toMap
+            removes0.map(r => r.copy(dv = prevDv.getOrElse(r.path, None)))
+          }
         val ins =
           if (adds.isEmpty) Nil
           else Seq(readState(spark, table, state.copy(live = adds))
@@ -1519,9 +1549,17 @@ object DeltaSink {
       // actions (schema evolution) repeat it — keep the first non-zero
       if (createdTime == 0L && created != null) createdTime = created.longValue()
     }
+    var minReader = 1
+    var minWriter = 1
+    def applyProtocol(r: Row, idx: Int): Unit = if (!r.isNullAt(idx)) {
+      val p = r.getStruct(idx)
+      if (!p.isNullAt(0)) minReader = math.max(minReader, p.getInt(0))
+      if (!p.isNullAt(1)) minWriter = math.max(minWriter, p.getInt(1))
+    }
     ckptDF.foreach {
-      _.where(col("metaData").isNotNull || col("txn").isNotNull)
-        .select("metaData", "txn").collect().foreach { r =>
+      _.where(col("metaData").isNotNull || col("txn").isNotNull ||
+          col("protocol").isNotNull)
+        .select("metaData", "txn", "protocol").collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
             applyMeta(m.getAs[String]("id"), m.getAs[java.lang.Long]("createdTime"),
@@ -1532,11 +1570,13 @@ object DeltaSink {
             val t = r.getStruct(1)
             txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
           }
+          applyProtocol(r, 2)
         }
     }
     tailDF.foreach {
-      _.where(col("metaData").isNotNull || col("txn").isNotNull)
-        .select("metaData", "txn", "version").orderBy("version")
+      _.where(col("metaData").isNotNull || col("txn").isNotNull ||
+          col("protocol").isNotNull)
+        .select("metaData", "txn", "version", "protocol").orderBy("version")
         .collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
@@ -1551,6 +1591,7 @@ object DeltaSink {
             val v = t.getAs[Long]("version")
             if (txns.get(app).forall(_ < v)) txns += app -> v
           }
+          applyProtocol(r, 3)
         }
     }
     require(schema.isDefined, s"Delta log has no metaData action: $table")
@@ -1607,15 +1648,8 @@ object DeltaSink {
     // PROTOCOL GATE: refuse tables demanding reader capabilities beyond
     // this engine's (v3 + deletionVectors). Silently mis-reading a table
     // whose protocol promises semantics we don't implement is the one
-    // unforgivable failure mode of a log-replicated format.
-    val protoRows =
-      (ckptDF.toSeq ++ tailDF.toSeq).map(
-        _.where(col("protocol").isNotNull)
-          .select(col("protocol.minReaderVersion"),
-            col("protocol.minWriterVersion"))
-          .collect().toSeq).flatten
-    val minReader = protoRows.map(_.getInt(0)).foldLeft(1)(math.max)
-    val minWriter = protoRows.map(_.getInt(1)).foldLeft(1)(math.max)
+    // unforgivable failure mode of a log-replicated format. (The protocol
+    // rows ride the SAME metadata collects above — no extra Spark job.)
     require(minReader <= 3,
       s"unsupported Delta protocol: table requires reader version $minReader, " +
         "this engine supports up to 3 (deletion vectors)")
@@ -1642,8 +1676,17 @@ object DeltaSink {
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
     val (meta, live) = resolve(spark, table, asOfVersion)
     State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
-      collectAdds(live), meta.txns)
+      collectAdds(live), meta.txns, meta.minWriter)
   }
+
+  /** WRITER-side protocol gate, symmetrical to resolve()'s reader gate:
+    * committing to a table whose protocol demands writer features beyond
+    * v7/deletionVectors would violate invariants we don't implement.
+    */
+  private def requireWritable(minWriter: Int, table: String): Unit =
+    require(minWriter <= 7,
+      s"unsupported Delta protocol: $table requires writer version " +
+        s"$minWriter, this engine supports up to 7 (deletion vectors)")
 
   private def protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""

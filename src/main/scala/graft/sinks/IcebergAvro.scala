@@ -211,18 +211,29 @@ private[graft] object IcebergAvro {
     * with the file's own writer schema, so any partition struct shape
     * round-trips.
     */
-  def readManifestPartitions(f: File): Seq[(String, Map[String, Any])] = {
+  def readManifestPartitions(f: File): Seq[(String, Map[String, Any])] =
+    readManifestPartitionsWithSchema(f)._1
+
+  /** Same pass also surfaces the manifest's "schema" key metadata — ONE
+    * file open serves both (the hot snapshot-resolution path reads every
+    * manifest of every query; a separate schema open would double it).
+    */
+  def readManifestPartitionsWithSchema(f: File)
+      : (Seq[(String, Map[String, Any])], Option[String]) = {
     val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
-    try r.iterator().asScala.toList.map { e =>
-      val df = e.get("data_file").asInstanceOf[GenericRecord]
-      val part = df.get("partition").asInstanceOf[GenericRecord]
-      val values = part.getSchema.getFields.asScala.map { pf =>
-        pf.name() -> (part.get(pf.name()) match {
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case other => other
-        })
-      }.toMap
-      df.get("file_path").toString -> values
+    try {
+      val entries = r.iterator().asScala.toList.map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        val values = part.getSchema.getFields.asScala.map { pf =>
+          pf.name() -> (part.get(pf.name()) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case other => other
+          })
+        }.toMap
+        df.get("file_path").toString -> values
+      }
+      (entries, Option(r.getMetaString("schema")))
     } finally r.close()
   }
 
@@ -313,29 +324,35 @@ private[graft] object IcebergAvro {
     * shape round-trips (same contract as [[readManifestPartitions]]).
     */
   def readManifestDeleteEntries(f: File)
-      : Seq[(String, Int, Seq[Int], Long, Map[String, Any])] = {
+      : Seq[(String, Int, Seq[Int], Long, Map[String, Any])] =
+    readManifestDeleteEntriesWithSchema(f)._1
+
+  def readManifestDeleteEntriesWithSchema(f: File)
+      : (Seq[(String, Int, Seq[Int], Long, Map[String, Any])], Option[String]) = {
     val r = new DataFileReader[GenericRecord](f,
       new GenericDatumReader[GenericRecord]())
-    try r.iterator().asScala.toList
-      .filter(_.get("status").asInstanceOf[Int] != 2)
-      .map { e =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val ids = df.get("equality_ids") match {
-          case null => Nil
-          case a: java.util.Collection[_] =>
-            a.asScala.map(_.asInstanceOf[Int]).toSeq
+    try {
+      val entries = r.iterator().asScala.toList
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val ids = df.get("equality_ids") match {
+            case null => Nil
+            case a: java.util.Collection[_] =>
+              a.asScala.map(_.asInstanceOf[Int]).toSeq
+          }
+          val part = df.get("partition").asInstanceOf[GenericRecord]
+          val pvals = part.getSchema.getFields.asScala.map { pf =>
+            pf.name() -> (part.get(pf.name()) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case other => other
+            })
+          }.toMap
+          (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
+            ids, df.get("record_count").asInstanceOf[Long], pvals)
         }
-        val part = df.get("partition").asInstanceOf[GenericRecord]
-        val pvals = part.getSchema.getFields.asScala.map { pf =>
-          pf.name() -> (part.get(pf.name()) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case other => other
-          })
-        }.toMap
-        (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
-          ids, df.get("record_count").asInstanceOf[Long], pvals)
-      }
-    finally r.close()
+      (entries, Option(r.getMetaString("schema")))
+    } finally r.close()
   }
 
   /** The Iceberg schema JSON this manifest was written under (the

@@ -412,9 +412,24 @@ object IcebergSink {
     val df: DataFrame = storedSchema match {
       case Some(st) if mode == Append &&
           df0.columns.length >= st.fieldNames.length =>
-        val names = st.fieldNames ++ df0.columns.drop(st.fieldNames.length)
-        if (df0.columns.sameElements(names)) df0
-        else df0.toDF(names.toIndexedSeq: _*)
+        val stored = st.fieldNames
+        if (stored.forall(df0.columns.contains) &&
+            df0.columns.toSet.size == df0.columns.length) {
+          // the frame carries every stored name: align BY NAME — a
+          // gate-passing frame whose columns arrive REORDERED (a select
+          // after a join, say) must not have its values positionally
+          // swapped into the wrong columns; any extra (evolve) columns
+          // keep their frame order at the tail
+          val ordered = stored ++ df0.columns.filterNot(stored.contains)
+          if (df0.columns.sameElements(ordered)) df0
+          else df0.select(ordered.toIndexedSeq.map(df0.col): _*)
+        } else {
+          // genuinely divergent names: positional rename to the stored
+          // names (the gate is positional; files must carry table names)
+          val names = stored ++ df0.columns.drop(stored.length)
+          if (df0.columns.sameElements(names)) df0
+          else df0.toDF(names.toIndexedSeq: _*)
+        }
       case _ => df0
     }
     previous.foreach { prev =>
@@ -1121,10 +1136,11 @@ object IcebergSink {
     // schema; one manifest open serves all its files
     val dataWithFields = refs.filter(_.content == 0).flatMap { r =>
       val mf = new File(requireAvro(abs(table, r.path)))
-      val wf = IcebergAvro.readManifestSchema(mf)
+      val (entries, schemaMeta) =
+        IcebergAvro.readManifestPartitionsWithSchema(mf)
+      val wf = schemaMeta
         .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
-      IcebergAvro.readManifestPartitions(mf)
-        .map { case (p, pvals) => ((p, pvals, r.seq), wf) }
+      entries.map { case (p, pvals) => ((p, pvals, r.seq), wf) }
     }
     val data = dataWithFields.map(_._1)
     val fileFields = dataWithFields.collect {
@@ -1132,11 +1148,12 @@ object IcebergSink {
     }.toMap
     val deletes = refs.filter(_.content == 1).flatMap { r =>
       val mf = new File(requireAvro(abs(table, r.path)))
-      val wf = IcebergAvro.readManifestSchema(mf)
+      val (entries, schemaMeta) =
+        IcebergAvro.readManifestDeleteEntriesWithSchema(mf)
+      val wf = schemaMeta
         .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
-      IcebergAvro.readManifestDeleteEntries(mf)
-        .map { case (p, content, eqIds, _, pvals) =>
-          DeleteRef(p, r.seq, content, eqIds, wf, pvals) }
+      entries.map { case (p, content, eqIds, _, pvals) =>
+        DeleteRef(p, r.seq, content, eqIds, wf, pvals) }
     }
     Snapshot(schema, data, deletes, refs.filter(_.content == 0),
       curFieldsOf(meta, schema), fileFields)
@@ -1508,8 +1525,16 @@ object IcebergSink {
     // written under (a rename between the delete and the read must not
     // break — or worse, null out — the key comparison).
     def curNameOf(id: Int): String =
-      curFields.find(_.id == id).map(_.name)
-        .getOrElse(schema.fields(id - 1).name)
+      curFields.find(_.id == id).map(_.name).getOrElse {
+        // ordinal fallback ONLY when no id mapping exists at all (legacy
+        // caller); a MISSING id in a real mapping means the column was
+        // dropped after this delete was written — resolving it ordinally
+        // would anti-join on the WRONG column, so refuse loudly
+        if (curFields.isEmpty) schema.fields(id - 1).name
+        else throw new IllegalStateException(
+          s"equality delete references dropped field id $id — compact " +
+            "before dropping its key column, or read a newer snapshot")
+      }
     val merged = deletes.filter(_.content == 2).groupBy(_.equalityIds).toSeq
       .foldLeft(afterPos) { case (acc, (eqIds, ds)) =>
         require(eqIds.nonEmpty, "equality delete file without equality_ids")
@@ -2343,8 +2368,12 @@ object IcebergSink {
         val eqGroups = delAdded.filter(_.content == 2).groupBy(_.equalityIds)
           .toSeq.sortBy(_._1.mkString(","))
         def curNameOf(id: Int): String =
-          cur.curFields.find(_.id == id).map(_.name)
-            .getOrElse(schema.fields(id - 1).name)
+          cur.curFields.find(_.id == id).map(_.name).getOrElse {
+            if (cur.curFields.isEmpty) schema.fields(id - 1).name
+            else throw new IllegalStateException(
+              s"changelog equality delete references dropped field id $id — " +
+                "bound the range before the drop, or compact first")
+          }
         val eqInfo: Seq[(DataFrame, Seq[String])] = eqGroups.map {
           case (eqIds, ds) =>
             val keyNames = eqIds.map(curNameOf)

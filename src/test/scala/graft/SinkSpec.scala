@@ -1945,6 +1945,63 @@ class SinkSpec extends AnyFunSuite {
       .head().getDouble(1) == 300.0)
   }
 
+  test("Iceberg append with REORDERED columns aligns by name, never swaps values (r13 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      Seq((1L, 100L), (2L, 200L)).toDF("x", "y"), table,
+      IcebergSink.CreateExclusive)
+    // same names, same types, DIFFERENT order: the positional gate passes
+    // (types long/long) — the append must align by NAME, not relabel
+    // y's values as x
+    IcebergSink.writeWithRetry(
+      Seq((300L, 3L)).toDF("y", "x"), table, IcebergSink.Append)
+    val back = IcebergSink.read(spark, table).orderBy("x").collect()
+    assert(back.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)),
+      s"reordered append must not swap column values: ${back.mkString(",")}")
+  }
+
+  test("Iceberg time travel to an equality delete on a dropped column refuses loudly (r13 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"), table,
+      IcebergSink.CreateExclusive)
+    IcebergSink.upsert(spark, table, Seq((3L, "a", 10.0)).toDF("id", "k", "v"), Seq("k"))
+    val preCompact = IcebergSink.snapshots(table).last._1
+    IcebergSink.compact(spark, table) // materializes the deletes away
+    IcebergSink.evolveDrop(table, "k") // now legal: no LIVE eq delete keys on it
+    assert(IcebergSink.read(spark, table).count() == 2)
+    // the RETAINED pre-compact snapshot still references eq deletes keyed
+    // on the dropped id — resolving them ordinally would anti-join the
+    // wrong column; it must refuse instead
+    val e = intercept[Exception](IcebergSink.read(spark, table, Some(preCompact)).count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("dropped field id"), msgs)
+  }
+
+  test("Delta readCdf reconstruction honors the predecessor's DV on removed files (r13 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      (1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1), table))
+    DeltaSink.deleteWhereDV(spark, table, "id <= 5", changeDataFeed = false)
+    val v2 = DeltaSink.latestVersion(table)
+    // CoW update over the DV'd file with the feed OFF: reconstruction must
+    // image the removed file's SURVIVORS (15), never its 20 physical rows
+    DeltaSink.updateWhere(spark, table, "id = 10", Map("v" -> "v + 1"),
+      changeDataFeed = false)
+    val feed = DeltaSink.readCdf(spark, table, v2)
+    assert(feed.filter(col("_change_type") === "delete").count() == 15,
+      "delete images of a removed DV'd file must exclude already-deleted rows")
+    assert(feed.filter(col("_change_type") === "delete" && col("id") <= 5).count() == 0)
+  }
+
   test("Iceberg upsertExactlyOnce: an empty batch is a visible no-op, not a commit (r13 advice)") {
     val s = spark
     import s.implicits._
