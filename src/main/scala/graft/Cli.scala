@@ -178,6 +178,14 @@ object Cli {
         // deletion vectors (bumps protocol to reader v3/writer v7)
         val n = sinks.DeltaSink.deleteWhereDV(spark, pos(0), pos(1))
         println(s"deleted $n rows (deletion vectors)")
+      case "update-dv-delta" =>
+        // update-dv-delta <table> <predicate> <col=expr>[,<col=expr>...] —
+        // merge-on-read update via deletion vectors
+        val sets = pos(2).split(",").map(_.trim).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        }.toMap
+        val n = sinks.DeltaSink.updateWhereDV(spark, pos(0), pos(1), sets)
+        println(s"updated $n rows (deletion vectors)")
       case "drop-column-iceberg" =>
         // drop-column-iceberg <table> <column> — metadata-only evolution
         sinks.IcebergSink.evolveDrop(pos(0), pos(1))

@@ -1121,6 +1121,60 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_update_dv",
+      // Row-level UPDATE via DELETION VECTORS under the oracle (r13) —
+      // the merge-on-read twin of q_delta_update, completing the MoR DML
+      // plane: updateWhereDV masks the matched rows out of their files
+      // with roaring-bitmap sidecars and appends the transformed
+      // replacements as NEW files — NO touched file is read back or
+      // rewritten (`no_rewrite` pins the original parquet set intact
+      // inside the post-update set), so an update of k rows costs O(k) at
+      // any file size. Same triple census as the CoW path (table CASE
+      // recompute, CDF pre-images, CDF post-images) — a row masked but
+      // not replaced, or replaced but not masked, shifts one census and
+      // not the others.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-dvupd")
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        val v0 = graft.sinks.DeltaSink.latestVersion(table)
+        def liveFiles() = new java.io.File(table).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet
+        val before = liveFiles()
+        graft.sinks.DeltaSink.updateWhereDV(s, table, "event_id % 10 = 0",
+          Map("value" -> "value + 1000"))
+        val noRewrite = before.subsetOf(liveFiles())
+        val kept = graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_value"))
+        val feed = graft.sinks.DeltaSink.readCdf(s, table, v0)
+        val pre = feed.filter(col("_change_type") === "update_preimage")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("upd_rows"), fxSum(col("value")).as("pre_value"))
+        val post = feed.filter(col("_change_type") === "update_postimage")
+          .groupBy("event_type").agg(fxSum(col("value")).as("post_value"))
+        kept.join(pre, Seq("event_type"), "full_outer")
+          .join(post, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"), col("sum_value"),
+            coalesce(col("upd_rows"), lit(0L)).as("upd_rows"),
+            coalesce(col("pre_value"), lit(0.0)).as("pre_value"),
+            coalesce(col("post_value"), lit(0.0)).as("post_value"),
+            lit(noRewrite).as("no_rewrite"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND((CASE WHEN event_id % 10 = 0
+             |    THEN value + 1000 ELSE value END) * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS upd_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS pre_value,
+             |  CAST(COALESCE(SUM(CAST(ROUND((value + 1000) * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS post_value,
+             |  TRUE AS no_rewrite
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_cdf_merge",
       // CDF ROW-LEVEL CLASSIFICATION of a MERGE — the feed surface a
       // downstream consumer needs to apply someone else's upsert: the

@@ -861,6 +861,54 @@ object DeltaSink {
   def deleteWhereDV(spark: SparkSession, table: String, predicate: String,
       store: CommitStore = CommitStore.Local,
       changeDataFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.lit
+    dvRewrite(spark, table, predicate, "deleteWhereDV",
+      replacementOf = (_, _) => None,
+      imagesOf = (matched, _) => matched.withColumn("_change_type", lit("delete")),
+      store, changeDataFeed)
+  }
+
+  /** UPDATE WHERE via DELETION VECTORS — the merge-on-read twin of
+    * [[updateWhere]], completing the MoR DML plane: ONE commit masks the
+    * matched rows out of their files with deletion-vector sidecars (no
+    * touched file read back or rewritten) and appends the transformed
+    * replacements as NEW files — cost ∝ matched rows at any file size,
+    * where the copy-on-write path pays a full rewrite of every touched
+    * file. Every SET expression evaluates against the PRE-update row (SQL
+    * UPDATE semantics); pre/post images ride the commit as cdc files;
+    * first DV use bumps the protocol like [[deleteWhereDV]]. Returns the
+    * number of rows updated.
+    */
+  def updateWhereDV(spark: SparkSession, table: String, predicate: String,
+      set: Map[String, String],
+      store: CommitStore = CommitStore.Local,
+      changeDataFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(set.nonEmpty, "update requires at least one SET column")
+    dvRewrite(spark, table, predicate, "updateWhereDV",
+      replacementOf = (matched, schema) => {
+        set.keys.foreach(c => require(schema.fieldNames.contains(c),
+          s"no such column: $c"))
+        Some(matched.select(schema.fieldNames.map(c =>
+          set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
+            .getOrElse(col(c))).toIndexedSeq: _*))
+      },
+      imagesOf = (matched, replacement) =>
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(replacement.get
+            .withColumn("_change_type", lit("update_postimage"))),
+      store, changeDataFeed)
+  }
+
+  /** Shared merge-on-read machinery behind [[deleteWhereDV]] /
+    * [[updateWhereDV]] — the DV twin of [[rewriteTouched]].
+    */
+  private def dvRewrite(spark: SparkSession, table: String, predicate: String,
+      opName: String,
+      replacementOf: (DataFrame, StructType) => Option[DataFrame],
+      imagesOf: (DataFrame, Option[DataFrame]) => DataFrame,
+      store: CommitStore,
+      changeDataFeed: Boolean): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit,
       regexp_replace}
     import spark.implicits._
@@ -888,7 +936,7 @@ object DeltaSink {
         regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
       .join(broadcast(lookup), Seq("_gf_key"), "left")
       .withColumn("_gf_rel", cl(col("_gf_rel"),
-        raise_error(concat(lit("deleteWhereDV: matched row from unmapped file "),
+        raise_error(concat(lit(s"$opName: matched row from unmapped file "),
           col("_gf_uri")))))
       // the matched scan feeds BOTH the bitmap build and the CDC images —
       // persist so the table is scanned once, not twice
@@ -908,14 +956,33 @@ object DeltaSink {
     if (perFile.isEmpty) return 0L
     val deletedNow = perFile.map(p =>
       graft.functions.DeletionVector.deserialize(p._2).getLongCardinality).sum
-    // CDC images (cost ∝ matched rows, same as the CoW path)
     val conf = spark.sessionState.newHadoopConf()
     val txn = java.util.UUID.randomUUID().toString.take(8)
+    val matchedRows = matched.select(state.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val replacement = replacementOf(matchedRows, state.schema)
+    // replacement rows (an update's post-images) land as NEW files in the
+    // table's layout — cost ∝ matched rows, never the touched files
+    val dataAdds: Seq[AddEntry] = replacement match {
+      case None => Nil
+      case Some(rep) =>
+        val staging = Files.createTempDirectory("graft-delta-dv-rep").toFile
+        try {
+          val w = rep.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", MaxRecordsPerFile)
+          (if (state.partitionColumns.nonEmpty)
+             w.partitionBy(state.partitionColumns: _*)
+           else w).parquet(staging.getPath)
+          publishAll(store, dir, staging, conf, (rel, i) =>
+            Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+              f"part-$i%05d-$txn.c000.snappy.parquet")
+        } finally deleteRecursively(staging)
+    }
+    // CDC images (cost ∝ matched rows, same as the CoW path)
     val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
       val cdcStaging = Files.createTempDirectory("graft-delta-dv-cdc").toFile
       try {
-        matched.select(state.schema.fieldNames.map(col).toIndexedSeq: _*)
-          .withColumn("_change_type", lit("delete"))
+        imagesOf(matchedRows, replacement)
           .write.mode("overwrite")
           .option("compression", "snappy")
           .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -951,7 +1018,7 @@ object DeltaSink {
       add.copy(modificationTime = now,
         dv = Some(DvInfo(dvRel, bytes.length.toLong, card)))
     } catch { case e: Throwable =>
-      (published ++ cdcAdds.map(_.path)).foreach(p =>
+      (published ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
         scala.util.Try(deleteData(store, dir, p)))
       throw e
     }
@@ -963,14 +1030,14 @@ object DeltaSink {
     val cdcLines = cdcAdds.map(a =>
       s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
         s""""size":${a.size},"dataChange":false}}""")
-    val lines = bump ++ newAdds.map(a => addJson(a)) ++ cdcLines
+    val lines = bump ++ (newAdds ++ dataAdds).map(a => addJson(a)) ++ cdcLines
     try commitAtomic(store, versionFile(table, state.version + 1), lines)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        (published ++ cdcAdds.map(_.path)).foreach(p =>
+        (published ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
           scala.util.Try(deleteData(store, dir, p)))
         throw new IllegalStateException(
-          s"concurrent commit on $table during deleteWhereDV; re-run", e)
+          s"concurrent commit on $table during $opName; re-run", e)
     }
     deletedNow
     } finally matched.unpersist(): Unit

@@ -1799,6 +1799,49 @@ class SinkSpec extends AnyFunSuite {
       .agg(sum(col("num_records"))).head().getLong(0) == 77L)
   }
 
+  test("Delta updateWhereDV: merge-on-read update masks old rows and appends replacements (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v"), table))
+    val before = new File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val v0 = DeltaSink.latestVersion(table)
+    val n = DeltaSink.updateWhereDV(spark, table, "id % 10 = 0",
+      Map("v" -> "v + 1000"))
+    assert(n == 10L)
+    // originals untouched; replacements are NEW files
+    val after = new File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    assert(before.subsetOf(after), "an MoR update must not rewrite any touched file")
+    assert(after.size > before.size, "replacements land as new files")
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 100)
+    assert(out.filter(col("id") === 10).head().getDouble(1) == 1010.0)
+    assert(out.filter(col("id") === 10).count() == 1, "no duplicate row after the mask+append")
+    assert(out.filter(col("v") === 20.0).count() == 0, "id=20's old value must be masked") // id 20 -> 1020
+    assert(out.filter(col("id") === 20).head().getDouble(1) == 1020.0)
+    // SET evaluates against the PRE-update row; a second MoR update
+    // composes (masks the replacement file's rows this time)
+    assert(DeltaSink.updateWhereDV(spark, table, "id % 10 = 0",
+      Map("v" -> "v + 1000")) == 10L)
+    assert(DeltaSink.read(spark, table).filter(col("id") === 10)
+      .head().getDouble(1) == 2010.0)
+    // CDF triple census over both commits
+    val feed = DeltaSink.readCdf(spark, table, v0)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() == 20)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() == 20)
+    // time travel to the pre-update version
+    assert(DeltaSink.read(spark, table, Some(v0))
+      .filter(col("id") === 10).head().getDouble(1) == 10.0)
+    // DV delete composes over the MoR-updated state
+    assert(DeltaSink.deleteWhereDV(spark, table, "id = 10") == 1L)
+    assert(DeltaSink.read(spark, table).count() == 99)
+  }
+
   test("Delta deletion vectors: checkpoint/vacuum/restore/CoW interplay + protocol gate (r13)") {
     val s = spark
     import s.implicits._
