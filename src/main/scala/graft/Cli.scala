@@ -186,6 +186,14 @@ object Cli {
         }.toMap
         val n = sinks.DeltaSink.updateWhereDV(spark, pos(0), pos(1), sets)
         println(s"updated $n rows (deletion vectors)")
+      case "rename-column-delta" =>
+        // rename-column-delta <table> <from> <to> — metadata-only (column mapping)
+        sinks.DeltaSink.renameColumn(spark, pos(0), pos(1), pos(2))
+        println(s"renamed ${pos(1)} to ${pos(2)}")
+      case "drop-column-delta" =>
+        // drop-column-delta <table> <column> — metadata-only (column mapping)
+        sinks.DeltaSink.dropColumn(spark, pos(0), pos(1))
+        println(s"dropped ${pos(1)}")
       case "drop-column-iceberg" =>
         // drop-column-iceberg <table> <column> — metadata-only evolution
         sinks.IcebergSink.evolveDrop(pos(0), pos(1))

@@ -1175,6 +1175,56 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_colmap",
+      // COLUMN MAPPING evolution under the oracle (r13) — the Delta twin
+      // of q_iceberg_evolve2's rename/drop half: the even half bootstraps
+      // (…, value, note); `renameColumn` turns value into amount
+      // (METADATA-ONLY — first use stamps every field with physicalName =
+      // its then-current name and bumps the protocol to reader 2/writer 5
+      // in the same commit; no data file touched at any table size); the
+      // odd half appends under the NEW logical name (its files carry the
+      // PHYSICAL name); `dropColumn` retires note (the physical column
+      // stays in old files, unread). The census only matches if
+      // physical→logical projection works across files written before AND
+      // after the rename — a name-based read would NULL half the rows and
+      // shift every sum. `no_rewrite` pins the bootstrap files intact;
+      // `schema_evolved` pins the final column set.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value"),
+          concat(lit("n"), pmod(col("event_id"), lit(7))).as("note"))
+        val table = graft.TempTables.create("graft-delta-colmap")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)
+        def files() = new java.io.File(table).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet
+        val before = files()
+        graft.sinks.DeltaSink.renameColumn(s, table, "value", "amount")
+        graft.sinks.DeltaSink.append(
+          ev.filter(col("event_id") % 2 === 1)
+            .withColumnRenamed("value", "amount"), table)
+        graft.sinks.DeltaSink.dropColumn(s, table, "note")
+        val out = graft.sinks.DeltaSink.read(s, table)
+        val evolvedOk = out.columns.toSeq ==
+          Seq("event_id", "event_type", "amount") && before.subsetOf(files())
+        out.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            fxSum(col("amount")).as("sum_amount"),
+            count(when(col("event_id") % 2 === 1, 1)).as("n_renamed_files"))
+          .select(col("event_type"), col("n_rows"), col("sum_amount"),
+            col("n_renamed_files"), lit(evolvedOk).as("schema_evolved"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_amount,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+             |    AS n_renamed_files,
+             |  TRUE AS schema_evolved
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_cdf_merge",
       // CDF ROW-LEVEL CLASSIFICATION of a MERGE — the feed surface a
       // downstream consumer needs to apply someone else's upsert: the

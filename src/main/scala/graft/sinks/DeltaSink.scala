@@ -94,6 +94,46 @@ object DeltaSink {
 
   private def esc(s: String): String = mapper.writeValueAsString(s)
 
+  /** COLUMN MAPPING (Delta protocol reader 2 / writer 5, mode "name"):
+    * once [[renameColumn]]/[[dropColumn]] enable it, every field carries
+    * `delta.columnMapping.physicalName` (+ a stable `.id`) in the schema
+    * metadata; data files store PHYSICAL column names (existing columns
+    * upgrade with physicalName = their then-current name, so every file
+    * ever written is already physical), renames change only the LOGICAL
+    * name, and drops remove the field while its physical column stays in
+    * old files, unread. Readers project physical→logical; writers rename
+    * logical→physical before staging.
+    */
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val MapIdKey = "delta.columnMapping.id"
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  private def mappingEnabled(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysNameKey))
+
+  /** Logical→physical rename for staging writes (no-op without mapping);
+    * columns outside the schema (e.g. `_change_type`) pass through.
+    */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame = {
+    if (!mappingEnabled(schema)) return df
+    import org.apache.spark.sql.functions.col
+    val byName = schema.fields.map(f => f.name -> physName(f)).toMap
+    df.select(df.columns.toIndexedSeq.map { c =>
+      byName.get(c).filter(_ != c).map(p => col(c).as(p)).getOrElse(col(c))
+    }: _*)
+  }
+
+  /** The schema as data files carry it: physical names, no mapping
+    * metadata (the parquet reader must not chase it).
+    */
+  private def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      f.copy(name = physName(f),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+
   /** A deletion-vector descriptor on an add action (reader v3 / writer
     * v7): `path` is the table-relative sidecar holding the roaring bitmap
     * of deleted row indexes; `cardinality` lets metadata-only consumers
@@ -268,7 +308,7 @@ object DeltaSink {
     val staging = Files.createTempDirectory("graft-delta-txn").toFile
     val txn = java.util.UUID.randomUUID().toString
     val adds = try {
-      val writer = df.write
+      val writer = toPhysical(df, state.schema).write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -461,7 +501,7 @@ object DeltaSink {
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
       val packed = if (zorderBy.isEmpty) current.coalesce(nFiles) else current
-      val writer = packed.write
+      val writer = toPhysical(packed, state.schema).write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -632,7 +672,7 @@ object DeltaSink {
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val writer = newData.write.mode("overwrite")
+      val writer = toPhysical(newData, state.schema).write.mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
       (if (state.partitionColumns.nonEmpty)
@@ -766,7 +806,7 @@ object DeltaSink {
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val writer = rewrite.write.mode("overwrite")
+      val writer = toPhysical(rewrite, state.schema).write.mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
       (if (state.partitionColumns.nonEmpty)
@@ -779,7 +819,7 @@ object DeltaSink {
     val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
       val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
       try {
-        imagesOf(matched, replacement)
+        toPhysical(imagesOf(matched, replacement), state.schema)
           .write.mode("overwrite")
           .option("compression", "snappy")
           .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -967,7 +1007,7 @@ object DeltaSink {
       case Some(rep) =>
         val staging = Files.createTempDirectory("graft-delta-dv-rep").toFile
         try {
-          val w = rep.write.mode("overwrite")
+          val w = toPhysical(rep, state.schema).write.mode("overwrite")
             .option("compression", "snappy")
             .option("maxRecordsPerFile", MaxRecordsPerFile)
           (if (state.partitionColumns.nonEmpty)
@@ -982,7 +1022,7 @@ object DeltaSink {
     val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
       val cdcStaging = Files.createTempDirectory("graft-delta-dv-cdc").toFile
       try {
-        imagesOf(matchedRows, replacement)
+        toPhysical(imagesOf(matchedRows, replacement), state.schema)
           .write.mode("overwrite")
           .option("compression", "snappy")
           .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -1041,6 +1081,62 @@ object DeltaSink {
     }
     deletedNow
     } finally matched.unpersist(): Unit
+  }
+
+  /** RENAME a column — METADATA-ONLY (Delta column mapping, mode "name",
+    * the Delta twin of IcebergSink.evolveRename): the first rename/drop
+    * enables mapping by stamping every existing field with physicalName =
+    * its then-current name (every file ever written is therefore already
+    * physical) and bumps the protocol to reader 2 / writer 5 in the SAME
+    * commit; the rename itself changes ONLY the logical name — no data
+    * file is read or touched at any table size. Partition columns refuse
+    * (their names key the Hive layout and the log's partitionValues).
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String, store: CommitStore = CommitStore.Local): Unit =
+    columnMappingOp(spark, table, store, from) { (schema, idx) =>
+      require(!schema.fieldNames.contains(to), s"column $to already exists")
+      StructType(schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
+    }
+
+  /** DROP a column — METADATA-ONLY (column mapping): the field leaves the
+    * declared schema; its physical column stays in old files, unread
+    * (readers project by physical name, so it is simply never selected).
+    */
+  def dropColumn(spark: SparkSession, table: String, column: String,
+      store: CommitStore = CommitStore.Local): Unit =
+    columnMappingOp(spark, table, store, column) { (schema, idx) =>
+      require(schema.fields.length > 1, "cannot drop the last column")
+      StructType(schema.fields.patch(idx, Nil, 1))
+    }
+
+  private def columnMappingOp(spark: SparkSession, table: String,
+      store: CommitStore, column: String)(
+      op: (StructType, Int) => StructType): Unit = {
+    val (meta, _) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
+    require(!meta.partitionColumns.contains(column),
+      s"cannot rename or drop partition column $column")
+    val mapped =
+      if (mappingEnabled(meta.schema)) meta.schema
+      else StructType(meta.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(MapIdKey, (i + 1).toLong)
+          .putString(PhysNameKey, f.name).build())
+      })
+    val idx = mapped.fieldNames.indexOf(column)
+    require(idx >= 0, s"no such column: $column")
+    val evolved = op(mapped, idx)
+    val bump =
+      if (meta.minReader >= 2 && meta.minWriter >= 5) Nil
+      else Seq(s"""{"protocol":{"minReaderVersion":${math.max(2, meta.minReader)},""" +
+        s""""minWriterVersion":${math.max(5, meta.minWriter)}}}""")
+    val metaLine = metaDataJson(meta.id,
+      StructType(evolved.fields.map(_.copy(nullable = true))).json,
+      meta.partitionColumns,
+      if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis())
+    commitAtomic(store, versionFile(table, meta.version + 1), bump :+ metaLine)
   }
 
   /** Writes a parquet checkpoint of the current log state plus the
@@ -1325,8 +1421,10 @@ object DeltaSink {
     val parsed = live.withColumn("__st", from_json(col("stats"), statsSchema))
     val keep = bounds.map { case (column, lo, hi) =>
       val dt = meta.schema(column).dataType
-      val mn = col("__st.minValues")(column)
-      val mx = col("__st.maxValues")(column)
+      // stats come from the file footers, which carry PHYSICAL names
+      val phys = physName(meta.schema(column))
+      val mn = col("__st.minValues")(phys)
+      val mx = col("__st.maxValues")(phys)
       val overlaps = dt match {
         case _: NumericType =>
           mx.cast("double") >= lit(lo).cast("double") &&
@@ -1416,9 +1514,13 @@ object DeltaSink {
         .map(mapper.readTree).toSeq
       val cdc = lines.flatMap(n => Option(n.get("cdc"))).map(_.get("path").asText())
       if (cdc.nonEmpty) {
+        // cdc files carry PHYSICAL column names under column mapping
+        import org.apache.spark.sql.functions.col
         Seq(spark.read
-          .schema(StructType(state.schema.fields :+ ctField))
+          .schema(StructType(physicalSchema(state.schema).fields :+ ctField))
           .parquet(cdc.map(p => new File(table, p).getAbsolutePath): _*)
+          .select(state.schema.fields.toIndexedSeq.map(f =>
+            col(physName(f)).as(f.name)) :+ col("_change_type"): _*)
           .withColumn("_commit_version", lit(v)))
       } else {
         def pathsOf(key: String) = lines.flatMap(n => Option(n.get(key)))
@@ -1517,15 +1619,23 @@ object DeltaSink {
       spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType(state.schema.fields ++ lineageFields))
     } else if (state.partitionColumns.isEmpty) {
-      val base = spark.read.schema(state.schema).parquet(paths: _*)
-      if (withLineage) base.select(col("*") +: lineageCols: _*) else base
+      // data files carry PHYSICAL column names (= logical until a
+      // rename/drop enables column mapping); project back to logical
+      val base = spark.read.schema(physicalSchema(state.schema)).parquet(paths: _*)
+      val cols = state.schema.fields.toIndexedSeq.map(f =>
+        col(physName(f)).as(f.name)) ++ (if (withLineage) lineageCols else Nil)
+      if (!mappingEnabled(state.schema) && !withLineage) base
+      else base.select(cols: _*)
     } else {
       // Hive-style dirs + basePath: Spark's partition discovery restores the
       // partition columns (typed per the declared schema) and Catalyst
       // partition-prunes on them; select() pins the declared column order.
-      spark.read.schema(state.schema).option("basePath", table)
+      // Partition columns refuse rename/drop, so their physical names are
+      // their logical ones and directory discovery is mapping-agnostic.
+      spark.read.schema(physicalSchema(state.schema)).option("basePath", table)
         .parquet(paths: _*)
-        .select(state.schema.fieldNames.toIndexedSeq.map(col) ++
+        .select(state.schema.fields.toIndexedSeq.map(f =>
+          col(physName(f)).as(f.name)) ++
           (if (withLineage) lineageCols else Nil): _*)
     }
   }

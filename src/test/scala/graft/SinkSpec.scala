@@ -1799,6 +1799,65 @@ class SinkSpec extends AnyFunSuite {
       .agg(sum(col("num_records"))).head().getLong(0) == 77L)
   }
 
+  test("Delta column mapping: rename/drop are metadata-only, physical names round-trip (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "qty", "note").coalesce(1), table))
+    def files() = new File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = files()
+    val v0 = DeltaSink.latestVersion(table)
+    // RENAME: logical only; the pre-rename file keeps its physical name
+    DeltaSink.renameColumn(spark, table, "qty", "quantity")
+    assert(files() == before, "rename must not touch any data file")
+    val commit = Files.readString(Paths.get(table, "_delta_log", f"${v0 + 1}%020d.json"))
+    assert(commit.contains("\"minReaderVersion\":2") &&
+      commit.contains("columnMapping.physicalName"))
+    val r1 = DeltaSink.read(spark, table)
+    assert(r1.columns.toSeq == Seq("id", "quantity", "note"))
+    assert(r1.orderBy("id").collect().map(_.getInt(1)).toSeq == Seq(10, 20),
+      "pre-rename files must surface values under the NEW name, not NULLs")
+    // append under the NEW logical name: the file lands under the
+    // physical name and reads back merged
+    DeltaSink.append(Seq((3L, 30, "c")).toDF("id", "quantity", "note"), table)
+    assert(DeltaSink.read(spark, table).orderBy("id").collect()
+      .map(_.getInt(1)).toSeq == Seq(10, 20, 30))
+    // DROP: metadata-only; the physical column stays in files, unread
+    DeltaSink.dropColumn(spark, table, "note")
+    val r2 = DeltaSink.read(spark, table)
+    assert(r2.columns.toSeq == Seq("id", "quantity"))
+    assert(before.subsetOf(files()), "drop must not touch any data file")
+    // stats pruning keys by PHYSICAL name under the logical column
+    assert(DeltaSink.readRange(spark, table, "quantity", "25", "35")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // CoW update through the mapping: rewrite stages under physical names
+    DeltaSink.updateWhere(spark, table, "id = 1", Map("quantity" -> "quantity + 100"))
+    assert(DeltaSink.read(spark, table).filter(col("id") === 1)
+      .head().getInt(1) == 110)
+    // the CDF carries LOGICAL names
+    val feed = DeltaSink.readCdf(spark, table, v0)
+    assert(feed.columns.contains("quantity"))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .head().getInt(1) == 110)
+    // checkpoint keeps the mapping; reads still resolve
+    DeltaSink.checkpoint(spark, table)
+    assert(DeltaSink.read(spark, table).count() == 3)
+    // time travel BEFORE the rename reads that version's own schema
+    assert(DeltaSink.read(spark, table, Some(v0)).columns.toSeq ==
+      Seq("id", "qty", "note"))
+    // guards
+    intercept[Exception](DeltaSink.renameColumn(spark, table, "quantity", "id"))
+    intercept[Exception](DeltaSink.dropColumn(spark, table, "nope"))
+    val pt = tmp()
+    assert(DeltaSink.write(Seq((1L, "en", 1.0)).toDF("id", "lang", "v"), pt,
+      partitionBy = Seq("lang")))
+    intercept[Exception](DeltaSink.renameColumn(spark, pt, "lang", "language"))
+    intercept[Exception](DeltaSink.dropColumn(spark, pt, "lang"))
+  }
+
   test("Delta updateWhereDV: merge-on-read update masks old rows and appends replacements (r13)") {
     val s = spark
     import s.implicits._
