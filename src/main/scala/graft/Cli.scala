@@ -194,6 +194,13 @@ object Cli {
         // drop-column-delta <table> <column> — metadata-only (column mapping)
         sinks.DeltaSink.dropColumn(spark, pos(0), pos(1))
         println(s"dropped ${pos(1)}")
+      case "update-iceberg" =>
+        // update-iceberg <table> <predicate> <col=expr>[,...] — MoR update
+        val sets = pos(2).split(",").map(_.trim).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        }.toMap
+        val n = sinks.IcebergSink.updateWhere(spark, pos(0), pos(1), sets)
+        println(s"updated $n rows (merge-on-read)")
       case "drop-column-iceberg" =>
         // drop-column-iceberg <table> <column> — metadata-only evolution
         sinks.IcebergSink.evolveDrop(pos(0), pos(1))

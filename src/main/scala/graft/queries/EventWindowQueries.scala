@@ -1742,6 +1742,62 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_update",
+      // Predicate UPDATE, merge-on-read, under the oracle (r13): ONE
+      // atomic snapshot commits positional delete files masking the
+      // matched rows PLUS new data files with their transformed
+      // replacements — no existing file read back or rewritten
+      // (`no_rewrite` pins the pre-update parquet set intact inside the
+      // post-update set), so an update of k rows costs O(k) at 100 TB.
+      // Triple census: the table CASE recompute, the changelog's delete
+      // images (exactly the ORIGINAL matched values), and its insert
+      // images (exactly the transformed ones) — a row masked but not
+      // replaced, or replaced but not masked, shifts one census and not
+      // the others.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-upd") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        def files() = new java.io.File(table, "data").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet
+        val before = files()
+        graft.sinks.IcebergSink.updateWhere(s, table, "event_id % 10 = 0",
+          Map("value" -> "value + 1000"))
+        val noRewrite = before.subsetOf(files())
+        val oneSnapshot = graft.sinks.IcebergSink.snapshots(table).length == 2
+        val kept = graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_value"))
+        val feed = graft.sinks.IcebergSink.readChangelog(s, table, s0)
+        val pre = feed.filter(col("_change_type") === "delete")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("upd_rows"), fxSum(col("value")).as("pre_value"))
+        val post = feed.filter(col("_change_type") === "insert")
+          .groupBy("event_type").agg(fxSum(col("value")).as("post_value"))
+        kept.join(pre, Seq("event_type"), "full_outer")
+          .join(post, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_rows"), col("sum_value"),
+            coalesce(col("upd_rows"), lit(0L)).as("upd_rows"),
+            coalesce(col("pre_value"), lit(0.0)).as("pre_value"),
+            coalesce(col("post_value"), lit(0.0)).as("post_value"),
+            lit(noRewrite && oneSnapshot).as("no_rewrite"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND((CASE WHEN event_id % 10 = 0
+             |    THEN value + 1000 ELSE value END) * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS sum_value,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS upd_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS pre_value,
+             |  CAST(COALESCE(SUM(CAST(ROUND((value + 1000) * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 10 = 0), 0) AS DOUBLE) / 100.0 AS post_value,
+             |  TRUE AS no_rewrite
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_deletekeys",
       // CDC DELETE verb under the oracle (r13): deleteKeys commits ONE
       // equality-delete-only snapshot — the Flink-CDC DELETE shape,

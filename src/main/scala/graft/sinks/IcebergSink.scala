@@ -1830,15 +1830,46 @@ object IcebergSink {
     * [[OptimisticConcurrencyException]].
     */
   def deleteWhere(spark: SparkSession, table: String, predicate: String,
+      store: CommitStore = CommitStore.Local): Long =
+    posRewrite(spark, table, predicate, None, store)
+
+  /** UPDATE WHERE — predicate-based row-level update, MERGE-ON-READ (the
+    * positional-delete twin of the keyed [[upsert]], and the Iceberg
+    * answer to [[DeltaSink.updateWhereDV]]): ONE atomic snapshot commits
+    * positional delete files masking the matched rows PLUS new data files
+    * carrying their transformed replacements — no existing file is read
+    * back or rewritten, so an update of k rows costs O(k) at any table
+    * size. Every SET expression evaluates against the PRE-update row (SQL
+    * UPDATE semantics). Replacement files land unpartitioned (same
+    * documented contract as [[upsert]]: pruned readers keep files without
+    * partition values); positional deletes are path-keyed, so they can
+    * never touch the replacements committed at the same sequence.
+    * [[readChangelog]] surfaces the snapshot as delete + insert rows (an
+    * honest decomposition — a predicate update has no key to pair images
+    * by). Returns the number of rows updated.
+    */
+  def updateWhere(spark: SparkSession, table: String, predicate: String,
+      set: Map[String, String],
       store: CommitStore = CommitStore.Local): Long = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    posRewrite(spark, table, predicate, Some(set), store)
+  }
+
+  private def posRewrite(spark: SparkSession, table: String, predicate: String,
+      setOpt: Option[Map[String, String]],
+      store: CommitStore): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
     val snap = snapshotEntries(table, None)
-    val matched = readMerged(spark, snap.schema, snap.data, snap.deletes,
+    val matched0 = readMerged(spark, snap.schema, snap.data, snap.deletes,
       keepLineage = true, curFields = snap.curFields,
       fileFields = snap.fileFields).filter(expr(predicate))
+    // an update reads the matched set twice (delete rows + replacements) —
+    // persist so the merged view is scanned once
+    val matched = if (setOpt.isDefined) matched0.persist() else matched0
+    try {
     val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("parquet.field.id", 2147483546L).build()
     val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1970,24 +2001,80 @@ object IcebergSink {
           delSpecJson, delPartFields, content = 1))
     val delRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
       manifestLen, seq, snapshotId, infos.size, deletedRows, content = 1)
+    // an UPDATE additionally stages the transformed replacements as new
+    // data files in the SAME snapshot — SET expressions evaluate against
+    // the PRE-update row (matched is persisted; one merged-view scan)
+    val replacement = setOpt.map { set =>
+      val schema = snap.schema
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"no such column: $c"))
+      val rep = matched.select(schema.fieldNames.map(c =>
+        set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
+          .getOrElse(col(c))).toIndexedSeq: _*)
+      val repRel = s"data/update-${java.util.UUID.randomUUID()}"
+      val repStage = objStore
+        .map(_ => Files.createTempDirectory("graft-ib-upd").resolve("out").toString)
+        .getOrElse(s"$table/$repRel")
+      rep.write
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+        .parquet(repStage)
+      val (repParts, repInfos) = stagedInfos(repStage, repRel, table, objStore, conf)
+      objStore.foreach { os =>
+        val published = scala.collection.mutable.ArrayBuffer[String]()
+        try repParts.foreach { f =>
+          val target = new File(s"$table/$repRel", f.getName).getAbsolutePath
+          os.putObject(Paths.get(target), Files.readAllBytes(f.toPath))
+          published += target
+        } catch { case e: Throwable =>
+          published.foreach(pp => scala.util.Try(os.deleteObject(Paths.get(pp))))
+          deleteTree(new File(repStage)); deleteTree(stageRoot)
+          throw e
+        }
+      }
+      val (repManifest, repLen) = writeAvroArtifact(table, store,
+        s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, repInfos, snapshotId, schemaJson,
+          """{"spec-id":0,"fields":[]}"""))
+      (repParts, repInfos, repStage,
+        IcebergAvro.manifestRow(repManifest.toFile.getAbsolutePath, repLen, seq,
+          snapshotId, repInfos.size, repInfos.map(_.recordCount).sum),
+        repManifest)
+    }
+    val rows = Seq(delRow) ++ replacement.map(_._4)
     commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
-      Seq(delRow), "delete",
+      rows, if (setOpt.isDefined) "overwrite" else "delete",
       Map("added-position-delete-files" -> infos.size.toString,
-        "added-position-deletes" -> deletedRows.toString),
+        "added-position-deletes" -> deletedRows.toString) ++
+        replacement.map(r =>
+          "replaced-records" -> r._2.map(_.recordCount).sum.toString),
       reclaimOnConflict = () => {
         objStore match {
           case Some(os) =>
             infos.foreach(i =>
               scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
             scala.util.Try(os.deleteObject(manifestPath)): Unit
+            replacement.foreach { r =>
+              r._2.foreach(i => scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+              scala.util.Try(os.deleteObject(r._5)): Unit
+            }
           case None =>
             parts2.foreach(_.delete())
             Files.deleteIfExists(manifestPath): Unit
+            replacement.foreach { r =>
+              r._1.foreach(_.delete())
+              Files.deleteIfExists(r._5): Unit
+            }
         }
+        replacement.foreach(r => deleteTree(new File(r._3)))
         deleteTree(stageRoot)
       })
-    objStore.foreach(_ => deleteTree(stageRoot))
+    objStore.foreach { _ =>
+      replacement.foreach(r => deleteTree(new File(r._3)))
+      deleteTree(stageRoot)
+    }
     deletedRows
+    } finally { if (setOpt.isDefined) matched.unpersist(): Unit }
   }
 
   /** UPSERT — keyed merge-on-read (the Flink-CDC Iceberg pattern, and the

@@ -1646,6 +1646,55 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 25)
   }
 
+  test("Iceberg updateWhere: merge-on-read predicate update in one snapshot (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(
+      (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v"), table,
+      IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    def dataFilesNow() = new File(table, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSet ++
+      Option(new File(table, "data").listFiles()).toSeq.flatten
+        .filter(_.isDirectory).flatMap(d => d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length))).toSet
+    val before = dataFilesNow()
+    val n = IcebergSink.updateWhere(spark, table, "id % 10 = 0",
+      Map("v" -> "v + 1000"))
+    assert(n == 10L)
+    assert(IcebergSink.snapshots(table).length == 2, "update is ONE atomic snapshot")
+    assert(before.subsetOf(dataFilesNow()),
+      "an MoR update must not rewrite any existing data file")
+    val out = IcebergSink.read(spark, table)
+    assert(out.count() == 100)
+    assert(out.filter(col("id") === 10).collect().map(_.getDouble(1)).toSeq == Seq(1010.0))
+    assert(out.filter(col("id") === 7).head().getDouble(1) == 7.0)
+    // pre-update snapshot intact
+    assert(IcebergSink.read(spark, table, Some(s0))
+      .filter(col("id") === 10).head().getDouble(1) == 10.0)
+    // updates COMPOSE: the second update masks the replacement files' rows
+    assert(IcebergSink.updateWhere(spark, table, "id % 10 = 0",
+      Map("v" -> "v + 1000")) == 10L)
+    assert(IcebergSink.read(spark, table).filter(col("id") === 10)
+      .collect().map(_.getDouble(1)).toSeq == Seq(2010.0))
+    // changelog decomposes each update snapshot into delete + insert rows
+    val feed = IcebergSink.readChangelog(spark, table, s0)
+    assert(feed.filter(col("_change_type") === "delete").count() == 20)
+    assert(feed.filter(col("_change_type") === "insert").count() == 20)
+    // no-match update commits nothing
+    val snaps = IcebergSink.snapshots(table).length
+    assert(IcebergSink.updateWhere(spark, table, "id = -1", Map("v" -> "0.0")) == 0L)
+    assert(IcebergSink.snapshots(table).length == snaps)
+    // compaction materializes the masked state
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).filter(col("id") === 10)
+      .head().getDouble(1) == 2010.0)
+    assert(IcebergSink.read(spark, table).count() == 100)
+  }
+
   test("Iceberg deleteKeys: equality-delete-only CDC snapshot (r13)") {
     val s = spark
     import s.implicits._
