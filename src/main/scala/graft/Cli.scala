@@ -181,8 +181,10 @@ object Cli {
       case "update-dv-delta" =>
         // update-dv-delta <table> <predicate> <col=expr>[,<col=expr>...] —
         // merge-on-read update via deletion vectors
-        val sets = pos(2).split(",").map(_.trim).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        val sets = splitSpecs(pos(2)).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"want col=expr, got $kv")
+          kv.take(i).trim -> kv.drop(i + 1).trim
         }.toMap
         val n = sinks.DeltaSink.updateWhereDV(spark, pos(0), pos(1), sets)
         println(s"updated $n rows (deletion vectors)")
@@ -196,8 +198,10 @@ object Cli {
         println(s"dropped ${pos(1)}")
       case "update-iceberg" =>
         // update-iceberg <table> <predicate> <col=expr>[,...] — MoR update
-        val sets = pos(2).split(",").map(_.trim).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        val sets = splitSpecs(pos(2)).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"want col=expr, got $kv")
+          kv.take(i).trim -> kv.drop(i + 1).trim
         }.toMap
         val n = sinks.IcebergSink.updateWhere(spark, pos(0), pos(1), sets)
         println(s"updated $n rows (merge-on-read)")

@@ -294,8 +294,24 @@ object DeltaSink {
           fresh.groupBy(_.toLowerCase).collect { case (_, vs) if vs.length > 1 => vs.head }
         require(dupes.isEmpty,
           s"mergeSchema appended columns collide (case-insensitive): ${dupes.mkString(", ")}")
+        // under column mapping, ADDED columns get FRESH physical names
+        // (real Delta assigns UUIDs): re-adding a dropped or renamed
+        // logical name must NEVER resurrect old files' physical column of
+        // that name, and toPhysical must never emit duplicates
+        val nextId = existing.fields
+          .filter(_.metadata.contains(MapIdKey))
+          .map(_.metadata.getLong(MapIdKey)).foldLeft(0L)(math.max)
         Some(StructType(existing.fields ++
-          df.schema.fields.drop(n).map(_.copy(nullable = true))))
+          df.schema.fields.drop(n).zipWithIndex.map { case (f, k) =>
+            val f1 = f.copy(nullable = true)
+            if (!mappingEnabled(existing)) f1
+            else f1.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f1.metadata)
+                .putLong(MapIdKey, nextId + k + 1)
+                .putString(PhysNameKey,
+                  s"col-${java.util.UUID.randomUUID()}").build())
+          }))
       } else {
         require(existing.fields.drop(n).forall(_.nullable),
           "incoming data omits non-nullable trailing columns")
@@ -308,7 +324,9 @@ object DeltaSink {
     val staging = Files.createTempDirectory("graft-delta-txn").toFile
     val txn = java.util.UUID.randomUUID().toString
     val adds = try {
-      val writer = toPhysical(df, state.schema).write
+      // stage under the EVOLVED mapping: an added column's fresh physical
+      // name must reach the file, not its logical name
+      val writer = toPhysical(df, evolvedSchema.getOrElse(state.schema)).write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -722,7 +740,7 @@ object DeltaSink {
         .reduce(_.unionByName(_))
       val cdcStaging = Files.createTempDirectory("graft-delta-cdc").toFile
       try {
-        cdcDf.write.mode("overwrite")
+        toPhysical(cdcDf, state.schema).write.mode("overwrite")
           .option("compression", "snappy")
           .option("maxRecordsPerFile", MaxRecordsPerFile)
           .parquet(cdcStaging.getPath)
@@ -1018,8 +1036,10 @@ object DeltaSink {
               f"part-$i%05d-$txn.c000.snappy.parquet")
         } finally deleteRecursively(staging)
     }
-    // CDC images (cost ∝ matched rows, same as the CoW path)
-    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
+    // CDC images (cost ∝ matched rows, same as the CoW path); a cdc
+    // failure reclaims the already-published replacement files — an
+    // uncommitted transaction leaves zero bytes behind
+    val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else try {
       val cdcStaging = Files.createTempDirectory("graft-delta-dv-cdc").toFile
       try {
         toPhysical(imagesOf(matchedRows, replacement), state.schema)
@@ -1030,6 +1050,9 @@ object DeltaSink {
         publishAll(store, dir, cdcStaging,
           conf, (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
       } finally deleteRecursively(cdcStaging)
+    } catch { case e: Throwable =>
+      dataAdds.foreach(a => scala.util.Try(deleteData(store, dir, a.path)))
+      throw e
     }
     // merge with any existing DV per file, publish the sidecars, and
     // re-add each touched file (same path, new descriptor — last add per
@@ -1062,11 +1085,18 @@ object DeltaSink {
         scala.util.Try(deleteData(store, dir, p)))
       throw e
     }
+    // v3/v7 protocols must LIST every active table feature (spec rule):
+    // a DV bump on a column-mapped table carries columnMapping too, or a
+    // spec-compliant external reader would stop applying the mapping
+    val features =
+      (Seq("deletionVectors") ++
+        (if (mappingEnabled(state.schema)) Seq("columnMapping") else Nil))
+        .map(f => "\"" + f + "\"").mkString(",")
     val bump =
       if (meta.minReader >= 3 && meta.minWriter >= 7) Nil
-      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}""")
+      else Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[$features],""" +
+        s""""writerFeatures":[$features]}}""")
     val cdcLines = cdcAdds.map(a =>
       s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
         s""""size":${a.size},"dataChange":false}}""")
@@ -1117,26 +1147,49 @@ object DeltaSink {
     requireWritable(meta.minWriter, table)
     require(!meta.partitionColumns.contains(column),
       s"cannot rename or drop partition column $column")
-    val mapped =
-      if (mappingEnabled(meta.schema)) meta.schema
-      else StructType(meta.schema.fields.zipWithIndex.map { case (f, i) =>
+    // stamp EVERY unmapped field, not just on first enable: a column
+    // added (mergeSchema) after mapping was enabled may lack metadata —
+    // its files carry the logical name, so physicalName = current name is
+    // exactly right; skipping it would let a later rename silently NULL
+    // its pre-rename data
+    var nextId = meta.schema.fields
+      .filter(_.metadata.contains(MapIdKey))
+      .map(_.metadata.getLong(MapIdKey)).foldLeft(0L)(math.max)
+    val mapped = StructType(meta.schema.fields.map { f =>
+      if (f.metadata.contains(PhysNameKey)) f
+      else {
+        nextId += 1
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-          .putLong(MapIdKey, (i + 1).toLong)
+          .putLong(MapIdKey, nextId)
           .putString(PhysNameKey, f.name).build())
-      })
+      }
+    })
     val idx = mapped.fieldNames.indexOf(column)
     require(idx >= 0, s"no such column: $column")
     val evolved = op(mapped, idx)
+    // protocol: v3/v7 tables must LIST every active feature (spec rule),
+    // so enabling mapping on a DV table refreshes the feature lists;
+    // pre-v3 tables bump to plain (2,5) — feature lists only exist at v3+
     val bump =
-      if (meta.minReader >= 2 && meta.minWriter >= 5) Nil
+      if (meta.minReader >= 3)
+        Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+          s""""minWriterVersion":${meta.minWriter},""" +
+          s""""readerFeatures":["deletionVectors","columnMapping"],""" +
+          s""""writerFeatures":["deletionVectors","columnMapping"]}}""")
+      else if (meta.minReader >= 2 && meta.minWriter >= 5) Nil
       else Seq(s"""{"protocol":{"minReaderVersion":${math.max(2, meta.minReader)},""" +
         s""""minWriterVersion":${math.max(5, meta.minWriter)}}}""")
     val metaLine = metaDataJson(meta.id,
       StructType(evolved.fields.map(_.copy(nullable = true))).json,
       meta.partitionColumns,
       if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis())
-    commitAtomic(store, versionFile(table, meta.version + 1), bump :+ metaLine)
+    try commitAtomic(store, versionFile(table, meta.version + 1), bump :+ metaLine)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit on $table during column evolution; re-run", e)
+    }
   }
 
   /** Writes a parquet checkpoint of the current log state plus the

@@ -1863,6 +1863,18 @@ object IcebergSink {
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
     val snap = snapshotEntries(table, None)
+    // validate the SET plan BEFORE any staging: a bad column or an
+    // unparsable expression must fail with zero bytes written (the delete
+    // artifacts are published before the replacement would be built, and
+    // expiry only reclaims manifest-referenced paths)
+    setOpt.foreach { set =>
+      set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"no such column: $c"))
+      // functions.expr defers parsing until the plan is built — force it
+      // through the session parser so a syntax error surfaces HERE
+      set.values.foreach(e =>
+        spark.sessionState.sqlParser.parseExpression(e): Unit)
+    }
     val matched0 = readMerged(spark, snap.schema, snap.data, snap.deletes,
       keepLineage = true, curFields = snap.curFields,
       fileFields = snap.fileFields).filter(expr(predicate))
@@ -2006,8 +2018,6 @@ object IcebergSink {
     // the PRE-update row (matched is persisted; one merged-view scan)
     val replacement = setOpt.map { set =>
       val schema = snap.schema
-      set.keys.foreach(c => require(schema.fieldNames.contains(c),
-        s"no such column: $c"))
       val rep = matched.select(schema.fieldNames.map(c =>
         set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
           .getOrElse(col(c))).toIndexedSeq: _*)

@@ -1907,6 +1907,63 @@ class SinkSpec extends AnyFunSuite {
     intercept[Exception](DeltaSink.dropColumn(spark, pt, "lang"))
   }
 
+  test("Delta column mapping interplay: merge CDF, evolve-after-mapping, drop-then-readd (r13 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "qty", "note").coalesce(1), table))
+    DeltaSink.renameColumn(spark, table, "qty", "quantity")
+    // merge CDF images must carry the renamed column's VALUES, not NULLs
+    val v1 = DeltaSink.latestVersion(table)
+    DeltaSink.merge(spark, table,
+      Seq((1L, 100, "a2"), (3L, 30, "c")).toDF("id", "quantity", "note"), Seq("id"))
+    val feed = DeltaSink.readCdf(spark, table, v1)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .head().getInt(1) == 100,
+      "merge cdc files must be written under physical names")
+    assert(feed.filter(col("_change_type") === "insert").head().getInt(1) == 30)
+    // a column ADDED after mapping was enabled gets a FRESH physical name;
+    // renaming it later must keep its pre-rename data readable
+    DeltaSink.append(Seq((4L, 40, "d", true)).toDF("id", "quantity", "note", "flag"),
+      table, mergeSchema = true)
+    DeltaSink.renameColumn(spark, table, "flag", "active")
+    val r = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(r.length == 4)
+    assert(r(3).getBoolean(3) == true,
+      "pre-rename data of a post-mapping column must survive the rename")
+    // drop-then-readd must NOT resurrect the dropped column's old data
+    DeltaSink.dropColumn(spark, table, "note")
+    DeltaSink.append(Seq((5L, 50, false, "fresh"))
+      .toDF("id", "quantity", "active", "note"), table, mergeSchema = true)
+    val back = DeltaSink.read(spark, table).orderBy("id").collect()
+    assert(back.take(4).forall(_.isNullAt(back.head.fieldIndex("note"))),
+      "re-adding a dropped logical name must read NULL for old rows, " +
+        s"never the pre-drop values: ${back.mkString(",")}")
+    assert(back(4).getString(back.head.fieldIndex("note")) == "fresh")
+  }
+
+  test("Iceberg updateWhere: a bad SET fails before any artifact is staged (r13 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(Seq((1L, 1.0)).toDF("id", "v"), table,
+      IcebergSink.CreateExclusive)
+    def dataTree() = {
+      def walk(f: File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f.getName)
+      walk(new File(table, "data")).sorted
+    }
+    val before = dataTree()
+    intercept[Exception](
+      IcebergSink.updateWhere(spark, table, "id > 0", Map("nosuch" -> "1")))
+    intercept[Exception](
+      IcebergSink.updateWhere(spark, table, "id > 0", Map("v" -> "not a ( expr")))
+    assert(dataTree() == before, "a rejected SET must leak zero artifacts")
+    assert(IcebergSink.snapshots(table).length == 1)
+  }
+
   test("Delta updateWhereDV: merge-on-read update masks old rows and appends replacements (r13)") {
     val s = spark
     import s.implicits._
