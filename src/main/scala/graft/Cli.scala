@@ -217,6 +217,15 @@ object Cli {
         // widen-column-iceberg <table> <column> — int→long / float→double
         sinks.IcebergSink.evolveWiden(pos(0), pos(1))
         println(s"widened ${pos(1)}")
+      case "tag-iceberg" =>
+        // tag-iceberg <table> <name> <snapshotId> [branch] — named ref
+        sinks.IcebergSink.createRef(pos(0), pos(1), pos(2).toLong,
+          pos.lift(3).getOrElse("tag"))
+        println(s"ref ${pos(1)} -> ${pos(2)}")
+      case "drop-ref-iceberg" =>
+        // drop-ref-iceberg <table> <name>
+        sinks.IcebergSink.dropRef(pos(0), pos(1))
+        println(s"dropped ref ${pos(1)}")
       case "restore-delta" =>
         // restore-delta <table> <version> — metadata-only undo
         val (re, rm) = sinks.DeltaSink.restore(spark, pos(0), pos(1).toLong)

@@ -1907,6 +1907,45 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_refs",
+      // NAMED REFS (tags/branches) under the oracle (r13): the even half
+      // bootstraps and gets TAGGED; the odd half appends; expiry at
+      // keepLast=1 would normally retire every snapshot but the newest —
+      // the tag PINS its snapshot (expireSnapshots never expires a
+      // ref-pinned snapshot), so reading the tag afterwards still yields
+      // exactly the even half. The reproducibility primitive at 100 TB:
+      // "the exact table this model trained on" survives retention as an
+      // O(1) metadata pointer, not a copy. Census: the tag read ≡ the
+      // oracle's even-half recompute; the main read ≡ the full corpus.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-refs") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.createRef(table, "train-v1", s0)
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          table, graft.sinks.IcebergSink.Append)
+        graft.sinks.IcebergSink.expireSnapshots(table, keepLast = 1)
+        val tagged = graft.sinks.IcebergSink.readRef(s, table, "train-v1")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_tagged"), fxSum(col("value")).as("v_tagged"))
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))
+          .join(tagged, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("n_tagged"), lit(0L)).as("n_tagged"),
+            coalesce(col("v_tagged"), lit(0.0)).as("v_tagged"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_tagged,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 2 = 0), 0) AS DOUBLE) / 100.0 AS v_tagged
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

@@ -815,7 +815,19 @@ object IcebergSink {
     // engine bookkeeping is the snapshot summary map)
     summaryProps.foreach { case (k, v) => summary.put(k, v) }
     meta.put("current-snapshot-id", snapshotId)
-    meta.putObject("refs").putObject("main")
+    // carry every NAMED ref forward (tags/branches from [[createRef]] —
+    // a commit repoints only main; clobbering the others would silently
+    // unpin their snapshots from expiry)
+    val refsNode0 = meta.putObject("refs")
+    previous.filter(p => p.has("refs") && p.get("refs").isObject)
+      .foreach(_.get("refs").properties().asScala
+        .filter(_.getKey != "main")
+        .foreach { e =>
+          refsNode0.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+          ()
+        })
+    refsNode0.putObject("main")
       .put("snapshot-id", snapshotId).put("type", "branch")
 
     // write_exclusive: IF-NOT-EXISTS put of the next metadata version
@@ -1010,20 +1022,7 @@ object IcebergSink {
     rebuilt.add(schemaNode)
     newMeta.get("properties").asInstanceOf[ObjectNode]
       .put("graft.spark-schema", newSpark.json)
-    try
-      store.putIfAbsent(metaFile(table, hint + 1),
-        newMeta.toString.getBytes(StandardCharsets.UTF_8))
-    catch {
-      case _: FileAlreadyExistsException =>
-        throw new OptimisticConcurrencyException(hint + 1)
-    }
-    store match {
-      case os: ObjectStore =>
-        os.putObject(hintFile(table),
-          (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
-      case _ =>
-        Files.writeString(hintFile(table), (hint + 1).toString): Unit
-    }
+    commitMetadataVersion(table, store, hint, newMeta)
   }
 
   private val TxnAppKey = "graft.txn-app-id"
@@ -1694,6 +1693,15 @@ object IcebergSink {
       else newMeta.putObject("refs")
     refs.putObject("main")
       .put("snapshot-id", snapshotId).put("type", "branch")
+    commitMetadataVersion(table, store, hint, newMeta)
+  }
+
+  /** Claims version hint+1 with `newMeta` under the standard OCC protocol
+    * and advances the hint — the shared tail of every metadata-only verb
+    * ([[rollback]], [[createRef]], [[dropRef]], schema evolution).
+    */
+  private def commitMetadataVersion(table: String, store: CommitStore,
+      hint: Long, newMeta: ObjectNode): Unit = {
     val newVersion = hint + 1
     try
       store.putIfAbsent(metaFile(table, newVersion),
@@ -1709,6 +1717,71 @@ object IcebergSink {
       case _ =>
         Files.writeString(hintFile(table), newVersion.toString): Unit
     }
+  }
+
+  /** Creates (or repoints) a NAMED REF — Iceberg's tags and branches
+    * (spec §refs): a metadata-only commit adding `refs[name]` pointed at
+    * `snapshotId`. A TAG pins its snapshot for as long as the ref exists
+    * ([[expireSnapshots]] never expires a ref-pinned snapshot) — the
+    * audit/reproducibility primitive ("the exact table this model
+    * trained on") at O(1) cost regardless of table size. A BRANCH is the
+    * same pointer with branch type (this engine commits only to main, so
+    * non-main branches are read-side pins). Read through [[readRef]].
+    */
+  def createRef(table: String, name: String, snapshotId: Long,
+      refType: String = "tag",
+      store: CommitStore = CommitStore.Local): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag or branch, got $refType")
+    require(name != "main", "main is managed by commits and rollback")
+    require(name.nonEmpty, "ref name must be non-empty")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val known = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSet
+    require(known.contains(snapshotId),
+      s"no snapshot $snapshotId in $table (already expired?)")
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val refs =
+      if (newMeta.has("refs") && newMeta.get("refs").isObject)
+        newMeta.get("refs").asInstanceOf[ObjectNode]
+      else newMeta.putObject("refs")
+    refs.putObject(name).put("snapshot-id", snapshotId).put("type", refType)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadataVersion(table, store, hint, newMeta)
+  }
+
+  /** Drops a named ref (its snapshot becomes expirable again). */
+  def dropRef(table: String, name: String,
+      store: CommitStore = CommitStore.Local): Unit = {
+    require(name != "main", "main cannot be dropped")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    require(meta.has("refs") && meta.get("refs").has(name),
+      s"no such ref: $name")
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.get("refs").asInstanceOf[ObjectNode].remove(name): Unit
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadataVersion(table, store, hint, newMeta)
+  }
+
+  /** Every named ref of the table: name → (snapshot-id, type). */
+  def listRefs(table: String): Map[String, (Long, String)] = {
+    val meta = currentMeta(table)
+    if (!meta.has("refs") || !meta.get("refs").isObject) Map.empty
+    else meta.get("refs").properties().asScala.map { e =>
+      e.getKey -> (e.getValue.get("snapshot-id").asLong(),
+        Option(e.getValue.get("type")).map(_.asText()).getOrElse("branch"))
+    }.toMap
+  }
+
+  /** Reads the table AT a named ref — the time-travel-by-name surface. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+    val id = listRefs(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no such ref: $name"))._1
+    read(spark, table, Some(id))
   }
 
   /** Avro artifact into the table's metadata dir, through the store
@@ -2575,12 +2648,19 @@ object IcebergSink {
     val all = meta.get("snapshots").elements().asScala.map(_.deepCopy[ObjectNode]()).toSeq
       .sortBy(_.get("sequence-number").asLong())
     if (all.size <= keepLast) return 0
-    // "keep the newest N" must never expire the CURRENT snapshot: after a
+    // "keep the newest N" must never expire the CURRENT snapshot (after a
     // rollback the current ref points at an OLD sequence number, and
-    // dropping it would brick every read of the table
+    // dropping it would brick every read) — NOR any snapshot a named ref
+    // (tag/branch, [[createRef]]) still pins: a dangling ref is a read
+    // that fails tomorrow for a retention choice made today
     val curId = meta.get("current-snapshot-id").asLong()
+    val refIds: Set[Long] =
+      if (!meta.has("refs") || !meta.get("refs").isObject) Set(curId)
+      else meta.get("refs").properties().asScala
+        .map(_.getValue.get("snapshot-id").asLong()).toSet + curId
     val (expired0, kept0) = all.splitAt(all.size - keepLast)
-    val (expCur, expired) = expired0.partition(_.get("snapshot-id").asLong() == curId)
+    val (expCur, expired) = expired0.partition(s =>
+      refIds.contains(s.get("snapshot-id").asLong()))
     val kept = expCur ++ kept0
     if (expired.isEmpty) return 0
 

