@@ -89,6 +89,184 @@ object DeletionVector {
   /** TRUE when (`path`, `pos`) is deleted by the packed DV map. */
   def dvDeleted(packedMap: Array[Byte], path: Column, pos: Column): Column =
     col(DvDeleted(Literal(packedMap, BinaryType), expr(path), expr(pos)))
+
+  /** [[dvDeleted]] with the packed map shipped as a BROADCAST variable
+    * instead of a plan literal — the fallback past
+    * [[graft.sinks.DeltaSink]]'s size threshold: a multi-MB literal would
+    * be serialized into every task binary, where a broadcast ships once
+    * per executor over the torrent protocol.
+    */
+  def dvDeletedBroadcast(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      path: Column, pos: Column): Column =
+    col(DvDeletedBroadcast(bc, expr(path), expr(pos)))
+
+  // ---------------------------------------------------------------------
+  // Delta-spec serialization of deletion vectors (Delta PROTOCOL.md
+  // "Deletion Vector Descriptor" / "Deletion Vector Format"): the sidecar
+  // framing, the RoaringBitmapArray "portable" payload, and the RFC 1924
+  // base85 UUID encoding that storageType "u" descriptors carry — what an
+  // EXTERNAL spec-compliant Delta reader parses. The in-plan probe above
+  // keeps its own compact Roaring64 packing (a plan artifact, never a
+  // file).
+  // ---------------------------------------------------------------------
+
+  /** Magic number heading a portable RoaringBitmapArray (Delta spec). */
+  val PortableMagic = 1681511377
+
+  /** RFC 1924 base85 alphabet — the character set Delta's storageType "u"
+    * encodes DV UUIDs with (PROTOCOL.md: "Base85 variant with the
+    * character set from RFC 1924"; the ZeroMQ Z85 variant differs in
+    * alphabet order only).
+    */
+  private val B85: Array[Char] =
+    (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z') ++ "!#$%&()*+-;<=>?@^_`{|}~").toArray
+  private val B85Rev: Array[Int] = {
+    val r = Array.fill(128)(-1)
+    B85.zipWithIndex.foreach { case (c, i) => r(c.toInt) = i }
+    r
+  }
+
+  /** 4-byte-aligned base85 encode (16-byte UUID → 20 chars). */
+  def base85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "base85 encodes 4-byte blocks")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      val block = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { block(j) = B85((v % 85).toInt); v /= 85; j -= 1 }
+      sb.appendAll(block)
+      i += 4
+    }
+    sb.toString
+  }
+
+  def base85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, "base85 decodes 5-char blocks")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) B85Rev(c.toInt) else -1
+        require(d >= 0, s"not a base85 character: $c")
+        v = v * 85 + d
+        j += 1
+      }
+      val o = i / 5 * 4
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      i += 5
+    }
+    out
+  }
+
+  def encodeUuid(uuid: java.util.UUID): String = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    base85Encode(bb.array())
+  }
+
+  def decodeUuid(encoded: String): java.util.UUID = {
+    require(encoded.length == 20, s"encoded UUID must be 20 chars, got ${encoded.length}")
+    val bb = java.nio.ByteBuffer.wrap(base85Decode(encoded))
+    new java.util.UUID(bb.getLong, bb.getLong)
+  }
+
+  /** Serializes a row-index set as a PORTABLE RoaringBitmapArray (Delta
+    * spec): little-endian magic 1681511377, little-endian 8-byte bitmap
+    * count, then one standard-format 32-bit RoaringBitmap per consecutive
+    * high-32-bit key from 0 (empty keys included) — each index n lives in
+    * bitmap n >>> 32 at value n.toInt.
+    */
+  def toPortable(bm: Roaring64Bitmap): Array[Byte] = {
+    import org.roaringbitmap.RoaringBitmap
+    val byKey = scala.collection.mutable.LinkedHashMap.empty[Int, RoaringBitmap]
+    val it = bm.getLongIterator
+    var maxKey = -1
+    while (it.hasNext) {
+      val v = it.next()
+      require(v >= 0, s"row index must be non-negative: $v")
+      val key = (v >>> 32).toInt
+      maxKey = math.max(maxKey, key)
+      byKey.getOrElseUpdate(key, new RoaringBitmap()).add(v.toInt)
+    }
+    val bitmaps = (0 to maxKey).map(k => byKey.getOrElse(k, new RoaringBitmap()))
+    bitmaps.foreach(_.runOptimize())
+    val size = 4 + 8 + bitmaps.map(_.serializedSizeInBytes()).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(PortableMagic)
+    bb.putLong(bitmaps.size.toLong)
+    bitmaps.foreach(_.serialize(bb))
+    bb.array()
+  }
+
+  def fromPortable(bytes: Array[Byte]): Roaring64Bitmap = {
+    import org.roaringbitmap.RoaringBitmap
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == PortableMagic,
+      s"not a portable RoaringBitmapArray: magic $magic != $PortableMagic")
+    val n = bb.getLong
+    val out = new Roaring64Bitmap()
+    var key = 0L
+    while (key < n) {
+      val rb = new RoaringBitmap()
+      rb.deserialize(bb)
+      bb.position(bb.position() + rb.serializedSizeInBytes())
+      val it = rb.getIntIterator
+      while (it.hasNext) out.addLong((key << 32) | (it.next() & 0xffffffffL))
+      key += 1
+    }
+    out
+  }
+
+  /** Frames one portable bitmap payload as a Delta-spec DV FILE: version
+    * byte 1, then [4-byte big-endian dataSize][payload][4-byte big-endian
+    * CRC-32 of payload]. Returns (fileBytes, offset, dataSize) — offset
+    * (1: right after the version byte) and dataSize are what the add
+    * action's descriptor records.
+    */
+  def frameDvFile(payload: Array[Byte]): (Array[Byte], Int, Int) = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + payload.length + 4)
+    bb.put(1.toByte)
+    bb.putInt(payload.length)
+    bb.put(payload)
+    bb.putInt(crc.getValue.toInt)
+    (bb.array(), 1, payload.length)
+  }
+
+  /** Parses one DV out of a spec-framed file: verifies the format
+    * version, the recorded size, the CRC-32, and the portable magic, then
+    * returns the bitmap. `offset` addresses the dataSize field of this
+    * DV's blob (descriptors in multi-DV files carry distinct offsets).
+    */
+  def readDvFile(fileBytes: Array[Byte], offset: Int, sizeInBytes: Long): Roaring64Bitmap = {
+    require(fileBytes.nonEmpty && fileBytes(0) == 1,
+      s"unsupported DV file format version: ${if (fileBytes.isEmpty) "<empty>" else fileBytes(0)}")
+    val bb = java.nio.ByteBuffer.wrap(fileBytes)
+    bb.position(offset)
+    val dataSize = bb.getInt
+    require(dataSize.toLong == sizeInBytes,
+      s"DV size mismatch: file records $dataSize, descriptor says $sizeInBytes")
+    val payload = new Array[Byte](dataSize)
+    bb.get(payload)
+    val stored = bb.getInt
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    require(stored == crc.getValue.toInt,
+      f"DV checksum mismatch: stored 0x$stored%08x, computed 0x${crc.getValue.toInt}%08x")
+    fromPortable(payload)
+  }
 }
 
 /** The read-side probe: deserializes the packed (file → bitmap) map ONCE
@@ -124,4 +302,40 @@ case class DvDeleted(dvMap: Expression, path: Expression, pos: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(dvMap = newChildren(0), path = newChildren(1), pos = newChildren(2))
+}
+
+/** [[DvDeleted]] with the packed map carried by a BROADCAST variable:
+  * past [[graft.sinks.DeltaSink.DvLiteralMaxBytes]] the map would bloat
+  * every serialized task, so it ships once per executor instead. Same
+  * probe, same O(1) per row; the broadcast handle serializes with the
+  * expression (Spark broadcasts are Serializable by design).
+  */
+case class DvDeletedBroadcast(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    path: Expression, pos: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(path, pos)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_dv_deleted_bc"
+  override lazy val deterministic: Boolean = true
+
+  @transient private lazy val bitmaps: Map[UTF8String, Roaring64Bitmap] =
+    DeletionVector.unpackMap(bc.value).map { case (k, v) =>
+      UTF8String.fromString(k) -> DeletionVector.deserialize(v)
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val p = path.eval(input)
+    val i = pos.eval(input)
+    if (p == null || i == null) false
+    else bitmaps.get(p.asInstanceOf[UTF8String]) match {
+      case Some(bm) => bm.contains(i.asInstanceOf[Long])
+      case None => false
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(path = newChildren(0), pos = newChildren(1))
 }

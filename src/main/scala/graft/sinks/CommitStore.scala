@@ -68,6 +68,15 @@ trait ObjectStore extends CommitStore {
     * leaves orphan part files no vacuum ever reclaims.
     */
   def listPrefix(prefix: Path): Seq[Path]
+
+  /** The object's bytes (the GetObject analogue) — what the sinks' own
+    * metadata-plane reads (deletion-vector sidecars, manifest merges)
+    * travel when the table lives in a bucket: a real store has no local
+    * open, and routing these through the protocol is what makes the
+    * sink's every byte store-resident. Missing objects throw
+    * [[java.io.FileNotFoundException]].
+    */
+  def readObject(target: Path): Array[Byte]
 }
 
 object CommitStore {

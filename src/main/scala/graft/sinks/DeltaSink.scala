@@ -114,6 +114,31 @@ object DeltaSink {
   private def mappingEnabled(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(PhysNameKey))
 
+  /** The table properties a column-mapped table must DECLARE in its
+    * metaData action's configuration (Delta spec: a reader defaults to
+    * mode "none" and would resolve parquet by logical names — silently
+    * reading NULLs after any rename — unless the mode property says
+    * otherwise): mode "name" plus the high-water column id.
+    */
+  private def mappingConfig(schema: StructType): Map[String, String] =
+    if (!mappingEnabled(schema)) Map.empty
+    else Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> maxMapId(schema).toString)
+
+  /** Highest assigned column-mapping id anywhere in the schema, nested
+    * fields included — the `delta.columnMapping.maxColumnId` property and
+    * the floor fresh ids are minted above.
+    */
+  private def maxMapId(dt: DataType): Long = dt match {
+    case st: StructType => st.fields.map(f => math.max(
+      if (f.metadata.contains(MapIdKey)) f.metadata.getLong(MapIdKey) else 0L,
+      maxMapId(f.dataType))).foldLeft(0L)(math.max)
+    case ArrayType(et, _) => maxMapId(et)
+    case MapType(k, v, _) => math.max(maxMapId(k), maxMapId(v))
+    case _ => 0L
+  }
+
   /** Logical→physical rename for staging writes (no-op without mapping);
     * columns outside the schema (e.g. `_change_type`) pass through.
     */
@@ -127,20 +152,92 @@ object DeltaSink {
   }
 
   /** The schema as data files carry it: physical names, no mapping
-    * metadata (the parquet reader must not chase it).
+    * metadata anywhere (the parquet reader must not chase it). Nested
+    * fields keep their names — only top-level columns are
+    * rename-addressable, so nested physical names always equal their
+    * logical ones; their stamped metadata still has to go.
     */
   private def physicalSchema(schema: StructType): StructType =
     StructType(schema.fields.map(f =>
       f.copy(name = physName(f),
+        dataType = clearMappingMeta(f.dataType),
         metadata = org.apache.spark.sql.types.Metadata.empty)))
 
+  private def clearMappingMeta(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f => f.copy(
+      dataType = clearMappingMeta(f.dataType),
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case ArrayType(et, n) => ArrayType(clearMappingMeta(et), n)
+    case MapType(k, v, n) => MapType(clearMappingMeta(k), clearMappingMeta(v), n)
+    case other => other
+  }
+
   /** A deletion-vector descriptor on an add action (reader v3 / writer
-    * v7): `path` is the table-relative sidecar holding the roaring bitmap
-    * of deleted row indexes; `cardinality` lets metadata-only consumers
-    * (fileStats) subtract without opening anything.
+    * v7), in the Delta spec's own vocabulary: `storageType` "u" stores
+    * `pathOrInlineDv` = `<prefix><RFC-1924-base85 uuid>` with the sidecar
+    * at `<table>/<prefix>/deletion_vector_<uuid>.bin`; "p" stores an
+    * absolute path (this engine also accepts a table-RELATIVE "p" for its
+    * own pre-spec descriptors). `offset` addresses the DV's blob inside
+    * the spec-framed file; `sizeInBytes` is the blob's dataSize (not the
+    * file length); `cardinality` lets metadata-only consumers (fileStats)
+    * subtract without opening anything.
     */
-  private[sinks] case class DvInfo(path: String, sizeInBytes: Long,
-      cardinality: Long)
+  private[sinks] case class DvInfo(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Long, cardinality: Long)
+
+  /** The prefix DV sidecars are written under — one directory per table,
+    * so [[vacuum]] sweeps a single listing (real writers scatter random
+    * prefixes for S3 key sharding; a prefix is an arbitrary string per
+    * the spec, and locality beats sharding on every store that isn't
+    * 2010-era S3).
+    */
+  private val DvPrefix = "deletion_vectors"
+
+  /** Table-relative sidecar path of a DV descriptor, or None when the
+    * descriptor points outside the table (an absolute "p" elsewhere) —
+    * those are never vacuum-tracked.
+    */
+  private def dvRelPath(table: String, dv: DvInfo): Option[String] = dv.storageType match {
+    case "u" =>
+      val prefix = dv.pathOrInlineDv.dropRight(20)
+      val uuid = graft.functions.DeletionVector.decodeUuid(dv.pathOrInlineDv.takeRight(20))
+      Some((if (prefix.isEmpty) "" else prefix + "/") + s"deletion_vector_$uuid.bin")
+    case "p" if !dv.pathOrInlineDv.startsWith("/") => Some(dv.pathOrInlineDv)
+    case "p" =>
+      val tableAbs = new File(table).getAbsolutePath + "/"
+      if (dv.pathOrInlineDv.startsWith(tableAbs))
+        Some(dv.pathOrInlineDv.stripPrefix(tableAbs))
+      else None
+    case other => throw new IllegalArgumentException(
+      s"unsupported deletion-vector storageType: $other")
+  }
+
+  /** The sidecar file a DV descriptor resolves to. */
+  private def dvFile(table: String, dv: DvInfo): File =
+    dvRelPath(table, dv).map(rel => new File(table, rel))
+      .getOrElse(new File(dv.pathOrInlineDv))
+
+  /** Reads + parses a descriptor's bitmap: spec-framed files (offset
+    * present) verify version/size/CRC/magic; descriptors WITHOUT an
+    * offset are this engine's pre-spec raw-Roaring64 sidecars, kept
+    * readable so r13-era tables replay.
+    */
+  private def dvBitmapBytes(table: String, dv: DvInfo, store: CommitStore): Array[Byte] = {
+    val raw = readBytes(store, dvFile(table, dv))
+    dv.offset match {
+      case Some(off) => graft.functions.DeletionVector.serialize(
+        graft.functions.DeletionVector.readDvFile(raw, off, dv.sizeInBytes))
+      case None => raw
+    }
+  }
+
+  /** Sidecar bytes through the store protocol when one is given — a real
+    * bucket has no local open (VERDICT r13 item 2).
+    */
+  private def readBytes(store: CommitStore, f: File): Array[Byte] = store match {
+    case os: ObjectStore => os.readObject(f.toPath)
+    case _ => Files.readAllBytes(f.toPath)
+  }
 
   /** One live data file in the replayed table state. */
   private case class AddEntry(path: String, partitionValues: Map[String, String],
@@ -396,7 +493,11 @@ object DeltaSink {
           // external logs may omit createdTime (replays as 0) — don't
           // propagate a zero birth-time into the evolved action
           if (state.createdTime != 0L) state.createdTime
-          else System.currentTimeMillis()))
+          else System.currentTimeMillis(),
+          // a column-mapped table's mode/maxColumnId properties ride
+          // every metaData re-emission (and the added column may have
+          // raised the high-water id)
+          mappingConfig(sch)))
         commitAtomic(store, versionFile(table, next),
           metaLine.toSeq ++ txnLine.toSeq ++ adds.map(a => addJson(a)))
         // The append is committed at this point: an auto-checkpoint failure
@@ -502,15 +603,18 @@ object DeltaSink {
     val state = replay(spark, table, None)
     requireWritable(state.minWriter, table)
     val before = state.live.size
-    // Bin-pack target: total row count comes from the log's own numRecords
-    // stats (no data scan); maxRecordsPerFile still caps each file, so the
+    // Bin-pack target: total LIVE row count comes from the log's own
+    // numRecords stats minus each file's deletion-vector cardinality (the
+    // same metadata-only subtraction fileStats makes — a post-delete
+    // compact must size for the survivors, not the masked rows; no data
+    // scan either way); maxRecordsPerFile still caps each file, so the
     // result is the minimal file count at the declared file size.
     val totalRows = state.live.map { a =>
       Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
-        .getOrElse(0L)
+        .getOrElse(0L) - a.dv.map(_.cardinality).getOrElse(0L)
     }.sum
     val nFiles = math.max(1, ((totalRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
-    val current0 = readState(spark, table, state)
+    val current0 = readState(spark, table, state, store)
     val current =
       if (zorderBy.isEmpty) current0
       else ZOrder.cluster(current0, zorderBy, nFiles) // shared with IcebergSink
@@ -672,7 +776,7 @@ object DeltaSink {
         // URI (file://…, s3a://bucket/…) that File/Path relativization
         // only handles on a local FS (ADVICE r4). AddEntry paths are
         // table-relative and txn-unique, so a suffix hit is unambiguous.
-        val hitPaths = readState(spark, table, state.copy(live = candAdds))
+        val hitPaths = readState(spark, table, state.copy(live = candAdds), store)
           .withColumn(fileCol, input_file_name())
           .join(srcKeys, keys, "left_semi")
           .select(fileCol).distinct().collect()
@@ -683,7 +787,7 @@ object DeltaSink {
           hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
       }
     // stage 3: rewrite touched files (matched rows swapped out) + inserts
-    val kept = readState(spark, table, state.copy(live = touched))
+    val kept = readState(spark, table, state.copy(live = touched), store)
       .join(srcKeys, keys, "left_anti")
     val newData = kept.unionByName(writes)
     val staging = Files.createTempDirectory("graft-delta-merge").toFile
@@ -716,7 +820,7 @@ object DeltaSink {
     // table replay ignores them (dataChange=false, unknown action field).
     val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else {
       val ct = "_change_type"
-      val touchedRows = readState(spark, table, state.copy(live = touched))
+      val touchedRows = readState(spark, table, state.copy(live = touched), store)
       val touchedKeys = touchedRows.select(keys.map(col): _*)
       val updPre = touchedRows
         .join(writes.select(keys.map(col): _*), keys, "left_semi")
@@ -805,7 +909,7 @@ object DeltaSink {
     requireWritable(state.minWriter, table)
     val fileCol = s"__graft_rf_${java.util.UUID.randomUUID().toString.take(8)}"
     // which files hold a match: URI→path suffix match, same contract as merge
-    val hitPaths = readState(spark, table, state)
+    val hitPaths = readState(spark, table, state, store)
       .withColumn(fileCol, input_file_name())
       .filter(expr(predicate))
       .select(fileCol).distinct().collect()
@@ -815,7 +919,7 @@ object DeltaSink {
     val touched = state.live.filter(a =>
       hitPaths.exists(p => p == a.path || p.endsWith("/" + a.path)))
     if (touched.isEmpty) return 0L
-    val touchedRows = readState(spark, table, state.copy(live = touched))
+    val touchedRows = readState(spark, table, state.copy(live = touched), store)
     val matched = touchedRows.filter(expr(predicate))
     val replacement = replacementOf(matched, state.schema)
     val keptRows = touchedRows.filter(!coalesce(expr(predicate), lit(false)))
@@ -988,7 +1092,7 @@ object DeltaSink {
     // Iceberg merge-on-read lookup): a normalization mismatch must fail
     // loudly — an inner join would silently leave matched rows ALIVE
     import org.apache.spark.sql.functions.{coalesce => cl, concat, raise_error}
-    val matched = readStateMerged(spark, table, state, keepLineage = true)
+    val matched = readStateMerged(spark, table, state, keepLineage = true, store)
       .filter(expr(predicate))
       .withColumn("_gf_key",
         regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
@@ -1054,49 +1158,56 @@ object DeltaSink {
       dataAdds.foreach(a => scala.util.Try(deleteData(store, dir, a.path)))
       throw e
     }
-    // merge with any existing DV per file, publish the sidecars, and
-    // re-add each touched file (same path, new descriptor — last add per
-    // path wins in replay; the data file itself is untouched)
+    // merge with any existing DV per file, publish the sidecars in the
+    // SPEC's DV file format (version byte + size-framed + CRC'd portable
+    // RoaringBitmapArray; descriptor storageType "u" with the base85
+    // uuid), and re-add each touched file (same path, new descriptor —
+    // last add per path wins in replay; the data file is untouched)
     val now = System.currentTimeMillis()
     val published = scala.collection.mutable.ArrayBuffer[String]()
-    val newAdds = try perFile.zipWithIndex.map { case ((rel, fresh), i) =>
+    val newAdds = try perFile.map { case (rel, fresh) =>
       val add = state.live.find(_.path == rel).getOrElse(
         throw new IllegalStateException(s"matched file not live: $rel"))
       val bytes = add.dv match {
         case Some(old) => graft.functions.DeletionVector.merge(
-          Files.readAllBytes(new File(table, old.path).toPath), fresh)
+          dvBitmapBytes(table, old, store), fresh)
         case None => fresh
       }
-      val card = graft.functions.DeletionVector.deserialize(bytes)
-        .getLongCardinality
-      val dvRel = s"deletion_vectors/dv-$txn-$i.bin"
+      val bm = graft.functions.DeletionVector.deserialize(bytes)
+      val uuid = java.util.UUID.randomUUID()
+      val dvRel = s"$DvPrefix/deletion_vector_$uuid.bin"
+      val (fileBytes, offset, dataSize) = graft.functions.DeletionVector
+        .frameDvFile(graft.functions.DeletionVector.toPortable(bm))
       val target = new File(dir, dvRel)
       store match {
-        case os: ObjectStore => os.putObject(target.toPath, bytes)
+        case os: ObjectStore => os.putObject(target.toPath, fileBytes)
         case _ =>
           target.getParentFile.mkdirs()
-          Files.write(target.toPath, bytes): Unit
+          Files.write(target.toPath, fileBytes): Unit
       }
       published += dvRel
       add.copy(modificationTime = now,
-        dv = Some(DvInfo(dvRel, bytes.length.toLong, card)))
+        dv = Some(DvInfo("u",
+          DvPrefix + graft.functions.DeletionVector.encodeUuid(uuid),
+          Some(offset), dataSize.toLong, bm.getLongCardinality)))
     } catch { case e: Throwable =>
       (published ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
         scala.util.Try(deleteData(store, dir, p)))
       throw e
     }
     // v3/v7 protocols must LIST every active table feature (spec rule):
-    // a DV bump on a column-mapped table carries columnMapping too, or a
+    // a DV bump on a column-mapped table carries columnMapping too (and
+    // any features an earlier protocol action already tracked), or a
     // spec-compliant external reader would stop applying the mapping
-    val features =
-      (Seq("deletionVectors") ++
+    def features(tracked: Seq[String]) =
+      (tracked ++ Seq("deletionVectors") ++
         (if (mappingEnabled(state.schema)) Seq("columnMapping") else Nil))
-        .map(f => "\"" + f + "\"").mkString(",")
+        .distinct.sorted.map(esc).mkString("[", ",", "]")
     val bump =
       if (meta.minReader >= 3 && meta.minWriter >= 7) Nil
       else Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":[$features],""" +
-        s""""writerFeatures":[$features]}}""")
+        s""""readerFeatures":${features(meta.readerFeatures)},""" +
+        s""""writerFeatures":${features(meta.writerFeatures)}}}""")
     val cdcLines = cdcAdds.map(a =>
       s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
         s""""size":${a.size},"dataChange":false}}""")
@@ -1151,39 +1262,62 @@ object DeltaSink {
     // added (mergeSchema) after mapping was enabled may lack metadata —
     // its files carry the logical name, so physicalName = current name is
     // exactly right; skipping it would let a later rename silently NULL
-    // its pre-rename data
-    var nextId = meta.schema.fields
-      .filter(_.metadata.contains(MapIdKey))
-      .map(_.metadata.getLong(MapIdKey)).foldLeft(0L)(math.max)
+    // its pre-rename data. NESTED fields stamp too (spec: every field of
+    // a column-mapped schema carries id + physicalName); they are not
+    // rename-addressable here, so physical always equals logical below
+    // the top level.
+    var nextId = maxMapId(meta.schema)
+    def freshId(): Long = { nextId += 1; nextId }
+    def stampNested(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val meta1 =
+          if (f.metadata.contains(PhysNameKey)) f.metadata
+          else new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(MapIdKey, freshId())
+            .putString(PhysNameKey, f.name).build()
+        f.copy(metadata = meta1, dataType = stampNested(f.dataType))
+      })
+      case ArrayType(et, n) => ArrayType(stampNested(et), n)
+      case MapType(k, v, n) => MapType(stampNested(k), stampNested(v), n)
+      case other => other
+    }
     val mapped = StructType(meta.schema.fields.map { f =>
-      if (f.metadata.contains(PhysNameKey)) f
-      else {
-        nextId += 1
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      val f1 =
+        if (f.metadata.contains(PhysNameKey)) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-          .putLong(MapIdKey, nextId)
+          .putLong(MapIdKey, freshId())
           .putString(PhysNameKey, f.name).build())
-      }
+      f1.copy(dataType = stampNested(f1.dataType))
     })
     val idx = mapped.fieldNames.indexOf(column)
     require(idx >= 0, s"no such column: $column")
     val evolved = op(mapped, idx)
     // protocol: v3/v7 tables must LIST every active feature (spec rule),
-    // so enabling mapping on a DV table refreshes the feature lists;
-    // pre-v3 tables bump to plain (2,5) — feature lists only exist at v3+
+    // so enabling mapping on a DV table refreshes the TRACKED feature
+    // lists with columnMapping; pre-v3 tables bump to plain (2,5) —
+    // feature lists only exist at v3+
     val bump =
-      if (meta.minReader >= 3)
+      if (meta.minReader >= 3) {
+        def lst(fs: Seq[String]) =
+          (fs :+ "columnMapping").distinct.sorted.map(esc).mkString("[", ",", "]")
         Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
           s""""minWriterVersion":${meta.minWriter},""" +
-          s""""readerFeatures":["deletionVectors","columnMapping"],""" +
-          s""""writerFeatures":["deletionVectors","columnMapping"]}}""")
+          s""""readerFeatures":${lst(meta.readerFeatures)},""" +
+          s""""writerFeatures":${lst(meta.writerFeatures)}}}""")
+      }
       else if (meta.minReader >= 2 && meta.minWriter >= 5) Nil
       else Seq(s"""{"protocol":{"minReaderVersion":${math.max(2, meta.minReader)},""" +
         s""""minWriterVersion":${math.max(5, meta.minWriter)}}}""")
     val metaLine = metaDataJson(meta.id,
       StructType(evolved.fields.map(_.copy(nullable = true))).json,
       meta.partitionColumns,
-      if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis())
+      if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis(),
+      // the spec-compliance half of the mapping (ADVICE r13): without
+      // delta.columnMapping.mode=name in configuration an external reader
+      // defaults to mode none and NULLs every post-rename read
+      mappingConfig(evolved))
     try commitAtomic(store, versionFile(table, meta.version + 1), bump :+ metaLine)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -1210,11 +1344,17 @@ object DeltaSink {
     // written straight back out, so a table with millions of live files
     // checkpoints without the add list ever materializing on the driver.
     val metaRows: Seq[Row] =
-      (Row(Row(meta.minReader, meta.minWriter), null, null, null) +:
+      // feature lists exist only at v3/v7 (spec); carry the replayed
+      // ones so a reader starting from this checkpoint keeps them
+      (Row(Row(meta.minReader, meta.minWriter,
+        if (meta.minReader >= 3) meta.readerFeatures else null,
+        if (meta.minWriter >= 7) meta.writerFeatures else null),
+        null, null, null) +:
       Row(null,
         Row(Option(meta.id).getOrElse(java.util.UUID.randomUUID().toString), Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
           meta.partitionColumns,
+          mappingConfig(meta.schema),
           if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis()),
         null, null) +:
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
@@ -1300,12 +1440,18 @@ object DeltaSink {
   private val CheckpointSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      // spec: a v3/v7 protocol action REQUIRES its feature lists — a
+      // checkpoint dropping them would strip a DV or column-mapped
+      // table's capabilities for any reader starting there (ADVICE r13)
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))),
     StructField("add", StructType(Seq(
       StructField("path", StringType),
@@ -1317,6 +1463,7 @@ object DeltaSink {
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
         StructField("sizeInBytes", LongType),
         StructField("cardinality", LongType))))))),
     StructField("txn", StructType(Seq(
@@ -1360,8 +1507,8 @@ object DeltaSink {
     // deletion-vector sidecars: superseded descriptors (a re-delete
     // OR-merged them away, or a rewrite/compact dropped the DV) reclaim
     // on the same clock; live-referenced ones never do
-    val liveDvs = liveAdds.flatMap(_.dv.map(_.path)).toSet
-    val deadDv = Option(new File(dir, "deletion_vectors").listFiles()).toSeq.flatten
+    val liveDvs = liveAdds.flatMap(_.dv.flatMap(dvRelPath(table, _))).toSet
+    val deadDv = Option(new File(dir, DvPrefix).listFiles()).toSeq.flatten
       .filter { f =>
         val rel = dir.toPath.relativize(f.toPath).toString
         f.getName.endsWith(".bin") && !liveDvs.contains(rel) &&
@@ -1398,8 +1545,9 @@ object DeltaSink {
     * `asOfVersion` stops the replay at that commit — snapshot time travel
     * over the same log.
     */
-  def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None): DataFrame =
-    readState(spark, table, replay(spark, table, asOfVersion))
+  def read(spark: SparkSession, table: String, asOfVersion: Option[Long] = None,
+      store: CommitStore = CommitStore.Local): DataFrame =
+    readState(spark, table, replay(spark, table, asOfVersion), store)
 
   /** Stats-based FILE SKIPPING read: only files whose recorded
     * [min, max] range for `column` overlaps [lo, hi] enter the scan —
@@ -1582,33 +1730,88 @@ object DeltaSink {
             // honor a DV on the reconstructed add: its insert images are
             // the SURVIVORS, never the deleted rows
             val dv = Option(n.get("deletionVector")).map(d =>
-              DvInfo(d.get("pathOrInlineDv").asText(),
+              DvInfo(Option(d.get("storageType")).map(_.asText()).getOrElse("p"),
+                d.get("pathOrInlineDv").asText(),
+                Option(d.get("offset")).map(_.asInt()),
                 d.get("sizeInBytes").asLong(), d.get("cardinality").asLong()))
             AddEntry(n.get("path").asText(), Map.empty, 0L, 0L, null, dv)
           }
-        val adds = pathsOf("add")
-        // a removed file may have carried a deletion vector AT THE TIME of
-        // the remove (restore undoing a DV delete, CoW over a DV'd file
-        // with the feed off): its delete images are that DV's SURVIVORS,
-        // not the full physical file — the descriptor lives in the
-        // predecessor state, never in the remove action itself
+        val adds0 = pathsOf("add")
         val removes0 = pathsOf("remove")
-        val removes =
-          if (removes0.isEmpty || v == 0) removes0
+        // the predecessor state's descriptors feed two reconstructions: a
+        // REMOVED file may have carried a DV at remove time (its delete
+        // images are that DV's survivors), and a RE-ADDED path whose DV
+        // changed is a feed-off DV delete/update — the newly masked rows
+        // are genuine 'delete' images, the newly unmasked ones (a restore
+        // shrinking a DV) genuine 'insert's; without the diff, replaying
+        // the feed would reconstruct the deleted rows as still alive
+        // computed only when the commit carries a signal that needs it
+        // (removes, or an add with a descriptor) — a plain append never
+        // pays the extra replay; a restore re-add WITHOUT a descriptor
+        // stays at the documented file-granularity reconstruction
+        val prevDv: Map[String, Option[DvInfo]] =
+          if (v == 0 || (removes0.isEmpty && adds0.forall(_.dv.isEmpty))) Map.empty
+          else replay(spark, table, Some(v - 1)).live
+            .map(a => a.path -> a.dv).toMap
+        val removes = removes0.map(r =>
+          r.copy(dv = prevDv.getOrElse(r.path, None)))
+        val (reAdds, newAdds) = adds0.partition(a => prevDv.contains(a.path))
+        // per re-added file: rows masked by (new \ old) → delete images,
+        // rows unmasked by (old \ new) → insert images; the probe is the
+        // same packed-bitmap expression the merged read plants, here
+        // filtering FOR membership in the diff
+        def bitmapOf(dv: Option[DvInfo]) = dv match {
+          case Some(d) => graft.functions.DeletionVector.deserialize(
+            dvBitmapBytes(table, d, CommitStore.Local))
+          case None => new org.roaringbitmap.longlong.Roaring64Bitmap()
+        }
+        def dualKeys(path: String): Seq[String] = {
+          val abs = new File(table, path).getAbsolutePath
+          val enc = new File(abs).toURI.toString
+            .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+          Seq(abs, enc).distinct
+        }
+        def diffFrames(ct: String, pick: (org.roaringbitmap.longlong.Roaring64Bitmap,
+            org.roaringbitmap.longlong.Roaring64Bitmap) => org.roaringbitmap.longlong.Roaring64Bitmap)
+            : Seq[DataFrame] = {
+          val diffMap = reAdds.flatMap { a =>
+            val diff = pick(bitmapOf(a.dv), bitmapOf(prevDv(a.path)))
+            if (diff.isEmpty) Nil
+            else {
+              val bytes = graft.functions.DeletionVector.serialize(diff)
+              dualKeys(a.path).map(_ -> bytes)
+            }
+          }.toMap
+          if (diffMap.isEmpty) Nil
           else {
-            val prevDv = replay(spark, table, Some(v - 1)).live
-              .map(a => a.path -> a.dv).toMap
-            removes0.map(r => r.copy(dv = prevDv.getOrElse(r.path, None)))
+            import org.apache.spark.sql.functions.regexp_replace
+            val packed = graft.functions.DeletionVector.packMap(diffMap)
+            val base = readStateFiles(spark, table,
+              state.copy(live = reAdds.map(_.copy(dv = None))), withLineage = true)
+            Seq(base.filter(graft.functions.DeletionVector.dvDeleted(packed,
+                regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+                col("_gf_pos")))
+              .select(state.schema.fieldNames.toIndexedSeq.map(col): _*)
+              .withColumn("_change_type", lit(ct)))
           }
+        }
+        def andNot(a: org.roaringbitmap.longlong.Roaring64Bitmap,
+            b: org.roaringbitmap.longlong.Roaring64Bitmap) = {
+          val r = a.clone().asInstanceOf[org.roaringbitmap.longlong.Roaring64Bitmap]
+          r.andNot(b); r
+        }
+        val dvDeletes = diffFrames("delete", (nw, old) => andNot(nw, old))
+        val dvInserts = diffFrames("insert", (nw, old) => andNot(old, nw))
         val ins =
-          if (adds.isEmpty) Nil
-          else Seq(readState(spark, table, state.copy(live = adds))
+          if (newAdds.isEmpty) Nil
+          else Seq(readState(spark, table, state.copy(live = newAdds))
             .withColumn("_change_type", lit("insert")))
         val del =
           if (removes.isEmpty) Nil
           else Seq(readState(spark, table, state.copy(live = removes))
             .withColumn("_change_type", lit("delete")))
-        (ins ++ del).map(_.withColumn("_commit_version", lit(v)))
+        (ins ++ del ++ dvDeletes ++ dvInserts)
+          .map(_.withColumn("_commit_version", lit(v)))
       }
     }
     if (frames.isEmpty)
@@ -1616,21 +1819,33 @@ object DeltaSink {
     else frames.reduce(_.unionByName(_))
   }
 
-  private def readState(spark: SparkSession, table: String, state: State): DataFrame =
-    readStateMerged(spark, table, state, keepLineage = false)
+  private def readState(spark: SparkSession, table: String, state: State,
+      store: CommitStore = CommitStore.Local): DataFrame =
+    readStateMerged(spark, table, state, keepLineage = false, store)
+
+  /** Past this packed-map size the DV probe ships as a BROADCAST instead
+    * of a plan literal: a literal serializes into EVERY task binary (at
+    * 10k tasks a 16 MB map is 160 GB of task bytes), a broadcast once per
+    * executor. Under it the literal wins — no broadcast bookkeeping, and
+    * the map rides plan caching.
+    */
+  private[graft] val DvLiteralMaxBytes: Int = 8 * 1024 * 1024
 
   /** The MERGED view of a snapshot: the live files' rows minus what their
     * deletion vectors erase. Zero overhead when no live add carries a DV
     * (the plain scan is returned untouched — no lineage columns read, no
     * filter planted). With DVs, every row's (file, row_index) — free from
     * the parquet reader's `_metadata` struct — probes ONE native
-    * expression holding ALL of the snapshot's bitmaps (KBs–MBs riding the
-    * plan as a literal; roaring compresses runs): never a join, never a
-    * shuffle, cost O(1) per row. `keepLineage` keeps `_gf_uri`/`_gf_pos`
-    * for [[deleteWhereDV]]'s provenance.
+    * expression holding the bitmaps of exactly THIS state's files (a
+    * stats-pruned readRange packs only the survivors' DVs — KBs–MBs
+    * riding the plan as a literal; roaring compresses runs; past
+    * [[DvLiteralMaxBytes]] the map ships as a broadcast instead): never a
+    * join, never a shuffle, cost O(1) per row. `keepLineage` keeps
+    * `_gf_uri`/`_gf_pos` for [[deleteWhereDV]]'s provenance.
     */
   private def readStateMerged(spark: SparkSession, table: String,
-      state: State, keepLineage: Boolean): DataFrame = {
+      state: State, keepLineage: Boolean,
+      store: CommitStore = CommitStore.Local): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val dvAdds = state.live.filter(_.dv.isDefined)
     if (dvAdds.isEmpty && !keepLineage)
@@ -1644,15 +1859,20 @@ object DeltaSink {
         // percent-encode characters the add path stores raw
         val dvMap = dvAdds.flatMap { a =>
           val abs = new File(table, a.path).getAbsolutePath
-          val bytes = Files.readAllBytes(new File(table, a.dv.get.path).toPath)
+          val bytes = dvBitmapBytes(table, a.dv.get, store)
           val enc = new File(abs).toURI.toString
             .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
           Seq(abs, enc).distinct.map(_ -> bytes)
         }.toMap
         val packed = graft.functions.DeletionVector.packMap(dvMap)
-        base.filter(!graft.functions.DeletionVector.dvDeleted(packed,
-          regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
-          col("_gf_pos")))
+        val key = regexp_replace(col("_gf_uri"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+        val probe =
+          if (packed.length <= DvLiteralMaxBytes)
+            graft.functions.DeletionVector.dvDeleted(packed, key, col("_gf_pos"))
+          else graft.functions.DeletionVector.dvDeletedBroadcast(
+            spark.sparkContext.broadcast(packed), key, col("_gf_pos"))
+        base.filter(!probe)
       }
     if (keepLineage) merged
     else merged.select(state.schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -1698,7 +1918,8 @@ object DeltaSink {
     */
   private case class MetaState(version: Long, id: String, createdTime: Long,
       schema: StructType, partitionColumns: Seq[String], txns: Map[String, Long],
-      minReader: Int = 1, minWriter: Int = 1)
+      minReader: Int = 1, minWriter: Int = 1,
+      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil)
 
   /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
     * from the log tail. PERMISSIVE json read turns a protocol line into
@@ -1781,10 +2002,20 @@ object DeltaSink {
     }
     var minReader = 1
     var minWriter = 1
+    var readerFeatures: Seq[String] = Nil
+    var writerFeatures: Seq[String] = Nil
     def applyProtocol(r: Row, idx: Int): Unit = if (!r.isNullAt(idx)) {
       val p = r.getStruct(idx)
       if (!p.isNullAt(0)) minReader = math.max(minReader, p.getInt(0))
       if (!p.isNullAt(1)) minWriter = math.max(minWriter, p.getInt(1))
+      // feature lists: a protocol action REPLACES them (spec); actions
+      // apply in version order, so last non-null wins — and a checkpoint
+      // written before this field existed reads as null, keeping whatever
+      // the JSON tail establishes
+      if (p.size > 2 && !p.isNullAt(2))
+        readerFeatures = p.getSeq[String](2).toSeq
+      if (p.size > 3 && !p.isNullAt(3))
+        writerFeatures = p.getSeq[String](3).toSeq
     }
     ckptDF.foreach {
       _.where(col("metaData").isNotNull || col("txn").isNotNull ||
@@ -1884,7 +2115,7 @@ object DeltaSink {
       s"unsupported Delta protocol: table requires reader version $minReader, " +
         "this engine supports up to 3 (deletion vectors)")
     (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
-      minReader, minWriter), live)
+      minReader, minWriter, readerFeatures, writerFeatures), live)
   }
 
   /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
@@ -1895,7 +2126,9 @@ object DeltaSink {
   private def collectAdds(live: DataFrame): Seq[AddEntry] =
     live.collect().toSeq.map { r =>
       val dv = Option(r.getAs[Row]("deletionVector")).map(d =>
-        DvInfo(d.getAs[String]("pathOrInlineDv"),
+        DvInfo(Option(d.getAs[String]("storageType")).getOrElse("p"),
+          d.getAs[String]("pathOrInlineDv"),
+          Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
           d.getAs[Long]("sizeInBytes"), d.getAs[Long]("cardinality")))
       AddEntry(r.getAs[String]("path"),
         Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
@@ -1922,18 +2155,24 @@ object DeltaSink {
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""
 
   private def metaDataJson(id: String, schemaString: String,
-      partitionBy: Seq[String], now: Long): String =
+      partitionBy: Seq[String], now: Long,
+      config: Map[String, String] = Map.empty): String = {
+    val conf = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${esc(schemaString)},""" +
       s""""partitionColumns":${partitionBy.map(esc).mkString("[", ",", "]")},""" +
-      s""""configuration":{},"createdTime":$now}}"""
+      s""""configuration":$conf,"createdTime":$now}}"""
+  }
 
   private def addJson(a: AddEntry, dataChange: Boolean = true): String = {
     val pv = a.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${esc(k)}:${if (v == null) "null" else esc(v)}" }
       .mkString("{", ",", "}")
     val dv = a.dv.map(d =>
-      s""","deletionVector":{"storageType":"p","pathOrInlineDv":${esc(d.path)},""" +
+      s""","deletionVector":{"storageType":${esc(d.storageType)},""" +
+        s""""pathOrInlineDv":${esc(d.pathOrInlineDv)},""" +
+        d.offset.map(o => s""""offset":$o,""").getOrElse("") +
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
       .getOrElse("")
     s"""{"add":{"path":${esc(a.path)},"partitionValues":$pv,"size":${a.size},""" +

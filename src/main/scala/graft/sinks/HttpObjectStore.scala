@@ -312,6 +312,10 @@ object HttpObjectStore {
       if (resp.statusCode() == 200) Some(resp.body()) else None
     }
 
+    override def readObject(target: Path): Array[Byte] =
+      get(target).getOrElse(
+        throw new java.io.FileNotFoundException(s"object not found: $target"))
+
     /** Bounded-concurrency multipart upload with abort-on-error — the
       * reference's data-file upload shape (delta_destination.rs:120-229):
       * ≤ `maxConcurrency` part uploads in flight, first failure cancels
