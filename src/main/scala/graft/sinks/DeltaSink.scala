@@ -622,7 +622,15 @@ object DeltaSink {
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val packed = if (zorderBy.isEmpty) current.coalesce(nFiles) else current
+      // coalesce is shuffle-free and hits the bin-pack formula when the
+      // inputs are evenly sized (append-written files are); a DV-masked
+      // input's SURVIVORS are arbitrarily skewed, so only a round-robin
+      // repartition keeps every bin under maxRecordsPerFile — the shuffle
+      // is bounded by the live rows the compaction rewrites anyway
+      val packed =
+        if (zorderBy.nonEmpty) current
+        else if (state.live.exists(_.dv.isDefined)) current.repartition(nFiles)
+        else current.coalesce(nFiles)
       val writer = toPhysical(packed, state.schema).write
         .mode("overwrite")
         .option("compression", "snappy")

@@ -686,5 +686,52 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Delta DV delete/update + column mapping travel the store protocol (r13 verdict)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("dv-mor").toString
+      assert(DeltaSink.write(
+        (1L to 50L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+        table, store = client))
+      // DV delete: the sidecar PUBLISHES through the store (multipart),
+      // the commit conditional-puts; no data file is rewritten
+      val putsAfterCreate = server.conditionalPuts.get()
+      assert(DeltaSink.deleteWhereDV(spark, table, "id <= 10",
+        store = client) == 10L)
+      assert(server.conditionalPuts.get() == putsAfterCreate + 1)
+      // the merged read FETCHES the sidecar through the store (GET), never
+      // a local open
+      val getsBefore = server.objectGets.get()
+      assert(DeltaSink.read(spark, table, store = client).count() == 40)
+      assert(server.objectGets.get() > getsBefore,
+        "the DV sidecar must travel the store protocol on read")
+      // a second delete OR-merges: the OLD sidecar reads back through the
+      // store inside the rewrite, the merged one publishes through it
+      assert(DeltaSink.updateWhereDV(spark, table, "id = 11",
+        Map("v" -> "v * 100"), store = client) == 1L)
+      val back = DeltaSink.read(spark, table, store = client)
+      assert(back.count() == 40)
+      assert(back.filter(col("id") === 11L).head().getDouble(2) == 1100.0)
+      // column mapping: metadata-only commits through the store; reads
+      // keep projecting physical names
+      DeltaSink.renameColumn(spark, table, "v", "value", store = client)
+      val renamed = DeltaSink.read(spark, table, store = client)
+      assert(renamed.columns.toSeq == Seq("id", "name", "value"))
+      assert(renamed.filter(col("id") === 11L).head().getDouble(2) == 1100.0)
+      // vacuum reclaims the superseded sidecar via store DELETEs
+      val delBefore = server.objectDeletes.get()
+      val reclaimed = DeltaSink.vacuum(spark, table, retentionMs = -1000L, store = client)
+      assert(reclaimed >= 1, s"the superseded DV sidecar must reclaim, got $reclaimed")
+      assert(server.objectDeletes.get() - delBefore >= reclaimed,
+        "vacuum must delete through the store protocol")
+      assert(DeltaSink.read(spark, table, store = client).count() == 40)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

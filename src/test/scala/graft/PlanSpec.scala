@@ -585,4 +585,41 @@ class PlanSpec extends AnyFunSuite {
     val bnl = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
     assert(bnl <= 4, s"unexpected nested-loop node count $bnl:\n$p")
   }
+
+  test("readRange over a DV'd table packs ONLY the surviving files' bitmaps (r13 verdict)") {
+    import graft.sinks.DeltaSink
+    import org.apache.spark.sql.functions.{col, lit}
+    val sess = spark
+    import sess.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-plan-dv").toString
+    // 4 files with disjoint id ranges (repartitionByRange + sort keeps
+    // per-file [min,max] tight), a DV delete touching every file
+    val df = (0L until 400L).map(i => (i, i % 5)).toDF("id", "g")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    assert(DeltaSink.write(df, table))
+    assert(DeltaSink.deleteWhereDV(sess, table, "id % 100 = 7") == 4L)
+    def dvLiteralKeys(q: org.apache.spark.sql.DataFrame): Set[String] = {
+      val packs = q.queryExecution.optimizedPlan.collect {
+        case pl => pl.expressions.flatMap(_.collect {
+          case d: graft.functions.DvDeleted =>
+            d.dvMap.eval(null).asInstanceOf[Array[Byte]]
+        })
+      }.flatten
+      assert(packs.nonEmpty, "expected a DvDeleted probe in the plan")
+      graft.functions.DeletionVector.unpackMap(packs.head).keySet
+    }
+    // unpruned read: all 4 files' bitmaps ride the literal
+    val full = DeltaSink.read(sess, table)
+    assert(full.count() == 396)
+    assert(dvLiteralKeys(full.filter(!(col("id") % lit(100) === 7))).size >= 4)
+    // stats-pruned read: only the file covering [0,100) survives, and the
+    // plan literal must exclude the other three files' bitmaps
+    val pruned = DeltaSink.readRange(sess, table, "id", "10", "60")
+    val keys = dvLiteralKeys(pruned)
+    // dual-keyed map (raw + URI-encoded): distinct FILES = distinct parquet names
+    val distinctFiles = keys.map(k => k.substring(k.lastIndexOf('/') + 1))
+    assert(distinctFiles.size == 1,
+      s"a range-pruned read must pack ONE file's bitmap, got $distinctFiles")
+    assert(pruned.filter(col("id").between(10, 60)).count() == 51) // inclusive 10..60; id=7 deleted but outside
+  }
 }

@@ -2268,4 +2268,149 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.upsertExactlyOnce(
       Seq((2L, 2.0)).toDF("id", "v"), table, "app", 1L, Seq("id")) == -1L)
   }
+
+  test("Delta DV sidecars are spec files: u-descriptor, framing, CRC, portable bitmap (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((0L until 64L).map(i => (i, i * 2)).toDF("id", "x")
+      .coalesce(1), table))
+    val v0 = DeltaSink.latestVersion(table)
+    assert(DeltaSink.deleteWhereDV(spark, table, "id < 5") == 5L)
+    // the commit's descriptor is the spec's "u" shape
+    val commit = Files.readString(Paths.get(table, "_delta_log", f"${v0 + 1}%020d.json"))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dv = commit.linesIterator.map(m.readTree)
+      .flatMap(n => Option(n.get("add")).flatMap(a => Option(a.get("deletionVector"))))
+      .toSeq.head
+    assert(dv.get("storageType").asText() == "u")
+    assert(dv.get("cardinality").asLong() == 5L)
+    val offset = dv.get("offset").asInt()
+    val encoded = dv.get("pathOrInlineDv").asText()
+    // derive the sidecar path the way an external reader does: optional
+    // prefix + deletion_vector_<base85-decoded uuid>.bin
+    val uuid = graft.functions.DeletionVector.decodeUuid(encoded.takeRight(20))
+    val prefix = encoded.dropRight(20)
+    val sidecar = new File(table,
+      (if (prefix.isEmpty) "" else prefix + "/") + s"deletion_vector_$uuid.bin")
+    assert(sidecar.isFile, s"derived sidecar path must exist: $sidecar")
+    val bytes = Files.readAllBytes(sidecar.toPath)
+    // spec framing: version byte 1; BE dataSize at offset; CRC-32 after payload
+    assert(bytes(0) == 1)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.position(offset)
+    val dataSize = bb.getInt
+    assert(dataSize.toLong == dv.get("sizeInBytes").asLong(),
+      "descriptor sizeInBytes must equal the framed dataSize")
+    val payload = new Array[Byte](dataSize); bb.get(payload)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    assert(bb.getInt == crc.getValue.toInt, "CRC-32 over the payload must match")
+    // payload: portable RoaringBitmapArray (LE magic 1681511377), parsed
+    // back to exactly the masked row indexes
+    assert(java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt ==
+      graft.functions.DeletionVector.PortableMagic)
+    val bm = graft.functions.DeletionVector.fromPortable(payload)
+    assert(bm.getLongCardinality == 5L)
+    assert((0L until 5L).forall(bm.contains), "masked positions are rows 0-4 of the single file")
+    // base85 round-trip sanity
+    assert(graft.functions.DeletionVector.encodeUuid(uuid) == encoded.takeRight(20))
+  }
+
+  test("Delta column mapping declares mode + maxColumnId in configuration (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(Seq((1L, 10, "a")).toDF("id", "qty", "note"), table))
+    DeltaSink.renameColumn(spark, table, "qty", "quantity")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def lastMeta(): com.fasterxml.jackson.databind.JsonNode = {
+      val logs = new File(table, "_delta_log").listFiles()
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      logs.reverse.flatMap(f =>
+        Files.readAllLines(f.toPath).asScala.map(m.readTree)
+          .flatMap(n => Option(n.get("metaData")))).head
+    }
+    val conf = lastMeta().get("configuration")
+    assert(conf.get("delta.columnMapping.mode").asText() == "name",
+      "external readers default to mode none without the property")
+    assert(conf.get("delta.columnMapping.maxColumnId").asLong() == 3L)
+    // an evolving append re-emits metaData — the properties must ride it,
+    // and the added column raises the high-water id
+    DeltaSink.append(Seq((2L, 20, "b", 1.5)).toDF("id", "quantity", "note", "w"),
+      table, mergeSchema = true)
+    val conf2 = lastMeta().get("configuration")
+    assert(conf2.get("delta.columnMapping.mode").asText() == "name")
+    assert(conf2.get("delta.columnMapping.maxColumnId").asLong() == 4L)
+    assert(DeltaSink.read(spark, table).columns.toSeq ==
+      Seq("id", "quantity", "note", "w"))
+  }
+
+  test("Delta checkpoint persists v3/v7 feature lists and configuration (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((1L to 40L).map(i => (i, i % 4)).toDF("id", "g"), table))
+    DeltaSink.renameColumn(spark, table, "g", "grp")   // reader 2 / writer 5
+    DeltaSink.deleteWhereDV(spark, table, "id <= 4")   // bump to 3/7 with features
+    DeltaSink.checkpoint(spark, table)
+    val v = DeltaSink.latestVersion(table)
+    val ckpt = spark.read.parquet(
+      Paths.get(table, "_delta_log", f"$v%020d.checkpoint.parquet").toString)
+    val proto = ckpt.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion",
+        "protocol.readerFeatures", "protocol.writerFeatures").head()
+    assert(proto.getInt(0) == 3 && proto.getInt(1) == 7)
+    assert(proto.getSeq[String](2).toSet == Set("deletionVectors", "columnMapping"),
+      s"checkpointed readerFeatures lost: ${proto.getSeq[String](2)}")
+    assert(proto.getSeq[String](3).toSet == Set("deletionVectors", "columnMapping"))
+    val conf = ckpt.filter(col("metaData").isNotNull)
+      .select("metaData.configuration").head()
+      .getMap[String, String](0)
+    assert(conf.get("delta.columnMapping.mode").contains("name"))
+    // a reader starting FROM the checkpoint still sees everything
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 36 && out.columns.contains("grp"))
+  }
+
+  test("Delta readCdf diffs a feed-off DV delete into delete images (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((1L to 30L).map(i => (i, s"n$i")).toDF("id", "name"), table))
+    val v0 = DeltaSink.latestVersion(table)
+    // feed OFF: the commit carries only DV re-adds, no cdc, no removes
+    assert(DeltaSink.deleteWhereDV(spark, table, "id <= 10",
+      changeDataFeed = false) == 10L)
+    val cdf = DeltaSink.readCdf(spark, table, v0)
+    val dels = cdf.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dels == (1L to 10L).toSet,
+      s"reconstructed delete images must be exactly the masked rows, got $dels")
+    assert(cdf.filter(col("_change_type") === "insert").count() == 0,
+      "a DV re-add is not an insert — survivors must not re-emit")
+    // a second feed-off delete diffs against the MERGED prior DV
+    assert(DeltaSink.deleteWhereDV(spark, table, "id <= 15",
+      changeDataFeed = false) == 5L)
+    val cdf2 = DeltaSink.readCdf(spark, table, v0 + 1)
+    val dels2 = cdf2.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dels2 == (11L to 15L).toSet, s"only the NEWLY masked rows, got $dels2")
+  }
+
+  test("Delta OPTIMIZE sizes the rewrite by live rows, not masked ones (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((1L to 1000L).map(i => (i, i % 7)).toDF("id", "g")
+      .repartition(8), table))
+    assert(DeltaSink.deleteWhereDV(spark, table, "id > 100") == 900L)
+    // 100 live rows at 50/file = exactly 2 files — sizing by the raw
+    // numRecords (1000) would cut 20
+    val (before, after) = DeltaSink.compact(spark, table, maxRecordsPerFile = 50)
+    assert(before == 8)
+    assert(after == 2, s"ceil(live 100 / 50) = 2 files, got $after")
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 100 && out.agg(max(col("id"))).head().getLong(0) == 100L)
+  }
 }
