@@ -1946,6 +1946,52 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_branch_write",
+      // WRITABLE BRANCHES under the oracle (r14, the write half of
+      // q_iceberg_refs): one third of the corpus bootstraps main, a
+      // branch ref is cut at its head, and the remaining two thirds land
+      // as TWO branch appends (the ref must advance across commits) —
+      // write-audit-publish's staging lane. Census gates: the MAIN read
+      // must still equal the bootstrap third (a branch commit that leaked
+      // into main fails the oracle), the BRANCH read must equal the whole
+      // corpus (each append continued from the BRANCH head, not main's),
+      // and both must survive expireSnapshots(keepLast=1) — ref-aware
+      // expiry keeps every branch head alive while retiring unpinned
+      // history. At 100 TB the branch is O(new-data) cost and promotion
+      // is a metadata pointer move, never a copy.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-branch") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 3 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        val head = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.createRef(table, "staging", head,
+          refType = "branch")
+        graft.sinks.IcebergSink.appendBranch(
+          ev.filter(col("event_id") % 3 === 1), table, "staging")
+        graft.sinks.IcebergSink.appendBranch(
+          ev.filter(col("event_id") % 3 === 2), table, "staging")
+        graft.sinks.IcebergSink.expireSnapshots(table, keepLast = 1)
+        val branch = graft.sinks.IcebergSink.readRef(s, table, "staging")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_branch"), fxSum(col("value")).as("v_branch"))
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_main"))
+          .join(branch, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_main"), lit(0L)).as("n_main"),
+            coalesce(col("n_branch"), lit(0L)).as("n_branch"),
+            coalesce(col("v_branch"), lit(0.0)).as("v_branch"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_main,
+             |  CAST(COUNT(*) AS BIGINT) AS n_branch,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0)
+             |    AS DOUBLE) / 100.0 AS v_branch
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

@@ -425,7 +425,24 @@ object IcebergSink {
           else df0.select(ordered.toIndexedSeq.map(df0.col): _*)
         } else {
           // genuinely divergent names: positional rename to the stored
-          // names (the gate is positional; files must carry table names)
+          // names (the gate is positional; files must carry table names).
+          // PARTIAL overlap is ambiguous (ADVICE r13): a frame carrying
+          // SOME stored names at non-matching positions — (b, c) onto
+          // stored (a, b) — would have those values silently reassigned
+          // to different logical columns by a positional rename. Refuse:
+          // a caller that means positional must not reuse stored names
+          // elsewhere; one that means by-name must supply every stored
+          // name in full.
+          val misplaced = df0.columns.zipWithIndex.flatMap { case (c, i) =>
+            val at = stored.indexOf(c)
+            if (at >= 0 && at != i)
+              Some(s"$c (frame position $i, stored position $at)")
+            else None
+          }
+          require(misplaced.isEmpty,
+            "append frame reuses stored column names at different positions" +
+              s" — ambiguous alignment: ${misplaced.mkString(", ")};" +
+              " rename or reorder the frame columns")
           val names = stored ++ df0.columns.drop(stored.length)
           if (df0.columns.sameElements(names)) df0
           else df0.toDF(names.toIndexedSeq: _*)
@@ -1784,6 +1801,96 @@ object IcebergSink {
     read(spark, table, Some(id))
   }
 
+  /** Appends `df` to a NAMED BRANCH (spec §refs: branch refs advance on
+    * commit, main untouched) — the writable half of [[createRef]]: the
+    * new snapshot continues from the BRANCH head's manifest list (not
+    * main's), records it as parent, and the commit repoints only
+    * `refs[branch]`; main-line readers never see the rows, [[readRef]]
+    * sees them immediately, and [[expireSnapshots]] keeps every ref head
+    * alive. The staging/audit workflow at 100 TB: write-audit-publish
+    * lands candidate data on a branch as O(new-data) cost, promotion is a
+    * metadata pointer move, abandonment is a [[dropRef]]. The branch must
+    * exist with branch type (tags are immutable pins — refuse); create it
+    * first with `createRef(..., refType = "branch")`. Same positional
+    * schema gate and IF-NOT-EXISTS version claim as a main append.
+    * Returns the branch's new head snapshot id.
+    */
+  def appendBranch(df: DataFrame, table: String, branch: String,
+      store: CommitStore = CommitStore.Local): Long = {
+    require(branch != "main", "main advances through plain appends")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    require(meta.has("refs") && meta.get("refs").has(branch),
+      s"no such branch: $branch — create it with createRef(refType = \"branch\")")
+    require(Option(meta.get("refs").get(branch).get("type"))
+        .forall(_.asText() == "branch"),
+      s"ref $branch is a tag — tags pin immutably; commits need a branch ref")
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+    SchemaGate.enforce(df.schema, schema)
+    val objStore: Option[ObjectStore] =
+      store match { case os: ObjectStore => Some(os); case _ => None }
+    val dataRel = s"data/branch-$branch-${java.util.UUID.randomUUID()}"
+    val dataStage = objStore
+      .map(_ => Files.createTempDirectory("graft-ib-branch").resolve("out").toString)
+      .getOrElse(s"$table/$dataRel")
+    def deleteTree(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(): Unit
+    }
+    try {
+      df.toDF(schema.fieldNames.toIndexedSeq: _*).write
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+        .parquet(dataStage)
+    } catch { case e: Throwable => deleteTree(new File(dataStage)); throw e }
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val (parts, infos) = stagedInfos(dataStage, dataRel, table, objStore, conf)
+    val added = infos.map(_.recordCount).sum
+    if (added == 0L) {
+      deleteTree(new File(dataStage))
+      return meta.get("refs").get(branch).get("snapshot-id").asLong()
+    }
+    objStore.foreach { os =>
+      val published = scala.collection.mutable.ArrayBuffer[String]()
+      try parts.foreach { f =>
+        val target = new File(s"$table/$dataRel", f.getName).getAbsolutePath
+        os.putObject(Paths.get(target), Files.readAllBytes(f.toPath))
+        published += target
+      } catch { case e: Throwable =>
+        published.foreach(p => scala.util.Try(os.deleteObject(Paths.get(p))))
+        deleteTree(new File(dataStage)); throw e
+      }
+    }
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val (schemaId, schemaJson) = currentSchemaJson(meta)
+    val emptySpec = """{"spec-id":0,"fields":[]}"""
+    val (manifest, manLen) =
+      writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, infos, snapshotId, schemaJson, emptySpec))
+    commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
+      Seq(IcebergAvro.manifestRow(manifest.toFile.getAbsolutePath, manLen, seq,
+        snapshotId, infos.size, added)),
+      "append", Map("added-records" -> added.toString),
+      reclaimOnConflict = () => {
+        objStore match {
+          case Some(os) =>
+            infos.foreach(i => scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+            scala.util.Try(os.deleteObject(manifest)): Unit
+          case None =>
+            parts.foreach(_.delete())
+            Files.deleteIfExists(manifest): Unit
+        }
+        deleteTree(new File(dataStage))
+      },
+      branch = Some(branch))
+    objStore.foreach(_ => deleteTree(new File(dataStage)))
+    snapshotId
+  }
+
   /** Avro artifact into the table's metadata dir, through the store
     * protocol when one is given (shared by [[deleteWhere]]; the write()
     * path keeps its inline twin).
@@ -1817,8 +1924,18 @@ object IcebergSink {
       snapshotId: Long, seq: Long, schemaId: Int,
       newManifestRows: Seq[org.apache.avro.generic.GenericRecord],
       operation: String, summaryProps: Map[String, String],
-      reclaimOnConflict: () => Unit): Unit = {
-    val carried = currentManifestList(table, meta)
+      reclaimOnConflict: () => Unit,
+      branch: Option[String] = None): Unit = {
+    // the new snapshot continues from its TARGET ref's head: main (the
+    // current snapshot) by default, a named branch's head when targeted —
+    // spec §refs: a branch ref advances on commit while main is untouched
+    val baseList = branch match {
+      case None => currentManifestList(table, meta)
+      case Some(b) =>
+        val head = meta.get("refs").get(b).get("snapshot-id").asLong()
+        manifestListOf(table, meta, head)
+    }
+    val carried = baseList
       .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
       .getOrElse(Nil)
     val (listPath, _) =
@@ -1840,13 +1957,25 @@ object IcebergSink {
     val sum = snapNode.putObject("summary")
     sum.put("operation", operation)
     summaryProps.foreach { case (k, v) => sum.put(k, v) }
-    newMeta.put("current-snapshot-id", snapshotId)
+    branch.foreach(b => snapNode.put("parent-snapshot-id",
+      meta.get("refs").get(b).get("snapshot-id").asLong()))
     val refsNode =
       if (newMeta.has("refs") && newMeta.get("refs").isObject)
         newMeta.get("refs").asInstanceOf[ObjectNode]
       else newMeta.putObject("refs")
-    refsNode.putObject("main")
-      .put("snapshot-id", snapshotId).put("type", "branch")
+    branch match {
+      case None =>
+        // a main commit advances BOTH the legacy current pointer and the
+        // main branch ref
+        newMeta.put("current-snapshot-id", snapshotId)
+        refsNode.putObject("main")
+          .put("snapshot-id", snapshotId).put("type", "branch")
+      case Some(b) =>
+        // a branch commit advances ONLY its ref: main (and the current
+        // pointer every main-line reader resolves) is untouched
+        refsNode.putObject(b)
+          .put("snapshot-id", snapshotId).put("type", "branch")
+    }
     val newVersion = hint + 1
     try
       store.putIfAbsent(metaFile(table, newVersion),

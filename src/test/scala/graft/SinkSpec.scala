@@ -2413,4 +2413,81 @@ class SinkSpec extends AnyFunSuite {
     val out = DeltaSink.read(spark, table)
     assert(out.count() == 100 && out.agg(max(col("id"))).head().getLong(0) == 100L)
   }
+
+  test("Iceberg writable branches: branch advances, main isolated, refs expire-safe (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.write((1L to 20L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "v"), table, IcebergSink.CreateExclusive)
+    val mainHead = IcebergSink.snapshots(table).last._1
+    // commits need a BRANCH ref; a tag refuses, an absent ref refuses
+    intercept[IllegalArgumentException] {
+      IcebergSink.appendBranch(Seq((21L, "x", 0.0)).toDF("id", "name", "v"),
+        table, "nope")
+    }
+    IcebergSink.createRef(table, "pin", mainHead, refType = "tag")
+    intercept[IllegalArgumentException] {
+      IcebergSink.appendBranch(Seq((21L, "x", 0.0)).toDF("id", "name", "v"),
+        table, "pin")
+    }
+    IcebergSink.createRef(table, "audit", mainHead, refType = "branch")
+    // two branch appends: the ref advances each time, main never moves
+    val b1 = IcebergSink.appendBranch(
+      (21L to 30L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+      table, "audit")
+    assert(IcebergSink.listRefs(table)("audit") == (b1, "branch"))
+    val b2 = IcebergSink.appendBranch(
+      (31L to 35L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "v"),
+      table, "audit")
+    assert(IcebergSink.listRefs(table)("audit") == (b2, "branch"))
+    assert(IcebergSink.listRefs(table)("main")._1 == mainHead,
+      "a branch commit must not advance main")
+    assert(IcebergSink.read(spark, table).count() == 20,
+      "main-line readers must not see branch rows")
+    assert(IcebergSink.readRef(spark, table, "audit").count() == 35,
+      "the branch head carries base + both branch appends")
+    // a MAIN append after branch work: branch untouched, main advances
+    IcebergSink.write(Seq((100L, "m", 1.0)).toDF("id", "name", "v"),
+      table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 21)
+    assert(IcebergSink.readRef(spark, table, "audit").count() == 35)
+    // expiry keeps every ref head: tag + branch + current all survive
+    // keepLast=1 and both still read (ref-aware expiry across the
+    // branch's history)
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(IcebergSink.readRef(spark, table, "audit").count() == 35)
+    assert(IcebergSink.readRef(spark, table, "pin").count() == 20)
+    assert(IcebergSink.read(spark, table).count() == 21)
+    // promotion: repoint main-line consumers by tagging the audited head
+    IcebergSink.dropRef(table, "audit")
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, Some(b2))
+    }
+  }
+
+  test("Iceberg append refuses partial name overlap at wrong positions (r13 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.write(Seq((1L, 2L)).toDF("a", "b"), table,
+      IcebergSink.CreateExclusive)
+    // frame (b, c) onto stored (a, b): gate-passing types, but 'b' sits at
+    // a non-matching position — a positional rename would silently pour
+    // the frame's b into logical a
+    val e = intercept[IllegalArgumentException] {
+      IcebergSink.write(Seq((10L, 20L)).toDF("b", "c"), table,
+        IcebergSink.Append)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // full-name reorder still aligns BY NAME (the existing contract)
+    IcebergSink.write(Seq((5L, 4L)).toDF("b", "a"), table, IcebergSink.Append)
+    val out = IcebergSink.read(spark, table).orderBy("a").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (4L, 5L)))
+    // fully divergent names keep the documented positional rename
+    IcebergSink.write(Seq((7L, 8L)).toDF("x", "y"), table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 3)
+  }
 }
