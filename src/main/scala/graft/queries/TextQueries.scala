@@ -1237,18 +1237,25 @@ object TextQueries extends QueryModule {
       // span; reports per-doc sampled/dup counts + dup ratio — the
       // pre-training filter keys on dup_ratio.
       //
-      // Scale shape: candidate positions explode map-side but the 15/16
-      // rejected ones die in the same codegen stage — only the sampled
-      // slim (doc_id, md5) rows ever shuffle (~chars/16). Then one
-      // groupBy(h) with partial-distinct for the >= 2-docs census, one
-      // semi-join back, two per-doc aggregates — linear in corpus
-      // characters, no all-pairs anywhere. A degenerate hot hash (e.g. a
-      // whitespace window shared by millions of docs) is ONE census group
-      // (map-side combine) and a <= 1-row-match semi-join probe, so hot
-      // spans cost no replication. At 100 TB, swap md5 for xxhash64 to
-      // shrink the shuffled key 4x (kept md5 here because DuckDB mirrors
-      // it token-for-token) and pre-chunk multi-MB docs so the per-row
-      // position array stays bounded.
+      // Scale shape (r14 restructure after the r13 scaling audit flagged
+      // this as the steepest real curve): candidate positions explode
+      // map-side but the 15/16 rejected ones die in the same codegen
+      // stage — only the sampled slim (doc_id, md5) rows ever shuffle
+      // (~chars/16), and the corpus is exploded exactly ONCE: the first
+      // aggregate collapses to per-(doc, h) counts (map-side combine),
+      // and everything downstream — the >= 2-docs census (count of rows
+      // per h over that pre-aggregate, distinct-by-construction), the dup
+      // marking (one equi join on h), both per-doc totals (one final
+      // groupBy) — runs over the collapsed intermediate, which is bounded
+      // by sampled-distinct windows, not corpus characters. The previous
+      // shape recomputed the explode+md5 THREE times (census, semi-join
+      // probe, totals); at 100 TB that is two full corpus re-scans for
+      // nothing. A degenerate hot hash (a whitespace window shared by
+      // millions of docs) is one census group and one join row per doc
+      // that has it — hot spans cost no replication. At 100 TB, swap md5
+      // for xxhash64 to shrink the shuffled key 4x (kept md5 here because
+      // DuckDB mirrors it token-for-token) and pre-chunk multi-MB docs so
+      // the per-row position array stays bounded.
       (s, dir) => {
         val W = 40
         val wins = t(s, dir, "documents")
@@ -1260,17 +1267,22 @@ object TextQueries extends QueryModule {
             === "0")
           .select(col("doc_id"),
             md5(col("text").substr(col("i"), lit(W))).as("h"))
-        val dup = wins.groupBy("h")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val dupPerDoc = wins.join(dup, Seq("h"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-        wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-          .join(dupPerDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_windows"),
-            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-            (coalesce(col("n_dup"), lit(0L)).cast("double")
-              / col("n_windows").cast("double")).as("dup_ratio"))
+        // ONE pass over the corpus: windows collapse to (doc, h, count)
+        val perDocH = wins.groupBy("doc_id", "h")
+          .agg(count(lit(1)).as("c"))
+        // census over the collapse: rows are distinct (doc, h) pairs, so
+        // docs-per-hash is a plain count — no distinct expansion needed
+        val dup = perDocH.groupBy("h")
+          .agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select(col("h"), lit(1).as("is_dup"))
+        perDocH.join(dup, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_windows"),
+            sum(when(col("is_dup").isNotNull, col("c")).otherwise(0L))
+              .as("n_dup"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_windows").cast("double"))
+              .as("dup_ratio"))
           .orderBy("doc_id")
       },
       Some("""WITH w AS (
