@@ -226,6 +226,12 @@ object Cli {
         // drop-ref-iceberg <table> <name>
         sinks.IcebergSink.dropRef(pos(0), pos(1))
         println(s"dropped ref ${pos(1)}")
+      case "append-branch-iceberg" =>
+        // append-branch-iceberg <sourceParquet> <table> <branch> — commit
+        // to a named branch ref; main untouched (write-audit-publish lane)
+        val head = sinks.IcebergSink.appendBranch(
+          spark.read.parquet(pos(0)), pos(1), pos(2))
+        println(s"branch ${pos(2)} -> $head")
       case "restore-delta" =>
         // restore-delta <table> <version> — metadata-only undo
         val (re, rm) = sinks.DeltaSink.restore(spark, pos(0), pos(1).toLong)

@@ -67,13 +67,18 @@ import org.apache.spark.sql.types._
   * conditional-put (delta_destination.rs:377-389 downgrades
   * copy_if_not_exists the same way).
   *
-  * PROTOCOL BOUNDARY: this sink speaks Delta protocol v1 exactly — the
-  * same pin as the reference (delta_destination.rs:446-458). Features
-  * gated behind higher reader/writer versions (deletion vectors, column
-  * mapping, generated columns, CDF table feature flags) are deliberately
-  * out of scope: tables written here declare minReader/minWriter = 1 and
-  * never emit actions a v1 reader can't replay, so any ecosystem Delta
-  * reader can consume them.
+  * PROTOCOL BOUNDARY: tables start at Delta protocol v1 exactly — the
+  * same pin as the reference (delta_destination.rs:446-458) — and never
+  * emit actions a v1 reader can't replay UNTIL an explicit opt-in verb
+  * upgrades them: [[renameColumn]]/[[dropColumn]] bump to reader 2 /
+  * writer 5 with `delta.columnMapping.mode=name` declared in the
+  * metaData configuration, [[deleteWhereDV]]/[[updateWhereDV]] bump to
+  * reader 3 / writer 7 with feature lists, writing spec-format DV
+  * sidecars (framed + CRC'd portable RoaringBitmapArray, base85 "u"
+  * descriptors) external spec-compliant readers parse. Features beyond
+  * those (generated columns, row tracking, v2 checkpoints) stay out of
+  * scope, and both [[resolve]]'s reader gate and [[requireWritable]]
+  * refuse tables demanding them.
   */
 object DeltaSink {
   private val mapper = new ObjectMapper()

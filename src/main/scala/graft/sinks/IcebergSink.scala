@@ -1742,8 +1742,9 @@ object IcebergSink {
     * ([[expireSnapshots]] never expires a ref-pinned snapshot) — the
     * audit/reproducibility primitive ("the exact table this model
     * trained on") at O(1) cost regardless of table size. A BRANCH is the
-    * same pointer with branch type (this engine commits only to main, so
-    * non-main branches are read-side pins). Read through [[readRef]].
+    * same pointer with branch type, and is WRITABLE: [[appendBranch]]
+    * advances it on commit while main stays untouched. Read through
+    * [[readRef]].
     */
   def createRef(table: String, name: String, snapshotId: Long,
       refType: String = "tag",
