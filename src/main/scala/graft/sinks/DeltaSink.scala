@@ -199,8 +199,9 @@ object DeltaSink {
   private val DvPrefix = "deletion_vectors"
 
   /** Table-relative sidecar path of a DV descriptor, or None when the
-    * descriptor points outside the table (an absolute "p" elsewhere) —
-    * those are never vacuum-tracked.
+    * descriptor has no sidecar at all ("i" carries its bits inline) or
+    * points outside the table (an absolute "p" elsewhere) — those are
+    * never vacuum-tracked.
     */
   private def dvRelPath(table: String, dv: DvInfo): Option[String] = dv.storageType match {
     case "u" =>
@@ -213,6 +214,7 @@ object DeltaSink {
       if (dv.pathOrInlineDv.startsWith(tableAbs))
         Some(dv.pathOrInlineDv.stripPrefix(tableAbs))
       else None
+    case "i" => None
     case other => throw new IllegalArgumentException(
       s"unsupported deletion-vector storageType: $other")
   }
@@ -222,12 +224,24 @@ object DeltaSink {
     dvRelPath(table, dv).map(rel => new File(table, rel))
       .getOrElse(new File(dv.pathOrInlineDv))
 
-  /** Reads + parses a descriptor's bitmap: spec-framed files (offset
-    * present) verify version/size/CRC/magic; descriptors WITHOUT an
-    * offset are this engine's pre-spec raw-Roaring64 sidecars, kept
-    * readable so r13-era tables replay.
+  /** Reads + parses a descriptor's bitmap: INLINE descriptors ("i",
+    * spec: pathOrInlineDv = base85 of the raw portable bitmap, no file)
+    * decode in place; spec-framed sidecars (offset present) verify
+    * version/size/CRC/magic; sidecar descriptors WITHOUT an offset are
+    * this engine's pre-spec raw-Roaring64 files, kept readable so
+    * r13-era tables replay.
     */
   private def dvBitmapBytes(table: String, dv: DvInfo, store: CommitStore): Array[Byte] = {
+    if (dv.storageType == "i") {
+      // base85 works in 4-byte blocks, so encoders zero-pad the tail;
+      // sizeInBytes recovers the true payload length
+      val decoded = graft.functions.DeletionVector.base85Decode(dv.pathOrInlineDv)
+      require(decoded.length >= dv.sizeInBytes,
+        s"inline DV shorter than its declared size: ${decoded.length} < ${dv.sizeInBytes}")
+      return graft.functions.DeletionVector.serialize(
+        graft.functions.DeletionVector.fromPortable(
+          decoded.take(dv.sizeInBytes.toInt)))
+    }
     val raw = readBytes(store, dvFile(table, dv))
     dv.offset match {
       case Some(off) => graft.functions.DeletionVector.serialize(

@@ -2490,4 +2490,78 @@ class SinkSpec extends AnyFunSuite {
     IcebergSink.write(Seq((7L, 8L)).toDF("x", "y"), table, IcebergSink.Append)
     assert(IcebergSink.read(spark, table).count() == 3)
   }
+
+  test("Delta reads INLINE deletion vectors (storageType i) from external logs (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((0L until 20L).map(i => (i, i * 3)).toDF("id", "x")
+      .coalesce(1), table))
+    // an external writer masks rows 0,1,5 with an inline descriptor:
+    // base85(portable bitmap) rides pathOrInlineDv, no sidecar file
+    val bm = graft.functions.DeletionVector.bitmapOf(Iterator(0L, 1L, 5L))
+    val payload = graft.functions.DeletionVector.toPortable(bm)
+    val padded = payload ++ Array.fill((4 - payload.length % 4) % 4)(0.toByte)
+    val inline = graft.functions.DeletionVector.base85Encode(padded)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1 = Files.readString(Paths.get(table, "_delta_log",
+      "00000000000000000001.json"))
+    val add = m.readTree(v1.linesIterator.find(_.contains("\"add\"")).get)
+      .get("add")
+    val commit = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"add":{"path":${m.writeValueAsString(add.get("path").asText())},""" +
+        s""""partitionValues":{},"size":${add.get("size").asLong()},""" +
+        s""""modificationTime":${add.get("modificationTime").asLong()},""" +
+        s""""dataChange":true,"stats":${m.writeValueAsString(add.get("stats").asText())},""" +
+        s""""deletionVector":{"storageType":"i",""" +
+        s""""pathOrInlineDv":${m.writeValueAsString(inline)},""" +
+        s""""sizeInBytes":${payload.length},"cardinality":3}}}""")
+    Files.write(Paths.get(table, "_delta_log", "00000000000000000002.json"),
+      (commit.mkString("\n") + "\n").getBytes("UTF-8"))
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 17)
+    assert(out.filter(col("id").isin(0L, 1L, 5L)).count() == 0,
+      "inline-masked rows must not surface")
+    // metadata-only count subtracts the inline cardinality too
+    assert(DeltaSink.fileStats(spark, table)
+      .agg(sum(col("num_records"))).head().getLong(0) == 17L)
+    // vacuum must not trip over a descriptor with no sidecar
+    assert(DeltaSink.vacuum(spark, table, retentionMs = Long.MaxValue) == 0)
+  }
+
+  test("Delta DV delete + update on a PARTITIONED table keep the layout (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write(
+      (1L to 60L).map(i => (i, s"p${i % 3}", i.toDouble)).toDF("id", "part", "v"),
+      table, partitionBy = Seq("part")))
+    val filesBefore = new File(table).listFiles().flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.length)).toSet
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 4 = 0") == 15L)
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 45)
+    assert(out.filter(col("id") % 4 === 0).count() == 0)
+    // partition pruning still applies over the merged view
+    assert(out.filter(col("part") === "p1").count() ===
+      (1L to 60L).count(i => i % 3 == 1 && i % 4 != 0))
+    // update: replacements land INSIDE the partition layout
+    assert(DeltaSink.updateWhereDV(spark, table, "id = 5",
+      Map("v" -> "v * 10")) == 1L)
+    val back = DeltaSink.read(spark, table)
+    assert(back.filter(col("id") === 5L).head().getDouble(2) == 50.0)
+    assert(back.count() == 45)
+    val touched = new File(table).listFiles()
+      .filter(_.getName != "_change_data").flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.length)).toSet
+    assert(filesBefore.subsetOf(touched),
+      "DV ops must never rewrite or shrink existing partition files")
+    assert((touched -- filesBefore).forall(_._1.contains("part=p2")),
+      s"the replacement file must land in id=5's partition dir (part=p2)")
+  }
 }
