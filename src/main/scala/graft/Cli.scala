@@ -226,6 +226,11 @@ object Cli {
         // drop-ref-iceberg <table> <name>
         sinks.IcebergSink.dropRef(pos(0), pos(1))
         println(s"dropped ref ${pos(1)}")
+      case "publish-branch-iceberg" =>
+        // publish-branch-iceberg <table> <branch> — fast-forward main to
+        // the branch head (write-audit-publish's publish step)
+        val h = sinks.IcebergSink.fastForward(pos(0), pos(1))
+        println(s"main -> $h")
       case "append-branch-iceberg" =>
         // append-branch-iceberg <sourceParquet> <table> <branch> — commit
         // to a named branch ref; main untouched (write-audit-publish lane)

@@ -1992,6 +1992,53 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_wap",
+      // WRITE-AUDIT-PUBLISH end-to-end (r14): candidate data lands on a
+      // branch (appendBranch), the AUDIT reads the branch head in
+      // isolation — main serves the pre-publish half throughout, pinned
+      // by the pre_publish census column — and fastForward PUBLISHES by
+      // pointing main at the audited head, a metadata-only O(1) commit
+      // refused unless main's head is an ancestor of the branch's (a
+      // diverged main can never be silently overwritten). Census: the
+      // post-publish main read must equal the whole corpus via the
+      // oracle, pre_publish must equal the bootstrap half — both gates
+      // fail if the branch leaked early or the publish lost rows. This is
+      // THE ingestion-quality pattern at 100 TB: stage a day's crawl,
+      // run the quality audit on the branch, promote with a pointer.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-wap") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        val cut = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.createRef(table, "staged", cut,
+          refType = "branch")
+        graft.sinks.IcebergSink.appendBranch(
+          ev.filter(col("event_id") % 2 === 1), table, "staged")
+        // the audit window: main still serves the pre-publish half —
+        // PINNED by an eager collect (a lazy frame would re-read the
+        // post-publish state) and re-joined as a broadcast literal
+        import s.implicits._
+        val prePinned = graft.sinks.IcebergSink.read(s, table)
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          .toDF("event_type", "n_pre_publish")
+        graft.sinks.IcebergSink.fastForward(table, "staged")
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .join(broadcast(prePinned), Seq("event_type"), "left")
+          .select(col("event_type"), col("n_rows"), col("sum_v"),
+            coalesce(col("n_pre_publish"), lit(0L)).as("n_pre_publish"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0)
+             |    AS DOUBLE) / 100.0 AS sum_v,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+             |    AS n_pre_publish
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

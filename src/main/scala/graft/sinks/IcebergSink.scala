@@ -1713,6 +1713,50 @@ object IcebergSink {
     commitMetadataVersion(table, store, hint, newMeta)
   }
 
+  /** FAST-FORWARDS main to a branch head — the PUBLISH step of
+    * write-audit-publish ([[appendBranch]] stages, the audit reads the
+    * branch, this promotes): a metadata-only commit pointing
+    * current-snapshot-id + refs.main at the branch's head, O(1) at any
+    * table size. Refuses unless the move is a genuine fast-forward —
+    * main's current head must appear on the branch head's
+    * parent-snapshot-id chain, so a main that advanced after the branch
+    * was cut can never be silently overwritten (rebase the branch by
+    * re-running its appends, or pick [[rollback]] explicitly). The branch
+    * ref itself is untouched and can keep advancing or be [[dropRef]]ed.
+    */
+  def fastForward(table: String, branch: String,
+      store: CommitStore = CommitStore.Local): Long = {
+    require(branch != "main", "main cannot fast-forward to itself")
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    require(meta.has("refs") && meta.get("refs").has(branch),
+      s"no such ref: $branch")
+    val head = meta.get("refs").get(branch).get("snapshot-id").asLong()
+    val mainHead = meta.get("current-snapshot-id").asLong()
+    if (head == mainHead) return head // already published
+    // ancestry walk: branch head → parent chain must reach main's head
+    val byId = meta.get("snapshots").elements().asScala
+      .map(n => n.get("snapshot-id").asLong() -> n).toMap
+    var cursor = Option(head)
+    var found = false
+    while (cursor.isDefined && !found) {
+      if (cursor.get == mainHead) found = true
+      else cursor = byId.get(cursor.get)
+        .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong()))
+    }
+    require(found,
+      s"not a fast-forward: main's head $mainHead is not an ancestor of " +
+        s"$branch's head $head — main advanced after the branch was cut")
+    val newMeta = meta.deepCopy[ObjectNode]()
+    newMeta.put("current-snapshot-id", head)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    newMeta.get("refs").asInstanceOf[ObjectNode].putObject("main")
+      .put("snapshot-id", head).put("type", "branch")
+    commitMetadataVersion(table, store, hint, newMeta)
+    head
+  }
+
   /** Claims version hint+1 with `newMeta` under the standard OCC protocol
     * and advances the hint — the shared tail of every metadata-only verb
     * ([[rollback]], [[createRef]], [[dropRef]], schema evolution).

@@ -2564,4 +2564,34 @@ class SinkSpec extends AnyFunSuite {
     assert((touched -- filesBefore).forall(_._1.contains("part=p2")),
       s"the replacement file must land in id=5's partition dir (part=p2)")
   }
+
+  test("Iceberg fastForward publishes a branch; refuses diverged main (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.write((1L to 10L).map(i => (i, i * 2)).toDF("id", "x"),
+      table, IcebergSink.CreateExclusive)
+    val cut = IcebergSink.snapshots(table).last._1
+    IcebergSink.createRef(table, "wap", cut, refType = "branch")
+    IcebergSink.appendBranch((11L to 15L).map(i => (i, i * 2)).toDF("id", "x"),
+      table, "wap")
+    val head = IcebergSink.appendBranch(
+      (16L to 20L).map(i => (i, i * 2)).toDF("id", "x"), table, "wap")
+    // publish: main fast-forwards across BOTH branch commits
+    assert(IcebergSink.fastForward(table, "wap") == head)
+    assert(IcebergSink.read(spark, table).count() == 20)
+    assert(IcebergSink.listRefs(table)("main")._1 == head)
+    // idempotent re-publish
+    assert(IcebergSink.fastForward(table, "wap") == head)
+    // a MAIN append after publish, then more branch work from the OLD
+    // head: the branch no longer contains main's head -> refuse
+    IcebergSink.write(Seq((100L, 0L)).toDF("id", "x"), table, IcebergSink.Append)
+    IcebergSink.appendBranch(Seq((200L, 0L)).toDF("id", "x"), table, "wap")
+    val e = intercept[IllegalArgumentException] {
+      IcebergSink.fastForward(table, "wap")
+    }
+    assert(e.getMessage.contains("not a fast-forward"))
+    assert(IcebergSink.read(spark, table).count() == 21,
+      "a refused publish must leave main exactly where it was")
+  }
 }
