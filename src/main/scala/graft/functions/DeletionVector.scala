@@ -235,14 +235,33 @@ object DeletionVector {
     * action's descriptor records.
     */
   def frameDvFile(payload: Array[Byte]): (Array[Byte], Int, Int) = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(payload)
-    val bb = java.nio.ByteBuffer.allocate(1 + 4 + payload.length + 4)
+    val (bytes, offsets) = frameDvFileMulti(Seq(payload))
+    (bytes, offsets.head._1, offsets.head._2)
+  }
+
+  /** Multi-DV file framing (the spec's intended shape at scale — real
+    * writers pack EVERY deletion vector of one commit into a single
+    * sidecar object instead of littering the store with per-file blobs):
+    * one version byte, then each payload as [dataSize BE][payload][CRC-32
+    * BE] back to back. Returns (fileBytes, per-payload (offset,
+    * dataSize)) — each descriptor records the same file with its own
+    * offset.
+    */
+  def frameDvFileMulti(payloads: Seq[Array[Byte]]): (Array[Byte], Seq[(Int, Int)]) = {
+    require(payloads.nonEmpty, "a DV file needs at least one bitmap")
+    val total = 1 + payloads.map(p => 4 + p.length + 4).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
     bb.put(1.toByte)
-    bb.putInt(payload.length)
-    bb.put(payload)
-    bb.putInt(crc.getValue.toInt)
-    (bb.array(), 1, payload.length)
+    val offsets = payloads.map { p =>
+      val off = bb.position()
+      val crc = new java.util.zip.CRC32()
+      crc.update(p)
+      bb.putInt(p.length)
+      bb.put(p)
+      bb.putInt(crc.getValue.toInt)
+      (off, p.length)
+    }
+    (bb.array(), offsets)
   }
 
   /** Parses one DV out of a spec-framed file: verifies the format

@@ -1185,26 +1185,34 @@ object DeltaSink {
       dataAdds.foreach(a => scala.util.Try(deleteData(store, dir, a.path)))
       throw e
     }
-    // merge with any existing DV per file, publish the sidecars in the
-    // SPEC's DV file format (version byte + size-framed + CRC'd portable
-    // RoaringBitmapArray; descriptor storageType "u" with the base85
-    // uuid), and re-add each touched file (same path, new descriptor —
-    // last add per path wins in replay; the data file is untouched)
+    // merge with any existing DV per file, publish ONE sidecar for the
+    // whole commit in the SPEC's multi-DV file format (version byte, then
+    // every touched file's size-framed + CRC'd portable RoaringBitmapArray
+    // back to back; each descriptor = storageType "u" with the shared
+    // base85 uuid + its own offset) — a delete touching 10k files costs
+    // one object PUT, not 10k tiny blobs — and re-add each touched file
+    // (same path, new descriptor — last add per path wins in replay; the
+    // data file is untouched)
     val now = System.currentTimeMillis()
     val published = scala.collection.mutable.ArrayBuffer[String]()
-    val newAdds = try perFile.map { case (rel, fresh) =>
-      val add = state.live.find(_.path == rel).getOrElse(
-        throw new IllegalStateException(s"matched file not live: $rel"))
-      val bytes = add.dv match {
-        case Some(old) => graft.functions.DeletionVector.merge(
-          dvBitmapBytes(table, old, store), fresh)
-        case None => fresh
+    val newAdds = try {
+      val mergedBitmaps = perFile.map { case (rel, fresh) =>
+        val add = state.live.find(_.path == rel).getOrElse(
+          throw new IllegalStateException(s"matched file not live: $rel"))
+        val bytes = add.dv match {
+          case Some(old) => graft.functions.DeletionVector.merge(
+            dvBitmapBytes(table, old, store), fresh)
+          case None => fresh
+        }
+        (add, graft.functions.DeletionVector.deserialize(bytes))
       }
-      val bm = graft.functions.DeletionVector.deserialize(bytes)
       val uuid = java.util.UUID.randomUUID()
       val dvRel = s"$DvPrefix/deletion_vector_$uuid.bin"
-      val (fileBytes, offset, dataSize) = graft.functions.DeletionVector
-        .frameDvFile(graft.functions.DeletionVector.toPortable(bm))
+      val encoded = DvPrefix + graft.functions.DeletionVector.encodeUuid(uuid)
+      val (fileBytes, offsets) = graft.functions.DeletionVector
+        .frameDvFileMulti(mergedBitmaps.map { case (_, bm) =>
+          graft.functions.DeletionVector.toPortable(bm)
+        })
       val target = new File(dir, dvRel)
       store match {
         case os: ObjectStore => os.putObject(target.toPath, fileBytes)
@@ -1213,10 +1221,11 @@ object DeltaSink {
           Files.write(target.toPath, fileBytes): Unit
       }
       published += dvRel
-      add.copy(modificationTime = now,
-        dv = Some(DvInfo("u",
-          DvPrefix + graft.functions.DeletionVector.encodeUuid(uuid),
-          Some(offset), dataSize.toLong, bm.getLongCardinality)))
+      mergedBitmaps.zip(offsets).map { case ((add, bm), (offset, dataSize)) =>
+        add.copy(modificationTime = now,
+          dv = Some(DvInfo("u", encoded, Some(offset), dataSize.toLong,
+            bm.getLongCardinality)))
+      }
     } catch { case e: Throwable =>
       (published ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
         scala.util.Try(deleteData(store, dir, p)))

@@ -2594,4 +2594,48 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 21,
       "a refused publish must leave main exactly where it was")
   }
+
+  test("Delta DV commit packs every touched file's bitmap into ONE sidecar (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    assert(DeltaSink.write((0L until 400L).map(i => (i, i % 5)).toDF("id", "g")
+      .repartition(4), table))
+    def sidecars() = Option(new File(table, "deletion_vectors").listFiles())
+      .toSeq.flatten.filter(_.getName.endsWith(".bin"))
+    // one delete matching rows in all 4 files -> exactly ONE sidecar object
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 2 = 0") == 200L)
+    assert(sidecars().length == 1,
+      s"a wide delete must pack one sidecar, got ${sidecars().length}")
+    // all descriptors share the file (same pathOrInlineDv), distinct offsets
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v = DeltaSink.latestVersion(table)
+    val dvs = Files.readString(Paths.get(table, "_delta_log", f"$v%020d.json"))
+      .linesIterator.map(m.readTree)
+      .flatMap(n => Option(n.get("add")).flatMap(a => Option(a.get("deletionVector"))))
+      .toSeq
+    assert(dvs.length == 4)
+    assert(dvs.map(_.get("pathOrInlineDv").asText()).distinct.length == 1,
+      "every descriptor must point at the one packed sidecar")
+    assert(dvs.map(_.get("offset").asInt()).distinct.length == 4,
+      "each descriptor must carry its own offset into the packed file")
+    // every blob parses independently at its offset and the merged read holds
+    val bytes = Files.readAllBytes(sidecars().head.toPath)
+    dvs.foreach { d =>
+      val bm = graft.functions.DeletionVector.readDvFile(
+        bytes, d.get("offset").asInt(), d.get("sizeInBytes").asLong())
+      assert(bm.getLongCardinality == d.get("cardinality").asLong())
+    }
+    assert(dvs.map(_.get("cardinality").asLong()).sum == 200L)
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 200 && out.filter(col("id") % 2 === 0).count() == 0)
+    // a second delete OR-merges per file into a NEW packed sidecar; the
+    // old one is superseded everywhere and vacuumable
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 3 = 0") == 67L)
+    assert(sidecars().length == 2)
+    assert(DeltaSink.read(spark, table).count() == 133)
+    assert(DeltaSink.vacuum(spark, table, retentionMs = -1000L) >= 1)
+    assert(sidecars().length == 1, "the superseded packed sidecar reclaims")
+    assert(DeltaSink.read(spark, table).count() == 133)
+  }
 }
