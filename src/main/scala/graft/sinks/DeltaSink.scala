@@ -1863,9 +1863,10 @@ object DeltaSink {
     * of a plan literal: a literal serializes into EVERY task binary (at
     * 10k tasks a 16 MB map is 160 GB of task bytes), a broadcast once per
     * executor. Under it the literal wins — no broadcast bookkeeping, and
-    * the map rides plan caching.
+    * the map rides plan caching. (var: PlanSpec lowers it to drive the
+    * broadcast path with test-sized bitmaps.)
     */
-  private[graft] val DvLiteralMaxBytes: Int = 8 * 1024 * 1024
+  private[graft] var DvLiteralMaxBytes: Int = 8 * 1024 * 1024
 
   /** The MERGED view of a snapshot: the live files' rows minus what their
     * deletion vectors erase. Zero overhead when no live add carries a DV

@@ -733,5 +733,39 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Iceberg branch write + publish travel the store protocol (r14)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("ib-wap").toString
+      IcebergSink.write((1L to 20L).map(i => (i, i * 2.0)).toDF("id", "v"),
+        table, IcebergSink.CreateExclusive, store = client)
+      val cut = IcebergSink.snapshots(table).last._1
+      IcebergSink.createRef(table, "stage", cut, refType = "branch", store = client)
+      val putsBefore = server.conditionalPuts.get()
+      val mpBefore = server.multipartCompletions.get()
+      // branch append: data files multipart, manifest + list publish, the
+      // metadata version claims via ONE conditional put
+      IcebergSink.appendBranch((21L to 30L).map(i => (i, i * 2.0)).toDF("id", "v"),
+        table, "stage", store = client)
+      assert(server.conditionalPuts.get() == putsBefore + 1)
+      assert(server.multipartCompletions.get() > mpBefore,
+        "branch data files must multipart through the store")
+      assert(IcebergSink.read(spark, table).count() == 20)
+      assert(IcebergSink.readRef(spark, table, "stage").count() == 30)
+      // publish: one more conditional put, zero data traffic
+      val mpAtPublish = server.multipartCompletions.get()
+      IcebergSink.fastForward(table, "stage", store = client)
+      assert(server.conditionalPuts.get() == putsBefore + 2)
+      assert(server.multipartCompletions.get() == mpAtPublish + 1,
+        "a publish moves ONLY the version-hint pointer — no data object")
+      assert(IcebergSink.read(spark, table).count() == 30)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

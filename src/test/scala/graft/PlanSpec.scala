@@ -622,4 +622,30 @@ class PlanSpec extends AnyFunSuite {
       s"a range-pruned read must pack ONE file's bitmap, got $distinctFiles")
     assert(pruned.filter(col("id").between(10, 60)).count() == 51) // inclusive 10..60; id=7 deleted but outside
   }
+
+  test("past the literal threshold the DV probe ships as a broadcast (r14)") {
+    import graft.sinks.DeltaSink
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-plan-dvbc").toString
+    assert(DeltaSink.write((0L until 300L).map(i => (i, i % 3)).toDF("id", "g")
+      .coalesce(2), table))
+    assert(DeltaSink.deleteWhereDV(sess, table, "id % 3 = 0") == 100L)
+    val saved = DeltaSink.DvLiteralMaxBytes
+    try {
+      DeltaSink.DvLiteralMaxBytes = 1 // force the broadcast path
+      val out = DeltaSink.read(sess, table)
+      val hasBc = out.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(
+          _.isInstanceOf[graft.functions.DvDeletedBroadcast])))
+      assert(hasBc, "expected a DvDeletedBroadcast probe past the threshold")
+      assert(out.count() == 200)
+      assert(out.filter(col("id") % 3 === 0).count() == 0,
+        "the broadcast probe must mask exactly the deleted rows")
+      // the merged-view semantics hold through the broadcast path too
+      assert(DeltaSink.deleteWhereDV(sess, table, "id % 3 = 0") == 0L,
+        "re-delete stays a no-op when matches evaluate via the broadcast")
+    } finally DeltaSink.DvLiteralMaxBytes = saved
+  }
 }
