@@ -2077,8 +2077,9 @@ object IcebergSink {
     * [[OptimisticConcurrencyException]].
     */
   def deleteWhere(spark: SparkSession, table: String, predicate: String,
-      store: CommitStore = CommitStore.Local): Long =
-    posRewrite(spark, table, predicate, None, store)
+      store: CommitStore = CommitStore.Local,
+      branch: Option[String] = None): Long =
+    posRewrite(spark, table, predicate, None, store, branch)
 
   /** UPDATE WHERE — predicate-based row-level update, MERGE-ON-READ (the
     * positional-delete twin of the keyed [[upsert]], and the Iceberg
@@ -2097,19 +2098,38 @@ object IcebergSink {
     */
   def updateWhere(spark: SparkSession, table: String, predicate: String,
       set: Map[String, String],
-      store: CommitStore = CommitStore.Local): Long = {
+      store: CommitStore = CommitStore.Local,
+      branch: Option[String] = None): Long = {
     require(set.nonEmpty, "update requires at least one SET column")
-    posRewrite(spark, table, predicate, Some(set), store)
+    posRewrite(spark, table, predicate, Some(set), store, branch)
+  }
+
+  /** The head a branch-targeted verb continues from, validated the same
+    * way [[appendBranch]] does: the ref must exist with branch type
+    * (tags are immutable pins).
+    */
+  private def requireBranchHead(
+      meta: com.fasterxml.jackson.databind.JsonNode, branch: String): Long = {
+    require(branch != "main", "main is the default target — omit the branch")
+    require(meta.has("refs") && meta.get("refs").has(branch),
+      s"no such branch: $branch — create it with createRef(refType = \"branch\")")
+    require(Option(meta.get("refs").get(branch).get("type"))
+        .forall(_.asText() == "branch"),
+      s"ref $branch is a tag — tags pin immutably; commits need a branch ref")
+    meta.get("refs").get(branch).get("snapshot-id").asLong()
   }
 
   private def posRewrite(spark: SparkSession, table: String, predicate: String,
       setOpt: Option[Map[String, String]],
-      store: CommitStore): Long = {
+      store: CommitStore, branch: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
-    val snap = snapshotEntries(table, None)
+    // a branch-targeted rewrite matches against the BRANCH's merged view
+    // and commits to its ref — the audit-fix loop of write-audit-publish
+    val snap = snapshotEntries(table,
+      branch.map(b => requireBranchHead(meta, b)))
     // validate the SET plan BEFORE any staging: a bad column or an
     // unparsable expression must fail with zero bytes written (the delete
     // artifacts are published before the replacement would be built, and
@@ -2325,7 +2345,7 @@ object IcebergSink {
         }
         replacement.foreach(r => deleteTree(new File(r._3)))
         deleteTree(stageRoot)
-      })
+      }, branch = branch)
     objStore.foreach { _ =>
       replacement.foreach(r => deleteTree(new File(r._3)))
       deleteTree(stageRoot)
@@ -2355,12 +2375,14 @@ object IcebergSink {
     */
   def upsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], store: CommitStore = CommitStore.Local,
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      branch: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
     require(keys.nonEmpty, "upsert requires at least one key column")
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    branch.foreach(requireBranchHead(meta, _): Unit)
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
     val tableCols = schema.fieldNames.toSeq
@@ -2462,6 +2484,7 @@ object IcebergSink {
       newRows, "overwrite",
       Map("added-records" -> upserted.toString,
         "added-equality-delete-files" -> delInfos.size.toString) ++ summaryProps,
+      branch = branch,
       reclaimOnConflict = () => {
         objStore match {
           case Some(os) =>

@@ -2638,4 +2638,44 @@ class SinkSpec extends AnyFunSuite {
     assert(sidecars().length == 1, "the superseded packed sidecar reclaims")
     assert(DeltaSink.read(spark, table).count() == 133)
   }
+
+  test("Iceberg branch-targeted MoR verbs: audit-fix on the branch, main isolated (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.write((1L to 10L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "v"), table, IcebergSink.CreateExclusive)
+    val cut = IcebergSink.snapshots(table).last._1
+    IcebergSink.createRef(table, "stage", cut, refType = "branch")
+    // stage a batch that carries junk (v < 0) and a wrong row (id 15)
+    IcebergSink.appendBranch(
+      (11L to 20L).map(i => (i, s"n$i", if (i % 5 == 0) -1.0 else i.toDouble))
+        .toDF("id", "name", "v"), table, "stage")
+    // AUDIT finds the junk; FIX it on the branch: MoR delete + update
+    assert(IcebergSink.deleteWhere(spark, table, "v < 0 AND id = 20",
+      branch = Some("stage")) == 1L)
+    assert(IcebergSink.updateWhere(spark, table, "id = 15",
+      Map("v" -> "15.0"), branch = Some("stage")) == 1L)
+    // and a keyed correction lands via branch upsert
+    assert(IcebergSink.upsert(spark, table,
+      Seq((11L, "n11-fixed", 11.0)).toDF("id", "name", "v"), Seq("id"),
+      branch = Some("stage")) > 0L)
+    // main never saw ANY of it
+    assert(IcebergSink.read(spark, table).count() == 10)
+    val branchRows = IcebergSink.readRef(spark, table, "stage")
+    assert(branchRows.count() == 19) // 10 base + 10 staged - 1 deleted
+    assert(branchRows.filter(col("v") < 0).count() == 0, "junk fixed on the branch")
+    assert(branchRows.filter(col("id") === 15L).head().getDouble(2) == 15.0)
+    assert(branchRows.filter(col("id") === 11L).head().getString(1) == "n11-fixed")
+    // tags refuse MoR verbs like they refuse appends
+    IcebergSink.createRef(table, "pin14", cut, refType = "tag")
+    intercept[IllegalArgumentException] {
+      IcebergSink.deleteWhere(spark, table, "id = 1", branch = Some("pin14"))
+    }
+    // PUBLISH the audited branch; main now serves the corrected batch
+    IcebergSink.fastForward(table, "stage")
+    val main = IcebergSink.read(spark, table)
+    assert(main.count() == 19)
+    assert(main.filter(col("v") < 0).count() == 0)
+  }
 }
