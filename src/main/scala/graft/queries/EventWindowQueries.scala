@@ -2004,7 +2004,12 @@ object EventWindowQueries extends QueryModule {
       // oracle, pre_publish must equal the bootstrap half — both gates
       // fail if the branch leaked early or the publish lost rows. This is
       // THE ingestion-quality pattern at 100 TB: stage a day's crawl,
-      // run the quality audit on the branch, promote with a pointer.
+      // run the quality audit on the branch, FIX what it finds with the
+      // branch-targeted merge-on-read verbs, promote with a pointer. The
+      // staged batch deliberately carries junk rows; the audit scrubs
+      // them with a branch deleteWhere (positional deletes against the
+      // BRANCH's merged view), so the final oracle census passes only if
+      // the fix landed on the branch and the publish carried it.
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
         val table = graft.TempTables.create("graft-iceberg-wap") + "/tbl"
@@ -2013,8 +2018,14 @@ object EventWindowQueries extends QueryModule {
         val cut = graft.sinks.IcebergSink.snapshots(table).last._1
         graft.sinks.IcebergSink.createRef(table, "staged", cut,
           refType = "branch")
+        val junk = ev.filter(col("event_id") % 200 === 0)
+          .select((col("event_id") + lit(1000000000L)).as("event_id"),
+            lit("zz_junk").as("event_type"), col("value"))
         graft.sinks.IcebergSink.appendBranch(
-          ev.filter(col("event_id") % 2 === 1), table, "staged")
+          ev.filter(col("event_id") % 2 === 1).unionByName(junk),
+          table, "staged")
+        graft.sinks.IcebergSink.deleteWhere(s, table,
+          "event_type = 'zz_junk'", branch = Some("staged"))
         // the audit window: main still serves the pre-publish half —
         // PINNED by an eager collect (a lazy frame would re-read the
         // post-publish state) and re-joined as a broadcast literal
