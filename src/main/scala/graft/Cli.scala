@@ -18,6 +18,8 @@ import org.apache.spark.sql.SparkSession
   *   compact-delta     <table>
   *   vacuum-delta      <table> [retentionMs]
   *   merge-delta       <sourceParquet> <table> <k1,k2> [--delete-col c]
+  *   delete-iceberg / update-iceberg / upsert-iceberg [... --branch b]  (audit-fix on a staging ref)
+  *   append-branch-iceberg <sourceParquet> <table> <branch> ; publish-branch-iceberg <table> <branch>
   *   expire-iceberg    <table> [keepLast]
   *   compact-iceberg   <table>
   *   csv-to-delta      <file.csv> <table> [--overwrite]
@@ -84,6 +86,7 @@ object Cli {
     var maxRecordsPerFile = sinks.DeltaSink.MaxRecordsPerFile
     var deleteCol: Option[String] = None
     var mergeSchema = false
+    var branch: Option[String] = None
     val pos = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 1
     while (i < args.length) {
@@ -98,6 +101,10 @@ object Cli {
         case "--delete-col" =>
           require(i + 1 < args.length, "--delete-col requires a column name")
           deleteCol = Some(args(i + 1))
+          i += 1
+        case "--branch" =>
+          require(i + 1 < args.length, "--branch requires a ref name")
+          branch = Some(args(i + 1))
           i += 1
         case "--max-records-per-file" =>
           require(i + 1 < args.length, "--max-records-per-file requires a count")
@@ -159,14 +166,17 @@ object Cli {
         val n = sinks.DeltaSink.updateWhere(spark, pos(0), pos(1), sets)
         println(s"updated $n rows")
       case "delete-iceberg" =>
-        // delete-iceberg <table> <predicate> — positional delete files (MoR)
-        val n = sinks.IcebergSink.deleteWhere(spark, pos(0), pos(1))
+        // delete-iceberg <table> <predicate> [--branch b] — positional
+        // delete files (MoR); --branch targets a staging ref (audit-fix)
+        val n = sinks.IcebergSink.deleteWhere(spark, pos(0), pos(1),
+          branch = branch)
         println(s"deleted $n rows")
       case "upsert-iceberg" =>
-        // upsert-iceberg <sourceParquet> <table> <k1,k2> — atomic keyed
-        // upsert via equality deletes
+        // upsert-iceberg <sourceParquet> <table> <k1,k2> [--branch b] —
+        // atomic keyed upsert via equality deletes
         val src = spark.read.parquet(pos(0))
-        val n = sinks.IcebergSink.upsert(spark, pos(1), src, pos(2).split(',').toSeq)
+        val n = sinks.IcebergSink.upsert(spark, pos(1), src,
+          pos(2).split(',').toSeq, branch = branch)
         println(s"upserted $n rows")
       case "evolve-iceberg" =>
         // evolve-iceberg <sourceParquet> <table> — add-column append
@@ -203,7 +213,8 @@ object Cli {
           require(i > 0, s"want col=expr, got $kv")
           kv.take(i).trim -> kv.drop(i + 1).trim
         }.toMap
-        val n = sinks.IcebergSink.updateWhere(spark, pos(0), pos(1), sets)
+        val n = sinks.IcebergSink.updateWhere(spark, pos(0), pos(1), sets,
+          branch = branch)
         println(s"updated $n rows (merge-on-read)")
       case "drop-column-iceberg" =>
         // drop-column-iceberg <table> <column> — metadata-only evolution
