@@ -1068,10 +1068,28 @@ object IcebergSink {
     * The table must already exist (create via [[write]]).
     */
   def appendExactlyOnce(df: DataFrame, table: String, appId: String,
-      batchId: Long, store: CommitStore = CommitStore.Local): Long = {
+      batchId: Long, store: CommitStore = CommitStore.Local,
+      branch: Option[String] = None): Long = {
+    // ONE watermark per appId across main and every branch — lastTxnBatch
+    // scans all snapshots, so a pipeline moved from a branch to main (or
+    // publishing mid-stream via fastForward) never double-applies a batch
     if (batchId <= lastTxnBatch(table, appId)) return -1L
-    writeWithRetry(df, table, Append, store = store,
-      summaryProps = Map(TxnAppKey -> appId, TxnBatchKey -> batchId.toString))
+    val txnProps = Map(TxnAppKey -> appId, TxnBatchKey -> batchId.toString)
+    branch match {
+      case Some(b) =>
+        // streaming write-audit-publish: micro-batches land on a staging
+        // ref exactly-once; main serves the last published head until a
+        // fastForward promotes the audited stream
+        appendBranch(df, table, b, store, summaryProps = txnProps): Unit
+        // an all-empty batch commits NOTHING on the branch (appendBranch
+        // skips the snapshot), so the watermark did not advance — return
+        // 0 rather than the previous snapshot's sequence (the same no-op
+        // sentinel contract as upsertExactlyOnce, r13 advice)
+        if (lastTxnBatch(table, appId) < batchId) return 0L
+      case None =>
+        writeWithRetry(df, table, Append, store = store,
+          summaryProps = txnProps)
+    }
     snapshots(table).last._2
   }
 
@@ -1861,7 +1879,8 @@ object IcebergSink {
     * Returns the branch's new head snapshot id.
     */
   def appendBranch(df: DataFrame, table: String, branch: String,
-      store: CommitStore = CommitStore.Local): Long = {
+      store: CommitStore = CommitStore.Local,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     require(branch != "main", "main advances through plain appends")
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
@@ -1919,7 +1938,7 @@ object IcebergSink {
     commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
       Seq(IcebergAvro.manifestRow(manifest.toFile.getAbsolutePath, manLen, seq,
         snapshotId, infos.size, added)),
-      "append", Map("added-records" -> added.toString),
+      "append", Map("added-records" -> added.toString) ++ summaryProps,
       reclaimOnConflict = () => {
         objStore match {
           case Some(os) =>

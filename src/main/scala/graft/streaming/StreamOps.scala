@@ -184,11 +184,12 @@ object StreamOps {
     * (IcebergSink.appendExactlyOnce). The target table must already exist.
     */
   def streamToIceberg(stream: DataFrame, table: String,
-      appId: String): StreamingQuery =
+      appId: String, branch: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.sinks.IcebergSink.appendExactlyOnce(batch, table, appId, batchId): Unit
+        graft.sinks.IcebergSink.appendExactlyOnce(batch, table, appId,
+          batchId, branch = branch): Unit
       }
       .start()
 

@@ -637,4 +637,45 @@ class StreamingSpec extends AnyFunSuite {
     // under the lexicographic order; user 2's is older outright — both drop
     assert(state() == before)
   }
+
+  test("streaming WAP: exactly-once micro-batches land on a branch, publish promotes (r14)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-stream-wap").toString
+    graft.sinks.IcebergSink.write(
+      Seq((0L, "seed")).toDF("event_id", "event_type"),
+      table, graft.sinks.IcebergSink.CreateExclusive)
+    val cut = graft.sinks.IcebergSink.snapshots(table).last._1
+    graft.sinks.IcebergSink.createRef(table, "live", cut, refType = "branch")
+    val input = MemoryStream[Ev]
+    val q = StreamOps.streamToIceberg(
+      input.toDF().select($"event_id", $"event_type"), table,
+      appId = "wap-ingest", branch = Some("live"))
+    try {
+      input.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "b", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(2), 2, "c", 1.0))
+      q.processAllAvailable()
+      // main serves only the seed until a publish; the branch has the stream
+      assert(graft.sinks.IcebergSink.read(spark, table).count() == 1)
+      assert(graft.sinks.IcebergSink.readRef(spark, table, "live").count() == 4)
+      // replay of a committed batch id no-ops on the branch too
+      val wm = graft.sinks.IcebergSink.lastTxnBatch(table, "wap-ingest")
+      assert(wm >= 1L)
+      assert(graft.sinks.IcebergSink.appendExactlyOnce(
+        Seq((1L, "a")).toDF("event_id", "event_type"), table, "wap-ingest",
+        wm, branch = Some("live")) == -1L)
+      // an EMPTY next batch commits nothing and returns the no-op sentinel
+      assert(graft.sinks.IcebergSink.appendExactlyOnce(
+        Seq.empty[(Long, String)].toDF("event_id", "event_type"), table,
+        "wap-ingest", wm + 1, branch = Some("live")) == 0L)
+      assert(graft.sinks.IcebergSink.readRef(spark, table, "live").count() == 4)
+      // publish: main fast-forwards to the audited stream head
+      graft.sinks.IcebergSink.fastForward(table, "live")
+      assert(graft.sinks.IcebergSink.read(spark, table)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
