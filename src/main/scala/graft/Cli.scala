@@ -248,6 +248,10 @@ object Cli {
         val head = sinks.IcebergSink.appendBranch(
           spark.read.parquet(pos(0)), pos(1), pos(2))
         println(s"branch ${pos(2)} -> $head")
+      case "clone-delta" =>
+        // clone-delta <source> <target> — zero-copy shallow clone
+        val n = sinks.DeltaSink.cloneTable(spark, pos(0), pos(1))
+        println(s"cloned: $n files referenced, zero copied")
       case "restore-delta" =>
         // restore-delta <table> <version> — metadata-only undo
         val (re, rm) = sinks.DeltaSink.restore(spark, pos(0), pos(1).toLong)

@@ -258,6 +258,14 @@ object DeltaSink {
     case _ => Files.readAllBytes(f.toPath)
   }
 
+  /** A data file's absolute location: add paths are table-relative,
+    * except a SHALLOW CLONE's ([[cloneTable]]), which are absolute
+    * pointers into the source table (spec: add.path may be either).
+    */
+  private def dataAbs(table: String, path: String): String =
+    if (path.startsWith("/")) path
+    else new File(table, path).getAbsolutePath
+
   /** One live data file in the replayed table state. */
   private case class AddEntry(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, stats: String,
@@ -330,6 +338,67 @@ object DeltaSink {
     commitAtomic(store, versionFile(table, 0), commit0)
     commitAtomic(store, versionFile(table, 1), adds.map(a => addJson(a)))
     true
+  }
+
+  /** SHALLOW CLONE — a zero-copy table copy (Delta CLONE semantics): the
+    * clone gets its OWN log (fresh table id, version 0/1) whose add
+    * actions point at the SOURCE's data files by absolute path (spec:
+    * `add.path` may be relative or absolute — absolute is exactly the
+    * shallow-clone encoding). No data byte moves at any table size, so a
+    * 100 TB production table clones in milliseconds for experimentation;
+    * the clone then evolves independently — appends land clone-local
+    * files, CoW/DV deletes rewrite or mask only what they touch, vacuum
+    * on the clone never reclaims source files (they live outside its
+    * root). Deletion-vector descriptors absolutize the same way ("u"
+    * sidecars become absolute-"p" pointers into the source). The source's
+    * protocol (feature lists included) and column-mapping schema carry
+    * over verbatim — physical names keep resolving the source's parquet.
+    * Partitioned sources refuse for now: this reader derives partition
+    * values via directory discovery under the table root, which absolute
+    * outside paths cannot join. CAVEAT (same as every shallow-clone
+    * implementation): vacuuming the SOURCE can reclaim files the clone
+    * still references — retention policy must outlive clones. Returns
+    * the number of files referenced.
+    */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+      store: CommitStore = CommitStore.Local): Int = {
+    val (meta, live) = resolve(spark, source, None)
+    require(meta.partitionColumns.isEmpty,
+      "shallow clone of a partitioned table is not supported yet: the " +
+        "reader derives partition values by directory discovery, which " +
+        "absolute source paths cannot join")
+    val dir = new File(target)
+    require(Option(dir.listFiles()).forall(_.isEmpty),
+      s"clone target is not empty: $target")
+    val adds = collectAdds(live).map { a =>
+      a.copy(path = dataAbs(source, a.path),
+        dv = a.dv.map { d =>
+          if (d.storageType == "i") d // inline bits travel in the log itself
+          else DvInfo("p", dvFile(source, d).getAbsolutePath,
+            d.offset, d.sizeInBytes, d.cardinality)
+        })
+    }
+    Files.createDirectories(logDir(target))
+    val now = System.currentTimeMillis()
+    val protocol =
+      if (meta.minReader == 1 && meta.minWriter == 1)
+        protocolJson
+      else {
+        def lst(fs: Seq[String]) =
+          fs.distinct.sorted.map(esc).mkString("[", ",", "]")
+        s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+          s""""minWriterVersion":${meta.minWriter}""" +
+          (if (meta.minReader >= 3)
+            s""","readerFeatures":${lst(meta.readerFeatures)}""" +
+              s""","writerFeatures":${lst(meta.writerFeatures)}"""
+          else "") + "}}"
+      }
+    val commit0 = Seq(protocol,
+      metaDataJson(java.util.UUID.randomUUID().toString, meta.schema.json,
+        Nil, now, mappingConfig(meta.schema)))
+    commitAtomic(store, versionFile(target, 0), commit0)
+    commitAtomic(store, versionFile(target, 1), adds.map(a => addJson(a)))
+    adds.size
   }
 
   /** Appends `df` to an existing Delta table as ONE new log version, with
@@ -1110,7 +1179,7 @@ object DeltaSink {
     // path arrives via a broadcast dual-key lookup (raw + URI-encoded),
     // never by parsing the reader's URI
     val lookup = state.live.flatMap { a =>
-      val abs = new File(table, a.path).getAbsolutePath
+      val abs = dataAbs(table, a.path)
       val enc = new File(abs).toURI.toString
         .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
       Seq(abs, enc).distinct.map(k => (k, a.path))
@@ -1802,7 +1871,7 @@ object DeltaSink {
           case None => new org.roaringbitmap.longlong.Roaring64Bitmap()
         }
         def dualKeys(path: String): Seq[String] = {
-          val abs = new File(table, path).getAbsolutePath
+          val abs = dataAbs(table, path)
           val enc = new File(abs).toURI.toString
             .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
           Seq(abs, enc).distinct
@@ -1895,7 +1964,7 @@ object DeltaSink {
         // discipline as the Iceberg side: `_metadata.file_path` may
         // percent-encode characters the add path stores raw
         val dvMap = dvAdds.flatMap { a =>
-          val abs = new File(table, a.path).getAbsolutePath
+          val abs = dataAbs(table, a.path)
           val bytes = dvBitmapBytes(table, a.dv.get, store)
           val enc = new File(abs).toURI.toString
             .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
@@ -1920,7 +1989,7 @@ object DeltaSink {
     import org.apache.spark.sql.functions.col
     val lineageCols = Seq(col("_metadata.file_path").as("_gf_uri"),
       col("_metadata.row_index").as("_gf_pos"))
-    val paths = state.live.map(a => new File(table, a.path).getAbsolutePath)
+    val paths = state.live.map(a => dataAbs(table, a.path))
     if (paths.isEmpty) {
       val lineageFields =
         if (!withLineage) Array.empty[StructField]

@@ -2678,4 +2678,79 @@ class SinkSpec extends AnyFunSuite {
     assert(main.count() == 19)
     assert(main.filter(col("v") < 0).count() == 0)
   }
+
+  test("Delta shallow clone: zero-copy, independent evolution, DV carry-over (r14)") {
+    val s = spark
+    import s.implicits._
+    val src = tmp()
+    assert(DeltaSink.write((1L to 100L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "v"), src))
+    // a DV delete on the source BEFORE cloning — the clone must inherit it
+    assert(DeltaSink.deleteWhereDV(spark, src, "id > 90") == 10L)
+    val dst = tmp()
+    assert(DeltaSink.cloneTable(spark, src, dst) >= 1)
+    // zero copy: the clone root holds NO parquet bytes
+    def localParquets(t: String) = Option(new File(t).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    assert(localParquets(dst).isEmpty, "a shallow clone must move no data")
+    val out = DeltaSink.read(spark, dst)
+    assert(out.count() == 90, "the clone reads the source's merged view")
+    assert(out.filter(col("id") > 90).count() == 0)
+    // metadata-only census works off absolute adds too
+    assert(DeltaSink.fileStats(spark, dst)
+      .agg(sum(col("num_records"))).head().getLong(0) == 90L)
+    // the clone EVOLVES independently: append + CoW delete + DV delete
+    DeltaSink.append(Seq((200L, "x", 0.0)).toDF("id", "name", "v"), dst)
+    assert(DeltaSink.deleteWhere(spark, dst, "id <= 10") == 10L)
+    assert(DeltaSink.deleteWhereDV(spark, dst, "id = 50") == 1L)
+    assert(DeltaSink.read(spark, dst).count() == 80) // 90 + 1 - 10 - 1
+    // ... while the SOURCE is untouched, byte for byte
+    assert(DeltaSink.read(spark, src).count() == 90)
+    assert(DeltaSink.read(spark, src).filter(col("id") <= 10).count() == 10)
+    // vacuum on the clone reclaims only clone-local tombstones — the CoW
+    // rewrite replaced source-referenced files with local ones, but the
+    // originals belong to the source and must survive
+    val srcFiles = localParquets(src).map(_.getName).toSet
+    DeltaSink.vacuum(spark, dst, retentionMs = -1000L)
+    assert(localParquets(src).map(_.getName).toSet == srcFiles,
+      "vacuum on a clone must never reclaim source files")
+    assert(DeltaSink.read(spark, dst).count() == 80)
+    assert(DeltaSink.read(spark, src).count() == 90)
+    // partitioned sources refuse with a diagnosable message
+    val psrc = tmp()
+    assert(DeltaSink.write(Seq((1L, "a")).toDF("id", "p"), psrc,
+      partitionBy = Seq("p")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaSink.cloneTable(spark, psrc, tmp())
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("Delta shallow clone carries column mapping and protocol verbatim (r14)") {
+    val s = spark
+    import s.implicits._
+    val src = tmp()
+    assert(DeltaSink.write(Seq((1L, 10, "a"), (2L, 20, "b"))
+      .toDF("id", "qty", "note"), src))
+    DeltaSink.renameColumn(spark, src, "qty", "quantity") // -> reader 2 / writer 5
+    val dst = tmp()
+    DeltaSink.cloneTable(spark, src, dst)
+    val out = DeltaSink.read(spark, dst).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "quantity", "note"),
+      "the clone must see the RENAMED logical schema")
+    assert(out.collect().map(_.getInt(1)).toSeq == Seq(10, 20),
+      "physical-name projection must keep resolving the source parquet")
+    val v0 = Files.readString(Paths.get(dst, "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains("\"minReaderVersion\":2") &&
+      v0.contains("\"minWriterVersion\":5"),
+      s"the clone must inherit the source protocol, got: $v0")
+    assert(v0.contains("delta.columnMapping.mode"),
+      "the mode property must ride the clone's metaData")
+    // a rename on the CLONE stays clone-local
+    DeltaSink.renameColumn(spark, dst, "note", "comment")
+    assert(DeltaSink.read(spark, dst).columns.toSeq ==
+      Seq("id", "quantity", "comment"))
+    assert(DeltaSink.read(spark, src).columns.toSeq ==
+      Seq("id", "quantity", "note"))
+  }
 }
