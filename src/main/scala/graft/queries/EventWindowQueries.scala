@@ -865,6 +865,46 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_clone",
+      // SHALLOW CLONE under the oracle (r14): the corpus lands once, the
+      // clone references it by absolute-path adds (ZERO data copied — the
+      // `no_copy` column pins that the clone root holds no parquet), and a
+      // merge-on-read DV delete lands ON THE CLONE — the census passes
+      // only if the clone reads the source's bytes, the delete stayed
+      // clone-local (n_src must still equal the full per-type count), and
+      // the clone's merged view masks exactly the deleted fifth. The
+      // experimentation primitive at 100 TB: branch a production table in
+      // milliseconds, mutate freely, throw it away.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val root = graft.TempTables.create("graft-delta-clone")
+        val src = root + "/src"
+        val dst = root + "/clone"
+        graft.sinks.DeltaSink.write(ev, src)
+        graft.sinks.DeltaSink.cloneTable(s, src, dst)
+        graft.sinks.DeltaSink.deleteWhereDV(s, dst, "event_id % 5 = 0")
+        val noCopy = !new java.io.File(dst).listFiles().exists(f =>
+          f.getName.endsWith(".parquet"))
+        val srcC = graft.sinks.DeltaSink.read(s, src).groupBy("event_type")
+          .agg(count(lit(1)).as("n_src"))
+        graft.sinks.DeltaSink.read(s, dst).groupBy("event_type")
+          .agg(count(lit(1)).as("n_clone"), fxSum(col("value")).as("v_clone"))
+          .join(srcC, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_src"), lit(0L)).as("n_src"),
+            coalesce(col("n_clone"), lit(0L)).as("n_clone"),
+            coalesce(col("v_clone"), lit(0.0)).as("v_clone"),
+            lit(noCopy).as("no_copy"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_src,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 5 <> 0) AS BIGINT) AS n_clone,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 5 <> 0), 0) AS DOUBLE) / 100.0 AS v_clone,
+             |  TRUE AS no_copy
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_restore",
       // RESTORE — the undo verb under the oracle: the full corpus lands in
       // two commits, a BAD merge deletes every tenth event (rewriting the
