@@ -1876,37 +1876,43 @@ object DeltaSink {
             .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
           Seq(abs, enc).distinct
         }
-        def diffFrames(ct: String, pick: (org.roaringbitmap.longlong.Roaring64Bitmap,
-            org.roaringbitmap.longlong.Roaring64Bitmap) => org.roaringbitmap.longlong.Roaring64Bitmap)
-            : Seq[DataFrame] = {
-          val diffMap = reAdds.flatMap { a =>
-            val diff = pick(bitmapOf(a.dv), bitmapOf(prevDv(a.path)))
+        // each re-added file's (new, old) bitmap pair loads ONCE and feeds
+        // both diff directions; the two change-type frames then share one
+        // lineage scan of the re-added files
+        def andNot(a: org.roaringbitmap.longlong.Roaring64Bitmap,
+            b: org.roaringbitmap.longlong.Roaring64Bitmap) = {
+          val r = a.clone().asInstanceOf[org.roaringbitmap.longlong.Roaring64Bitmap]
+          r.andNot(b); r
+        }
+        val dvPairs = reAdds.map(a => (a, bitmapOf(a.dv), bitmapOf(prevDv(a.path))))
+        def diffMapOf(pick: (org.roaringbitmap.longlong.Roaring64Bitmap,
+            org.roaringbitmap.longlong.Roaring64Bitmap) =>
+            org.roaringbitmap.longlong.Roaring64Bitmap): Map[String, Array[Byte]] =
+          dvPairs.flatMap { case (a, nw, old) =>
+            val diff = pick(nw, old)
             if (diff.isEmpty) Nil
             else {
               val bytes = graft.functions.DeletionVector.serialize(diff)
               dualKeys(a.path).map(_ -> bytes)
             }
           }.toMap
+        val delMap = diffMapOf((nw, old) => andNot(nw, old))
+        val insMap = diffMapOf((nw, old) => andNot(old, nw))
+        lazy val diffBase = readStateFiles(spark, table,
+          state.copy(live = reAdds.map(_.copy(dv = None))), withLineage = true)
+        def diffFrames(ct: String, diffMap: Map[String, Array[Byte]]): Seq[DataFrame] =
           if (diffMap.isEmpty) Nil
           else {
             import org.apache.spark.sql.functions.regexp_replace
             val packed = graft.functions.DeletionVector.packMap(diffMap)
-            val base = readStateFiles(spark, table,
-              state.copy(live = reAdds.map(_.copy(dv = None))), withLineage = true)
-            Seq(base.filter(graft.functions.DeletionVector.dvDeleted(packed,
+            Seq(diffBase.filter(graft.functions.DeletionVector.dvDeleted(packed,
                 regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
                 col("_gf_pos")))
               .select(state.schema.fieldNames.toIndexedSeq.map(col): _*)
               .withColumn("_change_type", lit(ct)))
           }
-        }
-        def andNot(a: org.roaringbitmap.longlong.Roaring64Bitmap,
-            b: org.roaringbitmap.longlong.Roaring64Bitmap) = {
-          val r = a.clone().asInstanceOf[org.roaringbitmap.longlong.Roaring64Bitmap]
-          r.andNot(b); r
-        }
-        val dvDeletes = diffFrames("delete", (nw, old) => andNot(nw, old))
-        val dvInserts = diffFrames("insert", (nw, old) => andNot(old, nw))
+        val dvDeletes = diffFrames("delete", delMap)
+        val dvInserts = diffFrames("insert", insMap)
         val ins =
           if (newAdds.isEmpty) Nil
           else Seq(readState(spark, table, state.copy(live = newAdds))
@@ -1936,6 +1942,38 @@ object DeltaSink {
     * broadcast path with test-sized bitmaps.)
     */
   private[graft] var DvLiteralMaxBytes: Int = 8 * 1024 * 1024
+
+  /** Content-keyed reuse cache for over-threshold DV broadcasts: without
+    * it every read of a large-DV snapshot would mint a fresh multi-MB
+    * broadcast at PLAN-BUILD time (several per DML verb) and rely on the
+    * driver GC + ContextCleaner to reap them eventually. Eviction
+    * unpersists (executors drop the blocks; a straggler plan re-fetches
+    * from the driver, so an evicted-but-still-referenced broadcast stays
+    * usable — destroy() would fail it).
+    */
+  private val dvBroadcasts =
+    new java.util.LinkedHashMap[String,
+        org.apache.spark.broadcast.Broadcast[Array[Byte]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            org.apache.spark.broadcast.Broadcast[Array[Byte]]]): Boolean = {
+        val evict = size() > 8
+        if (evict) scala.util.Try(e.getValue.unpersist())
+        evict
+      }
+    }
+
+  private def dvBroadcast(spark: SparkSession, packed: Array[Byte])
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] =
+    dvBroadcasts.synchronized {
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(packed).map("%02x".format(_)).mkString
+      Option(dvBroadcasts.get(key)).getOrElse {
+        val bc = spark.sparkContext.broadcast(packed)
+        dvBroadcasts.put(key, bc)
+        bc
+      }
+    }
 
   /** The MERGED view of a snapshot: the live files' rows minus what their
     * deletion vectors erase. Zero overhead when no live add carries a DV
@@ -1977,7 +2015,7 @@ object DeltaSink {
           if (packed.length <= DvLiteralMaxBytes)
             graft.functions.DeletionVector.dvDeleted(packed, key, col("_gf_pos"))
           else graft.functions.DeletionVector.dvDeletedBroadcast(
-            spark.sparkContext.broadcast(packed), key, col("_gf_pos"))
+            dvBroadcast(spark, packed), key, col("_gf_pos"))
         base.filter(!probe)
       }
     if (keepLineage) merged

@@ -386,6 +386,40 @@ object IcebergSink {
     }
   }
 
+  /** Aligns an append frame to the stored schema's column names (shared
+    * by [[write]]'s Append mode and [[appendBranch]]): a frame carrying
+    * every stored name reorders BY NAME — a gate-passing frame whose
+    * columns arrive reordered (a select after a join, say) must never
+    * have its values positionally swapped into the wrong columns; any
+    * extra (evolve) columns keep their frame order at the tail. Genuinely
+    * divergent names rename positionally (the gate is positional; files
+    * must carry table names) — but PARTIAL overlap at non-matching
+    * positions refuses (ADVICE r13): (b, c) onto stored (a, b) would
+    * silently reassign values to different logical columns.
+    */
+  private def alignToStored(df0: DataFrame, stored: Array[String]): DataFrame = {
+    if (stored.forall(df0.columns.contains) &&
+        df0.columns.toSet.size == df0.columns.length) {
+      val ordered = stored ++ df0.columns.filterNot(stored.contains)
+      if (df0.columns.sameElements(ordered)) df0
+      else df0.select(ordered.toIndexedSeq.map(df0.col): _*)
+    } else {
+      val misplaced = df0.columns.zipWithIndex.flatMap { case (c, i) =>
+        val at = stored.indexOf(c)
+        if (at >= 0 && at != i)
+          Some(s"$c (frame position $i, stored position $at)")
+        else None
+      }
+      require(misplaced.isEmpty,
+        "append frame reuses stored column names at different positions" +
+          s" — ambiguous alignment: ${misplaced.mkString(", ")};" +
+          " rename or reorder the frame columns")
+      val names = stored ++ df0.columns.drop(stored.length)
+      if (df0.columns.sameElements(names)) df0
+      else df0.toDF(names.toIndexedSeq: _*)
+    }
+  }
+
   def write(df0: DataFrame, table: String, mode: WriteMode,
       store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
@@ -412,41 +446,7 @@ object IcebergSink {
     val df: DataFrame = storedSchema match {
       case Some(st) if mode == Append &&
           df0.columns.length >= st.fieldNames.length =>
-        val stored = st.fieldNames
-        if (stored.forall(df0.columns.contains) &&
-            df0.columns.toSet.size == df0.columns.length) {
-          // the frame carries every stored name: align BY NAME — a
-          // gate-passing frame whose columns arrive REORDERED (a select
-          // after a join, say) must not have its values positionally
-          // swapped into the wrong columns; any extra (evolve) columns
-          // keep their frame order at the tail
-          val ordered = stored ++ df0.columns.filterNot(stored.contains)
-          if (df0.columns.sameElements(ordered)) df0
-          else df0.select(ordered.toIndexedSeq.map(df0.col): _*)
-        } else {
-          // genuinely divergent names: positional rename to the stored
-          // names (the gate is positional; files must carry table names).
-          // PARTIAL overlap is ambiguous (ADVICE r13): a frame carrying
-          // SOME stored names at non-matching positions — (b, c) onto
-          // stored (a, b) — would have those values silently reassigned
-          // to different logical columns by a positional rename. Refuse:
-          // a caller that means positional must not reuse stored names
-          // elsewhere; one that means by-name must supply every stored
-          // name in full.
-          val misplaced = df0.columns.zipWithIndex.flatMap { case (c, i) =>
-            val at = stored.indexOf(c)
-            if (at >= 0 && at != i)
-              Some(s"$c (frame position $i, stored position $at)")
-            else None
-          }
-          require(misplaced.isEmpty,
-            "append frame reuses stored column names at different positions" +
-              s" — ambiguous alignment: ${misplaced.mkString(", ")};" +
-              " rename or reorder the frame columns")
-          val names = stored ++ df0.columns.drop(stored.length)
-          if (df0.columns.sameElements(names)) df0
-          else df0.toDF(names.toIndexedSeq: _*)
-        }
+        alignToStored(df0, st.fieldNames)
       case _ => df0
     }
     previous.foreach { prev =>
@@ -1881,19 +1881,19 @@ object IcebergSink {
   def appendBranch(df: DataFrame, table: String, branch: String,
       store: CommitStore = CommitStore.Local,
       summaryProps: Map[String, String] = Map.empty): Long = {
-    require(branch != "main", "main advances through plain appends")
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
-    require(meta.has("refs") && meta.get("refs").has(branch),
-      s"no such branch: $branch — create it with createRef(refType = \"branch\")")
-    require(Option(meta.get("refs").get(branch).get("type"))
-        .forall(_.asText() == "branch"),
-      s"ref $branch is a tag — tags pin immutably; commits need a branch ref")
+    requireBranchHead(meta, branch): Unit
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText())
       .asInstanceOf[StructType]
-    SchemaGate.enforce(df.schema, schema)
+    // align BY NAME before the positional gate, exactly like a main
+    // append — a gate-passing frame arriving reordered must never have
+    // its values positionally renamed into the wrong logical columns
+    // (a branch would quietly publish the corruption via fastForward)
+    val aligned = alignToStored(df, schema.fieldNames)
+    SchemaGate.enforce(aligned.schema, schema)
     val objStore: Option[ObjectStore] =
       store match { case os: ObjectStore => Some(os); case _ => None }
     val dataRel = s"data/branch-$branch-${java.util.UUID.randomUUID()}"
@@ -1905,7 +1905,7 @@ object IcebergSink {
       f.delete(): Unit
     }
     try {
-      df.toDF(schema.fieldNames.toIndexedSeq: _*).write
+      aligned.toDF(schema.fieldNames.toIndexedSeq: _*).write
         .option("compression", "snappy")
         .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
         .parquet(dataStage)
@@ -1929,30 +1929,55 @@ object IcebergSink {
       }
     }
     val snapshotId = math.abs(new java.util.Random().nextLong())
-    val seq = meta.get("last-sequence-number").asLong() + 1
-    val (schemaId, schemaJson) = currentSchemaJson(meta)
     val emptySpec = """{"spec-id":0,"fields":[]}"""
     val (manifest, manLen) =
       writeAvroArtifact(table, store, s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
-        IcebergAvro.writeManifest(f, infos, snapshotId, schemaJson, emptySpec))
-    commitSnapshot(table, store, meta, hint, snapshotId, seq, schemaId,
-      Seq(IcebergAvro.manifestRow(manifest.toFile.getAbsolutePath, manLen, seq,
-        snapshotId, infos.size, added)),
-      "append", Map("added-records" -> added.toString) ++ summaryProps,
-      reclaimOnConflict = () => {
-        objStore match {
-          case Some(os) =>
-            infos.foreach(i => scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
-            scala.util.Try(os.deleteObject(manifest)): Unit
-          case None =>
-            parts.foreach(_.delete())
-            Files.deleteIfExists(manifest): Unit
-        }
-        deleteTree(new File(dataStage))
-      },
-      branch = Some(branch))
-    objStore.foreach(_ => deleteTree(new File(dataStage)))
-    snapshotId
+        IcebergAvro.writeManifest(f, infos, snapshotId,
+          currentSchemaJson(meta)._2, emptySpec))
+    def reclaim(): Unit = {
+      objStore match {
+        case Some(os) =>
+          infos.foreach(i => scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+          scala.util.Try(os.deleteObject(manifest)): Unit
+        case None =>
+          parts.foreach(_.delete())
+          Files.deleteIfExists(manifest): Unit
+      }
+      deleteTree(new File(dataStage))
+    }
+    // OCC retry parity with a main append (writeWithRetry): a benign
+    // concurrent commit — a main append, a compaction, another branch —
+    // must not kill the staging lane (a streaming WAP pipeline routes
+    // every micro-batch through here). The staged data files and manifest
+    // are reusable across attempts; each retry re-reads the metadata,
+    // re-validates the branch, and re-claims the next version.
+    var attempt = 0
+    while (true) {
+      val hintNow =
+        if (attempt == 0) hint
+        else readHint(table).getOrElse(
+          throw new IllegalStateException(s"version hint vanished: $table"))
+      val metaNow =
+        if (attempt == 0) meta
+        else mapper.readTree(Files.readString(metaFile(table, hintNow)))
+      requireBranchHead(metaNow, branch): Unit
+      val seq = metaNow.get("last-sequence-number").asLong() + 1
+      val lastAttempt = attempt >= 3
+      try {
+        commitSnapshot(table, store, metaNow, hintNow, snapshotId, seq,
+          currentSchemaJson(metaNow)._1,
+          Seq(IcebergAvro.manifestRow(manifest.toFile.getAbsolutePath, manLen,
+            seq, snapshotId, infos.size, added)),
+          "append", Map("added-records" -> added.toString) ++ summaryProps,
+          reclaimOnConflict = () => if (lastAttempt) reclaim(),
+          branch = Some(branch))
+        objStore.foreach(_ => deleteTree(new File(dataStage)))
+        return snapshotId
+      } catch {
+        case _: OptimisticConcurrencyException if !lastAttempt => attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Avro artifact into the table's metadata dir, through the store
@@ -2129,7 +2154,8 @@ object IcebergSink {
     */
   private def requireBranchHead(
       meta: com.fasterxml.jackson.databind.JsonNode, branch: String): Long = {
-    require(branch != "main", "main is the default target — omit the branch")
+    require(branch != "main",
+      "main is managed by plain commits — target a non-main branch")
     require(meta.has("refs") && meta.get("refs").has(branch),
       s"no such branch: $branch — create it with createRef(refType = \"branch\")")
     require(Option(meta.get("refs").get(branch).get("type"))
@@ -2870,10 +2896,26 @@ object IcebergSink {
     // (tag/branch, [[createRef]]) still pins: a dangling ref is a read
     // that fails tomorrow for a retention choice made today
     val curId = meta.get("current-snapshot-id").asLong()
-    val refIds: Set[Long] =
+    val refHeads: Set[Long] =
       if (!meta.has("refs") || !meta.get("refs").isObject) Set(curId)
       else meta.get("refs").properties().asScala
         .map(_.getValue.get("snapshot-id").asLong()).toSet + curId
+    // protect each ref head's whole parent chain, not just the head:
+    // branch commits record parent-snapshot-id, and expiring an
+    // intermediate branch snapshot would sever the ancestry walk
+    // fastForward's publish gate depends on (main-line snapshots carry no
+    // parent pointer, so main retention is unchanged; branch chains are
+    // staging-lived and bounded)
+    val byIdAll = all.map(n => n.get("snapshot-id").asLong() -> n).toMap
+    def chainOf(id: Long): Set[Long] = {
+      val out = scala.collection.mutable.Set.empty[Long]
+      var cur = Option(id)
+      while (cur.isDefined && out.add(cur.get))
+        cur = byIdAll.get(cur.get)
+          .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong()))
+      out.toSet
+    }
+    val refIds: Set[Long] = refHeads.flatMap(chainOf)
     val (expired0, kept0) = all.splitAt(all.size - keepLast)
     val (expCur, expired) = expired0.partition(s =>
       refIds.contains(s.get("snapshot-id").asLong()))

@@ -2753,4 +2753,42 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, src).columns.toSeq ==
       Seq("id", "quantity", "note"))
   }
+
+  test("appendBranch aligns reordered frames by name, refuses partial overlap (r14 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.write(Seq((1L, 2L)).toDF("a", "b"), table,
+      IcebergSink.CreateExclusive)
+    val cut = IcebergSink.snapshots(table).last._1
+    IcebergSink.createRef(table, "st", cut, refType = "branch")
+    // a reordered same-typed frame must land by NAME, not position
+    IcebergSink.appendBranch(Seq((40L, 30L)).toDF("b", "a"), table, "st")
+    val rows = IcebergSink.readRef(spark, table, "st").orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 2L), (30L, 40L)),
+      s"branch append must align by name, got $rows")
+    // partial overlap at wrong positions refuses, same as main appends
+    val e = intercept[IllegalArgumentException] {
+      IcebergSink.appendBranch(Seq((9L, 9L)).toDF("b", "c"), table, "st")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("fastForward survives expiry of intermediate branch snapshots (r14 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    IcebergSink.write((1L to 5L).map(i => (i, i)).toDF("id", "x"), table,
+      IcebergSink.CreateExclusive)
+    val cut = IcebergSink.snapshots(table).last._1
+    IcebergSink.createRef(table, "st", cut, refType = "branch")
+    IcebergSink.appendBranch(Seq((6L, 6L)).toDF("id", "x"), table, "st")
+    IcebergSink.appendBranch(Seq((7L, 7L)).toDF("id", "x"), table, "st")
+    // retention between staging and publish: the branch chain survives,
+    // so the publish's ancestry gate still proves main never diverged
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    IcebergSink.fastForward(table, "st")
+    assert(IcebergSink.read(spark, table).count() == 7)
+  }
 }
