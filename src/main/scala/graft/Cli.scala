@@ -228,6 +228,11 @@ object Cli {
         // widen-column-iceberg <table> <column> — int→long / float→double
         sinks.IcebergSink.evolveWiden(pos(0), pos(1))
         println(s"widened ${pos(1)}")
+      case "evolve-partition-iceberg" =>
+        // evolve-partition-iceberg <table> — re-layout future writes to
+        // the --partition-by spec; metadata-only (spec §partition-evolution)
+        val id = sinks.IcebergSink.evolvePartition(pos(0), partitionBy)
+        println(s"default partition spec is now $id")
       case "tag-iceberg" =>
         // tag-iceberg <table> <name> <snapshotId> [branch] — named ref
         sinks.IcebergSink.createRef(pos(0), pos(1), pos(2).toLong,

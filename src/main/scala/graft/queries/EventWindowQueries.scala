@@ -569,6 +569,52 @@ object EventWindowQueries extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_partition_evolve",
+      // PARTITION EVOLUTION under the oracle (r14, Iceberg spec
+      // §partition-evolution): the even half bootstraps an
+      // identity(event_type) table, evolvePartition re-layouts the
+      // DEFAULT spec to hidden day(ts) in ONE metadata version (zero
+      // data/manifest I/O — at 100 TB this is a pointer edit, never a
+      // rewrite), and the odd half appends under the NEW spec. The
+      // one-week readDays window must then serve a MIXED-SPEC snapshot:
+      // out-of-window day-partitioned files are pruned by manifest day
+      // ordinal while the identity-partitioned files (which carry no day
+      // value) are all kept and the exact timestamp re-filter applies.
+      // Census gates: per-day totals vs the raw oracle (nothing lost
+      // across the re-layout), n_old_spec (the old-spec half really
+      // contributes through its own manifests), and `pruned` (file
+      // skipping actually happened on the new-spec files).
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-pevo") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.evolvePartition(table, Seq("day(ts)"))
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          table, graft.sinks.IcebergSink.Append)
+        val from = java.time.LocalDate.of(2024, 1, 8)
+        val until = java.time.LocalDate.of(2024, 1, 15)
+        val (df, scanned, total) =
+          graft.sinks.IcebergSink.readDays(s, table, "ts", from, until)
+        df.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("event_id") % 2 === 0, 1)).as("n_old_spec"),
+            fxSum(col("value")).as("total_value"))
+          .withColumn("pruned", lit(scanned < total))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_old_spec,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS total_value,
+             |  TRUE AS pruned
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_bucket_read",
       // Iceberg bucket partitioning as a POINT-LOOKUP index (r9): events
       // commit to a bucket(8, user_id) table (spec murmur3 — an external

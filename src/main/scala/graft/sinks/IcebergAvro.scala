@@ -155,7 +155,7 @@ private[graft] object IcebergAvro {
   def writeManifest(target: File, files: Seq[DataFileInfo], snapshotId: Long,
       icebergSchemaJson: String, partitionSpecJson: String,
       partitionFields: Seq[PartitionField] = Nil, content: Int = 0,
-      equalityIds: Seq[Int] = Nil): Long = {
+      equalityIds: Seq[Int] = Nil, specId: Int = 0): Long = {
     val entrySchema = entrySchemaFor(partitionFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
@@ -163,7 +163,7 @@ private[graft] object IcebergAvro {
     w.setMeta("schema", icebergSchemaJson)
     w.setMeta("schema-id", "0")
     w.setMeta("partition-spec", partitionSpecJson)
-    w.setMeta("partition-spec-id", "0")
+    w.setMeta("partition-spec-id", specId.toString)
     w.setMeta("format-version", "2")
     w.setMeta("content", if (content == 0) "data" else "deletes")
     w.create(entrySchema, target)
@@ -272,11 +272,11 @@ private[graft] object IcebergAvro {
     */
   def manifestRow(absPath: String, length: Long, sequenceNumber: Long,
       snapshotId: Long, addedFiles: Int, addedRows: Long,
-      content: Int = 0): GenericRecord = {
+      content: Int = 0, specId: Int = 0): GenericRecord = {
     val r = new GenericData.Record(ManifestFileSchema)
     r.put("manifest_path", absPath)
     r.put("manifest_length", length)
-    r.put("partition_spec_id", 0)
+    r.put("partition_spec_id", specId)
     r.put("content", content)
     r.put("sequence_number", sequenceNumber)
     r.put("min_sequence_number", sequenceNumber)

@@ -733,11 +733,42 @@ object IcebergSink {
     }
     // partition spec (Iceberg spec §partitioning): field-ids from 1000,
     // source-id = the schema field id of the SOURCE column (for a hidden
-    // day() transform that is the timestamp column, not the derived name)
-    val specFieldsJson = partFields.zip(partSpecs).map { case (pf, ps) =>
+    // day() transform that is the timestamp column, not the derived name).
+    // PARTITION EVOLUTION (spec §partition-evolution): a table carries
+    // EVERY spec it has ever written under a stable spec-id, and every
+    // manifest is stamped with the spec its files were laid out by. A
+    // write whose (source, transform) sequence matches a stored spec
+    // reuses that spec's id AND field-ids verbatim (spec rule: a
+    // partition field keeps its id for as long as it exists); a
+    // re-layout (Overwrite with a new explicit spec) mints the next
+    // spec-id, reusing field-ids for any (source, transform) pair seen
+    // before and allocating fresh ones past last-partition-id otherwise.
+    val prevSpecs: Seq[(Int, Seq[StoredSpecField])] =
+      previous.toSeq.flatMap(storedSpecsOf)
+    val reqSpecKey = partSpecs.zip(partFields).map { case (ps, pf) =>
+      (fieldIds(ps.source), ps.transform, pf.name)
+    }
+    val (specId: Int, partFieldsFinal: Seq[IcebergAvro.PartitionField]) =
+      prevSpecs.find(_._2.map(f => (f.sourceId, f.transform, f.name)) == reqSpecKey) match {
+        case Some((id, flds)) =>
+          (id, partFields.zip(flds).map { case (pf, sf) => pf.copy(fieldId = sf.fieldId) })
+        case None if prevSpecs.nonEmpty =>
+          val seenPairs: Map[(Int, String), Int] =
+            prevSpecs.flatMap(_._2.map(f => (f.sourceId, f.transform) -> f.fieldId)).toMap
+          var nextPid = previous.get.path("last-partition-id").asInt(999)
+          val fin = partSpecs.zip(partFields).map { case (ps, pf) =>
+            seenPairs.get((fieldIds(ps.source), ps.transform)) match {
+              case Some(fid) => pf.copy(fieldId = fid)
+              case None => nextPid += 1; pf.copy(fieldId = nextPid)
+            }
+          }
+          (prevSpecs.map(_._1).max + 1, fin)
+        case None => (0, partFields)
+      }
+    val specFieldsJson = partFieldsFinal.zip(partSpecs).map { case (pf, ps) =>
       s"""{"name":"${pf.name}","transform":"${ps.transform}","source-id":${fieldIds(ps.source)},"field-id":${pf.fieldId}}"""
     }.mkString(",")
-    val specJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
+    val specJson = s"""{"spec-id":$specId,"fields":[$specFieldsJson]}"""
     // Avro artifacts: written to a local temp file, then either already in
     // place (local store: the temp IS the metadata path) or uploaded
     // through the store protocol
@@ -757,7 +788,8 @@ object IcebergSink {
     val (manifestPath, manifestLen) =
       writeAvro(s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
         IcebergAvro.writeManifest(f, infos,
-          snapshotId, schemaNode.toString, specJson, partFields))
+          snapshotId, schemaNode.toString, specJson, partFieldsFinal,
+          specId = specId))
 
     // Manifest list: append carries the previous snapshot's manifest_file
     // rows forward verbatim; create/overwrite start fresh.
@@ -769,7 +801,8 @@ object IcebergSink {
       case _ => Nil
     }
     val newRow = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
-      manifestLen, seq, snapshotId, infos.size, infos.map(_.recordCount).sum)
+      manifestLen, seq, snapshotId, infos.size, infos.map(_.recordCount).sum,
+      specId = specId)
     val (listPath, _) =
       writeAvro(s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
         IcebergAvro.writeManifestList(f, carried :+ newRow, snapshotId, seq); 0L
@@ -799,18 +832,28 @@ object IcebergSink {
         .foreach(n => schemasArr.add(n.deepCopy[ObjectNode]())))
     schemasArr.add(schemaNode)
     meta.put("current-schema-id", schemaId)
-    val specNode = meta.putArray("partition-specs").addObject()
-    specNode.put("spec-id", 0)
+    // EVERY spec ever written is carried forward (spec §partition-specs):
+    // retained snapshots' manifests reference their original spec-ids, and
+    // dropping a spec would dangle them for any id-resolving reader
+    val specsArr = meta.putArray("partition-specs")
+    previous.foreach(
+      _.get("partition-specs").elements().asScala
+        .filter(_.get("spec-id").asInt() != specId)
+        .foreach(n => specsArr.add(n.deepCopy[ObjectNode]())))
+    val specNode = specsArr.addObject()
+    specNode.put("spec-id", specId)
     val specFields = specNode.putArray("fields")
-    partFields.zip(partSpecs).foreach { case (pf, ps) =>
+    partFieldsFinal.zip(partSpecs).foreach { case (pf, ps) =>
       specFields.addObject()
         .put("name", pf.name)
         .put("transform", ps.transform)
         .put("source-id", fieldIds(ps.source))
         .put("field-id", pf.fieldId)
     }
-    meta.put("default-spec-id", 0)
-    meta.put("last-partition-id", 999 + partFields.size)
+    meta.put("default-spec-id", specId)
+    meta.put("last-partition-id", math.max(
+      previous.map(_.path("last-partition-id").asInt(999)).getOrElse(999),
+      partFieldsFinal.map(_.fieldId).foldLeft(999)(math.max)))
     meta.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
     meta.put("default-sort-order-id", 0)
     meta.putObject("properties").put("graft.spark-schema", declaredSchema.json)
@@ -994,6 +1037,92 @@ object IcebergSink {
     meta.get("partition-specs").elements().asScala
       .flatMap(_.get("fields").elements().asScala)
       .map(_.get("source-id").asInt()).toSet
+
+  /** One stored partition-spec field, as written in the metadata JSON. */
+  private[sinks] case class StoredSpecField(name: String, transform: String,
+      sourceId: Int, fieldId: Int)
+
+  private def storedSpecsOf(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(Int, Seq[StoredSpecField])] =
+    meta.get("partition-specs").elements().asScala.map { sp =>
+      sp.get("spec-id").asInt() -> sp.get("fields").elements().asScala.map(f =>
+        StoredSpecField(f.get("name").asText(),
+          Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+          f.get("source-id").asInt(), f.get("field-id").asInt())).toSeq
+    }.toSeq
+
+  /** PARTITION EVOLUTION — METADATA-ONLY (Iceberg spec
+    * §partition-evolution): re-layouts the table's FUTURE writes without
+    * touching a single existing file. The new spec is appended to
+    * `partition-specs` under the next spec-id (or, when the requested
+    * layout matches a spec the table already carries, `default-spec-id`
+    * just repoints at it); field-ids for (source, transform) pairs seen
+    * before are reused and genuinely new ones continue past
+    * `last-partition-id` — the spec's id-stability rule, so an external
+    * reader can correlate the same partition field across specs. Existing
+    * manifests keep their own spec stamp and their files read exactly as
+    * before (the read path takes partition truth per-manifest and treats
+    * pruning keys a file lacks as "keep"); appends after the evolution
+    * adopt the new default automatically. This is THE 100 TB re-layout
+    * verb: switching a petabyte table from identity(region) to day(ts)
+    * costs one metadata version, not a rewrite — OPTIMIZE/compact later
+    * migrates old files incrementally if wanted. Returns the now-default
+    * spec-id.
+    */
+  def evolvePartition(table: String, partitionBy: Seq[String],
+      store: CommitStore = CommitStore.Local): Int = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+    val specs = partitionBy.map(parsePartSpec)
+    val partFields = partitionFieldsOf(schema, specs) // validates source/transform types
+    val idByName: Map[String, Int] =
+      ifieldsOf(mapper.readTree(currentSchemaJson(meta)._2))
+        .map(f => f.name -> f.id).toMap
+    val existing = storedSpecsOf(meta)
+    val reqKey = specs.zip(partFields).map { case (ps, pf) =>
+      (idByName(ps.source), ps.transform, pf.name)
+    }
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val chosenId = existing
+      .find(_._2.map(f => (f.sourceId, f.transform, f.name)) == reqKey) match {
+      case Some((id, _)) => id // repoint the default at a spec already carried
+      case None =>
+        val seenPairs: Map[(Int, String), Int] =
+          existing.flatMap(_._2.map(f => (f.sourceId, f.transform) -> f.fieldId)).toMap
+        var nextPid = meta.path("last-partition-id").asInt(999)
+        val withIds = specs.zip(partFields).map { case (ps, pf) =>
+          seenPairs.get((idByName(ps.source), ps.transform)) match {
+            case Some(fid) => (ps, pf.copy(fieldId = fid))
+            case None => nextPid += 1; (ps, pf.copy(fieldId = nextPid))
+          }
+        }
+        val newId = existing.map(_._1).max + 1
+        val specNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+          "partition-specs").addObject()
+        specNode.put("spec-id", newId)
+        val fieldsArr = specNode.putArray("fields")
+        withIds.foreach { case (ps, pf) =>
+          fieldsArr.addObject()
+            .put("name", pf.name)
+            .put("transform", ps.transform)
+            .put("source-id", idByName(ps.source))
+            .put("field-id", pf.fieldId)
+          ()
+        }
+        newMeta.put("last-partition-id",
+          math.max(meta.path("last-partition-id").asInt(999), nextPid))
+        newId
+    }
+    if (chosenId == meta.get("default-spec-id").asInt()) return chosenId // no-op
+    newMeta.put("default-spec-id", chosenId)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    commitMetadataVersion(table, store, hint, newMeta)
+    chosenId
+  }
 
   /** Shared metadata-only evolution commit: `op` transforms the parallel
     * (iceberg field node, spark field) pairs — ids are carried by the

@@ -1500,6 +1500,91 @@ class SinkSpec extends AnyFunSuite {
     assert(back.map(_.getString(1)).toSeq == Seq("de"))
   }
 
+  test("Iceberg partition evolution: metadata-only re-layout, mixed-spec reads, id reuse (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    val table = tmp()
+    // spec 0: identity(lang)
+    IcebergSink.write(
+      Seq((1L, "en", ts(1, 9)), (2L, "de", ts(2, 9))).toDF("id", "lang", "ts"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    val snapPre = IcebergSink.snapshots(table).last._1
+    val filesPre = IcebergSink.fileStats(spark, table)
+      .select("path").collect().map(_.getString(0)).toSet
+    // evolve the default spec to hidden day(ts): ONE metadata version, no
+    // snapshot, zero data/manifest I/O
+    assert(IcebergSink.evolvePartition(table, Seq("day(ts)")) == 1)
+    val meta = Files.readString(Paths.get(table, "metadata", "v1.metadata.json"))
+    assert(meta.contains("\"default-spec-id\":1"))
+    assert(meta.contains("\"spec-id\":0") && meta.contains("\"spec-id\":1"))
+    assert(meta.contains("\"last-partition-id\":1001")) // lang=1000, ts_day=1001
+    assert(IcebergSink.fileStats(spark, table)
+      .select("path").collect().map(_.getString(0)).toSet == filesPre)
+    // an append now adopts day(ts); old files keep their identity layout
+    IcebergSink.write(
+      Seq((3L, "en", ts(1, 12)), (4L, "fr", ts(3, 12))).toDF("id", "lang", "ts"),
+      table, IcebergSink.Append)
+    val back = IcebergSink.read(spark, table).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr")))
+    // the new manifest is stamped with ITS spec id; the old one keeps 0
+    val listFile = new File(table, "metadata").listFiles()
+      .filter(_.getName.startsWith("manifest-list-"))
+      .maxBy(_.lastModified())
+    val specStamps = graft.sinks.IcebergAvro.readManifestList(listFile)
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).toSet
+    assert(specStamps == Set(0, 1), s"expected mixed spec stamps, got $specStamps")
+    // day-pruned read: the day-3 NEW-spec file is pruned; OLD-spec files
+    // (no ts_day value) are kept and the exact re-filter applies
+    val (pruned, scanned, total) = IcebergSink.readDays(spark, table, "ts",
+      java.time.LocalDate.of(2024, 3, 1), java.time.LocalDate.of(2024, 3, 2))
+    assert(scanned < total, s"expected pruning, scanned $scanned of $total")
+    assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // time travel to the pre-evolution snapshot is unaffected
+    val old = IcebergSink.read(spark, table, asOfSnapshotId = Some(snapPre))
+      .orderBy("id").collect()
+    assert(old.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "de")))
+    // evolving BACK to a layout the table already carries repoints the
+    // default at the EXISTING spec — no new spec node is minted
+    assert(IcebergSink.evolvePartition(table, Seq("lang")) == 0)
+    assert(IcebergSink.evolvePartition(table, Seq("lang")) == 0) // idempotent no-op
+    // a composite spec reuses BOTH known field-ids (spec id-stability rule)
+    assert(IcebergSink.evolvePartition(table, Seq("lang", "day(ts)")) == 2)
+    val hint = Files.readString(Paths.get(table, "metadata", "version-hint.text")).trim.toLong
+    val meta2 = Files.readString(Paths.get(table, "metadata", s"v$hint.metadata.json"))
+    val spec2 = mapperFields(meta2, 2)
+    assert(spec2 == Seq(("lang", "identity", 1000), ("ts_day", "day", 1001)))
+    // an append under the composite spec lays out two levels and reads back
+    IcebergSink.write(Seq((5L, "de", ts(2, 15))).toDF("id", "lang", "ts"),
+      table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 5)
+    assert(IcebergSink.read(spark, table).filter(col("lang") === "de")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+  }
+
+  /** Parses spec `specId`'s (name, transform, field-id) triples out of a
+    * metadata JSON string (test-side mirror of the reader's spec lookup).
+    */
+  private def mapperFields(metaJson: String, specId: Int): Seq[(String, String, Int)] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(metaJson)
+    val it = m.get("partition-specs").elements()
+    var out = Seq.empty[(String, String, Int)]
+    while (it.hasNext) {
+      val sp = it.next()
+      if (sp.get("spec-id").asInt() == specId) {
+        val fit = sp.get("fields").elements()
+        while (fit.hasNext) {
+          val f = fit.next()
+          out :+= ((f.get("name").asText(), f.get("transform").asText(),
+            f.get("field-id").asInt()))
+        }
+      }
+    }
+    out
+  }
+
   test("Iceberg compact bin-packs small files; data and history unchanged") {
     val s2 = spark
     import s2.implicits._
