@@ -183,6 +183,11 @@ object Cli {
         sinks.IcebergSink.evolve(spark.read.parquet(pos(0)), pos(1),
           partitionBy = partitionBy)
         println("evolved and appended")
+      case "reorg-delta" =>
+        // reorg-delta <table> — REORG APPLY (PURGE): rewrite DV-carrying
+        // files as survivors, drop the deletion vectors
+        val (nf, nr) = sinks.DeltaSink.reorgPurge(spark, pos(0))
+        println(s"purged $nr rows from $nf files")
       case "delete-dv-delta" =>
         // delete-dv-delta <table> <predicate> — merge-on-read delete via
         // deletion vectors (bumps protocol to reader v3/writer v7)

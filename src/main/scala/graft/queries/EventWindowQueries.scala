@@ -1261,6 +1261,49 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_reorg",
+      // REORG … APPLY (PURGE) under the oracle (r14): materializes
+      // deletion vectors back into clean parquet. events land partitioned
+      // by event_type, a DV delete masks the click partition's fifth
+      // (sidecar-only — no file rewritten), then reorgPurge rewrites ONLY
+      // the DV-carrying click files as their survivors and drops the DVs.
+      // Gates: `clean_untouched` pins every non-click file's path
+      // surviving the purge verbatim (the 100 TB contract — purge cost ∝
+      // touched files, never the table), `dv_free` pins a second purge as
+      // a (0,0) no-op (no descriptor left anywhere), `purged_rows` pins
+      // the materialized count against the oracle's own census, and the
+      // final read must equal the complement — all through the same
+      // layout-only commit (dataChange:false) a CDF reader ignores.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-reorg") + "/tbl"
+        graft.sinks.DeltaSink.write(ev, table, partitionBy = Seq("event_type"))
+        graft.sinks.DeltaSink.deleteWhereDV(s, table,
+          "event_type = 'click' AND event_id % 5 = 0")
+        def otherPaths() = graft.sinks.DeltaSink.fileStats(s, table)
+          .select("path").collect().map(_.getString(0))
+          .filterNot(_.startsWith("event_type=click/")).toSet
+        val preOther = otherPaths()
+        val (nRewritten, purged) = graft.sinks.DeltaSink.reorgPurge(s, table)
+        val cleanUntouched = nRewritten > 0 && otherPaths() == preOther
+        val dvFree = graft.sinks.DeltaSink.reorgPurge(s, table) == ((0, 0L))
+        graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("purged_rows", lit(purged))
+          .withColumn("clean_untouched", lit(cleanUntouched))
+          .withColumn("dv_free", lit(dvFree))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             |    WHERE event_type = 'click' AND event_id % 5 = 0) AS purged_rows,
+             |  TRUE AS clean_untouched, TRUE AS dv_free
+             |FROM events WHERE NOT (event_type = 'click' AND event_id % 5 = 0)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_colmap",
       // COLUMN MAPPING evolution under the oracle (r13) — the Delta twin
       // of q_iceberg_evolve2's rename/drop half: the even half bootstraps

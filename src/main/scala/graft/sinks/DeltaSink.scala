@@ -776,6 +776,94 @@ object DeltaSink {
     (before, adds.size) // unreachable
   }
 
+  /** REORG … APPLY (PURGE) — materialize deletion vectors: rewrites ONLY
+    * the DV-carrying live files as their survivor rows and drops the DVs,
+    * leaving every clean file untouched (the scale contract vs [[compact]],
+    * which rewrites the whole table: after a 0.1% DV delete on a 100 TB
+    * table, purge cost ∝ the touched files, not the table). The commit is
+    * layout-only (`dataChange:false` on both sides — a CDF reader sees no
+    * row change, exactly the spec's semantics for OPTIMIZE/REORG), and the
+    * orphaned DV sidecars age out through [[vacuum]]'s existing
+    * superseded-descriptor sweep. Same concurrency discipline as compact:
+    * a commit may land between snapshot and claim only if every input
+    * file is still live (concurrent appends wave through; a competing
+    * rewrite aborts this one). Returns (dvFilesRewritten, rowsPurged).
+    */
+  def reorgPurge(spark: SparkSession, table: String,
+      maxRecordsPerFile: Long = MaxRecordsPerFile,
+      store: CommitStore = CommitStore.Local): (Int, Long) = {
+    val dir = new File(table)
+    val state = replay(spark, table, None)
+    requireWritable(state.minWriter, table)
+    val dvAdds = state.live.filter(_.dv.isDefined)
+    if (dvAdds.isEmpty) return (0, 0L)
+    val purgedRows = dvAdds.map(_.dv.get.cardinality).sum
+    // survivors of the touched files only — the clean files never enter
+    // the job; bin sizing from log stats (numRecords − DV cardinality),
+    // no data scan to plan
+    val survivorRows = dvAdds.map { a =>
+      Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+        .getOrElse(0L) - a.dv.map(_.cardinality).getOrElse(0L)
+    }.sum
+    val nFiles = math.max(1,
+      ((survivorRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
+    val survivors = readState(spark, table, state.copy(live = dvAdds), store)
+    val staging = Files.createTempDirectory("graft-delta-reorg").toFile
+    val txn = java.util.UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = try {
+      // DV-masked survivors are arbitrarily skewed across the touched
+      // files — round-robin repartition keeps every bin under the cap
+      // (the same reasoning as compact's DV branch)
+      val writer = toPhysical(survivors.repartition(nFiles), state.schema).write
+        .mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (state.partitionColumns.nonEmpty)
+         writer.partitionBy(state.partitionColumns: _*)
+       else writer).parquet(staging.getPath)
+      publishAll(store, dir, staging, conf, (rel, i) =>
+        Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+          f"part-$i%05d-$txn.c000.snappy.parquet")
+    } finally deleteRecursively(staging)
+    val now = System.currentTimeMillis()
+    val removes = dvAdds.map(a =>
+      s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+    val lines = removes ++ adds.map(a => addJson(a, dataChange = false))
+    val inputPaths = dvAdds.map(_.path).toSet
+    var attempt = 0
+    var validatedThrough = state.version
+    while (true) {
+      // identical liveness window to compact(): every input must still be
+      // live at each commit attempt, or a competing rewrite already
+      // superseded our inputs and committing would double their rows
+      val latest = latestVersion(table)
+      if (latest > validatedThrough) {
+        val liveNow = replay(spark, table, None).live.map(_.path).toSet
+        validatedThrough = latest
+        if (!inputPaths.subsetOf(liveNow)) {
+          adds.foreach(a => deleteData(store, dir, a.path))
+          throw new IllegalStateException(
+            s"concurrent rewrite of $table; reorg aborted")
+        }
+      }
+      val next = latest + 1
+      try {
+        commitAtomic(store, versionFile(table, next), lines)
+        return (dvAdds.size, purgedRows)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempt >= 3) {
+            adds.foreach(a => deleteData(store, dir, a.path))
+            throw new IllegalStateException(
+              s"concurrent writers on $table; reorg aborted", e)
+          }
+          attempt += 1
+      }
+    }
+    (dvAdds.size, purgedRows) // unreachable
+  }
+
   /** MERGE INTO: keyed upsert / delete against the current snapshot —
     * a read-modify-write of ONLY the files that can contain a source key.
     *

@@ -2132,6 +2132,43 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, table).count() == 99)
   }
 
+  test("Delta REORG purge: rewrites only DV files, drops DVs, layout-only commit (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // 2500 rows at maxRecordsPerFile=1000 → files of 1000/1000/500
+    assert(DeltaSink.write((1L to 2500L).map(i => (i, i.toDouble))
+      .toDF("id", "v").coalesce(1), table, maxRecordsPerFile = 1000))
+    // the predicate masks rows in the FIRST file only
+    assert(DeltaSink.deleteWhereDV(spark, table, "id <= 300") == 300L)
+    def liveByPath() = DeltaSink.fileStats(spark, table)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val pre = liveByPath()
+    val dvCommit = DeltaSink.latestVersion(table)
+    val (rewritten, purged) = DeltaSink.reorgPurge(spark, table)
+    assert((rewritten, purged) == ((1, 300L)))
+    val post = liveByPath()
+    // clean files survive the purge verbatim; the DV file's replacement
+    // carries exactly its survivors
+    val untouched = pre.keySet.intersect(post.keySet)
+    assert(untouched.size == 2, s"expected 2 untouched files, got $untouched")
+    assert(untouched.forall(p => pre(p) == post(p)))
+    assert(post.values.sum == 2200L)
+    // no descriptor anywhere: a second purge is a no-op
+    assert(DeltaSink.reorgPurge(spark, table) == ((0, 0L)))
+    val out = DeltaSink.read(spark, table)
+    assert(out.count() == 2200)
+    assert(out.agg(min(col("id"))).head().getLong(0) == 301L)
+    // layout-only: the CDF feed over the purge commit is EMPTY
+    assert(DeltaSink.readCdf(spark, table, dvCommit).count() == 0)
+    // the orphaned sidecar reclaims through vacuum's superseded sweep
+    assert(new File(table, "deletion_vectors").listFiles()
+      .exists(_.getName.endsWith(".bin")))
+    DeltaSink.vacuum(spark, table, retentionMs = 0L)
+    assert(Option(new File(table, "deletion_vectors").listFiles()).toSeq.flatten
+      .forall(!_.getName.endsWith(".bin")))
+  }
+
   test("Delta deletion vectors: checkpoint/vacuum/restore/CoW interplay + protocol gate (r13)") {
     val s = spark
     import s.implicits._
