@@ -147,6 +147,10 @@ object Cli {
       case "compact-iceberg" =>
         val (b, a) = sinks.IcebergSink.compact(spark, pos(0))
         println(s"compacted $b files into $a")
+      case "rewrite-manifests-iceberg" =>
+        // rewrite-manifests-iceberg <table> — metadata-only manifest merge
+        val (b, a) = sinks.IcebergSink.rewriteManifests(pos(0))
+        println(s"merged $b data manifests into $a")
       case "expire-iceberg" =>
         val keep = pos.lift(1).map(_.toInt).getOrElse(2)
         val n = sinks.IcebergSink.expireSnapshots(pos(0), keep)

@@ -2179,6 +2179,46 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_rewrite_manifests",
+      // REWRITE MANIFESTS under the oracle (r14): the metadata-plane
+      // compaction every streaming-ingested table needs. Four appends
+      // leave four data manifests (every query opens all four to plan) +
+      // a MoR positional-delete manifest; rewriteManifests merges the
+      // data manifests into ONE in a `replace` commit that touches no
+      // data file. Gates: `manifests_merged` (>=4 → 1), `feed_empty`
+      // (the incremental scan since the pre-rewrite snapshot sees ZERO
+      // added files — the metadata-only proof), and the census must
+      // equal the oracle's complement — which also proves the positional
+      // delete still applies after the merge (entries keep their
+      // original sequence numbers explicitly). At 100 TB: planning cost
+      // drops from O(appends) manifest opens per query to O(1).
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-rwm") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 4 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        (1 to 3).foreach(i =>
+          graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 4 === i),
+            table, graft.sinks.IcebergSink.Append))
+        graft.sinks.IcebergSink.deleteWhere(s, table, "event_id % 100 = 0")
+        val preSnap = graft.sinks.IcebergSink.snapshots(table).last._1
+        val (before, after) = graft.sinks.IcebergSink.rewriteManifests(table)
+        val feedEmpty =
+          graft.sinks.IcebergSink.readAppendedSince(s, table, preSnap).isEmpty
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("manifests_merged", lit(before >= 4 && after == 1))
+          .withColumn("feed_empty", lit(feedEmpty))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  TRUE AS manifests_merged, TRUE AS feed_empty
+             |FROM events WHERE event_id % 100 <> 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

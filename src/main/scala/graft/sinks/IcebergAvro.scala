@@ -212,14 +212,19 @@ private[graft] object IcebergAvro {
     * round-trips.
     */
   def readManifestPartitions(f: File): Seq[(String, Map[String, Any])] =
-    readManifestPartitionsWithSchema(f)._1
+    readManifestPartitionsWithSchema(f)._1.map(e => (e._1, e._2))
 
   /** Same pass also surfaces the manifest's "schema" key metadata — ONE
     * file open serves both (the hot snapshot-resolution path reads every
     * manifest of every query; a separate schema open would double it).
+    * Each entry's third element is its EXPLICIT sequence number when the
+    * manifest carries one (entries of a rewritten/merged manifest keep
+    * their original data sequence this way — V2 inheritance only applies
+    * to entries added by the manifest's own snapshot); None inherits the
+    * manifest-list row's sequence as before.
     */
   def readManifestPartitionsWithSchema(f: File)
-      : (Seq[(String, Map[String, Any])], Option[String]) = {
+      : (Seq[(String, Map[String, Any], Option[Long])], Option[String]) = {
     val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
     try {
       val entries = r.iterator().asScala.toList.map { e =>
@@ -231,10 +236,94 @@ private[graft] object IcebergAvro {
             case other => other
           })
         }.toMap
-        df.get("file_path").toString -> values
+        val seq = Option(e.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(e.get("sequence_number")))
+          .map(_.asInstanceOf[Long])
+        (df.get("file_path").toString, values, seq)
       }
       (entries, Option(r.getMetaString("schema")))
     } finally r.close()
+  }
+
+  /** Merges several manifests written under the SAME spec/schema into one
+    * (the metadata-compaction half of Iceberg's rewrite_manifests): every
+    * entry is copied VERBATIM (partition tuple, stats, bounds — the
+    * writer schema and key metadata come from the first source), with
+    * status flipped to 0 = EXISTING and its data sequence made EXPLICIT
+    * (the entry's own if it already carries one, else the source
+    * manifest-list row's — inheritance from the NEW snapshot would
+    * corrupt delete-application ordering). No data file is opened.
+    * Returns (byte length, entries, total rows, min sequence).
+    */
+  def mergeManifests(target: File, sources: Seq[(File, Long)])
+      : (Long, Int, Long, Long) = {
+    require(sources.nonEmpty, "mergeManifests needs at least one source")
+    val first = new DataFileReader[GenericRecord](sources.head._1,
+      new GenericDatumReader[GenericRecord]())
+    val (writerSchema, keyMeta) =
+      try (first.getSchema,
+        Seq("schema", "schema-id", "partition-spec", "partition-spec-id",
+          "format-version", "content")
+          .flatMap(k => Option(first.getMetaString(k)).map(k -> _)))
+      finally first.close()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    keyMeta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(writerSchema, target)
+    var (n, rows, minSeq) = (0, 0L, Long.MaxValue)
+    try sources.foreach { case (src, listSeq) =>
+      val r = new DataFileReader[GenericRecord](src,
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.foreach { e =>
+        val seq = Option(e.get("sequence_number"))
+          .map(_.asInstanceOf[Long]).getOrElse(listSeq)
+        e.put("status", 0) // EXISTING
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        w.append(e)
+        n += 1
+        rows += e.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]
+        minSeq = math.min(minSeq, seq)
+      } finally r.close()
+    } finally w.close()
+    (target.length(), n, rows, if (minSeq == Long.MaxValue) 0L else minSeq)
+  }
+
+  /** A manifest's Avro key metadata (schema / partition-spec /
+    * partition-spec-id / content) — the grouping identity for
+    * rewrite_manifests (only like-written manifests merge faithfully).
+    */
+  def readManifestMeta(f: File): Map[String, String] = {
+    val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    try Seq("schema", "schema-id", "partition-spec", "partition-spec-id",
+      "format-version", "content")
+      .flatMap(k => Option(r.getMetaString(k)).map(k -> _)).toMap
+    finally r.close()
+  }
+
+  /** manifest_file row for a REWRITTEN manifest: all entries EXISTING,
+    * min_sequence_number preserved from the merged entries so
+    * sequence-based pruning stays exact.
+    */
+  def manifestRowExisting(absPath: String, length: Long, commitSeq: Long,
+      minSeq: Long, snapshotId: Long, nFiles: Int, nRows: Long,
+      specId: Int): GenericRecord = {
+    val r = new GenericData.Record(ManifestFileSchema)
+    r.put("manifest_path", absPath)
+    r.put("manifest_length", length)
+    r.put("partition_spec_id", specId)
+    r.put("content", 0)
+    r.put("sequence_number", commitSeq)
+    r.put("min_sequence_number", minSeq)
+    r.put("added_snapshot_id", snapshotId)
+    r.put("added_files_count", 0)
+    r.put("existing_files_count", nFiles)
+    r.put("deleted_files_count", 0)
+    r.put("added_rows_count", 0L)
+    r.put("existing_rows_count", nRows)
+    r.put("deleted_rows_count", 0L)
+    r
   }
 
   /** Reads back every entry's ColumnStats (test surface: the stats must

@@ -1303,7 +1303,10 @@ object IcebergSink {
         IcebergAvro.readManifestPartitionsWithSchema(mf)
       val wf = schemaMeta
         .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
-      entries.map { case (p, pvals) => ((p, pvals, r.seq), wf) }
+      // a rewritten (merged) manifest's entries carry their ORIGINAL data
+      // sequence explicitly — inheritance from the rewrite snapshot's list
+      // row would break delete-application ordering
+      entries.map { case (p, pvals, eseq) => ((p, pvals, eseq.getOrElse(r.seq)), wf) }
     }
     val data = dataWithFields.map(_._1)
     val fileFields = dataWithFields.collect {
@@ -1822,6 +1825,82 @@ object IcebergSink {
     (before, fileCount())
   }
 
+  /** REWRITE MANIFESTS — METADATA-ONLY maintenance (Iceberg's
+    * rewrite_manifests): merges the current snapshot's data manifests into
+    * ONE per (spec, schema) group, committing a `replace` snapshot whose
+    * list references the merged manifest(s) plus the delete manifests
+    * verbatim. NO data file is touched. Why it matters at 100 TB: every
+    * query plans by opening every manifest of the snapshot, so a table
+    * built by 10k streaming appends pays 10k manifest opens per query
+    * until this runs — after it, one. Entries keep their ORIGINAL data
+    * sequence explicitly (status EXISTING; see
+    * [[IcebergAvro.mergeManifests]]), so merge-on-read delete application
+    * and sequence-pruned incremental reads are unchanged. Like-written
+    * manifests only merge within their (partition-spec, schema) group —
+    * a partition-evolved or schema-evolved history keeps one merged
+    * manifest per layout generation. Returns (manifestsBefore,
+    * manifestsAfter) over data manifests.
+    */
+  def rewriteManifests(table: String,
+      store: CommitStore = CommitStore.Local): (Int, Int) = {
+    var attempt = 0
+    while (true) {
+      val hint = readHint(table).getOrElse(
+        throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+      val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+      val list = currentManifestList(table, meta).getOrElse(return (0, 0))
+      val rows = IcebergAvro.readManifestList(
+        new File(requireAvro(abs(table, list))))
+      val (dataRows, deleteRows) =
+        rows.partition(_.get("content").asInstanceOf[Int] == 0)
+      if (dataRows.size <= 1) return (dataRows.size, dataRows.size)
+      val groups = dataRows.groupBy { r =>
+        val f = new File(requireAvro(abs(table, r.get("manifest_path").toString)))
+        val m = IcebergAvro.readManifestMeta(f)
+        (m.getOrElse("partition-spec-id", "0"), m.getOrElse("partition-spec", ""),
+          m.getOrElse("schema", ""))
+      }
+      if (groups.size == dataRows.size) return (dataRows.size, dataRows.size)
+      val snapshotId = math.abs(new java.util.Random().nextLong())
+      val seq = meta.get("last-sequence-number").asLong() + 1
+      val published = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      def reclaim(): Unit = published.foreach { p =>
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(p)): Unit
+          case _ => Files.deleteIfExists(p): Unit
+        }
+      }
+      try {
+        val mergedRows = groups.toSeq
+          .sortBy(_._2.map(_.get("sequence_number").asInstanceOf[Long]).min)
+          .map { case ((specId, _, _), grp) =>
+            val sources = grp.map(r => (
+              new File(requireAvro(abs(table, r.get("manifest_path").toString))),
+              r.get("sequence_number").asInstanceOf[Long]))
+            var merged: (Long, Int, Long, Long) = null
+            val (path, len) = writeAvroArtifact(table, store,
+              s"manifest-${java.util.UUID.randomUUID()}.avro") { f =>
+              merged = IcebergAvro.mergeManifests(f, sources); merged._1
+            }
+            published += path
+            IcebergAvro.manifestRowExisting(path.toFile.getAbsolutePath, len,
+              seq, merged._4, snapshotId, merged._2, merged._3, specId.toInt)
+          }
+        commitSnapshot(table, store, meta, hint, snapshotId, seq,
+          currentSchemaJson(meta)._1, mergedRows, "replace",
+          Map("manifests-replaced" -> dataRows.size.toString,
+            "manifests-created" -> mergedRows.size.toString),
+          reclaimOnConflict = reclaim,
+          carriedOverride = Some(deleteRows))
+        return (dataRows.size, mergedRows.size)
+      } catch {
+        case _: OptimisticConcurrencyException if attempt < 3 => attempt += 1
+        case e: Throwable => reclaim(); throw e
+      }
+    }
+    (0, 0) // unreachable
+  }
+
   /** ROLLBACK — Iceberg's undo verb (the format twin of
     * [[DeltaSink.restore]]): commits a new metadata version whose
     * current-snapshot-id / main branch ref point at `snapshotId`, which
@@ -2143,19 +2222,23 @@ object IcebergSink {
       newManifestRows: Seq[org.apache.avro.generic.GenericRecord],
       operation: String, summaryProps: Map[String, String],
       reclaimOnConflict: () => Unit,
-      branch: Option[String] = None): Unit = {
+      branch: Option[String] = None,
+      carriedOverride: Option[Seq[org.apache.avro.generic.GenericRecord]] = None)
+      : Unit = {
     // the new snapshot continues from its TARGET ref's head: main (the
     // current snapshot) by default, a named branch's head when targeted —
-    // spec §refs: a branch ref advances on commit while main is untouched
+    // spec §refs: a branch ref advances on commit while main is untouched.
+    // A REPLACE commit (rewriteManifests) supplies the carried rows itself
+    // instead of inheriting the head's list verbatim.
     val baseList = branch match {
       case None => currentManifestList(table, meta)
       case Some(b) =>
         val head = meta.get("refs").get(b).get("snapshot-id").asLong()
         manifestListOf(table, meta, head)
     }
-    val carried = baseList
+    val carried = carriedOverride.getOrElse(baseList
       .map(p => IcebergAvro.readManifestList(new File(requireAvro(abs(table, p)))))
-      .getOrElse(Nil)
+      .getOrElse(Nil))
     val (listPath, _) =
       writeAvroArtifact(table, store,
         s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>

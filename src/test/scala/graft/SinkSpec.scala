@@ -1564,6 +1564,46 @@ class SinkSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
   }
 
+  test("Iceberg rewriteManifests: metadata-only compaction keeps reads, deletes, history (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, (i % 3).toString)).toDF("id", "g")
+    IcebergSink.write(batch(1, 10), table, IcebergSink.CreateExclusive)
+    IcebergSink.write(batch(11, 20), table, IcebergSink.Append)
+    IcebergSink.write(batch(21, 30), table, IcebergSink.Append)
+    IcebergSink.write(batch(31, 40), table, IcebergSink.Append)
+    // a merge-on-read positional delete rides its own DELETE manifest
+    IcebergSink.deleteWhere(spark, table, "id <= 5")
+    assert(IcebergSink.read(spark, table).count() == 35)
+    val preSnap = IcebergSink.snapshots(table).last._1
+    val dataFilesPre = IcebergSink.fileStats(spark, table)
+      .select("path").collect().map(_.getString(0)).toSet
+    val (before, after) = IcebergSink.rewriteManifests(table)
+    assert(before >= 4 && after == 1, s"expected >=4 -> 1, got $before -> $after")
+    // idempotent: a second rewrite finds nothing to merge
+    assert(IcebergSink.rewriteManifests(table) == ((1, 1)))
+    // data file set identical — METADATA-only, and the incremental feed
+    // since the pre-rewrite snapshot is EMPTY (no data file was added)
+    assert(IcebergSink.fileStats(spark, table)
+      .select("path").collect().map(_.getString(0)).toSet == dataFilesPre)
+    assert(IcebergSink.readAppendedSince(spark, table, preSnap).count() == 0)
+    // reads are unchanged, and the positional delete still applies:
+    // merged entries carry their ORIGINAL sequence numbers explicitly
+    val out = IcebergSink.read(spark, table)
+    assert(out.count() == 35)
+    assert(out.agg(min(col("id"))).head().getLong(0) == 6L)
+    // pre-rewrite history still time-travels through its own list
+    assert(IcebergSink.read(spark, table, Some(preSnap)).count() == 35)
+    // the table keeps working: append after the rewrite carries the merged
+    // manifest forward and a fresh delete still scopes correctly
+    IcebergSink.write(batch(41, 50), table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table).count() == 45)
+    IcebergSink.deleteWhere(spark, table, "id = 40")
+    assert(IcebergSink.read(spark, table).count() == 44)
+  }
+
   /** Parses spec `specId`'s (name, transform, field-id) triples out of a
     * metadata JSON string (test-side mirror of the reader's spec lookup).
     */
