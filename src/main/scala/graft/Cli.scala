@@ -262,6 +262,11 @@ object Cli {
         val head = sinks.IcebergSink.appendBranch(
           spark.read.parquet(pos(0)), pos(1), pos(2))
         println(s"branch ${pos(2)} -> $head")
+      case "convert-delta-to-iceberg" =>
+        // convert-delta-to-iceberg <table> — UniForm-style in-place
+        // metadata-only convert; both front-ends stay readable
+        val nf = sinks.IcebergSink.convertFromDelta(spark, pos(0))
+        println(s"converted $nf live files")
       case "clone-delta" =>
         // clone-delta <source> <target> — zero-copy shallow clone
         val n = sinks.DeltaSink.cloneTable(spark, pos(0), pos(1))

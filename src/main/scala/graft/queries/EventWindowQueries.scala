@@ -2179,6 +2179,52 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_uniform_convert",
+      // Delta→Iceberg IN-PLACE CONVERT under the oracle (r14, the
+      // UniForm pattern): events land as a Delta table partitioned by
+      // event_type, convertFromDelta mints an Iceberg metadata tree —
+      // manifest entries referencing the SAME parquet by absolute path,
+      // with real footer stats and typed identity partition values from
+      // the Delta log — and the census is read through the ICEBERG
+      // front-end. Gates: `zero_copy` pins the parquet set byte-identical
+      // across the convert (one copy of the data, two format front-ends —
+      // the whole point at 100 TB: a format migration that moves nothing),
+      // `counts_agree` pins both formats' metadata-only censuses equal
+      // (Delta log stats vs Iceberg manifest record counts), and the
+      // per-type census must equal the raw oracle.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-uniform") + "/tbl"
+        graft.sinks.DeltaSink.write(ev, table, partitionBy = Seq("event_type"))
+        def parquets() = {
+          def walk(d: java.io.File): Seq[java.io.File] =
+            Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+              if (f.isDirectory) walk(f)
+              else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+            }
+          walk(new java.io.File(table))
+            .map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
+        }
+        val before = parquets()
+        val n = graft.sinks.IcebergSink.convertFromDelta(s, table)
+        val zeroCopy = n == before.size && parquets() == before
+        val deltaCount = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        val iceCount = graft.sinks.IcebergSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("zero_copy", lit(zeroCopy))
+          .withColumn("counts_agree", lit(deltaCount == iceCount))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  TRUE AS zero_copy, TRUE AS counts_agree
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rewrite_manifests",
       // REWRITE MANIFESTS under the oracle (r14): the metadata-plane
       // compaction every streaming-ingested table needs. Four appends

@@ -2374,6 +2374,21 @@ object DeltaSink {
       collectAdds(live), meta.txns, meta.minWriter)
   }
 
+  /** Metadata-only live-file inventory for format interop
+    * ([[IcebergSink.convertFromDelta]]'s UniForm-style convert): the
+    * current snapshot's schema, partition columns, live adds as
+    * (relative path, partitionValues, hasDeletionVector), and whether
+    * column mapping is enabled. No data file is opened.
+    */
+  private[sinks] def liveInventory(spark: SparkSession, table: String)
+      : (StructType, Seq[String], Seq[(String, Map[String, String], Boolean)],
+         Boolean) = {
+    val st = replay(spark, table, None)
+    (st.schema, st.partitionColumns,
+      st.live.map(a => (a.path, a.partitionValues, a.dv.isDefined)),
+      mappingEnabled(st.schema))
+  }
+
   /** WRITER-side protocol gate, symmetrical to resolve()'s reader gate:
     * committing to a table whose protocol demands writer features beyond
     * v7/deletionVectors would violate invariants we don't implement.

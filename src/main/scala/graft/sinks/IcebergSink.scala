@@ -1901,6 +1901,125 @@ object IcebergSink {
     (0, 0) // unreachable
   }
 
+  /** CONVERT a Delta table to Iceberg IN PLACE — METADATA-ONLY (the
+    * UniForm pattern: one copy of the parquet, two format front-ends).
+    * Builds a fresh Iceberg metadata tree — v0 metadata JSON, one V2
+    * manifest whose entries reference the Delta table's live parquet by
+    * ABSOLUTE path with real footer stats (row counts, value/null counts,
+    * bounds — so stats-pruned Iceberg reads work day one), identity
+    * partition spec mirroring the Delta layout with values typed from the
+    * log's partitionValues — alongside `_delta_log`, never moving a byte
+    * of data at any table size. Both front-ends stay live: Delta commits
+    * keep working (the Iceberg view is AS-OF the conversion; re-run to
+    * refresh), Iceberg reads plan off the manifest. Refused for
+    * deletion-vector tables (run [[DeltaSink.reorgPurge]] first — a DV
+    * mask has no Iceberg expression without delete files) and
+    * column-mapped tables (physical names would not resolve by the
+    * minted field ids). Returns the converted live-file count.
+    */
+  def convertFromDelta(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Int = {
+    require(readHint(table).isEmpty, s"$table already carries Iceberg metadata")
+    require(Files.exists(Paths.get(table, "_delta_log")),
+      s"not a Delta table: $table")
+    val (schema, partCols, files, mapped) = DeltaSink.liveInventory(spark, table)
+    require(!mapped, "column-mapped Delta tables do not convert: physical " +
+      "names would not resolve by Iceberg field id")
+    require(files.forall(!_._3), "deletion-vector tables do not convert: " +
+      "purge the DVs first (DeltaSink.reorgPurge)")
+    val declaredIds = schema.fields.indices.map(_ + 1)
+    val fieldIds = schema.fieldNames.zip(declaredIds).toMap
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("type", "struct").put("schema-id", 0)
+    val fieldsArr = schemaNode.putArray("fields")
+    schema.fields.zip(declaredIds).foreach { case (f, id) =>
+      fieldsArr.addObject()
+        .put("id", id).put("name", f.name)
+        .put("required", !f.nullable)
+        .put("type", icebergType(f.dataType))
+      ()
+    }
+    val partSpecs = partCols.map(parsePartSpec)
+    val partFields = partitionFieldsOf(schema, partSpecs)
+    val specFieldsJson = partFields.zip(partSpecs).map { case (pf, ps) =>
+      s"""{"name":"${pf.name}","transform":"identity","source-id":${fieldIds(ps.source)},"field-id":${pf.fieldId}}"""
+    }.mkString(",")
+    val specJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
+    // typed partition values from the Delta log's string map (the log is
+    // the truth — identity-partitioned Delta files don't store the column)
+    def typedPv(pv: Map[String, String], col: String): Any =
+      pv.get(col).flatMap(Option(_)).filter(_ != HiveNullPartition) match {
+        case None => null
+        case Some(s) => schema(col).dataType match {
+          case org.apache.spark.sql.types.IntegerType => Int.box(s.toInt)
+          case org.apache.spark.sql.types.LongType => Long.box(s.toLong)
+          case org.apache.spark.sql.types.BooleanType => Boolean.box(s.toBoolean)
+          case org.apache.spark.sql.types.DateType =>
+            Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+          case _ => s
+        }
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val infos = files.map { case (rel, pv, _) =>
+      val f = new File(table, rel)
+      val (rows, stats) = footerStats(f, conf, fieldIds)
+      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats,
+        partSpecs.map(ps => typedPv(pv, ps.source)))
+    }
+    Files.createDirectories(metaDir(table))
+    var manifestLen = 0L
+    val (manifestPath, _) = writeAvroArtifact(table, store,
+      s"manifest-${java.util.UUID.randomUUID()}.avro") { f =>
+      manifestLen = IcebergAvro.writeManifest(f, infos, snapshotId,
+        schemaNode.toString, specJson, partFields)
+      manifestLen
+    }
+    val row = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
+      manifestLen, 1L, snapshotId, infos.size, infos.map(_.recordCount).sum)
+    val (listPath, _) = writeAvroArtifact(table, store,
+      s"manifest-list-${java.util.UUID.randomUUID()}.avro") { f =>
+      IcebergAvro.writeManifestList(f, Seq(row), snapshotId, 1L); 0L
+    }
+    val now = System.currentTimeMillis()
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+      .put("table-uuid", java.util.UUID.randomUUID().toString)
+      .put("location", table)
+      .put("last-sequence-number", 1L)
+      .put("last-updated-ms", now)
+      .put("last-column-id", declaredIds.lastOption.getOrElse(0))
+    meta.putArray("schemas").add(schemaNode)
+    meta.put("current-schema-id", 0)
+    val specNode = meta.putArray("partition-specs").addObject()
+    specNode.put("spec-id", 0)
+    val sf = specNode.putArray("fields")
+    partFields.zip(partSpecs).foreach { case (pf, ps) =>
+      sf.addObject().put("name", pf.name).put("transform", "identity")
+        .put("source-id", fieldIds(ps.source)).put("field-id", pf.fieldId)
+      ()
+    }
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + partFields.size)
+    meta.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
+    meta.put("default-sort-order-id", 0)
+    meta.putObject("properties")
+      .put("graft.spark-schema", schema.json)
+      .put("graft.converted-from", "delta")
+    val snapNode = meta.putArray("snapshots").addObject()
+    snapNode.put("snapshot-id", snapshotId)
+      .put("sequence-number", 1L)
+      .put("timestamp-ms", now)
+      .put("manifest-list", s"metadata/${listPath.getFileName}")
+      .put("schema-id", 0)
+      .putObject("summary").put("operation", "append")
+    meta.put("current-snapshot-id", snapshotId)
+    meta.putObject("refs").putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
+    commitMetadataVersion(table, store, -1L, meta)
+    infos.size
+  }
+
   /** ROLLBACK — Iceberg's undo verb (the format twin of
     * [[DeltaSink.restore]]): commits a new metadata version whose
     * current-snapshot-id / main branch ref point at `snapshotId`, which

@@ -1564,6 +1564,57 @@ class SinkSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
   }
 
+  test("Delta->Iceberg in-place convert (UniForm): zero copy, both front-ends live (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "lang", "v")
+    assert(DeltaSink.write(df, table, partitionBy = Seq("lang")))
+    def parquets() = {
+      def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
+        f => if (f.isDirectory) walk(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+      walk(new File(table)).map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
+    }
+    val before = parquets()
+    val n = IcebergSink.convertFromDelta(spark, table)
+    assert(n == before.size, s"expected ${before.size} files, got $n")
+    // ZERO COPY: not one parquet byte moved or minted
+    assert(parquets() == before)
+    // the Iceberg front-end reads the same rows, partition column included
+    val ice = IcebergSink.read(spark, table)
+    assert(ice.count() == 100)
+    assert(ice.filter(col("lang") === "g1").count() ==
+      DeltaSink.read(spark, table).filter(col("lang") === "g1").count())
+    assert(ice.agg(sum(col("id"))).head().getLong(0) == 5050L)
+    // footer stats made it into the manifest: a range read prunes nothing
+    // here (single file per partition spans all ids) but must stay exact
+    assert(IcebergSink.readRange(spark, table, "id", 10.0, 20.0).count() == 11)
+    // metadata-only census answers from the manifest record counts
+    assert(IcebergSink.fileStats(spark, table)
+      .agg(sum(col("num_records"))).head().getLong(0) == 100L)
+    // the DELTA front-end keeps working; the Iceberg view is as-of convert
+    DeltaSink.append(df.filter(col("id") <= 10L), table)
+    assert(DeltaSink.read(spark, table).count() == 110)
+    assert(IcebergSink.read(spark, table).count() == 100)
+    // refusals: double convert, DV-carrying, column-mapped
+    assert(intercept[IllegalArgumentException] {
+      IcebergSink.convertFromDelta(spark, table)
+    }.getMessage.contains("already carries"))
+    val t2 = tmp()
+    DeltaSink.write(df, t2)
+    DeltaSink.deleteWhereDV(spark, t2, "id <= 5")
+    assert(intercept[IllegalArgumentException] {
+      IcebergSink.convertFromDelta(spark, t2)
+    }.getMessage.contains("purge"))
+    val t3 = tmp()
+    DeltaSink.write(df, t3)
+    DeltaSink.renameColumn(spark, t3, "v", "val")
+    assert(intercept[IllegalArgumentException] {
+      IcebergSink.convertFromDelta(spark, t3)
+    }.getMessage.contains("column-mapped"))
+  }
+
   test("Iceberg rewriteManifests: metadata-only compaction keeps reads, deletes, history (r14)") {
     val s2 = spark
     import s2.implicits._
