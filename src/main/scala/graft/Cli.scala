@@ -147,6 +147,12 @@ object Cli {
       case "compact-iceberg" =>
         val (b, a) = sinks.IcebergSink.compact(spark, pos(0))
         println(s"compacted $b files into $a")
+      case "remove-orphans-iceberg" =>
+        // remove-orphans-iceberg <table> [olderThanMs] — reclaim files no
+        // snapshot references (default 3-day age gate)
+        val age = pos.lift(1).map(_.toLong).getOrElse(3L * 24 * 3600 * 1000)
+        val gone = sinks.IcebergSink.removeOrphanFiles(spark, pos(0), age)
+        println(s"reclaimed ${gone.size} orphan files")
       case "rewrite-manifests-iceberg" =>
         // rewrite-manifests-iceberg <table> — metadata-only manifest merge
         val (b, a) = sinks.IcebergSink.rewriteManifests(pos(0))

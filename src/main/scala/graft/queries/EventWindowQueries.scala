@@ -2179,6 +2179,54 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_orphan_audit",
+      // ORPHAN-FILE cleanup under the oracle (r14): expiry reclaims what
+      // RETIRED snapshots referenced; this reclaims what NO snapshot ever
+      // did — a crashed writer's staged parquet and a dangling manifest,
+      // planted with week-old mtimes next to a FRESH staged file that a
+      // live writer could still be about to commit. Gates:
+      // `orphans_reclaimed` (exactly the two planted corpses, by path),
+      // `fresh_spared` (the age gate protects in-flight writers — what
+      // makes the sweep safe to run next to live commits), and the census
+      // must equal the oracle (referenced files are untouchable by
+      // construction: the sweep works from the metadata tree's reference
+      // set, never from name patterns). The storage-bill janitor at
+      // 100 TB: failed jobs leak real money until this runs.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-orphan") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          table, graft.sinks.IcebergSink.Append)
+        val old = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+        def plant(rel: String, age: Boolean): java.io.File = {
+          val f = new java.io.File(table, rel)
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+          if (age) require(f.setLastModified(old))
+          f
+        }
+        val corpse1 = plant("data/stage-dead/part-junk.parquet", age = true)
+        val corpse2 = plant("metadata/manifest-dead.avro", age = true)
+        val fresh = plant("data/stage-live/part-fresh.parquet", age = false)
+        val gone = graft.sinks.IcebergSink.removeOrphanFiles(s, table,
+          olderThanMs = 24L * 3600 * 1000)
+        val reclaimed = gone.toSet ==
+          Set(corpse1.getAbsolutePath, corpse2.getAbsolutePath)
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("orphans_reclaimed", lit(reclaimed))
+          .withColumn("fresh_spared", lit(fresh.exists()))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  TRUE AS orphans_reclaimed, TRUE AS fresh_spared
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_uniform_convert",
       // Delta→Iceberg IN-PLACE CONVERT under the oracle (r14, the
       // UniForm pattern): events land as a Delta table partitioned by

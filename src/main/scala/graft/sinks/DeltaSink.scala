@@ -196,7 +196,7 @@ object DeltaSink {
     * the spec, and locality beats sharding on every store that isn't
     * 2010-era S3).
     */
-  private val DvPrefix = "deletion_vectors"
+  private[sinks] val DvPrefix = "deletion_vectors"
 
   /** Table-relative sidecar path of a DV descriptor, or None when the
     * descriptor has no sidecar at all ("i" carries its bits inline) or

@@ -3292,6 +3292,63 @@ object IcebergSink {
     deadData.size
   }
 
+  /** REMOVE ORPHAN FILES — the crash-janitor verb ([[expireSnapshots]]
+    * reclaims what RETIRED snapshots referenced; this reclaims what NO
+    * snapshot ever did): parquet under the table location and Avro under
+    * metadata/ that none of the current metadata's snapshots reference
+    * and that is older than `olderThanMs` (a writer mid-stage has fresh
+    * mtimes — the age gate is what makes the sweep safe to run next to
+    * live commits, same contract as Spark's remove_orphan_files). On a
+    * DUAL-FORMAT table ([[convertFromDelta]]), the Delta log's live files
+    * are counted as referenced too — a Delta append the Iceberg view
+    * hasn't absorbed yet is not an orphan. Cost is one listing + the
+    * metadata tree, never a data read. Returns the reclaimed paths.
+    */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000,
+      store: CommitStore = CommitStore.Local): Seq[String] = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val lists = meta.get("snapshots").elements().asScala.toSeq
+      .map(s => abs(table, s.get("manifest-list").asText()))
+    val manifests = lists.flatMap(readManifestPaths(table, _)).toSet
+    val dataRefs = manifests.flatMap(mp => dataFilesOf(table, mp))
+    val deltaLive: Set[String] =
+      if (Files.exists(Paths.get(table, "_delta_log")))
+        DeltaSink.liveInventory(spark, table)._3
+          .map(f => new File(table, f._1).getAbsolutePath).toSet
+      else Set.empty
+    val referenced = lists.toSet ++ manifests ++ dataRefs ++ deltaLive
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val root = new File(table)
+    def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
+      case f if f.isDirectory =>
+        // Delta-plane artifacts have their own janitors (DeltaSink.vacuum)
+        if (Seq("_delta_log", "_change_data", DeltaSink.DvPrefix)
+          .contains(f.getName)) Nil
+        else walk(f)
+      case f => Seq(f)
+    }
+    val orphans = walk(root).filter { f =>
+      val name = f.getName
+      val sweepable =
+        if (f.getParentFile.getName == "metadata")
+          name.endsWith(".avro") // never metadata JSONs or the version hint
+        else name.endsWith(".parquet")
+      sweepable && f.lastModified() < cutoff &&
+        !referenced.contains(f.getAbsolutePath)
+    }
+    orphans.map { f =>
+      val p = f.getAbsolutePath
+      store match {
+        case os: ObjectStore => os.deleteObject(f.toPath)
+        case _ => Files.deleteIfExists(f.toPath): Unit
+      }
+      p
+    }
+  }
+
   private def currentMeta(table: String): com.fasterxml.jackson.databind.JsonNode = {
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table (no version-hint.text): $table"))

@@ -1564,6 +1564,50 @@ class SinkSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
   }
 
+  test("Iceberg removeOrphanFiles: reclaims unreferenced files, spares live + fresh + Delta-plane (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    val df = (1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v")
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive)
+    IcebergSink.write(df.filter(col("id") <= 5), table, IcebergSink.Append)
+    val old = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    // plant orphans: a crashed writer's parquet + a dangling manifest avro
+    val orphanData = new File(table, "data/stage-dead/part-junk.parquet")
+    orphanData.getParentFile.mkdirs()
+    Files.write(orphanData.toPath, Array[Byte](1, 2, 3))
+    assert(orphanData.setLastModified(old))
+    val orphanAvro = new File(table, "metadata/manifest-dead.avro")
+    Files.write(orphanAvro.toPath, Array[Byte](4, 5))
+    assert(orphanAvro.setLastModified(old))
+    // a FRESH unreferenced file (a writer mid-stage) must survive the sweep
+    val fresh = new File(table, "data/stage-live/part-fresh.parquet")
+    fresh.getParentFile.mkdirs()
+    Files.write(fresh.toPath, Array[Byte](6))
+    val gone = IcebergSink.removeOrphanFiles(spark, table,
+      olderThanMs = 24L * 3600 * 1000)
+    assert(gone.toSet == Set(orphanData.getAbsolutePath, orphanAvro.getAbsolutePath))
+    assert(fresh.exists())
+    // referenced files all intact: full read + time travel still work
+    assert(IcebergSink.read(spark, table).count() == 25)
+    val s0 = IcebergSink.snapshots(table).head._1
+    assert(IcebergSink.read(spark, table, Some(s0)).count() == 20)
+    // dual-format guard: a Delta-live file the Iceberg view doesn't know
+    // is NOT an orphan
+    val t2 = tmp()
+    DeltaSink.write(df, t2)
+    IcebergSink.convertFromDelta(spark, t2)
+    DeltaSink.append(df.filter(col("id") > 15), t2)
+    // age every parquet so only the referenced-set logic protects them
+    def walkP(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+      if (f.isDirectory) walkP(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    walkP(new File(t2)).foreach(f => assert(f.setLastModified(old)))
+    assert(IcebergSink.removeOrphanFiles(spark, t2,
+      olderThanMs = 24L * 3600 * 1000).isEmpty)
+    assert(DeltaSink.read(spark, t2).count() == 25)
+    assert(IcebergSink.read(spark, t2).count() == 20)
+  }
+
   test("Delta->Iceberg in-place convert (UniForm): zero copy, both front-ends live (r14)") {
     val s2 = spark
     import s2.implicits._
