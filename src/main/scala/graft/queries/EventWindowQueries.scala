@@ -2179,6 +2179,54 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_meta_tables",
+      // INSPECTION TABLES under the oracle (r14): the `table$snapshots`
+      // surface — snapshots / history / refs / files as queryable
+      // DataFrames answered from the metadata tree alone. The table is
+      // built by create + append + MoR delete + a tag; the query then
+      // answers operational questions WITHOUT opening one data file:
+      // rows on disk per manifest content plane (data vs delete — the
+      // delete plane's record_count IS the deleted-row count), snapshot
+      // count, ref count, exactly-one-current. Every number is checkable
+      // by the oracle because the write path is deterministic. At 100 TB
+      // these are the tables a storage/ops dashboard reads every minute —
+      // KB-scale metadata queries, never scans.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-meta") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          table, graft.sinks.IcebergSink.Append)
+        graft.sinks.IcebergSink.deleteWhere(s, table, "event_id % 100 = 0")
+        graft.sinks.IcebergSink.createRef(table, "audit",
+          graft.sinks.IcebergSink.snapshots(table).last._1)
+        val files = graft.sinks.IcebergSink.metaTable(s, table, "files")
+        val snaps = graft.sinks.IcebergSink.metaTable(s, table, "snapshots")
+        val refs = graft.sinks.IcebergSink.metaTable(s, table, "refs")
+        val hist = graft.sinks.IcebergSink.metaTable(s, table, "history")
+        files.groupBy(col("content"))
+          .agg(sum(col("record_count")).as("value"))
+          .select(when(col("content") === 0, lit("data_records"))
+            .otherwise(lit("delete_records")).as("metric"), col("value"))
+          .unionByName(snaps.agg(count(lit(1)).as("value"))
+            .select(lit("snapshots").as("metric"), col("value")))
+          .unionByName(refs.agg(count(lit(1)).as("value"))
+            .select(lit("refs").as("metric"), col("value")))
+          .unionByName(hist.filter(col("is_current")).agg(count(lit(1)).as("value"))
+            .select(lit("current").as("metric"), col("value")))
+          .orderBy("metric")
+      },
+      Some("""SELECT 'current' AS metric, CAST(1 AS BIGINT) AS value
+             |UNION ALL SELECT 'data_records',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+             |UNION ALL SELECT 'delete_records',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id % 100 = 0)
+             |UNION ALL SELECT 'refs', CAST(2 AS BIGINT)
+             |UNION ALL SELECT 'snapshots', CAST(3 AS BIGINT)
+             |ORDER BY metric""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_orphan_audit",
       // ORPHAN-FILE cleanup under the oracle (r14): expiry reclaims what
       // RETIRED snapshots referenced; this reclaims what NO snapshot ever

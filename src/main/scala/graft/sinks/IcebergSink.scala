@@ -1353,6 +1353,87 @@ object IcebergSink {
     rows.toDF("path", "partitionValues", "num_records")
   }
 
+  /** INSPECTION (metadata) TABLES — the `table$snapshots`-style surface
+    * every Iceberg engine exposes (snapshots / history / refs / manifests
+    * / files), as DataFrames answered ENTIRELY from the metadata tree:
+    * no data file is opened at any table size, so "how many rows landed
+    * per snapshot", "which files serve partition X", "what does the tag
+    * pin" are KB-scale queries on a 100 TB table.
+    *
+    *  - `snapshots`: snapshot_id, parent_id, sequence_number,
+    *    committed_at_ms, operation, manifest_list
+    *  - `history`:  snapshots + is_current (ancestry of the main ref)
+    *  - `refs`:     name, type, snapshot_id
+    *  - `manifests`: path, length, partition_spec_id, content,
+    *    sequence_number, added/existing file+row counts
+    *  - `files`:    content (0 data / 1 delete manifest — the
+    *    manifest-plane code), file_path, record_count, partition values —
+    *    one row per entry of the CURRENT snapshot's manifests
+    */
+  def metaTable(spark: SparkSession, table: String, kind: String): DataFrame = {
+    import spark.implicits._
+    val meta = currentMeta(table)
+    kind match {
+      case "snapshots" | "history" =>
+        val cur = meta.get("current-snapshot-id").asLong()
+        val rows = meta.get("snapshots").elements().asScala.toSeq.map { s =>
+          (s.get("snapshot-id").asLong(),
+            Option(s.get("parent-snapshot-id")).map(_.asLong()),
+            s.get("sequence-number").asLong(),
+            s.get("timestamp-ms").asLong(),
+            Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+              .map(_.asText()).getOrElse("append"),
+            s.get("manifest-list").asText())
+        }.sortBy(_._3)
+        val df = rows.toDF("snapshot_id", "parent_id", "sequence_number",
+          "committed_at_ms", "operation", "manifest_list")
+        if (kind == "snapshots") df
+        else df.withColumn("is_current",
+          org.apache.spark.sql.functions.col("snapshot_id") === cur)
+      case "refs" =>
+        val rows =
+          if (!meta.has("refs") || !meta.get("refs").isObject) Nil
+          else meta.get("refs").properties().asScala.toSeq.map(e =>
+            (e.getKey, e.getValue.get("type").asText(),
+              e.getValue.get("snapshot-id").asLong()))
+        rows.sortBy(_._1).toDF("name", "type", "snapshot_id")
+      case "manifests" =>
+        val list = manifestListOf(table, meta,
+          meta.get("current-snapshot-id").asLong()).toSeq
+        val rows = list.flatMap(p => IcebergAvro.readManifestList(
+          new File(requireAvro(abs(table, p))))).map { r =>
+          (r.get("manifest_path").toString,
+            r.get("manifest_length").asInstanceOf[Long],
+            r.get("partition_spec_id").asInstanceOf[Int],
+            r.get("content").asInstanceOf[Int],
+            r.get("sequence_number").asInstanceOf[Long],
+            r.get("added_files_count").asInstanceOf[Int],
+            r.get("existing_files_count").asInstanceOf[Int],
+            r.get("added_rows_count").asInstanceOf[Long],
+            r.get("existing_rows_count").asInstanceOf[Long])
+        }
+        rows.toDF("path", "length", "partition_spec_id", "content",
+          "sequence_number", "added_files_count", "existing_files_count",
+          "added_rows_count", "existing_rows_count")
+      case "files" =>
+        val list = manifestListOf(table, meta,
+          meta.get("current-snapshot-id").asLong()).toSeq
+        val rows = list.flatMap(p => manifestRefs(table, p)).flatMap { mr =>
+          val f = new File(requireAvro(abs(table, mr.path)))
+          val parts = IcebergAvro.readManifestPartitions(f).toMap
+          IcebergAvro.readManifestDataFiles(f).map { case (path, n) =>
+            (mr.content, path, n,
+              parts.getOrElse(path, Map.empty[String, Any])
+                .map { case (k, v) => k -> String.valueOf(v) })
+          }
+        }
+        rows.toDF("content", "file_path", "record_count", "partition")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' " +
+          "(snapshots | history | refs | manifests | files)")
+    }
+  }
+
   /** Day-partition-pruned read over a hidden `day(tsCol)` table: only data
     * files whose manifest day ordinal falls in [fromDay, untilDay) are
     * scanned (files without the partition value are kept — pruning is an
