@@ -193,6 +193,14 @@ object Cli {
         sinks.IcebergSink.evolve(spark.read.parquet(pos(0)), pos(1),
           partitionBy = partitionBy)
         println("evolved and appended")
+      case "add-constraint-delta" =>
+        // add-constraint-delta <table> <name> <sqlExpr> — CHECK constraint
+        sinks.DeltaSink.addCheckConstraint(spark, pos(0), pos(1), pos(2))
+        println(s"added CHECK constraint ${pos(1)}")
+      case "drop-constraint-delta" =>
+        // drop-constraint-delta <table> <name>
+        sinks.DeltaSink.dropCheckConstraint(spark, pos(0), pos(1))
+        println(s"dropped CHECK constraint ${pos(1)}")
       case "reorg-delta" =>
         // reorg-delta <table> — REORG APPLY (PURGE): rewrite DV-carrying
         // files as survivors, drop the deletion vectors

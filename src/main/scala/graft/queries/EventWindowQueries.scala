@@ -1261,6 +1261,50 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_constraints",
+      // CHECK CONSTRAINTS under the oracle (r14, Delta spec
+      // §CheckConstraints): the declarative data-quality gate. The even
+      // half bootstraps, `value >= 0` is added (validating the existing
+      // rows — the ALTER TABLE contract), the odd half appends THROUGH
+      // the constraint, and a junk batch carrying a negative value must
+      // fail the write job with NOTHING committed — enforcement rides
+      // the write plan itself (first column wrapped in
+      // when(check) col else raise_error: zero extra pass over the
+      // batch). Gates: `violator_rejected` (the bad batch threw),
+      // `no_partial_commit` (metadata census identical across the
+      // failure — atomicity), and the final census ≡ the full corpus.
+      // At 100 TB the invariant is enforced at the only door data enters
+      // — no nightly full-scan audit.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-constraints")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.addCheckConstraint(s, table,
+          "value_nonneg", "value >= 0")
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        def metaCount() = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        val before = metaCount()
+        val junk = ev.filter(col("event_id") % 500 === 0)
+          .select((col("event_id") + lit(2000000000L)).as("event_id"),
+            col("event_type"), (col("value") * lit(-1.0) - lit(1.0)).as("value"))
+        val rejected =
+          try { graft.sinks.DeltaSink.append(junk, table); false }
+          catch { case _: Throwable => true }
+        graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("violator_rejected", lit(rejected))
+          .withColumn("no_partial_commit", lit(metaCount() == before))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  TRUE AS violator_rejected, TRUE AS no_partial_commit
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_reorg",
       // REORG … APPLY (PURGE) under the oracle (r14): materializes
       // deletion vectors back into clean parquet. events land partitioned

@@ -278,7 +278,8 @@ object DeltaSink {
   private case class State(version: Long, metaId: String,
       createdTime: Long, schema: StructType,
       partitionColumns: Seq[String], live: Seq[AddEntry],
-      txns: Map[String, Long], minWriter: Int = 1)
+      txns: Map[String, Long], minWriter: Int = 1,
+      configuration: Map[String, String] = Map.empty)
 
   /** Writes `df` as a brand-new Delta table. Returns true if written; false
     * if the target was non-empty and overwrite was not requested (the
@@ -511,7 +512,8 @@ object DeltaSink {
     val adds = try {
       // stage under the EVOLVED mapping: an added column's fresh physical
       // name must reach the file, not its logical name
-      val writer = toPhysical(df, evolvedSchema.getOrElse(state.schema)).write
+      val writer = toPhysical(withConstraintCheck(df, state.configuration),
+          evolvedSchema.getOrElse(state.schema)).write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
@@ -912,7 +914,7 @@ object DeltaSink {
     requireWritable(meta.minWriter, table)
     val liveAdds = collectAdds(live0)
     val state = State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
-      liveAdds, meta.txns)
+      liveAdds, meta.txns, meta.minWriter, meta.configuration)
     val tableCols = state.schema.fieldNames.toSeq
     // Delete-marked source rows remove their match and insert nothing.
     // The key-uniqueness guard rides the rewrite itself (a window count +
@@ -978,7 +980,10 @@ object DeltaSink {
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val writer = toPhysical(newData, state.schema).write.mode("overwrite")
+      // CHECK constraints gate the merge's inserted/updated rows inside
+      // the same write job (kept rows re-pass trivially)
+      val writer = toPhysical(withConstraintCheck(newData, state.configuration),
+        state.schema).write.mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
       (if (state.partitionColumns.nonEmpty)
@@ -1112,7 +1117,8 @@ object DeltaSink {
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
-      val writer = toPhysical(rewrite, state.schema).write.mode("overwrite")
+      val writer = toPhysical(withConstraintCheck(rewrite, state.configuration),
+        state.schema).write.mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", MaxRecordsPerFile)
       (if (state.partitionColumns.nonEmpty)
@@ -1313,7 +1319,9 @@ object DeltaSink {
       case Some(rep) =>
         val staging = Files.createTempDirectory("graft-delta-dv-rep").toFile
         try {
-          val w = toPhysical(rep, state.schema).write.mode("overwrite")
+          // CHECK constraints gate an update's post-images too
+          val w = toPhysical(withConstraintCheck(rep, meta.configuration),
+            state.schema).write.mode("overwrite")
             .option("compression", "snappy")
             .option("maxRecordsPerFile", MaxRecordsPerFile)
           (if (state.partitionColumns.nonEmpty)
@@ -1519,6 +1527,113 @@ object DeltaSink {
     }
   }
 
+  /** The table's CHECK constraints, from the replayed configuration
+    * (spec: `delta.constraints.<name>` = SQL expression).
+    */
+  private def constraintsOf(config: Map[String, String]): Seq[(String, String)] =
+    config.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), v)
+    }.sortBy(_._1)
+
+  /** Plants CHECK-constraint enforcement INTO the write plan: the first
+    * column is wrapped in `when(constraint) col else raise_error`, so a
+    * violating row fails the write JOB before anything commits — zero
+    * extra pass over the data (the alternative, a separate
+    * `filter(!c).count()`, scans the batch twice). SQL CHECK semantics:
+    * NULL satisfies (only FALSE violates), hence the coalesce(.., true).
+    */
+  private def withConstraintCheck(df: DataFrame,
+      config: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
+      raise_error, when}
+    val cs = constraintsOf(config)
+    if (cs.isEmpty) return df
+    val first = df.columns.head
+    val dt = df.schema.head.dataType
+    cs.foldLeft(df) { case (d, (n, ex)) =>
+      d.withColumn(first,
+        when(coalesce(expr(ex).cast("boolean"), lit(true)), col(first))
+          .otherwise(raise_error(
+            lit(s"CHECK constraint $n violated: ($ex)")).cast(dt)))
+    }
+  }
+
+  /** ADD a CHECK constraint (Delta spec §CheckConstraints,
+    * `delta.constraints.<name>`): the declarative data-quality gate — once
+    * added, EVERY ingest path (append, update rewrites, merge) plants the
+    * predicate into its own write plan and a violating batch fails before
+    * one byte commits. Adding validates the EXISTING rows first (the
+    * spec's ALTER TABLE contract — one scan, the unavoidable cost), then
+    * commits a metaData re-emission carrying the constraint in
+    * configuration plus the protocol the feature requires (legacy writer
+    * v3, or the checkConstraints writer feature on v7 tables). At 100 TB
+    * this is what keeps a million-file table clean WITHOUT a nightly
+    * full-scan audit: the invariant is enforced at the only place data
+    * enters.
+    */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      expression: String, store: CommitStore = CommitStore.Local): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be alphanumeric: $name")
+    val (meta, liveDf) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
+    val key = s"delta.constraints.$name"
+    require(!meta.configuration.contains(key), s"constraint $name already exists")
+    val state = State(meta.version, meta.id, meta.createdTime, meta.schema,
+      meta.partitionColumns, collectAdds(liveDf), meta.txns, meta.minWriter)
+    val bad = readStateMerged(spark, table, state, keepLineage = false, store)
+      .filter(not(coalesce(expr(expression).cast("boolean"), lit(true))))
+      .limit(1).count()
+    require(bad == 0L,
+      s"cannot add constraint $name: existing rows violate ($expression)")
+    commitConstraintConfig(table, store, meta,
+      meta.configuration + (key -> expression))
+  }
+
+  /** DROPs a CHECK constraint — metadata-only. */
+  def dropCheckConstraint(spark: SparkSession, table: String, name: String,
+      store: CommitStore = CommitStore.Local): Unit = {
+    val (meta, _) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
+    val key = s"delta.constraints.$name"
+    require(meta.configuration.contains(key), s"no such constraint: $name")
+    commitConstraintConfig(table, store, meta, meta.configuration - key)
+  }
+
+  private def commitConstraintConfig(table: String, store: CommitStore,
+      meta: MetaState, newConfig: Map[String, String]): Unit = {
+    // protocol: CHECK constraints are legacy writer v3; a v7 table lists
+    // the checkConstraints writer feature instead (spec rule: v7 must
+    // track every active feature)
+    val bump =
+      if (meta.minWriter >= 7) {
+        if (meta.writerFeatures.contains("checkConstraints")) Nil
+        else {
+          def lst(fs: Seq[String]) = fs.distinct.sorted.map(esc).mkString("[", ",", "]")
+          Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+            s""""minWriterVersion":7,""" +
+            s""""readerFeatures":${lst(meta.readerFeatures)},""" +
+            s""""writerFeatures":${lst(meta.writerFeatures :+ "checkConstraints")}}}""")
+        }
+      }
+      else if (meta.minWriter >= 3) Nil
+      else Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+        s""""minWriterVersion":3}}""")
+    val metaLine = metaDataJson(meta.id,
+      StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
+      meta.partitionColumns,
+      if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis(),
+      newConfig ++ mappingConfig(meta.schema))
+    try commitAtomic(store, versionFile(table, meta.version + 1), bump :+ metaLine)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit on $table during constraint change; re-run", e)
+    }
+  }
+
   /** Writes a parquet checkpoint of the current log state plus the
     * `_last_checkpoint` pointer. Readers then start from the checkpoint and
     * replay only newer JSON commits — O(delta) instead of O(history).
@@ -1547,7 +1662,10 @@ object DeltaSink {
         Row(Option(meta.id).getOrElse(java.util.UUID.randomUUID().toString), Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
           meta.partitionColumns,
-          mappingConfig(meta.schema),
+          // the full replayed table configuration (constraints, etc.);
+          // column-mapping keys re-derive from the schema stamps so a
+          // mapped table keeps them even across older commits
+          meta.configuration ++ mappingConfig(meta.schema),
           if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis()),
         null, null) +:
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
@@ -2151,7 +2269,8 @@ object DeltaSink {
   private case class MetaState(version: Long, id: String, createdTime: Long,
       schema: StructType, partitionColumns: Seq[String], txns: Map[String, Long],
       minReader: Int = 1, minWriter: Int = 1,
-      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil)
+      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty)
 
   /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
     * from the log tail. PERMISSIVE json read turns a protocol line into
@@ -2163,7 +2282,8 @@ object DeltaSink {
       StructField("id", StringType),
       StructField("createdTime", LongType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))),
     StructField("add", CheckpointSchema("add").dataType),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
@@ -2223,11 +2343,15 @@ object DeltaSink {
     var tableId: String = null
     var createdTime = 0L
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    var tableConfig: Map[String, String] = Map.empty
     def applyMeta(id: String, created: java.lang.Long, schemaString: String,
-        pc: Seq[String]): Unit = {
+        pc: Seq[String], conf: scala.collection.Map[String, String]): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pc
       if (id != null) tableId = id
+      // configuration REPLACES wholesale per the spec: each metaData
+      // action carries the complete map (rows apply in version order)
+      tableConfig = Option(conf).map(_.toMap).getOrElse(Map.empty)
       // first metaData's createdTime is the table birth; later metaData
       // actions (schema evolution) repeat it — keep the first non-zero
       if (createdTime == 0L && created != null) createdTime = created.longValue()
@@ -2257,7 +2381,8 @@ object DeltaSink {
             val m = r.getStruct(0)
             applyMeta(m.getAs[String]("id"), m.getAs[java.lang.Long]("createdTime"),
               m.getAs[String]("schemaString"),
-              m.getSeq[String](m.fieldIndex("partitionColumns")))
+              m.getSeq[String](m.fieldIndex("partitionColumns")),
+              m.getAs[scala.collection.Map[String, String]]("configuration"))
           }
           if (!r.isNullAt(1)) {
             val t = r.getStruct(1)
@@ -2276,7 +2401,8 @@ object DeltaSink {
             applyMeta(m.getAs[String]("id"), m.getAs[java.lang.Long]("createdTime"),
               m.getAs[String]("schemaString"),
               Option(m.getSeq[String](m.fieldIndex("partitionColumns")))
-                .getOrElse(Nil))
+                .getOrElse(Nil),
+              m.getAs[scala.collection.Map[String, String]]("configuration"))
           }
           if (!r.isNullAt(1)) {
             val t = r.getStruct(1)
@@ -2347,7 +2473,7 @@ object DeltaSink {
       s"unsupported Delta protocol: table requires reader version $minReader, " +
         "this engine supports up to 3 (deletion vectors)")
     (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
-      minReader, minWriter, readerFeatures, writerFeatures), live)
+      minReader, minWriter, readerFeatures, writerFeatures, tableConfig), live)
   }
 
   /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
@@ -2371,7 +2497,7 @@ object DeltaSink {
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
     val (meta, live) = resolve(spark, table, asOfVersion)
     State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
-      collectAdds(live), meta.txns, meta.minWriter)
+      collectAdds(live), meta.txns, meta.minWriter, meta.configuration)
   }
 
   /** Metadata-only live-file inventory for format interop

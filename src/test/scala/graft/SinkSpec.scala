@@ -2267,6 +2267,62 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, table).count() == 99)
   }
 
+  test("Delta CHECK constraints: add validates, every ingest path enforces, drop releases (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    def rows(r: Range, v: Double) = r.map(i => (i.toLong, v)).toDF("id", "v")
+    assert(DeltaSink.write(rows(1 to 10, 1.5), table))
+    val v0 = DeltaSink.latestVersion(table)
+    DeltaSink.addCheckConstraint(spark, table, "v_pos", "v > 0")
+    val commit = Files.readString(Paths.get(table, "_delta_log", f"${v0 + 1}%020d.json"))
+    assert(commit.contains("delta.constraints.v_pos") &&
+      commit.contains("\"minWriterVersion\":3"))
+    // valid append passes; NULL satisfies (SQL CHECK semantics)
+    DeltaSink.append(rows(11 to 15, 2.0), table)
+    DeltaSink.append(Seq((16L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "v").selectExpr("id", "cast(v as double) as v"), table)
+    assert(DeltaSink.read(spark, table).count() == 16)
+    // a violating append fails the WRITE JOB — nothing commits
+    val vBefore = DeltaSink.latestVersion(table)
+    intercept[Exception] { DeltaSink.append(rows(17 to 18, -1.0), table) }
+    assert(DeltaSink.latestVersion(table) == vBefore)
+    assert(DeltaSink.read(spark, table).count() == 16)
+    // adding a constraint the EXISTING data violates is refused
+    assert(intercept[IllegalArgumentException] {
+      DeltaSink.addCheckConstraint(spark, table, "id_high", "id > 5")
+    }.getMessage.contains("existing rows violate"))
+    // an UPDATE whose post-image violates fails too (CoW path)
+    intercept[Exception] {
+      DeltaSink.updateWhere(spark, table, "id = 3", Map("v" -> "-9.0"))
+    }
+    assert(DeltaSink.read(spark, table).filter(col("v") < 0).count() == 0)
+    // a MERGE inserting a violating row fails
+    intercept[Exception] {
+      DeltaSink.merge(spark, table, Seq((99L, -5.0)).toDF("id", "v"), Seq("id"))
+    }
+    assert(DeltaSink.read(spark, table).count() == 16)
+    // the constraint survives a checkpoint (configuration rides it)
+    DeltaSink.checkpoint(spark, table)
+    intercept[Exception] { DeltaSink.append(rows(20 to 21, -2.0), table) }
+    // DROP releases: the same batch now lands
+    DeltaSink.dropCheckConstraint(spark, table, "v_pos")
+    DeltaSink.append(rows(20 to 21, -2.0), table)
+    assert(DeltaSink.read(spark, table).count() == 18)
+    // v7 (DV) table: the constraint rides the checkConstraints writer feature
+    val t2 = tmp()
+    assert(DeltaSink.write(rows(1 to 10, 1.0), t2))
+    DeltaSink.deleteWhereDV(spark, t2, "id = 1") // bumps to v3/v7
+    val v2 = DeltaSink.latestVersion(t2)
+    DeltaSink.addCheckConstraint(spark, t2, "v_pos", "v > 0")
+    val c2 = Files.readString(Paths.get(t2, "_delta_log", f"${v2 + 1}%020d.json"))
+    assert(c2.contains("checkConstraints") && c2.contains("\"minWriterVersion\":7"))
+    intercept[Exception] {
+      DeltaSink.updateWhereDV(spark, t2, "id = 2", Map("v" -> "-1.0"))
+    }
+    assert(DeltaSink.read(spark, t2).filter(col("v") < 0).count() == 0)
+  }
+
   test("Delta REORG purge: rewrites only DV files, drops DVs, layout-only commit (r14)") {
     val s = spark
     import s.implicits._
