@@ -276,6 +276,10 @@ object Cli {
         val head = sinks.IcebergSink.appendBranch(
           spark.read.parquet(pos(0)), pos(1), pos(2))
         println(s"branch ${pos(2)} -> $head")
+      case "convert-iceberg-to-delta" =>
+        // convert-iceberg-to-delta <table> — reverse in-place convert
+        val nf2 = sinks.DeltaSink.convertFromIceberg(spark, pos(0))
+        println(s"converted $nf2 live files")
       case "convert-delta-to-iceberg" =>
         // convert-delta-to-iceberg <table> — UniForm-style in-place
         // metadata-only convert; both front-ends stay readable

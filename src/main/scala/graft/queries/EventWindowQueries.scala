@@ -2365,6 +2365,53 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_to_delta",
+      // Iceberg→Delta IN-PLACE CONVERT under the oracle (r14, the reverse
+      // of q_uniform_convert — the interop story in both directions):
+      // events land as an identity-partitioned Iceberg table,
+      // convertFromIceberg mints the standard two-commit _delta_log whose
+      // adds reference the SAME parquet with manifest record counts as
+      // stats and log-typed partition values, and the census reads
+      // through the DELTA front-end (whose partitioned reader injects
+      // partition values from the log per value group — the Iceberg
+      // layout has no Hive-discoverable root). Gates: `zero_copy`
+      // (parquet set byte-identical), `counts_agree` (Iceberg manifest
+      // census ≡ Delta log-stats census, both metadata-only), census ≡
+      // the raw oracle.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-ice2delta") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, table,
+          graft.sinks.IcebergSink.CreateExclusive, partitionBy = Seq("event_type"))
+        def parquets() = {
+          def walk(d: java.io.File): Seq[java.io.File] =
+            Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+              if (f.isDirectory) walk(f)
+              else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+            }
+          walk(new java.io.File(table))
+            .map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
+        }
+        val before = parquets()
+        val n = graft.sinks.DeltaSink.convertFromIceberg(s, table)
+        val zeroCopy = n == before.size && parquets() == before
+        val iceCount = graft.sinks.IcebergSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        val deltaCount = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("zero_copy", lit(zeroCopy))
+          .withColumn("counts_agree", lit(deltaCount == iceCount))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  TRUE AS zero_copy, TRUE AS counts_agree
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rewrite_manifests",
       // REWRITE MANIFESTS under the oracle (r14): the metadata-plane
       // compaction every streaming-ingested table needs. Four appends

@@ -341,6 +341,56 @@ object DeltaSink {
     true
   }
 
+  /** CONVERT an Iceberg table to Delta IN PLACE — METADATA-ONLY (the
+    * reverse of [[IcebergSink.convertFromDelta]]; together they are the
+    * UniForm pattern in both directions): mints the standard two-commit
+    * `_delta_log` (protocol + metaData, then one add per live Iceberg
+    * data file with its manifest record_count as numRecords stats and its
+    * typed partition values stringified into the Hive codec) alongside
+    * `metadata/`, moving zero data bytes. Identity partitioning maps
+    * 1:1 — both formats drop the column from the files and carry the
+    * value in table metadata; hidden (transform) partitioning,
+    * partition-evolved layouts and live MoR deletes refuse. Both
+    * front-ends then evolve independently; each side's janitor treats the
+    * other's live files as referenced ([[vacuum]] /
+    * [[IcebergSink.expireSnapshots]] guards). Returns the file count.
+    */
+  def convertFromIceberg(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Int = {
+    require(!Files.exists(logDir(table)), s"$table is already a Delta table")
+    val (schema, partCols, files) = IcebergSink.inventoryForConvert(table)
+    val dir = new File(table)
+    def strPv(v: Any, colName: String): String = v match {
+      case null => null
+      case i: Integer if schema(colName).dataType ==
+        org.apache.spark.sql.types.DateType =>
+        java.time.LocalDate.ofEpochDay(i.toLong).toString
+      case other => String.valueOf(other)
+    }
+    val adds = files.map { case (absPath, pvals, n) =>
+      val f = new File(absPath)
+      require(f.getAbsolutePath.startsWith(dir.getAbsolutePath + File.separator),
+        s"data file outside the table root cannot convert: $absPath")
+      AddEntry(dir.toPath.relativize(f.toPath).toString,
+        partCols.map(c => c -> strPv(pvals.getOrElse(c, null), c)).toMap,
+        f.length(), f.lastModified(), s"""{"numRecords":$n}""")
+    }
+    val now = System.currentTimeMillis()
+    Files.createDirectories(logDir(table))
+    val commit0 = Seq(protocolJson,
+      metaDataJson(java.util.UUID.randomUUID().toString,
+        StructType(schema.fields.map(_.copy(nullable = true))).json,
+        partCols, now))
+    commitAtomic(store, versionFile(table, 0), commit0)
+    try commitAtomic(store, versionFile(table, 1), adds.map(a => addJson(a)))
+    catch { case e: Throwable =>
+      scala.util.Try(deleteData(store, dir, "_delta_log/" +
+        versionFile(table, 0).getFileName.toString))
+      throw e
+    }
+    adds.size
+  }
+
   /** SHALLOW CLONE — a zero-copy table copy (Delta CLONE semantics): the
     * clone gets its OWN log (fresh table id, version 0/1) whose add
     * actions point at the SOURCE's data files by absolute path (spec:
@@ -1800,7 +1850,19 @@ object DeltaSink {
       store: CommitStore = CommitStore.Local): Int = {
     val dir = new File(table)
     val liveAdds = replay(spark, table, None).live
-    val liveNow = liveAdds.map(_.path).toSet
+    // dual-format guard (convertFromDelta/convertFromIceberg): a file the
+    // ICEBERG plane still references — any snapshot — is not a tombstone,
+    // whatever the Delta log thinks of it
+    val icebergLive: Set[String] =
+      if (Files.exists(Paths.get(table, "metadata", "version-hint.text")))
+        IcebergSink.referencedDataFiles(table).flatMap { p =>
+          val f = new File(p)
+          if (f.getAbsolutePath.startsWith(dir.getAbsolutePath + File.separator))
+            Some(dir.toPath.relativize(f.toPath).toString)
+          else None
+        }
+      else Set.empty
+    val liveNow = liveAdds.map(_.path).toSet ++ icebergLive
     val cutoff = System.currentTimeMillis() - retentionMs
     val dead = dataFiles(dir).filter { f =>
       val rel = dir.toPath.relativize(f.toPath).toString
@@ -2249,7 +2311,8 @@ object DeltaSink {
         col(physName(f)).as(f.name)) ++ (if (withLineage) lineageCols else Nil)
       if (!mappingEnabled(state.schema) && !withLineage) base
       else base.select(cols: _*)
-    } else {
+    } else if (state.live.forall(_.path.startsWith(
+        state.partitionColumns.head + "="))) {
       // Hive-style dirs + basePath: Spark's partition discovery restores the
       // partition columns (typed per the declared schema) and Catalyst
       // partition-prunes on them; select() pins the declared column order.
@@ -2260,6 +2323,26 @@ object DeltaSink {
         .select(state.schema.fields.toIndexedSeq.map(f =>
           col(physName(f)).as(f.name)) ++
           (if (withLineage) lineageCols else Nil): _*)
+    } else {
+      // NON-standard layout (a convertFromIceberg table, whose files sit
+      // under data/stage-*/col=v/): directory discovery would choke on the
+      // mixed depths, so partition values come from the LOG's
+      // add.partitionValues — the spec's actual source of truth — injected
+      // as typed literals per value group. One scan per distinct partition
+      // tuple, same shape as the Iceberg reader's readEntries.
+      import org.apache.spark.sql.functions.lit
+      val dataSchema = StructType(physicalSchema(state.schema).fields
+        .filterNot(f => state.partitionColumns.contains(f.name)))
+      state.live.groupBy(_.partitionValues).toSeq.map { case (pv, adds) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(adds.map(a => dataAbs(table, a.path)): _*)
+        val cols = state.schema.fields.toIndexedSeq.map { f =>
+          if (state.partitionColumns.contains(f.name))
+            lit(pv.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+          else col(physName(f)).as(f.name)
+        } ++ (if (withLineage) lineageCols else Nil)
+        base.select(cols: _*)
+      }.reduce(_.unionAll(_))
     }
   }
 

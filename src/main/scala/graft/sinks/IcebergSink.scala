@@ -3368,7 +3368,19 @@ object IcebergSink {
       case _ => Files.deleteIfExists(Paths.get(p)): Unit
     }
     (expMeta -- keptMeta).foreach(reclaim)
-    val deadData = expData -- keptData
+    // dual-format guard: on a converted table the DELTA log may still
+    // reference files every kept Iceberg snapshot has retired — they are
+    // not reclaimable (mirror of DeltaSink.vacuum's icebergLive guard)
+    val deltaLive: Set[String] =
+      if (!Files.exists(Paths.get(table, "_delta_log"))) Set.empty
+      else org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) => DeltaSink.liveInventory(s, table)._3
+          .map(f => new File(table, f._1).getAbsolutePath).toSet
+        case None => throw new IllegalStateException(
+          "expiring a dual-format table needs an active SparkSession " +
+            "to read the Delta plane's live set")
+      }
+    val deadData = expData -- keptData -- deltaLive
     deadData.foreach(reclaim)
     deadData.size
   }
@@ -3428,6 +3440,52 @@ object IcebergSink {
       }
       p
     }
+  }
+
+  /** Inventory for [[DeltaSink.convertFromIceberg]]: (schema, identity
+    * partition sources, entries as (absPath, typedPartitionValues,
+    * recordCount)). Refuses the shapes Delta cannot express: transform
+    * (hidden) partitioning, partition-evolved mixed layouts, and live
+    * merge-on-read delete files.
+    */
+  private[sinks] def inventoryForConvert(table: String)
+      : (StructType, Seq[String], Seq[(String, Map[String, Any], Long)]) = {
+    val meta = currentMeta(table)
+    val schema = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+    val specs = storedSpecsOf(meta)
+    require(specs.size == 1, "partition-evolved Iceberg tables do not " +
+      "convert to Delta (mixed per-file layouts); compact first")
+    val default = specs.head._2
+    require(default.forall(_.transform == "identity"),
+      "hidden (transform) partitioning has no Delta equivalent")
+    val snap = snapshotEntries(table, None)
+    require(snap.deletes.isEmpty,
+      "merge-on-read delete files do not convert to Delta; compact first")
+    val list = manifestListOf(table, meta,
+      meta.get("current-snapshot-id").asLong()).getOrElse(
+      throw new IllegalStateException(s"no current snapshot: $table"))
+    val entries = manifestRefs(table, list).filter(_.content == 0).flatMap { mr =>
+      val f = new File(requireAvro(abs(table, mr.path)))
+      val parts = IcebergAvro.readManifestPartitions(f).toMap
+      IcebergAvro.readManifestDataFiles(f).map { case (p, n) =>
+        (p, parts.getOrElse(p, Map.empty[String, Any]), n)
+      }
+    }
+    (schema, default.map(_.name), entries)
+  }
+
+  /** EVERY data file any snapshot of the current metadata references —
+    * the protection set the Delta-plane janitor (vacuum) honors on a
+    * dual-format table.
+    */
+  private[sinks] def referencedDataFiles(table: String): Set[String] = {
+    val meta = currentMeta(table)
+    meta.get("snapshots").elements().asScala.toSeq
+      .map(s => abs(table, s.get("manifest-list").asText()))
+      .flatMap(readManifestPaths(table, _)).toSet
+      .flatMap((mp: String) => dataFilesOf(table, mp))
   }
 
   private def currentMeta(table: String): com.fasterxml.jackson.databind.JsonNode = {

@@ -1659,6 +1659,67 @@ class SinkSpec extends AnyFunSuite {
     }.getMessage.contains("column-mapped"))
   }
 
+  test("Iceberg->Delta in-place convert: zero copy, partition mapping, janitor guards (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "lang", "v")
+    IcebergSink.write(df, table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    def parquets() = {
+      def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
+        f => if (f.isDirectory) walk(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+      walk(new File(table)).map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
+    }
+    val before = parquets()
+    val n = DeltaSink.convertFromIceberg(spark, table)
+    assert(n == before.size)
+    assert(parquets() == before) // zero copy
+    // the Delta front-end reads the same rows, partition column included
+    val back = DeltaSink.read(spark, table)
+    assert(back.count() == 100)
+    assert(back.filter(col("lang") === "g1").agg(count(lit(1))).head().getLong(0) ==
+      IcebergSink.read(spark, table).filter(col("lang") === "g1").count())
+    assert(back.agg(sum(col("id"))).head().getLong(0) == 5050L)
+    assert(DeltaSink.fileStats(spark, table)
+      .agg(sum(col("num_records"))).head().getLong(0) == 100L)
+    // independent evolution: a Delta append is invisible to Iceberg and
+    // an Iceberg append invisible to Delta
+    DeltaSink.append(df.filter(col("id") <= 10), table)
+    IcebergSink.write(df.filter(col("id") > 95), table, IcebergSink.Append)
+    assert(DeltaSink.read(spark, table).count() == 110)
+    assert(IcebergSink.read(spark, table).count() == 105)
+    // JANITOR GUARD 1: Delta vacuum at retention 0 must spare the
+    // Iceberg-only file (referenced by the other plane, unknown to Delta)
+    DeltaSink.vacuum(spark, table, retentionMs = 0L)
+    assert(IcebergSink.read(spark, table).count() == 105)
+    assert(DeltaSink.read(spark, table).count() == 110)
+    // JANITOR GUARD 2: Iceberg expiry must spare Delta-live files its own
+    // kept snapshots retired (overwrite references only the new files)
+    IcebergSink.write(df.filter(col("id") > 90), table, IcebergSink.Overwrite,
+      partitionBy = Seq("lang"))
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(DeltaSink.read(spark, table).count() == 110)
+    assert(IcebergSink.read(spark, table).count() == 10)
+    // refusals: hidden partitioning, MoR deletes, already-Delta
+    val t2 = tmp()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    IcebergSink.write(Seq((1L, ts(1))).toDF("id", "ts"), t2,
+      IcebergSink.CreateExclusive, partitionBy = Seq("day(ts)"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaSink.convertFromIceberg(spark, t2)
+    }.getMessage.contains("no Delta equivalent"))
+    val t3 = tmp()
+    IcebergSink.write(df, t3, IcebergSink.CreateExclusive)
+    IcebergSink.deleteWhere(spark, t3, "id = 1")
+    assert(intercept[IllegalArgumentException] {
+      DeltaSink.convertFromIceberg(spark, t3)
+    }.getMessage.contains("compact first"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaSink.convertFromIceberg(spark, table)
+    }.getMessage.contains("already a Delta table"))
+  }
+
   test("Iceberg rewriteManifests: metadata-only compaction keeps reads, deletes, history (r14)") {
     val s2 = spark
     import s2.implicits._
