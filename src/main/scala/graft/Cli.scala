@@ -276,6 +276,11 @@ object Cli {
         val head = sinks.IcebergSink.appendBranch(
           spark.read.parquet(pos(0)), pos(1), pos(2))
         println(s"branch ${pos(2)} -> $head")
+      case "sync-iceberg-from-delta" =>
+        // sync-iceberg-from-delta <table> — refresh the Iceberg view of a
+        // dual-format table after Delta commits (metadata-only)
+        val ns = sinks.IcebergSink.syncFromDelta(spark, pos(0))
+        println(if (ns == 0) "already in sync" else s"synced $ns live files")
       case "convert-iceberg-to-delta" =>
         // convert-iceberg-to-delta <table> — reverse in-place convert
         val nf2 = sinks.DeltaSink.convertFromIceberg(spark, pos(0))

@@ -2412,6 +2412,44 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_uniform_sync",
+      // UniForm CONTINUOUS SYNC under the oracle (r14, the second half of
+      // q_uniform_convert): the even half lands as Delta and converts;
+      // the odd half then arrives as a NORMAL Delta append — the Iceberg
+      // view is stale (pinned by `was_stale`: its metadata census still
+      // counts the even half) until syncFromDelta commits a `replace`
+      // snapshot referencing the Delta log's current live files. Census
+      // through the ICEBERG front-end must then equal the full corpus,
+      // and a second sync is a no-op (`sync_noop` — path-set equality,
+      // metadata-only). This is the operational UniForm loop at 100 TB:
+      // Delta ingests continuously, the Iceberg ecosystem reads through
+      // periodic metadata-only refreshes, zero data copies ever.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-uniform-sync")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true, partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.convertFromDelta(s, table)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        val evenCount = graft.sinks.IcebergSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        val wasStale = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0) > evenCount
+        graft.sinks.IcebergSink.syncFromDelta(s, table)
+        val syncNoop = graft.sinks.IcebergSink.syncFromDelta(s, table) == 0
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), fxSum(col("value")).as("sum_v"))
+          .withColumn("was_stale", lit(wasStale))
+          .withColumn("sync_noop", lit(syncNoop))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  TRUE AS was_stale, TRUE AS sync_noop
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rewrite_manifests",
       // REWRITE MANIFESTS under the oracle (r14): the metadata-plane
       // compaction every streaming-ingested table needs. Four appends

@@ -1998,6 +1998,106 @@ object IcebergSink {
     * column-mapped tables (physical names would not resolve by the
     * minted field ids). Returns the converted live-file count.
     */
+  /** Delta partition-value strings → the typed values Iceberg manifests
+    * carry (shared by convert and sync).
+    */
+  private def typedDeltaPv(schema: StructType, pv: Map[String, String],
+      colName: String): Any =
+    pv.get(colName).flatMap(Option(_)).filter(_ != HiveNullPartition) match {
+      case None => null
+      case Some(s) => schema(colName).dataType match {
+        case org.apache.spark.sql.types.IntegerType => Int.box(s.toInt)
+        case org.apache.spark.sql.types.LongType => Long.box(s.toLong)
+        case org.apache.spark.sql.types.BooleanType => Boolean.box(s.toBoolean)
+        case org.apache.spark.sql.types.DateType =>
+          Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        case _ => s
+      }
+    }
+
+  /** REFRESHES the Iceberg view of a [[convertFromDelta]] dual-format
+    * table — the continuous half of the UniForm pattern: after Delta
+    * commits (appends, compactions, CoW rewrites), one sync commits a
+    * `replace` Iceberg snapshot whose single manifest references the
+    * Delta log's CURRENT live files (footer stats re-read, so pruning
+    * stays exact). Metadata-only; a no-op (returns 0) when the two planes
+    * already agree. Prior Iceberg snapshots remain time-travelable and
+    * expire normally — with the Delta-live guard keeping shared files on
+    * disk. Refuses the same shapes as convert (DVs, column mapping) plus
+    * any schema/layout divergence (evolve the Iceberg view explicitly
+    * instead of silently re-declaring).
+    */
+  def syncFromDelta(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Int = {
+    val hint = readHint(table).getOrElse(throw new IllegalArgumentException(
+      s"$table carries no Iceberg metadata — run convertFromDelta first"))
+    require(Files.exists(Paths.get(table, "_delta_log")),
+      s"not a Delta table: $table")
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val (schema, partCols, files, mapped) = DeltaSink.liveInventory(spark, table)
+    require(!mapped, "column-mapped Delta tables do not sync")
+    require(files.forall(!_._3),
+      "deletion-vector tables do not sync: purge the DVs first")
+    val stored = DataType.fromJson(
+      meta.get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      stored.fields.map(f => (f.name, f.dataType)).toSeq,
+      "Delta schema diverged from the Iceberg view — re-declare explicitly")
+    val specs = storedSpecsOf(meta)
+    val defaultSpec = specs
+      .find(_._1 == meta.get("default-spec-id").asInt()).map(_._2).getOrElse(Nil)
+    require(defaultSpec.map(_.name) == partCols &&
+      defaultSpec.forall(_.transform == "identity"),
+      "Delta partition layout diverged from the Iceberg spec")
+    // no-op when the planes already agree (path-set equality)
+    val curFiles = snapshotEntries(table, None).data.map(_._1).toSet
+    val deltaFiles = files.map(f => new File(table, f._1).getAbsolutePath)
+    if (deltaFiles.toSet == curFiles) return 0
+    val idByName: Map[String, Int] =
+      ifieldsOf(mapper.readTree(currentSchemaJson(meta)._2))
+        .map(f => f.name -> f.id).toMap
+    val partSpecs = partCols.map(parsePartSpec)
+    val partFields = partitionFieldsOf(schema, partSpecs)
+      .zip(defaultSpec).map { case (pf, sf) => pf.copy(fieldId = sf.fieldId) }
+    val specId = meta.get("default-spec-id").asInt()
+    val specFieldsJson = partFields.zip(partSpecs).map { case (pf, ps) =>
+      s"""{"name":"${pf.name}","transform":"identity","source-id":${idByName(ps.source)},"field-id":${pf.fieldId}}"""
+    }.mkString(",")
+    val specJson = s"""{"spec-id":$specId,"fields":[$specFieldsJson]}"""
+    val conf = spark.sessionState.newHadoopConf()
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val infos = files.map { case (rel, pv, _) =>
+      val f = new File(table, rel)
+      val (rows, stats) = footerStats(f, conf, idByName)
+      IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats,
+        partSpecs.map(ps => typedDeltaPv(schema, pv, ps.source)))
+    }
+    var manifestLen = 0L
+    val (manifestPath, _) = writeAvroArtifact(table, store,
+      s"manifest-${java.util.UUID.randomUUID()}.avro") { f =>
+      manifestLen = IcebergAvro.writeManifest(f, infos, snapshotId,
+        currentSchemaJson(meta)._2, specJson, partFields, specId = specId)
+      manifestLen
+    }
+    val row = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
+      manifestLen, seq, snapshotId, infos.size, infos.map(_.recordCount).sum,
+      specId = specId)
+    commitSnapshot(table, store, meta, hint, snapshotId, seq,
+      currentSchemaJson(meta)._1, Seq(row), "replace",
+      Map("graft.synced-from" -> "delta",
+        "synced-files" -> infos.size.toString),
+      reclaimOnConflict = () => {
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(manifestPath)): Unit
+          case _ => Files.deleteIfExists(manifestPath): Unit
+        }
+      },
+      carriedOverride = Some(Nil))
+    infos.size
+  }
+
   def convertFromDelta(spark: SparkSession, table: String,
       store: CommitStore = CommitStore.Local): Int = {
     require(readHint(table).isEmpty, s"$table already carries Iceberg metadata")
@@ -2028,25 +2128,13 @@ object IcebergSink {
     val specJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}"""
     // typed partition values from the Delta log's string map (the log is
     // the truth — identity-partitioned Delta files don't store the column)
-    def typedPv(pv: Map[String, String], col: String): Any =
-      pv.get(col).flatMap(Option(_)).filter(_ != HiveNullPartition) match {
-        case None => null
-        case Some(s) => schema(col).dataType match {
-          case org.apache.spark.sql.types.IntegerType => Int.box(s.toInt)
-          case org.apache.spark.sql.types.LongType => Long.box(s.toLong)
-          case org.apache.spark.sql.types.BooleanType => Boolean.box(s.toBoolean)
-          case org.apache.spark.sql.types.DateType =>
-            Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
-          case _ => s
-        }
-      }
     val conf = spark.sessionState.newHadoopConf()
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val infos = files.map { case (rel, pv, _) =>
       val f = new File(table, rel)
       val (rows, stats) = footerStats(f, conf, fieldIds)
       IcebergAvro.DataFileInfo(f.getAbsolutePath, f.length(), rows, stats,
-        partSpecs.map(ps => typedPv(pv, ps.source)))
+        partSpecs.map(ps => typedDeltaPv(schema, pv, ps.source)))
     }
     Files.createDirectories(metaDir(table))
     var manifestLen = 0L

@@ -1659,6 +1659,43 @@ class SinkSpec extends AnyFunSuite {
     }.getMessage.contains("column-mapped"))
   }
 
+  test("UniForm sync: Delta commits refresh the Iceberg view incrementally (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    val df = (1L to 50L).map(i => (i, s"g${i % 2}", i.toDouble)).toDF("id", "lang", "v")
+    assert(DeltaSink.write(df, table, partitionBy = Seq("lang")))
+    IcebergSink.convertFromDelta(spark, table)
+    val snap0 = IcebergSink.snapshots(table).last._1
+    // planes agree → sync is a no-op
+    assert(IcebergSink.syncFromDelta(spark, table) == 0)
+    // Delta evolves: append + compact (rewrites the live set)
+    DeltaSink.append(df.filter(col("id") <= 10)
+      .select(col("id") + 100, col("lang"), col("v")).toDF("id", "lang", "v"), table)
+    assert(IcebergSink.read(spark, table).count() == 50) // stale until sync
+    val n = IcebergSink.syncFromDelta(spark, table)
+    assert(n > 0)
+    val ice = IcebergSink.read(spark, table)
+    assert(ice.count() == 60)
+    assert(ice.filter(col("id") > 100).count() == 10)
+    // partition values still reconstruct through the synced manifest
+    assert(ice.filter(col("lang") === "g1").count() ==
+      DeltaSink.read(spark, table).filter(col("lang") === "g1").count())
+    // the pre-sync Iceberg snapshot still time-travels
+    assert(IcebergSink.read(spark, table, Some(snap0)).count() == 50)
+    // idempotent again after the sync
+    assert(IcebergSink.syncFromDelta(spark, table) == 0)
+    // a Delta CoW delete then syncs through as a replace
+    DeltaSink.deleteWhere(spark, table, "id <= 5")
+    assert(IcebergSink.syncFromDelta(spark, table) > 0)
+    assert(IcebergSink.read(spark, table).count() == 55)
+    // DV-carrying Delta state refuses to sync
+    DeltaSink.deleteWhereDV(spark, table, "id = 6")
+    assert(intercept[IllegalArgumentException] {
+      IcebergSink.syncFromDelta(spark, table)
+    }.getMessage.contains("purge"))
+  }
+
   test("Iceberg->Delta in-place convert: zero copy, partition mapping, janitor guards (r14)") {
     val s2 = spark
     import s2.implicits._
