@@ -193,6 +193,12 @@ object Cli {
         sinks.IcebergSink.evolve(spark.read.parquet(pos(0)), pos(1),
           partitionBy = partitionBy)
         println("evolved and appended")
+      case "parquet-to-delta-generated" =>
+        // parquet-to-delta-generated <sourceParquet> <table> <col> <expr>
+        // — create with a generated column (use --partition-by to lay out)
+        sinks.DeltaSink.writeGenerated(spark.read.parquet(pos(0)), pos(1),
+          Map(pos(2) -> pos(3)), partitionBy = partitionBy)
+        println(s"created with generated column ${pos(2)}")
       case "add-constraint-delta" =>
         // add-constraint-delta <table> <name> <sqlExpr> — CHECK constraint
         sinks.DeltaSink.addCheckConstraint(spark, pos(0), pos(1), pos(2))

@@ -1305,6 +1305,53 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_generated",
+      // GENERATED COLUMNS under the oracle (r14, Delta spec §Generated
+      // Columns — Delta's answer to Iceberg's hidden partitioning,
+      // q_iceberg_hidden_day's format twin): the table is created with a
+      // generated `event_date = CAST(ts AS DATE)` column and partitioned
+      // by it; the odd half then appends WITHOUT the column — the writer
+      // computes it from the stamped expression — and a junk batch
+      // carrying a WRONG explicit value fails in-plan before anything
+      // commits. The one-week read filters on the partition column that
+      // no writer ever hand-maintained. Gates: `violator_rejected`,
+      // `no_partial_commit`, per-day census ≡ the raw oracle.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "ts", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-gen")
+        graft.sinks.DeltaSink.writeGenerated(ev.filter(col("event_id") % 2 === 0),
+          table, generated = Map("event_date" -> "CAST(ts AS DATE)"),
+          partitionBy = Seq("event_date"))
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        def metaCount() = graft.sinks.DeltaSink.fileStats(s, table)
+          .agg(sum(col("num_records"))).head().getLong(0)
+        val before = metaCount()
+        val junk = ev.filter(col("event_id") % 500 === 0)
+          .select((col("event_id") + lit(3000000000L)).as("event_id"),
+            col("ts"), col("event_type"), col("value"))
+          .withColumn("event_date", lit(java.sql.Date.valueOf("1999-01-01")))
+        val rejected =
+          try { graft.sinks.DeltaSink.append(junk, table); false }
+          catch { case _: Throwable => true }
+        graft.sinks.DeltaSink.read(s, table)
+          .filter(col("event_date") >= lit(java.sql.Date.valueOf("2024-01-08")) &&
+            col("event_date") < lit(java.sql.Date.valueOf("2024-01-15")))
+          .groupBy(col("event_date").as("day"))
+          .agg(count(lit(1)).as("n_events"), fxSum(col("value")).as("total_value"))
+          .withColumn("violator_rejected", lit(rejected))
+          .withColumn("no_partial_commit", lit(metaCount() == before))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS total_value,
+             |  TRUE AS violator_rejected, TRUE AS no_partial_commit
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       "q_delta_reorg",
       // REORG … APPLY (PURGE) under the oracle (r14): materializes
       // deletion vectors back into clean parquet. events land partitioned

@@ -111,6 +111,10 @@ object DeltaSink {
     */
   private val PhysNameKey = "delta.columnMapping.physicalName"
   private val MapIdKey = "delta.columnMapping.id"
+  /** Spec key: a generated column's SQL expression rides its StructField
+    * metadata in schemaString (Delta spec §Generated Columns).
+    */
+  private val GenExprKey = "delta.generationExpression"
 
   private def physName(f: StructField): String =
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
@@ -341,6 +345,41 @@ object DeltaSink {
     true
   }
 
+  /** CREATES a Delta table with GENERATED COLUMNS (spec §Generated
+    * Columns, `delta.generationExpression` field metadata + writer v4):
+    * each (name → SQL expression) column is computed from the frame,
+    * appended to the schema with its expression stamped in the field
+    * metadata, and from then on EVERY append either computes the column
+    * (when omitted) or verifies the provided values in-plan — see
+    * [[append]]. The headline use at 100 TB is Delta's answer to hidden
+    * partitioning: partition by a generated `date(ts)` column and writers
+    * never hand-maintain it, while readers partition-prune on it.
+    */
+  def writeGenerated(df: DataFrame, table: String,
+      generated: Map[String, String],
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = MaxRecordsPerFile,
+      store: CommitStore = CommitStore.Local): Boolean = {
+    import org.apache.spark.sql.functions.expr
+    require(generated.nonEmpty, "writeGenerated needs at least one column")
+    generated.keys.foreach(n => require(!df.columns.contains(n),
+      s"generated column $n already exists in the frame"))
+    val withCols = generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, ex)) =>
+      val m = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(GenExprKey, ex).build()
+      d.withColumn(n, expr(ex).as(n, m))
+    }
+    val ok = write(withCols, table, overwrite = false, maxRecordsPerFile,
+      partitionBy, store)
+    if (ok) {
+      // generated columns are a WRITER feature: legacy v4 (spec) — bumped
+      // in a follow-up protocol commit so pre-v4 writers refuse the table
+      commitAtomic(store, versionFile(table, 2),
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""))
+    }
+    ok
+  }
+
   /** CONVERT an Iceberg table to Delta IN PLACE — METADATA-ONLY (the
     * reverse of [[IcebergSink.convertFromDelta]]; together they are the
     * UniForm pattern in both directions): mints the standard two-commit
@@ -487,13 +526,37 @@ object DeltaSink {
       txnVersion: Long, store: CommitStore = CommitStore.Local): Long =
     append(df, table, 3, Some((appId, txnVersion)), store, mergeSchema = false)
 
-  private def append(df: DataFrame, table: String, retries: Int,
+  private def append(df0: DataFrame, table: String, retries: Int,
       txn0: Option[(String, Long)], store: CommitStore,
       mergeSchema: Boolean): Long = {
     val dir = new File(table)
     require(logDir(table).toFile.isDirectory, s"not a Delta table (no _delta_log): $table")
-    val state = replay(df.sparkSession, table, None)
+    val state = replay(df0.sparkSession, table, None)
     requireWritable(state.minWriter, table)
+    // GENERATED COLUMNS (spec §Generated Columns): a batch may OMIT a
+    // generated column — the writer computes it (in schema order, so a
+    // generated column may reference an earlier one) — and a batch that
+    // PROVIDES one has its values verified in-plan (null-safe equality →
+    // raise_error), the same zero-extra-pass discipline as CHECK
+    // constraints. Both happen before the positional gate, which then
+    // sees the full declared width.
+    val df: DataFrame = {
+      import org.apache.spark.sql.functions.{col, expr, lit, raise_error, when}
+      val genCols = state.schema.fields.filter(_.metadata.contains(GenExprKey))
+      genCols.foldLeft(df0) { (d, f) =>
+        val ex = expr(f.metadata.getString(GenExprKey)).cast(f.dataType)
+        if (!d.columns.contains(f.name)) d.withColumn(f.name, ex)
+        else {
+          val first = d.columns.head
+          val dt = d.schema.head.dataType
+          d.withColumn(first,
+            when(col(f.name) <=> ex, col(first))
+              .otherwise(raise_error(lit(
+                s"generated column ${f.name} mismatch: expected " +
+                  s"${f.metadata.getString(GenExprKey)}")).cast(dt)))
+        }
+      }
+    }
     txn0.foreach { case (appId, v) =>
       if (state.txns.get(appId).exists(_ >= v)) return -1L
     }

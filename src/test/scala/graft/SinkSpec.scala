@@ -2365,6 +2365,45 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, table).count() == 99)
   }
 
+  test("Delta generated columns: computed on write, auto-filled and verified on append (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    val df = Seq((1L, ts(1), 1.0), (2L, ts(2), 2.0), (3L, ts(3), 3.0))
+      .toDF("id", "ts", "v")
+    assert(DeltaSink.writeGenerated(df, table,
+      generated = Map("event_date" -> "CAST(ts AS DATE)"),
+      partitionBy = Seq("event_date")))
+    // schema carries the expression; protocol demands writer v4
+    val log0 = Files.readString(Paths.get(table, "_delta_log",
+      "00000000000000000000.json"))
+    assert(log0.contains("delta.generationExpression"))
+    assert(Files.readString(Paths.get(table, "_delta_log",
+      "00000000000000000002.json")).contains("\"minWriterVersion\":4"))
+    // Hive layout on the generated column
+    assert(new File(table).listFiles().exists(_.getName == "event_date=2024-03-01"))
+    val back = DeltaSink.read(spark, table)
+    assert(back.columns.toSeq == Seq("id", "ts", "v", "event_date"))
+    assert(back.filter(col("event_date") === "2024-03-02").count() == 1)
+    // append WITHOUT the column: computed automatically, lands partitioned
+    DeltaSink.append(Seq((4L, ts(1), 4.0)).toDF("id", "ts", "v"), table)
+    assert(DeltaSink.read(spark, table)
+      .filter(col("event_date") === "2024-03-01").count() == 2)
+    // append WITH a correct value: verified, passes
+    DeltaSink.append(Seq((5L, ts(2), 5.0)).toDF("id", "ts", "v")
+      .withColumn("event_date", to_date(col("ts"))), table)
+    assert(DeltaSink.read(spark, table).count() == 5)
+    // append WITH a WRONG value: the write job fails, nothing commits
+    val vBefore = DeltaSink.latestVersion(table)
+    intercept[Exception] {
+      DeltaSink.append(Seq((6L, ts(2), 6.0)).toDF("id", "ts", "v")
+        .withColumn("event_date", lit(java.sql.Date.valueOf("1999-01-01"))), table)
+    }
+    assert(DeltaSink.latestVersion(table) == vBefore)
+    assert(DeltaSink.read(spark, table).count() == 5)
+  }
+
   test("Delta CHECK constraints: add validates, every ingest path enforces, drop releases (r14)") {
     val s = spark
     import s.implicits._
