@@ -2537,6 +2537,61 @@ object EventWindowQueries extends QueryModule {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_ref_retention",
+      // PER-REF RETENTION POLICIES under the oracle (r14, spec §refs —
+      // the lifecycle half of q_iceberg_refs): refs carry their OWN
+      // expiry policy. A tag with max-ref-age-ms=1 ages out at the next
+      // expireSnapshots — its pin releases and the snapshot it guarded
+      // retires — while an ageless tag keeps pinning through the same
+      // pass. Gates: `stale_dropped` (the aged ref is gone from the ref
+      // list), `pin_kept` (the ageless one survives), `unpinned_expired`
+      // (time travel to the released snapshot now throws — the pin
+      // really was the only thing keeping it), and the kept tag's census
+      // must equal the oracle's two-thirds recompute while main serves
+      // the full corpus. At 100 TB this is how "keep every release tag
+      // 90 days" runs as table metadata instead of an external cron list.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-iceberg-refret") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 3 === 0),
+          table, graft.sinks.IcebergSink.CreateExclusive)
+        val s0 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 3 === 1),
+          table, graft.sinks.IcebergSink.Append)
+        val s1 = graft.sinks.IcebergSink.snapshots(table).last._1
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 3 === 2),
+          table, graft.sinks.IcebergSink.Append)
+        graft.sinks.IcebergSink.createRef(table, "stale_tag", s0,
+          maxRefAgeMs = Some(1L))
+        graft.sinks.IcebergSink.createRef(table, "release_tag", s1)
+        Thread.sleep(10)
+        graft.sinks.IcebergSink.expireSnapshots(table, keepLast = 1)
+        val refs = graft.sinks.IcebergSink.listRefs(table)
+        val unpinnedExpired =
+          try { graft.sinks.IcebergSink.read(s, table, Some(s0)).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        val tagged = graft.sinks.IcebergSink.readRef(s, table, "release_tag")
+          .groupBy("event_type").agg(count(lit(1)).as("n_tag"))
+        graft.sinks.IcebergSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_main"), fxSum(col("value")).as("v_main"))
+          .join(tagged, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_main"), lit(0L)).as("n_main"),
+            col("v_main"),
+            coalesce(col("n_tag"), lit(0L)).as("n_tag"))
+          .withColumn("stale_dropped", lit(!refs.contains("stale_tag")))
+          .withColumn("pin_kept", lit(refs.contains("release_tag")))
+          .withColumn("unpinned_expired", lit(unpinnedExpired))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_main,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS v_main,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 3 <> 2) AS BIGINT) AS n_tag,
+             |  TRUE AS stale_dropped, TRUE AS pin_kept, TRUE AS unpinned_expired
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_rollback",
       // Iceberg ROLLBACK under the oracle — the format twin of
       // q_delta_restore: the even half bootstraps the table, a BAD append

@@ -2306,11 +2306,18 @@ object IcebergSink {
     */
   def createRef(table: String, name: String, snapshotId: Long,
       refType: String = "tag",
-      store: CommitStore = CommitStore.Local): Unit = {
+      store: CommitStore = CommitStore.Local,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): Unit = {
     require(refType == "tag" || refType == "branch",
       s"ref type must be tag or branch, got $refType")
     require(name != "main", "main is managed by commits and rollback")
     require(name.nonEmpty, "ref name must be non-empty")
+    require(refType == "branch" ||
+      (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+      "min-snapshots-to-keep / max-snapshot-age-ms are branch retention " +
+        "fields (spec §refs); tags carry only max-ref-age-ms")
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table: $table"))
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
@@ -2323,7 +2330,16 @@ object IcebergSink {
       if (newMeta.has("refs") && newMeta.get("refs").isObject)
         newMeta.get("refs").asInstanceOf[ObjectNode]
       else newMeta.putObject("refs")
-    refs.putObject(name).put("snapshot-id", snapshotId).put("type", refType)
+    val node = refs.putObject(name)
+      .put("snapshot-id", snapshotId).put("type", refType)
+    // spec §refs retention fields — [[expireSnapshots]] honors them:
+    // a ref past max-ref-age-ms is dropped by expiry; a branch's ancestor
+    // chain keeps min-snapshots-to-keep and snapshots within
+    // max-snapshot-age-ms (absent fields keep today's protect-everything
+    // behavior — the safe superset)
+    maxRefAgeMs.foreach(v => node.put("max-ref-age-ms", v): Unit)
+    minSnapshotsToKeep.foreach(v => node.put("min-snapshots-to-keep", v): Unit)
+    maxSnapshotAgeMs.foreach(v => node.put("max-snapshot-age-ms", v): Unit)
     newMeta.put("last-updated-ms", System.currentTimeMillis())
     commitMetadataVersion(table, store, hint, newMeta)
   }
@@ -2561,9 +2577,15 @@ object IcebergSink {
           .put("snapshot-id", snapshotId).put("type", "branch")
       case Some(b) =>
         // a branch commit advances ONLY its ref: main (and the current
-        // pointer every main-line reader resolves) is untouched
-        refsNode.putObject(b)
-          .put("snapshot-id", snapshotId).put("type", "branch")
+        // pointer every main-line reader resolves) is untouched. The
+        // ref's OTHER fields (spec retention: max-ref-age-ms etc.) ride
+        // along — advancing a branch must not strip its policy.
+        val node = Option(refsNode.get(b))
+          .collect { case o: ObjectNode => o.deepCopy[ObjectNode]() }
+          .getOrElse(mapper.createObjectNode())
+        node.put("snapshot-id", snapshotId).put("type", "branch")
+        refsNode.set[com.fasterxml.jackson.databind.JsonNode](b, node)
+        ()
     }
     val newVersion = hint + 1
     try
@@ -3396,31 +3418,55 @@ object IcebergSink {
     // (tag/branch, [[createRef]]) still pins: a dangling ref is a read
     // that fails tomorrow for a retention choice made today
     val curId = meta.get("current-snapshot-id").asLong()
-    val refHeads: Set[Long] =
-      if (!meta.has("refs") || !meta.get("refs").isObject) Set(curId)
-      else meta.get("refs").properties().asScala
-        .map(_.getValue.get("snapshot-id").asLong()).toSet + curId
-    // protect each ref head's whole parent chain, not just the head:
-    // branch commits record parent-snapshot-id, and expiring an
-    // intermediate branch snapshot would sever the ancestry walk
-    // fastForward's publish gate depends on (main-line snapshots carry no
-    // parent pointer, so main retention is unchanged; branch chains are
-    // staging-lived and bounded)
     val byIdAll = all.map(n => n.get("snapshot-id").asLong() -> n).toMap
-    def chainOf(id: Long): Set[Long] = {
+    val nowMs = System.currentTimeMillis()
+    def tsOf(id: Long): Long =
+      byIdAll.get(id).map(_.get("timestamp-ms").asLong()).getOrElse(Long.MaxValue)
+    // refs past their OWN max-ref-age-ms (spec §refs) retire WITH this
+    // expiry — their pins release in the same pass; main never expires
+    val allRefs: Seq[(String, ObjectNode)] =
+      if (!meta.has("refs") || !meta.get("refs").isObject) Nil
+      else meta.get("refs").properties().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.deepCopy[ObjectNode]())
+    val (agedOutRefs, keptRefs) = allRefs.partition { case (n, node) =>
+      n != "main" && node.has("max-ref-age-ms") &&
+        nowMs - tsOf(node.get("snapshot-id").asLong()) >
+          node.get("max-ref-age-ms").asLong()
+    }
+    // protect each surviving ref head's parent chain — bounded by the
+    // ref's OWN branch-retention fields when present (spec §refs:
+    // min-snapshots-to-keep / max-snapshot-age-ms); absent fields keep
+    // the whole chain (the safe superset), so main-line behavior and
+    // fastForward's ancestry walk are unchanged
+    def chainOf(id: Long, minKeep: Int, maxAgeMs: Option[Long]): Set[Long] = {
       val out = scala.collection.mutable.Set.empty[Long]
       var cur = Option(id)
-      while (cur.isDefined && out.add(cur.get))
+      while (cur.isDefined && !out.contains(cur.get) &&
+          (out.size < minKeep ||
+            maxAgeMs.forall(a => nowMs - tsOf(cur.get) <= a))) {
+        out.add(cur.get): Unit
         cur = byIdAll.get(cur.get)
           .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong()))
+      }
       out.toSet
     }
-    val refIds: Set[Long] = refHeads.flatMap(chainOf)
+    val refIds: Set[Long] = (keptRefs.map { case (_, node) =>
+      (node.get("snapshot-id").asLong(),
+        Option(node.get("min-snapshots-to-keep")).map(_.asInt()).getOrElse(1),
+        Option(node.get("max-snapshot-age-ms")).map(_.asLong()))
+    } :+ ((curId, Int.MaxValue, None: Option[Long])))
+      .flatMap { case (id, minKeep, maxAge) =>
+        // no retention fields at all → whole chain, exactly as before
+        if (maxAge.isEmpty) chainOf(id, Int.MaxValue, None)
+        else chainOf(id, minKeep, maxAge)
+      }.toSet
     val (expired0, kept0) = all.splitAt(all.size - keepLast)
     val (expCur, expired) = expired0.partition(s =>
       refIds.contains(s.get("snapshot-id").asLong()))
     val kept = expCur ++ kept0
-    if (expired.isEmpty) return 0
+    // an aged-out ref must still commit its removal even when no snapshot
+    // expires this pass (its pin would otherwise survive forever)
+    if (expired.isEmpty && agedOutRefs.isEmpty) return 0
 
     def filesOf(snaps: Seq[ObjectNode]): (Set[String], Set[String]) = {
       val lists = snaps.map(s => abs(table, s.get("manifest-list").asText()))
@@ -3431,8 +3477,13 @@ object IcebergSink {
     val (keptMeta, keptData) = filesOf(kept)
     val (expMeta, expData) = filesOf(expired)
 
-    // rewrite metadata without the expired snapshots
+    // rewrite metadata without the expired snapshots (and without the
+    // refs whose max-ref-age-ms lapsed — their pins release here)
     val newMeta = meta.deepCopy[ObjectNode]()
+    if (agedOutRefs.nonEmpty) {
+      val refsNode = newMeta.get("refs").asInstanceOf[ObjectNode]
+      agedOutRefs.foreach { case (n, _) => refsNode.remove(n): Unit }
+    }
     val arr = newMeta.putArray("snapshots")
     kept.foreach(arr.add)
     val newVersion = hint + 1

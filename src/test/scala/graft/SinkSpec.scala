@@ -1757,6 +1757,80 @@ class SinkSpec extends AnyFunSuite {
     }.getMessage.contains("already a Delta table"))
   }
 
+  test("Iceberg ref retention policies: max-ref-age drops refs, branch chains bound protection (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val table = tmp()
+    def batch(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "v")
+    IcebergSink.write(batch(1, 5), table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    IcebergSink.write(batch(6, 10), table, IcebergSink.Append)
+    val s1 = IcebergSink.snapshots(table).last._1
+    IcebergSink.write(batch(11, 15), table, IcebergSink.Append)
+    // an AGED ref (max-ref-age-ms=1) releases its pin at expiry; an
+    // ageless ref pins forever
+    IcebergSink.createRef(table, "old_tag", s0, maxRefAgeMs = Some(1L))
+    IcebergSink.createRef(table, "pin", s1)
+    Thread.sleep(10)
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    val refs = IcebergSink.listRefs(table)
+    assert(!refs.contains("old_tag") && refs.contains("pin"))
+    assert(IcebergSink.read(spark, table, Some(s1)).count() == 10) // pinned
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, Some(s0)).count() // pin released, expired
+    }
+    // BRANCH chain retention: min-snapshots-to-keep=1 + tiny
+    // max-snapshot-age-ms protect only the branch HEAD; the intermediate
+    // branch snapshot expires while an unbounded branch keeps its chain
+    val head = IcebergSink.snapshots(table).last._1
+    IcebergSink.createRef(table, "bounded", head, refType = "branch",
+      minSnapshotsToKeep = Some(1), maxSnapshotAgeMs = Some(50L))
+    IcebergSink.appendBranch(batch(16, 20), table, "bounded")
+    val mid = IcebergSink.listRefs(table)("bounded")._1
+    IcebergSink.appendBranch(batch(21, 25), table, "bounded")
+    Thread.sleep(80) // both appends now older than max-snapshot-age-ms
+    IcebergSink.appendBranch(batch(26, 30), table, "bounded") // fresh head
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    // the branch still reads at its head (min-keep guards it)...
+    assert(IcebergSink.readRef(spark, table, "bounded").count() == 30)
+    // ...but the aged intermediate snapshot is gone
+    intercept[IllegalArgumentException] {
+      IcebergSink.read(spark, table, Some(mid)).count()
+    }
+    // retention fields survived the branch advances (they did the work
+    // above); tags refuse branch-only fields
+    intercept[IllegalArgumentException] {
+      IcebergSink.createRef(table, "bad", head, refType = "tag",
+        minSnapshotsToKeep = Some(2))
+    }
+  }
+
+  test("Iceberg compact migrates a partition-evolved table to the default spec (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    val table = tmp()
+    IcebergSink.write(
+      Seq((1L, "en", ts(1)), (2L, "de", ts(2))).toDF("id", "lang", "ts"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
+    IcebergSink.evolvePartition(table, Seq("day(ts)"))
+    IcebergSink.write(
+      Seq((3L, "en", ts(1)), (4L, "fr", ts(3))).toDF("id", "lang", "ts"),
+      table, IcebergSink.Append)
+    // the evolution's migrate path: compact rewrites EVERYTHING under the
+    // current default spec — afterwards the whole table is day-laid-out
+    IcebergSink.compact(spark, table)
+    val (pruned, scanned, total) = IcebergSink.readDays(spark, table, "ts",
+      java.time.LocalDate.of(2024, 3, 1), java.time.LocalDate.of(2024, 3, 2))
+    // EVERY file now carries a day ordinal: day-2 and day-3 files prune
+    assert(total - scanned >= 2, s"expected full-layout pruning, $scanned of $total")
+    assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // nothing lost; lang survives as a data column post-migration
+    val all = IcebergSink.read(spark, table).orderBy("id").collect()
+    assert(all.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr")))
+  }
+
   test("Iceberg rewriteManifests: metadata-only compaction keeps reads, deletes, history (r14)") {
     val s2 = spark
     import s2.implicits._
