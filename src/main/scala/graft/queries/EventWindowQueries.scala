@@ -334,6 +334,56 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_stream_iceberg_tail",
+      // The ICEBERG tail (r14, format twin of q_stream_delta_tail, and a
+      // CROSS-FORMAT pipeline to boot): the events census lands in a
+      // source ICEBERG table in two commits, a Structured Streaming query
+      // tails it through graft-iceberg-tail — offsets are SEQUENCE
+      // NUMBERS, each micro-batch the bounded (start, end] incremental
+      // scan resolved against the boundary snapshot, so racing commits
+      // never leak or re-deliver — and every batch appends EXACTLY-ONCE
+      // (txn-watermarked) into a dest DELTA table. Matching the oracle's
+      // whole-corpus census proves no sequence lost and none doubled
+      // (cnt ≡ distinct event_ids per group). Scale posture: a batch
+      // reads only the files its sequences added; state is the
+      // checkpointed offset, O(1).
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val src = graft.TempTables.create("graft-itail-src") + "/tbl"
+        val dst = graft.TempTables.create("graft-itail-dst")
+        val ckpt = graft.TempTables.create("graft-itail-ckpt")
+        graft.sinks.IcebergSink.write(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), src,
+          graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.write(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), src,
+          graft.sinks.IcebergSink.Append)
+        graft.sinks.DeltaSink.write(ev.limit(0), dst, overwrite = true)
+        val q = s.readStream.format("graft-iceberg-tail").option("path", src).load()
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              graft.sinks.DeltaSink.appendExactlyOnce(
+                batch, dst, appId = "q-stream-iceberg-tail", txnVersion = id): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sinks.DeltaSink.read(s, dst)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_stream_iceberg",
       // Exactly-once streaming ingest into ICEBERG under the oracle — the
       // other sink format's twin of q_stream_delta_tail: the even half of

@@ -1568,6 +1568,50 @@ object IcebergSink {
       curFields = current.curFields, fileFields = current.fileFields)
   }
 
+  /** BOUNDED incremental scan by SEQUENCE NUMBER — the contract the
+    * streaming tail ([[graft.streaming.IcebergTailSource]]) needs: the
+    * rows of data files whose data sequence lies in (sinceSeq, untilSeq],
+    * resolved against the latest snapshot at-or-under untilSeq so a
+    * commit racing the offset read can never leak into the batch. Uses
+    * per-entry sequences (so a rewriteManifests merge between offsets
+    * never re-emits old files) and applies the boundary snapshot's
+    * deletes. Sequence numbers are the natural streaming offset: strictly
+    * monotonic per commit, branch-shared, never reused.
+    */
+  def readAppendedBetween(spark: SparkSession, table: String,
+      sinceSeq: Long, untilSeq: Long): DataFrame = {
+    val meta = currentMeta(table)
+    val boundary = meta.get("snapshots").elements().asScala.toSeq
+      .filter(_.get("sequence-number").asLong() <= untilSeq)
+      .sortBy(_.get("sequence-number").asLong())
+      .lastOption
+    boundary match {
+      case None =>
+        val schema = DataType.fromJson(
+          meta.get("properties").get("graft.spark-schema").asText())
+          .asInstanceOf[StructType]
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some(b) =>
+        val snap = snapshotEntries(table, Some(b.get("snapshot-id").asLong()))
+        readMerged(spark, snap.schema,
+          snap.data.filter(e => e._3 > sinceSeq && e._3 <= untilSeq),
+          snap.deletes,
+          curFields = snap.curFields, fileFields = snap.fileFields)
+    }
+  }
+
+  /** The table's last committed sequence number (streaming offset). */
+  def lastSequenceNumber(table: String): Long =
+    readHint(table).map(_ => currentMeta(table)
+      .get("last-sequence-number").asLong()).getOrElse(-1L)
+
+  /** Declared Spark schema of the table (no data scan). */
+  def tableSchema(table: String): StructType =
+    DataType.fromJson(currentMeta(table)
+      .get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+
   private def readEntries(spark: SparkSession, schema: StructType,
       entries: Seq[(String, Map[String, Any])],
       withLineage: Boolean = false,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.sinks.IcebergSink
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a graft Iceberg table — the format
+  * twin of [[DeltaTailSource]]. Offsets are SEQUENCE NUMBERS (strictly
+  * monotonic per commit, never reused — Iceberg's native change cursor);
+  * each micro-batch is the bounded incremental scan of sequences
+  * (start, end] via [[IcebergSink.readAppendedBetween]], resolved against
+  * the boundary snapshot so a commit racing the offset read can never
+  * leak into a batch and re-deliver. Per-entry sequences make a
+  * rewriteManifests metadata compaction between offsets invisible (merged
+  * manifests keep their files' original sequences); rows removed by
+  * overwriting writers are not retracted — the same append-tail caveat as
+  * the Delta twin.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft-iceberg-tail")
+  *     .option("path", "/path/to/iceberg-table")
+  *     .load()
+  * }}}
+  */
+class IcebergTailSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-iceberg-tail"
+
+  private def table(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-iceberg-tail requires .option(\"path\", <iceberg table>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      IcebergSink.tableSchema(table(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new IcebergTailSource(sqlContext, table(parameters))
+}
+
+class IcebergTailSource(sqlContext: SQLContext, table: String) extends Source {
+
+  override val schema: StructType = IcebergSink.tableSchema(table)
+
+  /** The offset after a sequence-`s` batch is s itself; a fresh query
+    * starts from 0 (every data sequence is ≥ 1, so the whole table is the
+    * first batch).
+    */
+  override def getOffset: Option[Offset] = {
+    val s = IcebergSink.lastSequenceNumber(table)
+    if (s < 0) None else Some(LongOffset(s))
+  }
+
+  private def seq(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    // after a restart the engine hands back the checkpointed JSON form
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(seq).getOrElse(0L)
+    org.apache.spark.sql.GraftColumnBridge.asStreaming(
+      IcebergSink.readAppendedBetween(sqlContext.sparkSession, table,
+        since, seq(end)))
+  }
+
+  override def stop(): Unit = ()
+}

@@ -402,6 +402,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(drain().isEmpty)
   }
 
+  test("iceberg tail source: sequence offsets deliver once; rewriteManifests not re-emitted (r14)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sinks.IcebergSink
+    val table = java.nio.file.Files.createTempDirectory("graft-itail").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-itail-ckpt").toString
+    IcebergSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table,
+      IcebergSink.CreateExclusive)
+
+    def drain(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream
+        .format("graft-iceberg-tail")
+        .option("path", table)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    assert(drain() == Seq(1L, 2L))
+
+    // two appends + a rewriteManifests: the metadata compaction's merged
+    // manifest keeps per-entry sequences, so the next run delivers ONLY
+    // the appended rows — never the whole table again
+    IcebergSink.write(Seq((3L, "c")).toDF("id", "s"), table, IcebergSink.Append)
+    IcebergSink.write(Seq((4L, "d")).toDF("id", "s"), table, IcebergSink.Append)
+    IcebergSink.rewriteManifests(table)
+    assert(drain() == Seq(3L, 4L))
+
+    // nothing new → empty incremental run
+    assert(drain().isEmpty)
+  }
+
   test("delta-to-delta incremental pipeline is exactly-once end to end") {
     val spark = TestSpark.spark
     import spark.implicits._
