@@ -625,6 +625,54 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("r14 maintenance verbs travel the store protocol: reorg, constraints, evolution, rewrite, converts") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      // DELTA plane over the store: DV delete → REORG purge → constraint
+      val dt = root.resolve("d-r14").toString
+      DeltaSink.write((1L to 30L).map(i => (i, i.toDouble)).toDF("id", "v"),
+        dt, store = client)
+      DeltaSink.deleteWhereDV(spark, dt, "id <= 10", store = client)
+      val cpPre = server.conditionalPuts.get()
+      val (nf, purged) = DeltaSink.reorgPurge(spark, dt, store = client)
+      assert(nf >= 1 && purged == 10L)
+      assert(server.conditionalPuts.get() == cpPre + 1) // one claimed commit
+      assert(DeltaSink.read(spark, dt).count() == 20)
+      DeltaSink.addCheckConstraint(spark, dt, "id_pos", "id > 0", store = client)
+      intercept[Exception] {
+        DeltaSink.append(Seq((-1L, 0.0)).toDF("id", "v"), dt, store = client)
+      }
+      assert(DeltaSink.read(spark, dt).count() == 20)
+      // ICEBERG plane over the store: partition evolution → append under
+      // the new spec → metadata-only manifest rewrite
+      val it = root.resolve("ib-r14").toString
+      IcebergSink.write((1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "g"),
+        it, IcebergSink.CreateExclusive, store = client, partitionBy = Seq("g"))
+      IcebergSink.evolvePartition(it, Seq("bucket(4,id)"), store = client)
+      IcebergSink.write((11L to 20L).map(i => (i, s"g${i % 2}")).toDF("id", "g"),
+        it, IcebergSink.Append, store = client)
+      IcebergSink.write((21L to 30L).map(i => (i, s"g${i % 2}")).toDF("id", "g"),
+        it, IcebergSink.Append, store = client)
+      // 1 identity-spec + 2 bucket-spec manifests: only like-spec
+      // manifests merge → 3 become 2
+      val (mb, ma) = IcebergSink.rewriteManifests(it, store = client)
+      assert(mb == 3 && ma == 2, s"expected 3->2 per-spec merge, got $mb->$ma")
+      assert(IcebergSink.read(spark, it).count() == 30)
+      // DUAL-FORMAT over the store: convert the purged Delta table, then
+      // sync after one more Delta commit — every artifact via the store
+      IcebergSink.convertFromDelta(spark, dt, store = client)
+      assert(IcebergSink.read(spark, dt).count() == 20)
+      DeltaSink.append(Seq((31L, 31.0)).toDF("id", "v"), dt, store = client)
+      assert(IcebergSink.syncFromDelta(spark, dt, store = client) > 0)
+      assert(IcebergSink.read(spark, dt).count() == 21)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   test("Delta checkpoint + vacuum travel the store protocol too (r9)") {
     val s = spark
     import s.implicits._
