@@ -92,6 +92,21 @@ object TempTables {
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
   sys.addShutdownHook(cleanupNow())
 
+
+  /** Recursive (absPath, mtime, length) fingerprint of every parquet under
+    * `root` — the ZERO-COPY gate the convert/sync queries and sink specs
+    * pin (byte-identical file set across a metadata-only operation).
+    */
+  def parquetFingerprint(root: String): Set[(String, Long, Long)] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    walk(new java.io.File(root))
+      .map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
+  }
+
   def create(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     created.add(dir)

@@ -2433,15 +2433,7 @@ object EventWindowQueries extends QueryModule {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
         val table = graft.TempTables.create("graft-uniform") + "/tbl"
         graft.sinks.DeltaSink.write(ev, table, partitionBy = Seq("event_type"))
-        def parquets() = {
-          def walk(d: java.io.File): Seq[java.io.File] =
-            Option(d.listFiles()).toSeq.flatten.flatMap { f =>
-              if (f.isDirectory) walk(f)
-              else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-            }
-          walk(new java.io.File(table))
-            .map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
-        }
+        def parquets() = graft.TempTables.parquetFingerprint(table)
         val before = parquets()
         val n = graft.sinks.IcebergSink.convertFromDelta(s, table)
         val zeroCopy = n == before.size && parquets() == before
@@ -2480,15 +2472,7 @@ object EventWindowQueries extends QueryModule {
         val table = graft.TempTables.create("graft-ice2delta") + "/tbl"
         graft.sinks.IcebergSink.write(ev, table,
           graft.sinks.IcebergSink.CreateExclusive, partitionBy = Seq("event_type"))
-        def parquets() = {
-          def walk(d: java.io.File): Seq[java.io.File] =
-            Option(d.listFiles()).toSeq.flatten.flatMap { f =>
-              if (f.isDirectory) walk(f)
-              else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-            }
-          walk(new java.io.File(table))
-            .map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
-        }
+        def parquets() = graft.TempTables.parquetFingerprint(table)
         val before = parquets()
         val n = graft.sinks.DeltaSink.convertFromIceberg(s, table)
         val zeroCopy = n == before.size && parquets() == before

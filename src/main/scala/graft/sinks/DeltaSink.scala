@@ -485,7 +485,9 @@ object DeltaSink {
       }
     val commit0 = Seq(protocol,
       metaDataJson(java.util.UUID.randomUUID().toString, meta.schema.json,
-        Nil, now, mappingConfig(meta.schema)))
+        // the source's table properties travel with the clone — CHECK
+        // constraints included (real CLONE copies them)
+        Nil, now, meta.configuration ++ mappingConfig(meta.schema)))
     commitAtomic(store, versionFile(target, 0), commit0)
     commitAtomic(store, versionFile(target, 1), adds.map(a => addJson(a)))
     adds.size
@@ -697,10 +699,12 @@ object DeltaSink {
           // propagate a zero birth-time into the evolved action
           if (state.createdTime != 0L) state.createdTime
           else System.currentTimeMillis(),
-          // a column-mapped table's mode/maxColumnId properties ride
-          // every metaData re-emission (and the added column may have
+          // a metaData action REPLACES configuration wholesale, so every
+          // re-emission must carry the FULL replayed map (CHECK
+          // constraints would otherwise silently vanish) plus the
+          // mapping mode/maxColumnId refresh (the added column may have
           // raised the high-water id)
-          mappingConfig(sch)))
+          state.configuration ++ mappingConfig(sch)))
         commitAtomic(store, versionFile(table, next),
           metaLine.toSeq ++ txnLine.toSeq ++ adds.map(a => addJson(a)))
         // The append is committed at this point: an auto-checkpoint failure
@@ -1630,8 +1634,10 @@ object DeltaSink {
       if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis(),
       // the spec-compliance half of the mapping (ADVICE r13): without
       // delta.columnMapping.mode=name in configuration an external reader
-      // defaults to mode none and NULLs every post-rename read
-      mappingConfig(evolved))
+      // defaults to mode none and NULLs every post-rename read — plus the
+      // FULL replayed configuration (a metaData action replaces the map
+      // wholesale; dropping it here would strip CHECK constraints)
+      meta.configuration ++ mappingConfig(evolved))
     try commitAtomic(store, versionFile(table, meta.version + 1), bump :+ metaLine)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -2659,6 +2665,34 @@ object DeltaSink {
     (st.schema, st.partitionColumns,
       st.live.map(a => (a.path, a.partitionValues, a.dv.isDefined)),
       mappingEnabled(st.schema))
+  }
+
+  /** EVERY data path ANY version of the log ever added — tombstones
+    * included. The protection set the Iceberg-plane janitors honor on a
+    * dual-format table: a Delta tombstone still inside vacuum's retention
+    * window serves time travel and restore, so it is NOT an orphan and
+    * not reclaimable by the other plane. Metadata-scale (path strings).
+    */
+  private[sinks] def allReferencedFiles(spark: SparkSession, table: String)
+      : Set[String] = {
+    import org.apache.spark.sql.functions.col
+    val tail = logFiles(table)
+    val fromTail =
+      if (tail.isEmpty) Set.empty[String]
+      else actionsDF(spark, tail).where(col("add").isNotNull)
+        .select("add.path").distinct().collect().map(_.getString(0)).toSet
+    val fromCkpt = {
+      val f = lastCheckpointFile(table)
+      if (!Files.exists(f)) Set.empty[String]
+      else {
+        val v = mapper.readTree(Files.readString(f)).get("version").asLong()
+        spark.read.schema(CheckpointSchema)
+          .parquet(checkpointFile(table, v).toString)
+          .where(col("add").isNotNull)
+          .select("add.path").distinct().collect().map(_.getString(0)).toSet
+      }
+    }
+    fromTail ++ fromCkpt
   }
 
   /** WRITER-side protocol gate, symmetrical to resolve()'s reader gate:

@@ -152,10 +152,17 @@ private[graft] object IcebergAvro {
     * manifest meta and every entry's data_file record: 0 = DATA,
     * 1 = POSITION_DELETES (spec §Manifests / §Delete Formats).
     */
+  /** `entrySeqs`: paths whose entries must carry an EXPLICIT data
+    * sequence (status EXISTING) instead of inheriting the new snapshot's
+    * — a replace manifest re-listing files an earlier snapshot added
+    * (UniForm sync) writes them this way so sequence-scoped consumers
+    * (streaming tail, MoR delete application) see no change.
+    */
   def writeManifest(target: File, files: Seq[DataFileInfo], snapshotId: Long,
       icebergSchemaJson: String, partitionSpecJson: String,
       partitionFields: Seq[PartitionField] = Nil, content: Int = 0,
-      equalityIds: Seq[Int] = Nil, specId: Int = 0): Long = {
+      equalityIds: Seq[Int] = Nil, specId: Int = 0,
+      entrySeqs: Map[String, Long] = Map.empty): Long = {
     val entrySchema = entrySchemaFor(partitionFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
@@ -197,7 +204,14 @@ private[graft] object IcebergAvro {
         df.put("equality_ids", arr)
       }
       val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED; sequence numbers inherit from the snapshot
+      entrySeqs.get(f.absPath) match {
+        case Some(seq) =>
+          e.put("status", 0) // EXISTING, original sequence preserved
+          e.put("sequence_number", seq)
+          e.put("file_sequence_number", seq)
+        case None =>
+          e.put("status", 1) // ADDED; sequence numbers inherit from the snapshot
+      }
       e.put("snapshot_id", snapshotId)
       e.put("data_file", df)
       w.append(e)

@@ -1581,30 +1581,43 @@ object IcebergSink {
   def readAppendedBetween(spark: SparkSession, table: String,
       sinceSeq: Long, untilSeq: Long): DataFrame = {
     val meta = currentMeta(table)
-    val boundary = meta.get("snapshots").elements().asScala.toSeq
-      .filter(_.get("sequence-number").asLong() <= untilSeq)
-      .sortBy(_.get("sequence-number").asLong())
-      .lastOption
-    boundary match {
-      case None =>
-        val schema = DataType.fromJson(
-          meta.get("properties").get("graft.spark-schema").asText())
-          .asInstanceOf[StructType]
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      case Some(b) =>
-        val snap = snapshotEntries(table, Some(b.get("snapshot-id").asLong()))
-        readMerged(spark, snap.schema,
-          snap.data.filter(e => e._3 > sinceSeq && e._3 <= untilSeq),
-          snap.deletes,
-          curFields = snap.curFields, fileFields = snap.fileFields)
+    if (untilSeq <= 0) {
+      val schema = DataType.fromJson(
+        meta.get("properties").get("graft.spark-schema").asText())
+        .asInstanceOf[StructType]
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
+    // the boundary is the EXACT snapshot at untilSeq — offsets only ever
+    // come from [[mainHeadSequence]], so that snapshot is a main head and
+    // its manifest list contains ONLY main-line state. A max-seq-≤-until
+    // fallback would instead resolve a BRANCH head (sequences are
+    // branch-shared) and leak unaudited WAP staging rows, or a
+    // rolled-back snapshot's bad rows, into the feed.
+    val boundary = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("sequence-number").asLong() == untilSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at sequence $untilSeq in $table (expired?) — " +
+          "the tail must consume within the retention window"))
+    val snap = snapshotEntries(table, Some(boundary.get("snapshot-id").asLong()))
+    readMerged(spark, snap.schema,
+      snap.data.filter(e => e._3 > sinceSeq && e._3 <= untilSeq),
+      snap.deletes,
+      curFields = snap.curFields, fileFields = snap.fileFields)
   }
 
-  /** The table's last committed sequence number (streaming offset). */
-  def lastSequenceNumber(table: String): Long =
-    readHint(table).map(_ => currentMeta(table)
-      .get("last-sequence-number").asLong()).getOrElse(-1L)
+  /** The MAIN head's sequence number — the streaming tail's offset. NOT
+    * `last-sequence-number`: branch commits bump that too, and an offset
+    * taken from a branch head would deliver unpublished staging rows.
+    */
+  def mainHeadSequence(table: String): Long =
+    readHint(table).map { _ =>
+      val meta = currentMeta(table)
+      val cur = meta.get("current-snapshot-id").asLong()
+      meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cur)
+        .map(_.get("sequence-number").asLong()).getOrElse(-1L)
+    }.getOrElse(-1L)
 
   /** Declared Spark schema of the table (no data scan). */
   def tableSchema(table: String): StructType =
@@ -2094,8 +2107,15 @@ object IcebergSink {
     require(defaultSpec.map(_.name) == partCols &&
       defaultSpec.forall(_.transform == "identity"),
       "Delta partition layout diverged from the Iceberg spec")
-    // no-op when the planes already agree (path-set equality)
-    val curFiles = snapshotEntries(table, None).data.map(_._1).toSet
+    // no-op when the planes already agree (path-set equality); files the
+    // Iceberg view already lists keep their ORIGINAL data sequence in the
+    // replace manifest (explicit per-entry seq, status EXISTING) so a
+    // sequence-scoped consumer — the streaming tail above all — never
+    // sees a sync as a whole-table re-delivery
+    val curEntries = snapshotEntries(table, None).data
+    val curFiles = curEntries.map(_._1).toSet
+    val prevSeqByPath: Map[String, Long] =
+      curEntries.map(e => e._1 -> e._3).toMap
     val deltaFiles = files.map(f => new File(table, f._1).getAbsolutePath)
     if (deltaFiles.toSet == curFiles) return 0
     val idByName: Map[String, Int] =
@@ -2122,7 +2142,8 @@ object IcebergSink {
     val (manifestPath, _) = writeAvroArtifact(table, store,
       s"manifest-${java.util.UUID.randomUUID()}.avro") { f =>
       manifestLen = IcebergAvro.writeManifest(f, infos, snapshotId,
-        currentSchemaJson(meta)._2, specJson, partFields, specId = specId)
+        currentSchemaJson(meta)._2, specJson, partFields, specId = specId,
+        entrySeqs = prevSeqByPath)
       manifestLen
     }
     val row = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
@@ -3557,11 +3578,13 @@ object IcebergSink {
     val deltaLive: Set[String] =
       if (!Files.exists(Paths.get(table, "_delta_log"))) Set.empty
       else org.apache.spark.sql.SparkSession.getActiveSession match {
-        case Some(s) => DeltaSink.liveInventory(s, table)._3
-          .map(f => new File(table, f._1).getAbsolutePath).toSet
+        // EVERY Delta-logged path, tombstones included — a file inside
+        // vacuum's retention still serves Delta time travel/restore
+        case Some(s) => DeltaSink.allReferencedFiles(s, table)
+          .map(rel => new File(table, rel).getAbsolutePath)
         case None => throw new IllegalStateException(
           "expiring a dual-format table needs an active SparkSession " +
-            "to read the Delta plane's live set")
+            "to read the Delta plane's reference set")
       }
     val deadData = expData -- keptData -- deltaLive
     deadData.foreach(reclaim)
@@ -3590,12 +3613,15 @@ object IcebergSink {
       .map(s => abs(table, s.get("manifest-list").asText()))
     val manifests = lists.flatMap(readManifestPaths(table, _)).toSet
     val dataRefs = manifests.flatMap(mp => dataFilesOf(table, mp))
-    val deltaLive: Set[String] =
+    // dual-format guard: EVERY path the Delta log ever added — a
+    // tombstone inside vacuum's retention window still serves time
+    // travel/restore and is not an orphan (DeltaSink.vacuum owns it)
+    val deltaRefs: Set[String] =
       if (Files.exists(Paths.get(table, "_delta_log")))
-        DeltaSink.liveInventory(spark, table)._3
-          .map(f => new File(table, f._1).getAbsolutePath).toSet
+        DeltaSink.allReferencedFiles(spark, table)
+          .map(rel => new File(table, rel).getAbsolutePath)
       else Set.empty
-    val referenced = lists.toSet ++ manifests ++ dataRefs ++ deltaLive
+    val referenced = lists.toSet ++ manifests ++ dataRefs ++ deltaRefs
     val cutoff = System.currentTimeMillis() - olderThanMs
     val root = new File(table)
     def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {

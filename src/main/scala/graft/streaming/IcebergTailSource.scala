@@ -53,11 +53,17 @@ class IcebergTailSource(sqlContext: SQLContext, table: String) extends Source {
 
   /** The offset after a sequence-`s` batch is s itself; a fresh query
     * starts from 0 (every data sequence is ≥ 1, so the whole table is the
-    * first batch).
+    * first batch). Offsets are MAIN-head sequences only — a branch commit
+    * never advances the feed — and never move backwards within a run: a
+    * rollback lowers the main head's sequence, and the feed simply idles
+    * until new commits pass the prior watermark (already-delivered rows
+    * are not retracted, the same caveat as the Delta twin).
     */
+  private var maxSeen = -1L
   override def getOffset: Option[Offset] = {
-    val s = IcebergSink.lastSequenceNumber(table)
-    if (s < 0) None else Some(LongOffset(s))
+    val s = IcebergSink.mainHeadSequence(table)
+    maxSeen = math.max(maxSeen, s)
+    if (maxSeen < 0) None else Some(LongOffset(maxSeen))
   }
 
   private def seq(o: Offset): Long = o match {

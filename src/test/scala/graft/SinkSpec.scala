@@ -1606,6 +1606,16 @@ class SinkSpec extends AnyFunSuite {
       olderThanMs = 24L * 3600 * 1000).isEmpty)
     assert(DeltaSink.read(spark, t2).count() == 25)
     assert(IcebergSink.read(spark, t2).count() == 20)
+    // Delta TOMBSTONES inside vacuum's retention are not orphans either
+    // (r14 review): a CoW update rewrites the live set — the superseded
+    // files still serve Delta time travel and only DeltaSink.vacuum may
+    // reclaim them on ITS retention clock
+    val vPre = DeltaSink.latestVersion(t2)
+    DeltaSink.updateWhere(spark, t2, "id = 1", Map("v" -> "99.0"))
+    walkP(new File(t2)).foreach(f => assert(f.setLastModified(old)))
+    assert(IcebergSink.removeOrphanFiles(spark, t2,
+      olderThanMs = 24L * 3600 * 1000).isEmpty)
+    assert(DeltaSink.read(spark, t2, Some(vPre)).count() == 25)
   }
 
   test("Delta->Iceberg in-place convert (UniForm): zero copy, both front-ends live (r14)") {
@@ -1614,12 +1624,7 @@ class SinkSpec extends AnyFunSuite {
     val table = tmp()
     val df = (1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "lang", "v")
     assert(DeltaSink.write(df, table, partitionBy = Seq("lang")))
-    def parquets() = {
-      def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
-        f => if (f.isDirectory) walk(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      }
-      walk(new File(table)).map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
-    }
+    def parquets() = graft.TempTables.parquetFingerprint(table)
     val before = parquets()
     val n = IcebergSink.convertFromDelta(spark, table)
     assert(n == before.size, s"expected ${before.size} files, got $n")
@@ -1673,8 +1678,14 @@ class SinkSpec extends AnyFunSuite {
     DeltaSink.append(df.filter(col("id") <= 10)
       .select(col("id") + 100, col("lang"), col("v")).toDF("id", "lang", "v"), table)
     assert(IcebergSink.read(spark, table).count() == 50) // stale until sync
+    val seqPre = IcebergSink.mainHeadSequence(table)
     val n = IcebergSink.syncFromDelta(spark, table)
     assert(n > 0)
+    // the sync's replace manifest keeps ALREADY-KNOWN files' sequences
+    // explicit: a sequence-scoped consumer sees ONLY the new rows, never
+    // a whole-table re-delivery
+    assert(IcebergSink.readAppendedBetween(spark, table,
+      seqPre, IcebergSink.mainHeadSequence(table)).count() == 10)
     val ice = IcebergSink.read(spark, table)
     assert(ice.count() == 60)
     assert(ice.filter(col("id") > 100).count() == 10)
@@ -1702,12 +1713,7 @@ class SinkSpec extends AnyFunSuite {
     val table = tmp()
     val df = (1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "lang", "v")
     IcebergSink.write(df, table, IcebergSink.CreateExclusive, partitionBy = Seq("lang"))
-    def parquets() = {
-      def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
-        f => if (f.isDirectory) walk(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      }
-      walk(new File(table)).map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
-    }
+    def parquets() = graft.TempTables.parquetFingerprint(table)
     val before = parquets()
     val n = DeltaSink.convertFromIceberg(spark, table)
     assert(n == before.size)
@@ -2516,10 +2522,30 @@ class SinkSpec extends AnyFunSuite {
     // the constraint survives a checkpoint (configuration rides it)
     DeltaSink.checkpoint(spark, table)
     intercept[Exception] { DeltaSink.append(rows(20 to 21, -2.0), table) }
+    // a mergeSchema (evolving) append re-emits metaData — the constraint
+    // must ride the re-emission, not vanish (r14 review)
+    DeltaSink.append(Seq((17L, 3.0, "x")).toDF("id", "v", "tag"), table,
+      mergeSchema = true)
+    intercept[Exception] {
+      DeltaSink.append(Seq((18L, -3.0, "y")).toDF("id", "v", "tag"), table)
+    }
+    // a SHALLOW CLONE carries the constraint (real CLONE copies properties)
+    val clone = tmp() + "/clone"
+    DeltaSink.cloneTable(spark, table, clone)
+    intercept[Exception] {
+      DeltaSink.append(Seq((19L, -4.0, "z")).toDF("id", "v", "tag"), clone)
+    }
+    // a column-mapping rename re-emits metaData too — constraint survives
+    DeltaSink.renameColumn(spark, table, "tag", "label")
+    intercept[Exception] {
+      DeltaSink.append(Seq((19L, -4.0, "z")).toDF("id", "v", "label"), table)
+    }
+    assert(DeltaSink.read(spark, table).filter(col("v") < 0).count() == 0)
     // DROP releases: the same batch now lands
     DeltaSink.dropCheckConstraint(spark, table, "v_pos")
-    DeltaSink.append(rows(20 to 21, -2.0), table)
-    assert(DeltaSink.read(spark, table).count() == 18)
+    DeltaSink.append(Seq((20L, -2.0, "w"), (21L, -2.0, "w"))
+      .toDF("id", "v", "label"), table)
+    assert(DeltaSink.read(spark, table).count() == 19)
     // v7 (DV) table: the constraint rides the checkConstraints writer feature
     val t2 = tmp()
     assert(DeltaSink.write(rows(1 to 10, 1.0), t2))

@@ -442,6 +442,16 @@ class StreamingSpec extends AnyFunSuite {
 
     // nothing new → empty incremental run
     assert(drain().isEmpty)
+
+    // a BRANCH commit must not reach the main-line feed: offsets are
+    // main-head sequences, and the boundary snapshot is resolved exactly
+    // — the unpublished WAP staging rows stay invisible until fastForward
+    val head = IcebergSink.snapshots(table).last._1
+    IcebergSink.createRef(table, "staged", head, refType = "branch")
+    IcebergSink.appendBranch(Seq((99L, "staged")).toDF("id", "s"), table, "staged")
+    assert(drain().isEmpty, "branch commit leaked into the main-line tail")
+    IcebergSink.fastForward(table, "staged")
+    assert(drain() == Seq(99L), "published rows must flow after fastForward")
   }
 
   test("delta-to-delta incremental pipeline is exactly-once end to end") {
