@@ -748,23 +748,9 @@ object IcebergSink {
     val reqSpecKey = partSpecs.zip(partFields).map { case (ps, pf) =>
       (fieldIds(ps.source), ps.transform, pf.name)
     }
-    val (specId: Int, partFieldsFinal: Seq[IcebergAvro.PartitionField]) =
-      prevSpecs.find(_._2.map(f => (f.sourceId, f.transform, f.name)) == reqSpecKey) match {
-        case Some((id, flds)) =>
-          (id, partFields.zip(flds).map { case (pf, sf) => pf.copy(fieldId = sf.fieldId) })
-        case None if prevSpecs.nonEmpty =>
-          val seenPairs: Map[(Int, String), Int] =
-            prevSpecs.flatMap(_._2.map(f => (f.sourceId, f.transform) -> f.fieldId)).toMap
-          var nextPid = previous.get.path("last-partition-id").asInt(999)
-          val fin = partSpecs.zip(partFields).map { case (ps, pf) =>
-            seenPairs.get((fieldIds(ps.source), ps.transform)) match {
-              case Some(fid) => pf.copy(fieldId = fid)
-              case None => nextPid += 1; pf.copy(fieldId = nextPid)
-            }
-          }
-          (prevSpecs.map(_._1).max + 1, fin)
-        case None => (0, partFields)
-      }
+    val (specId, partFieldsFinal, _, _) = resolveSpecIds(prevSpecs,
+      previous.map(_.path("last-partition-id").asInt(999)).getOrElse(999),
+      reqSpecKey, partFields)
     val specFieldsJson = partFieldsFinal.zip(partSpecs).map { case (pf, ps) =>
       s"""{"name":"${pf.name}","transform":"${ps.transform}","source-id":${fieldIds(ps.source)},"field-id":${pf.fieldId}}"""
     }.mkString(",")
@@ -1051,6 +1037,37 @@ object IcebergSink {
           f.get("source-id").asInt(), f.get("field-id").asInt())).toSeq
     }.toSeq
 
+  /** The spec §partition-evolution id-stability rule, shared by [[write]]
+    * and [[evolvePartition]]: a requested layout matching a stored spec's
+    * (source, transform, name) sequence reuses that spec-id and field-ids
+    * VERBATIM; otherwise the next spec-id is minted, with field-ids for
+    * (source, transform) pairs seen in ANY spec reused and genuinely new
+    * ones continuing past `lastPartitionId`. Returns (specId, fields with
+    * final ids, new last-partition-id, isNewSpec).
+    */
+  private def resolveSpecIds(
+      existing: Seq[(Int, Seq[StoredSpecField])], lastPartitionId: Int,
+      reqKey: Seq[(Int, String, String)],
+      partFields: Seq[IcebergAvro.PartitionField])
+      : (Int, Seq[IcebergAvro.PartitionField], Int, Boolean) =
+    existing.find(_._2.map(f => (f.sourceId, f.transform, f.name)) == reqKey) match {
+      case Some((id, flds)) =>
+        (id, partFields.zip(flds).map { case (pf, sf) =>
+          pf.copy(fieldId = sf.fieldId) }, lastPartitionId, false)
+      case None if existing.nonEmpty =>
+        val seenPairs: Map[(Int, String), Int] =
+          existing.flatMap(_._2.map(f => (f.sourceId, f.transform) -> f.fieldId)).toMap
+        var nextPid = lastPartitionId
+        val fin = reqKey.zip(partFields).map { case ((srcId, tf, _), pf) =>
+          seenPairs.get((srcId, tf)) match {
+            case Some(fid) => pf.copy(fieldId = fid)
+            case None => nextPid += 1; pf.copy(fieldId = nextPid)
+          }
+        }
+        (existing.map(_._1).max + 1, fin, nextPid, true)
+      case None => (0, partFields, lastPartitionId, partFields.nonEmpty)
+    }
+
   /** PARTITION EVOLUTION — METADATA-ONLY (Iceberg spec
     * §partition-evolution): re-layouts the table's FUTURE writes without
     * touching a single existing file. The new spec is appended to
@@ -1087,35 +1104,22 @@ object IcebergSink {
       (idByName(ps.source), ps.transform, pf.name)
     }
     val newMeta = meta.deepCopy[ObjectNode]()
-    val chosenId = existing
-      .find(_._2.map(f => (f.sourceId, f.transform, f.name)) == reqKey) match {
-      case Some((id, _)) => id // repoint the default at a spec already carried
-      case None =>
-        val seenPairs: Map[(Int, String), Int] =
-          existing.flatMap(_._2.map(f => (f.sourceId, f.transform) -> f.fieldId)).toMap
-        var nextPid = meta.path("last-partition-id").asInt(999)
-        val withIds = specs.zip(partFields).map { case (ps, pf) =>
-          seenPairs.get((idByName(ps.source), ps.transform)) match {
-            case Some(fid) => (ps, pf.copy(fieldId = fid))
-            case None => nextPid += 1; (ps, pf.copy(fieldId = nextPid))
-          }
-        }
-        val newId = existing.map(_._1).max + 1
-        val specNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
-          "partition-specs").addObject()
-        specNode.put("spec-id", newId)
-        val fieldsArr = specNode.putArray("fields")
-        withIds.foreach { case (ps, pf) =>
-          fieldsArr.addObject()
-            .put("name", pf.name)
-            .put("transform", ps.transform)
-            .put("source-id", idByName(ps.source))
-            .put("field-id", pf.fieldId)
-          ()
-        }
-        newMeta.put("last-partition-id",
-          math.max(meta.path("last-partition-id").asInt(999), nextPid))
-        newId
+    val (chosenId, withIds, newLastPid, isNew) = resolveSpecIds(existing,
+      meta.path("last-partition-id").asInt(999), reqKey, partFields)
+    if (isNew) {
+      val specNode = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "partition-specs").addObject()
+      specNode.put("spec-id", chosenId)
+      val fieldsArr = specNode.putArray("fields")
+      specs.zip(withIds).foreach { case (ps, pf) =>
+        fieldsArr.addObject()
+          .put("name", pf.name)
+          .put("transform", ps.transform)
+          .put("source-id", idByName(ps.source))
+          .put("field-id", pf.fieldId)
+        ()
+      }
+      newMeta.put("last-partition-id", newLastPid)
     }
     if (chosenId == meta.get("default-spec-id").asInt()) return chosenId // no-op
     newMeta.put("default-spec-id", chosenId)
