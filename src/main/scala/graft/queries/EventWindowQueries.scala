@@ -1355,6 +1355,55 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_time_travel_ts",
+      // Time travel BY TIMESTAMP on BOTH formats (r14 — the audit
+      // question is "what did the table serve at 09:00", not "at version
+      // 17"): the even half lands in a Delta table AND an Iceberg table,
+      // a boundary wall-clock instant is captured, the odd half appends
+      // AFTER it, and each format resolves the boundary back — Delta by
+      // commit-file mtime (the spec's pre-in-commit-timestamps rule),
+      // Iceberg by snapshot timestamp-ms restricted to MAIN ancestry
+      // (unpublished staging is never "the table at 09:00"). Both
+      // as-of-timestamp censuses must equal the oracle's even half while
+      // the current reads serve the corpus — a boundary resolved to the
+      // wrong side doubles or halves every group.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val dTable = graft.TempTables.create("graft-tts-delta")
+        val iTable = graft.TempTables.create("graft-tts-ice") + "/tbl"
+        val even = ev.filter(col("event_id") % 2 === 0)
+        graft.sinks.DeltaSink.write(even, dTable, overwrite = true)
+        graft.sinks.IcebergSink.write(even, iTable,
+          graft.sinks.IcebergSink.CreateExclusive)
+        Thread.sleep(20)
+        val boundary = System.currentTimeMillis()
+        Thread.sleep(20)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), dTable)
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          iTable, graft.sinks.IcebergSink.Append)
+        val dPre = graft.sinks.DeltaSink.readAsOfTimestamp(s, dTable, boundary)
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre_delta"))
+        val iPre = graft.sinks.IcebergSink.readAsOfTimestamp(s, iTable, boundary)
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre_ice"))
+        graft.sinks.DeltaSink.read(s, dTable).groupBy("event_type")
+          .agg(count(lit(1)).as("n_now"), fxSum(col("value")).as("sum_v"))
+          .join(dPre, Seq("event_type"), "full_outer")
+          .join(iPre, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_now"), col("sum_v"),
+            coalesce(col("n_pre_delta"), lit(0L)).as("n_pre_delta"),
+            coalesce(col("n_pre_ice"), lit(0L)).as("n_pre_ice"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_now,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+             |    AS n_pre_delta,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+             |    AS n_pre_ice
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_generated",
       // GENERATED COLUMNS under the oracle (r14, Delta spec §Generated
       // Columns — Delta's answer to Iceberg's hidden partitioning,

@@ -1991,6 +1991,30 @@ object DeltaSink {
       store: CommitStore = CommitStore.Local): DataFrame =
     readState(spark, table, replay(spark, table, asOfVersion), store)
 
+  /** TIMESTAMP → VERSION resolution (delta-spark's `timestampAsOf`): the
+    * LAST version committed at or before `tsMs`, by commit-file
+    * modification time — the spec's resolution rule before in-commit
+    * timestamps (each commit's mtime is its atomic-rename instant, so
+    * mtimes are commit-ordered on one filesystem clock). Before the first
+    * commit → error, mirroring delta-spark.
+    */
+  def versionAtTimestamp(table: String, tsMs: Long): Long = {
+    val candidates = logFiles(table)
+      .map(f => (f.getName.stripSuffix(".json").toLong, f.lastModified()))
+      .sortBy(_._1)
+      .takeWhile(_._2 <= tsMs)
+    require(candidates.nonEmpty,
+      s"no commit at or before timestamp $tsMs in $table")
+    candidates.last._1
+  }
+
+  /** Time travel by TIMESTAMP — the audit-friendly twin of the version
+    * read ("what did the table serve at 09:00").
+    */
+  def readAsOfTimestamp(spark: SparkSession, table: String, tsMs: Long,
+      store: CommitStore = CommitStore.Local): DataFrame =
+    read(spark, table, Some(versionAtTimestamp(table, tsMs)), store)
+
   /** Stats-based FILE SKIPPING read: only files whose recorded
     * [min, max] range for `column` overlaps [lo, hi] enter the scan —
     * the read-side payoff of the per-file stats every add action records

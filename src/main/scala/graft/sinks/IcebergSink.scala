@@ -1610,6 +1610,43 @@ object IcebergSink {
       curFields = snap.curFields, fileFields = snap.fileFields)
   }
 
+  /** TIMESTAMP → SNAPSHOT resolution (Iceberg's `as-of-timestamp`): the
+    * last MAIN-ancestry snapshot committed at or before `tsMs`, by the
+    * `timestamp-ms` every snapshot records. Branch snapshots never
+    * resolve — "the table at 09:00" means what main-line readers saw,
+    * not unpublished staging. Before the first snapshot → error.
+    */
+  def snapshotAtTimestamp(table: String, tsMs: Long): Long = {
+    val meta = currentMeta(table)
+    val all = meta.get("snapshots").elements().asScala.toSeq
+    // main-line = snapshots without a parent pointer (main commits never
+    // record one; branch commits do) PLUS the current main head's
+    // ancestry (what fastForward published). Unpublished staging is
+    // never "the table at 09:00".
+    val byId = all.map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val mainChain = {
+      val out = scala.collection.mutable.Set.empty[Long]
+      var cur = Option(meta.get("current-snapshot-id").asLong())
+      while (cur.isDefined && out.add(cur.get))
+        cur = byId.get(cur.get)
+          .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong()))
+      out.toSet
+    }
+    val candidates = all
+      .filter(s => !s.has("parent-snapshot-id") ||
+        mainChain.contains(s.get("snapshot-id").asLong()))
+      .filter(_.get("timestamp-ms").asLong() <= tsMs)
+      .sortBy(s => (s.get("timestamp-ms").asLong(), s.get("sequence-number").asLong()))
+    require(candidates.nonEmpty,
+      s"no snapshot at or before timestamp $tsMs in $table")
+    candidates.last.get("snapshot-id").asLong()
+  }
+
+  /** Time travel by TIMESTAMP — resolves via [[snapshotAtTimestamp]]. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, tsMs: Long)
+      : DataFrame =
+    read(spark, table, Some(snapshotAtTimestamp(table, tsMs)))
+
   /** The MAIN head's sequence number — the streaming tail's offset. NOT
     * `last-sequence-number`: branch commits bump that too, and an offset
     * taken from a branch head would deliver unpublished staging rows.

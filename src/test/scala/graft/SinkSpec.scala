@@ -1763,6 +1763,42 @@ class SinkSpec extends AnyFunSuite {
     }.getMessage.contains("already a Delta table"))
   }
 
+  test("timestamp time travel: Delta mtime resolution; Iceberg excludes unpublished staging (r14)") {
+    val s2 = spark
+    import s2.implicits._
+    val df1 = Seq((1L, 1.0)).toDF("id", "v")
+    val df2 = Seq((2L, 2.0)).toDF("id", "v")
+    // Delta: boundary between two commits resolves to the earlier one
+    val dt = tmp()
+    assert(DeltaSink.write(df1, dt))
+    Thread.sleep(20)
+    val dBoundary = System.currentTimeMillis()
+    Thread.sleep(20)
+    DeltaSink.append(df2, dt)
+    assert(DeltaSink.readAsOfTimestamp(spark, dt, dBoundary).count() == 1)
+    assert(DeltaSink.readAsOfTimestamp(spark, dt,
+      System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      DeltaSink.versionAtTimestamp(dt, 0L) // before the first commit
+    }
+    // Iceberg: a LATER branch commit never resolves — "the table at T"
+    // is main-line only, until fastForward publishes
+    val it = tmp() + "/tbl"
+    IcebergSink.write(df1, it, IcebergSink.CreateExclusive)
+    val head = IcebergSink.snapshots(it).last._1
+    IcebergSink.createRef(it, "staged", head, refType = "branch")
+    Thread.sleep(20)
+    IcebergSink.appendBranch(df2, it, "staged")
+    val after = System.currentTimeMillis()
+    assert(IcebergSink.readAsOfTimestamp(spark, it, after).count() == 1)
+    IcebergSink.fastForward(it, "staged")
+    assert(IcebergSink.readAsOfTimestamp(spark, it,
+      System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      IcebergSink.snapshotAtTimestamp(it, 0L)
+    }
+  }
+
   test("Iceberg ref retention policies: max-ref-age drops refs, branch chains bound protection (r14)") {
     val s2 = spark
     import s2.implicits._
