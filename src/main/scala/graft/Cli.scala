@@ -207,6 +207,11 @@ object Cli {
         // drop-constraint-delta <table> <name>
         sinks.DeltaSink.dropCheckConstraint(spark, pos(0), pos(1))
         println(s"dropped CHECK constraint ${pos(1)}")
+      case "history-delta" =>
+        // history-delta <table> — DESCRIBE HISTORY (metadata-only)
+        sinks.DeltaSink.history(spark, pos(0)).collect().foreach(r =>
+          println(s"v${r.getLong(0)}  ${new java.sql.Timestamp(r.getLong(1))}  " +
+            s"${r.getString(2)}  +${r.getLong(3)}/-${r.getLong(4)}"))
       case "reorg-delta" =>
         // reorg-delta <table> — REORG APPLY (PURGE): rewrite DV-carrying
         // files as survivors, drop the deletion vectors

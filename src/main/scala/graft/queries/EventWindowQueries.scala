@@ -1355,6 +1355,50 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_history",
+      // DESCRIBE HISTORY under the oracle (r14, the Delta twin of
+      // q_iceberg_meta_tables): one metadata-only pass over the log tail
+      // classifies every commit by its ACTION SHAPE — no data file is
+      // opened. The query runs a deterministic operation script (create =
+      // CREATE+APPEND commits, one plain append, one DV merge-on-read
+      // delete, one OPTIMIZE compaction, one constraint METADATA commit,
+      // one CoW REWRITE update) and the history census per operation must
+      // match the script exactly — a misclassified or missing commit
+      // shifts a count. The second half ties the log back to the data
+      // plane: the final read census ≡ the oracle's recompute.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-delta-history")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)                           // CREATE + APPEND
+        graft.sinks.DeltaSink.append(
+          ev.filter(col("event_id") % 2 === 1), table)       // APPEND
+        graft.sinks.DeltaSink.deleteWhereDV(s, table,
+          "event_id % 100 = 0")                              // MERGE_ON_READ
+        graft.sinks.DeltaSink.compact(s, table)              // OPTIMIZE
+        graft.sinks.DeltaSink.addCheckConstraint(s, table,
+          "value_ok", "value >= 0")                          // METADATA
+        graft.sinks.DeltaSink.updateWhere(s, table,
+          "event_id = 4", Map("value" -> "value"))           // REWRITE
+        val ops = graft.sinks.DeltaSink.history(s, table)
+          .groupBy("operation").agg(count(lit(1)).as("n_commits"))
+        val census = graft.sinks.DeltaSink.read(s, table)
+          .agg(count(lit(1)).as("value")).select(
+            lit("rows_live").as("operation"), col("value").as("n_commits"))
+        ops.unionByName(census).orderBy("operation")
+      },
+      Some("""SELECT 'APPEND' AS operation, CAST(2 AS BIGINT) AS n_commits
+             |UNION ALL SELECT 'CREATE', 1
+             |UNION ALL SELECT 'MERGE_ON_READ', 1
+             |UNION ALL SELECT 'METADATA', 1
+             |UNION ALL SELECT 'OPTIMIZE', 1
+             |UNION ALL SELECT 'REWRITE', 1
+             |UNION ALL SELECT 'rows_live',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             |   WHERE event_id % 100 <> 0)
+             |ORDER BY operation""".stripMargin)),
+
+    QueryDef(
       "q_time_travel_ts",
       // Time travel BY TIMESTAMP on BOTH formats (r14 — the audit
       // question is "what did the table serve at 09:00", not "at version

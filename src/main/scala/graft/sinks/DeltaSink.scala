@@ -1965,6 +1965,56 @@ object DeltaSink {
     dead.size + deadCdc.size + deadDv.size
   }
 
+  /** DESCRIBE HISTORY — one row per commit, METADATA-ONLY (the Delta twin
+    * of [[IcebergSink.metaTable]]("history")): version, commit timestamp
+    * (file mtime — same clock as [[versionAtTimestamp]]), and the
+    * OPERATION inferred from the commit's action shape. This engine
+    * writes no commitInfo action, so the names are honest shape classes,
+    * each unambiguous for the verbs this engine commits:
+    * CREATE (metaData at v0) / METADATA (metaData later — constraints,
+    * column mapping, schema evolution) / PROTOCOL (protocol-only) /
+    * APPEND (adds only) / STREAMING (adds + txn watermark) /
+    * MERGE_ON_READ (adds carrying deletion vectors) / OPTIMIZE
+    * (removes + adds, dataChange=false — compact/reorg/clone shapes) /
+    * REWRITE (removes + adds, dataChange=true — CoW delete/update/merge) /
+    * DELETE (removes only). Runs as one distributed pass over the log
+    * tail; the ops dashboard query at any table size.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = logFiles(table)
+    require(files.nonEmpty, s"not a Delta table (no _delta_log): $table")
+    import spark.implicits._
+    val mtimes = files
+      .map(f => (f.getName.stripSuffix(".json").toLong, f.lastModified()))
+      .toDF("version", "timestamp_ms")
+    val acts = actionsDF(spark, files)
+      .groupBy("version")
+      .agg(
+        count(col("add")).as("n_added"),
+        count(col("remove")).as("n_removed"),
+        max(col("metaData").isNotNull).as("has_meta"),
+        max(col("protocol").isNotNull).as("has_protocol"),
+        max(col("txn").isNotNull).as("has_txn"),
+        max(col("add.deletionVector").isNotNull).as("has_dv"),
+        min(coalesce(col("add.dataChange"), lit(true)) &&
+          coalesce(col("remove.dataChange"), lit(true))).as("data_change"))
+    acts.join(broadcast(mtimes), Seq("version"))
+      .select(col("version"), col("timestamp_ms"),
+        when(col("has_meta") && col("version") === 0, "CREATE")
+          .when(col("has_meta"), "METADATA")
+          .when(col("n_added") > 0 && col("has_dv"), "MERGE_ON_READ")
+          .when(col("n_added") > 0 && col("n_removed") > 0 && !col("data_change"),
+            "OPTIMIZE")
+          .when(col("n_added") > 0 && col("n_removed") > 0, "REWRITE")
+          .when(col("n_added") > 0 && col("has_txn"), "STREAMING")
+          .when(col("n_added") > 0, "APPEND")
+          .when(col("n_removed") > 0, "DELETE")
+          .otherwise("PROTOCOL").as("operation"),
+        col("n_added"), col("n_removed"))
+      .orderBy("version")
+  }
+
   /** Declared schema of a Delta table (no data scan). */
   def tableSchema(spark: SparkSession, table: String): StructType =
     resolve(spark, table, None)._1.schema
