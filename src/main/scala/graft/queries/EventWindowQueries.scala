@@ -1355,6 +1355,72 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_lakehouse_maintain",
+      // POLICY-DRIVEN MAINTENANCE under the oracle (r14, the operability
+      // capstone): both formats accumulate realistic debt — five small
+      // appends and a row-level delete each — and one Maintenance run
+      // retires all of it on metadata-only triggers. Delta: the 20% DV
+      // ratio crosses the purge threshold (REORG), the file count crosses
+      // the bin-pack threshold (OPTIMIZE → exactly one file at this
+      // volume), checkpoint + vacuum(0) sweep the tombstones and orphaned
+      // sidecars. Iceberg: the manifest count crosses the rewrite
+      // threshold (→ one data manifest), expiry retires unpinned history
+      // to one snapshot. Gates pin each action's POST-STATE (`dv_free`,
+      // `one_file`, `one_manifest`, `one_snapshot`) and both final
+      // censuses must equal the oracle's complements — maintenance must
+      // never move the data plane. Every trigger reads KBs of metadata;
+      // every action costs only the debt it retires.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        def fifth(i: Int) = ev.filter(pmod(col("event_id"), lit(5)) === i)
+        val dt = graft.TempTables.create("graft-maintain-d")
+        graft.sinks.DeltaSink.write(fifth(0), dt, overwrite = true)
+        (1 to 4).foreach(i => graft.sinks.DeltaSink.append(fifth(i), dt))
+        graft.sinks.DeltaSink.deleteWhereDV(s, dt, "event_id % 5 = 0")
+        val (purged, compacted, vacuumed) = graft.sinks.Maintenance
+          .maintainDelta(s, dt, maxSmallFiles = 3, dvPurgeRatio = 0.1,
+            vacuumRetentionMs = 0L)
+        val dvFree = graft.sinks.DeltaSink.reorgPurge(s, dt) == ((0, 0L))
+        val oneFile = graft.sinks.DeltaSink.fileStats(s, dt).count() == 1
+        val it = graft.TempTables.create("graft-maintain-i") + "/tbl"
+        graft.sinks.IcebergSink.write(fifth(0), it,
+          graft.sinks.IcebergSink.CreateExclusive)
+        (1 to 4).foreach(i => graft.sinks.IcebergSink.write(fifth(i), it,
+          graft.sinks.IcebergSink.Append))
+        graft.sinks.IcebergSink.deleteWhere(s, it, "event_id % 7 = 0")
+        val (rewrote, _, _) = graft.sinks.Maintenance
+          .maintainIceberg(s, it, maxManifests = 2, keepLast = 1)
+        val oneManifest = graft.sinks.IcebergSink.metaTable(s, it, "manifests")
+          .filter(col("content") === 0).count() == 1
+        val oneSnapshot =
+          graft.sinks.IcebergSink.metaTable(s, it, "snapshots").count() == 1
+        val dCensus = graft.sinks.DeltaSink.read(s, dt).groupBy("event_type")
+          .agg(count(lit(1)).as("n_delta"), fxSum(col("value")).as("v_delta"))
+        val iCensus = graft.sinks.IcebergSink.read(s, it).groupBy("event_type")
+          .agg(count(lit(1)).as("n_ice"))
+        dCensus.join(iCensus, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            coalesce(col("v_delta"), lit(0.0)).as("v_delta"),
+            coalesce(col("n_ice"), lit(0L)).as("n_ice"))
+          .withColumn("delta_maintained",
+            lit(purged && compacted && vacuumed > 0 && dvFree && oneFile))
+          .withColumn("iceberg_maintained",
+            lit(rewrote && oneManifest && oneSnapshot))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 5 <> 0) AS BIGINT)
+             |    AS n_delta,
+             |  CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             |    FILTER (WHERE event_id % 5 <> 0), 0) AS DOUBLE) / 100.0
+             |    AS v_delta,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 7 <> 0) AS BIGINT)
+             |    AS n_ice,
+             |  TRUE AS delta_maintained, TRUE AS iceberg_maintained
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_history",
       // DESCRIBE HISTORY under the oracle (r14, the Delta twin of
       // q_iceberg_meta_tables): one metadata-only pass over the log tail

@@ -1965,6 +1965,13 @@ object DeltaSink {
     dead.size + deadCdc.size + deadDv.size
   }
 
+  /** Total rows the live set's deletion vectors mask — the REORG-purge
+    * trigger, from descriptors alone (no sidecar opened).
+    */
+  def dvMaskedRows(spark: SparkSession, table: String): Long =
+    replay(spark, table, None).live
+      .flatMap(_.dv.map(_.cardinality)).sum
+
   /** DESCRIBE HISTORY — one row per commit, METADATA-ONLY (the Delta twin
     * of [[IcebergSink.metaTable]]("history")): version, commit timestamp
     * (file mtime — same clock as [[versionAtTimestamp]]), and the
