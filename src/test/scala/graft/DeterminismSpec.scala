@@ -56,7 +56,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_delta_zorder_read", // compaction + stats-pruned range read
     "q_schema_evolution",  // mergeSchema append + null-filled read
     "q_delta_partition_read", // partition-pruned log-driven scan
-    "q_hll_sketch")        // register max-merge partial aggregation
+    "q_hll_sketch",        // register max-merge partial aggregation
+    "q_iceberg_partition_evolve", // metadata-only re-layout + mixed-spec pruned read
+    "q_delta_reorg",       // DV purge: round-robin survivor bins + census
+    "q_uniform_sync",      // dual-format replace snapshot + cross-plane census
+    "q_delta_history")     // action-shape classification census
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
