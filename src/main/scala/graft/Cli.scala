@@ -207,6 +207,19 @@ object Cli {
         // drop-constraint-delta <table> <name>
         sinks.DeltaSink.dropCheckConstraint(spark, pos(0), pos(1))
         println(s"dropped CHECK constraint ${pos(1)}")
+      case "maintain-delta" =>
+        // maintain-delta <table> [maxSmallFiles] [dvPurgeRatio] — the
+        // policy janitor: purge/compact/checkpoint/vacuum as thresholds say
+        val (p, c, v) = sinks.Maintenance.maintainDelta(spark, pos(0),
+          maxSmallFiles = pos.lift(1).map(_.toInt).getOrElse(64),
+          dvPurgeRatio = pos.lift(2).map(_.toDouble).getOrElse(0.1))
+        println(s"purged=$p compacted=$c vacuumed=$v")
+      case "maintain-iceberg" =>
+        // maintain-iceberg <table> [maxManifests] [keepLast]
+        val (r, e, o) = sinks.Maintenance.maintainIceberg(spark, pos(0),
+          maxManifests = pos.lift(1).map(_.toInt).getOrElse(64),
+          keepLast = pos.lift(2).map(_.toInt).getOrElse(5))
+        println(s"manifestsMerged=$r filesExpired=$e orphansRemoved=$o")
       case "history-delta" =>
         // history-delta <table> — DESCRIBE HISTORY (metadata-only)
         sinks.DeltaSink.history(spark, pos(0)).collect().foreach(r =>

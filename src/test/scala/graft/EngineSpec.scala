@@ -183,6 +183,32 @@ class EngineSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("r14 CLI verbs drive maintenance, history and partition evolution end-to-end") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val dt = java.nio.file.Files.createTempDirectory("graft-cli-r14d").toString
+    graft.sinks.DeltaSink.write((1L to 40L).map(i => (i, i.toDouble)).toDF("id", "v"), dt)
+    graft.sinks.DeltaSink.append((41L to 50L).map(i => (i, i.toDouble)).toDF("id", "v"), dt)
+    graft.sinks.DeltaSink.deleteWhereDV(s, dt, "id <= 25") // 50% masked
+    Cli.main(Array("maintain-delta", dt, "1", "0.1")) // purge + compact + vacuum
+    assert(graft.sinks.DeltaSink.reorgPurge(s, dt) == ((0, 0L))) // DV-free
+    assert(graft.sinks.DeltaSink.read(s, dt).count() == 25)
+    Cli.main(Array("history-delta", dt)) // prints; must not throw
+    val it = java.nio.file.Files.createTempDirectory("graft-cli-r14i").toString + "/tbl"
+    graft.sinks.IcebergSink.write(
+      Seq((1L, "a", java.sql.Timestamp.valueOf("2024-03-01 09:00:00")))
+        .toDF("id", "g", "ts"), it, graft.sinks.IcebergSink.CreateExclusive,
+      partitionBy = Seq("g"))
+    Cli.main(Array("evolve-partition-iceberg", it, "--partition-by", "day(ts)"))
+    graft.sinks.IcebergSink.write(
+      Seq((2L, "b", java.sql.Timestamp.valueOf("2024-03-02 09:00:00")))
+        .toDF("id", "g", "ts"), it, graft.sinks.IcebergSink.Append)
+    Cli.main(Array("maintain-iceberg", it, "1", "1"))
+    assert(graft.sinks.IcebergSink.metaTable(s, it, "manifests")
+      .filter(org.apache.spark.sql.functions.col("content") === 0).count() >= 1)
+    assert(graft.sinks.IcebergSink.read(s, it).count() == 2)
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),
