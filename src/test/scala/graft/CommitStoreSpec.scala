@@ -673,6 +673,33 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Iceberg rewriteManifests retries through a competing append; nothing lost (r14)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    def batch(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "v")
+    IcebergSink.write(batch(1, 10), table, IcebergSink.CreateExclusive)
+    IcebergSink.write(batch(11, 20), table, IcebergSink.Append)
+    IcebergSink.write(batch(21, 30), table, IcebergSink.Append)
+    // a racing append claims OUR version between the rewrite's metadata
+    // read and its commit attempt; the retry must re-read and carry the
+    // appended manifest (merged in, since it shares the spec)
+    var injected = false
+    val hooked = new CommitStore.HookedLocal((_, attempt) =>
+      if (attempt == 0 && !injected) {
+        injected = true
+        IcebergSink.write(batch(31, 40), table, IcebergSink.Append)
+      })
+    val (before, after) = IcebergSink.rewriteManifests(table, hooked)
+    assert(before == 4 && after == 1,
+      s"retry must see the racing append's manifest: got $before -> $after")
+    val back = IcebergSink.read(spark, table)
+    assert(back.count() == 40)
+    assert(back.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("id"))).head().getLong(0) ==
+      (1L to 40L).sum)
+  }
+
   test("Delta checkpoint + vacuum travel the store protocol too (r9)") {
     val s = spark
     import s.implicits._
