@@ -210,10 +210,10 @@ object Cli {
       case "maintain-delta" =>
         // maintain-delta <table> [maxSmallFiles] [dvPurgeRatio] — the
         // policy janitor: purge/compact/checkpoint/vacuum as thresholds say
-        val (p, c, v) = sinks.Maintenance.maintainDelta(spark, pos(0),
+        val (p, c, v, sy) = sinks.Maintenance.maintainDelta(spark, pos(0),
           maxSmallFiles = pos.lift(1).map(_.toInt).getOrElse(64),
           dvPurgeRatio = pos.lift(2).map(_.toDouble).getOrElse(0.1))
-        println(s"purged=$p compacted=$c vacuumed=$v")
+        println(s"purged=$p compacted=$c vacuumed=$v uniformSynced=$sy")
       case "maintain-iceberg" =>
         // maintain-iceberg <table> [maxManifests] [keepLast]
         val (r, e, o) = sinks.Maintenance.maintainIceberg(spark, pos(0),

@@ -1377,7 +1377,7 @@ object EventWindowQueries extends QueryModule {
         graft.sinks.DeltaSink.write(fifth(0), dt, overwrite = true)
         (1 to 4).foreach(i => graft.sinks.DeltaSink.append(fifth(i), dt))
         graft.sinks.DeltaSink.deleteWhereDV(s, dt, "event_id % 5 = 0")
-        val (purged, compacted, vacuumed) = graft.sinks.Maintenance
+        val (purged, compacted, vacuumed, _) = graft.sinks.Maintenance
           .maintainDelta(s, dt, maxSmallFiles = 3, dvPurgeRatio = 0.1,
             vacuumRetentionMs = 0L)
         val dvFree = graft.sinks.DeltaSink.reorgPurge(s, dt) == ((0, 0L))

@@ -69,6 +69,14 @@ trait ObjectStore extends CommitStore {
     */
   def listPrefix(prefix: Path): Seq[Path]
 
+  /** Keys at or under `prefix` WITH their last-modified millis — the
+    * ListObjectsV2 metadata a store returns with every page anyway.
+    * What an age-gated sweep ([[IcebergSink.removeOrphanFiles]]) needs:
+    * the orphan decision is (key, mtime, referenced?) per object, so the
+    * whole sweep can run off one listing with no per-object HEAD calls.
+    */
+  def listPrefixMeta(prefix: Path): Seq[(Path, Long)]
+
   /** The object's bytes (the GetObject analogue) — what the sinks' own
     * metadata-plane reads (deletion-vector sidecars, manifest merges)
     * travel when the table lives in a bucket: a real store has no local

@@ -1576,6 +1576,33 @@ object DeltaSink {
     requireWritable(meta.minWriter, table)
     require(!meta.partitionColumns.contains(column),
       s"cannot rename or drop partition column $column")
+    // stored SQL expressions (CHECK constraints, generated columns) name
+    // columns LOGICALLY: after a rename the stored text still says the
+    // old name and every subsequent append/update/merge fails at
+    // analysis time — the table is write-bricked until the constraint is
+    // dropped. A drop bricks identically. Upstream Delta blocks both, so
+    // refuse up front with the fix in the message.
+    def exprRefs(sql: String): Set[String] =
+      try spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.toSet
+      catch { case _: Exception => Set(column.toLowerCase) } // unparseable → refuse
+    val lcol = column.toLowerCase
+    meta.configuration.foreach { case (k, v) =>
+      if (k.startsWith("delta.constraints.") && exprRefs(v).contains(lcol))
+        throw new IllegalArgumentException(
+          s"column $column is referenced by CHECK constraint " +
+            s"${k.stripPrefix("delta.constraints.")} ($v); drop the " +
+            "constraint first (dropCheckConstraint), evolve, then re-add")
+    }
+    meta.schema.fields.foreach { f =>
+      if (f.name != column && f.metadata.contains(GenExprKey) &&
+          exprRefs(f.metadata.getString(GenExprKey)).contains(lcol))
+        throw new IllegalArgumentException(
+          s"column $column is referenced by generated column ${f.name}'s " +
+            "generation expression; drop the generated column first")
+    }
     // stamp EVERY unmapped field, not just on first enable: a column
     // added (mergeSchema) after mapping was enabled may lack metadata —
     // its files carry the logical name, so physicalName = current name is
@@ -1709,6 +1736,54 @@ object DeltaSink {
       s"cannot add constraint $name: existing rows violate ($expression)")
     commitConstraintConfig(table, store, meta,
       meta.configuration + (key -> expression))
+  }
+
+  /** ENABLE in-commit timestamps (Delta spec §in-commit-timestamps,
+    * writer feature `inCommitTimestamp`): every commit from this one on
+    * leads with a commitInfo action whose `inCommitTimestamp` is the
+    * commit's DURABLE clock — monotonic by construction (max(wall clock,
+    * prev + 1), stamped inside [[commitAtomic]]). Why it matters: the
+    * pre-ICT timestamp rule is commit-file MTIME, which an rsync, a
+    * bucket migration, or a `touch` silently rewrites — after which
+    * "the table at 09:00" resolves to the wrong version. ICT lives IN
+    * the committed bytes; copying the log cannot move it. The enablement
+    * commit records `delta.inCommitTimestampEnablementVersion`/
+    * `...Timestamp` (spec) so readers know where the ICT clock starts;
+    * [[versionAtTimestamp]] prefers ICT per commit and falls back to
+    * mtime for pre-enablement history. Protocol: writer v7 + the
+    * `inCommitTimestamp` writer feature (reader unchanged — the feature
+    * is writer-only).
+    */
+  def enableInCommitTimestamps(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Unit = {
+    val (meta, _) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
+    require(!meta.configuration.get("delta.enableInCommitTimestamps").contains("true"),
+      s"in-commit timestamps already enabled on $table")
+    val version = meta.version + 1
+    val ict = System.currentTimeMillis()
+    def lst(fs: Seq[String]) = fs.distinct.sorted.map(esc).mkString("[", ",", "]")
+    val bump =
+      if (meta.minWriter >= 7 && meta.writerFeatures.contains("inCommitTimestamp")) Nil
+      else Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+        s""""minWriterVersion":7,""" +
+        s""""readerFeatures":${lst(meta.readerFeatures)},""" +
+        s""""writerFeatures":${lst(meta.writerFeatures :+ "inCommitTimestamp")}}}""")
+    val metaLine = metaDataJson(meta.id,
+      StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
+      meta.partitionColumns,
+      if (meta.createdTime != 0L) meta.createdTime else ict,
+      meta.configuration ++ mappingConfig(meta.schema) ++ Map(
+        "delta.enableInCommitTimestamps" -> "true",
+        "delta.inCommitTimestampEnablementVersion" -> version.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ict.toString))
+    val info = s"""{"commitInfo":{"inCommitTimestamp":$ict,"timestamp":$ict}}"""
+    try commitAtomic(store, versionFile(table, version), (info +: bump) :+ metaLine)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit on $table during ICT enablement; re-run", e)
+    }
   }
 
   /** DROPs a CHECK constraint — metadata-only. */
@@ -1974,8 +2049,9 @@ object DeltaSink {
 
   /** DESCRIBE HISTORY — one row per commit, METADATA-ONLY (the Delta twin
     * of [[IcebergSink.metaTable]]("history")): version, commit timestamp
-    * (file mtime — same clock as [[versionAtTimestamp]]), and the
-    * OPERATION inferred from the commit's action shape. This engine
+    * (in-commit timestamp when the commit carries one, else file mtime —
+    * same clock as [[versionAtTimestamp]]), and the OPERATION inferred
+    * from the commit's action shape. Outside ICT stamps this engine
     * writes no commitInfo action, so the names are honest shape classes,
     * each unambiguous for the verbs this engine commits:
     * CREATE (metaData at v0) / METADATA (metaData later — constraints,
@@ -1993,7 +2069,8 @@ object DeltaSink {
     require(files.nonEmpty, s"not a Delta table (no _delta_log): $table")
     import spark.implicits._
     val mtimes = files
-      .map(f => (f.getName.stripSuffix(".json").toLong, f.lastModified()))
+      .map(f => (f.getName.stripSuffix(".json").toLong,
+        ictOfFile(f).getOrElse(f.lastModified()))) // ICT when present
       .toDF("version", "timestamp_ms")
     val acts = actionsDF(spark, files)
       .groupBy("version")
@@ -2048,21 +2125,34 @@ object DeltaSink {
       store: CommitStore = CommitStore.Local): DataFrame =
     readState(spark, table, replay(spark, table, asOfVersion), store)
 
-  /** TIMESTAMP → VERSION resolution (delta-spark's `timestampAsOf`): the
-    * LAST version committed at or before `tsMs`, by commit-file
-    * modification time — the spec's resolution rule before in-commit
-    * timestamps (each commit's mtime is its atomic-rename instant, so
-    * mtimes are commit-ordered on one filesystem clock). Before the first
-    * commit → error, mirroring delta-spark.
+  /** TIMESTAMP → VERSION resolution (delta-spark's `timestampAsOf`):
+    * the LAST version committed at or before `tsMs`. Per-commit clock:
+    * the commit's in-commit timestamp when it carries one
+    * ([[enableInCommitTimestamps]] — the durable clock that survives a
+    * log copy/rsync/touch), else the commit file's modification time —
+    * the spec's pre-ICT rule (each mtime is its atomic-rename instant,
+    * commit-ordered on one filesystem clock). On a table enabled
+    * mid-history this is exactly the spec's split: ICT from the
+    * enablement version on, mtime before it. Before the first commit →
+    * error, mirroring delta-spark.
     */
   def versionAtTimestamp(table: String, tsMs: Long): Long = {
-    val candidates = logFiles(table)
-      .map(f => (f.getName.stripSuffix(".json").toLong, f.lastModified()))
+    val clocks = logFiles(table)
+      .map(f => (f.getName.stripSuffix(".json").toLong,
+        ictOfFile(f), f.lastModified()))
       .sortBy(_._1)
-      .takeWhile(_._2 <= tsMs)
-    require(candidates.nonEmpty,
+    // the ICT region starts at the enablement commit (the first to carry
+    // one) and is SELF-CONTAINED: a target inside it resolves by ICT
+    // alone, so copy-mangled mtimes on older commits cannot corrupt it
+    val ictRegion = clocks.dropWhile(_._2.isEmpty)
+    val resolved =
+      if (ictRegion.nonEmpty && ictRegion.head._2.exists(_ <= tsMs))
+        ictRegion.takeWhile(_._2.exists(_ <= tsMs)).lastOption.map(_._1)
+      else
+        clocks.takeWhile(c => c._2.isEmpty && c._3 <= tsMs).lastOption.map(_._1)
+    require(resolved.isDefined,
       s"no commit at or before timestamp $tsMs in $table")
-    candidates.last._1
+    resolved.get
   }
 
   /** Time travel by TIMESTAMP — the audit-friendly twin of the version
@@ -2982,9 +3072,50 @@ object DeltaSink {
     acc.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]]
       .mergeStatistics(s.asInstanceOf[org.apache.parquet.column.statistics.Statistics[T]])
 
+  /** First-line in-commit timestamp of a commit file, if the commit
+    * carries one. The feature requires commitInfo to be the FIRST action
+    * of every commit, so one line is the whole probe — no replay, no
+    * full-file read.
+    */
+  private val IctRe = """"inCommitTimestamp"\s*:\s*(\d+)""".r
+  private def ictOfFile(f: File): Option[Long] = {
+    if (!f.exists()) return None
+    val in = new java.io.BufferedReader(new java.io.FileReader(f))
+    try Option(in.readLine()).filter(_.startsWith("""{"commitInfo""""))
+      .flatMap(l => IctRe.findFirstMatchIn(l).map(_.group(1).toLong))
+    finally in.close()
+  }
+
+  /** The single choke point every Delta commit flows through — which is
+    * what makes in-commit timestamps (spec §in-commit-timestamps) an
+    * invariant instead of a per-verb chore: once a commit carries a
+    * leading commitInfo with `inCommitTimestamp`
+    * ([[enableInCommitTimestamps]] plants the first), EVERY subsequent
+    * commit is stamped here with max(wall clock, previous ICT + 1) — the
+    * spec's monotonicity rule — by probing just the PREVIOUS commit's
+    * first line. Commits that already lead with their own commitInfo
+    * (the enablement commit) pass through untouched.
+    */
   private def commitAtomic(store: CommitStore, target: java.nio.file.Path,
-      lines: Seq[String]): Unit =
-    store.putIfAbsent(target, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      lines: Seq[String]): Unit = {
+    val name = target.getFileName.toString
+    val all =
+      if (!name.matches("\\d{20}\\.json") ||
+          lines.headOption.exists(_.startsWith("""{"commitInfo""""))) lines
+      else {
+        val v = name.stripSuffix(".json").toLong
+        val prevIct =
+          if (v == 0) None
+          else ictOfFile(target.getParent.resolve(f"${v - 1}%020d.json").toFile)
+        prevIct match {
+          case Some(p) =>
+            val ict = math.max(System.currentTimeMillis(), p + 1)
+            s"""{"commitInfo":{"inCommitTimestamp":$ict,"timestamp":$ict}}""" +: lines
+          case None => lines
+        }
+      }
+    store.putIfAbsent(target, (all.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+  }
 
   /** Parquet footer record count (shared by both sinks' stats). */
   private[sinks] def numRecords(f: File, conf: Configuration): Long = {

@@ -185,8 +185,12 @@ object HttpObjectStore {
             }
 
           // recursive prefix listing (the ListObjectsV2 analogue): one
-          // "key size" line per object at or under the key
-          case ("GET", None, _) if q.contains("list") =>
+          // "key size" line per object at or under the key; `?list-meta`
+          // leads each line with the mtime ("mtime size key", key LAST so
+          // keys containing spaces stay parseable) — LastModified rides
+          // every real ListObjectsV2 page, so the sweep verbs get it
+          // without per-object HEAD calls
+          case ("GET", None, _) if q.contains("list") || q.contains("list-meta") =>
             listings.incrementAndGet()
             if (failListings) respond(ex, 500)
             else {
@@ -197,8 +201,12 @@ object HttpObjectStore {
                     .filterNot(_.getFileName.toString == ".mp-uploads")
                     .flatMap(walkKeys)
                 else Nil
-              val lines = walkKeys(target).map(p =>
-                s"${root.relativize(p)} ${Files.size(p)}").sorted.mkString("\n")
+              val withMeta = q.contains("list-meta")
+              val lines = walkKeys(target).map { p =>
+                if (withMeta)
+                  s"${Files.getLastModifiedTime(p).toMillis} ${Files.size(p)} ${root.relativize(p)}"
+                else s"${root.relativize(p)} ${Files.size(p)}"
+              }.sorted.mkString("\n")
               respond(ex, 200, lines.getBytes(StandardCharsets.UTF_8))
             }
 
@@ -287,6 +295,20 @@ object HttpObjectStore {
         throw new IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
       resp.body().linesIterator.filter(l => l.nonEmpty && l.lastIndexOf(' ') > 0)
         .map(l => root.resolve(l.substring(0, l.lastIndexOf(' ')))).toSeq
+    }
+
+    override def listPrefixMeta(prefix: Path): Seq[(Path, Long)] = {
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(keyUri(prefix).toString + "?list-meta"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IOException(s"list of $prefix failed: HTTP ${resp.statusCode()}")
+      // "mtime size key" — key LAST, so split on the first two spaces only
+      resp.body().linesIterator.filter(_.nonEmpty).map { l =>
+        val parts = l.split(" ", 3)
+        (root.resolve(parts(2)), parts(0).toLong)
+      }.toSeq
     }
 
     private def keyUri(target: Path): URI = {

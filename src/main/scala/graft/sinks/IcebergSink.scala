@@ -424,7 +424,8 @@ object IcebergSink {
       store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
       summaryProps: Map[String, String] = Map.empty,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      operationOverride: Option[String] = None): Unit = {
     val hint = readHint(table)
     if (hint.isDefined && mode == CreateExclusive)
       throw new IllegalStateException(
@@ -855,7 +856,13 @@ object IcebergSink {
       .put("manifest-list", s"metadata/${listPath.getFileName}")
       .put("schema-id", schemaId)
       .putObject("summary")
-    summary.put("operation", "append")
+    // spec §snapshots: the summary must carry the snapshot's TRUE
+    // operation — an Overwrite of existing data is "overwrite" (a
+    // sequence-scoped consumer must not mistake the rewritten rows for
+    // appends), a rewrite that changes no logical rows (compact) stamps
+    // "replace" via the override, and a first/append commit is "append"
+    summary.put("operation", operationOverride.getOrElse(
+      if (mode == Overwrite && previous.isDefined) "overwrite" else "append"))
     // caller-stamped summary properties (e.g. the streaming txn watermark
     // graft.txn-app-id / graft.txn-batch-id — Iceberg's standard place for
     // engine bookkeeping is the snapshot summary map)
@@ -923,11 +930,13 @@ object IcebergSink {
       retries: Int = OccRetries, store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
       summaryProps: Map[String, String] = Map.empty,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      operationOverride: Option[String] = None): Unit = {
     var attempt = 0
     while (true) {
       try {
-        write(df, table, mode, store, partitionBy, summaryProps, evolveSchema)
+        write(df, table, mode, store, partitionBy, summaryProps, evolveSchema,
+          operationOverride)
         return
       } catch {
         case e: OptimisticConcurrencyException =>
@@ -1581,11 +1590,41 @@ object IcebergSink {
     * never re-emits old files) and applies the boundary snapshot's
     * deletes. Sequence numbers are the natural streaming offset: strictly
     * monotonic per commit, branch-shared, never reused.
+    *
+    * DATA-CHANGING NON-APPEND snapshots in the range are the tail's
+    * poison (upstream Iceberg's skip-overwrite-snapshots contract):
+    *  - `replace` (compact / rewriteManifests) rewrites EXISTING rows
+    *    into new files carrying the new sequence — entries at a replace
+    *    sequence are excluded, or every compaction between offsets would
+    *    re-deliver the whole rewritten table. (rewriteManifests is
+    *    doubly safe: its EXISTING entries keep their original sequences
+    *    explicitly.) EXCEPTION: a UniForm sync ([[syncFromDelta]], also
+    *    a `replace`, marked `graft.synced-from` in its summary) assigns
+    *    the new sequence ONLY to files the Delta plane appended since
+    *    the last sync — logical appends riding a replace commit — so
+    *    those entries deliver; its carried-over files keep their
+    *    original sequences and stay invisible, exactly like a
+    *    manifest rewrite.
+    *  - `overwrite`/`delete` (upsert, MoR update/delete) change which
+    *    rows exist; an append-only tail cannot represent that, so by
+    *    default the batch FAILS LOUDLY rather than silently re-deliver
+    *    rewritten rows. `skipOverwrites = true` opts into upstream's
+    *    skip semantics: those sequences' entries are excluded and the
+    *    feed stays append-only (downstream sees inserts only).
+    * Entries whose snapshot already expired resolve as `append` — a file
+    * still live at the boundary is deliverable data regardless of the
+    * operation that once minted it.
     */
   def readAppendedBetween(spark: SparkSession, table: String,
-      sinceSeq: Long, untilSeq: Long): DataFrame = {
+      sinceSeq: Long, untilSeq: Long,
+      skipOverwrites: Boolean = false): DataFrame = {
     val meta = currentMeta(table)
-    if (untilSeq <= 0) {
+    // untilSeq <= sinceSeq: nothing to deliver. Short-circuit BEFORE
+    // boundary-snapshot resolution — on restart Spark re-plans the last
+    // checkpointed batch with EQUAL offsets, and if maintenance expired
+    // that boundary snapshot in the meantime the lookup below would
+    // crash a stream whose batch is empty anyway.
+    if (untilSeq <= 0 || untilSeq <= sinceSeq) {
       val schema = DataType.fromJson(
         meta.get("properties").get("graft.spark-schema").asText())
         .asInstanceOf[StructType]
@@ -1593,20 +1632,45 @@ object IcebergSink {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
     // the boundary is the EXACT snapshot at untilSeq — offsets only ever
-    // come from [[mainHeadSequence]], so that snapshot is a main head and
-    // its manifest list contains ONLY main-line state. A max-seq-≤-until
-    // fallback would instead resolve a BRANCH head (sequences are
-    // branch-shared) and leak unaudited WAP staging rows, or a
-    // rolled-back snapshot's bad rows, into the feed.
+    // come from [[mainHeadSequence]] or [[branchHeadSequence]], so that
+    // snapshot is the head that MINTED the sequence and its manifest list
+    // contains exactly its own lineage's state (main feed → main state;
+    // branch feed → that branch's state). A max-seq-≤-until fallback
+    // would instead let one lineage's head serve the other's feed
+    // (sequences are branch-shared) and leak unaudited WAP staging rows,
+    // or a rolled-back snapshot's bad rows, into the feed.
     val boundary = meta.get("snapshots").elements().asScala.toSeq
       .find(_.get("sequence-number").asLong() == untilSeq)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot at sequence $untilSeq in $table (expired?) — " +
           "the tail must consume within the retention window"))
     val snap = snapshotEntries(table, Some(boundary.get("snapshot-id").asLong()))
-    readMerged(spark, snap.schema,
-      snap.data.filter(e => e._3 > sinceSeq && e._3 <= untilSeq),
-      snap.deletes,
+    val opBySeq: Map[Long, String] = meta.get("snapshots").elements().asScala
+      .map { s =>
+        val op = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).getOrElse("append")
+        val isSync = Option(s.get("summary"))
+          .exists(x => x.has("graft.synced-from"))
+        // a UniForm sync's new-sequence entries are the Delta plane's
+        // appends — logical inserts, deliverable; every other replace's
+        // new-sequence entries are rewrites of already-delivered rows
+        s.get("sequence-number").asLong() ->
+          (if (op == "replace" && isSync) "append" else op)
+      }.toMap
+    val inRange = snap.data.filter(e => e._3 > sinceSeq && e._3 <= untilSeq)
+    def opOf(seq: Long) = opBySeq.getOrElse(seq, "append")
+    val nonRewrites = inRange.filterNot(e => opOf(e._3) == "replace")
+    val dataChanging = nonRewrites.filter(e => opOf(e._3) != "append")
+    if (dataChanging.nonEmpty && !skipOverwrites)
+      throw new IllegalStateException(
+        s"snapshot(s) at sequence(s) ${dataChanging.map(_._3).distinct.sorted.mkString(",")} " +
+          s"of $table are ${dataChanging.map(e => opOf(e._3)).distinct.sorted.mkString("/")} " +
+          "operations - an append-only tail would re-deliver rewritten rows. " +
+          "Set skipOverwrites (.option(\"skip-overwrite-snapshots\", true) on " +
+          "the stream source) to skip them, or tail an append-only table.")
+    val kept = if (skipOverwrites) nonRewrites.filter(e => opOf(e._3) == "append")
+      else nonRewrites
+    readMerged(spark, snap.schema, kept, snap.deletes,
       curFields = snap.curFields, fileFields = snap.fileFields)
   }
 
@@ -1646,6 +1710,23 @@ object IcebergSink {
   def readAsOfTimestamp(spark: SparkSession, table: String, tsMs: Long)
       : DataFrame =
     read(spark, table, Some(snapshotAtTimestamp(table, tsMs)))
+
+  /** A named ref head's sequence number — the BRANCH-targeted tail's
+    * offset ([[mainHeadSequence]]'s twin for a WAP audit pipeline that
+    * consumes the staging branch BEFORE publish). -1 when the table has
+    * no snapshots yet; error when the ref does not exist (a typo'd
+    * branch must not silently read as an empty feed).
+    */
+  def branchHeadSequence(table: String, branch: String): Long =
+    readHint(table).map { _ =>
+      val meta = currentMeta(table)
+      require(meta.has("refs") && meta.get("refs").has(branch),
+        s"no such ref on $table: $branch")
+      val id = meta.get("refs").get(branch).get("snapshot-id").asLong()
+      meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == id)
+        .map(_.get("sequence-number").asLong()).getOrElse(-1L)
+    }.getOrElse(-1L)
 
   /** The MAIN head's sequence number — the streaming tail's offset. NOT
     * `last-sequence-number`: branch commits bump that too, and an offset
@@ -2000,7 +2081,11 @@ object IcebergSink {
     val packed =
       if (zorderBy.isEmpty) df.coalesce(target)
       else ZOrder.cluster(df, zorderBy, target) // OPTIMIZE ZORDER, shared with DeltaSink
-    writeWithRetry(packed, table, Overwrite, store = store)
+    // a compaction changes no logical row: its snapshot is a `replace`
+    // (spec §snapshots), which sequence-scoped consumers (the streaming
+    // tail) skip rather than re-deliver or fail on
+    writeWithRetry(packed, table, Overwrite, store = store,
+      operationOverride = Some("replace"))
     (before, fileCount())
   }
 
@@ -2153,12 +2238,24 @@ object IcebergSink {
     // replace manifest (explicit per-entry seq, status EXISTING) so a
     // sequence-scoped consumer — the streaming tail above all — never
     // sees a sync as a whole-table re-delivery
-    val curEntries = snapshotEntries(table, None).data
+    val curSnap = snapshotEntries(table, None)
+    val curEntries = curSnap.data
     val curFiles = curEntries.map(_._1).toSet
     val prevSeqByPath: Map[String, Long] =
       curEntries.map(e => e._1 -> e._3).toMap
     val deltaFiles = files.map(f => new File(table, f._1).getAbsolutePath)
     if (deltaFiles.toSet == curFiles) return 0
+    // Iceberg-plane MoR deletes don't change the data-file set, so the
+    // path-set no-op guard above cannot see them — and the replace
+    // commit below carries carriedOverride = Nil, which would silently
+    // DROP the delete manifests: rows deleted via deleteWhere would
+    // reappear to Iceberg readers after the sync. Refuse, consistent
+    // with the schema/layout-divergence refusals: compact the Iceberg
+    // plane (or route the delete through Delta) first.
+    require(curSnap.deletes.isEmpty,
+      "Iceberg-plane delete files present - a sync would discard them and " +
+        "resurrect deleted rows; compact the Iceberg plane first or issue " +
+        "the delete through the Delta plane")
     val idByName: Map[String, Int] =
       ifieldsOf(mapper.readTree(currentSchemaJson(meta)._2))
         .map(f => f.name -> f.id).toMap
@@ -3583,6 +3680,25 @@ object IcebergSink {
     val (keptMeta, keptData) = filesOf(kept)
     val (expMeta, expData) = filesOf(expired)
 
+    // dual-format guard, resolved BEFORE the metadata commit: on a
+    // converted table the DELTA log may still reference files every kept
+    // Iceberg snapshot has retired — they are not reclaimable (mirror of
+    // DeltaSink.vacuum's icebergLive guard). The active-session
+    // requirement must also fail HERE: failing after the pruned metadata
+    // committed would leave the expiry half-done (history gone, data
+    // files unreclaimed forever).
+    val deltaLive: Set[String] =
+      if (!Files.exists(Paths.get(table, "_delta_log"))) Set.empty
+      else org.apache.spark.sql.SparkSession.getActiveSession match {
+        // EVERY Delta-logged path, tombstones included — a file inside
+        // vacuum's retention still serves Delta time travel/restore
+        case Some(s) => DeltaSink.allReferencedFiles(s, table)
+          .map(rel => new File(table, rel).getAbsolutePath)
+        case None => throw new IllegalStateException(
+          "expiring a dual-format table needs an active SparkSession " +
+            "to read the Delta plane's reference set")
+      }
+
     // rewrite metadata without the expired snapshots (and without the
     // refs whose max-ref-age-ms lapsed — their pins release here)
     val newMeta = meta.deepCopy[ObjectNode]()
@@ -3613,20 +3729,6 @@ object IcebergSink {
       case _ => Files.deleteIfExists(Paths.get(p)): Unit
     }
     (expMeta -- keptMeta).foreach(reclaim)
-    // dual-format guard: on a converted table the DELTA log may still
-    // reference files every kept Iceberg snapshot has retired — they are
-    // not reclaimable (mirror of DeltaSink.vacuum's icebergLive guard)
-    val deltaLive: Set[String] =
-      if (!Files.exists(Paths.get(table, "_delta_log"))) Set.empty
-      else org.apache.spark.sql.SparkSession.getActiveSession match {
-        // EVERY Delta-logged path, tombstones included — a file inside
-        // vacuum's retention still serves Delta time travel/restore
-        case Some(s) => DeltaSink.allReferencedFiles(s, table)
-          .map(rel => new File(table, rel).getAbsolutePath)
-        case None => throw new IllegalStateException(
-          "expiring a dual-format table needs an active SparkSession " +
-            "to read the Delta plane's reference set")
-      }
     val deadData = expData -- keptData -- deltaLive
     deadData.foreach(reclaim)
     deadData.size
@@ -3665,24 +3767,43 @@ object IcebergSink {
     val referenced = lists.toSet ++ manifests ++ dataRefs ++ deltaRefs
     val cutoff = System.currentTimeMillis() - olderThanMs
     val root = new File(table)
-    def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
-      case f if f.isDirectory =>
-        // Delta-plane artifacts have their own janitors (DeltaSink.vacuum)
-        if (Seq("_delta_log", "_change_data", DeltaSink.DvPrefix)
-          .contains(f.getName)) Nil
-        else walk(f)
-      case f => Seq(f)
+    // LISTING is the sweep's real cost at 100 TB (the referenced set and
+    // the per-key decision are metadata-cheap): a store-backed table
+    // lists through the store protocol — ONE recursive ListObjectsV2-
+    // shaped call whose pages already carry LastModified, because a real
+    // bucket has no local File.walk — and a local table walks the tree.
+    // For a tree too large for one listing, shard the sweep: each key's
+    // verdict is independent (name, mtime, membership in `referenced`),
+    // so parallel sweeps over partition-directory prefixes compose —
+    // the same contract as distributed remove_orphan_files.
+    // Delta-plane artifacts have their own janitors (DeltaSink.vacuum).
+    val skipDirs = Set("_delta_log", "_change_data", DeltaSink.DvPrefix)
+    val candidates: Seq[(File, Long)] = store match {
+      case os: ObjectStore =>
+        val rootPath = root.toPath.toAbsolutePath.normalize()
+        os.listPrefixMeta(rootPath).flatMap { case (p, mtime) =>
+          val rel = rootPath.relativize(p.toAbsolutePath.normalize())
+          val dirSegs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+          if (dirSegs.exists(skipDirs.contains)) None
+          else Some((p.toFile, mtime))
+        }
+      case _ =>
+        def walk(d: File): Seq[File] = Option(d.listFiles()).toSeq.flatten.flatMap {
+          case f if f.isDirectory =>
+            if (skipDirs.contains(f.getName)) Nil else walk(f)
+          case f => Seq(f)
+        }
+        walk(root).map(f => (f, f.lastModified()))
     }
-    val orphans = walk(root).filter { f =>
+    val orphans = candidates.filter { case (f, mtime) =>
       val name = f.getName
       val sweepable =
         if (f.getParentFile.getName == "metadata")
           name.endsWith(".avro") // never metadata JSONs or the version hint
         else name.endsWith(".parquet")
-      sweepable && f.lastModified() < cutoff &&
-        !referenced.contains(f.getAbsolutePath)
+      sweepable && mtime < cutoff && !referenced.contains(f.getAbsolutePath)
     }
-    orphans.map { f =>
+    orphans.map { case (f, _) =>
       val p = f.getAbsolutePath
       store match {
         case os: ObjectStore => os.deleteObject(f.toPath)

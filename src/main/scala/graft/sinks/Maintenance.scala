@@ -21,15 +21,33 @@ import org.apache.spark.sql.SparkSession
   * of metadata, and every action's cost is proportional to the debt it
   * retires (DV files, small files, manifests, orphans) — never to the
   * table. Both runners return what they did, so a scheduler can log it.
+  *
+  * COMPACTION vs STREAMING TAILS: an Iceberg data compaction commits a
+  * `replace` snapshot; [[IcebergSink.readAppendedBetween]] (and so the
+  * `graft-iceberg-tail` source) excludes replace-sequence entries, so a
+  * janitor compaction landing BETWEEN a tail's offsets never re-delivers
+  * the rewritten table. The Delta tail is safe the same way through the
+  * log's `dataChange=false` flag on OPTIMIZE adds. Tails must still
+  * consume within the retention window this janitor enforces — expiry/
+  * vacuum of a not-yet-consumed snapshot breaks the feed by contract.
   */
 object Maintenance {
 
-  /** @return (dvPurged, compacted, vacuumedFiles) */
+  /** @return (dvPurged, compacted, vacuumedFiles, uniformSynced) —
+    * `uniformSynced` is true when the table is dual-format
+    * ([[IcebergSink.convertFromDelta]]) and its Iceberg view is CURRENT
+    * when this returns (a sync committed, or the planes already agreed):
+    * the nightly loop must not leave a UniForm table serving a stale
+    * Iceberg plane after compact/vacuum moved the Delta plane. The sync
+    * is skipped (false) when the planes cannot sync cleanly by policy —
+    * live DVs below the purge threshold, or Iceberg-plane MoR deletes
+    * ([[IcebergSink.syncFromDelta]] refuses both).
+    */
   def maintainDelta(spark: SparkSession, table: String,
       maxSmallFiles: Int = 64,
       dvPurgeRatio: Double = 0.1,
       vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
-      store: CommitStore = CommitStore.Local): (Boolean, Boolean, Int) = {
+      store: CommitStore = CommitStore.Local): (Boolean, Boolean, Int, Boolean) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, from_json, lit, sum}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // one metadata pass answers both triggers: live-file count, physical
@@ -46,7 +64,21 @@ object Maintenance {
     if (compactNeeded) DeltaSink.compact(spark, table, store = store): Unit
     DeltaSink.checkpoint(spark, table, store): Unit
     val vacuumed = DeltaSink.vacuum(spark, table, vacuumRetentionMs, store)
-    (purge, compactNeeded, vacuumed)
+    // UniForm: a dual-format table (Iceberg metadata beside _delta_log)
+    // re-syncs its Iceberg view after the Delta plane moved, so the
+    // nightly loop never leaves Iceberg readers on pre-compaction files
+    // that vacuum is about to reclaim. Metadata-only no-op when the
+    // planes already agree.
+    val dualFormat = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "metadata", "version-hint.text"))
+    val synced = dualFormat && {
+      val dvRemain = DeltaSink.dvMaskedRows(spark, table) > 0
+      val iceDeletes = IcebergSink.metaTable(spark, table, "manifests")
+        .filter(col("content") =!= 0).count() > 0
+      if (dvRemain || iceDeletes) false
+      else { IcebergSink.syncFromDelta(spark, table, store): Unit; true }
+    }
+    (purge, compactNeeded, vacuumed, synced)
   }
 
   /** @return (manifestsMerged, snapshotsExpiredFiles, orphansRemoved) */

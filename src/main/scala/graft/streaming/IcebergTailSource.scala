@@ -15,9 +15,13 @@ import org.apache.spark.sql.types.StructType
   * the boundary snapshot so a commit racing the offset read can never
   * leak into a batch and re-deliver. Per-entry sequences make a
   * rewriteManifests metadata compaction between offsets invisible (merged
-  * manifests keep their files' original sequences); rows removed by
-  * overwriting writers are not retracted — the same append-tail caveat as
-  * the Delta twin.
+  * manifests keep their files' original sequences), and a data compaction
+  * (`replace` snapshot) is skipped outright — its files are rewrites of
+  * already-delivered rows. Data-CHANGING non-append snapshots (upsert,
+  * MoR update/delete — `overwrite`/`delete` operations) fail the batch
+  * loudly by default; `.option("skip-overwrite-snapshots", true)` opts
+  * into upstream Iceberg's skip contract (the feed stays append-only and
+  * rows removed by those writers are not retracted).
   *
   * Usage:
   * {{{
@@ -44,10 +48,24 @@ class IcebergTailSourceProvider extends StreamSourceProvider with DataSourceRegi
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new IcebergTailSource(sqlContext, table(parameters))
+    new IcebergTailSource(sqlContext, table(parameters),
+      skipOverwrites = parameters
+        .getOrElse("skip-overwrite-snapshots", "false").toBoolean,
+      branch = parameters.get("branch"))
 }
 
-class IcebergTailSource(sqlContext: SQLContext, table: String) extends Source {
+/** @param branch follow a NAMED BRANCH head instead of main
+  *   (`.option("branch", "staging")`) — the WAP audit pipeline's intake:
+  *   staged commits feed this tail for validation while staying invisible
+  *   to every main-line reader; after fastForward publishes, the main
+  *   tail picks the same sequences up from ITS offset and the branch tail
+  *   idles (the branch head stops advancing) — no row is lost or doubled
+  *   across the handover because both feeds cursor the SAME shared,
+  *   never-reused sequence space.
+  */
+class IcebergTailSource(sqlContext: SQLContext, table: String,
+    skipOverwrites: Boolean = false,
+    branch: Option[String] = None) extends Source {
 
   override val schema: StructType = IcebergSink.tableSchema(table)
 
@@ -61,7 +79,10 @@ class IcebergTailSource(sqlContext: SQLContext, table: String) extends Source {
     */
   private var maxSeen = -1L
   override def getOffset: Option[Offset] = {
-    val s = IcebergSink.mainHeadSequence(table)
+    val s = branch match {
+      case Some(b) => IcebergSink.branchHeadSequence(table, b)
+      case None => IcebergSink.mainHeadSequence(table)
+    }
     maxSeen = math.max(maxSeen, s)
     if (maxSeen < 0) None else Some(LongOffset(maxSeen))
   }
@@ -76,7 +97,7 @@ class IcebergTailSource(sqlContext: SQLContext, table: String) extends Source {
     val since = start.map(seq).getOrElse(0L)
     org.apache.spark.sql.GraftColumnBridge.asStreaming(
       IcebergSink.readAppendedBetween(sqlContext.sparkSession, table,
-        since, seq(end)))
+        since, seq(end), skipOverwrites = skipOverwrites))
   }
 
   override def stop(): Unit = ()

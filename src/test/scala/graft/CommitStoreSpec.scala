@@ -842,5 +842,43 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("removeOrphanFiles lists and reclaims through the store protocol (r15 verdict)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val it = root.resolve("ib-orphan").toString
+      IcebergSink.write((1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v"),
+        it, IcebergSink.CreateExclusive, store = client)
+      IcebergSink.write((11L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"),
+        it, IcebergSink.Append, store = client)
+      // plant orphans THROUGH the store — a crashed writer's data file
+      // and a stranded manifest, plus a FRESH one the age gate must keep
+      val oldData = Paths.get(it, "data", "orphan-000.parquet")
+      val oldAvro = Paths.get(it, "metadata", "manifest-orphan.avro")
+      val freshData = Paths.get(it, "data", "orphan-fresh.parquet")
+      client.putObject(oldData, Array[Byte](1, 2, 3))
+      client.putObject(oldAvro, Array[Byte](4, 5))
+      client.putObject(freshData, Array[Byte](6))
+      val aged = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L)
+      Files.setLastModifiedTime(oldData, aged)
+      Files.setLastModifiedTime(oldAvro, aged)
+      val listingsPre = server.listings.get()
+      val swept = IcebergSink.removeOrphanFiles(spark, it,
+        olderThanMs = 60 * 1000L, store = client)
+      // the sweep's LISTING travelled the store protocol (no local walk)
+      assert(server.listings.get() > listingsPre)
+      assert(swept.map(p => Paths.get(p).getFileName.toString).toSet ==
+        Set("orphan-000.parquet", "manifest-orphan.avro"))
+      assert(Files.exists(freshData), "age gate must keep fresh files")
+      assert(!Files.exists(oldData) && !Files.exists(oldAvro))
+      // every referenced file survived — the table reads whole
+      assert(IcebergSink.read(spark, it).count() == 20)
+    } finally server.close()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

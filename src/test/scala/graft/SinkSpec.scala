@@ -3377,4 +3377,190 @@ class SinkSpec extends AnyFunSuite {
     IcebergSink.fastForward(table, "st")
     assert(IcebergSink.read(spark, table).count() == 7)
   }
+
+  test("Iceberg tail guard: compaction rewrites excluded; overwrites fail loudly unless skipped (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table,
+      IcebergSink.CreateExclusive)
+    val seq0 = IcebergSink.mainHeadSequence(table)
+    IcebergSink.write(Seq((3L, "c")).toDF("id", "s"), table, IcebergSink.Append)
+    val seq1 = IcebergSink.mainHeadSequence(table)
+    assert(IcebergSink.readAppendedBetween(spark, table, seq0, seq1).count() == 1)
+    // a DATA compaction between offsets re-adds every row in new files at
+    // the new sequence — the tail must deliver NONE of them
+    IcebergSink.compact(spark, table)
+    val seq2 = IcebergSink.mainHeadSequence(table)
+    assert(IcebergSink.readAppendedBetween(spark, table, seq1, seq2).count() == 0)
+    // restart replan: equal offsets short-circuit to empty without
+    // resolving a boundary snapshot
+    assert(IcebergSink.readAppendedBetween(spark, table, seq2, seq2).count() == 0)
+    // an upsert commits an `overwrite` snapshot: the batch fails loudly...
+    IcebergSink.upsert(spark, table, Seq((2L, "B"), (4L, "d")).toDF("id", "s"),
+      Seq("id"))
+    val seq3 = IcebergSink.mainHeadSequence(table)
+    val e = intercept[IllegalStateException](
+      IcebergSink.readAppendedBetween(spark, table, seq2, seq3).count())
+    assert(e.getMessage.contains("skip-overwrite-snapshots"))
+    // ...unless the caller opts into upstream's skip contract
+    assert(IcebergSink.readAppendedBetween(spark, table, seq2, seq3,
+      skipOverwrites = true).count() == 0)
+    // appends after the skipped overwrite still flow
+    IcebergSink.write(Seq((9L, "z")).toDF("id", "s"), table, IcebergSink.Append)
+    val seq4 = IcebergSink.mainHeadSequence(table)
+    assert(IcebergSink.readAppendedBetween(spark, table, seq3, seq4)
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+    // equal offsets whose boundary snapshot maintenance already expired:
+    // the short-circuit means the (empty) batch still plans on restart
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(IcebergSink.readAppendedBetween(spark, table, seq1, seq1).count() == 0)
+  }
+
+  test("UniForm sync refuses while the Iceberg plane carries live delete files (r15 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"), table)
+    IcebergSink.convertFromDelta(spark, table)
+    // an Iceberg-plane MoR delete changes NO data file, so the sync's
+    // path-set no-op guard cannot see it — only the refusal protects it
+    IcebergSink.deleteWhere(spark, table, "id <= 3")
+    DeltaSink.append(Seq((21L, 21.0)).toDF("id", "v"), table)
+    val e = intercept[IllegalArgumentException](
+      IcebergSink.syncFromDelta(spark, table))
+    assert(e.getMessage.contains("delete files"))
+    // the deletes stayed live for Iceberg readers
+    assert(IcebergSink.read(spark, table).count() == 17)
+    // remedy: fold the delete files (compact), route the delete through
+    // the DELTA plane — the planes then converge through the sync
+    IcebergSink.compact(spark, table)
+    DeltaSink.deleteWhere(spark, table, "id <= 3")
+    assert(IcebergSink.syncFromDelta(spark, table) > 0)
+    assert(IcebergSink.read(spark, table).count() == 18)
+    assert(DeltaSink.read(spark, table).count() == 18)
+  }
+
+  test("column evolution refuses constraint- and generation-referenced columns (r15 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "v", "tag"),
+      table)
+    DeltaSink.addCheckConstraint(spark, table, "v_pos", "v > 0")
+    // renaming (or dropping) a constrained column would leave the stored
+    // SQL naming a ghost — every later write fails analysis; refuse instead
+    val e1 = intercept[IllegalArgumentException](
+      DeltaSink.renameColumn(spark, table, "v", "value"))
+    assert(e1.getMessage.contains("v_pos"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaSink.dropColumn(spark, table, "v"))
+    assert(e2.getMessage.contains("v_pos"))
+    // unconstrained columns still evolve freely
+    DeltaSink.renameColumn(spark, table, "tag", "label")
+    // dropping the constraint unlocks the rename, and writes keep working
+    DeltaSink.dropCheckConstraint(spark, table, "v_pos")
+    DeltaSink.renameColumn(spark, table, "v", "value")
+    DeltaSink.append(Seq((3L, 30.0, "c")).toDF("id", "value", "label"), table)
+    assert(DeltaSink.read(spark, table).count() == 3)
+    // a generated column pins its SOURCE columns the same way
+    val t2 = tmp()
+    assert(DeltaSink.writeGenerated(Seq((1L, 2.0)).toDF("id", "v"), t2,
+      Map("v2" -> "v * 2")))
+    val e3 = intercept[IllegalArgumentException](
+      DeltaSink.renameColumn(spark, t2, "v", "w"))
+    assert(e3.getMessage.contains("generated"))
+    // renaming the generated column ITSELF is fine — the stored
+    // expression names its sources, not the column
+    DeltaSink.renameColumn(spark, t2, "v2", "twice")
+    assert(DeltaSink.read(spark, t2).columns.toSeq == Seq("id", "v", "twice"))
+  }
+
+  test("dual-format expiry aborts before commit when the Delta guard cannot resolve (r15 review)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 10L).map(i => (i, i)).toDF("id", "x"), table)
+    IcebergSink.convertFromDelta(spark, table)
+    DeltaSink.append(Seq((11L, 11L)).toDF("id", "x"), table)
+    IcebergSink.syncFromDelta(spark, table)
+    val before = IcebergSink.snapshots(table).size
+    // the Delta-plane protection set needs an active session; failing
+    // that requirement must abort the WHOLE expiry, not strand it after
+    // the pruned metadata already committed (history gone, files leaked)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val e = intercept[IllegalStateException](
+        IcebergSink.expireSnapshots(table, keepLast = 1))
+      assert(e.getMessage.contains("active SparkSession"))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+    assert(IcebergSink.snapshots(table).size == before) // untouched
+    assert(IcebergSink.read(spark, table).count() == 11)
+    // with a session the same expiry completes, Delta plane intact
+    IcebergSink.expireSnapshots(table, keepLast = 1)
+    assert(IcebergSink.read(spark, table).count() == 11)
+    assert(DeltaSink.read(spark, table).count() == 11)
+  }
+
+  test("in-commit timestamps: time travel survives a copy-mangled log (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write(Seq((1L, "a")).toDF("id", "s"), table)  // v0+v1: mtime clock
+    DeltaSink.enableInCommitTimestamps(spark, table)        // v2: ICT epoch starts
+    DeltaSink.append(Seq((2L, "b")).toDF("id", "s"), table) // v3
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    DeltaSink.append(Seq((3L, "c")).toDF("id", "s"), table) // v4
+    // every post-enablement commit LEADS with commitInfo carrying a
+    // strictly monotonic inCommitTimestamp — including commits from
+    // verbs that never heard of ICT (the choke-point invariant)
+    DeltaSink.deleteWhere(spark, table, "id = 1")           // v5
+    val log = new File(table, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val icts = log.drop(2).map { f =>
+      val first = Files.readString(f.toPath).linesIterator.next()
+      assert(first.startsWith("""{"commitInfo""""), f.getName)
+      """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(first).get.group(1).toLong
+    }
+    assert(icts.sorted.sameElements(icts) && icts.distinct.length == icts.length)
+    // protocol: writer v7 listing the inCommitTimestamp feature
+    assert(Files.readString(log(2).toPath).contains("inCommitTimestamp\""))
+    // an rsync/copy/touch rewrites every MTIME — the pre-ICT clock is
+    // gone, but ICT lives in the committed bytes and cannot move
+    log.foreach(f => assert(f.setLastModified(System.currentTimeMillis() + 3600000L)))
+    assert(DeltaSink.versionAtTimestamp(table, between) == 3L)
+    assert(DeltaSink.readAsOfTimestamp(spark, table, between).count() == 2)
+    // "now" resolves to the head even with every mtime in the future
+    assert(DeltaSink.readAsOfTimestamp(spark, table,
+      System.currentTimeMillis() + 60000L).count() == 2) // 3 rows - 1 deleted
+    // history surfaces the ICT clock for stamped commits
+    val hist = DeltaSink.history(spark, table)
+      .filter(col("version") >= 2).select("timestamp_ms")
+      .collect().map(_.getLong(0))
+    assert(hist.sameElements(icts))
+    // double-enable refuses
+    assert(intercept[IllegalArgumentException](
+      DeltaSink.enableInCommitTimestamps(spark, table))
+      .getMessage.contains("already enabled"))
+  }
+
+  test("maintainDelta re-syncs the Iceberg plane of a dual-format table (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 40L).map(i => (i, i.toDouble)).toDF("id", "v"), table)
+    IcebergSink.convertFromDelta(spark, table)
+    (1 to 4).foreach(i =>
+      DeltaSink.append(Seq((40L + i, 1.0)).toDF("id", "v"), table))
+    assert(IcebergSink.read(spark, table).count() == 40) // stale until sync
+    val (_, compacted, _, synced) = graft.sinks.Maintenance.maintainDelta(
+      s, table, maxSmallFiles = 2, vacuumRetentionMs = 0L)
+    assert(compacted && synced)
+    // the janitor leaves the Iceberg view CURRENT — post-compaction
+    // files, appended rows absorbed, census equal across planes
+    assert(IcebergSink.read(spark, table).count() == 44)
+    assert(DeltaSink.read(spark, table).count() == 44)
+  }
 }

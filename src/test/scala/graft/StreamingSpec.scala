@@ -454,6 +454,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(drain() == Seq(99L), "published rows must flow after fastForward")
   }
 
+  test("iceberg tail source follows a named branch; fastForward hands over to main (r15)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sinks.IcebergSink
+    val table = java.nio.file.Files.createTempDirectory("graft-btail").toString + "/tbl"
+    IcebergSink.write(Seq((1L, "a")).toDF("id", "s"), table,
+      IcebergSink.CreateExclusive)
+    IcebergSink.createRef(table, "staging",
+      IcebergSink.snapshots(table).last._1, refType = "branch")
+
+    def drain(ckpt: String, branch: Option[String]): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val reader = spark.readStream
+        .format("graft-iceberg-tail").option("path", table)
+      val q = branch.fold(reader)(b => reader.option("branch", b)).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    val bCkpt = java.nio.file.Files.createTempDirectory("graft-btail-b").toString
+    val mCkpt = java.nio.file.Files.createTempDirectory("graft-btail-m").toString
+    // the branch tail bootstraps with the shared pre-branch history
+    assert(drain(bCkpt, Some("staging")) == Seq(1L))
+    // staged WAP commits feed the branch tail — the audit intake...
+    IcebergSink.appendBranch(Seq((2L, "b")).toDF("id", "s"), table, "staging")
+    IcebergSink.appendBranch(Seq((3L, "c")).toDF("id", "s"), table, "staging")
+    assert(drain(bCkpt, Some("staging")) == Seq(2L, 3L))
+    // ...while staying invisible to a main-line tail
+    assert(drain(mCkpt, None) == Seq(1L))
+    // publish: the main tail picks up exactly the staged sequences from
+    // its own offset — nothing lost, nothing doubled across the handover
+    IcebergSink.fastForward(table, "staging")
+    assert(drain(mCkpt, None) == Seq(2L, 3L))
+    // the branch head stopped advancing → the branch tail idles
+    assert(drain(bCkpt, Some("staging")).isEmpty)
+    // a typo'd branch fails loudly, never an empty feed
+    assert(intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(java.nio.file.Files.createTempDirectory("graft-btail-x").toString,
+        Some("stagnig"))
+    }.getMessage != null)
+  }
+
   test("delta-to-delta incremental pipeline is exactly-once end to end") {
     val spark = TestSpark.spark
     import spark.implicits._
