@@ -384,6 +384,71 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_stream_iceberg_branch",
+      // BRANCH-TARGETED STREAMING TAIL (r15) — the WAP audit intake the
+      // r14 branch machinery was built for: main bootstraps with the
+      // even half, the odd half lands on an UNPUBLISHED staging branch
+      // in two commits, and the audit pipeline tails the BRANCH
+      // (.option("branch", "staging")) exactly-once into a Delta audit
+      // table BEFORE publish — validation reads staged rows while every
+      // main-line reader still serves the audited state. Then
+      // fastForward publishes, and the final census pins the handover:
+      // the audited intake (bootstrap history + both staged commits)
+      // equals the whole corpus, with cnt ≡ distinct ids per group (no
+      // sequence lost, none doubled), and the published main census
+      // equals it too. Offsets cursor the shared never-reused sequence
+      // space, so branch and main feeds can never double-deliver across
+      // the publish. State is the checkpointed offset, O(1); each batch
+      // reads only the files its sequences added.
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val src = graft.TempTables.create("graft-btail-src") + "/tbl"
+        val audit = graft.TempTables.create("graft-btail-audit")
+        val ckpt = graft.TempTables.create("graft-btail-ckpt")
+        graft.sinks.IcebergSink.write(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), src,
+          graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.createRef(src, "staging",
+          graft.sinks.IcebergSink.snapshots(src).last._1, refType = "branch")
+        graft.sinks.IcebergSink.appendBranch(
+          ev.filter(pmod(col("event_id"), lit(4)) === 1), src, "staging")
+        graft.sinks.IcebergSink.appendBranch(
+          ev.filter(pmod(col("event_id"), lit(4)) === 3), src, "staging")
+        graft.sinks.DeltaSink.write(ev.limit(0), audit, overwrite = true)
+        val q = s.readStream.format("graft-iceberg-tail")
+          .option("path", src).option("branch", "staging").load()
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              graft.sinks.DeltaSink.appendExactlyOnce(
+                batch, audit, appId = "q-stream-iceberg-branch", txnVersion = id): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.sinks.IcebergSink.fastForward(src, "staging")
+        val published = graft.sinks.IcebergSink.read(s, src)
+          .groupBy("event_type").agg(count(lit(1)).as("n_published"))
+        graft.sinks.DeltaSink.read(s, audit)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_audited"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .join(published, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_audited"), col("n_ids"),
+            col("sum_v"), col("n_published"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_audited,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |  AS sum_v,
+             |CAST(COUNT(*) AS BIGINT) AS n_published
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_stream_iceberg",
       // Exactly-once streaming ingest into ICEBERG under the oracle — the
       // other sink format's twin of q_stream_delta_tail: the even half of
@@ -1511,6 +1576,50 @@ object EventWindowQueries extends QueryModule {
              |    AS n_pre_delta,
              |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
              |    AS n_pre_ice
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_delta_ict",
+      // IN-COMMIT TIMESTAMPS under the oracle (r15, Delta spec
+      // §in-commit-timestamps — the durable commit clock): the even half
+      // lands, ICT is enabled, a boundary instant is captured, the odd
+      // half appends after it — and then the rsync disaster is simulated:
+      // EVERY commit-file mtime is rewritten a day into the future, which
+      // destroys the pre-ICT resolution clock entirely. The
+      // as-of-boundary census must STILL equal the even half, because
+      // from the enablement commit on the clock lives in the committed
+      // bytes (a monotonic commitInfo stamped by the commit choke point),
+      // not in filesystem metadata a copy can mangle. A reader on the
+      // mtime rule would resolve nothing or the wrong side and halve or
+      // double every group. At 100 TB this is what makes "the table at
+      // 09:00" survive log migration between buckets.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-ict")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.enableInCommitTimestamps(s, table)
+        Thread.sleep(15)
+        val boundary = System.currentTimeMillis()
+        Thread.sleep(15)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        new java.io.File(table, "_delta_log").listFiles()
+          .filter(_.getName.endsWith(".json"))
+          .foreach(_.setLastModified(System.currentTimeMillis() + 86400000L))
+        val pre = graft.sinks.DeltaSink.readAsOfTimestamp(s, table, boundary)
+          .groupBy("event_type").agg(count(lit(1)).as("n_pre"))
+        graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("n_now"), fxSum(col("value")).as("sum_v"))
+          .join(pre, Seq("event_type"), "full_outer")
+          .select(col("event_type"), col("n_now"), col("sum_v"),
+            coalesce(col("n_pre"), lit(0L)).as("n_pre"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_now,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |    AS sum_v,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+             |    AS n_pre
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
