@@ -969,6 +969,50 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_checkpoint_v2",
+      // V2 CHECKPOINT under the oracle (r15, Delta spec §v2-checkpoints):
+      // the census lands in two commits plus a DV delete, then
+      // checkpointV2 splits the snapshot into a KB-scale MANIFEST
+      // (protocol/metaData/txn/checkpointMetadata + the sidecar list)
+      // and SIDECAR parquets holding the adds — the layout where a
+      // 100 TB log's checkpoint write AND read both parallelize, and an
+      // incremental re-checkpoint can reuse unchanged sidecars. The
+      // query then deletes EVERY JSON commit — the cold-replay gate: the
+      // census must reproduce from manifest + sidecars alone, DV masks
+      // included, or the checkpoint dropped state. `v2_layout` pins
+      // exactly one manifest + at least one sidecar on disk. The
+      // feature-gating protocol commit (reader 3 / v2Checkpoint) is
+      // SinkSpec-pinned alongside the unknown-feature reader refusal.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-ckpt2")
+        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+          table, overwrite = true)
+        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+        graft.sinks.DeltaSink.deleteWhereDV(s, table, "event_id % 100 = 0")
+        graft.sinks.DeltaSink.checkpointV2(s, table)
+        val log = new java.io.File(table, "_delta_log")
+        log.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+        val nManifests = log.listFiles()
+          .count(_.getName.matches("\\d{20}\\.checkpoint\\..*\\.parquet"))
+        val nSidecars = new java.io.File(log, "_sidecars").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("v2_layout", lit(nManifests == 1 && nSidecars >= 1))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |  AS sum_v,
+             |TRUE AS v2_layout
+             |FROM events WHERE event_id % 100 <> 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_compact",
       // The small-files LIFECYCLE under the oracle: five micro-batch
       // appends (the streaming-ingest pathology) leave the table in a

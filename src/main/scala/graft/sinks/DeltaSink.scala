@@ -1942,6 +1942,154 @@ object DeltaSink {
     meta.version
   }
 
+  /** V2 CHECKPOINT (Delta spec §v2-checkpoints, feature `v2Checkpoint`):
+    * the checkpoint splits into a tiny MANIFEST
+    * (`<v>.checkpoint.<uuid>.parquet` — protocol, metaData, txn
+    * watermarks, a checkpointMetadata stamp, and one `sidecar` row per
+    * part) plus SIDECAR parquet files under `_delta_log/_sidecars/`
+    * holding the add actions. Why this is the 100 TB posture where the
+    * classic form is not: the sidecar list is REUSABLE — an incremental
+    * re-checkpoint can carry unchanged sidecars forward and rewrite only
+    * the parts whose files changed, and N readers fetch the KB-scale
+    * manifest then scan sidecars in parallel, instead of every reader
+    * listing one monolithic checkpoint directory. The feature is gated:
+    * this commits a protocol action (reader 3 / writer 7, `v2Checkpoint`
+    * on BOTH lists) FIRST, so a reader that cannot resolve through a v2
+    * checkpoint refuses the table instead of silently replaying the
+    * whole JSON log past it (or worse, mis-reading). The pointer file
+    * carries the manifest name; sidecar writes stay distributed
+    * end-to-end exactly like the classic path.
+    */
+  def checkpointV2(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Long = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    locally {
+      val (meta0, _) = resolve(spark, table, None)
+      requireWritable(meta0.minWriter, table)
+      if (!(meta0.minReader >= 3 && meta0.readerFeatures.contains("v2Checkpoint"))) {
+        // version-implied legacy capabilities become EXPLICIT feature
+        // names on the bump (spec rule: v3/v7 lists every active feature)
+        def active(flag: Boolean, name: String) = if (flag) Seq(name) else Nil
+        val mapped = mappingEnabled(meta0.schema)
+        val rf = (meta0.readerFeatures ++
+          active(mapped, "columnMapping") :+ "v2Checkpoint").distinct.sorted
+        val wf = (meta0.writerFeatures ++
+          active(mapped, "columnMapping") ++
+          active(meta0.configuration.keys.exists(_.startsWith("delta.constraints.")),
+            "checkConstraints") ++
+          active(meta0.schema.fields.exists(_.metadata.contains(GenExprKey)),
+            "generatedColumns") ++
+          active(meta0.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"), "inCommitTimestamp") :+ "v2Checkpoint")
+          .distinct.sorted
+        def lst(fs: Seq[String]) = fs.map(esc).mkString("[", ",", "]")
+        try commitAtomic(store, versionFile(table, meta0.version + 1),
+          Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":${lst(rf)},"writerFeatures":${lst(wf)}}}"""))
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"concurrent commit on $table during v2Checkpoint enablement; re-run", e)
+        }
+      }
+    }
+    val (meta, live) = resolve(spark, table, None)
+    val sidecarDir = logDir(table).resolve("_sidecars")
+    // data plane → sidecars: distributed write, one part per live-set
+    // partition, uuid-prefixed so concurrent/stale checkpoints never
+    // collide; published per-file (object put or same-FS move)
+    val staging = Files.createTempDirectory("graft-ckpt2-stage").toFile
+    val sidecars: Seq[(String, Long, Long)] =
+      try {
+        live.select(struct(col("path"), col("partitionValues"), col("size"),
+            col("modificationTime"), lit(true).as("dataChange"),
+            col("stats"), col("deletionVector")).as("add"))
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(staging.getPath)
+        val prefix = java.util.UUID.randomUUID().toString
+        dataFiles(staging).sortBy(_.getName).zipWithIndex.map { case (src, i) =>
+          val name = f"$prefix-$i%05d.parquet"
+          val target = sidecarDir.resolve(name)
+          store match {
+            case os: ObjectStore => os.putObject(target, Files.readAllBytes(src.toPath))
+            case _ =>
+              Files.createDirectories(sidecarDir)
+              Files.move(src.toPath, target): Unit
+          }
+          (name, src.length(), System.currentTimeMillis())
+        }.toSeq
+      } finally deleteRecursively(staging)
+    // metadata plane + sidecar list → the manifest (driver-side, KBs)
+    val metaRows: Seq[Row] =
+      (Row(Row(meta.minReader, meta.minWriter, meta.readerFeatures,
+        meta.writerFeatures), null, null, null, null) +:
+      Row(null,
+        Row(meta.id, Row("parquet"),
+          StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
+          meta.partitionColumns,
+          meta.configuration ++ mappingConfig(meta.schema),
+          if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis()),
+        null, null, null) +:
+      Row(null, null, Row(meta.version), null, null) +:
+      meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v), null)
+      }) ++ sidecars.map { case (n, sz, mt) =>
+        Row(null, null, null, null, Row(n, sz, mt))
+      }
+    val manifestName =
+      f"${meta.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    val mStaging = Files.createTempDirectory("graft-ckpt2-man").toFile
+    try {
+      spark.createDataFrame(metaRows.asJava, V2ManifestSchema)
+        .coalesce(1).write.mode("overwrite").parquet(mStaging.getPath)
+      val part = dataFiles(mStaging).head
+      val target = logDir(table).resolve(manifestName)
+      store match {
+        case os: ObjectStore => os.putObject(target, Files.readAllBytes(part.toPath))
+        case _ => Files.move(part.toPath, target): Unit
+      }
+    } finally deleteRecursively(mStaging)
+    // pointer flip LAST — the manifest name rides the pointer, so a
+    // reader either resolves the complete new checkpoint or the old one
+    val ptr = s"""{"version":${meta.version},"path":${esc(manifestName)}}"""
+    store match {
+      case os: ObjectStore =>
+        os.putObject(lastCheckpointFile(table),
+          (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+      case _ =>
+        val tmp = logDir(table).resolve(
+          s"_last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, (ptr + "\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, lastCheckpointFile(table),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    meta.version
+  }
+
+  private val V2ManifestSchema = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType))))))
+
   private val CheckpointSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -2640,13 +2788,18 @@ object DeltaSink {
   private def resolve(spark: SparkSession, table: String,
       asOfVersion: Option[Long]): (MetaState, DataFrame) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max_by, struct}
-    val ckptV: Option[Long] = {
+    // pointer: version + (v2 checkpoints) the manifest file name
+    val ckptPtr: Option[(Long, Option[String])] = {
       val f = lastCheckpointFile(table)
       if (Files.exists(f)) {
-        val v = mapper.readTree(Files.readString(f)).get("version").asLong()
-        if (asOfVersion.forall(_ >= v)) Some(v) else None
+        val node = mapper.readTree(Files.readString(f))
+        val v = node.get("version").asLong()
+        if (asOfVersion.forall(_ >= v))
+          Some((v, Option(node.get("path")).map(_.asText())))
+        else None
       } else None
     }
+    val ckptV: Option[Long] = ckptPtr.map(_._1)
     val tail = logFiles(table).filter { f =>
       val v = f.getName.stripSuffix(".json").toLong
       asOfVersion.forall(v <= _) && ckptV.forall(v > _)
@@ -2654,9 +2807,35 @@ object DeltaSink {
     require(tail.nonEmpty || ckptV.isDefined,
       s"not a Delta table (no _delta_log): $table")
 
-    val ckptDF = ckptV.map(v =>
-      spark.read.schema(CheckpointSchema)
-        .parquet(checkpointFile(table, v).toString))
+    val ckptDF = ckptPtr.map {
+      case (_, Some(manifestName)) =>
+        // V2: the manifest carries the metadata plane + the sidecar list;
+        // adds live in the sidecars — readers fan out over them in
+        // parallel, never listing a monolithic checkpoint dir. Normalize
+        // both planes back to the classic checkpoint shape so the replay
+        // below is layout-agnostic.
+        val manifest = spark.read.schema(V2ManifestSchema)
+          .parquet(logDir(table).resolve(manifestName).toString)
+        val sidecarPaths = manifest.where(col("sidecar").isNotNull)
+          .select("sidecar.path").collect().map(r =>
+            logDir(table).resolve("_sidecars").resolve(r.getString(0)).toString)
+        val metaPart = manifest
+          .where(col("protocol").isNotNull || col("metaData").isNotNull ||
+            col("txn").isNotNull)
+          .select(col("protocol"), col("metaData"),
+            lit(null).cast(CheckpointSchema("add").dataType).as("add"), col("txn"))
+        if (sidecarPaths.isEmpty) metaPart
+        else metaPart.unionByName(
+          spark.read.schema(StructType(Seq(CheckpointSchema("add"))))
+            .parquet(sidecarPaths.toIndexedSeq: _*)
+            .select(lit(null).cast(CheckpointSchema("protocol").dataType).as("protocol"),
+              lit(null).cast(CheckpointSchema("metaData").dataType).as("metaData"),
+              col("add"),
+              lit(null).cast(CheckpointSchema("txn").dataType).as("txn")))
+      case (v, None) =>
+        spark.read.schema(CheckpointSchema)
+          .parquet(checkpointFile(table, v).toString)
+    }
     val tailDF = if (tail.isEmpty) None else Some(actionsDF(spark, tail))
 
     // Metadata plane: metaData/txn rows are a bounded handful — collect
@@ -2795,6 +2974,14 @@ object DeltaSink {
     require(minReader <= 3,
       s"unsupported Delta protocol: table requires reader version $minReader, " +
         "this engine supports up to 3 (deletion vectors)")
+    // v3 reader features gate the SAME way (spec: a reader must refuse a
+    // table listing a feature it does not implement — this is exactly
+    // what protects a v2-checkpointed table from a reader that would
+    // otherwise replay past the manifest it cannot resolve)
+    val unknownReader = readerFeatures.toSet -- SupportedReaderFeatures
+    require(unknownReader.isEmpty,
+      s"unsupported Delta reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")}: " +
+        s"this engine implements ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
     (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
       minReader, minWriter, readerFeatures, writerFeatures, tableConfig), live)
   }
@@ -2874,6 +3061,12 @@ object DeltaSink {
     require(minWriter <= 7,
       s"unsupported Delta protocol: $table requires writer version " +
         s"$minWriter, this engine supports up to 7 (deletion vectors)")
+
+  /** Reader features this engine implements — the v3 feature gate's
+    * allowlist (anything else refuses in [[resolve]]).
+    */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
 
   private def protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""

@@ -3546,6 +3546,50 @@ class SinkSpec extends AnyFunSuite {
       .getMessage.contains("already enabled"))
   }
 
+  test("v2 checkpoint: manifest + sidecars round-trip; un-featured readers refuse (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 50L).map(i => (i, i % 5, i.toDouble)).toDF("id", "g", "v"),
+      table)
+    DeltaSink.append((51L to 60L).map(i => (i, i % 5, i.toDouble)).toDF("id", "g", "v"),
+      table)
+    DeltaSink.deleteWhereDV(spark, table, "id <= 5") // DVs must survive the trip
+    val v = DeltaSink.checkpointV2(spark, table)
+    val log = new File(table, "_delta_log")
+    // layout: ONE manifest + sidecars under _sidecars/, pointer names it
+    val manifests = log.listFiles()
+      .filter(_.getName.matches("\\d{20}\\.checkpoint\\..*\\.parquet"))
+    assert(manifests.length == 1)
+    assert(new File(log, "_sidecars").listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(Files.readString(Paths.get(table, "_delta_log", "_last_checkpoint"))
+      .contains(manifests.head.getName))
+    // the feature gate committed FIRST: reader 3 + v2Checkpoint both sides
+    val protoCommit = Files.readString(new File(log, f"$v%020d.json").toPath)
+    assert(protoCommit.contains(""""minReaderVersion":3"""))
+    assert(protoCommit.contains("v2Checkpoint"))
+    // COLD replay resolves THROUGH the checkpoint alone: delete every
+    // JSON commit — only manifest + sidecars can serve the state now
+    log.listFiles().filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    val cold = DeltaSink.read(spark, table)
+    assert(cold.count() == 55) // 60 - 5 DV-deleted
+    assert(cold.agg(sum(col("id"))).head().getLong(0) == (6L to 60L).sum)
+    // the table keeps working past the checkpoint: append + read
+    DeltaSink.append(Seq((61L, 1L, 61.0)).toDF("id", "g", "v"), table)
+    assert(DeltaSink.read(spark, table).count() == 56)
+    // an "old reader" — one without the feature — must REFUSE such a
+    // table rather than replay past a manifest it cannot resolve; our
+    // own gate demonstrates the contract on a future unknown feature
+    val t2 = tmp()
+    DeltaSink.write(sampleDf, t2)
+    Files.write(Paths.get(t2, "_delta_log", f"${2L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["futureFeature"],"writerFeatures":["futureFeature"]}}""" +
+        "\n").getBytes)
+    val e = intercept[IllegalArgumentException](DeltaSink.read(spark, t2).count())
+    assert(e.getMessage.contains("futureFeature"))
+  }
+
   test("maintainDelta re-syncs the Iceberg plane of a dual-format table (r15)") {
     val s = spark
     import s.implicits._
