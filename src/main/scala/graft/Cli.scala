@@ -245,6 +245,31 @@ object Cli {
         }.toMap
         val n = sinks.DeltaSink.updateWhereDV(spark, pos(0), pos(1), sets)
         println(s"updated $n rows (deletion vectors)")
+      case "delete-dv-iceberg" =>
+        // delete-dv-iceberg <table> <predicate> — V3 deletion vectors
+        // (Puffin; ratchets format-version to 3)
+        val n = sinks.IcebergSink.deleteWhereDV(spark, pos(0), pos(1))
+        println(s"deleted $n rows (v3 deletion vectors)")
+      case "update-dv-iceberg" =>
+        // update-dv-iceberg <table> <predicate> <col=expr>[,...] — V3 DV
+        // merge-on-read update: one overwrite snapshot masks + replaces
+        val sets = splitSpecs(pos(2)).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"want col=expr, got $kv")
+          kv.take(i).trim -> kv.drop(i + 1).trim
+        }.toMap
+        val n = sinks.IcebergSink.updateWhereDV(spark, pos(0), pos(1), sets)
+        println(s"updated $n rows (v3 deletion vectors)")
+      case "enable-ict-delta" =>
+        // enable-ict-delta <table> — in-commit timestamps: the durable
+        // commit clock (writer v7 feature; survives log copy/rsync)
+        sinks.DeltaSink.enableInCommitTimestamps(spark, pos(0))
+        println("in-commit timestamps enabled")
+      case "checkpoint-v2-delta" =>
+        // checkpoint-v2-delta <table> — v2 checkpoint (manifest +
+        // sidecars; feature-gates reader 3 / v2Checkpoint first)
+        val v = sinks.DeltaSink.checkpointV2(spark, pos(0))
+        println(s"v2 checkpoint at version $v")
       case "rename-column-delta" =>
         // rename-column-delta <table> <from> <to> — metadata-only (column mapping)
         sinks.DeltaSink.renameColumn(spark, pos(0), pos(1), pos(2))

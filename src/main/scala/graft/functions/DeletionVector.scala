@@ -272,6 +272,16 @@ object DeletionVector {
   def readDvFile(fileBytes: Array[Byte], offset: Int, sizeInBytes: Long): Roaring64Bitmap = {
     require(fileBytes.nonEmpty && fileBytes(0) == 1,
       s"unsupported DV file format version: ${if (fileBytes.isEmpty) "<empty>" else fileBytes(0)}")
+    readFramedAt(fileBytes, offset, sizeInBytes)
+  }
+
+  /** One framed DV blob ([dataSize BE][portable payload][CRC-32 BE]) at
+    * `offset` of an arbitrary container — the shared parse under
+    * [[readDvFile]] (Delta sidecars, version byte at file start) and the
+    * Iceberg V3 Puffin reader (blobs ride a Puffin wrapper, so there is
+    * no leading version byte to demand).
+    */
+  def readFramedAt(fileBytes: Array[Byte], offset: Int, sizeInBytes: Long): Roaring64Bitmap = {
     val bb = java.nio.ByteBuffer.wrap(fileBytes)
     bb.position(offset)
     val dataSize = bb.getInt

@@ -2380,6 +2380,83 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_dv",
+      // V3 DELETION VECTORS under the oracle (r15, Iceberg spec v3 —
+      // the format twin of q_delta_delete_dv, making the MoR delete
+      // planes symmetric across formats): two predicate deletes land as
+      // roaring bitmaps in Puffin `deletion-vector-v1` blobs, linked
+      // from delete manifests by referenced_data_file/content_offset/
+      // content_size_in_bytes (spec field ids 143/144/145), the second
+      // superseding the first per touched file (union — at most one DV
+      // per data file ever applies). No data file is read back or
+      // rewritten; the read applies vectors through the same O(1)
+      // native probe as the Delta side. Census must equal the oracle's
+      // complement; `v3_dv` pins the format-version ratchet to 3 and
+      // the Puffin layout on disk. At 100 TB: per-file delete state is
+      // ONE bitmap regardless of delete count, and delete cost is
+      // O(matched rows), never a rewrite.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val tbl = graft.TempTables.create("graft-iceberg-dv") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, tbl,
+          graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
+        graft.sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 7")
+        val mDir = new java.io.File(tbl, "metadata")
+        val fmt3 = java.nio.file.Files.readString(mDir.listFiles()
+          .filter(_.getName.endsWith(".metadata.json"))
+          .maxBy(_.getName).toPath).contains(""""format-version":3""")
+        val puffins = mDir.listFiles().count(_.getName.endsWith(".puffin"))
+        graft.sinks.IcebergSink.read(s, tbl).groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("v3_dv", lit(fmt3 && puffins == 2))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |  AS sum_v,
+             |TRUE AS v3_dv
+             |FROM events WHERE event_id % 10 NOT IN (3, 7)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_iceberg_update_dv",
+      // V3 DV UPDATE under the oracle (r15 — q_delta_update_dv's format
+      // twin, closing cross-format MoR DML symmetry): updateWhereDV
+      // commits ONE `overwrite` snapshot whose Puffin vectors mask the
+      // matched rows AND whose new data files carry their transformed
+      // replacements — SET evaluates against the PRE-update row, no
+      // existing file read back or rewritten, cost O(matched). The
+      // census must equal the oracle's CASE recompute; `one_commit`
+      // pins the atomicity (exactly one snapshot for the whole update).
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val tbl = graft.TempTables.create("graft-iceberg-udv") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, tbl,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val pre = graft.sinks.IcebergSink.snapshots(tbl).size
+        graft.sinks.IcebergSink.updateWhereDV(s, tbl,
+          "event_id % 10 = 4", Map("value" -> "value + 5000"))
+        val one = graft.sinks.IcebergSink.snapshots(tbl).size == pre + 1
+        graft.sinks.IcebergSink.read(s, tbl).groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("one_commit", lit(one))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND((CASE WHEN event_id % 10 = 4
+             |  THEN value + 5000 ELSE value END) * 100) AS BIGINT))
+             |  AS DOUBLE) / 100.0 AS sum_v,
+             |TRUE AS one_commit
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_deletekeys",
       // CDC DELETE verb under the oracle (r13): deleteKeys commits ONE
       // equality-delete-only snapshot — the Flink-CDC DELETE shape,

@@ -81,7 +81,10 @@ private[graft] object IcebergAvro {
       |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
       |    {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
       |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
-      |  {"type":"array","items":"int","element-id":136}]}
+      |  {"type":"array","items":"int","element-id":136}]},
+      |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
       |]}}]}""".stripMargin
 
   val EntrySchema: Schema =
@@ -120,8 +123,13 @@ private[graft] object IcebergAvro {
     * fields: String / java.lang.Integer / java.lang.Long /
     * java.lang.Boolean, or null for a Hive default (null) partition.
     */
+  /** `dv`: V3 deletion-vector linkage for a content=1 entry — the Puffin
+    * blob's (referenced_data_file, content_offset, content_size_in_bytes),
+    * spec v3 field ids 143/144/145; absPath is then the Puffin file.
+    */
   case class DataFileInfo(absPath: String, sizeBytes: Long, recordCount: Long,
-      stats: ColumnStats = ColumnStats(), partitionValues: Seq[Any] = Nil)
+      stats: ColumnStats = ColumnStats(), partitionValues: Seq[Any] = Nil,
+      dv: Option[(String, Long, Long)] = None)
 
   private def kvLongs(sch: Schema, m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
     val itemSchema = sch.getElementType
@@ -202,6 +210,11 @@ private[graft] object IcebergAvro {
         val arr = new GenericData.Array[Integer](equalityIds.size, idsSchema)
         equalityIds.foreach(i => arr.add(Int.box(i)))
         df.put("equality_ids", arr)
+      }
+      f.dv.foreach { case (ref, off, size) =>
+        df.put("referenced_data_file", ref)
+        df.put("content_offset", off)
+        df.put("content_size_in_bytes", size)
       }
       val e = new GenericData.Record(entrySchema)
       entrySeqs.get(f.absPath) match {
@@ -429,9 +442,11 @@ private[graft] object IcebergAvro {
   def readManifestDeleteEntries(f: File)
       : Seq[(String, Int, Seq[Int], Long, Map[String, Any])] =
     readManifestDeleteEntriesWithSchema(f)._1
+      .map(e => (e._1, e._2, e._3, e._4, e._5))
 
   def readManifestDeleteEntriesWithSchema(f: File)
-      : (Seq[(String, Int, Seq[Int], Long, Map[String, Any])], Option[String]) = {
+      : (Seq[(String, Int, Seq[Int], Long, Map[String, Any],
+          Option[(String, Long, Long)])], Option[String]) = {
     val r = new DataFileReader[GenericRecord](f,
       new GenericDatumReader[GenericRecord]())
     try {
@@ -451,8 +466,16 @@ private[graft] object IcebergAvro {
               case other => other
             })
           }.toMap
+          // V3 deletion-vector linkage (guarded: pre-v3 manifests' writer
+          // schemas lack the fields entirely)
+          val dv =
+            if (df.getSchema.getField("referenced_data_file") == null) None
+            else Option(df.get("referenced_data_file")).map(ref =>
+              (ref.toString,
+                df.get("content_offset").asInstanceOf[Long],
+                df.get("content_size_in_bytes").asInstanceOf[Long]))
           (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
-            ids, df.get("record_count").asInstanceOf[Long], pvals)
+            ids, df.get("record_count").asInstanceOf[Long], pvals, dv)
         }
       (entries, Option(r.getMetaString("schema")))
     } finally r.close()

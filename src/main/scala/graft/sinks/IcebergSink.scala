@@ -1278,7 +1278,8 @@ object IcebergSink {
   private[sinks] case class DeleteRef(path: String, seq: Long,
       content: Int, equalityIds: Seq[Int],
       wf: Option[Seq[IField]] = None,
-      pvals: Map[String, Any] = Map.empty)
+      pvals: Map[String, Any] = Map.empty,
+      dvRef: Option[(String, Long, Long)] = None)
   private[sinks] case class Snapshot(schema: StructType,
       data: Seq[(String, Map[String, Any], Long)],
       deletes: Seq[DeleteRef],
@@ -1331,8 +1332,8 @@ object IcebergSink {
         IcebergAvro.readManifestDeleteEntriesWithSchema(mf)
       val wf = schemaMeta
         .flatMap(s => scala.util.Try(ifieldsOf(mapper.readTree(s))).toOption)
-      entries.map { case (p, content, eqIds, _, pvals) =>
-        DeleteRef(p, r.seq, content, eqIds, wf, pvals) }
+      entries.map { case (p, content, eqIds, _, pvals, dv) =>
+        DeleteRef(p, r.seq, content, eqIds, wf, pvals, dv) }
     }
     Snapshot(schema, data, deletes, refs.filter(_.content == 0),
       curFieldsOf(meta, schema), fileFields)
@@ -1924,9 +1925,32 @@ object IcebergSink {
       // (file, pos) anti-join never compares an encoded URI to a raw path
       .withColumn("_gf_dkey",
         regexp_replace(col("_gf_mpath"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
-    val positional = deletes.filter(_.content == 1)
+    // V3 deletion vectors: the HIGHEST-sequence DV per referenced file
+    // is the live one (spec supersede rule — each new vector replaces the
+    // previous for its file); rows probe the same O(1) native expression
+    // the Delta read path uses — no join, no shuffle, bitmap bytes ride
+    // the plan (metadata-scale: one roaring bitmap per DV'd file)
+    val dvRefs = deletes.filter(d => d.content == 1 && d.dvRef.isDefined)
+      .groupBy(_.dvRef.get._1).map { case (_, ds) => ds.maxBy(_.seq) }.toSeq
+    val afterDv =
+      if (dvRefs.isEmpty) keyed
+      else {
+        val dvMap: Map[String, Array[Byte]] = dvRefs.flatMap { d =>
+          val (ref, off, size) = d.dvRef.get
+          val bm = graft.functions.DeletionVector.readFramedAt(
+            Files.readAllBytes(Paths.get(d.path)), off.toInt, size - 8)
+          val probeBytes = graft.functions.DeletionVector.serialize(bm)
+          val raw = normPath(ref)
+          val enc = normPath(new java.io.File(ref).toURI.toString)
+          Seq(raw, enc).distinct.map(_ -> probeBytes)
+        }.toMap
+        val packed = graft.functions.DeletionVector.packMap(dvMap)
+        keyed.filter(!graft.functions.DeletionVector.dvDeleted(
+          packed, col("_gf_dkey"), col("_gf_pos")))
+      }
+    val positional = deletes.filter(d => d.content == 1 && d.dvRef.isEmpty)
     val afterPos =
-      if (positional.isEmpty) keyed
+      if (positional.isEmpty) afterDv
       else {
         val delDf = positional.map { d =>
           spark.read
@@ -1938,7 +1962,7 @@ object IcebergSink {
               col("pos").as("_gfd_pos"),
               lit(d.seq).as("_gfd_seq"))
         }.reduce(_.unionAll(_))
-        keyed.join(delDf,
+        afterDv.join(delDf,
           col("_gf_dkey") === col("_gfd_key") &&
             col("_gf_pos") === col("_gfd_pos") &&
             col("_gfd_seq") >= col("_gf_seq"),
@@ -2730,7 +2754,8 @@ object IcebergSink {
       operation: String, summaryProps: Map[String, String],
       reclaimOnConflict: () => Unit,
       branch: Option[String] = None,
-      carriedOverride: Option[Seq[org.apache.avro.generic.GenericRecord]] = None)
+      carriedOverride: Option[Seq[org.apache.avro.generic.GenericRecord]] = None,
+      formatVersion: Option[Int] = None)
       : Unit = {
     // the new snapshot continues from its TARGET ref's head: main (the
     // current snapshot) by default, a named branch's head when targeted —
@@ -2755,6 +2780,11 @@ object IcebergSink {
     val now = System.currentTimeMillis()
     val newMeta = meta.deepCopy[ObjectNode]()
     newMeta.put("last-sequence-number", seq).put("last-updated-ms", now)
+    // a feature needing a newer table format (V3 deletion vectors) bumps
+    // it with its own commit; versions only ratchet up
+    formatVersion.foreach(v =>
+      if (newMeta.get("format-version").asInt() < v)
+        newMeta.put("format-version", v): Unit)
     val snapNode = newMeta.get("snapshots")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
     snapNode.put("snapshot-id", snapshotId)
@@ -2849,6 +2879,217 @@ object IcebergSink {
       store: CommitStore = CommitStore.Local,
       branch: Option[String] = None): Long =
     posRewrite(spark, table, predicate, None, store, branch)
+
+  /** V3 DELETION VECTORS (Iceberg spec v3 §Deletion Vectors; Puffin
+    * `deletion-vector-v1` blobs) — the MoR delete whose per-file state
+    * stays ONE roaring bitmap no matter how many deletes accumulate,
+    * where [[deleteWhere]]'s v2 positional files pile up rows until
+    * compaction. Matched positions build one bitmap per touched file
+    * (distributed — only roaring bytes reach the driver); each touched
+    * file's new vector is the UNION of its live vector and the fresh
+    * positions (the spec's supersede rule: at most one DV per data file,
+    * a new DV replaces the old); every vector packs into ONE Puffin file
+    * (spec layout: magic, framed blobs, JSON footer) and a delete
+    * manifest commits entries carrying referenced_data_file /
+    * content_offset / content_size_in_bytes (spec v3 field ids
+    * 143/144/145). The commit ratchets format-version to 3. Readers
+    * apply DVs through the same O(1)-per-row native probe as the Delta
+    * side — no join, no shuffle — keeping only the highest-sequence DV
+    * per file, so superseded vectors stop applying with zero cleanup.
+    * The two MoR delete planes are now symmetric across formats.
+    * Refuses while v2 positional delete FILES are live (v3 forbids
+    * mixing — compact first); coexists with equality deletes. Returns
+    * rows newly deleted; no commit when the predicate matches nothing.
+    */
+  def deleteWhereDV(spark: SparkSession, table: String, predicate: String,
+      store: CommitStore = CommitStore.Local): Long =
+    dvRewrite(spark, table, predicate, None, store)
+
+  /** UPDATE WHERE via V3 DELETION VECTORS — the MoR update twin of
+    * [[deleteWhereDV]] and the Iceberg answer to
+    * [[DeltaSink.updateWhereDV]], completing cross-format MoR DML
+    * symmetry: ONE atomic `overwrite` snapshot masks the matched rows
+    * with Puffin vectors (superseding per file) AND appends their
+    * transformed replacements as new data files. Every SET expression
+    * evaluates against the PRE-update row (SQL UPDATE semantics); no
+    * existing file is read back or rewritten — an update of k rows
+    * costs O(k) at any table size. Returns rows updated.
+    */
+  def updateWhereDV(spark: SparkSession, table: String, predicate: String,
+      set: Map[String, String],
+      store: CommitStore = CommitStore.Local): Long = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    dvRewrite(spark, table, predicate, Some(set), store)
+  }
+
+  private def dvRewrite(spark: SparkSession, table: String, predicate: String,
+      setOpt: Option[Map[String, String]], store: CommitStore): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    val snap = snapshotEntries(table, None)
+    require(snap.deletes.forall(d => d.content != 1 || d.dvRef.isDefined),
+      "live positional delete files present - v3 forbids mixing them " +
+        "with deletion vectors; compact first")
+    // SET plan validation BEFORE any staging (posRewrite's contract)
+    setOpt.foreach { set =>
+      set.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"no such column: $c"))
+      set.values.foreach(e =>
+        spark.sessionState.sqlParser.parseExpression(e): Unit)
+    }
+    val matched0 = readMerged(spark, snap.schema, snap.data, snap.deletes,
+      keepLineage = true, curFields = snap.curFields,
+      fileFields = snap.fileFields).filter(expr(predicate))
+    val matched = if (setOpt.isDefined) matched0.persist() else matched0
+    try {
+    import spark.implicits._
+    val perFile: Seq[(String, Array[Byte])] = matched
+      .select(col("_gf_mpath"), col("_gf_pos"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (p, it) =>
+        (p, graft.functions.DeletionVector.serialize(
+          graft.functions.DeletionVector.bitmapOf(it.map(_._2))))
+      }.collect().toSeq.sortBy(_._1)
+    if (perFile.isEmpty) return 0L
+    val deletedNow = perFile.map(p =>
+      graft.functions.DeletionVector.deserialize(p._2).getLongCardinality).sum
+    val liveDv: Map[String, DeleteRef] = snap.deletes
+      .filter(d => d.content == 1 && d.dvRef.isDefined)
+      .groupBy(_.dvRef.get._1).map { case (k, ds) => k -> ds.maxBy(_.seq) }
+    val vectors = perFile.map { case (p, fresh) =>
+      val bm = graft.functions.DeletionVector.deserialize(fresh)
+      liveDv.get(p).foreach { d =>
+        val (_, off, size) = d.dvRef.get
+        bm.or(graft.functions.DeletionVector.readFramedAt(
+          Files.readAllBytes(Paths.get(d.path)), off.toInt, size - 8))
+      }
+      (p, bm)
+    }
+    val (puffinBytes, blobMeta) = buildPuffin(vectors.map { case (p, bm) =>
+      (p, graft.functions.DeletionVector.toPortable(bm), bm.getLongCardinality)
+    })
+    val puffinPath = metaDir(table).resolve(
+      s"dv-${java.util.UUID.randomUUID()}.puffin")
+    store match {
+      case os: ObjectStore => os.putObject(puffinPath, puffinBytes)
+      case _ =>
+        Files.createDirectories(metaDir(table))
+        Files.write(puffinPath, puffinBytes): Unit
+    }
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val infos = blobMeta.map { case (ref, off, blobLen, card) =>
+      IcebergAvro.DataFileInfo(puffinPath.toFile.getAbsolutePath,
+        puffinBytes.length.toLong, card, dv = Some((ref, off, blobLen)))
+    }
+    val (manifestPath, manifestLen) = writeAvroArtifact(table, store,
+      s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+      IcebergAvro.writeManifest(f, infos, snapshotId,
+        currentSchemaJson(meta)._2, """{"spec-id":0,"fields":[]}""",
+        Nil, content = 1))
+    val row = IcebergAvro.manifestRow(manifestPath.toFile.getAbsolutePath,
+      manifestLen, seq, snapshotId, infos.size,
+      infos.map(_.recordCount).sum, content = 1)
+    // an UPDATE stages the transformed replacements as new data files in
+    // the SAME snapshot — SET expressions evaluate against the PRE-update
+    // row (matched is persisted; one merged-view scan feeds both planes)
+    val objStore: Option[ObjectStore] =
+      store match { case os: ObjectStore => Some(os); case _ => None }
+    val conf = spark.sessionState.newHadoopConf()
+    val replacement = setOpt.map { set =>
+      val schema = snap.schema
+      val rep = matched.select(schema.fieldNames.map(c =>
+        set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
+          .getOrElse(col(c))).toIndexedSeq: _*)
+      val repRel = s"data/update-${java.util.UUID.randomUUID()}"
+      val repStage = objStore
+        .map(_ => Files.createTempDirectory("graft-ibdv-upd").resolve("out").toString)
+        .getOrElse(s"$table/$repRel")
+      rep.write.option("compression", "snappy")
+        .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
+        .parquet(repStage)
+      val (repParts, repInfos) = stagedInfos(repStage, repRel, table, objStore, conf)
+      objStore.foreach { os =>
+        repParts.foreach { f =>
+          os.putObject(
+            Paths.get(new File(s"$table/$repRel", f.getName).getAbsolutePath),
+            Files.readAllBytes(f.toPath))
+        }
+      }
+      val (repManifest, repLen) = writeAvroArtifact(table, store,
+        s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+        IcebergAvro.writeManifest(f, repInfos, snapshotId,
+          currentSchemaJson(meta)._2, """{"spec-id":0,"fields":[]}"""))
+      IcebergAvro.manifestRow(repManifest.toFile.getAbsolutePath, repLen, seq,
+        snapshotId, repInfos.size, repInfos.map(_.recordCount).sum)
+    }
+    commitSnapshot(table, store, meta, hint, snapshotId, seq,
+      currentSchemaJson(meta)._1, Seq(row) ++ replacement,
+      if (setOpt.isDefined) "overwrite" else "delete",
+      Map("added-dvs" -> infos.size.toString,
+        "added-position-deletes" -> deletedNow.toString) ++
+        setOpt.map(_ => "replaced-records" -> deletedNow.toString),
+      reclaimOnConflict = () => {
+        store match {
+          case os: ObjectStore =>
+            scala.util.Try(os.deleteObject(puffinPath)): Unit
+            scala.util.Try(os.deleteObject(manifestPath)): Unit
+          case _ =>
+            Files.deleteIfExists(puffinPath): Unit
+            Files.deleteIfExists(manifestPath): Unit
+        }
+      },
+      formatVersion = Some(3))
+    deletedNow
+    } finally matched.unpersist(): Unit
+  }
+
+  /** Minimal Puffin writer (public Puffin spec layout: leading magic,
+    * blobs back to back, footer = magic + JSON payload + payload size
+    * (4 bytes LE) + flags + magic). Each `deletion-vector-v1` blob
+    * carries the Delta-compatible framing the v3 spec adopted
+    * ([dataSize BE][portable roaring bitmap][CRC-32 BE]); its footer
+    * entry records the referenced data file and cardinality. Returns
+    * (fileBytes, per-blob (referencedFile, offset, blobLength,
+    * cardinality)).
+    */
+  private def buildPuffin(dvs: Seq[(String, Array[Byte], Long)])
+      : (Array[Byte], Seq[(String, Long, Long, Long)]) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    out.write(magic)
+    val blobs = dvs.map { case (ref, payload, card) =>
+      val off = bos.size().toLong
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      out.writeInt(payload.length)
+      out.write(payload)
+      out.writeInt(crc.getValue.toInt)
+      (ref, off, payload.length.toLong + 8L, card)
+    }
+    out.write(magic)
+    val blobsJson = blobs.map { case (ref, off, len, card) =>
+      s"""{"type":"deletion-vector-v1","fields":[],"offset":$off,""" +
+        s""""length":$len,"properties":{""" +
+        s""""referenced-data-file":${mapper.writeValueAsString(ref)},""" +
+        s""""cardinality":"$card"}}"""
+    }.mkString(",")
+    val payload =
+      s"""{"blobs":[$blobsJson],"properties":{"created-by":"graft"}}"""
+        .getBytes(StandardCharsets.UTF_8)
+    out.write(payload)
+    out.write(Array[Byte](
+      (payload.length & 0xFF).toByte, ((payload.length >> 8) & 0xFF).toByte,
+      ((payload.length >> 16) & 0xFF).toByte,
+      ((payload.length >> 24) & 0xFF).toByte))
+    out.writeInt(0) // footer flags: none set
+    out.write(magic)
+    out.flush()
+    (bos.toByteArray, blobs)
+  }
 
   /** UPDATE WHERE — predicate-based row-level update, MERGE-ON-READ (the
     * positional-delete twin of the keyed [[upsert]], and the Iceberg

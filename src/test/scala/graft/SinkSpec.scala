@@ -3590,6 +3590,83 @@ class SinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("futureFeature"))
   }
 
+  test("Iceberg V3 deletion vectors: Puffin blobs, supersede rule, format ratchet (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    IcebergSink.write((101L to 120L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.Append)
+    val preSnap = IcebergSink.snapshots(table).last._1
+    assert(IcebergSink.deleteWhereDV(spark, table, "id <= 10") == 10L)
+    assert(IcebergSink.read(spark, table).count() == 110)
+    // supersede: the second DV on a file is the UNION — both deletes
+    // stay dead while only the newest vector applies
+    assert(IcebergSink.deleteWhereDV(spark, table, "id > 110") == 10L)
+    val back = IcebergSink.read(spark, table)
+    assert(back.count() == 100)
+    assert(back.agg(min(col("id"))).head().getLong(0) == 11L)
+    assert(back.agg(max(col("id"))).head().getLong(0) == 110L)
+    // masked rows match nothing again — no re-delete, no commit
+    assert(IcebergSink.deleteWhereDV(spark, table, "id <= 10") == 0L)
+    // the commit ratcheted the table format to v3
+    val mDir = new File(table, "metadata")
+    val newestMeta = mDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    assert(Files.readString(newestMeta.toPath).contains(""""format-version":3"""))
+    // the vectors live in Puffin files: spec magic at head and tail
+    val puffins = mDir.listFiles().filter(_.getName.endsWith(".puffin"))
+    assert(puffins.length == 2)
+    puffins.foreach { p =>
+      val b = Files.readAllBytes(p.toPath)
+      assert(b.take(4).sameElements("PFA1".getBytes) &&
+        b.takeRight(4).sameElements("PFA1".getBytes))
+      assert(new String(b).contains("deletion-vector-v1"))
+    }
+    // pre-delete snapshots still time-travel whole
+    assert(IcebergSink.read(spark, table, Some(preSnap)).count() == 120)
+    // v2 positional files and v3 vectors must not mix (spec)
+    IcebergSink.deleteWhere(spark, table, "id = 50")
+    assert(intercept[IllegalArgumentException](
+      IcebergSink.deleteWhereDV(spark, table, "id = 51"))
+      .getMessage.contains("compact"))
+    assert(IcebergSink.read(spark, table).count() == 99) // both planes apply
+    // compaction materializes everything; a clean v3 slate follows
+    IcebergSink.compact(spark, table)
+    assert(IcebergSink.read(spark, table).count() == 99)
+    assert(IcebergSink.deleteWhereDV(spark, table, "id = 60") == 1L)
+    assert(IcebergSink.read(spark, table).count() == 98)
+  }
+
+  test("Iceberg updateWhereDV: one overwrite snapshot masks + replaces (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    val preSnaps = IcebergSink.snapshots(table).size
+    assert(IcebergSink.updateWhereDV(spark, table, "id <= 5",
+      Map("v" -> "v + 1000")) == 5L)
+    // exactly ONE snapshot: vectors + replacements committed atomically
+    assert(IcebergSink.snapshots(table).size == preSnaps + 1)
+    val back = IcebergSink.read(spark, table)
+    assert(back.count() == 50)
+    assert(back.filter(col("v") > 1000.0).count() == 5)
+    assert(back.agg(sum(col("v"))).head().getDouble(0) ==
+      (1L to 50L).map(_.toDouble).sum + 5 * 1000.0)
+    // SET sees the PRE-update row: a second update compounds correctly
+    assert(IcebergSink.updateWhereDV(spark, table, "id = 1",
+      Map("v" -> "v * 2")) == 1L)
+    assert(IcebergSink.read(spark, table).filter(col("id") === 1L)
+      .head().getDouble(1) == 2002.0)
+    // a bad SET column fails before anything stages or commits
+    val snapsNow = IcebergSink.snapshots(table).size
+    intercept[IllegalArgumentException](
+      IcebergSink.updateWhereDV(spark, table, "id = 2", Map("nope" -> "1")))
+    assert(IcebergSink.snapshots(table).size == snapsNow)
+  }
+
   test("maintainDelta re-syncs the Iceberg plane of a dual-format table (r15)") {
     val s = spark
     import s.implicits._
