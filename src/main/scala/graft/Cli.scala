@@ -216,10 +216,10 @@ object Cli {
         println(s"purged=$p compacted=$c vacuumed=$v uniformSynced=$sy")
       case "maintain-iceberg" =>
         // maintain-iceberg <table> [maxManifests] [keepLast]
-        val (r, e, o) = sinks.Maintenance.maintainIceberg(spark, pos(0),
+        val (r, e, o, dc) = sinks.Maintenance.maintainIceberg(spark, pos(0),
           maxManifests = pos.lift(1).map(_.toInt).getOrElse(64),
           keepLast = pos.lift(2).map(_.toInt).getOrElse(5))
-        println(s"manifestsMerged=$r filesExpired=$e orphansRemoved=$o")
+        println(s"manifestsMerged=$r filesExpired=$e orphansRemoved=$o dvCompacted=$dc")
       case "history-delta" =>
         // history-delta <table> — DESCRIBE HISTORY (metadata-only)
         sinks.DeltaSink.history(spark, pos(0)).collect().foreach(r =>

@@ -1497,7 +1497,7 @@ object EventWindowQueries extends QueryModule {
         (1 to 4).foreach(i => graft.sinks.IcebergSink.write(fifth(i), it,
           graft.sinks.IcebergSink.Append))
         graft.sinks.IcebergSink.deleteWhere(s, it, "event_id % 7 = 0")
-        val (rewrote, _, _) = graft.sinks.Maintenance
+        val (rewrote, _, _, _) = graft.sinks.Maintenance
           .maintainIceberg(s, it, maxManifests = 2, keepLast = 1)
         val oneManifest = graft.sinks.IcebergSink.metaTable(s, it, "manifests")
           .filter(col("content") === 0).count() == 1

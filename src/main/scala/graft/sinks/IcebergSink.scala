@@ -3047,6 +3047,26 @@ object IcebergSink {
     } finally matched.unpersist(): Unit
   }
 
+  /** Total rows the LIVE V3 deletion vectors mask — the janitor's
+    * DV-debt trigger ([[DeltaSink.dvMaskedRows]]'s format twin), from
+    * delete-manifest record counts alone (the Puffin files are never
+    * opened): per referenced file only the highest-sequence vector
+    * applies, so superseded vectors don't double-count.
+    */
+  def dvMaskedRows(table: String): Long = {
+    val meta = currentMeta(table)
+    if (Option(meta.get("current-snapshot-id")).forall(_.asLong() <= 0)) return 0L
+    val list = manifestListOf(table, meta,
+      meta.get("current-snapshot-id").asLong()).getOrElse(return 0L)
+    manifestRefs(table, list).filter(_.content == 1).flatMap { r =>
+      val (entries, _) = IcebergAvro.readManifestDeleteEntriesWithSchema(
+        new File(requireAvro(abs(table, r.path))))
+      entries.collect { case (_, 1, _, rows, _, Some((ref, _, _))) =>
+        (ref, r.seq, rows)
+      }
+    }.groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2)._3 }.sum
+  }
+
   /** Minimal Puffin writer (public Puffin spec layout: leading magic,
     * blobs back to back, footer = magic + JSON payload + payload size
     * (4 bytes LE) + flags + magic). Each `deletion-vector-v1` blob

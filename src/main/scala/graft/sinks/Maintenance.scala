@@ -81,18 +81,36 @@ object Maintenance {
     (purge, compactNeeded, vacuumed, synced)
   }
 
-  /** @return (manifestsMerged, snapshotsExpiredFiles, orphansRemoved) */
+  /** @return (manifestsMerged, snapshotsExpiredFiles, orphansRemoved,
+    * dvCompacted) — `dvCompacted` is the V3 deletion-vector debt trigger
+    * ([[maintainDelta]]'s dvPurgeRatio twin): once the masked-row ratio
+    * crosses `dvCompactRatio`, a compaction materializes the vectors
+    * (rewrites the merged view, drops every DV) so reads stop paying the
+    * probe and the Puffin files become expirable. The trigger reads
+    * manifest record counts only — no Puffin or data file opens.
+    */
   def maintainIceberg(spark: SparkSession, table: String,
       maxManifests: Int = 64,
       keepLast: Int = 5,
       orphanAgeMs: Long = 3L * 24 * 3600 * 1000,
-      store: CommitStore = CommitStore.Local): (Boolean, Int, Int) = {
+      dvCompactRatio: Double = 0.1,
+      store: CommitStore = CommitStore.Local): (Boolean, Int, Int, Boolean) = {
+    val masked = IcebergSink.dvMaskedRows(table)
+    val dvCompact = masked > 0 && {
+      val live = IcebergSink.fileStats(spark, table)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("num_records")),
+          org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+      live > 0 && masked.toDouble / live.toDouble >= dvCompactRatio
+    }
+    if (dvCompact) IcebergSink.compact(spark, table, store): Unit
     val manifests = IcebergSink.metaTable(spark, table, "manifests")
       .filter(org.apache.spark.sql.functions.col("content") === 0).count()
     val rewrite = manifests > maxManifests
     if (rewrite) IcebergSink.rewriteManifests(table, store): Unit
     val expired = IcebergSink.expireSnapshots(table, keepLast, store)
     val orphans = IcebergSink.removeOrphanFiles(spark, table, orphanAgeMs, store)
-    (rewrite, expired, orphans.size)
+    (rewrite, expired, orphans.size, dvCompact)
   }
 }

@@ -3667,6 +3667,33 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.snapshots(table).size == snapsNow)
   }
 
+  test("maintainIceberg compacts away V3 deletion-vector debt (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    IcebergSink.deleteWhereDV(spark, table, "id <= 20") // 20% masked
+    assert(IcebergSink.dvMaskedRows(table) == 20L)
+    val (_, _, _, dvCompacted) = graft.sinks.Maintenance
+      .maintainIceberg(s, table, keepLast = 1)
+    assert(dvCompacted)
+    // the compaction materialized the vectors; expiry reclaimed the
+    // superseded snapshots AND their Puffin files
+    assert(IcebergSink.dvMaskedRows(table) == 0L)
+    assert(IcebergSink.read(spark, table).count() == 80)
+    assert(!new File(table, "metadata").listFiles()
+      .exists(_.getName.endsWith(".puffin")))
+    // below the ratio the janitor leaves the vectors alone (each action
+    // costs only the debt it retires)
+    IcebergSink.deleteWhereDV(spark, table, "id = 21") // ~1.2% masked
+    val (_, _, _, dc2) = graft.sinks.Maintenance
+      .maintainIceberg(s, table, keepLast = 1)
+    assert(!dc2)
+    assert(IcebergSink.dvMaskedRows(table) == 1L)
+    assert(IcebergSink.read(spark, table).count() == 79)
+  }
+
   test("maintainDelta re-syncs the Iceberg plane of a dual-format table (r15)") {
     val s = spark
     import s.implicits._
