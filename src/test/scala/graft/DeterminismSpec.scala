@@ -60,7 +60,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q_iceberg_partition_evolve", // metadata-only re-layout + mixed-spec pruned read
     "q_delta_reorg",       // DV purge: round-robin survivor bins + census
     "q_uniform_sync",      // dual-format replace snapshot + cross-plane census
-    "q_delta_history")     // action-shape classification census
+    "q_delta_history",     // action-shape classification census
+    "q_delta_ict",         // ICT clock resolution after mtime mangling
+    "q_delta_checkpoint_v2", // cold replay through manifest + sidecars
+    "q_iceberg_dv",        // V3 DV probe census after superseding deletes
+    "q_iceberg_update_dv", // one-snapshot DV mask + replacement census
+    "q_stream_iceberg_branch") // branch tail + fastForward handover census
 
   for (name <- representative)
     test(s"$name is invariant under shuffle-partition count") {
