@@ -483,11 +483,26 @@ object DeltaSink {
               s""","writerFeatures":${lst(meta.writerFeatures)}"""
           else "") + "}}"
       }
-    val commit0 = Seq(protocol,
-      metaDataJson(java.util.UUID.randomUUID().toString, meta.schema.json,
-        // the source's table properties travel with the clone — CHECK
-        // constraints included (real CLONE copies them)
-        Nil, now, meta.configuration ++ mappingConfig(meta.schema)))
+    // an ICT source's clone RESTARTS its own commit clock: the
+    // enablement properties are table-local (the clone's history begins
+    // at ITS v0), and v0 must lead with a commitInfo or the per-commit
+    // probe chain never starts — config would claim ICT while every
+    // commit went unstamped, the one inconsistency the feature forbids
+    val ict = meta.configuration
+      .get("delta.enableInCommitTimestamps").contains("true")
+    val config = meta.configuration ++ mappingConfig(meta.schema) ++
+      (if (ict) Map(
+        "delta.inCommitTimestampEnablementVersion" -> "0",
+        "delta.inCommitTimestampEnablementTimestamp" -> now.toString)
+      else Map.empty)
+    val commit0 =
+      (if (ict) Seq(s"""{"commitInfo":{"inCommitTimestamp":$now,"timestamp":$now}}""")
+       else Nil) ++
+      Seq(protocol,
+        metaDataJson(java.util.UUID.randomUUID().toString, meta.schema.json,
+          // the source's table properties travel with the clone — CHECK
+          // constraints included (real CLONE copies them)
+          Nil, now, config))
     commitAtomic(store, versionFile(target, 0), commit0)
     commitAtomic(store, versionFile(target, 1), adds.map(a => addJson(a)))
     adds.size

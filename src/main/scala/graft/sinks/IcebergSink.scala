@@ -3731,11 +3731,38 @@ object IcebergSink {
           else Some(readEntries(spark, schema, dataAdded.map(e => (e._1, e._2)),
             curFields = cur.curFields, fileFields = cur.fileFields))
         val posImages: Option[DataFrame] = {
-          val pos = delAdded.filter(_.content == 1)
-          if (pos.isEmpty) None
+          val (dvDels, pos) = delAdded.filter(_.content == 1)
+            .partition(_.dvRef.isDefined)
+          // V3 deletion vectors decode to the NEWLY masked positions —
+          // the committed vector minus the file's previous one (vectors
+          // are cumulative by the supersede rule). Materializing them is
+          // OUTPUT-bounded, not table-bounded: the changelog emits one
+          // pre-image row per position anyway.
+          val dvRows: Seq[(String, Long)] = dvDels.flatMap { d =>
+            val (ref, off, size) = d.dvRef.get
+            val bm = graft.functions.DeletionVector.readFramedAt(
+              Files.readAllBytes(Paths.get(d.path)), off.toInt, size - 8)
+            prev.deletes
+              .filter(p => p.content == 1 && p.dvRef.exists(_._1 == ref))
+              .sortBy(_.seq).lastOption.foreach { p =>
+                val (_, poff, psize) = p.dvRef.get
+                bm.andNot(graft.functions.DeletionVector.readFramedAt(
+                  Files.readAllBytes(Paths.get(p.path)), poff.toInt, psize - 8))
+              }
+            val it = bm.getLongIterator
+            val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+            while (it.hasNext) out += ((ref, it.next()))
+            out
+          }
+          if (pos.isEmpty && dvRows.isEmpty) None
           else {
-            val delRows = pos.map(d =>
+            import spark.implicits._
+            val parquetRows = pos.map(d =>
               spark.read.schema("file_path STRING, pos BIGINT").parquet(d.path))
+            val dvFrame =
+              if (dvRows.isEmpty) Nil
+              else Seq(dvRows.toDF("file_path", "pos"))
+            val delRows = (parquetRows ++ dvFrame)
               .reduce(_.unionAll(_))
               .select(regexp_replace(col("file_path"),
                 "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_gfd_key"),

@@ -3544,6 +3544,21 @@ class SinkSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       DeltaSink.enableInCommitTimestamps(spark, table))
       .getMessage.contains("already enabled"))
+    // a CLONE of an ICT table restarts its OWN clock: v0 leads with a
+    // commitInfo (so the probe chain starts), enablement re-pins at the
+    // clone's v0, and later commits keep stamping — config must never
+    // claim ICT over unstamped commits
+    val cl = tmp()
+    DeltaSink.cloneTable(spark, table, cl)
+    val clLog = new File(cl, "_delta_log")
+    assert(Files.readString(new File(clLog, f"${0L}%020d.json").toPath)
+      .startsWith("""{"commitInfo""""))
+    DeltaSink.append(Seq((9L, "z")).toDF("id", "s"), cl)
+    assert(Files.readString(new File(clLog, f"${2L}%020d.json").toPath)
+      .startsWith("""{"commitInfo""""))
+    assert(intercept[IllegalArgumentException](
+      DeltaSink.enableInCommitTimestamps(spark, cl))
+      .getMessage.contains("already enabled"))
   }
 
   test("v2 checkpoint: manifest + sidecars round-trip; un-featured readers refuse (r15)") {
@@ -3692,6 +3707,25 @@ class SinkSpec extends AnyFunSuite {
     assert(!dc2)
     assert(IcebergSink.dvMaskedRows(table) == 1L)
     assert(IcebergSink.read(spark, table).count() == 79)
+  }
+
+  test("changelog decodes V3 DV snapshots into exact pre-image deletes (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    val s0 = IcebergSink.snapshots(table).last._1
+    IcebergSink.deleteWhereDV(spark, table, "id <= 3")
+    // the second vector SUPERSEDES (union) — the changelog must image
+    // only the NEWLY masked position, never re-emit the first three
+    IcebergSink.deleteWhereDV(spark, table, "id = 10")
+    val log = IcebergSink.readChangelog(spark, table, s0)
+    val dels = log.filter(col("_change_type") === "delete")
+    assert(dels.count() == 4)
+    assert(dels.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 10L))
+    // the two snapshots attribute their own rows
+    assert(dels.select("_commit_snapshot_id").distinct().count() == 2)
   }
 
   test("maintainDelta re-syncs the Iceberg plane of a dual-format table (r15)") {
