@@ -2079,6 +2079,28 @@ object DeltaSink {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
+    // stale-artifact reclaim, the classic path's posture: the moment the
+    // pointer flips, EARLIER v2 manifests and every sidecar the new
+    // manifest does not reference are dead (readers resolve pointer →
+    // manifest → sidecars; same replace-in-place race class as the
+    // classic path's stale-part sweep) — without this a nightly
+    // re-checkpoint strands one manifest + sidecar set per run that no
+    // janitor would ever sweep. Classic checkpoint DIRECTORIES
+    // (<v>.checkpoint.parquet) don't match the uuid'd manifest pattern
+    // and are left alone.
+    def reclaim(f: File): Unit = store match {
+      case os: ObjectStore => os.deleteObject(f.toPath)
+      case _ => Files.deleteIfExists(f.toPath): Unit
+    }
+    val keepSidecars = sidecars.map(_._1).toSet
+    Option(logDir(table).toFile.listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("\\d{20}\\.checkpoint\\..+\\.parquet") &&
+        f.getName != manifestName)
+      .foreach(reclaim)
+    Option(sidecarDir.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !keepSidecars.contains(f.getName))
+      .foreach(reclaim)
     meta.version
   }
 
@@ -3058,11 +3080,26 @@ object DeltaSink {
       val f = lastCheckpointFile(table)
       if (!Files.exists(f)) Set.empty[String]
       else {
-        val v = mapper.readTree(Files.readString(f)).get("version").asLong()
-        spark.read.schema(CheckpointSchema)
-          .parquet(checkpointFile(table, v).toString)
-          .where(col("add").isNotNull)
-          .select("add.path").distinct().collect().map(_.getString(0)).toSet
+        val node = mapper.readTree(Files.readString(f))
+        val v = node.get("version").asLong()
+        // v2 pointers name their manifest; adds live in the sidecars
+        val addsDF = Option(node.get("path")).map(_.asText()) match {
+          case Some(manifestName) =>
+            val manifest = spark.read.schema(V2ManifestSchema)
+              .parquet(logDir(table).resolve(manifestName).toString)
+            val sidecarPaths = manifest.where(col("sidecar").isNotNull)
+              .select("sidecar.path").collect().map(r =>
+                logDir(table).resolve("_sidecars").resolve(r.getString(0)).toString)
+            if (sidecarPaths.isEmpty) None
+            else Some(spark.read
+              .schema(StructType(Seq(CheckpointSchema("add"))))
+              .parquet(sidecarPaths.toIndexedSeq: _*))
+          case None => Some(spark.read.schema(CheckpointSchema)
+            .parquet(checkpointFile(table, v).toString))
+        }
+        addsDF.map(_.where(col("add").isNotNull)
+          .select("add.path").distinct().collect().map(_.getString(0)).toSet)
+          .getOrElse(Set.empty)
       }
     }
     fromTail ++ fromCkpt

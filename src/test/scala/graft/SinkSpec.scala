@@ -3592,6 +3592,27 @@ class SinkSpec extends AnyFunSuite {
     // the table keeps working past the checkpoint: append + read
     DeltaSink.append(Seq((61L, 1L, 61.0)).toDF("id", "g", "v"), table)
     assert(DeltaSink.read(spark, table).count() == 56)
+    // a RE-checkpoint reclaims the superseded manifest and its sidecars:
+    // one manifest remains, and every surviving sidecar belongs to the
+    // new write (one uuid prefix) — no stranded set per nightly run
+    DeltaSink.checkpointV2(spark, table)
+    assert(log.listFiles()
+      .count(_.getName.matches("\\d{20}\\.checkpoint\\..+\\.parquet")) == 1)
+    val sidecarPrefixes = new File(log, "_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.take(36)).distinct
+    assert(sidecarPrefixes.length == 1)
+    assert(DeltaSink.read(spark, table).count() == 56)
+    // the Iceberg-plane protection-set reader resolves v2 pointers too:
+    // a dual-format janitor sweep reads the Delta reference set through
+    // the v2 manifest + sidecars (a classic-only reader would throw on
+    // the pointer's path field)
+    val dual = tmp()
+    DeltaSink.write((1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v"), dual)
+    IcebergSink.convertFromDelta(spark, dual)
+    DeltaSink.checkpointV2(spark, dual)
+    assert(IcebergSink.removeOrphanFiles(spark, dual).isEmpty)
+    assert(IcebergSink.read(spark, dual).count() == 10)
     // an "old reader" — one without the feature — must REFUSE such a
     // table rather than replay past a manifest it cannot resolve; our
     // own gate demonstrates the contract on a future unknown feature
