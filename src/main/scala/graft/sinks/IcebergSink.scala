@@ -1355,12 +1355,26 @@ object IcebergSink {
     val snapId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val list = manifestListOf(table, meta, snapId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $snapId in $table"))
-    val rows = manifestRefs(table, list).filter(_.content == 0).map(_.path).flatMap { mp =>
+    // num_records reports LIVE rows ([[DeltaSink.fileStats]]'s contract):
+    // a V3 deletion vector's cardinality subtracts from its referenced
+    // file without opening anything — highest-sequence vector per file
+    // (the supersede rule), read from delete-manifest record counts
+    val refs = manifestRefs(table, list)
+    val maskByFile: Map[String, Long] = refs.filter(_.content == 1)
+      .flatMap { r =>
+        val (entries, _) = IcebergAvro.readManifestDeleteEntriesWithSchema(
+          new File(requireAvro(abs(table, r.path))))
+        entries.collect { case (_, 1, _, n, _, Some((ref, _, _))) =>
+          (ref, r.seq, n)
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2)._3 }
+    val rows = refs.filter(_.content == 0).map(_.path).flatMap { mp =>
       val f = new File(requireAvro(abs(table, mp)))
       val parts = IcebergAvro.readManifestPartitions(f).toMap
       IcebergAvro.readManifestDataFiles(f).map { case (p, n) =>
         (p, parts.getOrElse(p, Map.empty[String, Any])
-          .map { case (k, v) => k -> String.valueOf(v) }, n)
+          .map { case (k, v) => k -> String.valueOf(v) },
+          n - maskByFile.getOrElse(p, 0L))
       }
     }
     import spark.implicits._

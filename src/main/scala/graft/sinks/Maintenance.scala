@@ -62,7 +62,16 @@ object Maintenance {
     if (purge) DeltaSink.reorgPurge(spark, table, store = store): Unit
     val compactNeeded = nFiles > maxSmallFiles
     if (compactNeeded) DeltaSink.compact(spark, table, store = store): Unit
-    DeltaSink.checkpoint(spark, table, store): Unit
+    // preserve the table's checkpoint FLAVOR: a v2-checkpointed table
+    // (pointer names its manifest) re-checkpoints as v2 — the janitor
+    // must never silently downgrade the layout an operator chose
+    val v2 = {
+      val ptr = java.nio.file.Paths.get(table, "_delta_log", "_last_checkpoint")
+      java.nio.file.Files.exists(ptr) &&
+        java.nio.file.Files.readString(ptr).contains("\"path\"")
+    }
+    if (v2) DeltaSink.checkpointV2(spark, table, store): Unit
+    else DeltaSink.checkpoint(spark, table, store): Unit
     val vacuumed = DeltaSink.vacuum(spark, table, vacuumRetentionMs, store)
     // UniForm: a dual-format table (Iceberg metadata beside _delta_log)
     // re-syncs its Iceberg view after the Delta plane moved, so the
@@ -97,12 +106,15 @@ object Maintenance {
       store: CommitStore = CommitStore.Local): (Boolean, Int, Int, Boolean) = {
     val masked = IcebergSink.dvMaskedRows(table)
     val dvCompact = masked > 0 && {
+      // fileStats' num_records is LIVE rows (DV-adjusted) — the ratio
+      // denominator is physical rows, same as maintainDelta's
       val live = IcebergSink.fileStats(spark, table)
         .agg(org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.col("num_records")),
           org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
-      live > 0 && masked.toDouble / live.toDouble >= dvCompactRatio
+      live + masked > 0 &&
+        masked.toDouble / (live + masked).toDouble >= dvCompactRatio
     }
     if (dvCompact) IcebergSink.compact(spark, table, store): Unit
     val manifests = IcebergSink.metaTable(spark, table, "manifests")

@@ -3660,6 +3660,10 @@ class SinkSpec extends AnyFunSuite {
         b.takeRight(4).sameElements("PFA1".getBytes))
       assert(new String(b).contains("deletion-vector-v1"))
     }
+    // the metadata-only census is DV-aware: num_records reports LIVE
+    // rows (the Delta twin's contract), no Puffin or data file opened
+    assert(IcebergSink.fileStats(spark, table)
+      .agg(sum(col("num_records"))).head().getLong(0) == 100L)
     // pre-delete snapshots still time-travel whole
     assert(IcebergSink.read(spark, table, Some(preSnap)).count() == 120)
     // v2 positional files and v3 vectors must not mix (spec)
@@ -3747,6 +3751,22 @@ class SinkSpec extends AnyFunSuite {
     assert(dels.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 10L))
     // the two snapshots attribute their own rows
     assert(dels.select("_commit_snapshot_id").distinct().count() == 2)
+  }
+
+  test("maintainDelta preserves the v2 checkpoint flavor (r15)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 30L).map(i => (i, i.toDouble)).toDF("id", "v"), table)
+    DeltaSink.checkpointV2(spark, table)
+    (1 to 3).foreach(i =>
+      DeltaSink.append(Seq((30L + i, 1.0)).toDF("id", "v"), table))
+    graft.sinks.Maintenance.maintainDelta(s, table,
+      maxSmallFiles = 2, vacuumRetentionMs = 0L)
+    // the janitor's checkpoint kept the operator's chosen layout
+    assert(Files.readString(Paths.get(table, "_delta_log", "_last_checkpoint"))
+      .contains("\"path\""))
+    assert(DeltaSink.read(spark, table).count() == 33)
   }
 
   test("maintainDelta re-syncs the Iceberg plane of a dual-format table (r15)") {
