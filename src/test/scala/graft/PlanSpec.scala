@@ -648,4 +648,30 @@ class PlanSpec extends AnyFunSuite {
         "re-delete stays a no-op when matches evaluate via the broadcast")
     } finally DeltaSink.DvLiteralMaxBytes = saved
   }
+
+  test("Iceberg V3 DV read plans the O(1) probe, never a positional anti-join; clean scans plan none (r15)") {
+    import graft.sinks.IcebergSink
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-plan-ibdv")
+      .toString + "/tbl"
+    IcebergSink.write((0L until 200L).map(i => (i, i % 5)).toDF("id", "g"),
+      table, IcebergSink.CreateExclusive)
+    // clean table: the read is the PLAIN scan — no lineage columns, no
+    // probe, no join machinery of any kind rides a DV-free snapshot
+    val clean = planOf(IcebergSink.read(sess, table))
+    assert(!clean.contains("graft_dv_deleted") && !clean.contains("_gf_pos"))
+    assert(IcebergSink.deleteWhereDV(sess, table, "id % 50 = 7") == 4L)
+    val out = IcebergSink.read(sess, table)
+    assert(out.count() == 196)
+    // the vectors apply through the native expression — a per-row O(1)
+    // bitmap probe — NOT through the v2 positional (file,pos) anti-join
+    val p = planOf(out)
+    assert(p.contains("graft_dv_deleted"))
+    assert(!p.contains("LeftAnti"),
+      "V3 vectors must not fall back to the positional anti-join")
+    // only the broadcast path-sequence lookup joins; nothing sort-merges
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
