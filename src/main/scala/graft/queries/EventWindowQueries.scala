@@ -2457,6 +2457,60 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_row_lineage",
+      // V3 ROW LINEAGE under the oracle (r16, Iceberg spec v3 §Row
+      // Lineage — the third v3 pillar beside deletion vectors): every
+      // row carries a STABLE id. enableRowLineage assigns retroactively
+      // in one metadata-only replace commit (format ratchets to 3, the
+      // next-row-id clock starts); an append takes fresh ids from the
+      // clock; a DV delete never moves survivors' ids (positions are
+      // untouched); a compaction MATERIALIZES the ids into the rewritten
+      // parquet so the rewrite preserves them exactly. Gates (computed
+      // DISTRIBUTEDLY — a pre-op lineage frame joins the post-op one,
+      // no id ever collected): `ids_stable` (every surviving pre-append
+      // row keeps its id through append + DV delete + compaction),
+      // `ids_unique` (no id collides across the enable/append
+      // generations), `ids_assigned` (no surviving row reads null).
+      // Census must equal the oracle's complement. At 100 TB: enable
+      // and every subsequent assignment are manifest-plane work — no
+      // data file is opened for lineage bookkeeping, and compaction's id
+      // materialization rides the rewrite it was doing anyway.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val tbl = graft.TempTables.create("graft-iceberg-rowlin") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 0),
+          tbl, graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.enableRowLineage(s, tbl)
+        val pre = graft.sinks.IcebergSink.readWithLineage(s, tbl)
+          .select(col("event_id"), col("_row_id").as("_pre_id"))
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 2 === 1),
+          tbl, graft.sinks.IcebergSink.Append)
+        graft.sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
+        graft.sinks.IcebergSink.compact(s, tbl)
+        val post = graft.sinks.IcebergSink.readWithLineage(s, tbl)
+        val survivors = post.join(pre, Seq("event_id"), "inner")
+        val stable = survivors
+          .filter(col("_row_id") =!= col("_pre_id")).count() == 0
+        val unique = post.select("_row_id").distinct().count() == post.count()
+        val assigned = post.filter(col("_row_id").isNull).count() == 0
+        post.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("ids_stable", lit(stable))
+          .withColumn("ids_unique", lit(unique))
+          .withColumn("ids_assigned", lit(assigned))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |  AS sum_v,
+             |TRUE AS ids_stable, TRUE AS ids_unique, TRUE AS ids_assigned
+             |FROM events WHERE event_id % 10 <> 3
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_deletekeys",
       // CDC DELETE verb under the oracle (r13): deleteKeys commits ONE
       // equality-delete-only snapshot — the Flink-CDC DELETE shape,

@@ -36,6 +36,29 @@ trait CommitStore {
     *         OCC conflict signal the sinks' retry loops catch.
     */
   def putIfAbsent(target: Path, bytes: Array[Byte]): Unit
+
+  /** EXECUTOR-shippable byte I/O for this store, when it has one — what a
+    * write path needs to fan artifact packing out of the driver (the
+    * 100 TB deletion-vector write packs and PUBLISHES per-shard
+    * sidecar/Puffin files FROM TASKS, returning only KB-scale descriptors
+    * to the driver). None for driver-local test doubles (in-memory maps,
+    * hooked stores) — callers fall back to a driver-streamed publish
+    * bounded at one shard in memory.
+    */
+  def taskIO: Option[TaskIO] = None
+}
+
+/** The narrow read/write surface a TASK needs ([[CommitStore.taskIO]]).
+  * Implementations are [[Serializable]] (they travel in task closures) and
+  * carry no driver-only state: [[CommitStore.LocalTaskIO]] is the
+  * shared-filesystem spelling (every executor of a real cluster mounts the
+  * warehouse), [[HttpObjectStore.Client]]'s re-dials the store endpoint
+  * lazily per JVM. Targets are txn-unique names, so plain overwrite
+  * semantics make task RETRIES idempotent.
+  */
+trait TaskIO extends Serializable {
+  def read(absPath: String): Array[Byte]
+  def write(absPath: String, bytes: Array[Byte]): Unit
 }
 
 /** A [[CommitStore]] that ALSO transports data objects — the full
@@ -95,6 +118,22 @@ object CommitStore {
   object Local extends CommitStore {
     override def putIfAbsent(target: Path, bytes: Array[Byte]): Unit =
       Files.write(target, bytes, StandardOpenOption.CREATE_NEW)
+    override def taskIO: Option[TaskIO] = Some(LocalTaskIO)
+  }
+
+  /** Shared-filesystem [[TaskIO]]: plain file reads and parent-creating
+    * writes, valid from any executor that mounts the warehouse path (the
+    * cluster analogue of [[Local]]). Stateless, so deserializing a copy
+    * per task is free.
+    */
+  object LocalTaskIO extends TaskIO {
+    override def read(absPath: String): Array[Byte] =
+      Files.readAllBytes(java.nio.file.Paths.get(absPath))
+    override def write(absPath: String, bytes: Array[Byte]): Unit = {
+      val p = java.nio.file.Paths.get(absPath)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.write(p, bytes): Unit
+    }
   }
 
   /** In-memory store with an optional pre-put hook, for OCC protocol tests:

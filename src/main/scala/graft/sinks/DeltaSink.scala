@@ -235,7 +235,14 @@ object DeltaSink {
     * this engine's pre-spec raw-Roaring64 files, kept readable so
     * r13-era tables replay.
     */
-  private def dvBitmapBytes(table: String, dv: DvInfo, store: CommitStore): Array[Byte] = {
+  private def dvBitmapBytes(table: String, dv: DvInfo, store: CommitStore): Array[Byte] =
+    dvBitmapBytesVia(table, dv, p => readBytes(store, new File(p)))
+
+  /** [[dvBitmapBytes]] with caller-supplied byte I/O — the form a TASK can
+    * run (executors hold a [[TaskIO]], never the driver's store handle).
+    */
+  private[sinks] def dvBitmapBytesVia(table: String, dv: DvInfo,
+      read: String => Array[Byte]): Array[Byte] = {
     if (dv.storageType == "i") {
       // base85 works in 4-byte blocks, so encoders zero-pad the tail;
       // sizeInBytes recovers the true payload length
@@ -246,12 +253,78 @@ object DeltaSink {
         graft.functions.DeletionVector.fromPortable(
           decoded.take(dv.sizeInBytes.toInt)))
     }
-    val raw = readBytes(store, dvFile(table, dv))
+    val raw = read(dvFile(table, dv).getAbsolutePath)
     dv.offset match {
       case Some(off) => graft.functions.DeletionVector.serialize(
         graft.functions.DeletionVector.readDvFile(raw, off, dv.sizeInBytes))
       case None => raw
     }
+  }
+
+  /** Touched files per DV SHARD file — the DV write path shards touched
+    * files by path hash and each shard packs this many files' bitmaps in
+    * ONE task into ONE multi-DV sidecar (bounded task memory), so a
+    * 10^6-file delete lands ~1k sidecar objects — not 10^6 tiny blobs and
+    * never one driver-assembled monolith. Point deletes (≤ this many
+    * touched files) keep producing a single sidecar per commit.
+    * Test/tuning override: -Dgraft.dv.filesPerShard=N.
+    */
+  private[sinks] def FilesPerDvShard: Int =
+    sys.props.get("graft.dv.filesPerShard").map(_.toInt).getOrElse(1024)
+
+  /** Live adds per v2-checkpoint sidecar BUCKET. Buckets are the unit of
+    * incremental reuse: a re-checkpoint rewrites only buckets whose
+    * content changed, so smaller buckets mean finer reuse but more
+    * objects. 50k adds ≈ a few MB of parquet per sidecar; a 10^6-file
+    * table carries ~32 buckets (power-of-two ratchet). Test/tuning
+    * override: -Dgraft.ckpt.addsPerSidecar=N.
+    */
+  private[sinks] def AddsPerCkptSidecar: Long =
+    sys.props.get("graft.ckpt.addsPerSidecar").map(_.toLong).getOrElse(50000L)
+
+  /** One touched file's KB-scale result of a sharded DV pack — the ONLY
+    * thing the DV write returns to the driver (never bitmap bytes).
+    */
+  private[sinks] case class DvShardDesc(rel: String, uuidMsb: Long,
+      uuidLsb: Long, offset: Int, dataSize: Int, cardinality: Long,
+      freshCardinality: Long)
+
+  /** Packs ONE shard of (file → fresh bitmap bytes) into ONE spec multi-DV
+    * sidecar file: merges each file's fresh bitmap with its existing
+    * descriptor's (vectors are cumulative in Delta — OR-merge), frames all
+    * payloads back to back ([[graft.functions.DeletionVector.frameDvFileMulti]])
+    * and names the file from a DETERMINISTIC per-shard uuid (txn uuid ⊕
+    * shard id), so a retried task republishes the same bytes at the same
+    * key. Pure function of its inputs — runs identically in a task (the
+    * scale path) or on the driver (the streamed fallback for driver-only
+    * stores). Returns (table-relative sidecar path, file bytes, shard
+    * uuid, per-file descriptors).
+    */
+  private[sinks] def packDvShard(table: String, txnMsb: Long, txnLsb: Long,
+      shardId: Int, entries: Seq[(String, Array[Byte])],
+      oldByRel: Map[String, DvInfo],
+      read: String => Array[Byte])
+      : (String, Array[Byte], java.util.UUID, Seq[DvShardDesc]) = {
+    val D = graft.functions.DeletionVector
+    val sorted = entries.sortBy(_._1)
+    val merged = sorted.map { case (rel, fresh) =>
+      val freshCard = D.deserialize(fresh).getLongCardinality
+      val bytes = oldByRel.get(rel) match {
+        case Some(old) => D.merge(dvBitmapBytesVia(table, old, read), fresh)
+        case None => fresh
+      }
+      val bm = D.deserialize(bytes)
+      (rel, D.toPortable(bm), bm.getLongCardinality, freshCard)
+    }
+    val (fileBytes, offsets) = D.frameDvFileMulti(merged.map(_._2))
+    val uuid = new java.util.UUID(txnMsb, txnLsb ^ shardId.toLong)
+    val dvRel = s"$DvPrefix/deletion_vector_$uuid.bin"
+    val descs = merged.zip(offsets).map {
+      case ((rel, _, card, freshCard), (offset, dataSize)) =>
+        DvShardDesc(rel, uuid.getMostSignificantBits,
+          uuid.getLeastSignificantBits, offset, dataSize, card, freshCard)
+    }
+    (dvRel, fileBytes, uuid, descs)
   }
 
   /** Sidecar bytes through the store protocol when one is given — a real
@@ -1426,47 +1499,129 @@ object DeltaSink {
       // persist so the table is scanned once, not twice
       .persist()
     try {
-    // distributed bitmap build: one tight group per touched file; only
-    // (rel, serialized bitmap) ever reaches the driver — roaring bytes,
-    // not positions
-    val perFile: Seq[(String, Array[Byte])] = matched
+    // distributed bitmap build, KEPT DISTRIBUTED: one tight group per
+    // touched file, sharded by path hash; each shard of ≤FilesPerDvShard
+    // files OR-merges with any existing vector and packs + PUBLISHES its
+    // own spec multi-DV sidecar file (version byte, then each file's
+    // size-framed + CRC'd portable RoaringBitmapArray back to back; each
+    // descriptor = storageType "u" with its shard's base85 uuid + its own
+    // offset). Only KB-scale descriptors ever reach the driver — a wide
+    // predicate across 10^6 files costs the driver 10^6 descriptors (the
+    // same metadata class as the log replay itself), never GBs of bitmap
+    // bytes (VERDICT r15). A point delete (≤ one shard) still lands a
+    // single sidecar object.
+    val fresh = matched
       .select(col("_gf_rel"), col("_gf_pos"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (rel, it) =>
         (rel, graft.functions.DeletionVector.serialize(
           graft.functions.DeletionVector.bitmapOf(it.map(_._2))))
-      }.collect().toSeq.sortBy(_._1)
-    if (perFile.isEmpty) return 0L
-    val deletedNow = perFile.map(p =>
-      graft.functions.DeletionVector.deserialize(p._2).getLongCardinality).sum
+      }.persist()
+    val descs: Seq[DvShardDesc] = try {
+      val touched = fresh.count()
+      if (touched == 0L) return 0L
+      val oldByRel: Map[String, DvInfo] =
+        state.live.flatMap(a => a.dv.map(a.path -> _)).toMap
+      val txnUuid = java.util.UUID.randomUUID()
+      val (tMsb, tLsb) =
+        (txnUuid.getMostSignificantBits, txnUuid.getLeastSignificantBits)
+      val shards = math.max(1,
+        ((touched + FilesPerDvShard - 1) / FilesPerDvShard).toInt)
+      val tableAbs = dir.getAbsolutePath
+      store.taskIO match {
+        case Some(io) =>
+          // the scale path: pack + publish FROM TASKS
+          val bOld = spark.sparkContext.broadcast(oldByRel)
+          try {
+            fresh.rdd
+              .partitionBy(new org.apache.spark.HashPartitioner(shards))
+              .mapPartitionsWithIndex { (pid, it) =>
+                val entries = it.toVector
+                if (entries.isEmpty) Iterator.empty
+                else {
+                  val (dvRel, fileBytes, _, ds) = packDvShard(tableAbs,
+                    tMsb, tLsb, pid, entries, bOld.value, io.read)
+                  io.write(new File(tableAbs, dvRel).getAbsolutePath, fileBytes)
+                  ds.iterator
+                }
+              }.collect().toSeq
+          } catch { case e: Throwable =>
+            // tasks publish before the job completes, so a mid-job failure
+            // sweeps every DETERMINISTIC candidate shard name (absent
+            // keys are a no-op) — zero bytes behind an aborted write
+            (0 until shards).foreach { pid =>
+              val uuid = new java.util.UUID(tMsb, tLsb ^ pid.toLong)
+              scala.util.Try(
+                deleteData(store, dir, s"$DvPrefix/deletion_vector_$uuid.bin"))
+            }
+            throw e
+          } finally bOld.destroy()
+        case None =>
+          // driver-only store (in-memory/hooked test doubles have no
+          // task-side I/O): stream shard-sized chunks through the driver —
+          // at most FilesPerDvShard bitmaps in the pack buffer at once,
+          // never the full touched set
+          import scala.jdk.CollectionConverters._
+          val publishedRels = scala.collection.mutable.ArrayBuffer[String]()
+          try {
+            fresh.toLocalIterator().asScala.grouped(FilesPerDvShard)
+              .zipWithIndex.flatMap { case (chunk, i) =>
+                val (dvRel, fileBytes, _, ds) = packDvShard(tableAbs, tMsb,
+                  tLsb, i, chunk, oldByRel, p => readBytes(store, new File(p)))
+                val target = new File(dir, dvRel)
+                store match {
+                  case os: ObjectStore => os.putObject(target.toPath, fileBytes)
+                  case _ =>
+                    target.getParentFile.mkdirs()
+                    Files.write(target.toPath, fileBytes): Unit
+                }
+                publishedRels += dvRel
+                ds
+              }.toVector
+          } catch { case e: Throwable =>
+            publishedRels.foreach(p =>
+              scala.util.Try(deleteData(store, dir, p)))
+            throw e
+          }
+      }
+    } finally fresh.unpersist(): Unit
+    val deletedNow = descs.map(_.freshCardinality).sum
+    val publishedDv: Seq[String] = descs
+      .map(d => s"$DvPrefix/deletion_vector_" +
+        s"${new java.util.UUID(d.uuidMsb, d.uuidLsb)}.bin").distinct
     val conf = spark.sessionState.newHadoopConf()
     val txn = java.util.UUID.randomUUID().toString.take(8)
     val matchedRows = matched.select(state.schema.fieldNames.map(col).toIndexedSeq: _*)
     val replacement = replacementOf(matchedRows, state.schema)
     // replacement rows (an update's post-images) land as NEW files in the
-    // table's layout — cost ∝ matched rows, never the touched files
-    val dataAdds: Seq[AddEntry] = replacement match {
-      case None => Nil
-      case Some(rep) =>
-        val staging = Files.createTempDirectory("graft-delta-dv-rep").toFile
-        try {
-          // CHECK constraints gate an update's post-images too
-          val w = toPhysical(withConstraintCheck(rep, meta.configuration),
-            state.schema).write.mode("overwrite")
-            .option("compression", "snappy")
-            .option("maxRecordsPerFile", MaxRecordsPerFile)
-          (if (state.partitionColumns.nonEmpty)
-             w.partitionBy(state.partitionColumns: _*)
-           else w).parquet(staging.getPath)
-          publishAll(store, dir, staging, conf, (rel, i) =>
-            Option(rel.getParent).map(_.toString + "/").getOrElse("") +
-              f"part-$i%05d-$txn.c000.snappy.parquet")
-        } finally deleteRecursively(staging)
+    // table's layout — cost ∝ matched rows, never the touched files. Any
+    // failure from here to the commit reclaims everything published so
+    // far: an uncommitted transaction leaves zero bytes behind.
+    val dataAdds: Seq[AddEntry] = try {
+      replacement match {
+        case None => Nil
+        case Some(rep) =>
+          val staging = Files.createTempDirectory("graft-delta-dv-rep").toFile
+          try {
+            // CHECK constraints gate an update's post-images too
+            val w = toPhysical(withConstraintCheck(rep, meta.configuration),
+              state.schema).write.mode("overwrite")
+              .option("compression", "snappy")
+              .option("maxRecordsPerFile", MaxRecordsPerFile)
+            (if (state.partitionColumns.nonEmpty)
+               w.partitionBy(state.partitionColumns: _*)
+             else w).parquet(staging.getPath)
+            publishAll(store, dir, staging, conf, (rel, i) =>
+              Option(rel.getParent).map(_.toString + "/").getOrElse("") +
+                f"part-$i%05d-$txn.c000.snappy.parquet")
+          } finally deleteRecursively(staging)
+      }
+    } catch { case e: Throwable =>
+      publishedDv.foreach(p => scala.util.Try(deleteData(store, dir, p)))
+      throw e
     }
-    // CDC images (cost ∝ matched rows, same as the CoW path); a cdc
-    // failure reclaims the already-published replacement files — an
-    // uncommitted transaction leaves zero bytes behind
+    // CDC images (cost ∝ matched rows, same as the CoW path)
     val cdcAdds: Seq[AddEntry] = if (!changeDataFeed) Nil else try {
       val cdcStaging = Files.createTempDirectory("graft-delta-dv-cdc").toFile
       try {
@@ -1479,54 +1634,23 @@ object DeltaSink {
           conf, (_, i) => f"_change_data/cdc-$i%05d-$txn.snappy.parquet")
       } finally deleteRecursively(cdcStaging)
     } catch { case e: Throwable =>
-      dataAdds.foreach(a => scala.util.Try(deleteData(store, dir, a.path)))
-      throw e
-    }
-    // merge with any existing DV per file, publish ONE sidecar for the
-    // whole commit in the SPEC's multi-DV file format (version byte, then
-    // every touched file's size-framed + CRC'd portable RoaringBitmapArray
-    // back to back; each descriptor = storageType "u" with the shared
-    // base85 uuid + its own offset) — a delete touching 10k files costs
-    // one object PUT, not 10k tiny blobs — and re-add each touched file
-    // (same path, new descriptor — last add per path wins in replay; the
-    // data file is untouched)
-    val now = System.currentTimeMillis()
-    val published = scala.collection.mutable.ArrayBuffer[String]()
-    val newAdds = try {
-      val mergedBitmaps = perFile.map { case (rel, fresh) =>
-        val add = state.live.find(_.path == rel).getOrElse(
-          throw new IllegalStateException(s"matched file not live: $rel"))
-        val bytes = add.dv match {
-          case Some(old) => graft.functions.DeletionVector.merge(
-            dvBitmapBytes(table, old, store), fresh)
-          case None => fresh
-        }
-        (add, graft.functions.DeletionVector.deserialize(bytes))
-      }
-      val uuid = java.util.UUID.randomUUID()
-      val dvRel = s"$DvPrefix/deletion_vector_$uuid.bin"
-      val encoded = DvPrefix + graft.functions.DeletionVector.encodeUuid(uuid)
-      val (fileBytes, offsets) = graft.functions.DeletionVector
-        .frameDvFileMulti(mergedBitmaps.map { case (_, bm) =>
-          graft.functions.DeletionVector.toPortable(bm)
-        })
-      val target = new File(dir, dvRel)
-      store match {
-        case os: ObjectStore => os.putObject(target.toPath, fileBytes)
-        case _ =>
-          target.getParentFile.mkdirs()
-          Files.write(target.toPath, fileBytes): Unit
-      }
-      published += dvRel
-      mergedBitmaps.zip(offsets).map { case ((add, bm), (offset, dataSize)) =>
-        add.copy(modificationTime = now,
-          dv = Some(DvInfo("u", encoded, Some(offset), dataSize.toLong,
-            bm.getLongCardinality)))
-      }
-    } catch { case e: Throwable =>
-      (published ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
+      (publishedDv ++ dataAdds.map(_.path)).foreach(p =>
         scala.util.Try(deleteData(store, dir, p)))
       throw e
+    }
+    // re-add each touched file (same path, new descriptor — last add per
+    // path wins in replay; the data file is untouched). Metadata-only: the
+    // descriptors came back from the shards, no bitmap is reopened.
+    val now = System.currentTimeMillis()
+    val byRel: Map[String, AddEntry] = state.live.map(a => a.path -> a).toMap
+    val newAdds = descs.sortBy(_.rel).map { d =>
+      val add = byRel.getOrElse(d.rel,
+        throw new IllegalStateException(s"matched file not live: ${d.rel}"))
+      val encoded = DvPrefix + graft.functions.DeletionVector.encodeUuid(
+        new java.util.UUID(d.uuidMsb, d.uuidLsb))
+      add.copy(modificationTime = now,
+        dv = Some(DvInfo("u", encoded, Some(d.offset), d.dataSize.toLong,
+          d.cardinality)))
     }
     // v3/v7 protocols must LIST every active table feature (spec rule):
     // a DV bump on a column-mapped table carries columnMapping too (and
@@ -1548,7 +1672,7 @@ object DeltaSink {
     try commitAtomic(store, versionFile(table, state.version + 1), lines)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        (published ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
+        (publishedDv ++ cdcAdds.map(_.path) ++ dataAdds.map(_.path)).foreach(p =>
           scala.util.Try(deleteData(store, dir, p)))
         throw new IllegalStateException(
           s"concurrent commit on $table during $opName; re-run", e)
@@ -1854,6 +1978,17 @@ object DeltaSink {
 
   def checkpoint(spark: SparkSession, table: String, store: CommitStore): Long = {
     import org.apache.spark.sql.functions.{col, lit, struct}
+    // a table already on V2 checkpoints STAYS on them: a classic rewrite
+    // of the pointer would strand the manifest + `_sidecars` set with no
+    // reclaimer and silently downgrade the layout a caller opted into
+    // (ADVICE r15) — route through the v2 path, which also reclaims
+    // correctly
+    locally {
+      val f = lastCheckpointFile(table)
+      if (Files.exists(f) &&
+          mapper.readTree(Files.readString(f)).has("path"))
+        return checkpointV2(spark, table, store)
+    }
     val (meta, live) = resolve(spark, table, None)
     // Metadata plane (protocol, metaData, txn watermarks): a handful of
     // rows, built on the driver. Data plane (the add list): stays a
@@ -2010,30 +2145,103 @@ object DeltaSink {
     }
     val (meta, live) = resolve(spark, table, None)
     val sidecarDir = logDir(table).resolve("_sidecars")
-    // data plane → sidecars: distributed write, one part per live-set
-    // partition, uuid-prefixed so concurrent/stale checkpoints never
-    // collide; published per-file (object put or same-FS move)
-    val staging = Files.createTempDirectory("graft-ckpt2-stage").toFile
-    val sidecars: Seq[(String, Long, Long)] =
-      try {
-        live.select(struct(col("path"), col("partitionValues"), col("size"),
-            col("modificationTime"), lit(true).as("dataChange"),
-            col("stats"), col("deletionVector")).as("add"))
-          .write.mode("overwrite").option("compression", "snappy")
-          .parquet(staging.getPath)
-        val prefix = java.util.UUID.randomUUID().toString
-        dataFiles(staging).sortBy(_.getName).zipWithIndex.map { case (src, i) =>
-          val name = f"$prefix-$i%05d.parquet"
-          val target = sidecarDir.resolve(name)
-          store match {
-            case os: ObjectStore => os.putObject(target, Files.readAllBytes(src.toPath))
-            case _ =>
-              Files.createDirectories(sidecarDir)
-              Files.move(src.toPath, target): Unit
+    // the PREVIOUS v2 generation: its manifest name is the reclaim fence
+    // (kept one generation, so a reader mid-resolve on the old pointer
+    // never loses its sidecars — ADVICE r15) and its sidecar rows are the
+    // reuse candidates
+    val prevManifest: Option[String] = {
+      val f = lastCheckpointFile(table)
+      if (!Files.exists(f)) None
+      else Option(mapper.readTree(Files.readString(f)).get("path"))
+        .map(_.asText())
+        .filter(n => Files.exists(logDir(table).resolve(n)))
+    }
+    val prevSidecars: Map[String, (Long, Long)] = prevManifest.map { name =>
+      spark.read.schema(V2ManifestSchema)
+        .parquet(logDir(table).resolve(name).toString)
+        .where(col("sidecar").isNotNull)
+        .select("sidecar.path", "sidecar.sizeInBytes",
+          "sidecar.modificationTime")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    }.getOrElse(Map.empty)
+    // INCREMENTAL data plane: the live set buckets DETERMINISTICALLY by
+    // path hash (bucket count = smallest power of two keeping buckets
+    // under AddsPerCkptSidecar, so the layout only reshuffles on a size
+    // ratchet); each bucket's sidecar is CONTENT-ADDRESSED — its name
+    // carries an order-independent xxhash64-XOR over every
+    // replay-relevant add field — and a bucket whose name the previous
+    // manifest already lists CARRIES FORWARD without a byte written. A
+    // nightly re-checkpoint of a 100 TB table rewrites only the buckets
+    // its day's commits touched; N readers still fan out over the full
+    // sidecar list in parallel (this is the layout's point — SURVEY
+    // §2.2 q_delta_checkpoint_v2).
+    val sidecars: Seq[(String, Long, Long)] = {
+      import org.apache.spark.sql.functions.{coalesce, count, expr, pmod,
+        to_json, xxhash64}
+      val liveCount = live.count()
+      var buckets = 1
+      while (buckets.toLong * AddsPerCkptSidecar < liveCount) buckets *= 2
+      val withB = live
+        .withColumn("_b",
+          pmod(xxhash64(col("path")), lit(buckets.toLong)).cast("int"))
+        .withColumn("_rh", xxhash64(col("path"), col("size"),
+          col("modificationTime"), coalesce(col("stats"), lit("")),
+          coalesce(col("deletionVector.storageType"), lit("")),
+          coalesce(col("deletionVector.pathOrInlineDv"), lit("")),
+          coalesce(col("deletionVector.offset"), lit(-1)),
+          coalesce(col("deletionVector.sizeInBytes"), lit(-1L)),
+          coalesce(col("deletionVector.cardinality"), lit(-1L)),
+          to_json(col("partitionValues"))))
+      val bucketInfo: Seq[(Int, Long)] = withB.groupBy(col("_b"))
+        .agg(expr("bit_xor(_rh)").as("h"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+      def sidecarName(b: Int, h: Long) =
+        f"inc-$buckets%05d-$b%05d-$h%016x.parquet"
+      val (carried, changed) = bucketInfo.partition { case (b, h) =>
+        prevSidecars.contains(sidecarName(b, h))
+      }
+      val staging = Files.createTempDirectory("graft-ckpt2-stage").toFile
+      val written: Seq[(String, Long, Long)] =
+        if (changed.isEmpty) Nil
+        else try {
+          val changedIds = changed.map(_._1)
+          withB.where(col("_b").isin(changedIds: _*))
+            .select(struct(col("path"), col("partitionValues"), col("size"),
+              col("modificationTime"), lit(true).as("dataChange"),
+              col("stats"), col("deletionVector")).as("add"), col("_b"))
+            .repartition(col("_b"))
+            .write.mode("overwrite").option("compression", "snappy")
+            .partitionBy("_b").parquet(staging.getPath)
+          val hashById = changed.toMap
+          changedIds.map { b =>
+            val parts = dataFiles(new File(staging, s"_b=$b"))
+            // repartition(col) pins a bucket to exactly one task; a split
+            // bucket would break content addressing, so fail loudly
+            require(parts.length == 1,
+              s"bucket $b staged ${parts.length} parts; expected exactly one")
+            val src = parts.head
+            val name = sidecarName(b, hashById(b))
+            val target = sidecarDir.resolve(name)
+            store match {
+              case os: ObjectStore =>
+                os.putObject(target, Files.readAllBytes(src.toPath))
+              case _ =>
+                Files.createDirectories(sidecarDir)
+                // identical content by construction if the name already
+                // exists (an older generation outside the reuse fence)
+                Files.move(src.toPath, target,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+            }
+            (name, src.length(), System.currentTimeMillis())
           }
-          (name, src.length(), System.currentTimeMillis())
-        }.toSeq
-      } finally deleteRecursively(staging)
+        } finally deleteRecursively(staging)
+      carried.map { case (b, h) =>
+        val name = sidecarName(b, h)
+        val (sz, mt) = prevSidecars(name)
+        (name, sz, mt)
+      } ++ written
+    }
     // metadata plane + sidecar list → the manifest (driver-side, KBs)
     val metaRows: Seq[Row] =
       (Row(Row(meta.minReader, meta.minWriter, meta.readerFeatures,
@@ -2079,23 +2287,25 @@ object DeltaSink {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
-    // stale-artifact reclaim, the classic path's posture: the moment the
-    // pointer flips, EARLIER v2 manifests and every sidecar the new
-    // manifest does not reference are dead (readers resolve pointer →
-    // manifest → sidecars; same replace-in-place race class as the
-    // classic path's stale-part sweep) — without this a nightly
+    // stale-artifact reclaim with an N-1 FENCE: the new generation AND
+    // the immediately-previous one (manifest + every sidecar either
+    // references) survive — a reader that resolved the old pointer just
+    // before the flip, or a racing checkpointV2 that lost, still finds
+    // its whole generation; everything older is dead (readers resolve
+    // pointer → manifest → sidecars) and without this a nightly
     // re-checkpoint strands one manifest + sidecar set per run that no
-    // janitor would ever sweep. Classic checkpoint DIRECTORIES
-    // (<v>.checkpoint.parquet) don't match the uuid'd manifest pattern
-    // and are left alone.
+    // janitor would ever sweep (ADVICE r15). Classic checkpoint
+    // DIRECTORIES (<v>.checkpoint.parquet) don't match the uuid'd
+    // manifest pattern and are left alone.
     def reclaim(f: File): Unit = store match {
       case os: ObjectStore => os.deleteObject(f.toPath)
       case _ => Files.deleteIfExists(f.toPath): Unit
     }
-    val keepSidecars = sidecars.map(_._1).toSet
+    val keepManifests = Set(manifestName) ++ prevManifest
+    val keepSidecars = sidecars.map(_._1).toSet ++ prevSidecars.keySet
     Option(logDir(table).toFile.listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("\\d{20}\\.checkpoint\\..+\\.parquet") &&
-        f.getName != manifestName)
+        !keepManifests.contains(f.getName))
       .foreach(reclaim)
     Option(sidecarDir.toFile.listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") &&
@@ -2832,7 +3042,17 @@ object DeltaSink {
         val node = mapper.readTree(Files.readString(f))
         val v = node.get("version").asLong()
         if (asOfVersion.forall(_ >= v))
-          Some((v, Option(node.get("path")).map(_.asText())))
+          Some((v, Option(node.get("path")).map(_.asText()).orElse {
+            // SPEC-style v2 discovery: the spec finds v2 checkpoints by
+            // the <v>.checkpoint.<uuid>.parquet NAME PATTERN — an
+            // external writer's pointer may omit our "path" hint, so a
+            // v2-named manifest FILE at the pointed version resolves too
+            // (classic checkpoints are directories and don't match)
+            Option(logDir(table).toFile.listFiles()).toSeq.flatten
+              .filter(m => m.isFile &&
+                m.getName.matches(f"$v%020d\\.checkpoint\\..+\\.parquet"))
+              .map(_.getName).sorted.lastOption
+          }))
         else None
       } else None
     }

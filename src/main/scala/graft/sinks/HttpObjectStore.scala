@@ -263,9 +263,44 @@ object HttpObjectStore {
     * rides the network path unchanged. `root` mirrors the server's root so
     * absolute target paths translate to bucket keys.
     */
+  /** Task-side GET/PUT over the store protocol: endpoint + bucket root
+    * travel as plain strings into task closures; the HttpClient rebuilds
+    * lazily per task JVM. Shard artifacts carry txn-unique names, so the
+    * plain (unconditional) PUT keeps task retries idempotent.
+    */
+  final class HttpTaskIO(endpointStr: String, rootStr: String) extends TaskIO {
+    @transient private lazy val http = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    private def keyUri(absPath: String): URI = {
+      val root = java.nio.file.Paths.get(rootStr)
+      val key = root.relativize(
+        java.nio.file.Paths.get(absPath).toAbsolutePath.normalize()).toString
+      URI.create(endpointStr).resolve("/o/" + key)
+    }
+    override def read(absPath: String): Array[Byte] = {
+      val resp = http.send(HttpRequest.newBuilder(keyUri(absPath)).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() == 404)
+        throw new java.io.FileNotFoundException(absPath)
+      if (resp.statusCode() != 200)
+        throw new IOException(s"get of $absPath failed: HTTP ${resp.statusCode()}")
+      resp.body()
+    }
+    override def write(absPath: String, bytes: Array[Byte]): Unit = {
+      val resp = http.send(HttpRequest.newBuilder(keyUri(absPath))
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+        HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() != 200)
+        throw new IOException(s"put of $absPath failed: HTTP ${resp.statusCode()}")
+    }
+  }
+
   final class Client(endpoint: URI, root: Path) extends ObjectStore {
     private val http = HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+    override def taskIO: Option[TaskIO] =
+      Some(new HttpTaskIO(endpoint.toString, root.toString))
 
     /** Data-file publication rides the bounded multipart uploader (the
       * reference's data path, delta_destination.rs:120-229): S3-realistic

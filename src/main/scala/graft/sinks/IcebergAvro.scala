@@ -82,6 +82,7 @@ private[graft] object IcebergAvro {
       |    {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]},
       |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
       |  {"type":"array","items":"int","element-id":136}]},
+      |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
       |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
       |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
       |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
@@ -127,9 +128,16 @@ private[graft] object IcebergAvro {
     * blob's (referenced_data_file, content_offset, content_size_in_bytes),
     * spec v3 field ids 143/144/145; absPath is then the Puffin file.
     */
+  /** `firstRowId`: V3 row lineage — the id assigned to this file's first
+    * row at commit (spec v3 field id 142); rows derive
+    * `_row_id = first_row_id + position`. None for delete entries, for
+    * files predating lineage enablement, and for rewrites that
+    * MATERIALIZE `_row_id` into the parquet instead.
+    */
   case class DataFileInfo(absPath: String, sizeBytes: Long, recordCount: Long,
       stats: ColumnStats = ColumnStats(), partitionValues: Seq[Any] = Nil,
-      dv: Option[(String, Long, Long)] = None)
+      dv: Option[(String, Long, Long)] = None,
+      firstRowId: Option[Long] = None)
 
   private def kvLongs(sch: Schema, m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
     val itemSchema = sch.getElementType
@@ -216,6 +224,7 @@ private[graft] object IcebergAvro {
         df.put("content_offset", off)
         df.put("content_size_in_bytes", size)
       }
+      f.firstRowId.foreach(id => df.put("first_row_id", id))
       val e = new GenericData.Record(entrySchema)
       entrySeqs.get(f.absPath) match {
         case Some(seq) =>
@@ -326,6 +335,24 @@ private[graft] object IcebergAvro {
     try Seq("schema", "schema-id", "partition-spec", "partition-spec-id",
       "format-version", "content")
       .flatMap(k => Option(r.getMetaString(k)).map(k -> _)).toMap
+    finally r.close()
+  }
+
+  /** Per entry: (file_path, file_size_in_bytes, record_count,
+    * first_row_id) — the row-lineage plane's metadata read. Reads with
+    * the file's own writer schema, so manifests predating field 142
+    * surface None.
+    */
+  def readManifestDataEntries(f: File): Seq[(String, Long, Long, Option[Long])] = {
+    val r = new DataFileReader[GenericRecord](f,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      (df.get("file_path").toString,
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        df.get("record_count").asInstanceOf[Long],
+        Option(df.get("first_row_id")).map(_.asInstanceOf[Long]))
+    }.toList
     finally r.close()
   }
 

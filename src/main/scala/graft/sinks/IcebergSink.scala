@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -420,12 +420,21 @@ object IcebergSink {
     }
   }
 
+  /** `extraPhysicalCols`: columns of `df0` written INTO the parquet files
+    * but excluded from the declared table schema and the schema gate —
+    * the lineage-preserving compaction's materialized `_row_id` (spec v3
+    * §Row Lineage: a rewrite must carry row ids explicitly). Overwrite
+    * verbs only; normal reads never select them.
+    */
   def write(df0: DataFrame, table: String, mode: WriteMode,
       store: CommitStore = CommitStore.Local,
       partitionBy: Seq[String] = Nil,
       summaryProps: Map[String, String] = Map.empty,
       evolveSchema: Boolean = false,
-      operationOverride: Option[String] = None): Unit = {
+      operationOverride: Option[String] = None,
+      extraPhysicalCols: Set[String] = Set.empty): Unit = {
+    require(extraPhysicalCols.isEmpty || mode != Append,
+      "extraPhysicalCols is an overwrite/rewrite facility")
     val hint = readHint(table)
     if (hint.isDefined && mode == CreateExclusive)
       throw new IllegalStateException(
@@ -450,10 +459,14 @@ object IcebergSink {
         alignToStored(df0, st.fieldNames)
       case _ => df0
     }
+    // the DECLARED schema never carries the extra physical columns — they
+    // exist only inside the parquet files
+    val gateSchema = StructType(
+      df.schema.fields.filterNot(f => extraPhysicalCols.contains(f.name)))
     previous.foreach { prev =>
       val existingSchema = DataType.fromJson(
         prev.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
-      if (!evolveSchema) SchemaGate.enforce(df.schema, existingSchema)
+      if (!evolveSchema) SchemaGate.enforce(gateSchema, existingSchema)
       else {
         // Opt-in ADD-COLUMN evolution (the standard Iceberg add-column
         // flow): existing columns still pass the positional gate — only
@@ -486,7 +499,7 @@ object IcebergSink {
         StructType(st.fields ++
           df.schema.fields.drop(st.fields.length).map(_.copy(nullable = true)))
       case Some(st) if mode == Append => st
-      case _ => df.schema
+      case _ => gateSchema
     }
     // Partition-spec continuity: an append/overwrite onto an existing table
     // adopts its spec when none is requested, and refuses a CONFLICTING
@@ -713,11 +726,27 @@ object IcebergSink {
           stageRoot.toPath.relativize(f.toPath).toString).getAbsolutePath
       case None => f.getAbsolutePath
     }
-    val infos = dataFiles.toSeq.map { f =>
+    val infos0 = dataFiles.toSeq.map { f =>
       val (rows, stats) = footerStats(f, conf, fieldIds)
       IcebergAvro.DataFileInfo(tablePathOf(f), f.length(), rows, stats,
         partValuesOf(f))
     }
+    // V3 row lineage (spec §Row Lineage): on a lineage-enabled table every
+    // ADDED data file takes its first_row_id from the table clock —
+    // except a materialized-`_row_id` rewrite, whose files carry the ids
+    // themselves (manifest assignment stays null there by design)
+    val prevNextRowId: Option[Long] =
+      previous.filter(_.has("next-row-id")).map(_.get("next-row-id").asLong())
+    val (infos, assignedRows): (Seq[IcebergAvro.DataFileInfo], Long) =
+      prevNextRowId match {
+        case Some(base) if !extraPhysicalCols.contains("_row_id") =>
+          var next = base
+          val withIds = infos0.map { i =>
+            val out = i.copy(firstRowId = Some(next)); next += i.recordCount; out
+          }
+          (withIds, next - base)
+        case _ => (infos0, 0L)
+      }
     // publish staged data files through the store (multipart, whole-write
     // abort on failure: uploaded files are reclaimed before rethrow)
     objStore.foreach { os =>
@@ -798,7 +827,12 @@ object IcebergSink {
     // New table metadata = previous + new snapshot + main branch ref.
     val newVersion = hint.map(_ + 1).getOrElse(0L)
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 2)
+    // format-version RATCHETS, never resets: a plain append to a table a
+    // DV commit already ratcheted to v3 must keep claiming v3 — an
+    // external reader seeing "format-version":2 beside live deletion
+    // vectors would reject (or worse, mis-read) the table (r16)
+    meta.put("format-version",
+      previous.map(p => math.max(2, p.get("format-version").asInt())).getOrElse(2))
       .put("table-uuid",
         previous.map(_.get("table-uuid").asText())
           .getOrElse(java.util.UUID.randomUUID().toString))
@@ -844,18 +878,22 @@ object IcebergSink {
     meta.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
     meta.put("default-sort-order-id", 0)
     meta.putObject("properties").put("graft.spark-schema", declaredSchema.json)
+    // the row-lineage clock survives every rebuild of the metadata tree
+    prevNextRowId.foreach(base =>
+      meta.put("next-row-id", base + assignedRows): Unit)
     val snapshots = meta.putArray("snapshots")
     previous.foreach { prev =>
       prev.get("snapshots").elements().asScala.foreach(s =>
         snapshots.add(s.deepCopy[ObjectNode]()))
     }
-    val summary = snapshots.addObject()
+    val snapNode = snapshots.addObject()
       .put("snapshot-id", snapshotId)
       .put("sequence-number", seq)
       .put("timestamp-ms", System.currentTimeMillis())
       .put("manifest-list", s"metadata/${listPath.getFileName}")
       .put("schema-id", schemaId)
-      .putObject("summary")
+    prevNextRowId.foreach(base => snapNode.put("first-row-id", base): Unit)
+    val summary = snapNode.putObject("summary")
     // spec §snapshots: the summary must carry the snapshot's TRUE
     // operation — an Overwrite of existing data is "overwrite" (a
     // sequence-scoped consumer must not mistake the rewritten rows for
@@ -931,12 +969,13 @@ object IcebergSink {
       partitionBy: Seq[String] = Nil,
       summaryProps: Map[String, String] = Map.empty,
       evolveSchema: Boolean = false,
-      operationOverride: Option[String] = None): Unit = {
+      operationOverride: Option[String] = None,
+      extraPhysicalCols: Set[String] = Set.empty): Unit = {
     var attempt = 0
     while (true) {
       try {
         write(df, table, mode, store, partitionBy, summaryProps, evolveSchema,
-          operationOverride)
+          operationOverride, extraPhysicalCols)
         return
       } catch {
         case e: OptimisticConcurrencyException =>
@@ -1262,10 +1301,11 @@ object IcebergSink {
     * resolving that list instead of the current ref.
     */
   def read(spark: SparkSession, table: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
+      asOfSnapshotId: Option[Long] = None,
+      store: CommitStore = CommitStore.Local): DataFrame = {
     val snap = snapshotEntries(table, asOfSnapshotId)
     readMerged(spark, snap.schema, snap.data, snap.deletes,
-      curFields = snap.curFields, fileFields = snap.fileFields)
+      curFields = snap.curFields, fileFields = snap.fileFields, store = store)
   }
 
   /** One resolved snapshot: data-file entries as (path, manifest partition
@@ -1675,12 +1715,21 @@ object IcebergSink {
     val inRange = snap.data.filter(e => e._3 > sinceSeq && e._3 <= untilSeq)
     def opOf(seq: Long) = opBySeq.getOrElse(seq, "append")
     val nonRewrites = inRange.filterNot(e => opOf(e._3) == "replace")
-    val dataChanging = nonRewrites.filter(e => opOf(e._3) != "append")
+    // the fail-loudly guard keys off the SNAPSHOT ops in range, not the
+    // in-range data entries: a pure MoR delete (deleteWhere/deleteKeys/
+    // deleteWhereDV) adds ONLY delete manifests — no data entry carries
+    // its sequence — yet its boundary deletes would silently suppress
+    // not-yet-delivered rows, which is exactly the row-set change the
+    // contract must surface (ADVICE r15)
+    val dataChanging = opBySeq.toSeq.filter { case (seq, op) =>
+      seq > sinceSeq && seq <= untilSeq && (op == "delete" || op == "overwrite")
+    }
     if (dataChanging.nonEmpty && !skipOverwrites)
       throw new IllegalStateException(
-        s"snapshot(s) at sequence(s) ${dataChanging.map(_._3).distinct.sorted.mkString(",")} " +
-          s"of $table are ${dataChanging.map(e => opOf(e._3)).distinct.sorted.mkString("/")} " +
-          "operations - an append-only tail would re-deliver rewritten rows. " +
+        s"snapshot(s) at sequence(s) ${dataChanging.map(_._1).distinct.sorted.mkString(",")} " +
+          s"of $table are ${dataChanging.map(_._2).distinct.sorted.mkString("/")} " +
+          "operations - an append-only tail would re-deliver rewritten rows " +
+          "or silently drop deleted ones. " +
           "Set skipOverwrites (.option(\"skip-overwrite-snapshots\", true) on " +
           "the stream source) to skip them, or tail an append-only table.")
     val kept = if (skipOverwrites) nonRewrites.filter(e => opOf(e._3) == "append")
@@ -1901,12 +1950,23 @@ object IcebergSink {
       }: _*)
   }
 
+  /** Bytes of a metadata-plane artifact (Puffin DV, delete file) through
+    * the store protocol when one is given — a real bucket has no local
+    * open (the [[DeltaSink.readBytes]] twin, VERDICT r15).
+    */
+  private def readBytesAt(store: CommitStore, path: String): Array[Byte] =
+    store match {
+      case os: ObjectStore => os.readObject(Paths.get(path))
+      case _ => Files.readAllBytes(Paths.get(path))
+    }
+
   private def readMerged(spark: SparkSession, schema: StructType,
       dataEntries: Seq[(String, Map[String, Any], Long)],
       deletes: Seq[DeleteRef],
       keepLineage: Boolean = false,
       curFields: Seq[IField] = Nil,
-      fileFields: Map[String, Seq[IField]] = Map.empty): DataFrame = {
+      fileFields: Map[String, Seq[IField]] = Map.empty,
+      store: CommitStore = CommitStore.Local): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
       lit, raise_error, regexp_replace}
     if (deletes.isEmpty && !keepLineage)
@@ -1952,7 +2012,7 @@ object IcebergSink {
         val dvMap: Map[String, Array[Byte]] = dvRefs.flatMap { d =>
           val (ref, off, size) = d.dvRef.get
           val bm = graft.functions.DeletionVector.readFramedAt(
-            Files.readAllBytes(Paths.get(d.path)), off.toInt, size - 8)
+            readBytesAt(store, d.path), off.toInt, size - 8)
           val probeBytes = graft.functions.DeletionVector.serialize(bm)
           val raw = normPath(ref)
           val enc = normPath(new java.io.File(ref).toURI.toString)
@@ -2115,7 +2175,20 @@ object IcebergSink {
     // and an all-nullable schema would drift into the metadata
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
-    val df = spark.createDataFrame(read(spark, table).rdd, schema)
+    // a lineage-enabled table's compaction must PRESERVE row ids (spec v3
+    // §Row Lineage: rewritten files carry them explicitly): the rewrite
+    // reads the merged view WITH `_row_id` and MATERIALIZES it into the
+    // compacted parquet as an extra physical column — manifest
+    // first_row_id stays null for these files and lineage reads pick the
+    // column up by name
+    val lineage = meta.has("next-row-id")
+    val readSchema =
+      if (!lineage) schema
+      else StructType(schema.fields :+
+        StructField("_row_id", LongType, nullable = true))
+    val source =
+      if (lineage) readWithLineage(spark, table) else read(spark, table)
+    val df = spark.createDataFrame(source.rdd, readSchema)
     val packed =
       if (zorderBy.isEmpty) df.coalesce(target)
       else ZOrder.cluster(df, zorderBy, target) // OPTIMIZE ZORDER, shared with DeltaSink
@@ -2123,7 +2196,8 @@ object IcebergSink {
     // (spec §snapshots), which sequence-scoped consumers (the streaming
     // tail) skip rather than re-deliver or fail on
     writeWithRetry(packed, table, Overwrite, store = store,
-      operationOverride = Some("replace"))
+      operationOverride = Some("replace"),
+      extraPhysicalCols = if (lineage) Set("_row_id") else Set.empty)
     (before, fileCount())
   }
 
@@ -2769,7 +2843,9 @@ object IcebergSink {
       reclaimOnConflict: () => Unit,
       branch: Option[String] = None,
       carriedOverride: Option[Seq[org.apache.avro.generic.GenericRecord]] = None,
-      formatVersion: Option[Int] = None)
+      formatVersion: Option[Int] = None,
+      assignedRows: Long = 0L,
+      metaMutate: ObjectNode => Unit = _ => ())
       : Unit = {
     // the new snapshot continues from its TARGET ref's head: main (the
     // current snapshot) by default, a named branch's head when targeted —
@@ -2799,6 +2875,7 @@ object IcebergSink {
     formatVersion.foreach(v =>
       if (newMeta.get("format-version").asInt() < v)
         newMeta.put("format-version", v): Unit)
+    metaMutate(newMeta)
     val snapNode = newMeta.get("snapshots")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
     snapNode.put("snapshot-id", snapshotId)
@@ -2806,6 +2883,17 @@ object IcebergSink {
       .put("timestamp-ms", now)
       .put("manifest-list", s"metadata/${listPath.getFileName}")
       .put("schema-id", schemaId)
+    // V3 row lineage (spec §Row Lineage): on a lineage-enabled table
+    // EVERY snapshot records its first-row-id — the start of the id range
+    // this commit assigned — and the table clock advances by the rows its
+    // ADDED data entries carry an assignment for (0 for pure deletes,
+    // replaces, and materialized-`_row_id` rewrites)
+    if (newMeta.has("next-row-id")) {
+      val base = newMeta.get("next-row-id").asLong()
+      snapNode.put("first-row-id", base)
+      if (assignedRows > 0)
+        newMeta.put("next-row-id", base + assignedRows): Unit
+    }
     val sum = snapNode.putObject("summary")
     sum.put("operation", operation)
     summaryProps.foreach { case (k, v) => sum.put(k, v) }
@@ -2936,6 +3024,146 @@ object IcebergSink {
     dvRewrite(spark, table, predicate, Some(set), store)
   }
 
+  /** ENABLE V3 ROW LINEAGE (Iceberg spec v3 §Row Lineage) — the third v3
+    * pillar beside deletion vectors: every row gets a STABLE id that
+    * survives appends, MoR deletes (positions don't move) and
+    * lineage-preserving compaction (ids materialize into rewritten
+    * files). One `replace` commit assigns `first_row_id` to every LIVE
+    * data file retroactively — entries ordered by (data sequence, path),
+    * ids cumulative by record count, original sequences preserved
+    * (status EXISTING, the rewriteManifests discipline) so MoR delete
+    * application and the streaming tail see no change — stamps
+    * `next-row-id` into the metadata, `first-row-id` = 0 onto the
+    * snapshot, and ratchets format-version to 3. Every later commit
+    * advances the clock ([[write]] assigns to added files; MoR
+    * replacement files assign too). Metadata-only: no data file is read
+    * or written at any table size. Scope: the retroactive rewrite covers
+    * unpartitioned tables (a partitioned enable needs one rewritten
+    * manifest per spec group — refused loudly for now; enable before
+    * partitioned writes land). Returns the rows assigned.
+    */
+  def enableRowLineage(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Long = {
+    val hint = readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
+    require(!meta.has("next-row-id"),
+      s"row lineage already enabled on $table")
+    val defaultSpecEmpty = meta.get("partition-specs").elements().asScala
+      .find(s => s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
+      .forall(s => !s.get("fields").elements().hasNext)
+    require(defaultSpecEmpty, "enableRowLineage currently covers " +
+      "unpartitioned tables — enable lineage before partitioned writes")
+    val snap = snapshotEntries(table, None)
+    val seqByPath: Map[String, Long] = snap.data.map(e => e._1 -> e._3).toMap
+    val list = manifestListOf(table, meta,
+      meta.get("current-snapshot-id").asLong()).getOrElse(
+      throw new IllegalStateException(s"no current snapshot on $table"))
+    val refs = manifestRefs(table, list)
+    // per-file (size, rows, stats) re-read from the manifests — metadata
+    // scale, no data file opened
+    val perFile: Map[String, (Long, Long, IcebergAvro.ColumnStats)] =
+      refs.filter(_.content == 0).flatMap { r =>
+        val f = new File(requireAvro(abs(table, r.path)))
+        val stats = IcebergAvro.readManifestStats(f).toMap
+        IcebergAvro.readManifestDataEntries(f).collect {
+          case (p, size, rows, _) if seqByPath.contains(p) =>
+            p -> ((size, rows, stats.getOrElse(p, IcebergAvro.ColumnStats())))
+        }
+      }.toMap
+    val ordered = snap.data.map(_._1).distinct
+      .sortBy(p => (seqByPath(p), p))
+    var next = 0L
+    val infos = ordered.map { p =>
+      val (size, rows, stats) = perFile(p)
+      val info = IcebergAvro.DataFileInfo(p, size, rows, stats,
+        firstRowId = Some(next))
+      next += rows
+      info
+    }
+    val snapshotId = math.abs(new java.util.Random().nextLong())
+    val seq = meta.get("last-sequence-number").asLong() + 1
+    val specId = meta.get("default-spec-id").asInt()
+    val (manifestPath, manifestLen) = writeAvroArtifact(table, store,
+      s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+      IcebergAvro.writeManifest(f, infos, snapshotId,
+        currentSchemaJson(meta)._2,
+        s"""{"spec-id":$specId,"fields":[]}""", Nil, specId = specId,
+        entrySeqs = seqByPath))
+    val minSeq = if (ordered.isEmpty) seq else ordered.map(seqByPath).min
+    val row = IcebergAvro.manifestRowExisting(
+      manifestPath.toFile.getAbsolutePath, manifestLen, seq, minSeq,
+      snapshotId, infos.size, infos.map(_.recordCount).sum, specId = specId)
+    // delete manifests carry forward verbatim — their (file, pos)
+    // references stay valid because every data entry kept its sequence
+    val carriedDeletes = IcebergAvro.readManifestList(
+      new File(requireAvro(abs(table, list))))
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+    commitSnapshot(table, store, meta, hint, snapshotId, seq,
+      currentSchemaJson(meta)._1, Seq(row), "replace",
+      Map("graft.row-lineage" -> "enabled",
+        "assigned-rows" -> next.toString),
+      reclaimOnConflict = () => {
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(manifestPath)): Unit
+          case _ => Files.deleteIfExists(manifestPath): Unit
+        }
+      },
+      carriedOverride = Some(carriedDeletes),
+      formatVersion = Some(3),
+      assignedRows = next,
+      metaMutate = m => m.put("next-row-id", 0L): Unit)
+    next
+  }
+
+  /** Live data files' manifest-assigned first row ids (empty before
+    * [[enableRowLineage]]); files a lineage-preserving rewrite
+    * materialized are absent here — their ids live in the parquet.
+    */
+  private def firstRowIds(table: String): Map[String, Long] = {
+    val meta = currentMeta(table)
+    if (!meta.has("next-row-id")) return Map.empty
+    val cur = meta.get("current-snapshot-id").asLong()
+    if (cur <= 0) return Map.empty
+    val list = manifestListOf(table, meta, cur).getOrElse(return Map.empty)
+    manifestRefs(table, list).filter(_.content == 0).flatMap { r =>
+      IcebergAvro.readManifestDataEntries(
+        new File(requireAvro(abs(table, r.path))))
+        .collect { case (p, _, _, Some(id)) => p -> id }
+    }.toMap
+  }
+
+  /** LINEAGE READ — the current merged view plus `_row_id` (spec v3 §Row
+    * Lineage): `first_row_id + position` for manifest-assigned files, the
+    * MATERIALIZED `_row_id` column for files a lineage-preserving
+    * compaction rewrote, null for files predating enablement (and for
+    * MoR replacement rows until their commit assigned — which it does).
+    * DV and positional deletes apply exactly as in [[read]]; surviving
+    * rows keep their ids because deletes never move positions.
+    */
+  def readWithLineage(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    val snap = snapshotEntries(table, None)
+    val frid = firstRowIds(table)
+    val withRid = StructType(snap.schema.fields :+
+      StructField("_row_id", LongType, nullable = true))
+    // NAME-based read on purpose (curFields omitted): files lacking the
+    // physical `_row_id` column read it as null; lineage composing with
+    // rename/drop id-projection is tracked for a later round
+    val base = readMerged(spark, withRid, snap.data, snap.deletes,
+      keepLineage = true, store = store)
+    val rows = spark.createDataFrame(
+      snap.data.map(e => org.apache.spark.sql.Row(
+        e._1, frid.get(e._1).map(Long.box).orNull)).asJava,
+      StructType(Seq(StructField("_gf_fpath", StringType),
+        StructField("_gf_frid", LongType, nullable = true))))
+    base.join(broadcast(rows), col("_gf_mpath") === col("_gf_fpath"), "left")
+      .withColumn("_row_id",
+        coalesce(col("_row_id"), col("_gf_frid") + col("_gf_pos")))
+      .select((snap.schema.fieldNames.toIndexedSeq :+ "_row_id").map(col): _*)
+  }
+
   private def dvRewrite(spark: SparkSession, table: String, predicate: String,
       setOpt: Option[Map[String, String]], store: CommitStore): Long = {
     import org.apache.spark.sql.functions.{col, expr}
@@ -2955,49 +3183,113 @@ object IcebergSink {
     }
     val matched0 = readMerged(spark, snap.schema, snap.data, snap.deletes,
       keepLineage = true, curFields = snap.curFields,
-      fileFields = snap.fileFields).filter(expr(predicate))
+      fileFields = snap.fileFields, store = store).filter(expr(predicate))
     val matched = if (setOpt.isDefined) matched0.persist() else matched0
     try {
     import spark.implicits._
-    val perFile: Seq[(String, Array[Byte])] = matched
+    // distributed bitmap build, KEPT DISTRIBUTED: one tight group per
+    // touched file, sharded by path hash; each shard of ≤FilesPerDvShard
+    // files union-merges with the file's live vector (v3 supersede rule)
+    // and packs + PUBLISHES its own Puffin file from the task (the spec
+    // permits many DV files per commit). Only KB-scale descriptors reach
+    // the driver — never O(touched files) bitmap bytes (VERDICT r15). A
+    // point delete (≤ one shard) still lands a single Puffin object.
+    val fresh = matched
       .select(col("_gf_mpath"), col("_gf_pos"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (p, it) =>
         (p, graft.functions.DeletionVector.serialize(
           graft.functions.DeletionVector.bitmapOf(it.map(_._2))))
-      }.collect().toSeq.sortBy(_._1)
-    if (perFile.isEmpty) return 0L
-    val deletedNow = perFile.map(p =>
-      graft.functions.DeletionVector.deserialize(p._2).getLongCardinality).sum
-    val liveDv: Map[String, DeleteRef] = snap.deletes
-      .filter(d => d.content == 1 && d.dvRef.isDefined)
-      .groupBy(_.dvRef.get._1).map { case (k, ds) => k -> ds.maxBy(_.seq) }
-    val vectors = perFile.map { case (p, fresh) =>
-      val bm = graft.functions.DeletionVector.deserialize(fresh)
-      liveDv.get(p).foreach { d =>
-        val (_, off, size) = d.dvRef.get
-        bm.or(graft.functions.DeletionVector.readFramedAt(
-          Files.readAllBytes(Paths.get(d.path)), off.toInt, size - 8))
+      }.persist()
+    val descs: Seq[PuffinShardDesc] = try {
+      val touched = fresh.count()
+      if (touched == 0L) return 0L
+      val liveDvRefs: Map[String, (String, Long, Long)] = snap.deletes
+        .filter(d => d.content == 1 && d.dvRef.isDefined)
+        .groupBy(_.dvRef.get._1).map { case (k, ds) =>
+          val d = ds.maxBy(_.seq)
+          val (_, off, size) = d.dvRef.get
+          k -> (d.path, off, size)
+        }
+      val txnUuid = java.util.UUID.randomUUID()
+      val (tMsb, tLsb) =
+        (txnUuid.getMostSignificantBits, txnUuid.getLeastSignificantBits)
+      val shards = math.max(1,
+        ((touched + DeltaSink.FilesPerDvShard - 1) /
+          DeltaSink.FilesPerDvShard).toInt)
+      val metaAbs = metaDir(table).toFile.getAbsolutePath
+      store.taskIO match {
+        case Some(io) =>
+          val bOld = spark.sparkContext.broadcast(liveDvRefs)
+          try {
+            fresh.rdd
+              .partitionBy(new org.apache.spark.HashPartitioner(shards))
+              .mapPartitionsWithIndex { (pid, it) =>
+                val entries = it.toVector
+                if (entries.isEmpty) Iterator.empty
+                else {
+                  val (name, fileBytes, ds) = packPuffinShard(metaAbs, tMsb,
+                    tLsb, pid, entries, bOld.value, io.read)
+                  io.write(new File(metaAbs, name).getAbsolutePath, fileBytes)
+                  ds.iterator
+                }
+              }.collect().toSeq
+          } catch { case e: Throwable =>
+            // mid-job failure: sweep every DETERMINISTIC candidate shard
+            // name (absent keys no-op) — zero bytes behind an abort
+            (0 until shards).foreach { pid =>
+              val uuid = new java.util.UUID(tMsb, tLsb ^ pid.toLong)
+              val p = Paths.get(metaAbs, s"dv-$uuid.puffin")
+              store match {
+                case os: ObjectStore => scala.util.Try(os.deleteObject(p)): Unit
+                case _ => Files.deleteIfExists(p): Unit
+              }
+            }
+            throw e
+          } finally bOld.destroy()
+        case None =>
+          // driver-only store: stream shard-sized chunks — at most
+          // FilesPerDvShard bitmaps in the pack buffer at once
+          import scala.jdk.CollectionConverters._
+          val published = scala.collection.mutable.ArrayBuffer[Path]()
+          def readVia(p: String): Array[Byte] = store match {
+            case os: ObjectStore => os.readObject(Paths.get(p))
+            case _ => Files.readAllBytes(Paths.get(p))
+          }
+          try {
+            fresh.toLocalIterator().asScala.grouped(DeltaSink.FilesPerDvShard)
+              .zipWithIndex.flatMap { case (chunk, i) =>
+                val (name, fileBytes, ds) = packPuffinShard(metaAbs, tMsb,
+                  tLsb, i, chunk, liveDvRefs, readVia)
+                val target = metaDir(table).resolve(name)
+                store match {
+                  case os: ObjectStore => os.putObject(target, fileBytes)
+                  case _ =>
+                    Files.createDirectories(metaDir(table))
+                    Files.write(target, fileBytes): Unit
+                }
+                published += target
+                ds
+              }.toVector
+          } catch { case e: Throwable =>
+            published.foreach { p =>
+              store match {
+                case os: ObjectStore => scala.util.Try(os.deleteObject(p)): Unit
+                case _ => Files.deleteIfExists(p): Unit
+              }
+            }
+            throw e
+          }
       }
-      (p, bm)
-    }
-    val (puffinBytes, blobMeta) = buildPuffin(vectors.map { case (p, bm) =>
-      (p, graft.functions.DeletionVector.toPortable(bm), bm.getLongCardinality)
-    })
-    val puffinPath = metaDir(table).resolve(
-      s"dv-${java.util.UUID.randomUUID()}.puffin")
-    store match {
-      case os: ObjectStore => os.putObject(puffinPath, puffinBytes)
-      case _ =>
-        Files.createDirectories(metaDir(table))
-        Files.write(puffinPath, puffinBytes): Unit
-    }
+    } finally fresh.unpersist(): Unit
+    val deletedNow = descs.map(_.freshCardinality).sum
+    val puffinPaths: Seq[Path] = descs.map(d => Paths.get(d.puffinAbs)).distinct
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val seq = meta.get("last-sequence-number").asLong() + 1
-    val infos = blobMeta.map { case (ref, off, blobLen, card) =>
-      IcebergAvro.DataFileInfo(puffinPath.toFile.getAbsolutePath,
-        puffinBytes.length.toLong, card, dv = Some((ref, off, blobLen)))
+    val infos = descs.sortBy(_.ref).map { d =>
+      IcebergAvro.DataFileInfo(d.puffinAbs, d.puffinLen, d.cardinality,
+        dv = Some((d.ref, d.offset, d.blobLen)))
     }
     val (manifestPath, manifestLen) = writeAvroArtifact(table, store,
       s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
@@ -3013,7 +3305,15 @@ object IcebergSink {
     val objStore: Option[ObjectStore] =
       store match { case os: ObjectStore => Some(os); case _ => None }
     val conf = spark.sessionState.newHadoopConf()
-    val replacement = setOpt.map { set =>
+    def reclaimDvPlane(): Unit = {
+      (puffinPaths :+ manifestPath).foreach { p =>
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(p)): Unit
+          case _ => Files.deleteIfExists(p): Unit
+        }
+      }
+    }
+    val replacement = try setOpt.map { set =>
       val schema = snap.schema
       val rep = matched.select(schema.fieldNames.map(c =>
         set.get(c).map(e => expr(e).cast(schema(c).dataType).as(c))
@@ -3025,7 +3325,17 @@ object IcebergSink {
       rep.write.option("compression", "snappy")
         .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
         .parquet(repStage)
-      val (repParts, repInfos) = stagedInfos(repStage, repRel, table, objStore, conf)
+      val (repParts, repInfos0) = stagedInfos(repStage, repRel, table, objStore, conf)
+      // row lineage: an UPDATE's replacement rows are NEW rows — they take
+      // fresh ids from the table clock (spec: update = delete + insert)
+      val repInfos =
+        if (!meta.has("next-row-id")) repInfos0
+        else {
+          var next = meta.get("next-row-id").asLong()
+          repInfos0.map { i =>
+            val o = i.copy(firstRowId = Some(next)); next += i.recordCount; o
+          }
+        }
       objStore.foreach { os =>
         repParts.foreach { f =>
           os.putObject(
@@ -3037,26 +3347,52 @@ object IcebergSink {
         s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
         IcebergAvro.writeManifest(f, repInfos, snapshotId,
           currentSchemaJson(meta)._2, """{"spec-id":0,"fields":[]}"""))
-      IcebergAvro.manifestRow(repManifest.toFile.getAbsolutePath, repLen, seq,
-        snapshotId, repInfos.size, repInfos.map(_.recordCount).sum)
+      (IcebergAvro.manifestRow(repManifest.toFile.getAbsolutePath, repLen, seq,
+        snapshotId, repInfos.size, repInfos.map(_.recordCount).sum),
+        repParts, repInfos, repStage, repManifest)
+    } catch { case e: Throwable =>
+      // a failed replacement staging must not strand the already-published
+      // Puffin shards + DV manifest (ADVICE r15)
+      reclaimDvPlane()
+      throw e
+    }
+    def deleteTree(f: File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(): Unit
     }
     commitSnapshot(table, store, meta, hint, snapshotId, seq,
-      currentSchemaJson(meta)._1, Seq(row) ++ replacement,
+      currentSchemaJson(meta)._1, Seq(row) ++ replacement.map(_._1),
       if (setOpt.isDefined) "overwrite" else "delete",
       Map("added-dvs" -> infos.size.toString,
         "added-position-deletes" -> deletedNow.toString) ++
         setOpt.map(_ => "replaced-records" -> deletedNow.toString),
       reclaimOnConflict = () => {
-        store match {
-          case os: ObjectStore =>
-            scala.util.Try(os.deleteObject(puffinPath)): Unit
-            scala.util.Try(os.deleteObject(manifestPath)): Unit
-          case _ =>
-            Files.deleteIfExists(puffinPath): Unit
-            Files.deleteIfExists(manifestPath): Unit
+        // BOTH planes reclaim on an OCC conflict — the vectors AND the
+        // update's replacement files/manifest/staging (posRewrite's
+        // contract; ADVICE r15)
+        reclaimDvPlane()
+        replacement.foreach { case (_, repParts, repInfos, repStage, repManifest) =>
+          objStore match {
+            case Some(os) =>
+              repInfos.foreach(i =>
+                scala.util.Try(os.deleteObject(Paths.get(i.absPath))))
+              scala.util.Try(os.deleteObject(repManifest)): Unit
+            case None =>
+              repParts.foreach(_.delete())
+              Files.deleteIfExists(repManifest): Unit
+          }
+          deleteTree(new File(repStage))
         }
       },
-      formatVersion = Some(3))
+      formatVersion = Some(3),
+      assignedRows =
+        if (!meta.has("next-row-id")) 0L
+        else replacement.map(_._3.map(_.recordCount).sum).getOrElse(0L))
+    // staged temp dirs are dead once the commit landed (objStore path
+    // stages outside the table; the local path's stage IS the table dir)
+    objStore.foreach { _ =>
+      replacement.foreach(r => deleteTree(new File(r._4)))
+    }
     deletedNow
     } finally matched.unpersist(): Unit
   }
@@ -3079,6 +3415,51 @@ object IcebergSink {
         (ref, r.seq, rows)
       }
     }.groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2)._3 }.sum
+  }
+
+  /** One touched file's KB-scale result of a sharded Puffin pack — the
+    * ONLY thing the DV write returns to the driver (never bitmap bytes).
+    */
+  private[sinks] case class PuffinShardDesc(ref: String, puffinAbs: String,
+      puffinLen: Long, offset: Long, blobLen: Long, cardinality: Long,
+      freshCardinality: Long)
+
+  /** Packs ONE shard of (data file → fresh bitmap bytes) into ONE Puffin
+    * file of `deletion-vector-v1` blobs: each file's fresh bitmap unions
+    * with its LIVE vector first (the v3 supersede rule makes every new
+    * vector TOTAL for its file, not incremental), and the file takes a
+    * DETERMINISTIC per-shard name (txn uuid ⊕ shard id) so a retried task
+    * republishes the same bytes at the same key. Pure function of its
+    * inputs — runs identically in a task (the scale path) or on the
+    * driver (the streamed fallback for driver-only stores). Returns
+    * (file name, file bytes, per-file descriptors).
+    */
+  private[sinks] def packPuffinShard(metaAbs: String, txnMsb: Long,
+      txnLsb: Long, shardId: Int, entries: Seq[(String, Array[Byte])],
+      liveDvRefs: Map[String, (String, Long, Long)],
+      read: String => Array[Byte])
+      : (String, Array[Byte], Seq[PuffinShardDesc]) = {
+    val D = graft.functions.DeletionVector
+    val vectors = entries.sortBy(_._1).map { case (p, freshBytes) =>
+      val bm = D.deserialize(freshBytes)
+      val freshCard = bm.getLongCardinality
+      liveDvRefs.get(p).foreach { case (path, off, size) =>
+        bm.or(D.readFramedAt(read(path), off.toInt, size - 8))
+      }
+      (p, bm, freshCard)
+    }
+    val (fileBytes, blobMeta) = buildPuffin(vectors.map { case (p, bm, _) =>
+      (p, D.toPortable(bm), bm.getLongCardinality)
+    })
+    val uuid = new java.util.UUID(txnMsb, txnLsb ^ shardId.toLong)
+    val name = s"dv-$uuid.puffin"
+    val abs = new File(metaAbs, name).getAbsolutePath
+    val freshByRef = vectors.map(v => v._1 -> v._3).toMap
+    val descs = blobMeta.map { case (ref, off, blobLen, card) =>
+      PuffinShardDesc(ref, abs, fileBytes.length.toLong, off, blobLen, card,
+        freshByRef(ref))
+    }
+    (name, fileBytes, descs)
   }
 
   /** Minimal Puffin writer (public Puffin spec layout: leading magic,
@@ -3189,7 +3570,7 @@ object IcebergSink {
     }
     val matched0 = readMerged(spark, snap.schema, snap.data, snap.deletes,
       keepLineage = true, curFields = snap.curFields,
-      fileFields = snap.fileFields).filter(expr(predicate))
+      fileFields = snap.fileFields, store = store).filter(expr(predicate))
     // an update reads the matched set twice (delete rows + replacements) —
     // persist so the merged view is scanned once
     val matched = if (setOpt.isDefined) matched0.persist() else matched0
@@ -3341,7 +3722,16 @@ object IcebergSink {
         .option("compression", "snappy")
         .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
         .parquet(repStage)
-      val (repParts, repInfos) = stagedInfos(repStage, repRel, table, objStore, conf)
+      val (repParts, repInfos0) = stagedInfos(repStage, repRel, table, objStore, conf)
+      // row lineage: replacement rows take fresh ids from the table clock
+      val repInfos =
+        if (!meta.has("next-row-id")) repInfos0
+        else {
+          var next = meta.get("next-row-id").asLong()
+          repInfos0.map { i =>
+            val o = i.copy(firstRowId = Some(next)); next += i.recordCount; o
+          }
+        }
       objStore.foreach { os =>
         val published = scala.collection.mutable.ArrayBuffer[String]()
         try repParts.foreach { f =>
@@ -3390,7 +3780,10 @@ object IcebergSink {
         }
         replacement.foreach(r => deleteTree(new File(r._3)))
         deleteTree(stageRoot)
-      }, branch = branch)
+      }, branch = branch,
+      assignedRows =
+        if (!meta.has("next-row-id")) 0L
+        else replacement.map(_._2.map(_.recordCount).sum).getOrElse(0L))
     objStore.foreach { _ =>
       replacement.foreach(r => deleteTree(new File(r._3)))
       deleteTree(stageRoot)
@@ -3489,8 +3882,17 @@ object IcebergSink {
     val conf = spark.sessionState.newHadoopConf()
     def infosOf(stage: String, rel: String): (Seq[File], Seq[IcebergAvro.DataFileInfo]) =
       stagedInfos(stage, rel, table, objStore, conf)
-    val (dataParts, dataInfos) = infosOf(dataStage, dataRel)
+    val (dataParts, dataInfos0) = infosOf(dataStage, dataRel)
     val (delParts, delInfos) = infosOf(delStage, delRel)
+    // row lineage: upserted rows are NEW rows — fresh ids from the clock
+    val dataInfos =
+      if (!meta.has("next-row-id")) dataInfos0
+      else {
+        var next = meta.get("next-row-id").asLong()
+        dataInfos0.map { i =>
+          val o = i.copy(firstRowId = Some(next)); next += i.recordCount; o
+        }
+      }
     val upserted = dataInfos.map(_.recordCount).sum
     if (upserted == 0L) {
       deleteTree(new File(dataStage)); deleteTree(new File(delStage))
@@ -3543,7 +3945,8 @@ object IcebergSink {
             Files.deleteIfExists(delManifest): Unit
         }
         deleteTree(new File(dataStage)); deleteTree(new File(delStage))
-      })
+      },
+      assignedRows = if (meta.has("next-row-id")) upserted else 0L)
     objStore.foreach { _ =>
       deleteTree(new File(dataStage)); deleteTree(new File(delStage))
     }
@@ -3715,7 +4118,8 @@ object IcebergSink {
     * across those instead.
     */
   def readChangelog(spark: SparkSession, table: String,
-      sinceSnapshotId: Long): DataFrame = {
+      sinceSnapshotId: Long,
+      store: CommitStore = CommitStore.Local): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val metaSnaps = snapshots(table) // (id, seq, ts) oldest-first
     val fromIdx = metaSnaps.indexWhere(_._1 == sinceSnapshotId)
@@ -3755,13 +4159,13 @@ object IcebergSink {
           val dvRows: Seq[(String, Long)] = dvDels.flatMap { d =>
             val (ref, off, size) = d.dvRef.get
             val bm = graft.functions.DeletionVector.readFramedAt(
-              Files.readAllBytes(Paths.get(d.path)), off.toInt, size - 8)
+              readBytesAt(store, d.path), off.toInt, size - 8)
             prev.deletes
               .filter(p => p.content == 1 && p.dvRef.exists(_._1 == ref))
               .sortBy(_.seq).lastOption.foreach { p =>
                 val (_, poff, psize) = p.dvRef.get
                 bm.andNot(graft.functions.DeletionVector.readFramedAt(
-                  Files.readAllBytes(Paths.get(p.path)), poff.toInt, psize - 8))
+                  readBytesAt(store, p.path), poff.toInt, psize - 8))
               }
             val it = bm.getLongIterator
             val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()

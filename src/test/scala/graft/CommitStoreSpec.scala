@@ -761,6 +761,45 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Iceberg V3 DV verbs travel the store protocol: Puffin PUT from tasks, GET on merge (r16 verdict)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      val table = root.resolve("ib-dv").toString
+      // one data file, so consecutive DV deletes MUST union with the
+      // prior vector (the supersede rule's hard case)
+      IcebergSink.write((1L to 40L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .coalesce(1), table, IcebergSink.CreateExclusive, store = client)
+      val cp0 = server.conditionalPuts.get()
+      assert(IcebergSink.deleteWhereDV(spark, table, "id <= 10",
+        store = client) == 10L)
+      assert(server.conditionalPuts.get() == cp0 + 1)
+      assert(IcebergSink.read(spark, table, store = client).count() == 30)
+      // the second DV delete reads the PRIOR Puffin through the store
+      // (GET), never a local open (VERDICT r15 item 3)
+      val gets0 = server.objectGets.get()
+      assert(IcebergSink.deleteWhereDV(spark, table, "id <= 20",
+        store = client) == 10L)
+      assert(server.objectGets.get() > gets0,
+        "prior Puffin bytes must travel the store protocol")
+      assert(IcebergSink.read(spark, table, store = client).count() == 20)
+      // DV update over the store: one snapshot masks + replaces
+      assert(IcebergSink.updateWhereDV(spark, table, "id = 40",
+        Map("v" -> "v * 10"), store = client) == 1L)
+      val back = IcebergSink.read(spark, table, store = client)
+      assert(back.count() == 20)
+      assert(back.filter(col("id") === 40L).head().getDouble(1) == 400.0)
+      // the changelog's DV decode also store-routes
+      val firstSnap = IcebergSink.snapshots(table).head._1
+      val cl = IcebergSink.readChangelog(spark, table, firstSnap, store = client)
+      assert(cl.filter(col("_change_type") === "delete").count() >= 20)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   test("Delta DV delete/update + column mapping travel the store protocol (r13 verdict)") {
     val s = spark
     import s.implicits._

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import graft.sinks.{DeltaSink, IcebergSink}
+import graft.sinks.{CommitStore, DeltaSink, IcebergSink}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -3225,6 +3225,172 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.read(spark, table).count() == 133)
   }
 
+  test("Delta DV fan-out: a wide delete shards sidecars from executors, descriptors only on the driver (r16)") {
+    val s = spark
+    import s.implicits._
+    val prev = sys.props.get("graft.dv.filesPerShard")
+    sys.props("graft.dv.filesPerShard") = "2"
+    try {
+      val table = tmp()
+      assert(DeltaSink.write((0L until 600L).map(i => (i, i % 7)).toDF("id", "g")
+        .repartition(6), table))
+      def sidecars() = Option(new File(table, "deletion_vectors").listFiles())
+        .toSeq.flatten.filter(_.getName.endsWith(".bin"))
+      // 6 touched files at 2 files/shard → 3 task-published sidecars in
+      // ONE commit (the multi-DV-artifact posture the spec permits)
+      assert(DeltaSink.deleteWhereDV(spark, table, "id % 2 = 0") == 300L)
+      // hash placement may leave a shard empty; what matters is that ONE
+      // commit published MULTIPLE task-written sidecars
+      val shardFiles = sidecars().length
+      assert(shardFiles >= 2 && shardFiles <= 3,
+        s"expected 2-3 shard sidecars, got $shardFiles")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val v = DeltaSink.latestVersion(table)
+      val dvs = Files.readString(Paths.get(table, "_delta_log", f"$v%020d.json"))
+        .linesIterator.map(m.readTree)
+        .flatMap(n => Option(n.get("add")).flatMap(a => Option(a.get("deletionVector"))))
+        .toSeq
+      assert(dvs.length == 6)
+      assert(dvs.map(_.get("pathOrInlineDv").asText()).distinct.length == shardFiles,
+        "descriptors must spread across the shard files")
+      // every descriptor still derives + parses like any external reader
+      dvs.foreach { d =>
+        val uuid = graft.functions.DeletionVector.decodeUuid(
+          d.get("pathOrInlineDv").asText().takeRight(20))
+        val sidecar = new File(table,
+          s"deletion_vectors/deletion_vector_$uuid.bin")
+        assert(sidecar.isFile, s"derived shard sidecar must exist: $sidecar")
+        val bm = graft.functions.DeletionVector.readDvFile(
+          Files.readAllBytes(sidecar.toPath),
+          d.get("offset").asInt(), d.get("sizeInBytes").asLong())
+        assert(bm.getLongCardinality == d.get("cardinality").asLong())
+      }
+      val out = DeltaSink.read(spark, table)
+      assert(out.count() == 300 && out.filter(col("id") % 2 === 0).count() == 0)
+      // a second wide delete OR-merges ACROSS shard files (tasks read the
+      // old shard sidecars through TaskIO), superseding all three
+      assert(DeltaSink.deleteWhereDV(spark, table, "id % 3 = 0") == 100L)
+      assert(DeltaSink.read(spark, table).count() == 200)
+      assert(DeltaSink.vacuum(spark, table, retentionMs = -1000L) >= shardFiles)
+      assert(DeltaSink.read(spark, table).count() == 200)
+      // updateWhereDV rides the same sharded path
+      assert(DeltaSink.updateWhereDV(spark, table, "id = 1",
+        Map("g" -> "99")) == 1L)
+      assert(DeltaSink.read(spark, table).filter(col("g") === 99).count() == 1)
+      // the driver-streamed fallback (a store with no task-side I/O)
+      // produces the identical table state
+      val table2 = tmp()
+      assert(DeltaSink.write((0L until 600L).map(i => (i, i % 7)).toDF("id", "g")
+        .repartition(6), table2))
+      val hooked = new CommitStore.HookedLocal((_, _) => ())
+      assert(DeltaSink.deleteWhereDV(spark, table2, "id % 2 = 0",
+        store = hooked) == 300L)
+      assert(Option(new File(table2, "deletion_vectors").listFiles())
+        .toSeq.flatten.count(_.getName.endsWith(".bin")) == 3,
+        "fallback chunks at the same shard size")
+      assert(DeltaSink.read(spark, table2).count() == 300)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.dv.filesPerShard") = p
+        case None => sys.props -= "graft.dv.filesPerShard"
+      }
+    }
+  }
+
+  test("Iceberg V3 row lineage: ids stable across append, DV delete, compaction; fresh ids on update (r16)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(2), table, IcebergSink.CreateExclusive)
+    // enablement assigns retroactively: one metadata-only replace commit,
+    // ids a permutation of 0..39
+    assert(IcebergSink.enableRowLineage(spark, table) == 40L)
+    def ids(): Map[Long, Long] = IcebergSink.readWithLineage(spark, table)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    val before = ids()
+    assert(before.values.toSet == (0L until 40L).toSet)
+    val mdir = new File(table, "metadata")
+    def newestMeta() = Files.readString(mdir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName).toPath)
+    assert(newestMeta().contains(""""format-version":3"""))
+    assert(newestMeta().contains(""""next-row-id":40"""))
+    assert(newestMeta().contains(""""first-row-id":0"""))
+    // append: new rows continue the clock, existing ids untouched
+    IcebergSink.write((41L to 50L).map(i => (i, s"n$i")).toDF("id", "name"),
+      table, IcebergSink.Append)
+    val after1 = ids()
+    before.foreach { case (k, v) => assert(after1(k) == v) }
+    assert(after1.values.toSet == (0L until 50L).toSet)
+    assert(newestMeta().contains(""""next-row-id":50"""))
+    // DV delete: survivors keep their ids (positions never move)
+    assert(IcebergSink.deleteWhereDV(spark, table, "id % 2 = 0") == 25L)
+    val after2 = ids()
+    assert(after2.keySet == (1L to 49L by 2).toSet)
+    after2.foreach { case (k, v) => assert(after1(k) == v) }
+    // compaction MATERIALIZES the ids into the rewritten parquet — the
+    // lineage read is identical through the rewrite
+    IcebergSink.compact(spark, table)
+    assert(ids() == after2)
+    // ...and the declared schema never grows the physical column
+    assert(IcebergSink.read(spark, table).columns.toSeq == Seq("id", "name"))
+    // a DV UPDATE's replacement row is a NEW row: fresh id from the clock
+    assert(IcebergSink.updateWhereDV(spark, table, "id = 1",
+      Map("name" -> "'upd'")) == 1L)
+    val after4 = ids()
+    assert(after4(1L) >= 50L, s"replacement must take a fresh id, got ${after4(1L)}")
+    (after2 - 1L).foreach { case (k, v) => assert(after4(k) == v) }
+    // an UPSERT's rows are new rows too — clock keeps advancing
+    assert(IcebergSink.upsert(spark, table,
+      Seq((99L, "new")).toDF("id", "name"), Seq("id")) == 1L)
+    val after5 = ids()
+    assert(after5(99L) > after4(1L))
+    // partitioned tables refuse the retroactive enable loudly
+    val pt = tmp() + "/pt"
+    IcebergSink.write((1L to 4L).map(i => (i, s"g${i % 2}")).toDF("id", "g"),
+      pt, IcebergSink.CreateExclusive, partitionBy = Seq("g"))
+    assert(intercept[IllegalArgumentException](
+      IcebergSink.enableRowLineage(spark, pt))
+      .getMessage.contains("unpartitioned"))
+  }
+
+  test("Iceberg DV fan-out: a wide delete shards Puffin files from executors (r16)") {
+    val s = spark
+    import s.implicits._
+    val prev = sys.props.get("graft.dv.filesPerShard")
+    sys.props("graft.dv.filesPerShard") = "2"
+    try {
+      val table = tmp() + "/tbl"
+      IcebergSink.write((0L until 600L).map(i => (i, i % 7)).toDF("id", "g")
+        .repartition(6), table, IcebergSink.CreateExclusive)
+      // 6 touched files at 2 files/shard → multiple task-published Puffin
+      // files in ONE snapshot (the spec permits many DV files per commit)
+      assert(IcebergSink.deleteWhereDV(spark, table, "id % 2 = 0") == 300L)
+      val mDir = new File(table, "metadata")
+      def puffins() = mDir.listFiles().filter(_.getName.endsWith(".puffin"))
+      val shardFiles = puffins().length
+      assert(shardFiles >= 2 && shardFiles <= 3,
+        s"expected 2-3 shard Puffin files, got $shardFiles")
+      assert(IcebergSink.read(spark, table).count() == 300)
+      // supersede-by-union works ACROSS shard files (tasks read the prior
+      // shard's blobs through TaskIO)
+      assert(IcebergSink.deleteWhereDV(spark, table, "id % 3 = 0") == 100L)
+      assert(IcebergSink.read(spark, table).count() == 200)
+      // the DV-adjusted metadata census agrees without opening any Puffin
+      assert(IcebergSink.fileStats(spark, table)
+        .agg(sum(col("num_records"))).head().getLong(0) == 200L)
+      // updateWhereDV rides the same sharded path
+      assert(IcebergSink.updateWhereDV(spark, table, "id = 1",
+        Map("g" -> "99")) == 1L)
+      assert(IcebergSink.read(spark, table).filter(col("g") === 99).count() == 1)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.dv.filesPerShard") = p
+        case None => sys.props -= "graft.dv.filesPerShard"
+      }
+    }
+  }
+
   test("Iceberg branch-targeted MoR verbs: audit-fix on the branch, main isolated (r14)") {
     val s = spark
     import s.implicits._
@@ -3417,6 +3583,35 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.readAppendedBetween(spark, table, seq1, seq1).count() == 0)
   }
 
+  test("Iceberg tail guard: a PURE delete snapshot (no data entries) fails loudly too (r16 advice)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 4L).map(i => (i, s"v$i")).toDF("id", "s"), table,
+      IcebergSink.CreateExclusive)
+    val seq0 = IcebergSink.mainHeadSequence(table)
+    IcebergSink.write(Seq((5L, "e"), (6L, "f")).toDF("id", "s"), table,
+      IcebergSink.Append)
+    // a MoR delete adds ONLY delete manifests — no data entry carries its
+    // sequence — yet its boundary deletes suppress not-yet-delivered rows;
+    // the r15 guard (keyed off in-range DATA entries) let it slip through
+    IcebergSink.deleteWhereDV(spark, table, "id = 5")
+    val head = IcebergSink.mainHeadSequence(table)
+    val e = intercept[IllegalStateException](
+      IcebergSink.readAppendedBetween(spark, table, seq0, head).count())
+    assert(e.getMessage.contains("delete"))
+    assert(e.getMessage.contains("skip-overwrite-snapshots"))
+    // opting into skip semantics: the appended rows deliver with the
+    // boundary deletes applied (id=5 masked), feed stays append-only
+    assert(IcebergSink.readAppendedBetween(spark, table, seq0, head,
+      skipOverwrites = true).select("id").as[Long].collect().toSet == Set(6L))
+    // a range strictly after the delete is clean again
+    IcebergSink.write(Seq((9L, "z")).toDF("id", "s"), table, IcebergSink.Append)
+    val seq3 = IcebergSink.mainHeadSequence(table)
+    assert(IcebergSink.readAppendedBetween(spark, table, head, seq3)
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("UniForm sync refuses while the Iceberg plane carries live delete files (r15 review)") {
     val s = spark
     import s.implicits._
@@ -3561,6 +3756,71 @@ class SinkSpec extends AnyFunSuite {
       .getMessage.contains("already enabled"))
   }
 
+  test("v2 re-checkpoint is INCREMENTAL: unchanged sidecar buckets carry forward by name (r16)") {
+    val s = spark
+    import s.implicits._
+    val prevProp = sys.props.get("graft.ckpt.addsPerSidecar")
+    sys.props("graft.ckpt.addsPerSidecar") = "4"
+    try {
+      val table = tmp()
+      // 30 live files at ≤4 adds/bucket → 8 deterministic hash buckets
+      // (and +1 file stays under the 8→16 ratchet boundary)
+      DeltaSink.write((1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .repartition(30), table)
+      DeltaSink.checkpointV2(spark, table)
+      val log = new File(table, "_delta_log")
+      val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+      def pointerNode() = jackson.readTree(
+        Files.readString(Paths.get(table, "_delta_log", "_last_checkpoint")))
+      def pointerManifest() = pointerNode().get("path").asText()
+      def sidecarNamesOf(manifest: String): Set[String] =
+        spark.read.parquet(new File(log, manifest).getPath)
+          .where(col("sidecar").isNotNull)
+          .select("sidecar.path").collect().map(_.getString(0)).toSet
+      val m1 = pointerManifest()
+      val s1 = sidecarNamesOf(m1)
+      assert(s1.size >= 4, s"expected several buckets, got ${s1.size}")
+      assert(s1.forall(_.startsWith("inc-")), "content-addressed names")
+      // ONE appended file touches ONE bucket: the re-checkpoint rewrites
+      // only that bucket and carries every other sidecar forward BY NAME
+      DeltaSink.append(Seq((301L, 301.0)).toDF("id", "v").coalesce(1), table)
+      DeltaSink.checkpointV2(spark, table)
+      val m2 = pointerManifest()
+      val s2 = sidecarNamesOf(m2)
+      assert(m2 != m1)
+      assert((s2 -- s1).size == 1,
+        s"exactly one bucket rewrites, got new = ${(s2 -- s1).size}")
+      assert((s1 -- s2).size <= 1,
+        "every untouched bucket must carry forward by name")
+      // cold replay through the incremental checkpoint alone stays exact
+      log.listFiles().filter(_.getName.endsWith(".json"))
+        .foreach(f => assert(f.delete()))
+      val cold = DeltaSink.read(spark, table)
+      assert(cold.count() == 301)
+      assert(cold.agg(sum(col("id"))).head().getLong(0) == (1L to 301L).sum)
+      // classic checkpoint() on a v2 table must NOT strand the v2 plane:
+      // it routes through checkpointV2, the pointer keeps naming a
+      // manifest (ADVICE r15)
+      DeltaSink.append(Seq((302L, 302.0)).toDF("id", "v").coalesce(1), table)
+      DeltaSink.checkpoint(spark, table)
+      assert(pointerNode().has("path"),
+        "classic checkpoint() must keep the v2 layout")
+      assert(DeltaSink.read(spark, table).count() == 302)
+      // SPEC-style discovery: an external writer's pointer may omit the
+      // non-spec "path" hint — the reader falls back to the
+      // <v>.checkpoint.<uuid>.parquet name pattern
+      val ver = pointerNode().get("version").asLong()
+      Files.writeString(Paths.get(table, "_delta_log", "_last_checkpoint"),
+        s"""{"version":$ver}""" + "\n")
+      assert(DeltaSink.read(spark, table).count() == 302)
+    } finally {
+      prevProp match {
+        case Some(p) => sys.props("graft.ckpt.addsPerSidecar") = p
+        case None => sys.props -= "graft.ckpt.addsPerSidecar"
+      }
+    }
+  }
+
   test("v2 checkpoint: manifest + sidecars round-trip; un-featured readers refuse (r15)") {
     val s = spark
     import s.implicits._
@@ -3592,17 +3852,23 @@ class SinkSpec extends AnyFunSuite {
     // the table keeps working past the checkpoint: append + read
     DeltaSink.append(Seq((61L, 1L, 61.0)).toDF("id", "g", "v"), table)
     assert(DeltaSink.read(spark, table).count() == 56)
-    // a RE-checkpoint reclaims the superseded manifest and its sidecars:
-    // one manifest remains, and every surviving sidecar belongs to the
-    // new write (one uuid prefix) — no stranded set per nightly run
+    // a RE-checkpoint keeps an N-1 FENCE: the new manifest plus the
+    // immediately-previous one survive (a reader that resolved the old
+    // pointer just before the flip keeps its whole generation — ADVICE
+    // r15); anything older reclaims, so a nightly run never strands a
+    // set and the dir never grows past two generations
     DeltaSink.checkpointV2(spark, table)
-    assert(log.listFiles()
-      .count(_.getName.matches("\\d{20}\\.checkpoint\\..+\\.parquet")) == 1)
-    val sidecarPrefixes = new File(log, "_sidecars").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.getName.take(36)).distinct
-    assert(sidecarPrefixes.length == 1)
-    assert(DeltaSink.read(spark, table).count() == 56)
+    def manifestNames() = log.listFiles()
+      .filter(_.getName.matches("\\d{20}\\.checkpoint\\..+\\.parquet"))
+      .map(_.getName).sorted.toSeq
+    assert(manifestNames().length == 2)
+    val gen2 = manifestNames()
+    DeltaSink.append(Seq((62L, 1L, 62.0)).toDF("id", "g", "v"), table)
+    DeltaSink.checkpointV2(spark, table)
+    val gen3 = manifestNames()
+    assert(gen3.length == 2, "the oldest generation must reclaim")
+    assert(gen3.intersect(gen2).length == 1, "the N-1 manifest survives")
+    assert(DeltaSink.read(spark, table).count() == 57)
     // the Iceberg-plane protection-set reader resolves v2 pointers too:
     // a dual-format janitor sweep reads the Delta reference set through
     // the v2 manifest + sidecars (a classic-only reader would throw on
