@@ -20,7 +20,9 @@ import org.apache.spark.sql.SparkSession
   * At 100 TB the point is WHAT EACH STEP COSTS: every trigger reads KBs
   * of metadata, and every action's cost is proportional to the debt it
   * retires (DV files, small files, manifests, orphans) — never to the
-  * table. Both runners return what they did, so a scheduler can log it.
+  * table. Both runners return what they did, and the `*Report` variants
+  * additionally return PER-STEP wall-clock (VERDICT r15 item 6: when the
+  * composite's cost moves, the decomposition says which verb moved it).
   *
   * COMPACTION vs STREAMING TAILS: an Iceberg data compaction commits a
   * `replace` snapshot; [[IcebergSink.readAppendedBetween]] (and so the
@@ -32,6 +34,21 @@ import org.apache.spark.sql.SparkSession
   * vacuum of a not-yet-consumed snapshot breaks the feed by contract.
   */
 object Maintenance {
+
+  /** One maintenance step's outcome: `fired` = its trigger crossed the
+    * threshold and the action ran (always-on steps like checkpoint report
+    * true); `ms` = wall-clock of the WHOLE step — trigger read plus the
+    * action when it fired — so an idle trigger's cost is visible too.
+    */
+  case class StepTiming(step: String, fired: Boolean, ms: Long)
+
+  private def timed[A](out: scala.collection.mutable.ArrayBuffer[StepTiming],
+      step: String)(body: => (Boolean, A)): A = {
+    val t0 = System.nanoTime()
+    val (fired, a) = body
+    out += StepTiming(step, fired, (System.nanoTime() - t0) / 1000000L)
+    a
+  }
 
   /** @return (dvPurged, compacted, vacuumedFiles, uniformSynced) —
     * `uniformSynced` is true when the table is dual-format
@@ -47,47 +64,74 @@ object Maintenance {
       maxSmallFiles: Int = 64,
       dvPurgeRatio: Double = 0.1,
       vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
-      store: CommitStore = CommitStore.Local): (Boolean, Boolean, Int, Boolean) = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, from_json, lit, sum}
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      store: CommitStore = CommitStore.Local): (Boolean, Boolean, Int, Boolean) =
+    maintainDeltaReport(spark, table, maxSmallFiles, dvPurgeRatio,
+      vacuumRetentionMs, store)._1
+
+  /** [[maintainDelta]] plus the per-step timing table. */
+  def maintainDeltaReport(spark: SparkSession, table: String,
+      maxSmallFiles: Int = 64,
+      dvPurgeRatio: Double = 0.1,
+      vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
+      store: CommitStore = CommitStore.Local)
+      : ((Boolean, Boolean, Int, Boolean), Seq[StepTiming]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    val steps = scala.collection.mutable.ArrayBuffer[StepTiming]()
     // one metadata pass answers both triggers: live-file count, physical
     // rows (numRecords) and masked rows (DV cardinality)
-    val stats = DeltaSink.fileStats(spark, table) // num_records is LIVE rows
-    val nFiles = stats.count()
-    val masked = DeltaSink.dvMaskedRows(spark, table)
-    val live = stats.agg(coalesce(sum(col("num_records")), lit(0L)))
-      .head().getLong(0)
-    val purge = live + masked > 0 &&
-      masked.toDouble / (live + masked).toDouble >= dvPurgeRatio
-    if (purge) DeltaSink.reorgPurge(spark, table, store = store): Unit
+    val (nFiles, purge) = timed(steps, "triggers(log-stats)") {
+      val stats = DeltaSink.fileStats(spark, table) // num_records is LIVE rows
+      val nFiles = stats.count()
+      val masked = DeltaSink.dvMaskedRows(spark, table)
+      val live = stats.agg(coalesce(sum(col("num_records")), lit(0L)))
+        .head().getLong(0)
+      val purge = live + masked > 0 &&
+        masked.toDouble / (live + masked).toDouble >= dvPurgeRatio
+      (false, (nFiles, purge))
+    }
+    timed(steps, "reorg-purge") {
+      if (purge) DeltaSink.reorgPurge(spark, table, store = store): Unit
+      (purge, ())
+    }
     val compactNeeded = nFiles > maxSmallFiles
-    if (compactNeeded) DeltaSink.compact(spark, table, store = store): Unit
+    timed(steps, "optimize") {
+      if (compactNeeded) DeltaSink.compact(spark, table, store = store): Unit
+      (compactNeeded, ())
+    }
     // preserve the table's checkpoint FLAVOR: a v2-checkpointed table
     // (pointer names its manifest) re-checkpoints as v2 — the janitor
     // must never silently downgrade the layout an operator chose
-    val v2 = {
-      val ptr = java.nio.file.Paths.get(table, "_delta_log", "_last_checkpoint")
-      java.nio.file.Files.exists(ptr) &&
-        java.nio.file.Files.readString(ptr).contains("\"path\"")
+    timed(steps, "checkpoint") {
+      val v2 = {
+        val ptr = java.nio.file.Paths.get(table, "_delta_log", "_last_checkpoint")
+        java.nio.file.Files.exists(ptr) &&
+          java.nio.file.Files.readString(ptr).contains("\"path\"")
+      }
+      if (v2) DeltaSink.checkpointV2(spark, table, store): Unit
+      else DeltaSink.checkpoint(spark, table, store): Unit
+      (true, ())
     }
-    if (v2) DeltaSink.checkpointV2(spark, table, store): Unit
-    else DeltaSink.checkpoint(spark, table, store): Unit
-    val vacuumed = DeltaSink.vacuum(spark, table, vacuumRetentionMs, store)
+    val vacuumed = timed(steps, "vacuum") {
+      (true, DeltaSink.vacuum(spark, table, vacuumRetentionMs, store))
+    }
     // UniForm: a dual-format table (Iceberg metadata beside _delta_log)
     // re-syncs its Iceberg view after the Delta plane moved, so the
     // nightly loop never leaves Iceberg readers on pre-compaction files
     // that vacuum is about to reclaim. Metadata-only no-op when the
     // planes already agree.
-    val dualFormat = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(table, "metadata", "version-hint.text"))
-    val synced = dualFormat && {
-      val dvRemain = DeltaSink.dvMaskedRows(spark, table) > 0
-      val iceDeletes = IcebergSink.metaTable(spark, table, "manifests")
-        .filter(col("content") =!= 0).count() > 0
-      if (dvRemain || iceDeletes) false
-      else { IcebergSink.syncFromDelta(spark, table, store): Unit; true }
+    val synced = timed(steps, "uniform-sync") {
+      val dualFormat = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, "metadata", "version-hint.text"))
+      val synced = dualFormat && {
+        val dvRemain = DeltaSink.dvMaskedRows(spark, table) > 0
+        val iceDeletes = IcebergSink.metaTable(spark, table, "manifests")
+          .filter(col("content") =!= 0).count() > 0
+        if (dvRemain || iceDeletes) false
+        else { IcebergSink.syncFromDelta(spark, table, store): Unit; true }
+      }
+      (synced, synced)
     }
-    (purge, compactNeeded, vacuumed, synced)
+    ((purge, compactNeeded, vacuumed, synced), steps.toSeq)
   }
 
   /** @return (manifestsMerged, snapshotsExpiredFiles, orphansRemoved,
@@ -103,26 +147,53 @@ object Maintenance {
       keepLast: Int = 5,
       orphanAgeMs: Long = 3L * 24 * 3600 * 1000,
       dvCompactRatio: Double = 0.1,
-      store: CommitStore = CommitStore.Local): (Boolean, Int, Int, Boolean) = {
-    val masked = IcebergSink.dvMaskedRows(table)
-    val dvCompact = masked > 0 && {
-      // fileStats' num_records is LIVE rows (DV-adjusted) — the ratio
-      // denominator is physical rows, same as maintainDelta's
-      val live = IcebergSink.fileStats(spark, table)
-        .agg(org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("num_records")),
-          org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
-      live + masked > 0 &&
-        masked.toDouble / (live + masked).toDouble >= dvCompactRatio
+      store: CommitStore = CommitStore.Local): (Boolean, Int, Int, Boolean) =
+    maintainIcebergReport(spark, table, maxManifests, keepLast, orphanAgeMs,
+      dvCompactRatio, store)._1
+
+  /** [[maintainIceberg]] plus the per-step timing table. */
+  def maintainIcebergReport(spark: SparkSession, table: String,
+      maxManifests: Int = 64,
+      keepLast: Int = 5,
+      orphanAgeMs: Long = 3L * 24 * 3600 * 1000,
+      dvCompactRatio: Double = 0.1,
+      store: CommitStore = CommitStore.Local)
+      : ((Boolean, Int, Int, Boolean), Seq[StepTiming]) = {
+    val steps = scala.collection.mutable.ArrayBuffer[StepTiming]()
+    val dvCompact = timed(steps, "trigger(dv-debt)") {
+      val masked = IcebergSink.dvMaskedRows(table)
+      val fire = masked > 0 && {
+        // fileStats' num_records is LIVE rows (DV-adjusted) — the ratio
+        // denominator is physical rows, same as maintainDelta's
+        val live = IcebergSink.fileStats(spark, table)
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("num_records")),
+            org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+        live + masked > 0 &&
+          masked.toDouble / (live + masked).toDouble >= dvCompactRatio
+      }
+      (false, fire)
     }
-    if (dvCompact) IcebergSink.compact(spark, table, store): Unit
-    val manifests = IcebergSink.metaTable(spark, table, "manifests")
-      .filter(org.apache.spark.sql.functions.col("content") === 0).count()
-    val rewrite = manifests > maxManifests
-    if (rewrite) IcebergSink.rewriteManifests(table, store): Unit
-    val expired = IcebergSink.expireSnapshots(table, keepLast, store)
-    val orphans = IcebergSink.removeOrphanFiles(spark, table, orphanAgeMs, store)
-    (rewrite, expired, orphans.size, dvCompact)
+    timed(steps, "dv-compact") {
+      if (dvCompact) IcebergSink.compact(spark, table, store): Unit
+      (dvCompact, ())
+    }
+    val rewrite = timed(steps, "trigger(manifest-count)") {
+      val manifests = IcebergSink.metaTable(spark, table, "manifests")
+        .filter(org.apache.spark.sql.functions.col("content") === 0).count()
+      (false, manifests > maxManifests)
+    }
+    timed(steps, "rewrite-manifests") {
+      if (rewrite) IcebergSink.rewriteManifests(table, store): Unit
+      (rewrite, ())
+    }
+    val expired = timed(steps, "expire-snapshots") {
+      (true, IcebergSink.expireSnapshots(table, keepLast, store))
+    }
+    val orphans = timed(steps, "orphan-sweep") {
+      (true, IcebergSink.removeOrphanFiles(spark, table, orphanAgeMs, store))
+    }
+    ((rewrite, expired, orphans.size, dvCompact), steps.toSeq)
   }
 }

@@ -4000,6 +4000,53 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 79)
   }
 
+  test("maintain reports per-step timings; idle triggers leave the data plane untouched (r16)") {
+    val s = spark
+    import s.implicits._
+    // DELTA: a quiet table (few files, no DVs) — only checkpoint+vacuum
+    // run, no data byte moves, and the report names every step
+    val dt = tmp()
+    DeltaSink.write((1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(2), dt)
+    def dataState(dir: File): Set[(String, Long)] = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(dir).filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.getAbsolutePath.contains("_delta_log")) // checkpoints are metadata
+        .map(f => (f.getAbsolutePath, f.lastModified())).toSet
+    }
+    val dBefore = dataState(new File(dt))
+    val ((purged, compacted, _, synced), dSteps) =
+      graft.sinks.Maintenance.maintainDeltaReport(s, dt)
+    assert(!purged && !compacted && !synced)
+    assert(dSteps.map(_.step) == Seq("triggers(log-stats)", "reorg-purge",
+      "optimize", "checkpoint", "vacuum", "uniform-sync"))
+    assert(dSteps.forall(_.ms >= 0))
+    // unfired steps report fired=false; the always-on steps report true
+    assert(dSteps.filter(t => Seq("reorg-purge", "optimize", "uniform-sync")
+      .contains(t.step)).forall(!_.fired))
+    assert(dataState(new File(dt)) == dBefore,
+      "an idle janitor pass must not touch the data plane")
+    info("maintainDelta idle timings: " +
+      dSteps.map(t => s"${t.step}=${t.ms}ms").mkString(", "))
+    // ICEBERG: same contract
+    val it = tmp() + "/tbl"
+    IcebergSink.write((1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(2), it, IcebergSink.CreateExclusive)
+    val iBefore = dataState(new File(it, "data"))
+    val ((rewrote, _, _, dvCompacted), iSteps) =
+      graft.sinks.Maintenance.maintainIcebergReport(s, it)
+    assert(!rewrote && !dvCompacted)
+    assert(iSteps.map(_.step) == Seq("trigger(dv-debt)", "dv-compact",
+      "trigger(manifest-count)", "rewrite-manifests", "expire-snapshots",
+      "orphan-sweep"))
+    assert(dataState(new File(it, "data")) == iBefore,
+      "an idle janitor pass must not touch the data plane")
+    info("maintainIceberg idle timings: " +
+      iSteps.map(t => s"${t.step}=${t.ms}ms").mkString(", "))
+  }
+
   test("changelog decodes V3 DV snapshots into exact pre-image deletes (r15)") {
     val s = spark
     import s.implicits._

@@ -505,6 +505,67 @@ class StreamingSpec extends AnyFunSuite {
     }.getMessage != null)
   }
 
+  test("branch-tail handover under an OCC race: a main commit between audit and publish refuses; rebase recovers exactly-once (r16)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.sinks.IcebergSink
+    val table = java.nio.file.Files.createTempDirectory("graft-btail-race")
+      .toString + "/tbl"
+    IcebergSink.write(Seq((1L, "a")).toDF("id", "s"), table,
+      IcebergSink.CreateExclusive)
+    IcebergSink.createRef(table, "staging",
+      IcebergSink.snapshots(table).last._1, refType = "branch")
+    def drain(ckpt: String, branch: Option[String]): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val reader = spark.readStream
+        .format("graft-iceberg-tail").option("path", table)
+      val q = branch.fold(reader)(b => reader.option("branch", b)).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    val bCkpt = java.nio.file.Files.createTempDirectory("graft-brace-b").toString
+    val mCkpt = java.nio.file.Files.createTempDirectory("graft-brace-m").toString
+    // audit intake consumes the staged batch
+    IcebergSink.appendBranch(Seq((2L, "b")).toDF("id", "s"), table, "staging")
+    assert(drain(bCkpt, Some("staging")) == Seq(1L, 2L))
+    // THE RACE: a main-line commit lands between the audit tail's last
+    // batch and the publish — the ancestry gate must REFUSE rather than
+    // silently clobber main's new head
+    IcebergSink.write(Seq((7L, "m")).toDF("id", "s"), table,
+      IcebergSink.Append)
+    val e = intercept[IllegalArgumentException](
+      IcebergSink.fastForward(table, "staging"))
+    assert(e.getMessage.contains("not a fast-forward"))
+    // the refused publish leaves BOTH feeds consistent: main serves only
+    // main-line rows, the branch tail saw only its staging rows — the
+    // staged batch is neither lost from the branch nor leaked into main
+    assert(drain(mCkpt, None) == Seq(1L, 7L))
+    assert(drain(bCkpt, Some("staging")).isEmpty)
+    assert(IcebergSink.read(spark, table).select("id").as[Long]
+      .collect().toSet == Set(1L, 7L))
+    // RESOLUTION (the gate's own message): rebase — re-stage the audited
+    // batch on a fresh branch cut at main's NEW head, re-audit, publish
+    IcebergSink.createRef(table, "staging2",
+      IcebergSink.snapshots(table).last._1, refType = "branch")
+    IcebergSink.appendBranch(Seq((2L, "b")).toDF("id", "s"), table, "staging2")
+    IcebergSink.fastForward(table, "staging2")
+    // the continuing main tail picks up EXACTLY the re-staged batch from
+    // its own offset — nothing lost, nothing doubled across the race
+    assert(drain(mCkpt, None) == Seq(2L))
+    assert(IcebergSink.read(spark, table).select("id").as[Long]
+      .collect().toSet == Set(1L, 2L, 7L))
+  }
+
   test("delta-to-delta incremental pipeline is exactly-once end to end") {
     val spark = TestSpark.spark
     import spark.implicits._
