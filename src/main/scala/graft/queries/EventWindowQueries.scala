@@ -2457,6 +2457,50 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_stats_ndv",
+      // TABLE STATISTICS under the oracle (r16, Iceberg spec §Table
+      // statistics): writeStats computes one theta sketch per column in
+      // ONE distributed pass, packs `apache-datasketches-theta-v1` blobs
+      // into a Puffin statistics file and registers it (with the `ndv`
+      // blob property planners consume) in the metadata's `statistics`
+      // list — a metadata-only commit. Both census columns stay under
+      // the sketch's K=256, so the KMV estimates are EXACT and the
+      // oracle is a plain COUNT(DISTINCT). `broadcast_hinted` pins the
+      // planner hook: with size-based auto-broadcast unavailable to the
+      // static plan, scanForJoin's NDV read is what marks the dim side
+      // broadcast-able. At 100 TB: the broadcast decision costs one
+      // O(1) metadata read instead of a per-query manifest walk.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.pmod
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            pmod(col("event_id"), lit(50L)).as("bucket"))
+        val tbl = graft.TempTables.create("graft-ib-stats") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, tbl,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val ndvs = graft.sinks.IcebergStats.writeStats(s, tbl,
+          Seq("event_type", "bucket"))
+        val hinted = graft.sinks.IcebergSink.read(s, tbl)
+          .join(graft.sinks.IcebergStats.scanForJoin(s, tbl, "event_type")
+            .select(col("event_type")).distinct(), "event_type")
+        val hp = hinted.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(ndvs("event_type"), ndvs("bucket"),
+            hp.contains("BroadcastHashJoin"))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ndv_event_type",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ndv_bucket",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("broadcast_hinted",
+              org.apache.spark.sql.types.BooleanType))))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv_event_type,
+             |CAST(COUNT(DISTINCT event_id % 50) AS BIGINT) AS ndv_bucket,
+             |TRUE AS broadcast_hinted FROM events""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_row_lineage",
       // V3 ROW LINEAGE under the oracle (r16, Iceberg spec v3 §Row
       // Lineage — the third v3 pillar beside deletion vectors): every

@@ -68,7 +68,7 @@ object IcebergSink {
 
   private def metaDir(table: String) = Paths.get(table, "metadata")
   private def hintFile(table: String) = metaDir(table).resolve("version-hint.text")
-  private def metaFile(table: String, v: Long) = metaDir(table).resolve(s"v$v.metadata.json")
+  private[sinks] def metaFile(table: String, v: Long) = metaDir(table).resolve(s"v$v.metadata.json")
 
   /** Spark type → Iceberg primitive type string (reference maps the same
     * closed set via arrow_schema_to_schema, iceberg_destination.rs:66-85;
@@ -2590,7 +2590,7 @@ object IcebergSink {
     * and advances the hint — the shared tail of every metadata-only verb
     * ([[rollback]], [[createRef]], [[dropRef]], schema evolution).
     */
-  private def commitMetadataVersion(table: String, store: CommitStore,
+  private[sinks] def commitMetadataVersion(table: String, store: CommitStore,
       hint: Long, newMeta: ObjectNode): Unit = {
     val newVersion = hint + 1
     try
@@ -4620,7 +4620,7 @@ object IcebergSink {
   private def dataFilesOf(table: String, manifestPath: String): Seq[String] =
     IcebergAvro.readManifestDataFiles(new File(abs(table, manifestPath))).map(_._1)
 
-  private def readHint(table: String): Option[Long] = {
+  private[sinks] def readHint(table: String): Option[Long] = {
     val f = hintFile(table)
     if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
   }

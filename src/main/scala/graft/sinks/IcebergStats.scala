@@ -1,0 +1,289 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg TABLE STATISTICS (spec §Table statistics) — Puffin files of
+  * `apache-datasketches-theta-v1` blobs registered in the table
+  * metadata's `statistics` list, and the NDV-driven planning hook they
+  * exist for.
+  *
+  * The sketch plane is [[graft.functions.ThetaSketch]] (KMV over
+  * xxhash64): each column's distinct-count sketch is computed in ONE
+  * distributed aggregate pass (constant ≤K×8 B per partition shipped),
+  * serialized in the public DataSketches CompactSketch SerVer-3 layout
+  * (preamble, seed hash, retained ordered hashes, theta — the format the
+  * blob type names), and carried with the `ndv` blob property — which is
+  * what Iceberg planners actually consume (Trino/Spark read the property,
+  * not the payload). HASH-FAMILY caveat, documented rather than hidden:
+  * our retained hashes are xxhash64-derived (mapped order-preserving into
+  * the DataSketches [1, 2^63) domain), so an external DataSketches reader
+  * decodes the CARDINALITY correctly (estimate = retained/θ is
+  * hash-family-agnostic) but cross-engine SET ALGEBRA (intersecting our
+  * sketch with one built by datasketches-java murmur3) is meaningless.
+  *
+  * Why this matters at 100 TB: the optimizer's broadcast decision wants
+  * the build side's cardinality BEFORE reading it; footer row counts need
+  * a manifest walk per query, while one KB-scale stats blob per column is
+  * written once per snapshot and read in O(1) by every planner
+  * ([[ndv]] / [[scanForJoin]]).
+  */
+object IcebergStats {
+
+  /** MurmurHash3 x64-128, h1 half — the public reference algorithm
+    * (Appleby), exactly what datasketches-java's `Util.computeSeedHash`
+    * feeds: `hash(new long[]{seed}, 0L)`, one 8-byte tail block.
+    */
+  private def murmur128h1Long(value: Long, seed: Long): Long = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed
+    var h2 = seed
+    // single 8-byte tail (len = 8 < 16): k1 from the tail, no full block
+    var k1 = value
+    k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    h1 ^= 8L; h2 ^= 8L
+    h1 += h2; h2 += h1
+    def fmix(k0: Long): Long = {
+      var k = k0
+      k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+      k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+      k ^= k >>> 33; k
+    }
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2
+    h1
+  }
+
+  /** DataSketches default update seed and its 16-bit seed hash. */
+  val DefaultSeed = 9001L
+  def seedHash(seed: Long = DefaultSeed): Short = {
+    val sh = (murmur128h1Long(seed, 0L) & 0xFFFFL).toShort
+    require(sh != 0, "seed hash must be nonzero (pick another seed)")
+    sh
+  }
+
+  /** Order-preserving map from our SIGNED-ascending xxhash64 domain into
+    * the DataSketches hash domain [1, 2^63): f(h) = h/2^64 + 1/2 scaled
+    * by 2^63 → (h >> 1) + 2^62, clamped off 0.
+    */
+  private def toDsDomain(h: Long): Long =
+    math.max(1L, (h >> 1) + (1L << 62))
+
+  /** Serializes a [[graft.functions.ThetaSketch]] KMV buffer (sorted
+    * ascending signed hashes) as a DataSketches CompactSketch, SerVer 3
+    * (public PreambleUtil layout): byte0 preamble-longs (1 empty /
+    * 2 exact / 3 estimating), byte1 serVer=3, byte2 family=3 (COMPACT),
+    * byte5 flags (READ_ONLY|COMPACT|ORDERED, +EMPTY when empty),
+    * bytes6-7 seed hash; exact mode stores curCount at offset 8 and
+    * hashes from 16; estimating mode adds thetaLong at 16 with hashes
+    * from 24. Retained hashes are the K-1 smallest (everything strictly
+    * under θ = the K-th), so a DataSketches reader's estimate
+    * retained/θ reproduces the KMV estimate (K-1)/f(h_K).
+    */
+  def compactThetaBytes(sortedSignedHashes: Array[Long]): Array[Byte] = {
+    val K = graft.functions.ThetaSketch.K
+    val sh = seedHash()
+    val estimating = sortedSignedHashes.length >= K
+    val (thetaLong, retained0) =
+      if (!estimating) (Long.MaxValue, sortedSignedHashes.map(toDsDomain))
+      else (toDsDomain(sortedSignedHashes(K - 1)),
+        sortedSignedHashes.take(K - 1).map(toDsDomain))
+    // the halving map can collide neighbors — retained sets stay distinct
+    val retained = retained0.distinct.filter(_ < thetaLong)
+    val empty = retained.isEmpty && !estimating
+    val preLongs = if (empty) 1 else if (estimating) 3 else 2
+    val bb = java.nio.ByteBuffer
+      .allocate(preLongs * 8 + retained.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val flags = (2 | 8 | 16 | (if (empty) 4 else 0)).toByte // RO|COMPACT|ORDERED
+    bb.put(preLongs.toByte).put(3.toByte).put(3.toByte) // preLongs, serVer, family
+      .put(0.toByte).put(0.toByte).put(flags).putShort(sh)
+    if (!empty) {
+      bb.putInt(retained.length).putInt(0) // curCount, unused p-float slot
+      if (estimating) bb.putLong(thetaLong)
+      retained.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  /** The KMV cardinality estimate of a sketch buffer (drives the `ndv`
+    * blob property — the field planners consume).
+    */
+  def ndvEstimate(sortedSignedHashes: Array[Long]): Long = {
+    val K = graft.functions.ThetaSketch.K
+    if (sortedSignedHashes.length < K) sortedSignedHashes.length.toLong
+    else {
+      val f = sortedSignedHashes(K - 1).toDouble / math.pow(2.0, 64) + 0.5
+      math.round((K - 1).toDouble / f)
+    }
+  }
+
+  /** Computes one theta sketch PER COLUMN in a single distributed pass,
+    * packs them into ONE Puffin statistics file, and registers it in the
+    * table metadata's `statistics` list against the CURRENT snapshot
+    * (spec §Table statistics) via a metadata-only commit. Re-running
+    * replaces the table's statistics entry (one stats file per table
+    * here; the superseded file is deleted after the commit). Returns the
+    * per-column NDV estimates.
+    */
+  def writeStats(spark: SparkSession, table: String, columns: Seq[String],
+      store: CommitStore = CommitStore.Local): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    require(columns.nonEmpty, "writeStats needs at least one column")
+    val hint = IcebergSink.readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val meta0 = Files.readString(IcebergSink.metaFile(table, hint))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(meta0)
+    val snapshotId = meta.get("current-snapshot-id").asLong()
+    require(snapshotId > 0, s"no current snapshot on $table")
+    val seq = meta.get("last-sequence-number").asLong()
+    val df = IcebergSink.read(spark, table)
+    // one pass, one aggregate row: every column's sketch together
+    val T = graft.functions.ThetaSketch
+    val aggs = columns.map(c => T.sketch(T.hashFor(col(c))).as(s"_sk_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val sketches: Seq[(String, Array[Long])] = columns.zipWithIndex.map {
+      case (c, i) => c -> row.getSeq[Long](i).toArray
+    }
+    // field ids from the current schema (blob metadata's `fields`)
+    val fieldIdOf: Map[String, Int] = {
+      val schemaId = meta.get("current-schema-id").asInt()
+      import scala.jdk.CollectionConverters._
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == schemaId).toSeq
+        .flatMap(_.get("fields").elements().asScala)
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
+    // Puffin file: magic, blobs back to back, JSON footer (same public
+    // layout as the DV writer; payload here is the raw CompactSketch)
+    val bos = new java.io.ByteArrayOutputStream()
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    bos.write(magic)
+    val blobMeta = sketches.map { case (c, sk) =>
+      val payload = compactThetaBytes(sk)
+      val off = bos.size().toLong
+      bos.write(payload)
+      val ndv = ndvEstimate(sk)
+      (c, off, payload.length.toLong, ndv)
+    }
+    val footerStart = bos.size()
+    val blobsJson = blobMeta.map { case (c, off, len, ndv) =>
+      s"""{"type":"apache-datasketches-theta-v1","fields":[${fieldIdOf(c)}],""" +
+        s""""snapshot-id":$snapshotId,"sequence-number":$seq,""" +
+        s""""offset":$off,"length":$len,""" +
+        s""""properties":{"ndv":"$ndv"}}"""
+    }.mkString(",")
+    val payload =
+      s"""{"blobs":[$blobsJson],"properties":{"created-by":"graft-stats"}}"""
+        .getBytes(StandardCharsets.UTF_8)
+    bos.write(magic)
+    bos.write(payload)
+    val pl = payload.length
+    bos.write(Array[Byte]((pl & 0xFF).toByte, ((pl >> 8) & 0xFF).toByte,
+      ((pl >> 16) & 0xFF).toByte, ((pl >> 24) & 0xFF).toByte))
+    bos.write(Array[Byte](0, 0, 0, 0)) // footer flags
+    bos.write(magic)
+    val fileBytes = bos.toByteArray
+    val footerSize = fileBytes.length - footerStart
+    val statsPath = Paths.get(table, "metadata",
+      s"stats-${java.util.UUID.randomUUID()}.puffin")
+    store match {
+      case os: ObjectStore => os.putObject(statsPath, fileBytes)
+      case _ =>
+        Files.createDirectories(statsPath.getParent)
+        Files.write(statsPath, fileBytes): Unit
+    }
+    // metadata-only commit: REPLACE the statistics list with this file's
+    // entry (spec: a list of statistics files, keyed by snapshot)
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val oldPaths: Seq[String] =
+      if (!meta.has("statistics")) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        meta.get("statistics").elements().asScala
+          .map(_.get("statistics-path").asText()).toSeq
+      }
+    val statsArr = newMeta.putArray("statistics")
+    val entry = statsArr.addObject()
+    entry.put("snapshot-id", snapshotId)
+      .put("statistics-path", statsPath.toFile.getAbsolutePath)
+      .put("file-size-in-bytes", fileBytes.length.toLong)
+      .put("file-footer-size-in-bytes", footerSize.toLong)
+    val bmArr = entry.putArray("blob-metadata")
+    blobMeta.foreach { case (c, off, len, ndv) =>
+      val b = bmArr.addObject()
+      b.put("type", "apache-datasketches-theta-v1")
+        .put("snapshot-id", snapshotId)
+        .put("sequence-number", seq)
+      b.putArray("fields").add(fieldIdOf(c))
+      b.putObject("properties").put("ndv", ndv.toString)
+      // offset/length ride along so [[ndv]] never reopens the Puffin
+      b.put("offset", off).put("length", len): Unit
+    }
+    try IcebergSink.commitMetadataVersion(table, store, hint, newMeta)
+    catch { case e: Throwable =>
+      store match {
+        case os: ObjectStore => scala.util.Try(os.deleteObject(statsPath)): Unit
+        case _ => Files.deleteIfExists(statsPath): Unit
+      }
+      throw e
+    }
+    // the replaced stats file is dead the moment the pointer moved
+    oldPaths.foreach { p =>
+      store match {
+        case os: ObjectStore => scala.util.Try(os.deleteObject(Paths.get(p))): Unit
+        case _ => Files.deleteIfExists(Paths.get(p)): Unit
+      }
+    }
+    blobMeta.map { case (c, _, _, ndv) => c -> ndv }.toMap
+  }
+
+  /** The column's registered NDV (from the statistics entry's blob
+    * properties — the O(1) planner read; the Puffin is never opened).
+    * None when the table carries no statistics for the column.
+    */
+  def ndv(table: String, column: String): Option[Long] = {
+    val hint = IcebergSink.readHint(table).getOrElse(return None)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(IcebergSink.metaFile(table, hint)))
+    if (!meta.has("statistics")) return None
+    val fieldIdOf: Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      val schemaId = meta.get("current-schema-id").asInt()
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == schemaId).toSeq
+        .flatMap(_.get("fields").elements().asScala)
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
+    val fid = fieldIdOf.getOrElse(column, return None)
+    import scala.jdk.CollectionConverters._
+    meta.get("statistics").elements().asScala
+      .flatMap(_.get("blob-metadata").elements().asScala)
+      .find(b => b.get("fields").elements().asScala
+        .exists(_.asInt() == fid))
+      .flatMap(b => Option(b.get("properties"))
+        .flatMap(p => Option(p.get("ndv"))).map(_.asText().toLong))
+  }
+
+  /** The NDV-driven BROADCAST decision (the planner hook the statistics
+    * exist for): reads the table for a join and marks it broadcast-able
+    * when the registered NDV of its join key — for a dimension keyed by
+    * that column, an upper-bound row-count proxy — sits under
+    * `broadcastMaxNdv`. Without statistics the scan is returned unhinted
+    * (Catalyst's size-based estimate decides). At 100 TB the point is
+    * deciding BEFORE the scan: footer-size estimates need a manifest
+    * walk per query; the stats blob is one O(1) metadata read.
+    */
+  def scanForJoin(spark: SparkSession, table: String, joinKey: String,
+      broadcastMaxNdv: Long = 1000000L): DataFrame = {
+    val df = IcebergSink.read(spark, table)
+    if (ndv(table, joinKey).exists(_ <= broadcastMaxNdv))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+}

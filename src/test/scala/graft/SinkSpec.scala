@@ -4000,6 +4000,67 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 79)
   }
 
+  test("Iceberg table statistics: theta blobs in a Puffin stats file, ndv property, NDV-driven broadcast (r16)") {
+    val s = spark
+    import s.implicits._
+    import graft.sinks.IcebergStats
+    val dim = tmp() + "/dim"
+    IcebergSink.write((1L to 100L).map(i => (i, s"n$i")).toDF("k", "name"),
+      dim, IcebergSink.CreateExclusive)
+    val fact = tmp() + "/fact"
+    IcebergSink.write((1L to 5000L).map(i => (i % 100 + 1, i.toDouble))
+      .toDF("k", "v"), fact, IcebergSink.CreateExclusive)
+    val ndvs = IcebergStats.writeStats(spark, dim, Seq("k", "name"))
+    assert(ndvs("k") == 100L) // under K=256 → the sketch is exact
+    assert(IcebergStats.ndv(dim, "k").contains(100L))
+    assert(IcebergStats.ndv(dim, "nope").isEmpty)
+    // the stats file is a spec Puffin; blobs carry the DataSketches
+    // CompactSketch v3 header (serVer 3, family 3, COMPACT|ORDERED flags)
+    val statsFiles = new File(dim, "metadata").listFiles()
+      .filter(_.getName.startsWith("stats-"))
+    assert(statsFiles.length == 1)
+    val bytes = Files.readAllBytes(statsFiles.head.toPath)
+    assert(bytes.take(4).sameElements("PFA1".getBytes) &&
+      bytes.takeRight(4).sameElements("PFA1".getBytes))
+    assert(new String(bytes, "ISO-8859-1").contains("apache-datasketches-theta-v1"))
+    assert(new String(bytes, "ISO-8859-1").contains(""""ndv":"100""""))
+    assert(bytes(4 + 1) == 3 && bytes(4 + 2) == 3, "serVer 3, family COMPACT")
+    assert((bytes(4 + 5) & 0x18) == 0x18, "COMPACT|ORDERED flags")
+    // estimating regime (>K distinct): estimate inside 4 RSE of truth
+    val big = tmp() + "/big"
+    IcebergSink.write((1L to 20000L).map(i => (i, i % 7)).toDF("k", "g"),
+      big, IcebergSink.CreateExclusive)
+    val est = IcebergStats.writeStats(spark, big, Seq("k"))("k")
+    assert(math.abs(est - 20000.0) / 20000.0 < 4.0 / math.sqrt(254.0),
+      s"NDV estimate $est outside 4 RSE of 20000")
+    // a re-write REPLACES the statistics entry; the superseded file reclaims
+    assert(IcebergStats.writeStats(spark, big, Seq("g"))("g") == 7L)
+    assert(new File(big, "metadata").listFiles()
+      .count(_.getName.startsWith("stats-")) == 1)
+    assert(IcebergStats.ndv(big, "k").isEmpty, "replaced stats drop old columns")
+    // the planner hook: with size-based auto-broadcast OFF, the NDV hint
+    // is the only broadcast path — hinted joins broadcast, unhinted don't
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.ExplainMode
+      val factDf = IcebergSink.read(spark, fact)
+      val hinted = factDf.join(IcebergStats.scanForJoin(spark, dim, "k"), "k")
+      val hp = hinted.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(hp.contains("BroadcastHashJoin"), s"NDV hint must broadcast:\n$hp")
+      val unhinted = factDf.join(IcebergSink.read(spark, dim), "k")
+      val up = unhinted.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!up.contains("BroadcastHashJoin"),
+        "without stats the scan must stay unhinted")
+      assert(hinted.count() == 5000)
+      // NDV above the ceiling → no hint either
+      val nh = factDf.join(IcebergStats.scanForJoin(spark, dim, "k",
+        broadcastMaxNdv = 10L), "k")
+      assert(!nh.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .contains("BroadcastHashJoin"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("maintain reports per-step timings; idle triggers leave the data plane untouched (r16)") {
     val s = spark
     import s.implicits._
