@@ -1486,9 +1486,14 @@ object EventWindowQueries extends QueryModule {
         graft.sinks.DeltaSink.write(fifth(0), dt, overwrite = true)
         (1 to 4).foreach(i => graft.sinks.DeltaSink.append(fifth(i), dt))
         graft.sinks.DeltaSink.deleteWhereDV(s, dt, "event_id % 5 = 0")
-        val (purged, compacted, vacuumed, _) = graft.sinks.Maintenance
-          .maintainDelta(s, dt, maxSmallFiles = 3, dvPurgeRatio = 0.1,
+        // the Report variant logs WHERE the composite's time goes (the
+        // suite's most expensive query — VERDICT r15 item 6); stderr
+        // only, the driver parses stdout
+        val ((purged, compacted, vacuumed, _), dSteps) = graft.sinks.Maintenance
+          .maintainDeltaReport(s, dt, maxSmallFiles = 3, dvPurgeRatio = 0.1,
             vacuumRetentionMs = 0L)
+        System.err.println("[maintain] delta steps: " + dSteps.map(t =>
+          s"${t.step}=${t.ms}ms${if (t.fired) "*" else ""}").mkString(", "))
         val dvFree = graft.sinks.DeltaSink.reorgPurge(s, dt) == ((0, 0L))
         val oneFile = graft.sinks.DeltaSink.fileStats(s, dt).count() == 1
         val it = graft.TempTables.create("graft-maintain-i") + "/tbl"
@@ -1497,8 +1502,10 @@ object EventWindowQueries extends QueryModule {
         (1 to 4).foreach(i => graft.sinks.IcebergSink.write(fifth(i), it,
           graft.sinks.IcebergSink.Append))
         graft.sinks.IcebergSink.deleteWhere(s, it, "event_id % 7 = 0")
-        val (rewrote, _, _, _) = graft.sinks.Maintenance
-          .maintainIceberg(s, it, maxManifests = 2, keepLast = 1)
+        val ((rewrote, _, _, _), iSteps) = graft.sinks.Maintenance
+          .maintainIcebergReport(s, it, maxManifests = 2, keepLast = 1)
+        System.err.println("[maintain] iceberg steps: " + iSteps.map(t =>
+          s"${t.step}=${t.ms}ms${if (t.fired) "*" else ""}").mkString(", "))
         val oneManifest = graft.sinks.IcebergSink.metaTable(s, it, "manifests")
           .filter(col("content") === 0).count() == 1
         val oneSnapshot =
