@@ -22,6 +22,7 @@ import org.apache.spark.sql.SparkSession
   *   append-branch-iceberg <sourceParquet> <table> <branch> ; publish-branch-iceberg <table> <branch>
   *   expire-iceberg    <table> [keepLast]
   *   compact-iceberg   <table>
+  *   enable-row-lineage-iceberg <table> ; write-stats-iceberg <table> <cols>
   *   csv-to-delta      <file.csv> <table> [--overwrite]
   *   json-to-delta     <file.jsonl> <table> [--overwrite]
   *   export-jsonl      <dataDir> <sql> <outDir>
@@ -270,6 +271,36 @@ object Cli {
         // sidecars; feature-gates reader 3 / v2Checkpoint first)
         val v = sinks.DeltaSink.checkpointV2(spark, pos(0))
         println(s"v2 checkpoint at version $v")
+      case "add-column-iceberg" =>
+        // add-column-iceberg <table> <name> <icebergType> [default] —
+        // metadata-only ALTER ADD COLUMN with v3 default values: old
+        // rows read the initial-default, omitting writers get the
+        // write-default filled
+        val dflt: Option[Any] = pos.lift(3).map { raw =>
+          pos(2) match {
+            case "int" | "long" => raw.toLong
+            case "float" | "double" => raw.toDouble
+            case "boolean" => raw.toBoolean
+            case _ => raw
+          }
+        }
+        sinks.IcebergSink.evolveAddColumn(pos(0), pos(1), pos(2), dflt)
+        println(s"added column ${pos(1)}" +
+          dflt.map(d => s" default $d").getOrElse(""))
+      case "enable-row-lineage-iceberg" =>
+        // enable-row-lineage-iceberg <table> — V3 row lineage: assigns
+        // stable row ids retroactively (metadata-only) and starts the
+        // next-row-id clock; later commits keep assigning
+        val n = sinks.IcebergSink.enableRowLineage(spark, pos(0))
+        println(s"row lineage enabled; $n rows assigned")
+      case "write-stats-iceberg" =>
+        // write-stats-iceberg <table> <col1,col2,...> — Puffin table
+        // statistics: per-column theta sketches + the ndv property the
+        // NDV-driven broadcast hook reads
+        val ndvs = sinks.IcebergStats.writeStats(spark, pos(0),
+          splitSpecs(pos(1)))
+        println(ndvs.toSeq.sortBy(_._1)
+          .map { case (c, n) => s"$c=$n" }.mkString("ndv: ", ", ", ""))
       case "rename-column-delta" =>
         // rename-column-delta <table> <from> <to> — metadata-only (column mapping)
         sinks.DeltaSink.renameColumn(spark, pos(0), pos(1), pos(2))

@@ -2464,6 +2464,41 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_defaults",
+      // V3 DEFAULT VALUES under the oracle (r16, Iceberg spec v3
+      // §Default values — with deletion vectors and row lineage this
+      // closes the v3 pillar set): `evolveAddColumn(..., default)` is a
+      // METADATA-ONLY ALTER ADD COLUMN DEFAULT — zero data bytes move at
+      // any table size — and every pre-evolution row surfaces the
+      // initial-default through the id-resolved read (files lacking the
+      // field's id project the default, never null), while post-evolution
+      // producers stamp their own values. The census groups by exactly
+      // that provenance, so one wrong null breaks the hash.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val tbl = graft.TempTables.create("graft-ib-dflt") + "/tbl"
+        graft.sinks.IcebergSink.write(ev.filter(col("event_id") % 3 =!= 0),
+          tbl, graft.sinks.IcebergSink.CreateExclusive)
+        graft.sinks.IcebergSink.evolveAddColumn(tbl, "src", "string",
+          Some("legacy"))
+        graft.sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 3 === 0).withColumn("src", lit("fresh")),
+          tbl, graft.sinks.IcebergSink.Append)
+        graft.sinks.IcebergSink.read(s, tbl).groupBy("src")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .orderBy("src")
+      },
+      Some("""SELECT CASE WHEN event_id % 3 = 0 THEN 'fresh' ELSE 'legacy' END
+             |  AS src,
+             |CAST(COUNT(*) AS BIGINT) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |  AS sum_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_stats_ndv",
       // TABLE STATISTICS under the oracle (r16, Iceberg spec §Table
       // statistics): writeStats computes one theta sketch per column in

@@ -94,7 +94,19 @@ object IcebergSink {
     * positional after an evolution), the name, and the Spark type the
     * Iceberg type string maps back to.
     */
-  private[sinks] case class IField(id: Int, name: String, dt: DataType)
+  /** `initialDefault`: the v3 default-values pillar — what readers
+    * surface for rows written BEFORE the field existed (spec: files
+    * lacking the field's id project `initial-default`, not null).
+    */
+  private[sinks] case class IField(id: Int, name: String, dt: DataType,
+      initialDefault: Option[Any] = None)
+
+  /** A schema field's JSON default as a literal-able value. */
+  private def jsonDefault(d: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (d.isTextual) d.asText()
+    else if (d.isBoolean) d.asBoolean()
+    else if (d.isIntegralNumber) d.asLong()
+    else d.asDouble()
 
   /** Inverse of [[icebergType]] (lossy for int-family/timestamp flavors —
     * callers that need the EXACT Spark type take it from the stored Spark
@@ -123,7 +135,8 @@ object IcebergSink {
   private def ifieldsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[IField] =
     node.get("fields").elements().asScala.map { f =>
       IField(f.get("id").asInt(), f.get("name").asText(),
-        sparkTypeOfIceberg(f.get("type").asText()))
+        sparkTypeOfIceberg(f.get("type").asText()),
+        Option(f.get("initial-default")).map(jsonDefault))
     }.toSeq
 
   /** The CURRENT schema's fields (stable ids) from a table's metadata —
@@ -453,11 +466,33 @@ object IcebergSink {
         prev.get("properties").get("graft.spark-schema").asText())
         .asInstanceOf[StructType]
     }
+    // v3 WRITE-DEFAULTS (spec §Default values): an append whose frame
+    // omits TRAILING stored columns gets each missing one filled with its
+    // write-default — the spec's writer contract for defaulted columns
+    // added after the producer was built. Columns without a default still
+    // gate-fail (nothing is silently null-filled).
+    val df0b: DataFrame = (storedSchema, previous) match {
+      case (Some(st), Some(prev)) if mode == Append &&
+          df0.columns.length < st.fieldNames.length =>
+        val iceFields = mapper.readTree(currentSchemaJson(prev)._2)
+          .get("fields").elements().asScala.toSeq
+        val missing = st.fields.drop(df0.columns.length).toSeq
+        val fills = missing.map(f => f -> iceFields
+          .find(n => n.get("name").asText() == f.name)
+          .flatMap(n => Option(n.get("write-default")).map(jsonDefault)))
+        if (fills.forall(_._2.isDefined))
+          fills.foldLeft(df0) { case (d, (f, dv)) =>
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.lit(dv.get).cast(f.dataType))
+          }
+        else df0
+      case _ => df0
+    }
     val df: DataFrame = storedSchema match {
       case Some(st) if mode == Append &&
-          df0.columns.length >= st.fieldNames.length =>
-        alignToStored(df0, st.fieldNames)
-      case _ => df0
+          df0b.columns.length >= st.fieldNames.length =>
+        alignToStored(df0b, st.fieldNames)
+      case _ => df0b
     }
     // the DECLARED schema never carries the extra physical columns — they
     // exist only inside the parquet files
@@ -706,12 +741,30 @@ object IcebergSink {
     val schemaNode = mapper.createObjectNode()
     schemaNode.put("type", "struct").put("schema-id", schemaId)
     val fields = schemaNode.putArray("fields")
+    // field attributes the Spark schema cannot EXPRESS (the v3
+    // initial-default / write-default pair) must survive every rebuild of
+    // the schema node, or one plain append would silently strip a
+    // defaulted column's value for every pre-evolution row — carry them
+    // from the stored field with the same id when name+type still agree
+    val storedFieldNodes: Map[Int, com.fasterxml.jackson.databind.JsonNode] =
+      previous.map(p => mapper.readTree(currentSchemaJson(p)._2)
+        .get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f).toMap).getOrElse(Map.empty)
     declaredSchema.fields.zip(declaredIds).foreach { case (f, id) =>
-      fields.addObject()
+      val o = fields.addObject()
         .put("id", id)
         .put("name", f.name)
         .put("required", !f.nullable)
         .put("type", icebergType(f.dataType))
+      storedFieldNodes.get(id).foreach { sn =>
+        if (sn.get("name").asText() == f.name &&
+            sn.get("type").asText() == icebergType(f.dataType)) {
+          Seq("initial-default", "write-default").foreach(k =>
+            Option(sn.get(k)).foreach(v =>
+              o.set[com.fasterxml.jackson.databind.JsonNode](k, v.deepCopy())
+                : Unit))
+        }
+      }
     }
 
     // Avro manifest (V2 manifest_entry records, real per-file row counts +
@@ -1027,6 +1080,45 @@ object IcebergSink {
       pairs.patch(idx, Nil, 1)
     }
 
+  /** ADD-COLUMN with DEFAULT VALUES — METADATA-ONLY (Iceberg spec v3
+    * §Default values, closing the v3 pillar set beside deletion vectors
+    * and row lineage): the classic `ALTER TABLE ADD COLUMN ... DEFAULT`.
+    * The new field mints the next id and carries `initial-default` (what
+    * readers surface for every row written BEFORE the column existed —
+    * id-resolved reads project it instead of null) and `write-default`
+    * (what [[write]] fills for an appending producer that omits the
+    * trailing column). No data file is touched at any table size; time
+    * travel to pre-evolution snapshots reads THAT snapshot's schema.
+    * `default = None` adds a plain nullable column (old rows read null).
+    */
+  def evolveAddColumn(table: String, column: String, icebergTypeName: String,
+      default: Option[Any] = None,
+      store: CommitStore = CommitStore.Local): Unit =
+    commitEvolvedSchema(table, store) { (meta, pairs) =>
+      require(!pairs.exists(_._2.name == column),
+        s"column $column already exists")
+      val nextId = math.max(
+        Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(0),
+        pairs.map(_._1.get("id").asInt()).max) + 1
+      val dt = sparkTypeOfIceberg(icebergTypeName)
+      val n = mapper.createObjectNode()
+      n.put("id", nextId).put("name", column)
+        .put("required", false).put("type", icebergTypeName)
+      default.foreach { d =>
+        def put(key: String): Unit = d match {
+          case s: String => n.put(key, s): Unit
+          case i: Int => n.put(key, i): Unit
+          case l: Long => n.put(key, l): Unit
+          case x: Double => n.put(key, x): Unit
+          case b: Boolean => n.put(key, b): Unit
+          case other => throw new IllegalArgumentException(
+            s"unsupported default value type: ${other.getClass.getName}")
+        }
+        put("initial-default"); put("write-default")
+      }
+      pairs :+ ((n, StructField(column, dt, nullable = true)))
+    }
+
   /** RENAME-column evolution — METADATA-ONLY: the field keeps its id (and
     * its data files their written name — reads resolve by id), only the
     * declared name changes.
@@ -1212,6 +1304,10 @@ object IcebergSink {
     val newMeta = meta.deepCopy[ObjectNode]()
     newMeta.put("current-schema-id", newId)
     newMeta.put("last-updated-ms", System.currentTimeMillis())
+    // an ADD-column evolution mints ids past last-column-id (spec rule)
+    newMeta.put("last-column-id", math.max(
+      Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      evolved.map(_._1.get("id").asInt()).foldLeft(0)(math.max)))
     val keptSchemas = newMeta.get("schemas").elements().asScala
       .filter(_.get("schema-id").asInt() != newId)
       .map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]()).toSeq
@@ -1850,9 +1946,9 @@ object IcebergSink {
           // file columns whose id was dropped are simply never selected.
           val wById = wf.map(f => f.id -> f).toMap
           val plan = schema.fields.zip(curFields).map { case (sf, cf) =>
-            (sf, if (specCols.contains(sf.name)) None else wById.get(cf.id))
+            (sf, cf, if (specCols.contains(sf.name)) None else wById.get(cf.id))
           }
-          val fileSchema = StructType(plan.collect { case (sf, Some(w)) =>
+          val fileSchema = StructType(plan.collect { case (sf, _, Some(w)) =>
             val readDt = (w.dt, sf.dataType) match {
               case (IntegerType, LongType) => IntegerType
               case (FloatType, DoubleType) => FloatType
@@ -1862,13 +1958,17 @@ object IcebergSink {
           })
           val base0 = spark.read.schema(fileSchema).parquet(files: _*)
           val dataCols = plan.flatMap {
-            case (sf, Some(w)) =>
+            case (sf, _, Some(w)) =>
               val c0 = col(w.name)
               val c1 = if (fileSchema(w.name).dataType == sf.dataType) c0
                        else c0.cast(sf.dataType)
               Some(c1.as(sf.name))
-            case (sf, None) if specCols.contains(sf.name) => None // pvals below
-            case (sf, None) => Some(lit(null).cast(sf.dataType).as(sf.name))
+            case (sf, _, None) if specCols.contains(sf.name) => None // pvals below
+            case (sf, cf, None) =>
+              // ids the file predates: the v3 INITIAL-DEFAULT when the
+              // field declares one (spec §Default values), else null
+              Some(cf.initialDefault.map(lit).getOrElse(lit(null))
+                .cast(sf.dataType).as(sf.name))
           }
           base0.select(dataCols ++ (if (withLineage) lineageCols else Nil): _*)
         case None =>

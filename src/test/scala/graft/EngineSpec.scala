@@ -209,6 +209,20 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.sinks.IcebergSink.read(s, it).count() == 2)
   }
 
+  test("r16 CLI verbs: enable-row-lineage-iceberg and write-stats-iceberg end-to-end") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val it = java.nio.file.Files.createTempDirectory("graft-cli-r16i").toString + "/tbl"
+    graft.sinks.IcebergSink.write((1L to 30L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "g"), it, graft.sinks.IcebergSink.CreateExclusive)
+    Cli.main(Array("enable-row-lineage-iceberg", it))
+    assert(graft.sinks.IcebergSink.readWithLineage(s, it)
+      .select("_row_id").distinct().count() == 30)
+    Cli.main(Array("write-stats-iceberg", it, "id,g"))
+    assert(graft.sinks.IcebergStats.ndv(it, "id").contains(30L))
+    assert(graft.sinks.IcebergStats.ndv(it, "g").contains(3L))
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),

@@ -4000,6 +4000,64 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 79)
   }
 
+  test("Iceberg V3 default values: ALTER ADD COLUMN DEFAULT is metadata-only; old rows read the default (r16)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(1), table, IcebergSink.CreateExclusive)
+    val preSnap = IcebergSink.snapshots(table).last._1
+    val filesBefore = new File(table, "data").listFiles()
+      .map(_.getName).toSet
+    // metadata-only ADD COLUMN ... DEFAULT: zero data bytes move
+    IcebergSink.evolveAddColumn(table, "src", "string", Some("legacy"))
+    assert(new File(table, "data").listFiles().map(_.getName).toSet
+      == filesBefore)
+    val after = IcebergSink.read(spark, table)
+    assert(after.columns.toSeq == Seq("id", "v", "src"))
+    // every pre-evolution row surfaces the INITIAL default, never null
+    assert(after.filter(col("src") === "legacy").count() == 10)
+    // an explicit append keeps its own values
+    IcebergSink.write(Seq((11L, 11.0, "fresh")).toDF("id", "v", "src"),
+      table, IcebergSink.Append)
+    val mixed = IcebergSink.read(spark, table)
+    assert(mixed.filter(col("src") === "legacy").count() == 10)
+    assert(mixed.filter(col("src") === "fresh").count() == 1)
+    // ...and the defaults survive that append's metadata rebuild
+    IcebergSink.write(Seq((12L, 12.0, "fresh")).toDF("id", "v", "src"),
+      table, IcebergSink.Append)
+    assert(IcebergSink.read(spark, table)
+      .filter(col("src") === "legacy").count() == 10)
+    // an OLD-SHAPE producer (no src column) appends: the WRITE-default
+    // fills the omitted trailing column (the spec's writer contract)
+    IcebergSink.write(Seq((13L, 13.0)).toDF("id", "v"), table,
+      IcebergSink.Append)
+    val withWd = IcebergSink.read(spark, table)
+    assert(withWd.filter(col("id") === 13L).head().getString(2) == "legacy")
+    assert(withWd.count() == 13)
+    // a defaultless added column still reads null for old rows and still
+    // gate-fails an omitting writer
+    IcebergSink.evolveAddColumn(table, "score", "double")
+    assert(IcebergSink.read(spark, table)
+      .filter(col("score").isNull).count() == 13)
+    intercept[Exception] {
+      IcebergSink.write(Seq((14L, 14.0, "x")).toDF("id", "v", "src"),
+        table, IcebergSink.Append)
+    }
+    // time travel reads under the CURRENT schema (this engine's
+    // established evolution contract) — pre-evolution rows surface the
+    // default there too, never null
+    val tt = IcebergSink.read(spark, table, Some(preSnap))
+    assert(tt.columns.toSeq == Seq("id", "v", "src", "score"))
+    assert(tt.filter(col("src") === "legacy").count() == 10)
+    // MoR deletes compose with defaults (merged read is id-projected)
+    IcebergSink.deleteWhereDV(spark, table, "id <= 5")
+    val merged = IcebergSink.read(spark, table)
+    assert(merged.count() == 8)
+    // survivors: ids 6-10 (initial-default) + id 13 (write-default)
+    assert(merged.filter(col("src") === "legacy").count() == 6)
+  }
+
   test("Iceberg table statistics: theta blobs in a Puffin stats file, ndv property, NDV-driven broadcast (r16)") {
     val s = spark
     import s.implicits._
