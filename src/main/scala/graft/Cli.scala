@@ -23,6 +23,8 @@ import org.apache.spark.sql.SparkSession
   *   expire-iceberg    <table> [keepLast]
   *   compact-iceberg   <table>
   *   enable-row-lineage-iceberg <table> ; write-stats-iceberg <table> <cols>
+  *   add-column-iceberg <table> <name> <type> [default]
+  *   enable-row-tracking-delta <table>
   *   csv-to-delta      <file.csv> <table> [--overwrite]
   *   json-to-delta     <file.jsonl> <table> [--overwrite]
   *   export-jsonl      <dataDir> <sql> <outDir>
@@ -271,6 +273,11 @@ object Cli {
         // sidecars; feature-gates reader 3 / v2Checkpoint first)
         val v = sinks.DeltaSink.checkpointV2(spark, pos(0))
         println(s"v2 checkpoint at version $v")
+      case "enable-row-tracking-delta" =>
+        // enable-row-tracking-delta <table> — the Iceberg row-lineage
+        // twin: stable row ids, metadata-only retroactive assignment
+        val n = sinks.DeltaSink.enableRowTracking(spark, pos(0))
+        println(s"row tracking enabled; $n rows assigned")
       case "add-column-iceberg" =>
         // add-column-iceberg <table> <name> <icebergType> [default] —
         // metadata-only ALTER ADD COLUMN with v3 default values: old

@@ -1366,6 +1366,53 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_row_tracking",
+      // ROW TRACKING under the oracle (r16, Delta spec §Row Tracking —
+      // q_iceberg_row_lineage's format twin, closing cross-format row-id
+      // symmetry): enableRowTracking retroactively assigns baseRowId to
+      // every live file in ONE metadata-only commit (protocol v3/v7 +
+      // rowTracking/domainMetadata features, the rowIdHighWaterMark
+      // domain seeds the clock); appends mint fresh ids above the mark,
+      // a DV delete never moves survivors' ids, and an id-preserving
+      // compaction MATERIALIZES `_row_id` into the rewritten parquet.
+      // Gates computed DISTRIBUTEDLY (pre-op frame joined to post-op —
+      // no id ever collected): `ids_stable`, `ids_unique`,
+      // `ids_assigned`. Census ≡ the oracle complement.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val tbl = graft.TempTables.create("graft-delta-rowtrk")
+        graft.sinks.DeltaSink.write(ev.filter(pmod(col("event_id"), lit(2)) === 0), tbl)
+        graft.sinks.DeltaSink.enableRowTracking(s, tbl)
+        val pre = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
+          .select(col("event_id"), col("_row_id").as("_pre_id"))
+        graft.sinks.DeltaSink.append(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), tbl)
+        graft.sinks.DeltaSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
+        graft.sinks.DeltaSink.compact(s, tbl)
+        val post = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
+        val survivors = post.join(pre, Seq("event_id"), "inner")
+        val stable = survivors
+          .filter(col("_row_id") =!= col("_pre_id")).count() == 0
+        val unique = post.select("_row_id").distinct().count() == post.count()
+        val assigned = post.filter(col("_row_id").isNull).count() == 0
+        post.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("event_id")).as("n_ids"),
+            fxSum(col("value")).as("sum_v"))
+          .withColumn("ids_stable", lit(stable))
+          .withColumn("ids_unique", lit(unique))
+          .withColumn("ids_assigned", lit(assigned))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |COUNT(DISTINCT event_id) AS n_ids,
+             |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             |  AS sum_v,
+             |TRUE AS ids_stable, TRUE AS ids_unique, TRUE AS ids_assigned
+             |FROM events WHERE event_id % 10 <> 3
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_update_dv",
       // Row-level UPDATE via DELETION VECTORS under the oracle (r13) —
       // the merge-on-read twin of q_delta_update, completing the MoR DML

@@ -343,10 +343,13 @@ object DeltaSink {
     if (path.startsWith("/")) path
     else new File(table, path).getAbsolutePath
 
-  /** One live data file in the replayed table state. */
+  /** One live data file in the replayed table state. `baseRowId`: row
+    * tracking (spec §Row Tracking) — the id of this file's first row.
+    */
   private case class AddEntry(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, stats: String,
-      dv: Option[DvInfo] = None)
+      dv: Option[DvInfo] = None,
+      baseRowId: Option[Long] = None)
 
   /** Replayed snapshot of the `_delta_log` at `asOfVersion` (or latest).
     * `txns` is the streaming-writer watermark map: appId → highest
@@ -356,7 +359,8 @@ object DeltaSink {
       createdTime: Long, schema: StructType,
       partitionColumns: Seq[String], live: Seq[AddEntry],
       txns: Map[String, Long], minWriter: Int = 1,
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      domains: Map[String, String] = Map.empty)
 
   /** Writes `df` as a brand-new Delta table. Returns true if written; false
     * if the target was non-empty and overwrite was not requested (the
@@ -793,8 +797,25 @@ object DeltaSink {
           // mapping mode/maxColumnId refresh (the added column may have
           // raised the high-water id)
           state.configuration ++ mappingConfig(sch)))
+        // ROW TRACKING: fresh ids assign above the CURRENT high-water
+        // mark — re-read whenever anything landed since our snapshot, so
+        // two racing appends can never mint overlapping ids (the loser's
+        // conditional put fails and it re-bases on the next attempt)
+        val (addsFinal, domainLine) =
+          if (!state.configuration.get(RowTrackingConf).contains("true"))
+            (adds, None)
+          else {
+            val domainsNow =
+              if (latest > state.version) replay(df.sparkSession, table, None).domains
+              else state.domains
+            val hwm = rowIdHighWaterMark(domainsNow).getOrElse(-1L)
+            val (w, newHwm) = assignRowIds(adds, hwm)
+            (w, Some(domainJson(RowTrackingDomain,
+              s"""{"rowIdHighWaterMark":$newHwm}""")))
+          }
         commitAtomic(store, versionFile(table, next),
-          metaLine.toSeq ++ txnLine.toSeq ++ adds.map(a => addJson(a)))
+          metaLine.toSeq ++ txnLine.toSeq ++ addsFinal.map(a => addJson(a)) ++
+            domainLine.toSeq)
         // The append is committed at this point: an auto-checkpoint failure
         // (IO error) must not surface as an append failure — the caller
         // would retry and double-write the batch. Best-effort only.
@@ -909,7 +930,14 @@ object DeltaSink {
         .getOrElse(0L) - a.dv.map(_.cardinality).getOrElse(0L)
     }.sum
     val nFiles = math.max(1, ((totalRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
-    val current0 = readState(spark, table, state, store)
+    // ROW TRACKING: an id-preserving compaction MATERIALIZES `_row_id`
+    // into the rewritten parquet (spec: dataChange=false rewrites must
+    // carry row ids explicitly) — the rewritten adds' baseRowId stays
+    // null and [[readWithRowIds]] picks the column up from the files
+    val rowTracking = state.configuration.get(RowTrackingConf).contains("true")
+    val current0 =
+      if (rowTracking) readWithRowIds(spark, table, store)
+      else readState(spark, table, state, store)
     val current =
       if (zorderBy.isEmpty) current0
       else ZOrder.cluster(current0, zorderBy, nFiles) // shared with IcebergSink
@@ -1004,6 +1032,12 @@ object DeltaSink {
     requireWritable(state.minWriter, table)
     val dvAdds = state.live.filter(_.dv.isDefined)
     if (dvAdds.isEmpty) return (0, 0L)
+    // a row-tracked table's DV debt retires through COMPACT, whose
+    // rewrite materializes `_row_id` — this per-file purge would reassign
+    // survivor positions and silently break every row's id
+    require(!state.configuration.get(RowTrackingConf).contains("true"),
+      s"$table has row tracking enabled — retire DV debt with compact " +
+        "(id-materializing) instead of reorgPurge")
     val purgedRows = dvAdds.map(_.dv.get.cardinality).sum
     // survivors of the touched files only — the clean files never enter
     // the job; bin sizing from log stats (numRecords − DV cardinality),
@@ -1668,7 +1702,21 @@ object DeltaSink {
     val cdcLines = cdcAdds.map(a =>
       s"""{"cdc":{"path":${esc(a.path)},"partitionValues":{},""" +
         s""""size":${a.size},"dataChange":false}}""")
-    val lines = bump ++ (newAdds ++ dataAdds).map(a => addJson(a)) ++ cdcLines
+    // ROW TRACKING: an update's replacement rows are NEW rows — they take
+    // fresh ids above the high-water mark (the Iceberg twin's contract);
+    // the touched files' re-adds keep their baseRowId via add.copy above
+    val (dataAddsFinal, domainLine) =
+      if (!meta.configuration.get(RowTrackingConf).contains("true") ||
+          dataAdds.isEmpty)
+        (dataAdds, Nil)
+      else {
+        val hwm = rowIdHighWaterMark(meta.domains).getOrElse(-1L)
+        val (w, newHwm) = assignRowIds(dataAdds, hwm)
+        (w, Seq(domainJson(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":$newHwm}""")))
+      }
+    val lines = bump ++ (newAdds ++ dataAddsFinal).map(a => addJson(a)) ++
+      cdcLines ++ domainLine
     try commitAtomic(store, versionFile(table, state.version + 1), lines)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -2001,7 +2049,7 @@ object DeltaSink {
       (Row(Row(meta.minReader, meta.minWriter,
         if (meta.minReader >= 3) meta.readerFeatures else null,
         if (meta.minWriter >= 7) meta.writerFeatures else null),
-        null, null, null) +:
+        null, null, null, null) +:
       Row(null,
         Row(Option(meta.id).getOrElse(java.util.UUID.randomUUID().toString), Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
@@ -2011,10 +2059,16 @@ object DeltaSink {
           // mapped table keeps them even across older commits
           meta.configuration ++ mappingConfig(meta.schema),
           if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis()),
-        null, null) +:
+        null, null, null) +:
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, null, Row(app, v))
-      })
+        Row(null, null, null, Row(app, v), null)
+      }) ++
+      // active domain metadata (the row-tracking high-water mark above
+      // all) survives the checkpoint, or a replay-from-checkpoint would
+      // REUSE removed files' row ids
+      meta.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+        Row(null, null, null, null, Row(d, c, false))
+      }
     def nullAs(field: String) =
       lit(null).cast(CheckpointSchema(field).dataType).as(field)
     val df = spark.createDataFrame(metaRows.asJava, CheckpointSchema)
@@ -2022,8 +2076,8 @@ object DeltaSink {
         nullAs("protocol"), nullAs("metaData"),
         struct(col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), lit(true).as("dataChange"),
-          col("stats"), col("deletionVector")).as("add"),
-        nullAs("txn")))
+          col("stats"), col("deletionVector"), col("baseRowId")).as("add"),
+        nullAs("txn"), nullAs("domainMetadata")))
     // Stage INSIDE _delta_log: the final step is then a same-filesystem
     // directory rename — Files.move of a non-empty directory cannot
     // copy-fallback across mounts, and a cross-FS failure after deleting
@@ -2192,6 +2246,7 @@ object DeltaSink {
           coalesce(col("deletionVector.offset"), lit(-1)),
           coalesce(col("deletionVector.sizeInBytes"), lit(-1L)),
           coalesce(col("deletionVector.cardinality"), lit(-1L)),
+          coalesce(col("baseRowId"), lit(-1L)),
           to_json(col("partitionValues"))))
       val bucketInfo: Seq[(Int, Long)] = withB.groupBy(col("_b"))
         .agg(expr("bit_xor(_rh)").as("h"), count(lit(1)).as("n"))
@@ -2209,7 +2264,8 @@ object DeltaSink {
           withB.where(col("_b").isin(changedIds: _*))
             .select(struct(col("path"), col("partitionValues"), col("size"),
               col("modificationTime"), lit(true).as("dataChange"),
-              col("stats"), col("deletionVector")).as("add"), col("_b"))
+              col("stats"), col("deletionVector"), col("baseRowId")).as("add"),
+              col("_b"))
             .repartition(col("_b"))
             .write.mode("overwrite").option("compression", "snappy")
             .partitionBy("_b").parquet(staging.getPath)
@@ -2245,19 +2301,22 @@ object DeltaSink {
     // metadata plane + sidecar list → the manifest (driver-side, KBs)
     val metaRows: Seq[Row] =
       (Row(Row(meta.minReader, meta.minWriter, meta.readerFeatures,
-        meta.writerFeatures), null, null, null, null) +:
+        meta.writerFeatures), null, null, null, null, null) +:
       Row(null,
         Row(meta.id, Row("parquet"),
           StructType(meta.schema.fields.map(_.copy(nullable = true))).json,
           meta.partitionColumns,
           meta.configuration ++ mappingConfig(meta.schema),
           if (meta.createdTime != 0L) meta.createdTime else System.currentTimeMillis()),
-        null, null, null) +:
-      Row(null, null, Row(meta.version), null, null) +:
-      meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, null, Row(app, v), null)
-      }) ++ sidecars.map { case (n, sz, mt) =>
-        Row(null, null, null, null, Row(n, sz, mt))
+        null, null, null, null) +:
+      Row(null, null, Row(meta.version), null, null, null) +:
+      (meta.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v), null, null)
+      } ++
+      meta.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+        Row(null, null, null, null, null, Row(d, c, false))
+      })) ++ sidecars.map { case (n, sz, mt) =>
+        Row(null, null, null, null, Row(n, sz, mt), null)
       }
     val manifestName =
       f"${meta.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
@@ -2335,7 +2394,11 @@ object DeltaSink {
     StructField("sidecar", StructType(Seq(
       StructField("path", StringType),
       StructField("sizeInBytes", LongType),
-      StructField("modificationTime", LongType))))))
+      StructField("modificationTime", LongType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   private val CheckpointSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
@@ -2365,16 +2428,152 @@ object DeltaSink {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", LongType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      // ROW TRACKING (spec §Row Tracking, writer feature `rowTracking`):
+      // the id of this file's first row; rows derive baseRowId + position
+      StructField("baseRowId", LongType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    // domain metadata (spec §Domain Metadata): the row-tracking high-water
+    // mark lives in domain "delta.rowTracking" — a checkpoint dropping it
+    // would let a replay-from-checkpoint REUSE removed files' row ids
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   /** Highest committed streaming-transaction version for `appId`, or -1 —
     * the watermark [[appendExactlyOnce]] consults.
     */
   def lastTxnVersion(spark: SparkSession, table: String, appId: String): Long =
     replay(spark, table, None).txns.getOrElse(appId, -1L)
+
+  // ---- ROW TRACKING (Delta spec §Row Tracking — the format twin of
+  // IcebergSink row lineage, closing cross-format id symmetry) ----
+
+  private[sinks] val RowTrackingDomain = "delta.rowTracking"
+  private val RowTrackingConf = "delta.enableRowTracking"
+
+  /** The highest row id assigned so far (the spec's rowIdHighWaterMark,
+    * stored in the `delta.rowTracking` domain metadata; -1 = none).
+    */
+  private def rowIdHighWaterMark(domains: Map[String, String]): Option[Long] =
+    domains.get(RowTrackingDomain)
+      .map(c => mapper.readTree(c).path("rowIdHighWaterMark").asLong(-1L))
+
+  private def domainJson(domain: String, conf: String): String =
+    s"""{"domainMetadata":{"domain":${esc(domain)},""" +
+      s""""configuration":${esc(conf)},"removed":false}}"""
+
+  private def rowsOf(a: AddEntry): Long =
+    Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+      .getOrElse(0L)
+
+  /** Assigns fresh, contiguous baseRowIds above `hwm` (add order);
+    * returns the re-stamped adds and the new high-water mark.
+    */
+  private def assignRowIds(adds: Seq[AddEntry], hwm: Long)
+      : (Seq[AddEntry], Long) = {
+    var cursor = hwm
+    val out = adds.map { a =>
+      val n = rowsOf(a)
+      val o = a.copy(baseRowId = Some(cursor + 1))
+      cursor += n
+      o
+    }
+    (out, cursor)
+  }
+
+  /** ENABLE ROW TRACKING (spec writer features `rowTracking` +
+    * `domainMetadata`): every row gets a STABLE id — `baseRowId +
+    * position` — that survives appends, DV deletes (positions never
+    * move) and id-materializing compaction. ONE metadata-only commit
+    * re-adds every live file with a retroactive baseRowId (path order,
+    * cumulative by the log's own numRecords — no data file opened),
+    * bumps the protocol (v3/v7, feature lists carried per the spec's
+    * list-every-feature rule), stamps `delta.enableRowTracking` into the
+    * configuration and seeds the `delta.rowTracking` high-water-mark
+    * domain. Returns the rows assigned.
+    */
+  def enableRowTracking(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Long = {
+    val state = replay(spark, table, None)
+    requireWritable(state.minWriter, table)
+    require(!state.configuration.get(RowTrackingConf).contains("true"),
+      s"row tracking already enabled on $table")
+    val (meta, _) = resolve(spark, table, None)
+    val (withIds, hwm) = assignRowIds(state.live.sortBy(_.path), -1L)
+    def features(tracked: Seq[String], extra: Seq[String]) =
+      (tracked ++ extra).distinct.sorted.map(esc).mkString("[", ",", "]")
+    val bump =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${features(meta.readerFeatures,
+          if (mappingEnabled(state.schema)) Seq("columnMapping") else Nil)},""" +
+        s""""writerFeatures":${features(meta.writerFeatures,
+          Seq("rowTracking", "domainMetadata") ++
+            (if (mappingEnabled(state.schema)) Seq("columnMapping") else Nil))}}}"""
+    val metaLine = metaDataJson(state.metaId,
+      StructType(state.schema.fields.map(_.copy(nullable = true))).json,
+      state.partitionColumns,
+      if (state.createdTime != 0L) state.createdTime else System.currentTimeMillis(),
+      state.configuration ++ mappingConfig(state.schema) +
+        (RowTrackingConf -> "true"))
+    val lines = Seq(bump, metaLine) ++
+      withIds.map(a => addJson(a, dataChange = false)) :+
+      domainJson(RowTrackingDomain, s"""{"rowIdHighWaterMark":$hwm}""")
+    try commitAtomic(store, versionFile(table, state.version + 1), lines)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit on $table during enableRowTracking; re-run", e)
+    }
+    hwm + 1
+  }
+
+  /** Whether the table tracks row ids (the janitor's action selector). */
+  private[sinks] def rowTrackingEnabled(spark: SparkSession, table: String): Boolean =
+    replay(spark, table, None).configuration.get(RowTrackingConf).contains("true")
+
+  /** ROW-ID READ — the current merged view plus `_row_id`
+    * ([[IcebergSink.readWithLineage]]'s format twin): `baseRowId +
+    * position` for manifest-assigned files, the MATERIALIZED `_row_id`
+    * column for files an id-preserving compaction rewrote, null for
+    * files predating enablement. DV deletes apply exactly as in [[read]];
+    * survivors keep their ids because deletes never move positions.
+    */
+  def readWithRowIds(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    val (meta, liveDf) = resolve(spark, table, None)
+    val state0 = State(meta.version, meta.id, meta.createdTime, meta.schema,
+      meta.partitionColumns, collectAdds(liveDf), meta.txns, meta.minWriter,
+      meta.configuration, meta.domains)
+    // widen the read schema by the physical `_row_id` column: files an
+    // id-preserving compaction materialized carry it; all others read null
+    val withRid = state0.copy(schema = StructType(state0.schema.fields :+
+      StructField("_row_id", LongType, nullable = true)))
+    val base = readStateMerged(spark, table, withRid, keepLineage = true, store)
+    val lookup = state0.live.flatMap { a =>
+      val abs = dataAbs(table, a.path)
+      val enc = new File(abs).toURI.toString
+        .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+      Seq(abs, enc).distinct.map(k =>
+        (k, a.baseRowId.map(Long.box).orNull))
+    }
+    val lookupDf = spark.createDataFrame(
+      lookup.map { case (k, b) => Row(k, b) }.asJava,
+      StructType(Seq(StructField("_gf_bkey", StringType),
+        StructField("_gf_brid", LongType, nullable = true))))
+    import org.apache.spark.sql.functions.regexp_replace
+    base
+      .withColumn("_gf_bkey",
+        regexp_replace(col("_gf_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(broadcast(lookupDf), Seq("_gf_bkey"), "left")
+      .withColumn("_row_id",
+        coalesce(col("_row_id"), col("_gf_brid") + col("_gf_pos")))
+      .select((state0.schema.fieldNames.toIndexedSeq :+ "_row_id").map(col): _*)
+  }
 
   /** Physically deletes data files no longer referenced by the LATEST
     * snapshot whose on-disk mtime is older than `retentionMs` — the VACUUM
@@ -2646,7 +2845,7 @@ object DeltaSink {
     }.reduce(_ && _)
     parsed.filter(keep)
       .select("path", "partitionValues", "size", "modificationTime", "stats",
-        "deletionVector")
+        "deletionVector", "baseRowId")
   }
 
   /** Change feed: the rows ADDED in versions (`sinceVersion`, latest] —
@@ -2685,7 +2884,8 @@ object DeltaSink {
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
-        col("add.deletionVector").as("deletionVector")), col("version")).as("w"))
+        col("add.deletionVector").as("deletionVector"),
+        col("add.baseRowId").as("baseRowId")), col("version")).as("w"))
       .select(col("path"), col("w.*"))
     readState(spark, table, state.copy(live = collectAdds(feed)))
   }
@@ -2988,7 +3188,8 @@ object DeltaSink {
       schema: StructType, partitionColumns: Seq[String], txns: Map[String, Long],
       minReader: Int = 1, minWriter: Int = 1,
       readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil,
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      domains: Map[String, String] = Map.empty)
 
   /** JSON commit actions, as a Spark schema: what [[actionsDF]] extracts
     * from the log tail. PERMISSIVE json read turns a protocol line into
@@ -3006,7 +3207,8 @@ object DeltaSink {
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType)))),
-    StructField("txn", CheckpointSchema("txn").dataType)))
+    StructField("txn", CheckpointSchema("txn").dataType),
+    StructField("domainMetadata", CheckpointSchema("domainMetadata").dataType)))
 
   /** The given commit files as a DataFrame of actions tagged with their
     * commit version — log replay as a Spark job instead of a driver loop.
@@ -3078,9 +3280,10 @@ object DeltaSink {
             logDir(table).resolve("_sidecars").resolve(r.getString(0)).toString)
         val metaPart = manifest
           .where(col("protocol").isNotNull || col("metaData").isNotNull ||
-            col("txn").isNotNull)
+            col("txn").isNotNull || col("domainMetadata").isNotNull)
           .select(col("protocol"), col("metaData"),
-            lit(null).cast(CheckpointSchema("add").dataType).as("add"), col("txn"))
+            lit(null).cast(CheckpointSchema("add").dataType).as("add"),
+            col("txn"), col("domainMetadata"))
         if (sidecarPaths.isEmpty) metaPart
         else metaPart.unionByName(
           spark.read.schema(StructType(Seq(CheckpointSchema("add"))))
@@ -3088,7 +3291,9 @@ object DeltaSink {
             .select(lit(null).cast(CheckpointSchema("protocol").dataType).as("protocol"),
               lit(null).cast(CheckpointSchema("metaData").dataType).as("metaData"),
               col("add"),
-              lit(null).cast(CheckpointSchema("txn").dataType).as("txn")))
+              lit(null).cast(CheckpointSchema("txn").dataType).as("txn"),
+              lit(null).cast(CheckpointSchema("domainMetadata").dataType)
+                .as("domainMetadata")))
       case (v, None) =>
         spark.read.schema(CheckpointSchema)
           .parquet(checkpointFile(table, v).toString)
@@ -3132,10 +3337,21 @@ object DeltaSink {
       if (p.size > 3 && !p.isNullAt(3))
         writerFeatures = p.getSeq[String](3).toSeq
     }
+    val domains = scala.collection.mutable.Map.empty[String, String]
+    def applyDomain(r: Row, idx: Int): Unit = if (!r.isNullAt(idx)) {
+      val d = r.getStruct(idx)
+      val name = d.getAs[String]("domain")
+      if (name != null) {
+        if (Option(d.getAs[java.lang.Boolean]("removed")).exists(_.booleanValue()))
+          domains -= name
+        else domains += name -> d.getAs[String]("configuration")
+      }
+    }
     ckptDF.foreach {
       _.where(col("metaData").isNotNull || col("txn").isNotNull ||
-          col("protocol").isNotNull)
-        .select("metaData", "txn", "protocol").collect().foreach { r =>
+          col("protocol").isNotNull || col("domainMetadata").isNotNull)
+        .select("metaData", "txn", "protocol", "domainMetadata")
+        .collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
             applyMeta(m.getAs[String]("id"), m.getAs[java.lang.Long]("createdTime"),
@@ -3148,12 +3364,14 @@ object DeltaSink {
             txns += t.getAs[String]("appId") -> t.getAs[Long]("version")
           }
           applyProtocol(r, 2)
+          applyDomain(r, 3)
         }
     }
     tailDF.foreach {
       _.where(col("metaData").isNotNull || col("txn").isNotNull ||
-          col("protocol").isNotNull)
-        .select("metaData", "txn", "version", "protocol").orderBy("version")
+          col("protocol").isNotNull || col("domainMetadata").isNotNull)
+        .select("metaData", "txn", "version", "protocol", "domainMetadata")
+        .orderBy("version")
         .collect().foreach { r =>
           if (!r.isNullAt(0)) {
             val m = r.getStruct(0)
@@ -3170,6 +3388,7 @@ object DeltaSink {
             if (txns.get(app).forall(_ < v)) txns += app -> v
           }
           applyProtocol(r, 3)
+          applyDomain(r, 4)
         }
     }
     require(schema.isDefined, s"Delta log has no metaData action: $table")
@@ -3198,6 +3417,7 @@ object DeltaSink {
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
         col("add.deletionVector").as("deletionVector"),
+        col("add.baseRowId").as("baseRowId"),
         lit(ckptV.get).as("version"),
         lit(true).as("isAdd")))
     val tailActs = tailDF.map(
@@ -3208,6 +3428,7 @@ object DeltaSink {
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
         col("add.deletionVector").as("deletionVector"),
+        col("add.baseRowId").as("baseRowId"),
         col("version"),
         col("add").isNotNull.as("isAdd")))
     val all = (ckptAdds.toSeq ++ tailActs.toSeq).reduce(_.unionByName(_))
@@ -3215,14 +3436,15 @@ object DeltaSink {
       .groupBy("path")
       .agg(max_by(struct(col("partitionValues"), col("size"),
         col("modificationTime"), col("stats"), col("deletionVector"),
-        col("isAdd")),
+        col("baseRowId"), col("isAdd")),
         col("version")).as("w"))
       .where(col("w.isAdd"))
       .select(col("path"), col("w.partitionValues").as("partitionValues"),
         col("w.size").as("size"),
         col("w.modificationTime").as("modificationTime"),
         col("w.stats").as("stats"),
-        col("w.deletionVector").as("deletionVector"))
+        col("w.deletionVector").as("deletionVector"),
+        col("w.baseRowId").as("baseRowId"))
     // PROTOCOL GATE: refuse tables demanding reader capabilities beyond
     // this engine's (v3 + deletionVectors). Silently mis-reading a table
     // whose protocol promises semantics we don't implement is the one
@@ -3240,7 +3462,8 @@ object DeltaSink {
       s"unsupported Delta reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")}: " +
         s"this engine implements ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
     (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
-      minReader, minWriter, readerFeatures, writerFeatures, tableConfig), live)
+      minReader, minWriter, readerFeatures, writerFeatures, tableConfig,
+      domains.toMap), live)
   }
 
   /** Live-set columns of [[resolve]] → driver [[AddEntry]]s — the
@@ -3258,13 +3481,15 @@ object DeltaSink {
       AddEntry(r.getAs[String]("path"),
         Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
         r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
-        r.getAs[String]("stats"), dv)
+        r.getAs[String]("stats"), dv,
+        Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue()))
     }.sortBy(_.path) // deterministic scan order regardless of agg partitioning
 
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
     val (meta, live) = resolve(spark, table, asOfVersion)
     State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
-      collectAdds(live), meta.txns, meta.minWriter, meta.configuration)
+      collectAdds(live), meta.txns, meta.minWriter, meta.configuration,
+      meta.domains)
   }
 
   /** Metadata-only live-file inventory for format interop
@@ -3364,9 +3589,10 @@ object DeltaSink {
         d.offset.map(o => s""""offset":$o,""").getOrElse("") +
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
       .getOrElse("")
+    val brid = a.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("")
     s"""{"add":{"path":${esc(a.path)},"partitionValues":$pv,"size":${a.size},""" +
       s""""modificationTime":${a.modificationTime},"dataChange":$dataChange,""" +
-      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}$dv}}"""
+      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}$dv$brid}}"""
   }
 
   /** All parquet data files under `dir`, partition subdirs included,

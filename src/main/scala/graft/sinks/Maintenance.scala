@@ -89,11 +89,16 @@ object Maintenance {
         masked.toDouble / (live + masked).toDouble >= dvPurgeRatio
       (false, (nFiles, purge))
     }
+    // a ROW-TRACKED table's DV debt retires through compact (the
+    // id-materializing rewrite); reorgPurge would break row ids and
+    // refuses there by contract
+    val rowTracked = DeltaSink.rowTrackingEnabled(spark, table)
     timed(steps, "reorg-purge") {
-      if (purge) DeltaSink.reorgPurge(spark, table, store = store): Unit
-      (purge, ())
+      if (purge && !rowTracked)
+        DeltaSink.reorgPurge(spark, table, store = store): Unit
+      (purge && !rowTracked, ())
     }
-    val compactNeeded = nFiles > maxSmallFiles
+    val compactNeeded = nFiles > maxSmallFiles || (purge && rowTracked)
     timed(steps, "optimize") {
       if (compactNeeded) DeltaSink.compact(spark, table, store = store): Unit
       (compactNeeded, ())

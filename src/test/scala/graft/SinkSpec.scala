@@ -4000,6 +4000,65 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 79)
   }
 
+  test("Delta row tracking: ids stable across append, DV delete, compaction, checkpointed replay (r16)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(2), table)
+    assert(DeltaSink.enableRowTracking(spark, table) == 40L)
+    def ids(): Map[Long, Long] = DeltaSink.readWithRowIds(spark, table)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    val before = ids()
+    assert(before.values.toSet == (0L until 40L).toSet)
+    // the enablement commit carries the protocol features + the domain
+    val v1 = DeltaSink.latestVersion(table)
+    val enableCommit = Files.readString(
+      Paths.get(table, "_delta_log", f"$v1%020d.json"))
+    assert(enableCommit.contains("rowTracking") &&
+      enableCommit.contains("domainMetadata") &&
+      enableCommit.contains("rowIdHighWaterMark"))
+    // append: fresh ids above the high-water mark; existing ids untouched
+    DeltaSink.append((41L to 50L).map(i => (i, s"n$i")).toDF("id", "name"), table)
+    val after1 = ids()
+    before.foreach { case (k, v) => assert(after1(k) == v) }
+    assert(after1.values.toSet == (0L until 50L).toSet)
+    // DV delete: survivors keep their ids (positions never move)
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 2 = 0") == 25L)
+    val after2 = ids()
+    assert(after2.keySet == (1L to 49L by 2).toSet)
+    after2.foreach { case (k, v) => assert(after1(k) == v) }
+    // a DV UPDATE's replacement row takes a FRESH id; survivors untouched
+    assert(DeltaSink.updateWhereDV(spark, table, "id = 1",
+      Map("name" -> "'upd'")) == 1L)
+    val after3 = ids()
+    assert(after3(1L) >= 50L, s"replacement must take a fresh id, got ${after3(1L)}")
+    (after2 - 1L).foreach { case (k, v) => assert(after3(k) == v) }
+    // compaction MATERIALIZES the ids into the rewritten parquet
+    DeltaSink.compact(spark, table)
+    assert(ids() == after3)
+    assert(DeltaSink.read(spark, table).columns.toSeq == Seq("id", "name"),
+      "the declared schema never grows the physical column")
+    // reorgPurge refuses — DV debt on a tracked table retires via compact
+    DeltaSink.deleteWhereDV(spark, table, "id = 3")
+    assert(intercept[IllegalArgumentException](
+      DeltaSink.reorgPurge(spark, table))
+      .getMessage.contains("row tracking"))
+    val after4 = ids()
+    // CLASSIC checkpoint + cold replay: baseRowId and the high-water-mark
+    // DOMAIN both survive the checkpoint — ids identical, and the next
+    // append continues the clock instead of reusing ids
+    DeltaSink.checkpoint(spark, table)
+    new File(table, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(ids() == after4)
+    DeltaSink.append(Seq((99L, "z")).toDF("id", "name"), table)
+    val after5 = ids()
+    assert(after5(99L) > after4.values.max,
+      "the clock must continue past the checkpointed high-water mark")
+    after4.foreach { case (k, v) => assert(after5(k) == v) }
+  }
+
   test("Iceberg V3 default values: ALTER ADD COLUMN DEFAULT is metadata-only; old rows read the default (r16)") {
     val s = spark
     import s.implicits._
