@@ -977,39 +977,69 @@ object EventWindowQueries extends QueryModule {
       // and SIDECAR parquets holding the adds — the layout where a
       // 100 TB log's checkpoint write AND read both parallelize, and an
       // incremental re-checkpoint can reuse unchanged sidecars. The
-      // query then deletes EVERY JSON commit — the cold-replay gate: the
+      // re-checkpoint after a point DV delete proves the INCREMENTAL
+      // contract (r16): content-addressed buckets carry forward BY NAME
+      // except the one the delete touched (`sidecars_reused`). The query
+      // then deletes EVERY JSON commit — the cold-replay gate: the
       // census must reproduce from manifest + sidecars alone, DV masks
-      // included, or the checkpoint dropped state. `v2_layout` pins
-      // exactly one manifest + at least one sidecar on disk. The
-      // feature-gating protocol commit (reader 3 / v2Checkpoint) is
+      // included, or the checkpoint dropped state. `v2_layout` pins the
+      // N-1 manifest fence (new + previous generation, nothing older).
+      // The feature-gating protocol commit (reader 3 / v2Checkpoint) is
       // SinkSpec-pinned alongside the unknown-feature reader refusal.
       (s, dir) => {
-        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
-        val table = graft.TempTables.create("graft-ckpt2")
-        graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
-          table, overwrite = true)
-        graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
-        graft.sinks.DeltaSink.deleteWhereDV(s, table, "event_id % 100 = 0")
-        graft.sinks.DeltaSink.checkpointV2(s, table)
-        val log = new java.io.File(table, "_delta_log")
-        log.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
-        val nManifests = log.listFiles()
-          .count(_.getName.matches("\\d{20}\\.checkpoint\\..*\\.parquet"))
-        val nSidecars = new java.io.File(log, "_sidecars").listFiles()
-          .count(_.getName.endsWith(".parquet"))
-        graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
-          .agg(count(lit(1)).as("cnt"),
-            countDistinct(col("event_id")).as("n_ids"),
-            fxSum(col("value")).as("sum_v"))
-          .withColumn("v2_layout", lit(nManifests == 1 && nSidecars >= 1))
-          .orderBy("event_type")
+        val prevProp = sys.props.get("graft.ckpt.addsPerSidecar")
+        sys.props("graft.ckpt.addsPerSidecar") = "4"
+        try {
+          val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+          val table = graft.TempTables.create("graft-ckpt2")
+          graft.sinks.DeltaSink.write(ev.filter(col("event_id") % 2 === 0),
+            table, overwrite = true)
+          graft.sinks.DeltaSink.append(ev.filter(col("event_id") % 2 === 1), table)
+          graft.sinks.DeltaSink.deleteWhereDV(s, table, "event_id % 100 = 0")
+          graft.sinks.DeltaSink.checkpointV2(s, table)
+          val log = new java.io.File(table, "_delta_log")
+          val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+          def sidecarsOfPointer(): Set[String] = {
+            val name = jackson.readTree(java.nio.file.Files.readString(
+              new java.io.File(log, "_last_checkpoint").toPath))
+              .get("path").asText()
+            s.read.parquet(new java.io.File(log, name).getPath)
+              .where(col("sidecar").isNotNull)
+              .select("sidecar.path").collect().map(_.getString(0)).toSet
+          }
+          val s1 = sidecarsOfPointer()
+          // INCREMENTAL re-checkpoint (r16): a point DV delete touches one
+          // file → one content-addressed bucket rewrites; every other
+          // sidecar carries forward BY NAME with zero bytes written
+          graft.sinks.DeltaSink.deleteWhereDV(s, table, "event_id = 41")
+          graft.sinks.DeltaSink.checkpointV2(s, table)
+          val s2 = sidecarsOfPointer()
+          val reused = (s2 -- s1).nonEmpty &&
+            s1.intersect(s2).size >= s1.size - 2
+          log.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+          // N-1 fence: the new + previous generations survive, nothing older
+          val nManifests = log.listFiles()
+            .count(_.getName.matches("\\d{20}\\.checkpoint\\..*\\.parquet"))
+          graft.sinks.DeltaSink.read(s, table).groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"),
+              countDistinct(col("event_id")).as("n_ids"),
+              fxSum(col("value")).as("sum_v"))
+            .withColumn("v2_layout", lit(nManifests == 2 && s2.nonEmpty))
+            .withColumn("sidecars_reused", lit(reused))
+            .orderBy("event_type")
+        } finally {
+          prevProp match {
+            case Some(p) => sys.props("graft.ckpt.addsPerSidecar") = p
+            case None => sys.props -= "graft.ckpt.addsPerSidecar"
+          }
+        }
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
              |COUNT(DISTINCT event_id) AS n_ids,
              |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
              |  AS sum_v,
-             |TRUE AS v2_layout
-             |FROM events WHERE event_id % 100 <> 0
+             |TRUE AS v2_layout, TRUE AS sidecars_reused
+             |FROM events WHERE event_id % 100 <> 0 AND event_id <> 41
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(

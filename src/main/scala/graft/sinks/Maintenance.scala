@@ -75,16 +75,20 @@ object Maintenance {
       vacuumRetentionMs: Long = 7L * 24 * 3600 * 1000,
       store: CommitStore = CommitStore.Local)
       : ((Boolean, Boolean, Int, Boolean), Seq[StepTiming]) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
     val steps = scala.collection.mutable.ArrayBuffer[StepTiming]()
     // one metadata pass answers both triggers: live-file count, physical
     // rows (numRecords) and masked rows (DV cardinality)
     val (nFiles, purge) = timed(steps, "triggers(log-stats)") {
       val stats = DeltaSink.fileStats(spark, table) // num_records is LIVE rows
-      val nFiles = stats.count()
+      // one aggregate answers both triggers (file count + live rows) —
+      // the trigger pass is the decomposition's priciest step, and a
+      // second job over the same log replay would double it
+      val agg = stats.agg(count(lit(1)), coalesce(sum(col("num_records")), lit(0L)))
+        .head()
+      val nFiles = agg.getLong(0)
+      val live = agg.getLong(1)
       val masked = DeltaSink.dvMaskedRows(spark, table)
-      val live = stats.agg(coalesce(sum(col("num_records")), lit(0L)))
-        .head().getLong(0)
       val purge = live + masked > 0 &&
         masked.toDouble / (live + masked).toDouble >= dvPurgeRatio
       (false, (nFiles, purge))
