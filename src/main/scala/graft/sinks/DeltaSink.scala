@@ -3046,6 +3046,15 @@ object DeltaSink {
     */
   private[graft] var DvLiteralMaxBytes: Int = 8 * 1024 * 1024
 
+  /** Total DV bytes (by descriptor sizeInBytes — decided WITHOUT reading
+    * a byte) past which the merged read stops materializing bitmaps on
+    * the driver and applies deletes as a distributed anti-join (tasks
+    * read vectors via TaskIO and explode positions). Broadcast carries
+    * comfortably to a few hundred MB; beyond that the join is the
+    * honest plan. Test override via the var.
+    */
+  private[graft] var DvBroadcastMaxBytes: Long = 256L * 1024 * 1024
+
   /** Content-keyed reuse cache for over-threshold DV broadcasts: without
     * it every read of a large-DV snapshot would mint a fresh multi-MB
     * broadcast at PLAN-BUILD time (several per DML verb) and rely on the
@@ -3101,25 +3110,63 @@ object DeltaSink {
     val merged =
       if (dvAdds.isEmpty) base
       else {
-        // dual-key map (raw absolute path + URI-encoded rendering), same
-        // discipline as the Iceberg side: `_metadata.file_path` may
-        // percent-encode characters the add path stores raw
-        val dvMap = dvAdds.flatMap { a =>
-          val abs = dataAbs(table, a.path)
-          val bytes = dvBitmapBytes(table, a.dv.get, store)
-          val enc = new File(abs).toURI.toString
-            .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-          Seq(abs, enc).distinct.map(_ -> bytes)
-        }.toMap
-        val packed = graft.functions.DeletionVector.packMap(dvMap)
         val key = regexp_replace(col("_gf_uri"),
           "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-        val probe =
-          if (packed.length <= DvLiteralMaxBytes)
-            graft.functions.DeletionVector.dvDeleted(packed, key, col("_gf_pos"))
-          else graft.functions.DeletionVector.dvDeletedBroadcast(
-            dvBroadcast(spark, packed), key, col("_gf_pos"))
-        base.filter(!probe)
+        // tier decision from DESCRIPTOR metadata (sizeInBytes) — the
+        // driver must not read a byte before knowing whether it may
+        val estimate = dvAdds.map(_.dv.get.sizeInBytes).sum
+        val taskIO = store.taskIO
+        if (estimate > DvBroadcastMaxBytes && taskIO.isDefined) {
+          // THIRD TIER (r16, the read-side twin of the sharded DV write):
+          // past broadcast scale the driver never materializes bitmap
+          // bytes — descriptors parallelize to tasks, each task reads its
+          // files' vectors via TaskIO and EXPLODES them to (key, pos)
+          // rows, and the deletes apply as a shuffled ANTI-JOIN. Work is
+          // O(deleted rows) — the honest trade once the vectors of
+          // ~10^5-10^6 files outgrow a plan literal or broadcast.
+          import spark.implicits._
+          val io = taskIO.get
+          val descs: Seq[(Seq[String], DvInfo)] = dvAdds.map { a =>
+            val abs = dataAbs(table, a.path)
+            val enc = new File(abs).toURI.toString
+              .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+            (Seq(abs, enc).distinct, a.dv.get)
+          }
+          val shards = math.max(1, math.min(descs.size,
+            spark.sessionState.conf.numShufflePartitions))
+          val tableRef = table
+          val delRows = spark.sparkContext
+            .parallelize(descs, shards)
+            .flatMap { case (keys, dv) =>
+              val bm = graft.functions.DeletionVector.deserialize(
+                dvBitmapBytesVia(tableRef, dv, io.read))
+              val it = bm.getLongIterator
+              val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+              while (it.hasNext) { val p = it.next(); keys.foreach(k => out += ((k, p))) }
+              out
+            }.toDF("_gfd_key", "_gfd_pos")
+          base.join(delRows,
+            key === col("_gfd_key") && col("_gf_pos") === col("_gfd_pos"),
+            "left_anti")
+        } else {
+          // dual-key map (raw absolute path + URI-encoded rendering), same
+          // discipline as the Iceberg side: `_metadata.file_path` may
+          // percent-encode characters the add path stores raw
+          val dvMap = dvAdds.flatMap { a =>
+            val abs = dataAbs(table, a.path)
+            val bytes = dvBitmapBytes(table, a.dv.get, store)
+            val enc = new File(abs).toURI.toString
+              .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+            Seq(abs, enc).distinct.map(_ -> bytes)
+          }.toMap
+          val packed = graft.functions.DeletionVector.packMap(dvMap)
+          val probe =
+            if (packed.length <= DvLiteralMaxBytes)
+              graft.functions.DeletionVector.dvDeleted(packed, key, col("_gf_pos"))
+            else graft.functions.DeletionVector.dvDeletedBroadcast(
+              dvBroadcast(spark, packed), key, col("_gf_pos"))
+          base.filter(!probe)
+        }
       }
     if (keepLineage) merged
     else merged.select(state.schema.fieldNames.toIndexedSeq.map(col): _*)

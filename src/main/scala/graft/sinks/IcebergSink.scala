@@ -2108,7 +2108,36 @@ object IcebergSink {
       .groupBy(_.dvRef.get._1).map { case (_, ds) => ds.maxBy(_.seq) }.toSeq
     val afterDv =
       if (dvRefs.isEmpty) keyed
-      else {
+      else if (dvRefs.map(_.dvRef.get._3).sum > DeltaSink.DvBroadcastMaxBytes &&
+          store.taskIO.isDefined) {
+        // past broadcast scale the driver never materializes bitmap bytes
+        // (the Delta read path's third tier, r16): tasks read each
+        // vector's Puffin slice via TaskIO, explode to (key, pos), and
+        // the deletes apply as a shuffled anti-join — O(deleted rows)
+        import spark.implicits._
+        val io = store.taskIO.get
+        val descs: Seq[(Seq[String], String, Long, Long)] = dvRefs.map { d =>
+          val (ref, off, size) = d.dvRef.get
+          (Seq(normPath(ref),
+            normPath(new java.io.File(ref).toURI.toString)).distinct,
+            d.path, off, size)
+        }
+        val shards = math.max(1, math.min(descs.size,
+          spark.sessionState.conf.numShufflePartitions))
+        val delRows = spark.sparkContext.parallelize(descs, shards)
+          .flatMap { case (keys, path, off, size) =>
+            val bm = graft.functions.DeletionVector.readFramedAt(
+              io.read(path), off.toInt, size - 8)
+            val it = bm.getLongIterator
+            val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+            while (it.hasNext) { val p = it.next(); keys.foreach(k => out += ((k, p))) }
+            out
+          }.toDF("_gfdv_key", "_gfdv_pos")
+        keyed.join(delRows,
+          col("_gf_dkey") === col("_gfdv_key") &&
+            col("_gf_pos") === col("_gfdv_pos"),
+          "left_anti")
+      } else {
         val dvMap: Map[String, Array[Byte]] = dvRefs.flatMap { d =>
           val (ref, off, size) = d.dvRef.get
           val bm = graft.functions.DeletionVector.readFramedAt(

@@ -4000,6 +4000,38 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 79)
   }
 
+  test("DV reads past broadcast scale apply as a distributed anti-join, bit-identical (r16)") {
+    val s = spark
+    import s.implicits._
+    import graft.sinks.DeltaSink
+    val dt = tmp()
+    DeltaSink.write((1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .repartition(4), dt)
+    assert(DeltaSink.deleteWhereDV(spark, dt, "id % 3 = 0") == 100L)
+    val it = tmp() + "/tbl"
+    IcebergSink.write((1L to 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .repartition(4), it, IcebergSink.CreateExclusive)
+    assert(IcebergSink.deleteWhereDV(spark, it, "id % 3 = 0") == 100L)
+    def census(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      (df.count(), df.agg(sum(col("id"))).head().getLong(0))
+    val dBase = census(DeltaSink.read(spark, dt))
+    val iBase = census(IcebergSink.read(spark, it))
+    val prev = DeltaSink.DvBroadcastMaxBytes
+    DeltaSink.DvBroadcastMaxBytes = 0L // force the third tier
+    try {
+      val d = DeltaSink.read(spark, dt)
+      assert(d.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "past the threshold the deletes must apply as an anti-join")
+      assert(census(d) == dBase)
+      val i = IcebergSink.read(spark, it)
+      assert(i.queryExecution.executedPlan.toString.contains("LeftAnti"))
+      assert(census(i) == iBase)
+      // a second DV delete under the join tier still merges correctly
+      assert(DeltaSink.deleteWhereDV(spark, dt, "id % 5 = 0") == 40L)
+      assert(DeltaSink.read(spark, dt).count() == 160)
+    } finally DeltaSink.DvBroadcastMaxBytes = prev
+  }
+
   test("Delta row tracking: ids stable across append, DV delete, compaction, checkpointed replay (r16)") {
     val s = spark
     import s.implicits._
