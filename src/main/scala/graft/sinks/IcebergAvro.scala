@@ -281,6 +281,34 @@ private[graft] object IcebergAvro {
     } finally r.close()
   }
 
+  /** A manifest's PARTITION FIELDS reconstructed from its own Avro writer
+    * schema (the r102 partition record): name, Avro primitive, field-id,
+    * logicalType — everything [[writeManifest]] needs to re-emit entries
+    * under the same struct (the row-lineage retro-assignment's partitioned
+    * path). Plus the manifest's spec id and spec JSON from key metadata.
+    */
+  def readManifestPartitionFields(f: File)
+      : (Seq[PartitionField], Int, String) = {
+    val r = new DataFileReader[GenericRecord](f,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val part = r.getSchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val fields = part.getFields.asScala.toSeq.map { pf =>
+        val t = pf.schema().getTypes.asScala
+          .find(_.getType != Schema.Type.NULL).get
+        PartitionField(pf.name(), t.getName,
+          Option(pf.getObjectProp("field-id"))
+            .map(_.toString.toInt).getOrElse(1000),
+          Option(t.getObjectProp("logicalType")).map(_.toString))
+      }
+      (fields,
+        Option(r.getMetaString("partition-spec-id")).map(_.toInt).getOrElse(0),
+        Option(r.getMetaString("partition-spec")).getOrElse(
+          """{"spec-id":0,"fields":[]}"""))
+    } finally r.close()
+  }
+
   /** Merges several manifests written under the SAME spec/schema into one
     * (the metadata-compaction half of Iceberg's rewrite_manifests): every
     * entry is copied VERBATIM (partition tuple, stats, bounds — the

@@ -3166,10 +3166,10 @@ object IcebergSink {
     * snapshot, and ratchets format-version to 3. Every later commit
     * advances the clock ([[write]] assigns to added files; MoR
     * replacement files assign too). Metadata-only: no data file is read
-    * or written at any table size. Scope: the retroactive rewrite covers
-    * unpartitioned tables (a partitioned enable needs one rewritten
-    * manifest per spec group — refused loudly for now; enable before
-    * partitioned writes land). Returns the rows assigned.
+    * or written at any table size. Partitioned (and partition-/schema-
+    * evolved) tables rewrite one manifest per source manifest, each
+    * keeping its own partition struct, spec id and schema metadata
+    * (r16). Returns the rows assigned.
     */
   def enableRowLineage(spark: SparkSession, table: String,
       store: CommitStore = CommitStore.Local): Long = {
@@ -3178,64 +3178,84 @@ object IcebergSink {
     val meta = mapper.readTree(Files.readString(metaFile(table, hint)))
     require(!meta.has("next-row-id"),
       s"row lineage already enabled on $table")
-    val defaultSpecEmpty = meta.get("partition-specs").elements().asScala
-      .find(s => s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
-      .forall(s => !s.get("fields").elements().hasNext)
-    require(defaultSpecEmpty, "enableRowLineage currently covers " +
-      "unpartitioned tables — enable lineage before partitioned writes")
     val snap = snapshotEntries(table, None)
     val seqByPath: Map[String, Long] = snap.data.map(e => e._1 -> e._3).toMap
     val list = manifestListOf(table, meta,
       meta.get("current-snapshot-id").asLong()).getOrElse(
       throw new IllegalStateException(s"no current snapshot on $table"))
     val refs = manifestRefs(table, list)
-    // per-file (size, rows, stats) re-read from the manifests — metadata
-    // scale, no data file opened
-    val perFile: Map[String, (Long, Long, IcebergAvro.ColumnStats)] =
-      refs.filter(_.content == 0).flatMap { r =>
-        val f = new File(requireAvro(abs(table, r.path)))
-        val stats = IcebergAvro.readManifestStats(f).toMap
-        IcebergAvro.readManifestDataEntries(f).collect {
-          case (p, size, rows, _) if seqByPath.contains(p) =>
-            p -> ((size, rows, stats.getOrElse(p, IcebergAvro.ColumnStats())))
-        }
-      }.toMap
-    val ordered = snap.data.map(_._1).distinct
-      .sortBy(p => (seqByPath(p), p))
+    // one rewritten manifest PER SOURCE MANIFEST — each keeps its OWN
+    // partition struct (rebuilt from its Avro writer schema), spec id and
+    // schema key metadata, so partitioned, partition-evolved and
+    // schema-evolved histories all retro-assign faithfully. Metadata
+    // scale throughout: no data file is opened.
+    case class MEntry(path: String, size: Long, rows: Long,
+        stats: IcebergAvro.ColumnStats, pvals: Map[String, Any])
+    val perManifest = refs.filter(_.content == 0).map { r =>
+      val f = new File(requireAvro(abs(table, r.path)))
+      val (pf, specId, specJson) = IcebergAvro.readManifestPartitionFields(f)
+      val stats = IcebergAvro.readManifestStats(f).toMap
+      val (pentries, schemaMeta) = IcebergAvro.readManifestPartitionsWithSchema(f)
+      val sizes = IcebergAvro.readManifestDataEntries(f)
+        .map(e => e._1 -> ((e._2, e._3))).toMap
+      val entries = pentries.collect {
+        case (p, pvals, _) if seqByPath.contains(p) =>
+          MEntry(p, sizes(p)._1, sizes(p)._2,
+            stats.getOrElse(p, IcebergAvro.ColumnStats()), pvals)
+      }
+      (pf, specId, specJson, schemaMeta, entries)
+    }.filter(_._5.nonEmpty)
+    // GLOBAL id order: (data sequence, path) across every manifest
+    val rowsByPath: Map[String, Long] =
+      perManifest.flatMap(_._5.map(e => e.path -> e.rows)).toMap
+    val ordered = snap.data.map(_._1).distinct.sortBy(p => (seqByPath(p), p))
     var next = 0L
-    val infos = ordered.map { p =>
-      val (size, rows, stats) = perFile(p)
-      val info = IcebergAvro.DataFileInfo(p, size, rows, stats,
-        firstRowId = Some(next))
-      next += rows
-      info
-    }
+    val fridByPath: Map[String, Long] = ordered.map { p =>
+      val id = next; next += rowsByPath.getOrElse(p, 0L); p -> id
+    }.toMap
     val snapshotId = math.abs(new java.util.Random().nextLong())
     val seq = meta.get("last-sequence-number").asLong() + 1
-    val specId = meta.get("default-spec-id").asInt()
-    val (manifestPath, manifestLen) = writeAvroArtifact(table, store,
-      s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
-      IcebergAvro.writeManifest(f, infos, snapshotId,
-        currentSchemaJson(meta)._2,
-        s"""{"spec-id":$specId,"fields":[]}""", Nil, specId = specId,
-        entrySeqs = seqByPath))
-    val minSeq = if (ordered.isEmpty) seq else ordered.map(seqByPath).min
-    val row = IcebergAvro.manifestRowExisting(
-      manifestPath.toFile.getAbsolutePath, manifestLen, seq, minSeq,
-      snapshotId, infos.size, infos.map(_.recordCount).sum, specId = specId)
+    val published = scala.collection.mutable.ArrayBuffer[Path]()
+    val rows = try perManifest.map {
+      case (pf, specId, specJson, schemaMeta, entries) =>
+        val infos = entries.map { e =>
+          IcebergAvro.DataFileInfo(e.path, e.size, e.rows, e.stats,
+            pf.map(x => e.pvals.getOrElse(x.name, null)),
+            firstRowId = Some(fridByPath(e.path)))
+        }
+        val (mp, len) = writeAvroArtifact(table, store,
+          s"manifest-${java.util.UUID.randomUUID()}.avro")(f =>
+          IcebergAvro.writeManifest(f, infos, snapshotId,
+            schemaMeta.getOrElse(currentSchemaJson(meta)._2), specJson, pf,
+            specId = specId, entrySeqs = seqByPath))
+        published += mp
+        IcebergAvro.manifestRowExisting(mp.toFile.getAbsolutePath, len, seq,
+          entries.map(e => seqByPath(e.path)).min, snapshotId, infos.size,
+          infos.map(_.recordCount).sum, specId = specId)
+    } catch { case e: Throwable =>
+      published.foreach { p =>
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(p)): Unit
+          case _ => Files.deleteIfExists(p): Unit
+        }
+      }
+      throw e
+    }
     // delete manifests carry forward verbatim — their (file, pos)
     // references stay valid because every data entry kept its sequence
     val carriedDeletes = IcebergAvro.readManifestList(
       new File(requireAvro(abs(table, list))))
       .filter(_.get("content").asInstanceOf[Int] == 1)
     commitSnapshot(table, store, meta, hint, snapshotId, seq,
-      currentSchemaJson(meta)._1, Seq(row), "replace",
+      currentSchemaJson(meta)._1, rows, "replace",
       Map("graft.row-lineage" -> "enabled",
         "assigned-rows" -> next.toString),
       reclaimOnConflict = () => {
-        store match {
-          case os: ObjectStore => scala.util.Try(os.deleteObject(manifestPath)): Unit
-          case _ => Files.deleteIfExists(manifestPath): Unit
+        published.foreach { p =>
+          store match {
+            case os: ObjectStore => scala.util.Try(os.deleteObject(p)): Unit
+            case _ => Files.deleteIfExists(p): Unit
+          }
         }
       },
       carriedOverride = Some(carriedDeletes),

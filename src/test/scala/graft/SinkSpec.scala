@@ -3345,13 +3345,23 @@ class SinkSpec extends AnyFunSuite {
       Seq((99L, "new")).toDF("id", "name"), Seq("id")) == 1L)
     val after5 = ids()
     assert(after5(99L) > after4(1L))
-    // partitioned tables refuse the retroactive enable loudly
+    // PARTITIONED tables retro-assign too (r16): one rewritten manifest
+    // per source manifest keeps each partition struct intact — pruned
+    // reads still work and ids stay stable through an append
     val pt = tmp() + "/pt"
-    IcebergSink.write((1L to 4L).map(i => (i, s"g${i % 2}")).toDF("id", "g"),
+    IcebergSink.write((1L to 20L).map(i => (i, s"g${i % 2}")).toDF("id", "g"),
       pt, IcebergSink.CreateExclusive, partitionBy = Seq("g"))
-    assert(intercept[IllegalArgumentException](
-      IcebergSink.enableRowLineage(spark, pt))
-      .getMessage.contains("unpartitioned"))
+    assert(IcebergSink.enableRowLineage(spark, pt) == 20L)
+    def pids(): Map[Long, Long] = IcebergSink.readWithLineage(spark, pt)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    val pBefore = pids()
+    assert(pBefore.values.toSet == (0L until 20L).toSet)
+    IcebergSink.write(Seq((21L, "g1")).toDF("id", "g"), pt, IcebergSink.Append)
+    val pAfter = pids()
+    pBefore.foreach { case (k, v) => assert(pAfter(k) == v) }
+    assert(pAfter(21L) == 20L)
+    // the rewritten manifests kept partition values: pruned reads hold
+    assert(IcebergSink.read(spark, pt).filter(col("g") === "g0").count() == 10)
   }
 
   test("Iceberg DV fan-out: a wide delete shards Puffin files from executors (r16)") {
