@@ -800,6 +800,38 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("row tracking + row lineage enablement travel the store protocol (r16)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      // DELTA: enable + append + DV delete, every commit a conditional PUT
+      val dt = root.resolve("rt-delta").toString
+      assert(DeltaSink.write((1L to 30L).map(i => (i, i.toDouble))
+        .toDF("id", "v"), dt, store = client))
+      val cp0 = server.conditionalPuts.get()
+      assert(DeltaSink.enableRowTracking(s, dt, store = client) == 30L)
+      assert(server.conditionalPuts.get() == cp0 + 1)
+      DeltaSink.append(Seq((31L, 31.0)).toDF("id", "v"), dt, store = client)
+      assert(DeltaSink.deleteWhereDV(s, dt, "id <= 5", store = client) == 5L)
+      val ids = DeltaSink.readWithRowIds(s, dt, store = client)
+        .select("id", "_row_id").as[(Long, Long)].collect().toMap
+      assert(ids.keySet == (6L to 31L).toSet)
+      assert(ids(31L) == 30L, "the clock continues over the store")
+      // ICEBERG: retroactive lineage enable over the store
+      val it = root.resolve("rt-ice").toString
+      IcebergSink.write((1L to 20L).map(i => (i, i.toDouble)).toDF("id", "v"),
+        it, IcebergSink.CreateExclusive, store = client)
+      assert(IcebergSink.enableRowLineage(s, it, store = client) == 20L)
+      val iids = IcebergSink.readWithLineage(s, it, store = client)
+        .select("id", "_row_id").as[(Long, Long)].collect().toMap
+      assert(iids.values.toSet == (0L until 20L).toSet)
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   test("Delta DV delete/update + column mapping travel the store protocol (r13 verdict)") {
     val s = spark
     import s.implicits._
