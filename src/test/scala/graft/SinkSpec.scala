@@ -4010,6 +4010,35 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.read(spark, table).count() == 79)
   }
 
+  test("row-tracking domain + baseRowId survive a V2 checkpoint cold replay (r16)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 30L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .coalesce(2), table)
+    assert(DeltaSink.enableRowTracking(spark, table) == 30L)
+    def ids(): Map[Long, Long] = DeltaSink.readWithRowIds(spark, table)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    val before = ids()
+    // the V2 manifest carries the domainMetadata row AND the sidecars
+    // carry baseRowId — a cold replay through manifest + sidecars alone
+    // must neither lose nor reuse ids
+    DeltaSink.checkpointV2(spark, table)
+    new File(table, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(ids() == before)
+    DeltaSink.append(Seq((31L, 31.0)).toDF("id", "v"), table)
+    val after = ids()
+    assert(after(31L) == 30L,
+      "the high-water mark must continue through the v2 checkpoint")
+    before.foreach { case (k, v) => assert(after(k) == v) }
+    // and the INCREMENTAL re-checkpoint keeps tracking state exact too
+    DeltaSink.checkpointV2(spark, table)
+    new File(table, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(ids() == after)
+  }
+
   test("DV reads past broadcast scale apply as a distributed anti-join, bit-identical (r16)") {
     val s = spark
     import s.implicits._
