@@ -239,6 +239,13 @@ object Bench {
       // just before the first streaming-mode entry in bench_history.jsonl
       // (ts 1786725723159); earlier same-SF entries are batch-mode numbers
       "q_stream_session" -> 1786725000000L)
+    // Shape gate (VERDICT r16 advice #3): the regression reference for a
+    // query is only an entry measured at the query's CURRENT declared
+    // shapeVersion — a deliberate scope change (e.g. r16's doubled
+    // q_delta_checkpoint_v2) re-baselines instead of flagging OPEN against
+    // the old shape's best forever. Entries written before shapes were
+    // recorded carry an implicit version 1 for every query.
+    val curShape: Map[String, Int] = SparkEntry.shapeVersions
     // per-query best fast-regime time, WITH the ci of the run that set it —
     // the denominator of the regime normalization below
     val best: Map[String, (Double, Double)] =
@@ -260,8 +267,11 @@ object Bench {
           .flatMap { n =>
             val ci = n.path("ci").asDouble(1.0)
             val ts = n.path("ts").asLong(0L)
+            val shapes = n.path("shapes")
             n.path("queries").properties().asScala.toSeq
               .filter(e => redefinedAfter.get(e.getKey).forall(ts >= _))
+              .filter(e => shapes.path(e.getKey).asInt(1) ==
+                curShape.getOrElse(e.getKey, 1))
               .map(e => e.getKey -> (e.getValue.asDouble(), ci))
           }
           .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 <= b._1) a else b)
@@ -324,7 +334,13 @@ object Bench {
     val entry = {
       val qs = result.ok.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      f"""{"ts":${System.currentTimeMillis()},"sf":"$sfTag","ci":${result.contentionIndex}%.3f,"total":${result.total}%.3f,"queries":$qs}"""
+      // only non-default shapes are recorded — absent means version 1
+      val shaped = curShape.filter(_._2 != 1).toSeq.sortBy(_._1)
+      val shapesJson =
+        if (shaped.isEmpty) ""
+        else shaped.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","shapes":{""", ",", "}")
+      f"""{"ts":${System.currentTimeMillis()},"sf":"$sfTag","ci":${result.contentionIndex}%.3f,"total":${result.total}%.3f,"queries":$qs$shapesJson}"""
     }
     java.nio.file.Files.write(path,
       (entry + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

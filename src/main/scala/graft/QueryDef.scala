@@ -12,7 +12,15 @@ import org.apache.spark.sql.types.DecimalType
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Bumped whenever the query's declared SCOPE/shape changes (more
+      * commits, a different algorithmic formulation) so Bench's
+      * per-query regression reference re-baselines instead of flagging
+      * the new shape against a stale best forever (VERDICT r16 advice
+      * #3 — q_delta_checkpoint_v2's r16 scope doubling). History entries
+      * recorded before the mechanism existed carry an implicit 1.
+      */
+    shapeVersion: Int = 1)
 
 object QueryDef {
   /** Determinism contract (SURVEY.md §2.2): double aggregation order is not

@@ -45,5 +45,12 @@ object SparkEntry {
     * (approximate / property-tested operators).
     */
   def oracleSql: Map[String, String] =
-    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+    allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Per-query shape version (see [[QueryDef.shapeVersion]]) — Bench keys
+    * its regression reference on (query, shape) so a declared scope change
+    * re-baselines automatically.
+    */
+  def shapeVersions: Map[String, Int] =
+    allDefs.map(d => d.name -> d.shapeVersion).toMap
 }

