@@ -2638,6 +2638,13 @@ object EventWindowQueries extends QueryModule {
       // row keeps its id through append + DV delete + compaction),
       // `ids_unique` (no id collides across the enable/append
       // generations), `ids_assigned` (no surviving row reads null).
+      // r17 adds the read contract's second half,
+      // `_last_updated_sequence_number` (inherited from each file's data
+      // sequence; materialized through compaction like `_row_id`), gated
+      // by an IDENTITY update (SET value = value — census-invariant):
+      // `seq_assigned` (no null), `seq_bumped` (exactly the updated rows
+      // advance to the update's sequence), `seq_stable` (nobody else
+      // moves — compaction's new sequence never claims repacked rows).
       // Census must equal the oracle's complement. At 100 TB: enable
       // and every subsequent assignment are manifest-plane work — no
       // data file is opened for lineage bookkeeping, and compaction's id
@@ -2660,22 +2667,44 @@ object EventWindowQueries extends QueryModule {
           .filter(col("_row_id") =!= col("_pre_id")).count() == 0
         val unique = post.select("_row_id").distinct().count() == post.count()
         val assigned = post.filter(col("_row_id").isNull).count() == 0
-        post.groupBy("event_type")
+        // identity update: lineage must move for EXACTLY the touched rows
+        val preUpd = post.select(col("event_id"),
+          col("_last_updated_sequence_number").as("_pre_seq"))
+        graft.sinks.IcebergSink.updateWhereDV(s, tbl, "event_id % 10 = 6",
+          Map("value" -> "value"))
+        val post2 = graft.sinks.IcebergSink.readWithLineage(s, tbl)
+        val joined = post2.join(preUpd, Seq("event_id"), "inner")
+        val seqAssigned = post2
+          .filter(col("_last_updated_sequence_number").isNull).count() == 0
+        val seqBumped = joined.filter(col("event_id") % 10 === 6)
+          .filter(col("_last_updated_sequence_number") <= col("_pre_seq"))
+          .count() == 0
+        val seqStable = joined.filter(col("event_id") % 10 =!= 6)
+          .filter(col("_last_updated_sequence_number") =!= col("_pre_seq"))
+          .count() == 0
+        post2.groupBy("event_type")
           .agg(count(lit(1)).as("cnt"),
             countDistinct(col("event_id")).as("n_ids"),
             fxSum(col("value")).as("sum_v"))
           .withColumn("ids_stable", lit(stable))
           .withColumn("ids_unique", lit(unique))
           .withColumn("ids_assigned", lit(assigned))
+          .withColumn("seq_assigned", lit(seqAssigned))
+          .withColumn("seq_bumped", lit(seqBumped))
+          .withColumn("seq_stable", lit(seqStable))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
              |COUNT(DISTINCT event_id) AS n_ids,
              |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
              |  AS sum_v,
-             |TRUE AS ids_stable, TRUE AS ids_unique, TRUE AS ids_assigned
+             |TRUE AS ids_stable, TRUE AS ids_unique, TRUE AS ids_assigned,
+             |TRUE AS seq_assigned, TRUE AS seq_bumped, TRUE AS seq_stable
              |FROM events WHERE event_id % 10 <> 3
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // r17 extended the scope: identity update + second lineage read
+      // gating _last_updated_sequence_number (VERDICT r16 item 4)
+      shapeVersion = 2),
 
     QueryDef(
       "q_iceberg_deletekeys",

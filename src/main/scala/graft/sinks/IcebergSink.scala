@@ -2304,17 +2304,21 @@ object IcebergSink {
     // and an all-nullable schema would drift into the metadata
     val schema = DataType.fromJson(
       meta.get("properties").get("graft.spark-schema").asText()).asInstanceOf[StructType]
-    // a lineage-enabled table's compaction must PRESERVE row ids (spec v3
-    // §Row Lineage: rewritten files carry them explicitly): the rewrite
-    // reads the merged view WITH `_row_id` and MATERIALIZES it into the
-    // compacted parquet as an extra physical column — manifest
-    // first_row_id stays null for these files and lineage reads pick the
-    // column up by name
+    // a lineage-enabled table's compaction must PRESERVE row lineage
+    // (spec v3 §Row Lineage: rewritten files carry it explicitly): the
+    // rewrite reads the merged view WITH `_row_id` and
+    // `_last_updated_sequence_number` and MATERIALIZES both into the
+    // compacted parquet as extra physical columns — manifest first_row_id
+    // stays null for these files, the rewrite's own (new) data sequence
+    // never claims the repacked rows, and lineage reads pick both columns
+    // up by name
     val lineage = meta.has("next-row-id")
     val readSchema =
       if (!lineage) schema
-      else StructType(schema.fields :+
-        StructField("_row_id", LongType, nullable = true))
+      else StructType(schema.fields ++ Seq(
+        StructField("_row_id", LongType, nullable = true),
+        StructField("_last_updated_sequence_number", LongType,
+          nullable = true)))
     val source =
       if (lineage) readWithLineage(spark, table) else read(spark, table)
     val df = spark.createDataFrame(source.rdd, readSchema)
@@ -2326,7 +2330,9 @@ object IcebergSink {
     // tail) skip rather than re-deliver or fail on
     writeWithRetry(packed, table, Overwrite, store = store,
       operationOverride = Some("replace"),
-      extraPhysicalCols = if (lineage) Set("_row_id") else Set.empty)
+      extraPhysicalCols =
+        if (lineage) Set("_row_id", "_last_updated_sequence_number")
+        else Set.empty)
     (before, fileCount())
   }
 
@@ -3282,11 +3288,21 @@ object IcebergSink {
     }.toMap
   }
 
-  /** LINEAGE READ — the current merged view plus `_row_id` (spec v3 §Row
-    * Lineage): `first_row_id + position` for manifest-assigned files, the
-    * MATERIALIZED `_row_id` column for files a lineage-preserving
-    * compaction rewrote, null for files predating enablement (and for
-    * MoR replacement rows until their commit assigned — which it does).
+  /** LINEAGE READ — the current merged view plus `_row_id` AND
+    * `_last_updated_sequence_number` (spec v3 §Row Lineage):
+    *
+    *  - `_row_id`: `first_row_id + position` for manifest-assigned files,
+    *    the MATERIALIZED `_row_id` column for files a lineage-preserving
+    *    compaction rewrote, null for files predating enablement (and for
+    *    MoR replacement rows until their commit assigned — which it does).
+    *  - `_last_updated_sequence_number`: inherited from each data file's
+    *    DATA SEQUENCE NUMBER (the snapshot that last wrote the row's file
+    *    version — an updateWhereDV's replacement rows land in a new file
+    *    at the update's sequence, while a DV delete leaves survivors'
+    *    files, hence their sequence, untouched), unless the file
+    *    MATERIALIZES the column (a compaction rewrite, whose new data
+    *    sequence would otherwise wrongly claim every row it repacked).
+    *
     * DV and positional deletes apply exactly as in [[read]]; surviving
     * rows keep their ids because deletes never move positions.
     */
@@ -3295,22 +3311,27 @@ object IcebergSink {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     val snap = snapshotEntries(table, None)
     val frid = firstRowIds(table)
-    val withRid = StructType(snap.schema.fields :+
-      StructField("_row_id", LongType, nullable = true))
+    val withRid = StructType(snap.schema.fields ++ Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_last_updated_sequence_number", LongType, nullable = true)))
     // NAME-based read on purpose (curFields omitted): files lacking the
-    // physical `_row_id` column read it as null; lineage composing with
+    // physical lineage columns read them as null; lineage composing with
     // rename/drop id-projection is tracked for a later round
     val base = readMerged(spark, withRid, snap.data, snap.deletes,
       keepLineage = true, store = store)
     val rows = spark.createDataFrame(
       snap.data.map(e => org.apache.spark.sql.Row(
-        e._1, frid.get(e._1).map(Long.box).orNull)).asJava,
+        e._1, frid.get(e._1).map(Long.box).orNull, Long.box(e._3))).asJava,
       StructType(Seq(StructField("_gf_fpath", StringType),
-        StructField("_gf_frid", LongType, nullable = true))))
+        StructField("_gf_frid", LongType, nullable = true),
+        StructField("_gf_fseq", LongType, nullable = true))))
     base.join(broadcast(rows), col("_gf_mpath") === col("_gf_fpath"), "left")
       .withColumn("_row_id",
         coalesce(col("_row_id"), col("_gf_frid") + col("_gf_pos")))
-      .select((snap.schema.fieldNames.toIndexedSeq :+ "_row_id").map(col): _*)
+      .withColumn("_last_updated_sequence_number",
+        coalesce(col("_last_updated_sequence_number"), col("_gf_fseq")))
+      .select((snap.schema.fieldNames.toIndexedSeq ++
+        Seq("_row_id", "_last_updated_sequence_number")).map(col): _*)
   }
 
   private def dvRewrite(spark: SparkSession, table: String, predicate: String,

@@ -3308,8 +3308,18 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergSink.enableRowLineage(spark, table) == 40L)
     def ids(): Map[Long, Long] = IcebergSink.readWithLineage(spark, table)
       .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    // the read contract's second half (r17): every row also carries
+    // _last_updated_sequence_number, inherited from its data file's
+    // sequence — enablement kept the ORIGINAL entry sequences, so every
+    // retro-assigned row reads the CREATE commit's sequence (1), not the
+    // enable replace's (2)
+    def seqs(): Map[Long, Long] = IcebergSink.readWithLineage(spark, table)
+      .select("id", "_last_updated_sequence_number").as[(Long, Long)]
+      .collect().toMap
     val before = ids()
     assert(before.values.toSet == (0L until 40L).toSet)
+    assert(seqs().values.toSet == Set(1L),
+      "retro-assigned rows must inherit their file's original sequence")
     val mdir = new File(table, "metadata")
     def newestMeta() = Files.readString(mdir.listFiles()
       .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName).toPath)
@@ -3323,16 +3333,29 @@ class SinkSpec extends AnyFunSuite {
     before.foreach { case (k, v) => assert(after1(k) == v) }
     assert(after1.values.toSet == (0L until 50L).toSet)
     assert(newestMeta().contains(""""next-row-id":50"""))
+    // appended rows inherit the APPEND's sequence (3: create 1, enable 2);
+    // pre-existing rows keep 1
+    val seqAfterAppend = seqs()
+    assert((1L to 40L).forall(seqAfterAppend(_) == 1L))
+    assert((41L to 50L).forall(seqAfterAppend(_) == 3L))
     // DV delete: survivors keep their ids (positions never move)
     assert(IcebergSink.deleteWhereDV(spark, table, "id % 2 = 0") == 25L)
     val after2 = ids()
     assert(after2.keySet == (1L to 49L by 2).toSet)
     after2.foreach { case (k, v) => assert(after1(k) == v) }
+    // ...and a DV delete never bumps survivors' last-updated sequence —
+    // their files, hence their inherited sequences, are untouched
+    val seqAfterDelete = seqs()
+    after2.keySet.foreach(k => assert(seqAfterDelete(k) == seqAfterAppend(k)))
     // compaction MATERIALIZES the ids into the rewritten parquet — the
     // lineage read is identical through the rewrite
     IcebergSink.compact(spark, table)
     assert(ids() == after2)
-    // ...and the declared schema never grows the physical column
+    // ...BOTH columns: the rewrite's own (new) sequence must never claim
+    // the repacked rows — _last_updated_sequence_number rides the parquet
+    assert(seqs() == seqAfterDelete,
+      "compaction must materialize last-updated sequences, not re-inherit")
+    // ...and the declared schema never grows the physical columns
     assert(IcebergSink.read(spark, table).columns.toSeq == Seq("id", "name"))
     // a DV UPDATE's replacement row is a NEW row: fresh id from the clock
     assert(IcebergSink.updateWhereDV(spark, table, "id = 1",
@@ -3340,11 +3363,20 @@ class SinkSpec extends AnyFunSuite {
     val after4 = ids()
     assert(after4(1L) >= 50L, s"replacement must take a fresh id, got ${after4(1L)}")
     (after2 - 1L).foreach { case (k, v) => assert(after4(k) == v) }
+    // the replacement row's last-updated sequence is the UPDATE commit's
+    // (strictly newer than every survivor's); untouched rows keep theirs
+    val seqAfterUpdate = seqs()
+    assert(seqAfterUpdate(1L) > seqAfterDelete.values.max,
+      s"updated row must carry the update's sequence, got ${seqAfterUpdate(1L)}")
+    (after2.keySet - 1L).foreach(k =>
+      assert(seqAfterUpdate(k) == seqAfterDelete(k)))
     // an UPSERT's rows are new rows too — clock keeps advancing
     assert(IcebergSink.upsert(spark, table,
       Seq((99L, "new")).toDF("id", "name"), Seq("id")) == 1L)
     val after5 = ids()
     assert(after5(99L) > after4(1L))
+    assert(seqs()(99L) > seqAfterUpdate(1L),
+      "upserted row must carry the upsert's sequence")
     // PARTITIONED tables retro-assign too (r16): one rewritten manifest
     // per source manifest keeps each partition struct intact — pruned
     // reads still work and ids stay stable through an append
