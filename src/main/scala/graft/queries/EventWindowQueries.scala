@@ -969,6 +969,50 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_stats_ndv",
+      // TABLE STATISTICS under the oracle (r17, q_iceberg_stats_ndv's
+      // format twin — the Delta spec has no statistics slot, so
+      // DeltaSink.writeStats registers a Puffin of
+      // `apache-datasketches-theta-v1` blobs through the `graft.stats`
+      // metadata DOMAIN, a documented extension): one theta sketch per
+      // column in ONE distributed pass, one metadata-only commit (writer
+      // v7 + domainMetadata; reader untouched). Both census columns stay
+      // under the sketch's K=256, so the KMV estimates are EXACT and the
+      // oracle is a plain COUNT(DISTINCT). `broadcast_hinted` pins the
+      // planner hook: scanForJoin's NDV read is what marks the dim side
+      // broadcast-able before any scan. At 100 TB: the broadcast
+      // decision costs one O(1) domain read off the log head instead of
+      // a per-query replay over per-file stats.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.pmod
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            pmod(col("event_id"), lit(50L)).as("bucket"))
+        val tbl = graft.TempTables.create("graft-ds-stats")
+        graft.sinks.DeltaSink.write(ev, tbl, overwrite = true)
+        val ndvs = graft.sinks.DeltaSink.writeStats(s, tbl,
+          Seq("event_type", "bucket"))
+        val hinted = graft.sinks.DeltaSink.read(s, tbl)
+          .join(graft.sinks.DeltaSink.scanForJoin(s, tbl, "event_type")
+            .select(col("event_type")).distinct(), "event_type")
+        val hp = hinted.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(ndvs("event_type"), ndvs("bucket"),
+            hp.contains("BroadcastHashJoin"))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ndv_event_type",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ndv_bucket",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("broadcast_hinted",
+              org.apache.spark.sql.types.BooleanType))))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv_event_type,
+             |CAST(COUNT(DISTINCT event_id % 50) AS BIGINT) AS ndv_bucket,
+             |TRUE AS broadcast_hinted FROM events""".stripMargin)),
+
+    QueryDef(
       "q_delta_checkpoint_v2",
       // V2 CHECKPOINT under the oracle (r15, Delta spec §v2-checkpoints):
       // the census lands in two commits plus a DV delete, then

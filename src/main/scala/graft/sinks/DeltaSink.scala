@@ -2575,6 +2575,139 @@ object DeltaSink {
       .select((state0.schema.fieldNames.toIndexedSeq :+ "_row_id").map(col): _*)
   }
 
+  // ---- TABLE STATISTICS ([[IcebergStats]]'s format twin; graft
+  // EXTENSION, documented rather than hidden: the Delta spec has no
+  // table-statistics slot — per-file stats ride add.stats — so the
+  // registration lives in a `graft.stats` metadata DOMAIN, exactly what
+  // domain metadata exists for: engine-owned named configuration) ----
+
+  private[sinks] val StatsDomain = "graft.stats"
+
+  /** Computes one theta sketch PER COLUMN in a single distributed pass
+    * (constant ≤K×8 B per partition shipped), packs them into ONE Puffin
+    * file of `apache-datasketches-theta-v1` blobs under
+    * `_delta_log/_graft_stats/`, and registers (path, table version,
+    * per-column `ndv`) in the `graft.stats` domain via a METADATA-ONLY
+    * commit — writer v7 + the `domainMetadata` feature (reader version
+    * untouched; domains are writer-plane and unknown ones are ignored).
+    * Blob identity is the COLUMN NAME in blob properties (Delta has no
+    * Iceberg field ids outside column mapping). Re-running replaces the
+    * registration and deletes the superseded Puffin. Why at 100 TB: the
+    * broadcast decision wants the build side's cardinality BEFORE any
+    * scan — the domain row is an O(1) read off the replayed log head,
+    * no data file or per-file stats walk ([[statsNdv]]/[[scanForJoin]]).
+    * Returns the per-column NDV estimates (exact below the sketch's K).
+    */
+  def writeStats(spark: SparkSession, table: String, columns: Seq[String],
+      store: CommitStore = CommitStore.Local): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    require(columns.nonEmpty, "writeStats needs at least one column")
+    val (meta, _) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
+    val df = read(spark, table)
+    val T = graft.functions.ThetaSketch
+    val aggs = columns.map(c => T.sketch(T.hashFor(col(c))).as(s"_sk_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val sketches: Seq[(String, Array[Long])] = columns.zipWithIndex.map {
+      case (c, i) => c -> row.getSeq[Long](i).toArray
+    }
+    // Puffin: magic, blobs back to back, JSON footer (same public layout
+    // as [[IcebergStats.writeStats]]; payloads are raw CompactSketches)
+    val bos = new java.io.ByteArrayOutputStream()
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    bos.write(magic)
+    val blobMeta = sketches.map { case (c, sk) =>
+      val payload = IcebergStats.compactThetaBytes(sk)
+      val off = bos.size().toLong
+      bos.write(payload)
+      (c, off, payload.length.toLong, IcebergStats.ndvEstimate(sk))
+    }
+    val footerStart = bos.size()
+    val blobsJson = blobMeta.map { case (c, off, len, ndv) =>
+      s"""{"type":"apache-datasketches-theta-v1","fields":[],""" +
+        s""""offset":$off,"length":$len,""" +
+        s""""properties":{"ndv":"$ndv","column":${esc(c)}}}"""
+    }.mkString(",")
+    val footerPayload =
+      s"""{"blobs":[$blobsJson],"properties":{"created-by":"graft-stats"}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bos.write(magic)
+    bos.write(footerPayload)
+    val pl = footerPayload.length
+    bos.write(Array[Byte]((pl & 0xFF).toByte, ((pl >> 8) & 0xFF).toByte,
+      ((pl >> 16) & 0xFF).toByte, ((pl >> 24) & 0xFF).toByte))
+    bos.write(Array[Byte](0, 0, 0, 0)) // footer flags
+    bos.write(magic)
+    val fileBytes = bos.toByteArray
+    val statsPath = Paths.get(table, "_delta_log", "_graft_stats",
+      s"stats-${java.util.UUID.randomUUID()}.puffin")
+    store match {
+      case os: ObjectStore => os.putObject(statsPath, fileBytes)
+      case _ =>
+        Files.createDirectories(statsPath.getParent)
+        Files.write(statsPath, fileBytes): Unit
+    }
+    val ndvs = blobMeta.map { case (c, _, _, ndv) => c -> ndv }.toMap
+    def lst(fs: Seq[String]) = fs.distinct.sorted.map(esc).mkString("[", ",", "]")
+    val bump =
+      if (meta.minWriter >= 7 && meta.writerFeatures.contains("domainMetadata")) Nil
+      else Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+        s""""minWriterVersion":7,""" +
+        s""""readerFeatures":${lst(meta.readerFeatures)},""" +
+        s""""writerFeatures":${lst(meta.writerFeatures :+ "domainMetadata")}}}""")
+    val ndvJson = columns.map(c => s"${esc(c)}:${ndvs(c)}")
+      .mkString("{", ",", "}")
+    val conf = s"""{"path":${esc(statsPath.toFile.getAbsolutePath)},""" +
+      s""""tableVersion":${meta.version},"ndv":$ndvJson}"""
+    val superseded = meta.domains.get(StatsDomain)
+      .map(c => mapper.readTree(c).path("path").asText()).filter(_.nonEmpty)
+    try commitAtomic(store, versionFile(table, meta.version + 1),
+      bump :+ domainJson(StatsDomain, conf))
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        store match {
+          case os: ObjectStore => scala.util.Try(os.deleteObject(statsPath)): Unit
+          case _ => Files.deleteIfExists(statsPath): Unit
+        }
+        throw new IllegalStateException(
+          s"concurrent commit on $table during writeStats; re-run", e)
+    }
+    // the replaced stats file is dead the moment the domain row moved
+    superseded.foreach { p =>
+      store match {
+        case os: ObjectStore => scala.util.Try(os.deleteObject(Paths.get(p))): Unit
+        case _ => Files.deleteIfExists(Paths.get(p)): Unit
+      }
+    }
+    ndvs
+  }
+
+  /** The column's registered NDV (from the `graft.stats` domain — an
+    * O(1) read off the log head; the Puffin is never opened). None when
+    * the table carries no statistics for the column.
+    */
+  def statsNdv(spark: SparkSession, table: String, column: String): Option[Long] = {
+    replay(spark, table, None).domains.get(StatsDomain).flatMap { c =>
+      val n = mapper.readTree(c).path("ndv").path(column)
+      if (n.isMissingNode || n.isNull) None else Some(n.asLong())
+    }
+  }
+
+  /** The NDV-driven BROADCAST decision ([[IcebergStats.scanForJoin]]'s
+    * format twin): reads the table for a join and marks it
+    * broadcast-able when the registered NDV of its join key — for a
+    * dimension keyed by that column, an upper-bound row-count proxy —
+    * sits under `broadcastMaxNdv`. Without statistics the scan is
+    * returned unhinted (Catalyst's size-based estimate decides).
+    */
+  def scanForJoin(spark: SparkSession, table: String, joinKey: String,
+      broadcastMaxNdv: Long = 1000000L): DataFrame = {
+    val df = read(spark, table)
+    if (statsNdv(spark, table, joinKey).exists(_ <= broadcastMaxNdv))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   /** Physically deletes data files no longer referenced by the LATEST
     * snapshot whose on-disk mtime is older than `retentionMs` — the VACUUM
     * verb that reclaims space after [[compact]]/overwriting appends. Like

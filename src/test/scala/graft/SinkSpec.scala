@@ -4103,6 +4103,53 @@ class SinkSpec extends AnyFunSuite {
     } finally DeltaSink.DvBroadcastMaxBytes = prev
   }
 
+  test("Delta table statistics: theta-sketch NDV through the graft.stats domain (r17)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 500L).map(i => (i, i % 7, s"g${i % 3}"))
+      .toDF("id", "bucket", "grp").coalesce(2), table)
+    // one pass, one metadata-only commit; small-cardinality columns are
+    // exact under the sketch's K
+    val ndvs = DeltaSink.writeStats(spark, table, Seq("bucket", "grp"))
+    assert(ndvs == Map("bucket" -> 7L, "grp" -> 3L))
+    assert(DeltaSink.statsNdv(spark, table, "bucket").contains(7L))
+    assert(DeltaSink.statsNdv(spark, table, "grp").contains(3L))
+    assert(DeltaSink.statsNdv(spark, table, "id").isEmpty,
+      "unregistered column must read no NDV")
+    // the commit bumped to writer v7 + domainMetadata, reader untouched
+    val v = DeltaSink.latestVersion(table)
+    val commit = Files.readString(
+      Paths.get(table, "_delta_log", f"$v%020d.json"))
+    assert(commit.contains("\"minWriterVersion\":7") &&
+      commit.contains("domainMetadata") && commit.contains("graft.stats"))
+    assert(!commit.contains("\"add\""), "stats commit must be metadata-only")
+    // the Puffin landed under the log's stats dir
+    def puffins() = Paths.get(table, "_delta_log", "_graft_stats").toFile
+      .listFiles().filter(_.getName.endsWith(".puffin"))
+    assert(puffins().length == 1)
+    val firstPuffin = puffins().head.getName
+    // planner hook: the NDV-hinted side broadcasts
+    val hinted = DeltaSink.read(spark, table)
+      .join(DeltaSink.scanForJoin(spark, table, "grp")
+        .select(col("grp")).distinct(), "grp")
+    assert(hinted.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"))
+    // ...and above the threshold the scan comes back unhinted
+    assert(DeltaSink.scanForJoin(spark, table, "grp", broadcastMaxNdv = 2)
+      .queryExecution.logical.toString != "broadcast")
+    // re-running replaces the registration and reclaims the old Puffin
+    DeltaSink.append(Seq((501L, 99L, "g9")).toDF("id", "bucket", "grp"), table)
+    val ndvs2 = DeltaSink.writeStats(spark, table, Seq("bucket", "grp"))
+    assert(ndvs2 == Map("bucket" -> 8L, "grp" -> 4L))
+    assert(puffins().length == 1 && puffins().head.getName != firstPuffin,
+      "superseded stats Puffin must be deleted")
+    assert(DeltaSink.statsNdv(spark, table, "grp").contains(4L))
+    // the domain survives a checkpoint + cold replay
+    DeltaSink.checkpoint(spark, table)
+    assert(DeltaSink.statsNdv(spark, table, "grp").contains(4L))
+  }
+
   test("Delta row tracking: ids stable across append, DV delete, compaction, checkpointed replay (r16)") {
     val s = spark
     import s.implicits._
