@@ -2668,6 +2668,50 @@ object EventWindowQueries extends QueryModule {
              |TRUE AS broadcast_hinted FROM events""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_partition_stats",
+      // PARTITION STATISTICS under the oracle (r17, Iceberg spec
+      // §Partition statistics): writePartitionStats aggregates the
+      // current snapshot's manifest tree into one row per partition —
+      // data record/file counts, bytes, DV-delete counts attributed to
+      // each vector's REFERENCED file's partition (supersede rule) —
+      // writes ONE parquet under metadata/ and registers it in the
+      // `partition-statistics` metadata list (metadata-only commit;
+      // re-runs replace + reclaim). The census the query emits comes
+      // FROM THE STATS FILE (`live_record_count` = data − positional
+      // deletes); `stats_match` gates it against the direct merged read,
+      // `files_ok` pins positive file/byte tallies. At 100 TB: partition
+      // planning questions (rows per partition, skew, empty-partition
+      // pruning) answer from one KB-scale parquet instead of the full
+      // manifest walk every query otherwise pays.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val tbl = graft.TempTables.create("graft-ib-pstats") + "/tbl"
+        graft.sinks.IcebergSink.write(ev, tbl,
+          graft.sinks.IcebergSink.CreateExclusive,
+          partitionBy = Seq("event_type"))
+        graft.sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
+        graft.sinks.IcebergStats.writePartitionStats(s, tbl)
+        val stats = graft.sinks.IcebergStats.partitionStats(s, tbl).get
+          .select(element_at(col("partition"), "event_type").as("event_type"),
+            col("live_record_count").as("n_stats"),
+            col("data_file_count"), col("total_data_file_size_in_bytes"))
+        val direct = graft.sinks.IcebergSink.read(s, tbl)
+          .groupBy("event_type").agg(count(lit(1)).as("n_direct"))
+        stats.join(direct, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            col("n_stats").as("n_rows"),
+            (col("n_stats") <=> col("n_direct")).as("stats_match"),
+            (col("data_file_count") > 0 &&
+              col("total_data_file_size_in_bytes") > 0).as("files_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |TRUE AS stats_match, TRUE AS files_ok
+             |FROM events WHERE event_id % 10 <> 3
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_iceberg_row_lineage",
       // V3 ROW LINEAGE under the oracle (r16, Iceberg spec v3 §Row
       // Lineage — the third v3 pillar beside deletion vectors): every

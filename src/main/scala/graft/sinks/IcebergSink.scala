@@ -4735,13 +4735,13 @@ object IcebergSink {
       .flatMap((mp: String) => dataFilesOf(table, mp))
   }
 
-  private def currentMeta(table: String): com.fasterxml.jackson.databind.JsonNode = {
+  private[sinks] def currentMeta(table: String): com.fasterxml.jackson.databind.JsonNode = {
     val hint = readHint(table).getOrElse(
       throw new IllegalArgumentException(s"not an Iceberg table (no version-hint.text): $table"))
     mapper.readTree(Files.readString(metaFile(table, hint)))
   }
 
-  private def manifestListOf(table: String,
+  private[sinks] def manifestListOf(table: String,
       meta: com.fasterxml.jackson.databind.JsonNode, snapshotId: Long): Option[String] =
     meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapshotId)
@@ -4760,10 +4760,10 @@ object IcebergSink {
     * metadata JSON's manifest-list pointers stay table-relative so a
     * relocated table still resolves its own current state.
     */
-  private def abs(table: String, p: String): String =
+  private[sinks] def abs(table: String, p: String): String =
     if (p.startsWith("/")) p else new File(table, p).getAbsolutePath
 
-  private def requireAvro(p: String): String = {
+  private[sinks] def requireAvro(p: String): String = {
     // pre-Avro tables wrote manifest-list-*.json; surface a diagnosable
     // error instead of DataFileReader's raw "Not an Avro data file"
     require(!p.endsWith(".json"),
@@ -4780,7 +4780,7 @@ object IcebergSink {
     * (content 0) and positional-delete manifests (content 1).
     */
   private[sinks] case class ManifestRef(path: String, content: Int, seq: Long)
-  private def manifestRefs(table: String, listPath: String): Seq[ManifestRef] =
+  private[sinks] def manifestRefs(table: String, listPath: String): Seq[ManifestRef] =
     IcebergAvro.readManifestList(new File(requireAvro(abs(table, listPath)))).map { r =>
       ManifestRef(r.get("manifest_path").toString,
         r.get("content").asInstanceOf[Int],

@@ -286,4 +286,181 @@ object IcebergStats {
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }
+
+  // ---- PARTITION STATISTICS (spec §Partition statistics) ----
+
+  /** PARTITION STATISTICS FILE (Iceberg spec §Partition statistics):
+    * aggregates the CURRENT snapshot's manifest tree into one row per
+    * live partition — data record/file counts, total data bytes, and
+    * positional/equality delete counts (a V3 deletion vector attributes
+    * to its REFERENCED file's partition via the supersede rule; an
+    * equality delete to its own entry's partition, empty = global) —
+    * written as ONE spec-named parquet under `metadata/` and registered
+    * in the table metadata's `partition-statistics` list against the
+    * current snapshot via a metadata-only commit. Re-running replaces
+    * the registration and reclaims the superseded file. Deviation,
+    * documented rather than hidden: `partition` is the engine's uniform
+    * stringified `map<string,string>` ([[IcebergSink.fileStats]]'s
+    * contract), not the spec's unified partition struct — our readers
+    * consume names, not field-id tuples. Why at 100 TB: every
+    * partition-level planning question (live rows per partition, skew
+    * census, empty-partition pruning) otherwise pays the full manifest
+    * walk PER QUERY; the stats file answers them in one KB-scale parquet
+    * read ([[partitionStats]]). Returns the number of partition rows
+    * written.
+    */
+  def writePartitionStats(spark: SparkSession, table: String,
+      store: CommitStore = CommitStore.Local): Int = {
+    val hint = IcebergSink.readHint(table).getOrElse(
+      throw new IllegalArgumentException(s"not an Iceberg table: $table"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(IcebergSink.metaFile(table, hint)))
+    val snapshotId = meta.get("current-snapshot-id").asLong()
+    require(snapshotId > 0, s"no current snapshot on $table")
+    val list = IcebergSink.manifestListOf(table, meta, snapshotId).getOrElse(
+      throw new IllegalStateException(s"no manifest list for $snapshotId"))
+    val refs = IcebergSink.manifestRefs(table, list)
+    def openAvro(p: String) =
+      new File(IcebergSink.requireAvro(IcebergSink.abs(table, p)))
+    // data plane: per-file (partition, size, rows) + spec id per manifest
+    case class DFile(partition: Map[String, String], specId: Int,
+        size: Long, rows: Long)
+    val dataByPath: Map[String, DFile] = refs.filter(_.content == 0)
+      .flatMap { r =>
+        val f = openAvro(r.path)
+        val (_, specId, _) = IcebergAvro.readManifestPartitionFields(f)
+        val parts = IcebergAvro.readManifestPartitions(f).toMap
+        IcebergAvro.readManifestDataEntries(f).map { case (p, size, rows, _) =>
+          p -> DFile(parts.getOrElse(p, Map.empty)
+            .map { case (k, v) => k -> String.valueOf(v) }, specId, size, rows)
+        }
+      }.toMap
+    // delete plane: DV cardinalities per referenced file (supersede:
+    // highest sequence wins), equality deletes per own partition
+    val deleteEntries = refs.filter(_.content == 1).flatMap { r =>
+      val (entries, _) =
+        IcebergAvro.readManifestDeleteEntriesWithSchema(openAvro(r.path))
+      entries.map(e => (e, r.seq))
+    }
+    val dvByFile: Map[String, Long] = deleteEntries
+      .collect { case ((ref0, 1, _, n, _, Some((ref, _, _))), seq) =>
+        (ref, seq, n, ref0) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2)._3 }
+    val eqByPartition: Seq[(Map[String, String], Long)] = deleteEntries
+      .collect { case ((_, 2, _, n, pvals, _), _) =>
+        pvals.map { case (k, v) => k -> String.valueOf(v) } -> n }
+    // aggregate per (partition, spec_id)
+    case class PStat(var dataRows: Long = 0L, var dataFiles: Long = 0L,
+        var dataBytes: Long = 0L, var posDelRows: Long = 0L,
+        var posDelFiles: Long = 0L, var eqDelRows: Long = 0L,
+        var eqDelFiles: Long = 0L)
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(Map[String, String], Int), PStat]
+    dataByPath.toSeq.sortBy(_._1).foreach { case (p, d) =>
+      val s = acc.getOrElseUpdate((d.partition, d.specId), PStat())
+      s.dataRows += d.rows; s.dataFiles += 1; s.dataBytes += d.size
+      dvByFile.get(p).foreach { n => s.posDelRows += n; s.posDelFiles += 1 }
+    }
+    eqByPartition.foreach { case (pv, n) =>
+      // a global (unpartitioned) equality delete can erase rows in every
+      // partition — attribute it to each matching-key accumulator when
+      // partition-scoped, or to a dedicated global row otherwise
+      val s = acc.getOrElseUpdate(
+        (pv, acc.keys.headOption.map(_._2).getOrElse(0)), PStat())
+      s.eqDelRows += n; s.eqDelFiles += 1
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("spec_id", IntegerType),
+      StructField("data_record_count", LongType),
+      StructField("data_file_count", LongType),
+      StructField("total_data_file_size_in_bytes", LongType),
+      StructField("position_delete_record_count", LongType),
+      StructField("position_delete_file_count", LongType),
+      StructField("equality_delete_record_count", LongType),
+      StructField("equality_delete_file_count", LongType)))
+    val rows = acc.toSeq.map { case ((pv, specId), s) =>
+      Row(pv, specId, s.dataRows, s.dataFiles, s.dataBytes,
+        s.posDelRows, s.posDelFiles, s.eqDelRows, s.eqDelFiles)
+    }
+    // stage with Spark, publish the single part as the spec-named file
+    import scala.jdk.CollectionConverters._
+    val staging = Files.createTempDirectory("graft-pstats").toFile
+    val bytes =
+      try {
+        spark.createDataFrame(rows.asJava, schema).coalesce(1)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(staging.getPath)
+        val part = staging.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        Files.readAllBytes(part.toPath)
+      } finally {
+        def rm(f: File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+        }
+        rm(staging)
+      }
+    val statsPath = Paths.get(table, "metadata",
+      s"partition-stats-$snapshotId-${java.util.UUID.randomUUID()}.parquet")
+    store match {
+      case os: ObjectStore => os.putObject(statsPath, bytes)
+      case _ =>
+        Files.createDirectories(statsPath.getParent)
+        Files.write(statsPath, bytes): Unit
+    }
+    // metadata-only commit: REPLACE the partition-statistics list
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val oldPaths: Seq[String] =
+      if (!meta.has("partition-statistics")) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        meta.get("partition-statistics").elements().asScala
+          .map(_.get("statistics-path").asText()).toSeq
+      }
+    val arr = newMeta.putArray("partition-statistics")
+    arr.addObject()
+      .put("snapshot-id", snapshotId)
+      .put("statistics-path", statsPath.toFile.getAbsolutePath)
+      .put("file-size-in-bytes", bytes.length.toLong)
+    try IcebergSink.commitMetadataVersion(table, store, hint, newMeta)
+    catch { case e: Throwable =>
+      store match {
+        case os: ObjectStore => scala.util.Try(os.deleteObject(statsPath)): Unit
+        case _ => Files.deleteIfExists(statsPath): Unit
+      }
+      throw e
+    }
+    oldPaths.foreach { p =>
+      store match {
+        case os: ObjectStore => scala.util.Try(os.deleteObject(Paths.get(p))): Unit
+        case _ => Files.deleteIfExists(Paths.get(p)): Unit
+      }
+    }
+    rows.size
+  }
+
+  /** The registered partition statistics as a DataFrame (one KB-scale
+    * parquet read — the planner-side replacement for a per-query
+    * manifest walk; see [[writePartitionStats]]). None when the table
+    * carries no registration. `live_record_count` is the derived
+    * planning column: data records minus positional-delete records.
+    */
+  def partitionStats(spark: SparkSession, table: String): Option[DataFrame] = {
+    val hint = IcebergSink.readHint(table).getOrElse(return None)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(IcebergSink.metaFile(table, hint)))
+    if (!meta.has("partition-statistics")) return None
+    import scala.jdk.CollectionConverters._
+    meta.get("partition-statistics").elements().asScala.toSeq.headOption
+      .map { e =>
+        import org.apache.spark.sql.functions.col
+        spark.read.parquet(e.get("statistics-path").asText())
+          .withColumn("live_record_count",
+            col("data_record_count") - col("position_delete_record_count"))
+      }
+  }
 }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import graft.sinks.{CommitStore, DeltaSink, IcebergSink}
+import graft.sinks.{CommitStore, DeltaSink, IcebergSink, IcebergStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -4101,6 +4101,48 @@ class SinkSpec extends AnyFunSuite {
       assert(DeltaSink.deleteWhereDV(spark, dt, "id % 5 = 0") == 40L)
       assert(DeltaSink.read(spark, dt).count() == 160)
     } finally DeltaSink.DvBroadcastMaxBytes = prev
+  }
+
+  test("Iceberg partition statistics: manifest census to a registered stats parquet (r17)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("g"))
+    IcebergSink.write((301L to 320L).map(i => (i, "g0")).toDF("id", "g"),
+      table, IcebergSink.Append)
+    // DV delete spans partitions; the vectors attribute to their
+    // referenced files' partitions
+    assert(IcebergSink.deleteWhereDV(spark, table, "id % 10 = 1") == 32L)
+    assert(IcebergStats.writePartitionStats(spark, table) == 3)
+    val st = IcebergStats.partitionStats(spark, table).get
+      .select(element_at(col("partition"), "g").as("g"),
+        col("data_record_count"), col("position_delete_record_count"),
+        col("live_record_count"), col("data_file_count"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // ids ≡ 1 (mod 10) cycle g1,g2,g0 over 1..300 (10 deletes each) and
+    // add 301/311 from the all-g0 append → 12/10/10 per partition
+    assert(st("g0")._1 == 120L && st("g0")._2 == 12L && st("g0")._3 == 108L)
+    assert(st("g0")._4 >= 2L, "g0 holds files from two snapshots")
+    assert(st("g1")._1 == 100L && st("g1")._2 == 10L && st("g1")._3 == 90L)
+    assert(st("g2")._3 == 90L)
+    // the stats census equals the merged read exactly
+    val direct = IcebergSink.read(spark, table).groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    st.foreach { case (g, (_, _, live, _)) => assert(direct(g) == live) }
+    // re-run replaces the registration and reclaims the superseded file
+    def statsFiles() = new File(table, "metadata").listFiles()
+      .filter(_.getName.startsWith("partition-stats-"))
+    assert(statsFiles().length == 1)
+    val first = statsFiles().head.getName
+    assert(IcebergSink.deleteWhereDV(spark, table, "id % 10 = 2") == 32L)
+    IcebergStats.writePartitionStats(spark, table)
+    assert(statsFiles().length == 1 && statsFiles().head.getName != first,
+      "superseded partition-stats parquet must be reclaimed")
+    assert(IcebergStats.partitionStats(spark, table).get
+      .agg(sum(col("live_record_count"))).head().getLong(0) ==
+      IcebergSink.read(spark, table).count())
   }
 
   test("Delta table statistics: theta-sketch NDV through the graft.stats domain (r17)") {
