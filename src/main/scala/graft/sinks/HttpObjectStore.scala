@@ -57,6 +57,7 @@ object HttpObjectStore {
     // commits → M conditional puts), not a local-FS shortcut.
     val multipartCompletions = new java.util.concurrent.atomic.AtomicInteger(0)
     val conditionalPuts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val objectPuts = new java.util.concurrent.atomic.AtomicInteger(0)
     val objectDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
     val objectGets = new java.util.concurrent.atomic.AtomicInteger(0)
     val listings = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -179,6 +180,7 @@ object HttpObjectStore {
             } else {
               val tmp = Files.createTempFile(target.getParent, ".put-", ".tmp")
               Files.write(tmp, bytes)
+              objectPuts.incrementAndGet()
               Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
               respond(ex, 200)

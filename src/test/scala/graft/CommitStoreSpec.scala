@@ -832,6 +832,59 @@ class CommitStoreSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("statistics verbs travel the store protocol: theta NDV (both formats) + partition stats (r17)") {
+    val s = spark
+    import s.implicits._
+    val root = Paths.get(tmp())
+    val server = new HttpObjectStore.Server(root)
+    try {
+      val client = new HttpObjectStore.Client(server.endpoint, root)
+      // ICEBERG: the stats Puffin PUTs through the store, the metadata
+      // commit conditional-puts, a re-run reclaims the old file remotely
+      val it = root.resolve("st-ice").toString
+      IcebergSink.write((1L to 90L).map(i => (i, s"g${i % 3}")).toDF("id", "g"),
+        it, IcebergSink.CreateExclusive, partitionBy = Seq("g"))
+      val cp0 = server.conditionalPuts.get()
+      val mp0 = server.multipartCompletions.get()
+      assert(graft.sinks.IcebergStats.writeStats(s, it, Seq("g"))("g") == 3L)
+      // route the SECOND run through the client: the fresh Puffin PUTs
+      // and the superseded one DELETEs over the protocol
+      assert(graft.sinks.IcebergStats.writeStats(s, it, Seq("g"),
+        store = client)("g") == 3L)
+      assert(server.conditionalPuts.get() > cp0)
+      assert(server.multipartCompletions.get() > mp0,
+        "the stats Puffin must publish through the store")
+      assert(graft.sinks.IcebergStats.ndv(it, "g").contains(3L))
+      // PARTITION STATS: the census parquet publishes through the store
+      assert(IcebergSink.deleteWhereDV(s, it, "id % 9 = 1", store = client) == 10L)
+      val mp1 = server.multipartCompletions.get()
+      assert(graft.sinks.IcebergStats.writePartitionStats(s, it,
+        store = client) == 3)
+      assert(server.multipartCompletions.get() > mp1,
+        "the partition-stats parquet must publish through the store")
+      val live = graft.sinks.IcebergStats.partitionStats(s, it).get
+        .agg(org.apache.spark.sql.functions.sum(col("live_record_count")))
+        .head().getLong(0)
+      assert(live == 80L)
+      // DELTA: the domain commit conditional-puts, the Puffin PUTs
+      val dt = root.resolve("st-delta").toString
+      assert(DeltaSink.write((1L to 60L).map(i => (i, i % 5))
+        .toDF("id", "bucket"), dt, store = client))
+      val cp1 = server.conditionalPuts.get()
+      assert(DeltaSink.writeStats(s, dt, Seq("bucket"),
+        store = client)("bucket") == 5L)
+      assert(server.conditionalPuts.get() == cp1 + 1)
+      assert(DeltaSink.statsNdv(s, dt, "bucket").contains(5L))
+      // re-run over the store replaces + reclaims
+      assert(DeltaSink.writeStats(s, dt, Seq("bucket"),
+        store = client)("bucket") == 5L)
+      assert(Paths.get(dt, "_delta_log", "_graft_stats").toFile.listFiles()
+        .count(_.getName.endsWith(".puffin")) == 1,
+        "superseded Delta stats Puffin must reclaim through the store")
+      assert(server.stagedUploads.isEmpty, "no leaked multipart parts")
+    } finally server.close()
+  }
+
   test("Delta DV delete/update + column mapping travel the store protocol (r13 verdict)") {
     val s = spark
     import s.implicits._
