@@ -837,6 +837,55 @@ object EventWindowQueries extends QueryModule {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_delta_cluster_by",
+      // LIQUID CLUSTERING under the oracle (r17, Delta spec §Clustered
+      // Table): clusterBy declares (value, event_id) in ONE metadata-only
+      // commit (writer v7 + `clustering`+`domainMetadata` features, the
+      // `delta.clustering` domain — no file moves), then a PLAIN OPTIMIZE
+      // clusters implicitly by the declared columns. The read slices BOTH
+      // dimensions through readRanges (multi-column stats pruning) with
+      // the exact row filter on top; gates: `clustered` (the declaration
+      // reads back), `files_pruned` (the 2-D slice opened strictly fewer
+      // files than the table holds — the skipping the layout exists for).
+      // vs q_delta_zorder_read: same engine underneath, but the LAYOUT
+      // ownership moves into table metadata — OPTIMIZE needs no operator
+      // args, and re-declaring re-points future runs without rewriting
+      // history (the mobility partitioning can't offer). At 100 TB:
+      // multi-dimensional slices open the few overlapping files, and the
+      // clustering contract travels with the table, not the job code.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val table = graft.TempTables.create("graft-liquid")
+        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        graft.sinks.DeltaSink.clusterBy(s, table, Seq("value", "event_id"))
+        graft.sinks.DeltaSink.compact(s, table, maxRecordsPerFile = 2000)
+        val declared = graft.sinks.DeltaSink.clusteringColumns(s, table) ==
+          Seq("value", "event_id")
+        val idBound = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+        val slice = graft.sinks.DeltaSink.readRanges(s, table,
+          Seq(("value", "100.0", "200.0"), ("event_id", "0", idBound.toString)))
+        val pruned = slice.inputFiles.length <
+          graft.sinks.DeltaSink.read(s, table).inputFiles.length
+        slice
+          .filter(col("value") >= 100.0 && col("value") <= 200.0 &&
+            col("event_id") >= 0 && col("event_id") <= idBound)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            fxSum(col("value")).as("total_value"))
+          .withColumn("clustered", lit(declared))
+          .withColumn("files_pruned", lit(pruned))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+             |  TRUE AS clustered, TRUE AS files_pruned
+             |FROM events WHERE value >= 100.0 AND value <= 200.0
+             |  AND event_id >= 0
+             |  AND event_id <= (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_schema_evolution",
       // Append-time schema evolution through the gate: the table is
       // created without `user_id`, a second batch appends WITH it

@@ -938,9 +938,19 @@ object DeltaSink {
     val current0 =
       if (rowTracking) readWithRowIds(spark, table, store)
       else readState(spark, table, state, store)
+    // LIQUID CLUSTERING: on a clustered table a plain OPTIMIZE clusters
+    // implicitly by the declared columns (the spec's contract — the
+    // declaration is metadata-only, the NEXT rewrite realizes it); an
+    // explicit zorderBy still overrides for a one-off layout
+    val clusterCols =
+      if (zorderBy.nonEmpty) zorderBy
+      else clusteringPhysical(state.domains).map { phys =>
+        state.schema.fields.find(f => physName(f) == phys)
+          .map(_.name).getOrElse(phys)
+      }
     val current =
-      if (zorderBy.isEmpty) current0
-      else ZOrder.cluster(current0, zorderBy, nFiles) // shared with IcebergSink
+      if (clusterCols.isEmpty) current0
+      else ZOrder.cluster(current0, clusterCols, nFiles) // shared with IcebergSink
     val staging = Files.createTempDirectory("graft-delta-compact").toFile
     val txn = java.util.UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
@@ -951,7 +961,7 @@ object DeltaSink {
       // repartition keeps every bin under maxRecordsPerFile — the shuffle
       // is bounded by the live rows the compaction rewrites anyway
       val packed =
-        if (zorderBy.nonEmpty) current
+        if (clusterCols.nonEmpty) current // ZOrder.cluster already sized it
         else if (state.live.exists(_.dv.isDefined)) current.repartition(nFiles)
         else current.coalesce(nFiles)
       val writer = toPhysical(packed, state.schema).write
@@ -2708,6 +2718,73 @@ object DeltaSink {
     else df
   }
 
+  // ---- LIQUID CLUSTERING (Delta spec §Clustered Table — the
+  // `clustering` writer feature; columns live in the `delta.clustering`
+  // metadata domain) ----
+
+  private[sinks] val ClusteringDomain = "delta.clustering"
+
+  /** CLUSTER BY — declares the table's clustering columns (Delta spec
+    * §Clustered Table): ONE metadata-only commit bumping the protocol to
+    * writer v7 with the `clustering` + `domainMetadata` features (reader
+    * untouched — clustering is a write-time layout contract readers need
+    * not know) and recording `{"clusteringColumns":[["c"],…]}` in the
+    * `delta.clustering` domain, the spec's slot (each entry a physical
+    * column-name path). NO file moves at declaration time — the liquid
+    * posture: [[compact]] (OPTIMIZE) clusters implicitly from then on,
+    * and re-running clusterBy with different columns re-points future
+    * OPTIMIZE runs without rewriting history (the mobility partitioning
+    * can't offer). Read side: the clustered layout's tight per-file
+    * [min, max] stats are exactly what [[readRange]]/[[readRanges]]
+    * prune on — no new read machinery, just far fewer surviving files.
+    */
+  def clusterBy(spark: SparkSession, table: String, columns: Seq[String],
+      store: CommitStore = CommitStore.Local): Unit = {
+    require(columns.nonEmpty, "clusterBy needs at least one column")
+    val (meta, _) = resolve(spark, table, None)
+    requireWritable(meta.minWriter, table)
+    columns.foreach(c => require(meta.schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    def lst(fs: Seq[String]) = fs.distinct.sorted.map(esc).mkString("[", ",", "]")
+    val need = Seq("clustering", "domainMetadata")
+      .filterNot(meta.writerFeatures.contains)
+    val bump =
+      if (meta.minWriter >= 7 && need.isEmpty) Nil
+      else Seq(s"""{"protocol":{"minReaderVersion":${meta.minReader},""" +
+        s""""minWriterVersion":7,""" +
+        s""""readerFeatures":${lst(meta.readerFeatures)},""" +
+        s""""writerFeatures":${lst(meta.writerFeatures ++ need)}}}""")
+    // data files carry PHYSICAL names; record those (spec contract)
+    val paths = columns
+      .map(c => s"[${esc(physName(meta.schema(c)))}]").mkString("[", ",", "]")
+    try commitAtomic(store, versionFile(table, meta.version + 1),
+      bump :+ domainJson(ClusteringDomain, s"""{"clusteringColumns":$paths}"""))
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit on $table during clusterBy; re-run", e)
+    }
+  }
+
+  /** The declared clustering columns as LOGICAL names (empty when the
+    * table is not clustered) — the domain stores physical paths, mapped
+    * back through the schema's column-mapping stamps.
+    */
+  def clusteringColumns(spark: SparkSession, table: String): Seq[String] = {
+    val state = replay(spark, table, None)
+    clusteringPhysical(state.domains).map { phys =>
+      state.schema.fields.find(f => physName(f) == phys)
+        .map(_.name).getOrElse(phys)
+    }
+  }
+
+  private def clusteringPhysical(domains: Map[String, String]): Seq[String] =
+    domains.get(ClusteringDomain).toSeq.flatMap { c =>
+      mapper.readTree(c).path("clusteringColumns").elements().asScala.toSeq
+        // a multi-segment path is a nested column; join to the dotted form
+        .map(_.elements().asScala.map(_.asText()).mkString("."))
+    }
+
   /** Physically deletes data files no longer referenced by the LATEST
     * snapshot whose on-disk mtime is older than `retentionMs` — the VACUUM
     * verb that reclaims space after [[compact]]/overwriting appends. Like
@@ -2906,11 +2983,24 @@ object DeltaSink {
     * surviving files' row groups.
     */
   def readRange(spark: SparkSession, table: String, column: String,
-      lo: String, hi: String, asOfVersion: Option[Long] = None): DataFrame = {
+      lo: String, hi: String, asOfVersion: Option[Long] = None): DataFrame =
+    readRanges(spark, table, Seq((column, lo, hi)), asOfVersion)
+
+  /** MULTI-COLUMN [[readRange]] — the clustered-table read path: a file
+    * survives only when EVERY column's recorded [min, max] overlaps its
+    * bound (bounds AND together; one stats parse serves all columns). On
+    * a [[clusterBy]]'d table OPTIMIZE interleaves the declared columns
+    * (Z-order), so a slice over any prefix/subset of them keeps tight
+    * per-file ranges on each — the multi-dimensional skipping liquid
+    * clustering exists for.
+    */
+  def readRanges(spark: SparkSession, table: String,
+      bounds: Seq[(String, String, String)],
+      asOfVersion: Option[Long] = None): DataFrame = {
     val (meta, live) = resolve(spark, table, asOfVersion)
     readState(spark, table,
       State(meta.version, meta.id, meta.createdTime, meta.schema, meta.partitionColumns,
-        collectAdds(statsPruned(meta, live, column, lo, hi)), meta.txns))
+        collectAdds(statsPruned(meta, live, bounds)), meta.txns))
   }
 
   /** METADATA-ONLY file inventory of a snapshot: one row per live data

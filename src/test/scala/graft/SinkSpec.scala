@@ -4103,6 +4103,43 @@ class SinkSpec extends AnyFunSuite {
     } finally DeltaSink.DvBroadcastMaxBytes = prev
   }
 
+  test("Delta liquid clustering: clusterBy metadata, implicit OPTIMIZE clustering, pruned reads (r17)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    // values scattered across files so the unclustered layout can't prune
+    DeltaSink.write((0L until 4000L).map(i => (i, i % 97, (i * 31) % 101))
+      .toDF("id", "a", "b").repartition(8), table)
+    DeltaSink.clusterBy(spark, table, Seq("a", "b"))
+    assert(DeltaSink.clusteringColumns(spark, table) == Seq("a", "b"))
+    // declaration is ONE metadata-only commit: protocol v7 + clustering +
+    // domainMetadata features, the delta.clustering domain, no file moved
+    val v = DeltaSink.latestVersion(table)
+    val commit = Files.readString(
+      Paths.get(table, "_delta_log", f"$v%020d.json"))
+    assert(commit.contains("\"clustering\"") &&
+      commit.contains("domainMetadata") &&
+      commit.contains("delta.clustering") && !commit.contains("\"add\""))
+    // a plain OPTIMIZE now clusters implicitly by the declared columns
+    DeltaSink.compact(spark, table, maxRecordsPerFile = 500)
+    assert(DeltaSink.read(spark, table).count() == 4000)
+    // the clustered layout's tight per-file ranges prune a 2-D slice
+    val slice = DeltaSink.readRanges(spark, table,
+      Seq(("a", "10", "20"), ("b", "0", "50")))
+    val total = DeltaSink.read(spark, table).inputFiles.length
+    assert(slice.inputFiles.length < total,
+      s"clustered slice must skip files: ${slice.inputFiles.length}/$total")
+    // the files-level superset + exact filter equals the direct answer
+    assert(slice.filter(col("a").between(10, 20) && col("b") <= 50).count() ==
+      (0L until 4000L).count(i => i % 97 >= 10 && i % 97 <= 20 && (i * 31) % 101 <= 50))
+    // liquid mobility: re-declaring re-points future OPTIMIZE runs only
+    DeltaSink.clusterBy(spark, table, Seq("b"))
+    assert(DeltaSink.clusteringColumns(spark, table) == Seq("b"))
+    // the domain survives a checkpointed cold replay
+    DeltaSink.checkpoint(spark, table)
+    assert(DeltaSink.clusteringColumns(spark, table) == Seq("b"))
+  }
+
   test("Iceberg partition statistics: manifest census to a registered stats parquet (r17)") {
     val s = spark
     import s.implicits._
