@@ -23,8 +23,10 @@ import org.apache.spark.sql.SparkSession
   *   expire-iceberg    <table> [keepLast]
   *   compact-iceberg   <table>
   *   enable-row-lineage-iceberg <table> ; write-stats-iceberg <table> <cols>
+  *   write-partition-stats-iceberg <table>
   *   add-column-iceberg <table> <name> <type> [default]
   *   enable-row-tracking-delta <table>
+  *   write-stats-delta <table> <cols> ; cluster-by-delta <table> <cols>
   *   csv-to-delta      <file.csv> <table> [--overwrite]
   *   json-to-delta     <file.jsonl> <table> [--overwrite]
   *   export-jsonl      <dataDir> <sql> <outDir>
@@ -308,6 +310,23 @@ object Cli {
           splitSpecs(pos(1)))
         println(ndvs.toSeq.sortBy(_._1)
           .map { case (c, n) => s"$c=$n" }.mkString("ndv: ", ", ", ""))
+      case "write-stats-delta" =>
+        // write-stats-delta <table> <col1,col2,...> — the Delta twin:
+        // theta NDV Puffin registered through the graft.stats domain
+        val ndvs = sinks.DeltaSink.writeStats(spark, pos(0),
+          splitSpecs(pos(1)))
+        println(ndvs.toSeq.sortBy(_._1)
+          .map { case (c, n) => s"$c=$n" }.mkString("ndv: ", ", ", ""))
+      case "write-partition-stats-iceberg" =>
+        // write-partition-stats-iceberg <table> — spec §Partition
+        // statistics: per-partition census parquet, registered
+        val n = sinks.IcebergStats.writePartitionStats(spark, pos(0))
+        println(s"partition statistics written for $n partitions")
+      case "cluster-by-delta" =>
+        // cluster-by-delta <table> <col1,col2,...> — liquid clustering:
+        // metadata-only declaration; the next compact clusters by it
+        sinks.DeltaSink.clusterBy(spark, pos(0), splitSpecs(pos(1)))
+        println(s"clustering declared: ${pos(1)}")
       case "rename-column-delta" =>
         // rename-column-delta <table> <from> <to> — metadata-only (column mapping)
         sinks.DeltaSink.renameColumn(spark, pos(0), pos(1), pos(2))

@@ -223,6 +223,24 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.sinks.IcebergStats.ndv(it, "g").contains(3L))
   }
 
+  test("r17 CLI verbs: write-stats-delta, cluster-by-delta, write-partition-stats-iceberg") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val dt = java.nio.file.Files.createTempDirectory("graft-cli-r17d").toString
+    graft.sinks.DeltaSink.write((1L to 40L).map(i => (i, i % 4))
+      .toDF("id", "bucket"), dt)
+    Cli.main(Array("write-stats-delta", dt, "bucket"))
+    assert(graft.sinks.DeltaSink.statsNdv(s, dt, "bucket").contains(4L))
+    Cli.main(Array("cluster-by-delta", dt, "bucket,id"))
+    assert(graft.sinks.DeltaSink.clusteringColumns(s, dt) == Seq("bucket", "id"))
+    val it = java.nio.file.Files.createTempDirectory("graft-cli-r17i").toString + "/tbl"
+    graft.sinks.IcebergSink.write((1L to 30L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "g"), it, graft.sinks.IcebergSink.CreateExclusive,
+      partitionBy = Seq("g"))
+    Cli.main(Array("write-partition-stats-iceberg", it))
+    assert(graft.sinks.IcebergStats.partitionStats(s, it).get.count() == 3)
+  }
+
   test("both flags set rejects like the reference flag matrix") {
     intercept[IllegalArgumentException] {
       Engine.sqlToIceberg(spark, dir, "SELECT 1 AS one", tmp(),
