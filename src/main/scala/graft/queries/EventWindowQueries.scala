@@ -1502,9 +1502,17 @@ object EventWindowQueries extends QueryModule {
       // domain seeds the clock); appends mint fresh ids above the mark,
       // a DV delete never moves survivors' ids, and an id-preserving
       // compaction MATERIALIZES `_row_id` into the rewritten parquet.
-      // Gates computed DISTRIBUTEDLY (pre-op frame joined to post-op —
-      // no id ever collected): `ids_stable`, `ids_unique`,
-      // `ids_assigned`. Census ≡ the oracle complement.
+      // r17 adds the tracking contract's second column,
+      // `_row_commit_version` (inherited from each file's
+      // defaultRowCommitVersion; materialized through compaction like
+      // `_row_id`), gated by an IDENTITY update (SET value = value —
+      // census-invariant): `rcv_assigned` (no null), `rcv_bumped`
+      // (exactly the updated rows advance to the update's version),
+      // `rcv_stable` (nobody else moves — compaction's own version
+      // never claims repacked rows). Gates computed DISTRIBUTEDLY
+      // (pre-op frame joined to post-op — no id ever collected):
+      // `ids_stable`, `ids_unique`, `ids_assigned`. Census ≡ the
+      // oracle complement.
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
         val tbl = graft.TempTables.create("graft-delta-rowtrk")
@@ -1522,22 +1530,42 @@ object EventWindowQueries extends QueryModule {
           .filter(col("_row_id") =!= col("_pre_id")).count() == 0
         val unique = post.select("_row_id").distinct().count() == post.count()
         val assigned = post.filter(col("_row_id").isNull).count() == 0
-        post.groupBy("event_type")
+        // identity update: commit versions move for EXACTLY the touched rows
+        val preUpd = post.select(col("event_id"),
+          col("_row_commit_version").as("_pre_rcv"))
+        graft.sinks.DeltaSink.updateWhereDV(s, tbl, "event_id % 10 = 6",
+          Map("value" -> "value"))
+        val post2 = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
+        val joined = post2.join(preUpd, Seq("event_id"), "inner")
+        val rcvAssigned = post2
+          .filter(col("_row_commit_version").isNull).count() == 0
+        val rcvBumped = joined.filter(col("event_id") % 10 === 6)
+          .filter(col("_row_commit_version") <= col("_pre_rcv")).count() == 0
+        val rcvStable = joined.filter(col("event_id") % 10 =!= 6)
+          .filter(col("_row_commit_version") =!= col("_pre_rcv")).count() == 0
+        post2.groupBy("event_type")
           .agg(count(lit(1)).as("cnt"),
             countDistinct(col("event_id")).as("n_ids"),
             fxSum(col("value")).as("sum_v"))
           .withColumn("ids_stable", lit(stable))
           .withColumn("ids_unique", lit(unique))
           .withColumn("ids_assigned", lit(assigned))
+          .withColumn("rcv_assigned", lit(rcvAssigned))
+          .withColumn("rcv_bumped", lit(rcvBumped))
+          .withColumn("rcv_stable", lit(rcvStable))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
              |COUNT(DISTINCT event_id) AS n_ids,
              |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
              |  AS sum_v,
-             |TRUE AS ids_stable, TRUE AS ids_unique, TRUE AS ids_assigned
+             |TRUE AS ids_stable, TRUE AS ids_unique, TRUE AS ids_assigned,
+             |TRUE AS rcv_assigned, TRUE AS rcv_bumped, TRUE AS rcv_stable
              |FROM events WHERE event_id % 10 <> 3
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // r17 extended the scope: identity update + second tracking read
+      // gating _row_commit_version (the Iceberg census's format twin)
+      shapeVersion = 2),
 
     QueryDef(
       "q_delta_update_dv",

@@ -349,7 +349,8 @@ object DeltaSink {
   private case class AddEntry(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, stats: String,
       dv: Option[DvInfo] = None,
-      baseRowId: Option[Long] = None)
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Replayed snapshot of the `_delta_log` at `asOfVersion` (or latest).
     * `txns` is the streaming-writer watermark map: appId → highest
@@ -809,7 +810,7 @@ object DeltaSink {
               if (latest > state.version) replay(df.sparkSession, table, None).domains
               else state.domains
             val hwm = rowIdHighWaterMark(domainsNow).getOrElse(-1L)
-            val (w, newHwm) = assignRowIds(adds, hwm)
+            val (w, newHwm) = assignRowIds(adds, hwm, next)
             (w, Some(domainJson(RowTrackingDomain,
               s"""{"rowIdHighWaterMark":$newHwm}""")))
           }
@@ -931,9 +932,11 @@ object DeltaSink {
     }.sum
     val nFiles = math.max(1, ((totalRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
     // ROW TRACKING: an id-preserving compaction MATERIALIZES `_row_id`
-    // into the rewritten parquet (spec: dataChange=false rewrites must
-    // carry row ids explicitly) — the rewritten adds' baseRowId stays
-    // null and [[readWithRowIds]] picks the column up from the files
+    // AND `_row_commit_version` into the rewritten parquet (spec:
+    // dataChange=false rewrites must carry row lineage explicitly) — the
+    // rewritten adds' baseRowId/defaultRowCommitVersion stay null and
+    // [[readWithRowIds]] picks both columns up from the files, so the
+    // rewrite's own version never claims the repacked rows
     val rowTracking = state.configuration.get(RowTrackingConf).contains("true")
     val current0 =
       if (rowTracking) readWithRowIds(spark, table, store)
@@ -1721,7 +1724,7 @@ object DeltaSink {
         (dataAdds, Nil)
       else {
         val hwm = rowIdHighWaterMark(meta.domains).getOrElse(-1L)
-        val (w, newHwm) = assignRowIds(dataAdds, hwm)
+        val (w, newHwm) = assignRowIds(dataAdds, hwm, state.version + 1)
         (w, Seq(domainJson(RowTrackingDomain,
           s"""{"rowIdHighWaterMark":$newHwm}""")))
       }
@@ -2086,7 +2089,8 @@ object DeltaSink {
         nullAs("protocol"), nullAs("metaData"),
         struct(col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), lit(true).as("dataChange"),
-          col("stats"), col("deletionVector"), col("baseRowId")).as("add"),
+          col("stats"), col("deletionVector"), col("baseRowId"),
+          col("defaultRowCommitVersion")).as("add"),
         nullAs("txn"), nullAs("domainMetadata")))
     // Stage INSIDE _delta_log: the final step is then a same-filesystem
     // directory rename — Files.move of a non-empty directory cannot
@@ -2257,6 +2261,7 @@ object DeltaSink {
           coalesce(col("deletionVector.sizeInBytes"), lit(-1L)),
           coalesce(col("deletionVector.cardinality"), lit(-1L)),
           coalesce(col("baseRowId"), lit(-1L)),
+          coalesce(col("defaultRowCommitVersion"), lit(-1L)),
           to_json(col("partitionValues"))))
       val bucketInfo: Seq[(Int, Long)] = withB.groupBy(col("_b"))
         .agg(expr("bit_xor(_rh)").as("h"), count(lit(1)).as("n"))
@@ -2274,7 +2279,8 @@ object DeltaSink {
           withB.where(col("_b").isin(changedIds: _*))
             .select(struct(col("path"), col("partitionValues"), col("size"),
               col("modificationTime"), lit(true).as("dataChange"),
-              col("stats"), col("deletionVector"), col("baseRowId")).as("add"),
+              col("stats"), col("deletionVector"), col("baseRowId"),
+              col("defaultRowCommitVersion")).as("add"),
               col("_b"))
             .repartition(col("_b"))
             .write.mode("overwrite").option("compression", "snappy")
@@ -2440,8 +2446,11 @@ object DeltaSink {
         StructField("sizeInBytes", LongType),
         StructField("cardinality", LongType)))),
       // ROW TRACKING (spec §Row Tracking, writer feature `rowTracking`):
-      // the id of this file's first row; rows derive baseRowId + position
-      StructField("baseRowId", LongType)))),
+      // the id of this file's first row; rows derive baseRowId + position,
+      // and their commit version inherits defaultRowCommitVersion unless a
+      // rewrite materialized the per-row column
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))),
@@ -2480,15 +2489,19 @@ object DeltaSink {
     Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
       .getOrElse(0L)
 
-  /** Assigns fresh, contiguous baseRowIds above `hwm` (add order);
+  /** Assigns fresh, contiguous baseRowIds above `hwm` (add order) and
+    * stamps each add's defaultRowCommitVersion with the committing
+    * version (spec §Row Tracking: rows inherit their file's default
+    * commit version unless a rewrite materialized the per-row column);
     * returns the re-stamped adds and the new high-water mark.
     */
-  private def assignRowIds(adds: Seq[AddEntry], hwm: Long)
-      : (Seq[AddEntry], Long) = {
+  private def assignRowIds(adds: Seq[AddEntry], hwm: Long,
+      commitVersion: Long): (Seq[AddEntry], Long) = {
     var cursor = hwm
     val out = adds.map { a =>
       val n = rowsOf(a)
-      val o = a.copy(baseRowId = Some(cursor + 1))
+      val o = a.copy(baseRowId = Some(cursor + 1),
+        defaultRowCommitVersion = Some(commitVersion))
       cursor += n
       o
     }
@@ -2513,7 +2526,11 @@ object DeltaSink {
     require(!state.configuration.get(RowTrackingConf).contains("true"),
       s"row tracking already enabled on $table")
     val (meta, _) = resolve(spark, table, None)
-    val (withIds, hwm) = assignRowIds(state.live.sortBy(_.path), -1L)
+    // retroactive enablement cannot recover pre-feature per-row commit
+    // versions — like delta-spark's backfill, the enable commit's own
+    // version stamps every re-added file
+    val (withIds, hwm) = assignRowIds(state.live.sortBy(_.path), -1L,
+      state.version + 1)
     def features(tracked: Seq[String], extra: Seq[String]) =
       (tracked ++ extra).distinct.sorted.map(esc).mkString("[", ",", "]")
     val bump =
@@ -2559,22 +2576,26 @@ object DeltaSink {
     val state0 = State(meta.version, meta.id, meta.createdTime, meta.schema,
       meta.partitionColumns, collectAdds(liveDf), meta.txns, meta.minWriter,
       meta.configuration, meta.domains)
-    // widen the read schema by the physical `_row_id` column: files an
-    // id-preserving compaction materialized carry it; all others read null
-    val withRid = state0.copy(schema = StructType(state0.schema.fields :+
-      StructField("_row_id", LongType, nullable = true)))
+    // widen the read schema by the physical lineage columns: files an
+    // id-preserving compaction materialized carry them; all others read
+    // null and inherit from the add's manifest fields
+    val withRid = state0.copy(schema = StructType(state0.schema.fields ++ Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_row_commit_version", LongType, nullable = true))))
     val base = readStateMerged(spark, table, withRid, keepLineage = true, store)
     val lookup = state0.live.flatMap { a =>
       val abs = dataAbs(table, a.path)
       val enc = new File(abs).toURI.toString
         .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
       Seq(abs, enc).distinct.map(k =>
-        (k, a.baseRowId.map(Long.box).orNull))
+        (k, a.baseRowId.map(Long.box).orNull,
+          a.defaultRowCommitVersion.map(Long.box).orNull))
     }
     val lookupDf = spark.createDataFrame(
-      lookup.map { case (k, b) => Row(k, b) }.asJava,
+      lookup.map { case (k, b, v) => Row(k, b, v) }.asJava,
       StructType(Seq(StructField("_gf_bkey", StringType),
-        StructField("_gf_brid", LongType, nullable = true))))
+        StructField("_gf_brid", LongType, nullable = true),
+        StructField("_gf_bdrcv", LongType, nullable = true))))
     import org.apache.spark.sql.functions.regexp_replace
     base
       .withColumn("_gf_bkey",
@@ -2582,7 +2603,13 @@ object DeltaSink {
       .join(broadcast(lookupDf), Seq("_gf_bkey"), "left")
       .withColumn("_row_id",
         coalesce(col("_row_id"), col("_gf_brid") + col("_gf_pos")))
-      .select((state0.schema.fieldNames.toIndexedSeq :+ "_row_id").map(col): _*)
+      // ROW COMMIT VERSION (spec §Row Tracking's second column): the
+      // file's defaultRowCommitVersion unless a materializing rewrite
+      // preserved the per-row value physically
+      .withColumn("_row_commit_version",
+        coalesce(col("_row_commit_version"), col("_gf_bdrcv")))
+      .select((state0.schema.fieldNames.toIndexedSeq ++
+        Seq("_row_id", "_row_commit_version")).map(col): _*)
   }
 
   // ---- TABLE STATISTICS ([[IcebergStats]]'s format twin; graft
@@ -3068,7 +3095,7 @@ object DeltaSink {
     }.reduce(_ && _)
     parsed.filter(keep)
       .select("path", "partitionValues", "size", "modificationTime", "stats",
-        "deletionVector", "baseRowId")
+        "deletionVector", "baseRowId", "defaultRowCommitVersion")
   }
 
   /** Change feed: the rows ADDED in versions (`sinceVersion`, latest] —
@@ -3108,7 +3135,9 @@ object DeltaSink {
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
         col("add.deletionVector").as("deletionVector"),
-        col("add.baseRowId").as("baseRowId")), col("version")).as("w"))
+        col("add.baseRowId").as("baseRowId"),
+        col("add.defaultRowCommitVersion").as("defaultRowCommitVersion")),
+        col("version")).as("w"))
       .select(col("path"), col("w.*"))
     readState(spark, table, state.copy(live = collectAdds(feed)))
   }
@@ -3688,6 +3717,7 @@ object DeltaSink {
         col("add.stats").as("stats"),
         col("add.deletionVector").as("deletionVector"),
         col("add.baseRowId").as("baseRowId"),
+        col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
         lit(ckptV.get).as("version"),
         lit(true).as("isAdd")))
     val tailActs = tailDF.map(
@@ -3699,6 +3729,7 @@ object DeltaSink {
         col("add.stats").as("stats"),
         col("add.deletionVector").as("deletionVector"),
         col("add.baseRowId").as("baseRowId"),
+        col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
         col("version"),
         col("add").isNotNull.as("isAdd")))
     val all = (ckptAdds.toSeq ++ tailActs.toSeq).reduce(_.unionByName(_))
@@ -3706,7 +3737,7 @@ object DeltaSink {
       .groupBy("path")
       .agg(max_by(struct(col("partitionValues"), col("size"),
         col("modificationTime"), col("stats"), col("deletionVector"),
-        col("baseRowId"), col("isAdd")),
+        col("baseRowId"), col("defaultRowCommitVersion"), col("isAdd")),
         col("version")).as("w"))
       .where(col("w.isAdd"))
       .select(col("path"), col("w.partitionValues").as("partitionValues"),
@@ -3714,7 +3745,8 @@ object DeltaSink {
         col("w.modificationTime").as("modificationTime"),
         col("w.stats").as("stats"),
         col("w.deletionVector").as("deletionVector"),
-        col("w.baseRowId").as("baseRowId"))
+        col("w.baseRowId").as("baseRowId"),
+        col("w.defaultRowCommitVersion").as("defaultRowCommitVersion"))
     // PROTOCOL GATE: refuse tables demanding reader capabilities beyond
     // this engine's (v3 + deletionVectors). Silently mis-reading a table
     // whose protocol promises semantics we don't implement is the one
@@ -3752,7 +3784,9 @@ object DeltaSink {
         Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
         r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
         r.getAs[String]("stats"), dv,
-        Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue()))
+        Option(r.getAs[java.lang.Long]("baseRowId")).map(_.longValue()),
+        Option(r.getAs[java.lang.Long]("defaultRowCommitVersion"))
+          .map(_.longValue()))
     }.sortBy(_.path) // deterministic scan order regardless of agg partitioning
 
   private def replay(spark: SparkSession, table: String, asOfVersion: Option[Long]): State = {
@@ -3860,9 +3894,11 @@ object DeltaSink {
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
       .getOrElse("")
     val brid = a.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("")
+    val drcv = a.defaultRowCommitVersion
+      .map(v => s""","defaultRowCommitVersion":$v""").getOrElse("")
     s"""{"add":{"path":${esc(a.path)},"partitionValues":$pv,"size":${a.size},""" +
       s""""modificationTime":${a.modificationTime},"dataChange":$dataChange,""" +
-      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}$dv$brid}}"""
+      s""""stats":${if (a.stats == null) "null" else esc(a.stats)}$dv$brid$drcv}}"""
   }
 
   /** All parquet data files under `dir`, partition subdirs included,

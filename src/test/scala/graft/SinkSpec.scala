@@ -4238,8 +4238,18 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.enableRowTracking(spark, table) == 40L)
     def ids(): Map[Long, Long] = DeltaSink.readWithRowIds(spark, table)
       .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    // the second row-tracking column (r17): _row_commit_version inherits
+    // each file's defaultRowCommitVersion unless a rewrite materialized
+    // the per-row value. Retroactive enablement stamps the ENABLE
+    // commit's version (pre-feature history is unrecoverable — the
+    // delta-spark backfill convention), so every row reads 1 here.
+    def rcvs(): Map[Long, Long] = DeltaSink.readWithRowIds(spark, table)
+      .select("id", "_row_commit_version").as[(Long, Long)].collect().toMap
     val before = ids()
     assert(before.values.toSet == (0L until 40L).toSet)
+    val vEnable = DeltaSink.latestVersion(table)
+    assert(rcvs().values.toSet == Set(vEnable),
+      "retro-enabled rows carry the enable commit's version")
     // the enablement commit carries the protocol features + the domain
     val v1 = DeltaSink.latestVersion(table)
     val enableCommit = Files.readString(
@@ -4252,22 +4262,39 @@ class SinkSpec extends AnyFunSuite {
     val after1 = ids()
     before.foreach { case (k, v) => assert(after1(k) == v) }
     assert(after1.values.toSet == (0L until 50L).toSet)
+    // appended rows carry the APPEND's commit version; old rows keep the
+    // enable version
+    val vAppend = DeltaSink.latestVersion(table)
+    val rcvAfterAppend = rcvs()
+    assert((1L to 40L).forall(rcvAfterAppend(_) == vEnable))
+    assert((41L to 50L).forall(rcvAfterAppend(_) == vAppend))
     // DV delete: survivors keep their ids (positions never move)
     assert(DeltaSink.deleteWhereDV(spark, table, "id % 2 = 0") == 25L)
     val after2 = ids()
     assert(after2.keySet == (1L to 49L by 2).toSet)
     after2.foreach { case (k, v) => assert(after1(k) == v) }
+    // ...and a DV delete never bumps survivors' commit version — the
+    // re-added touched files PRESERVE their defaultRowCommitVersion
+    val rcvAfterDelete = rcvs()
+    after2.keySet.foreach(k => assert(rcvAfterDelete(k) == rcvAfterAppend(k)))
     // a DV UPDATE's replacement row takes a FRESH id; survivors untouched
     assert(DeltaSink.updateWhereDV(spark, table, "id = 1",
       Map("name" -> "'upd'")) == 1L)
     val after3 = ids()
     assert(after3(1L) >= 50L, s"replacement must take a fresh id, got ${after3(1L)}")
     (after2 - 1L).foreach { case (k, v) => assert(after3(k) == v) }
+    // the replacement row carries the UPDATE's version, newer than all
+    val rcvAfterUpdate = rcvs()
+    assert(rcvAfterUpdate(1L) > rcvAfterDelete.values.max)
+    (after2.keySet - 1L).foreach(k =>
+      assert(rcvAfterUpdate(k) == rcvAfterDelete(k)))
     // compaction MATERIALIZES the ids into the rewritten parquet
     DeltaSink.compact(spark, table)
     assert(ids() == after3)
+    assert(rcvs() == rcvAfterUpdate,
+      "compaction must materialize row commit versions, not re-inherit")
     assert(DeltaSink.read(spark, table).columns.toSeq == Seq("id", "name"),
-      "the declared schema never grows the physical column")
+      "the declared schema never grows the physical columns")
     // reorgPurge refuses — DV debt on a tracked table retires via compact
     DeltaSink.deleteWhereDV(spark, table, "id = 3")
     assert(intercept[IllegalArgumentException](
@@ -4286,6 +4313,12 @@ class SinkSpec extends AnyFunSuite {
     assert(after5(99L) > after4.values.max,
       "the clock must continue past the checkpointed high-water mark")
     after4.foreach { case (k, v) => assert(after5(k) == v) }
+    // ...and the post-checkpoint append's commit version rides through
+    // the checkpointed replay (defaultRowCommitVersion survives both the
+    // checkpoint parquet and the materialized compact files)
+    val rcvFinal = rcvs()
+    assert(rcvFinal(99L) > rcvAfterUpdate.values.max)
+    assert(rcvFinal(5L) == rcvAfterUpdate(5L))
   }
 
   test("Iceberg V3 default values: ALTER ADD COLUMN DEFAULT is metadata-only; old rows read the default (r16)") {
