@@ -1929,8 +1929,15 @@ object IcebergSink {
       col("_metadata.row_index").as("_gf_pos"))
     // files group by (partition values, WRITING schema) — both determine
     // the group's read plan: files written before a rename/drop/widen
-    // resolve their columns BY FIELD ID against the current schema
-    val idProjected = curFields.length == schema.fields.length
+    // resolve their columns BY FIELD ID against the current schema.
+    // curFields may cover a PREFIX of the schema: trailing fields beyond
+    // it (the lineage columns a materializing rewrite wrote physically)
+    // have no table field id and read BY NAME, null for files lacking
+    // them — this is what lets a lineage read compose with rename/drop
+    // id-projection (r17; previously lineage reads were name-only)
+    val idProjected = curFields.nonEmpty &&
+      curFields.length <= schema.fields.length
+    val (idFields, nameFields) = schema.fields.splitAt(curFields.length)
     val groups = entries
       .groupBy(e => (e._2, if (idProjected) fileFields.get(e._1) else None))
       .view.mapValues(_.map(_._1)).toSeq
@@ -1945,7 +1952,7 @@ object IcebergSink {
           // cast after read) — and NULL-fills ids the file predates;
           // file columns whose id was dropped are simply never selected.
           val wById = wf.map(f => f.id -> f).toMap
-          val plan = schema.fields.zip(curFields).map { case (sf, cf) =>
+          val plan = idFields.zip(curFields).map { case (sf, cf) =>
             (sf, cf, if (specCols.contains(sf.name)) None else wById.get(cf.id))
           }
           val fileSchema = StructType(plan.collect { case (sf, _, Some(w)) =>
@@ -1955,7 +1962,7 @@ object IcebergSink {
               case _ => sf.dataType
             }
             org.apache.spark.sql.types.StructField(w.name, readDt, nullable = true)
-          })
+          } ++ nameFields.map(_.copy(nullable = true)))
           val base0 = spark.read.schema(fileSchema).parquet(files: _*)
           val dataCols = plan.flatMap {
             case (sf, _, Some(w)) =>
@@ -1969,7 +1976,7 @@ object IcebergSink {
               // field declares one (spec §Default values), else null
               Some(cf.initialDefault.map(lit).getOrElse(lit(null))
                 .cast(sf.dataType).as(sf.name))
-          }
+          } ++ nameFields.map(f => col(f.name))
           base0.select(dataCols ++ (if (withLineage) lineageCols else Nil): _*)
         case None =>
           // name-based read (manifests predating schema key metadata)
@@ -3314,11 +3321,14 @@ object IcebergSink {
     val withRid = StructType(snap.schema.fields ++ Seq(
       StructField("_row_id", LongType, nullable = true),
       StructField("_last_updated_sequence_number", LongType, nullable = true)))
-    // NAME-based read on purpose (curFields omitted): files lacking the
-    // physical lineage columns read them as null; lineage composing with
-    // rename/drop id-projection is tracked for a later round
+    // FIELD-ID projection for the data columns (curFields covers the
+    // schema prefix — lineage reads compose with rename/drop/widen like
+    // plain reads, r17); the two trailing lineage columns have no table
+    // field id and read BY NAME, null for files that never materialized
+    // them
     val base = readMerged(spark, withRid, snap.data, snap.deletes,
-      keepLineage = true, store = store)
+      keepLineage = true, curFields = snap.curFields,
+      fileFields = snap.fileFields, store = store)
     val rows = spark.createDataFrame(
       snap.data.map(e => org.apache.spark.sql.Row(
         e._1, frid.get(e._1).map(Long.box).orNull, Long.box(e._3))).asJava,

@@ -4140,6 +4140,42 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.clusteringColumns(spark, table) == Seq("b"))
   }
 
+  test("Iceberg lineage reads compose with rename/widen id-projection (r17)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 30L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table, IcebergSink.CreateExclusive)
+    assert(IcebergSink.enableRowLineage(spark, table) == 30L)
+    IcebergSink.deleteWhereDV(spark, table, "id % 5 = 0")
+    // compaction MATERIALIZES _row_id/_last_updated_sequence_number into
+    // the rewritten file...
+    IcebergSink.compact(spark, table)
+    val pre = IcebergSink.readWithLineage(spark, table)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    // ...then a RENAME evolves the schema: the lineage read must project
+    // the data columns by field id (old files carry the written name)
+    // while still picking the materialized lineage columns up by name
+    IcebergSink.evolveRename(table, "v", "score")
+    val after = IcebergSink.readWithLineage(spark, table)
+    assert(after.columns.toSeq ==
+      Seq("id", "score", "_row_id", "_last_updated_sequence_number"))
+    val rows = after.select("id", "score", "_row_id")
+      .as[(Long, Double, Long)].collect()
+    assert(rows.length == 24)
+    rows.foreach { case (id, score, rid) =>
+      assert(score == id.toDouble, s"renamed column must project by id: $id")
+      assert(rid == pre(id), s"materialized _row_id lost through rename: $id")
+    }
+    // post-rename append: fresh ids, values under the new name
+    IcebergSink.write(Seq((99L, 99.0)).toDF("id", "score"), table,
+      IcebergSink.Append)
+    val fresh = IcebergSink.readWithLineage(spark, table)
+      .filter(col("id") === 99L).select("score", "_row_id")
+      .as[(Double, Long)].head()
+    assert(fresh._1 == 99.0 && fresh._2 >= 30L)
+  }
+
   test("Iceberg partition statistics: manifest census to a registered stats parquet (r17)") {
     val s = spark
     import s.implicits._
