@@ -4140,6 +4140,37 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.clusteringColumns(spark, table) == Seq("b"))
   }
 
+  test("Delta row-id reads compose with column-mapping renames (r17)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((1L to 30L).map(i => (i, i.toDouble)).toDF("id", "v"),
+      table)
+    assert(DeltaSink.enableRowTracking(spark, table) == 30L)
+    assert(DeltaSink.deleteWhereDV(spark, table, "id % 5 = 0") == 6L)
+    DeltaSink.compact(spark, table) // materializes _row_id/_row_commit_version
+    val pre = DeltaSink.readWithRowIds(spark, table)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    // column mapping: data columns project by PHYSICAL name; the
+    // materialized tracking columns keep their own names
+    DeltaSink.renameColumn(spark, table, "v", "score")
+    val after = DeltaSink.readWithRowIds(spark, table)
+    assert(after.columns.toSeq ==
+      Seq("id", "score", "_row_id", "_row_commit_version"))
+    val rows = after.select("id", "score", "_row_id")
+      .as[(Long, Double, Long)].collect()
+    assert(rows.length == 24)
+    rows.foreach { case (id, score, rid) =>
+      assert(score == id.toDouble && rid == pre(id),
+        s"rename must not disturb tracked reads: $id")
+    }
+    DeltaSink.append(Seq((99L, 99.0)).toDF("id", "score"), table)
+    val fresh = DeltaSink.readWithRowIds(spark, table)
+      .filter(col("id") === 99L).select("score", "_row_id")
+      .as[(Double, Long)].head()
+    assert(fresh._1 == 99.0 && fresh._2 >= 30L)
+  }
+
   test("Iceberg lineage reads compose with rename/widen id-projection (r17)") {
     val s = spark
     import s.implicits._
