@@ -689,12 +689,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected Ops.ntileExact bucket-partitioned windows:\n$p")
   }
 
-  test("suite gate: no declared query plans a global window or a data-plane single-partition exchange (r16 advice #2)") {
+  test("suite gate: no declared query plans a global window, a data-plane single-partition exchange, or an unlisted cartesian product (r16 advice #2)") {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // CARTESIAN allowlist: queries where an all-pairs product is the
+    // declared point, not a plan accident (every other cross-shape in the
+    // suite is a broadcast 1-row scalar gate or a bounded grid, which
+    // plan as BroadcastNestedLoopJoin, not CartesianProductExec)
+    val allowCartesian: Map[String, String] = Map(
+      "q_join_cross" -> "the declared cross-join demonstrator")
     // ALLOWLIST — each entry names the bounded frame that makes its global
     // window / single-partition exchange scale-safe. Anything new fails
     // the gate until it is either re-partitioned or justified here.
@@ -727,6 +734,8 @@ class PlanSpec extends AnyFunSuite {
               bad += s"$name: global Window(${w.windowExpression.mkString(",").take(80)})"
             case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
               bad += s"$name: global WindowGroupLimit"
+            case _: CartesianProductExec if !allowCartesian.contains(name) =>
+              bad += s"$name: CartesianProduct"
             case _ =>
           }
           // a 1-partition exchange is safe only when what flows through it
