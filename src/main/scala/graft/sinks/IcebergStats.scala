@@ -323,17 +323,21 @@ object IcebergStats {
     val refs = IcebergSink.manifestRefs(table, list)
     def openAvro(p: String) =
       new File(IcebergSink.requireAvro(IcebergSink.abs(table, p)))
-    // data plane: per-file (partition, size, rows) + spec id per manifest
+    // data plane: per-file (partition, size, rows, data sequence) + spec
+    // id per manifest; the sequence feeds the optional last-updated pair
     case class DFile(partition: Map[String, String], specId: Int,
-        size: Long, rows: Long)
+        size: Long, rows: Long, seq: Long)
     val dataByPath: Map[String, DFile] = refs.filter(_.content == 0)
       .flatMap { r =>
         val f = openAvro(r.path)
         val (_, specId, _) = IcebergAvro.readManifestPartitionFields(f)
-        val parts = IcebergAvro.readManifestPartitions(f).toMap
+        val (pentries, _) = IcebergAvro.readManifestPartitionsWithSchema(f)
+        val seqOf = pentries.map(e => e._1 -> e._3.getOrElse(r.seq)).toMap
+        val parts = pentries.map(e => (e._1, e._2)).toMap
         IcebergAvro.readManifestDataEntries(f).map { case (p, size, rows, _) =>
           p -> DFile(parts.getOrElse(p, Map.empty)
-            .map { case (k, v) => k -> String.valueOf(v) }, specId, size, rows)
+            .map { case (k, v) => k -> String.valueOf(v) }, specId, size, rows,
+            seqOf.getOrElse(p, r.seq))
         }
       }.toMap
     // delete plane: DV cardinalities per referenced file (supersede:
@@ -354,12 +358,13 @@ object IcebergStats {
     case class PStat(var dataRows: Long = 0L, var dataFiles: Long = 0L,
         var dataBytes: Long = 0L, var posDelRows: Long = 0L,
         var posDelFiles: Long = 0L, var eqDelRows: Long = 0L,
-        var eqDelFiles: Long = 0L)
+        var eqDelFiles: Long = 0L, var lastSeq: Long = -1L)
     val acc = scala.collection.mutable.LinkedHashMap
       .empty[(Map[String, String], Int), PStat]
     dataByPath.toSeq.sortBy(_._1).foreach { case (p, d) =>
       val s = acc.getOrElseUpdate((d.partition, d.specId), PStat())
       s.dataRows += d.rows; s.dataFiles += 1; s.dataBytes += d.size
+      s.lastSeq = math.max(s.lastSeq, d.seq)
       dvByFile.get(p).foreach { n => s.posDelRows += n; s.posDelFiles += 1 }
     }
     eqByPartition.foreach { case (pv, n) =>
@@ -381,10 +386,26 @@ object IcebergStats {
       StructField("position_delete_record_count", LongType),
       StructField("position_delete_file_count", LongType),
       StructField("equality_delete_record_count", LongType),
-      StructField("equality_delete_file_count", LongType)))
+      StructField("equality_delete_file_count", LongType),
+      // spec-optional pair: the snapshot that last ADDED a data file to
+      // the partition (freshness without a manifest walk); null when the
+      // sequence's snapshot has been expired from the metadata
+      StructField("last_updated_at", LongType, nullable = true),
+      StructField("last_updated_snapshot_id", LongType, nullable = true)))
+    // sequence → (snapshot-id, timestamp) off the metadata's snapshot list
+    val bySeq: Map[Long, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      meta.get("snapshots").elements().asScala.toSeq.map { n =>
+        n.get("sequence-number").asLong() ->
+          ((n.get("snapshot-id").asLong(), n.get("timestamp-ms").asLong()))
+      }.toMap
+    }
     val rows = acc.toSeq.map { case ((pv, specId), s) =>
+      val lu = bySeq.get(s.lastSeq)
       Row(pv, specId, s.dataRows, s.dataFiles, s.dataBytes,
-        s.posDelRows, s.posDelFiles, s.eqDelRows, s.eqDelFiles)
+        s.posDelRows, s.posDelFiles, s.eqDelRows, s.eqDelFiles,
+        lu.map(x => Long.box(x._2)).orNull,
+        lu.map(x => Long.box(x._1)).orNull)
     }
     // stage with Spark, publish the single part as the spec-named file
     import scala.jdk.CollectionConverters._

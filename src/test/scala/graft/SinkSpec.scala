@@ -4235,6 +4235,14 @@ class SinkSpec extends AnyFunSuite {
     val direct = IcebergSink.read(spark, table).groupBy("g").count()
       .as[(String, Long)].collect().toMap
     st.foreach { case (g, (_, _, live, _)) => assert(direct(g) == live) }
+    // the optional last-updated pair: g0's newest file came from the
+    // APPEND snapshot; g1/g2 last gained files at the CREATE
+    val snaps = IcebergSink.snapshots(table)
+    val lu = IcebergStats.partitionStats(spark, table).get
+      .select(element_at(col("partition"), "g").as("g"),
+        col("last_updated_snapshot_id")).as[(String, Long)].collect().toMap
+    assert(lu("g0") == snaps(1)._1, "g0 must point at the append snapshot")
+    assert(lu("g1") == snaps.head._1 && lu("g2") == snaps.head._1)
     // re-run replaces the registration and reclaims the superseded file
     def statsFiles() = new File(table, "metadata").listFiles()
       .filter(_.getName.startsWith("partition-stats-"))
