@@ -30,6 +30,7 @@ object PlanReport {
     "q_text_pii_scrub" -> "pure map-side regexp projection inside codegen",
     "q_corpus_shuffle" -> "range-partitioned sort on a uniform hash key, map-side shard assignment",
     "q_pack_sequences" -> "per-shard windowed cumsum — parallel across shards, no global partition",
+    "q_rfm" -> "exact distributed NTILE: bucket-partitioned rank windows + broadcast offsets, no global window",
     "q_join_bloom" -> "bloom probe inside the scan's codegen span, broadcast semi-join after",
     "q_bm25" -> "df reuses the tf exchange; 1-row corpus stats broadcast",
     "q_decontaminate" -> "inverted-index gram equi-join, never eval×train all-pairs",
