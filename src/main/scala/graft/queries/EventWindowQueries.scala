@@ -1525,11 +1525,22 @@ object EventWindowQueries extends QueryModule {
         graft.sinks.DeltaSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
         graft.sinks.DeltaSink.compact(s, tbl)
         val post = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
-        val survivors = post.join(pre, Seq("event_id"), "inner")
-        val stable = survivors
-          .filter(col("_row_id") =!= col("_pre_id")).count() == 0
-        val unique = post.select("_row_id").distinct().count() == post.count()
-        val assigned = post.filter(col("_row_id").isNull).count() == 0
+        // gate counts FUSE into single aggregate passes (the merged
+        // row-id read is the expensive part — pay it once per frame,
+        // not once per gate)
+        // LEFT join keeps appended rows (null _pre_id — not "moved"), so
+        // uniqueness/assignment still gate the WHOLE post frame while
+        // stability gates only the surviving pre rows, all in ONE pass
+        val survivors = post.join(pre, Seq("event_id"), "left")
+        val g1 = survivors.agg(
+          count(when(col("_pre_id").isNotNull &&
+            col("_row_id") =!= col("_pre_id"), 1)).as("moved"),
+          count(when(col("_row_id").isNull, 1)).as("nulls"),
+          countDistinct(col("_row_id")).as("dstnct"),
+          count(lit(1)).as("n")).head()
+        val stable = g1.getLong(0) == 0L
+        val assigned = g1.getLong(1) == 0L
+        val unique = g1.getLong(2) == g1.getLong(3)
         // identity update: commit versions move for EXACTLY the touched rows
         val preUpd = post.select(col("event_id"),
           col("_row_commit_version").as("_pre_rcv"))
@@ -1537,12 +1548,16 @@ object EventWindowQueries extends QueryModule {
           Map("value" -> "value"))
         val post2 = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
         val joined = post2.join(preUpd, Seq("event_id"), "inner")
-        val rcvAssigned = post2
-          .filter(col("_row_commit_version").isNull).count() == 0
-        val rcvBumped = joined.filter(col("event_id") % 10 === 6)
-          .filter(col("_row_commit_version") <= col("_pre_rcv")).count() == 0
-        val rcvStable = joined.filter(col("event_id") % 10 =!= 6)
-          .filter(col("_row_commit_version") =!= col("_pre_rcv")).count() == 0
+        val g2 = joined.agg(
+          count(when(col("_row_commit_version").isNull, 1)).as("nul"),
+          count(when(col("event_id") % 10 === 6 &&
+            col("_row_commit_version") <= col("_pre_rcv"), 1)).as("nb"),
+          count(when(col("event_id") % 10 =!= 6 &&
+            col("_row_commit_version") =!= col("_pre_rcv"), 1)).as("mv"))
+          .head()
+        val rcvAssigned = g2.getLong(0) == 0L
+        val rcvBumped = g2.getLong(1) == 0L
+        val rcvStable = g2.getLong(2) == 0L
         post2.groupBy("event_type")
           .agg(count(lit(1)).as("cnt"),
             countDistinct(col("event_id")).as("n_ids"),
@@ -2827,11 +2842,22 @@ object EventWindowQueries extends QueryModule {
         graft.sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
         graft.sinks.IcebergSink.compact(s, tbl)
         val post = graft.sinks.IcebergSink.readWithLineage(s, tbl)
-        val survivors = post.join(pre, Seq("event_id"), "inner")
-        val stable = survivors
-          .filter(col("_row_id") =!= col("_pre_id")).count() == 0
-        val unique = post.select("_row_id").distinct().count() == post.count()
-        val assigned = post.filter(col("_row_id").isNull).count() == 0
+        // gate counts FUSE into single aggregate passes (the merged
+        // lineage read is the expensive part — pay it once per frame,
+        // not once per gate)
+        // LEFT join keeps appended rows (null _pre_id — not "moved"), so
+        // uniqueness/assignment still gate the WHOLE post frame while
+        // stability gates only the surviving pre rows, all in ONE pass
+        val survivors = post.join(pre, Seq("event_id"), "left")
+        val g1 = survivors.agg(
+          count(when(col("_pre_id").isNotNull &&
+            col("_row_id") =!= col("_pre_id"), 1)).as("moved"),
+          count(when(col("_row_id").isNull, 1)).as("nulls"),
+          countDistinct(col("_row_id")).as("dstnct"),
+          count(lit(1)).as("n")).head()
+        val stable = g1.getLong(0) == 0L
+        val assigned = g1.getLong(1) == 0L
+        val unique = g1.getLong(2) == g1.getLong(3)
         // identity update: lineage must move for EXACTLY the touched rows
         val preUpd = post.select(col("event_id"),
           col("_last_updated_sequence_number").as("_pre_seq"))
@@ -2839,14 +2865,16 @@ object EventWindowQueries extends QueryModule {
           Map("value" -> "value"))
         val post2 = graft.sinks.IcebergSink.readWithLineage(s, tbl)
         val joined = post2.join(preUpd, Seq("event_id"), "inner")
-        val seqAssigned = post2
-          .filter(col("_last_updated_sequence_number").isNull).count() == 0
-        val seqBumped = joined.filter(col("event_id") % 10 === 6)
-          .filter(col("_last_updated_sequence_number") <= col("_pre_seq"))
-          .count() == 0
-        val seqStable = joined.filter(col("event_id") % 10 =!= 6)
-          .filter(col("_last_updated_sequence_number") =!= col("_pre_seq"))
-          .count() == 0
+        val g2 = joined.agg(
+          count(when(col("_last_updated_sequence_number").isNull, 1)).as("nul"),
+          count(when(col("event_id") % 10 === 6 &&
+            col("_last_updated_sequence_number") <= col("_pre_seq"), 1)).as("nb"),
+          count(when(col("event_id") % 10 =!= 6 &&
+            col("_last_updated_sequence_number") =!= col("_pre_seq"), 1)).as("mv"))
+          .head()
+        val seqAssigned = g2.getLong(0) == 0L
+        val seqBumped = g2.getLong(1) == 0L
+        val seqStable = g2.getLong(2) == 0L
         post2.groupBy("event_type")
           .agg(count(lit(1)).as("cnt"),
             countDistinct(col("event_id")).as("n_ids"),
