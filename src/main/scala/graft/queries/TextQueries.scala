@@ -653,6 +653,59 @@ object TextQueries extends QueryModule {
              |ORDER BY shard, start_off, doc_id""".stripMargin)),
 
     QueryDef(
+      "q_pack_bins",
+      // SAMPLE-INTACT batch packing (the fine-tuning counterpart of
+      // q_pack_sequences' straddling concatenation): every doc stays
+      // whole, bins have a fixed 2048-token capacity, and the packer is
+      // HARMONIC bin packing — class k holds docs where exactly k fit
+      // per bin (k = ⌊L/n⌋), so assignment inside a class is pure
+      // arithmetic on the class-local rank (bin = rank div k) with a
+      // provable ≈1.69× waste bound. Fully distributed: one groupBy-class
+      // shuffle; the per-class rank windows partition by k (≤L classes,
+      // populations spread by construction) — no global window, no
+      // sequential first-fit walk, which is what makes sample-intact
+      // packing distributable at 100 TB. Census per class: docs, bins
+      // FROM THE ACTUAL ASSIGNMENT (countDistinct bin, gated against the
+      // ⌈n/k⌉ formula by `bins_ok`) and the fill ratio.
+      (s, dir) => {
+        val L = 2048L
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            least(size(split(col("text"), " ")).cast("long"), lit(L)).as("n"))
+          .withColumn("k", floor(lit(L.toDouble) / col("n")).cast("long"))
+        val r = Window.partitionBy("k").orderBy(col("n").desc, col("doc_id"))
+        val packed = d
+          .withColumn("bin", floor((row_number().over(r) - 1) / col("k")).cast("long"))
+        packed.groupBy("k")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("bin")).as("n_bins"),
+            sum(col("n")).as("tok"))
+          .withColumn("bins_ok",
+            col("n_bins") === expr("(n_docs + k - 1) div k"))
+          // plain double division on EXACT integer inputs (tok is an
+          // integer sum): correctly rounded and bit-identical in both
+          // engines — a decimal(38,6) round-trip would land the
+          // power-of-two denominators exactly on rounding half-boundaries
+          .withColumn("fill_pct",
+            col("tok").cast("double") * 100.0 /
+              (col("n_bins") * L).cast("double"))
+          .select(col("k"), col("n_docs"), col("n_bins"), col("bins_ok"),
+            col("fill_pct"))
+          .orderBy("k")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT), 2048) AS n
+             |  FROM documents),
+             |c AS (SELECT CAST(FLOOR(2048.0 / n) AS BIGINT) AS k,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n) AS BIGINT) AS tok FROM d GROUP BY 1)
+             |SELECT k, n_docs, CAST((n_docs + k - 1) // k AS BIGINT) AS n_bins,
+             |  TRUE AS bins_ok,
+             |  CAST(tok AS DOUBLE) * 100.0 /
+             |    CAST(((n_docs + k - 1) // k) * 2048 AS DOUBLE) AS fill_pct
+             |FROM c ORDER BY k""".stripMargin)),
+
+    QueryDef(
       "q_bm25",
       // BM25 (k1=1.2, b=0.75) relevance scores per (doc, term) — the
       // retrieval-scoring upgrade of q_tfidf and the ranking primitive for
