@@ -675,18 +675,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q_rfm: exact NTILE windows are bucket-partitioned, never global (r16 weak mark)") {
+  test("q_rfm: exact NTILE ranks ride the range-partitioned rankExact, never a window (r16/r17 weak marks)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q_rfm")(spark, dir)
-    val globals = df.queryExecution.sparkPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
-    assert(globals.isEmpty,
-      s"q_rfm plans a single-partition window:\n${df.queryExecution.sparkPlan}")
-    // the three score ranks ride windows partitioned by the value bucket
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"q_rfm should carry NO window at all (rank = broadcast offset + " +
+        s"checkpointed position arithmetic):\n${df.queryExecution.sparkPlan}")
+    // the three score ranks join the broadcast per-partition offsets of
+    // Ops.rankExact's sampled-CDF range partitioning
     val p = planOf(df)
-    assert(p.contains("__graft_ntile_b"),
-      s"expected Ops.ntileExact bucket-partitioned windows:\n$p")
+    assert(p.contains("__graft_rank_pid"),
+      s"expected Ops.rankExact broadcast offset joins:\n$p")
+  }
+
+  test("q_pack_bins: class-local ranks ride rankExact, not a per-class window (r17 weak mark)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_pack_bins")(spark, dir)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      "q_pack_bins must not rank through a Window.partitionBy(k) — one " +
+        s"harmonic class would flow through ONE task:\n${df.queryExecution.sparkPlan}")
+    val p = planOf(df)
+    assert(p.contains("__graft_rank_pid"),
+      s"expected Ops.rankExact broadcast offset joins:\n$p")
   }
 
   test("suite gate: no declared query plans a global window, a data-plane single-partition exchange, or an unlisted cartesian product (r16 advice #2)") {

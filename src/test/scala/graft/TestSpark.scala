@@ -13,7 +13,10 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: several specs deliberately build single-partition
+    // windows as the naive oracle side, and WindowExec's per-plan WARN
+    // floods the test log
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 }
