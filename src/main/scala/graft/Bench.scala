@@ -268,24 +268,34 @@ object Bench {
             val ci = n.path("ci").asDouble(1.0)
             val ts = n.path("ts").asLong(0L)
             val shapes = n.path("shapes")
+            val qci = n.path("qci")
             n.path("queries").properties().asScala.toSeq
               .filter(e => redefinedAfter.get(e.getKey).forall(ts >= _))
               .filter(e => shapes.path(e.getKey).asInt(1) ==
                 curShape.getOrElse(e.getKey, 1))
-              .map(e => e.getKey -> (e.getValue.asDouble(), ci))
+              // the reference's regime: the entry's per-query LOCAL index
+              // when it recorded one (r18), else its suite index
+              .map(e => e.getKey ->
+                (e.getValue.asDouble(), qci.path(e.getKey).asDouble(ci)))
           }
           .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 <= b._1) a else b)
       }
-    // Regime normalization (VERDICT r8 #4): a ci-0.77 run is systematically
-    // ~0.77/0.54 slower than a ci-0.54 best across the whole suite, so raw
-    // ratios cry wolf on every small query. Divide this run's time by the
-    // ci ratio before flagging. The factor only FORGIVES contention (≥ 1,
-    // never penalizes a faster-than-best regime) and is capped at 3× so a
-    // pathological canary can't absolve a real regression. sf0.1 only —
-    // elsewhere ci is uncalibrated and the factor stays 1.
-    def normFactor(bestCi: Double): Double =
-      if (sfTag != "sf0.1" || bestCi <= 0 || result.contentionIndex <= 0) 1.0
-      else math.min(3.0, math.max(1.0, result.contentionIndex / bestCi))
+    // Regime normalization (VERDICT r8 #4, refined r18 to QUERY-LOCAL
+    // indices — r17 item 7): a ci-0.77 window is systematically ~0.77/0.54
+    // slower than a ci-0.54 best across the whole suite, so raw ratios cry
+    // wolf on every small query — and the host flips regimes MID-RUN, so
+    // the suite median over- or under-forgives queries on either side of
+    // the flip. Divide this run's time by the ratio of the query's OWN
+    // bracketing-checkpoint index to the reference's. The factor only
+    // FORGIVES contention (≥ 1, never penalizes a faster-than-best regime)
+    // and is capped at 3× so a pathological canary can't absolve a real
+    // regression. sf0.1 only — elsewhere ci is uncalibrated and the
+    // factor stays 1.
+    def normFactor(q: String, bestCi: Double): Double = {
+      val runCi = result.localCi.getOrElse(q, result.contentionIndex)
+      if (sfTag != "sf0.1" || bestCi <= 0 || runCi <= 0) 1.0
+      else math.min(3.0, math.max(1.0, runCi / bestCi))
+    }
     // noise floor: sub-second queries jitter 2-3× run-to-run on this host
     // (regime bursts), so a pure ratio ranking surfaces jitter as the
     // headline; requiring ≥0.25 s of absolute regression keeps the block
@@ -293,8 +303,8 @@ object Bench {
     // flagged — the block is a regression alarm, not a leaderboard.
     val deltas = result.ok.flatMap { case (q, t) =>
       best.get(q).collect { case (b, bCi)
-        if t - b >= 0.25 && (t / normFactor(bCi)) / b > 1.5 =>
-          (q, (t / normFactor(bCi)) / b)
+        if t - b >= 0.25 && (t / normFactor(q, bCi)) / b > 1.5 =>
+          (q, (t / normFactor(q, bCi)) / b)
       }
     }.sortBy(-_._2).take(5)
     if (deltas.nonEmpty)
@@ -322,7 +332,7 @@ object Bench {
         val (b, bCi) = best(q)
         // closed when the isolated minimum sits inside the regime-adjusted
         // noise band of the all-time best (the r12–r16 closure standard)
-        val closed = minT <= b * math.max(1.0, normFactor(bCi)) * 1.3
+        val closed = minT <= b * math.max(1.0, normFactor(q, bCi)) * 1.3
         (q, minT, b, closed)
       }
     if (adjudication.nonEmpty)
@@ -340,7 +350,14 @@ object Bench {
         if (shaped.isEmpty) ""
         else shaped.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","shapes":{""", ",", "}")
-      f"""{"ts":${System.currentTimeMillis()},"sf":"$sfTag","ci":${result.contentionIndex}%.3f,"total":${result.total}%.3f,"queries":$qs$shapesJson}"""
+      // per-query LOCAL contention (r18): future runs normalize against
+      // the regime window each value was actually measured in
+      val qciJson =
+        if (result.localCi.isEmpty) ""
+        else result.localCi.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString(""","qci":{""", ",", "}")
+      f"""{"ts":${System.currentTimeMillis()},"sf":"$sfTag","ci":${result.contentionIndex}%.3f,"total":${result.total}%.3f,"queries":$qs$shapesJson$qciJson}"""
     }
     java.nio.file.Files.write(path,
       (entry + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -362,6 +379,7 @@ object Bench {
   final case class SuiteRun(
       ok: Seq[(String, Double)], failed: List[String], reruns: Seq[String],
       contentionIndex: Double, canaries: Seq[Double],
+      localCi: Map[String, Double] = Map.empty,
       discarded: Option[SuiteRun] = None) {
     def total: Double = ok.map(_._2).sum
   }
@@ -422,8 +440,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val canaries = scala.collection.mutable.ArrayBuffer(canaryCheckpoint(spark, sfDir))
+    // per query, the index of the checkpoint taken just BEFORE it ran —
+    // with the one after, that brackets the query's regime window
+    val ckptBefore = scala.collection.mutable.Map.empty[String, Int]
     val firstPass = named.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % CanaryEveryNQueries == 0) canaries += canaryCheckpoint(spark, sfDir)
+      ckptBefore(name) = canaries.size - 1
       name -> (1 to reps).map(_ => timeOnce(name, fn)).min
     }
     canaries += canaryCheckpoint(spark, sfDir)
@@ -457,6 +479,17 @@ object Bench {
     val ok = results.filterNot { case (n, _) => failed.contains(n) }
     val cs = canaries.sorted
     val canaryMedian = cs(cs.size / 2)
-    SuiteRun(ok, failed, reruns, canaryMedian / CanaryRefSec, canaries.toSeq)
+    // LOCAL contention per query (r17 verdict item 7): the host flips
+    // between multi-minute performance regimes MID-RUN, so a suite-median
+    // index over- or under-forgives queries on either side of the flip.
+    // Each query's index is the mean of its two BRACKETING checkpoints —
+    // the regime the query actually ran in.
+    val localCi: Map[String, Double] = ok.map { case (n, _) =>
+      val b = ckptBefore.getOrElse(n, 0)
+      val after = math.min(b + 1, canaries.size - 1)
+      n -> (canaries(b) + canaries(after)) / 2.0 / CanaryRefSec
+    }.toMap
+    SuiteRun(ok, failed, reruns, canaryMedian / CanaryRefSec, canaries.toSeq,
+      localCi)
   }
 }

@@ -850,18 +850,37 @@ object EventWindowQueries extends QueryModule {
       // vs q_delta_zorder_read: same engine underneath, but the LAYOUT
       // ownership moves into table metadata — OPTIMIZE needs no operator
       // args, and re-declaring re-points future runs without rewriting
-      // history (the mobility partitioning can't offer). At 100 TB:
-      // multi-dimensional slices open the few overlapping files, and the
-      // clustering contract travels with the table, not the job code.
+      // history (the mobility partitioning can't offer). r18 extends the
+      // scope with the INCREMENTAL-liquid contract: after a small append,
+      // a second plain OPTIMIZE rewrites ONLY the unclustered tail
+      // (clustered generations carry forward untouched — gates
+      // `incremental` below: rewritten < live file count), and a third
+      // OPTIMIZE on the then-fully-clustered table is a (0,0) no-op. At
+      // 100 TB: nightly OPTIMIZE cost tracks the day's ingest, never the
+      // table; multi-dimensional slices open the few overlapping files,
+      // and the clustering contract travels with the table, not job code.
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select("event_id", "event_type", "value")
+        val evMain = ev.filter(col("event_id") % 10 =!= 0)
+        val evTail = ev.filter(col("event_id") % 10 === 0)
         val table = graft.TempTables.create("graft-liquid")
-        graft.sinks.DeltaSink.write(ev, table, overwrite = true)
+        graft.sinks.DeltaSink.write(evMain, table, overwrite = true)
         graft.sinks.DeltaSink.clusterBy(s, table, Seq("value", "event_id"))
         graft.sinks.DeltaSink.compact(s, table, maxRecordsPerFile = 2000)
         val declared = graft.sinks.DeltaSink.clusteringColumns(s, table) ==
           Seq("value", "event_id")
+        // incremental liquid: the appended tail is small, so the second
+        // OPTIMIZE must rewrite fewer files than the table holds, and a
+        // third must be a no-op (everything already clustered)
+        graft.sinks.DeltaSink.append(evTail, table)
+        val liveBefore =
+          graft.sinks.DeltaSink.read(s, table).inputFiles.length
+        val (rewritten2, _) =
+          graft.sinks.DeltaSink.compact(s, table, maxRecordsPerFile = 2000)
+        val incremental = rewritten2 > 0 && rewritten2 < liveBefore &&
+          graft.sinks.DeltaSink.compact(s, table,
+            maxRecordsPerFile = 2000) == ((0, 0))
         val idBound = ev.agg(max(col("event_id"))).head().getLong(0) / 2
         val slice = graft.sinks.DeltaSink.readRanges(s, table,
           Seq(("value", "100.0", "200.0"), ("event_id", "0", idBound.toString)))
@@ -875,15 +894,19 @@ object EventWindowQueries extends QueryModule {
             fxSum(col("value")).as("total_value"))
           .withColumn("clustered", lit(declared))
           .withColumn("files_pruned", lit(pruned))
+          .withColumn("incremental", lit(incremental))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
              |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
-             |  TRUE AS clustered, TRUE AS files_pruned
+             |  TRUE AS clustered, TRUE AS files_pruned, TRUE AS incremental
              |FROM events WHERE value >= 100.0 AND value <= 200.0
              |  AND event_id >= 0
              |  AND event_id <= (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // r18 widened the scope: append + incremental second OPTIMIZE +
+      // no-op third — the r17 best measured the single-OPTIMIZE shape
+      shapeVersion = 2),
 
     QueryDef(
       "q_schema_evolution",
@@ -1891,6 +1914,58 @@ object EventWindowQueries extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_variant_shred",
+      // VARIANT / SEMI-STRUCTURED column (r18 stretch — Delta 4.0
+      // VariantType / Iceberg V3 variant, the modern-format frontier):
+      // events.props parses ONCE into Spark's binary VariantType
+      // (parse_json — the open encoding both specs adopted), written
+      // through the Delta sink, which stamps the `variantType`
+      // reader+writer table feature so feature-unaware engines refuse
+      // rather than misread. SHREDDING: the declared path $.k extracts at
+      // write time into a typed sibling column whose per-file footer
+      // [min,max] ride the log's add stats — the shredded-stats half of
+      // the spec's variant story — and the write range-partitions on it
+      // so the stats are tight. The read proves both halves: a range
+      // slice over the SHREDDED stats opens strictly fewer files than
+      // the table holds (`files_skipped` — pruning decided from the log,
+      // no variant decoded), while the VALUES come back from the VARIANT
+      // column itself (variant_get, evaluated file-local with no
+      // shuffle), gated row-for-row against the shredded column
+      // (`shred_parity`). At 100 TB: semi-structured payloads keep
+      // schema-on-read flexibility, yet hot extraction paths scan like
+      // typed columns and skip like partitions.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("props"))
+          .withColumn("pv", parse_json(col("props")))
+          .withColumn("k_shred",
+            variant_get(col("pv"), "$.k", "long"))
+        val table = graft.TempTables.create("graft-variant")
+        graft.sinks.DeltaSink.write(
+          ev.repartitionByRange(8, col("k_shred")), table)
+        val full = graft.sinks.DeltaSink.read(s, table)
+        val slice = graft.sinks.DeltaSink.readRange(s, table,
+          "k_shred", "10", "39")
+        val skipped = slice.inputFiles.length < full.inputFiles.length
+        val parity = full.filter(
+          !(variant_get(col("pv"), "$.k", "long") <=> col("k_shred"))).isEmpty
+        slice
+          .filter(col("k_shred") >= 10 && col("k_shred") <= 39)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(variant_get(col("pv"), "$.k", "long")).as("k_total"))
+          .withColumn("files_skipped", lit(skipped))
+          .withColumn("shred_parity", lit(parity))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+             |  TRUE AS files_skipped, TRUE AS shred_parity
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 39
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_generated",
       // GENERATED COLUMNS under the oracle (r14, Delta spec §Generated
       // Columns — Delta's answer to Iceberg's hidden partitioning,
@@ -2771,10 +2846,16 @@ object EventWindowQueries extends QueryModule {
       // re-runs replace + reclaim). The census the query emits comes
       // FROM THE STATS FILE (`live_record_count` = data − positional
       // deletes); `stats_match` gates it against the direct merged read,
-      // `files_ok` pins positive file/byte tallies. At 100 TB: partition
-      // planning questions (rows per partition, skew, empty-partition
-      // pruning) answer from one KB-scale parquet instead of the full
-      // manifest walk every query otherwise pays.
+      // `files_ok` pins positive file/byte tallies. r18 adds the PLANNER
+      // CONSUMPTION the spec section exists for (IcebergStats
+      // .readPartition): `empty_pruned` gates that an absent partition
+      // answers EMPTY from the stats file alone — no manifest walk — and
+      // `stats_broadcast` that a small partition's pruned scan comes back
+      // broadcast-hinted off its registered live count, decided before
+      // any scan. At 100 TB: partition planning questions (rows per
+      // partition, skew, querying a not-yet-loaded day) answer from one
+      // KB-scale parquet instead of the full manifest walk every query
+      // otherwise pays.
       (s, dir) => {
         val ev = t(s, dir, "events")
           .select("event_id", "event_type", "value")
@@ -2788,6 +2869,19 @@ object EventWindowQueries extends QueryModule {
           .select(element_at(col("partition"), "event_type").as("event_type"),
             col("live_record_count").as("n_stats"),
             col("data_file_count"), col("total_data_file_size_in_bytes"))
+        // consumption gates: a never-loaded partition answers empty off
+        // the census; a real one's pruned scan broadcast-hints the join
+        val emptyPruned = graft.sinks.IcebergStats
+          .readPartition(s, tbl, "event_type", "__never_loaded__").isEmpty
+        val firstType = ev.select("event_type").distinct()
+          .orderBy("event_type").head().getString(0)
+        val hintedPlan = graft.sinks.IcebergSink.read(s, tbl)
+          .join(graft.sinks.IcebergStats
+              .readPartition(s, tbl, "event_type", firstType)
+              .select(col("event_id").as("jid")),
+            col("event_id") === col("jid"))
+          .queryExecution.executedPlan.toString
+        val statsBroadcast = hintedPlan.contains("BroadcastHashJoin")
         val direct = graft.sinks.IcebergSink.read(s, tbl)
           .groupBy("event_type").agg(count(lit(1)).as("n_direct"))
         stats.join(direct, Seq("event_type"), "full_outer")
@@ -2796,12 +2890,18 @@ object EventWindowQueries extends QueryModule {
             (col("n_stats") <=> col("n_direct")).as("stats_match"),
             (col("data_file_count") > 0 &&
               col("total_data_file_size_in_bytes") > 0).as("files_ok"))
+          .withColumn("empty_pruned", lit(emptyPruned))
+          .withColumn("stats_broadcast", lit(statsBroadcast))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             |TRUE AS stats_match, TRUE AS files_ok
+             |TRUE AS stats_match, TRUE AS files_ok,
+             |TRUE AS empty_pruned, TRUE AS stats_broadcast
              |FROM events WHERE event_id % 10 <> 3
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      // r18 widened the scope with the readPartition consumption gates —
+      // the r17 best measured the census-only shape
+      shapeVersion = 2),
 
     QueryDef(
       "q_iceberg_row_lineage",

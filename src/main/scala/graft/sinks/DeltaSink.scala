@@ -416,7 +416,7 @@ object DeltaSink {
     // §1.2; pg_arrow_source.rs:233 sets nullable=true unconditionally), and
     // Spark file scans surface nullable columns anyway.
     val schemaString = StructType(df.schema.fields.map(_.copy(nullable = true))).json
-    val commit0 = Seq(protocolJson,
+    val commit0 = Seq(protocolJsonFor(df.schema),
       metaDataJson(java.util.UUID.randomUUID().toString, schemaString, partitionBy, now))
     commitAtomic(store, versionFile(table, 0), commit0)
     commitAtomic(store, versionFile(table, 1), adds.map(a => addJson(a)))
@@ -900,7 +900,11 @@ object DeltaSink {
     * as remove+add actions with `dataChange=false` — the OPTIMIZE verb.
     * Readers at any version still resolve: old files stay on disk, only the
     * log stops referencing them (vacuum = physical deletion is the caller's
-    * retention decision). Returns (filesBefore, filesAfter).
+    * retention decision). Returns (filesRewritten, filesAfter) — on an
+    * unclustered or first-clustering run filesRewritten is every live
+    * file; on an INCREMENTAL liquid run (see below) it is only the
+    * unclustered tail, and (0, 0) means the table was already fully
+    * clustered and no commit was made.
     *
     * `zorderBy` additionally CLUSTERS the rewrite on a Z-order curve over
     * the given numeric columns (OPTIMIZE ZORDER): each column is scaled to
@@ -919,18 +923,6 @@ object DeltaSink {
     val dir = new File(table)
     val state = replay(spark, table, None)
     requireWritable(state.minWriter, table)
-    val before = state.live.size
-    // Bin-pack target: total LIVE row count comes from the log's own
-    // numRecords stats minus each file's deletion-vector cardinality (the
-    // same metadata-only subtraction fileStats makes — a post-delete
-    // compact must size for the survivors, not the masked rows; no data
-    // scan either way); maxRecordsPerFile still caps each file, so the
-    // result is the minimal file count at the declared file size.
-    val totalRows = state.live.map { a =>
-      Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
-        .getOrElse(0L) - a.dv.map(_.cardinality).getOrElse(0L)
-    }.sum
-    val nFiles = math.max(1, ((totalRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
     // ROW TRACKING: an id-preserving compaction MATERIALIZES `_row_id`
     // AND `_row_commit_version` into the rewritten parquet (spec:
     // dataChange=false rewrites must carry row lineage explicitly) — the
@@ -945,17 +937,56 @@ object DeltaSink {
     // implicitly by the declared columns (the spec's contract — the
     // declaration is metadata-only, the NEXT rewrite realizes it); an
     // explicit zorderBy still overrides for a one-off layout
+    val clusterPhys = clusteringPhysical(state.domains)
     val clusterCols =
       if (zorderBy.nonEmpty) zorderBy
-      else clusteringPhysical(state.domains).map { phys =>
+      else clusterPhys.map { phys =>
         state.schema.fields.find(f => physName(f) == phys)
           .map(_.name).getOrElse(phys)
       }
-    val current =
-      if (clusterCols.isEmpty) current0
-      else ZOrder.cluster(current0, clusterCols, nFiles) // shared with IcebergSink
-    val staging = Files.createTempDirectory("graft-delta-compact").toFile
     val txn = java.util.UUID.randomUUID().toString
+    // INCREMENTAL liquid: a declared-columns OPTIMIZE re-clusters ONLY
+    // the unclustered TAIL — files written by a previous clustering
+    // rewrite carry forward untouched. Clustered generations are tracked
+    // in the graft-owned [[LiquidDomain]] as the rewrite txn uuids, which
+    // every rewritten file carries in its NAME (real Delta stamps ZCube
+    // ids in add tags; the domain spelling keeps this engine's replayed
+    // add schema lean while staying KB-bounded — one uuid per OPTIMIZE,
+    // pruned to generations still live). A file re-joins the tail when a
+    // DV lands on it (the rewrite purges the mask) or when the declared
+    // columns changed (the old layout no longer clusters the new key).
+    // Row-tracking tables keep the full id-materializing rewrite.
+    val liquid = zorderBy.isEmpty && clusterPhys.nonEmpty
+    val prevGens: Set[String] = state.domains.get(LiquidDomain)
+      .map(c => mapper.readTree(c))
+      .filter(n => n.path("columns").elements().asScala
+        .map(_.asText()).toSeq == clusterPhys)
+      .map(_.path("generations").elements().asScala.map(_.asText()).toSet)
+      .getOrElse(Set.empty)
+    val (carried, tail) =
+      if (!liquid || rowTracking || prevGens.isEmpty) (Nil, state.live)
+      else state.live.partition(a =>
+        a.dv.isEmpty && prevGens.exists(g => a.path.contains(g)))
+    if (tail.isEmpty) return (0, 0) // fully clustered already — no-op
+    // Bin-pack target for the REWRITTEN set: live row count from the
+    // log's own numRecords stats minus each file's deletion-vector
+    // cardinality (the same metadata-only subtraction fileStats makes —
+    // a post-delete compact must size for the survivors, not the masked
+    // rows; no data scan either way); maxRecordsPerFile still caps each
+    // file, so the result is the minimal file count at the declared size.
+    val tailRows = tail.map { a =>
+      Option(a.stats).map(s => mapper.readTree(s).path("numRecords").asLong(0L))
+        .getOrElse(0L) - a.dv.map(_.cardinality).getOrElse(0L)
+    }.sum
+    val nTailFiles = math.max(1,
+      ((tailRows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
+    val source =
+      if (carried.isEmpty) current0
+      else readState(spark, table, state.copy(live = tail), store)
+    val current =
+      if (clusterCols.isEmpty) source
+      else ZOrder.cluster(source, clusterCols, nTailFiles) // shared with IcebergSink
+    val staging = Files.createTempDirectory("graft-delta-compact").toFile
     val conf = spark.sessionState.newHadoopConf()
     val adds = try {
       // coalesce is shuffle-free and hits the bin-pack formula when the
@@ -965,8 +996,8 @@ object DeltaSink {
       // is bounded by the live rows the compaction rewrites anyway
       val packed =
         if (clusterCols.nonEmpty) current // ZOrder.cluster already sized it
-        else if (state.live.exists(_.dv.isDefined)) current.repartition(nFiles)
-        else current.coalesce(nFiles)
+        else if (tail.exists(_.dv.isDefined)) current.repartition(nTailFiles)
+        else current.coalesce(nTailFiles)
       val writer = toPhysical(packed, state.schema).write
         .mode("overwrite")
         .option("compression", "snappy")
@@ -979,10 +1010,26 @@ object DeltaSink {
           f"part-$i%05d-$txn.c000.snappy.parquet")
     } finally deleteRecursively(staging)
     val now = System.currentTimeMillis()
-    val removes = state.live.map(a =>
+    val removes = tail.map(a =>
       s"""{"remove":{"path":${esc(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
-    val lines = removes ++ adds.map(a => addJson(a, dataChange = false))
-    val inputPaths = state.live.map(_.path).toSet
+    // record the new clustered generation (this txn + the carried ones
+    // still live) in the same commit; a one-off ZORDER over a clustered
+    // table RESETS the generations — its layout is not the declared key's
+    val domainLines =
+      if (liquid) {
+        val liveGens = (prevGens.filter(g => carried.exists(_.path.contains(g)))
+          .toSeq.sorted :+ txn)
+        val colsJson = clusterPhys.map(esc).mkString("[", ",", "]")
+        val gensJson = liveGens.map(esc).mkString("[", ",", "]")
+        Seq(domainJson(LiquidDomain,
+          s"""{"columns":$colsJson,"generations":$gensJson}"""))
+      } else if (zorderBy.nonEmpty && state.domains.contains(LiquidDomain))
+        Seq(domainJson(LiquidDomain,
+          s"""{"columns":[],"generations":[]}"""))
+      else Nil
+    val lines = removes ++ adds.map(a => addJson(a, dataChange = false)) ++
+      domainLines
+    val inputPaths = tail.map(_.path).toSet
     var attempt = 0
     var validatedThrough = state.version
     while (true) {
@@ -1010,7 +1057,7 @@ object DeltaSink {
       val next = latest + 1
       try {
         commitAtomic(store, versionFile(table, next), lines)
-        return (before, adds.size)
+        return (tail.size, adds.size)
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (attempt >= 3) {
@@ -1021,7 +1068,7 @@ object DeltaSink {
           attempt += 1 // re-validate against the new version and retry
       }
     }
-    (before, adds.size) // unreachable
+    (tail.size, adds.size) // unreachable
   }
 
   /** REORG … APPLY (PURGE) — materialize deletion vectors: rewrites ONLY
@@ -2694,7 +2741,11 @@ object DeltaSink {
         s""""writerFeatures":${lst(meta.writerFeatures :+ "domainMetadata")}}}""")
     val ndvJson = columns.map(c => s"${esc(c)}:${ndvs(c)}")
       .mkString("{", ",", "}")
-    val conf = s"""{"path":${esc(statsPath.toFile.getAbsolutePath)},""" +
+    // TABLE-RELATIVE path in the domain row, like every add-file path in
+    // the log: a relocated table resolves its own stats (absolute legacy
+    // rows still resolve through dataAbs)
+    val conf = s"""{"path":${
+      esc(s"_delta_log/_graft_stats/${statsPath.getFileName}")},""" +
       s""""tableVersion":${meta.version},"ndv":$ndvJson}"""
     val superseded = meta.domains.get(StatsDomain)
       .map(c => mapper.readTree(c).path("path").asText()).filter(_.nonEmpty)
@@ -2710,10 +2761,12 @@ object DeltaSink {
           s"concurrent commit on $table during writeStats; re-run", e)
     }
     // the replaced stats file is dead the moment the domain row moved
+    // (domain rows carry table-relative paths; resolve before reclaiming)
     superseded.foreach { p =>
+      val target = Paths.get(dataAbs(table, p))
       store match {
-        case os: ObjectStore => scala.util.Try(os.deleteObject(Paths.get(p))): Unit
-        case _ => Files.deleteIfExists(Paths.get(p)): Unit
+        case os: ObjectStore => scala.util.Try(os.deleteObject(target)): Unit
+        case _ => Files.deleteIfExists(target): Unit
       }
     }
     ndvs
@@ -2750,6 +2803,15 @@ object DeltaSink {
   // metadata domain) ----
 
   private[sinks] val ClusteringDomain = "delta.clustering"
+
+  /** Graft-owned INCREMENTAL-liquid state: `{"columns": [physical...],
+    * "generations": [txn-uuid...]}` — the rewrite txns whose output files
+    * (txn uuid in the file name) are already clustered by `columns`.
+    * Written by [[compact]] in the same commit as the rewrite; KB-bounded
+    * (one uuid per OPTIMIZE, pruned to live generations). The spec slot
+    * [[ClusteringDomain]] stays exactly spec-shaped.
+    */
+  private[sinks] val LiquidDomain = "graft.clustering"
 
   /** CLUSTER BY — declares the table's clustering columns (Delta spec
     * §Clustered Table): ONE metadata-only commit bumping the protocol to
@@ -3867,10 +3929,32 @@ object DeltaSink {
     * allowlist (anything else refuses in [[resolve]]).
     */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
+      "variantType")
 
   private def protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}"""
+
+  /** Create-time protocol for `schema`: a VARIANT column anywhere in the
+    * schema requires the `variantType` reader+writer table feature (Delta
+    * 4.0 spec §Variant Data Type — readers that can't decode the binary
+    * encoding must refuse the table); everything else keeps the minimal
+    * legacy protocol.
+    */
+  private def protocolJsonFor(schema: StructType): String = {
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+    if (hasVariant(schema))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}"""
+    else protocolJson
+  }
 
   private def metaDataJson(id: String, schemaString: String,
       partitionBy: Seq[String], now: Long,

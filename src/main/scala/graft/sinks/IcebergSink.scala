@@ -1703,6 +1703,48 @@ object IcebergSink {
     (df, kept.size, entries.size)
   }
 
+  /** Identity-partition-pruned POINT read: only data files whose manifest
+    * partition value for `partitionCol` equals `value` are scanned (files
+    * without the value are kept — pruning is an optimization, never a
+    * correctness filter), then the exact predicate re-applies.
+    * Partition-scoped delete manifests prune on the same rule. `value` is
+    * compared stringified against the manifest value (the same uniform
+    * spelling [[fileStats]] and the partition-statistics census use).
+    * Returns (frame, scanned, total). See
+    * [[IcebergStats.readPartition]] for the statistics-consulting wrapper
+    * that can answer empty partitions without this manifest walk.
+    */
+  def readPartition(spark: SparkSession, table: String, partitionCol: String,
+      value: String): (DataFrame, Int, Int) = {
+    val snap = snapshotEntries(table, asOfSnapshotId = None)
+    val (schema, entries) = (snap.schema, snap.data)
+    val kept = entries.filter { case (_, pvals, _) =>
+      pvals.get(partitionCol) match {
+        case Some(x) => String.valueOf(x) == value
+        case None => true
+      }
+    }
+    val keptDeletes = snap.deletes.filter { d =>
+      d.pvals.get(partitionCol) match {
+        case Some(x) => String.valueOf(x) == value
+        case None => true
+      }
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = readMerged(spark, schema, kept, keptDeletes,
+        curFields = snap.curFields, fileFields = snap.fileFields)
+      .filter(col(partitionCol) === lit(value).cast(schema(partitionCol).dataType))
+    (df, kept.size, entries.size)
+  }
+
+  /** The current schema straight off the metadata JSON — NO manifest is
+    * opened (what a stats-pruned empty read needs to type its frame).
+    */
+  private[sinks] def currentSchemaOf(table: String): StructType =
+    DataType.fromJson(currentMeta(table)
+      .get("properties").get("graft.spark-schema").asText())
+      .asInstanceOf[StructType]
+
   /** (file, manifest partition values) → DataFrame: one group per
     * (partition-column-set, values), so mixed-spec snapshots (retained
     * history across a re-layout) read correctly side by side.

@@ -4140,6 +4140,79 @@ class SinkSpec extends AnyFunSuite {
     assert(DeltaSink.clusteringColumns(spark, table) == Seq("b"))
   }
 
+  test("Delta variant column: variantType feature stamped, binary round-trip, shredded stats prune (r18)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    val df = (0L until 1000L).map(i => (i, s"""{"k": ${i % 100}, "s": "v$i"}"""))
+      .toDF("id", "j")
+      .withColumn("pv", parse_json(col("j")))
+      .withColumn("k_shred", variant_get(col("pv"), "$.k", "long"))
+    DeltaSink.write(df.repartitionByRange(4, col("k_shred")), table)
+    // the v0 protocol carries the variantType reader+writer feature —
+    // engines that can't decode the binary refuse instead of misreading
+    val p0 = Files.readString(Paths.get(table, "_delta_log",
+      "00000000000000000000.json"))
+    assert(p0.contains("\"variantType\"") &&
+      p0.contains("\"minReaderVersion\":3"))
+    // binary round-trip: values extract from the variant after the rewrite
+    val back = DeltaSink.read(spark, table)
+    assert(back.schema("pv").dataType.typeName == "variant")
+    assert(back.filter(variant_get(col("pv"), "$.k", "long") =!= col("k_shred"))
+      .isEmpty)
+    assert(back.select(variant_get(col("pv"), "$.s", "string")).distinct()
+      .count() == 1000)
+    // shredded-column stats prune the range slice
+    val slice = DeltaSink.readRange(spark, table, "k_shred", "0", "24")
+    assert(slice.inputFiles.length < back.inputFiles.length)
+    assert(slice.filter(col("k_shred") <= 24).count() == 250)
+    // a variant-free table keeps the minimal legacy protocol
+    val plain = tmp()
+    DeltaSink.write((1L to 5L).toDF("id"), plain)
+    assert(!Files.readString(Paths.get(plain, "_delta_log",
+      "00000000000000000000.json")).contains("variantType"))
+  }
+
+  test("Delta incremental liquid: a second OPTIMIZE rewrites only the unclustered tail (r18)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp()
+    DeltaSink.write((0L until 4000L).map(i => (i, i % 97))
+      .toDF("id", "a").repartition(8), table)
+    DeltaSink.clusterBy(spark, table, Seq("a"))
+    // first OPTIMIZE clusters everything
+    val (r1, w1) = DeltaSink.compact(spark, table, maxRecordsPerFile = 500)
+    assert(r1 == 8 && w1 >= 8) // range split + 500-row cap can overshoot
+    // a small append leaves ONE unclustered tail file
+    DeltaSink.append((4000L until 4100L).map(i => (i, i % 97)).toDF("id", "a")
+      .coalesce(1), table)
+    val liveBefore = DeltaSink.read(spark, table).inputFiles.length
+    assert(liveBefore == w1 + 1)
+    // second OPTIMIZE rewrites ONLY the tail; the clustered files of
+    // generation 1 carry forward untouched
+    val (r2, w2) = DeltaSink.compact(spark, table, maxRecordsPerFile = 500)
+    assert(r2 == 1 && w2 == 1,
+      s"expected a tail-only rewrite, got ($r2, $w2)")
+    assert(DeltaSink.read(spark, table).count() == 4100)
+    assert(DeltaSink.read(spark, table).inputFiles.length == w1 + 1)
+    // fully clustered: a third OPTIMIZE is a commitless no-op
+    val vBefore = DeltaSink.latestVersion(table)
+    assert(DeltaSink.compact(spark, table, maxRecordsPerFile = 500) == ((0, 0)))
+    assert(DeltaSink.latestVersion(table) == vBefore)
+    // a DV delete pulls its file back into the tail (the rewrite purges
+    // the mask); clustered files elsewhere still carry forward
+    assert(DeltaSink.deleteWhereDV(spark, table, "id = 4050") == 1L)
+    val (r4, w4) = DeltaSink.compact(spark, table, maxRecordsPerFile = 500)
+    assert(r4 == 1 && w4 == 1, s"DV'd file alone re-clusters, got ($r4, $w4)")
+    assert(DeltaSink.read(spark, table).count() == 4099)
+    // re-declaring DIFFERENT columns invalidates every generation: the
+    // next OPTIMIZE is a full re-cluster under the new key
+    DeltaSink.clusterBy(spark, table, Seq("id"))
+    val (r5, _) = DeltaSink.compact(spark, table, maxRecordsPerFile = 500)
+    assert(r5 == w1 + 1, s"changed key must re-cluster everything, got $r5")
+    assert(DeltaSink.read(spark, table).count() == 4099)
+  }
+
   test("Delta row-id reads compose with column-mapping renames (r17)") {
     val s = spark
     import s.implicits._
@@ -4255,6 +4328,83 @@ class SinkSpec extends AnyFunSuite {
     assert(IcebergStats.partitionStats(spark, table).get
       .agg(sum(col("live_record_count"))).head().getLong(0) ==
       IcebergSink.read(spark, table).count())
+  }
+
+  test("Iceberg partition statistics count classic v2 positional deletes and survive a table move (r18)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("g"))
+    // CLASSIC v2 positional delete files (no deletion vector, no
+    // referenced_data_file) — still written by deleteWhere; r17's census
+    // silently dropped them, overcounting live rows (ADVICE medium)
+    assert(IcebergSink.deleteWhere(spark, table, "id % 10 = 1") == 30L)
+    assert(IcebergStats.writePartitionStats(spark, table) == 3)
+    val st = IcebergStats.partitionStats(spark, table).get
+      .select(element_at(col("partition"), "g").as("g"),
+        col("position_delete_record_count"),
+        col("position_delete_file_count"), col("live_record_count"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ids ≡ 1 (mod 10) cycle g1,g2,g0 — 10 v2-positional deletes each
+    Seq("g0", "g1", "g2").foreach { g =>
+      assert(st(g)._1 == 10L, s"$g v2 positional rows: ${st(g)._1}")
+      assert(st(g)._2 >= 1L)
+      assert(st(g)._3 == 90L, s"$g live: ${st(g)._3}")
+    }
+    val direct = IcebergSink.read(spark, table).groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    st.foreach { case (g, (_, _, live)) => assert(direct(g) == live) }
+    // the registration is TABLE-RELATIVE (ADVICE r17): a moved table still
+    // resolves its stats file through abs() — the metadata-JSON plane's
+    // relocation contract (manifest-internal Avro paths stay absolute by
+    // spec, so the census itself is a separate, pre-move concern)
+    val moved = tmp() + "/moved"
+    Files.move(Paths.get(table), Paths.get(moved))
+    val mst = IcebergStats.partitionStats(spark, moved).get
+    assert(mst.agg(sum(col("live_record_count"))).head().getLong(0) == 270L)
+  }
+
+  test("Iceberg stats-consulting partition read: empty partitions answer with no manifest open; small ones broadcast (r18)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    IcebergSink.write((1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g"),
+      table, IcebergSink.CreateExclusive, partitionBy = Seq("g"))
+    // fully DV-delete one partition, census the snapshot
+    assert(IcebergSink.deleteWhereDV(spark, table, "g = 'g1'") == 100L)
+    IcebergStats.writePartitionStats(spark, table)
+    // HIDE every Avro (manifest list + manifests): the stats-pruned empty
+    // read must still answer — its plan is metadata JSON + the KB stats
+    // parquet, never a manifest walk — while a plain read now fails
+    val metaDir = new File(table, "metadata")
+    val avros = metaDir.listFiles().filter(_.getName.endsWith(".avro"))
+    avros.foreach(f => Files.move(f.toPath,
+      f.toPath.resolveSibling(f.getName + ".hidden")))
+    try {
+      val empty = IcebergStats.readPartition(spark, table, "g", "g1")
+      assert(empty.count() == 0)
+      assert(empty.schema.fieldNames.toSeq == Seq("id", "g"))
+      intercept[Exception] { IcebergSink.read(spark, table).count() }
+    } finally avros.foreach(f => Files.move(
+      f.toPath.resolveSibling(f.getName + ".hidden"), f.toPath))
+    // a small live partition: pruned scan, BROADCAST-hinted off the stats
+    val g0 = IcebergStats.readPartition(spark, table, "g", "g0")
+    assert(g0.count() == 100)
+    val joined = IcebergSink.read(spark, table).join(
+      g0.select(col("id").as("jid")), col("id") === col("jid"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // STALE statistics never gate correctness: rows land in g1 after the
+    // census — the read must walk manifests again, not claim empty
+    IcebergSink.write(Seq((1000L, "g1"), (1001L, "g1")).toDF("id", "g"),
+      table, IcebergSink.Append)
+    assert(IcebergStats.readPartition(spark, table, "g", "g1").count() == 2)
+    // pruning gate: the underlying identity-pruned scan opened fewer data
+    // files than the table holds
+    val (_, scanned, total) = IcebergSink.readPartition(spark, table, "g", "g0")
+    assert(scanned < total && scanned >= 1)
   }
 
   test("Delta table statistics: theta-sketch NDV through the graft.stats domain (r17)") {
