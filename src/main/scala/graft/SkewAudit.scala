@@ -38,12 +38,19 @@ object SkewAudit {
     * partition-count's worth of siblings' work.
     */
   val FlagRatio = 16.0
-  // dev-overridable floors (the committed defaults are the audit's
-  // contract; the env hooks exist to smoke-test the listener plumbing at
-  // toy scale where no stage reaches 50k shuffle rows)
-  def MinRows: Long =
+  /** Second, AQE-robust flag: one task carrying over half a qualifying
+    * stage's rows is per-key skew no matter how the sibling partitions
+    * were coalesced — AQE merges the SMALL partitions around a hot one,
+    * which shrinks the task count and can pull max/mean under
+    * [[FlagRatio]] while the hot task still serializes the stage.
+    */
+  val MaxShare = 0.5
+  // overridable floors (the committed defaults are the audit's contract;
+  // the hooks exist for the spec and for smoke-testing the listener
+  // plumbing at toy scale where no stage reaches 50k shuffle rows)
+  private[graft] var MinRows: Long =
     sys.env.get("SPARK_GRAFT_SKEW_MIN_ROWS").map(_.toLong).getOrElse(50000L)
-  def MinTasks: Int =
+  private[graft] var MinTasks: Int =
     sys.env.get("SPARK_GRAFT_SKEW_MIN_TASKS").map(_.toInt).getOrElse(8)
 
   /** Queries whose flagged stage is the documented point, not a hazard. */
@@ -73,18 +80,37 @@ object SkewAudit {
         }
     }
     def reset(): Unit = stageRows.clear()
-    /** Worst (ratio, stageId, maxRows, tasks) across the recorded stages. */
-    def worst(): Option[(Double, Int, Long, Int)] =
+    /** Worst stage by max-task share: (ratio, share, stageId, maxRows,
+      * tasks) across the recorded qualifying stages.
+      */
+    def worst(): Option[(Double, Double, Int, Long, Int)] =
       stageRows.toSeq.flatMap { case (sid, rows0) =>
         val rows = rows0.synchronized(rows0.toVector)
         val total = rows.sum
         if (rows.size < MinTasks || total < MinRows) None
         else {
           val mean = total.toDouble / rows.size
-          Some((rows.max / mean, sid, rows.max, rows.size))
+          Some((rows.max / mean, rows.max.toDouble / total, sid, rows.max,
+            rows.size))
         }
-      }.sortBy(-_._1).headOption
+      }.sortBy(-_._2).headOption
   }
+
+  /** One measured body under a fresh listener — the spec-facing probe
+    * (the r17-shape regression pin drives it directly).
+    */
+  private[graft] def measureWorst(spark: SparkSession)(body: => Unit)
+      : Option[(Double, Double, Int, Long, Int)] = {
+    val l = new Listener
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(300); l.worst() }
+    finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private[graft] def flags(w: Option[(Double, Double, Int, Long, Int)]): Boolean =
+    w.exists { case (ratio, share, _, _, _) =>
+      ratio > FlagRatio || share > MaxShare
+    }
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
@@ -97,6 +123,12 @@ object SkewAudit {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // measure the DECLARED partitioning's key distribution: AQE's
+      // partition coalescing merges the small siblings around a hot task
+      // (or the whole small stage into one task), which hides the skew
+      // signal that matters at 100 TB — where no coalescing rescues a
+      // hot key. Skew-join splitting etc. stay on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,18 +144,19 @@ object SkewAudit {
       // the listener drains asynchronously; give the last task events a beat
       Thread.sleep(100)
       val w = listener.worst()
-      System.err.println(f"[skew] $name worst=${w.map(_._1).getOrElse(0.0)}%.1f" +
+      System.err.println(f"[skew] $name ratio=${w.map(_._1).getOrElse(0.0)}%.1f share=${w.map(_._2).getOrElse(0.0)}%.2f" +
         err.map(e => s" ERROR: ${e.take(80)}").getOrElse(""))
       (name, w, err)
     }
     val flagged = results.collect {
-      case (n, Some((r, _, _, _)), _) if r > FlagRatio && !allow.contains(n) => n -> r
+      case (n, w, _) if flags(w) && !allow.contains(n) =>
+        n -> w.get._2
     }
     def esc(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qjson = results.map { case (n, w, err) =>
       val body = w match {
-        case Some((r, sid, mx, tasks)) =>
-          f"""{"worst_ratio":$r%.2f,"stage":$sid,"max_task_rows":$mx,"tasks":$tasks${err.map(e => s""","error":${esc(e.take(120))}""").getOrElse("")}}"""
+        case Some((r, share, sid, mx, tasks)) =>
+          f"""{"worst_ratio":$r%.2f,"max_share":$share%.3f,"stage":$sid,"max_task_rows":$mx,"tasks":$tasks${err.map(e => s""","error":${esc(e.take(120))}""").getOrElse("")}}"""
         case None =>
           s"""{"worst_ratio":null${err.map(e => s""","error":${esc(e.take(120))}""").getOrElse("")}}"""
       }
@@ -132,7 +165,7 @@ object SkewAudit {
     val fjson = flagged.map { case (n, r) => f"${esc(n)}:$r%.2f" }.mkString("{", ",", "}")
     val ajson = allow.toSeq.sortBy(_._1)
       .map { case (n, why) => s"${esc(n)}:${esc(why)}" }.mkString("{", ",", "}")
-    val line = s"""{"sf":${esc(sfDir)},"flag_ratio":$FlagRatio,"flagged":$fjson,"allowlisted":$ajson,"queries":$qjson}"""
+    val line = s"""{"sf":${esc(sfDir)},"flag_ratio":$FlagRatio,"max_share":$MaxShare,"flagged":$fjson,"allowlisted":$ajson,"queries":$qjson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"skew_flagged":${flagged.size},"out":${esc(outPath)}}""")
