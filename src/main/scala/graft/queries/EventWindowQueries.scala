@@ -1966,6 +1966,50 @@ object EventWindowQueries extends QueryModule {
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      "q_iceberg_variant",
+      // q_variant_shred's ICEBERG twin (V3 spec §Variant — the same
+      // binary encoding both formats adopted): the variant column maps to
+      // the Iceberg `variant` type string, the table claims
+      // format-version 3 from creation (pre-v3 readers refuse the
+      // unknown type rather than misread it), and the shredded sibling's
+      // MANIFEST bounds — the stats plane Iceberg already carries per
+      // data file — drive `IcebergSink.readRange` file skipping. Same
+      // two gates as the Delta side: `files_skipped` (the range slice
+      // plans strictly fewer files than the snapshot holds, decided from
+      // manifests alone) and `shred_parity` (variant_get ≡ the shredded
+      // column row-for-row; values come from the variant binary itself).
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("props"))
+          .withColumn("pv", parse_json(col("props")))
+          .withColumn("k_shred",
+            variant_get(col("pv"), "$.k", "long"))
+        val tbl = graft.TempTables.create("graft-ib-variant") + "/tbl"
+        graft.sinks.IcebergSink.write(
+          ev.repartitionByRange(8, col("k_shred")), tbl,
+          graft.sinks.IcebergSink.CreateExclusive)
+        val full = graft.sinks.IcebergSink.read(s, tbl)
+        val (_, keptFiles, totalFiles) = graft.sinks.IcebergSink
+          .planRangeFiles(s, tbl, "k_shred", 10.0, 39.0)
+        val skipped = keptFiles.size < totalFiles
+        val parity = full.filter(
+          !(variant_get(col("pv"), "$.k", "long") <=> col("k_shred"))).isEmpty
+        graft.sinks.IcebergSink.readRange(s, tbl, "k_shred", 10.0, 39.0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(variant_get(col("pv"), "$.k", "long")).as("k_total"))
+          .withColumn("files_skipped", lit(skipped))
+          .withColumn("shred_parity", lit(parity))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+             |  TRUE AS files_skipped, TRUE AS shred_parity
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 39
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_delta_generated",
       // GENERATED COLUMNS under the oracle (r14, Delta spec §Generated
       // Columns — Delta's answer to Iceberg's hidden partitioning,

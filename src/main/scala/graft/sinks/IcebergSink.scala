@@ -883,9 +883,15 @@ object IcebergSink {
     // format-version RATCHETS, never resets: a plain append to a table a
     // DV commit already ratcheted to v3 must keep claiming v3 — an
     // external reader seeing "format-version":2 beside live deletion
-    // vectors would reject (or worse, mis-read) the table (r16)
+    // vectors would reject (or worse, mis-read) the table (r16). A
+    // VARIANT column is a V3 type (spec §Variant), so a schema carrying
+    // one claims v3 from creation — pre-v3 readers must refuse rather
+    // than choke on the unknown type string.
+    val needsV3 = declaredSchema.fields.exists(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType])
     meta.put("format-version",
-      previous.map(p => math.max(2, p.get("format-version").asInt())).getOrElse(2))
+      math.max(if (needsV3) 3 else 2,
+        previous.map(p => p.get("format-version").asInt()).getOrElse(2)))
       .put("table-uuid",
         previous.map(_.get("table-uuid").asText())
           .getOrElse(java.util.UUID.randomUUID().toString))

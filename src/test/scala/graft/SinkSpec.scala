@@ -4173,6 +4173,37 @@ class SinkSpec extends AnyFunSuite {
       "00000000000000000000.json")).contains("variantType"))
   }
 
+  test("Iceberg variant column: v3 type, format-version ratchet, manifest-stats prune (r18)") {
+    val s = spark
+    import s.implicits._
+    val table = tmp() + "/tbl"
+    val df = (0L until 1000L).map(i => (i, s"""{"k": ${i % 100}}"""))
+      .toDF("id", "j")
+      .withColumn("pv", parse_json(col("j")))
+      .withColumn("k_shred", variant_get(col("pv"), "$.k", "long"))
+    IcebergSink.write(df.repartitionByRange(4, col("k_shred")), table,
+      IcebergSink.CreateExclusive)
+    // the schema maps to the V3 `variant` type string and the table
+    // claims format-version 3 from creation
+    val hint = Files.readString(
+      Paths.get(table, "metadata", "version-hint.text")).trim
+    val meta = Files.readString(
+      Paths.get(table, "metadata", s"v$hint.metadata.json"))
+    assert(meta.contains("\"format-version\" : 3") ||
+      meta.contains("\"format-version\":3"))
+    assert(meta.contains("\"variant\""))
+    // round-trip + manifest-bounds pruning on the shredded sibling
+    val back = IcebergSink.read(spark, table)
+    assert(back.schema("pv").dataType.typeName == "variant")
+    assert(back.filter(variant_get(col("pv"), "$.k", "long") =!= col("k_shred"))
+      .isEmpty)
+    val (_, kept, total) = IcebergSink.planRangeFiles(spark, table,
+      "k_shred", 0.0, 24.0)
+    assert(kept.size < total, s"expected pruning: ${kept.size}/$total")
+    assert(IcebergSink.readRange(spark, table, "k_shred", 0.0, 24.0)
+      .count() == 250)
+  }
+
   test("Delta incremental liquid: a second OPTIMIZE rewrites only the unclustered tail (r18)") {
     val s = spark
     import s.implicits._
