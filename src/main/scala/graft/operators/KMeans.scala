@@ -59,8 +59,20 @@ object KMeans {
     // vector nulled every score, so array_position returned 0 and the row
     // silently landed in cluster -1. Rows without a usable vector have no
     // defined cluster; callers wanting them keep-left-join the result.
-    val em = em0.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+    val filtered = em0.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
       forall(col(vecCol), _.isNotNull))
+    // r18 (guide §5, §2.3): the frame is consumed iters+2 times (seed
+    // scan, one update pass per Lloyd iteration, the final assignment).
+    // Project to the two columns the algorithm reads and materialize ONCE
+    // (lazy localCheckpoint — the seed collect below is the first action),
+    // so every iteration reads cached (id, vec) blocks instead of
+    // re-running the source scan + filter. At corpus scale this turns
+    // iters+2 parquet passes into one scan + iters+1 block reads — the
+    // standard iterative-ML working-set pattern. iters=0 keeps the plain
+    // plan (2 passes; a materialization would cost what it saves).
+    val em = if (iters >= 1)
+      filtered.select(col(idCol), col(vecCol)).localCheckpoint(false)
+    else filtered
 
     var cents: Array[Array[Double]] =
       em.orderBy(idCol).limit(k).select(vecCol).collect()

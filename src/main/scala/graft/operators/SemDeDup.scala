@@ -55,7 +55,12 @@ object SemDeDup {
       k: Int, iters: Int, tau: Double,
       cap: Int = DefaultClusterCap): (DataFrame, DataFrame) = {
     require(cap >= 2, s"cluster cap must be >= 2, got $cap")
+    // materialized once (r18, guide §5): the slim (id, cluster, cluster2)
+    // assignment feeds the occupancy census, the sub-split join AND the
+    // returned assignment frame — without it each consumer re-runs the
+    // k·dim literal-centroid scoring projection over the corpus
     val assigned2 = KMeans.assignTop2(emb, idCol, vecCol, k, iters)
+      .localCheckpoint(false)
     val occ = assigned2.groupBy("cluster").agg(count(lit(1)).as("occ"))
     val withSub = assigned2.join(broadcast(occ), Seq("cluster"))
       .withColumn("subKey",

@@ -1547,7 +1547,12 @@ object EventWindowQueries extends QueryModule {
           ev.filter(pmod(col("event_id"), lit(2)) === 1), tbl)
         graft.sinks.DeltaSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
         graft.sinks.DeltaSink.compact(s, tbl)
+        // post feeds BOTH the stability/uniqueness pass and the preUpd
+        // snapshot — materialize the merged row-id read once (r18, guide
+        // §5); the g1 head() below is its first action, safely BEFORE the
+        // identity update mutates the table
         val post = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
+          .localCheckpoint(false)
         // gate counts FUSE into single aggregate passes (the merged
         // row-id read is the expensive part — pay it once per frame,
         // not once per gate)
@@ -1569,7 +1574,10 @@ object EventWindowQueries extends QueryModule {
           col("_row_commit_version").as("_pre_rcv"))
         graft.sinks.DeltaSink.updateWhereDV(s, tbl, "event_id % 10 = 6",
           Map("value" -> "value"))
+        // post2 feeds the commit-version gate AND the final census —
+        // one merged read, two consumers
         val post2 = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
+          .localCheckpoint(false)
         val joined = post2.join(preUpd, Seq("event_id"), "inner")
         val g2 = joined.agg(
           count(when(col("_row_commit_version").isNull, 1)).as("nul"),
@@ -1722,20 +1730,31 @@ object EventWindowQueries extends QueryModule {
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "event_type", "value")
         def fifth(i: Int) = ev.filter(pmod(col("event_id"), lit(5)) === i)
-        val dt = graft.TempTables.create("graft-maintain-d")
-        graft.sinks.DeltaSink.write(fifth(0), dt, overwrite = true)
-        (1 to 4).foreach(i => graft.sinks.DeltaSink.append(fifth(i), dt))
-        graft.sinks.DeltaSink.deleteWhereDV(s, dt, "event_id % 5 = 0")
-        // the Report variant logs WHERE the composite's time goes (the
-        // suite's most expensive query — VERDICT r15 item 6); stderr
-        // only, the driver parses stdout
-        val ((purged, compacted, vacuumed, _), dSteps) = graft.sinks.Maintenance
-          .maintainDeltaReport(s, dt, maxSmallFiles = 3, dvPurgeRatio = 0.1,
-            vacuumRetentionMs = 0L)
-        System.err.println("[maintain] delta steps: " + dSteps.map(t =>
-          s"${t.step}=${t.ms}ms${if (t.fired) "*" else ""}").mkString(", "))
-        val dvFree = graft.sinks.DeltaSink.reorgPurge(s, dt) == ((0, 0L))
-        val oneFile = graft.sinks.DeltaSink.fileStats(s, dt).count() == 1
+        // The Delta and Iceberg chains touch DISJOINT tables and share
+        // nothing until the final census join — run them as two overlapped
+        // driver threads (guide §2.6: Spark's scheduler interleaves
+        // concurrent jobs, so each format's commit/metadata gaps backfill
+        // with the other's tasks). The nightly-janitor posture at scale is
+        // the same: per-table maintenance jobs are independent and a
+        // maintenance window overlaps them. Results are unchanged — each
+        // chain is internally sequential.
+        val deltaHalf = scala.concurrent.Future {
+          val dt = graft.TempTables.create("graft-maintain-d")
+          graft.sinks.DeltaSink.write(fifth(0), dt, overwrite = true)
+          (1 to 4).foreach(i => graft.sinks.DeltaSink.append(fifth(i), dt))
+          graft.sinks.DeltaSink.deleteWhereDV(s, dt, "event_id % 5 = 0")
+          // the Report variant logs WHERE the composite's time goes (the
+          // suite's most expensive query — VERDICT r15 item 6); stderr
+          // only, the driver parses stdout
+          val ((purged, compacted, vacuumed, _), dSteps) = graft.sinks.Maintenance
+            .maintainDeltaReport(s, dt, maxSmallFiles = 3, dvPurgeRatio = 0.1,
+              vacuumRetentionMs = 0L)
+          System.err.println("[maintain] delta steps: " + dSteps.map(t =>
+            s"${t.step}=${t.ms}ms${if (t.fired) "*" else ""}").mkString(", "))
+          val dvFree = graft.sinks.DeltaSink.reorgPurge(s, dt) == ((0, 0L))
+          val oneFile = graft.sinks.DeltaSink.fileStats(s, dt).count() == 1
+          (dt, purged, compacted, vacuumed, dvFree, oneFile)
+        }(scala.concurrent.ExecutionContext.global)
         val it = graft.TempTables.create("graft-maintain-i") + "/tbl"
         graft.sinks.IcebergSink.write(fifth(0), it,
           graft.sinks.IcebergSink.CreateExclusive)
@@ -1750,6 +1769,9 @@ object EventWindowQueries extends QueryModule {
           .filter(col("content") === 0).count() == 1
         val oneSnapshot =
           graft.sinks.IcebergSink.metaTable(s, it, "snapshots").count() == 1
+        val (dt, purged, compacted, vacuumed, dvFree, oneFile) =
+          scala.concurrent.Await.result(deltaHalf,
+            scala.concurrent.duration.Duration.Inf)
         val dCensus = graft.sinks.DeltaSink.read(s, dt).groupBy("event_type")
           .agg(count(lit(1)).as("n_delta"), fxSum(col("value")).as("v_delta"))
         val iCensus = graft.sinks.IcebergSink.read(s, it).groupBy("event_type")
@@ -2985,7 +3007,12 @@ object EventWindowQueries extends QueryModule {
           tbl, graft.sinks.IcebergSink.Append)
         graft.sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 3")
         graft.sinks.IcebergSink.compact(s, tbl)
+        // post feeds BOTH the stability/uniqueness pass and the preUpd
+        // snapshot — materialize the merged lineage read once (r18, guide
+        // §5); the g1 head() below is its first action, safely BEFORE the
+        // identity update mutates the table
         val post = graft.sinks.IcebergSink.readWithLineage(s, tbl)
+          .localCheckpoint(false)
         // gate counts FUSE into single aggregate passes (the merged
         // lineage read is the expensive part — pay it once per frame,
         // not once per gate)
@@ -3007,7 +3034,10 @@ object EventWindowQueries extends QueryModule {
           col("_last_updated_sequence_number").as("_pre_seq"))
         graft.sinks.IcebergSink.updateWhereDV(s, tbl, "event_id % 10 = 6",
           Map("value" -> "value"))
+        // post2 feeds the sequence gate AND the final census — one merged
+        // read, two consumers
         val post2 = graft.sinks.IcebergSink.readWithLineage(s, tbl)
+          .localCheckpoint(false)
         val joined = post2.join(preUpd, Seq("event_id"), "inner")
         val g2 = joined.agg(
           count(when(col("_last_updated_sequence_number").isNull, 1)).as("nul"),

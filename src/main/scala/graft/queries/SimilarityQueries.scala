@@ -787,8 +787,13 @@ object SimilarityQueries extends QueryModule {
               col("sx").cast("double") * col("sx").cast("double") /
                 col("n").cast("double")).as("g"))
             .agg(coalesce(sum(col("g").cast(Dec38)), lit(0).cast(Dec38)).as("w"))
+        // a4 feeds BOTH the WCSS pass and the range/conservation stats —
+        // materialize the slim (id, cluster) frame once instead of
+        // re-running the k·dim scoring projection per consumer (r18,
+        // guide §5); a0 has a single consumer and stays a plain plan
         val a4 = graft.operators.KMeans
           .assign(emb, "vec_id", "embedding", k, iters = 4)
+          .localCheckpoint(false)
         val a0 = graft.operators.KMeans
           .assign(emb, "vec_id", "embedding", k, iters = 0)
         val stats4 = a4.agg(count(lit(1)).as("n4"),
@@ -1774,11 +1779,19 @@ object SimilarityQueries extends QueryModule {
       (s, dir) => {
         val tau = 0.30
         val emb = t(s, dir, "embeddings")
-        val (assigned, pairs) = graft.operators.SemDeDup
+        val (assigned, pairs0) = graft.operators.SemDeDup
           .clusterPairs(emb, "vec_id", "embedding", k = 8, iters = 3, tau = tau)
+        // the within-cluster pair join is the expensive subtree and THREE
+        // consumers need it (connected components, the orphan census, the
+        // kept-edge census) — materialize the slim edge list once instead
+        // of recomputing the quadratic join per consumer (r18, guide §5)
+        val pairs = pairs0.localCheckpoint(false)
         val comp = graft.operators.Ops.connectedComponents(pairs)
+        // removed has four consumers (two censuses + two anti-joins) —
+        // materialize so comp's final sort/projection runs once, not 4×
         val removed = comp.filter(!col("is_rep"))
           .select(col("id").cast("long").as("vec_id"))
+          .localCheckpoint(false)
         val kept = assigned.select("vec_id").join(removed, Seq("vec_id"), "left_anti")
         val nTotal = assigned.agg(count(lit(1)).as("n_total"))
         val nKept = kept.agg(count(lit(1)).as("n_kept"))
