@@ -483,7 +483,18 @@ object Ops {
 
   private def connectedComponentsImpl(edges0: DataFrame, maxRounds: Int,
       checkpointDir: Option[String]): DataFrame = {
+    // Two materialization strengths (r18, guide §1.2): frames consumed
+    // only by full-evaluation joins/aggregates materialize LAZILY inside
+    // their consumer's job (eager was one extra job round-trip each);
+    // `doubled` must stay EAGER because its first action is the isEmpty
+    // convergence probe — a take(1) partial evaluation must never be the
+    // job that finalizes a lazy local checkpoint (partitions it skipped
+    // would lose their lineage and fail the next round). Reliable mode
+    // checkpoints everything eagerly to survive executor loss.
     def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(false)
+    def materializeEager(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
@@ -505,7 +516,7 @@ object Ops {
       // least() skips NULLs, so vertices untouched this round keep p
       val hopped = materialize(labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), col("p").as("p0"), least(col("p"), col("np")).as("p")))
-      val doubled = materialize(hopped.as("x")
+      val doubled = materializeEager(hopped.as("x")
         .join(hopped.select(col("v").as("pv"), col("p").as("pp")).as("y"),
           col("x.p") === col("y.pv"), "left")
         .select(col("x.v").as("v"), col("x.p0").as("p0"),
@@ -549,9 +560,17 @@ object Ops {
     */
   def pageRank(edges0: DataFrame, iterations: Int = 5,
       checkpointDir: Option[String] = None): DataFrame = {
+    // LAZY local materialization (r18, guide §1.2): every superstep frame
+    // is consumed only by full-evaluation shuffles/aggregates (no take(1)
+    // anywhere downstream), so each round's blocks materialize inside the
+    // consumer's own job — eager here paid one extra job round-trip per
+    // iteration. Plans still truncate at construction (LogicalRDD), so
+    // analysis cost stays constant-size. Reliable-checkpoint mode keeps
+    // eager: executor-loss durability wants the files on stable storage
+    // before the next round builds on them.
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
     val edgesRaw = edges0.select(srcC.as("src"), dstC.as("dst")).distinct()
     val outdeg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -597,9 +616,11 @@ object Ops {
   def bfs(edges0: DataFrame, seeds: DataFrame, maxHops: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // lazy local materialization — same reasoning as [[pageRank]]: every
+    // per-hop frame is consumed by a full groupBy/join, never a take(1)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
     val Seq(srcC, dstC) = edges0.columns.toSeq.take(2).map(col)
     val edges = materialize(
