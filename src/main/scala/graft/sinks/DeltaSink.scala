@@ -1604,13 +1604,32 @@ object DeltaSink {
     // same metadata class as the log replay itself), never GBs of bitmap
     // bytes (VERDICT r15). A point delete (≤ one shard) still lands a
     // single sidecar object.
+    // r18 (guide §2.3 "aggregate before you shuffle" — found by the
+    // SkewAudit max-share flag on q_delta_clone): the old shape shuffled
+    // every RAW (file, position) row into one reducer per touched file —
+    // at 8 bytes/row that is the full matched set over the wire, and a
+    // delete touching few files funnels through few tasks. Positions now
+    // combine into per-(partition, file) PARTIAL bitmaps map-side, so the
+    // shuffle carries KB-scale bitmap blobs and the per-file reducer
+    // merges ≤ #partitions partials. Bitmap OR is order-independent and
+    // packDvShard re-canonicalizes from content, so the committed sidecar
+    // bytes are unchanged.
     val fresh = matched
       .select(col("_gf_rel"), col("_gf_pos"))
       .as[(String, Long)]
+      .mapPartitions { it =>
+        val D = graft.functions.DeletionVector
+        val m = scala.collection.mutable.HashMap
+          .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+        it.foreach { case (rel, pos) =>
+          m.getOrElseUpdate(rel,
+            new org.roaringbitmap.longlong.Roaring64Bitmap).addLong(pos)
+        }
+        m.iterator.map { case (rel, bm) => (rel, D.serialize(bm)) }
+      }
       .groupByKey(_._1)
       .mapGroups { (rel, it) =>
-        (rel, graft.functions.DeletionVector.serialize(
-          graft.functions.DeletionVector.bitmapOf(it.map(_._2))))
+        (rel, it.map(_._2).reduce(graft.functions.DeletionVector.merge))
       }.persist()
     val descs: Seq[DvShardDesc] = try {
       val touched = fresh.count()
