@@ -135,7 +135,19 @@ object ScaleData {
       "embeddings" -> scale(t("embeddings"), Map("vec_id" -> uVec)))
 
     out.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      // realistic multi-file layout (r18): the crossJoin replication
+      // inherits the source scan's 1-2 partitions, so every scaled table
+      // landed as ONE file — one mapper feeding every downstream shuffle,
+      // which distorted the skew audit (AQE's local shuffle read slices a
+      // single mapper's output into ~2 chunks, reading as share≈0.5
+      // "skew" on perfectly uniform keys) and caps map parallelism no
+      // real 5× corpus would. Fixed-width tables spread round-robin over
+      // 16 files (deterministic: sort-before-repartition is on);
+      // dimension tables stay single-file like the source corpus.
+      val big = Set("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")
+      val laid = if (big(name)) df.repartition(16) else df
+      laid.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scale] wrote $name")
     }
     spark.stop()
