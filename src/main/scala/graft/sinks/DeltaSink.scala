@@ -3640,17 +3640,16 @@ object DeltaSink {
       StructField("defaultRowCommitVersion", LongType)))
   }
 
-  /** Driver-side replay of a TAIL-ONLY snapshot (no checkpoint, small
-    * tail): jackson-parses the commit JSON in (version, line) order and
-    * reconciles the live set with a hash map — semantically identical to
-    * the distributed path's per-path max_by(version) + isAdd filter, with
-    * line order inside one commit as the deterministic tiebreak. The
-    * live set returns as a LOCAL relation with [[LiveSetSchema]], so every
-    * consumer (collectAdds, checkpoint writers, scans) is unchanged.
-    * A malformed line throws (the distributed path's FAILFAST contract).
+  /** Mutable state of a DRIVER-SIDE snapshot replay, shared by the
+    * tail-only fast path ([[resolveTailOnDriver]]) and the small-checkpoint
+    * fast path ([[resolveCheckpointOnDriver]]). Apply order matches the
+    * distributed replay exactly: checkpoint base state first (its adds are
+    * all live; its metadata plane rows replace/extend), then the JSON tail
+    * in (version, line) order — the per-path max_by(version) + isAdd
+    * reconciliation as a hash map, with line order inside one commit as
+    * the deterministic tiebreak.
     */
-  private def resolveTailOnDriver(spark: SparkSession, table: String,
-      tail: Seq[File]): (MetaState, DataFrame) = {
+  private final class DriverReplay {
     import com.fasterxml.jackson.databind.JsonNode
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
@@ -3665,79 +3664,263 @@ object DeltaSink {
     val domains = scala.collection.mutable.Map.empty[String, String]
     // last action per path in (version, line) order: Some(row) = live add
     val lastAction = scala.collection.mutable.LinkedHashMap.empty[String, Option[Row]]
-    def field(n: JsonNode, f: String): Option[JsonNode] =
+
+    private def field(n: JsonNode, f: String): Option[JsonNode] =
       Option(n.get(f)).filterNot(_.isNull)
-    def txt(n: JsonNode, f: String): String =
+    private def txt(n: JsonNode, f: String): String =
       field(n, f).map(_.asText).orNull
-    def lng(n: JsonNode, f: String): java.lang.Long =
+    private def lng(n: JsonNode, f: String): java.lang.Long =
       field(n, f).map(v => java.lang.Long.valueOf(v.asLong)).orNull
-    def strSeq(n: JsonNode, f: String): Option[Seq[String]] =
+    private def strSeq(n: JsonNode, f: String): Option[Seq[String]] =
       field(n, f).map(_.elements().asScala.map(_.asText).toSeq)
-    def strMap(n: JsonNode, f: String): Option[Map[String, String]] =
+    private def strMap(n: JsonNode, f: String): Option[Map[String, String]] =
       field(n, f).map(_.properties().asScala
         .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText))
         .toMap)
-    for (file <- tail; line <- Files.readAllLines(file.toPath).asScala
-         if line.trim.nonEmpty) {
-      val n = mapper.readTree(line) // malformed line throws, like FAILFAST
-      field(n, "metaData").foreach { m =>
-        schema = Some(DataType.fromJson(txt(m, "schemaString")).asInstanceOf[StructType])
-        partCols = strSeq(m, "partitionColumns").getOrElse(Nil)
-        val id = txt(m, "id")
-        if (id != null) tableId = id
-        tableConfig = strMap(m, "configuration").getOrElse(Map.empty)
-        val created = lng(m, "createdTime")
-        if (createdTime == 0L && created != null) createdTime = created.longValue()
+
+    /** Applies the commit JSON tail in (version, line) order. A malformed
+      * line throws (the distributed path's FAILFAST contract).
+      */
+    def applyTail(tail: Seq[File]): Unit = {
+      for (file <- tail; line <- Files.readAllLines(file.toPath).asScala
+           if line.trim.nonEmpty) {
+        val n = mapper.readTree(line) // malformed line throws, like FAILFAST
+        field(n, "metaData").foreach { m =>
+          schema = Some(DataType.fromJson(txt(m, "schemaString")).asInstanceOf[StructType])
+          partCols = strSeq(m, "partitionColumns").getOrElse(Nil)
+          val id = txt(m, "id")
+          if (id != null) tableId = id
+          tableConfig = strMap(m, "configuration").getOrElse(Map.empty)
+          val created = lng(m, "createdTime")
+          if (createdTime == 0L && created != null) createdTime = created.longValue()
+        }
+        field(n, "protocol").foreach { p =>
+          field(p, "minReaderVersion").foreach(v => minReader = math.max(minReader, v.asInt))
+          field(p, "minWriterVersion").foreach(v => minWriter = math.max(minWriter, v.asInt))
+          strSeq(p, "readerFeatures").foreach(readerFeatures = _)
+          strSeq(p, "writerFeatures").foreach(writerFeatures = _)
+        }
+        field(n, "txn").foreach { t =>
+          val app = txt(t, "appId")
+          val v = lng(t, "version").longValue()
+          if (txns.get(app).forall(_ < v)) txns += app -> v
+        }
+        field(n, "domainMetadata").foreach { d =>
+          val name = txt(d, "domain")
+          if (name != null) {
+            if (field(d, "removed").exists(_.asBoolean)) domains -= name
+            else domains += name -> txt(d, "configuration")
+          }
+        }
+        field(n, "add").foreach { a =>
+          val dv = field(a, "deletionVector").map { d =>
+            Row(txt(d, "storageType"), txt(d, "pathOrInlineDv"),
+              field(d, "offset").map(v => java.lang.Integer.valueOf(v.asInt)).orNull,
+              lng(d, "sizeInBytes"), lng(d, "cardinality"))
+          }.orNull
+          lastAction(txt(a, "path")) = Some(Row(
+            txt(a, "path"), strMap(a, "partitionValues").orNull,
+            lng(a, "size"), lng(a, "modificationTime"), txt(a, "stats"), dv,
+            lng(a, "baseRowId"), lng(a, "defaultRowCommitVersion")))
+        }
+        field(n, "remove").foreach(r => lastAction(txt(r, "path")) = None)
       }
-      field(n, "protocol").foreach { p =>
-        field(p, "minReaderVersion").foreach(v => minReader = math.max(minReader, v.asInt))
-        field(p, "minWriterVersion").foreach(v => minWriter = math.max(minWriter, v.asInt))
-        strSeq(p, "readerFeatures").foreach(readerFeatures = _)
-        strSeq(p, "writerFeatures").foreach(writerFeatures = _)
-      }
-      field(n, "txn").foreach { t =>
-        val app = txt(t, "appId")
-        val v = lng(t, "version").longValue()
-        if (txns.get(app).forall(_ < v)) txns += app -> v
-      }
-      field(n, "domainMetadata").foreach { d =>
-        val name = txt(d, "domain")
-        if (name != null) {
-          if (field(d, "removed").exists(_.asBoolean)) domains -= name
-          else domains += name -> txt(d, "configuration")
+    }
+
+    /** Protocol gates + [[MetaState]] + the live set as a LOCAL relation of
+      * [[LiveSetSchema]], so every consumer (collectAdds, checkpoint
+      * writers, scans) is unchanged.
+      */
+    def finish(spark: SparkSession, table: String, version: Long)
+        : (MetaState, DataFrame) = {
+      require(schema.isDefined, s"Delta log has no metaData action: $table")
+      if (tableId == null)
+        tableId = java.util.UUID.nameUUIDFromBytes(
+          logDir(table).toAbsolutePath.normalize.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+      require(minReader <= 3,
+        s"unsupported Delta protocol: table requires reader version $minReader, " +
+          "this engine supports up to 3 (deletion vectors)")
+      val unknownReader = readerFeatures.toSet -- SupportedReaderFeatures
+      require(unknownReader.isEmpty,
+        s"unsupported Delta reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")}: " +
+          s"this engine implements ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
+      val liveRows = lastAction.valuesIterator.flatten.toSeq
+      (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
+        minReader, minWriter, readerFeatures, writerFeatures, tableConfig,
+        domains.toMap),
+        spark.createDataFrame(liveRows.asJava, LiveSetSchema))
+    }
+  }
+
+  /** Driver-side replay of a TAIL-ONLY snapshot (no checkpoint, small
+    * tail) — see [[DriverReplay]].
+    */
+  private def resolveTailOnDriver(spark: SparkSession, table: String,
+      tail: Seq[File]): (MetaState, DataFrame) = {
+    val r = new DriverReplay
+    r.applyTail(tail)
+    r.finish(spark, table, tail.last.getName.stripSuffix(".json").toLong)
+  }
+
+  /** Null-safe field access over parquet [[org.apache.parquet.example.data.Group]]
+    * rows, for the driver-side checkpoint read. List/map accessors resolve
+    * the repeated inner group's NAME from the file schema, so both the
+    * standard layout (list/element, key_value) and a legacy writer's
+    * (array/bag) read identically.
+    */
+  private object Gp {
+    import org.apache.parquet.example.data.Group
+    def has(g: Group, f: String): Boolean =
+      g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0
+    def str(g: Group, f: String): String =
+      if (has(g, f)) g.getString(f, 0) else null
+    def lng(g: Group, f: String): java.lang.Long =
+      if (has(g, f)) java.lang.Long.valueOf(g.getLong(f, 0)) else null
+    def int(g: Group, f: String): java.lang.Integer =
+      if (has(g, f)) java.lang.Integer.valueOf(g.getInteger(f, 0)) else null
+    def bool(g: Group, f: String): java.lang.Boolean =
+      if (has(g, f)) java.lang.Boolean.valueOf(g.getBoolean(f, 0)) else null
+    def sub(g: Group, f: String): Option[Group] =
+      if (has(g, f)) Some(g.getGroup(f, 0)) else None
+    def strList(g: Group, f: String): Option[Seq[String]] = sub(g, f).map { lg =>
+      val t = lg.getType
+      if (t.getFieldCount == 0) Nil
+      else {
+        val rep = t.getType(0).getName // "list" (standard) / "array"|"bag" (legacy)
+        (0 until lg.getFieldRepetitionCount(rep)).map { i =>
+          val e = lg.getGroup(rep, i)
+          if (e.getFieldRepetitionCount(0) > 0) e.getString(0, 0) else null
         }
       }
-      field(n, "add").foreach { a =>
-        val dv = field(a, "deletionVector").map { d =>
-          Row(txt(d, "storageType"), txt(d, "pathOrInlineDv"),
-            field(d, "offset").map(v => java.lang.Integer.valueOf(v.asInt)).orNull,
-            lng(d, "sizeInBytes"), lng(d, "cardinality"))
-        }.orNull
-        lastAction(txt(a, "path")) = Some(Row(
-          txt(a, "path"), strMap(a, "partitionValues").orNull,
-          lng(a, "size"), lng(a, "modificationTime"), txt(a, "stats"), dv,
-          lng(a, "baseRowId"), lng(a, "defaultRowCommitVersion")))
-      }
-      field(n, "remove").foreach(r => lastAction(txt(r, "path")) = None)
     }
-    require(schema.isDefined, s"Delta log has no metaData action: $table")
-    if (tableId == null)
-      tableId = java.util.UUID.nameUUIDFromBytes(
-        logDir(table).toAbsolutePath.normalize.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
-    require(minReader <= 3,
-      s"unsupported Delta protocol: table requires reader version $minReader, " +
-        "this engine supports up to 3 (deletion vectors)")
-    val unknownReader = readerFeatures.toSet -- SupportedReaderFeatures
-    require(unknownReader.isEmpty,
-      s"unsupported Delta reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")}: " +
-        s"this engine implements ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
-    val version = tail.last.getName.stripSuffix(".json").toLong
-    val liveRows = lastAction.valuesIterator.flatten.toSeq
-    (MetaState(version, tableId, createdTime, schema.get, partCols, txns.toMap,
-      minReader, minWriter, readerFeatures, writerFeatures, tableConfig,
-      domains.toMap),
-      spark.createDataFrame(liveRows.asJava, LiveSetSchema))
+    def strMap(g: Group, f: String): Option[Map[String, String]] = sub(g, f).map { mg =>
+      val t = mg.getType
+      if (t.getFieldCount == 0) Map.empty[String, String]
+      else {
+        val rep = t.getType(0).getName // "key_value" (standard) / "map" (legacy)
+        (0 until mg.getFieldRepetitionCount(rep)).map { i =>
+          val kv = mg.getGroup(rep, i)
+          val v =
+            if (kv.getType.getFieldCount > 1 && kv.getFieldRepetitionCount(1) > 0)
+              kv.getString(1, 0)
+            else null
+          kv.getString(0, 0) -> v
+        }.toMap
+      }
+    }
+  }
+
+  /** Reads every row of the given LOCAL parquet files as Groups (driver,
+    * no Spark job). Callers gate total bytes before calling.
+    */
+  private def parquetGroups(files: Seq[File],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Vector[org.apache.parquet.example.data.Group] = {
+    val out = Vector.newBuilder[org.apache.parquet.example.data.Group]
+    files.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f.getPath))
+        .withConf(conf).build()
+      try {
+        var g = rd.read()
+        while (g != null) { out += g; g = rd.read() }
+      } finally rd.close()
+    }
+    out.result()
+  }
+
+  /** Driver-side replay of a SMALL CHECKPOINT-BASED snapshot (r18, guide
+    * §1.2/§2.4): once a table has a checkpoint, every sink op's resolve
+    * paid ~4-6 Spark job round-trips (manifest read + sidecar-list
+    * collect, two metadata-plane collects, and a SHUFFLED per-path
+    * max_by for the live set) even when the whole checkpoint is a few KB —
+    * measured as the second checkpointV2 in q_delta_checkpoint_v2 running
+    * 3.5× the first, and every post-maintain op in q_lakehouse_maintain /
+    * history / clone / restore paying the same tax. For a checkpoint
+    * whose parquet bytes (+ tail) fit [[FastReplayMaxBytes]], read the
+    * manifest + sidecars (v2) or the classic checkpoint parts on the
+    * driver with the parquet Group API — zero Spark jobs — seed
+    * [[DriverReplay]] with the base state, and apply the JSON tail as
+    * usual. Returns None (→ distributed replay) for store-backed tables
+    * (no local files) or once the checkpoint outgrows the budget — a
+    * 100 TB table's add set must never land on the driver.
+    */
+  private def resolveCheckpointOnDriver(spark: SparkSession, table: String,
+      ckptV: Long, manifestName: Option[String], tail: Seq[File])
+      : Option[(MetaState, DataFrame)] = {
+    val ld = logDir(table)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val budget = FastReplayMaxBytes - tail.map(_.length).sum
+    val groups: Vector[org.apache.parquet.example.data.Group] = manifestName match {
+      case Some(name) =>
+        val mf = ld.resolve(name).toFile
+        if (!mf.isFile || mf.length > budget) return None
+        val manifest = parquetGroups(Seq(mf), hconf)
+        val sidecars = manifest.flatMap(g => Gp.sub(g, "sidecar"))
+          .map(s => ld.resolve("_sidecars").resolve(Gp.str(s, "path")).toFile)
+        if (sidecars.exists(!_.isFile) ||
+            mf.length + sidecars.map(_.length).sum > budget) return None
+        manifest ++ parquetGroups(sidecars, hconf)
+      case None =>
+        val f = checkpointFile(table, ckptV).toFile
+        val parts =
+          if (f.isFile) Seq(f)
+          else if (f.isDirectory) dataFiles(f)
+          else return None
+        if (parts.isEmpty || parts.map(_.length).sum > budget) return None
+        parquetGroups(parts, hconf)
+    }
+    val r = new DriverReplay
+    groups.foreach { g =>
+      Gp.sub(g, "protocol").foreach { p =>
+        Option(Gp.int(p, "minReaderVersion"))
+          .foreach(v => r.minReader = math.max(r.minReader, v.intValue()))
+        Option(Gp.int(p, "minWriterVersion"))
+          .foreach(v => r.minWriter = math.max(r.minWriter, v.intValue()))
+        Gp.strList(p, "readerFeatures").foreach(r.readerFeatures = _)
+        Gp.strList(p, "writerFeatures").foreach(r.writerFeatures = _)
+      }
+      Gp.sub(g, "metaData").foreach { m =>
+        r.schema = Some(DataType.fromJson(Gp.str(m, "schemaString"))
+          .asInstanceOf[StructType])
+        r.partCols = Gp.strList(m, "partitionColumns").getOrElse(Nil)
+        val id = Gp.str(m, "id")
+        if (id != null) r.tableId = id
+        r.tableConfig = Gp.strMap(m, "configuration").getOrElse(Map.empty)
+        val created = Gp.lng(m, "createdTime")
+        if (r.createdTime == 0L && created != null) r.createdTime = created.longValue()
+      }
+      Gp.sub(g, "txn").foreach { t =>
+        val app = Gp.str(t, "appId")
+        val v = Gp.lng(t, "version").longValue()
+        if (r.txns.get(app).forall(_ < v)) r.txns += app -> v
+      }
+      Gp.sub(g, "domainMetadata").foreach { d =>
+        val name = Gp.str(d, "domain")
+        if (name != null) {
+          if (Option(Gp.bool(d, "removed")).exists(_.booleanValue()))
+            r.domains -= name
+          else r.domains += name -> Gp.str(d, "configuration")
+        }
+      }
+      Gp.sub(g, "add").foreach { a =>
+        val dv = Gp.sub(a, "deletionVector").map { d =>
+          Row(Gp.str(d, "storageType"), Gp.str(d, "pathOrInlineDv"),
+            Gp.int(d, "offset"), Gp.lng(d, "sizeInBytes"),
+            Gp.lng(d, "cardinality"))
+        }.orNull
+        val path = Gp.str(a, "path")
+        r.lastAction(path) = Some(Row(path,
+          Gp.strMap(a, "partitionValues").orNull, Gp.lng(a, "size"),
+          Gp.lng(a, "modificationTime"), Gp.str(a, "stats"), dv,
+          Gp.lng(a, "baseRowId"), Gp.lng(a, "defaultRowCommitVersion")))
+      }
+    }
+    r.applyTail(tail)
+    Some(r.finish(spark, table,
+      tail.lastOption.map(_.getName.stripSuffix(".json").toLong).getOrElse(ckptV)))
   }
 
   private def resolve(spark: SparkSession, table: String,
@@ -3784,6 +3967,28 @@ object DeltaSink {
     // driver before the live-set reconciliation has shrunk it.
     if (ckptPtr.isEmpty && tail.map(_.length).sum <= FastReplayMaxBytes)
       return resolveTailOnDriver(spark, table, tail)
+
+    // FAST CHECKPOINT REPLAY (r18): same driver-side replay for a snapshot
+    // whose base is a KB/MB-scale checkpoint — the parquet Group API reads
+    // manifest + sidecars (or classic parts) with zero Spark jobs. The byte
+    // budget and the local-file requirement keep big tables and
+    // store-backed logs on the distributed path; a parse surprise falls
+    // back to the authoritative replay (which re-applies the same
+    // protocol gates).
+    if (ckptPtr.isDefined && tail.map(_.length).sum <= FastReplayMaxBytes) {
+      try {
+        resolveCheckpointOnDriver(spark, table, ckptPtr.get._1,
+            ckptPtr.get._2, tail) match {
+          case Some(res) => return res
+          case None => () // store-backed or over-budget → distributed
+        }
+      } catch {
+        case e: IllegalArgumentException => throw e // protocol gates refuse
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[delta] fast checkpoint replay fell back to distributed: ${e.getMessage}")
+      }
+    }
 
     val ckptDF = ckptPtr.map {
       case (_, Some(manifestName)) =>
