@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only step profiler (guide §1): replays a composite query's internal
+  * steps with per-step wall-clock timing so optimization targets the step
+  * that actually costs, not the query total. Never run by the driver; the
+  * declared queries in [[SparkEntry]] are the graded artifacts.
+  *
+  * Usage: sbt "runMain graft.DevStep <target> [reps]"
+  */
+object DevStep {
+  private var t0 = System.nanoTime()
+  private def step[T](label: String)(body: => T): T = {
+    val s = System.nanoTime()
+    val r = body
+    val e = System.nanoTime()
+    println(f"[step] $label%-38s ${(e - s) / 1e9}%6.3f s (t+${(e - t0) / 1e9}%6.2f)")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val target = args.headOption.getOrElse("delta_row_tracking")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup, same as Bench
+    Tables(spark, sfDir, "region").groupBy("r_regionkey")
+      .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    sources.BucketedTables.ensure(spark, sfDir)
+    (1 to reps).foreach { i =>
+      println(s"=== rep $i: $target ===")
+      System.gc()
+      t0 = System.nanoTime()
+      run(spark, sfDir, target)
+    }
+    spark.stop()
+    TempTables.cleanupNow()
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def run(spark: SparkSession, sfDir: String, target: String): Unit = {
+    val s = spark
+    val dir = sfDir
+    def t(name: String) = Tables(s, dir, name)
+    target match {
+      case "delta_row_tracking" =>
+        val ev = t("events").select("event_id", "event_type", "value")
+        val tbl = TempTables.create("graft-devstep-drt")
+        step("write")(sinks.DeltaSink.write(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), tbl))
+        step("enableRowTracking")(sinks.DeltaSink.enableRowTracking(s, tbl))
+        val pre = step("readWithRowIds plan (pre)")(
+          sinks.DeltaSink.readWithRowIds(s, tbl)
+            .select(col("event_id"), col("_row_id").as("_pre_id")))
+        step("append")(sinks.DeltaSink.append(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), tbl))
+        step("deleteWhereDV")(sinks.DeltaSink.deleteWhereDV(s, tbl, "event_id % 10 = 3"))
+        step("compact")(sinks.DeltaSink.compact(s, tbl))
+        val post = step("readWithRowIds plan (post)")(
+          sinks.DeltaSink.readWithRowIds(s, tbl).localCheckpoint(false))
+        val g1 = step("g1 aggregate")(post.join(pre, Seq("event_id"), "left").agg(
+          count(when(col("_pre_id").isNotNull &&
+            col("_row_id") =!= col("_pre_id"), 1)).as("moved"),
+          count(when(col("_row_id").isNull, 1)).as("nulls"),
+          countDistinct(col("_row_id")).as("dstnct"),
+          count(lit(1)).as("n")).head())
+        val preUpd = post.select(col("event_id"),
+          col("_row_commit_version").as("_pre_rcv"))
+        step("updateWhereDV")(sinks.DeltaSink.updateWhereDV(s, tbl,
+          "event_id % 10 = 6", Map("value" -> "value")))
+        val post2 = step("readWithRowIds plan (post2)")(
+          sinks.DeltaSink.readWithRowIds(s, tbl).localCheckpoint(false))
+        val g2 = step("g2 aggregate")(post2.join(preUpd, Seq("event_id"), "inner").agg(
+          count(when(col("_row_commit_version").isNull, 1)).as("nul")).head())
+        step("census")(noop(post2.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt")).orderBy("event_type")))
+        val _ = (g1, g2)
+      case "iceberg_row_lineage" =>
+        val ev = t("events").select("event_id", "event_type", "value")
+        val tbl = TempTables.create("graft-devstep-irl") + "/tbl"
+        step("write")(sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 0), tbl, sinks.IcebergSink.CreateExclusive))
+        step("enableRowLineage")(sinks.IcebergSink.enableRowLineage(s, tbl))
+        val pre = step("readWithLineage plan (pre)")(
+          sinks.IcebergSink.readWithLineage(s, tbl)
+            .select(col("event_id"), col("_row_id").as("_pre_id")))
+        step("append")(sinks.IcebergSink.write(
+          ev.filter(col("event_id") % 2 === 1), tbl, sinks.IcebergSink.Append))
+        step("deleteWhereDV")(sinks.IcebergSink.deleteWhereDV(s, tbl, "event_id % 10 = 3"))
+        step("compact")(sinks.IcebergSink.compact(s, tbl))
+        val post = step("readWithLineage plan (post)")(
+          sinks.IcebergSink.readWithLineage(s, tbl).localCheckpoint(false))
+        val g1 = step("g1 aggregate")(post.join(pre, Seq("event_id"), "left").agg(
+          count(when(col("_pre_id").isNotNull &&
+            col("_row_id") =!= col("_pre_id"), 1)).as("moved"),
+          count(when(col("_row_id").isNull, 1)).as("nulls"),
+          countDistinct(col("_row_id")).as("dstnct"),
+          count(lit(1)).as("n")).head())
+        val preUpd = post.select(col("event_id"),
+          col("_last_updated_sequence_number").as("_pre_seq"))
+        step("updateWhereDV")(sinks.IcebergSink.updateWhereDV(s, tbl,
+          "event_id % 10 = 6", Map("value" -> "value")))
+        val post2 = step("readWithLineage plan (post2)")(
+          sinks.IcebergSink.readWithLineage(s, tbl).localCheckpoint(false))
+        val g2 = step("g2 aggregate")(post2.join(preUpd, Seq("event_id"), "inner").agg(
+          count(when(col("_last_updated_sequence_number").isNull, 1)).as("nul")).head())
+        step("census")(noop(post2.groupBy("event_type")
+          .agg(count(lit(1)).as("cnt")).orderBy("event_type")))
+        val _ = (g1, g2)
+      case "kmeans_quality" =>
+        step("full query")(noop(SparkEntry.queries("q_kmeans_quality")(s, dir)))
+      case "semdedup_ab" =>
+        // same-JVM alternating A/B of the clusterPairs formulation (the
+        // host's regime noise makes cross-JVM deltas < 1 s unreadable)
+        import graft.operators.{KMeans, Ops}
+        import graft.functions.VectorExpressions.{dot, l2norm}
+        val tau = 0.30
+        def oldPairs(emb: DataFrame): (DataFrame, DataFrame) = {
+          val cap = graft.operators.SemDeDup.DefaultClusterCap
+          val assigned2 = KMeans.assignTop2(emb, "vec_id", "embedding", 8, 3)
+            .localCheckpoint(false)
+          val occ = assigned2.groupBy("cluster").agg(count(lit(1)).as("occ"))
+          val withSub = assigned2.join(broadcast(occ), Seq("cluster"))
+            .withColumn("subKey",
+              when(col("occ") > cap, col("cluster2")).otherwise(lit(-1)))
+          val vecs = emb.join(withSub, Seq("vec_id"))
+            .select(col("vec_id").as("id"), col("cluster"), col("subKey"),
+              col("embedding").as("v"), l2norm(col("embedding")).as("nrm"))
+          val pairs = vecs.as("a").join(vecs.as("b"),
+              col("a.cluster") === col("b.cluster") &&
+                col("a.subKey") === col("b.subKey") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+            .filter(col("cos") >= tau)
+            .select("id_a", "id_b")
+          (assigned2.select(col("vec_id"), col("cluster")), pairs)
+        }
+        def body(cp: DataFrame => (DataFrame, DataFrame)): Unit = {
+          val emb = t("embeddings")
+          val (assigned, pairs0) = cp(emb)
+          val pairs = pairs0.localCheckpoint(false)
+          val comp = Ops.connectedComponents(pairs)
+          val removed = comp.filter(!col("is_rep"))
+            .select(col("id").cast("long").as("vec_id"))
+            .localCheckpoint(false)
+          val kept = assigned.select("vec_id").join(removed, Seq("vec_id"), "left_anti")
+          val nTotal = assigned.agg(count(lit(1)).as("n_total"))
+          val nKept = kept.agg(count(lit(1)).as("n_kept"))
+          val nRemoved = removed.agg(count(lit(1)).as("n_removed"))
+          val orphaned = removed.join(
+              pairs.select(col("id_a").as("vec_id"))
+                .union(pairs.select(col("id_b").as("vec_id"))).distinct(),
+              Seq("vec_id"), "left_anti")
+            .agg(count(lit(1)).as("orphans"))
+          val keptEdges = pairs
+            .join(removed.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_anti")
+            .join(removed.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_anti")
+            .agg(count(lit(1)).as("kept_edges"))
+          noop(nTotal.crossJoin(broadcast(nKept)).crossJoin(broadcast(nRemoved))
+            .crossJoin(broadcast(orphaned)).crossJoin(broadcast(keptEdges))
+            .select(col("n_total"),
+              (col("n_kept") + col("n_removed") === col("n_total")).as("partition_ok"),
+              (col("orphans") === 0L).as("neighbor_ok"),
+              (col("kept_edges") === 0L).as("independent_ok")))
+        }
+        def timed(label: String)(b: => Unit): Double = {
+          System.gc(); val t0 = System.nanoTime(); b
+          val dt = (System.nanoTime() - t0) / 1e9
+          CachedBlocks.releaseAll(s)
+          println(f"[ab] $label $dt%.3f s"); dt
+        }
+        val rounds = 6
+        val olds = scala.collection.mutable.ArrayBuffer[Double]()
+        val news = scala.collection.mutable.ArrayBuffer[Double]()
+        (1 to rounds).foreach { _ =>
+          olds += timed("old")(body(e => oldPairs(e)))
+          news += timed("new")(body(e =>
+            graft.operators.SemDeDup.clusterPairs(e, "vec_id", "embedding", 8, 3, tau)))
+        }
+        println(f"[ab] old min=${olds.min}%.3f median=${olds.sorted.apply(rounds / 2)}%.3f | " +
+          f"new min=${news.min}%.3f median=${news.sorted.apply(rounds / 2)}%.3f")
+      case name =>
+        step("full query")(noop(SparkEntry.queries(s"q_$name")(s, dir)))
+    }
+  }
+}

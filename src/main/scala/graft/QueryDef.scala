@@ -140,6 +140,24 @@ object TempTables {
   }
 }
 
+/** Executor-storage hygiene between queries (VERDICT r18 item 5): the
+  * operators' lazy `localCheckpoint(false)` frames pin MEMORY_AND_DISK
+  * blocks that nothing unpersists — across a 270-query bench JVM (or a
+  * long-lived multi-query service at 100 TB) that is an unbounded storage
+  * leak, the same class as the r17 q_rfm persist leak. Every harness
+  * (Bench, Verify, Cli) calls [[releaseAll]] AFTER a query's terminal
+  * action: by then every materialized frame has been consumed, no
+  * cross-query frame reuse exists by contract (results must recompute from
+  * the parquet inputs), and sink-internal persists are already unpersisted
+  * in their own `finally` blocks — so dropping every persistent RDD is
+  * exactly "release this query's working set".
+  */
+object CachedBlocks {
+  def releaseAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(rdd => scala.util.Try(rdd.unpersist(blocking = false)))
+}
+
 trait QueryModule {
   def defs: Seq[QueryDef]
 

@@ -50,8 +50,25 @@ object KMeans {
       iters: Int): DataFrame =
     assignImpl(em0, idCol, vecCol, k, iters, top2 = true)
 
+  /** Like [[assign]] but the output also carries `vecCol` — read straight
+    * off the algorithm's own materialized (id, vec) working set, so a
+    * consumer that needs (id, cluster, vec) — a WCSS pass, a within-cluster
+    * pair join — skips the id-keyed join back onto the source (two
+    * exchanges + a sort it would otherwise pay; r19, guide §2.4).
+    */
+  def assignWithVec(em0: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame =
+    assignImpl(em0, idCol, vecCol, k, iters, top2 = false, keepVec = true)
+
+  /** [[assignTop2]] + [[assignWithVec]] combined: (id, cluster, cluster2,
+    * vec), all map-side over the materialized working set.
+    */
+  def assignTop2WithVec(em0: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame =
+    assignImpl(em0, idCol, vecCol, k, iters, top2 = true, keepVec = true)
+
   private def assignImpl(em0: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, top2: Boolean): DataFrame = {
+      iters: Int, top2: Boolean, keepVec: Boolean = false): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val SumDec = DecimalType(38, 12)
     // Null/empty/null-element vectors are EXCLUDED up front (ADVICE r7):
@@ -70,9 +87,24 @@ object KMeans {
     // iters+2 parquet passes into one scan + iters+1 block reads — the
     // standard iterative-ML working-set pattern. iters=0 keeps the plain
     // plan (2 passes; a materialization would cost what it saves).
-    val em = if (iters >= 1)
-      filtered.select(col(idCol), col(vecCol)).localCheckpoint(false)
-    else filtered
+    // Superstep durability (r19, VERDICT r18 item 9 — the same escape
+    // hatch Ops.connectedComponents exposes): localCheckpoint blocks die
+    // with an executor, so a long 100 TB Lloyd run sets
+    // spark.graft.kmeansCheckpointDir and the working set materializes
+    // with RELIABLE checkpoint() files instead. Default stays
+    // localCheckpoint for short interactive jobs.
+    val em = if (iters >= 1) {
+      val slim = filtered.select(col(idCol), col(vecCol))
+      em0.sparkSession.conf.getOption("spark.graft.kmeansCheckpointDir") match {
+        case Some(d) =>
+          val sc = em0.sparkSession.sparkContext
+          val prev = sc.getCheckpointDir
+          sc.setCheckpointDir(d)
+          try slim.checkpoint(eager = true)
+          finally prev.foreach(sc.setCheckpointDir)
+        case None => slim.localCheckpoint(false)
+      }
+    } else filtered
 
     var cents: Array[Array[Double]] =
       em.orderBy(idCol).limit(k).select(vecCol).collect()
@@ -107,16 +139,18 @@ object KMeans {
         }
       }
     }
-    if (!top2) em.select(col(idCol), cluster(col(vecCol)).as("cluster"))
+    val tail = if (keepVec) Seq(col(vecCol)) else Nil
+    if (!top2)
+      em.select(col(idCol) +: cluster(col(vecCol)).as("cluster") +: tail: _*)
     else {
       // mask the best score(s) by VALUE and re-argmax — one shared score
       // array per row, both argmaxes map-side.
       val best = array_max(col("scores"))
       val masked = transform(col("scores"),
         x => when(x === best, lit(Double.NegativeInfinity)).otherwise(x))
-      em.select(col(idCol), scores(col(vecCol)).as("scores"))
-        .select(col(idCol), argmax(col("scores")).as("cluster"),
-          argmax(masked).as("cluster2"))
+      em.select(col(idCol) +: scores(col(vecCol)).as("scores") +: tail: _*)
+        .select(col(idCol) +: argmax(col("scores")).as("cluster") +:
+          argmax(masked).as("cluster2") +: tail: _*)
     }
   }
 }

@@ -239,9 +239,15 @@ object Ops {
     val k = metrics.size
     val u = java.util.UUID.randomUUID().toString.take(8)
     def mCol(i: Int) = s"__graft_ntile_m${u}_$i"
+    // Materialize the metric-augmented frame ONCE; the census below is its
+    // first action (r19, VERDICT r18 item 6). Without this, the census,
+    // the first rankExact's range-sample pass AND its shuffle map each
+    // recompute the caller's source plan — for q_rfm that was the orders
+    // aggregation three times. The k chained rankExacts already read their
+    // predecessor's checkpoint; this extends the same treatment to pass 0.
     val withM = metrics.zipWithIndex.foldLeft(df) { case (d, ((m, _), i)) =>
       d.withColumn(mCol(i), m.cast("double"))
-    }
+    }.localCheckpoint(false)
     // census: one scalar job — frame count + per-metric null/NaN guard
     // (fail fast: the tile of a null/NaN row is undefined under the
     // (metric, tiebreak) order — filter or impute first)
@@ -262,13 +268,26 @@ object Ops {
     val q = c / n
     val r = c % n
     val hi = (1 to n).map(t => t.toLong * q + math.min(t.toLong, r))
+    // Scale-ADAPTIVE rank partitioning (r19, guide §2): the census just
+    // counted the frame, so size each rankExact's range shuffle from the
+    // MEASURED row count instead of the session shuffle-partition constant.
+    // A small frame stops paying 32 near-empty range partitions × k
+    // metrics × (sample + stats) fixed cost; a 100 TB frame gets MORE
+    // partitions than the session constant. Rank values are exact under
+    // any partitioning, so results are unchanged. Explicit `partitions`
+    // wins; rows-per-partition overridable for experiments.
+    val rowsPerPart = sys.props.get("graft.rank.rowsPerPartition")
+      .map(_.toLong).getOrElse(1000000L)
+    val p =
+      if (partitions > 0) partitions
+      else math.max(1L, math.min((c + rowsPerPart - 1) / rowsPerPart, 65536L)).toInt
     val scored = (0 until k).foldLeft(withM) { (d, i) =>
       val rkCol = s"__graft_ntile_rank${u}_$i"
       // SQL-standard tile boundaries on the global rank, all literals
       val tile = (1 until n).foldRight(lit(n.toLong): Column) { (t, acc) =>
         when(col(rkCol) <= lit(hi(t - 1)), lit(t.toLong)).otherwise(acc)
       }
-      rankExact(d, Nil, Seq(col(mCol(i)).asc, tiebreak.asc), rkCol, partitions)
+      rankExact(d, Nil, Seq(col(mCol(i)).asc, tiebreak.asc), rkCol, p)
         .withColumn(metrics(i)._2, tile)
         .drop(rkCol)
     }

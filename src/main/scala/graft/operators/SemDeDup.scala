@@ -55,18 +55,21 @@ object SemDeDup {
       k: Int, iters: Int, tau: Double,
       cap: Int = DefaultClusterCap): (DataFrame, DataFrame) = {
     require(cap >= 2, s"cluster cap must be >= 2, got $cap")
-    // materialized once (r18, guide §5): the slim (id, cluster, cluster2)
-    // assignment feeds the occupancy census, the sub-split join AND the
-    // returned assignment frame — without it each consumer re-runs the
-    // k·dim literal-centroid scoring projection over the corpus
-    val assigned2 = KMeans.assignTop2(emb, idCol, vecCol, k, iters)
+    // r19 (guide §2.4): the assignment carries the VECTOR out of KMeans's
+    // own materialized (id, vec) working set, so the pair join's input is
+    // a map-side projection over cached blocks — the id-keyed join back
+    // onto `emb` (two exchanges + sort per side) is gone. The slim
+    // (id, cluster, cluster2) frame is still materialized once for the
+    // occupancy census and the returned assignment (r18, guide §5);
+    // re-deriving the scores for `vecs` is k·dim codegen dot products per
+    // row over the cached working set — cheaper than the join it replaces.
+    val assigned2v = KMeans.assignTop2WithVec(emb, idCol, vecCol, k, iters)
+    val slim = assigned2v.select(col(idCol), col("cluster"), col("cluster2"))
       .localCheckpoint(false)
-    val occ = assigned2.groupBy("cluster").agg(count(lit(1)).as("occ"))
-    val withSub = assigned2.join(broadcast(occ), Seq("cluster"))
-      .withColumn("subKey",
-        when(col("occ") > cap, col("cluster2")).otherwise(lit(-1)))
-    val vecs = emb.join(withSub, Seq(idCol))
-      .select(col(idCol).as("id"), col("cluster"), col("subKey"),
+    val occ = slim.groupBy("cluster").agg(count(lit(1)).as("occ"))
+    val vecs = assigned2v.join(broadcast(occ), Seq("cluster"))
+      .select(col(idCol).as("id"), col("cluster"),
+        when(col("occ") > cap, col("cluster2")).otherwise(lit(-1)).as("subKey"),
         col(vecCol).as("v"), l2norm(col(vecCol)).as("nrm"))
     val pairs = vecs.as("a").join(vecs.as("b"),
         col("a.cluster") === col("b.cluster") &&
@@ -75,7 +78,7 @@ object SemDeDup {
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
       .select("id_a", "id_b")
-    (assigned2.select(col(idCol), col("cluster")), pairs)
+    (slim.select(col(idCol), col("cluster")), pairs)
   }
 
   /** `(id, cluster, kept)` — kept = false iff the id sits in a >= tau

@@ -1560,20 +1560,31 @@ object EventWindowQueries extends QueryModule {
         // uniqueness/assignment still gate the WHOLE post frame while
         // stability gates only the surviving pre rows, all in ONE pass
         val survivors = post.join(pre, Seq("event_id"), "left")
-        val g1 = survivors.agg(
+        // r19 (guide §2.6, the q_lakehouse_maintain recipe — VERDICT r18
+        // item 3): the g1 stability pass and the identity update are
+        // independent — g1 reads `post`/`pre`, whose plans pinned their
+        // file lists + DV state at creation, and the MoR update only ADDS
+        // files and sidecars (never deletes) — so g1 runs as a driver
+        // Future while the update commits on the main thread; each side's
+        // driver-side gaps backfill with the other's tasks. Await before
+        // anything reads g1 or the post-update table.
+        val g1F = scala.concurrent.Future(survivors.agg(
           count(when(col("_pre_id").isNotNull &&
             col("_row_id") =!= col("_pre_id"), 1)).as("moved"),
           count(when(col("_row_id").isNull, 1)).as("nulls"),
           countDistinct(col("_row_id")).as("dstnct"),
-          count(lit(1)).as("n")).head()
-        val stable = g1.getLong(0) == 0L
-        val assigned = g1.getLong(1) == 0L
-        val unique = g1.getLong(2) == g1.getLong(3)
+          count(lit(1)).as("n")).head())(
+          scala.concurrent.ExecutionContext.global)
         // identity update: commit versions move for EXACTLY the touched rows
         val preUpd = post.select(col("event_id"),
           col("_row_commit_version").as("_pre_rcv"))
         graft.sinks.DeltaSink.updateWhereDV(s, tbl, "event_id % 10 = 6",
           Map("value" -> "value"))
+        val g1 = scala.concurrent.Await.result(g1F,
+          scala.concurrent.duration.Duration.Inf)
+        val stable = g1.getLong(0) == 0L
+        val assigned = g1.getLong(1) == 0L
+        val unique = g1.getLong(2) == g1.getLong(3)
         // post2 feeds the commit-version gate AND the final census —
         // one merged read, two consumers
         val post2 = graft.sinks.DeltaSink.readWithRowIds(s, tbl)
@@ -3020,20 +3031,27 @@ object EventWindowQueries extends QueryModule {
         // uniqueness/assignment still gate the WHOLE post frame while
         // stability gates only the surviving pre rows, all in ONE pass
         val survivors = post.join(pre, Seq("event_id"), "left")
-        val g1 = survivors.agg(
+        // r19 (guide §2.6, the q_lakehouse_maintain recipe — VERDICT r18
+        // item 3): g1 reads plan-pinned pre/post snapshots and the MoR
+        // update only adds files — independent, so overlap them (see the
+        // Delta twin for the full safety argument).
+        val g1F = scala.concurrent.Future(survivors.agg(
           count(when(col("_pre_id").isNotNull &&
             col("_row_id") =!= col("_pre_id"), 1)).as("moved"),
           count(when(col("_row_id").isNull, 1)).as("nulls"),
           countDistinct(col("_row_id")).as("dstnct"),
-          count(lit(1)).as("n")).head()
-        val stable = g1.getLong(0) == 0L
-        val assigned = g1.getLong(1) == 0L
-        val unique = g1.getLong(2) == g1.getLong(3)
+          count(lit(1)).as("n")).head())(
+          scala.concurrent.ExecutionContext.global)
         // identity update: lineage must move for EXACTLY the touched rows
         val preUpd = post.select(col("event_id"),
           col("_last_updated_sequence_number").as("_pre_seq"))
         graft.sinks.IcebergSink.updateWhereDV(s, tbl, "event_id % 10 = 6",
           Map("value" -> "value"))
+        val g1 = scala.concurrent.Await.result(g1F,
+          scala.concurrent.duration.Duration.Inf)
+        val stable = g1.getLong(0) == 0L
+        val assigned = g1.getLong(1) == 0L
+        val unique = g1.getLong(2) == g1.getLong(3)
         // post2 feeds the sequence gate AND the final census — one merged
         // read, two consumers
         val post2 = graft.sinks.IcebergSink.readWithLineage(s, tbl)

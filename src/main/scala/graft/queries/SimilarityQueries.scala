@@ -776,8 +776,18 @@ object SimilarityQueries extends QueryModule {
         val emb = t(s, dir, "embeddings")
         val eligible = emb.filter(col("embedding").isNotNull &&
           size(col("embedding")) > 0 && forall(col("embedding"), _.isNotNull))
+        // r19 (guide §2.4): assignments carry the VECTOR out of KMeans's
+        // own materialized working set (assignWithVec), so each WCSS pass
+        // is a map-side explode+aggregate over cached blocks — the
+        // id-keyed join back onto `eligible` (two exchanges + sort per
+        // WCSS, plus one full source re-scan each) is gone. The decimal
+        // per-(cluster, dim) sums are order-independent, so the gate
+        // booleans are unchanged. a4's two consumers (WCSS + the
+        // range/conservation stats) each re-run the k·dim scoring
+        // projection over the cached working set — cheaper than the r18
+        // extra (id, cluster) checkpoint + joins they replace.
         def wcss(assignments: DataFrame): DataFrame =
-          assignments.join(eligible.select("vec_id", "embedding"), "vec_id")
+          assignments
             .select(col("cluster"), posexplode(col("embedding")))
             .groupBy("cluster", "pos")
             .agg(sum(col("col").cast(DecimalType(38, 12))).as("sx"),
@@ -787,15 +797,10 @@ object SimilarityQueries extends QueryModule {
               col("sx").cast("double") * col("sx").cast("double") /
                 col("n").cast("double")).as("g"))
             .agg(coalesce(sum(col("g").cast(Dec38)), lit(0).cast(Dec38)).as("w"))
-        // a4 feeds BOTH the WCSS pass and the range/conservation stats —
-        // materialize the slim (id, cluster) frame once instead of
-        // re-running the k·dim scoring projection per consumer (r18,
-        // guide §5); a0 has a single consumer and stays a plain plan
         val a4 = graft.operators.KMeans
-          .assign(emb, "vec_id", "embedding", k, iters = 4)
-          .localCheckpoint(false)
+          .assignWithVec(emb, "vec_id", "embedding", k, iters = 4)
         val a0 = graft.operators.KMeans
-          .assign(emb, "vec_id", "embedding", k, iters = 0)
+          .assignWithVec(emb, "vec_id", "embedding", k, iters = 0)
         val stats4 = a4.agg(count(lit(1)).as("n4"),
           min(col("cluster")).as("cmin"), max(col("cluster")).as("cmax"))
         eligible.agg(count(lit(1)).as("n_vectors"))

@@ -80,7 +80,7 @@ import org.apache.spark.sql.types._
   * scope, and both [[resolve]]'s reader gate and [[requireWritable]]
   * refuse tables demanding them.
   */
-object DeltaSink {
+object DeltaSink extends org.apache.spark.internal.Logging {
   private val mapper = new ObjectMapper()
   val MaxRecordsPerFile = 2097152L
 
@@ -2482,6 +2482,16 @@ object DeltaSink {
       StructField("configuration", StringType),
       StructField("removed", BooleanType))))))
 
+  /** Read-side v2 manifest schema: [[V2ManifestSchema]] plus `add` — the
+    * Delta v2-checkpoint spec permits a manifest to carry file actions
+    * INLINE when it references no sidecars; our own writer never does, but
+    * an externally written checkpoint may (r19 ADVICE parity with the
+    * driver fast path, which already reads them). Reading a column absent
+    * from the file yields nulls, so our own manifests read unchanged.
+    */
+  private lazy val V2ManifestReadSchema =
+    StructType(V2ManifestSchema.fields.toSeq :+ CheckpointSchema("add"))
+
   private val CheckpointSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -3640,6 +3650,16 @@ object DeltaSink {
       StructField("defaultRowCommitVersion", LongType)))
   }
 
+  /** Thrown by [[DriverReplay.finish]]'s protocol/feature gates — the ONE
+    * failure class the fast-replay fallback must rethrow instead of
+    * falling back to the distributed replay (which might "succeed" by
+    * mis-reading a table whose protocol it doesn't implement). Subclasses
+    * IllegalArgumentException so existing require-style callers/tests see
+    * the same contract.
+    */
+  private final class ProtocolGateException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Mutable state of a DRIVER-SIDE snapshot replay, shared by the
     * tail-only fast path ([[resolveTailOnDriver]]) and the small-checkpoint
     * fast path ([[resolveCheckpointOnDriver]]). Apply order matches the
@@ -3738,11 +3758,17 @@ object DeltaSink {
         tableId = java.util.UUID.nameUUIDFromBytes(
           logDir(table).toAbsolutePath.normalize.toString
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
-      require(minReader <= 3,
+      // Protocol/feature refusals throw the DEDICATED gate type (r19
+      // ADVICE): the caller's fallback-to-distributed catch must rethrow
+      // exactly these — a parse-shaped IllegalArgumentException
+      // (NumberFormatException, DataType.fromJson, the schema require
+      // above) is a parse surprise and must FALL BACK to the
+      // authoritative distributed replay, which re-applies the same gates.
+      if (minReader > 3) throw new ProtocolGateException(
         s"unsupported Delta protocol: table requires reader version $minReader, " +
           "this engine supports up to 3 (deletion vectors)")
       val unknownReader = readerFeatures.toSet -- SupportedReaderFeatures
-      require(unknownReader.isEmpty,
+      if (unknownReader.nonEmpty) throw new ProtocolGateException(
         s"unsupported Delta reader feature(s) ${unknownReader.toSeq.sorted.mkString(", ")}: " +
           s"this engine implements ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}")
       val liveRows = lastAction.valuesIterator.flatten.toSeq
@@ -3893,9 +3919,10 @@ object DeltaSink {
         if (r.createdTime == 0L && created != null) r.createdTime = created.longValue()
       }
       Gp.sub(g, "txn").foreach { t =>
-        val app = Gp.str(t, "appId")
-        val v = Gp.lng(t, "version").longValue()
-        if (r.txns.get(app).forall(_ < v)) r.txns += app -> v
+        // CHECKPOINT-plane txn rows overwrite unconditionally — the same
+        // rule as the distributed checkpoint collect (r19 ADVICE parity);
+        // the tail then reapplies with the monotonic guard in applyTail
+        r.txns += Gp.str(t, "appId") -> Gp.lng(t, "version").longValue()
       }
       Gp.sub(g, "domainMetadata").foreach { d =>
         val name = Gp.str(d, "domain")
@@ -3983,10 +4010,15 @@ object DeltaSink {
           case None => () // store-backed or over-budget → distributed
         }
       } catch {
-        case e: IllegalArgumentException => throw e // protocol gates refuse
+        case e: ProtocolGateException => throw e // protocol gates refuse
         case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"[delta] fast checkpoint replay fell back to distributed: ${e.getMessage}")
+          // any OTHER failure — including parse-shaped
+          // IllegalArgumentExceptions (NumberFormatException,
+          // DataType.fromJson, a missing metaData row) — is a parse
+          // surprise: the distributed replay below is authoritative and
+          // re-applies the same protocol gates (r19 ADVICE)
+          logWarning(
+            s"fast checkpoint replay fell back to distributed: ${e.getMessage}")
       }
     }
 
@@ -3997,16 +4029,20 @@ object DeltaSink {
         // parallel, never listing a monolithic checkpoint dir. Normalize
         // both planes back to the classic checkpoint shape so the replay
         // below is layout-agnostic.
-        val manifest = spark.read.schema(V2ManifestSchema)
+        val manifest = spark.read.schema(V2ManifestReadSchema)
           .parquet(logDir(table).resolve(manifestName).toString)
         val sidecarPaths = manifest.where(col("sidecar").isNotNull)
           .select("sidecar.path").collect().map(r =>
             logDir(table).resolve("_sidecars").resolve(r.getString(0)).toString)
+        // inline add actions ride along (spec-permitted in a sidecar-less
+        // manifest) — previously forced to null here while the driver fast
+        // path read them, so the same external table could resolve to two
+        // different live sets depending on checkpoint size (r19 ADVICE)
         val metaPart = manifest
           .where(col("protocol").isNotNull || col("metaData").isNotNull ||
-            col("txn").isNotNull || col("domainMetadata").isNotNull)
-          .select(col("protocol"), col("metaData"),
-            lit(null).cast(CheckpointSchema("add").dataType).as("add"),
+            col("txn").isNotNull || col("domainMetadata").isNotNull ||
+            col("add").isNotNull)
+          .select(col("protocol"), col("metaData"), col("add"),
             col("txn"), col("domainMetadata"))
         if (sidecarPaths.isEmpty) metaPart
         else metaPart.unionByName(
@@ -4259,15 +4295,20 @@ object DeltaSink {
         // v2 pointers name their manifest; adds live in the sidecars
         val addsDF = Option(node.get("path")).map(_.asText()) match {
           case Some(manifestName) =>
-            val manifest = spark.read.schema(V2ManifestSchema)
+            val manifest = spark.read.schema(V2ManifestReadSchema)
               .parquet(logDir(table).resolve(manifestName).toString)
             val sidecarPaths = manifest.where(col("sidecar").isNotNull)
               .select("sidecar.path").collect().map(r =>
                 logDir(table).resolve("_sidecars").resolve(r.getString(0)).toString)
-            if (sidecarPaths.isEmpty) None
-            else Some(spark.read
+            // a sidecar-less external manifest may carry its adds INLINE
+            // (r19 ADVICE): they are referenced files too — missing them
+            // here would classify live data as vacuum-able orphans
+            val inline = manifest.select(col("add"))
+            if (sidecarPaths.isEmpty) Some(inline)
+            else Some(inline.unionByName(spark.read
               .schema(StructType(Seq(CheckpointSchema("add"))))
-              .parquet(sidecarPaths.toIndexedSeq: _*))
+              .parquet(sidecarPaths.toIndexedSeq: _*)
+              .select(col("add"))))
           case None => Some(spark.read.schema(CheckpointSchema)
             .parquet(checkpointFile(table, v).toString))
         }
