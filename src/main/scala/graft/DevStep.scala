@@ -121,6 +121,40 @@ object DevStep {
         val _ = (g1, g2)
       case "kmeans_quality" =>
         step("full query")(noop(SparkEntry.queries("q_kmeans_quality")(s, dir)))
+      case "stream_session" =>
+        import org.apache.spark.sql.streaming.Trigger
+        val table = TempTables.create("graft-devstep-ss")
+        def sessionAgg(df: DataFrame) = df
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"), QueryDef.fxSum(col("value")).as("sum_v"))
+          .select(col("user_id"), col("session_window.start").as("s_start"),
+            col("session_window.end").as("s_end"), col("cnt"), col("sum_v"))
+        step("seed write")(sinks.DeltaSink.write(
+          sessionAgg(t("events").limit(0)), table, overwrite = true))
+        val sessions = sessionAgg(
+          Tables.streamEvents(s, dir).withWatermark("ts", "0 seconds"))
+        val q = step("start")(sessions.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              val t0 = System.nanoTime()
+              sinks.DeltaSink.appendExactlyOnce(
+                batch, table, appId = "q-stream-session", txnVersion = id)
+              println(f"[step]   foreachBatch $id sink ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+          .start())
+        step("awaitTermination")(q.awaitTermination())
+        q.recentProgress.foreach { p =>
+          println(s"[step]   batch ${p.batchId}: total=${p.batchDuration}ms " +
+            p.durationMs.toString + " stateRows=" +
+            p.stateOperators.map(_.numRowsTotal).mkString(",") +
+            " stateOps=" + p.stateOperators.map(o =>
+              s"upd=${o.allUpdatesTimeMs} rm=${o.allRemovalsTimeMs} " +
+                s"commit=${o.commitTimeMs} mem=${o.memoryUsedBytes}").mkString(" | "))
+        }
+        step("final read")(noop(sinks.DeltaSink.read(s, table)
+          .orderBy("user_id", "s_start")))
       case "semdedup_ab" =>
         // same-JVM alternating A/B of the clusterPairs formulation (the
         // host's regime noise makes cross-JVM deltas < 1 s unreadable)
@@ -191,6 +225,83 @@ object DevStep {
         }
         println(f"[ab] old min=${olds.min}%.3f median=${olds.sorted.apply(rounds / 2)}%.3f | " +
           f"new min=${news.min}%.3f median=${news.sorted.apply(rounds / 2)}%.3f")
+      case "dump_internals" =>
+        // Commit-grade plan evidence for subtrees the final-frame PlanDump
+        // cannot show (they sit behind localCheckpoints in the composite
+        // queries). "before" variants are verbatim copies of the r18 code.
+        import org.apache.spark.sql.execution.ExplainMode
+        import graft.operators.KMeans
+        import graft.functions.VectorExpressions.{dot, l2norm}
+        val outDir = java.nio.file.Paths.get("plans/r19")
+        java.nio.file.Files.createDirectories(outDir)
+        def dump(name: String, df: DataFrame): Unit = {
+          java.nio.file.Files.writeString(outDir.resolve(name),
+            df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+          println(s"[dump] plans/r19/$name")
+        }
+        val emb = t("embeddings")
+        // --- q_semdedup pair-join subtree, r18 shape (verbatim old code)
+        locally {
+          val cap = graft.operators.SemDeDup.DefaultClusterCap
+          val assigned2 = KMeans.assignTop2(emb, "vec_id", "embedding", 8, 3)
+            .localCheckpoint(false)
+          val occ = assigned2.groupBy("cluster").agg(count(lit(1)).as("occ"))
+          val withSub = assigned2.join(broadcast(occ), Seq("cluster"))
+            .withColumn("subKey",
+              when(col("occ") > cap, col("cluster2")).otherwise(lit(-1)))
+          val vecs = emb.join(withSub, Seq("vec_id"))
+            .select(col("vec_id").as("id"), col("cluster"), col("subKey"),
+              col("embedding").as("v"), l2norm(col("embedding")).as("nrm"))
+          val pairs = vecs.as("a").join(vecs.as("b"),
+              col("a.cluster") === col("b.cluster") &&
+                col("a.subKey") === col("b.subKey") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+            .filter(col("cos") >= 0.30).select("id_a", "id_b")
+          dump("q_semdedup_pairs_before.txt", pairs)
+        }
+        // --- q_semdedup pair-join subtree, r19 shape
+        dump("q_semdedup_pairs_after.txt",
+          graft.operators.SemDeDup.clusterPairs(emb, "vec_id", "embedding",
+            8, 3, 0.30)._2)
+        // --- q_kmeans_quality WCSS subtree, r18 shape (verbatim old code)
+        locally {
+          val eligible = emb.filter(col("embedding").isNotNull &&
+            size(col("embedding")) > 0 && forall(col("embedding"), _.isNotNull))
+          val a4 = KMeans.assign(emb, "vec_id", "embedding", 10, 4)
+            .localCheckpoint(false)
+          val w = a4.join(eligible.select("vec_id", "embedding"), "vec_id")
+            .select(col("cluster"), posexplode(col("embedding")))
+            .groupBy("cluster", "pos")
+            .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("sx"),
+              count(lit(1)).as("n"))
+          dump("q_kmeans_quality_wcss_before.txt", w)
+        }
+        // --- q_kmeans_quality WCSS subtree, r19 shape
+        locally {
+          val a4 = KMeans.assignWithVec(emb, "vec_id", "embedding", 10, 4)
+          val w = a4.select(col("cluster"), posexplode(col("embedding")))
+            .groupBy("cluster", "pos")
+            .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("sx"),
+              count(lit(1)).as("n"))
+          dump("q_kmeans_quality_wcss_after.txt", w)
+        }
+        // --- q_dedup_substring FINAL executed plan (the ReusedExchange is
+        // an AQE runtime decision, invisible in the initial explain)
+        locally {
+          val df = SparkEntry.queries("q_dedup_substring")(s, dir)
+          df.queryExecution.executedPlan.executeCollect(): Unit
+          java.nio.file.Files.writeString(
+            outDir.resolve("q_dedup_substring_finalplan_after.txt"),
+            df.queryExecution.executedPlan.toString)
+          println("[dump] plans/r19/q_dedup_substring_finalplan_after.txt")
+        }
+      case n if n.startsWith("finalplan:") =>
+        // print the AQE FINAL plan after execution (reuse decisions are
+        // runtime stage-cache hits, invisible in the initial explain)
+        val df = SparkEntry.queries(n.stripPrefix("finalplan:"))(s, dir)
+        df.queryExecution.executedPlan.executeCollect(): Unit
+        println(df.queryExecution.executedPlan.toString.take(8000))
       case name =>
         step("full query")(noop(SparkEntry.queries(s"q_$name")(s, dir)))
     }

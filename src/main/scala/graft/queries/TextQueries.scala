@@ -1328,13 +1328,30 @@ object TextQueries extends QueryModule {
             === "0")
           .select(col("doc_id"),
             md5(col("text").substr(col("i"), lit(W))).as("h"))
+          // h = md5(non-null) is never null, so this filters nothing — but
+          // declaring it makes BOTH branches below carry the isnotnull(h)
+          // constraint the left join would otherwise infer only on the dup
+          // side, which silently broke their exchange-subtree equality
+          // (r19; see the ReusedExchange note below)
+          .filter(col("h").isNotNull)
         // ONE pass over the corpus: windows collapse to (doc, h, count)
         val perDocH = wins.groupBy("doc_id", "h")
           .agg(count(lit(1)).as("c"))
         // census over the collapse: rows are distinct (doc, h) pairs, so
-        // docs-per-hash is a plain count — no distinct expansion needed
+        // docs-per-hash is a plain count — no distinct expansion needed.
+        // count(when(c >= 1, 1)), NOT count(1) (r19, guide §2.4): c = a
+        // group count is always >= 1, so the value is identical — but with
+        // count(1) the column pruner stripped `c` from this branch's
+        // partial aggregate, making its exchange subtree canonically
+        // DIFFERENT from perDocH's, so ReusedExchange never fired and the
+        // corpus explode+md5 ran TWICE (two Scan+Generate chains in the
+        // r18 plan). Catalyst cannot prove c >= 1 (and cannot fold
+        // count(c) of a non-nullable c the way it rewrote a plain count),
+        // so `c` survives pruning, both branches share one exchange, and
+        // the census reads the shuffle files instead of re-exploding the
+        // corpus.
         val dup = perDocH.groupBy("h")
-          .agg(count(lit(1)).as("nd"))
+          .agg(count(when(col("c") >= 1, lit(1))).as("nd"))
           .filter(col("nd") >= 2).select(col("h"), lit(1).as("is_dup"))
         perDocH.join(dup, Seq("h"), "left")
           .groupBy("doc_id")
