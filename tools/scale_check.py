@@ -3,7 +3,13 @@
 between a baseline bench_out.json and a scaled-corpus bench_out.json,
 flagging data-bound queries that scale worse than `flag_factor` x linear.
 
-Usage: scale_check.py <base_bench.json> <scaled_bench.json> <data_ratio> <out.json>
+Usage: scale_check.py <base_bench.json> <scaled_bench.json> <data_ratio> <out.json> [scaled8_bench.json]
+
+The optional 5th argument is a bench of the SAME scaled corpus at 8 cores
+(VERDICT r18 item 1): sf0.1 is core-count-insensitive (fixed costs only),
+so the 8-vs-32-core ratio AT THE SCALED CORPUS is the round's evidence
+that data-path parallelism exists — a data-bound query shows t8/t32 well
+above 1, a fixed-cost query sits near 1.
 """
 import json
 import sys
@@ -11,6 +17,7 @@ import sys
 
 def main():
     base_path, scaled_path, data_ratio, out_path = sys.argv[1:5]
+    scaled8_path = sys.argv[5] if len(sys.argv) > 5 else None
     data_ratio = float(data_ratio)
     flag_factor = 1.3
     base = json.load(open(base_path))
@@ -45,6 +52,36 @@ def main():
         "flagged_by_design": {q: by_design[q] for q in flagged if q in by_design},
         "per_query_ratio": ratios,
     }
+    if scaled8_path:
+        scaled8 = json.load(open(scaled8_path))
+        core = {}
+        for q, t32 in sorted(scaled["queries"].items()):
+            t8 = scaled8["queries"].get(q)
+            if t8 is None or t32 <= 0:
+                continue
+            core[q] = round(t8 / t32, 3)
+        # classification at the scaled corpus: t8/t32 >= 1.5 shows real
+        # data-path parallelism; < 1.2 is fixed-cost (planning/commit/job
+        # round-trips) at this corpus size
+        out["cores"] = {
+            "scaled_cpus_main": 32,
+            "scaled_cpus_low": 8,
+            "scaled8_total": round(scaled8["value"], 2),
+            "scaled8_ci": scaled8.get("contention_index"),
+            "per_query_scaled32_sec": {
+                q: round(t, 2) for q, t in sorted(scaled["queries"].items())},
+            "per_query_scaled8_sec": {
+                q: round(t, 2) for q, t in sorted(scaled8["queries"].items())},
+            "per_query_core_ratio_8v32": core,
+            "n_data_parallel": sum(1 for r in core.values() if r >= 1.5),
+            "n_fixed_cost": sum(1 for r in core.values() if r < 1.2),
+        }
+        par = sorted(core.items(), key=lambda kv: -kv[1])[:10]
+        print(f"8v32 at scaled corpus: total {scaled['value']:.1f}s -> "
+              f"{scaled8['value']:.1f}s; data-parallel (>=1.5x): "
+              f"{out['cores']['n_data_parallel']}, fixed-cost (<1.2x): "
+              f"{out['cores']['n_fixed_cost']}")
+        print("most parallel:", ", ".join(f"{q} {r}x" for q, r in par))
     with open(out_path, "w") as f:
         json.dump(out, f, indent=None, separators=(",", ":"))
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
